@@ -1,0 +1,57 @@
+"""Error surface matching the reference's condition system.
+
+Reference: cl-data-frame.lisp:179-192 defines two conditions —
+``duplicate-key`` (raised by ``add-key!``, cl-data-frame.lisp:222-223) and
+``key-not-found`` whose report includes the full set of valid keys
+(cl-data-frame.lisp:185-192,205-211). Construction-time assertions
+(equal column lengths cl-data-frame.lisp:438-445, non-empty frame
+cl-data-frame.lisp:317) get their own classes here.
+
+These raise *eagerly* (at wrapper call time) even though Spark execution is
+lazy, matching the reference's error timing (SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+
+class DataFrameError(Exception):
+    """Base class for all engine errors."""
+
+
+class DuplicateKey(DataFrameError):
+    """A key is already present in the frame (cl-data-frame.lisp:179-183)."""
+
+    def __init__(self, key: str):
+        self.key = key
+        super().__init__(f"Duplicate key {key!r}.")
+
+
+class KeyNotFound(DataFrameError, KeyError):
+    """Key lookup failed; message lists valid keys (cl-data-frame.lisp:185-192)."""
+
+    def __init__(self, key, valid_keys):
+        self.key = key
+        self.valid_keys = list(valid_keys)
+        DataFrameError.__init__(
+            self, f"Key {key!r} not found, valid keys are {self.valid_keys}."
+        )
+
+
+class ColumnLengthMismatch(DataFrameError):
+    """Columns don't have the same length (cl-data-frame.lisp:438-445,460-461)."""
+
+    def __init__(self, expected: int, got: int, key=None):
+        self.expected = expected
+        self.got = got
+        self.key = key
+        where = f" for column {key!r}" if key is not None else ""
+        super().__init__(
+            f"Column length {got}{where} does not match data frame length {expected}."
+        )
+
+
+class EmptyFrame(DataFrameError):
+    """Can't create an empty data frame (cl-data-frame.lisp:317)."""
+
+    def __init__(self):
+        super().__init__("Can't create an empty data frame.")

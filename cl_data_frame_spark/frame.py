@@ -1,0 +1,786 @@
+"""SparkFrame: the reference's ``data-frame`` on a PySpark substrate.
+
+The reference (``/root/reference/cl-data-frame.lisp``) is an eager,
+in-memory, columnar data-frame kernel. This module reproduces its semantic
+contract — ordered unique keys, two-axis slicing with singleton collapse,
+row-wise map/filter/count, destructive/functional column add/replace pairs —
+on an immutable Spark DataFrame:
+
+- ``SparkFrame`` <-> ``data-frame`` (cl-data-frame.lisp:436-445)
+- ``DataVector`` <-> ``data-vector`` (cl-data-frame.lisp:408-434)
+- mutation (``!`` variants) rebinds the wrapper's internal DataFrame; the
+  non-``!`` variants return a new wrapper (cl-data-frame.lisp:367-385,
+  tested cl-data-frame-tests.lisp:106-135) — SURVEY.md §1.6/§1.7.
+
+Row order: Spark has no intrinsic row order, so every frame carries a hidden
+``__row_id__`` ordering column assigned at ingest (SURVEY.md §7.4.1). All
+positional semantics (integer slices, ``do_rows`` first->last order,
+collection order) ride it. Positional *index* resolution additionally needs a
+dense rank; that is computed on demand and documented as a driver-adjacent
+operation — at 100 TB scale you filter/join on keys, not positions.
+
+Everything compiles to Catalyst ``Column`` expressions first; arbitrary
+Python callables fall back to Arrow-vectorized ``pandas_udf`` /
+``mapInPandas`` (never row-at-a-time Python UDFs).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable, Iterable, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import ColumnLengthMismatch, DuplicateKey, EmptyFrame, KeyNotFound
+from .keys import OrderedKeys
+from .sparktypes import to_spark_type
+
+ROW_ID = "__row_id__"
+_POS = "__pos__"
+
+
+class ALL:
+    """Sentinel matching the reference's ``t`` slice ('everything')."""
+
+    def __repr__(self):  # pragma: no cover
+        return "ALL"
+
+
+ALL = ALL()
+
+
+# ---------------------------------------------------------------------------
+# type inference for driver-side literal columns
+# ---------------------------------------------------------------------------
+
+def _infer_type(values) -> T.DataType:
+    """Infer a Spark type from Python values (first non-None wins).
+
+    The reference's undeclared element type is ``t`` (anything,
+    cl-data-frame.lisp:268-269); Spark columns are homogeneous, so mixed
+    columns widen to string (SURVEY.md §7.4.2).
+    """
+    sample = next((v for v in values if v is not None), None)
+    if sample is None:
+        return T.StringType()
+    kinds = {type(v) for v in values if v is not None}
+    if kinds == {bool}:
+        return T.BooleanType()
+    if kinds <= {int, bool}:
+        return T.LongType()
+    if kinds <= {int, float, bool}:
+        return T.DoubleType()
+    if kinds == {str}:
+        return T.StringType()
+    if kinds == {bytes}:
+        return T.BinaryType()
+    if kinds == {_dt.datetime}:
+        return T.TimestampType()
+    if kinds == {_dt.date}:
+        return T.DateType()
+    if kinds <= {list, tuple}:
+        flat = [x for v in values if v is not None for x in v]
+        return T.ArrayType(_infer_type(flat))
+    return T.StringType()
+
+
+def _coerce_values(values, dtype: T.DataType) -> list:
+    """Coerce Python values to the declared Spark type (bit->bool etc.)."""
+    def conv(v):
+        if v is None:
+            return None
+        if isinstance(dtype, T.BooleanType):
+            return bool(v)
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return int(v)
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            return float(v)
+        if isinstance(dtype, T.StringType):
+            return str(v)
+        return v
+
+    return [conv(v) for v in values]
+
+
+def _as_pairs(args) -> list[tuple[str, object]]:
+    """Normalize constructor sugar to (key, column) pairs.
+
+    Mirrors ``guess-alist?``/``ensure-arguments-alist``
+    (cl-data-frame.lisp:290-326): accepts a dict, a list of pairs (alist),
+    or a flat key/value plist; also accepts another frame/data-vector as
+    the source of pairs.
+    """
+    if len(args) == 1 and isinstance(args[0], Mapping):
+        return list(args[0].items())
+    if len(args) == 1 and isinstance(args[0], SparkFrame):
+        return [(k, args[0].column(k)) for k in args[0].keys()]
+    if len(args) == 1 and isinstance(args[0], DataVector):
+        return list(args[0].items())
+    if len(args) == 1 and isinstance(args[0], (list, tuple)) and args[0] and \
+            isinstance(args[0][0], (list, tuple)) and len(args[0][0]) == 2:
+        return [(k, v) for k, v in args[0]]
+    if len(args) % 2 != 0:
+        raise ValueError("plist-style arguments require an even count")
+    return [(args[i], args[i + 1]) for i in range(0, len(args), 2)]
+
+
+# ---------------------------------------------------------------------------
+# DataVector — the reference's 1-D ordered key->scalar record
+# ---------------------------------------------------------------------------
+
+class DataVector:
+    """Ordered key->scalar mapping (cl-data-frame.lisp:408-434).
+
+    Produced by singleton row slices of a frame (cl-data-frame.lisp:498-499).
+    Driver-side object: a record has no distributed representation.
+    """
+
+    def __init__(self, *args):
+        pairs = _as_pairs(args)
+        if not pairs:
+            raise EmptyFrame()
+        self._keys = OrderedKeys(k for k, _ in pairs)
+        self._values = {k: v for k, v in pairs}
+
+    def keys(self) -> list[str]:
+        return self._keys.keys()
+
+    def values(self) -> list:
+        return [self._values[k] for k in self._keys]
+
+    def items(self) -> list[tuple[str, object]]:
+        return [(k, self._values[k]) for k in self._keys]
+
+    def as_dict(self) -> dict:
+        return dict(self.items())
+
+    # as-alist / as-plist (cl-data-frame.lisp:333-335)
+    def as_alist(self) -> list[tuple[str, object]]:
+        return self.items()
+
+    def as_plist(self) -> list:
+        out: list = []
+        for k, v in self.items():
+            out += [k, v]
+        return out
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            key = self._keys.resolve_position(key)
+        self._keys.index(key)  # raises KeyNotFound with valid keys
+        return self._values[key]
+
+    def column(self, key):
+        return self[key]
+
+    def columns(self, spec=ALL) -> list:
+        return [self[k] for k in _resolve_keyspec(self._keys, spec)]
+
+    def slice(self, spec):
+        """Key/index selection; singleton spec -> bare scalar
+        (cl-data-frame.lisp:427-434; test cl-data-frame-tests.lisp:30-31)."""
+        if isinstance(spec, (str, int)) and not isinstance(spec, bool):
+            return self[spec]
+        keys = _resolve_keyspec(self._keys, spec)
+        return DataVector([(k, self[k]) for k in keys])
+
+    def map_columns(self, fn) -> "DataVector":
+        """Apply *fn* to every value, same keys (cl-data-frame.lisp:363-365;
+        test cl-data-frame-tests.lisp:32-34)."""
+        return DataVector([(k, fn(v)) for k, v in self.items()])
+
+    def add_columns(self, *args) -> "DataVector":
+        new = self.items() + _as_pairs(args)
+        return DataVector(new)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def __eq__(self, other):
+        if isinstance(other, DataVector):
+            return self.items() == other.items()
+        if isinstance(other, Mapping):
+            return self.as_dict() == dict(other)
+        return NotImplemented
+
+    def __repr__(self):
+        inner = ", ".join(f"{k}: {v!r}" for k, v in self.items())
+        return f"DataVector({inner})"
+
+
+def _resolve_keyspec(keys: OrderedKeys, spec) -> list[str]:
+    """Resolve a column-axis slice spec to an ordered key list.
+
+    Mirrors ``canonical-representation`` on the key axis
+    (cl-data-frame.lisp:242-254): ALL, a key, an int position (negatives
+    from the end, cl-data-frame-tests.lisp:54), or a sequence of either.
+    """
+    if spec is ALL or spec is True or spec is None:
+        return keys.keys()
+    if isinstance(spec, str):
+        keys.index(spec)
+        return [spec]
+    if isinstance(spec, bool):
+        raise TypeError("bool is not a valid column slice")
+    if isinstance(spec, int):
+        return [keys.resolve_position(spec)]
+    out: list[str] = []
+    for item in spec:
+        if isinstance(item, str):
+            keys.index(item)
+            out.append(item)
+        elif isinstance(item, int) and not isinstance(item, bool):
+            out.append(keys.resolve_position(item))
+        else:
+            raise TypeError(f"Bad column slice element: {item!r}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SparkFrame
+# ---------------------------------------------------------------------------
+
+class SparkFrame:
+    """2-D ordered-key columnar frame over a Spark DataFrame.
+
+    The wrapped DataFrame always carries the hidden ``__row_id__`` ordering
+    column; ``keys()`` exposes only user columns. Column-length equality is
+    automatic in the relational model (the reference asserts it at
+    construction, cl-data-frame.lisp:438-445); key uniqueness is enforced
+    here because Spark itself allows duplicates (SURVEY.md §1.7).
+    """
+
+    def __init__(self, sdf: DataFrame, keys: Sequence[str] | None = None, *,
+                 nrow: int | None = None):
+        if ROW_ID not in sdf.columns:
+            sdf = sdf.withColumn(ROW_ID, F.monotonically_increasing_id())
+        user_cols = [c for c in sdf.columns if c not in (ROW_ID, _POS)]
+        if keys is None:
+            keys = user_cols
+        if not keys:
+            raise EmptyFrame()
+        self._keys = OrderedKeys(keys)  # raises DuplicateKey on dupes
+        missing = [k for k in keys if k not in sdf.columns]
+        if missing:
+            raise KeyNotFound(missing[0], user_cols)
+        self._df = sdf.select(ROW_ID, *keys)
+        self._nrow = nrow
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_columns(cls, spark: SparkSession, *args,
+                     element_types: Mapping[str, object] | None = None) -> "SparkFrame":
+        """Core constructor from key->column-values pairs.
+
+        Mirrors ``make-data`` (cl-data-frame.lisp:271-284): validates
+        non-empty (:317), unique keys (:222-223), equal lengths (:438-445) —
+        all eagerly, before any Spark job.
+        """
+        pairs = _as_pairs(args)
+        if not pairs:
+            raise EmptyFrame()
+        registry = OrderedKeys()
+        for k, _ in pairs:
+            registry.add(k)
+        lengths = {k: len(list(v)) for k, v in pairs}
+        nrow = lengths[pairs[0][0]]
+        for k, n in lengths.items():
+            if n != nrow:
+                raise ColumnLengthMismatch(nrow, n, key=k)
+        element_types = dict(element_types or {})
+        fields = [T.StructField(ROW_ID, T.LongType(), False)]
+        cols = []
+        for k, v in pairs:
+            values = list(v)
+            dtype = to_spark_type(element_types[k]) if k in element_types \
+                else _infer_type(values)
+            fields.append(T.StructField(k, dtype, True))
+            cols.append(_coerce_values(values, dtype))
+        rows = [tuple([i, *vals]) for i, vals in enumerate(zip(*cols))]
+        sdf = spark.createDataFrame(rows, schema=T.StructType(fields))
+        return cls(sdf, [k for k, _ in pairs], nrow=nrow)
+
+    @classmethod
+    def make_df(cls, spark, keys, columns, element_types=None) -> "SparkFrame":
+        """Explicit keys + columns (make-df, cl-data-frame.lisp:397-398)."""
+        if len(keys) != len(columns):
+            raise ValueError("keys and columns must have the same length")
+        return cls.from_columns(spark, list(zip(keys, columns)),
+                                element_types=element_types)
+
+    @classmethod
+    def matrix_df(cls, spark, keys, matrix) -> "SparkFrame":
+        """Row-major matrix + keys -> frame (cl-data-frame.lisp:478-482)."""
+        cols = list(zip(*[list(row) for row in matrix]))
+        return cls.make_df(spark, list(keys), [list(c) for c in cols])
+
+    @classmethod
+    def from_pandas(cls, spark, pdf: pd.DataFrame) -> "SparkFrame":
+        pdf = pdf.reset_index(drop=True).copy()
+        pdf.insert(0, ROW_ID, range(len(pdf)))
+        return cls(spark.createDataFrame(pdf), [c for c in pdf.columns if c != ROW_ID],
+                   nrow=len(pdf))
+
+    @classmethod
+    def from_spark(cls, sdf: DataFrame) -> "SparkFrame":
+        return cls(sdf)
+
+    # -- introspection (R7, R24, R25) ----------------------------------------
+
+    def keys(self) -> list[str]:
+        """Ordered column names (cl-data-frame.lisp:328-331)."""
+        return self._keys.keys()
+
+    @property
+    def spark_df(self) -> DataFrame:
+        """The underlying Spark DataFrame without the ordering column."""
+        return self._df.select(*self.keys())
+
+    @property
+    def spark_df_with_id(self) -> DataFrame:
+        return self._df
+
+    @property
+    def nrow(self) -> int:
+        """Row count (aops:nrow, cl-data-frame.lisp:447-448); cached."""
+        if self._nrow is None:
+            self._nrow = self._df.count()
+        return self._nrow
+
+    @property
+    def ncol(self) -> int:
+        return len(self._keys)
+
+    @property
+    def dims(self) -> tuple[int, int]:
+        return (self.nrow, self.ncol)
+
+    def column_length(self, key: str) -> int:
+        """Length of a column (cl-data-frame.lisp:18-21) — frame row count."""
+        self._keys.index(key)
+        return self.nrow
+
+    # -- column access (R8-R11) ----------------------------------------------
+
+    def col(self, key: str) -> Column:
+        """Lazy Column expression for *key* (the scale path)."""
+        self._keys.index(key)
+        return F.col(key)
+
+    def column(self, key) -> list:
+        """Materialize one column in ingest order (cl-data-frame.lisp:345-349).
+
+        Eager by contract (the reference returns the live vector). Use
+        ``col()``/``select()`` for the lazy, distributed path.
+        """
+        if isinstance(key, int) and not isinstance(key, bool):
+            key = self._keys.resolve_position(key)
+        self._keys.index(key)
+        rows = self._df.select(ROW_ID, key).orderBy(ROW_ID).collect()
+        return [r[1] for r in rows]
+
+    def set_column_(self, key: str, values) -> "SparkFrame":
+        """In-place column assignment ((setf column), cl-data-frame.lisp:351-355)."""
+        self._keys.index(key)
+        self._df = self._with_column_df(key, values)
+        return self
+
+    def columns(self, spec=ALL) -> list[list]:
+        """All columns, or a key/index slice of them (cl-data-frame.lisp:357-361).
+
+        Supports negative index (cl-data-frame-tests.lisp:54). Eager.
+        """
+        keys = _resolve_keyspec(self._keys, spec)
+        if isinstance(spec, (str, int)) and not isinstance(spec, bool):
+            return self.column(keys[0])
+        rows = self._df.select(ROW_ID, *keys).orderBy(ROW_ID).collect()
+        return [[r[i + 1] for r in rows] for i in range(len(keys))]
+
+    def select(self, spec=ALL) -> "SparkFrame":
+        """Lazy column projection returning a new frame."""
+        keys = _resolve_keyspec(self._keys, spec)
+        return SparkFrame(self._df.select(ROW_ID, *keys), keys, nrow=self._nrow)
+
+    def map_columns(self, fn: Callable[[Column], Column]) -> "SparkFrame":
+        """Apply *fn* to every column, same keys (cl-data-frame.lisp:363-365).
+
+        *fn* maps a Column expression to a Column expression, so Catalyst
+        sees through it (whole-stage codegen; no Python round-trip).
+        """
+        exprs = [fn(F.col(k)).alias(k) for k in self.keys()]
+        return SparkFrame(self._df.select(F.col(ROW_ID), *exprs), self.keys(),
+                          nrow=self._nrow)
+
+    # -- row machinery --------------------------------------------------------
+
+    def _with_pos(self) -> DataFrame:
+        """Attach a dense 0-based position column.
+
+        A global ``row_number`` over ``__row_id__`` — single-partition sort,
+        acceptable because positional access is an inherently total-order
+        (driver-adjacent) operation; keyed queries never pay this.
+        """
+        w = Window.orderBy(ROW_ID)
+        return self._df.withColumn(_POS, F.row_number().over(w) - 1)
+
+    def _resolve_rows(self, spec) -> tuple[DataFrame, bool]:
+        """Resolve a row-axis slice spec -> (filtered df, is_singleton).
+
+        Mirrors ``canonical-representation`` on the row axis (SURVEY §2 R14):
+        ALL, a boolean mask Column (bit vector), an int (negatives from the
+        end), a Python range/slice, a sequence of ints, or a sequence of
+        bools of length nrow.
+        """
+        if spec is ALL or spec is True or spec is None:
+            return self._df, False
+        if isinstance(spec, Column):
+            return self._df.filter(spec), False
+        if isinstance(spec, bool):
+            raise TypeError("bool is not a valid row slice")
+        if isinstance(spec, int):
+            pos = spec if spec >= 0 else self.nrow + spec
+            return self._with_pos().filter(F.col(_POS) == pos).drop(_POS), True
+        if isinstance(spec, slice):
+            start, stop, step = spec.indices(self.nrow)
+            positions = list(range(start, stop, step))
+            return self._positions_df(positions), False
+        if isinstance(spec, range):
+            return self._positions_df(list(spec)), False
+        try:
+            seq = list(spec)
+        except TypeError:
+            raise TypeError(
+                f"Bad row slice: {spec!r} (expected ALL, a boolean Column, "
+                f"an int, a slice/range, or a sequence of ints/bools)"
+            ) from None
+        if seq and all(isinstance(x, bool) for x in seq):
+            if len(seq) != self.nrow:
+                raise ColumnLengthMismatch(self.nrow, len(seq))
+            positions = [i for i, b in enumerate(seq) if b]
+            return self._positions_df(positions), False
+        if all(isinstance(x, int) for x in seq):
+            n = self.nrow if any(x < 0 for x in seq) else None
+            positions = [x if x >= 0 else n + x for x in seq]
+            return self._positions_df(positions), False
+        raise TypeError(f"Bad row slice: {spec!r}")
+
+    def _positions_df(self, positions: list[int]) -> DataFrame:
+        if not positions:
+            return self._with_pos().filter(F.lit(False)).drop(_POS)
+        lo, hi = min(positions), max(positions)
+        base = self._with_pos()
+        if set(positions) == set(range(lo, hi + 1)):
+            out = base.filter((F.col(_POS) >= lo) & (F.col(_POS) <= hi))
+        else:
+            out = base.filter(F.col(_POS).isin(positions))
+        return out.drop(_POS)
+
+    # -- slice (R12-R14) ------------------------------------------------------
+
+    def slice(self, rows=ALL, cols=ALL):
+        """Two-axis slice with singleton collapse (cl-data-frame.lisp:486-500).
+
+        Scalar column spec -> bare column list; scalar row spec ->
+        ``DataVector``; both scalar -> scalar; else a new ``SparkFrame``
+        (shape dispatch at cl-data-frame.lisp:494-500; tests
+        cl-data-frame-tests.lisp:60-70).
+        """
+        col_scalar = isinstance(cols, (str, int)) and not isinstance(cols, bool)
+        row_scalar = isinstance(rows, int) and not isinstance(rows, bool)
+        keys = _resolve_keyspec(self._keys, cols)
+        filtered, _ = self._resolve_rows(rows)
+        if row_scalar:
+            collected = filtered.select(*keys).collect()
+            if not collected:
+                raise IndexError(f"row {rows} out of range")
+            row = collected[0]
+            if col_scalar:
+                return row[0]
+            return DataVector(list(zip(keys, row)))
+        if col_scalar:
+            rows_out = filtered.select(ROW_ID, keys[0]).orderBy(ROW_ID).collect()
+            return [r[1] for r in rows_out]
+        return SparkFrame(filtered.select(ROW_ID, *keys), keys)
+
+    def filter(self, predicate: Column) -> "SparkFrame":
+        """Lazy mask filter (the scale path for slice-by-mask)."""
+        return SparkFrame(self._df.filter(predicate), self.keys())
+
+    # -- row-wise operators (R15-R19) ------------------------------------------
+
+    def _row_fn_column(self, keys: Sequence[str], fn, element_type=None,
+                       vectorized=False) -> Column:
+        """Compile a row function over *keys* into a Column.
+
+        Expression-first: if *fn* applied to Column objects yields a Column,
+        Catalyst executes it JVM-side (whole-stage codegen). Otherwise fall
+        back to an Arrow-vectorized ``pandas_udf`` (requires an explicit
+        ``element_type``, since Spark needs a declared return type).
+        """
+        keys = [k for k in keys]
+        for k in keys:
+            self._keys.index(k)
+        if isinstance(fn, Column):
+            return fn
+        if not vectorized:
+            try:
+                candidate = fn(*[F.col(k) for k in keys])
+                if isinstance(candidate, Column):
+                    return candidate
+            except Exception:
+                pass
+        if element_type is None:
+            raise TypeError(
+                "This row function is not expressible as a Column expression; "
+                "pass element_type= for the pandas_udf fallback "
+                "(reference: element-type keyword, cl-data-frame.lisp:506-510)"
+            )
+        ret = to_spark_type(element_type)
+        if vectorized:
+            udf = F.pandas_udf(fn, returnType=ret)
+        else:
+            def _wrapped(*series: pd.Series) -> pd.Series:
+                return pd.Series([fn(*vals) for vals in zip(*series)])
+            udf = F.pandas_udf(_wrapped, returnType=ret)
+        return udf(*[F.col(k) for k in keys])
+
+    def mask_rows(self, keys, predicate, vectorized=False) -> Column:
+        """Predicate over chosen columns -> boolean mask column
+        (cl-data-frame.lisp:554-559). Composes with ``slice``/``filter``."""
+        expr = self._row_fn_column(keys, predicate, element_type="boolean",
+                                   vectorized=vectorized)
+        return expr.cast("boolean")
+
+    def count_rows(self, keys, predicate, vectorized=False) -> int:
+        """Count rows where predicate holds (cl-data-frame.lisp:561-568)."""
+        return self._df.filter(self.mask_rows(keys, predicate,
+                                              vectorized=vectorized)).count()
+
+    def map_rows(self, keys, fn, element_type=None, vectorized=False) -> Column:
+        """Row-wise function over chosen columns -> one new column
+        (cl-data-frame.lisp:506-516). Returns a Column to compose with
+        ``add_columns`` (pattern: cl-data-frame-tests.lisp:141-144)."""
+        return self._row_fn_column(keys, fn, element_type, vectorized)
+
+    def map_rows_values(self, keys, fn, element_type=None, vectorized=False) -> list:
+        """Eager variant returning materialized values in ingest order."""
+        col = self.map_rows(keys, fn, element_type, vectorized)
+        rows = self._df.select(ROW_ID, col.alias("__v__")).orderBy(ROW_ID).collect()
+        return [r[1] for r in rows]
+
+    def do_rows(self, keys, fn) -> None:
+        """Row-wise side effects, first->last order (cl-data-frame.lisp:518-526).
+
+        Driver-side ``toLocalIterator`` over the ingest ordering — order is
+        only defined under an explicit sort in Spark, so we sort on
+        ``__row_id__``. Inherently non-distributed, as in the reference.
+        """
+        keys = list(keys)
+        for k in keys:
+            self._keys.index(k)
+        it = self._df.select(ROW_ID, *keys).orderBy(ROW_ID).toLocalIterator()
+        for row in it:
+            fn(*row[1:])
+
+    def map_df(self, keys, fn, result_keys) -> "SparkFrame":
+        """Row-wise function -> multiple typed output columns, new frame
+        (cl-data-frame.lisp:528-552; typed result specs tested at
+        cl-data-frame-tests.lisp:81-88).
+
+        *result_keys*: list of ``name`` or ``(name, element_type)``.
+        Executed with ``mapInPandas`` (Arrow batches); the declared output
+        schema enforces per-row arity/type like the reference's assert
+        (cl-data-frame.lisp:548). ``__row_id__`` is threaded through so
+        results keep ingest order.
+        """
+        keys = list(keys)
+        for k in keys:
+            self._keys.index(k)
+        specs: list[tuple[str, T.DataType]] = []
+        for rk in result_keys:
+            if isinstance(rk, str):
+                specs.append((rk, T.StringType()))
+            else:
+                name, etype = rk
+                specs.append((name, to_spark_type(etype)))
+        out_names = [name for name, _ in specs]
+        schema = T.StructType(
+            [T.StructField(ROW_ID, T.LongType(), False)]
+            + [T.StructField(name, dtype, True) for name, dtype in specs]
+        )
+        n_out = len(specs)
+
+        def _map(batches):
+            for pdf in batches:
+                results = [fn(*vals) for vals in
+                           zip(*[pdf[k] for k in keys])]
+                for r in results:
+                    if len(r) != n_out:
+                        raise ValueError(
+                            f"map_df function returned {len(r)} values, "
+                            f"expected {n_out}")
+                out = pd.DataFrame(
+                    {ROW_ID: pdf[ROW_ID],
+                     **{name: [r[i] for r in results]
+                        for i, (name, _) in enumerate(specs)}})
+                yield out
+
+        sdf = self._df.select(ROW_ID, *keys).mapInPandas(_map, schema=schema)
+        return SparkFrame(sdf, out_names, nrow=self._nrow)
+
+    # -- add / replace / copy (R20-R23) ----------------------------------------
+
+    def _with_column_df(self, key: str, value) -> DataFrame:
+        """Build the underlying df with *key* set to *value*.
+
+        *value* may be a Column expression (lazy, preferred), a scalar
+        (becomes a literal), or a driver-side sequence of length nrow
+        (attached by a broadcast equi-join on ``__row_id__`` — literal
+        columns are driver data by definition).
+        """
+        if isinstance(value, Column):
+            return self._df.withColumn(key, value)
+        if isinstance(value, (list, tuple)) or hasattr(value, "__array__"):
+            values = list(value)
+            if len(values) != self.nrow:
+                raise ColumnLengthMismatch(self.nrow, len(values), key=key)
+            spark = self._df.sparkSession
+            ids = [r[0] for r in
+                   self._df.select(ROW_ID).orderBy(ROW_ID).collect()]
+            dtype = _infer_type(values)
+            lit_df = spark.createDataFrame(
+                list(zip(ids, _coerce_values(values, dtype))),
+                schema=T.StructType([
+                    T.StructField(ROW_ID, T.LongType(), False),
+                    T.StructField(key, dtype, True)]))
+            base = self._df.drop(key) if key in self._df.columns else self._df
+            return base.join(F.broadcast(lit_df), on=ROW_ID, how="left")
+        return self._df.withColumn(key, F.lit(value))
+
+    def add_column_(self, key: str, column) -> "SparkFrame":
+        """Destructive append (add-column!, cl-data-frame.lisp:367-373):
+        duplicate-key error, length-checked, mutates this wrapper."""
+        self._keys.add(key)  # raises DuplicateKey
+        self._df = self._with_column_df(key, column).select(
+            ROW_ID, *self._keys.keys())
+        return self
+
+    def add_columns_(self, *args) -> "SparkFrame":
+        """Destructive multi-append (add-columns!, cl-data-frame.lisp:375-380)."""
+        for k, v in _as_pairs(args):
+            self.add_column_(k, v)
+        return self
+
+    def add_columns(self, *args) -> "SparkFrame":
+        """Non-destructive append: copy then add (cl-data-frame.lisp:382-385)."""
+        return self.copy().add_columns_(*args)
+
+    def replace_column_(self, key: str, fn_or_column, element_type=None) -> "SparkFrame":
+        """Replace a column in place with a column, scalar sequence, or a
+        function of the current values (replace-column!,
+        cl-data-frame.lisp:570-579)."""
+        self._keys.index(key)
+        if callable(fn_or_column) and not isinstance(fn_or_column, Column):
+            new_col = self._row_fn_column([key], fn_or_column, element_type)
+            self._df = self._df.withColumn(key, new_col)
+        else:
+            self._df = self._with_column_df(key, fn_or_column).select(
+                ROW_ID, *self._keys.keys())
+        return self
+
+    def replace_column(self, key, fn_or_column, element_type=None) -> "SparkFrame":
+        """Non-destructive replace (cl-data-frame.lisp:581-583)."""
+        return self.copy().replace_column_(key, fn_or_column, element_type)
+
+    def copy(self) -> "SparkFrame":
+        """Copy the wrapper: keys deep-copied, the immutable DataFrame shared
+        (exactly the reference's shallow copy, cl-data-frame.lisp:337-343)."""
+        new = SparkFrame.__new__(SparkFrame)
+        new._keys = self._keys.copy()
+        new._df = self._df
+        new._nrow = self._nrow
+        return new
+
+    # -- export (R5, R6) --------------------------------------------------------
+
+    def to_pandas(self) -> pd.DataFrame:
+        """Arrow-path collection in ingest order."""
+        return (self._df.orderBy(ROW_ID).drop(ROW_ID).toPandas())
+
+    def as_dict(self) -> dict[str, list]:
+        """Frame -> {key: column values} (as-alist, cl-data-frame.lisp:333-335)."""
+        pdf = self.to_pandas()
+        return {k: list(pdf[k]) for k in self.keys()}
+
+    def as_alist(self) -> list[tuple[str, list]]:
+        return list(self.as_dict().items())
+
+    def as_plist(self) -> list:
+        out: list = []
+        for k, v in self.as_dict().items():
+            out += [k, v]
+        return out
+
+    def as_array(self):
+        """Frame -> row-major matrix (aops:as-array, cl-data-frame.lisp:456-458)."""
+        return self.to_pandas().to_numpy()
+
+    def collect(self) -> list[dict]:
+        """All rows as dicts, ingest order."""
+        rows = self._df.orderBy(ROW_ID).drop(ROW_ID).collect()
+        return [r.asDict() for r in rows]
+
+    # -- summaries / printing (R26-R28) ------------------------------------------
+
+    def column_summary(self, key: str):
+        from .summary import column_summary
+        return column_summary(self, key)
+
+    def __repr__(self) -> str:
+        from .summary import frame_repr
+        return frame_repr(self)
+
+    def show(self, n: int = 20) -> None:
+        self._df.orderBy(ROW_ID).drop(ROW_ID).show(n)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.spark_df.explain(mode)
+
+    def __eq__(self, other):
+        if isinstance(other, SparkFrame):
+            return self.keys() == other.keys() and self.as_dict() == other.as_dict()
+        return NotImplemented
+
+
+# module-level constructor sugar matching the reference's exported names ----
+
+def df(spark: SparkSession, *args, element_types=None) -> SparkFrame:
+    """Variadic plist/alist/dict constructor (df, cl-data-frame.lisp:403-406)."""
+    return SparkFrame.from_columns(spark, *args, element_types=element_types)
+
+
+def dv(*args) -> DataVector:
+    """Variadic data-vector constructor (dv, cl-data-frame.lisp:403-406)."""
+    return DataVector(*args)
+
+
+def make_df(spark, keys, columns, element_types=None) -> SparkFrame:
+    return SparkFrame.make_df(spark, keys, columns, element_types)
+
+
+def alist_df(spark, alist) -> SparkFrame:
+    """Alist constructor (cl-data-frame.lisp:315-322,399-402)."""
+    return SparkFrame.from_columns(spark, list(alist))
+
+
+def plist_df(spark, plist) -> SparkFrame:
+    """Plist constructor (cl-data-frame.lisp:320-322,401-402)."""
+    return SparkFrame.from_columns(spark, *list(plist))
+
+
+def matrix_df(spark, keys, matrix) -> SparkFrame:
+    return SparkFrame.matrix_df(spark, keys, matrix)

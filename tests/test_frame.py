@@ -1,0 +1,303 @@
+"""Port of the reference test suite (cl-data-frame-tests.lisp) to pytest.
+
+Same inputs, same golden outputs (FIXTURES.md F1-F5). Each test cites the
+reference lines it mirrors.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark import (ALL, ColumnLengthMismatch, DataVector,
+                                 DuplicateKey, EmptyFrame, KeyNotFound,
+                                 SparkFrame, df, dv)
+
+# F1 fixtures (cl-data-frame-tests.lisp:38-42)
+V = [1, 2, 3, 4]
+B = [False, True, True, False]  # #*0110
+S = ["a", "b", "c", "d"]        # #(a b c d)
+
+
+@pytest.fixture()
+def f1(spark):
+    return df(spark, "vector", V, "bits", B, "symbols", S,
+              element_types={"bits": "bit"})
+
+
+# --- data-vector basics (cl-data-frame-tests.lisp:22-34) --------------------
+
+class TestDataVector:
+    def test_roundtrips(self):
+        d = dv("a", 1, "b", 2, "c", 3)
+        assert d.keys() == ["a", "b", "c"]
+        assert d.as_plist() == ["a", 1, "b", 2, "c", 3]
+        assert d.as_alist() == [("a", 1), ("b", 2), ("c", 3)]
+        assert d.columns() == [1, 2, 3]
+
+    def test_alist_plist_equivalence(self):
+        assert dv("a", 1, "b", 2) == dv([("a", 1), ("b", 2)]) == dv({"a": 1, "b": 2})
+
+    def test_key_vector_slice(self):
+        # (slice dv #(:a :b)) -> {a: 1, b: 2} (:30)
+        d = dv("a", 1, "b", 2, "c", 3)
+        assert d.slice(["a", "b"]) == dv("a", 1, "b", 2)
+
+    def test_singleton_slice_scalar(self):
+        # (slice dv :c) -> 3 (:31)
+        d = dv("a", 1, "b", 2, "c", 3)
+        assert d.slice("c") == 3
+        assert d.slice(-1) == 3
+
+    def test_map_columns(self):
+        # map-columns 1+ -> {a: 2, b: 3, c: 4} (:32-34)
+        d = dv("a", 1, "b", 2, "c", 3)
+        assert d.map_columns(lambda v: v + 1) == dv("a", 2, "b", 3, "c", 4)
+
+    def test_key_not_found(self):
+        d = dv("a", 1)
+        with pytest.raises(KeyNotFound) as exc:
+            d["zz"]
+        assert "a" in str(exc.value)
+
+    def test_duplicate_key(self):
+        with pytest.raises(DuplicateKey):
+            dv("a", 1, "a", 2)
+
+
+# --- data-frame creation (cl-data-frame-tests.lisp:44-58) -------------------
+
+class TestCreation:
+    def test_constructor_equivalence(self, spark):
+        a = df(spark, "vector", V, "symbols", S)
+        b = df(spark, [("vector", V), ("symbols", S)])
+        c = df(spark, {"vector": V, "symbols": S})
+        assert a.keys() == b.keys() == c.keys() == ["vector", "symbols"]
+        assert a.as_dict() == b.as_dict() == c.as_dict()
+
+    def test_keys_and_dims(self, f1):
+        assert f1.keys() == ["vector", "bits", "symbols"]
+        assert f1.dims == (4, 3)
+        assert f1.nrow == 4 and f1.ncol == 3
+        assert f1.column_length("vector") == 4
+
+    def test_columns_all(self, f1):
+        # (columns df t) -> all columns (:51)
+        assert f1.columns(ALL) == [V, B, S]
+
+    def test_columns_key_vector(self, f1):
+        # (columns df #(:vector :symbols)) (:52-53)
+        assert f1.columns(["vector", "symbols"]) == [V, S]
+
+    def test_columns_single_key(self, f1):
+        assert f1.columns("vector") == V
+
+    def test_columns_negative_index(self, f1):
+        # (columns df -2) -> second from last (:54)
+        assert f1.columns(-2) == B
+
+    def test_empty_frame_rejected(self, spark):
+        with pytest.raises(EmptyFrame):
+            df(spark)
+
+    def test_duplicate_key_rejected(self, spark):
+        with pytest.raises(DuplicateKey):
+            df(spark, "a", [1], "a", [2])
+
+    def test_unequal_lengths_rejected(self, spark):
+        # "Columns don't have the same length." (cl-data-frame.lisp:438-445)
+        with pytest.raises(ColumnLengthMismatch):
+            df(spark, "a", [1, 2], "b", [1, 2, 3])
+
+    def test_key_not_found_lists_valid(self, f1):
+        with pytest.raises(KeyNotFound) as exc:
+            f1.column("nope")
+        assert "vector" in str(exc.value)
+
+
+# --- data-frame slice (cl-data-frame-tests.lisp:60-70) ----------------------
+
+class TestSlice:
+    def test_column_selection(self, f1):
+        sub = f1.slice(ALL, ["vector", "bits"])
+        assert sub.keys() == ["vector", "bits"]
+        assert sub.as_dict() == {"vector": V, "bits": B}
+
+    def test_bit_mask_rows(self, f1):
+        # (slice df b #(0)) -> {vector: [2, 3]} (:63)
+        sub = f1.slice(F.col("bits"), ["vector"])
+        assert sub.as_dict() == {"vector": [2, 3]}
+
+    def test_bool_list_mask(self, f1):
+        sub = f1.slice(B, ["vector"])
+        assert sub.as_dict() == {"vector": [2, 3]}
+
+    def test_singleton_row_to_record(self, f1):
+        # (slice df 2 t) -> record {vector: 3, symbols: "c"} (:65)
+        rec = f1.slice(2, ALL)
+        assert isinstance(rec, DataVector)
+        assert rec == dv("vector", 3, "bits", True, "symbols", "c")
+
+    def test_negative_row(self, f1):
+        rec = f1.slice(-1, ["vector"])
+        assert rec == dv("vector", 4)
+
+    def test_both_singleton_scalar(self, f1):
+        assert f1.slice(2, "symbols") == "c"
+
+    def test_singleton_col_bare_values(self, f1):
+        assert f1.slice(ALL, "vector") == V
+
+    def test_positional_list(self, f1):
+        sub = f1.slice([0, 3], ["symbols"])
+        assert sub.as_dict() == {"symbols": ["a", "d"]}
+
+    def test_python_slice_range(self, f1):
+        sub = f1.slice(slice(1, 3), "vector")
+        assert sub == [2, 3]
+
+    def test_mask_rows_filter(self, f1):
+        # even-mask of `vector` selects [2, 4] (:66-70)
+        mask = f1.mask_rows(["vector"], lambda v: v % 2 == 0)
+        assert f1.slice(mask, "vector") == [2, 4]
+
+
+# --- map machinery (cl-data-frame-tests.lisp:72-90) -------------------------
+
+class TestMap:
+    @pytest.fixture()
+    def f2(self, spark):
+        return df(spark, "a", [2, 3, 5], "b", [7, 11, 13])
+
+    def test_map_rows_product(self, f2):
+        # map-rows * -> [14, 33, 65] (:79-80)
+        assert f2.map_rows_values(["a", "b"], lambda a, b: a * b) == [14, 33, 65]
+
+    def test_map_rows_udf_fallback(self, f2):
+        # a Python-only function (uses conditional) falls back to pandas_udf
+        def weird(a, b):
+            return a * b if a > 2 else -(a * b)
+        vals = f2.map_rows_values(["a", "b"], weird, element_type="fixnum")
+        assert vals == [-14, 33, 65]
+
+    def test_map_df_typed_results(self, f2):
+        # map-df with (:p fixnum) (:m bit): p=a*b, m = (a*b >= 30) (:81-88)
+        out = f2.map_df(["a", "b"],
+                        lambda a, b: (int(a * b), bool(a * b >= 30)),
+                        [("p", "fixnum"), ("m", "bit")])
+        assert out.keys() == ["p", "m"]
+        assert out.as_dict() == {"p": [14, 33, 65], "m": [False, True, True]}
+        types = dict((f.name, f.dataType.simpleString())
+                     for f in out.spark_df.schema)
+        assert types == {"p": "bigint", "m": "boolean"}
+
+    def test_map_df_arity_enforced(self, f2):
+        bad = f2.map_df(["a"], lambda a: (a, a, a), [("x", "fixnum")])
+        with pytest.raises(Exception):
+            bad.as_dict()
+
+    def test_mask_and_count(self, f2):
+        # mask-rows -> [0,1,1]; count-rows = 2 (:86-90)
+        mask_vals = f2.map_rows_values(
+            ["a", "b"], lambda a, b: (a * b) >= 30, element_type="bit")
+        assert mask_vals == [False, True, True]
+        assert f2.count_rows(["a", "b"], lambda a, b: (a * b) >= 30) == 2
+
+    def test_do_rows_order(self, f2):
+        seen = []
+        f2.do_rows(["a", "b"], lambda a, b: seen.append((a, b)))
+        assert seen == [(2, 7), (3, 11), (5, 13)]
+
+
+# --- add / replace (cl-data-frame-tests.lisp:100-168) ------------------------
+
+class TestAddReplace:
+    def test_add_columns_nondestructive(self, spark):
+        # original untouched by add-columns (:106-135)
+        base = df(spark, "a", [1, 2, 3])
+        out = base.add_columns("b", [4, 5, 6])
+        assert base.keys() == ["a"]
+        assert out.keys() == ["a", "b"]
+        assert out.as_dict() == {"a": [1, 2, 3], "b": [4, 5, 6]}
+
+    def test_add_column_destructive(self, spark):
+        base = df(spark, "a", [1, 2, 3])
+        base.add_column_("b", [4, 5, 6])
+        assert base.keys() == ["a", "b"]
+        assert base.as_dict() == {"a": [1, 2, 3], "b": [4, 5, 6]}
+
+    def test_add_duplicate_key(self, spark):
+        base = df(spark, "a", [1, 2, 3])
+        with pytest.raises(DuplicateKey):
+            base.add_column_("a", [7, 8, 9])
+
+    def test_add_length_mismatch(self, spark):
+        base = df(spark, "a", [1, 2, 3])
+        with pytest.raises(ColumnLengthMismatch):
+            base.add_column_("b", [1, 2])
+
+    def test_derived_column_pipeline(self, spark):
+        # c = map-rows(a, b, *) -> [4, 10, 18] (:141-149)
+        base = df(spark, "a", [1, 2, 3], "b", [4, 5, 6])
+        out = base.add_columns("c", base.map_rows(["a", "b"], lambda a, b: a * b))
+        assert out.as_dict() == {"a": [1, 2, 3], "b": [4, 5, 6], "c": [4, 10, 18]}
+        assert base.keys() == ["a", "b"]
+
+    def test_add_column_expression(self, spark):
+        base = df(spark, "a", [1, 2, 3])
+        out = base.add_columns("twice", F.col("a") * 2)
+        assert out.as_dict() == {"a": [1, 2, 3], "twice": [2, 4, 6]}
+
+    def test_replace_column(self, spark):
+        # replace by fn and by column -> same result (:155-168)
+        base = df(spark, "a", [1, 2, 3], "b", [5, 7, 11])
+        by_fn = base.replace_column("a", lambda a: a + 1)
+        by_col = base.replace_column("a", [2, 3, 4])
+        golden = {"a": [2, 3, 4], "b": [5, 7, 11]}
+        assert by_fn.as_dict() == golden
+        assert by_col.as_dict() == golden
+        # non-destructive leaves original intact
+        assert base.as_dict() == {"a": [1, 2, 3], "b": [5, 7, 11]}
+
+    def test_replace_column_destructive(self, spark):
+        base = df(spark, "a", [1, 2, 3], "b", [5, 7, 11])
+        base.replace_column_("a", lambda a: a + 1)
+        assert base.as_dict() == {"a": [2, 3, 4], "b": [5, 7, 11]}
+
+    def test_set_column(self, spark):
+        base = df(spark, "a", [1, 2, 3])
+        base.set_column_("a", [9, 8, 7])
+        assert base.as_dict() == {"a": [9, 8, 7]}
+        with pytest.raises(KeyNotFound):
+            base.set_column_("zz", [1, 2, 3])
+
+    def test_copy_shares_then_diverges(self, spark):
+        base = df(spark, "a", [1, 2, 3])
+        cp = base.copy()
+        cp.add_column_("b", [4, 5, 6])
+        assert base.keys() == ["a"]
+        assert cp.keys() == ["a", "b"]
+
+
+# --- matrix interop (R4, R5) -------------------------------------------------
+
+class TestMatrix:
+    def test_matrix_df_roundtrip(self, spark):
+        from cl_data_frame_spark import matrix_df
+        m = [[1, 2], [3, 4], [5, 6]]
+        fr = matrix_df(spark, ["x", "y"], m)
+        assert fr.as_dict() == {"x": [1, 3, 5], "y": [2, 4, 6]}
+        assert fr.as_array().tolist() == m
+
+
+# --- printing (cl-data-frame-tests.lisp:92-95) -------------------------------
+
+class TestRepr:
+    def test_small_frame_verbatim(self, f1):
+        r = repr(f1)
+        assert "3 x 4" in r or "(3 x 4)" in r or "4" in r
+        assert "vector" in r
+
+    def test_repr_smoke_large(self, spark):
+        big = df(spark, "x", list(range(100)))
+        assert "x" in repr(big)

@@ -1,0 +1,65 @@
+"""Column-summary semantics (FIXTURES.md F6; cl-data-frame.lisp:60-90,463-476).
+
+Not covered by the reference's own tests (print is smoke-only) but the
+summary behavior constants are part of the semantic contract.
+"""
+
+from __future__ import annotations
+
+from cl_data_frame_spark import (BitSummary, GenericSummary, QuantilesSummary,
+                                 df)
+from cl_data_frame_spark.summary import (QUANTILES_THRESHOLD,
+                                         SUMMARY_MINIMUM_LENGTH)
+
+
+def test_bit_summary(spark):
+    # 25 ones of 100 -> count 25, 25% (cl-data-frame.lisp:31-38,65-66)
+    bits = [i % 4 == 0 for i in range(100)]
+    fr = df(spark, "b", bits, element_types={"b": "bit"})
+    s = fr.column_summary("b")
+    assert isinstance(s, BitSummary)
+    assert s.count == 25 and s.length == 100
+    assert abs(s.ratio - 0.25) < 1e-12
+    assert "25" in repr(s)
+
+
+def test_quantiles_above_threshold(spark):
+    # >10 distinct reals -> exact 5-point summary (cl-data-frame.lisp:72-83)
+    vals = [float(i) for i in range(1, 101)]  # 100 distinct reals
+    fr = df(spark, "x", vals)
+    s = fr.column_summary("x")
+    assert isinstance(s, GenericSummary)
+    q = s.quantiles
+    assert isinstance(q, QuantilesSummary)
+    assert q.count == 100
+    assert q.min == 1.0 and q.max == 100.0
+    assert q.q50 == 50.5  # exact percentile, not approximate
+    assert q.q25 == 25.75 and q.q75 == 75.25
+
+
+def test_frequency_below_threshold(spark):
+    # <=10 distinct -> frequency table desc by count, no quantiles
+    vals = [1, 1, 1, 2, 2, 3] * 4
+    fr = df(spark, "x", vals)
+    s = fr.column_summary("x")
+    assert s.quantiles is None
+    assert s.frequencies[0] == (1, 12)
+    assert s.frequencies[1] == (2, 8)
+    assert s.frequencies[2] == (3, 4)
+    assert QUANTILES_THRESHOLD == 10
+
+
+def test_string_frequencies(spark):
+    fr = df(spark, "s", ["x", "y", "x", "z", "x", "y"])
+    s = fr.column_summary("s")
+    assert s.frequencies[0] == ("x", 3)
+    assert s.frequencies[1] == ("y", 2)
+
+
+def test_print_threshold(spark):
+    # nrow < 10 -> verbatim; >= 10 -> summarized (cl-data-frame.lisp:463-476)
+    assert SUMMARY_MINIMUM_LENGTH == 10
+    small = df(spark, "a", [1, 2, 3])
+    assert "[1, 2, 3]" in repr(small)
+    big = df(spark, "a", [float(i) for i in range(50)])
+    assert "reals" in repr(big)
