@@ -1,0 +1,282 @@
+"""Deduplication operators (Tier X, SURVEY.md §2.3) — exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+None exist in the reference (a data-frame kernel with no dedup surface);
+these are the training-data-pipeline extensions mandated by the north star.
+
+Design: everything is pure DataFrame ops (higher-order array functions,
+``xxhash64`` hash families, self-equi-joins on LSH buckets) so Catalyst
+codegens the hot path; there is no Python in any per-row loop. The LSH
+shapes are the standard shingle -> minhash -> band -> bucket-join pipeline:
+candidate generation is an equi-join on (band_index, band_hash) — a plain
+hash shuffle — so cost scales with #candidate pairs, never #rows².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..frame import SparkFrame
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def dedup_exact(frame, subset=None) -> SparkFrame:
+    """Exact deduplication: hash-aggregate on the subset columns.
+
+    Scale: partial aggregation map-side, shuffle carries one row per
+    distinct key per mapper; AQE splits skewed buckets.
+    """
+    sdf = _plain(frame)
+    out = sdf.dropDuplicates(list(subset)) if subset else sdf.distinct()
+    return SparkFrame(out)
+
+
+def dedup_exact_normalized(frame, text_col: str = "text",
+                           id_col: str = "doc_id") -> SparkFrame:
+    """Exact dedup after text normalization (lowercase, collapse whitespace):
+    keeps the smallest id per normalized fingerprint — deterministic winner,
+    unlike dropDuplicates' arbitrary pick."""
+    sdf = _plain(frame)
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    out = (sdf.withColumn("__fp__", F.md5(norm))
+           .groupBy("__fp__")
+           .agg(F.min(id_col).alias(id_col))
+           .join(sdf, on=id_col, how="inner")
+           .drop("__fp__"))
+    return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash LSH
+# ---------------------------------------------------------------------------
+
+def char_shingles(col, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string column, as an array.
+
+    Pure expression: ``transform(sequence(...), i -> substring(...))`` —
+    JVM-side, codegen'd, no UDF.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k))
+    )
+
+
+def word_ngrams(col, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a string column."""
+    col = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(col), r"\s+")
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), cnt - 1),
+                    lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> list[Column]:
+    """MinHash signature: per seed, min over shingles of xxhash64(shingle, seed).
+
+    A seeded xxhash64 family; each component is ``array_min(transform(...))``
+    — no UDF, no explode, signature computed in one projection.
+    """
+    return [
+        F.array_min(F.transform(shingle_col,
+                                lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text",
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 5,
+                            jaccard_threshold: float | None = 0.8) -> SparkFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    Pipeline (all DataFrame ops): shingle -> 64-component minhash ->
+    ``bands`` band hashes -> explode to (band, hash) -> self-equi-join on
+    the bucket -> distinct candidate pairs -> optional exact-Jaccard verify
+    on the shingle sets (array_intersect/array_union sizes).
+
+    Returns pairs (id_a < id_b) with ``jaccard`` when verification is on.
+
+    Scale: the only shuffles are the bucket equi-join and the final
+    distinct; candidate verification touches just bucket collisions. With
+    b=16, r=4, the S-curve midpoint sits near j≈0.5, catching j>=0.8 pairs
+    with probability >0.999.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sdf = _plain(frame).select(id_col, text_col)
+    sdf = sdf.withColumn("__sh__", char_shingles(text_col, shingle_k))
+    sig = minhash_signature(F.col("__sh__"), num_hashes)
+    band_hashes = [
+        F.xxhash64(*sig[b * rows_per_band:(b + 1) * rows_per_band])
+        for b in range(bands)
+    ]
+    banded = sdf.select(
+        id_col, "__sh__",
+        F.posexplode(F.array(*band_hashes)).alias("__band__", "__bh__"))
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("__sh__").alias("sh_a"), "__band__", "__bh__")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("__sh__").alias("sh_b"), "__band__", "__bh__")
+    pairs = (left.join(right, on=["__band__", "__bh__"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    if jaccard_threshold is not None:
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        uni = F.size(F.array_union("sh_a", "sh_b"))
+        pairs = (pairs.withColumn("jaccard", inter / uni)
+                 .filter(F.col("jaccard") >= jaccard_threshold)
+                 .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    else:
+        pairs = pairs.select("id_a", "id_b")
+    return SparkFrame(pairs)
+
+
+def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, threshold: float = 0.5,
+                        block_col: str | None = None) -> SparkFrame:
+    """Exact word-n-gram Jaccard similarity pairs above *threshold*.
+
+    ``block_col`` bounds the candidate set to same-block pairs (e.g. same
+    source/lang) — the standard blocking trick; without it this is the
+    exact O(n²)-within-join baseline for small inputs and for verifying
+    the LSH path. At scale, always block (or use
+    ``minhash_near_duplicates`` as the candidate generator).
+    """
+    sdf = _plain(frame).select(
+        id_col, *([block_col] if block_col else []),
+        word_ngrams(text_col, n).alias("__ng__"))
+    on = [block_col] if block_col else []
+    left = sdf.select(*on, F.col(id_col).alias("id_a"), F.col("__ng__").alias("ng_a"))
+    right = sdf.select(*on, F.col(id_col).alias("id_b"), F.col("__ng__").alias("ng_b"))
+    joined = (left.crossJoin(right) if not on else left.join(right, on=on))
+    inter = F.size(F.array_intersect("ng_a", "ng_b"))
+    uni = F.size(F.array_union("ng_a", "ng_b"))
+    out = (joined.filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("jaccard", inter / uni)
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_column(text_col, bits: int = 64) -> Column:
+    """SimHash fingerprint of whitespace tokens, as a signed 64-bit long.
+
+    Classic construction: each token hashes to 64 bits; each bit position
+    accumulates +1/-1 by bit value over tokens; the sign of each
+    accumulator is the fingerprint bit. Expressed with aggregate() over the
+    token array into a 64-slot int array, then folded into a long — all
+    JVM-side expressions (no UDF), so it codegens and distributes.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+    zeros = F.array_repeat(F.lit(0), bits)
+    counts = F.aggregate(
+        tokens,
+        zeros,
+        lambda acc, t: F.transform(
+            acc,
+            lambda c, i: c + F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))),
+    )
+    return F.aggregate(
+        F.zip_with(counts,
+                   F.sequence(F.lit(0), F.lit(bits - 1)),
+                   lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i))
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text",
+                            max_hamming: int = 3, band_bits: int = 16) -> SparkFrame:
+    """SimHash near-dup pairs: fingerprint, block on 16-bit bands (a pair
+    within hamming distance 3 of a 64-bit hash shares at least one of 4
+    bands by pigeonhole), then verify with ``bit_count(a XOR b)``.
+
+    Scale: candidate generation is an equi-join on (band_index, band_value);
+    verification is a single bit_count expression.
+    """
+    sdf = _plain(frame).select(id_col, simhash_column(text_col).alias("__sim__"))
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.shiftrightunsigned(F.col("__sim__"), b * band_bits)
+        .bitwiseAND(F.lit(mask)) for b in range(nbands)])
+    banded = sdf.select(id_col, "__sim__",
+                        F.posexplode(bands).alias("__band__", "__bv__"))
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("__sim__").alias("sim_a"), "__band__", "__bv__")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("__sim__").alias("sim_b"), "__band__", "__bv__")
+    pairs = (left.join(right, on=["__band__", "__bv__"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    out = (pairs.withColumn("hamming", hamming)
+           .filter(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming"))
+    return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double.
+
+    ``zip_with`` dot product + ``aggregate`` norms — sequential fold in
+    declared array order, so results are deterministic (and reproducible
+    against an external oracle)."""
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(frame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              block_col: str | None = None) -> SparkFrame:
+    """Embedding near-dup pairs: cosine >= threshold.
+
+    Exact within-block pairing (cross join when unblocked — the correctness
+    baseline). At scale, block with ``similarity.hyperplane_bucket`` (random
+    hyperplane LSH) so candidates share a bucket, or pre-cluster with IVF.
+    """
+    sdf = _plain(frame).select(id_col, *([block_col] if block_col else []), vec_col)
+    on = [block_col] if block_col else []
+    left = sdf.select(*on, F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    right = sdf.select(*on, F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    joined = (left.crossJoin(right) if not on else left.join(right, on=on))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    out = (joined.filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("cosine", F.round(cos, 6))
+           .filter(F.col("cosine") >= threshold)
+           .select("id_a", "id_b", "cosine"))
+    return SparkFrame(out)

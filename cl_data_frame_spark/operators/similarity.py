@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (Tier X, SURVEY.md §2.3).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing and an IVF (inverted-file, centroid-routed) variant as the scale
+paths. All similarity math is ``zip_with``/``aggregate`` higher-order
+expressions over ``array<double>`` — JVM-side, no Python per row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..frame import SparkFrame
+from .dedup import cosine_similarity
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(frame, query_vec, k: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> SparkFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Scale: one scan, cosine computed per row JVM-side, then
+    ``orderBy().limit(k)`` which Spark plans as TakeOrderedAndProject —
+    per-partition top-k heaps merged on the driver; no shuffle of the scan.
+    """
+    sdf = _plain(frame)
+    cos = cosine_similarity(F.col(vec_col), _lit_vec(query_vec))
+    out = (sdf.select(id_col, F.round(cos, 6).alias("cosine"))
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+           .limit(k))
+    return SparkFrame(out)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based — avoids any
+    runtime RNG so plans and oracles are reproducible)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            vec.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / norm for x in vec])
+    return planes
+
+
+def hyperplane_bucket(vec_col, dim: int, n_planes: int = 16,
+                      seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (SimHash over the embedding space):
+    bit i = sign(v . h_i). Vectors within a small angle share buckets with
+    high probability. Pure expressions: n_planes dot products per row."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    col = col.cast("array<double>")
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(F.zip_with(col, _lit_vec(plane), lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def ann_topk_lsh(frame, query_vec, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_planes: int = 8,
+                 max_hamming: int = 2, seed: int = 42) -> SparkFrame:
+    """Approximate top-k: probe only vectors whose hyperplane bucket is
+    within *max_hamming* bits of the query's bucket (multi-probe LSH),
+    then exact cosine + TakeOrderedAndProject on the survivors.
+
+    Scale: the bucket predicate prunes the scan to ~C(n_planes, max_hamming)
+    / 2^n_planes of the data; bucket can be precomputed and used as a
+    partition column so probing is partition pruning, not a scan.
+    """
+    sdf = _plain(frame)
+    dim = len(query_vec)
+    bucket = hyperplane_bucket(vec_col, dim, n_planes, seed)
+    qvals = list(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(qvals, plane)) >= 0:
+            qbucket |= 1 << i
+    cand = sdf.withColumn("__bucket__", bucket).filter(
+        F.bit_count(F.col("__bucket__").bitwiseXOR(F.lit(qbucket))) <= max_hamming)
+    cos = cosine_similarity(F.col(vec_col), _lit_vec(qvals))
+    out = (cand.select(id_col, F.round(cos, 6).alias("cosine"))
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+           .limit(k))
+    return SparkFrame(out)
+
+
+def ivf_assign(frame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> SparkFrame:
+    """IVF routing: assign each vector to its nearest centroid (by cosine).
+
+    *centroids*: list of (centroid_id, vector). Broadcast-joined as
+    literals; assignment = argmax over a small array of similarities.
+    At scale the assignment becomes a partition column: queries probe only
+    the nprobe nearest centroid partitions (partition pruning).
+    """
+    sdf = _plain(frame)
+    sims = F.array(*[
+        F.struct(F.round(cosine_similarity(F.col(vec_col), _lit_vec(vec)), 6)
+                 .alias("sim"),
+                 F.lit(int(cid)).alias("cid"))
+        for cid, vec in centroids])
+    best = F.array_max(sims)
+    out = sdf.select(id_col,
+                     best["cid"].alias("centroid_id"),
+                     best["sim"].alias("centroid_sim"))
+    return SparkFrame(out)
+
+
+def similarity_join_topk(left_frame, right_frame, k: int = 5,
+                         left_id: str = "vec_id", right_id: str = "vec_id",
+                         vec_col: str = "embedding",
+                         block_col: str | None = None) -> SparkFrame:
+    """For every left vector, its top-k most-cosine-similar right vectors.
+
+    Blocked (or full, for the exact baseline) join + window rank. Scale:
+    always block (LSH bucket or IVF centroid) so the join is an equi-join;
+    the rank is a per-left-key window, no global sort.
+    """
+    ldf = _plain(left_frame)
+    rdf = _plain(right_frame)
+    on = [block_col] if block_col else []
+    left = ldf.select(*on, F.col(left_id).alias("id_l"),
+                      F.col(vec_col).alias("v_l"))
+    right = rdf.select(*on, F.col(right_id).alias("id_r"),
+                       F.col(vec_col).alias("v_r"))
+    joined = left.crossJoin(right) if not on else left.join(right, on=on)
+    joined = joined.filter(F.col("id_l") != F.col("id_r"))
+    cos = cosine_similarity(F.col("v_l"), F.col("v_r"))
+    w = Window.partitionBy("id_l").orderBy(F.col("cosine").desc(),
+                                           F.col("id_r").asc())
+    out = (joined.withColumn("cosine", F.round(cos, 6))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("id_l", "id_r", "cosine", "rank"))
+    return SparkFrame(out)

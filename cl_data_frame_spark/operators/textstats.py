@@ -1,0 +1,190 @@
+"""Text-analysis operators (Tier X, SURVEY.md §2.3): language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions (regex, array HOFs, hashes) —
+whole-stage-codegen'd, no UDFs — so they run at scan speed over 100 TB of
+documents and are exactly reproducible in an external SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..frame import SparkFrame
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def _text(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# tokens & counting
+# ---------------------------------------------------------------------------
+
+def tokens(col) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(F.trim(_text(col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish subword count: alphanumeric runs + individual punctuation,
+    each alpha run contributing ceil(len/4) subwords (the ~4-chars-per-token
+    rule of thumb). Regex extraction, no tokenizer dependency."""
+    pieces = F.expr(
+        f"regexp_extract_all({_sql_name(col)}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
+    return F.aggregate(
+        pieces, F.lit(0).cast("long"),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(4.0)).cast("long"))
+
+
+def _sql_name(col) -> str:
+    if isinstance(col, str):
+        return col
+    raise TypeError("bpe_ish_token_count requires a column name string")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+#: tiny English stopword set used by quality scoring + language ID.
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def punct_ratio(col) -> Column:
+    """Punctuation chars / total chars."""
+    t = _text(col)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?'\"()-]", ""))
+    return F.when(F.length(t) > 0, punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, stopwords=None) -> Column:
+    """Stopword tokens / total tokens."""
+    stops = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t).cast("long"))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: rewards moderate length, plausible
+    mean word length, and some stopword presence; penalizes punctuation
+    soup. Deterministic arithmetic — reproducible in SQL."""
+    t = _text(col)
+    length_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    mwl = mean_word_length(col)
+    word_len_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    return F.round(
+        (length_score + word_len_score + stop_score + punct_penalty) / 4.0, 6)
+
+
+def text_quality(frame, id_col: str = "doc_id", text_col: str = "text") -> SparkFrame:
+    """Per-document quality metrics table."""
+    sdf = _plain(frame)
+    out = sdf.select(
+        id_col,
+        F.length(text_col).alias("n_chars_actual"),
+        token_count(text_col).alias("n_tokens"),
+        F.round(mean_word_length(text_col), 6).alias("mean_word_len"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"))
+    return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-lexicon heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny high-frequency marker lexicons (public knowledge).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "je", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "yo", "que", "por"],
+}
+
+
+def lang_scores(col, markers: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Per-language marker-hit counts over lowercased tokens."""
+    markers = markers or LANG_MARKERS
+    toks = F.transform(tokens(col), F.lower)
+    out = {}
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(frame, id_col: str = "doc_id", text_col: str = "text",
+            markers: dict[str, list[str]] | None = None) -> SparkFrame:
+    """Predict language as argmax of marker hits (ties -> lexicographically
+    first language; zero hits -> 'und'). Deterministic, SQL-reproducible."""
+    markers = markers or LANG_MARKERS
+    scores = lang_scores(text_col, markers)
+    langs = sorted(markers)
+    best = F.array_max(F.array(*[
+        F.struct(scores[lang].alias("hits"),
+                 # invert lexicographic order inside the struct comparison so
+                 # ties pick the alphabetically-first language on array_max
+                 F.lit(-i).alias("ord"), F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)]))
+    predicted = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    sdf = _plain(frame)
+    out = sdf.select(
+        id_col,
+        *[scores[lang].alias(f"hits_{lang}") for lang in langs],
+        predicted.alias("lang_pred"))
+    return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of normalized text (lowercased, whitespace
+    collapsed). md5 chosen over xxhash64 because it is identically defined
+    in every SQL engine — the fingerprint travels across systems."""
+    norm = F.lower(F.regexp_replace(F.trim(_text(col)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_hash_fingerprints(col, window: int = 16, stride: int = 8) -> Column:
+    """Winnowing-style fingerprint set: md5 of character windows sampled
+    every *stride* chars — the rolling-hash document sketch used for
+    substring-level dedup. Returns array<string>."""
+    t = _text(col)
+    n = F.greatest((F.length(t) - F.lit(window)) / F.lit(stride), F.lit(0))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n.cast("int")),
+        lambda i: F.md5(F.substring(t, i * stride + 1, window))))
+
+
+def document_fingerprints(frame, id_col: str = "doc_id",
+                          text_col: str = "text") -> SparkFrame:
+    sdf = _plain(frame)
+    out = sdf.select(
+        id_col,
+        fingerprint(text_col).alias("fingerprint"),
+        F.size(rolling_hash_fingerprints(text_col)).alias("n_sketch_hashes"))
+    return SparkFrame(out)

@@ -1,0 +1,108 @@
+"""Structured Streaming surface (SURVEY.md §2.2 'Streaming' — absent in the
+reference; completed with Spark Structured Streaming).
+
+Covers: file/rate sources, watermarks + late-data policy, tumbling/sliding/
+session windows, and a custom stateful operator via
+``applyInPandasWithState``. The same windowed aggregations run in batch mode
+over the ``events`` table (used by the oracle corpus) — Structured
+Streaming's incremental execution of the identical logical plan is the
+scale path for unbounded inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream over a parquet directory (one-file-per-trigger
+    unbounded reads at scale; schema must be explicit for streams)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def with_watermark(sdf: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    """Late-data policy: events later than *delay* behind the max seen
+    event time are dropped from stateful aggregations."""
+    return sdf.withWatermark(ts_col, delay)
+
+
+def tumbling_window_agg(sdf: DataFrame, ts_col: str, duration: str,
+                        group_cols: list[str], aggs: dict) -> DataFrame:
+    """Tumbling-window aggregation; works identically on batch and stream."""
+    return (sdf.groupBy(F.window(ts_col, duration), *group_cols)
+            .agg(*[expr.alias(name) for name, expr in aggs.items()]))
+
+
+def sliding_window_agg(sdf: DataFrame, ts_col: str, duration: str, slide: str,
+                       group_cols: list[str], aggs: dict) -> DataFrame:
+    return (sdf.groupBy(F.window(ts_col, duration, slide), *group_cols)
+            .agg(*[expr.alias(name) for name, expr in aggs.items()]))
+
+
+def session_window_agg(sdf: DataFrame, ts_col: str, gap: str,
+                       group_cols: list[str], aggs: dict) -> DataFrame:
+    """Session windows: rows within *gap* of each other merge into one
+    session per group key."""
+    return (sdf.groupBy(F.session_window(ts_col, gap), *group_cols)
+            .agg(*[expr.alias(name) for name, expr in aggs.items()]))
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: running per-user counters with timeout
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("count", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("count", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def running_user_totals(sdf: DataFrame, user_col: str = "user_id",
+                        value_col: str = "value") -> DataFrame:
+    """Custom stateful streaming operator: per-user running (count, total)
+    maintained across micro-batches with ``applyInPandasWithState``.
+
+    State is O(1) per key; the shuffle partitions by user, so state lives
+    where the key lives — the standard scalable stateful pattern.
+    """
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user,) = key
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((count, total))
+        yield pd.DataFrame({"user_id": [user], "count": [count],
+                            "total": [total]})
+
+    return (sdf.select(user_col, value_col)
+            .groupBy(user_col)
+            .applyInPandasWithState(
+                _update,
+                outputStructType=_OUTPUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         output_mode: str = "update") -> None:
+    """Drive a stream to a memory sink until all available data is
+    processed (test/verification harness)."""
+    q = (stream_df.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode).start())
+    q.processAllAvailable()
+    q.stop()
