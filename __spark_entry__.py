@@ -1,38 +1,1099 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (SURVEY.md §7.1) on sf0.001.
+``queries()`` has one entry per implemented operator family from
+SURVEY.md §2 (Tier R reference contract, Tier S relational completion,
+Tier X LLM-pipeline extensions, streaming); each callable takes
+``(spark, sf_dir)`` and returns a DataFrame. ``oracle_sql()`` carries the
+DuckDB-equivalent ANSI SQL for every query whose semantics SQL can
+express; the few that SQL can't (xxhash64-seeded LSH internals, LCG
+hyperplanes, numpy feature stubs) are listed in ``ROWS_ONLY`` and get the
+driver's weaker rows-only check.
+
+Determinism across engines: timestamps are exported as epoch
+microseconds; double aggregates pass through DECIMAL so sums are exact
+and order-independent; per-row double arithmetic is identical IEEE ops in
+both engines; everything ranked has a total tiebreak.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from cl_data_frame_spark.frame import SparkFrame, df as make_frame
+from cl_data_frame_spark.operators import dedup as X
+from cl_data_frame_spark.operators import multimodal as MM
+from cl_data_frame_spark.operators import relational as R
+from cl_data_frame_spark.operators import similarity as SIM
+from cl_data_frame_spark.operators import textstats as TS
+from cl_data_frame_spark import streaming as ST
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright; read nanos as long
+    (legacy conf) and convert with integer division so no precision is
+    lost (micros match DuckDB's nanos->micros truncation)."""
+    # left set for the session: the conf is consulted at scan execution
+    # time and only affects NANOS-typed parquet columns
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _f(spark: SparkSession, sf_dir: str, name: str) -> SparkFrame:
+    return SparkFrame.from_spark(_t(spark, sf_dir, name))
+
+
+def _dec_sum(col, scale: int = 2, precision: int = 18):
+    """Exact, order-independent SUM of a double column: round to a decimal
+    first so both engines sum identical exact values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+# ===========================================================================
+# entry — flagship pipeline (SURVEY §7.1: load, mask, derive, summarize)
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's canonical
+    filter -> derive -> summarize pipeline (cl-data-frame-tests.lisp:66-70,
+    141-144) over lineitem, Spark-first: mask_rows becomes a pushed-down
+    filter, map_rows a codegen'd projection, the summary a partial+final
+    hash aggregation."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _f(spark, sf_dir, "lineitem")
+    mask = li.mask_rows(["l_shipdate"],
+                        lambda d: d <= F.lit("1998-09-02").cast("timestamp"))
+    filtered = li.filter(mask)
+    revenue = filtered.map_rows(["l_extendedprice", "l_discount"],
+                                lambda p, d: p * (F.lit(1.0) - d))
+    derived = filtered.add_columns("revenue", revenue)
+    return (derived.spark_df
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dec_sum("l_quantity").alias("sum_qty"),
+                 _dec_sum("revenue", 4).alias("sum_revenue"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag", "l_linestatus"))
 
+
+# ===========================================================================
+# Tier R — the reference's own operator contract (SURVEY §2.1)
+# ===========================================================================
+
+def q_r_construct_df(spark, sf_dir):
+    """R1/R2/R6: df()/make_df construction + as_dict round-trip.
+
+    Collects the 5-row region table, reconstructs it through the
+    constructor sugar (plist/dict detection, key uniqueness, length
+    validation), and returns the rebuilt frame."""
+    data = _f(spark, sf_dir, "region").as_dict()
+    rebuilt = make_frame(spark, data)
+    return rebuilt.spark_df
+
+
+def q_r_columns_select(spark, sf_dir):
+    """R10/R14: column selection incl. negative index (-1 -> last)."""
+    fr = _f(spark, sf_dir, "nation")
+    return fr.select(["n_name", -1]).spark_df  # -1 == n_regionkey
+
+
+def q_r_slice_mask(spark, sf_dir):
+    """R12/R15: mask_rows predicate + two-axis slice (rows x columns)."""
+    fr = _f(spark, sf_dir, "lineitem")
+    mask = fr.mask_rows(["l_quantity", "l_discount"],
+                        lambda q, d: (q > 40) & (d < 0.02))
+    return fr.slice(mask, ["l_orderkey", "l_linenumber",
+                           "l_quantity", "l_discount"]).spark_df
+
+
+def q_r_count_rows(spark, sf_dir):
+    """R16: count_rows (eager count under a predicate)."""
+    fr = _f(spark, sf_dir, "lineitem")
+    n = fr.count_rows(["l_returnflag"], lambda rf: rf == "A")
+    return spark.createDataFrame([(n,)], "n bigint")
+
+
+def q_r_map_rows(spark, sf_dir):
+    """R17/R20: map_rows expression column + add_columns."""
+    fr = _f(spark, sf_dir, "lineitem")
+    rev = fr.map_rows(["l_extendedprice", "l_discount"],
+                      lambda p, d: p * (F.lit(1.0) - d))
+    out = fr.add_columns("revenue", rev)
+    return out.select(["l_orderkey", "l_linenumber", "revenue"]).spark_df
+
+
+def q_r_map_df(spark, sf_dir):
+    """R19: map_df — row fn to multiple typed output columns, mapInPandas."""
+    fr = _f(spark, sf_dir, "part")
+    out = fr.map_df(
+        ["p_partkey", "p_size"],
+        lambda pk, size: (int(pk), int(size) * 10, bool(size >= 25)),
+        [("p_partkey", "long"), ("size10", "long"), ("big", "boolean")])
+    return out.spark_df
+
+
+def q_r_add_replace(spark, sf_dir):
+    """R20-R22: functional add_columns + destructive replace_column_."""
+    fr = _f(spark, sf_dir, "part")
+    with_margin = fr.add_columns("margin", F.col("p_retailprice") * 0.1)
+    with_margin.replace_column_("p_size", lambda s: s + 1)
+    return with_margin.select(["p_partkey", "p_size", "margin"]).spark_df
+
+
+def q_r_slice_positional(spark, sf_dir):
+    """R12/R14 positional: integer-range row slice on an explicit sort."""
+    fr = _f(spark, sf_dir, "customer")
+    ordered = R.order_by(fr, "c_custkey")
+    return ordered.slice(range(100, 110),
+                         ["c_custkey", "c_name", "c_acctbal"]).spark_df
+
+
+def q_r_summary_quantiles(spark, sf_dir):
+    """R27: generic column summary — exact 5-point quantiles (>10 distinct
+    reals branch), as a one-row frame."""
+    fr = _f(spark, sf_dir, "lineitem")
+    s = fr.column_summary("l_extendedprice")
+    q = s.quantiles
+    return spark.createDataFrame(
+        [(q.count, q.min, q.q25, q.q50, q.q75, q.max)],
+        "n bigint, min double, q25 double, q50 double, q75 double, max double")
+
+
+def q_r_summary_freq(spark, sf_dir):
+    """R27: generic column summary — exact frequency table branch."""
+    fr = _f(spark, sf_dir, "lineitem")
+    s = fr.column_summary("l_returnflag")
+    return spark.createDataFrame(
+        [(v, c) for v, c in s.frequencies], "value string, cnt bigint")
+
+
+def q_r_summary_bits(spark, sf_dir):
+    """R26: bit-column summary (ones count over a boolean mask column)."""
+    fr = _f(spark, sf_dir, "lineitem")
+    flagged = fr.add_columns("high_disc", F.col("l_discount") > 0.05)
+    s = flagged.column_summary("high_disc")
+    return spark.createDataFrame([(s.length, s.count)],
+                                 "length bigint, ones bigint")
+
+
+# ===========================================================================
+# Tier S — relational completion (SURVEY §2.2)
+# ===========================================================================
+
+def q_s_join_broadcast(spark, sf_dir):
+    """Joins with broadcast hints: fact x two dims, no shuffle of dims."""
+    cust = _f(spark, sf_dir, "customer")
+    nat = _f(spark, sf_dir, "nation")
+    reg = _f(spark, sf_dir, "region")
+    j1 = R.join(cust, nat, on=[F.col("c_nationkey") == F.col("n_nationkey")],
+                broadcast_right=True)
+    j2 = R.join(j1, reg, on=[F.col("n_regionkey") == F.col("r_regionkey")],
+                broadcast_right=True)
+    return R.group_agg(j2, ["r_name"], {
+        "n_customers": F.count(F.lit(1)),
+        "total_acctbal": _dec_sum("c_acctbal"),
+    }).spark_df
+
+
+def q_s_join_fact(spark, sf_dir):
+    """Big-side join: lineitem x orders, shuffle on the key, AQE planned."""
+    li = _f(spark, sf_dir, "lineitem")
+    orders = _f(spark, sf_dir, "orders")
+    j = R.join(li, orders, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return R.group_agg(j, ["o_orderpriority"], {
+        "n_items": F.count(F.lit(1)),
+        "sum_revenue": _dec_sum(rev, 4),
+    }).spark_df
+
+
+def q_s_group_rollup(spark, sf_dir):
+    """Grouping sets: ROLLUP over (returnflag, linestatus)."""
+    li = _f(spark, sf_dir, "lineitem")
+    return R.group_agg(li, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": _dec_sum("l_quantity"),
+        "n": F.count(F.lit(1)),
+    }, kind="rollup").spark_df
+
+
+def q_s_group_cube(spark, sf_dir):
+    """Grouping sets: CUBE over (orderstatus, orderpriority)."""
+    orders = _f(spark, sf_dir, "orders")
+    return R.group_agg(orders, ["o_orderstatus", "o_orderpriority"], {
+        "n": F.count(F.lit(1)),
+    }, kind="cube").spark_df
+
+
+def q_s_window_topk_per_group(spark, sf_dir):
+    """Window functions: row_number over (partition, order) -> top-3 orders
+    per customer. One shuffle on the partition key, no global sort."""
+    orders = _f(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    ranked = R.window_over(orders, {"rn": F.row_number().over(w)})
+    return (ranked.spark_df.filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+def q_s_window_running(spark, sf_dir):
+    """Window functions: running per-customer sum (unbounded preceding)."""
+    orders = _f(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    ranked = R.window_over(orders, {"running_total": run.cast("double")})
+    return ranked.spark_df.select("o_custkey", "o_orderkey", "running_total")
+
+
+def q_s_window_lag(spark, sf_dir):
+    """Window functions: lag/lead navigation."""
+    orders = _f(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    ranked = R.window_over(orders, {
+        "prev_price": F.lag("o_totalprice").over(w),
+        "next_status": F.lead("o_orderstatus").over(w)})
+    return ranked.spark_df.select("o_custkey", "o_orderkey",
+                                  "prev_price", "next_status")
+
+
+def q_s_sort_topk(spark, sf_dir):
+    """Top-k: orderBy().limit(k) -> TakeOrderedAndProject (per-partition
+    heaps, driver merge; no total sort)."""
+    li = _f(spark, sf_dir, "lineitem")
+    top = R.top_k(li, 10, by=[("l_extendedprice", "desc"),
+                              ("l_orderkey", "asc"),
+                              ("l_linenumber", "asc")])
+    return top.spark_df.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def q_s_set_except(spark, sf_dir):
+    """Set ops: EXCEPT (customers with open orders, none finished)."""
+    orders = _f(spark, sf_dir, "orders")
+    open_c = SparkFrame(orders.spark_df.filter(F.col("o_orderstatus") == "O")
+                        .select(F.col("o_custkey").alias("custkey")))
+    fin_c = SparkFrame(orders.spark_df.filter(F.col("o_orderstatus") == "F")
+                       .select(F.col("o_custkey").alias("custkey")))
+    return R.except_(open_c, fin_c).spark_df
+
+
+def q_s_set_intersect_union(spark, sf_dir):
+    """Set ops: INTERSECT then UNION ALL with a disjoint set."""
+    cust = _f(spark, sf_dir, "customer")
+    orders = _f(spark, sf_dir, "orders")
+    building = SparkFrame(cust.spark_df
+                          .filter(F.col("c_mktsegment") == "BUILDING")
+                          .select(F.col("c_custkey").alias("custkey")))
+    with_orders = SparkFrame(orders.spark_df
+                             .select(F.col("o_custkey").alias("custkey"))
+                             .distinct())
+    both = R.intersect(building, with_orders)
+    negatives = SparkFrame(
+        spark.createDataFrame([(-1,), (-2,)], "custkey bigint"))
+    return R.union(both, negatives).spark_df
+
+
+def q_s_distinct(spark, sf_dir):
+    """Exact distinct on a column subset (project first so the aggregate
+    carries only the subset — and the output is deterministic)."""
+    li = _f(spark, sf_dir, "lineitem")
+    proj = li.select(["l_returnflag", "l_linestatus"])
+    return R.distinct(proj).spark_df
+
+
+def q_s_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (no extra distinct-values job)."""
+    orders = _f(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = R.pivot(orders, "o_orderstatus", "o_orderpriority", prios,
+                  F.count(F.lit(1)))
+    renames = {"1-URGENT": "p1", "2-HIGH": "p2", "3-MEDIUM": "p3",
+               "4-NOT SPECIFIED": "p4", "5-LOW": "p5"}
+    sdf = piv.spark_df
+    for old, new in renames.items():
+        sdf = sdf.withColumnRenamed(old, new)
+    return sdf.select("o_orderstatus", "p1", "p2", "p3", "p4", "p5")
+
+
+def q_s_asof_join(spark, sf_dir):
+    """As-of join (keyed): latest order at or before each event, per user.
+    Union + last-over-window: one hash shuffle on the key, O(1) state."""
+    events = _f(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    # unique (user_id, ts) on the right: latest orderkey per date
+    right = SparkFrame(orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderkey").alias("last_orderkey")))
+    j = R.asof_join(events, right, on="ts", by="user_id",
+                    direction="backward")
+    return (j.spark_df.select("event_id", "user_id",
+                              F.unix_micros("ts").alias("ts_us"),
+                              "r_last_orderkey"))
+
+
+def q_s_asof_join_unkeyed(spark, sf_dir):
+    """As-of join (unkeyed): range-partitioned merge with per-partition
+    carry fix-up — stays parallel, no single-partition window."""
+    events = _f(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    right = SparkFrame(orders.groupBy(F.col("o_orderdate").alias("ts"))
+                       .agg(F.max("o_orderkey").alias("last_orderkey")))
+    ev = SparkFrame(events.spark_df.select("event_id", "ts"))
+    j = R.asof_join(ev, right, on="ts", direction="backward")
+    return (j.spark_df.select("event_id",
+                              F.unix_micros("ts").alias("ts_us"),
+                              "r_last_orderkey"))
+
+
+def q_s_range_join(spark, sf_dir):
+    """Range join: lineitem quantities against literal bands (broadcast
+    interval probe)."""
+    li = _f(spark, sf_dir, "lineitem")
+    bands = SparkFrame(spark.createDataFrame(
+        [("A", 0.0, 10.0), ("B", 10.0, 25.0), ("C", 25.0, 40.0),
+         ("D", 40.0, 100.0)],
+        "band string, lo double, hi double"))
+    j = R.range_join(li, bands, "l_quantity", "lo", "hi",
+                     broadcast_right=True)
+    return R.group_agg(j, ["band"], {
+        "n": F.count(F.lit(1)),
+        "sum_qty": _dec_sum("l_quantity"),
+    }).spark_df
+
+
+def q_s_salted_join(spark, sf_dir):
+    """Skew-salted equi-join: deterministic salt spreads hot keys over
+    nsalts shuffle partitions; same result as the plain join."""
+    li = _f(spark, sf_dir, "lineitem")
+    orders = _f(spark, sf_dir, "orders")
+    j = R.salted_join(
+        SparkFrame(li.spark_df.select("l_orderkey", "l_linenumber",
+                                      "l_quantity")),
+        SparkFrame(orders.spark_df.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")),
+        on="l_orderkey", nsalts=8, salt_from=["l_linenumber"])
+    return R.group_agg(j, ["o_orderstatus"], {
+        "n": F.count(F.lit(1)),
+        "sum_qty": _dec_sum("l_quantity"),
+    }).spark_df
+
+
+def _wavg(price: pd.Series, qty: pd.Series) -> float:
+    return float((price * qty).sum() / qty.sum())
+
+
+def q_s_udaf_wavg(spark, sf_dir):
+    """Grouped-aggregate pandas UDAF: quantity-weighted mean price."""
+    li = _f(spark, sf_dir, "lineitem")
+    out = R.group_agg_udaf(li, ["l_returnflag"], {
+        "wavg_price": (_wavg, ["l_extendedprice", "l_quantity"], "double")})
+    return out.spark_df.select(
+        "l_returnflag", F.round("wavg_price", 4).alias("wavg_price"))
+
+
+def q_s_scalar_functions(spark, sf_dir):
+    """Scalar function surface: string/date/math built-ins, codegen'd."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("prio_name"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.length("o_orderpriority").alias("prio_len"))
+
+
+# ===========================================================================
+# Tier X — LLM-pipeline extensions (SURVEY §2.3)
+# ===========================================================================
+
+def q_x_dedup_exact(spark, sf_dir):
+    """Exact dedup: distinct on a column subset (hash aggregate). Project
+    to the subset first: dropDuplicates keeps an arbitrary surviving row
+    per key, so only the keyed projection is deterministic."""
+    docs = _f(spark, sf_dir, "documents")
+    return X.dedup_exact(docs.select(["lang", "source"])).spark_df
+
+
+def q_x_dedup_normalized(spark, sf_dir):
+    """Exact dedup on normalized text, deterministic min-id winner."""
+    docs = _f(spark, sf_dir, "documents")
+    out = X.dedup_exact_normalized(docs)
+    return out.spark_df.select("doc_id", "lang", "source")
+
+
+def q_x_minhash_neardup(spark, sf_dir):
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
+    128 hashes / 32 bands -> recall at j>=0.8 is 1-(1-0.8^4)^32 ~ 1-5e-8,
+    so the verified output equals the exact-Jaccard pair set."""
+    docs = _f(spark, sf_dir, "documents")
+    out = X.minhash_near_duplicates(docs, num_hashes=128, bands=32,
+                                    shingle_k=5, jaccard_threshold=0.8)
+    return out.spark_df
+
+
+def q_x_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs, blocked by lang."""
+    docs = _f(spark, sf_dir, "documents")
+    return X.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                 block_col="lang").spark_df
+
+
+def q_x_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 fingerprints -> rows-only check)."""
+    docs = _f(spark, sf_dir, "documents")
+    return X.simhash_near_duplicates(docs, max_hamming=3).spark_df
+
+
+def q_x_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label."""
+    emb = _f(spark, sf_dir, "embeddings")
+    return X.embedding_near_duplicates(emb, threshold=0.9,
+                                       block_col="label").spark_df
+
+
+def q_x_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (TakeOrderedAndProject, no shuffle)."""
+    emb = _f(spark, sf_dir, "embeddings")
+    qvec = (emb.spark_df.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    return SIM.cosine_topk(emb, qvec, k=10).spark_df
+
+
+def q_x_ann_lsh(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH multi-probe (rows-only: the
+    LCG hyperplanes are deterministic but not SQL-expressible)."""
+    emb = _f(spark, sf_dir, "embeddings")
+    qvec = (emb.spark_df.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    return SIM.ann_topk_lsh(emb, qvec, k=10, n_planes=8,
+                            max_hamming=3).spark_df
+
+
+def q_x_ivf_assign(spark, sf_dir):
+    """IVF centroid routing: nearest of 10 fixed centroids per vector."""
+    emb = _f(spark, sf_dir, "embeddings")
+    cents = (emb.spark_df.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect())
+    centroids = [(int(r[0]), list(r[1])) for r in cents]
+    return SIM.ivf_assign(emb, centroids).spark_df
+
+
+def q_x_similarity_join_topk(spark, sf_dir):
+    """Top-k similarity join: 3 nearest neighbours per vector, blocked by
+    label (equi-join + per-key window rank)."""
+    emb = _f(spark, sf_dir, "embeddings")
+    return SIM.similarity_join_topk(emb, emb, k=3,
+                                    block_col="label").spark_df
+
+
+def q_x_text_quality(spark, sf_dir):
+    """Text quality metrics: length/punct/stopword ratios, composite."""
+    docs = _f(spark, sf_dir, "documents")
+    return TS.text_quality(docs).spark_df
+
+
+def q_x_lang_id(spark, sf_dir):
+    """Language ID: marker-lexicon hit counts + argmax prediction."""
+    docs = _f(spark, sf_dir, "documents")
+    return TS.lang_id(docs).spark_df
+
+
+def q_x_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish subword estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.bpe_ish_token_count("text").alias("n_bpe"))
+
+
+def q_x_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 + winnowing sketch size."""
+    docs = _f(spark, sf_dir, "documents")
+    return TS.document_fingerprints(docs).spark_df
+
+
+def q_x_tfidf_topk(spark, sf_dir):
+    """TF-IDF: top-3 terms per document (explode+groupBy+join, no ML fit)."""
+    docs = _f(spark, sf_dir, "documents")
+    return TS.tf_idf_topk(docs, k=3).spark_df
+
+
+def q_x_media_dedup(spark, sf_dir):
+    """Multimodal: binary payload column + sha2 content-hash dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    media = SparkFrame(docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload")))
+    deduped = MM.dedup_media(media)
+    return deduped.spark_df.select(
+        "media_id", MM.content_hash("payload").alias("digest"))
+
+
+def q_x_media_features(spark, sf_dir):
+    """Multimodal: mapInPandas feature extraction over binary payloads
+    (decode is the documented deterministic stub -> rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = SparkFrame(docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload")))
+    feats = MM.extract_features(media, n_features=16)
+    return feats.spark_df.select(
+        "media_id", F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
+
+
+# ===========================================================================
+# Streaming (SURVEY §2.2) — windowed aggs run identically in batch (oracle
+# path); the stateful operator runs as a real stream into a memory sink.
+# ===========================================================================
+
+def q_st_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows per event type (batch == stream plan)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ST.tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        {"n": F.count(F.lit(1)),
+         "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
+                       .cast("double")})
+    return agg.select(F.unix_micros(F.col("window.start")).alias("win_us"),
+                      "event_type", "n", "sum_value")
+
+
+def q_st_sliding(spark, sf_dir):
+    """Sliding 2h/1h windows: every event lands in two windows."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ST.sliding_window_agg(ev, "ts", "2 hours", "1 hour", [],
+                                {"n": F.count(F.lit(1))})
+    return agg.select(F.unix_micros(F.col("window.start")).alias("win_us"),
+                      "n")
+
+
+def q_st_session(spark, sf_dir):
+    """Session windows (6h gap) per user: merge-overlapping semantics."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ST.session_window_agg(ev, "ts", "6 hours", ["user_id"],
+                                {"n_events": F.count(F.lit(1))})
+    return agg.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_us"),
+        "n_events")
+
+
+_STREAM_SEQ = [0]
+
+
+def q_st_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): runs a
+    real file-source stream of events into a memory sink, one micro-batch,
+    per-user running totals."""
+    # raw schema (ts stays long nanos — the stateful op only needs
+    # user_id/value); file source needs a directory + glob, not a file path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = ST.read_stream_parquet(spark, sf_dir, schema,
+                                    glob="events.parquet")
+    totals = ST.running_user_totals(stream)
+    _STREAM_SEQ[0] += 1
+    name = f"user_totals_{_STREAM_SEQ[0]}"
+    ST.run_stream_to_memory(totals, name, output_mode="update")
+    return (spark.table(name)
+            .select("user_id", "count",
+                    F.round("total", 4).alias("total")))
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # Tier R
+        "r_construct_df": q_r_construct_df,
+        "r_columns_select": q_r_columns_select,
+        "r_slice_mask": q_r_slice_mask,
+        "r_count_rows": q_r_count_rows,
+        "r_map_rows": q_r_map_rows,
+        "r_map_df": q_r_map_df,
+        "r_add_replace": q_r_add_replace,
+        "r_slice_positional": q_r_slice_positional,
+        "r_summary_quantiles": q_r_summary_quantiles,
+        "r_summary_freq": q_r_summary_freq,
+        "r_summary_bits": q_r_summary_bits,
+        # Tier S
+        "s_join_broadcast": q_s_join_broadcast,
+        "s_join_fact": q_s_join_fact,
+        "s_group_rollup": q_s_group_rollup,
+        "s_group_cube": q_s_group_cube,
+        "s_window_topk_per_group": q_s_window_topk_per_group,
+        "s_window_running": q_s_window_running,
+        "s_window_lag": q_s_window_lag,
+        "s_sort_topk": q_s_sort_topk,
+        "s_set_except": q_s_set_except,
+        "s_set_intersect_union": q_s_set_intersect_union,
+        "s_distinct": q_s_distinct,
+        "s_pivot": q_s_pivot,
+        "s_asof_join": q_s_asof_join,
+        "s_asof_join_unkeyed": q_s_asof_join_unkeyed,
+        "s_range_join": q_s_range_join,
+        "s_salted_join": q_s_salted_join,
+        "s_udaf_wavg": q_s_udaf_wavg,
+        "s_scalar_functions": q_s_scalar_functions,
+        # Tier X
+        "x_dedup_exact": q_x_dedup_exact,
+        "x_dedup_normalized": q_x_dedup_normalized,
+        "x_minhash_neardup": q_x_minhash_neardup,
+        "x_ngram_jaccard": q_x_ngram_jaccard,
+        "x_simhash_neardup": q_x_simhash_neardup,
+        "x_embed_neardup": q_x_embed_neardup,
+        "x_cosine_topk": q_x_cosine_topk,
+        "x_ann_lsh": q_x_ann_lsh,
+        "x_ivf_assign": q_x_ivf_assign,
+        "x_similarity_join_topk": q_x_similarity_join_topk,
+        "x_text_quality": q_x_text_quality,
+        "x_lang_id": q_x_lang_id,
+        "x_token_counts": q_x_token_counts,
+        "x_fingerprints": q_x_fingerprints,
+        "x_tfidf_topk": q_x_tfidf_topk,
+        "x_media_dedup": q_x_media_dedup,
+        "x_media_features": q_x_media_features,
+        # streaming
+        "st_tumbling": q_st_tumbling,
+        "st_sliding": q_st_sliding,
+        "st_session": q_st_session,
+        "st_stateful": q_st_stateful,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+#: queries whose internals SQL cannot reproduce (hash families, LCG planes,
+#: numpy stubs) — deliberately absent from oracle_sql().
+ROWS_ONLY = {"x_simhash_neardup", "x_ann_lsh", "x_media_features"}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — same column names, same determinism rules
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+_ORACLES: dict[str, str] = {
+    "r_construct_df": "SELECT r_regionkey, r_name FROM region",
+    "r_columns_select": "SELECT n_name, n_regionkey FROM nation",
+    "r_slice_mask": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 40 AND l_discount < 0.02""",
+    "r_count_rows": """
+        SELECT count(*)::BIGINT AS n FROM lineitem WHERE l_returnflag = 'A'""",
+    "r_map_rows": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS revenue
+        FROM lineitem""",
+    "r_map_df": """
+        SELECT p_partkey, p_size * 10 AS size10, p_size >= 25 AS big
+        FROM part""",
+    "r_add_replace": """
+        SELECT p_partkey, p_size + 1 AS p_size,
+               p_retailprice * 0.1 AS margin
+        FROM part""",
+    "r_slice_positional": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_custkey LIMIT 10 OFFSET 100""",
+    "r_summary_quantiles": """
+        SELECT count(l_extendedprice)::BIGINT AS n,
+               min(l_extendedprice) AS min,
+               quantile_cont(l_extendedprice, 0.25) AS q25,
+               quantile_cont(l_extendedprice, 0.50) AS q50,
+               quantile_cont(l_extendedprice, 0.75) AS q75,
+               max(l_extendedprice) AS max
+        FROM lineitem""",
+    "r_summary_freq": """
+        SELECT l_returnflag AS value, count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1""",
+    "r_summary_bits": """
+        SELECT count(*)::BIGINT AS length,
+               sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT
+                   AS ones
+        FROM lineitem""",
+    "s_join_broadcast": """
+        SELECT r_name, count(*)::BIGINT AS n_customers,
+               (sum(c_acctbal::DECIMAL(18,2)))::DOUBLE AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "s_join_fact": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+               (sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4)))::DOUBLE
+                   AS sum_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""",
+    "s_group_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+               count(*)::BIGINT AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "s_group_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "s_window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders) WHERE rn <= 3""",
+    "s_window_running": """
+        SELECT o_custkey, o_orderkey,
+               (sum(o_totalprice::DECIMAL(18,2)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS UNBOUNDED PRECEDING))::DOUBLE AS running_total
+        FROM orders""",
+    "s_window_lag": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_orderstatus) OVER w AS next_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+    "s_sort_topk": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 10""",
+    "s_set_except": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "s_set_intersect_union": """
+        (SELECT c_custkey AS custkey FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT DISTINCT o_custkey AS custkey FROM orders)
+        UNION ALL
+        SELECT * FROM (VALUES (-1), (-2)) AS t(custkey)""",
+    "s_distinct": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+    "s_pivot": """
+        SELECT o_orderstatus,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p1,
+               sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS p2,
+               sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS p3,
+               sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p4,
+               sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p5
+        FROM orders GROUP BY o_orderstatus""",
+    "s_asof_join": """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate AS ts,
+                   max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               r.last_orderkey AS r_last_orderkey
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND r.ts <= e.ts""",
+    "s_asof_join_unkeyed": """
+        WITH r AS (
+            SELECT o_orderdate AS ts, max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY 1)
+        SELECT e.event_id, epoch_us(e.ts) AS ts_us,
+               r.last_orderkey AS r_last_orderkey
+        FROM events e ASOF LEFT JOIN r ON r.ts <= e.ts""",
+    "s_range_join": """
+        SELECT band, count(*)::BIGINT AS n,
+               (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+        FROM lineitem
+        JOIN (VALUES ('A', 0.0, 10.0), ('B', 10.0, 25.0),
+                     ('C', 25.0, 40.0), ('D', 40.0, 100.0))
+             AS bands(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band""",
+    "s_salted_join": """
+        SELECT o_orderstatus, count(*)::BIGINT AS n,
+               (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus""",
+    "s_udaf_wavg": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                   AS wavg_price
+        FROM lineitem GROUP BY l_returnflag""",
+    "s_scalar_functions": """
+        SELECT o_orderkey,
+               upper(substring(o_orderpriority, 3, 20)) AS prio_name,
+               year(o_orderdate)::INT AS yr,
+               month(o_orderdate)::INT AS mo,
+               round(sqrt(o_totalprice), 6) AS sqrt_price,
+               concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+               length(o_orderpriority)::INT AS prio_len
+        FROM orders""",
+    "x_dedup_exact": "SELECT DISTINCT lang, source FROM documents",
+    "x_dedup_normalized": """
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS f
+            FROM documents),
+        winners AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN winners w ON d.doc_id = w.doc_id""",
+    "x_minhash_neardup": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([substring(text, i, 5)
+                       FOR i IN generate_series(1,
+                           greatest(length(text) - 4, 1))]) AS s
+            FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE /
+                     len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+              len(list_distinct(list_cat(a.s, b.s))) >= 0.8""",
+    "x_ngram_jaccard": """
+        WITH ng AS (
+            SELECT doc_id, lang,
+                   list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                       FOR i IN generate_series(1, greatest(len(t) - 2, 1))])
+                       AS g
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.g, b.g))::DOUBLE /
+                     len(list_distinct(list_cat(a.g, b.g))), 6) AS jaccard
+        FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+              len(list_distinct(list_cat(a.g, b.g))) >= 0.5""",
+    "x_embed_neardup": """
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_reduce(list_transform(list_zip(a.e, b.e),
+                                            z -> z[1] * z[2]),
+                             (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                     (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                       (acc, x) -> acc + x))), 6) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(list_zip(a.e, b.e),
+                                         z -> z[1] * z[2]),
+                          (acc, x) -> acc + x)
+              / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                  (acc, x) -> acc + x))
+                 * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                    (acc, x) -> acc + x))) >= 0.9""",
+    "x_cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+            SELECT vec_id,
+                   round(
+                     list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qe),
+                                                z -> z[1] * z[2]),
+                                 (acc, x) -> acc + x)
+                     / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[],
+                                                        x -> x * x),
+                                         (acc, x) -> acc + x))
+                        * sqrt(list_reduce(list_transform(q.qe, x -> x * x),
+                                           (acc, x) -> acc + x))), 6)
+                       AS cosine
+            FROM embeddings e CROSS JOIN q)
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "x_ivf_assign": """
+        WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT e.vec_id, c.cid,
+                   round(
+                     list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], c.ce),
+                                                z -> z[1] * z[2]),
+                                 (acc, x) -> acc + x)
+                     / (sqrt(list_reduce(list_transform(e.embedding::DOUBLE[],
+                                                        x -> x * x),
+                                         (acc, x) -> acc + x))
+                        * sqrt(list_reduce(list_transform(c.ce, x -> x * x),
+                                           (acc, x) -> acc + x))), 6) AS sim
+            FROM embeddings e CROSS JOIN c),
+        ranked AS (
+            SELECT vec_id, cid, sim, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+            FROM scored)
+        SELECT vec_id, cid AS centroid_id, sim AS centroid_sim
+        FROM ranked WHERE rn = 1""",
+    "x_similarity_join_topk": """
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+                   round(
+                     list_reduce(list_transform(list_zip(a.e, b.e),
+                                                z -> z[1] * z[2]),
+                                 (acc, x) -> acc + x)
+                     / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                         (acc, x) -> acc + x))
+                        * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                           (acc, x) -> acc + x))), 6)
+                       AS cosine
+            FROM v a JOIN v b ON a.label = b.label
+                              AND a.vec_id <> b.vec_id),
+        ranked AS (
+            SELECT id_l, id_r, cosine, row_number() OVER (
+                PARTITION BY id_l ORDER BY cosine DESC, id_r ASC) AS rank
+            FROM scored)
+        SELECT id_l, id_r, cosine, rank::INT AS rank
+        FROM ranked WHERE rank <= 3""",
+    "x_text_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   length(text) AS nch,
+                   length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()-]', '', 'g')) AS npunct
+            FROM documents),
+        m AS (
+            SELECT doc_id, nch, len(toks) AS ntok,
+                   CASE WHEN len(toks) > 0 THEN
+                       list_reduce(list_transform(toks, t -> length(t)),
+                                   (a, x) -> a + x)::DOUBLE / len(toks)
+                   ELSE 0.0 END AS mwl,
+                   CASE WHEN nch > 0 THEN npunct::DOUBLE / nch
+                   ELSE 0.0 END AS pr,
+                   CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it'],
+                           lower(t))))::DOUBLE / len(toks)
+                   ELSE 0.0 END AS sr
+            FROM base)
+        SELECT doc_id,
+               nch AS n_chars_actual,
+               ntok AS n_tokens,
+               round(mwl, 6) AS mean_word_len,
+               round(pr, 6) AS punct_ratio,
+               round(sr, 6) AS stopword_ratio,
+               round((least(nch / 500.0, 1.0)
+                      + CASE WHEN mwl >= 3 AND mwl <= 10
+                             THEN 1.0 ELSE 0.5 END
+                      + least(sr * 5.0, 1.0)
+                      + greatest(0.0, 1.0 - pr * 5.0)) / 4.0, 6) AS quality
+        FROM m""",
+    "x_lang_id": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform({_TOKS}, t -> lower(t)) AS toks
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   len(list_filter(toks, t -> list_contains(
+                       ['der','die','das','und','ist','nicht','ein','ich','zu','mit'], t)))::INT AS hits_de,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','a','in','is','it','you','that'], t)))::INT AS hits_en,
+                   len(list_filter(toks, t -> list_contains(
+                       ['el','la','los','y','es','no','una','yo','que','por'], t)))::INT AS hits_es,
+                   len(list_filter(toks, t -> list_contains(
+                       ['le','la','les','et','est','pas','une','je','que','des'], t)))::INT AS hits_fr
+            FROM t)
+        SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+               CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+                    THEN 'und'
+                    WHEN hits_de >= hits_en AND hits_de >= hits_es
+                         AND hits_de >= hits_fr THEN 'de'
+                    WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                    WHEN hits_es >= hits_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM h""",
+    "x_token_counts": f"""
+        SELECT doc_id,
+               len({_TOKS})::INT AS n_tokens,
+               list_reduce(list_transform(
+                   regexp_extract_all(text,
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0),
+                   p -> ceil(length(p) / 4.0)::BIGINT),
+                   (a, x) -> a + x) AS n_bpe
+        FROM documents""",
+    "x_fingerprints": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fingerprint,
+               len(list_distinct([md5(substring(text, i * 8 + 1, 16))
+                   FOR i IN generate_series(0,
+                       greatest(floor((length(text) - 16) / 8.0), 0)::INT)]))::INT
+                   AS n_sketch_hashes
+        FROM documents""",
+    "x_tfidf_topk": """
+        WITH tc AS (
+            SELECT doc_id, lower(t) AS term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(list_filter(
+                      string_split_regex(trim(text), '\\s+'),
+                      t -> t <> '')) AS t
+                  FROM documents)
+            GROUP BY doc_id, lower(t)),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        scored AS (
+            SELECT tc.doc_id, tc.term, tc.tf,
+                   round(tc.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df))
+                                  + 1.0), 6) AS tfidf
+            FROM tc JOIN dfreq ON tc.term = dfreq.term CROSS JOIN n),
+        ranked AS (
+            SELECT doc_id, term, tf, tfidf, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored)
+        SELECT doc_id, term, tf, tfidf, rank::INT AS rank
+        FROM ranked WHERE rank <= 3""",
+    "x_media_dedup": """
+        WITH h AS (SELECT doc_id AS media_id, sha256(text) AS digest
+                   FROM documents)
+        SELECT min(media_id) AS media_id, digest FROM h GROUP BY digest""",
+    "st_tumbling": """
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_us,
+               event_type, count(*)::BIGINT AS n,
+               (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "st_sliding": """
+        SELECT epoch_us(win) AS win_us, count(*)::BIGINT AS n
+        FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                             time_bucket(INTERVAL '1 hour', ts)
+                                 - INTERVAL '1 hour']) AS win
+              FROM events)
+        GROUP BY win""",
+    "st_session": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessioned AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged)
+        SELECT user_id, epoch_us(min(ts)) AS session_us,
+               count(*)::BIGINT AS n_events
+        FROM sessioned GROUP BY user_id, sid""",
+    "st_stateful": """
+        SELECT user_id, count(*)::BIGINT AS count,
+               round(sum(value), 4) AS total
+        FROM events GROUP BY user_id""",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,117 @@
+"""Benchmark harness: runs the headline queries from ``__spark_entry__``
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the ``noop`` datasource writer — the full plan
+runs on the executors (scan, shuffle, agg) with zero driver collect, the
+same shape a cluster job would have.  Logs go to stderr; stdout carries
+only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one entry per operator family that matters at scale.
+# Ordered roughly cheap -> expensive so partial runs still carry signal.
+HEADLINE = [
+    "r_slice_mask",            # filter + projection pushdown
+    "r_map_rows",              # derived-column projection (codegen)
+    "r_summary_quantiles",     # exact percentile aggregation
+    "s_join_broadcast",        # dim snowflake join (broadcast)
+    "s_join_fact",             # fact-fact shuffle join + agg
+    "s_group_rollup",          # grouping sets
+    "s_window_topk_per_group", # window rank
+    "s_window_running",        # running window agg
+    "s_sort_topk",             # TakeOrderedAndProject
+    "s_set_intersect_union",   # set ops
+    "s_pivot",                 # pivot
+    "s_asof_join",             # keyed as-of join
+    "s_asof_join_unkeyed",     # range-partitioned as-of join
+    "s_range_join",            # interval probe
+    "s_salted_join",           # skew-salted join
+    "s_udaf_wavg",             # grouped pandas UDAF
+    "x_dedup_normalized",      # exact dedup (normalized)
+    "x_minhash_neardup",       # MinHash + banded LSH
+    "x_simhash_neardup",       # SimHash banding
+    "x_ngram_jaccard",         # exact blocked n-gram Jaccard
+    "x_embed_neardup",         # blocked cosine near-dup
+    "x_cosine_topk",           # brute-force ANN baseline
+    "x_ann_lsh",               # hyperplane-LSH ANN
+    "x_ivf_assign",            # IVF centroid routing
+    "x_similarity_join_topk",  # blocked top-k similarity join
+    "x_text_quality",          # text metrics
+    "x_tfidf_topk",            # TF-IDF top-k terms
+    "st_tumbling",             # windowed agg (batch == stream plan)
+    "st_session",              # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cl_data_frame_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+        except Exception as exc:  # keep the harness alive; flag the query
+            dt = time.time() - t0
+            print(f"[bench] {name} FAILED after {dt:.1f}s: {exc!r}",
+                  file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"[bench] {name}: {dt:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

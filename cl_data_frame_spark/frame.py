@@ -268,6 +268,10 @@ class SparkFrame:
             raise KeyNotFound(missing[0], user_cols)
         self._df = sdf.select(ROW_ID, *keys)
         self._nrow = nrow
+        # True once ROW_ID values are pinned (literal data or checkpointed
+        # plan); monotonically_increasing_id on a shuffled lineage may be
+        # recomputed differently per action until then.
+        self._stable = False
 
     # -- constructors -------------------------------------------------------
 
@@ -283,10 +287,13 @@ class SparkFrame:
         pairs = _as_pairs(args)
         if not pairs:
             raise EmptyFrame()
+        # materialize once: generator/iterator columns must survive both the
+        # length check and the coercion below
+        pairs = [(k, list(v)) for k, v in pairs]
         registry = OrderedKeys()
         for k, _ in pairs:
             registry.add(k)
-        lengths = {k: len(list(v)) for k, v in pairs}
+        lengths = {k: len(v) for k, v in pairs}
         nrow = lengths[pairs[0][0]]
         for k, n in lengths.items():
             if n != nrow:
@@ -302,7 +309,9 @@ class SparkFrame:
             cols.append(_coerce_values(values, dtype))
         rows = [tuple([i, *vals]) for i, vals in enumerate(zip(*cols))]
         sdf = spark.createDataFrame(rows, schema=T.StructType(fields))
-        return cls(sdf, [k for k, _ in pairs], nrow=nrow)
+        out = cls(sdf, [k for k, _ in pairs], nrow=nrow)
+        out._stable = True  # ROW_ID is literal data
+        return out
 
     @classmethod
     def make_df(cls, spark, keys, columns, element_types=None) -> "SparkFrame":
@@ -322,8 +331,10 @@ class SparkFrame:
     def from_pandas(cls, spark, pdf: pd.DataFrame) -> "SparkFrame":
         pdf = pdf.reset_index(drop=True).copy()
         pdf.insert(0, ROW_ID, range(len(pdf)))
-        return cls(spark.createDataFrame(pdf), [c for c in pdf.columns if c != ROW_ID],
-                   nrow=len(pdf))
+        out = cls(spark.createDataFrame(pdf),
+                  [c for c in pdf.columns if c != ROW_ID], nrow=len(pdf))
+        out._stable = True  # ROW_ID is literal data
+        return out
 
     @classmethod
     def from_spark(cls, sdf: DataFrame) -> "SparkFrame":
@@ -469,15 +480,36 @@ class SparkFrame:
         raise TypeError(f"Bad row slice: {spec!r}")
 
     def _positions_df(self, positions: list[int]) -> DataFrame:
+        """Rows at *positions*, preserving the REQUESTED order and repeats.
+
+        The reference's cl-slice semantics return rows in index order,
+        duplicates included (cl-data-frame.lisp:486-500): ``slice([3, 0])``
+        is row 3 then row 0, ``slice([1, 1])`` is row 1 twice. A plain
+        ``isin`` filter would collapse repeats and keep ingest order, so
+        for non-monotonic or repeated indices we join against a literal
+        (position -> output order) table and re-derive ``__row_id__`` from
+        the requested order. Monotonic unique runs keep the cheap filter.
+        """
         if not positions:
             return self._with_pos().filter(F.lit(False)).drop(_POS)
         lo, hi = min(positions), max(positions)
         base = self._with_pos()
-        if set(positions) == set(range(lo, hi + 1)):
-            out = base.filter((F.col(_POS) >= lo) & (F.col(_POS) <= hi))
-        else:
-            out = base.filter(F.col(_POS).isin(positions))
-        return out.drop(_POS)
+        if positions == list(range(lo, hi + 1)):
+            return (base.filter((F.col(_POS) >= lo) & (F.col(_POS) <= hi))
+                    .drop(_POS))
+        if positions == sorted(positions) and len(set(positions)) == len(positions):
+            return base.filter(F.col(_POS).isin(positions)).drop(_POS)
+        spark = self._df.sparkSession
+        order_df = spark.createDataFrame(
+            list(enumerate(positions)),
+            schema=T.StructType([
+                T.StructField("__out__", T.LongType(), False),
+                T.StructField(_POS, T.LongType(), False)]))
+        out = (base.drop(ROW_ID)
+               .join(F.broadcast(order_df), on=_POS, how="inner")
+               .withColumn(ROW_ID, F.col("__out__"))
+               .drop(_POS, "__out__"))
+        return out
 
     # -- slice (R12-R14) ------------------------------------------------------
 
@@ -634,6 +666,18 @@ class SparkFrame:
 
     # -- add / replace / copy (R20-R23) ----------------------------------------
 
+    def _stabilize(self) -> None:
+        """Pin ROW_ID values by materializing the current plan.
+
+        ``monotonically_increasing_id`` on a shuffled lineage (join, groupBy,
+        ``from_spark``) can be recomputed differently per action; any
+        operation that reads ids in one action and reuses them in another
+        must checkpoint first. Literal-data frames are born stable.
+        """
+        if not self._stable:
+            self._df = self._df.localCheckpoint(eager=True)
+            self._stable = True
+
     def _with_column_df(self, key: str, value) -> DataFrame:
         """Build the underlying df with *key* set to *value*.
 
@@ -648,6 +692,11 @@ class SparkFrame:
             values = list(value)
             if len(values) != self.nrow:
                 raise ColumnLengthMismatch(self.nrow, len(values), key=key)
+            # Pin ROW_ID before reading it: the ids are collected in one
+            # action here and joined against the plan in later actions, so
+            # a lazily-recomputed monotonically_increasing_id could attach
+            # values to the wrong rows on a shuffled lineage.
+            self._stabilize()
             spark = self._df.sparkSession
             ids = [r[0] for r in
                    self._df.select(ROW_ID).orderBy(ROW_ID).collect()]
@@ -703,6 +752,7 @@ class SparkFrame:
         new._keys = self._keys.copy()
         new._df = self._df
         new._nrow = self._nrow
+        new._stable = self._stable
         return new
 
     # -- export (R5, R6) --------------------------------------------------------

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..frame import SparkFrame
+from ..partitioning import default_parallelism, ensure_min_partitions
 
 
 def _plain(frame) -> DataFrame:
@@ -82,17 +83,43 @@ def word_ngrams(col, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> list[Column]:
-    """MinHash signature: per seed, min over shingles of xxhash64(shingle, seed).
+_MASK64 = (1 << 64) - 1
 
-    A seeded xxhash64 family; each component is ``array_min(transform(...))``
-    — no UDF, no explode, signature computed in one projection.
+
+def _signed64(v: int) -> int:
+    v &= _MASK64
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """xxhash64 of every shingle, computed ONCE — the base for the whole
+    minhash family."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64,
+                      hashed: Column | None = None) -> list[Column]:
+    """MinHash signature via seeded rehashing of the base shingle hashes:
+    ``h_i(x) = xxhash64(xxhash64(x), i)`` — the string is hashed once, and
+    each family member rehashes only the resulting long with the function
+    index, a fixed-width 12-byte hash that is ~shingle_len times cheaper
+    than seeded string hashing per function.  (An affine ``a*h + b``
+    multiply-shift family would be cheaper still, but its deliberate
+    mod-2^64 wraparound trips ANSI overflow checking, Spark 4's default.)
+
+    Each component is ``array_min(transform(...))`` — no UDF, no explode.
+    Pass ``hashed`` (a materialized ``shingle_hashes`` column) to avoid
+    duplicating the base hash expression num_hashes times.
     """
-    return [
-        F.array_min(F.transform(shingle_col,
-                                lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
+    base = hashed if hashed is not None else shingle_hashes(shingle_col)
+
+    def _seeded(i):
+        # NB: a plain unary lambda — PySpark counts extra default args as
+        # higher-order-function parameters
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    return [F.array_min(F.transform(base, _seeded(i)))
+            for i in range(num_hashes)]
 
 
 def minhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text",
@@ -116,25 +143,50 @@ def minhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sdf = _plain(frame).select(id_col, text_col)
-    sdf = sdf.withColumn("__sh__", char_shingles(text_col, shingle_k))
-    sig = minhash_signature(F.col("__sh__"), num_hashes)
+    sdf = ensure_min_partitions(_plain(frame).select(id_col, text_col))
+    shingled = sdf.select(
+        id_col, char_shingles(text_col, shingle_k).alias("__sh__"))
+    # Signature via explode + grouped min: each shingle string is hashed
+    # exactly ONCE (xxhash64 at explode time); the num_hashes family
+    # members rehash only that long with the seed (12-byte fixed-width
+    # hashes).  Staying in array-land instead would let Catalyst's
+    # CollapseProject inline the base-hash array into all num_hashes
+    # transforms, re-hashing every shingle string num_hashes times.
+    # Scale: shingles of a doc are co-located with their source row, so
+    # the partial (map-side) min-agg emits ONE row of num_hashes longs per
+    # doc per mapper — the shuffle carries signatures, never shingles.
+    exploded = shingled.select(
+        id_col, F.explode("__sh__").alias("__s__")
+    ).select(id_col, F.xxhash64("__s__").alias("__h__"))
+    sig_agg = [F.min(F.xxhash64("__h__", F.lit(i))).alias(f"__m{i}__")
+               for i in range(num_hashes)]
+    signatures = exploded.groupBy(id_col).agg(*sig_agg)
     band_hashes = [
-        F.xxhash64(*sig[b * rows_per_band:(b + 1) * rows_per_band])
+        F.xxhash64(*[F.col(f"__m{i}__")
+                     for i in range(b * rows_per_band,
+                                    (b + 1) * rows_per_band)])
         for b in range(bands)
     ]
-    banded = sdf.select(
-        id_col, "__sh__",
+    # Band table carries (id, band, hash) ONLY — the shuffle through the
+    # explode x bands and the self-join never moves shingle payloads; at
+    # 100 TB that is the difference between shuffling ids and shuffling
+    # ~16x the corpus. Shingles are re-joined once, post-dedup, for the
+    # Jaccard verification.
+    banded = signatures.select(
+        id_col,
         F.posexplode(F.array(*band_hashes)).alias("__band__", "__bh__"))
-    left = banded.select(F.col(id_col).alias("id_a"),
-                         F.col("__sh__").alias("sh_a"), "__band__", "__bh__")
-    right = banded.select(F.col(id_col).alias("id_b"),
-                          F.col("__sh__").alias("sh_b"), "__band__", "__bh__")
+    left = banded.select(F.col(id_col).alias("id_a"), "__band__", "__bh__")
+    right = banded.select(F.col(id_col).alias("id_b"), "__band__", "__bh__")
     pairs = (left.join(right, on=["__band__", "__bh__"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sh_a", "sh_b")
+             .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
     if jaccard_threshold is not None:
+        sh_a = shingled.select(F.col(id_col).alias("id_a"),
+                               F.col("__sh__").alias("sh_a"))
+        sh_b = shingled.select(F.col(id_col).alias("id_b"),
+                               F.col("__sh__").alias("sh_b"))
+        pairs = pairs.join(sh_a, on="id_a").join(sh_b, on="id_b")
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         uni = F.size(F.array_union("sh_a", "sh_b"))
         pairs = (pairs.withColumn("jaccard", inter / uni)
@@ -155,18 +207,38 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
     exact O(n²)-within-join baseline for small inputs and for verifying
     the LSH path. At scale, always block (or use
     ``minhash_near_duplicates`` as the candidate generator).
+
+    Plan shape: the quadratic join runs over SLIM (block, id) rows only,
+    the resulting pair table is round-robined across the cluster, and the
+    n-gram arrays are attached afterwards by two id-equi-joins (AQE
+    broadcasts the n-gram table when it is small). Carrying the arrays
+    through the quadratic join instead would (a) shuffle array payloads
+    ~pair-count times and (b) leave the Jaccard compute with only
+    #distinct-blocks partitions of parallelism.
     """
-    sdf = _plain(frame).select(
-        id_col, *([block_col] if block_col else []),
-        word_ngrams(text_col, n).alias("__ng__"))
+    base = ensure_min_partitions(_plain(frame).select(
+        id_col, *([block_col] if block_col else []), text_col))
+    ng = base.select(id_col, *([block_col] if block_col else []),
+                     word_ngrams(text_col, n).alias("__ng__"))
     on = [block_col] if block_col else []
-    left = sdf.select(*on, F.col(id_col).alias("id_a"), F.col("__ng__").alias("ng_a"))
-    right = sdf.select(*on, F.col(id_col).alias("id_b"), F.col("__ng__").alias("ng_b"))
-    joined = (left.crossJoin(right) if not on else left.join(right, on=on))
+    ids = ng.select(*on, id_col)
+    pairs = (ids.select(*on, F.col(id_col).alias("id_a"))
+             .crossJoin(ids.select(F.col(id_col).alias("id_b")))
+             if not on else
+             ids.select(*on, F.col(id_col).alias("id_a"))
+             .join(ids.select(*on, F.col(id_col).alias("id_b")), on=on))
+    pairs = (pairs.filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .repartition(default_parallelism(base)))
+    ng_slim = ng.select(id_col, "__ng__")
+    joined = (pairs
+              .join(ng_slim.select(F.col(id_col).alias("id_a"),
+                                   F.col("__ng__").alias("ng_a")), on="id_a")
+              .join(ng_slim.select(F.col(id_col).alias("id_b"),
+                                   F.col("__ng__").alias("ng_b")), on="id_b"))
     inter = F.size(F.array_intersect("ng_a", "ng_b"))
     uni = F.size(F.array_union("ng_a", "ng_b"))
-    out = (joined.filter(F.col("id_a") < F.col("id_b"))
-           .withColumn("jaccard", inter / uni)
+    out = (joined.withColumn("jaccard", inter / uni)
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
     return SparkFrame(out)
@@ -176,35 +248,45 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_counts(text_col, bits: int = 64) -> Column:
+    """Accumulate the 64 per-bit counters with a Python-unrolled bit index
+    (Spark's shift functions take a literal int shift, not a Column)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+    zeros = F.array(*[F.lit(0) for _ in range(bits)])
+    return F.aggregate(
+        tokens,
+        zeros,
+        lambda acc, t: F.array(*[
+            F.element_at(acc, i + 1) + F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))
+            for i in range(bits)]),
+    )
+
+
+def simhash_fold(counts_col: Column, bits: int = 64) -> Column:
+    """Fold the per-bit counters into the signed-64 fingerprint: bit i set
+    iff counter i > 0. Python-unrolled OR chain (shift amounts must be
+    Python ints); pass a *materialized* counts column, not the aggregate
+    expression, so the aggregate isn't duplicated ``bits`` times."""
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        v = _signed64(1 << i)
+        fp = fp.bitwiseOR(
+            F.when(F.element_at(counts_col, i + 1) > 0,
+                   F.lit(v).cast("long")).otherwise(F.lit(0).cast("long")))
+    return fp
+
+
 def simhash_column(text_col, bits: int = 64) -> Column:
     """SimHash fingerprint of whitespace tokens, as a signed 64-bit long.
 
-    Classic construction: each token hashes to 64 bits; each bit position
-    accumulates +1/-1 by bit value over tokens; the sign of each
-    accumulator is the fingerprint bit. Expressed with aggregate() over the
-    token array into a 64-slot int array, then folded into a long — all
-    JVM-side expressions (no UDF), so it codegens and distributes.
+    Convenience single-expression form; pipelines should materialize
+    ``_simhash_counts`` in a column first and apply ``simhash_fold`` to it
+    (as ``simhash_near_duplicates`` does) to keep the plan small.
     """
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
-    tokens = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
-    zeros = F.array_repeat(F.lit(0), bits)
-    counts = F.aggregate(
-        tokens,
-        zeros,
-        lambda acc, t: F.transform(
-            acc,
-            lambda c, i: c + F.when(
-                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1))),
-    )
-    return F.aggregate(
-        F.zip_with(counts,
-                   F.sequence(F.lit(0), F.lit(bits - 1)),
-                   lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i))
-                   .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    return simhash_fold(_simhash_counts(text_col, bits), bits)
 
 
 def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text",
@@ -216,7 +298,9 @@ def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
     Scale: candidate generation is an equi-join on (band_index, band_value);
     verification is a single bit_count expression.
     """
-    sdf = _plain(frame).select(id_col, simhash_column(text_col).alias("__sim__"))
+    sdf = (ensure_min_partitions(_plain(frame).select(id_col, text_col))
+           .select(id_col, _simhash_counts(text_col).alias("__cnt__"))
+           .select(id_col, simhash_fold(F.col("__cnt__")).alias("__sim__")))
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bands = F.array(*[
@@ -268,15 +352,31 @@ def embedding_near_duplicates(frame, id_col: str = "vec_id",
     Exact within-block pairing (cross join when unblocked — the correctness
     baseline). At scale, block with ``similarity.hyperplane_bucket`` (random
     hyperplane LSH) so candidates share a bucket, or pre-cluster with IVF.
+
+    Same slim-pair plan as ``ngram_jaccard_pairs``: the quadratic join
+    moves ids only, pairs are spread cluster-wide, vectors attach via
+    id-equi-joins (AQE broadcasts the vector table when small).
     """
-    sdf = _plain(frame).select(id_col, *([block_col] if block_col else []), vec_col)
+    base = ensure_min_partitions(_plain(frame).select(
+        id_col, *([block_col] if block_col else []), vec_col))
     on = [block_col] if block_col else []
-    left = sdf.select(*on, F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    right = sdf.select(*on, F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    joined = (left.crossJoin(right) if not on else left.join(right, on=on))
+    ids = base.select(*on, id_col)
+    pairs = (ids.select(F.col(id_col).alias("id_a"))
+             .crossJoin(ids.select(F.col(id_col).alias("id_b")))
+             if not on else
+             ids.select(*on, F.col(id_col).alias("id_a"))
+             .join(ids.select(*on, F.col(id_col).alias("id_b")), on=on))
+    pairs = (pairs.filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .repartition(default_parallelism(base)))
+    vecs = base.select(id_col, vec_col)
+    joined = (pairs
+              .join(vecs.select(F.col(id_col).alias("id_a"),
+                                F.col(vec_col).alias("v_a")), on="id_a")
+              .join(vecs.select(F.col(id_col).alias("id_b"),
+                                F.col(vec_col).alias("v_b")), on="id_b"))
     cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
-    out = (joined.filter(F.col("id_a") < F.col("id_b"))
-           .withColumn("cosine", F.round(cos, 6))
+    out = (joined.withColumn("cosine", F.round(cos, 6))
            .filter(F.col("cosine") >= threshold)
            .select("id_a", "id_b", "cosine"))
     return SparkFrame(out)

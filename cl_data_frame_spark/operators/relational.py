@@ -92,11 +92,22 @@ def limit(frame: SparkFrame, n: int, offset: int = 0) -> SparkFrame:
 
 def top_k(frame: SparkFrame, k: int, by, ascending: bool = False) -> SparkFrame:
     """Top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
-    a per-partition heap + driver merge; no total sort, no full shuffle."""
+    a per-partition heap + driver merge; no total sort, no full shuffle.
+
+    ``by``: a column/name, a list of them (all sorted per ``ascending``),
+    or ``(column, 'asc'|'desc')`` tuples for mixed directions.
+    """
     cols = by if isinstance(by, (list, tuple)) else [by]
-    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
-    cols = [c.asc() if ascending else c.desc() for c in cols]
-    out = _plain(frame).orderBy(*cols).limit(k)
+    orders = []
+    for c in cols:
+        if isinstance(c, tuple):
+            col, direction = c
+            col = F.col(col) if isinstance(col, str) else col
+            orders.append(col.asc() if direction == "asc" else col.desc())
+        else:
+            col = F.col(c) if isinstance(c, str) else c
+            orders.append(col.asc() if ascending else col.desc())
+    out = _plain(frame).orderBy(*orders).limit(k)
     return SparkFrame(out)
 
 
@@ -142,16 +153,21 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
     optionally matching a ``by`` equality key.
 
     Absent in both the reference and core Spark (SURVEY §2.2 'Joins').
-    Implemented as the union + last(..., ignorenulls) over a window recipe:
-    tag both sides, union by name, then for every left row take the most
-    recent right values seen so far within the (by) partition ordered by
-    (on). One shuffle on (by); no range explosion, no skewed theta-join.
-    At 100 TB this beats a range join because state per key is O(1) in the
-    running window, and the shuffle is a plain hash partition on ``by``.
+    Keyed path: union + last(..., ignorenulls) over a window partitioned on
+    ``by`` — one hash shuffle, O(1) running state per key, no range
+    explosion. Unkeyed path: range-partition the union on ``on``, fill
+    within each partition, then fix up partition boundaries with a tiny
+    per-partition carry table (npartitions rows, broadcast back) — the plan
+    stays fully parallel instead of collapsing into one global window.
+    Ties on ``on`` among right rows are resolved arbitrarily unless ``on``
+    is unique per (by, on); pre-aggregate the right side when it is not.
     """
     ldf = _plain(left)
     rdf = _plain(right)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     rcols = [c for c in rdf.columns if c != on and (by is None or c != by)]
+    rnames = [right_prefix + c for c in rcols]
     rdf_t = rdf.select(
         *([F.col(by)] if by else []),
         F.col(on),
@@ -163,39 +179,155 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
         *[F.lit(None).cast(rdf_t.schema[right_prefix + c].dataType)
           .alias(right_prefix + c) for c in rcols])
     unioned = ldf_t.unionByName(rdf_t, allowMissingColumns=True)
-    if direction == "backward":
-        w = (Window.partitionBy(*( [by] if by else []))
-             .orderBy(F.col(on).asc(), F.col("__is_right__").desc())
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+
+    if by is not None:
+        w = (Window.partitionBy(by)
+             .orderBy(on_order, F.col("__is_right__").desc())
              .rowsBetween(Window.unboundedPreceding, 0))
         filled = unioned.select(
-            *[c for c in unioned.columns if not c.startswith(right_prefix)],
-            *[F.last(right_prefix + c, ignorenulls=True).over(w)
-              .alias(right_prefix + c) for c in rcols])
-    elif direction == "forward":
-        w = (Window.partitionBy(*([by] if by else []))
-             .orderBy(F.col(on).desc(), F.col("__is_right__").desc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-        filled = unioned.select(
-            *[c for c in unioned.columns if not c.startswith(right_prefix)],
-            *[F.last(right_prefix + c, ignorenulls=True).over(w)
-              .alias(right_prefix + c) for c in rcols])
-    else:
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
-    out = filled.filter(F.col("__is_right__") == 0).drop("__is_right__")
+            *[c for c in unioned.columns if c not in rnames],
+            *[F.last(rp, ignorenulls=True).over(w).alias(rp) for rp in rnames])
+        out = filled.filter(F.col("__is_right__") == 0).drop("__is_right__")
+        return SparkFrame(out)
+
+    # Unkeyed: range-partition on `on` so the fill parallelizes, then carry
+    # the last right row of every partition into the following partitions.
+    spark = ldf.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parted = (unioned.repartitionByRange(npart, F.col(on))
+              .sortWithinPartitions(on_order, F.col("__is_right__").desc())
+              .withColumn("__pid__", F.spark_partition_id()))
+    w_in = (Window.partitionBy("__pid__")
+            .orderBy(on_order, F.col("__is_right__").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    filled = parted.select(
+        "__pid__",
+        *[c for c in unioned.columns if c not in rnames],
+        *[F.last(rp, ignorenulls=True).over(w_in).alias(rp) for rp in rnames])
+    # last right row per partition, as a struct ordered by the as-of key
+    extreme = F.max if direction == "backward" else F.min
+    rstruct = F.when(F.col("__is_right__") == 1,
+                     F.struct(F.col(on).alias("__on__"),
+                              *[F.col(rp) for rp in rnames]))
+    pid_last = parted.groupBy("__pid__").agg(extreme(rstruct).alias("__last__"))
+    pid_order = (F.col("__pid__").asc() if direction == "backward"
+                 else F.col("__pid__").desc())
+    w_carry = (Window.orderBy(pid_order)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carry = pid_last.select(
+        "__pid__",
+        F.last("__last__", ignorenulls=True).over(w_carry).alias("__carry__"))
+    out = (filled.join(F.broadcast(carry), on="__pid__", how="left")
+           .filter(F.col("__is_right__") == 0)
+           .select(*[c for c in ldf.columns],
+                   *[F.coalesce(F.col(rp), F.col("__carry__")[rp]).alias(rp)
+                     for rp in rnames]))
     return SparkFrame(out)
 
 
 def range_join(left: SparkFrame, right: SparkFrame, left_col: str,
-               lower: str, upper: str, how: str = "inner") -> SparkFrame:
+               lower: str, upper: str, how: str = "inner",
+               broadcast_right: bool = False) -> SparkFrame:
     """Range (theta) join: left rows matched to right intervals
     ``right.lower <= left.col < right.upper``.
 
-    Scale: when the right side is small (dimension intervals, bucketing
-    tables) it is broadcast, making this a map-side interval probe; for two
-    large sides, pre-bucket both on a coarse grid and equi-join on the
-    bucket before applying the residual range predicate.
+    ``broadcast_right=True`` forces a broadcast hint — correct only when
+    the right side is known-small (dimension intervals, bucket grids),
+    turning the join into a map-side interval probe with no shuffle of the
+    left side. When False (default) the planner chooses the strategy; for
+    two large sides, pre-bucket both on a coarse grid and equi-join on the
+    bucket before applying the residual range predicate (see
+    ``bucketed_range_join``).
     """
-    cond = ((F.col(left_col) >= _plain(right)[lower])
-            & (F.col(left_col) < _plain(right)[upper]))
-    out = _plain(left).join(F.broadcast(_plain(right)), on=cond, how=how)
+    rdf = _plain(right)
+    if broadcast_right:
+        rdf = F.broadcast(rdf)
+    cond = ((F.col(left_col) >= rdf[lower]) & (F.col(left_col) < rdf[upper]))
+    out = _plain(left).join(rdf, on=cond, how=how)
+    return SparkFrame(out)
+
+
+def udaf(fn, return_type):
+    """Grouped-aggregate UDAF from a pandas function (SURVEY §2.2 UDF/UDAF:
+    the reference's arbitrary Lisp closures have no aggregate form; Spark's
+    is a ``pandas_udf`` used in ``agg``).
+
+    *fn* receives one ``pd.Series`` per input column for the whole group
+    (Arrow-transferred) and returns a scalar. Executed with map-side partial
+    batching by Spark's AggregateInPandas — Python runs once per group, not
+    per row.
+    """
+    return F.pandas_udf(fn, return_type)
+
+
+def group_agg_udaf(frame: SparkFrame, group_keys: Sequence[str],
+                   aggs: Mapping[str, tuple]) -> SparkFrame:
+    """Hash aggregation with pandas UDAFs: ``aggs`` maps output name ->
+    (fn, [input cols], return_type)."""
+    sdf = _plain(frame)
+    exprs = []
+    for name, (fn, cols, rtype) in aggs.items():
+        agg_fn = udaf(fn, rtype)
+        exprs.append(agg_fn(*[F.col(c) for c in cols]).alias(name))
+    return SparkFrame(sdf.groupBy(*group_keys).agg(*exprs))
+
+
+def salted_join(left: SparkFrame, right: SparkFrame, on: Sequence[str] | str,
+                how: str = "inner", nsalts: int = 16,
+                salt_from: Sequence[str] | None = None) -> SparkFrame:
+    """Skew-mitigating equi-join: append a salt to the big (left) side's
+    key and replicate the right side across all ``nsalts`` salt values, so
+    one hot key spreads over ``nsalts`` shuffle partitions instead of one
+    straggler task (SURVEY §2.3 '100 TB posture').
+
+    The salt is derived deterministically from ``salt_from`` columns
+    (default: all non-key left columns) via xxhash64 — no RNG, so plans
+    are reproducible and safe under task retry. Right-side replication
+    multiplies the small side by ``nsalts``; use for big×medium joins
+    where AQE's skew splitting isn't enough, broadcast for truly small
+    sides.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    ldf = _plain(left)
+    rdf = _plain(right)
+    salt_cols = list(salt_from) if salt_from else \
+        [c for c in ldf.columns if c not in on]
+    if not salt_cols:
+        salt_cols = on
+    lsalted = ldf.withColumn(
+        "__salt__", F.pmod(F.xxhash64(*salt_cols), F.lit(nsalts)).cast("int"))
+    spark = rdf.sparkSession
+    salts = spark.range(nsalts).select(F.col("id").cast("int").alias("__salt__"))
+    rsalted = rdf.crossJoin(salts)
+    out = (lsalted.join(rsalted, on=on + ["__salt__"], how=how)
+           .drop("__salt__"))
+    return SparkFrame(out)
+
+
+def bucketed_range_join(left: SparkFrame, right: SparkFrame, left_col: str,
+                        lower: str, upper: str, bucket_width: float,
+                        how: str = "inner") -> SparkFrame:
+    """Range join for two LARGE sides: overlay a coarse grid of width
+    ``bucket_width``, explode each right interval into the grid buckets it
+    overlaps, equi-join left rows to buckets, then apply the residual range
+    predicate.
+
+    Scale: the shuffle is a plain hash partition on the bucket id — no
+    broadcast, no cross product. Choose ``bucket_width`` near the typical
+    interval length so each interval explodes into O(1) buckets.
+    """
+    ldf = _plain(left)
+    rdf = _plain(right)
+    lb = F.floor(F.col(left_col) / F.lit(bucket_width)).alias("__bucket__")
+    rb = F.explode(
+        F.sequence(F.floor(F.col(lower) / F.lit(bucket_width)),
+                   F.floor((F.col(upper) - F.lit(1e-9)) / F.lit(bucket_width)))
+    ).alias("__bucket__")
+    lbk = ldf.select("*", lb)
+    rbk = rdf.select("*", rb)
+    residual = ((F.col(left_col) >= F.col(lower))
+                & (F.col(left_col) < F.col(upper)))
+    out = (lbk.join(rbk, on="__bucket__", how=how)
+           .filter(residual).drop("__bucket__"))
     return SparkFrame(out)

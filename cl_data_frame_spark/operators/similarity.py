@@ -135,16 +135,29 @@ def similarity_join_topk(left_frame, right_frame, k: int = 5,
     Blocked (or full, for the exact baseline) join + window rank. Scale:
     always block (LSH bucket or IVF centroid) so the join is an equi-join;
     the rank is a per-left-key window, no global sort.
+
+    Plan shape: the quadratic join moves (block, id) rows only, the pair
+    table is round-robined cluster-wide, and vectors attach via two
+    id-equi-joins (AQE broadcasts small vector tables) — so the cosine
+    compute parallelizes by pair, not by #distinct-blocks.
     """
-    ldf = _plain(left_frame)
+    from ..partitioning import default_parallelism, ensure_min_partitions
+
+    ldf = ensure_min_partitions(_plain(left_frame))
     rdf = _plain(right_frame)
     on = [block_col] if block_col else []
-    left = ldf.select(*on, F.col(left_id).alias("id_l"),
-                      F.col(vec_col).alias("v_l"))
-    right = rdf.select(*on, F.col(right_id).alias("id_r"),
-                       F.col(vec_col).alias("v_r"))
-    joined = left.crossJoin(right) if not on else left.join(right, on=on)
-    joined = joined.filter(F.col("id_l") != F.col("id_r"))
+    lids = ldf.select(*on, F.col(left_id).alias("id_l"))
+    rids = rdf.select(*on, F.col(right_id).alias("id_r"))
+    pairs = (lids.crossJoin(rids.select("id_r")) if not on
+             else lids.join(rids, on=on))
+    pairs = (pairs.filter(F.col("id_l") != F.col("id_r"))
+             .select("id_l", "id_r")
+             .repartition(default_parallelism(ldf)))
+    joined = (pairs
+              .join(ldf.select(F.col(left_id).alias("id_l"),
+                               F.col(vec_col).alias("v_l")), on="id_l")
+              .join(rdf.select(F.col(right_id).alias("id_r"),
+                               F.col(vec_col).alias("v_r")), on="id_r"))
     cos = cosine_similarity(F.col("v_l"), F.col("v_r"))
     w = Window.partitionBy("id_l").orderBy(F.col("cosine").desc(),
                                            F.col("id_r").asc())

@@ -188,3 +188,71 @@ def document_fingerprints(frame, id_col: str = "doc_id",
         fingerprint(text_col).alias("fingerprint"),
         F.size(rolling_hash_fingerprints(text_col)).alias("n_sketch_hashes"))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# term counting / TF-IDF (SURVEY §2.3: CountVectorizer/HashingTF+IDF
+# equivalents, as pure relational expressions — explode + groupBy — so the
+# whole pipeline is shuffle-aware hash aggregation, not a fitted ML model)
+# ---------------------------------------------------------------------------
+
+def term_counts(frame, id_col: str = "doc_id", text_col: str = "text") -> SparkFrame:
+    """(doc, term, tf): lowercased whitespace-token counts per document —
+    the CountVectorizer analog in long (exploded) form.
+
+    Scale: explode + partial-aggregated groupBy; the shuffle carries one
+    row per distinct (doc, term), not one per token occurrence.
+    """
+    sdf = _plain(frame)
+    toks = F.explode(F.transform(tokens(text_col), F.lower)).alias("term")
+    out = (sdf.select(F.col(id_col), toks)
+           .groupBy(id_col, "term")
+           .agg(F.count(F.lit(1)).alias("tf")))
+    return SparkFrame(out)
+
+
+def document_frequencies(frame, id_col: str = "doc_id",
+                         text_col: str = "text") -> SparkFrame:
+    """(term, df): number of documents containing each term."""
+    tc = _plain(term_counts(frame, id_col, text_col))
+    return SparkFrame(tc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")))
+
+
+def tf_idf(frame, id_col: str = "doc_id", text_col: str = "text",
+           min_df: int = 1) -> SparkFrame:
+    """TF-IDF per (doc, term): ``tf * (ln((1 + N) / (1 + df)) + 1)`` —
+    the smoothed-idf formulation, so terms in every document still get a
+    positive weight and df=0 can never divide by zero.
+
+    Scale: two hash aggregations plus one broadcast-sized join on ``term``
+    (the term dictionary is tiny next to the corpus); N is a scalar
+    crossJoin literal. No ML fitting, no vocabulary collect.
+    """
+    sdf = _plain(frame)
+    tc = _plain(term_counts(frame, id_col, text_col))
+    dfreq = _plain(document_frequencies(frame, id_col, text_col))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = sdf.select(F.count(F.lit(1)).alias("__n__"))
+    idf = (F.log((F.lit(1.0) + F.col("__n__")) / (F.lit(1.0) + F.col("df")))
+           + F.lit(1.0))
+    out = (tc.join(F.broadcast(dfreq), on="term")
+           .crossJoin(F.broadcast(n_docs))
+           .select(id_col, "term", "tf", "df",
+                   F.round(F.col("tf") * idf, 6).alias("tfidf")))
+    return SparkFrame(out)
+
+
+def tf_idf_topk(frame, k: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> SparkFrame:
+    """Top-k terms per document by TF-IDF (ties -> lexicographically first
+    term), via a per-document window rank — no global sort."""
+    from pyspark.sql import Window
+    scored = _plain(tf_idf(frame, id_col, text_col))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("term").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select(id_col, "term", "tf", "tfidf", "rank"))
+    return SparkFrame(out)

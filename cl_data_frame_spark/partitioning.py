@@ -1,0 +1,30 @@
+"""Partitioning helpers shared by the operator modules.
+
+These guard the *compute-bound* operators (shingling, fingerprinting,
+pairwise similarity) against the small-input pathology where a tiny
+parquet file arrives as a single partition and a CPU-heavy expression
+then runs on one core. They are deliberate no-ops at scale: a 100 TB
+scan already has thousands of splits, so the `< n` test fails and no
+extra shuffle is introduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def default_parallelism(sdf: DataFrame) -> int:
+    """The session's target shuffle width (what AQE coalesces down from)."""
+    return int(sdf.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def ensure_min_partitions(sdf: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently has fewer than *n*
+    partitions. One narrow shuffle of the (small) input buys full-width
+    parallelism for downstream per-row compute; on a big input this is a
+    no-op and costs nothing."""
+    if n is None:
+        n = default_parallelism(sdf)
+    if sdf.rdd.getNumPartitions() < n:
+        return sdf.repartition(n)
+    return sdf

@@ -20,10 +20,16 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+def read_stream_parquet(spark: SparkSession, path: str, schema,
+                        glob: str | None = None) -> DataFrame:
     """File-source stream over a parquet directory (one-file-per-trigger
-    unbounded reads at scale; schema must be explicit for streams)."""
-    return spark.readStream.schema(schema).parquet(path)
+    unbounded reads at scale; schema must be explicit for streams).
+    ``glob`` restricts to matching files inside the directory — the file
+    source requires a directory basePath."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
 
 
 def with_watermark(sdf: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:

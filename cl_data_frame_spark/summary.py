@@ -30,6 +30,11 @@ from pyspark.sql import types as T
 QUANTILES_THRESHOLD = 10
 #: minimum frame length for print-time summarization
 SUMMARY_MINIMUM_LENGTH = 10
+#: cap on distinct values pulled to the driver for the frequency table —
+#: the repr prints 10, so collecting every distinct value of a
+#: high-cardinality column (an OOM at scale) buys nothing. The true
+#: distinct count is reported separately via approx_count_distinct.
+FREQUENCY_COLLECT_CAP = 100
 
 
 @dataclass
@@ -64,16 +69,25 @@ class QuantilesSummary:
 @dataclass
 class GenericSummary:
     """Frequency table by descending count (cl-data-frame.lisp:84-117);
-    ``quantiles`` present when > threshold distinct reals."""
+    ``quantiles`` present when > threshold distinct reals. When quantiles
+    are computed, real-valued entries are dropped from the frequency list,
+    matching the reference (cl-data-frame.lisp:84-87). ``n_distinct`` is
+    the (approximate) total distinct count — ``frequencies`` is capped at
+    ``FREQUENCY_COLLECT_CAP`` entries so the driver never collects an
+    unbounded distinct set."""
     length: int
     frequencies: list[tuple[object, int]]
     quantiles: QuantilesSummary | None = None
+    n_distinct: int | None = None
 
     def __repr__(self):
         parts = []
         if self.quantiles is not None:
             parts.append(repr(self.quantiles))
         parts += [f"{v!r} ({c})" for v, c in self.frequencies[:10]]
+        shown = len(self.frequencies[:10])
+        if self.n_distinct is not None and self.n_distinct > shown:
+            parts.append(f"... ~{self.n_distinct} distinct")
         return ", ".join(parts) if parts else "(empty)"
 
 
@@ -97,12 +111,19 @@ def column_summary(frame, key: str):
     sdf = frame.spark_df_with_id
     if isinstance(dtype, T.BooleanType):
         row = sdf.agg(
-            F.count(key).alias("n"),
             F.sum(F.col(key).cast("long")).alias("ones")).collect()[0]
-        return BitSummary(length=row["n"] or 0, count=row["ones"] or 0)
+        # length is the column length (= frame length), not the non-null
+        # count — matches the reference's bit-vector summary.
+        return BitSummary(length=frame.nrow, count=row["ones"] or 0)
 
+    # Cap the driver collect: top-N by count (the repr shows 10) plus an
+    # approximate total distinct count. O(#distinct) stays on the executors.
+    stats = sdf.agg(
+        F.approx_count_distinct(key).alias("nd"),
+        F.count(key).alias("n")).collect()[0]
     freq_rows = (sdf.groupBy(key).count()
                  .orderBy(F.desc("count"), F.asc_nulls_last(key))
+                 .limit(FREQUENCY_COLLECT_CAP)
                  .collect())
     frequencies = [(r[0], r[1]) for r in freq_rows]
     quantiles = None
@@ -110,12 +131,15 @@ def column_summary(frame, key: str):
         distinct_reals = sum(1 for v, _ in frequencies if v is not None)
         if distinct_reals > QUANTILES_THRESHOLD:
             q = sdf.agg(
-                F.count(key).alias("n"),
                 F.expr(f"percentile({key}, array(0.0, 0.25, 0.5, 0.75, 1.0))")
                 .alias("qs")).collect()[0]
-            quantiles = QuantilesSummary(q["n"], *[float(x) for x in q["qs"]])
+            quantiles = QuantilesSummary(stats["n"],
+                                         *[float(x) for x in q["qs"]])
+            # reference drops real-valued entries from the frequency list
+            # once quantiles summarize them (cl-data-frame.lisp:84-87)
+            frequencies = [(v, c) for v, c in frequencies if v is None]
     return GenericSummary(length=frame.nrow, frequencies=frequencies,
-                          quantiles=quantiles)
+                          quantiles=quantiles, n_distinct=stats["nd"])
 
 
 def frame_repr(frame) -> str:
