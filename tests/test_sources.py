@@ -1,0 +1,77 @@
+"""Sources/sinks round-trips (SURVEY §2.2 'Scans/sources/sinks') plus
+plan-level checks that projection and filters reach the parquet reader
+(column pruning + predicate pushdown — the free wins Catalyst gives a
+declarative plan, verified so a regression is caught here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark import sources as S
+
+LI = "/root/testdata/sf0.001/lineitem.parquet"
+
+
+def _sorted(frame, cols):
+    return sorted(tuple(r) for r in frame.spark_df.select(*cols).collect())
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    fr = S.read_parquet(spark, LI, columns=["l_orderkey", "l_quantity"])
+    S.write_parquet(fr, str(tmp_path / "out"))
+    back = S.read_parquet(spark, str(tmp_path / "out"))
+    assert sorted(back.keys()) == ["l_orderkey", "l_quantity"]
+    assert _sorted(back, back.keys()) == _sorted(fr, back.keys())
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    fr = S.read_parquet(spark, LI, columns=["l_orderkey", "l_returnflag",
+                                            "l_quantity"])
+    S.write_parquet(fr, str(tmp_path / "p"), partition_by=["l_returnflag"])
+    back = S.read_parquet(spark, str(tmp_path / "p"))
+    pruned = back.spark_df.filter(F.col("l_returnflag") == "A")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must hit the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    exp = fr.spark_df.filter(F.col("l_returnflag") == "A").count()
+    assert pruned.count() == exp
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    fr = S.read_parquet(spark, LI, columns=["l_orderkey", "l_quantity"])
+    S.write_csv(fr, str(tmp_path / "c"))
+    back = S.read_csv(spark, str(tmp_path / "c"))
+    assert _sorted(back, ["l_orderkey", "l_quantity"]) == _sorted(
+        fr, ["l_orderkey", "l_quantity"])
+
+
+def test_json_roundtrip(spark, tmp_path):
+    fr = S.read_parquet(spark, LI, columns=["l_orderkey", "l_returnflag"])
+    S.write_json(fr, str(tmp_path / "j"))
+    back = S.read_json(spark, str(tmp_path / "j"))
+    assert _sorted(back, ["l_orderkey", "l_returnflag"]) == _sorted(
+        fr, ["l_orderkey", "l_returnflag"])
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    fr = S.read_parquet(spark, LI, columns=["l_orderkey", "l_quantity"])
+    S.write_orc(fr, str(tmp_path / "o"))
+    back = S.read_orc(spark, str(tmp_path / "o"))
+    assert _sorted(back, ["l_orderkey", "l_quantity"]) == _sorted(
+        fr, ["l_orderkey", "l_quantity"])
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """filter+select on a parquet frame: predicate in PushedFilters,
+    ReadSchema restricted to the selected columns."""
+    fr = S.read_parquet(spark, LI)
+    sub = fr.filter(F.col("l_quantity") > 45).select(
+        ["l_orderkey", "l_quantity"])
+    plan = sub.spark_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+    assert "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema

@@ -1,0 +1,157 @@
+"""Streaming verification (SURVEY §2.2 'Streaming'): every windowed
+aggregation is asserted against the identical batch aggregation — the
+logical plan is the same; Structured Streaming only changes execution —
+and the custom stateful operator runs as a real multi-micro-batch file
+stream into a memory sink.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark import streaming as ST
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _events_batch(spark):
+    # events.ts is parquet TIMESTAMP(NANOS); read nanos as long and convert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(EVENTS)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """The events table split into two parquet files so the file-source
+    stream runs (at least) two distinct input splits."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = _events_batch(spark)
+    n = ev.count()
+    ev.limit(n // 2).coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    ev.subtract(ev.limit(n // 2)).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "b"))
+    out = d / "in"
+    out.mkdir()
+    i = 0
+    for sub in ("a", "b"):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, out / f"part-{i}.parquet")
+            i += 1
+    return str(out)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dir):
+    batch = _events_batch(spark)
+    schema = batch.schema
+    stream = ST.read_stream_parquet(spark, stream_dir, schema)
+    agg = ST.tumbling_window_agg(stream, "ts", "1 hour", ["event_type"],
+                                 {"n": F.count(F.lit(1))})
+    out = agg.select(F.col("window.start").alias("ws"), "event_type", "n")
+    ST.run_stream_to_memory(out, "t_tumbling", output_mode="complete")
+    got = _sorted_rows(spark.table("t_tumbling"), ["ws", "event_type", "n"])
+    expected_df = (ST.tumbling_window_agg(batch, "ts", "1 hour",
+                                          ["event_type"],
+                                          {"n": F.count(F.lit(1))})
+                   .select(F.col("window.start").alias("ws"), "event_type", "n"))
+    assert got == _sorted_rows(expected_df, ["ws", "event_type", "n"])
+
+
+def test_session_stream_matches_batch(spark, stream_dir):
+    batch = _events_batch(spark)
+    stream = ST.read_stream_parquet(spark, stream_dir, batch.schema)
+    # session windows in streaming REQUIRE a watermark; a huge delay means
+    # nothing is treated as late, so results must equal the batch plan
+    agg = ST.session_window_agg(
+        ST.with_watermark(stream, "ts", "3650 days"),
+        "ts", "6 hours", ["user_id"], {"n": F.count(F.lit(1))})
+    out = agg.select("user_id",
+                     F.col("session_window.start").alias("ss"), "n")
+    ST.run_stream_to_memory(out, "t_session", output_mode="complete")
+    got = _sorted_rows(spark.table("t_session"), ["user_id", "ss", "n"])
+    expected_df = (ST.session_window_agg(batch, "ts", "6 hours", ["user_id"],
+                                         {"n": F.count(F.lit(1))})
+                   .select("user_id",
+                           F.col("session_window.start").alias("ss"), "n"))
+    assert got == _sorted_rows(expected_df, ["user_id", "ss", "n"])
+
+
+def test_stateful_running_totals_matches_batch(spark, stream_dir):
+    batch = _events_batch(spark)
+    stream = ST.read_stream_parquet(spark, stream_dir, batch.schema)
+    totals = ST.running_user_totals(stream)
+    ST.run_stream_to_memory(totals, "t_totals", output_mode="update")
+    # update mode emits one row per user per micro-batch; the final state
+    # is the row with the largest count per user
+    final = (spark.table("t_totals")
+             .groupBy("user_id")
+             .agg(F.max(F.struct("count", "total")).alias("s"))
+             .select("user_id", F.col("s.count").alias("count"),
+                     F.col("s.total").alias("total")))
+    got = {r["user_id"]: (r["count"], round(r["total"], 6))
+           for r in final.collect()}
+    exp = {r["user_id"]: (r["n"], round(r["total"], 6))
+           for r in (batch.groupBy("user_id")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("value").alias("total"))).collect()}
+    assert got == exp
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling agg with a watermark: a second micro-batch
+    carrying an event far older than the advanced watermark must not
+    resurrect (or create) its window."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "ts timestamp, user_id long, value double"
+    fresh = spark.createDataFrame(
+        [("2024-01-02 10:05:00", 1, 1.0), ("2024-01-02 11:20:00", 2, 2.0)],
+        "ts string, user_id long, value double").withColumn(
+            "ts", F.to_timestamp("ts"))
+    fresh.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    shutil.copy(next((tmp_path / "b1").glob("*.parquet")),
+                in_dir / "p0.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    agg = ST.tumbling_window_agg(
+        ST.with_watermark(stream, "ts", "10 minutes"),
+        "ts", "1 hour", [], {"n": F.count(F.lit(1))})
+    out = agg.select(F.col("window.start").alias("ws"), "n")
+    q = (out.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: one event a full day older than anything seen — far
+        # behind the watermark (max_ts 11:20 - 10 min)
+        late = spark.createDataFrame(
+            [("2024-01-01 10:00:00", 3, 9.0)],
+            "ts string, user_id long, value double").withColumn(
+                "ts", F.to_timestamp("ts"))
+        late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+        shutil.copy(next((tmp_path / "b2").glob("*.parquet")),
+                    in_dir / "p1.parquet")
+        q.processAllAvailable()
+        # batch 3: advance the watermark past both fresh windows so their
+        # finalized results flush in append mode
+        push = spark.createDataFrame(
+            [("2024-01-02 23:00:00", 4, 1.0)],
+            "ts string, user_id long, value double").withColumn(
+                "ts", F.to_timestamp("ts"))
+        push.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b3"))
+        shutil.copy(next((tmp_path / "b3").glob("*.parquet")),
+                    in_dir / "p2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    starts = {r["ws"].strftime("%Y-%m-%d %H:%M") for r in
+              spark.table("t_late").collect()}
+    assert "2024-01-02 10:00" in starts
+    assert "2024-01-02 11:00" in starts
+    assert not any(s.startswith("2024-01-01") for s in starts)
