@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: these assert the plan SHAPES the
+100 TB posture depends on (broadcast where intended, TakeOrdered for
+top-k, partial aggregation, no single-partition windows on the scale
+paths) so a refactor that silently degrades a plan fails here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(E.q_s_sort_topk(spark, sf_dir))
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    assert _plan(E.q_s_join_broadcast(spark, sf_dir)).count(
+        "BroadcastHashJoin") >= 2
+
+
+def test_group_agg_is_partial_then_final(spark, sf_dir):
+    p = _plan(E.q_s_join_fact(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2  # partial (map-side) + final
+
+
+def test_keyed_asof_has_no_global_window(spark, sf_dir):
+    p = _plan(E.q_s_asof_join(spark, sf_dir))
+    specs = [seg.split(")", 1)[0] for seg in
+             p.split("windowspecdefinition(")[1:]]
+    assert specs, "expected a window in the keyed as-of plan"
+    # every window must be partitioned (first spec element = a column,
+    # not an ordering) — an empty partitionBy would start with the
+    # order-by column followed by 'ASC'/'DESC' immediately
+    for s in specs:
+        first = s.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            f"unpartitioned global window in keyed as-of: {s[:80]}")
+
+
+def test_unkeyed_asof_fill_window_is_partitioned(spark, sf_dir):
+    p = _plan(E.q_s_asof_join_unkeyed(spark, sf_dir))
+    # the per-row fill window must be partitioned by the range partition id;
+    # only the npartitions-row carry table may use a global window
+    assert "windowspecdefinition(__pid__" in p
+
+
+def test_range_join_broadcast_is_nested_loop_probe(spark, sf_dir):
+    p = _plan(E.q_s_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_minhash_band_join_carries_no_shingles(spark, sf_dir):
+    """The LSH bucket self-join must move (id, band, hash) only — shingle
+    arrays attach after pair dedup, never through the banded shuffle."""
+    from cl_data_frame_spark.operators import dedup as X
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = X.minhash_near_duplicates(docs, num_hashes=16, bands=4,
+                                    jaccard_threshold=0.8)
+    p = _plan(out.spark_df)
+    joins = [seg for seg in p.split("SortMergeJoin")[1:]] + \
+            [seg for seg in p.split("ShuffledHashJoin")[1:]] + \
+            [seg for seg in p.split("BroadcastHashJoin")[1:]]
+    band_joins = [j for j in joins if "__bh__" in j.split("\n")[0]]
+    assert band_joins, "expected a band-bucket equi-join"
+    for j in band_joins:
+        assert "__sh__" not in j.split("\n")[0]
+
+
+def test_scalar_functions_whole_stage_codegen(spark, sf_dir):
+    p = _plan(E.q_s_scalar_functions(spark, sf_dir))
+    # '*(n)' prefixes are WholeStageCodegen stage markers; the whole
+    # project over the scan must live inside one codegen stage
+    assert p.lstrip().startswith("*(1) Project")
+
+
+def test_cosine_topk_no_shuffle(spark, sf_dir):
+    p = _plan(E.q_x_cosine_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # scan -> project -> heap; nothing moves
+
+
+def test_filter_pushdown_via_frame(spark, sf_dir):
+    from cl_data_frame_spark.sources import read_parquet
+    fr = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    sub = fr.filter(F.col("l_quantity") > 45).select(["l_orderkey"])
+    p = _plan(sub.spark_df)
+    assert "PushedFilters" in p
+    assert "l_quantity" in p.split("PushedFilters:", 1)[1].split("]", 1)[0]
