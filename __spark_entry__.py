@@ -392,6 +392,27 @@ def q_s_salted_join(spark, sf_dir):
     }).spark_df
 
 
+def q_s_join_semi(spark, sf_dir):
+    """Semi join: customers with at least one urgent order. The probe side
+    carries only the join key — no payload duplication, no fan-out."""
+    cust = _f(spark, sf_dir, "customer")
+    urgent = SparkFrame(_t(spark, sf_dir, "orders")
+                        .filter(F.col("o_orderpriority") == "1-URGENT"))
+    j = R.join(cust, urgent, on=[F.col("c_custkey") == F.col("o_custkey")],
+               how="left_semi")
+    return j.spark_df.select("c_custkey", "c_name")
+
+
+def q_s_join_anti(spark, sf_dir):
+    """Anti join: customers with no urgent order."""
+    cust = _f(spark, sf_dir, "customer")
+    urgent = SparkFrame(_t(spark, sf_dir, "orders")
+                        .filter(F.col("o_orderpriority") == "1-URGENT"))
+    j = R.join(cust, urgent, on=[F.col("c_custkey") == F.col("o_custkey")],
+               how="left_anti")
+    return j.spark_df.select("c_custkey", "c_mktsegment")
+
+
 def _wavg(price: pd.Series, qty: pd.Series) -> float:
     return float((price * qty).sum() / qty.sum())
 
@@ -535,6 +556,24 @@ def q_x_tfidf_topk(spark, sf_dir):
     return TS.tf_idf_topk(docs, k=3).spark_df
 
 
+def q_x_stopword_filter(spark, sf_dir):
+    """StopWordsRemover equivalent: content-token count after stopword
+    removal, next to the raw token count."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        F.size(TS.remove_stopwords("text")).alias("n_content_tokens"))
+
+
+def q_x_count_vectorize(spark, sf_dir):
+    """CountVectorizer equivalent in long form: (doc, term, vocab idx, tf)
+    with the vocabulary indexed by descending document frequency."""
+    docs = _f(spark, sf_dir, "documents")
+    out = TS.count_vectorize(docs, min_df=2)
+    return out.spark_df
+
+
 def q_x_media_dedup(spark, sf_dir):
     """Multimodal: binary payload column + sha2 content-hash dedup."""
     docs = _t(spark, sf_dir, "documents")
@@ -649,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_set_intersect_union": q_s_set_intersect_union,
         "s_distinct": q_s_distinct,
         "s_pivot": q_s_pivot,
+        "s_join_semi": q_s_join_semi,
+        "s_join_anti": q_s_join_anti,
         "s_asof_join": q_s_asof_join,
         "s_asof_join_unkeyed": q_s_asof_join_unkeyed,
         "s_range_join": q_s_range_join,
@@ -671,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_counts": q_x_token_counts,
         "x_fingerprints": q_x_fingerprints,
         "x_tfidf_topk": q_x_tfidf_topk,
+        "x_stopword_filter": q_x_stopword_filter,
+        "x_count_vectorize": q_x_count_vectorize,
         "x_media_dedup": q_x_media_dedup,
         "x_media_features": q_x_media_features,
         # streaming
@@ -796,6 +839,14 @@ _ORACLES: dict[str, str] = {
                sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p4,
                sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p5
         FROM orders GROUP BY o_orderstatus""",
+    "s_join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')""",
+    "s_join_anti": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')""",
     "s_asof_join": """
         WITH r AS (
             SELECT o_custkey AS user_id, o_orderdate AS ts,
@@ -1056,6 +1107,30 @@ _ORACLES: dict[str, str] = {
             FROM scored)
         SELECT doc_id, term, tf, tfidf, rank::INT AS rank
         FROM ranked WHERE rank <= 3""",
+    "x_stopword_filter": f"""
+        SELECT doc_id,
+               len({_TOKS})::INT AS n_tokens,
+               len(list_filter(list_transform({_TOKS}, t -> lower(t)),
+                   t -> NOT list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it'],
+                       t)))::INT AS n_content_tokens
+        FROM documents""",
+    "x_count_vectorize": """
+        WITH tc AS (
+            SELECT doc_id, lower(t) AS term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(list_filter(
+                      string_split_regex(trim(text), '\\s+'),
+                      t -> t <> '')) AS t
+                  FROM documents)
+            GROUP BY doc_id, lower(t)),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tc
+                  GROUP BY term HAVING count(*) >= 2),
+        vocab AS (SELECT term,
+                         (row_number() OVER (ORDER BY df DESC, term ASC)
+                          - 1)::INT AS idx
+                  FROM dfreq)
+        SELECT tc.doc_id, tc.term, vocab.idx, tc.tf
+        FROM tc JOIN vocab ON tc.term = vocab.term""",
     "x_media_dedup": """
         WITH h AS (SELECT doc_id AS media_id, sha256(text) AS digest
                    FROM documents)

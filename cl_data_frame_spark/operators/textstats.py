@@ -244,6 +244,51 @@ def tf_idf(frame, id_col: str = "doc_id", text_col: str = "text",
     return SparkFrame(out)
 
 
+def remove_stopwords(col, stopwords=None) -> Column:
+    """Token array minus stopwords (StopWordsRemover equivalent): pure
+    ``filter`` HOF over the lowercased whitespace tokens."""
+    stops = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    return F.filter(F.transform(tokens(col), F.lower),
+                    lambda t: ~F.array_contains(stops, t))
+
+
+def vocabulary(frame, id_col: str = "doc_id", text_col: str = "text",
+               min_df: int = 1, max_terms: int | None = None) -> SparkFrame:
+    """(term, idx, df): the CountVectorizer vocabulary — terms indexed by
+    descending document frequency (ties -> lexicographic), optionally
+    pruned by ``min_df`` / capped at ``max_terms``.
+
+    Scale: the vocabulary is one hash aggregation over (doc, term) rows;
+    the global index is a window rank over the term dictionary, which is
+    tiny next to the corpus (and capped when ``max_terms`` is set).
+    """
+    from pyspark.sql import Window
+    dfreq = _plain(document_frequencies(frame, id_col, text_col))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    vocab = dfreq.withColumn("idx", F.row_number().over(w) - 1)
+    if max_terms is not None:
+        vocab = vocab.filter(F.col("idx") < max_terms)
+    return SparkFrame(vocab.select("term", "idx", "df"))
+
+
+def count_vectorize(frame, id_col: str = "doc_id", text_col: str = "text",
+                    min_df: int = 1, max_terms: int | None = None) -> SparkFrame:
+    """(doc, term, idx, tf): term counts joined to the vocabulary index —
+    CountVectorizer output in long (relational) form; pivot to arrays with
+    ``collect_list`` over (idx, tf) if a dense-vector shape is needed.
+
+    Scale: broadcast-sized join on ``term`` (the vocabulary), partial-agg
+    term counts; no fitted model object, no driver-side vocab collect.
+    """
+    tc = _plain(term_counts(frame, id_col, text_col))
+    vocab = _plain(vocabulary(frame, id_col, text_col, min_df, max_terms))
+    out = (tc.join(F.broadcast(vocab.select("term", "idx")), on="term")
+           .select(id_col, "term", "idx", "tf"))
+    return SparkFrame(out)
+
+
 def tf_idf_topk(frame, k: int = 3, id_col: str = "doc_id",
                 text_col: str = "text") -> SparkFrame:
     """Top-k terms per document by TF-IDF (ties -> lexicographically first
