@@ -460,10 +460,11 @@ def q_x_dedup_normalized(spark, sf_dir):
 
 def q_x_minhash_neardup(spark, sf_dir):
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
-    128 hashes / 32 bands -> recall at j>=0.8 is 1-(1-0.8^4)^32 ~ 1-5e-8,
-    so the verified output equals the exact-Jaccard pair set."""
+    96 hashes / 24 bands (r=4) -> recall at j>=0.8 is 1-(1-0.8^4)^24
+    ~ 1-3e-6, so the verified output equals the exact-Jaccard pair set;
+    96 aggregate columns also stays under spark.sql.codegen.maxFields."""
     docs = _f(spark, sf_dir, "documents")
-    out = X.minhash_near_duplicates(docs, num_hashes=128, bands=32,
+    out = X.minhash_near_duplicates(docs, num_hashes=96, bands=24,
                                     shingle_k=5, jaccard_threshold=0.8)
     return out.spark_df
 
@@ -583,6 +584,18 @@ def q_x_media_dedup(spark, sf_dir):
     deduped = MM.dedup_media(media)
     return deduped.spark_df.select(
         "media_id", MM.content_hash("payload").alias("digest"))
+
+
+def q_x_media_frames(spark, sf_dir):
+    """Multimodal: frame-sampling plumbing — evenly spaced binary chunks
+    per payload (keyframe-extraction stand-in), counted per media id."""
+    docs = _t(spark, sf_dir, "documents")
+    media = SparkFrame(docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload")))
+    frames = MM.frame_sample(media, every_n_bytes=64, frame_bytes=16,
+                             max_frames=8)
+    return frames.spark_df.select("media_id", "n_frames")
 
 
 def q_x_media_features(spark, sf_dir):
@@ -715,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stopword_filter": q_x_stopword_filter,
         "x_count_vectorize": q_x_count_vectorize,
         "x_media_dedup": q_x_media_dedup,
+        "x_media_frames": q_x_media_frames,
         "x_media_features": q_x_media_features,
         # streaming
         "st_tumbling": q_st_tumbling,
@@ -1135,6 +1149,11 @@ _ORACLES: dict[str, str] = {
         WITH h AS (SELECT doc_id AS media_id, sha256(text) AS digest
                    FROM documents)
         SELECT min(media_id) AS media_id, digest FROM h GROUP BY digest""",
+    "x_media_frames": """
+        SELECT doc_id AS media_id,
+               least(greatest(floor(octet_length(encode(text)) / 64.0), 1),
+                     8)::INT AS n_frames
+        FROM documents""",
     "st_tumbling": """
         SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_us,
                event_type, count(*)::BIGINT AS n,

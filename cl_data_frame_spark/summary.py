@@ -116,11 +116,18 @@ def column_summary(frame, key: str):
         # count — matches the reference's bit-vector summary.
         return BitSummary(length=frame.nrow, count=row["ones"] or 0)
 
-    # Cap the driver collect: top-N by count (the repr shows 10) plus an
-    # approximate total distinct count. O(#distinct) stays on the executors.
-    stats = sdf.agg(
-        F.approx_count_distinct(key).alias("nd"),
-        F.count(key).alias("n")).collect()[0]
+    # Two jobs total: one combined aggregate (count + approx distinct +,
+    # for numerics, the exact 5-point percentile — computed eagerly since
+    # deciding after the frequency pass would cost a third scan), and one
+    # capped top-N frequency collect. O(#distinct) stays on the executors;
+    # the driver never sees more than FREQUENCY_COLLECT_CAP values.
+    aggs = [F.approx_count_distinct(key).alias("nd"),
+            F.count(key).alias("n")]
+    if _is_numeric(dtype):
+        aggs.append(
+            F.expr(f"percentile({key}, array(0.0, 0.25, 0.5, 0.75, 1.0))")
+            .alias("qs"))
+    stats = sdf.agg(*aggs).collect()[0]
     freq_rows = (sdf.groupBy(key).count()
                  .orderBy(F.desc("count"), F.asc_nulls_last(key))
                  .limit(FREQUENCY_COLLECT_CAP)
@@ -129,12 +136,9 @@ def column_summary(frame, key: str):
     quantiles = None
     if _is_numeric(dtype):
         distinct_reals = sum(1 for v, _ in frequencies if v is not None)
-        if distinct_reals > QUANTILES_THRESHOLD:
-            q = sdf.agg(
-                F.expr(f"percentile({key}, array(0.0, 0.25, 0.5, 0.75, 1.0))")
-                .alias("qs")).collect()[0]
+        if distinct_reals > QUANTILES_THRESHOLD and stats["qs"] is not None:
             quantiles = QuantilesSummary(stats["n"],
-                                         *[float(x) for x in q["qs"]])
+                                         *[float(x) for x in stats["qs"]])
             # reference drops real-valued entries from the frequency list
             # once quantiles summarize them (cl-data-frame.lisp:84-87)
             frequencies = [(v, c) for v, c in frequencies if v is None]
