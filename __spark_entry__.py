@@ -328,6 +328,45 @@ def q_s_pivot(spark, sf_dir):
     return sdf.select("o_orderstatus", "p1", "p2", "p3", "p4", "p5")
 
 
+def q_s_unpivot(spark, sf_dir):
+    """Unpivot/melt: part's numeric measures to (variable, value) rows —
+    a no-shuffle Expand, rows x #measures."""
+    part = _f(spark, sf_dir, "part")
+    out = R.unpivot(part, ["p_partkey"], ["p_size", "p_retailprice"],
+                    "measure", "val")
+    return out.spark_df.select("p_partkey", "measure",
+                               F.col("val").cast("double").alias("val"))
+
+
+def q_s_group_quantiles(spark, sf_dir):
+    """Per-group exact quantiles: median + p90 of extendedprice per
+    returnflag (ordered-set aggregate analog)."""
+    li = _f(spark, sf_dir, "lineitem")
+    return R.group_agg(li, ["l_returnflag"], {
+        "n": F.count(F.lit(1)),
+        "p50": F.expr("percentile(l_extendedprice, 0.5)"),
+        "p90": F.expr("percentile(l_extendedprice, 0.9)"),
+    }).spark_df
+
+
+def q_s_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: event counts at (day,
+    hour) with ROLLUP so day totals and the grand total come out of the
+    same shuffle (one pass, grouping sets)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    fr = SparkFrame(ev.select(day.alias("d"), hour.alias("h"), "value"))
+    out = R.group_agg(fr, ["d", "h"], {
+        "n": F.count(F.lit(1)),
+        "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
+                      .cast("double"),
+    }, kind="rollup")
+    return out.spark_df.select(
+        F.unix_micros("d").alias("d_us"), F.unix_micros("h").alias("h_us"),
+        "n", "sum_value")
+
+
 def q_s_asof_join(spark, sf_dir):
     """As-of join (keyed): latest order at or before each event, per user.
     Union + last-over-window: one hash shuffle on the key, O(1) state."""
@@ -701,6 +740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_set_intersect_union": q_s_set_intersect_union,
         "s_distinct": q_s_distinct,
         "s_pivot": q_s_pivot,
+        "s_unpivot": q_s_unpivot,
+        "s_group_quantiles": q_s_group_quantiles,
+        "s_time_rollup": q_s_time_rollup,
         "s_join_semi": q_s_join_semi,
         "s_join_anti": q_s_join_anti,
         "s_asof_join": q_s_asof_join,
@@ -853,6 +895,24 @@ _ORACLES: dict[str, str] = {
                sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p4,
                sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p5
         FROM orders GROUP BY o_orderstatus""",
+    "s_unpivot": """
+        SELECT p_partkey, measure, val::DOUBLE AS val FROM (
+            SELECT p_partkey, 'p_size' AS measure, p_size::DOUBLE AS val
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)""",
+    "s_group_quantiles": """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90
+        FROM lineitem GROUP BY l_returnflag""",
+    "s_time_rollup": """
+        SELECT epoch_us(date_trunc('day', ts)) AS d_us,
+               epoch_us(date_trunc('hour', ts)) AS h_us,
+               count(*)::BIGINT AS n,
+               (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+        FROM events
+        GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))""",
     "s_join_semi": """
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders

@@ -146,6 +146,18 @@ def pivot(frame: SparkFrame, group_key: str, pivot_key: str, values,
     return SparkFrame(out)
 
 
+def unpivot(frame: SparkFrame, ids: Sequence[str], values: Sequence[str],
+            var_name: str = "variable", value_name: str = "value") -> SparkFrame:
+    """Unpivot / melt: wide value columns -> (variable, value) long rows.
+
+    Spark plans this as a generator expansion (Expand node) — a narrow,
+    per-row operation with no shuffle; output rows = input rows x
+    len(values).
+    """
+    out = _plain(frame).unpivot(list(ids), list(values), var_name, value_name)
+    return SparkFrame(out)
+
+
 def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = None,
               direction: str = "backward", right_prefix: str = "r_") -> SparkFrame:
     """As-of join: for each left row, the latest right row with
