@@ -34,6 +34,9 @@ HEADLINE = [
     "s_sort_topk",             # TakeOrderedAndProject
     "s_set_intersect_union",   # set ops
     "s_pivot",                 # pivot
+    "s_unpivot",               # melt (Expand, no shuffle)
+    "s_group_quantiles",       # per-group exact percentiles
+    "s_time_rollup",           # day/hour grouping-sets rollup
     "s_asof_join",             # keyed as-of join
     "s_asof_join_unkeyed",     # range-partitioned as-of join
     "s_range_join",            # interval probe
@@ -50,6 +53,7 @@ HEADLINE = [
     "x_similarity_join_topk",  # blocked top-k similarity join
     "x_text_quality",          # text metrics
     "x_tfidf_topk",            # TF-IDF top-k terms
+    "x_count_vectorize",       # vocabulary + long-form counts
     "st_tumbling",             # windowed agg (batch == stream plan)
     "st_session",              # session windows
 ]

@@ -786,9 +786,9 @@ class SparkFrame:
 
     # -- summaries / printing (R26-R28) ------------------------------------------
 
-    def column_summary(self, key: str):
+    def column_summary(self, key: str, approximate: bool = False):
         from .summary import column_summary
-        return column_summary(self, key)
+        return column_summary(self, key, approximate=approximate)
 
     def __repr__(self) -> str:
         from .summary import frame_repr

@@ -103,9 +103,15 @@ def _is_numeric(dtype: T.DataType) -> bool:
                               T.FloatType, T.DoubleType, T.DecimalType))
 
 
-def column_summary(frame, key: str):
+def column_summary(frame, key: str, approximate: bool = False):
     """Summarize one column, dispatching on type like the reference's
-    ``column-summary`` generic (cl-data-frame.lisp:63-90)."""
+    ``column-summary`` generic (cl-data-frame.lisp:63-90).
+
+    ``approximate=True`` swaps the exact ``percentile`` (which buffers the
+    column per partition before one merge) for ``approx_percentile``
+    (a fixed-size QuantileSummaries sketch, mergeable map-side) — the
+    100 TB path; quantiles then carry bounded rank error instead of being
+    exact."""
     frame._keys.index(key)
     dtype = dict((f.name, f.dataType) for f in frame.spark_df.schema)[key]
     sdf = frame.spark_df_with_id
@@ -116,24 +122,42 @@ def column_summary(frame, key: str):
         # count — matches the reference's bit-vector summary.
         return BitSummary(length=frame.nrow, count=row["ones"] or 0)
 
-    # Two jobs total: one combined aggregate (count + approx distinct +,
-    # for numerics, the exact 5-point percentile — computed eagerly since
-    # deciding after the frequency pass would cost a third scan), and one
-    # capped top-N frequency collect. O(#distinct) stays on the executors;
-    # the driver never sees more than FREQUENCY_COLLECT_CAP values.
+    # One combined aggregate (row/non-null/approx-distinct counts +, for
+    # numerics, the exact 5-point percentile — computed eagerly since
+    # deciding after a frequency pass would cost another scan). The capped
+    # top-N frequency job only runs when its output can survive: once
+    # quantiles summarize a numeric column, the reference keeps only
+    # non-real frequency entries (cl-data-frame.lisp:84-87) and the sole
+    # non-real value a typed numeric column can hold is null — whose count
+    # job 1 already knows — so the groupBy shuffle is skipped entirely.
     aggs = [F.approx_count_distinct(key).alias("nd"),
-            F.count(key).alias("n")]
+            F.count(key).alias("n"),
+            F.count(F.lit(1)).alias("nrows")]
     if _is_numeric(dtype):
+        pfn = "approx_percentile" if approximate else "percentile"
         aggs.append(
-            F.expr(f"percentile({key}, array(0.0, 0.25, 0.5, 0.75, 1.0))")
+            F.expr(f"{pfn}({key}, array(0.0, 0.25, 0.5, 0.75, 1.0))")
             .alias("qs"))
     stats = sdf.agg(*aggs).collect()[0]
+    n_nulls = stats["nrows"] - stats["n"]
+
+    quantiles = None
+    if (_is_numeric(dtype) and stats["qs"] is not None
+            # nd is approximate (~2% rse) — only trust it well clear of the
+            # threshold; in the uncertain band fall through to the exact
+            # frequency pass below
+            and stats["nd"] > QUANTILES_THRESHOLD * 2):
+        quantiles = QuantilesSummary(stats["n"],
+                                     *[float(x) for x in stats["qs"]])
+        frequencies = [(None, n_nulls)] if n_nulls else []
+        return GenericSummary(length=frame.nrow, frequencies=frequencies,
+                              quantiles=quantiles, n_distinct=stats["nd"])
+
     freq_rows = (sdf.groupBy(key).count()
                  .orderBy(F.desc("count"), F.asc_nulls_last(key))
                  .limit(FREQUENCY_COLLECT_CAP)
                  .collect())
     frequencies = [(r[0], r[1]) for r in freq_rows]
-    quantiles = None
     if _is_numeric(dtype):
         distinct_reals = sum(1 for v, _ in frequencies if v is not None)
         if distinct_reals > QUANTILES_THRESHOLD and stats["qs"] is not None:

@@ -37,6 +37,27 @@ def test_quantiles_above_threshold(spark):
     assert q.q25 == 25.75 and q.q75 == 75.25
 
 
+def test_quantiles_approximate_path(spark):
+    # the 100 TB path: approx_percentile sketch instead of exact buffering;
+    # on a small uniform column the sketch is exact at min/max and close
+    # at the interior points
+    vals = [float(i) for i in range(1, 101)]
+    fr = df(spark, "x", vals)
+    s = fr.column_summary("x", approximate=True)
+    q = s.quantiles
+    assert q is not None
+    assert q.min == 1.0 and q.max == 100.0
+    assert abs(q.q50 - 50.5) <= 1.0
+
+
+def test_quantiles_with_nulls_keeps_null_frequency(spark):
+    vals = [float(i) for i in range(1, 101)] + [None] * 5
+    fr = df(spark, "x", vals, element_types={"x": float})
+    s = fr.column_summary("x")
+    assert s.quantiles is not None and s.quantiles.count == 100
+    assert (None, 5) in s.frequencies
+
+
 def test_frequency_below_threshold(spark):
     # <=10 distinct -> frequency table desc by count, no quantiles
     vals = [1, 1, 1, 2, 2, 3] * 4
