@@ -188,6 +188,102 @@ def q_r_summary_bits(spark, sf_dir):
                                  "length bigint, ones bigint")
 
 
+def q_r_alist_plist(spark, sf_dir):
+    """R3: alist_df / plist_df constructors round-trip the region table."""
+    data = _f(spark, sf_dir, "region").as_dict()
+    alist = list(data.items())
+    plist = [x for k in data for x in (k, data[k])]
+    from cl_data_frame_spark.frame import alist_df, plist_df
+    a = alist_df(spark, alist)
+    p = plist_df(spark, plist)
+    return a.spark_df.unionByName(p.spark_df)
+
+
+def q_r_matrix_df(spark, sf_dir):
+    """R4/R5: as_array (frame -> row-major matrix) -> matrix_df round-trip
+    over nation's integer columns."""
+    fr = _f(spark, sf_dir, "nation").select(["n_nationkey", "n_regionkey"])
+    matrix = fr.as_array()
+    rebuilt = SparkFrame.matrix_df(spark, ["n_nationkey", "n_regionkey"],
+                                   matrix)
+    return rebuilt.spark_df
+
+
+def q_r_keys_dims(spark, sf_dir):
+    """R7/R24/R25: keys / column_length / nrow / ncol / dims."""
+    fr = _f(spark, sf_dir, "nation")
+    return spark.createDataFrame(
+        [(",".join(fr.keys()), fr.column_length("n_name"),
+          fr.nrow, fr.ncol, fr.dims[0], fr.dims[1])],
+        "keys string, collen bigint, nrow bigint, ncol bigint, "
+        "d0 bigint, d1 bigint")
+
+
+def q_r_column_get_set(spark, sf_dir):
+    """R8/R9: column() eager fetch + (setf column) replacement."""
+    fr = _f(spark, sf_dir, "region")
+    names = fr.column("r_name")              # driver-side list, ingest order
+    fr.set_column_("r_name", [n.lower() for n in names])
+    return fr.spark_df.select("r_regionkey", "r_name")
+
+
+def q_r_map_columns(spark, sf_dir):
+    """R11: map_columns — one expression applied to every column."""
+    fr = _f(spark, sf_dir, "nation").select(["n_nationkey", "n_regionkey"])
+    out = fr.map_columns(lambda c: c * 2 + 1)
+    return out.spark_df
+
+
+def q_r_datavector_slice(spark, sf_dir):
+    """R13: scalar row slice -> DataVector; key slice on it -> scalar."""
+    fr = _f(spark, sf_dir, "customer")
+    ordered = R.order_by(fr, "c_custkey")
+    dv = ordered.slice(0, ["c_custkey", "c_name", "c_acctbal"])
+    return spark.createDataFrame(
+        [(dv["c_custkey"], dv["c_name"], dv["c_acctbal"])],
+        "c_custkey bigint, c_name string, c_acctbal double")
+
+
+def q_r_do_rows(spark, sf_dir):
+    """R18: do_rows — ordered driver-side side effects (accumulator)."""
+    fr = _f(spark, sf_dir, "region")
+    acc: list[int] = []
+    fr.do_rows(["r_regionkey"], lambda k: acc.append(int(k)))
+    return spark.createDataFrame(
+        [(len(acc), sum(acc))], "n bigint, total bigint")
+
+
+def q_r_copy_isolation(spark, sf_dir):
+    """R22/R23: copy() isolates destructive replace_column_ from the
+    original (returns the ORIGINAL, unchanged)."""
+    fr = _f(spark, sf_dir, "part").select(["p_partkey", "p_size"])
+    clone = fr.copy()
+    clone.replace_column_("p_size", lambda s: s * 1000)
+    return fr.spark_df
+
+
+def q_r_errors(spark, sf_dir):
+    """R29: error surface — KeyNotFound (with valid keys listed),
+    DuplicateKey, ColumnLengthMismatch, each raised and caught."""
+    from cl_data_frame_spark.errors import (ColumnLengthMismatch,
+                                            DuplicateKey, KeyNotFound)
+    fr = _f(spark, sf_dir, "region")
+    caught = []
+    try:
+        fr.column("no_such_column")
+    except KeyNotFound as e:
+        caught.append(("KeyNotFound", "r_name" in str(e)))
+    try:
+        fr.add_column_("r_name", [1, 2, 3, 4, 5])
+    except DuplicateKey:
+        caught.append(("DuplicateKey", True))
+    try:
+        fr.add_column_("extra", [1, 2, 3])
+    except ColumnLengthMismatch:
+        caught.append(("ColumnLengthMismatch", True))
+    return spark.createDataFrame(caught, "error string, ok boolean")
+
+
 # ===========================================================================
 # Tier S — relational completion (SURVEY §2.2)
 # ===========================================================================
@@ -724,6 +820,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_map_df": q_r_map_df,
         "r_add_replace": q_r_add_replace,
         "r_slice_positional": q_r_slice_positional,
+        "r_alist_plist": q_r_alist_plist,
+        "r_matrix_df": q_r_matrix_df,
+        "r_keys_dims": q_r_keys_dims,
+        "r_column_get_set": q_r_column_get_set,
+        "r_map_columns": q_r_map_columns,
+        "r_datavector_slice": q_r_datavector_slice,
+        "r_do_rows": q_r_do_rows,
+        "r_copy_isolation": q_r_copy_isolation,
+        "r_errors": q_r_errors,
         "r_summary_quantiles": q_r_summary_quantiles,
         "r_summary_freq": q_r_summary_freq,
         "r_summary_bits": q_r_summary_bits,
@@ -813,6 +918,33 @@ _ORACLES: dict[str, str] = {
     "r_slice_positional": """
         SELECT c_custkey, c_name, c_acctbal FROM customer
         ORDER BY c_custkey LIMIT 10 OFFSET 100""",
+    "r_alist_plist": """
+        SELECT * FROM region UNION ALL SELECT * FROM region""",
+    "r_matrix_df": """
+        SELECT n_nationkey, n_regionkey FROM nation""",
+    "r_keys_dims": """
+        SELECT 'n_nationkey,n_name,n_regionkey' AS keys,
+               count(*)::BIGINT AS collen, count(*)::BIGINT AS nrow,
+               3::BIGINT AS ncol, count(*)::BIGINT AS d0, 3::BIGINT AS d1
+        FROM nation""",
+    "r_column_get_set": """
+        SELECT r_regionkey, lower(r_name) AS r_name FROM region""",
+    "r_map_columns": """
+        SELECT n_nationkey * 2 + 1 AS n_nationkey,
+               n_regionkey * 2 + 1 AS n_regionkey
+        FROM nation""",
+    "r_datavector_slice": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_custkey LIMIT 1""",
+    "r_do_rows": """
+        SELECT count(*)::BIGINT AS n, sum(r_regionkey)::BIGINT AS total
+        FROM region""",
+    "r_copy_isolation": """
+        SELECT p_partkey, p_size FROM part""",
+    "r_errors": """
+        SELECT * FROM (VALUES ('KeyNotFound', true), ('DuplicateKey', true),
+                              ('ColumnLengthMismatch', true))
+            AS t(error, ok)""",
     "r_summary_quantiles": """
         SELECT count(l_extendedprice)::BIGINT AS n,
                min(l_extendedprice) AS min,

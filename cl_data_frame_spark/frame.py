@@ -27,8 +27,10 @@ Python callables fall back to Arrow-vectorized ``pandas_udf`` /
 from __future__ import annotations
 
 import datetime as _dt
+import numbers
 from collections.abc import Callable, Iterable, Mapping, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -56,6 +58,29 @@ ALL = ALL()
 # type inference for driver-side literal columns
 # ---------------------------------------------------------------------------
 
+def _kind(v) -> type:
+    """Classify a value for type inference — numpy scalars (np.int64 from
+    ``as_array`` round-trips, np.float64 from pandas) count as their
+    Python kind, not as opaque objects."""
+    if isinstance(v, (bool, np.bool_)):
+        return bool
+    if isinstance(v, numbers.Integral):
+        return int
+    if isinstance(v, numbers.Real):
+        return float
+    if isinstance(v, str):
+        return str
+    if isinstance(v, (bytes, bytearray)):
+        return bytes
+    if isinstance(v, _dt.datetime):
+        return _dt.datetime
+    if isinstance(v, _dt.date):
+        return _dt.date
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return list
+    return object
+
+
 def _infer_type(values) -> T.DataType:
     """Infer a Spark type from Python values (first non-None wins).
 
@@ -66,7 +91,7 @@ def _infer_type(values) -> T.DataType:
     sample = next((v for v in values if v is not None), None)
     if sample is None:
         return T.StringType()
-    kinds = {type(v) for v in values if v is not None}
+    kinds = {_kind(v) for v in values if v is not None}
     if kinds == {bool}:
         return T.BooleanType()
     if kinds <= {int, bool}:
@@ -81,7 +106,7 @@ def _infer_type(values) -> T.DataType:
         return T.TimestampType()
     if kinds == {_dt.date}:
         return T.DateType()
-    if kinds <= {list, tuple}:
+    if kinds <= {list}:
         flat = [x for v in values if v is not None for x in v]
         return T.ArrayType(_infer_type(flat))
     return T.StringType()
