@@ -738,9 +738,13 @@ class SparkFrame:
     def add_column_(self, key: str, column) -> "SparkFrame":
         """Destructive append (add-column!, cl-data-frame.lisp:367-373):
         duplicate-key error, length-checked, mutates this wrapper."""
-        self._keys.add(key)  # raises DuplicateKey
-        self._df = self._with_column_df(key, column).select(
-            ROW_ID, *self._keys.keys())
+        if key in self._keys:
+            self._keys.add(key)  # raises DuplicateKey with the message
+        # build (and length-check) the new df BEFORE mutating the key
+        # registry, so a failed add leaves the wrapper untouched
+        new_df = self._with_column_df(key, column)
+        self._keys.add(key)
+        self._df = new_df.select(ROW_ID, *self._keys.keys())
         return self
 
     def add_columns_(self, *args) -> "SparkFrame":

@@ -236,6 +236,14 @@ class TestAddReplace:
         with pytest.raises(ColumnLengthMismatch):
             base.add_column_("b", [1, 2])
 
+    def test_failed_add_leaves_frame_untouched(self, spark):
+        # a rejected add must not leak the key into the registry
+        base = df(spark, "a", [1, 2, 3])
+        with pytest.raises(ColumnLengthMismatch):
+            base.add_column_("b", [1, 2])
+        assert base.keys() == ["a"]
+        assert base.as_dict() == {"a": [1, 2, 3]}
+
     def test_derived_column_pipeline(self, spark):
         # c = map-rows(a, b, *) -> [4, 10, 18] (:141-149)
         base = df(spark, "a", [1, 2, 3], "b", [4, 5, 6])
