@@ -211,13 +211,19 @@ def minhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
         cutoff = max(jaccard_threshold - 5.0 * sd, 0.0)
         pairs = (pairs.filter(est >= cutoff)
                  .select("id_a", "id_b"))
-        sh_a = shingled.select(F.col(id_col).alias("id_a"),
-                               F.col("__sh__").alias("sh_a"))
-        sh_b = shingled.select(F.col(id_col).alias("id_b"),
-                               F.col("__sh__").alias("sh_b"))
+        # exact verify over HASHED shingles: one array_intersect on longs
+        # per pair (|union| derived as |a|+|b|-|inter| — no array_union
+        # allocation; long equality beats string equality in the set probe)
+        hashed_sh = shingled.select(
+            id_col, F.array_distinct(
+                F.transform("__sh__", lambda s: F.xxhash64(s))).alias("__hs__"))
+        sh_a = hashed_sh.select(F.col(id_col).alias("id_a"),
+                                F.col("__hs__").alias("sh_a"))
+        sh_b = hashed_sh.select(F.col(id_col).alias("id_b"),
+                                F.col("__hs__").alias("sh_b"))
         pairs = pairs.join(sh_a, on="id_a").join(sh_b, on="id_b")
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        uni = F.size(F.array_union("sh_a", "sh_b"))
+        uni = F.size("sh_a") + F.size("sh_b") - inter
         pairs = (pairs.withColumn("jaccard", inter / uni)
                  .filter(F.col("jaccard") >= jaccard_threshold)
                  .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
@@ -247,8 +253,13 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
     """
     base = ensure_min_partitions(_plain(frame).select(
         id_col, *([block_col] if block_col else []), text_col))
+    # n-grams are hashed to longs at build time: the per-pair set probe
+    # compares longs, not strings, and Jaccard needs only sizes (64-bit
+    # collisions shift a 50-element set's size with P ~ 1e-16)
     ng = base.select(id_col, *([block_col] if block_col else []),
-                     word_ngrams(text_col, n).alias("__ng__"))
+                     F.array_distinct(F.transform(
+                         word_ngrams(text_col, n),
+                         lambda g: F.xxhash64(g))).alias("__ng__"))
     on = [block_col] if block_col else []
     ids = ng.select(*on, id_col)
     pairs = (ids.select(*on, F.col(id_col).alias("id_a"))
@@ -266,7 +277,7 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
               .join(ng_slim.select(F.col(id_col).alias("id_b"),
                                    F.col("__ng__").alias("ng_b")), on="id_b"))
     inter = F.size(F.array_intersect("ng_a", "ng_b"))
-    uni = F.size(F.array_union("ng_a", "ng_b"))
+    uni = F.size("ng_a") + F.size("ng_b") - inter
     out = (joined.withColumn("jaccard", inter / uni)
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))

