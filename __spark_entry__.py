@@ -574,6 +574,25 @@ def q_s_scalar_functions(spark, sf_dir):
         F.length("o_orderpriority").alias("prio_len"))
 
 
+def q_s_collection_functions(spark, sf_dir):
+    """Scalar surface, collection half: array construction/HOFs, map
+    entries, JSON build+extract — all codegen'd expressions."""
+    nat = _t(spark, sf_dir, "nation")
+    arr = F.array("n_nationkey", "n_regionkey")
+    return nat.select(
+        "n_nationkey",
+        F.aggregate(arr, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("arr_sum"),
+        F.array_max(arr).alias("arr_max"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+        F.get_json_object(
+            F.to_json(F.struct(F.col("n_name").alias("name"),
+                               F.col("n_regionkey").alias("region"))),
+            "$.name").alias("json_name"),
+        F.element_at(F.create_map(F.lit("k"), F.col("n_name")),
+                     "k").alias("map_val"))
+
+
 # ===========================================================================
 # Tier X — LLM-pipeline extensions (SURVEY §2.3)
 # ===========================================================================
@@ -856,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_salted_join": q_s_salted_join,
         "s_udaf_wavg": q_s_udaf_wavg,
         "s_scalar_functions": q_s_scalar_functions,
+        "s_collection_functions": q_s_collection_functions,
         # Tier X
         "x_dedup_exact": q_x_dedup_exact,
         "x_dedup_normalized": q_x_dedup_normalized,
@@ -1097,6 +1117,18 @@ _ORACLES: dict[str, str] = {
                concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
                length(o_orderpriority)::INT AS prio_len
         FROM orders""",
+    "s_collection_functions": """
+        SELECT n_nationkey,
+               (n_nationkey + n_regionkey)::BIGINT AS arr_sum,
+               greatest(n_nationkey, n_regionkey) AS arr_max,
+               CASE WHEN n_nationkey = n_regionkey THEN 1 ELSE 2 END::INT
+                   AS n_distinct,
+               json_extract_string(
+                   to_json(struct_pack(name := n_name,
+                                       region := n_regionkey)),
+                   '$.name') AS json_name,
+               n_name AS map_val
+        FROM nation""",
     "x_dedup_exact": "SELECT DISTINCT lang, source FROM documents",
     "x_dedup_normalized": """
         WITH fp AS (
