@@ -64,6 +64,20 @@ def test_tumbling_stream_matches_batch(spark, stream_dir):
     assert got == _sorted_rows(expected_df, ["ws", "event_type", "n"])
 
 
+def test_sliding_stream_matches_batch(spark, stream_dir):
+    batch = _events_batch(spark)
+    stream = ST.read_stream_parquet(spark, stream_dir, batch.schema)
+    agg = ST.sliding_window_agg(stream, "ts", "2 hours", "1 hour", [],
+                                {"n": F.count(F.lit(1))})
+    out = agg.select(F.col("window.start").alias("ws"), "n")
+    ST.run_stream_to_memory(out, "t_sliding", output_mode="complete")
+    got = _sorted_rows(spark.table("t_sliding"), ["ws", "n"])
+    expected_df = (ST.sliding_window_agg(batch, "ts", "2 hours", "1 hour",
+                                         [], {"n": F.count(F.lit(1))})
+                   .select(F.col("window.start").alias("ws"), "n"))
+    assert got == _sorted_rows(expected_df, ["ws", "n"])
+
+
 def test_session_stream_matches_batch(spark, stream_dir):
     batch = _events_batch(spark)
     stream = ST.read_stream_parquet(spark, stream_dir, batch.schema)
