@@ -34,6 +34,9 @@ from cl_data_frame_spark import streaming as ST
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver's session may not be UTC; DuckDB timestamps are TZ-naive,
+    # so pin the session TZ for every timestamp-touching expression
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
