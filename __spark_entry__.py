@@ -513,6 +513,23 @@ def q_s_range_join(spark, sf_dir):
     }).spark_df
 
 
+def q_s_bucketed_range_join(spark, sf_dir):
+    """Range join, two-large-sides path: coarse grid overlay + bucket
+    equi-join + residual predicate — hash shuffle on the bucket id, no
+    broadcast, no cross product. Same result as s_range_join."""
+    li = _f(spark, sf_dir, "lineitem")
+    bands = SparkFrame(spark.createDataFrame(
+        [("A", 0.0, 10.0), ("B", 10.0, 25.0), ("C", 25.0, 40.0),
+         ("D", 40.0, 100.0)],
+        "band string, lo double, hi double"))
+    j = R.bucketed_range_join(li, bands, "l_quantity", "lo", "hi",
+                              bucket_width=10.0)
+    return R.group_agg(j, ["band"], {
+        "n": F.count(F.lit(1)),
+        "sum_qty": _dec_sum("l_quantity"),
+    }).spark_df
+
+
 def q_s_salted_join(spark, sf_dir):
     """Skew-salted equi-join: deterministic salt spreads hot keys over
     nsalts shuffle partitions; same result as the plain join."""
@@ -875,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_asof_join": q_s_asof_join,
         "s_asof_join_unkeyed": q_s_asof_join_unkeyed,
         "s_range_join": q_s_range_join,
+        "s_bucketed_range_join": q_s_bucketed_range_join,
         "s_salted_join": q_s_salted_join,
         "s_udaf_wavg": q_s_udaf_wavg,
         "s_scalar_functions": q_s_scalar_functions,
@@ -1093,6 +1111,15 @@ _ORACLES: dict[str, str] = {
                r.last_orderkey AS r_last_orderkey
         FROM events e ASOF LEFT JOIN r ON r.ts <= e.ts""",
     "s_range_join": """
+        SELECT band, count(*)::BIGINT AS n,
+               (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+        FROM lineitem
+        JOIN (VALUES ('A', 0.0, 10.0), ('B', 10.0, 25.0),
+                     ('C', 25.0, 40.0), ('D', 40.0, 100.0))
+             AS bands(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band""",
+    "s_bucketed_range_join": """
         SELECT band, count(*)::BIGINT AS n,
                (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
         FROM lineitem

@@ -39,7 +39,8 @@ HEADLINE = [
     "s_time_rollup",           # day/hour grouping-sets rollup
     "s_asof_join",             # keyed as-of join
     "s_asof_join_unkeyed",     # range-partitioned as-of join
-    "s_range_join",            # interval probe
+    "s_range_join",            # interval probe (broadcast)
+    "s_bucketed_range_join",   # interval join via grid equi-join
     "s_salted_join",           # skew-salted join
     "s_udaf_wavg",             # grouped pandas UDAF
     "x_dedup_normalized",      # exact dedup (normalized)
