@@ -84,6 +84,25 @@ def test_cosine_topk_no_shuffle(spark, sf_dir):
     assert "Exchange" not in p  # scan -> project -> heap; nothing moves
 
 
+#: queries where a BroadcastNestedLoopJoin is the intended plan: the
+#: broadcast interval probe, the 8-row salt replication, and TF-IDF's
+#: one-row corpus-count attach
+_BNLJ_OK = {"s_range_join", "s_salted_join", "x_tfidf_topk"}
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Global guard: no oracle query may degrade to CartesianProduct, and
+    nested-loop broadcasts may appear only where they are the design."""
+    import __spark_entry__ as E
+    for name, fn in E.queries().items():
+        if name == "st_stateful":  # executes a real stream on build
+            continue
+        p = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        if name not in _BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
 def test_filter_pushdown_via_frame(spark, sf_dir):
     from cl_data_frame_spark.sources import read_parquet
     fr = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
