@@ -175,6 +175,16 @@ def minhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
     sig_agg = [F.min(F.xxhash64("__h__", F.lit(i))).alias(f"__m{i}__")
                for i in range(num_hashes)]
     signatures = exploded.groupBy(id_col).agg(*sig_agg)
+    if jaccard_threshold is not None:
+        # the signature table feeds three plan branches (banding + both
+        # sides of the estimate pre-filter) and Catalyst does not reuse
+        # the exchange across them — without this persist the shingle
+        # explode + 96-hash aggregation runs three times. The table is
+        # slim (num_hashes longs per doc); MEMORY_AND_DISK spills rather
+        # than OOMs at scale, where a corpus-sized signature store would
+        # be written out explicitly anyway.
+        from pyspark import StorageLevel
+        signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
     band_hashes = [
         F.xxhash64(*[F.col(f"__m{i}__")
                      for i in range(b * rows_per_band,
