@@ -348,9 +348,33 @@ def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
     Scale: candidate generation is an equi-join on (band_index, band_value);
     verification is a single bit_count expression.
     """
-    sdf = (ensure_min_partitions(_plain(frame).select(id_col, text_col))
-           .select(id_col, _simhash_counts(text_col).alias("__cnt__"))
-           .select(id_col, simhash_fold(F.col("__cnt__")).alias("__sim__")))
+    # Fingerprint via explode + 64 sum aggregates: higher-order array
+    # folds never enter whole-stage codegen (per-element interpreted
+    # eval), but an explode + flat aggregate does — same trick as the
+    # minhash signature. Map-side partial agg keeps the shuffle at one
+    # 64-counter row per doc per mapper.
+    base = ensure_min_partitions(_plain(frame).select(id_col, text_col))
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    exploded = (base.select(id_col, F.explode(toks).alias("__t__"))
+                .select(id_col, F.xxhash64("__t__").alias("__th__")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright("__th__", i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"__c{i}__")
+        for i in range(64)]
+    counts = exploded.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        v = _signed64(1 << i)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"__c{i}__") > 0, F.lit(v).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    fps = counts.select(id_col, fp.alias("__sim__"))
+    # token-less docs drop out of the explode; re-attach them with the
+    # all-zero fingerprint the fold would have produced
+    sdf = (base.select(id_col).join(fps, on=id_col, how="left")
+           .select(id_col, F.coalesce("__sim__", F.lit(0).cast("long"))
+                   .alias("__sim__")))
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bands = F.array(*[
