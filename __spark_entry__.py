@@ -650,6 +650,14 @@ def q_x_ngram_jaccard(spark, sf_dir):
                                  block_col="lang").spark_df
 
 
+def q_x_ngram_jaccard_global(spark, sf_dir):
+    """EXACT global n-gram Jaccard pairs WITHOUT blocking: prefix-filtered
+    set-similarity join (AllPairs/PPJoin) — near-linear candidate
+    generation instead of the O(n²) pair join."""
+    docs = _f(spark, sf_dir, "documents")
+    return X.ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.5).spark_df
+
+
 def q_x_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64 fingerprints -> rows-only check)."""
     docs = _f(spark, sf_dir, "documents")
@@ -902,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_normalized": q_x_dedup_normalized,
         "x_minhash_neardup": q_x_minhash_neardup,
         "x_ngram_jaccard": q_x_ngram_jaccard,
+        "x_ngram_jaccard_global": q_x_ngram_jaccard_global,
         "x_simhash_neardup": q_x_simhash_neardup,
         "x_embed_neardup": q_x_embed_neardup,
         "x_cosine_topk": q_x_cosine_topk,
@@ -1195,6 +1204,21 @@ _ORACLES: dict[str, str] = {
                round(len(list_intersect(a.g, b.g))::DOUBLE /
                      len(list_distinct(list_cat(a.g, b.g))), 6) AS jaccard
         FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+              len(list_distinct(list_cat(a.g, b.g))) >= 0.5""",
+    "x_ngram_jaccard_global": """
+        WITH ng AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                       FOR i IN generate_series(1, greatest(len(t) - 2, 1))])
+                       AS g
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.g, b.g))::DOUBLE /
+                     len(list_distinct(list_cat(a.g, b.g))), 6) AS jaccard
+        FROM ng a JOIN ng b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.g, b.g))::DOUBLE /
               len(list_distinct(list_cat(a.g, b.g))) >= 0.5""",
     "x_embed_neardup": """

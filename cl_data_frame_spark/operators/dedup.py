@@ -294,6 +294,69 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
     return SparkFrame(out)
 
 
+def ngram_jaccard_pairs_prefix(frame, id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 3,
+                               threshold: float = 0.5) -> SparkFrame:
+    """EXACT global set-similarity join (word n-gram Jaccard >= threshold)
+    without blocking and without the O(n²) pair join — the AllPairs /
+    PPJoin prefix-filtering scheme (Bayardo et al., WWW'07; public
+    knowledge) expressed as DataFrame ops.
+
+    Under any global total order of tokens, two sets with Jaccard >= t
+    must share at least one token among their first ``|s| - ceil(t*|s|)
+    + 1`` tokens (else the overlap bound ``|a ∩ b| >= t*|a|`` fails).
+    Ordering tokens rarest-first makes those prefixes the least common
+    tokens, so the candidate join on prefix tokens stays near-linear.
+
+    Stages (shuffles: df-count, sorted re-agg, prefix self-join, verify
+    joins — all hash partitions, no quadratic blowup):
+    1. per-doc distinct hashed n-grams
+    2. global document frequency per token (the ordering key)
+    3. per-doc tokens sorted by (df, hash); prefix = first
+       ``len - ceil(t*len) + 1``
+    4. candidates = distinct (a, b) sharing a prefix token
+    5. exact verify on the full hashed-token arrays.
+    """
+    base = ensure_min_partitions(_plain(frame).select(id_col, text_col))
+    ng = base.select(
+        id_col,
+        F.array_distinct(F.transform(word_ngrams(text_col, n),
+                                     lambda g: F.xxhash64(g))).alias("__ng__"))
+    tok = ng.select(id_col, F.explode("__ng__").alias("__t__"))
+    dfreq = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__df__"))
+    # rarest-first order: sort per-doc tokens by (df, hash)
+    ordered = (tok.join(dfreq, on="__t__")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("__df__"), F.col("__t__")))).alias("__o__"))
+               .select(id_col,
+                       F.transform("__o__", lambda s: s["__t__"])
+                       .alias("__toks__")))
+    plen = (F.size("__toks__")
+            - F.ceil(F.size("__toks__") * F.lit(threshold)).cast("int")
+            + F.lit(1))
+    prefix = ordered.select(
+        id_col, F.explode(F.slice("__toks__", 1, plen)).alias("__p__"))
+    cand = (prefix.select(F.col(id_col).alias("id_a"), "__p__")
+            .join(prefix.select(F.col(id_col).alias("id_b"), "__p__"),
+                  on="__p__")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    toks = ordered.select(id_col, "__toks__")
+    joined = (cand
+              .join(toks.select(F.col(id_col).alias("id_a"),
+                                F.col("__toks__").alias("tk_a")), on="id_a")
+              .join(toks.select(F.col(id_col).alias("id_b"),
+                                F.col("__toks__").alias("tk_b")), on="id_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    uni = F.size("tk_a") + F.size("tk_b") - inter
+    out = (joined.withColumn("jaccard", inter / uni)
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return SparkFrame(out)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

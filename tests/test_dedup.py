@@ -1,0 +1,67 @@
+"""Dedup operator cross-checks on synthetic corpora: the prefix-filtered
+set-similarity join must equal the exhaustive quadratic baseline; MinHash
+LSH must find planted near-duplicates; exact-normalized dedup keeps the
+min id."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.operators import dedup as X
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    rows = []
+    for i in range(30):
+        rows.append((i, base + f" variant token{i}"))       # near-dups
+    rows.append((100, "completely different text about spark "
+                      "catalyst optimizer plans and shuffles here"))
+    rows.append((101, "completely different text about spark "
+                      "catalyst optimizer plans and shuffles here"))
+    rows.append((102, "unrelated short text"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(frame):
+    return sorted((r["id_a"], r["id_b"])
+                  for r in frame.spark_df.collect())
+
+
+def test_prefix_join_equals_quadratic(corpus):
+    exact = _pairs(X.ngram_jaccard_pairs(corpus, n=3, threshold=0.5))
+    prefix = _pairs(X.ngram_jaccard_pairs_prefix(corpus, n=3, threshold=0.5))
+    assert prefix == exact
+    assert len(prefix) > 0
+
+
+def test_minhash_finds_planted_near_dups(corpus):
+    out = _pairs(X.minhash_near_duplicates(corpus, num_hashes=96, bands=24,
+                                           jaccard_threshold=0.8))
+    # identical docs 100/101 must be found; all pairs verified >= 0.8
+    assert (100, 101) in out
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in X.minhash_near_duplicates(
+               corpus, num_hashes=96, bands=24,
+               jaccard_threshold=0.8).spark_df.collect()}
+    assert all(v >= 0.8 for v in jac.values())
+
+
+def test_dedup_exact_normalized_min_id(spark):
+    rows = [(5, "Hello   World"), (3, "hello world"), (9, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.dedup_exact_normalized(df)
+    ids = sorted(r["doc_id"] for r in out.spark_df.collect())
+    assert ids == [3, 9]   # 5 collapses into 3 (min id per fingerprint)
+
+
+def test_simhash_identical_docs_pair(spark):
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+            (2, "something else entirely unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.simhash_near_duplicates(df, max_hamming=0)
+    assert sorted((r["id_a"], r["id_b"]) for r in out.spark_df.collect()) \
+        == [(0, 1)]
