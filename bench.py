@@ -47,6 +47,7 @@ HEADLINE = [
     "x_minhash_neardup",       # MinHash + banded LSH
     "x_simhash_neardup",       # SimHash banding
     "x_ngram_jaccard",         # exact blocked n-gram Jaccard
+    "x_ngram_jaccard_global",  # exact global prefix-filtered PPJoin
     "x_embed_neardup",         # blocked cosine near-dup
     "x_cosine_topk",           # brute-force ANN baseline
     "x_ann_lsh",               # hyperplane-LSH ANN
