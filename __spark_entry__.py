@@ -28,6 +28,7 @@ from cl_data_frame_spark.frame import SparkFrame, df as make_frame
 from cl_data_frame_spark.operators import dedup as X
 from cl_data_frame_spark.operators import multimodal as MM
 from cl_data_frame_spark.operators import relational as R
+from cl_data_frame_spark.operators import sampling as SAMP
 from cl_data_frame_spark.operators import similarity as SIM
 from cl_data_frame_spark.operators import textstats as TS
 from cl_data_frame_spark import streaming as ST
@@ -793,6 +794,47 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_x_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters: connected components of the
+    within-lang n-gram-Jaccard pair graph via iterative min-label
+    propagation (operators/dedup.py:duplicate_clusters); the oracle
+    computes the identical fixpoint with a recursive CTE."""
+    docs = _f(spark, sf_dir, "documents")
+    pairs = X.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                  block_col="lang")
+    return X.duplicate_clusters(pairs).spark_df
+
+
+def q_x_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling: md5-bucket filter with
+    per-language keep fractions (no shuffle; pushdown-composable)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SAMP.stratified_hash_sample(docs, "doc_id", "lang",
+                                      {"en": 0.5, "de": 0.25},
+                                      default=1.0)
+    return out.select("doc_id", "lang")
+
+
+def q_x_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (cumulative md5 buckets),
+    summarized as per-(lang, split) counts."""
+    docs = _t(spark, sf_dir, "documents")
+    split = SAMP.hash_split(docs, "doc_id",
+                            {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (split.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_x_embed_centroid(spark, sf_dir):
+    """Per-label embedding centroids in long form; component sums pass
+    through DECIMAL so they are exact and order-independent."""
+    emb = _f(spark, sf_dir, "embeddings")
+    out = SIM.group_centroids(emb, group_col="label",
+                              vec_col="embedding").spark_df
+    return out.select("label", F.col("dim").cast("long").alias("dim"),
+                      "comp_sum", "n", "mean_val")
+
+
 # ===========================================================================
 # Streaming (SURVEY §2.2) — windowed aggs run identically in batch (oracle
 # path); the stateful operator runs as a real stream into a memory sink.
@@ -924,6 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_topk": q_x_tfidf_topk,
         "x_stopword_filter": q_x_stopword_filter,
         "x_count_vectorize": q_x_count_vectorize,
+        "x_dedup_clusters": q_x_dedup_clusters,
+        "x_hash_sample": q_x_hash_sample,
+        "x_hash_split": q_x_hash_split,
+        "x_embed_centroid": q_x_embed_centroid,
         "x_media_dedup": q_x_media_dedup,
         "x_media_frames": q_x_media_frames,
         "x_media_features": q_x_media_features,
@@ -1423,6 +1469,61 @@ _ORACLES: dict[str, str] = {
                   FROM dfreq)
         SELECT tc.doc_id, tc.term, vocab.idx, tc.tf
         FROM tc JOIN vocab ON tc.term = vocab.term""",
+    "x_dedup_clusters": """
+        WITH RECURSIVE ng AS (
+            SELECT doc_id, lang,
+                   list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                       FOR i IN generate_series(1, greatest(len(t) - 2, 1))])
+                       AS g
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents)),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                  len(list_distinct(list_cat(a.g, b.g))) >= 0.5),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        cc(node, label) AS (
+            SELECT a, least(a, min(b)) FROM und GROUP BY a
+            UNION
+            SELECT u.a, min(c.label) FROM und u JOIN cc c ON u.b = c.node
+            GROUP BY u.a)
+        SELECT node, min(label) AS component,
+               (node = min(label)) AS is_canonical
+        FROM cc GROUP BY node""",
+    "x_hash_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 10000 <
+              CASE WHEN lang = 'de' THEN 2500
+                   WHEN lang = 'en' THEN 5000
+                   ELSE 10000 END""",
+    "x_hash_split": """
+        WITH b AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 10000 AS bucket
+            FROM documents)
+        SELECT lang,
+               CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY 1, 2""",
+    "x_embed_centroid": """
+        WITH a AS (
+            SELECT label, d.dim,
+                   sum(floor((embedding[d.dim]::DOUBLE) * 1e10)::BIGINT)
+                       AS comp_fixed,
+                   count(*)::BIGINT AS n
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+            GROUP BY label, d.dim)
+        SELECT label, dim, comp_fixed::DOUBLE / 1e10 AS comp_sum, n,
+               round(comp_fixed::DOUBLE / 1e10 / n, 6) AS mean_val
+        FROM a""",
     "x_media_dedup": """
         WITH h AS (SELECT doc_id AS media_id, sha256(text) AS digest
                    FROM documents)

@@ -48,7 +48,10 @@ HEADLINE = [
     "x_simhash_neardup",       # SimHash banding
     "x_ngram_jaccard",         # exact blocked n-gram Jaccard
     "x_ngram_jaccard_global",  # exact global prefix-filtered PPJoin
+    "x_dedup_clusters",        # connected components over pair graph
+    "x_hash_split",            # deterministic train/val/test split
     "x_embed_neardup",         # blocked cosine near-dup
+    "x_embed_centroid",        # per-group centroid (fixed-point agg)
     "x_cosine_topk",           # brute-force ANN baseline
     "x_ann_lsh",               # hyperplane-LSH ANN
     "x_ivf_assign",            # IVF centroid routing

@@ -517,3 +517,66 @@ def embedding_near_duplicates(frame, id_col: str = "vec_id",
            .filter(F.col("cosine") >= threshold)
            .select("id_a", "id_b", "cosine"))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                       max_iter: int = 50) -> SparkFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components of the pair graph, each labeled by its minimum member id.
+
+    Any pair generator above (`minhash_near_duplicates`,
+    `ngram_jaccard_pairs*`, `simhash_near_duplicates`,
+    `embedding_near_duplicates`) emits edges; a dedup policy needs the
+    transitive closure — if A~B and B~C, keep exactly one of {A,B,C}.
+    Output: one row per node appearing in any pair, with its component
+    label (= min id reachable from it) and ``is_canonical`` marking the
+    single keeper per cluster.
+
+    Algorithm: iterative min-label propagation to a fixpoint —
+    ``label[v] <- min(label[v], min over neighbors u of label[u])`` —
+    which converges in O(component diameter) rounds; near-dup clusters
+    are almost always tiny-diameter, so 3-5 rounds in practice. Each
+    round is one hash-shuffle join + partial-aggregating groupBy (both
+    AQE-planned); ``localCheckpoint`` truncates the lineage each round so
+    the plan does not grow exponentially across iterations. This is the
+    standard scalable CC recipe (cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC'14 — the large-star /
+    small-star refinement halves rounds for pathological diameters and
+    can be swapped in without changing the contract).
+
+    No reference analogue (cl-data-frame.lisp has no graph surface);
+    Tier X scope per SURVEY §2.3.
+    """
+    p = _plain(pairs).select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # undirected edge list, deduped; symmetric so one join per round
+    # propagates labels both ways
+    edges = (p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (edges.groupBy("a").agg(F.least(F.col("a"), F.min("b"))
+                                     .alias("label"))
+              .withColumnRenamed("a", "node"))
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=False)
+        # neighbor minimum: min label over all neighbors of each node
+        nbr = (edges.join(labels.withColumnRenamed("node", "b"), on="b")
+               .groupBy("a").agg(F.min("label").alias("nbr_label"))
+               .withColumnRenamed("a", "node"))
+        merged = (labels.join(nbr, on="node", how="left")
+                  .select("node",
+                          F.least("label", F.coalesce("nbr_label", "label"))
+                          .alias("label")))
+        new_labels = merged.localCheckpoint(eager=False)
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
+                                   on="node")
+                   .filter(F.col("label") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node"), F.col("label").alias("component"),
+                        (F.col("node") == F.col("label"))
+                        .alias("is_canonical"))
+    return SparkFrame(out)

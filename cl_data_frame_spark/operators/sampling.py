@@ -1,0 +1,114 @@
+"""Deterministic hash-based sampling, splits, and interleaving.
+
+Training-data pipelines need reproducible sampling that is stable across
+runs, engines, and cluster sizes: random() draws are none of those. Every
+operator here derives its randomness from ``md5(id || salt)``, so
+
+* the same row always lands in the same sample/split (re-runs, retries,
+  and backfills are consistent),
+* the decision is a narrow per-row projection — no shuffle, no state, and
+  it composes with predicate pushdown (the filter sits right on the scan),
+* any engine with md5 reproduces it bit-for-bit (the DuckDB oracle in
+  ``__spark_entry__.oracle_sql`` runs the same expression).
+
+There is no reference analogue (tpapp/cl-data-frame has no sampling
+surface, cl-data-frame.lisp:1-583); this is Tier X scope per SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..frame import SparkFrame
+
+#: Resolution of the bucket space. 10^4 buckets keeps fraction resolution
+#: at 0.01% while the 8-hex-digit (32-bit) hash space stays ~430k× larger,
+#: so per-bucket occupancy is uniform even for billions of rows.
+BUCKETS = 10_000
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, BUCKETS) from ``md5(id || salt)``.
+
+    The first 8 hex digits of the md5 are a uniform 32-bit integer;
+    mod BUCKETS is a uniform bucket. ``salt`` decorrelates independent
+    sampling decisions over the same ids (e.g. a 1% eval sample drawn
+    independently from the train/test split).
+    """
+    h = F.conv(F.substring(F.md5(F.concat(id_col.cast("string"),
+                                          F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("long") % BUCKETS).alias("bucket")
+
+
+def hash_sample(frame, id_col: str, fraction: float,
+                salt: str = "") -> SparkFrame:
+    """Deterministic ``fraction`` sample: keep rows whose bucket falls
+    below ``fraction * BUCKETS``. A pure narrow filter — at 100 TB this
+    is a scan-side predicate with zero shuffle."""
+    sdf = _plain(frame)
+    out = sdf.filter(hash_bucket(F.col(id_col), salt) <
+                     int(round(fraction * BUCKETS)))
+    return SparkFrame.from_spark(out) if isinstance(frame, SparkFrame) else out
+
+
+def stratified_hash_sample(frame, id_col: str, strata_col: str,
+                           fractions: Mapping[str, float],
+                           default: float = 0.0,
+                           salt: str = "") -> SparkFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones). ``fractions`` maps stratum value ->
+    keep fraction; unlisted strata keep ``default``. Still a narrow
+    filter: the per-stratum threshold is a CASE expression, no shuffle."""
+    sdf = _plain(frame)
+    thresh = F.lit(int(round(default * BUCKETS)))
+    for value, frac in fractions.items():
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(round(frac * BUCKETS)))).otherwise(thresh)
+    out = sdf.filter(hash_bucket(F.col(id_col), salt) < thresh)
+    return SparkFrame.from_spark(out) if isinstance(frame, SparkFrame) else out
+
+
+def hash_split(frame, id_col: str, weights: Mapping[str, float],
+               split_col: str = "split", salt: str = "") -> SparkFrame:
+    """Disjoint, exhaustive train/val/test assignment.
+
+    ``weights`` maps split name -> weight (normalized internally). Buckets
+    are assigned to splits by cumulative weight in the given key order, so
+    every row gets exactly one split and the assignment is stable under
+    re-runs and engine changes. Narrow projection; no shuffle.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    sdf = _plain(frame)
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = bucket < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1])).alias(split_col)
+    out = sdf.withColumn(split_col, expr)
+    return SparkFrame.from_spark(out) if isinstance(frame, SparkFrame) else out
+
+
+def interleave(frames_weights, id_col: str, salt: str = "mix") -> DataFrame:
+    """Weighted deterministic dataset mixing: union N sources, keeping a
+    hash-fraction of each. ``frames_weights`` is a list of (frame, keep
+    fraction). Sources must share a schema. The union is a no-shuffle
+    concatenation; each side's filter pushes to its own scan."""
+    out = None
+    for fr, frac in frames_weights:
+        part = _plain(hash_sample(fr, id_col, frac, salt=salt))
+        out = part if out is None else out.unionByName(part)
+    return out

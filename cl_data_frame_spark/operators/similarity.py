@@ -166,3 +166,44 @@ def similarity_join_topk(left_frame, right_frame, k: int = 5,
            .filter(F.col("rank") <= k)
            .select("id_l", "id_r", "cosine", "rank"))
     return SparkFrame(out)
+
+
+def group_centroids(frame, group_col: str = "label",
+                    vec_col: str = "embedding") -> SparkFrame:
+    """Per-group embedding centroid in long form: one row per
+    (group, dim) with the exact decimal component sum, member count, and
+    the mean rounded to 6 places.
+
+    Plan: ``posexplode`` widens each row to ``dim`` rows, but the
+    following hash aggregate partial-combines per task — the shuffle
+    carries only (#groups x dim) partial sums per task, not the exploded
+    data, so at 100 TB the network cost is O(groups x dim x tasks).
+    Component sums use fixed-point arithmetic: ``floor(x * 1e10)`` as a
+    64-bit integer (the float->double widening, the IEEE multiply, and
+    floor are all bit-identical across engines — unlike decimal CASTS,
+    whose rounding mode differs), so the integer sum is exact and
+    order-independent, and every derived value (sum, mean) is
+    reproducible across partitionings and engines. Headroom: |x| <= 1
+    embeddings give |sum| <= 1e10 x rows; overflow needs ~9e8 rows per
+    (group, dim), far past any real corpus's group size.
+
+    Useful as the aggregation step of k-means/IVF training (see
+    ``ivf_assign``) and for per-source/per-language embedding drift
+    monitoring. No reference analogue; Tier X scope per SURVEY §2.3.
+    """
+    sdf = _plain(frame)
+    exploded = sdf.select(
+        F.col(group_col),
+        F.posexplode(vec_col).alias("pos", "val"))
+    fixed = F.floor(F.col("val").cast("double") * F.lit(1e10))
+    agg = (exploded.groupBy(group_col, "pos")
+           .agg(F.sum(fixed).alias("comp_fixed"),
+                F.count(F.lit(1)).alias("n")))
+    comp_sum = F.col("comp_fixed").cast("double") / F.lit(1e10)
+    out = agg.select(
+        F.col(group_col),
+        (F.col("pos") + 1).alias("dim"),
+        comp_sum.alias("comp_sum"),
+        "n",
+        F.round(comp_sum / F.col("n"), 6).alias("mean_val"))
+    return SparkFrame(out)

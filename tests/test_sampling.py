@@ -1,0 +1,99 @@
+"""Deterministic hash sampling / splits / interleave + cluster + centroid
+operators (Tier X, SURVEY §2.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.frame import SparkFrame
+from cl_data_frame_spark.operators import sampling as SAMP
+from cl_data_frame_spark.operators.dedup import duplicate_clusters
+from cl_data_frame_spark.operators.similarity import group_centroids
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("stratum"))
+
+
+def test_hash_sample_fraction_and_determinism(ids):
+    s1 = SAMP.hash_sample(ids, "id", 0.3)
+    s2 = SAMP.hash_sample(ids, "id", 0.3)
+    n = s1.count()
+    assert 0.25 * 2000 < n < 0.35 * 2000
+    assert s1.exceptAll(s2).count() == 0  # same rows every run
+    # a larger fraction is a superset (nested samples)
+    s_big = SAMP.hash_sample(ids, "id", 0.6)
+    assert s1.exceptAll(s_big).count() == 0
+
+
+def test_hash_sample_salt_decorrelates(ids):
+    a = set(r[0] for r in SAMP.hash_sample(ids, "id", 0.3).collect())
+    b = set(r[0] for r in
+            SAMP.hash_sample(ids, "id", 0.3, salt="other").collect())
+    overlap = len(a & b) / len(a)
+    assert 0.1 < overlap < 0.5  # ~0.3 expected for independent draws
+
+
+def test_stratified_fractions(ids):
+    out = SAMP.stratified_hash_sample(ids, "id", "stratum",
+                                      {"0": 1.0, "1": 0.2}, default=0.0)
+    counts = {r["stratum"]: r["n"] for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 667          # every row of stratum 0 kept
+    assert 60 < counts.get("1", 0) < 220
+    assert "2" not in counts           # default 0.0 drops stratum 2
+
+
+def test_hash_split_disjoint_exhaustive(ids):
+    out = SAMP.hash_split(ids, "id", {"train": 8, "val": 1, "test": 1})
+    assert out.count() == 2000                     # exhaustive
+    assert out.select("id").distinct().count() == 2000  # disjoint
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["train"] > 1400 and counts["val"] > 100
+
+
+def test_interleave_weighted_union(ids):
+    half = SAMP.hash_split(ids, "id", {"a": 1, "b": 1})
+    a = half.filter(F.col("split") == "a").drop("split")
+    b = half.filter(F.col("split") == "b").drop("split")
+    mixed = SAMP.interleave([(a, 1.0), (b, 0.2)], "id")
+    na, nb = a.count(), b.count()
+    n = mixed.count()
+    assert na < n < na + 0.35 * nb
+
+
+def test_duplicate_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"])
+    out = duplicate_clusters(pairs).spark_df
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    canon = {r["node"] for r in out.collect() if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+
+
+def test_duplicate_clusters_long_chain(spark):
+    # a path graph forces multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  ["id_a", "id_b"])
+    out = duplicate_clusters(pairs).spark_df
+    assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_group_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, -2.0])],
+        ["label", "embedding"])
+    out = group_centroids(df, "label", "embedding").spark_df
+    rows = {(r["label"], r["dim"]): (r["comp_sum"], r["n"], r["mean_val"])
+            for r in out.collect()}
+    assert rows[(0, 1)] == (4.0, 2, 2.0)
+    assert rows[(0, 2)] == (6.0, 2, 3.0)
+    assert rows[(1, 1)] == (10.0, 1, 10.0)
+    assert rows[(1, 2)] == (-2.0, 1, -2.0)
