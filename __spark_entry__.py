@@ -794,6 +794,12 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_x_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: TTR, top-unigram/bigram share."""
+    docs = _f(spark, sf_dir, "documents")
+    return TS.repetition_stats(docs).spark_df
+
+
 def q_x_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> duplicate clusters: connected components of the
     within-lang n-gram-Jaccard pair graph via iterative min-label
@@ -966,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_topk": q_x_tfidf_topk,
         "x_stopword_filter": q_x_stopword_filter,
         "x_count_vectorize": q_x_count_vectorize,
+        "x_repetition_stats": q_x_repetition_stats,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_hash_sample": q_x_hash_sample,
         "x_hash_split": q_x_hash_split,
@@ -1469,6 +1476,29 @@ _ORACLES: dict[str, str] = {
                   FROM dfreq)
         SELECT tc.doc_id, tc.term, vocab.idx, tc.tf
         FROM tc JOIN vocab ON tc.term = vocab.term""",
+    "x_repetition_stats": """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x != '') AS tk
+                   FROM documents),
+        uni AS (SELECT doc_id, u.g, count(*) AS c
+                FROM t, unnest(tk) AS u(g) GROUP BY 1, 2),
+        us AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                      count(*)::BIGINT AS n_distinct, max(c) AS top_uni
+               FROM uni GROUP BY 1),
+        bg AS (SELECT doc_id,
+                      [tk[i] || ' ' || tk[i+1]
+                       FOR i IN generate_series(1, len(tk) - 1)] AS bgs
+               FROM t),
+        bu AS (SELECT doc_id, b.g, count(*) AS c
+               FROM bg, unnest(bgs) AS b(g) GROUP BY 1, 2),
+        bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_bi
+               FROM bu GROUP BY 1)
+        SELECT us.doc_id, us.n_tokens,
+               round(n_distinct::DOUBLE / n_tokens, 6) AS ttr,
+               round(top_uni::DOUBLE / n_tokens, 6) AS top_unigram_frac,
+               round(top_bi::DOUBLE / n_bigrams, 6) AS top_bigram_frac
+        FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""",
     "x_dedup_clusters": """
         WITH RECURSIVE ng AS (
             SELECT doc_id, lang,

@@ -301,3 +301,54 @@ def tf_idf_topk(frame, k: int = 3, id_col: str = "doc_id",
            .filter(F.col("rank") <= k)
            .select(id_col, "term", "tf", "tfidf", "rank"))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# repetition / diversity signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(frame, id_col: str = "doc_id",
+                     text_col: str = "text") -> SparkFrame:
+    """Per-document repetition signals used by pretraining quality filters
+    (cf. Rae et al., "Scaling Language Models: ... Gopher", 2021 — the
+    repeated-n-gram family of filters; public knowledge):
+
+    * ``n_tokens``          whitespace token count
+    * ``ttr``               type-token ratio (distinct / total tokens)
+    * ``top_unigram_frac``  share of the most frequent unigram
+    * ``top_bigram_frac``   share of the most frequent bigram
+
+    High top-n-gram fractions / low TTR flag boilerplate and degenerate
+    repetition; callers threshold these to drop documents.
+
+    Plan: one explode + two hash aggregates per n-gram order, keyed by
+    (doc, gram) then (doc). Both partial-aggregate map-side, so the
+    shuffle carries per-document distinct grams, not the corpus; no
+    windows, no UDFs — whole-stage codegen end to end. No reference
+    analogue; Tier X scope per SURVEY §2.3.
+    """
+    sdf = _plain(frame).select(id_col, tokens(text_col).alias("__tk__"))
+    uni = (sdf.select(id_col, F.explode("__tk__").alias("g"))
+           .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_uni")))
+    bigrams = F.when(
+        F.size("__tk__") < 2, F.array().cast("array<string>")
+    ).otherwise(F.expr(
+        "transform(sequence(1, size(__tk__) - 1),"
+        " i -> concat(element_at(__tk__, i), ' ', element_at(__tk__, i + 1)))"))
+    bi = (sdf.select(id_col, F.explode(bigrams).alias("g"))
+          .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col)
+          .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi")))
+    out = (uni.join(bi, on=id_col, how="left")
+           .select(id_col, "n_tokens",
+                   F.round(F.col("n_distinct").cast("double")
+                           / F.col("n_tokens"), 6).alias("ttr"),
+                   F.round(F.col("top_uni").cast("double")
+                           / F.col("n_tokens"), 6).alias("top_unigram_frac"),
+                   F.round(F.col("top_bi").cast("double")
+                           / F.col("n_bigrams"), 6).alias("top_bigram_frac")))
+    return SparkFrame(out)

@@ -97,3 +97,19 @@ def test_group_centroids_exact(spark):
     assert rows[(0, 2)] == (6.0, 2, 3.0)
     assert rows[(1, 1)] == (10.0, 1, 10.0)
     assert rows[(1, 2)] == (-2.0, 1, -2.0)
+
+
+def test_repetition_stats_crafted(spark):
+    from cl_data_frame_spark.operators.textstats import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "a a a a"),            # 4 tokens, 1 distinct, top bigram "a a" x3
+         (2, "w x y z"),            # all distinct
+         (3, "solo")],              # single token -> no bigrams
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(df).spark_df.collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["ttr"] == 0.25
+    assert rows[1]["top_unigram_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[2]["ttr"] == 1.0 and rows[2]["top_unigram_frac"] == 0.25
+    assert rows[3]["n_tokens"] == 1 and rows[3]["top_bigram_frac"] is None
