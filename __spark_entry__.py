@@ -900,6 +900,31 @@ def q_st_stateful(spark, sf_dir):
                     F.round("total", 4).alias("total")))
 
 
+def q_st_dedup(spark, sf_dir):
+    """Streaming dedup over an at-least-once stream: the events file read
+    as TWO unioned file-source streams (every record delivered twice),
+    watermarked dropDuplicates collapsing them back; the oracle is the
+    plain batch aggregate over the single copy."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def one_copy():
+        raw = ST.read_stream_parquet(spark, sf_dir, schema,
+                                     glob="events.parquet")
+        return raw.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+
+    doubled = one_copy().union(one_copy())
+    deduped = ST.streaming_dedup(doubled, ["event_id"], ts_col="ets")
+    _STREAM_SEQ[0] += 1
+    name = f"st_dedup_{_STREAM_SEQ[0]}"
+    ST.run_stream_to_memory(deduped, name, output_mode="append")
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value")))
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -985,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_sliding": q_st_sliding,
         "st_session": q_st_session,
         "st_stateful": q_st_stateful,
+        "st_dedup": q_st_dedup,
     }
 
 
@@ -1563,6 +1589,10 @@ _ORACLES: dict[str, str] = {
                least(greatest(floor(octet_length(encode(text)) / 64.0), 1),
                      8)::INT AS n_frames
         FROM documents""",
+    "st_dedup": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+        FROM events GROUP BY event_type""",
     "st_tumbling": """
         SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_us,
                event_type, count(*)::BIGINT AS n,

@@ -112,3 +112,18 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
          .outputMode(output_mode).start())
     q.processAllAvailable()
     q.stop()
+
+
+def streaming_dedup(sdf: DataFrame, key_cols: list[str],
+                    ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Exactly-once projection over an at-least-once stream: drop
+    duplicate deliveries of the same keys.
+
+    The event-time column joins the dedup key so the state store evicts
+    entries once the watermark passes them — bounded state, the
+    production-safe shape for infinite streams (unkeyed ``dropDuplicates``
+    would grow state forever). Duplicates of a record share its event
+    time, so including it never misses a dup.
+    """
+    return (sdf.withWatermark(ts_col, delay)
+            .dropDuplicates([*key_cols, ts_col]))

@@ -169,3 +169,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert "2024-01-02 10:00" in starts
     assert "2024-01-02 11:00" in starts
     assert not any(s.startswith("2024-01-01") for s in starts)
+
+
+def test_streaming_dedup_collapses_duplicate_deliveries(spark, tmp_path):
+    from cl_data_frame_spark import streaming as ST
+    src = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, 5.0), ("2024-01-01 10:05:00", 2, 7.0)],
+        "ts string, event_id long, value double").withColumn(
+            "ts", F.to_timestamp("ts"))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b"))
+    import shutil
+    p = next((tmp_path / "b").glob("*.parquet"))
+    shutil.copy(p, in_dir / "c1.parquet")
+    shutil.copy(p, in_dir / "c2.parquet")   # duplicate delivery
+    stream = (spark.readStream.schema(src.schema)
+              .parquet(str(in_dir)))
+    dd = ST.streaming_dedup(stream, ["event_id"], ts_col="ts")
+    ST.run_stream_to_memory(dd, "t_dedup", output_mode="append")
+    rows = spark.table("t_dedup").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
