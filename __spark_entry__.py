@@ -794,6 +794,15 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_x_kmeans_assign(spark, sf_dir):
+    """Iterative k-means (3 Lloyd rounds, cosine metric, fixed-point
+    centroid updates) — deterministic enough that the oracle unrolls the
+    same three iterations in SQL and hash-matches the assignment."""
+    emb = _f(spark, sf_dir, "embeddings")
+    _, assign = SIM.kmeans_fit(emb, k=8, max_iter=3)
+    return assign.spark_df
+
+
 def q_x_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals: TTR, top-unigram/bigram share."""
     docs = _f(spark, sf_dir, "documents")
@@ -998,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stopword_filter": q_x_stopword_filter,
         "x_count_vectorize": q_x_count_vectorize,
         "x_repetition_stats": q_x_repetition_stats,
+        "x_kmeans_assign": q_x_kmeans_assign,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_hash_sample": q_x_hash_sample,
         "x_hash_split": q_x_hash_split,
@@ -1626,6 +1636,57 @@ _ORACLES: dict[str, str] = {
                round(sum(value), 4) AS total
         FROM events GROUP BY user_id""",
 }
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations mirroring ``SIM.kmeans_fit`` exactly:
+    argmax of round(cosine, 6) with ties to the larger cluster id, then
+    fixed-point (floor x*1e10) per-dimension means rounded to 6, empty
+    clusters keeping their previous centroid."""
+    cos = ("round(list_reduce(list_transform(list_zip(e.ev, c.cv),"
+           " z -> z[1] * z[2]), (acc, x) -> acc + x)"
+           " / (sqrt(list_reduce(list_transform(e.ev, x -> x * x),"
+           " (acc, x) -> acc + x))"
+           " * sqrt(list_reduce(list_transform(c.cv, x -> x * x),"
+           " (acc, x) -> acc + x))), 6)")
+    parts = [
+        "WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS ev"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, ev AS cv FROM ev"
+        f" WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+            SELECT vec_id, cid, sim FROM (
+                SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, cid DESC) AS rn
+                FROM (SELECT e.vec_id, c.cid, {cos} AS sim
+                      FROM ev e CROSS JOIN c{i} c) s)
+            WHERE rn = 1)""")
+        parts.append(f"""u{i} AS (
+            SELECT a.cid, d.dim,
+                   round((sum(floor(e.ev[d.dim] * 1e10)::BIGINT)::DOUBLE
+                          / 1e10) / count(*), 6) AS val
+            FROM a{i} a JOIN ev e USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim) d
+            GROUP BY a.cid, d.dim)""")
+        parts.append(f"""c{i + 1} AS (
+            SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+            FROM c{i} c LEFT JOIN (SELECT cid, list(val ORDER BY dim) AS cv
+                                   FROM u{i} GROUP BY cid) u USING (cid))""")
+    final = f"""fa AS (
+        SELECT vec_id, cid, sim FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, cid DESC) AS rn
+            FROM (SELECT e.vec_id, c.cid, {cos} AS sim
+                  FROM ev e CROSS JOIN c{iters} c) s)
+        WHERE rn = 1)"""
+    return (",\n".join(parts + [final])
+            + "\nSELECT vec_id, cid AS centroid_id, sim AS centroid_sim"
+              " FROM fa")
+
+
+_ORACLES["x_kmeans_assign"] = _kmeans_oracle()
 
 
 def oracle_sql() -> dict[str, str]:

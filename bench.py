@@ -55,6 +55,7 @@ HEADLINE = [
     "x_cosine_topk",           # brute-force ANN baseline
     "x_ann_lsh",               # hyperplane-LSH ANN
     "x_ivf_assign",            # IVF centroid routing
+    "x_kmeans_assign",         # iterative k-means (3 Lloyd rounds)
     "x_similarity_join_topk",  # blocked top-k similarity join
     "x_text_quality",          # text metrics
     "x_repetition_stats",      # Gopher-style repetition signals

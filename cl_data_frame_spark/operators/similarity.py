@@ -114,10 +114,20 @@ def ivf_assign(frame, centroids, id_col: str = "vec_id",
     the nprobe nearest centroid partitions (partition pruning).
     """
     sdf = _plain(frame)
+    v = F.col(vec_col).cast("array<double>")
+    # row norm computed ONCE per row (not once per centroid), centroid
+    # norms precomputed driver-side — Python's left-to-right sum over the
+    # same doubles is bit-identical to the fold the SQL oracle runs, so
+    # determinism is preserved while the per-row expression shrinks ~3x
+    na = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    def _sim(vec):
+        nb = math.sqrt(sum(float(x) * float(x) for x in vec))
+        dot = F.aggregate(F.zip_with(v, _lit_vec(vec), lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        return F.round(dot / (na * F.lit(nb)), 6)
     sims = F.array(*[
-        F.struct(F.round(cosine_similarity(F.col(vec_col), _lit_vec(vec)), 6)
-                 .alias("sim"),
-                 F.lit(int(cid)).alias("cid"))
+        F.struct(_sim(vec).alias("sim"), F.lit(int(cid)).alias("cid"))
         for cid, vec in centroids])
     best = F.array_max(sims)
     out = sdf.select(id_col,
@@ -207,3 +217,44 @@ def group_centroids(frame, group_col: str = "label",
         "n",
         F.round(comp_sum / F.col("n"), 6).alias("mean_val"))
     return SparkFrame(out)
+
+
+def kmeans_fit(frame, k: int = 8, max_iter: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Lloyd's k-means (cosine metric) as a driver-coordinated DataFrame
+    loop; returns ``(centroids, assignments_frame)``.
+
+    Fully deterministic, to the point of being reproducible in an
+    external SQL engine (the ``x_kmeans_assign`` oracle unrolls the same
+    iterations in DuckDB):
+
+    * init: the vectors with ``id < k`` (cluster id = vector id),
+    * assignment: argmax of round(cosine, 6), ties to the larger cluster
+      id — identical to ``ivf_assign``,
+    * update: per-dimension fixed-point means via ``group_centroids``
+      (order-independent integer sums), rounded to 6 places,
+    * empty clusters keep their previous centroid.
+
+    Scale shape: the only driver-side state is the model itself
+    (k x dim doubles, collected once per iteration — the irreducible
+    synchronization point of Lloyd's algorithm); assignment is a
+    broadcast-literal narrow map over the corpus and the update is the
+    map-side-combining centroid aggregate, so each iteration is one scan
+    + one (groups x dim)-sized shuffle regardless of corpus size.
+    """
+    sdf = _plain(frame)
+    init = (sdf.filter(F.col(id_col) < k)
+            .select(id_col, vec_col).collect())
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
+    dim = len(cents[0][1])
+    for _ in range(max_iter):
+        assign = ivf_assign(sdf, cents, id_col, vec_col).spark_df
+        joined = assign.join(sdf.select(id_col, vec_col), on=id_col)
+        cent_long = group_centroids(joined, "centroid_id", vec_col).spark_df
+        by_c: dict[int, dict[int, float]] = {}
+        for r in cent_long.select("centroid_id", "dim", "mean_val").collect():
+            by_c.setdefault(int(r[0]), {})[int(r[1])] = float(r[2])
+        cents = [(cid, [by_c[cid][d + 1] for d in range(dim)])
+                 if cid in by_c else (cid, vec)
+                 for cid, vec in cents]
+    return cents, ivf_assign(sdf, cents, id_col, vec_col)

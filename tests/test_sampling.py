@@ -113,3 +113,18 @@ def test_repetition_stats_crafted(spark):
     assert rows[1]["top_bigram_frac"] == 1.0
     assert rows[2]["ttr"] == 1.0 and rows[2]["top_unigram_frac"] == 0.25
     assert rows[3]["n_tokens"] == 1 and rows[3]["top_bigram_frac"] is None
+
+
+def test_kmeans_separates_blobs(spark):
+    from cl_data_frame_spark.operators.similarity import kmeans_fit
+    # two tight angular blobs; init ids 0 and 1 fall one in each
+    rows = [(0, [1.0, 0.05, 0.0]), (2, [1.0, -0.04, 0.02]),
+            (4, [0.9, 0.03, -0.01]),
+            (1, [0.0, 0.06, 1.0]), (3, [0.02, -0.03, 1.1]),
+            (5, [-0.01, 0.02, 0.95])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, assign = kmeans_fit(df, k=2, max_iter=3)
+    got = {r["vec_id"]: r["centroid_id"] for r in assign.spark_df.collect()}
+    assert got[0] == got[2] == got[4] == 0
+    assert got[1] == got[3] == got[5] == 1
+    assert len(cents) == 2 and len(cents[0][1]) == 3
