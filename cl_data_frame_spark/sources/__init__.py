@@ -72,3 +72,30 @@ def write_json(frame, path: str, mode: str = "overwrite") -> None:
 
 def write_orc(frame, path: str, mode: str = "overwrite") -> None:
     _plain(frame).write.mode(mode).orc(path)
+
+
+def write_bucketed(frame, table: str, bucket_by, n_buckets: int = 32,
+                   sort_by=None, mode: str = "overwrite",
+                   fmt: str = "parquet") -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every
+    later equi-join / aggregation on ``bucket_by`` runs SHUFFLE-FREE.
+
+    This is the canonical 100 TB co-location strategy: pay the shuffle
+    once when landing the table, then every fact-fact join on the bucket
+    key is a local zip of matching buckets (SortMergeJoin with no
+    Exchange on either side — see tests/test_sources.py plan assertion).
+    ``sort_by`` additionally pre-sorts within buckets, dropping the sort
+    from the join too.
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = (_plain(frame).write.mode(mode).format(fmt)
+              .bucketBy(n_buckets, *cols))
+    if sort_by:
+        sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> SparkFrame:
+    """Managed/bucketed table scan (bucket metadata feeds the planner)."""
+    return SparkFrame(spark.table(table))

@@ -75,3 +75,34 @@ def test_scan_pushdown_and_pruning(spark):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key: the equi-join plans as
+    SortMergeJoin with NO Exchange (shuffle) and no Sort on either side —
+    the pay-once co-location contract of write_bucketed."""
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    li = S.read_parquet(spark, LI, columns=["l_orderkey", "l_quantity"])
+    orders = S.read_parquet(
+        spark, LI.replace("lineitem", "orders"),
+        columns=["o_orderkey", "o_totalprice"])
+    S.write_bucketed(li, "li_b", "l_orderkey", n_buckets=8,
+                     sort_by="l_orderkey")
+    S.write_bucketed(orders, "ord_b", "o_orderkey", n_buckets=8,
+                     sort_by="o_orderkey")
+    a = S.read_table(spark, "li_b").spark_df
+    b = S.read_table(spark, "ord_b").spark_df
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    # disable the broadcast fallback so the bucket-join path is exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    n = joined.count()
+    assert n == a.count()  # every lineitem matches exactly one order
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
