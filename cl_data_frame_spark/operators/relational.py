@@ -343,3 +343,30 @@ def bucketed_range_join(left: SparkFrame, right: SparkFrame, left_col: str,
     out = (lbk.join(rbk, on="__bucket__", how=how)
            .filter(residual).drop("__bucket__"))
     return SparkFrame(out)
+
+
+def apply_udtf(frame: SparkFrame, udtf_cls, input_cols: Sequence[str],
+               return_schema: str, carry_cols: Sequence[str] = ()) -> SparkFrame:
+    """User-defined TABLE function (SURVEY §2.2 UDF/UDAF/UDTF): expand
+    each row into zero or more rows via a Python class with an
+    ``eval(self, *cols)`` generator (Spark 4 UDTF protocol, Arrow-batched).
+
+    ``udtf_cls`` is the plain class (not yet decorated); ``carry_cols``
+    are passed through by LATERAL-joining the UDTF output to its input
+    row. UDTFs run partition-parallel like any projection — use for
+    row-expanding logic that ``explode``/``posexplode`` + expressions
+    cannot state (else prefer those: they stay in codegen).
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    fn = _udtf(udtf_cls, returnType=return_schema)
+    sdf = _plain(frame)
+    cols = ", ".join(input_cols)
+    name = f"udtf_{udtf_cls.__name__.lower()}"
+    sdf.sparkSession.udtf.register(name, fn)
+    sdf.createOrReplaceTempView(f"__{name}_in__")
+    carry = "".join(f"t.{c}, " for c in carry_cols)
+    out = sdf.sparkSession.sql(
+        f"SELECT {carry}u.* FROM __{name}_in__ t, "
+        f"LATERAL {name}({cols}) u")
+    return SparkFrame(out)
