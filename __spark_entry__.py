@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from cl_data_frame_spark.frame import SparkFrame, df as make_frame
 from cl_data_frame_spark.operators import dedup as X
 from cl_data_frame_spark.operators import multimodal as MM
+from cl_data_frame_spark.operators import pipeline as PIPE
 from cl_data_frame_spark.operators import relational as R
 from cl_data_frame_spark.operators import sampling as SAMP
 from cl_data_frame_spark.operators import similarity as SIM
@@ -794,6 +795,13 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_x_pipeline_filter(spark, sf_dir):
+    """Composed curation pipeline: exact-dedup winners + quality gate +
+    repetition gates, one Catalyst plan (operators/pipeline.py)."""
+    docs = _f(spark, sf_dir, "documents")
+    return PIPE.pipeline_filter(docs).spark_df
+
+
 def q_x_kmeans_assign(spark, sf_dir):
     """Iterative k-means (3 Lloyd rounds, cosine metric, fixed-point
     centroid updates) — deterministic enough that the oracle unrolls the
@@ -1008,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_count_vectorize": q_x_count_vectorize,
         "x_repetition_stats": q_x_repetition_stats,
         "x_kmeans_assign": q_x_kmeans_assign,
+        "x_pipeline_filter": q_x_pipeline_filter,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_hash_sample": q_x_hash_sample,
         "x_hash_split": q_x_hash_split,
@@ -1512,6 +1521,65 @@ _ORACLES: dict[str, str] = {
                   FROM dfreq)
         SELECT tc.doc_id, tc.term, vocab.idx, tc.tf
         FROM tc JOIN vocab ON tc.term = vocab.term""",
+    "x_pipeline_filter": f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS f
+            FROM documents),
+        winners AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        base AS (
+            SELECT doc_id, lang, text, {_TOKS} AS toks,
+                   length(text) AS nch,
+                   length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()-]', '', 'g')) AS npunct
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM winners)),
+        m AS (
+            SELECT doc_id, lang, toks, nch,
+                   CASE WHEN len(toks) > 0 THEN
+                       list_reduce(list_transform(toks, t -> length(t)),
+                                   (a, x) -> a + x)::DOUBLE / len(toks)
+                   ELSE 0.0 END AS mwl,
+                   CASE WHEN nch > 0 THEN npunct::DOUBLE / nch
+                   ELSE 0.0 END AS pr,
+                   CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it'],
+                           lower(t))))::DOUBLE / len(toks)
+                   ELSE 0.0 END AS sr
+            FROM base),
+        q AS (
+            SELECT doc_id, lang,
+                   round((least(nch / 500.0, 1.0)
+                          + CASE WHEN mwl >= 3 AND mwl <= 10
+                                 THEN 1.0 ELSE 0.5 END
+                          + least(sr * 5.0, 1.0)
+                          + greatest(0.0, 1.0 - pr * 5.0)) / 4.0, 6)
+                       AS quality
+            FROM m),
+        t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        uni AS (SELECT doc_id, u.g, count(*) AS c
+                FROM t, unnest(tk) AS u(g) GROUP BY 1, 2),
+        us AS (SELECT doc_id, sum(c)::BIGINT AS n,
+                      count(*)::BIGINT AS nd FROM uni GROUP BY 1),
+        bg AS (SELECT doc_id,
+                      [tk[i] || ' ' || tk[i+1]
+                       FOR i IN generate_series(1, len(tk) - 1)] AS bgs
+               FROM t),
+        bu AS (SELECT doc_id, b.g, count(*) AS c
+               FROM bg, unnest(bgs) AS b(g) GROUP BY 1, 2),
+        bs AS (SELECT doc_id, sum(c)::BIGINT AS nb, max(c) AS topb
+               FROM bu GROUP BY 1),
+        rep AS (
+            SELECT us.doc_id,
+                   round(nd::DOUBLE / n, 6) AS ttr,
+                   round(topb::DOUBLE / nb, 6) AS top_bigram_frac
+            FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id)
+        SELECT q.doc_id, q.lang, q.quality, rep.ttr, rep.top_bigram_frac
+        FROM q JOIN rep ON q.doc_id = rep.doc_id
+        WHERE q.quality >= 0.5 AND rep.ttr >= 0.4
+          AND coalesce(rep.top_bigram_frac, 0.0) <= 0.5""",
     "x_repetition_stats": """
         WITH t AS (SELECT doc_id,
                           list_filter(string_split_regex(trim(text), '\\s+'),

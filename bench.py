@@ -59,6 +59,7 @@ HEADLINE = [
     "x_similarity_join_topk",  # blocked top-k similarity join
     "x_text_quality",          # text metrics
     "x_repetition_stats",      # Gopher-style repetition signals
+    "x_pipeline_filter",       # composed curation pipeline (one plan)
     "x_tfidf_topk",            # TF-IDF top-k terms
     "x_count_vectorize",       # vocabulary + long-form counts
     "st_tumbling",             # windowed agg (batch == stream plan)

@@ -40,6 +40,13 @@ def dedup_exact(frame, subset=None) -> SparkFrame:
     return SparkFrame(out)
 
 
+def normalized_fingerprint(col) -> Column:
+    """md5 of the (trimmed, whitespace-collapsed, lowercased) text — the
+    canonical exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
 def dedup_exact_normalized(frame, text_col: str = "text",
                            id_col: str = "doc_id") -> SparkFrame:
     """Exact dedup after text normalization (lowercase, collapse whitespace):
@@ -52,9 +59,8 @@ def dedup_exact_normalized(frame, text_col: str = "text",
     """
     from pyspark.sql import Window
     sdf = _plain(frame)
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     w = Window.partitionBy("__fp__").orderBy(F.col(id_col).asc())
-    out = (sdf.withColumn("__fp__", F.md5(norm))
+    out = (sdf.withColumn("__fp__", normalized_fingerprint(F.col(text_col)))
            .withColumn("__rn__", F.row_number().over(w))
            .filter(F.col("__rn__") == 1)
            .drop("__fp__", "__rn__"))

@@ -128,3 +128,21 @@ def test_kmeans_separates_blobs(spark):
     assert got[0] == got[2] == got[4] == 0
     assert got[1] == got[3] == got[5] == 1
     assert len(cents) == 2 and len(cents[0][1]) == 3
+
+
+def test_pipeline_filter_composition(spark):
+    from cl_data_frame_spark.operators.pipeline import pipeline_filter
+    rows = [
+        # duplicate pair: only min id (1) can survive
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "THE  quick brown fox jumps over the lazy dog again and again", "en"),
+        # degenerate repetition: killed by ttr / top-bigram gates
+        (3, "spam spam spam spam spam spam spam spam", "en"),
+        # too short / no stopwords -> low quality
+        (4, "x", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kept = {r["doc_id"] for r in
+            pipeline_filter(df, min_quality=0.4).spark_df.collect()}
+    assert 1 in kept and 2 not in kept
+    assert 3 not in kept and 4 not in kept
