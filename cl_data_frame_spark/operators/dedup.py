@@ -14,6 +14,7 @@ hash shuffle — so cost scales with #candidate pairs, never #rows².
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -276,6 +277,9 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
                      F.array_distinct(F.transform(
                          word_ngrams(text_col, n),
                          lambda g: F.xxhash64(g))).alias("__ng__"))
+    # ng feeds the pair-id join plus two verify joins; persist so the
+    # tokenize+hash projection runs once, not three times
+    ng = ng.persist(StorageLevel.MEMORY_AND_DISK)
     on = [block_col] if block_col else []
     ids = ng.select(*on, id_col)
     pairs = (ids.select(*on, F.col(id_col).alias("id_a"))
@@ -338,6 +342,9 @@ def ngram_jaccard_pairs_prefix(frame, id_col: str = "doc_id",
                .select(id_col,
                        F.transform("__o__", lambda s: s["__t__"])
                        .alias("__toks__")))
+    # the ordered-token table feeds three plan branches (prefix explode +
+    # two verify joins); persist so the shingle+df-sort pipeline runs once
+    ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
     plen = (F.size("__toks__")
             - F.ceil(F.size("__toks__") * F.lit(threshold)).cast("int")
             + F.lit(1))
