@@ -795,6 +795,38 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_s_merge_upsert(spark, sf_dir):
+    """MERGE/upsert as a relational rewrite: update matched orders'
+    totalprice from a delta source, insert unmatched source keys."""
+    orders = _f(spark, sf_dir, "orders")
+    delta = SparkFrame(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey",
+                (F.col("o_totalprice") + F.lit(1.5))
+                .alias("o_totalprice"))
+        .union(_t(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 1000 == 1)
+               .select((F.col("o_orderkey") + 90_000_000)
+                       .alias("o_orderkey"),
+                       F.lit(42.0).alias("o_totalprice"))))
+    merged = R.merge_into(orders, delta, on="o_orderkey",
+                          update_cols=["o_totalprice"])
+    return merged.spark_df.select("o_orderkey", "o_custkey",
+                                  "o_totalprice")
+
+
+def q_s_sessionize(spark, sf_dir):
+    """Batch sessionization of the events stream (30-minute gap)."""
+    ev = _f(spark, sf_dir, "events")
+    out = R.sessionize(ev, gap_minutes=30.0)
+    return out.spark_df.select(
+        "user_id", "session_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events")
+
+
 def q_x_pipeline_filter(spark, sf_dir):
     """Composed curation pipeline: exact-dedup winners + quality gate +
     repetition gates, one Catalyst plan (operators/pipeline.py)."""
@@ -994,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_salted_join": q_s_salted_join,
         "s_udaf_wavg": q_s_udaf_wavg,
         "s_scalar_functions": q_s_scalar_functions,
+        "s_merge_upsert": q_s_merge_upsert,
+        "s_sessionize": q_s_sessionize,
         "s_collection_functions": q_s_collection_functions,
         # Tier X
         "x_dedup_exact": q_x_dedup_exact,
@@ -1521,6 +1555,39 @@ _ORACLES: dict[str, str] = {
                   FROM dfreq)
         SELECT tc.doc_id, tc.term, vocab.idx, tc.tf
         FROM tc JOIN vocab ON tc.term = vocab.term""",
+    "s_merge_upsert": """
+        WITH delta AS (
+            SELECT o_orderkey, o_totalprice + 1.5 AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 90000000, 42.0
+            FROM orders WHERE o_orderkey % 1000 = 1)
+        SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               t.o_custkey,
+               coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
+        FROM orders t FULL JOIN delta s ON t.o_orderkey = s.o_orderkey""",
+    "s_sessionize": """
+        WITH o AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events),
+        f AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN prev IS NULL THEN 1
+                        WHEN epoch_us(ts) - epoch_us(prev) > 1800000000
+                        THEN 1 ELSE 0 END AS newf
+            FROM o),
+        s AS (
+            SELECT user_id, ts,
+                   sum(newf) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f)
+        SELECT user_id, session_id,
+               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, session_id""",
     "x_pipeline_filter": f"""
         WITH fp AS (
             SELECT doc_id,

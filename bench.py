@@ -43,6 +43,8 @@ HEADLINE = [
     "s_bucketed_range_join",   # interval join via grid equi-join
     "s_salted_join",           # skew-salted join
     "s_udaf_wavg",             # grouped pandas UDAF
+    "s_merge_upsert",          # MERGE/upsert relational rewrite
+    "s_sessionize",            # gap-based sessionization
     "x_dedup_normalized",      # exact dedup (normalized)
     "x_minhash_neardup",       # MinHash + banded LSH
     "x_simhash_neardup",       # SimHash banding

@@ -370,3 +370,75 @@ def apply_udtf(frame: SparkFrame, udtf_cls, input_cols: Sequence[str],
         f"SELECT {carry}u.* FROM __{name}_in__ t, "
         f"LATERAL {name}({cols}) u")
     return SparkFrame(out)
+
+
+def merge_into(target, source, on: Sequence[str] | str,
+               update_cols: Sequence[str] | None = None,
+               insert_unmatched: bool = True,
+               delete_unmatched_target: bool = False) -> SparkFrame:
+    """MERGE / upsert as a pure relational rewrite (no table format
+    required): WHEN MATCHED update ``update_cols`` from the source, WHEN
+    NOT MATCHED [insert the source row | keep/drop the target row].
+
+    Plan: one full-outer (or left/right, depending on flags) hash join on
+    the key — the same single-shuffle cost a Delta/Iceberg MERGE pays for
+    its join phase, minus the transaction log. At 100 TB: bucket both
+    sides on the key (``sources.write_bucketed``) and the join is
+    shuffle-free.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    tdf = _plain(target)
+    sdf = _plain(source)
+    upd = list(update_cols) if update_cols is not None else \
+        [c for c in sdf.columns if c in tdf.columns and c not in keys]
+    how = {(True, False): "full", (False, False): "left",
+           (True, True): "right", (False, True): "inner"}[
+               (insert_unmatched, delete_unmatched_target)]
+    t = tdf.alias("t")
+    s = sdf.alias("s")
+    joined = t.join(s, on=keys, how=how)
+    cols = [F.col(k).alias(k) for k in keys]
+    for c in tdf.columns:
+        if c in keys:
+            continue
+        if c in upd:
+            cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                        .alias(c))
+        else:
+            cols.append(F.col(f"t.{c}").alias(c))
+    return SparkFrame(joined.select(*cols))
+
+
+def sessionize(frame, user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               gap_minutes: float = 30.0) -> SparkFrame:
+    """Batch sessionization: split each user's event stream into sessions
+    wherever the gap to the previous event exceeds ``gap_minutes``; emit
+    one row per session with start/end/duration/event count.
+
+    The classic lag -> boundary-flag -> running-sum recipe: two window
+    passes partitioned BY USER (hash-parallel across users — never a
+    global window), then a hash aggregate on (user, session). Event-time
+    ties are totaled by ``id_col`` so the assignment is deterministic.
+    The streaming equivalent is ``streaming.session_window_agg``.
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col(id_col).asc())
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    prev = F.lag(ts_col).over(w)
+    new_sess = (F.when(prev.isNull(), F.lit(1))
+                .when((F.unix_micros(F.col(ts_col))
+                       - F.unix_micros(prev)) > gap_us, F.lit(1))
+                .otherwise(F.lit(0)))
+    out = (sdf
+           .withColumn("__new__", new_sess)
+           .withColumn("session_id",
+                       F.sum("__new__").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0)))
+           .groupBy(user_col, "session_id")
+           .agg(F.min(ts_col).alias("session_start"),
+                F.max(ts_col).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events")))
+    return SparkFrame(out)

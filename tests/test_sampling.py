@@ -146,3 +146,37 @@ def test_pipeline_filter_composition(spark):
             pipeline_filter(df, min_quality=0.4).spark_df.collect()}
     assert 1 in kept and 2 not in kept
     assert 3 not in kept and 4 not in kept
+
+
+def test_merge_into_upsert_semantics(spark):
+    from cl_data_frame_spark.operators.relational import merge_into
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "val"])
+    source = spark.createDataFrame(
+        [(2, 99.0), (9, 900.0)], ["k", "val"])
+    out = merge_into(target, source, on="k").spark_df
+    rows = {r["k"]: (r["name"], r["val"]) for r in out.collect()}
+    assert rows[1] == ("a", 10.0)       # untouched
+    assert rows[2] == ("b", 99.0)       # updated, other cols kept
+    assert rows[9] == (None, 900.0)     # inserted
+    assert len(rows) == 4
+    # no-insert variant drops unmatched source rows
+    left = merge_into(target, source, on="k",
+                      insert_unmatched=False).spark_df
+    assert {r["k"] for r in left.collect()} == {1, 2, 3}
+
+
+def test_sessionize_gap_splits(spark):
+    from cl_data_frame_spark.operators.relational import sessionize
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 11:30:00"),   # > 30 min gap -> new session
+        (4, 2, "2024-01-01 09:00:00"),
+    ]
+    df = (spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = sessionize(df, gap_minutes=30.0).spark_df
+    got = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in out.collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
