@@ -27,6 +27,14 @@ def get_spark(app_name: str = "cl_data_frame_spark", master: str | None = None) 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # runtime bloom-filter injection on the probe side of shuffle
+        # joins: the standard semi-join-reduction win at 100 TB.
+        # (spark.sql.optimizer.runtimeFilter.semiJoinReduction was also
+        # tried and DEADLOCKS this Spark build's local mode — leave it to
+        # per-job opt-in on a real cluster.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # skew-join splitting is part of the 100 TB posture
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # ParallelGC: measured ~5x lower wall-clock variance than G1 on
         # allocation-heavy array expressions (G1's concurrent cycles steal
