@@ -99,3 +99,27 @@ def write_bucketed(frame, table: str, bucket_by, n_buckets: int = 32,
 def read_table(spark: SparkSession, table: str) -> SparkFrame:
     """Managed/bucketed table scan (bucket metadata feeds the planner)."""
     return SparkFrame(spark.table(table))
+
+
+def read_text(spark: SparkSession, path: str,
+              whole_file: bool = False) -> SparkFrame:
+    """Line-per-row text scan (``value`` column); ``whole_file=True``
+    yields one row per file (document-per-file corpora)."""
+    return SparkFrame(spark.read.text(path, wholetext=whole_file))
+
+
+def read_binary(spark: SparkSession, path: str,
+                glob: str | None = None) -> SparkFrame:
+    """Binary-file scan for multimodal payloads: one row per file with
+    (path, modificationTime, length, content BINARY) — the ingestion
+    side of ``operators.multimodal`` (content-hash dedup, mapInPandas
+    feature extraction over ``content``).
+
+    Scale: the source parallelizes by file; pair with
+    ``spark.sql.files.maxPartitionBytes``-sized media shards or many
+    files per directory — one giant file is one task.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return SparkFrame(reader.load(path))

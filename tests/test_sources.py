@@ -106,3 +106,31 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     assert n == a.count()  # every lineitem matches exactly one order
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_text_source_lines_and_whole(spark, tmp_path):
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("hello\nworld\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = S.read_text(spark, str(p))
+    assert sorted(r["value"] for r in lines.spark_df.collect()) == \
+        ["hello", "solo", "world"]
+    whole = S.read_text(spark, str(p), whole_file=True)
+    texts = sorted(r["value"] for r in whole.spark_df.collect())
+    assert texts == ["hello\nworld\n", "solo\n"]
+
+
+def test_binary_source_feeds_multimodal_dedup(spark, tmp_path):
+    from cl_data_frame_spark.operators import multimodal as MM
+    p = tmp_path / "media"
+    p.mkdir()
+    (p / "x.bin").write_bytes(b"payload-one")
+    (p / "y.bin").write_bytes(b"payload-two")
+    (p / "z.bin").write_bytes(b"payload-one")   # duplicate content
+    fr = S.read_binary(spark, str(p), glob="*.bin")
+    assert fr.nrow == 3
+    media = fr.spark_df.select(
+        F.col("path").alias("media_id"), F.col("content").alias("payload"))
+    digests = media.select(MM.content_hash("payload").alias("d")).collect()
+    assert len({r["d"] for r in digests}) == 2
