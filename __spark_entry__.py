@@ -827,6 +827,20 @@ def q_s_sessionize(spark, sf_dir):
         "n_events")
 
 
+def q_x_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 64-token chunks, 8-token overlap."""
+    docs = _f(spark, sf_dir, "documents")
+    return TS.chunk_documents(docs, chunk_tokens=64, overlap=8).spark_df
+
+
+def q_x_pack_sequences(spark, sf_dir):
+    """Deterministic contiguous sequence packing into 256-token bins,
+    sharded by md5 hash (16 shards at this scale)."""
+    docs = _f(spark, sf_dir, "documents")
+    return TS.pack_sequences(docs, capacity_tokens=256,
+                             n_shards=16).spark_df
+
+
 def q_x_pipeline_filter(spark, sf_dir):
     """Composed curation pipeline: exact-dedup winners + quality gate +
     repetition gates, one Catalyst plan (operators/pipeline.py)."""
@@ -1051,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_repetition_stats": q_x_repetition_stats,
         "x_kmeans_assign": q_x_kmeans_assign,
         "x_pipeline_filter": q_x_pipeline_filter,
+        "x_chunk_documents": q_x_chunk_documents,
+        "x_pack_sequences": q_x_pack_sequences,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_hash_sample": q_x_hash_sample,
         "x_hash_split": q_x_hash_split,
@@ -1647,6 +1663,33 @@ _ORACLES: dict[str, str] = {
         FROM q JOIN rep ON q.doc_id = rep.doc_id
         WHERE q.quality >= 0.5 AND rep.ttr >= 0.4
           AND coalesce(rep.top_bigram_frac, 0.0) <= 0.5""",
+    "x_chunk_documents": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        s AS (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 8, 1) + 1, 56))
+                         AS start
+              FROM t)
+        SELECT doc_id,
+               ((start - 1) // 56)::BIGINT AS chunk_id,
+               array_to_string(list_slice(tk, start, start + 63), ' ')
+                   AS chunk_text,
+               least(len(tk) - start + 1, 64)::INT AS n_tokens
+        FROM s""",
+    "x_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 16 AS shard,
+                   len({_TOKS}) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+        SELECT doc_id, shard::BIGINT AS shard, n_tokens::INT AS n_tokens,
+               ceil((cum - 0.5) / 256)::BIGINT AS bin_id
+        FROM c""",
     "x_repetition_stats": """
         WITH t AS (SELECT doc_id,
                           list_filter(string_split_regex(trim(text), '\\s+'),

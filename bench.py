@@ -62,6 +62,8 @@ HEADLINE = [
     "x_text_quality",          # text metrics
     "x_repetition_stats",      # Gopher-style repetition signals
     "x_pipeline_filter",       # composed curation pipeline (one plan)
+    "x_chunk_documents",       # context-window chunking
+    "x_pack_sequences",        # sharded sequence packing
     "x_tfidf_topk",            # TF-IDF top-k terms
     "x_count_vectorize",       # vocabulary + long-form counts
     "st_tumbling",             # windowed agg (batch == stream plan)

@@ -352,3 +352,69 @@ def repetition_stats(frame, id_col: str = "doc_id",
                    F.round(F.col("top_bi").cast("double")
                            / F.col("n_bigrams"), 6).alias("top_bigram_frac")))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# chunking & sequence packing (context-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(frame, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_tokens: int = 64, overlap: int = 8) -> SparkFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the standard context-window chunking step before embedding/indexing.
+
+    Pure expressions: tokenize once, then ``sequence`` over chunk starts
+    + ``slice`` + ``array_join`` — an explode whose output size is
+    corpus_tokens / (chunk - overlap); no UDFs, no shuffle (chunking is
+    a narrow per-row expansion).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    sdf = _plain(frame).select(id_col, tokens(text_col).alias("__tk__"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__tk__") - F.lit(overlap), F.lit(1)),
+        F.lit(step))
+    out = (sdf
+           .select(id_col, "__tk__", F.explode(starts).alias("start"))
+           .select(id_col,
+                   ((F.col("start") - 1) / step).cast("long")
+                   .alias("chunk_id"),
+                   F.array_join(F.slice("__tk__", F.col("start"),
+                                        F.lit(chunk_tokens)), " ")
+                   .alias("chunk_text"),
+                   F.least(F.size("__tk__") - F.col("start") + 1,
+                           F.lit(chunk_tokens)).alias("n_tokens")))
+    return SparkFrame(out)
+
+
+def pack_sequences(frame, id_col: str = "doc_id", text_col: str = "text",
+                   capacity_tokens: int = 256,
+                   n_shards: int = 1024) -> SparkFrame:
+    """Assign documents to fixed-capacity training sequences (bins) —
+    deterministic contiguous packing, the scalable approximation of
+    greedy bin packing.
+
+    Documents are routed to ``n_shards`` shards by a hash of their id
+    (so packing parallelizes; real pipelines pack within output shards),
+    ordered by id within the shard, and cut into bins wherever the
+    running token count crosses ``capacity_tokens``. Oversized documents
+    get a bin of their own (they'd be chunked first — see
+    ``chunk_documents``). One window per shard — hash-parallel, never
+    global.
+    """
+    shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long") % n_shards)
+    sdf = _plain(frame).select(
+        id_col, shard.alias("shard"),
+        token_count(text_col).alias("n_tokens"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    out = sdf.select(
+        id_col, "shard", "n_tokens",
+        F.ceil((cum - F.lit(0.5)) / capacity_tokens).cast("long")
+        .alias("bin_id"))
+    return SparkFrame(out)

@@ -180,3 +180,33 @@ def test_sessionize_gap_splits(spark):
     got = {(r["user_id"], r["session_id"]): r["n_events"]
            for r in out.collect()}
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_chunk_documents_windows(spark):
+    from cl_data_frame_spark.operators.textstats import chunk_documents
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).spark_df
+    rows = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+                  for r in out.collect())
+    # doc 1: starts at 1,4,7,10 (step 3, stop = 10-1=9 -> starts 1,4,7)
+    assert rows[0] == (1, 0, "t0 t1 t2 t3", 4)
+    assert rows[1] == (1, 1, "t3 t4 t5 t6", 4)
+    assert rows[2] == (1, 2, "t6 t7 t8 t9", 4)
+    assert rows[3] == (2, 0, "a b", 2)       # short doc -> one chunk
+    # overlap: each chunk shares 1 token with the previous
+    assert rows[1][2].split()[0] == rows[0][2].split()[-1]
+
+
+def test_pack_sequences_capacity(spark):
+    from cl_data_frame_spark.operators.textstats import pack_sequences
+    docs = [(i, " ".join(["w"] * 100)) for i in range(10)]  # 100 tokens each
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pack_sequences(df, capacity_tokens=256, n_shards=1).spark_df
+    rows = sorted((r["doc_id"], r["bin_id"]) for r in out.collect())
+    # one shard, ordered by id: cum = 100,200,...,1000 -> bins by 256
+    bins = [b for _, b in rows]
+    assert bins == [1, 1, 2, 2, 2, 3, 3, 4, 4, 4]
+    # no bin exceeds capacity by more than one document's tokens
+    from collections import Counter
+    assert max(Counter(bins).values()) <= 3
