@@ -795,6 +795,22 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_s_udtf_tokens(spark, sf_dir):
+    """Python UDTF (Spark 4 table function): tokenize via a row-expanding
+    generator class, LATERAL-joined to carry doc_id through."""
+
+    class Tokenize:
+        def eval(self, doc_id, text):
+            for i, w in enumerate(text.split()):
+                yield (i, w)
+
+    docs = _f(spark, sf_dir, "documents")
+    out = R.apply_udtf(docs.select(["doc_id", "text"]), Tokenize,
+                       ["doc_id", "text"], "pos int, word string",
+                       carry_cols=["doc_id"])
+    return out.spark_df.select("doc_id", "pos", "word")
+
+
 def q_s_merge_upsert(spark, sf_dir):
     """MERGE/upsert as a relational rewrite: update matched orders'
     totalprice from a delta source, insert unmatched source keys."""
@@ -1041,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_udaf_wavg": q_s_udaf_wavg,
         "s_scalar_functions": q_s_scalar_functions,
         "s_merge_upsert": q_s_merge_upsert,
+        "s_udtf_tokens": q_s_udtf_tokens,
         "s_sessionize": q_s_sessionize,
         "s_collection_functions": q_s_collection_functions,
         # Tier X
@@ -1571,6 +1588,10 @@ _ORACLES: dict[str, str] = {
                   FROM dfreq)
         SELECT tc.doc_id, tc.term, vocab.idx, tc.tf
         FROM tc JOIN vocab ON tc.term = vocab.term""",
+    "s_udtf_tokens": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        e AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+        SELECT doc_id, (i - 1)::INT AS pos, tk[i] AS word FROM e""",
     "s_merge_upsert": """
         WITH delta AS (
             SELECT o_orderkey, o_totalprice + 1.5 AS o_totalprice
