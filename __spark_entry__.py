@@ -795,6 +795,18 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_s_funnel(spark, sf_dir):
+    """Ordered funnel over events: signup -> view -> click -> purchase."""
+    ev = _f(spark, sf_dir, "events")
+    return R.funnel(ev, ["signup", "view", "click", "purchase"]).spark_df
+
+
+def q_s_window_range_trailing(spark, sf_dir):
+    """Event-time RANGE-frame window: 7-day trailing per-user sum/count."""
+    ev = _f(spark, sf_dir, "events")
+    return R.trailing_range_window(ev, days=7).spark_df
+
+
 def q_s_udtf_tokens(spark, sf_dir):
     """Python UDTF (Spark 4 table function): tokenize via a row-expanding
     generator class, LATERAL-joined to carry doc_id through."""
@@ -1058,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_scalar_functions": q_s_scalar_functions,
         "s_merge_upsert": q_s_merge_upsert,
         "s_udtf_tokens": q_s_udtf_tokens,
+        "s_funnel": q_s_funnel,
+        "s_window_range_trailing": q_s_window_range_trailing,
         "s_sessionize": q_s_sessionize,
         "s_collection_functions": q_s_collection_functions,
         # Tier X
@@ -1588,6 +1602,37 @@ _ORACLES: dict[str, str] = {
                   FROM dfreq)
         SELECT tc.doc_id, tc.term, vocab.idx, tc.tf
         FROM tc JOIN vocab ON tc.term = vocab.term""",
+    "s_funnel": """
+        WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s0 ON e.user_id = s0.user_id
+               WHERE e.event_type = 'view' AND e.ts >= s0.t
+               GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts >= s1.t
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+               GROUP BY e.user_id)
+        SELECT 0::INT AS stage_idx, 'signup' AS stage,
+               (SELECT count(*) FROM s0)::BIGINT AS n_users
+        UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
+    "s_window_range_trailing": """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               (sum(value::DECIMAL(18,6)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+               ))::DOUBLE AS trailing_sum,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+               )::BIGINT AS trailing_n
+        FROM events""",
     "s_udtf_tokens": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         e AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)

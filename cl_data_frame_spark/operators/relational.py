@@ -442,3 +442,63 @@ def sessionize(frame, user_col: str = "user_id", ts_col: str = "ts",
                 F.max(ts_col).alias("session_end"),
                 F.count(F.lit(1)).alias("n_events")))
     return SparkFrame(out)
+
+
+def funnel(frame, stages: Sequence[str], user_col: str = "user_id",
+           type_col: str = "event_type", ts_col: str = "ts") -> SparkFrame:
+    """Ordered-funnel analysis: how many users reach each stage IN ORDER
+    (stage k counts only users whose first stage-k event is at/after
+    their first stage-(k-1) event).
+
+    Plan: one per-user aggregate for stage 1, then one hash join +
+    aggregate per later stage (each keyed on the user — partial-agg,
+    AQE-planned; never a global window). N stages = N-1 user-keyed
+    shuffles over an ever-shrinking survivor set.
+    """
+    sdf = _plain(frame)
+    reached = (sdf.filter(F.col(type_col) == stages[0])
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("__ts0__")))
+    counts = [(stages[0], reached.count())]
+    prev_ts = "__ts0__"
+    for i, stage in enumerate(stages[1:], start=1):
+        ev = sdf.filter(F.col(type_col) == stage).select(
+            user_col, F.col(ts_col).alias("__evts__"))
+        reached = (ev.join(reached, on=user_col)
+                   .filter(F.col("__evts__") >= F.col(prev_ts))
+                   .groupBy(user_col)
+                   .agg(F.min("__evts__").alias(f"__ts{i}__")))
+        prev_ts = f"__ts{i}__"
+        counts.append((stage, reached.count()))
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(counts)],
+        "stage_idx int, stage string, n_users bigint")
+    return SparkFrame(out)
+
+
+def trailing_range_window(frame, user_col: str = "user_id",
+                          ts_col: str = "ts", val_col: str = "value",
+                          id_col: str = "event_id",
+                          days: int = 7) -> SparkFrame:
+    """Event-time RANGE-frame window: per user, the trailing ``days``-day
+    sum/count of ``val_col`` at each event — the rows/range distinction
+    matters precisely when event times are irregular.
+
+    Partitioned by user (hash-parallel); the range frame is over epoch
+    micros so ties are frame-symmetric (deterministic independent of
+    intra-ts order). Sums pass through DECIMAL for cross-engine
+    reproducibility.
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    span = days * 86_400_000_000
+    us = F.unix_micros(F.col(ts_col))
+    w = (Window.partitionBy(user_col).orderBy(us.alias("__us__"))
+         .rangeBetween(-span, 0))
+    out = sdf.select(
+        user_col, id_col, us.alias("ts_us"),
+        F.sum(F.col(val_col).cast("decimal(18,6)")).over(w).cast("double")
+        .alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"))
+    return SparkFrame(out)

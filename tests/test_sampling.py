@@ -210,3 +210,39 @@ def test_pack_sequences_capacity(spark):
     # no bin exceeds capacity by more than one document's tokens
     from collections import Counter
     assert max(Counter(bins).values()) <= 3
+
+
+def test_funnel_ordered_stages(spark):
+    from cl_data_frame_spark.operators.relational import funnel
+    rows = [
+        # user 1 completes view -> click in order
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:05:00"),
+        # user 2 clicks BEFORE viewing -> must not count for click
+        (3, 2, "click", "2024-01-01 09:00:00"),
+        (4, 2, "view", "2024-01-01 09:30:00"),
+        # user 3 only views
+        (5, 3, "view", "2024-01-01 08:00:00"),
+    ]
+    df = (spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"])
+        .withColumn("ts", F.to_timestamp("ts")))
+    out = {r["stage"]: r["n_users"]
+           for r in funnel(df, ["view", "click"]).spark_df.collect()}
+    assert out == {"view": 3, "click": 1}
+
+
+def test_trailing_range_window_vs_rows(spark):
+    from cl_data_frame_spark.operators.relational import trailing_range_window
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-05 00:00:00", 2.0),
+        (3, 1, "2024-01-20 00:00:00", 4.0),   # >7d after both -> alone
+    ]
+    df = (spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = {r["event_id"]: (r["trailing_sum"], r["trailing_n"])
+           for r in trailing_range_window(df).spark_df.collect()}
+    assert out[1] == (1.0, 1)
+    assert out[2] == (3.0, 2)     # within 7 days of event 1
+    assert out[3] == (4.0, 1)     # range frame excludes old events
