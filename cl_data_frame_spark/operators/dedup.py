@@ -451,6 +451,9 @@ def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
     sdf = (base.select(id_col).join(fps, on=id_col, how="left")
            .select(id_col, F.coalesce("__sim__", F.lit(0).cast("long"))
                    .alias("__sim__")))
+    # the fingerprint table feeds both sides of the band self-join;
+    # persist so the explode + 64-counter aggregate runs once, not twice
+    sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     bands = F.array(*[
