@@ -31,6 +31,7 @@ from cl_data_frame_spark.operators import pipeline as PIPE
 from cl_data_frame_spark.operators import relational as R
 from cl_data_frame_spark.operators import sampling as SAMP
 from cl_data_frame_spark.operators import similarity as SIM
+from cl_data_frame_spark.operators import sketch as SK
 from cl_data_frame_spark.operators import textstats as TS
 from cl_data_frame_spark import streaming as ST
 
@@ -795,6 +796,20 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
+def q_s_approx_sketches(spark, sf_dir):
+    """Mergeable sketches (rows-only: the HLL/GK estimates are
+    deterministic but engine-specific): per-lang HLL distinct-token
+    estimate + median doc length via approximate percentile."""
+    docs = _f(spark, sf_dir, "documents")
+    tok = (docs.spark_df
+           .select("lang", F.explode(TS.tokens("text")).alias("tok")))
+    hll = SK.hll_sketch(tok, "tok", ["lang"]).spark_df \
+        .select("lang", "estimate")
+    q = SK.approx_quantiles(docs, "n_chars", [0.5], ["lang"]).spark_df \
+        .select("lang", F.element_at("quantiles", 1).alias("median_chars"))
+    return hll.join(q, on="lang")
+
+
 def q_s_funnel(spark, sf_dir):
     """Ordered funnel over events: signup -> view -> click -> purchase."""
     ev = _f(spark, sf_dir, "events")
@@ -1071,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_merge_upsert": q_s_merge_upsert,
         "s_udtf_tokens": q_s_udtf_tokens,
         "s_funnel": q_s_funnel,
+        "s_approx_sketches": q_s_approx_sketches,
         "s_window_range_trailing": q_s_window_range_trailing,
         "s_sessionize": q_s_sessionize,
         "s_collection_functions": q_s_collection_functions,
@@ -1116,7 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries whose internals SQL cannot reproduce (hash families, LCG planes,
 #: numpy stubs) — deliberately absent from oracle_sql().
-ROWS_ONLY = {"x_simhash_neardup", "x_ann_lsh", "x_media_features"}
+ROWS_ONLY = {"x_simhash_neardup", "x_ann_lsh", "x_media_features",
+    "s_approx_sketches"}
 
 
 # ---------------------------------------------------------------------------

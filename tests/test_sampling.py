@@ -246,3 +246,23 @@ def test_trailing_range_window_vs_rows(spark):
     assert out[1] == (1.0, 1)
     assert out[2] == (3.0, 2)     # within 7 days of event 1
     assert out[3] == (4.0, 1)     # range frame excludes old events
+
+
+def test_sketches_estimate_and_merge(spark):
+    from cl_data_frame_spark.operators import sketch as SK
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 4).alias("g"),
+        (F.col("id") % 1000).alias("v"))
+    # v = id % 1000 correlates with g = id % 4: 250 distinct v per group
+    ad = SK.approx_distinct(df, "v", ["g"]).spark_df.collect()
+    for r in ad:
+        assert abs(r["approx_distinct"] - 250) < 25
+    per_g = SK.hll_sketch(df, "v", ["g"])
+    ests = {r["g"]: r["estimate"] for r in per_g.spark_df.collect()}
+    assert all(abs(e - 250) < 25 for e in ests.values())
+    # rollup merges the 4 per-group sketches without rescanning raw data
+    total = SK.hll_rollup(per_g).spark_df.collect()[0]["estimate"]
+    assert abs(total - 1000) < 100   # same 1000 distinct v overall
+    q = SK.approx_quantiles(df, "v", [0.0, 0.5, 1.0]).spark_df.collect()[0]
+    lo, mid, hi = q["quantiles"]
+    assert lo == 0 and hi == 999 and abs(mid - 500) < 20
