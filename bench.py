@@ -45,6 +45,8 @@ HEADLINE = [
     "s_udaf_wavg",             # grouped pandas UDAF
     "s_merge_upsert",          # MERGE/upsert relational rewrite
     "s_sessionize",            # gap-based sessionization
+    "s_funnel",                # ordered funnel (user-keyed join chain)
+    "s_window_range_trailing", # event-time RANGE frame window
     "x_dedup_normalized",      # exact dedup (normalized)
     "x_minhash_neardup",       # MinHash + banded LSH
     "x_simhash_neardup",       # SimHash banding
