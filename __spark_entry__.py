@@ -526,7 +526,7 @@ def q_s_bucketed_range_join(spark, sf_dir):
          ("D", 40.0, 100.0)],
         "band string, lo double, hi double"))
     j = R.bucketed_range_join(li, bands, "l_quantity", "lo", "hi",
-                              bucket_width=10.0)
+                              bucket_width=1.0)
     return R.group_agg(j, ["band"], {
         "n": F.count(F.lit(1)),
         "sum_qty": _dec_sum("l_quantity"),
@@ -668,9 +668,12 @@ def q_x_simhash_neardup(spark, sf_dir):
 
 
 def q_x_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label."""
+    """Embedding-cosine near-dup pairs, blocked by label. The synthetic
+    embeddings are near-orthogonal (max within-label cosine ~0.47 at
+    sf0.01), so the threshold is 0.4 — the oracle then validates an
+    actual non-empty pair set instead of passing vacuously."""
     emb = _f(spark, sf_dir, "embeddings")
-    return X.embedding_near_duplicates(emb, threshold=0.9,
+    return X.embedding_near_duplicates(emb, threshold=0.4,
                                        block_col="label").spark_df
 
 
@@ -797,17 +800,19 @@ def q_x_media_features(spark, sf_dir):
 
 
 def q_s_approx_sketches(spark, sf_dir):
-    """Mergeable sketches (rows-only: the HLL/GK estimates are
-    deterministic but engine-specific): per-lang HLL distinct-token
-    estimate + median doc length via approximate percentile."""
+    """Mergeable sketches with a REAL oracle: DataSketches HLL sketches
+    built per (lang, source) shard, then hll_union_agg rolled up to lang
+    — the canonical pre-aggregate-then-merge pattern for 100 TB distinct
+    cubes. The per-group cardinality (n_chars % 97, <= 97 values) stays
+    inside the sketch's sparse/exact range, so the merged estimate equals
+    DuckDB's exact count(DISTINCT) and the row hash-matches."""
     docs = _f(spark, sf_dir, "documents")
-    tok = (docs.spark_df
-           .select("lang", F.explode(TS.tokens("text")).alias("tok")))
-    hll = SK.hll_sketch(tok, "tok", ["lang"]).spark_df \
-        .select("lang", "estimate")
-    q = SK.approx_quantiles(docs, "n_chars", [0.5], ["lang"]).spark_df \
-        .select("lang", F.element_at("quantiles", 1).alias("median_chars"))
-    return hll.join(q, on="lang")
+    base = docs.spark_df.select(
+        "lang", "source", (F.col("n_chars") % 97).alias("cb"))
+    per_shard = SK.hll_sketch(base, "cb", ["lang", "source"])
+    rolled = SK.hll_rollup(per_shard, ["lang"])
+    return rolled.spark_df.select(
+        "lang", F.col("estimate").cast("bigint").alias("distinct_cb"))
 
 
 def q_s_funnel(spark, sf_dir):
@@ -1132,8 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: queries whose internals SQL cannot reproduce (hash families, LCG planes,
 #: numpy stubs) — deliberately absent from oracle_sql().
-ROWS_ONLY = {"x_simhash_neardup", "x_ann_lsh", "x_media_features",
-    "s_approx_sketches"}
+ROWS_ONLY = {"x_simhash_neardup", "x_ann_lsh", "x_media_features"}
 
 
 # ---------------------------------------------------------------------------
@@ -1338,6 +1342,9 @@ _ORACLES: dict[str, str] = {
                (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus""",
+    "s_approx_sketches": """
+        SELECT lang, count(DISTINCT n_chars % 97)::BIGINT AS distinct_cb
+        FROM documents GROUP BY lang""",
     "s_udaf_wavg": """
         SELECT l_returnflag,
                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
@@ -1436,7 +1443,7 @@ _ORACLES: dict[str, str] = {
               / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
                                   (acc, x) -> acc + x))
                  * sqrt(list_reduce(list_transform(b.e, x -> x * x),
-                                    (acc, x) -> acc + x))) >= 0.9""",
+                                    (acc, x) -> acc + x))) >= 0.4""",
     "x_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                    WHERE vec_id = 0),
@@ -1663,7 +1670,8 @@ _ORACLES: dict[str, str] = {
             FROM orders WHERE o_orderkey % 1000 = 1)
         SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
                t.o_custkey,
-               coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice
         FROM orders t FULL JOIN delta s ON t.o_orderkey = s.o_orderkey""",
     "s_sessionize": """
         WITH o AS (
@@ -1679,9 +1687,10 @@ _ORACLES: dict[str, str] = {
             FROM o),
         s AS (
             SELECT user_id, ts,
-                   sum(newf) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                   (sum(newf) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT
+                       AS session_id
             FROM f)
         SELECT user_id, session_id,
                epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,

@@ -56,7 +56,12 @@ def dedup_exact_normalized(frame, text_col: str = "text",
 
     One shuffle total: rank within fingerprint partitions and keep rank 1
     (a groupBy-winners + join-back plan would shuffle the table twice
-    more). AQE handles skewed fingerprints (mass-duplicated documents).
+    more). Skew caveat: AQE's skew mitigation applies to shuffle JOINS,
+    not window partitions — a mass-duplicated fingerprint lands on one
+    task here. If one document dominates the corpus, pre-aggregate
+    (groupBy fingerprint -> min(id), then semi-join back) so the partial
+    aggregate absorbs the skew map-side at the cost of two extra
+    shuffles of the slim key table.
     """
     from pyspark.sql import Window
     sdf = _plain(frame)

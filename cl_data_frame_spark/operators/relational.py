@@ -300,6 +300,13 @@ def salted_join(left: SparkFrame, right: SparkFrame, on: Sequence[str] | str,
     where AQE's skew splitting isn't enough, broadcast for truly small
     sides.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # the right side is replicated across nsalts, so right/full joins
+        # would emit each unmatched right row nsalts times
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not "
+            f"{how!r}: right-side replication would duplicate unmatched "
+            f"right rows")
     on = [on] if isinstance(on, str) else list(on)
     ldf = _plain(left)
     rdf = _plain(right)
@@ -331,17 +338,20 @@ def bucketed_range_join(left: SparkFrame, right: SparkFrame, left_col: str,
     """
     ldf = _plain(left)
     rdf = _plain(right)
-    lb = F.floor(F.col(left_col) / F.lit(bucket_width)).alias("__bucket__")
+    lb = F.floor(F.col(left_col) / F.lit(bucket_width)).alias("__lbucket__")
     rb = F.explode(
         F.sequence(F.floor(F.col(lower) / F.lit(bucket_width)),
                    F.floor((F.col(upper) - F.lit(1e-9)) / F.lit(bucket_width)))
-    ).alias("__bucket__")
+    ).alias("__rbucket__")
     lbk = ldf.select("*", lb)
     rbk = rdf.select("*", rb)
-    residual = ((F.col(left_col) >= F.col(lower))
-                & (F.col(left_col) < F.col(upper)))
-    out = (lbk.join(rbk, on="__bucket__", how=how)
-           .filter(residual).drop("__bucket__"))
+    # the residual range predicate is part of the JOIN CONDITION (not a
+    # post-join filter) so non-inner joins keep their null-extended rows
+    cond = ((lbk["__lbucket__"] == rbk["__rbucket__"])
+            & (lbk[left_col] >= rbk[lower])
+            & (lbk[left_col] < rbk[upper]))
+    out = (lbk.join(rbk, on=cond, how=how)
+           .drop("__lbucket__", "__rbucket__"))
     return SparkFrame(out)
 
 
@@ -395,15 +405,19 @@ def merge_into(target, source, on: Sequence[str] | str,
            (True, True): "right", (False, True): "inner"}[
                (insert_unmatched, delete_unmatched_target)]
     t = tdf.alias("t")
-    s = sdf.alias("s")
+    # a non-null source-side marker distinguishes "matched" from
+    # "source value is NULL": WHEN MATCHED takes s.c outright (SQL MERGE
+    # semantics — a source NULL overwrites the target value)
+    s = sdf.withColumn("__src__", F.lit(True)).alias("s")
     joined = t.join(s, on=keys, how=how)
+    matched = F.col("s.__src__").isNotNull()
     cols = [F.col(k).alias(k) for k in keys]
     for c in tdf.columns:
         if c in keys:
             continue
         if c in upd:
-            cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
-                        .alias(c))
+            cols.append(F.when(matched, F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}")).alias(c))
         else:
             cols.append(F.col(f"t.{c}").alias(c))
     return SparkFrame(joined.select(*cols))
@@ -450,30 +464,44 @@ def funnel(frame, stages: Sequence[str], user_col: str = "user_id",
     (stage k counts only users whose first stage-k event is at/after
     their first stage-(k-1) event).
 
-    Plan: one per-user aggregate for stage 1, then one hash join +
-    aggregate per later stage (each keyed on the user — partial-agg,
-    AQE-planned; never a global window). N stages = N-1 user-keyed
-    shuffles over an ever-shrinking survivor set.
+    Plan: ONE conditional aggregation — per user, collect the sorted
+    event-time array of each stage in a single groupBy, then resolve the
+    ordered reach chain with array expressions (``filter(arr, t >=
+    prev)[1]``): stage k's qualifying time is the first stage-k event
+    at/after stage k-1's qualifying time. A final single-row aggregate
+    counts survivors per stage. One user-keyed shuffle total, one Spark
+    job, no driver-side per-stage actions (the previous per-stage
+    ``.count()`` loop re-executed the join chain O(stages²) times).
     """
     sdf = _plain(frame)
-    reached = (sdf.filter(F.col(type_col) == stages[0])
-               .groupBy(user_col)
-               .agg(F.min(ts_col).alias("__ts0__")))
-    counts = [(stages[0], reached.count())]
-    prev_ts = "__ts0__"
-    for i, stage in enumerate(stages[1:], start=1):
-        ev = sdf.filter(F.col(type_col) == stage).select(
-            user_col, F.col(ts_col).alias("__evts__"))
-        reached = (ev.join(reached, on=user_col)
-                   .filter(F.col("__evts__") >= F.col(prev_ts))
-                   .groupBy(user_col)
-                   .agg(F.min("__evts__").alias(f"__ts{i}__")))
-        prev_ts = f"__ts{i}__"
-        counts.append((stage, reached.count()))
-    spark = sdf.sparkSession
-    out = spark.createDataFrame(
-        [(i, s, n) for i, (s, n) in enumerate(counts)],
-        "stage_idx int, stage string, n_users bigint")
+    arrs = [F.sort_array(F.collect_list(
+                F.when(F.col(type_col) == s, F.col(ts_col))))
+            .alias(f"__a{i}__") for i, s in enumerate(stages)]
+    per_user = (sdf.filter(F.col(type_col).isin(list(stages)))
+                .groupBy(user_col).agg(*arrs))
+    def _first_at_or_after(arr, prev_col):
+        # single-parameter lambda: prev_col enters via closure (a default
+        # arg would read as a second lambda variable to Spark's HOF API);
+        # try_element_at: an empty array (stage never reached) is NULL
+        return F.try_element_at(F.filter(arr, lambda t: t >= prev_col),
+                                F.lit(1))
+
+    prev = None
+    for i in range(len(stages)):
+        arr = F.col(f"__a{i}__")
+        qual = (F.try_element_at(arr, F.lit(1)) if prev is None
+                else _first_at_or_after(arr, prev))
+        per_user = per_user.withColumn(f"__q{i}__", qual)
+        prev = F.col(f"__q{i}__")
+    totals = per_user.agg(
+        *[F.count(F.col(f"__q{i}__")).alias(f"__n{i}__")
+          for i in range(len(stages))])
+    rows = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("stage_idx"),
+                 F.lit(s).alias("stage"),
+                 F.col(f"__n{i}__").alias("n_users"))
+        for i, s in enumerate(stages)])
+    out = totals.select(F.explode(rows).alias("r")).select("r.*")
     return SparkFrame(out)
 
 
