@@ -24,52 +24,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Ordered roughly cheap -> expensive so partial runs still carry signal.
 HEADLINE = [
     "r_slice_mask",            # filter + projection pushdown
-    "r_map_rows",              # derived-column projection (codegen)
-    "r_summary_quantiles",     # exact percentile aggregation
-    "s_join_broadcast",        # dim snowflake join (broadcast)
-    "s_join_fact",             # fact-fact shuffle join + agg
-    "s_group_rollup",          # grouping sets
+    "r_map_mutate",            # derived-column projections (codegen)
+    "r_summary_all",           # exact percentile + freq + bit summaries
+    "s_join_agg",              # broadcast snowflake + fact-fact shuffle join
+    "s_join_semi_anti",        # semi/anti joins (key-only probe)
+    "s_group_sets",            # ROLLUP + CUBE grouping sets
     "s_window_topk_per_group", # window rank
-    "s_window_running",        # running window agg
+    "s_window_running_lag",    # running sum + lag/lead (one window pass)
     "s_sort_topk",             # TakeOrderedAndProject
-    "s_set_intersect_union",   # set ops
+    "s_set_ops",               # EXCEPT / INTERSECT+UNION / DISTINCT
     "s_pivot",                 # pivot
     "s_unpivot",               # melt (Expand, no shuffle)
     "s_group_quantiles",       # per-group exact percentiles
     "s_time_rollup",           # day/hour grouping-sets rollup
-    "s_asof_join",             # keyed as-of join
-    "s_asof_join_unkeyed",     # range-partitioned as-of join
-    "s_range_join",            # interval probe (broadcast)
-    "s_bucketed_range_join",   # interval join via grid equi-join
-    "s_salted_join",           # skew-salted join
-    "s_udaf_wavg",             # grouped pandas UDAF
+    "s_asof",                  # keyed + range-partitioned as-of joins
+    "s_range_joins",           # broadcast probe + bucket-grid interval joins
+    "s_skew_udaf",             # skew-salted join + grouped pandas UDAF
+    "s_functions",             # scalar + collection expression surface
+    "s_source_roundtrip",      # parquet sink -> scan round-trip
     "s_merge_upsert",          # MERGE/upsert relational rewrite
     "s_sessionize",            # gap-based sessionization
-    "s_funnel",                # ordered funnel (user-keyed join chain)
+    "s_funnel",                # ordered funnel (single conditional agg)
     "s_window_range_trailing", # event-time RANGE frame window
-    "x_dedup_normalized",      # exact dedup (normalized)
+    "s_approx_sketches",       # HLL sketch + union rollup
+    "x_dedup",                 # exact + normalized dedup
     "x_minhash_neardup",       # MinHash + banded LSH
-    "x_simhash_neardup",       # SimHash banding
-    "x_ngram_jaccard",         # exact blocked n-gram Jaccard
-    "x_ngram_jaccard_global",  # exact global prefix-filtered PPJoin
+    "x_ngram_jaccard",         # blocked + global prefix-filtered Jaccard
     "x_dedup_clusters",        # connected components over pair graph
-    "x_hash_split",            # deterministic train/val/test split
+    "x_hash_sampling",         # deterministic sample + train/val/test split
     "x_embed_neardup",         # blocked cosine near-dup
     "x_embed_centroid",        # per-group centroid (fixed-point agg)
-    "x_cosine_topk",           # brute-force ANN baseline
-    "x_ann_lsh",               # hyperplane-LSH ANN
-    "x_ivf_assign",            # IVF centroid routing
-    "x_kmeans_assign",         # iterative k-means (3 Lloyd rounds)
-    "x_similarity_join_topk",  # blocked top-k similarity join
-    "x_text_quality",          # text metrics
-    "x_repetition_stats",      # Gopher-style repetition signals
+    "x_cosine_search",         # brute-force top-k + blocked top-k join
+    "x_cluster_assign",        # IVF routing + iterative k-means
+    "x_probes_rows_only",      # SimHash + hyperplane LSH + media features
+    "x_text_stats",            # text metrics/lang-id/fingerprints/repetition
+    "x_term_weights",          # TF-IDF top-k + CountVectorizer long form
     "x_pipeline_filter",       # composed curation pipeline (one plan)
-    "x_chunk_documents",       # context-window chunking
-    "x_pack_sequences",        # sharded sequence packing
-    "x_tfidf_topk",            # TF-IDF top-k terms
-    "x_count_vectorize",       # vocabulary + long-form counts
-    "st_tumbling",             # windowed agg (batch == stream plan)
-    "st_session",              # session windows
+    "x_chunk_pack",            # chunking + sharded sequence packing
+    "st_windows",              # tumbling/sliding/session windowed aggs
 ]
 
 

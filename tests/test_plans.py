@@ -85,9 +85,10 @@ def test_cosine_topk_no_shuffle(spark, sf_dir):
 
 
 #: queries where a BroadcastNestedLoopJoin is the intended plan: the
-#: broadcast interval probe, the 8-row salt replication, and TF-IDF's
-#: one-row corpus-count attach
-_BNLJ_OK = {"s_range_join", "s_salted_join", "x_tfidf_topk"}
+#: broadcast interval probe (inside s_range_joins), the 8-row salt
+#: replication (inside s_skew_udaf), and TF-IDF's one-row corpus-count
+#: attach (inside x_term_weights)
+_BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights"}
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
