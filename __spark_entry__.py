@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cl_data_frame_spark.frame import SparkFrame, df as make_frame
+from cl_data_frame_spark.operators import curation as CUR
 from cl_data_frame_spark.operators import dedup as X
 from cl_data_frame_spark.operators import multimodal as MM
 from cl_data_frame_spark.operators import pipeline as PIPE
@@ -1510,12 +1511,101 @@ def q_st_windows(spark, sf_dir):
     return a.unionByName(b).unionByName(c)
 
 
+# ---------------------------------------------------------------------------
+# round 3 additions: curation scrub (decontamination + PII), BM25,
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+def q_x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 17 == 0 play the
+    held-out benchmark; every other document reports its word-3-gram
+    overlap fraction against the broadcast benchmark dictionary."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    out = CUR.decontaminate(corpus, bench, n=3, threshold=0.05).spark_df
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.col("overlap_frac").cast("double").alias("overlap_frac"),
+        F.col("contaminated").cast("bigint").alias("contaminated"))
+
+
+def q_x_pii_redact(spark, sf_dir):
+    """PII scrub over documents with deterministic PII injected (the
+    synthetic corpus carries none): per-type counts on the original text
+    plus the md5 of the redacted text — an exact cross-engine equality
+    signal for the full redaction output."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 3) % 256).cast("string"),
+            F.lit(".7")).alias("text"))
+    return CUR.pii_redact(injected).spark_df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_pii").cast("bigint").alias("n_pii"),
+        F.col("redacted_md5").alias("redacted_md5"))
+
+
+def q_x_curation_scrub(spark, sf_dir):
+    """Curation scrub composite: benchmark decontamination + PII
+    redaction in one tagged union."""
+    a = _tag(q_x_decontaminate(spark, sf_dir), "decontaminate",
+             F.col("doc_id").alias("doc_id"),
+             F.col("n_ngrams").alias("i1"), F.col("n_hit").alias("i2"),
+             F.col("contaminated").alias("i3"), _BNULL().alias("i4"),
+             F.col("overlap_frac").alias("d1"), _SNULL().alias("s1"))
+    b = _tag(q_x_pii_redact(spark, sf_dir), "pii",
+             F.col("doc_id").alias("doc_id"),
+             F.col("n_email").alias("i1"), F.col("n_phone").alias("i2"),
+             F.col("n_ipv4").alias("i3"), F.col("n_pii").alias("i4"),
+             _DNULL().alias("d1"), F.col("redacted_md5").alias("s1"))
+    return a.unionByName(b)
+
+
+def q_x_bm25(spark, sf_dir):
+    """Okapi BM25 scores for the query bag (table, window, spark) over
+    documents — every matching doc, exact decimal-summed contributions."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.bm25_scores(docs, ["table", "window", "spark"]).spark_df
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+        F.col("score").cast("double").alias("score"))
+
+
+def q_x_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale, integer checksums of the quantized vector, L2 recon error."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.quantize_embeddings(emb).spark_df
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("scale").cast("double").alias("scale"),
+        F.col("q_sum").cast("bigint").alias("q_sum"),
+        F.col("q_absmax").cast("bigint").alias("q_absmax"),
+        F.col("l2_err").cast("double").alias("l2_err"))
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """46 entries — under the driver checker's 50-row cutoff, so EVERY
+    """49 entries — under the driver checker's 50-row cutoff, so EVERY
     registered query gets a CORRECTNESS row. Composite entries verify
     several operators at once (see the composite section above); SURVEY
     §2.4 maps each operator to its registry key."""
@@ -1565,6 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pipeline_filter": q_x_pipeline_filter,
         "x_dedup_clusters": q_x_dedup_clusters,
         "x_media": q_x_media,
+        "x_curation_scrub": q_x_curation_scrub,
+        "x_bm25": q_x_bm25,
+        "x_embed_quantize": q_x_embed_quantize,
         "x_probes_rows_only": q_x_probes_rows_only,
         # streaming
         "st_windows": q_st_windows,
@@ -2658,6 +2751,137 @@ _ORACLES["st_windows"] = _union(
           "session_us::BIGINT AS win_us, user_id::BIGINT AS i1, "
           "NULL::VARCHAR AS s1, n_events::BIGINT AS n, "
           "NULL::DOUBLE AS sum_value"))
+
+
+# round 3: curation scrub, BM25, quantization oracles ----------------------
+
+_ORACLES["x_decontaminate"] = """
+    WITH ng AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                   FOR i IN generate_series(1, greatest(len(t) - 2, 1))])
+                   AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)),
+    bench AS (
+        SELECT DISTINCT unnest(g) AS ngram FROM ng WHERE doc_id % 17 = 0),
+    corpus AS (
+        SELECT doc_id, unnest(g) AS ngram FROM ng WHERE doc_id % 17 <> 0),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_ngrams,
+               sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM corpus c LEFT JOIN bench b ON c.ngram = b.ngram
+        GROUP BY c.doc_id)
+    SELECT doc_id::BIGINT AS doc_id, n_ngrams::BIGINT AS n_ngrams,
+           n_hit::BIGINT AS n_hit,
+           round(n_hit::DOUBLE / n_ngrams, 6) AS overlap_frac,
+           (CASE WHEN n_hit::DOUBLE / n_ngrams >= 0.05
+                 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+    FROM hits"""
+
+_ORACLES["x_pii_redact"] = """
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail' ||
+               (doc_id % 7) || '.example.com call 555-' ||
+               lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+               lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+               ' ip 10.' || (doc_id % 256) || '.' ||
+               ((doc_id * 3) % 256) || '.7' AS text
+        FROM documents),
+    red AS (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,6}',
+                   '[EMAIL]', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+                   '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+                   '[IPV4]', 'g') AS redacted
+        FROM injected)
+    SELECT doc_id::BIGINT AS doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,6}'))::BIGINT
+               AS n_email,
+           len(regexp_extract_all(text,
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text,
+               '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))::BIGINT
+               AS n_ipv4,
+           (len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,6}'))
+            + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+            + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+            + len(regexp_extract_all(text,
+                '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+           )::BIGINT AS n_pii,
+           md5(redacted) AS redacted_md5
+    FROM red"""
+
+_ORACLES["x_curation_scrub"] = _union(
+    _wrap("decontaminate", _ORACLES["x_decontaminate"],
+          "doc_id::BIGINT AS doc_id, n_ngrams::BIGINT AS i1, "
+          "n_hit::BIGINT AS i2, contaminated::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, overlap_frac::DOUBLE AS d1, "
+          "NULL::VARCHAR AS s1"),
+    _wrap("pii", _ORACLES["x_pii_redact"],
+          "doc_id::BIGINT AS doc_id, n_email::BIGINT AS i1, "
+          "n_phone::BIGINT AS i2, n_ipv4::BIGINT AS i3, "
+          "n_pii::BIGINT AS i4, NULL::DOUBLE AS d1, redacted_md5 AS s1"))
+
+_ORACLES["x_bm25"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+    tc AS (
+        SELECT doc_id, lower(term) AS term, count(*) AS tf
+        FROM toks, unnest(t) AS u(term)
+        WHERE lower(term) IN ('table', 'window', 'spark')
+        GROUP BY doc_id, lower(term)),
+    dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term)
+    SELECT tc.doc_id::BIGINT AS doc_id,
+           count(*)::BIGINT AS n_terms_hit,
+           round((sum((
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * dl / (tot_dl::DOUBLE / n_docs))))
+           )::DECIMAL(28,10)))::DOUBLE, 6) AS score
+    FROM tc
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tc.doc_id"""
+
+_ORACLES["x_embed_quantize"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings),
+    s AS (
+        SELECT vec_id, e,
+               CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+        FROM (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS m
+              FROM v)),
+    q AS (
+        SELECT vec_id, scale, e,
+               list_transform(e, x -> round(x / scale)::BIGINT) AS qv
+        FROM s)
+    SELECT vec_id::BIGINT AS vec_id,
+           round(scale, 6) AS scale,
+           (list_sum(qv))::BIGINT AS q_sum,
+           (list_max(list_transform(qv, x -> abs(x))))::BIGINT AS q_absmax,
+           round(sqrt(list_reduce(
+               list_transform(list_zip(e, qv),
+                              z -> (z[1] - z[2] * scale)
+                                   * (z[1] - z[2] * scale)),
+               (acc, x) -> acc + x)), 6) AS l2_err
+    FROM q"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,144 @@
+"""Corpus-curation operators beyond dedup: benchmark decontamination and
+PII redaction.
+
+Tier X (SURVEY.md §2.4): the reference (`cl-data-frame.lisp:1-583`) has no
+text pipeline at all; these are the standard pre-training curation steps a
+100 TB corpus needs before the dedup/quality gates in ``dedup.py`` /
+``textstats.py`` / ``pipeline.py``.
+
+Scale notes
+-----------
+- ``decontaminate``: the benchmark n-gram dictionary is tiny relative to
+  the corpus (benchmarks are MBs, corpora are TBs), so it is broadcast and
+  the corpus side never shuffles by n-gram — the only shuffle is the
+  per-document hit aggregation on ``id_col``, which AQE coalesces.
+- ``pii_redact``: a pure per-row expression chain (regexp_extract_all +
+  chained regexp_replace), fully whole-stage-codegen'd — no shuffle, no
+  UDF, scales linearly with scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.frame import SparkFrame
+from cl_data_frame_spark.operators.dedup import word_ngrams
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_ngrams(benchmark, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-grams over the whole benchmark set — the
+    contamination dictionary. One explode + one distinct; the result is
+    broadcast-sized by construction (benchmarks are small)."""
+    sdf = _plain(benchmark)
+    return (sdf.select(F.explode(word_ngrams(text_col, n)).alias("ngram"))
+            .distinct())
+
+
+def decontaminate(corpus, benchmark, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> SparkFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct word ``n``-grams that also appear in the benchmark set.
+    Documents at or above ``threshold`` are flagged contaminated (the
+    standard n-gram-overlap decontamination test used for pre-training
+    corpora, e.g. Brown et al. 2020 §C / Rae et al. 2021 appendix —
+    public methodology).
+
+    Output: (id_col, n_ngrams, n_hit, overlap_frac, contaminated), one row
+    per corpus document.
+
+    Plan shape: corpus explodes its distinct n-grams (rows ≈ docs ×
+    distinct-ngrams/doc), LEFT joins the **broadcast** benchmark
+    dictionary (no shuffle of the corpus by n-gram), then one hash
+    aggregation back to one row per document. At 100 TB the only shuffle
+    is that final groupBy(id_col), with map-side partial aggregation.
+    """
+    cdf = _plain(corpus)
+    bench = benchmark_ngrams(benchmark, text_col, n)
+    exploded = cdf.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("ngram"))
+    marked = (exploded
+              .join(F.broadcast(bench.withColumn("__hit__", F.lit(1))),
+                    on="ngram", how="left"))
+    out = (marked.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long")
+                 .alias("n_hit"))
+           .withColumn("overlap_frac",
+                       F.round(F.col("n_hit") / F.col("n_ngrams"), 6))
+           .withColumn("contaminated",
+                       (F.col("n_hit") / F.col("n_ngrams"))
+                       >= F.lit(threshold)))
+    return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: Default PII patterns. Deliberately conservative regex subset (character
+#: classes + bounded quantifiers only) so the same pattern string means the
+#: same thing to Java regex (Spark) and RE2 (DuckDB/Go) — no lookarounds,
+#: no \d shorthands, no backrefs. Order matters: longer/more specific
+#: patterns first so e.g. an SSN-shaped run inside a phone number is not
+#: double-redacted.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,6}",
+    "phone": "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+
+def pii_counts(col, patterns: dict[str, str] | None = None) -> dict[str, Column]:
+    """Per-pattern match counts for a text column — pure expressions."""
+    text = F.col(col) if isinstance(col, str) else col
+    pats = patterns or PII_PATTERNS
+    return {name: F.size(F.regexp_extract_all(text, F.lit(rx), F.lit(0)))
+            for name, rx in pats.items()}
+
+
+def redact(col, patterns: dict[str, str] | None = None) -> Column:
+    """Chained ``regexp_replace`` redaction: each match becomes
+    ``[NAME]``. Pattern order is dict order (see PII_PATTERNS)."""
+    text = F.col(col) if isinstance(col, str) else col
+    pats = patterns or PII_PATTERNS
+    for name, rx in pats.items():
+        text = F.regexp_replace(text, rx, f"[{name.upper()}]")
+    return text
+
+
+def pii_redact(frame, id_col: str = "doc_id", text_col: str = "text",
+               patterns: dict[str, str] | None = None) -> SparkFrame:
+    """PII scrub: per document, per-type match counts plus the redacted
+    text and its md5 digest (the digest gives an exact equality signal
+    without hauling full text through downstream joins).
+
+    Counts are computed on the ORIGINAL text, so overlapping patterns
+    (ssn inside phone) each report their own raw matches, while the
+    redaction applies patterns in dict order.
+
+    Narrow, shuffle-free, codegen'd — scales with scan bandwidth.
+    """
+    sdf = _plain(frame)
+    counts = pii_counts(text_col, patterns)
+    red = redact(text_col, patterns)
+    cols = [F.col(id_col)]
+    cols += [c.cast("long").alias(f"n_{name}") for name, c in counts.items()]
+    total = None
+    for name in (patterns or PII_PATTERNS):
+        piece = F.col(f"n_{name}")
+        total = piece if total is None else total + piece
+    out = (sdf.select(*cols, red.alias("redacted"))
+           .withColumn("n_pii", total.cast("long"))
+           .withColumn("redacted_md5", F.md5("redacted")))
+    return SparkFrame(out)

@@ -258,3 +258,43 @@ def kmeans_fit(frame, k: int = 8, max_iter: int = 3,
                  if cid in by_c else (cid, vec)
                  for cid, vec in cents]
     return cents, ivf_assign(sdf, cents, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (int8 scalar quantization — the standard storage/
+# bandwidth reduction for 100 TB-scale vector corpora; public technique,
+# no reference analogue, Tier X scope per SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(frame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> SparkFrame:
+    """Symmetric per-vector int8 quantization:
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` (so every
+    ``q_i`` fits int8), plus the L2 reconstruction error — the quality
+    signal that decides whether int8 is acceptable for a given corpus.
+
+    Output: (id_col, scale, q_sum, q_absmax, l2_err) — ``q_sum`` /
+    ``q_absmax`` are exact integer checksums of the quantized vector,
+    ``scale`` and ``l2_err`` rounded to 6 places.
+
+    Pure array-expression math over the embedding column (transform /
+    aggregate HOFs): narrow, shuffle-free, no UDF; float components widen
+    to double before any arithmetic so results are bit-identical across
+    engines (in-order IEEE reduction, same as ``cosine_similarity``).
+    """
+    sdf = _plain(frame)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    recon_sq = F.zip_with(
+        v, q, lambda x, qi: (x - qi * scale) * (x - qi * scale))
+    l2 = F.sqrt(F.aggregate(recon_sq, F.lit(0.0), lambda a, x: a + x))
+    out = sdf.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.array_max(F.transform(q, F.abs)).alias("q_absmax"),
+        F.round(l2, 6).alias("l2_err"))
+    return SparkFrame(out)

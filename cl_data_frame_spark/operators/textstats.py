@@ -418,3 +418,61 @@ def pack_sequences(frame, id_col: str = "doc_id", text_col: str = "text",
         F.ceil((cum - F.lit(0.5)) / capacity_tokens).cast("long")
         .alias("bin_id"))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (Robertson/Sparck-Jones Okapi BM25 — public
+# formulation; no reference analogue, Tier X scope per SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def bm25_scores(frame, query_terms, k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text") -> SparkFrame:
+    """Okapi BM25 score of every document against a bag of query terms.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with the standard smoothed idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Output: (id_col, n_terms_hit, score), one row per document containing
+    at least one query term; ``score`` rounded to 6 places.
+
+    Scale shape: the corpus-wide stats are two scalar aggregates (N,
+    total dl — exact integer sums) broadcast via crossJoin; per-term df
+    is restricted to the query terms BEFORE aggregation (the tf explode
+    filters to query terms first, so the shuffle carries only
+    (doc, query-term) rows, not the whole vocabulary); the df dictionary
+    (<= |query| rows) is broadcast back. One groupBy(doc) finishes.
+    Per-term contributions pass through DECIMAL(28,10) so the final sum
+    is order-independent and bit-identical across engines.
+    """
+    sdf = _plain(frame)
+    terms = [t.lower() for t in query_terms]
+
+    dl = sdf.select(F.col(id_col), token_count(text_col).alias("dl"))
+    # corpus scalars: exact integer sums -> exact double division
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("tot_dl"))
+
+    tc = _plain(term_counts(frame, id_col, text_col))
+    qtc = tc.filter(F.col("term").isin(terms))
+    dfreq = qtc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) +
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfnorm = (F.col("tf") * (F.lit(k1) + 1.0)
+              / (F.col("tf")
+                 + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                + F.lit(b) * F.col("dl") / avgdl)))
+    contrib = (idf * tfnorm).cast("decimal(28,10)")
+
+    out = (qtc
+           .join(F.broadcast(dfreq), on="term")
+           .join(dl, on=id_col)
+           .crossJoin(F.broadcast(stats))
+           .select(F.col(id_col), contrib.alias("contrib"))
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                F.round(F.sum("contrib").cast("double"), 6).alias("score")))
+    return SparkFrame(out)

@@ -1,0 +1,119 @@
+"""Curation operators: decontamination, PII redaction, BM25, quantization.
+
+The reference has no text/embedding pipeline (cl-data-frame.lisp:1-583);
+these are Tier X operators per SURVEY §2.3/2.4.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.operators import curation as CUR
+from cl_data_frame_spark.operators import similarity as SIM
+from cl_data_frame_spark.operators import textstats as TS
+
+
+def test_decontaminate_overlap_fractions(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"),       # ngrams: abc bcd cde -> 2 hits
+         (2, "u v w z"),          # ngrams: uvw vwz -> 0 hits
+         (3, "a b c x y z")],     # abc bcx cxy xyz -> 2 hits
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(10, "a b c d"), (11, "p q r x y z")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           CUR.decontaminate(corpus, bench, n=3, threshold=0.5)
+           .spark_df.collect()}
+    assert out[1]["n_ngrams"] == 3 and out[1]["n_hit"] == 2
+    assert out[1]["contaminated"] is True  # 2/3 >= 0.5
+    assert out[2]["n_hit"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_ngrams"] == 4 and out[3]["n_hit"] == 2
+    assert abs(out[3]["overlap_frac"] - 0.5) < 1e-9
+
+
+def test_decontaminate_short_doc_single_ngram(spark):
+    # fewer tokens than n: word_ngrams emits one (short) gram
+    corpus = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    row = CUR.decontaminate(corpus, bench, n=3).spark_df.collect()[0]
+    assert row["n_ngrams"] == 1 and row["n_hit"] == 1
+
+
+def test_pii_redact_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.com or call 555-123-4567 from 10.0.0.1 now"),
+         (2, "nothing here"),
+         (3, "ssn 123-45-6789 twice 999-88-7777")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CUR.pii_redact(df).spark_df.collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_pii"] == 3
+    assert out[2]["n_pii"] == 0
+    assert out[3]["n_ssn"] == 2 and out[3]["n_pii"] == 2
+    red = {r["doc_id"]: r["redacted"]
+           for r in spark.createDataFrame(
+               [(1, "mail bob@x.com or call 555-123-4567 now"),
+                (3, "ssn 123-45-6789 end")], ["doc_id", "text"])
+           .select("doc_id", CUR.redact("text").alias("redacted")).collect()}
+    assert red[1] == "mail [EMAIL] or call [PHONE] now"
+    assert red[3] == "ssn [SSN] end"
+
+
+def test_pii_phone_not_double_matched_as_ssn(spark):
+    # phone pattern wins positionally; an embedded d3-d2 prefix must not
+    # also produce an SSN count (fixed-width quantifiers, no overlap)
+    df = spark.createDataFrame([(1, "call 555-123-4567")], ["doc_id", "text"])
+    row = CUR.pii_redact(df).spark_df.collect()[0]
+    assert row["n_phone"] == 1 and row["n_ssn"] == 0
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark table spark"), (2, "table chair"), (3, "lamp chair")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TS.bm25_scores(docs, ["spark", "table"]).spark_df.collect()}
+    # corpus stats: N=3, dl = [3,2,2], avgdl = 7/3
+    n, avgdl, k1, b = 3, 7.0 / 3.0, 1.2, 0.75
+
+    def bm25(tf, df_, dl):
+        idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        return idf * (tf * (k1 + 1.0)
+                      / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+
+    exp1 = bm25(2, 1, 3) + bm25(1, 2, 3)   # spark tf=2 df=1; table tf=1 df=2
+    assert out[1]["n_terms_hit"] == 2
+    assert abs(out[1]["score"] - exp1) < 1e-5
+    exp2 = bm25(1, 2, 2)
+    assert out[2]["n_terms_hit"] == 1
+    assert abs(out[2]["score"] - exp2) < 1e-5
+    assert 3 not in out  # no query terms -> no row
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           SIM.quantize_embeddings(df).spark_df.collect()}
+    # vec 1: maxabs=1.0, scale=1/127; q = [64, -127, 32] (0.5*127=63.5
+    # rounds half-up to 64); q_sum = -31
+    assert abs(out[1]["scale"] - round(1.0 / 127.0, 6)) < 1e-9
+    assert out[1]["q_sum"] == 64 - 127 + 32
+    assert out[1]["q_absmax"] == 127
+    s = 1.0 / 127.0
+    exp_err = math.sqrt((0.5 - 64 * s) ** 2 + (-1.0 + 127 * s) ** 2
+                        + (0.25 - 32 * s) ** 2)
+    assert abs(out[1]["l2_err"] - exp_err) < 1e-5
+    # zero vector: scale falls back to 1.0, perfect reconstruction
+    assert out[2]["scale"] == 1.0
+    assert out[2]["q_sum"] == 0 and out[2]["l2_err"] == 0.0
+
+
+def test_quantize_values_fit_int8(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = (SIM.quantize_embeddings(emb).spark_df
+          .agg(F.max("q_absmax").alias("m")).collect()[0]["m"])
+    assert mx <= 127
