@@ -61,6 +61,9 @@ HEADLINE = [
     "x_term_weights",          # TF-IDF top-k + CountVectorizer long form
     "x_pipeline_filter",       # composed curation pipeline (one plan)
     "x_chunk_pack",            # chunking + sharded sequence packing
+    "x_curation_scrub",        # decontamination + PII redaction
+    "x_bm25",                  # Okapi BM25 scoring
+    "x_embed_quantize",        # int8 embedding quantization
     "st_windows",              # tumbling/sliding/session windowed aggs
 ]
 

@@ -283,18 +283,33 @@ def quantize_embeddings(frame, id_col: str = "vec_id",
     engines (in-order IEEE reduction, same as ``cosine_similarity``).
     """
     sdf = _plain(frame)
+    # staged projections: each intermediate (widened vector, scale,
+    # quantized vector) is materialized as a column used several times
+    # downstream, so CollapseProject keeps the stages separate and each
+    # array scan runs ONCE per row — inlining `scale` into the per-element
+    # lambdas would re-run the array_max scan for every element (O(dim^2)
+    # interpreted-HOF work; measured 6x slower at sf0.1)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
-    q = F.transform(v, lambda x: F.round(x / scale).cast("long"))
+    widened = sdf.select(F.col(id_col), v.alias("__v__"))
+    maxabs = F.array_max(F.transform(F.col("__v__"), F.abs))
+    scaled = widened.select(
+        id_col, "__v__",
+        F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+        .alias("__scale__"))
+    s = F.col("__scale__")
+    quantized = scaled.select(
+        id_col, "__v__", "__scale__",
+        F.transform(F.col("__v__"),
+                    lambda x: F.round(x / s).cast("long")).alias("__q__"))
     recon_sq = F.zip_with(
-        v, q, lambda x, qi: (x - qi * scale) * (x - qi * scale))
+        F.col("__v__"), F.col("__q__"),
+        lambda x, qi: (x - qi * s) * (x - qi * s))
     l2 = F.sqrt(F.aggregate(recon_sq, F.lit(0.0), lambda a, x: a + x))
-    out = sdf.select(
+    out = quantized.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
-        F.aggregate(q, F.lit(0).cast("long"),
+        F.round(s, 6).alias("scale"),
+        F.aggregate(F.col("__q__"), F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("q_sum"),
-        F.array_max(F.transform(q, F.abs)).alias("q_absmax"),
+        F.array_max(F.transform(F.col("__q__"), F.abs)).alias("q_absmax"),
         F.round(l2, 6).alias("l2_err"))
     return SparkFrame(out)

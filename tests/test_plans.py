@@ -88,7 +88,9 @@ def test_cosine_topk_no_shuffle(spark, sf_dir):
 #: broadcast interval probe (inside s_range_joins), the 8-row salt
 #: replication (inside s_skew_udaf), and TF-IDF's one-row corpus-count
 #: attach (inside x_term_weights)
-_BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights"}
+# BNLJ only where it IS the design: broadcast interval probes and 1-row
+# corpus-scalar crossJoins (tf-idf N, bm25 N/avgdl)
+_BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights", "x_bm25"}
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
@@ -111,3 +113,38 @@ def test_filter_pushdown_via_frame(spark, sf_dir):
     p = _plan(sub.spark_df)
     assert "PushedFilters" in p
     assert "l_quantity" in p.split("PushedFilters:", 1)[1].split("]", 1)[0]
+
+
+def test_decontaminate_benchmark_is_broadcast(spark, sf_dir):
+    """The benchmark n-gram dictionary must broadcast — the corpus side
+    must never shuffle by n-gram (at 100 TB that shuffle is the bug)."""
+    p = _plan(E.q_x_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # the corpus probe branch (between the join and the build side's
+    # BroadcastExchange) must be shuffle-free: scan -> explode -> join.
+    # The tiny benchmark side may shuffle internally for its distinct.
+    probe = p.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in probe
+
+
+def test_pii_redact_is_narrow_codegen(spark, sf_dir):
+    """PII scrub is a pure projection: no shuffle, no UDF, whole-stage
+    codegen from scan to output."""
+    p = _plan(E.q_x_pii_redact(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "*(" in p  # WholeStageCodegen stage marker
+
+
+def test_bm25_df_dictionary_is_broadcast(spark, sf_dir):
+    """Per-term document frequencies (<= |query| rows) and the corpus
+    scalar stats must broadcast back onto the (doc, term) side."""
+    p = _plan(E.q_x_bm25(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_quantize_is_narrow(spark, sf_dir):
+    """Quantization is per-row array math: no shuffle, no Python."""
+    p = _plan(E.q_x_embed_quantize(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
