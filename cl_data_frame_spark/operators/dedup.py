@@ -260,10 +260,10 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
     """Exact word-n-gram Jaccard similarity pairs above *threshold*.
 
     ``block_col`` bounds the candidate set to same-block pairs (e.g. same
-    source/lang) — the standard blocking trick; without it this is the
-    exact O(n²)-within-join baseline for small inputs and for verifying
-    the LSH path. At scale, always block (or use
-    ``minhash_near_duplicates`` as the candidate generator).
+    source/lang) — the standard blocking trick. Without a block column
+    the call DELEGATES to ``ngram_jaccard_pairs_prefix`` (the AllPairs/
+    PPJoin prefix filter): identical output, near-linear candidate
+    generation — there is no O(n²) default left in the API.
 
     Plan shape: the quadratic join runs over SLIM (block, id) rows only,
     the resulting pair table is round-robined across the cluster, and the
@@ -273,6 +273,9 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
     ~pair-count times and (b) leave the Jaccard compute with only
     #distinct-blocks partitions of parallelism.
     """
+    if block_col is None:
+        return ngram_jaccard_pairs_prefix(frame, id_col, text_col, n,
+                                          threshold)
     base = ensure_min_partitions(_plain(frame).select(
         id_col, *([block_col] if block_col else []), text_col))
     # n-grams are hashed to longs at build time: the per-pair set probe
@@ -285,12 +288,9 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
     # ng feeds the pair-id join plus two verify joins; persist so the
     # tokenize+hash projection runs once, not three times
     ng = ng.persist(StorageLevel.MEMORY_AND_DISK)
-    on = [block_col] if block_col else []
+    on = [block_col]
     ids = ng.select(*on, id_col)
     pairs = (ids.select(*on, F.col(id_col).alias("id_a"))
-             .crossJoin(ids.select(F.col(id_col).alias("id_b")))
-             if not on else
-             ids.select(*on, F.col(id_col).alias("id_a"))
              .join(ids.select(*on, F.col(id_col).alias("id_b")), on=on))
     pairs = (pairs.filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b")
