@@ -33,6 +33,7 @@ from cl_data_frame_spark.operators import relational as R
 from cl_data_frame_spark.operators import sampling as SAMP
 from cl_data_frame_spark.operators import similarity as SIM
 from cl_data_frame_spark.operators import sketch as SK
+from cl_data_frame_spark.operators import stats as STAT
 from cl_data_frame_spark.operators import textstats as TS
 from cl_data_frame_spark import streaming as ST
 
@@ -1576,6 +1577,54 @@ def q_x_curation_scrub(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_s_moment_stats(spark, sf_dir):
+    """DataFrameStatFunctions parity: per-returnflag Pearson corr /
+    sample cov / stddevs of (quantity, extendedprice) from exact decimal
+    moment sums (order-independent, cross-engine exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return STAT.moment_stats(li, "l_quantity", "l_extendedprice",
+                             by=["l_returnflag"]).spark_df
+
+
+def q_s_crosstab(spark, sf_dir):
+    """Contingency table: returnflag x linestatus with an explicit pivot
+    value list (single-pass, stable schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return STAT.crosstab(li, "l_returnflag", "l_linestatus",
+                         ["F", "O"]).spark_df
+
+
+def q_s_top_frequent(spark, sf_dir):
+    """Exact top-5 frequent part brands (deterministic freqItems)."""
+    part = _t(spark, sf_dir, "part")
+    return STAT.top_frequent(part, "p_brand", k=5).spark_df
+
+
+def q_s_stats(spark, sf_dir):
+    """Statistical functions composite: moments + crosstab + exact
+    frequent items in one tagged union."""
+    a = _tag(q_s_moment_stats(spark, sf_dir), "moments",
+             F.col("l_returnflag").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"), _BNULL().alias("i2"),
+             F.col("corr").cast("double").alias("d1"),
+             F.col("cov_samp").cast("double").alias("d2"),
+             F.col("std_x").cast("double").alias("d3"),
+             F.col("std_y").cast("double").alias("d4"))
+    b = _tag(q_s_crosstab(spark, sf_dir), "crosstab",
+             F.col("l_returnflag").alias("s1"),
+             F.col("n_F").cast("bigint").alias("i1"),
+             F.col("n_O").cast("bigint").alias("i2"),
+             _DNULL().alias("d1"), _DNULL().alias("d2"),
+             _DNULL().alias("d3"), _DNULL().alias("d4"))
+    c = _tag(q_s_top_frequent(spark, sf_dir), "freq",
+             F.col("p_brand").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("rank").cast("bigint").alias("i2"),
+             _DNULL().alias("d1"), _DNULL().alias("d2"),
+             _DNULL().alias("d3"), _DNULL().alias("d4"))
+    return a.unionByName(b).unionByName(c)
+
+
 def q_x_bm25(spark, sf_dir):
     """Okapi BM25 scores for the query bag (table, window, spark) over
     documents — every matching doc, exact decimal-summed contributions."""
@@ -1605,7 +1654,7 @@ def q_x_embed_quantize(spark, sf_dir):
 # ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 entries — under the driver checker's 50-row cutoff, so EVERY
+    """50 entries — exactly the driver checker's 50-row cap, so EVERY
     registered query gets a CORRECTNESS row. Composite entries verify
     several operators at once (see the composite section above); SURVEY
     §2.4 maps each operator to its registry key."""
@@ -1640,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_funnel": q_s_funnel,
         "s_approx_sketches": q_s_approx_sketches,
         "s_sessionize": q_s_sessionize,
+        "s_stats": q_s_stats,
         # Tier X (LLM-pipeline extensions, SURVEY §2.3)
         "x_dedup": q_x_dedup,
         "x_ngram_jaccard": q_x_ngram_jaccard_all,
@@ -2753,7 +2803,64 @@ _ORACLES["st_windows"] = _union(
           "NULL::DOUBLE AS sum_value"))
 
 
-# round 3: curation scrub, BM25, quantization oracles ----------------------
+# round 3: stat functions, curation scrub, BM25, quantization oracles ------
+
+_ORACLES["s_moment_stats"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(l_quantity::DECIMAL(18,2)) AS sx,
+               sum(l_extendedprice::DECIMAL(18,2)) AS sy,
+               sum(l_quantity::DECIMAL(18,2)
+                   * l_quantity::DECIMAL(18,2)) AS sxx,
+               sum(l_extendedprice::DECIMAL(18,2)
+                   * l_extendedprice::DECIMAL(18,2)) AS syy,
+               sum(l_quantity::DECIMAL(18,2)
+                   * l_extendedprice::DECIMAL(18,2)) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n::BIGINT AS n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE
+                           - sy::DOUBLE * sy::DOUBLE)), 6) AS corr,
+           round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+                 / (n::DOUBLE - 1.0), 6) AS cov_samp,
+           round(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0))), 6) AS std_x,
+           round(sqrt((n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                      / (n::DOUBLE * (n::DOUBLE - 1.0))), 6) AS std_y
+    FROM m"""
+
+_ORACLES["s_crosstab"] = """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+               AS n_F,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT
+               AS n_O
+    FROM lineitem GROUP BY l_returnflag"""
+
+_ORACLES["s_top_frequent"] = """
+    SELECT p_brand, n::BIGINT AS n, rank::BIGINT AS rank
+    FROM (SELECT p_brand, count(*) AS n,
+                 row_number() OVER (ORDER BY count(*) DESC, p_brand ASC)
+                     AS rank
+          FROM part GROUP BY p_brand)
+    WHERE rank <= 5"""
+
+_STATS_NULLS = ("NULL::DOUBLE AS d1, NULL::DOUBLE AS d2, "
+                "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4")
+_ORACLES["s_stats"] = _union(
+    _wrap("moments", _ORACLES["s_moment_stats"],
+          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "corr::DOUBLE AS d1, cov_samp::DOUBLE AS d2, "
+          "std_x::DOUBLE AS d3, std_y::DOUBLE AS d4"),
+    _wrap("crosstab", _ORACLES["s_crosstab"],
+          "l_returnflag AS s1, n_F::BIGINT AS i1, n_O::BIGINT AS i2, "
+          + _STATS_NULLS),
+    _wrap("freq", _ORACLES["s_top_frequent"],
+          "p_brand AS s1, n::BIGINT AS i1, rank::BIGINT AS i2, "
+          + _STATS_NULLS))
+
 
 _ORACLES["x_decontaminate"] = """
     WITH ng AS (

@@ -44,6 +44,7 @@ HEADLINE = [
     "s_source_roundtrip",      # parquet sink -> scan round-trip
     "s_merge_upsert",          # MERGE/upsert relational rewrite
     "s_sessionize",            # gap-based sessionization
+    "s_stats",                 # exact-moment corr/cov + crosstab + freq
     "s_funnel",                # ordered funnel (single conditional agg)
     "s_window_range_trailing", # event-time RANGE frame window
     "s_approx_sketches",       # HLL sketch + union rollup

@@ -1,0 +1,111 @@
+"""Statistical column functions — DataFrameStatFunctions parity
+(`df.stat.corr/cov/crosstab/freqItems`) re-expressed as deterministic
+aggregations.
+
+The reference's statistics surface is its column summaries
+(cl-data-frame.lisp:23-52,60-124); these extend it with the standard
+two-column statistics a Spark user expects, Tier S scope per SURVEY §2.2.
+
+Cross-engine determinism: every moment (sum x, sum x², sum xy, …)
+accumulates as DECIMAL, so the aggregation is exact and
+order-independent; correlation/covariance derive from those exact sums
+in a fixed double-arithmetic expression. Plain ``corr()``/``covar()``
+over doubles would be partition-order-dependent and could never
+hash-match an external oracle.
+
+Scale: each statistic is one partial+final hash aggregation (map-side
+combine, one shuffle on the group key); the crosstab pivot carries one
+row per (group, pivot-value) pair through the shuffle, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.frame import SparkFrame
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def _dec(col, scale: int = 4, precision: int = 38) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def moment_stats(frame, x_col: str, y_col: str,
+                 by: list[str] | None = None) -> SparkFrame:
+    """Pearson correlation, sample covariance, and sample stddevs of two
+    numeric columns, optionally per group — from exact decimal moment
+    sums (n, Σx, Σy, Σx², Σy², Σxy), so the result is identical under
+    any row order or partitioning:
+
+        corr = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) (nΣy² − (Σy)²))
+        cov  = (Σxy − ΣxΣy/n) / (n − 1)
+
+    Output: by-cols + (n, corr, cov_samp, std_x, std_y), rounded to 6.
+    """
+    sdf = _plain(frame)
+    x, y = _dec(x_col, 2), _dec(y_col, 2)
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy")]
+    grouped = sdf.groupBy(*(by or [])).agg(*aggs)
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    std_x = F.sqrt(var_x / (n * (n - F.lit(1.0))))
+    std_y = F.sqrt(var_y / (n * (n - F.lit(1.0))))
+    out = grouped.select(
+        *(by or []),
+        F.col("n"),
+        F.round(corr, 6).alias("corr"),
+        F.round(cov, 6).alias("cov_samp"),
+        F.round(std_x, 6).alias("std_x"),
+        F.round(std_y, 6).alias("std_y"))
+    return SparkFrame(out)
+
+
+def crosstab(frame, row_col: str, col_col: str,
+             col_values: list[str]) -> SparkFrame:
+    """Contingency table (``df.stat.crosstab`` equivalent) with an
+    explicit pivot-value list: one row per ``row_col`` value, one count
+    column per entry of ``col_values`` (named ``n_<value>``).
+
+    The explicit value list keeps the plan single-pass (Spark's own
+    crosstab first runs a distinct job to discover columns) and the
+    output schema stable for oracles. One partial+final aggregation; the
+    shuffle carries (row-value, counts-vector) rows only.
+    """
+    sdf = _plain(frame)
+    aggs = [F.sum(F.when(F.col(col_col) == v, 1).otherwise(0))
+            .cast("long").alias(f"n_{v}") for v in col_values]
+    out = sdf.groupBy(row_col).agg(*aggs)
+    return SparkFrame(out)
+
+
+def top_frequent(frame, col: str, k: int = 5) -> SparkFrame:
+    """Exact top-k most frequent values of a column (the deterministic
+    replacement for ``df.stat.freqItems``'s sketch): count per value,
+    rank by (count desc, value asc) — total order, reproducible anywhere.
+
+    Plan: hash aggregate (partial+final) then a k-row TakeOrdered-style
+    window over the aggregated (distinct-value-sized) table — the window
+    input is #distinct values, never raw rows.
+    """
+    sdf = _plain(frame)
+    counts = sdf.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col(col).asc())
+    out = (counts.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select(col, "n", "rank"))
+    return SparkFrame(out)

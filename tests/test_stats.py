@@ -1,0 +1,58 @@
+"""DataFrameStatFunctions parity: exact-moment corr/cov, crosstab,
+exact frequent items (Tier S, SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import math
+
+from cl_data_frame_spark.operators import stats as STAT
+
+
+def test_moment_stats_match_numpy(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 5.0, 4.0, 6.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    row = STAT.moment_stats(df, "x", "y").spark_df.collect()[0]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (n - 1)
+    sx = math.sqrt(sum((a - mx) ** 2 for a in xs) / (n - 1))
+    sy = math.sqrt(sum((b - my) ** 2 for b in ys) / (n - 1))
+    corr = cov / (sx * sy)
+    assert row["n"] == n
+    assert abs(row["corr"] - corr) < 1e-6
+    assert abs(row["cov_samp"] - cov) < 1e-6
+    assert abs(row["std_x"] - sx) < 1e-6
+    assert abs(row["std_y"] - sy) < 1e-6
+
+
+def test_moment_stats_grouped_vs_spark_builtin(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ours = {r["l_returnflag"]: r for r in
+            STAT.moment_stats(li, "l_quantity", "l_extendedprice",
+                              by=["l_returnflag"]).spark_df.collect()}
+    for flag in ours:
+        sub = li.filter(li.l_returnflag == flag)
+        ref_corr = sub.stat.corr("l_quantity", "l_extendedprice")
+        ref_cov = sub.stat.cov("l_quantity", "l_extendedprice")
+        assert abs(ours[flag]["corr"] - ref_corr) < 1e-4
+        assert abs(ours[flag]["cov_samp"] - ref_cov) < max(
+            1e-4 * abs(ref_cov), 1e-4)
+
+
+def test_crosstab_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")], ["r", "c"])
+    out = {row["r"]: row for row in
+           STAT.crosstab(df, "r", "c", ["x", "y"]).spark_df.collect()}
+    assert out["a"]["n_x"] == 2 and out["a"]["n_y"] == 1
+    assert out["b"]["n_x"] == 0 and out["b"]["n_y"] == 1
+
+
+def test_top_frequent_exact_with_ties(spark):
+    rows = [("p",)] * 3 + [("q",)] * 3 + [("r",)] * 1
+    df = spark.createDataFrame(rows, ["v"])
+    got = [(r["v"], r["n"], r["rank"]) for r in
+           STAT.top_frequent(df, "v", k=2).spark_df.collect()]
+    # tie between p and q broken by value asc
+    assert sorted(got, key=lambda t: t[2]) == [("p", 3, 1), ("q", 3, 2)]
