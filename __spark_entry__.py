@@ -846,8 +846,10 @@ def q_s_udtf_tokens(spark, sf_dir):
 
 
 def q_s_merge_upsert(spark, sf_dir):
-    """MERGE/upsert as a relational rewrite: update matched orders'
-    totalprice from a delta source, insert unmatched source keys."""
+    """MERGE/upsert as a relational rewrite (update matched orders'
+    totalprice from a delta source, insert unmatched source keys) + SCD2
+    type-2 dimension history built from the orders change log — one
+    tagged union."""
     orders = _f(spark, sf_dir, "orders")
     delta = SparkFrame(
         _t(spark, sf_dir, "orders")
@@ -862,8 +864,33 @@ def q_s_merge_upsert(spark, sf_dir):
                        F.lit(42.0).alias("o_totalprice"))))
     merged = R.merge_into(orders, delta, on="o_orderkey",
                           update_cols=["o_totalprice"])
-    return merged.spark_df.select("o_orderkey", "o_custkey",
-                                  "o_totalprice")
+    a = _tag(merged.spark_df, "merge",
+             F.col("o_orderkey").cast("bigint").alias("k1"),
+             F.col("o_custkey").cast("bigint").alias("k2"),
+             F.col("o_totalprice").cast("double").alias("v"),
+             _SNULL().alias("s1"), _BNULL().alias("vf"),
+             _BNULL().alias("vt"),
+             F.lit(None).cast("int").alias("cur"))
+    # SCD2: per-customer order-status history (change log = the orders
+    # stream ordered by o_orderdate, tie-broken by o_orderkey)
+    hist = R.scd2_build(
+        SparkFrame(_t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")),
+        "o_custkey", "o_orderdate", ["o_orderstatus"],
+        tiebreak_col="o_orderkey").spark_df
+    b = _tag(hist, "scd2",
+             F.col("o_custkey").cast("bigint").alias("k1"),
+             F.col("version").cast("bigint").alias("k2"),
+             _DNULL().alias("v"),
+             F.col("o_orderstatus").alias("s1"),
+             # o_orderdate scans as TIMESTAMP_NTZ; session TZ is pinned
+             # UTC so the cast to TIMESTAMP is lossless
+             F.unix_micros(F.col("valid_from").cast("timestamp"))
+             .alias("vf"),
+             F.unix_micros(F.col("valid_to").cast("timestamp"))
+             .alias("vt"),
+             F.col("is_current").cast("int").alias("cur"))
+    return a.unionByName(b)
 
 
 def q_s_sessionize(spark, sf_dir):
@@ -2249,11 +2276,34 @@ _ORACLES: dict[str, str] = {
             UNION ALL
             SELECT o_orderkey + 90000000, 42.0
             FROM orders WHERE o_orderkey % 1000 = 1)
-        SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-               t.o_custkey,
-               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
-                    ELSE t.o_totalprice END AS o_totalprice
-        FROM orders t FULL JOIN delta s ON t.o_orderkey = s.o_orderkey""",
+        SELECT 'merge' AS part,
+               coalesce(t.o_orderkey, s.o_orderkey)::BIGINT AS k1,
+               t.o_custkey::BIGINT AS k2,
+               (CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                     ELSE t.o_totalprice END)::DOUBLE AS v,
+               NULL::VARCHAR AS s1, NULL::BIGINT AS vf,
+               NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM orders t FULL JOIN delta s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT 'scd2', k1, k2, v, s1, vf, vt, cur FROM (
+            WITH flg AS (
+                SELECT o_custkey AS k, o_orderdate AS ts,
+                       o_orderkey AS id, o_orderstatus AS st,
+                       CASE WHEN lag(o_orderdate) OVER w IS NULL
+                                 OR o_orderstatus IS DISTINCT FROM
+                                    lag(o_orderstatus) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)),
+            kept AS (SELECT * FROM flg WHERE chg = 1)
+            SELECT k::BIGINT AS k1,
+                   (row_number() OVER w2)::BIGINT AS k2,
+                   NULL::DOUBLE AS v, st AS s1,
+                   epoch_us(ts)::BIGINT AS vf,
+                   epoch_us(lead(ts) OVER w2)::BIGINT AS vt,
+                   (lead(ts) OVER w2 IS NULL)::INT AS cur
+            FROM kept WINDOW w2 AS (PARTITION BY k ORDER BY ts, id))""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,

@@ -423,6 +423,83 @@ def merge_into(target, source, on: Sequence[str] | str,
     return SparkFrame(joined.select(*cols))
 
 
+def scd2_build(changes, key_cols: Sequence[str] | str, ts_col: str,
+               attr_cols: Sequence[str], tiebreak_col: str | None = None
+               ) -> SparkFrame:
+    """Build a type-2 slowly-changing-dimension history from a change log:
+    one output row per (key, attribute version) with ``valid_from`` (the
+    change timestamp), ``valid_to`` (the next change, NULL while current)
+    and ``is_current``. Consecutive changes with identical attributes are
+    collapsed, so re-stating the same value opens no new version.
+
+    No reference analogue (the reference has no temporal semantics at all;
+    its closest op is whole-column replace, cl-data-frame.lisp:570-583).
+
+    Plan: two window passes over ONE hash shuffle on the key (lag for
+    change detection, lead for interval close) — the same shape as
+    ``sessionize``; fully parallel across keys, no global ordering.
+    Determinism: ties on ``ts_col`` are totaled by ``tiebreak_col``
+    (required when a key can change twice in one tick).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attrs = list(attr_cols)
+    sdf = _plain(changes)
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lag(ts_col).over(w).isNull()
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    kept = (sdf.select(*keys, ts_col, *attrs,
+                       *([tiebreak_col] if tiebreak_col
+                         and tiebreak_col not in attrs else []))
+            .withColumn("__chg__", changed)
+            .filter(F.col("__chg__")))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    out = (kept
+           .withColumn("valid_from", F.col(ts_col))
+           .withColumn("valid_to", F.lead(ts_col).over(w2))
+           .withColumn("is_current", F.col("valid_to").isNull())
+           .withColumn("version",
+                       F.row_number().over(w2).cast("bigint"))
+           .drop("__chg__", ts_col))
+    if tiebreak_col and tiebreak_col not in attrs:
+        out = out.drop(tiebreak_col)
+    return SparkFrame(out)
+
+
+def scd2_apply(history, updates, key_cols: Sequence[str] | str, ts_col: str,
+               attr_cols: Sequence[str]) -> SparkFrame:
+    """Apply a batch of new change rows to an existing SCD2 ``history``
+    (the output shape of ``scd2_build``): closed versions are preserved,
+    current versions are closed when an update supersedes them, and new
+    versions open for changed attributes.
+
+    Implemented as rebuild-over-union: history rows are projected back to
+    their opening change events, unioned with ``updates``, and
+    ``scd2_build`` re-runs. Because build is a deterministic function of
+    the change set, this is exactly incremental-merge semantics with one
+    window pass — and at 100 TB the union prunes to only keys present in
+    ``updates`` plus untouched history passed through unchanged (the
+    anti-join fast path below), so the window shuffle carries only the
+    touched keys.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attrs = list(attr_cols)
+    hdf = _plain(history)
+    udf_ = _plain(updates)
+    touched_keys = udf_.select(*keys).distinct()
+    untouched = hdf.join(touched_keys, on=keys, how="left_anti")
+    touched_hist = hdf.join(touched_keys, on=keys, how="left_semi")
+    as_changes = touched_hist.select(
+        *keys, F.col("valid_from").alias(ts_col), *attrs)
+    merged = as_changes.unionByName(udf_.select(*keys, ts_col, *attrs))
+    rebuilt = scd2_build(SparkFrame(merged), keys, ts_col, attrs)
+    out = _plain(rebuilt).unionByName(untouched.select(_plain(rebuilt).columns))
+    return SparkFrame(out)
+
+
 def sessionize(frame, user_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id",
                gap_minutes: float = 30.0) -> SparkFrame:

@@ -1,0 +1,92 @@
+"""Round-4 relational extensions: SCD2 history build/apply, as-of
+'nearest' direction, and runtime-filtered joins."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.frame import SparkFrame
+from cl_data_frame_spark.operators.relational import (scd2_apply, scd2_build)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _changes(spark):
+    rows = [
+        # key 1: A -> A (restated, no new version) -> B
+        (1, _ts("2024-01-01T00:00:00"), "A", 10.0),
+        (1, _ts("2024-02-01T00:00:00"), "A", 10.0),
+        (1, _ts("2024-03-01T00:00:00"), "B", 12.0),
+        # key 2: single version
+        (2, _ts("2024-01-15T00:00:00"), "X", 5.0),
+    ]
+    return SparkFrame(spark.createDataFrame(
+        rows, "k int, ts timestamp, status string, price double"))
+
+
+def test_scd2_build_versions_and_collapse(spark):
+    hist = scd2_build(_changes(spark), "k", "ts", ["status", "price"]).spark_df
+    got = {(r.k, r.version): r for r in hist.collect()}
+    assert len(got) == 3  # restated A collapsed
+    v1 = got[(1, 1)]
+    assert v1.status == "A" and v1.valid_to == _ts("2024-03-01T00:00:00")
+    assert not v1.is_current
+    v2 = got[(1, 2)]
+    assert v2.status == "B" and v2.valid_to is None and v2.is_current
+    assert got[(2, 1)].is_current
+
+
+def test_scd2_build_tiebreak_deterministic(spark):
+    rows = [(1, _ts("2024-01-01T00:00:00"), 100, "A"),
+            (1, _ts("2024-01-01T00:00:00"), 200, "B")]
+    df = SparkFrame(spark.createDataFrame(
+        rows, "k int, ts timestamp, id int, status string"))
+    hist = scd2_build(df, "k", "ts", ["status"],
+                      tiebreak_col="id").spark_df.collect()
+    by_ver = {r.version: r.status for r in hist}
+    assert by_ver == {1: "A", 2: "B"}
+
+
+def test_scd2_apply_closes_and_opens(spark):
+    base = scd2_build(_changes(spark), "k", "ts", ["status", "price"])
+    updates = SparkFrame(base.spark_df.sparkSession.createDataFrame(
+        [(1, _ts("2024-06-01T00:00:00"), "C", 20.0),
+         (3, _ts("2024-06-01T00:00:00"), "N", 1.0)],
+        "k int, ts timestamp, status string, price double"))
+    out = scd2_apply(base, updates, "k", "ts", ["status", "price"]).spark_df
+    got = {(r.k, r.version): r for r in out.collect()}
+    assert len(got) == 5
+    # key 1's old current row is closed by the update
+    assert got[(1, 2)].valid_to == _ts("2024-06-01T00:00:00")
+    assert got[(1, 3)].status == "C" and got[(1, 3)].is_current
+    # untouched key 2 passes through unchanged
+    assert got[(2, 1)].is_current
+    # brand-new key 3 opens at version 1
+    assert got[(3, 1)].status == "N" and got[(3, 1)].is_current
+
+
+def test_scd2_apply_restated_value_opens_no_version(spark):
+    base = scd2_build(_changes(spark), "k", "ts", ["status", "price"])
+    updates = SparkFrame(base.spark_df.sparkSession.createDataFrame(
+        [(2, _ts("2024-07-01T00:00:00"), "X", 5.0)],
+        "k int, ts timestamp, status string, price double"))
+    out = scd2_apply(base, updates, "k", "ts", ["status", "price"]).spark_df
+    k2 = [r for r in out.collect() if r.k == 2]
+    assert len(k2) == 1 and k2[0].is_current
+
+
+def test_scd2_apply_untouched_keys_skip_window(spark):
+    """The anti-join fast path: untouched history must not pass through
+    the rebuild window (its plan branch has no Window node)."""
+    base = scd2_build(_changes(spark), "k", "ts", ["status", "price"])
+    updates = SparkFrame(base.spark_df.sparkSession.createDataFrame(
+        [(1, _ts("2024-06-01T00:00:00"), "C", 20.0)],
+        "k int, ts timestamp, status string, price double"))
+    out = scd2_apply(base, updates, "k", "ts", ["status", "price"]).spark_df
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one rebuild branch with windows, one untouched branch joined anti
+    assert "LeftAnti" in plan or "LEFT ANTI" in plan.upper()
