@@ -502,6 +502,22 @@ def q_s_asof_join_unkeyed(spark, sf_dir):
                               "r_last_orderkey"))
 
 
+def q_s_asof_nearest(spark, sf_dir):
+    """As-of join (nearest): closest order by |ts delta| per user, ties
+    backward — one shuffle, two in-partition window fills."""
+    events = _f(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    right = SparkFrame(orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderkey").alias("last_orderkey")))
+    j = R.asof_join(events, right, on="ts", by="user_id",
+                    direction="nearest")
+    return (j.spark_df.select("event_id", "user_id",
+                              F.unix_micros("ts").alias("ts_us"),
+                              "r_last_orderkey"))
+
+
 def q_s_range_join(spark, sf_dir):
     """Range join: lineitem quantities against literal bands (broadcast
     interval probe)."""
@@ -1301,7 +1317,12 @@ def q_s_asof(spark, sf_dir):
              _BNULL().alias("user_id"),
              F.col("ts_us").cast("bigint").alias("ts_us"),
              F.col("r_last_orderkey").cast("bigint").alias("r_last_orderkey"))
-    return a.unionByName(b)
+    c = _tag(q_s_asof_nearest(spark, sf_dir), "nearest",
+             F.col("event_id").cast("bigint").alias("event_id"),
+             F.col("user_id").cast("bigint").alias("user_id"),
+             F.col("ts_us").cast("bigint").alias("ts_us"),
+             F.col("r_last_orderkey").cast("bigint").alias("r_last_orderkey"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_range_joins(spark, sf_dir):
@@ -1920,6 +1941,20 @@ _ORACLES: dict[str, str] = {
                r.last_orderkey AS r_last_orderkey
         FROM events e ASOF LEFT JOIN r
           ON e.user_id = r.user_id AND r.ts <= e.ts""",
+    "s_asof_nearest": """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate AS ts,
+                   max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY 1, 2)
+        SELECT event_id, user_id, ts_us, r_last_orderkey FROM (
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   r.last_orderkey AS r_last_orderkey,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY abs(epoch_us(e.ts) - epoch_us(r.ts)),
+                                r.ts) AS rn
+            FROM events e LEFT JOIN r ON e.user_id = r.user_id)
+        WHERE rn = 1""",
     "s_asof_join_unkeyed": """
         WITH r AS (
             SELECT o_orderdate AS ts, max(o_orderkey) AS last_orderkey
@@ -2735,6 +2770,10 @@ _ORACLES["s_asof"] = _union(
           "r_last_orderkey"),
     _wrap("unkeyed", _ORACLES["s_asof_join_unkeyed"],
           "event_id::BIGINT AS event_id, NULL::BIGINT AS user_id, "
+          "ts_us::BIGINT AS ts_us, r_last_orderkey::BIGINT AS "
+          "r_last_orderkey"),
+    _wrap("nearest", _ORACLES["s_asof_nearest"],
+          "event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, "
           "ts_us::BIGINT AS ts_us, r_last_orderkey::BIGINT AS "
           "r_last_orderkey"))
 

@@ -161,7 +161,8 @@ def unpivot(frame: SparkFrame, ids: Sequence[str], values: Sequence[str],
 def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = None,
               direction: str = "backward", right_prefix: str = "r_") -> SparkFrame:
     """As-of join: for each left row, the latest right row with
-    ``right.on <= left.on`` (direction='backward'; 'forward' flips it),
+    ``right.on <= left.on`` (direction='backward'; 'forward' flips it;
+    'nearest' takes whichever of the two is closer, ties backward),
     optionally matching a ``by`` equality key.
 
     Absent in both the reference and core Spark (SURVEY §2.2 'Joins').
@@ -176,8 +177,13 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
     """
     ldf = _plain(left)
     rdf = _plain(right)
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}")
+    if direction == "nearest" and by is None:
+        raise ValueError("direction='nearest' requires a by key (the "
+                         "unkeyed range-partitioned path would need "
+                         "carries in both directions)")
     rcols = [c for c in rdf.columns if c != on and (by is None or c != by)]
     rnames = [right_prefix + c for c in rcols]
     rdf_t = rdf.select(
@@ -191,6 +197,45 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
         *[F.lit(None).cast(rdf_t.schema[right_prefix + c].dataType)
           .alias(right_prefix + c) for c in rcols])
     unioned = ldf_t.unionByName(rdf_t, allowMissingColumns=True)
+
+    if direction == "nearest":
+        # Backward fill + forward fill in one plan (same hash partition on
+        # `by`, two sort orders -> one Exchange, two in-partition sorts),
+        # then pick the candidate with the smaller |on - candidate.on|;
+        # ties prefer the backward match. The right payload travels as a
+        # struct so the distance compare sees the matched `on` value.
+        payload = F.when(
+            F.col("__is_right__") == 1,
+            F.struct(F.col(on).alias("__on__"),
+                     *[F.col(rp) for rp in rnames]))
+        w_back = (Window.partitionBy(by)
+                  .orderBy(F.col(on).asc(), F.col("__is_right__").desc())
+                  .rowsBetween(Window.unboundedPreceding, 0))
+        w_fwd = (Window.partitionBy(by)
+                 .orderBy(F.col(on).asc(), F.col("__is_right__").asc())
+                 .rowsBetween(0, Window.unboundedFollowing))
+        both = (unioned
+                .withColumn("__back__",
+                            F.last(payload, ignorenulls=True).over(w_back))
+                .withColumn("__fwd__",
+                            F.first(payload, ignorenulls=True).over(w_fwd)))
+        dtype = dict(unioned.dtypes)[on]
+
+        def _num(c):
+            return (F.unix_micros(c.cast("timestamp"))
+                    if dtype.startswith("timestamp") else c)
+
+        dist_b = F.abs(_num(F.col(on)) - _num(F.col("__back__")["__on__"]))
+        dist_f = F.abs(_num(F.col(on)) - _num(F.col("__fwd__")["__on__"]))
+        chosen = (F.when(F.col("__fwd__").isNull(), F.col("__back__"))
+                  .when(F.col("__back__").isNull(), F.col("__fwd__"))
+                  .when(dist_f < dist_b, F.col("__fwd__"))
+                  .otherwise(F.col("__back__")))
+        out = (both.filter(F.col("__is_right__") == 0)
+               .select(*ldf.columns,
+                       *[chosen[rp].alias(rp) for rp in rnames]))
+        return SparkFrame(out)
+
     on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
 
     if by is not None:

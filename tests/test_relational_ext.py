@@ -7,8 +7,11 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from cl_data_frame_spark.frame import SparkFrame
-from cl_data_frame_spark.operators.relational import (scd2_apply, scd2_build)
+from cl_data_frame_spark.operators.relational import (asof_join, scd2_apply,
+                                                      scd2_build)
 
 
 def _ts(s):
@@ -77,6 +80,58 @@ def test_scd2_apply_restated_value_opens_no_version(spark):
     out = scd2_apply(base, updates, "k", "ts", ["status", "price"]).spark_df
     k2 = [r for r in out.collect() if r.k == 2]
     assert len(k2) == 1 and k2[0].is_current
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    left = SparkFrame(spark.createDataFrame(
+        [(1, 10), (1, 14), (1, 100), (2, 5)], "k int, t int"))
+    right = SparkFrame(spark.createDataFrame(
+        [(1, 8, "a"), (1, 15, "b"), (2, 50, "c")], "k int, t int, v string"))
+    out = asof_join(left, right, on="t", by="k",
+                    direction="nearest").spark_df
+    got = {(r.k, r.t): r.r_v for r in out.collect()}
+    assert got[(1, 10)] == "a"    # |10-8|=2 < |10-15|=5
+    assert got[(1, 14)] == "b"    # forward closer
+    assert got[(1, 100)] == "b"   # no forward candidate
+    assert got[(2, 5)] == "c"     # no backward candidate
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = SparkFrame(spark.createDataFrame([(1, 10)], "k int, t int"))
+    right = SparkFrame(spark.createDataFrame(
+        [(1, 8, "back"), (1, 12, "fwd")], "k int, t int, v string"))
+    out = asof_join(left, right, on="t", by="k",
+                    direction="nearest").spark_df.collect()
+    assert out[0].r_v == "back"
+
+
+def test_asof_nearest_exact_match_wins(spark):
+    left = SparkFrame(spark.createDataFrame([(1, 10)], "k int, t int"))
+    right = SparkFrame(spark.createDataFrame(
+        [(1, 10, "exact"), (1, 9, "near")], "k int, t int, v string"))
+    out = asof_join(left, right, on="t", by="k",
+                    direction="nearest").spark_df.collect()
+    assert out[0].r_v == "exact"
+
+
+def test_asof_nearest_unkeyed_rejected(spark):
+    left = SparkFrame(spark.createDataFrame([(1, 10)], "k int, t int"))
+    with pytest.raises(ValueError):
+        asof_join(left, left, on="t", direction="nearest")
+
+
+def test_asof_nearest_single_exchange(spark):
+    """Both fills share the hash partitioning on `by`: the plan must have
+    exactly one Exchange for the window work (plus at most the scans)."""
+    left = SparkFrame(spark.createDataFrame(
+        [(1, 10), (1, 14)], "k int, t int"))
+    right = SparkFrame(spark.createDataFrame(
+        [(1, 8, "a")], "k int, t int, v string"))
+    out = asof_join(left, right, on="t", by="k",
+                    direction="nearest").spark_df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan
 
 
 def test_scd2_apply_untouched_keys_skip_window(spark):
