@@ -47,16 +47,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _event_ts(raw: DataFrame, col: str = "ts"):
+    """Normalize the events ``ts`` column to session-TZ TIMESTAMP whatever
+    the generator wrote: parquet TIMESTAMP(NANOS) read as long under the
+    legacy conf (older testdata) -> integer-divide to micros; plain
+    TIMESTAMP / TIMESTAMP_NTZ micros (current testdata) -> cast (session
+    TZ is pinned UTC, so NTZ wall time == DuckDB's naive epoch_us)."""
+    if dict(raw.dtypes)[col] == "bigint":
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.col(col).cast("timestamp")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright; read nanos as long
-    (legacy conf) and convert with integer division so no precision is
-    lost (micros match DuckDB's nanos->micros truncation)."""
-    # left set for the session: the conf is consulted at scan execution
-    # time and only affects NANOS-typed parquet columns
+    # legacy conf is consulted at scan time and only affects NANOS-typed
+    # parquet columns — harmless for current micros-typed files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", _event_ts(raw))
 
 
 def _f(spark: SparkSession, sf_dir: str, name: str) -> SparkFrame:
@@ -1067,7 +1074,7 @@ def q_st_dedup(spark, sf_dir):
     def one_copy():
         raw = ST.read_stream_parquet(spark, sf_dir, schema,
                                      glob="events.parquet")
-        return raw.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ets", _event_ts(raw))
 
     doubled = one_copy().union(one_copy())
     deduped = ST.streaming_dedup(doubled, ["event_id"], ts_col="ets")

@@ -18,10 +18,15 @@ EVENTS = "/root/testdata/sf0.001/events.parquet"
 
 
 def _events_batch(spark):
-    # events.ts is parquet TIMESTAMP(NANOS); read nanos as long and convert
+    # ts is either parquet TIMESTAMP(NANOS) read as long (older testdata)
+    # or a plain micros TIMESTAMP[_NTZ] (current testdata) — normalize both
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(EVENTS)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes)["ts"] == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts", ts)
 
 
 @pytest.fixture(scope="module")
