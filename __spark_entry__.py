@@ -660,6 +660,17 @@ def q_x_dedup_normalized(spark, sf_dir):
     return out.spark_df.select("doc_id", "lang", "source")
 
 
+def q_x_dedup_spans(spark, sf_dir):
+    """Sub-document span dedup: token 8-grams shared across documents are
+    removed from every document, RefinedWeb-style; one stats row per doc
+    with the md5 of the reassembled text."""
+    docs = _f(spark, sf_dir, "documents")
+    out = X.duplicated_span_removal(docs, n=8).spark_df
+    return out.select("doc_id", "n_tokens", "dup_spans", "dup_tokens",
+                      F.col("dup_frac").cast("double").alias("dup_frac"),
+                      F.md5("clean_text").alias("clean_md5"))
+
+
 def q_x_minhash_neardup(spark, sf_dir):
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
     96 hashes / 24 bands (r=4) -> recall at j>=0.8 is 1-(1-0.8^4)^24
@@ -1399,14 +1410,28 @@ def q_s_source_roundtrip(spark, sf_dir):
 
 def q_x_dedup(spark, sf_dir):
     """Exact dedup (distinct on subset) + normalized-text dedup with a
-    deterministic min-id winner."""
+    deterministic min-id winner + sub-document duplicated-span removal."""
     a = _tag(q_x_dedup_exact(spark, sf_dir), "exact",
              _BNULL().alias("doc_id"), F.col("lang").alias("lang"),
-             F.col("source").alias("source"))
+             F.col("source").alias("source"),
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _DNULL().alias("d1"),
+             _SNULL().alias("s1"))
     b = _tag(q_x_dedup_normalized(spark, sf_dir), "normalized",
              F.col("doc_id").cast("bigint").alias("doc_id"),
-             F.col("lang").alias("lang"), F.col("source").alias("source"))
-    return a.unionByName(b)
+             F.col("lang").alias("lang"), F.col("source").alias("source"),
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _DNULL().alias("d1"),
+             _SNULL().alias("s1"))
+    c = _tag(q_x_dedup_spans(spark, sf_dir), "spans",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             _SNULL().alias("lang"), _SNULL().alias("source"),
+             F.col("n_tokens").cast("bigint").alias("i1"),
+             F.col("dup_spans").cast("bigint").alias("i2"),
+             F.col("dup_tokens").cast("bigint").alias("i3"),
+             F.col("dup_frac").cast("double").alias("d1"),
+             F.col("clean_md5").alias("s1"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_ngram_jaccard_all(spark, sf_dir):
@@ -2021,6 +2046,40 @@ _ORACLES: dict[str, str] = {
                    '$.name') AS json_name,
                n_name AS map_val
         FROM nation""",
+    "x_dedup_spans": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i : i + 7], ' ') AS gram
+          FROM base, UNNEST(range(1, len(toks) - 6)) AS t(i)
+        ), dupg AS (
+          SELECT gram FROM pos GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1
+        ), flags AS (
+          SELECT doc_id, list_sort(list(pos)) AS flags
+          FROM pos JOIN dupg USING (gram) GROUP BY doc_id
+        ), final AS (
+          SELECT b.doc_id, len(b.toks) AS n_tokens,
+                 coalesce(len(f.flags), 0) AS dup_spans,
+                 list_filter(range(0, len(b.toks)),
+                             j -> len(list_filter(coalesce(f.flags, []),
+                                       p -> j >= p AND j <= p + 7)) = 0)
+                     AS kept,
+                 b.toks AS toks
+          FROM base b LEFT JOIN flags f USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, dup_spans,
+               n_tokens - len(kept) AS dup_tokens,
+               round((n_tokens - len(kept)) * 1.0 / n_tokens, 6)
+                   AS dup_frac,
+               md5(coalesce(array_to_string(
+                       list_transform(kept, j -> toks[j + 1]), ' '), ''))
+                   AS clean_md5
+        FROM final""",
     "x_dedup_exact": "SELECT DISTINCT lang, source FROM documents",
     "x_dedup_normalized": """
         WITH fp AS (
@@ -2811,11 +2870,18 @@ _ORACLES["s_source_roundtrip"] = """
            (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
     FROM lineitem WHERE l_quantity >= 45 GROUP BY l_returnflag"""
 
+_SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
+               "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")
 _ORACLES["x_dedup"] = _union(
     _wrap("exact", _ORACLES["x_dedup_exact"],
-          "NULL::BIGINT AS doc_id, lang, source"),
+          f"NULL::BIGINT AS doc_id, lang, source, {_SPAN_NULLS}"),
     _wrap("normalized", _ORACLES["x_dedup_normalized"],
-          "doc_id::BIGINT AS doc_id, lang, source"))
+          f"doc_id::BIGINT AS doc_id, lang, source, {_SPAN_NULLS}"),
+    _wrap("spans", _ORACLES["x_dedup_spans"],
+          "doc_id::BIGINT AS doc_id, NULL::VARCHAR AS lang, "
+          "NULL::VARCHAR AS source, n_tokens::BIGINT AS i1, "
+          "dup_spans::BIGINT AS i2, dup_tokens::BIGINT AS i3, "
+          "dup_frac::DOUBLE AS d1, clean_md5 AS s1"))
 
 _NGRAM_PAIR_SEL = ("id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
                    "jaccard::DOUBLE AS jaccard")

@@ -609,3 +609,92 @@ def duplicate_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
                         (F.col("node") == F.col("label"))
                         .alias("is_canonical"))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# sub-document span dedup (duplicated n-gram removal)
+# ---------------------------------------------------------------------------
+
+def duplicated_span_removal(frame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 8,
+                            max_doc_freq: int = 1,
+                            hash_grams: bool = False) -> SparkFrame:
+    """Remove corpus-duplicated token spans from inside documents.
+
+    Exact sub-document dedup in the RefinedWeb / C4 family: any token
+    n-gram appearing in more than ``max_doc_freq`` distinct documents is a
+    duplicated span; every token covered by at least one duplicated span
+    is dropped, and the document reassembled from the survivors. Returns
+    one row per document: ``n_tokens``, ``dup_spans`` (flagged start
+    positions), ``dup_tokens`` (tokens removed), ``dup_frac``, and
+    ``clean_text``.
+
+    Absent in the reference (a data-frame kernel, no dedup surface) —
+    Tier X per SURVEY.md §2.3.
+
+    Scale shape: the shuffles carry only slim ``(doc_id, pos, gram)`` /
+    ``(gram, df)`` tuples, never document bodies; the doc-frequency
+    aggregation is a partial-agg groupBy; the flagged-position join is an
+    equi-join on the gram key (broadcast-able when few grams are
+    duplicated); coverage + reassembly are per-row array expressions with
+    no further shuffle. With ``hash_grams=True`` the join/agg key is
+    ``xxhash64(gram)`` (8 bytes instead of the gram text) — the 100 TB
+    setting; the default keeps the literal gram so the DuckDB oracle can
+    reproduce the pipeline exactly.
+    """
+    sdf = _plain(frame)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    base = sdf.select(F.col(id_col), toks.alias("__toks__"))
+
+    # (doc, pos, gram) — empty when the doc is shorter than n tokens
+    # (guard: sequence() with start > stop counts DOWN, so never build it)
+    starts = F.when(
+        F.size("__toks__") >= n,
+        F.sequence(F.lit(0), F.size("__toks__") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.array_join(F.slice("__toks__", F.col("__pos__") + 1, n), " ")
+    key = F.xxhash64(gram) if hash_grams else gram
+    pos_tab = (base.select(id_col, F.explode(starts).alias("__pos__"),
+                           "__toks__")
+               .select(id_col, "__pos__", key.alias("__gram__")))
+
+    dup_grams = (pos_tab.groupBy("__gram__")
+                 .agg(F.count_distinct(F.col(id_col)).alias("__df__"))
+                 .filter(F.col("__df__") > max_doc_freq)
+                 .select("__gram__"))
+
+    flags = (pos_tab.join(dup_grams, "__gram__")
+             .groupBy(id_col)
+             .agg(F.sort_array(F.collect_list("__pos__")).alias("__flags__")))
+
+    joined = (base.join(flags, id_col, "left")
+              .withColumn("__flags__",
+                          F.coalesce("__flags__",
+                                     F.array().cast("array<int>"))))
+
+    # token j survives iff no flagged span start p covers it (p <= j < p+n)
+    kept = F.when(
+        F.size("__toks__") > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.size("__toks__") - 1),
+            lambda j: ~F.exists(
+                F.col("__flags__"),
+                lambda p: (j >= p) & (j <= p + F.lit(n - 1)))),
+    ).otherwise(F.array().cast("array<int>"))
+
+    out = (joined
+           .withColumn("__kept__", kept)
+           .select(
+               F.col(id_col),
+               F.size("__toks__").alias("n_tokens"),
+               F.size("__flags__").alias("dup_spans"),
+               (F.size("__toks__") - F.size("__kept__")).alias("dup_tokens"),
+               F.round(F.try_divide(
+                   F.size("__toks__") - F.size("__kept__"),
+                   F.size("__toks__")), 6).alias("dup_frac"),
+               F.array_join(
+                   F.transform(F.col("__kept__"),
+                               lambda j: F.element_at("__toks__", j + 1)),
+                   " ").alias("clean_text")))
+    return SparkFrame(out)

@@ -65,3 +65,61 @@ def test_simhash_identical_docs_pair(spark):
     out = X.simhash_near_duplicates(df, max_hamming=0)
     assert sorted((r["id_a"], r["id_b"]) for r in out.spark_df.collect()) \
         == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal
+# ---------------------------------------------------------------------------
+
+def test_span_removal_drops_shared_ngrams(spark):
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"alpha {shared} beta"),
+        (2, f"gamma delta {shared}"),
+        (3, "epsilon zeta " + " ".join(f"w{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           X.duplicated_span_removal(df, n=8).spark_df.collect()}
+    # the shared 8-gram is removed from both docs that contain it
+    assert out[1]["dup_tokens"] == 8
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[2]["dup_tokens"] == 8
+    assert out[2]["clean_text"] == "gamma delta"
+    # the unique doc is untouched
+    assert out[3]["dup_tokens"] == 0
+    assert out[3]["dup_spans"] == 0
+    assert out[3]["clean_text"].startswith("epsilon zeta w0")
+
+
+def test_span_removal_overlapping_spans_cover_once(spark):
+    # doc 1 and 2 share a 9-token run -> two overlapping flagged 8-grams
+    # in each; covered tokens are removed once, not twice
+    run = "a b c d e f g h i"
+    df = spark.createDataFrame(
+        [(1, f"x {run}"), (2, f"{run} y")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           X.duplicated_span_removal(df, n=8).spark_df.collect()}
+    assert out[1]["dup_spans"] == 2
+    assert out[1]["dup_tokens"] == 9
+    assert out[1]["clean_text"] == "x"
+    assert out[2]["clean_text"] == "y"
+
+
+def test_span_removal_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "   "), (3, "also short")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           X.duplicated_span_removal(df, n=8).spark_df.collect()}
+    assert out[1]["dup_tokens"] == 0 and out[1]["clean_text"] == "too short"
+    assert out[2]["n_tokens"] == 0 and out[2]["clean_text"] == ""
+    assert out[3]["dup_spans"] == 0
+
+
+def test_span_removal_hashed_grams_matches_plain(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = X.duplicated_span_removal(docs, n=8).spark_df
+    hashed = X.duplicated_span_removal(docs, n=8, hash_grams=True).spark_df
+    assert plain.select("doc_id", "dup_tokens", "clean_text").subtract(
+        hashed.select("doc_id", "dup_tokens", "clean_text")).count() == 0
