@@ -703,7 +703,7 @@ def q_x_simhash_neardup(spark, sf_dir):
     return X.simhash_near_duplicates(docs, max_hamming=3).spark_df
 
 
-def q_x_embed_neardup(spark, sf_dir):
+def q_x_embed_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label. The synthetic
     embeddings are near-orthogonal (max within-label cosine ~0.47 at
     sf0.01), so the threshold is 0.4 — the oracle then validates an
@@ -711,6 +711,33 @@ def q_x_embed_neardup(spark, sf_dir):
     emb = _f(spark, sf_dir, "embeddings")
     return X.embedding_near_duplicates(emb, threshold=0.4,
                                        block_col="label").spark_df
+
+
+def q_x_semantic_dedup(spark, sf_dir):
+    """SemDeDup: IVF-routed within-cluster cosine compare, min-id
+    representative rule; same non-vacuous 0.4 threshold (12 redundant
+    vectors at sf0.01)."""
+    emb = _f(spark, sf_dir, "embeddings")
+    cents = (emb.spark_df.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect())
+    centroids = [(int(r[0]), list(r[1])) for r in cents]
+    return X.semantic_dedup(emb, centroids, threshold=0.4).spark_df
+
+
+def q_x_embed_neardup(spark, sf_dir):
+    """Embedding near-dup pairs + SemDeDup per-vector verdicts."""
+    a = _tag(q_x_embed_pairs(spark, sf_dir), "pairs",
+             F.col("id_a").cast("bigint").alias("id_a"),
+             F.col("id_b").cast("bigint").alias("id_b"),
+             F.col("cosine").cast("double").alias("cosine"),
+             _BNULL().alias("cid"), _BNULL().alias("keep"))
+    b = _tag(q_x_semantic_dedup(spark, sf_dir), "semdedup",
+             F.col("vec_id").cast("bigint").alias("id_a"),
+             F.col("dup_of").cast("bigint").alias("id_b"),
+             F.col("max_sim").cast("double").alias("cosine"),
+             F.col("centroid_id").cast("bigint").alias("cid"),
+             F.col("keep").cast("bigint").alias("keep"))
+    return a.unionByName(b)
 
 
 def q_x_cosine_topk(spark, sf_dir):
@@ -2133,7 +2160,7 @@ _ORACLES: dict[str, str] = {
         FROM ng a JOIN ng b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.g, b.g))::DOUBLE /
               len(list_distinct(list_cat(a.g, b.g))) >= 0.5""",
-    "x_embed_neardup": """
+    "x_embed_pairs": """
         WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
                    FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2890,6 +2917,52 @@ _NJ_BLOCKED, _NJ_GLOBAL = (_ORACLES["x_ngram_jaccard"],
 _ORACLES["x_ngram_jaccard"] = _union(
     _wrap("blocked", _NJ_BLOCKED, _NGRAM_PAIR_SEL),
     _wrap("global", _NJ_GLOBAL, _NGRAM_PAIR_SEL))
+
+def _duck_cos(a: str, b: str) -> str:
+    return (f"round(list_reduce(list_transform(list_zip({a}, {b}), "
+            f"z -> z[1] * z[2]), (acc, x) -> acc + x) / "
+            f"(sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            f"(acc, x) -> acc + x)) * "
+            f"sqrt(list_reduce(list_transform({b}, x -> x * x), "
+            f"(acc, x) -> acc + x))), 6)")
+
+
+_ORACLES["x_semantic_dedup"] = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_duck_cos("e.embedding::DOUBLE[]", "c.ce")} AS sim
+      FROM embeddings e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        FROM scored) WHERE rn = 1),
+    v AS (SELECT a.vec_id, a.centroid_id, e.embedding::DOUBLE[] AS e
+          FROM assign a JOIN embeddings e USING (vec_id)),
+    dup_pairs AS (
+      SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+             {_duck_cos("a.e", "b.e")} AS cosine
+      FROM v a JOIN v b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_duck_cos("a.e", "b.e")} >= 0.4),
+    dup_info AS (
+      SELECT id_b, min(id_a) AS dup_of, max(cosine) AS max_sim
+      FROM dup_pairs GROUP BY id_b)
+    SELECT v.vec_id, v.centroid_id, d.dup_of, d.max_sim,
+           CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+    FROM v LEFT JOIN dup_info d ON v.vec_id = d.id_b"""
+
+_ORACLES["x_embed_neardup"] = _union(
+    _wrap("pairs", _ORACLES["x_embed_pairs"],
+          "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+          "cosine::DOUBLE AS cosine, NULL::BIGINT AS cid, "
+          "NULL::BIGINT AS keep"),
+    _wrap("semdedup", _ORACLES["x_semantic_dedup"],
+          "vec_id::BIGINT AS id_a, dup_of::BIGINT AS id_b, "
+          "max_sim::DOUBLE AS cosine, centroid_id::BIGINT AS cid, "
+          "keep::BIGINT AS keep"))
 
 _ORACLES["x_cosine_search"] = _union(
     _wrap("topk", _ORACLES["x_cosine_topk"],

