@@ -862,13 +862,13 @@ def q_x_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
-def q_s_approx_sketches(spark, sf_dir):
-    """Mergeable sketches with a REAL oracle: DataSketches HLL sketches
-    built per (lang, source) shard, then hll_union_agg rolled up to lang
-    — the canonical pre-aggregate-then-merge pattern for 100 TB distinct
-    cubes. The per-group cardinality (n_chars % 97, <= 97 values) stays
-    inside the sketch's sparse/exact range, so the merged estimate equals
-    DuckDB's exact count(DISTINCT) and the row hash-matches."""
+def q_s_hll_rollup(spark, sf_dir):
+    """DataSketches HLL sketches built per (lang, source) shard, then
+    hll_union_agg rolled up to lang — the canonical pre-aggregate-then-
+    merge pattern for 100 TB distinct cubes. The per-group cardinality
+    (n_chars % 97, <= 97 values) stays inside the sketch's sparse/exact
+    range, so the merged estimate equals DuckDB's exact
+    count(DISTINCT)."""
     docs = _f(spark, sf_dir, "documents")
     base = docs.spark_df.select(
         "lang", "source", (F.col("n_chars") % 97).alias("cb"))
@@ -876,6 +876,70 @@ def q_s_approx_sketches(spark, sf_dir):
     rolled = SK.hll_rollup(per_shard, ["lang"])
     return rolled.spark_df.select(
         "lang", F.col("estimate").cast("bigint").alias("distinct_cb"))
+
+
+def q_s_theta_distinct(spark, sf_dir):
+    """Theta sketch distinct estimate per lang — exact while the group
+    cardinality stays under 2^lg_k retained hashes."""
+    docs = _f(spark, sf_dir, "documents")
+    base = docs.spark_df.select("lang", (F.col("n_chars") % 97).alias("cb"))
+    out = SK.theta_distinct(base, "cb", ["lang"], lg_k=12)
+    return out.spark_df.select(
+        "lang", F.col("estimate").cast("bigint").alias("distinct_cb"))
+
+
+def q_s_kll_quantiles(spark, sf_dir):
+    """KLL quantile sketches per (returnflag, linestatus) shard folded up
+    to returnflag with the binary merge — exact (== quantile_disc) while
+    each sketch holds <= k values."""
+    li = _f(spark, sf_dir, "lineitem")
+    shard = SK.kll_quantiles(li.spark_df, "l_quantity", [0.25, 0.5, 0.75],
+                             ["l_returnflag", "l_linestatus"], k=60000)
+    rolled = SK.kll_rollup(shard.spark_df, [0.25, 0.5, 0.75],
+                           ["l_returnflag"])
+    return rolled.spark_df.select("l_returnflag", "q25", "q50", "q75")
+
+
+def q_s_frequent_items(spark, sf_dir):
+    """Exact grouped heavy hitters: top-5 part keys per returnflag,
+    deterministic (count desc, key asc) tiebreak."""
+    li = _f(spark, sf_dir, "lineitem")
+    out = SK.frequent_items(li.spark_df, "l_partkey", k=5,
+                            group_cols=["l_returnflag"])
+    return out.spark_df
+
+
+def q_s_approx_sketches(spark, sf_dir):
+    """Mergeable sketch family with REAL oracles: HLL union rollup, Theta
+    distinct, KLL quantile merge (all in their exact ranges), and exact
+    grouped frequent items."""
+    a = _tag(q_s_hll_rollup(spark, sf_dir), "hll",
+             F.col("lang").alias("g"),
+             F.col("distinct_cb").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             _DNULL().alias("d1"), _DNULL().alias("d2"),
+             _DNULL().alias("d3"))
+    b = _tag(q_s_theta_distinct(spark, sf_dir), "theta",
+             F.col("lang").alias("g"),
+             F.col("distinct_cb").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             _DNULL().alias("d1"), _DNULL().alias("d2"),
+             _DNULL().alias("d3"))
+    c = _tag(q_s_kll_quantiles(spark, sf_dir), "kll",
+             F.col("l_returnflag").alias("g"),
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"),
+             F.col("q25").cast("double").alias("d1"),
+             F.col("q50").cast("double").alias("d2"),
+             F.col("q75").cast("double").alias("d3"))
+    d = _tag(q_s_frequent_items(spark, sf_dir), "freq",
+             F.col("l_returnflag").alias("g"),
+             F.col("l_partkey").cast("bigint").alias("i1"),
+             F.col("cnt").cast("bigint").alias("i2"),
+             F.col("rank").cast("bigint").alias("i3"),
+             _DNULL().alias("d1"), _DNULL().alias("d2"),
+             _DNULL().alias("d3"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_s_funnel(spark, sf_dir):
@@ -2044,9 +2108,22 @@ _ORACLES: dict[str, str] = {
                (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus""",
-    "s_approx_sketches": """
+    "s_sketch_distinct": """
         SELECT lang, count(DISTINCT n_chars % 97)::BIGINT AS distinct_cb
         FROM documents GROUP BY lang""",
+    "s_kll_quantiles": """
+        SELECT l_returnflag,
+               quantile_disc(l_quantity, 0.25)::DOUBLE AS q25,
+               quantile_disc(l_quantity, 0.5)::DOUBLE AS q50,
+               quantile_disc(l_quantity, 0.75)::DOUBLE AS q75
+        FROM lineitem GROUP BY l_returnflag""",
+    "s_frequent_items": """
+        SELECT l_returnflag, l_partkey, cnt, rank FROM (
+            SELECT l_returnflag, l_partkey, count(*)::BIGINT AS cnt,
+                   row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY count(*) DESC, l_partkey ASC) AS rank
+            FROM lineitem GROUP BY l_returnflag, l_partkey)
+        WHERE rank <= 5""",
     "s_udaf_wavg": """
         SELECT l_returnflag,
                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
@@ -2891,6 +2968,23 @@ _ORACLES["s_functions"] = _union(
           "n_nationkey::BIGINT AS i1, json_name AS s1, "
           "arr_sum::BIGINT AS i2, arr_max::BIGINT AS i3, "
           "NULL::DOUBLE AS d1, map_val AS s2, n_distinct::BIGINT AS i4"))
+
+_SKETCH_NULLS_I = "NULL::BIGINT AS i2, NULL::BIGINT AS i3"
+_SKETCH_NULLS_D = "NULL::DOUBLE AS d1, NULL::DOUBLE AS d2, NULL::DOUBLE AS d3"
+_ORACLES["s_approx_sketches"] = _union(
+    _wrap("hll", _ORACLES["s_sketch_distinct"],
+          f"lang AS g, distinct_cb::BIGINT AS i1, {_SKETCH_NULLS_I}, "
+          f"{_SKETCH_NULLS_D}"),
+    _wrap("theta", _ORACLES["s_sketch_distinct"],
+          f"lang AS g, distinct_cb::BIGINT AS i1, {_SKETCH_NULLS_I}, "
+          f"{_SKETCH_NULLS_D}"),
+    _wrap("kll", _ORACLES["s_kll_quantiles"],
+          "l_returnflag AS g, NULL::BIGINT AS i1, "
+          f"{_SKETCH_NULLS_I}, q25::DOUBLE AS d1, q50::DOUBLE AS d2, "
+          "q75::DOUBLE AS d3"),
+    _wrap("freq", _ORACLES["s_frequent_items"],
+          "l_returnflag AS g, l_partkey::BIGINT AS i1, cnt::BIGINT AS i2, "
+          f"rank::BIGINT AS i3, {_SKETCH_NULLS_D}"))
 
 _ORACLES["s_source_roundtrip"] = """
     SELECT l_returnflag, count(*)::BIGINT AS n,

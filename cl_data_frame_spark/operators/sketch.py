@@ -80,3 +80,98 @@ def approx_quantiles(frame, col: str, probabilities: Sequence[float],
     out = (sdf.groupBy(*group_cols).agg(agg) if group_cols
            else sdf.agg(agg))
     return SparkFrame(out)
+
+
+def kll_quantiles(frame, col: str, probabilities: Sequence[float],
+                  group_cols: Sequence[str] = (), k: int = 8000) -> SparkFrame:
+    """DataSketches KLL quantile sketch per group: one fixed-size-state
+    shuffle, mergeable across shards (see ``kll_rollup``).
+
+    While a group holds <= *k* values the sketch retains all of them and
+    every quantile is EXACT (it returns an actual retained value, matching
+    ``quantile_disc`` semantics); past capacity it degrades gracefully to
+    the KLL error bound. The correctness oracle runs in the exact range.
+    """
+    sdf = _plain(frame)
+    agg = F.expr(f"kll_sketch_agg_double({col}, {int(k)})").alias("sketch")
+    out = (sdf.groupBy(*group_cols).agg(agg) if group_cols
+           else sdf.agg(agg))
+    qs = [F.expr(f"kll_sketch_get_quantile_double(sketch, {float(p)})")
+          .alias(f"q{int(p * 100)}") for p in probabilities]
+    return SparkFrame(out.select(*group_cols, *qs, "sketch"))
+
+
+def kll_rollup(sketch_frame, probabilities: Sequence[float],
+               group_cols: Sequence[str] = ()) -> SparkFrame:
+    """Merge previously materialized KLL sketches (e.g. per-day partials)
+    into coarser groups without rescanning raw data.
+
+    ``kll_sketch_merge_double`` is a binary scalar, so the rollup is a
+    ``collect_list`` + ``aggregate`` fold per group — fine because the
+    folded list holds one fixed-size sketch per merged shard, not rows.
+    """
+    sdf = _plain(sketch_frame)
+    lst = (sdf.groupBy(*group_cols).agg(F.collect_list("sketch").alias("sks"))
+           if group_cols else sdf.agg(F.collect_list("sketch").alias("sks")))
+    merged = lst.select(
+        *group_cols,
+        F.expr("aggregate(slice(sks, 2, size(sks)), sks[0], "
+               "(acc, x) -> kll_sketch_merge_double(acc, x))").alias("sketch"))
+    qs = [F.expr(f"kll_sketch_get_quantile_double(sketch, {float(p)})")
+          .alias(f"q{int(p * 100)}") for p in probabilities]
+    return SparkFrame(merged.select(*group_cols, *qs, "sketch"))
+
+
+def theta_distinct(frame, col: str, group_cols: Sequence[str] = (),
+                   lg_k: int = 12) -> SparkFrame:
+    """DataSketches Theta distinct-count estimate per group. Theta keeps
+    every hash until 2^lg_k entries, so low-cardinality groups are exact;
+    unlike HLL the retained-hash form also supports set algebra
+    (intersection / difference) downstream."""
+    sdf = _plain(frame)
+    agg = F.expr(f"theta_sketch_agg({col}, {int(lg_k)})").alias("sketch")
+    out = (sdf.groupBy(*group_cols).agg(agg) if group_cols
+           else sdf.agg(agg))
+    return SparkFrame(out.select(
+        *group_cols, F.expr("theta_sketch_estimate(sketch)").alias("estimate"),
+        "sketch"))
+
+
+def frequent_items(frame, col: str, k: int = 10,
+                   group_cols: Sequence[str] = (),
+                   candidate_limit: int | None = None) -> SparkFrame:
+    """Top-k most frequent values of *col* per group, exact, with a
+    deterministic tiebreak (count desc, value asc).
+
+    Plan: partial-aggregating ``groupBy(group, value).count()`` (the
+    shuffle carries one row per distinct (group, value) per mapper, never
+    raw rows), then a window rank over the slim count table. At 100 TB
+    the count table is #distinct-sized — when even that is too wide, pass
+    ``candidate_limit=m`` to insert a per-input-partition top-m prefilter
+    (Misra-Gries-style): any value with global frequency > N/(m+1) is
+    guaranteed by pigeonhole to survive some partition's top-m, so true
+    heavy hitters are never lost; the tail below that bound becomes
+    approximate. The exact default is what the oracle verifies.
+    """
+    from pyspark.sql import Window
+
+    sdf = _plain(frame)
+    gcols = list(group_cols)
+    if candidate_limit is not None:
+        part = sdf.select(*gcols, F.col(col),
+                          F.spark_partition_id().alias("__pid__"))
+        wp = Window.partitionBy("__pid__", *gcols).orderBy(
+            F.col("__n__").desc(), F.col(col).asc())
+        cand = (part.groupBy("__pid__", *gcols, col)
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .withColumn("__rn__", F.row_number().over(wp))
+                .filter(F.col("__rn__") <= candidate_limit)
+                .select(*gcols, col).distinct())
+        sdf = sdf.join(F.broadcast(cand), on=[*gcols, col], how="left_semi")
+    counts = (sdf.groupBy(*gcols, col)
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy(*gcols) if gcols else Window.partitionBy()) \
+        .orderBy(F.col("cnt").desc(), F.col(col).asc())
+    out = (counts.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k))
+    return SparkFrame(out)
