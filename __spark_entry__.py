@@ -1015,7 +1015,26 @@ def q_s_merge_upsert(spark, sf_dir):
              F.unix_micros(F.col("valid_to").cast("timestamp"))
              .alias("vt"),
              F.col("is_current").cast("int").alias("cur"))
-    return a.unionByName(b)
+    # incremental aggregate maintenance: partials built on the base slice
+    # absorb the delta slice WITHOUT rescanning base; merged state must
+    # equal the full recompute the oracle runs
+    full = _t(spark, sf_dir, "orders")
+    base_part = R.incremental_agg_build(
+        SparkFrame(full.filter(F.col("o_orderkey") % 100 != 0)),
+        "o_custkey", ["o_totalprice"])
+    delta_part = R.incremental_agg_build(
+        SparkFrame(full.filter(F.col("o_orderkey") % 100 == 0)),
+        "o_custkey", ["o_totalprice"])
+    incr = R.incremental_agg_merge(base_part, delta_part, "o_custkey",
+                                   ["o_totalprice"]).spark_df
+    c = _tag(incr, "incr",
+             F.col("o_custkey").cast("bigint").alias("k1"),
+             F.col("cnt").cast("bigint").alias("k2"),
+             F.col("sum_o_totalprice").cast("double").alias("v"),
+             _SNULL().alias("s1"), _BNULL().alias("vf"),
+             _BNULL().alias("vt"),
+             F.lit(None).cast("int").alias("cur"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_sessionize(spark, sf_dir):
@@ -2508,7 +2527,13 @@ _ORACLES: dict[str, str] = {
                    epoch_us(ts)::BIGINT AS vf,
                    epoch_us(lead(ts) OVER w2)::BIGINT AS vt,
                    (lead(ts) OVER w2 IS NULL)::INT AS cur
-            FROM kept WINDOW w2 AS (PARTITION BY k ORDER BY ts, id))""",
+            FROM kept WINDOW w2 AS (PARTITION BY k ORDER BY ts, id))
+        UNION ALL
+        SELECT 'incr', o_custkey::BIGINT AS k1, count(*)::BIGINT AS k2,
+               (sum(o_totalprice::DECIMAL(28,6)))::DOUBLE AS v,
+               NULL::VARCHAR AS s1, NULL::BIGINT AS vf,
+               NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM orders GROUP BY o_custkey""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,

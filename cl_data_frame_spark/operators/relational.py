@@ -652,3 +652,51 @@ def trailing_range_window(frame, user_col: str = "user_id",
         .alias("trailing_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_n"))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (materialized rollup + delta merge)
+# ---------------------------------------------------------------------------
+
+def incremental_agg_build(frame, keys: Sequence[str] | str,
+                          sum_cols: Sequence[str] = (),
+                          scale: int = 6) -> SparkFrame:
+    """Build the mergeable partial-aggregate state of a rollup: per key,
+    ``cnt`` plus an exact decimal ``sum_<col>``, ``min_<col>``,
+    ``max_<col>`` for every *sum_cols* entry.
+
+    This is the materialized-view pattern for 100 TB rollups: persist the
+    partial table once, then absorb each new shard/day with
+    ``incremental_agg_merge`` — the base data is never rescanned. All
+    stored measures are decomposable aggregates (sum/count/min/max merge
+    associatively; avg derives as sum/cnt at read time), and sums pass
+    through DECIMAL so merge order never changes the result.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sdf = _plain(frame)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in sum_cols:
+        dec = F.col(c).cast(f"decimal(28,{scale})")
+        aggs += [F.sum(dec).alias(f"sum_{c}"),
+                 F.min(F.col(c)).alias(f"min_{c}"),
+                 F.max(F.col(c)).alias(f"max_{c}")]
+    return SparkFrame(sdf.groupBy(*keys).agg(*aggs))
+
+
+def incremental_agg_merge(base_partials, delta_partials,
+                          keys: Sequence[str] | str,
+                          sum_cols: Sequence[str] = ()) -> SparkFrame:
+    """Merge two partial-aggregate tables (the output shape of
+    ``incremental_agg_build``) into one: counts and sums add, mins/maxes
+    combine — one union + one partial-agg shuffle over the SLIM partial
+    tables (#distinct-keys rows), regardless of how much raw data the
+    base state summarizes.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    merged = _plain(base_partials).unionByName(_plain(delta_partials))
+    aggs = [F.sum("cnt").alias("cnt")]
+    for c in sum_cols:
+        aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}"),
+                 F.min(f"min_{c}").alias(f"min_{c}"),
+                 F.max(f"max_{c}").alias(f"max_{c}")]
+    return SparkFrame(merged.groupBy(*keys).agg(*aggs))

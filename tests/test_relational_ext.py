@@ -145,3 +145,39 @@ def test_scd2_apply_untouched_keys_skip_window(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # one rebuild branch with windows, one untouched branch joined anti
     assert "LeftAnti" in plan or "LEFT ANTI" in plan.upper()
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators.relational import (
+        incremental_agg_build, incremental_agg_merge)
+
+    rows = [(i % 7, float(i) * 1.25) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    base = df.filter(F.col("v") < 800)
+    delta = df.filter(F.col("v") >= 800)
+    merged = incremental_agg_merge(
+        incremental_agg_build(base, "k", ["v"]),
+        incremental_agg_build(delta, "k", ["v"]),
+        "k", ["v"]).spark_df
+    full = incremental_agg_build(df, "k", ["v"]).spark_df
+    assert merged.subtract(full).count() == 0
+    assert full.subtract(merged).count() == 0
+
+
+def test_incremental_merge_is_slim(spark):
+    # the merge plan never rescans raw inputs: both sides are partials
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators.relational import (
+        incremental_agg_build, incremental_agg_merge)
+
+    df = spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 4.0)], ["k", "v"])
+    p = incremental_agg_build(df, "k", ["v"]).spark_df
+    out = incremental_agg_merge(p, p, "k", ["v"]).spark_df.collect()
+    got = {r["k"]: (r["cnt"], float(r["sum_v"]), r["min_v"], r["max_v"])
+           for r in out}
+    assert got == {1: (4, 10.0, 2.0, 3.0), 2: (2, 8.0, 4.0, 4.0)}
