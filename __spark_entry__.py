@@ -1682,6 +1682,59 @@ def q_x_probes_rows_only(spark, sf_dir):
     return a.unionByName(b).unionByName(c)
 
 
+def q_st_ss_join(spark, sf_dir):
+    """REAL stream-stream interval join: view events paired with same-user
+    click events within 10 minutes, both file-source streams, watermarked
+    state-bounded join into a memory sink; aggregated per user for a
+    stable oracle shape."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def one(kind, idc, tsc):
+        raw = ST.read_stream_parquet(spark, sf_dir, schema,
+                                     glob="events.parquet")
+        return (raw.withColumn("__ts__", _event_ts(raw))
+                .filter(F.col("event_type") == kind)
+                .select("user_id", F.col("event_id").alias(idc),
+                        F.col("__ts__").alias(tsc)))
+
+    joined = ST.stream_stream_interval_join(
+        one("view", "view_id", "vts"), one("click", "click_id", "cts"),
+        key="user_id", left_ts="vts", right_ts="cts",
+        max_delay="10 minutes")
+    _STREAM_SEQ[0] += 1
+    name = f"st_ss_join_{_STREAM_SEQ[0]}"
+    ST.run_stream_to_memory(joined, name, output_mode="append")
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.unix_micros("cts") - F.unix_micros("vts"))
+                 .cast("double").alias("sum_delta")))
+
+
+def q_st_static_join(spark, sf_dir):
+    """REAL stream-static dimension enrichment: the events stream joined
+    to the static nation table (user_id % 25 = n_nationkey), append-mode
+    sink, then a batch rollup per nation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = ST.read_stream_parquet(spark, sf_dir, schema,
+                                 glob="events.parquet")
+    stream = raw.withColumn("nk", F.col("user_id") % 25)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name")
+    joined = ST.stream_static_join(stream, nation, on="nk") \
+        .select("event_id", "n_name", "value")
+    _STREAM_SEQ[0] += 1
+    name = f"st_static_join_{_STREAM_SEQ[0]}"
+    ST.run_stream_to_memory(joined, name, output_mode="append")
+    return (spark.table(name)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_value")))
+
+
 def q_st_windows(spark, sf_dir):
     """Streaming window aggregations (plans identical in batch/stream):
     tumbling, sliding, and session windows in one tagged union."""
@@ -1699,7 +1752,18 @@ def q_st_windows(spark, sf_dir):
              F.col("user_id").cast("bigint").alias("i1"), _SNULL().alias("s1"),
              F.col("n_events").cast("bigint").alias("n"),
              _DNULL().alias("sum_value"))
-    return a.unionByName(b).unionByName(c)
+    d = _tag(q_st_ss_join(spark, sf_dir), "ss_join",
+             _BNULL().alias("win_us"),
+             F.col("user_id").cast("bigint").alias("i1"),
+             _SNULL().alias("s1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_delta").cast("double").alias("sum_value"))
+    e = _tag(q_st_static_join(spark, sf_dir), "static_join",
+             _BNULL().alias("win_us"), _BNULL().alias("i1"),
+             F.col("n_name").alias("s1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_value").cast("double").alias("sum_value"))
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 # ---------------------------------------------------------------------------
@@ -3154,7 +3218,27 @@ _ORACLES["st_windows"] = _union(
     _wrap("session", _ORACLES["st_session"],
           "session_us::BIGINT AS win_us, user_id::BIGINT AS i1, "
           "NULL::VARCHAR AS s1, n_events::BIGINT AS n, "
-          "NULL::DOUBLE AS sum_value"))
+          "NULL::DOUBLE AS sum_value"),
+    _wrap("ss_join", """
+        WITH v AS (SELECT user_id, ts AS vts FROM events
+                   WHERE event_type = 'view'),
+        c AS (SELECT user_id, ts AS cts FROM events
+              WHERE event_type = 'click')
+        SELECT user_id, count(*)::BIGINT AS n,
+               (sum(epoch_us(cts) - epoch_us(vts)))::DOUBLE AS sum_delta
+        FROM v JOIN c USING (user_id)
+        WHERE cts >= vts AND cts <= vts + INTERVAL 10 MINUTE
+        GROUP BY user_id""",
+          "NULL::BIGINT AS win_us, user_id::BIGINT AS i1, "
+          "NULL::VARCHAR AS s1, n::BIGINT AS n, "
+          "sum_delta::DOUBLE AS sum_value"),
+    _wrap("static_join", """
+        SELECT n_name, count(*)::BIGINT AS n,
+               (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+        FROM events e JOIN nation ON e.user_id % 25 = n_nationkey
+        GROUP BY n_name""",
+          "NULL::BIGINT AS win_us, NULL::BIGINT AS i1, n_name AS s1, "
+          "n::BIGINT AS n, sum_value::DOUBLE AS sum_value"))
 
 
 # round 3: stat functions, curation scrub, BM25, quantization oracles ------

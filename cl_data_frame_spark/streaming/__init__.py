@@ -127,3 +127,47 @@ def streaming_dedup(sdf: DataFrame, key_cols: list[str],
     """
     return (sdf.withWatermark(ts_col, delay)
             .dropDuplicates([*key_cols, ts_col]))
+
+
+def stream_static_join(stream_df: DataFrame, static_df: DataFrame,
+                       on, how: str = "inner") -> DataFrame:
+    """Enrich a stream with a static dimension table. Spark broadcasts or
+    re-reads the static side per micro-batch; no state is kept, so any
+    join type the planner allows works and state size is zero — the
+    standard dimension-enrichment shape at scale."""
+    return stream_df.join(static_df, on, how)
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key: str, left_ts: str, right_ts: str,
+                                max_delay: str = "10 minutes",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: pair each left event with the right
+    events of the same *key* whose timestamp falls in
+    ``[left_ts, left_ts + max_delay]``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so the state store provably evicts rows once the
+    watermark passes ``left_ts + max_delay`` — bounded state on infinite
+    streams, the production-safe shape. The same plan runs in batch mode
+    (the oracle path) because the condition is an ordinary theta join.
+    """
+    l = left.select(F.col(key).alias("__lk__"),
+                    F.col(left_ts).alias("__lts__"),
+                    *[c for c in left.columns if c not in (key, left_ts)])
+    r = right.select(F.col(key).alias("__rk__"),
+                     F.col(right_ts).alias("__rts__"),
+                     *[c for c in right.columns if c not in (key, right_ts)])
+    if l.isStreaming:
+        l = l.withWatermark("__lts__", watermark)
+        r = r.withWatermark("__rts__", watermark)
+    cond = ((F.col("__lk__") == F.col("__rk__"))
+            & (F.col("__rts__") >= F.col("__lts__"))
+            & (F.col("__rts__") <= F.col("__lts__")
+               + F.expr(f"INTERVAL {max_delay}")))
+    return (l.join(r, cond)
+            .select(F.col("__lk__").alias(key),
+                    F.col("__lts__").alias(left_ts),
+                    F.col("__rts__").alias(right_ts),
+                    *[c for c in l.columns if c.startswith("__") is False],
+                    *[c for c in r.columns if c.startswith("__") is False]))

@@ -195,3 +195,46 @@ def test_streaming_dedup_collapses_duplicate_deliveries(spark, tmp_path):
     ST.run_stream_to_memory(dd, "t_dedup", output_mode="append")
     rows = spark.table("t_dedup").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    batch = _events_batch(spark)
+
+    def split(df, kind, idc, tsc):
+        return (df.filter(F.col("event_type") == kind)
+                .select("user_id", F.col("event_id").alias(idc),
+                        F.col("ts").alias(tsc)))
+
+    stream = ST.read_stream_parquet(spark, stream_dir, batch.schema)
+    joined = ST.stream_stream_interval_join(
+        split(stream, "view", "view_id", "vts"),
+        split(stream, "click", "click_id", "cts"),
+        key="user_id", left_ts="vts", right_ts="cts",
+        max_delay="30 minutes")
+    ST.run_stream_to_memory(joined, "t_ssj", output_mode="append")
+    got = _sorted_rows(spark.table("t_ssj"),
+                       ["user_id", "view_id", "click_id"])
+    expected = ST.stream_stream_interval_join(
+        split(batch, "view", "view_id", "vts"),
+        split(batch, "click", "click_id", "cts"),
+        key="user_id", left_ts="vts", right_ts="cts",
+        max_delay="30 minutes")
+    assert len(got) > 0
+    assert got == _sorted_rows(expected,
+                               ["user_id", "view_id", "click_id"])
+
+
+def test_stream_static_join_matches_batch(spark, stream_dir):
+    batch = _events_batch(spark)
+    dim = spark.createDataFrame(
+        [(i, f"bucket_{i}") for i in range(10)], ["nk", "bucket"])
+    stream = (ST.read_stream_parquet(spark, stream_dir, batch.schema)
+              .withColumn("nk", F.col("user_id") % 10))
+    joined = ST.stream_static_join(stream, dim, on="nk") \
+        .select("event_id", "bucket")
+    ST.run_stream_to_memory(joined, "t_stj", output_mode="append")
+    got = _sorted_rows(spark.table("t_stj"), ["event_id", "bucket"])
+    expected = (batch.withColumn("nk", F.col("user_id") % 10)
+                .join(dim, "nk").select("event_id", "bucket"))
+    assert len(got) == batch.count()
+    assert got == _sorted_rows(expected, ["event_id", "bucket"])
