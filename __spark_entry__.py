@@ -1513,9 +1513,27 @@ def q_s_source_roundtrip(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="cdf_roundtrip_"), "li")
     write_parquet(li, path)
     back = read_parquet(spark, path)
-    return (back.spark_df.groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 _dec_sum("l_quantity").alias("sum_qty")))
+    agg = (back.spark_df.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                _dec_sum("l_quantity").alias("sum_qty")))
+    a = _tag(agg, "roundtrip", F.col("l_returnflag").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("sum_qty").cast("double").alias("d1"),
+             _BNULL().alias("i2"))
+    # z-order layout: the Morton value that drives write_parquet_zordered
+    # (file-level multi-dim pruning), checked bit-for-bit by the oracle
+    from cl_data_frame_spark.partitioning import zorder_value
+    z = (_t(spark, sf_dir, "lineitem")
+         .filter(F.col("l_orderkey") % 50 == 0)
+         .select((F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                 .alias("key"),
+                 zorder_value([F.col("l_partkey") % 256,
+                               F.col("l_suppkey") % 256], bits=8)
+                 .alias("z")))
+    b = _tag(z, "zorder", _SNULL().alias("s1"),
+             F.col("key").cast("bigint").alias("i1"),
+             _DNULL().alias("d1"), F.col("z").cast("bigint").alias("i2"))
+    return a.unionByName(b)
 
 
 def q_x_dedup(spark, sf_dir):
@@ -3075,10 +3093,22 @@ _ORACLES["s_approx_sketches"] = _union(
           "l_returnflag AS g, l_partkey::BIGINT AS i1, cnt::BIGINT AS i2, "
           f"rank::BIGINT AS i3, {_SKETCH_NULLS_D}"))
 
-_ORACLES["s_source_roundtrip"] = """
-    SELECT l_returnflag, count(*)::BIGINT AS n,
-           (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
-    FROM lineitem WHERE l_quantity >= 45 GROUP BY l_returnflag"""
+_Z_EXPR = " + ".join(
+    f"(((l_{c} % 256) >> {i}) & 1) * {1 << (i * 2 + j)}"
+    for i in range(8) for j, c in enumerate(("partkey", "suppkey")))
+_ORACLES["s_source_roundtrip"] = _union(
+    _wrap("roundtrip", """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+        FROM lineitem WHERE l_quantity >= 45 GROUP BY l_returnflag""",
+          "l_returnflag AS s1, n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "NULL::BIGINT AS i2"),
+    _wrap("zorder", f"""
+        SELECT (l_orderkey * 10 + l_linenumber) AS key,
+               ({_Z_EXPR}) AS z
+        FROM lineitem WHERE l_orderkey % 50 = 0""",
+          "NULL::VARCHAR AS s1, key::BIGINT AS i1, NULL::DOUBLE AS d1, "
+          "z::BIGINT AS i2"))
 
 _SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
                "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")

@@ -28,3 +28,27 @@ def ensure_min_partitions(sdf: DataFrame, n: int | None = None) -> DataFrame:
     if sdf.rdd.getNumPartitions() < n:
         return sdf.repartition(n)
     return sdf
+
+
+def zorder_value(cols, bits: int = 16):
+    """Morton (Z-order) interleave of already-quantized non-negative int
+    columns: bit *i* of column *j* lands at position ``i * k + j``. Pure
+    integer expression (shift/and/or), whole-stage codegen'd.
+
+    Sorting or range-partitioning by this value clusters rows that are
+    close in EVERY dimension into the same files, so parquet min/max
+    stats prune multi-column range predicates — the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, reproduced here as a plain expression
+    (public technique: Morton 1966).
+    """
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    cs = [F.col(c).cast("bigint") if isinstance(c, str) else c.cast("bigint")
+          for c in cols]
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z

@@ -123,3 +123,39 @@ def read_binary(spark: SparkSession, path: str,
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return SparkFrame(reader.load(path))
+
+
+def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
+                           num_files: int | None = None,
+                           mode: str = "overwrite") -> None:
+    """Write parquet with a Z-order layout over *zorder_by* columns.
+
+    Each column is min-max quantized to *bits* bits (one tiny agg
+    collects the bounds), the Morton interleave is computed as a plain
+    integer expression, and ``repartitionByRange`` over it assigns
+    z-contiguous blocks to files — so parquet footer min/max stats prune
+    files for range predicates on ANY of the z-ordered columns, not just
+    the leading sort key. ``num_files`` defaults to the session's shuffle
+    width.
+    """
+    from pyspark.sql import functions as F
+
+    from ..partitioning import default_parallelism, zorder_value
+
+    sdf = _plain(frame)
+    cols = [zorder_by] if isinstance(zorder_by, str) else list(zorder_by)
+    bounds = sdf.agg(*[f(c).alias(f"{n}_{c}") for c in cols
+                       for n, f in (("mn", F.min), ("mx", F.max))]).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1
+        scaled.append(F.floor((F.col(c) - F.lit(mn)) * top / F.lit(span))
+                      .cast("bigint"))
+    n = num_files or default_parallelism(sdf)
+    (sdf.withColumn("__z__", zorder_value(scaled, bits=bits))
+     .repartitionByRange(n, "__z__")
+     .sortWithinPartitions("__z__")
+     .drop("__z__")
+     .write.mode(mode).parquet(path))

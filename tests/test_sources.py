@@ -134,3 +134,55 @@ def test_binary_source_feeds_multimodal_dedup(spark, tmp_path):
         F.col("path").alias("media_id"), F.col("content").alias("payload"))
     digests = media.select(MM.content_hash("payload").alias("d")).collect()
     assert len({r["d"] for r in digests}) == 2
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+def test_zorder_value_interleaves_bits(spark):
+    from cl_data_frame_spark.partitioning import zorder_value
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], ["a", "b"]).select(
+        zorder_value(["a", "b"], bits=3).alias("z"))
+    # a bits land at even positions, b bits at odd:
+    # a=101, b=011 -> z = 1:0 1:1 0:0(b2) ... positions (a0=1,b0=1,a1=0,
+    # b1=1,a2=1,b2=0) = 0b011011 = 27? compute: a0<<0|b0<<1|a1<<2|b1<<3|
+    # a2<<4|b2<<5 = 1+2+0+8+16+0 = 27
+    assert df.collect()[0]["z"] == 27
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path, sf_dir):
+    from cl_data_frame_spark.sources import write_parquet_zordered
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    n_files = 16
+    path = str(tmp_path / "zli")
+    write_parquet_zordered(li, path, ["l_partkey", "l_suppkey"],
+                           bits=8, num_files=n_files)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+
+    import pyspark.sql.functions as F
+
+    def files_with_matches(pred):
+        return (back.filter(pred)
+                .select(F.input_file_name().alias("f"))
+                .distinct().count())
+
+    pk_min, pk_max = [r[0] for r in
+                      li.agg(F.min("l_partkey"), F.max("l_partkey"))
+                      .collect()[0:1]][0], None
+    # narrow range on EACH dimension: matches must concentrate in a
+    # strict subset of files (a single-column sort can only do this for
+    # the leading column)
+    stats = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+                   F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    pk_lo = stats[0] + (stats[1] - stats[0]) * 2 // 5
+    pk_hi = stats[0] + (stats[1] - stats[0]) * 3 // 5
+    sk_lo = stats[2] + (stats[3] - stats[2]) * 2 // 5
+    sk_hi = stats[2] + (stats[3] - stats[2]) * 3 // 5
+    f_pk = files_with_matches(F.col("l_partkey").between(pk_lo, pk_hi))
+    f_sk = files_with_matches(F.col("l_suppkey").between(sk_lo, sk_hi))
+    assert f_pk < n_files
+    assert f_sk < n_files
