@@ -1619,8 +1619,12 @@ def q_x_text_stats(spark, sf_dir):
         "doc_id", "ttr", "top_unigram_frac", "top_bigram_frac")
     s = q_x_stopword_filter(spark, sf_dir).select(
         "doc_id", "n_content_tokens")
+    e = TS.token_entropy(_f(spark, sf_dir, "documents")).spark_df.select(
+        "doc_id", F.col("n_distinct_tokens").cast("bigint"),
+        F.col("entropy_bits").cast("double"),
+        F.col("top_token_mass").cast("double"))
     return (q.join(l, "doc_id").join(t, "doc_id").join(f, "doc_id")
-            .join(r, "doc_id").join(s, "doc_id"))
+            .join(r, "doc_id").join(s, "doc_id").join(e, "doc_id"))
 
 
 def q_x_term_weights(spark, sf_dir):
@@ -3191,19 +3195,37 @@ _ORACLES["x_cluster_assign"] = _union(
     _wrap("ivf", _ORACLES["x_ivf_assign"], _ASSIGN_SEL),
     _wrap("kmeans", _ORACLES["x_kmeans_assign"], _ASSIGN_SEL))
 
+_ORACLES["x_token_entropy"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    counts AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    agg AS (
+        SELECT doc_id, sum(c) AS n, count(*) AS n_distinct_tokens,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc, max(c) AS maxc
+        FROM counts GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_distinct_tokens, 0)::BIGINT AS n_distinct_tokens,
+           round((ln(a.n::DOUBLE) - a.clogc / a.n) / ln(2.0), 6)
+               AS entropy_bits,
+           round(a.maxc::DOUBLE / a.n, 6) AS top_token_mass
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
 _ORACLES["x_text_stats"] = f"""
     SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.mean_word_len,
            q.punct_ratio, q.stopword_ratio, q.quality,
            l.hits_de, l.hits_en, l.hits_es, l.hits_fr, l.lang_pred,
            t.n_bpe, f.fingerprint, f.n_sketch_hashes,
            r.ttr, r.top_unigram_frac, r.top_bigram_frac,
-           s.n_content_tokens
+           s.n_content_tokens,
+           e.n_distinct_tokens, e.entropy_bits, e.top_token_mass
     FROM ({_ORACLES["x_text_quality"]}) q
     JOIN ({_ORACLES["x_lang_id"]}) l ON q.doc_id = l.doc_id
     JOIN ({_ORACLES["x_token_counts"]}) t ON q.doc_id = t.doc_id
     JOIN ({_ORACLES["x_fingerprints"]}) f ON q.doc_id = f.doc_id
     JOIN ({_ORACLES["x_repetition_stats"]}) r ON q.doc_id = r.doc_id
-    JOIN ({_ORACLES["x_stopword_filter"]}) s ON q.doc_id = s.doc_id"""
+    JOIN ({_ORACLES["x_stopword_filter"]}) s ON q.doc_id = s.doc_id
+    JOIN ({_ORACLES["x_token_entropy"]}) e ON q.doc_id = e.doc_id"""
 
 _ORACLES["x_term_weights"] = _union(
     _wrap("tfidf", _ORACLES["x_tfidf_topk"],

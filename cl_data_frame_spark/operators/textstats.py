@@ -476,3 +476,42 @@ def bm25_scores(frame, query_terms, k1: float = 1.2, b: float = 0.75,
            .agg(F.count(F.lit(1)).alias("n_terms_hit"),
                 F.round(F.sum("contrib").cast("double"), 6).alias("score")))
     return SparkFrame(out)
+
+
+def token_entropy(frame, id_col: str = "doc_id",
+                  text_col: str = "text") -> SparkFrame:
+    """Per-document unigram Shannon entropy (bits) and top-token mass —
+    the distribution-shape quality signals: low entropy / high top mass
+    flags repetitive or template text that ratio heuristics miss.
+
+    ``H = (ln N - sum(c * ln c) / N) / ln 2`` over the per-doc token
+    counts: one explode + two partial-aggregating groupBys; the shuffle
+    carries (doc, token, count) then (doc, aggregates) — never raw text.
+    Rounded to 6 places for cross-engine reproducibility (the same
+    ln-based determinism contract as ``tf_idf``).
+    """
+    import math
+
+    sdf = _plain(frame)
+    base = sdf.select(id_col)
+    t = sdf.select(id_col, F.explode(tokens(F.col(text_col))).alias("__t__"))
+    counts = (t.groupBy(id_col, "__t__")
+              .agg(F.count(F.lit(1)).alias("__c__")))
+    per_doc = (counts.groupBy(id_col)
+               .agg(F.sum("__c__").alias("__n__"),
+                    F.count(F.lit(1)).alias("n_distinct_tokens"),
+                    F.sum(F.col("__c__").cast("double")
+                          * F.log(F.col("__c__").cast("double")))
+                    .alias("__clogc__"),
+                    F.max("__c__").alias("__maxc__")))
+    ent = ((F.log(F.col("__n__").cast("double"))
+            - F.col("__clogc__") / F.col("__n__"))
+           / F.lit(math.log(2.0)))
+    out = (base.join(per_doc, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_distinct_tokens", F.lit(0))
+                   .alias("n_distinct_tokens"),
+                   F.round(ent, 6).alias("entropy_bits"),
+                   F.round(F.col("__maxc__") / F.col("__n__"), 6)
+                   .alias("top_token_mass")))
+    return SparkFrame(out)

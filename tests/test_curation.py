@@ -117,3 +117,22 @@ def test_quantize_values_fit_int8(spark, sf_dir):
     mx = (SIM.quantize_embeddings(emb).spark_df
           .agg(F.max("q_absmax").alias("m")).collect()[0]["m"])
     assert mx <= 127
+
+
+def test_token_entropy_uniform_vs_repetitive(spark):
+    from cl_data_frame_spark.operators import textstats as TS
+    df = spark.createDataFrame(
+        [(1, "a b c d"),          # uniform: H = 2 bits
+         (2, "a a a a"),          # degenerate: H = 0
+         (3, "a a b b"),          # H = 1 bit
+         (4, "   ")],             # empty
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TS.token_entropy(df).spark_df.collect()}
+    assert out[1]["entropy_bits"] == 2.0
+    assert out[1]["top_token_mass"] == 0.25
+    assert out[2]["entropy_bits"] == 0.0
+    assert out[2]["top_token_mass"] == 1.0
+    assert out[3]["entropy_bits"] == 1.0
+    assert out[4]["entropy_bits"] is None
+    assert out[4]["n_distinct_tokens"] == 0
