@@ -1898,7 +1898,22 @@ def q_s_stats(spark, sf_dir):
              F.col("rank").cast("bigint").alias("i2"),
              _DNULL().alias("d1"), _DNULL().alias("d2"),
              _DNULL().alias("d3"), _DNULL().alias("d4"))
-    return a.unionByName(b).unionByName(c)
+    # equal-frequency binning: quartile-label l_extendedprice per
+    # returnflag, verify the per-bin histogram
+    li = _t(spark, sf_dir, "lineitem")
+    binned = STAT.quantile_bins(li, "l_extendedprice", n_bins=4,
+                                by=["l_returnflag"]).spark_df
+    hist = (binned.groupBy("l_returnflag", "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_extendedprice").alias("sum_price")))
+    d = _tag(hist, "bins",
+             F.col("l_returnflag").alias("s1"),
+             F.col("bin").cast("bigint").alias("i1"),
+             F.col("n").cast("bigint").alias("i2"),
+             F.col("sum_price").cast("double").alias("d1"),
+             _DNULL().alias("d2"), _DNULL().alias("d3"),
+             _DNULL().alias("d4"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3349,7 +3364,24 @@ _ORACLES["s_stats"] = _union(
           + _STATS_NULLS),
     _wrap("freq", _ORACLES["s_top_frequent"],
           "p_brand AS s1, n::BIGINT AS i1, rank::BIGINT AS i2, "
-          + _STATS_NULLS))
+          + _STATS_NULLS),
+    _wrap("bins", """
+        WITH cuts AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, [0.25, 0.5, 0.75])
+                       AS cuts
+            FROM lineitem GROUP BY l_returnflag),
+        binned AS (
+            SELECT l.l_returnflag, l.l_extendedprice,
+                   1 + len(list_filter(c.cuts,
+                           x -> l.l_extendedprice > x)) AS bin
+            FROM lineitem l JOIN cuts c USING (l_returnflag))
+        SELECT l_returnflag, bin, count(*)::BIGINT AS n,
+               (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_price
+        FROM binned GROUP BY l_returnflag, bin""",
+          "l_returnflag AS s1, bin::BIGINT AS i1, n::BIGINT AS i2, "
+          "sum_price::DOUBLE AS d1, NULL::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
 
 
 _ORACLES["x_decontaminate"] = """

@@ -56,3 +56,25 @@ def test_top_frequent_exact_with_ties(spark):
            STAT.top_frequent(df, "v", k=2).spark_df.collect()]
     # tie between p and q broken by value asc
     assert sorted(got, key=lambda t: t[2]) == [("p", 3, 1), ("q", 3, 2)]
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from cl_data_frame_spark.operators.stats import quantile_bins
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    from pyspark.sql import functions as F
+    out = quantile_bins(df, "v", n_bins=4).spark_df
+    hist = {r["bin"]: r["n"] for r in
+            out.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert hist == {1: 25, 2: 25, 3: 25, 4: 25}
+
+
+def test_quantile_bins_per_group_boundaries(spark):
+    from cl_data_frame_spark.operators.stats import quantile_bins
+    rows = [("a", float(v)) for v in range(1, 11)] + \
+           [("b", float(v)) for v in range(100, 1100, 100)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_bins(df, "v", n_bins=2, by=["g"]).spark_df
+    got = {(r["g"], r["v"]): r["bin"] for r in out.collect()}
+    # group medians differ: 5.5 for a, 550 for b
+    assert got[("a", 5.0)] == 1 and got[("a", 6.0)] == 2
+    assert got[("b", 500.0)] == 1 and got[("b", 600.0)] == 2
