@@ -1559,7 +1559,17 @@ def q_x_dedup(spark, sf_dir):
              F.col("dup_tokens").cast("bigint").alias("i3"),
              F.col("dup_frac").cast("double").alias("d1"),
              F.col("clean_md5").alias("s1"))
-    return a.unionByName(b).unionByName(c)
+    selfrep = X.self_repetition_removal(
+        _f(spark, sf_dir, "documents"), n=4).spark_df
+    d = _tag(selfrep, "selfspans",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             _SNULL().alias("lang"), _SNULL().alias("source"),
+             F.col("n_tokens").cast("bigint").alias("i1"),
+             F.col("rep_spans").cast("bigint").alias("i2"),
+             F.col("rep_tokens").cast("bigint").alias("i3"),
+             F.col("rep_frac").cast("double").alias("d1"),
+             F.md5("clean_text").alias("s1"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_ngram_jaccard_all(spark, sf_dir):
@@ -3140,7 +3150,47 @@ _ORACLES["x_dedup"] = _union(
           "doc_id::BIGINT AS doc_id, NULL::VARCHAR AS lang, "
           "NULL::VARCHAR AS source, n_tokens::BIGINT AS i1, "
           "dup_spans::BIGINT AS i2, dup_tokens::BIGINT AS i3, "
-          "dup_frac::DOUBLE AS d1, clean_md5 AS s1"))
+          "dup_frac::DOUBLE AS d1, clean_md5 AS s1"),
+    _wrap("selfspans", """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(toks[i : i + 3], ' ') AS gram
+          FROM base, UNNEST(range(1, len(toks) - 2)) AS t(i)
+        ), flagged AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   min(pos) OVER (PARTITION BY doc_id, gram) AS fp
+            FROM pos) WHERE pos > fp
+        ), flags AS (
+          SELECT doc_id, list_sort(list(pos)) AS flags
+          FROM flagged GROUP BY doc_id
+        ), final AS (
+          SELECT b.doc_id, len(b.toks) AS n_tokens,
+                 coalesce(len(f.flags), 0) AS rep_spans,
+                 list_filter(range(0, len(b.toks)),
+                             j -> len(list_filter(coalesce(f.flags, []),
+                                       p -> j >= p AND j <= p + 3)) = 0)
+                     AS kept,
+                 b.toks AS toks
+          FROM base b LEFT JOIN flags f USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, rep_spans,
+               n_tokens - len(kept) AS rep_tokens,
+               round((n_tokens - len(kept)) * 1.0 / n_tokens, 6)
+                   AS rep_frac,
+               md5(coalesce(array_to_string(
+                       list_transform(kept, j -> toks[j + 1]), ' '), ''))
+                   AS clean_md5
+        FROM final""",
+          "doc_id::BIGINT AS doc_id, NULL::VARCHAR AS lang, "
+          "NULL::VARCHAR AS source, n_tokens::BIGINT AS i1, "
+          "rep_spans::BIGINT AS i2, rep_tokens::BIGINT AS i3, "
+          "rep_frac::DOUBLE AS d1, clean_md5 AS s1"))
 
 _NGRAM_PAIR_SEL = ("id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
                    "jaccard::DOUBLE AS jaccard")

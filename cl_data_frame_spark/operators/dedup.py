@@ -755,3 +755,68 @@ def semantic_dedup(frame, centroids, threshold: float = 0.7,
            .select(id_col, "centroid_id", "dup_of", "max_sim",
                    F.col("dup_of").isNull().alias("keep")))
     return SparkFrame(out)
+
+
+def self_repetition_removal(frame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 4) -> SparkFrame:
+    """Remove WITHIN-document repeated token spans: any re-occurrence of
+    a token n-gram already seen earlier in the same document flags its
+    positions; covered tokens are dropped, first occurrence kept. The
+    within-doc complement of ``duplicated_span_removal`` (which is
+    cross-corpus) — together they implement the Gopher/RefinedWeb
+    repetition-scrub pair.
+
+    Plan: same slim ``(doc, pos, gram)`` explode; the keep-first rule is
+    ``pos > min(pos) over (doc, gram)`` — a window over the position
+    table partitioned by doc (hash-parallel across docs), then the same
+    array-expression coverage/reassembly, no further shuffle of text.
+    """
+    from pyspark.sql import Window
+
+    sdf = _plain(frame)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    base = sdf.select(F.col(id_col), toks.alias("__toks__"))
+    starts = F.when(
+        F.size("__toks__") >= n,
+        F.sequence(F.lit(0), F.size("__toks__") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.array_join(F.slice("__toks__", F.col("__pos__") + 1, n), " ")
+    pos_tab = (base.select(id_col, F.posexplode(starts).alias("__i__",
+                                                             "__pos__"),
+                           "__toks__")
+               .select(id_col, "__pos__", gram.alias("__gram__")))
+    w = Window.partitionBy(id_col, "__gram__")
+    flagged = (pos_tab
+               .withColumn("__first__", F.min("__pos__").over(w))
+               .filter(F.col("__pos__") > F.col("__first__"))
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list("__pos__"))
+                    .alias("__flags__")))
+    joined = (base.join(flagged, id_col, "left")
+              .withColumn("__flags__",
+                          F.coalesce("__flags__",
+                                     F.array().cast("array<int>"))))
+    kept = F.when(
+        F.size("__toks__") > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.size("__toks__") - 1),
+            lambda j: ~F.exists(
+                F.col("__flags__"),
+                lambda p: (j >= p) & (j <= p + F.lit(n - 1)))),
+    ).otherwise(F.array().cast("array<int>"))
+    out = (joined
+           .withColumn("__kept__", kept)
+           .select(
+               F.col(id_col),
+               F.size("__toks__").alias("n_tokens"),
+               F.size("__flags__").alias("rep_spans"),
+               (F.size("__toks__") - F.size("__kept__")).alias("rep_tokens"),
+               F.round(F.try_divide(
+                   F.size("__toks__") - F.size("__kept__"),
+                   F.size("__toks__")), 6).alias("rep_frac"),
+               F.array_join(
+                   F.transform(F.col("__kept__"),
+                               lambda j: F.element_at("__toks__", j + 1)),
+                   " ").alias("clean_text")))
+    return SparkFrame(out)

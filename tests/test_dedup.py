@@ -158,3 +158,17 @@ def test_semantic_dedup_never_compares_across_clusters(spark):
            X.semantic_dedup(df, cents, threshold=0.99).spark_df.collect()}
     # same cluster -> 2 is redundant against 1
     assert out[1]["keep"] is True and out[2]["keep"] is False
+
+
+def test_self_repetition_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s x y p q r s"),       # 4-gram 'p q r s' repeats
+         (2, "a b c d e f g h")],          # no repetition
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           X.self_repetition_removal(df, n=4).spark_df.collect()}
+    assert out[1]["rep_spans"] == 1
+    assert out[1]["rep_tokens"] == 4
+    assert out[1]["clean_text"] == "p q r s x y"
+    assert out[2]["rep_tokens"] == 0
+    assert out[2]["clean_text"] == "a b c d e f g h"
