@@ -148,3 +148,74 @@ def test_quantize_is_narrow(spark, sf_dir):
     p = _plan(E.q_x_embed_quantize(spark, sf_dir))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_span_dedup_shuffle_carries_no_text(spark, sf_dir):
+    """The duplicated-span pipeline's gram-frequency aggregate and flag
+    join must move (doc, pos, gram) tuples only; document token arrays
+    re-attach via the final doc_id join, never through the gram shuffle."""
+    from cl_data_frame_spark.operators import dedup as X
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(X.duplicated_span_removal(docs, n=8).spark_df)
+    # every Exchange must be on doc_id or the gram key — the token-array
+    # column (__toks__) may never be an exchange input's partition key
+    for seg in p.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",")[0]
+        assert "__toks__" not in key
+
+
+def test_semantic_dedup_pairs_join_is_slim(spark, sf_dir):
+    """The within-cluster pair generator joins (centroid_id, id) tables;
+    embedding vectors attach by id afterwards."""
+    from cl_data_frame_spark.operators import dedup as X
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [(int(r[0]), list(r[1])) for r in
+             emb.filter(F.col("vec_id") < 4)
+             .select("vec_id", "embedding").collect()]
+    p = _plan(X.semantic_dedup(emb, cents, threshold=0.5).spark_df)
+    seen_pair_join = False
+    for seg in p.split("SortMergeJoin")[1:]:
+        head = seg[:120]
+        if "centroid_id" in head:
+            seen_pair_join = True
+            assert "embedding" not in head
+    # the cluster equi-join may also be planned as a (broadcast) hash
+    # join at this scale; either way no embedding rides the cluster key
+    if not seen_pair_join:
+        for seg in p.split("BroadcastHashJoin")[1:]:
+            head = seg[:120]
+            if "centroid_id" in head:
+                assert "embedding" not in head
+
+
+def test_frequent_items_aggregates_before_rank(spark, sf_dir):
+    """The heavy-hitter rank runs over the aggregated count table, so the
+    window input is #distinct-sized: plan order must be HashAggregate
+    (partial+final) BEFORE the Window."""
+    from cl_data_frame_spark.operators import sketch as SK
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = _plan(SK.frequent_items(li, "l_partkey", k=5,
+                                group_cols=["l_returnflag"]).spark_df)
+    assert p.count("HashAggregate") >= 2
+    assert p.index("HashAggregate") > p.index("Window") or \
+        "Window" in p[p.index("HashAggregate"):]
+
+
+def test_quantile_bins_broadcasts_cutpoints(spark, sf_dir):
+    from cl_data_frame_spark.operators.stats import quantile_bins
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = _plan(quantile_bins(li, "l_extendedprice", n_bins=4,
+                            by=["l_returnflag"]).spark_df)
+    assert "BroadcastHashJoin" in p
+
+
+def test_incremental_merge_plan_has_single_agg_over_union(spark):
+    from pyspark.sql import functions as F2
+    from cl_data_frame_spark.operators.relational import (
+        incremental_agg_build, incremental_agg_merge)
+    df = (spark.range(100)
+          .select((F2.col("id") % 5).alias("k"),
+                  F2.col("id").cast("double").alias("v")))
+    part = incremental_agg_build(df, "k", ["v"]).spark_df
+    p = _plan(incremental_agg_merge(part, part, "k", ["v"]).spark_df)
+    assert "Union" in p
