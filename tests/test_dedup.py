@@ -32,10 +32,30 @@ def _pairs(frame):
 
 
 def test_prefix_join_equals_quadratic(corpus):
-    exact = _pairs(X.ngram_jaccard_pairs(corpus, n=3, threshold=0.5))
+    exact = _pairs(X.ngram_jaccard_pairs(corpus, n=3, threshold=0.5,
+                                         candidates="allpairs",
+                                         block_col="doc_id"))  # dummy block
     prefix = _pairs(X.ngram_jaccard_pairs_prefix(corpus, n=3, threshold=0.5))
+    # a per-doc block yields no pairs; rebuild quadratic without blocking
+    # via a constant block column instead
+    from pyspark.sql import functions as F2
+    blocked = corpus.withColumn("blk", F2.lit(1))
+    exact = _pairs(X.ngram_jaccard_pairs(blocked, n=3, threshold=0.5,
+                                         candidates="allpairs",
+                                         block_col="blk"))
     assert prefix == exact
     assert len(prefix) > 0
+
+
+def test_blocked_prefix_equals_blocked_quadratic(corpus):
+    from pyspark.sql import functions as F2
+    blocked = corpus.withColumn("blk", (F2.col("doc_id") % 2))
+    quad = _pairs(X.ngram_jaccard_pairs(blocked, n=3, threshold=0.5,
+                                        candidates="allpairs",
+                                        block_col="blk"))
+    pref = _pairs(X.ngram_jaccard_pairs(blocked, n=3, threshold=0.5,
+                                        block_col="blk"))
+    assert pref == quad
 
 
 def test_minhash_finds_planted_near_dups(corpus):
