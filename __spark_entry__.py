@@ -473,9 +473,31 @@ def q_s_time_rollup(spark, sf_dir):
         "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
                       .cast("double"),
     }, kind="rollup")
-    return out.spark_df.select(
+    rolled = out.spark_df.select(
         F.unix_micros("d").alias("d_us"), F.unix_micros("h").alias("h_us"),
         "n", "sum_value")
+    a = _tag(rolled, "rollup",
+             F.col("d_us").cast("bigint").alias("d_us"),
+             F.col("h_us").cast("bigint").alias("h_us"),
+             _SNULL().alias("s1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_value").cast("double").alias("sum_value"))
+    # hourly resample per event_type with zero-filled gaps: every bucket
+    # between each type's first and last event exists in the output
+    dense = R.resample_fill(
+        SparkFrame(ev.select("event_type", "ts", "value")),
+        "ts", "1 hour", ["event_type"],
+        {"n": F.count(F.lit(1)),
+         "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
+         .cast("double")},
+        fill="zero").spark_df
+    b = _tag(dense, "resample",
+             _BNULL().alias("d_us"),
+             F.unix_micros("bucket").alias("h_us"),
+             F.col("event_type").alias("s1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_value").cast("double").alias("sum_value"))
+    return a.unionByName(b)
 
 
 def q_s_asof_join(spark, sf_dir):
@@ -1603,9 +1625,22 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_x_ivf_topk(spark, sf_dir):
+    """IVF-probed ANN: nprobe=3 of 10 cells, then brute-force cosine
+    top-k inside the probed cells only."""
+    emb = _f(spark, sf_dir, "embeddings")
+    qvec = (emb.spark_df.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0])
+    cents = (emb.spark_df.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect())
+    centroids = [(int(r[0]), list(r[1])) for r in cents]
+    return SIM.ivf_search_topk(emb, qvec, centroids, k=10,
+                               nprobe=3).spark_df
+
+
 def q_x_cosine_search(spark, sf_dir):
     """Similarity search: brute-force cosine top-k (zero-shuffle
-    TakeOrdered) + blocked top-k similarity join."""
+    TakeOrdered) + blocked top-k similarity join + IVF-probed ANN."""
     a = _tag(q_x_cosine_topk(spark, sf_dir), "topk",
              _BNULL().alias("id_l"),
              F.col("vec_id").cast("bigint").alias("id_r"),
@@ -1616,7 +1651,12 @@ def q_x_cosine_search(spark, sf_dir):
              F.col("id_r").cast("bigint").alias("id_r"),
              F.col("cosine").cast("double").alias("cosine"),
              F.col("rank").cast("bigint").alias("rank"))
-    return a.unionByName(b)
+    c = _tag(q_x_ivf_topk(spark, sf_dir), "ivf_topk",
+             F.col("centroid_id").cast("bigint").alias("id_l"),
+             F.col("vec_id").cast("bigint").alias("id_r"),
+             F.col("cosine").cast("double").alias("cosine"),
+             _BNULL().alias("rank"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_cluster_assign(spark, sf_dir):
@@ -3252,13 +3292,49 @@ _ORACLES["x_embed_neardup"] = _union(
           "max_sim::DOUBLE AS cosine, centroid_id::BIGINT AS cid, "
           "keep::BIGINT AS keep"))
 
+_ORACLES["x_ivf_topk"] = f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+          FROM embeddings WHERE vec_id < 10),
+    probed AS (
+        SELECT cid FROM (
+            SELECT c.cid,
+                   list_reduce(list_transform(list_zip(c.ce, q.qe),
+                                              z -> z[1] * z[2]),
+                               (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_transform(c.ce, x -> x * x),
+                                       (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_transform(q.qe, x -> x * x),
+                                         (acc, x) -> acc + x))) AS s
+            FROM c, q)
+        ORDER BY s DESC, cid ASC LIMIT 3),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_duck_cos("e.embedding::DOUBLE[]", "c.ce")} AS sim
+        FROM embeddings e CROSS JOIN c),
+    assign AS (
+        SELECT vec_id, cid AS centroid_id FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+            FROM scored) WHERE rn = 1)
+    SELECT a.vec_id, a.centroid_id,
+           {_duck_cos("e.embedding::DOUBLE[]", "q.qe")} AS cosine
+    FROM assign a
+    JOIN probed p ON a.centroid_id = p.cid
+    JOIN embeddings e ON a.vec_id = e.vec_id, q
+    ORDER BY cosine DESC, a.vec_id ASC LIMIT 10"""
+
 _ORACLES["x_cosine_search"] = _union(
     _wrap("topk", _ORACLES["x_cosine_topk"],
           "NULL::BIGINT AS id_l, vec_id::BIGINT AS id_r, "
           "cosine::DOUBLE AS cosine, NULL::BIGINT AS rank"),
     _wrap("join_topk", _ORACLES["x_similarity_join_topk"],
           "id_l::BIGINT AS id_l, id_r::BIGINT AS id_r, "
-          "cosine::DOUBLE AS cosine, rank::BIGINT AS rank"))
+          "cosine::DOUBLE AS cosine, rank::BIGINT AS rank"),
+    _wrap("ivf_topk", _ORACLES["x_ivf_topk"],
+          "centroid_id::BIGINT AS id_l, vec_id::BIGINT AS id_r, "
+          "cosine::DOUBLE AS cosine, NULL::BIGINT AS rank"))
 
 _ASSIGN_SEL = ("vec_id::BIGINT AS vec_id, centroid_id::BIGINT AS "
                "centroid_id, centroid_sim::DOUBLE AS centroid_sim")
@@ -3342,6 +3418,35 @@ _ORACLES["st_windows"] = _union(
           "session_us::BIGINT AS win_us, user_id::BIGINT AS i1, "
           "NULL::VARCHAR AS s1, n_events::BIGINT AS n, "
           "NULL::DOUBLE AS sum_value"))
+
+_ORACLES["s_time_rollup"] = _union(
+    _wrap("rollup", _ORACLES["s_time_rollup"],
+          "d_us::BIGINT AS d_us, h_us::BIGINT AS h_us, "
+          "NULL::VARCHAR AS s1, n::BIGINT AS n, "
+          "sum_value::DOUBLE AS sum_value"),
+    _wrap("resample", """
+        WITH sparse AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   count(*)::BIGINT AS n,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+            FROM sparse GROUP BY event_type),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                       AS bucket
+            FROM span)
+        SELECT g.event_type, epoch_us(g.bucket)::BIGINT AS h_us,
+               coalesce(s.n, 0)::BIGINT AS n,
+               coalesce(s.sum_value, 0)::DOUBLE AS sum_value
+        FROM grid g LEFT JOIN sparse s
+          ON g.event_type = s.event_type AND g.bucket = s.bucket""",
+          "NULL::BIGINT AS d_us, h_us::BIGINT AS h_us, "
+          "event_type AS s1, n::BIGINT AS n, "
+          "sum_value::DOUBLE AS sum_value"))
 
 _ORACLES["st_dedup"] = _union(
     _wrap("dedup", _ORACLES["st_dedup"],

@@ -700,3 +700,52 @@ def incremental_agg_merge(base_partials, delta_partials,
                  F.min(f"min_{c}").alias(f"min_{c}"),
                  F.max(f"max_{c}").alias(f"max_{c}")]
     return SparkFrame(merged.groupBy(*keys).agg(*aggs))
+
+
+def resample_fill(frame, ts_col: str, step: str = "1 hour",
+                  keys: Sequence[str] | str = (),
+                  aggs: Mapping[str, Column] | None = None,
+                  fill: str = "zero",
+                  fill_cols: Sequence[str] | None = None) -> SparkFrame:
+    """Resample an event stream to a fixed grid and fill the gaps: every
+    (key, bucket) between each key's first and last event exists in the
+    output, with missing buckets filled by ``zero`` or ``ffill``
+    (last observation carried forward).
+
+    Plan: one bucket-truncating aggregation, then a per-key dense grid
+    via ``sequence(min_bucket, max_bucket, step)`` + ``explode`` (the
+    grid lives key-local — never a driver loop or a global calendar
+    join), a left join of the sparse aggregates onto the grid (both
+    sides hash on (key, bucket)), and for ``ffill`` one window pass
+    ``last(value, ignorenulls=True)`` partitioned BY KEY. All stages are
+    key-parallel; nothing global.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sdf = _plain(frame)
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    bucket = F.window(F.col(ts_col), step)["start"].alias("__bucket__")
+    sparse = (sdf.groupBy(*keys, bucket)
+              .agg(*[e.alias(name) for name, e in aggs.items()]))
+    span = (sparse.groupBy(*keys)
+            .agg(F.min("__bucket__").alias("__lo__"),
+                 F.max("__bucket__").alias("__hi__")))
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence("__lo__", "__hi__",
+                             F.expr(f"INTERVAL {step}"))).alias("__bucket__"))
+    joined = grid.join(sparse, on=[*keys, "__bucket__"], how="left")
+    val_cols = fill_cols or list(aggs.keys())
+    if fill == "zero":
+        filled = joined.select(
+            *keys, "__bucket__",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in val_cols])
+    elif fill == "ffill":
+        w = (Window.partitionBy(*keys).orderBy("__bucket__")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        filled = joined.select(
+            *keys, "__bucket__",
+            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+              for c in val_cols])
+    else:
+        raise ValueError(f"fill must be 'zero' or 'ffill', got {fill!r}")
+    return SparkFrame(filled.withColumnRenamed("__bucket__", "bucket"))

@@ -313,3 +313,43 @@ def quantize_embeddings(frame, id_col: str = "vec_id",
         F.array_max(F.transform(F.col("__q__"), F.abs)).alias("q_absmax"),
         F.round(l2, 6).alias("l2_err"))
     return SparkFrame(out)
+
+
+def ivf_search_topk(frame, query_vec, centroids, k: int = 10,
+                    nprobe: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> SparkFrame:
+    """IVF-probed approximate nearest neighbours: score the query against
+    the centroid table driver-side (it is k_centroids x dim — tiny),
+    keep the *nprobe* nearest cells, and brute-force ONLY vectors routed
+    to those cells.
+
+    This is the classic IVF trade: recall bounded by how often the true
+    neighbour's cell is probed, cost cut to ~nprobe/k_centroids of the
+    corpus. At scale the assignment is a partition column, so the cell
+    filter becomes partition pruning and the scan never touches the
+    other cells' files. The probed scan ends in the same zero-shuffle
+    TakeOrdered top-k as the exact baseline.
+    """
+    sdf = _plain(frame)
+    q = [float(x) for x in query_vec]
+    nq = math.sqrt(sum(x * x for x in q))
+
+    def _cos_to_q(vec):
+        nb = math.sqrt(sum(float(x) * float(x) for x in vec))
+        return sum(a * float(b) for a, b in zip(q, vec)) / (nq * nb)
+
+    probed = [cid for cid, _ in sorted(
+        centroids, key=lambda cv: (-_cos_to_q(cv[1]), cv[0]))[:nprobe]]
+    assign = ivf_assign(sdf, centroids, id_col, vec_col).spark_df
+    routed = (sdf.join(assign.select(id_col, "centroid_id"), on=id_col)
+              .filter(F.col("centroid_id").isin(probed)))
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, _lit_vec(q), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (na * F.lit(nq)), 6)
+    out = (routed.select(id_col, "centroid_id", cos.alias("cosine"))
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+           .limit(k))
+    return SparkFrame(out)

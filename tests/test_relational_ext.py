@@ -181,3 +181,41 @@ def test_incremental_merge_is_slim(spark):
     got = {r["k"]: (r["cnt"], float(r["sum_v"]), r["min_v"], r["max_v"])
            for r in out}
     assert got == {1: (4, 10.0, 2.0, 3.0), 2: (2, 8.0, 4.0, 4.0)}
+
+
+# ---------------------------------------------------------------------------
+# resample + gap fill
+# ---------------------------------------------------------------------------
+
+def _ts_df(spark):
+    from pyspark.sql import functions as F
+    return spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0),
+         ("a", "2024-01-01 03:20:00", 2.0),
+         ("b", "2024-01-01 01:05:00", 5.0)],
+        "k string, ts string, v double").withColumn(
+            "ts", F.to_timestamp("ts"))
+
+
+def test_resample_zero_fill_densifies_grid(spark):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators.relational import resample_fill
+    out = resample_fill(_ts_df(spark), "ts", "1 hour", ["k"],
+                        {"n": F.count(F.lit(1))}, fill="zero").spark_df
+    rows = {(r["k"], str(r["bucket"])): r["n"] for r in out.collect()}
+    assert rows[("a", "2024-01-01 01:00:00")] == 0
+    assert rows[("a", "2024-01-01 02:00:00")] == 0
+    assert rows[("a", "2024-01-01 03:00:00")] == 1
+    assert len([k for k in rows if k[0] == "a"]) == 4
+    assert len([k for k in rows if k[0] == "b"]) == 1
+
+
+def test_resample_ffill_carries_last_value(spark):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators.relational import resample_fill
+    out = resample_fill(_ts_df(spark), "ts", "1 hour", ["k"],
+                        {"s": F.sum("v")}, fill="ffill").spark_df
+    rows = {(r["k"], str(r["bucket"])): r["s"] for r in out.collect()}
+    assert rows[("a", "2024-01-01 01:00:00")] == 1.0
+    assert rows[("a", "2024-01-01 02:00:00")] == 1.0
+    assert rows[("a", "2024-01-01 03:00:00")] == 2.0

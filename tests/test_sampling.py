@@ -266,3 +266,24 @@ def test_sketches_estimate_and_merge(spark):
     q = SK.approx_quantiles(df, "v", [0.0, 0.5, 1.0]).spark_df.collect()[0]
     lo, mid, hi = q["quantiles"]
     assert lo == 0 and hi == 999 and abs(mid - 500) < 20
+
+
+def test_ivf_search_probes_subset_and_finds_neighbors(spark):
+    from cl_data_frame_spark.operators.similarity import (ivf_assign,
+                                                          ivf_search_topk)
+    # 3 tight clusters on coordinate axes
+    rows = []
+    for i in range(30):
+        axis = i % 3
+        v = [0.01] * 3
+        v[axis] = 1.0 + (i // 3) * 0.001
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+             (2, [0.0, 0.0, 1.0])]
+    out = ivf_search_topk(df, [1.0, 0.02, 0.0], cents, k=5,
+                          nprobe=1).spark_df.collect()
+    # only cell 0 probed; every hit is an axis-0 vector
+    assert len(out) == 5
+    assert all(r["centroid_id"] == 0 for r in out)
+    assert all(r["vec_id"] % 3 == 0 for r in out)
