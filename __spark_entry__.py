@@ -1504,16 +1504,49 @@ def q_s_range_joins(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_s_grouped_map(spark, sf_dir):
+    """Grouped-map applyInPandas: per-returnflag pandas summary (count,
+    exact median via the two-middle average, min, max) — arbitrary
+    Python per group, one shuffle on the key."""
+    import pandas as pd
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf["l_extendedprice"]
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n": [len(p)],
+            "median_price": [float(p.median())],
+            "min_price": [float(p.min())],
+            "max_price": [float(p.max())],
+        })
+
+    li = _f(spark, sf_dir, "lineitem")
+    out = R.group_transform(
+        li.select(["l_returnflag", "l_extendedprice"]), "l_returnflag",
+        summarize,
+        "l_returnflag string, n long, median_price double, "
+        "min_price double, max_price double")
+    return out.spark_df
+
+
 def q_s_skew_udaf(spark, sf_dir):
-    """Skew-salted join + grouped pandas UDAF."""
+    """Skew-salted join + grouped pandas UDAF + grouped-map transform."""
     a = _tag(q_s_salted_join(spark, sf_dir), "salted",
              F.col("o_orderstatus").alias("k"),
              F.col("n").cast("bigint").alias("n"),
-             F.col("sum_qty").cast("double").alias("v"))
+             F.col("sum_qty").cast("double").alias("v"),
+             _DNULL().alias("v2"), _DNULL().alias("v3"))
     b = _tag(q_s_udaf_wavg(spark, sf_dir), "udaf",
              F.col("l_returnflag").alias("k"), _BNULL().alias("n"),
-             F.col("wavg_price").cast("double").alias("v"))
-    return a.unionByName(b)
+             F.col("wavg_price").cast("double").alias("v"),
+             _DNULL().alias("v2"), _DNULL().alias("v3"))
+    c = _tag(q_s_grouped_map(spark, sf_dir), "grouped_map",
+             F.col("l_returnflag").alias("k"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("median_price").cast("double").alias("v"),
+             F.col("min_price").cast("double").alias("v2"),
+             F.col("max_price").cast("double").alias("v3"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_functions(spark, sf_dir):
@@ -1969,7 +2002,24 @@ def q_s_stats(spark, sf_dir):
              F.col("sum_price").cast("double").alias("d1"),
              _DNULL().alias("d2"), _DNULL().alias("d3"),
              _DNULL().alias("d4"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # Tukey fences per returnflag: outlier count + the fences themselves
+    flagged = STAT.iqr_outliers(li, "l_extendedprice",
+                                by=["l_returnflag"]).spark_df
+    fence_agg = (flagged.groupBy("l_returnflag")
+                 .agg(F.sum(F.col("is_outlier").cast("bigint"))
+                      .alias("n_outliers"),
+                      F.count(F.lit(1)).alias("n"),
+                      F.min("fence_lo").alias("fence_lo"),
+                      F.max("fence_hi").alias("fence_hi")))
+    e = _tag(fence_agg, "outliers",
+             F.col("l_returnflag").alias("s1"),
+             F.col("n_outliers").cast("bigint").alias("i1"),
+             F.col("n").cast("bigint").alias("i2"),
+             F.col("fence_lo").cast("double").alias("d1"),
+             F.col("fence_hi").cast("double").alias("d2"),
+             _DNULL().alias("d3"), _DNULL().alias("d4"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3137,9 +3187,20 @@ _ORACLES["s_range_joins"] = _union(
 
 _ORACLES["s_skew_udaf"] = _union(
     _wrap("salted", _ORACLES["s_salted_join"],
-          "o_orderstatus AS k, n::BIGINT AS n, sum_qty::DOUBLE AS v"),
+          "o_orderstatus AS k, n::BIGINT AS n, sum_qty::DOUBLE AS v, "
+          "NULL::DOUBLE AS v2, NULL::DOUBLE AS v3"),
     _wrap("udaf", _ORACLES["s_udaf_wavg"],
-          "l_returnflag AS k, NULL::BIGINT AS n, wavg_price::DOUBLE AS v"))
+          "l_returnflag AS k, NULL::BIGINT AS n, wavg_price::DOUBLE AS v, "
+          "NULL::DOUBLE AS v2, NULL::DOUBLE AS v3"),
+    _wrap("grouped_map", """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               quantile_cont(l_extendedprice, 0.5)::DOUBLE
+                   AS median_price,
+               min(l_extendedprice)::DOUBLE AS min_price,
+               max(l_extendedprice)::DOUBLE AS max_price
+        FROM lineitem GROUP BY l_returnflag""",
+          "l_returnflag AS k, n::BIGINT AS n, median_price::DOUBLE AS v, "
+          "min_price::DOUBLE AS v2, max_price::DOUBLE AS v3"))
 
 _ORACLES["s_functions"] = _union(
     _wrap("scalar", _ORACLES["s_scalar_functions"],
@@ -3546,6 +3607,26 @@ _ORACLES["s_stats"] = _union(
         FROM binned GROUP BY l_returnflag, bin""",
           "l_returnflag AS s1, bin::BIGINT AS i1, n::BIGINT AS i2, "
           "sum_price::DOUBLE AS d1, NULL::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("outliers", """
+        WITH f AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag,
+               sum(CASE WHEN l.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                          OR l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+               count(*)::BIGINT AS n,
+               round(min(f.q1 - 1.5 * (f.q3 - f.q1)), 6)::DOUBLE
+                   AS fence_lo,
+               round(max(f.q3 + 1.5 * (f.q3 - f.q1)), 6)::DOUBLE
+                   AS fence_hi
+        FROM lineitem l JOIN f USING (l_returnflag)
+        GROUP BY l.l_returnflag""",
+          "l_returnflag AS s1, n_outliers::BIGINT AS i1, n::BIGINT AS i2, "
+          "fence_lo::DOUBLE AS d1, fence_hi::DOUBLE AS d2, "
           "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
 
 

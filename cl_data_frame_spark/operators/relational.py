@@ -749,3 +749,22 @@ def resample_fill(frame, ts_col: str, step: str = "1 hour",
     else:
         raise ValueError(f"fill must be 'zero' or 'ffill', got {fill!r}")
     return SparkFrame(filled.withColumnRenamed("__bucket__", "bucket"))
+
+
+def group_transform(frame, group_keys: Sequence[str] | str, fn,
+                    output_schema) -> SparkFrame:
+    """Grouped-map transform (split-apply-combine): *fn* receives each
+    group as one pandas DataFrame (Arrow-transferred) and returns a
+    pandas DataFrame matching *output_schema* — Spark's ``applyInPandas``
+    surfaced as an operator, completing the UDF family alongside scalar
+    pandas UDFs (map_rows), grouped-agg UDAFs (group_agg_udaf), UDTFs
+    (apply_udtf), and stateful streaming (running_user_totals).
+
+    Scale contract: one shuffle on the group keys; Python runs once per
+    group (vectorized), so cost is #groups Python calls + Arrow transfer
+    of the grouped columns. A group must fit in one executor's memory —
+    for skewed group sizes prefer expression rewrites or pre-aggregation.
+    """
+    keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    sdf = _plain(frame)
+    return SparkFrame(sdf.groupBy(*keys).applyInPandas(fn, output_schema))

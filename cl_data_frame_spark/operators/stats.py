@@ -139,3 +139,34 @@ def quantile_bins(frame, col: str, n_bins: int = 4,
         "__cuts__", lambda c: F.col(col) > c))
     return SparkFrame(joined.withColumn(output_col, label)
                       .drop("__cuts__"))
+
+
+def iqr_outliers(frame, col: str, by: list[str] | None = None,
+                 k: float = 1.5) -> SparkFrame:
+    """Tukey-fence outlier flagging: rows outside
+    ``[q1 - k*IQR, q3 + k*IQR]`` (optionally per group).
+
+    Same plan as ``quantile_bins``: one exact-percentile aggregation for
+    the fences (swap in ``sketch.kll_quantiles`` at scale), broadcast
+    back, and a pure comparison expression — adds an ``is_outlier``
+    boolean plus the fences to every row, no second shuffle.
+    """
+    sdf = _plain(frame)
+    agg = F.percentile(F.col(col), F.array(F.lit(0.25), F.lit(0.75))) \
+        .alias("__q__")
+    if by:
+        fences = sdf.groupBy(*by).agg(agg)
+        joined = sdf.join(F.broadcast(fences), on=by)
+    else:
+        fences = sdf.agg(agg)
+        joined = sdf.crossJoin(F.broadcast(fences))
+    q1, q3 = F.col("__q__")[0], F.col("__q__")[1]
+    lo = q1 - F.lit(k) * (q3 - q1)
+    hi = q3 + F.lit(k) * (q3 - q1)
+    out = (joined
+           .withColumn("fence_lo", F.round(lo, 6))
+           .withColumn("fence_hi", F.round(hi, 6))
+           .withColumn("is_outlier",
+                       (F.col(col) < lo) | (F.col(col) > hi))
+           .drop("__q__"))
+    return SparkFrame(out)

@@ -78,3 +78,25 @@ def test_quantile_bins_per_group_boundaries(spark):
     # group medians differ: 5.5 for a, 550 for b
     assert got[("a", 5.0)] == 1 and got[("a", 6.0)] == 2
     assert got[("b", 500.0)] == 1 and got[("b", 600.0)] == 2
+
+
+def test_iqr_outliers_flags_extremes(spark):
+    from cl_data_frame_spark.operators.stats import iqr_outliers
+    vals = [float(v) for v in range(1, 21)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r["v"]: r["is_outlier"] for r in
+           iqr_outliers(df, "v").spark_df.collect()}
+    assert out[1000.0] is True
+    assert all(out[v] is False for v in vals[:-1])
+
+
+def test_iqr_outliers_per_group(spark):
+    from cl_data_frame_spark.operators.stats import iqr_outliers
+    rows = [("a", float(v)) for v in range(1, 21)] + [("a", 500.0)] + \
+           [("b", float(v)) for v in range(1000, 1021)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g"], r["v"]): r["is_outlier"] for r in
+           iqr_outliers(df, "v", by=["g"]).spark_df.collect()}
+    assert out[("a", 500.0)] is True
+    # 500 would NOT be an outlier under b's fences; group isolation
+    assert out[("b", 1005.0)] is False
