@@ -1755,7 +1755,16 @@ def q_x_hash_sampling(spark, sf_dir):
              _BNULL().alias("doc_id"), F.col("lang").alias("lang"),
              F.col("split").alias("split"),
              F.col("n").cast("bigint").alias("n"))
-    return a.unionByName(b)
+    # weighted sampling without replacement: longer docs win
+    # proportionally more often, same sample on every engine
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", (F.col("n_chars") + 1).alias("w"))
+    w = SAMP.weighted_sample(docs, "doc_id", "w", k=100).spark_df
+    c = _tag(w, "weighted",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             F.col("lang").alias("lang"), _SNULL().alias("split"),
+             _BNULL().alias("n"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_chunk_pack(spark, sf_dir):
@@ -3448,7 +3457,17 @@ _ORACLES["x_hash_sampling"] = _union(
           "doc_id::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
           "NULL::BIGINT AS n"),
     _wrap("split", _ORACLES["x_hash_split"],
-          "NULL::BIGINT AS doc_id, lang, split, n::BIGINT AS n"))
+          "NULL::BIGINT AS doc_id, lang, split, n::BIGINT AS n"),
+    _wrap("weighted", """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))
+                       ::UBIGINT) / 4503599627370496.0)
+                   / (n_chars + 1) AS wkey
+            FROM documents)
+        ORDER BY wkey DESC, doc_id ASC LIMIT 100""",
+          "doc_id::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
+          "NULL::BIGINT AS n"))
 
 _ORACLES["x_chunk_pack"] = _union(
     _wrap("chunk", _ORACLES["x_chunk_documents"],

@@ -112,3 +112,28 @@ def interleave(frames_weights, id_col: str, salt: str = "mix") -> DataFrame:
         part = _plain(hash_sample(fr, id_col, frac, salt=salt))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def weighted_sample(frame, id_col: str, weight_col: str, k: int,
+                    salt: str = "") -> SparkFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k of the
+    Efraimidis-Spirakis A-Res keys): each row draws
+    ``u = md5-uniform(id || salt) in (0,1)`` and ranks by
+    ``ln(u) / weight`` descending — equivalent to ranking ``u^(1/w)``,
+    but the log form keeps the cross-engine float path to one libm call.
+    Higher-weight rows win proportionally more often; the same (ids,
+    salt) always selects the same sample on any engine with md5.
+
+    Plan: narrow key computation + one TakeOrdered top-k — no shuffle
+    beyond the top-k reduction, so at 100 TB it is scan + k-row merge.
+    """
+    sdf = _plain(frame)
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 13), 16, 10).cast("double") / F.lit(float(16 ** 13)))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = (sdf.withColumn("__wkey__", key)
+           .orderBy(F.col("__wkey__").desc(), F.col(id_col).asc())
+           .limit(k)
+           .drop("__wkey__"))
+    return SparkFrame(out)

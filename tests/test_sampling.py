@@ -287,3 +287,24 @@ def test_ivf_search_probes_subset_and_finds_neighbors(spark):
     assert len(out) == 5
     assert all(r["centroid_id"] == 0 for r in out)
     assert all(r["vec_id"] % 3 == 0 for r in out)
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from cl_data_frame_spark.operators.sampling import weighted_sample
+    # two strata: heavy rows weight 50, light rows weight 1
+    rows = [(i, 50.0 if i < 100 else 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    a = sorted(r["id"] for r in
+               weighted_sample(df, "id", "w", 50).spark_df.collect())
+    b = sorted(r["id"] for r in
+               weighted_sample(df, "id", "w", 50).spark_df.collect())
+    assert a == b and len(a) == 50
+    heavy = sum(1 for i in a if i < 100)
+    # 100 rows carry 50/51 of the total weight: expect the sample to be
+    # dominated by them (non-flaky: deterministic given fixed ids/salt)
+    assert heavy > 35
+    # a different salt draws a different sample
+    c = sorted(r["id"] for r in
+               weighted_sample(df, "id", "w", 50,
+                               salt="s2").spark_df.collect())
+    assert c != a
