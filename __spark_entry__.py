@@ -641,7 +641,8 @@ def q_s_scalar_functions(spark, sf_dir):
         F.month("o_orderdate").alias("mo"),
         F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
         F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("tag"),
-        F.length("o_orderpriority").alias("prio_len"))
+        F.length("o_orderpriority").alias("prio_len"),
+        F.levenshtein("o_orderpriority", "o_orderstatus").alias("edit_dist"))
 
 
 def q_s_collection_functions(spark, sf_dir):
@@ -1558,14 +1559,16 @@ def q_s_functions(spark, sf_dir):
              F.col("mo").cast("bigint").alias("i3"),
              F.col("sqrt_price").cast("double").alias("d1"),
              F.col("tag").alias("s2"),
-             F.col("prio_len").cast("bigint").alias("i4"))
+             F.col("prio_len").cast("bigint").alias("i4"),
+             F.col("edit_dist").cast("bigint").alias("i5"))
     b = _tag(q_s_collection_functions(spark, sf_dir), "collection",
              F.col("n_nationkey").cast("bigint").alias("i1"),
              F.col("json_name").alias("s1"),
              F.col("arr_sum").cast("bigint").alias("i2"),
              F.col("arr_max").cast("bigint").alias("i3"),
              _DNULL().alias("d1"), F.col("map_val").alias("s2"),
-             F.col("n_distinct").cast("bigint").alias("i4"))
+             F.col("n_distinct").cast("bigint").alias("i4"),
+             _BNULL().alias("i5"))
     return a.unionByName(b)
 
 
@@ -2371,7 +2374,8 @@ _ORACLES: dict[str, str] = {
                month(o_orderdate)::INT AS mo,
                round(sqrt(o_totalprice), 6) AS sqrt_price,
                concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
-               length(o_orderpriority)::INT AS prio_len
+               length(o_orderpriority)::INT AS prio_len,
+               levenshtein(o_orderpriority, o_orderstatus)::INT AS edit_dist
         FROM orders""",
     "s_collection_functions": """
         SELECT n_nationkey,
@@ -3215,11 +3219,12 @@ _ORACLES["s_functions"] = _union(
     _wrap("scalar", _ORACLES["s_scalar_functions"],
           "o_orderkey::BIGINT AS i1, prio_name AS s1, yr::BIGINT AS i2, "
           "mo::BIGINT AS i3, sqrt_price::DOUBLE AS d1, tag AS s2, "
-          "prio_len::BIGINT AS i4"),
+          "prio_len::BIGINT AS i4, edit_dist::BIGINT AS i5"),
     _wrap("collection", _ORACLES["s_collection_functions"],
           "n_nationkey::BIGINT AS i1, json_name AS s1, "
           "arr_sum::BIGINT AS i2, arr_max::BIGINT AS i3, "
-          "NULL::DOUBLE AS d1, map_val AS s2, n_distinct::BIGINT AS i4"))
+          "NULL::DOUBLE AS d1, map_val AS s2, n_distinct::BIGINT AS i4, "
+          "NULL::BIGINT AS i5"))
 
 _SKETCH_NULLS_I = "NULL::BIGINT AS i2, NULL::BIGINT AS i3"
 _SKETCH_NULLS_D = "NULL::DOUBLE AS d1, NULL::DOUBLE AS d2, NULL::DOUBLE AS d3"
