@@ -159,3 +159,35 @@ def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
      .sortWithinPartitions("__z__")
      .drop("__z__")
      .write.mode(mode).parquet(path))
+
+
+def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,
+                    target_file_mb: int = 128,
+                    sort_within_by=None) -> int:
+    """Compact a small-file parquet directory into ~*target_file_mb*
+    files; returns the output file count.
+
+    The small-file problem is the classic large-pipeline failure mode
+    (every file costs a task + footer read + catalog entry); streaming
+    sinks and fine-grained upserts produce thousands of them. Sizing
+    comes from the actual on-disk bytes (Hadoop FS API, no data read);
+    the rewrite is one narrow ``coalesce`` when shrinking — no shuffle —
+    and ``sort_within_by`` optionally restores per-file clustering so
+    min/max pruning survives compaction.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    size = fs.getContentSummary(path).getLength()
+    n = max(1, int(size / (target_file_mb * 1024 * 1024)) + (
+        1 if size % (target_file_mb * 1024 * 1024) else 0))
+    df = spark.read.parquet(src_path)
+    out = df.coalesce(n)
+    if sort_within_by:
+        cols = ([sort_within_by] if isinstance(sort_within_by, str)
+                else list(sort_within_by))
+        out = out.sortWithinPartitions(*cols)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n

@@ -186,3 +186,18 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path, sf_dir):
     f_sk = files_with_matches(F.col("l_suppkey").between(sk_lo, sk_hi))
     assert f_pk < n_files
     assert f_sk < n_files
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path, sf_dir):
+    from cl_data_frame_spark.sources import compact_parquet
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = str(tmp_path / "shattered")
+    li.repartition(64).write.parquet(src)
+    import glob
+    n_before = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_before >= 64
+    dst = str(tmp_path / "compacted")
+    compact_parquet(spark, src, dst, target_file_mb=128)
+    n_after = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert n_after < n_before
+    assert spark.read.parquet(dst).count() == li.count()
