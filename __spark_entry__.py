@@ -1453,9 +1453,13 @@ def q_s_window_running_lag(spark, sf_dir):
     out = R.window_over(orders, {
         "running_total": run.cast("double"),
         "prev_price": F.lag("o_totalprice").over(w),
-        "next_status": F.lead("o_orderstatus").over(w)})
+        "next_status": F.lead("o_orderstatus").over(w),
+        "pct_rank": F.round(F.percent_rank().over(w), 6),
+        "cume": F.round(F.cume_dist().over(w), 6),
+        "quartile": F.ntile(4).over(w)})
     return out.spark_df.select("o_custkey", "o_orderkey", "running_total",
-                               "prev_price", "next_status")
+                               "prev_price", "next_status", "pct_rank",
+                               "cume", "quartile")
 
 
 def q_s_set_ops(spark, sf_dir):
@@ -3165,7 +3169,10 @@ _ORACLES["s_window_running_lag"] = """
                ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS UNBOUNDED PRECEDING))::DOUBLE AS running_total,
            lag(o_totalprice) OVER w AS prev_price,
-           lead(o_orderstatus) OVER w AS next_status
+           lead(o_orderstatus) OVER w AS next_status,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY o_orderdate ASC, o_orderkey ASC)"""
