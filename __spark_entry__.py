@@ -966,9 +966,20 @@ def q_s_approx_sketches(spark, sf_dir):
 
 
 def q_s_funnel(spark, sf_dir):
-    """Ordered funnel over events: signup -> view -> click -> purchase."""
+    """User-journey analytics: ordered funnel (signup -> view -> click
+    -> purchase) + daily cohort retention matrix."""
     ev = _f(spark, sf_dir, "events")
-    return R.funnel(ev, ["signup", "view", "click", "purchase"]).spark_df
+    fn = R.funnel(ev, ["signup", "view", "click", "purchase"]).spark_df
+    a = _tag(fn, "funnel",
+             F.col("stage_idx").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"), F.col("stage").alias("s1"),
+             F.col("n_users").cast("bigint").alias("n"))
+    ret = R.cohort_retention(ev, granularity="day").spark_df
+    b = _tag(ret, "retention",
+             F.col("offset").cast("bigint").alias("i1"),
+             F.unix_micros("cohort").alias("i2"), _SNULL().alias("s1"),
+             F.col("n_users").cast("bigint").alias("n"))
+    return a.unionByName(b)
 
 
 def q_s_window_range_trailing(spark, sf_dir):
@@ -3510,6 +3521,21 @@ _ORACLES["st_windows"] = _union(
           "session_us::BIGINT AS win_us, user_id::BIGINT AS i1, "
           "NULL::VARCHAR AS s1, n_events::BIGINT AS n, "
           "NULL::DOUBLE AS sum_value"))
+
+_ORACLES["s_funnel"] = _union(
+    _wrap("funnel", _ORACLES["s_funnel"],
+          "stage_idx::BIGINT AS i1, NULL::BIGINT AS i2, stage AS s1, "
+          "n_users::BIGINT AS n"),
+    _wrap("retention", """
+        WITH ub AS (SELECT DISTINCT user_id,
+                           date_trunc('day', ts) AS b FROM events),
+        f AS (SELECT user_id, min(b) AS cohort FROM ub GROUP BY user_id)
+        SELECT date_diff('day', f.cohort, ub.b)::BIGINT AS "offset",
+               epoch_us(f.cohort)::BIGINT AS cohort_us,
+               count(DISTINCT ub.user_id)::BIGINT AS n_users
+        FROM ub JOIN f USING (user_id) GROUP BY 1, 2""",
+          '"offset"::BIGINT AS i1, cohort_us::BIGINT AS i2, '
+          "NULL::VARCHAR AS s1, n_users::BIGINT AS n"))
 
 _ORACLES["s_time_rollup"] = _union(
     _wrap("rollup", _ORACLES["s_time_rollup"],

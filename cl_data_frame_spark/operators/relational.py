@@ -768,3 +768,32 @@ def group_transform(frame, group_keys: Sequence[str] | str, fn,
     keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
     sdf = _plain(frame)
     return SparkFrame(sdf.groupBy(*keys).applyInPandas(fn, output_schema))
+
+
+def cohort_retention(frame, user_col: str = "user_id", ts_col: str = "ts",
+                     granularity: str = "day") -> SparkFrame:
+    """Cohort retention matrix: users are cohorted by the bucket of their
+    first activity; cell (cohort, offset) counts distinct cohort members
+    active *offset* buckets later. The classic product-analytics rollup.
+
+    Plan: dedup to (user, bucket) (partial-agg), per-user min bucket (one
+    more slim agg), an equi-join of the two user-keyed tables (AQE
+    broadcasts the cohort table when small), and a final count-distinct
+    — every shuffle carries (user, bucket)-sized rows, never raw events.
+    """
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000,
+               "week": 7 * 86_400_000_000}[granularity]
+    sdf = _plain(frame)
+    b = F.date_trunc("week" if granularity == "week" else granularity,
+                     F.col(ts_col))
+    user_buckets = sdf.select(F.col(user_col), b.alias("__b__")).distinct()
+    firsts = (user_buckets.groupBy(user_col)
+              .agg(F.min("__b__").alias("__cohort__")))
+    joined = user_buckets.join(firsts, on=user_col)
+    offset = ((F.unix_micros("__b__") - F.unix_micros("__cohort__"))
+              / F.lit(unit_us)).cast("long")
+    out = (joined
+           .groupBy(F.col("__cohort__").alias("cohort"),
+                    offset.alias("offset"))
+           .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
+    return SparkFrame(out)

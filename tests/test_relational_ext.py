@@ -219,3 +219,25 @@ def test_resample_ffill_carries_last_value(spark):
     assert rows[("a", "2024-01-01 01:00:00")] == 1.0
     assert rows[("a", "2024-01-01 02:00:00")] == 1.0
     assert rows[("a", "2024-01-01 03:00:00")] == 2.0
+
+
+def test_cohort_retention_matrix(spark):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators.relational import cohort_retention
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-03 10:00:00"),
+        (2, "2024-01-01 12:00:00"),
+        (3, "2024-01-02 09:00:00"), (3, "2024-01-03 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["cohort"]), r["offset"]): r["n_users"] for r in
+           cohort_retention(df, granularity="day").spark_df.collect()}
+    # cohort Jan-1: users 1,2 on day 0; only user 1 on days 1,2
+    assert out[("2024-01-01 00:00:00", 0)] == 2
+    assert out[("2024-01-01 00:00:00", 1)] == 1
+    assert out[("2024-01-01 00:00:00", 2)] == 1
+    # cohort Jan-2: user 3 on days 0,1
+    assert out[("2024-01-02 00:00:00", 0)] == 1
+    assert out[("2024-01-02 00:00:00", 1)] == 1
