@@ -738,10 +738,15 @@ def semantic_dedup(frame, centroids, threshold: float = 0.7,
     the corpus grows, and feed the routing step pre-trained centroids
     from ``similarity.kmeans_fit`` run on a sample.
     """
-    from .similarity import ivf_assign
+    from .similarity import ivf_assign, ivf_assign_join
 
     sdf = _plain(frame).select(id_col, vec_col)
-    assign = (ivf_assign(sdf, centroids, id_col, vec_col)
+    # the literal-expression argmax is fastest for a handful of
+    # centroids but costs O(k) codegen nodes; the paper's k ~ sqrt(n)
+    # regime routes through the broadcast-join assignment instead
+    # (identical output, measured crossover around a few dozen cells)
+    router = ivf_assign if len(centroids) <= 32 else ivf_assign_join
+    assign = (router(sdf, centroids, id_col, vec_col)
               .spark_df.select(id_col, "centroid_id"))
     withc = sdf.join(assign, on=id_col)
 

@@ -308,3 +308,17 @@ def test_weighted_sample_deterministic_and_biased(spark):
                weighted_sample(df, "id", "w", 50,
                                salt="s2").spark_df.collect())
     assert c != a
+
+
+def test_ivf_assign_join_matches_literal_router(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators.similarity import (ivf_assign,
+                                                          ivf_assign_join)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [(int(r[0]), list(r[1])) for r in
+             emb.filter(F.col("vec_id") < 6)
+             .select("vec_id", "embedding").collect()]
+    a = ivf_assign(emb, cents).spark_df
+    b = ivf_assign_join(emb, cents).spark_df
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
