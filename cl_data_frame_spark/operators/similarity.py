@@ -248,7 +248,7 @@ def kmeans_fit(frame, k: int = 8, max_iter: int = 3,
     cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
     dim = len(cents[0][1])
     for _ in range(max_iter):
-        assign = ivf_assign(sdf, cents, id_col, vec_col).spark_df
+        assign = _route(sdf, cents, id_col, vec_col).spark_df
         joined = assign.join(sdf.select(id_col, vec_col), on=id_col)
         cent_long = group_centroids(joined, "centroid_id", vec_col).spark_df
         by_c: dict[int, dict[int, float]] = {}
@@ -257,7 +257,7 @@ def kmeans_fit(frame, k: int = 8, max_iter: int = 3,
         cents = [(cid, [by_c[cid][d + 1] for d in range(dim)])
                  if cid in by_c else (cid, vec)
                  for cid, vec in cents]
-    return cents, ivf_assign(sdf, cents, id_col, vec_col)
+    return cents, _route(sdf, cents, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +340,7 @@ def ivf_search_topk(frame, query_vec, centroids, k: int = 10,
 
     probed = [cid for cid, _ in sorted(
         centroids, key=lambda cv: (-_cos_to_q(cv[1]), cv[0]))[:nprobe]]
-    assign = ivf_assign(sdf, centroids, id_col, vec_col).spark_df
+    assign = _route(sdf, centroids, id_col, vec_col).spark_df
     routed = (sdf.join(assign.select(id_col, "centroid_id"), on=id_col)
               .filter(F.col("centroid_id").isin(probed)))
     v = F.col(vec_col).cast("array<double>")
@@ -391,3 +391,11 @@ def ivf_assign_join(frame, centroids, id_col: str = "vec_id",
            .select(id_col, F.col("__m__.cid").alias("centroid_id"),
                    F.col("__m__.sim").alias("centroid_sim")))
     return SparkFrame(out)
+
+
+def _route(frame, centroids, id_col, vec_col):
+    """Pick the assignment implementation by centroid count: literal
+    expression below ~32 cells, broadcast join above (see
+    ``ivf_assign_join``)."""
+    impl = ivf_assign if len(centroids) <= 32 else ivf_assign_join
+    return impl(frame, centroids, id_col, vec_col)
