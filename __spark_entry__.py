@@ -983,9 +983,27 @@ def q_s_funnel(spark, sf_dir):
 
 
 def q_s_window_range_trailing(spark, sf_dir):
-    """Event-time RANGE-frame window: 7-day trailing per-user sum/count."""
+    """Event-time RANGE-frame windows: 7-day trailing per-user sum/count
+    + rolling z-score anomaly flags from the same frame shape."""
     ev = _f(spark, sf_dir, "events")
-    return R.trailing_range_window(ev, days=7).spark_df
+    tr = R.trailing_range_window(ev, days=7).spark_df
+    a = _tag(tr, "trailing",
+             F.col("user_id").cast("bigint").alias("user_id"),
+             F.col("event_id").cast("bigint").alias("event_id"),
+             F.col("ts_us").cast("bigint").alias("ts_us"),
+             F.col("trailing_sum").cast("double").alias("d1"),
+             _DNULL().alias("d2"), _DNULL().alias("d3"),
+             F.col("trailing_n").cast("bigint").alias("i1"))
+    zs = R.rolling_zscore(ev, days=7, z_threshold=3.0).spark_df
+    b = _tag(zs, "zscore",
+             F.col("user_id").cast("bigint").alias("user_id"),
+             F.col("event_id").cast("bigint").alias("event_id"),
+             F.col("ts_us").cast("bigint").alias("ts_us"),
+             F.col("roll_mean").cast("double").alias("d1"),
+             F.col("roll_std").cast("double").alias("d2"),
+             F.col("zscore").cast("double").alias("d3"),
+             F.col("is_anomaly").cast("bigint").alias("i1"))
+    return a.unionByName(b)
 
 
 def q_s_udtf_tokens(spark, sf_dir):
@@ -3521,6 +3539,43 @@ _ORACLES["st_windows"] = _union(
           "session_us::BIGINT AS win_us, user_id::BIGINT AS i1, "
           "NULL::VARCHAR AS s1, n_events::BIGINT AS n, "
           "NULL::DOUBLE AS sum_value"))
+
+_ORACLES["s_window_range_trailing"] = _union(
+    _wrap("trailing", _ORACLES["s_window_range_trailing"],
+          "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
+          "ts_us::BIGINT AS ts_us, trailing_sum::DOUBLE AS d1, "
+          "NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "trailing_n::BIGINT AS i1"),
+    _wrap("zscore", """
+        WITH w AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   value,
+                   count(*) OVER fr AS n,
+                   (sum(value::DECIMAL(28,6)) OVER fr)::DOUBLE AS sx,
+                   (sum((value::DECIMAL(28,6))
+                        * (value::DECIMAL(28,6))) OVER fr)::DOUBLE AS sxx
+            FROM events
+            WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 604800000000 PRECEDING
+                          AND CURRENT ROW))
+        SELECT user_id, event_id, ts_us,
+               round(sx / n, 6) AS roll_mean,
+               CASE WHEN n > 1 THEN round(sqrt(
+                   (n * sxx - sx * sx) / (n * (n - 1.0))), 6) END
+                   AS roll_std,
+               CASE WHEN n > 1 THEN round(
+                   (value - sx / n) / sqrt(
+                       (n * sxx - sx * sx) / (n * (n - 1.0))), 6) END
+                   AS zscore,
+               CASE WHEN n > 1 THEN
+                   (abs((value - sx / n) / sqrt(
+                       (n * sxx - sx * sx) / (n * (n - 1.0)))) > 3.0)
+                   ::BIGINT END AS is_anomaly
+        FROM w""",
+          "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
+          "ts_us::BIGINT AS ts_us, roll_mean::DOUBLE AS d1, "
+          "roll_std::DOUBLE AS d2, zscore::DOUBLE AS d3, "
+          "is_anomaly::BIGINT AS i1"))
 
 _ORACLES["s_funnel"] = _union(
     _wrap("funnel", _ORACLES["s_funnel"],

@@ -797,3 +797,41 @@ def cohort_retention(frame, user_col: str = "user_id", ts_col: str = "ts",
                     offset.alias("offset"))
            .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
     return SparkFrame(out)
+
+
+def rolling_zscore(frame, user_col: str = "user_id", ts_col: str = "ts",
+                   val_col: str = "value", id_col: str = "event_id",
+                   days: int = 7, z_threshold: float = 3.0) -> SparkFrame:
+    """Rolling anomaly detection: each event's z-score against the
+    trailing ``days``-day window of ITS OWN key — mean/std derive from
+    exact decimal moment sums (sum x, sum x²) over the same event-time
+    RANGE frame as ``trailing_range_window``, so the result is
+    order-independent and engine-reproducible. Events with
+    ``|z| > z_threshold`` are flagged.
+
+    One window pass, partitioned by key (hash-parallel); the frame
+    includes the current row, so n >= 1 and std is NULL (never a
+    divide-by-zero) until the window holds two events.
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    span = days * 86_400_000_000
+    us = F.unix_micros(F.col(ts_col))
+    w = (Window.partitionBy(user_col).orderBy(us)
+         .rangeBetween(-span, 0))
+    x = F.col(val_col).cast("decimal(28,6)")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w).cast("double")
+    sxx = F.sum(x * x).over(w).cast("double")
+    nd = n.cast("double")
+    mean = sx / nd
+    var = (nd * sxx - sx * sx) / (nd * (nd - F.lit(1.0)))
+    std = F.sqrt(var)
+    z = (F.col(val_col).cast("double") - mean) / std
+    out = sdf.select(
+        user_col, id_col, us.alias("ts_us"),
+        F.round(mean, 6).alias("roll_mean"),
+        F.when(n > 1, F.round(std, 6)).alias("roll_std"),
+        F.when(n > 1, F.round(z, 6)).alias("zscore"),
+        F.when(n > 1, (F.abs(z) > z_threshold)).alias("is_anomaly"))
+    return SparkFrame(out)

@@ -241,3 +241,20 @@ def test_cohort_retention_matrix(spark):
     # cohort Jan-2: user 3 on days 0,1
     assert out[("2024-01-02 00:00:00", 0)] == 1
     assert out[("2024-01-02 00:00:00", 1)] == 1
+
+
+def test_rolling_zscore_flags_spike(spark):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators.relational import rolling_zscore
+    rows = [(1, i, f"2024-01-01 {h:02d}:00:00", 10.0 + (i % 3))
+            for i, h in enumerate(range(10))]
+    rows.append((1, 99, "2024-01-01 11:00:00", 500.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in
+           rolling_zscore(df, days=7).spark_df.collect()}
+    assert out[99]["is_anomaly"] is True
+    assert all(out[i]["is_anomaly"] is not True for i in range(10))
+    # first event of a key has no std yet
+    assert out[0]["roll_std"] is None
