@@ -1984,7 +1984,24 @@ def q_x_curation_scrub(spark, sf_dir):
              F.col("n_email").alias("i1"), F.col("n_phone").alias("i2"),
              F.col("n_ipv4").alias("i3"), F.col("n_pii").alias("i4"),
              _DNULL().alias("d1"), F.col("redacted_md5").alias("s1"))
-    return a.unionByName(b)
+    # data-quality expectation gate: the whole rule suite in one scan
+    li = _t(spark, sf_dir, "lineitem")
+    gate = CUR.expect(li, {
+        "null_orderkey": CUR.rule_not_null("l_orderkey"),
+        "qty_in_1_50": CUR.rule_in_range("l_quantity", 1, 50),
+        "flag_shape": CUR.rule_matches("l_returnflag", "^[ANR]$"),
+        "qty_under_45": CUR.rule_in_range("l_quantity", 1, 45),
+    }).spark_df
+    uniq = CUR.rule_unique(li, ["l_orderkey", "l_linenumber"]).spark_df
+    checks = gate.unionByName(uniq)
+    c = _tag(checks, "expect",
+             _BNULL().alias("doc_id"),
+             F.col("n_violations").cast("bigint").alias("i1"),
+             F.col("n_rows").cast("bigint").alias("i2"),
+             F.col("passed").cast("bigint").alias("i3"),
+             _BNULL().alias("i4"), _DNULL().alias("d1"),
+             F.col("rule").alias("s1"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_moment_stats(spark, sf_dir):
@@ -3815,7 +3832,36 @@ _ORACLES["x_curation_scrub"] = _union(
     _wrap("pii", _ORACLES["x_pii_redact"],
           "doc_id::BIGINT AS doc_id, n_email::BIGINT AS i1, "
           "n_phone::BIGINT AS i2, n_ipv4::BIGINT AS i3, "
-          "n_pii::BIGINT AS i4, NULL::DOUBLE AS d1, redacted_md5 AS s1"))
+          "n_pii::BIGINT AS i4, NULL::DOUBLE AS d1, redacted_md5 AS s1"),
+    _wrap("expect", """
+        WITH g AS (
+            SELECT count(*) AS n,
+                   sum((l_orderkey IS NULL)::INT) AS null_orderkey,
+                   sum((NOT l_quantity BETWEEN 1 AND 50)::INT)
+                       AS qty_in_1_50,
+                   sum((NOT regexp_matches(l_returnflag, '^[ANR]$'))::INT)
+                       AS flag_shape,
+                   sum((NOT l_quantity BETWEEN 1 AND 45)::INT)
+                       AS qty_under_45
+            FROM lineitem),
+        u AS (
+            SELECT sum(c - 1) AS v, sum(c) AS n FROM (
+                SELECT count(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber))
+        SELECT 'null_orderkey' AS rule, null_orderkey::BIGINT
+                   AS n_violations, n::BIGINT AS n_rows,
+               (null_orderkey = 0)::BIGINT AS passed FROM g
+        UNION ALL SELECT 'qty_in_1_50', qty_in_1_50::BIGINT, n::BIGINT,
+               (qty_in_1_50 = 0)::BIGINT FROM g
+        UNION ALL SELECT 'flag_shape', flag_shape::BIGINT, n::BIGINT,
+               (flag_shape = 0)::BIGINT FROM g
+        UNION ALL SELECT 'qty_under_45', qty_under_45::BIGINT, n::BIGINT,
+               (qty_under_45 = 0)::BIGINT FROM g
+        UNION ALL SELECT 'unique_l_orderkey_l_linenumber', v::BIGINT,
+               n::BIGINT, (v = 0)::BIGINT FROM u""",
+          "NULL::BIGINT AS doc_id, n_violations::BIGINT AS i1, "
+          "n_rows::BIGINT AS i2, passed::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, NULL::DOUBLE AS d1, rule AS s1"))
 
 _ORACLES["x_bm25"] = """
     WITH toks AS (

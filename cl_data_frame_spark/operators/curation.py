@@ -142,3 +142,64 @@ def pii_redact(frame, id_col: str = "doc_id", text_col: str = "text",
            .withColumn("n_pii", total.cast("long"))
            .withColumn("redacted_md5", F.md5("redacted")))
     return SparkFrame(out)
+
+
+def expect(frame, rules: dict) -> SparkFrame:
+    """Data-quality expectation gate: evaluate named rules over the
+    whole input in ONE aggregation pass and return one row per rule with
+    its violation count — the pipeline pattern of Deequ/Great-
+    Expectations-style checks, expressed as plain conditional
+    aggregates.
+
+    *rules* maps rule name -> a boolean Column that is TRUE when the row
+    VIOLATES the rule (e.g. ``F.col("id").isNull()``); helpers below
+    build the common shapes. Every rule is a ``sum(case)`` in the same
+    aggregate, so the whole suite costs one scan + one single-row
+    reduction no matter how many rules run — at 100 TB you pay the scan
+    once, not per rule.
+    """
+    sdf = _plain(frame)
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for name, viol in rules.items():
+        aggs.append(F.sum(viol.cast("bigint")).alias(name))
+    row = sdf.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(name).alias("rule"),
+                 F.col(name).alias("n_violations"),
+                 F.col("__n__").alias("n_rows"))
+        for name in rules])
+    out = (row.select(F.explode(pairs).alias("r"))
+           .select("r.rule", "r.n_violations", "r.n_rows",
+                   (F.col("r.n_violations") == 0).alias("passed")))
+    return SparkFrame(out)
+
+
+def rule_not_null(col) -> Column:
+    return (F.col(col) if isinstance(col, str) else col).isNull()
+
+
+def rule_in_range(col, lo, hi) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return ~c.between(lo, hi)
+
+
+def rule_matches(col, pattern: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return ~c.rlike(pattern)
+
+
+def rule_unique(frame, cols) -> SparkFrame:
+    """Key-uniqueness check (needs its own aggregation — uniqueness is
+    not a per-row predicate): returns (rule, n_violations, n_rows,
+    passed) where violations = rows beyond the first per key."""
+    sdf = _plain(frame)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    agg = (sdf.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c__"))
+           .agg(F.sum(F.col("__c__") - 1).alias("n_violations"),
+                F.sum("__c__").alias("n_rows")))
+    out = agg.select(
+        F.lit("unique_" + "_".join(cols)).alias("rule"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_violations") == 0).alias("passed"))
+    return SparkFrame(out)

@@ -136,3 +136,30 @@ def test_token_entropy_uniform_vs_repetitive(spark):
     assert out[3]["entropy_bits"] == 1.0
     assert out[4]["entropy_bits"] is None
     assert out[4]["n_distinct_tokens"] == 0
+
+
+def test_expectation_gate_single_pass(spark):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators import curation as CUR
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 60.0, "A"), (None, 5.0, "x"), (4, 20.0, "N")],
+        "id long, v double, flag string")
+    out = {r["rule"]: r for r in CUR.expect(df, {
+        "null_id": CUR.rule_not_null("id"),
+        "v_in_range": CUR.rule_in_range("v", 1, 50),
+        "flag_shape": CUR.rule_matches("flag", "^[AN]$"),
+    }).spark_df.collect()}
+    assert out["null_id"]["n_violations"] == 1
+    assert out["v_in_range"]["n_violations"] == 1
+    assert out["flag_shape"]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert not out["null_id"]["passed"]
+
+
+def test_rule_unique_counts_extra_rows(spark):
+    from cl_data_frame_spark.operators import curation as CUR
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (2, 1)], "a long, b long")
+    row = CUR.rule_unique(df, ["a", "b"]).spark_df.collect()[0]
+    assert row["n_violations"] == 1 and row["n_rows"] == 4
+    assert not row["passed"]
