@@ -1086,7 +1086,36 @@ def q_s_merge_upsert(spark, sf_dir):
              _SNULL().alias("s1"), _BNULL().alias("vf"),
              _BNULL().alias("vt"),
              F.lit(None).cast("int").alias("cur"))
-    return a.unionByName(b).unionByName(c)
+    # snapshot diff: old = orders, new = orders with every 10th price
+    # bumped and every 1000th key shifted (same delta recipe as 'merge')
+    # compared values pass through DECIMAL strings so the md5
+    # fingerprints are literal-identical across engines (double->string
+    # shortest-round-trip formatting is not a cross-engine contract)
+    old_t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .alias("price_s"),
+        "o_orderstatus")
+    new_t = (_t(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 1000 != 1)
+             .select("o_orderkey",
+                     F.when(F.col("o_orderkey") % 10 == 0,
+                            F.col("o_totalprice") + 1.5)
+                     .otherwise(F.col("o_totalprice"))
+                     .cast("decimal(18,2)").cast("string")
+                     .alias("price_s"),
+                     "o_orderstatus"))
+    diff = R.table_diff(SparkFrame(old_t), SparkFrame(new_t),
+                        "o_orderkey").spark_df
+    d = _tag(diff, "diff",
+             F.col("o_orderkey").cast("bigint").alias("k1"),
+             _BNULL().alias("k2"), _DNULL().alias("v"),
+             F.concat_ws("|", "change_type",
+                         F.coalesce("old_fp", F.lit("")),
+                         F.coalesce("new_fp", F.lit(""))).alias("s1"),
+             _BNULL().alias("vf"), _BNULL().alias("vt"),
+             F.lit(None).cast("int").alias("cur"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_s_sessionize(spark, sf_dir):
@@ -2803,7 +2832,35 @@ _ORACLES: dict[str, str] = {
                (sum(o_totalprice::DECIMAL(28,6)))::DOUBLE AS v,
                NULL::VARCHAR AS s1, NULL::BIGINT AS vf,
                NULL::BIGINT AS vt, NULL::INT AS cur
-        FROM orders GROUP BY o_custkey""",
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT 'diff', k1, NULL::BIGINT, NULL::DOUBLE, s1,
+               NULL::BIGINT, NULL::BIGINT, NULL::INT FROM (
+            WITH oldt AS (
+                SELECT o_orderkey,
+                       md5(concat_ws(chr(1),
+                           coalesce(o_totalprice::DECIMAL(18,2)::VARCHAR,
+                                    chr(0)),
+                           coalesce(o_orderstatus, chr(0)))) AS ofp
+                FROM orders),
+            newt AS (
+                SELECT o_orderkey,
+                       md5(concat_ws(chr(1),
+                           coalesce((CASE WHEN o_orderkey % 10 = 0
+                                     THEN o_totalprice + 1.5
+                                     ELSE o_totalprice END)
+                               ::DECIMAL(18,2)::VARCHAR, chr(0)),
+                           coalesce(o_orderstatus, chr(0)))) AS nfp
+                FROM orders WHERE o_orderkey % 1000 <> 1)
+            SELECT coalesce(o.o_orderkey, n.o_orderkey)::BIGINT AS k1,
+                   concat_ws('|',
+                       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                            WHEN n.o_orderkey IS NULL THEN 'delete'
+                            ELSE 'update' END,
+                       coalesce(o.ofp, ''), coalesce(n.nfp, '')) AS s1
+            FROM oldt o FULL JOIN newt n ON o.o_orderkey = n.o_orderkey
+            WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR o.ofp <> n.nfp)""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,

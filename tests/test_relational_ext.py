@@ -258,3 +258,15 @@ def test_rolling_zscore_flags_spike(spark):
     assert all(out[i]["is_anomaly"] is not True for i in range(10))
     # first event of a key has no std yet
     assert out[0]["roll_std"] is None
+
+
+def test_table_diff_classifies_changes(spark):
+    from cl_data_frame_spark.operators.relational import table_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], ["k", "v"])
+    out = {r["k"]: r["change_type"] for r in
+           table_diff(old, new, "k").spark_df.collect()}
+    # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert out == {1: "delete", 3: "update", 4: "insert"}
