@@ -171,3 +171,38 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                     F.col("__rts__").alias(right_ts),
                     *[c for c in l.columns if c.startswith("__") is False],
                     *[c for c in r.columns if c.startswith("__") is False]))
+
+
+def stream_foreach_batch_parquet(stream_df: DataFrame, path: str,
+                                 checkpoint_dir: str) -> None:
+    """Drive a stream into partitioned parquet via ``foreachBatch`` with
+    batch-id idempotence: each micro-batch writes to
+    ``path/batch=<epoch>`` with ``overwrite``, so a batch replayed after
+    a failure overwrites its own directory instead of duplicating rows —
+    the standard exactly-once file-sink recipe when the built-in file
+    sink's commit log cannot be used (e.g. when also writing to other
+    systems in the same batch). The checkpoint directory carries the
+    stream's progress across restarts.
+    """
+    def _write(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch={epoch_id}")
+
+    q = (stream_df.writeStream.foreachBatch(_write)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+
+def read_stream_parquet_throttled(spark: SparkSession, path: str, schema,
+                                  max_files_per_trigger: int = 1,
+                                  glob: str | None = None) -> DataFrame:
+    """File-source stream that admits at most *max_files_per_trigger*
+    files per micro-batch — the backpressure knob that turns a directory
+    backlog into bounded, steady micro-batches instead of one giant
+    catch-up batch."""
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)

@@ -238,3 +238,21 @@ def test_stream_static_join_matches_batch(spark, stream_dir):
                 .join(dim, "nk").select("event_id", "bucket"))
     assert len(got) == batch.count()
     assert got == _sorted_rows(expected, ["event_id", "bucket"])
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, stream_dir, tmp_path):
+    batch = _events_batch(spark)
+    stream = ST.read_stream_parquet_throttled(
+        spark, stream_dir, batch.schema, max_files_per_trigger=1)
+    out = str(tmp_path / "sink")
+    ST.stream_foreach_batch_parquet(
+        stream.select("event_id", "event_type"), out,
+        str(tmp_path / "ckpt"))
+    import glob as g
+    batches = sorted(g.glob(f"{out}/batch=*"))
+    # one directory per micro-batch (throttled to 1 file per trigger ->
+    # at least 2 batches for the 2-file input)
+    assert len(batches) >= 2
+    back = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    assert back.count() == batch.count()
+    assert back.select("event_id").distinct().count() == batch.count()
