@@ -105,6 +105,16 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    # Per-part attribution: composites whose wall exceeds PARTS_ABOVE
+    # get each sub-part timed separately (stderr only — the JSON line
+    # carries the entry walls, methodology frozen since round 4), so a
+    # composite's regression decomposes into its operators.
+    try:
+        parts_of = entrymod.query_parts()
+    except AttributeError:  # older entry module
+        parts_of = {}
+    PARTS_ABOVE = float(os.environ.get("SPARK_GRAFT_PARTS_ABOVE", "2.0"))
+
     # Local-JVM wall clocks carry transient stalls (GC cycles, JIT
     # recompilation, noisy-neighbor VM contention); a stall rarely
     # survives two samples and almost never three, so queries whose run
@@ -127,14 +137,33 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
             continue
+        finally:
+            # ALWAYS drop a query's persisted intermediates before the
+            # next query — they stay warm across the query's own retries
+            # (steady-state, as a pipeline that persists them would run)
+            # but accumulated cached blocks measurably degraded
+            # unrelated later queries (up to ~4x), and a FAILED query
+            # must not leak its blocks into the next timing either
+            spark.catalog.clearCache()
         timings[name] = round(dt, 3)
         total += dt
         print(f"[bench] {name}: {dt:.2f}s", file=sys.stderr)
-        # a query's persisted intermediates stay warm across its own
-        # retries (steady-state, as a pipeline that persists them would
-        # run) but are dropped before the NEXT query — accumulated cached
-        # blocks measurably degraded unrelated later queries (up to ~4x)
-        spark.catalog.clearCache()
+        parts = parts_of.get(name)
+        if parts and dt >= PARTS_ABOVE:
+            psum = 0.0
+            for pname, pfn in parts.items():
+                try:
+                    pdt = run_once(pfn)
+                    psum += pdt
+                    print(f"[bench]   {name}/{pname}: {pdt:.2f}s",
+                          file=sys.stderr)
+                except Exception as exc:
+                    print(f"[bench]   {name}/{pname} FAILED: {exc!r}",
+                          file=sys.stderr)
+                finally:
+                    spark.catalog.clearCache()
+            print(f"[bench]   {name} parts-sum: {psum:.2f}s "
+                  f"(entry {dt:.2f}s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -49,24 +49,38 @@ def normalized_fingerprint(col) -> Column:
 
 
 def dedup_exact_normalized(frame, text_col: str = "text",
-                           id_col: str = "doc_id") -> SparkFrame:
+                           id_col: str = "doc_id",
+                           skew_safe: bool = False) -> SparkFrame:
     """Exact dedup after text normalization (lowercase, collapse whitespace):
     keeps the smallest id per normalized fingerprint — deterministic winner,
     unlike dropDuplicates' arbitrary pick.
 
-    One shuffle total: rank within fingerprint partitions and keep rank 1
-    (a groupBy-winners + join-back plan would shuffle the table twice
-    more). Skew caveat: AQE's skew mitigation applies to shuffle JOINS,
-    not window partitions — a mass-duplicated fingerprint lands on one
-    task here. If one document dominates the corpus, pre-aggregate
-    (groupBy fingerprint -> min(id), then semi-join back) so the partial
-    aggregate absorbs the skew map-side at the cost of two extra
-    shuffles of the slim key table.
+    Default path — one shuffle total: rank within fingerprint partitions
+    and keep rank 1 (a groupBy-winners + join-back plan would shuffle the
+    table twice more). Skew caveat: AQE's skew mitigation applies to
+    shuffle JOINS, not window partitions — a mass-duplicated fingerprint
+    lands on one task here.
+
+    ``skew_safe=True`` — the mass-duplicate escape hatch: pre-aggregate
+    ``groupBy fingerprint -> min(id)`` (the partial aggregate absorbs the
+    skewed key map-side, every mapper emits ONE row per fingerprint) and
+    left-semi join the winners back on (fingerprint, id). Costs two extra
+    shuffles of the slim key table; output is identical (asserted by
+    tests/test_dedup.py).
     """
     from pyspark.sql import Window
     sdf = _plain(frame)
+    with_fp = sdf.withColumn("__fp__",
+                             normalized_fingerprint(F.col(text_col)))
+    if skew_safe:
+        winners = (with_fp.groupBy("__fp__")
+                   .agg(F.min(F.col(id_col)).alias(id_col)))
+        out = (with_fp.join(winners, on=["__fp__", id_col],
+                            how="left_semi")
+               .select(*sdf.columns))
+        return SparkFrame(out)
     w = Window.partitionBy("__fp__").orderBy(F.col(id_col).asc())
-    out = (sdf.withColumn("__fp__", normalized_fingerprint(F.col(text_col)))
+    out = (with_fp
            .withColumn("__rn__", F.row_number().over(w))
            .filter(F.col("__rn__") == 1)
            .drop("__fp__", "__rn__"))
@@ -501,21 +515,37 @@ def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — ``zip_with`` multiply +
+    in-order ``aggregate`` fold (deterministic, oracle-reproducible)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vector_norm(v: Column) -> Column:
+    """L2 norm of an array<double> column, same in-order fold as
+    ``dot_product`` so the value is bit-identical wherever it is computed
+    (per-vector projection or inline per pair)."""
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed in double.
 
     ``zip_with`` dot product + ``aggregate`` norms — sequential fold in
     declared array order, so results are deterministic (and reproducible
-    against an external oracle)."""
+    against an external oracle).
+
+    NOTE for pair tables: the two norm folds here are per-VECTOR
+    invariants; calling this per pair runs them 2P times instead of N.
+    The pair operators below attach a precomputed norm column in their
+    vector projections (``vector_norm``) and compute
+    ``dot / (norm_a * norm_b)`` — identical doubles (same fold, same
+    arithmetic), one third the interpreted-HOF work."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    return dot_product(a, b) / (vector_norm(a) * vector_norm(b))
 
 
 def embedding_near_duplicates(frame, id_col: str = "vec_id",
@@ -544,13 +574,22 @@ def embedding_near_duplicates(frame, id_col: str = "vec_id",
     pairs = (pairs.filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b")
              .repartition(default_parallelism(base)))
-    vecs = base.select(id_col, vec_col)
+    # norms attach per VECTOR in this projection (computed N times, not
+    # once per pair) — the join output carries the scalar, so per-pair
+    # work is a single zip_with dot
+    vecs = base.select(id_col,
+                       F.col(vec_col).cast("array<double>").alias("__v__"))
+    vecs = vecs.select(id_col, "__v__", vector_norm(F.col("__v__"))
+                       .alias("__n__"))
     joined = (pairs
               .join(vecs.select(F.col(id_col).alias("id_a"),
-                                F.col(vec_col).alias("v_a")), on="id_a")
+                                F.col("__v__").alias("v_a"),
+                                F.col("__n__").alias("n_a")), on="id_a")
               .join(vecs.select(F.col(id_col).alias("id_b"),
-                                F.col(vec_col).alias("v_b")), on="id_b"))
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+                                F.col("__v__").alias("v_b"),
+                                F.col("__n__").alias("n_b")), on="id_b"))
+    cos = dot_product(F.col("v_a"), F.col("v_b")) \
+        / (F.col("n_a") * F.col("n_b"))
     out = (joined.withColumn("cosine", F.round(cos, 6))
            .filter(F.col("cosine") >= threshold)
            .select("id_a", "id_b", "cosine"))
@@ -758,13 +797,20 @@ def semantic_dedup(frame, centroids, threshold: float = 0.7,
              .filter(F.col("id_a") < F.col("id_b"))
              .select("centroid_id", "id_a", "id_b")
              .repartition(default_parallelism(withc)))
-    vecs = withc.select(id_col, vec_col)
+    # per-vector norms attach here (N folds) instead of per pair (2P)
+    vecs = withc.select(id_col,
+                        F.col(vec_col).cast("array<double>").alias("__v__"))
+    vecs = vecs.select(id_col, "__v__", vector_norm(F.col("__v__"))
+                       .alias("__n__"))
     joined = (pairs
               .join(vecs.select(F.col(id_col).alias("id_a"),
-                                F.col(vec_col).alias("v_a")), on="id_a")
+                                F.col("__v__").alias("v_a"),
+                                F.col("__n__").alias("n_a")), on="id_a")
               .join(vecs.select(F.col(id_col).alias("id_b"),
-                                F.col(vec_col).alias("v_b")), on="id_b"))
-    cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+                                F.col("__v__").alias("v_b"),
+                                F.col("__n__").alias("n_b")), on="id_b"))
+    cos = F.round(dot_product(F.col("v_a"), F.col("v_b"))
+                  / (F.col("n_a") * F.col("n_b")), 6)
     dup_pairs = (joined.withColumn("cosine", cos)
                  .filter(F.col("cosine") >= threshold)
                  .select("id_b", "id_a", "cosine"))

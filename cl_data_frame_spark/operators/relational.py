@@ -811,7 +811,11 @@ def rolling_zscore(frame, user_col: str = "user_id", ts_col: str = "ts",
 
     One window pass, partitioned by key (hash-parallel); the frame
     includes the current row, so n >= 1 and std is NULL (never a
-    divide-by-zero) until the window holds two events.
+    divide-by-zero) until the window holds two events. zscore/is_anomaly
+    additionally gate on ``std > 0`` — a window of n>1 IDENTICAL values
+    has no z-score (Spark's non-ANSI divide would yield NULL, an IEEE
+    engine Inf/NaN; the explicit gate makes the semantics
+    engine-independent and the flag False, not NULL).
     """
     from pyspark.sql import Window
     sdf = _plain(frame)
@@ -832,8 +836,9 @@ def rolling_zscore(frame, user_col: str = "user_id", ts_col: str = "ts",
         user_col, id_col, us.alias("ts_us"),
         F.round(mean, 6).alias("roll_mean"),
         F.when(n > 1, F.round(std, 6)).alias("roll_std"),
-        F.when(n > 1, F.round(z, 6)).alias("zscore"),
-        F.when(n > 1, (F.abs(z) > z_threshold)).alias("is_anomaly"))
+        F.when((n > 1) & (var > 0), F.round(z, 6)).alias("zscore"),
+        F.when(n > 1,
+               (var > 0) & (F.abs(z) > z_threshold)).alias("is_anomaly"))
     return SparkFrame(out)
 
 
@@ -846,19 +851,25 @@ def table_diff(old, new, key_cols: Sequence[str] | str,
     + per-side md5 fingerprints of the compared values.
 
     One co-partitioned full-outer shuffle join; the change test is a
-    null-safe fingerprint comparison (md5 over the concatenated compared
-    columns), so arbitrarily wide rows compare as one string — at 100 TB
-    the shuffle carries keys + two fingerprints, not whole rows, when
+    null-safe fingerprint comparison (md5 over PER-COLUMN md5 digests),
+    so arbitrarily wide rows compare as one string — at 100 TB the
+    shuffle carries keys + two fingerprints, not whole rows, when
     callers pre-project.
+
+    The per-column inner md5 makes the encoding injective: every column
+    contributes a fixed-width 32-hex digest (NULL -> the non-hex marker
+    "N"), so no value containing a separator byte — or equal to a
+    sentinel — can shift column boundaries and collide two genuinely
+    different rows (a raw ``concat_ws`` encoding has both failure modes).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     o, n = _plain(old), _plain(new)
     cmp_cols = compare_cols or [c for c in o.columns if c not in keys]
 
     def fp(sdf):
-        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        parts = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N"))
                  for c in cmp_cols]
-        return F.md5(F.concat_ws("\x01", *parts))
+        return F.md5(F.concat_ws("|", *parts))
 
     lo = o.select(*keys, fp(o).alias("__old_fp__"))
     ln = n.select(*keys, fp(n).alias("__new_fp__"))

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..frame import SparkFrame
-from .dedup import cosine_similarity
+from .dedup import cosine_similarity, dot_product, vector_norm
 
 
 def _plain(frame) -> DataFrame:
@@ -32,9 +32,15 @@ def cosine_topk(frame, query_vec, k: int = 10, id_col: str = "vec_id",
     Scale: one scan, cosine computed per row JVM-side, then
     ``orderBy().limit(k)`` which Spark plans as TakeOrderedAndProject —
     per-partition top-k heaps merged on the driver; no shuffle of the scan.
+    The query norm is a driver-side constant (Python's left-to-right sum
+    is bit-identical to the SQL fold), so the per-row work is one dot +
+    one row-norm fold, never a fold over the literal query array.
     """
     sdf = _plain(frame)
-    cos = cosine_similarity(F.col(vec_col), _lit_vec(query_vec))
+    q = [float(x) for x in query_vec]
+    nq = math.sqrt(sum(x * x for x in q))
+    v = F.col(vec_col).cast("array<double>")
+    cos = dot_product(v, _lit_vec(q)) / (vector_norm(v) * F.lit(nq))
     out = (sdf.select(id_col, F.round(cos, 6).alias("cosine"))
            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
            .limit(k))
@@ -97,7 +103,9 @@ def ann_topk_lsh(frame, query_vec, k: int = 10, id_col: str = "vec_id",
             qbucket |= 1 << i
     cand = sdf.withColumn("__bucket__", bucket).filter(
         F.bit_count(F.col("__bucket__").bitwiseXOR(F.lit(qbucket))) <= max_hamming)
-    cos = cosine_similarity(F.col(vec_col), _lit_vec(qvals))
+    nq = math.sqrt(sum(float(x) * float(x) for x in qvals))
+    v = F.col(vec_col).cast("array<double>")
+    cos = dot_product(v, _lit_vec(qvals)) / (vector_norm(v) * F.lit(nq))
     out = (cand.select(id_col, F.round(cos, 6).alias("cosine"))
            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
            .limit(k))
@@ -163,12 +171,17 @@ def similarity_join_topk(left_frame, right_frame, k: int = 5,
     pairs = (pairs.filter(F.col("id_l") != F.col("id_r"))
              .select("id_l", "id_r")
              .repartition(default_parallelism(ldf)))
+    # norms computed once per vector in these projections (not per pair)
+    lv = F.col(vec_col).cast("array<double>")
     joined = (pairs
               .join(ldf.select(F.col(left_id).alias("id_l"),
-                               F.col(vec_col).alias("v_l")), on="id_l")
+                               lv.alias("v_l"),
+                               vector_norm(lv).alias("n_l")), on="id_l")
               .join(rdf.select(F.col(right_id).alias("id_r"),
-                               F.col(vec_col).alias("v_r")), on="id_r"))
-    cos = cosine_similarity(F.col("v_l"), F.col("v_r"))
+                               lv.alias("v_r"),
+                               vector_norm(lv).alias("n_r")), on="id_r"))
+    cos = dot_product(F.col("v_l"), F.col("v_r")) \
+        / (F.col("n_l") * F.col("n_r"))
     w = Window.partitionBy("id_l").orderBy(F.col("cosine").desc(),
                                            F.col("id_r").asc())
     out = (joined.withColumn("cosine", F.round(cos, 6))
@@ -242,22 +255,35 @@ def kmeans_fit(frame, k: int = 8, max_iter: int = 3,
     map-side-combining centroid aggregate, so each iteration is one scan
     + one (groups x dim)-sized shuffle regardless of corpus size.
     """
+    from pyspark import StorageLevel
+
     sdf = _plain(frame)
-    init = (sdf.filter(F.col(id_col) < k)
-            .select(id_col, vec_col).collect())
-    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
-    dim = len(cents[0][1])
-    for _ in range(max_iter):
-        assign = _route(sdf, cents, id_col, vec_col).spark_df
-        joined = assign.join(sdf.select(id_col, vec_col), on=id_col)
-        cent_long = group_centroids(joined, "centroid_id", vec_col).spark_df
-        by_c: dict[int, dict[int, float]] = {}
-        for r in cent_long.select("centroid_id", "dim", "mean_val").collect():
-            by_c.setdefault(int(r[0]), {})[int(r[1])] = float(r[2])
-        cents = [(cid, [by_c[cid][d + 1] for d in range(dim)])
-                 if cid in by_c else (cid, vec)
-                 for cid, vec in cents]
-    return cents, _route(sdf, cents, id_col, vec_col)
+    # every Lloyd round scans the input twice (assignment join + centroid
+    # aggregate); persist once so the iterations read cached blocks
+    # instead of re-scanning the source max_iter*2 times
+    sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = (sdf.filter(F.col(id_col) < k)
+                .select(id_col, vec_col).collect())
+        cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in init)
+        dim = len(cents[0][1])
+        for _ in range(max_iter):
+            assign = _route(sdf, cents, id_col, vec_col).spark_df
+            joined = assign.join(sdf.select(id_col, vec_col), on=id_col)
+            cent_long = group_centroids(joined, "centroid_id",
+                                        vec_col).spark_df
+            by_c: dict[int, dict[int, float]] = {}
+            for r in (cent_long.select("centroid_id", "dim", "mean_val")
+                      .collect()):
+                by_c.setdefault(int(r[0]), {})[int(r[1])] = float(r[2])
+            cents = [(cid, [by_c[cid][d + 1] for d in range(dim)])
+                     if cid in by_c else (cid, vec)
+                     for cid, vec in cents]
+        return cents, _route(sdf, cents, id_col, vec_col)
+    finally:
+        # non-blocking: the returned assignment plan re-reads the source
+        # if executed after eviction — correctness is unaffected
+        sdf.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------

@@ -113,7 +113,8 @@ def top_frequent(frame, col: str, k: int = 5) -> SparkFrame:
 
 def quantile_bins(frame, col: str, n_bins: int = 4,
                   by: list[str] | None = None,
-                  output_col: str = "bin") -> SparkFrame:
+                  output_col: str = "bin",
+                  cuts=None) -> SparkFrame:
     """Equal-frequency discretization (QuantileDiscretizer analog): cut
     *col* at its exact ``i/n_bins`` percentiles (optionally per group)
     and label each row with its 1-based bin.
@@ -124,17 +125,23 @@ def quantile_bins(frame, col: str, n_bins: int = 4,
     expression, no second shuffle of the data. At 100 TB swap the exact
     percentile for ``sketch.kll_quantiles`` cutpoints; the assignment
     expression is unchanged.
+
+    *cuts*: optional precomputed cutpoint table (by-cols + a ``__cuts__``
+    sorted array<double> column) — lets a caller that also needs
+    ``iqr_outliers`` fences derive BOTH from one shared percentile
+    aggregation instead of two full passes.
     """
     sdf = _plain(frame)
-    probs = [i / n_bins for i in range(1, n_bins)]
-    agg = F.percentile(F.col(col),
-                       F.array(*[F.lit(p) for p in probs])).alias("__cuts__")
-    if by:
-        cuts = sdf.groupBy(*by).agg(agg)
-        joined = sdf.join(F.broadcast(cuts), on=by)
+    if cuts is None:
+        probs = [i / n_bins for i in range(1, n_bins)]
+        agg = F.percentile(
+            F.col(col),
+            F.array(*[F.lit(p) for p in probs])).alias("__cuts__")
+        cuts = sdf.groupBy(*by).agg(agg) if by else sdf.agg(agg)
     else:
-        cuts = sdf.agg(agg)
-        joined = sdf.crossJoin(F.broadcast(cuts))
+        cuts = _plain(cuts)
+    joined = (sdf.join(F.broadcast(cuts), on=by) if by
+              else sdf.crossJoin(F.broadcast(cuts)))
     label = F.lit(1) + F.size(F.filter(
         "__cuts__", lambda c: F.col(col) > c))
     return SparkFrame(joined.withColumn(output_col, label)
@@ -142,7 +149,7 @@ def quantile_bins(frame, col: str, n_bins: int = 4,
 
 
 def iqr_outliers(frame, col: str, by: list[str] | None = None,
-                 k: float = 1.5) -> SparkFrame:
+                 k: float = 1.5, quartiles=None) -> SparkFrame:
     """Tukey-fence outlier flagging: rows outside
     ``[q1 - k*IQR, q3 + k*IQR]`` (optionally per group).
 
@@ -150,16 +157,20 @@ def iqr_outliers(frame, col: str, by: list[str] | None = None,
     the fences (swap in ``sketch.kll_quantiles`` at scale), broadcast
     back, and a pure comparison expression — adds an ``is_outlier``
     boolean plus the fences to every row, no second shuffle.
+
+    *quartiles*: optional precomputed table (by-cols + ``__q__`` =
+    array<double>[q1, q3]) — share one percentile aggregation with
+    ``quantile_bins`` instead of scanning twice.
     """
     sdf = _plain(frame)
-    agg = F.percentile(F.col(col), F.array(F.lit(0.25), F.lit(0.75))) \
-        .alias("__q__")
-    if by:
-        fences = sdf.groupBy(*by).agg(agg)
-        joined = sdf.join(F.broadcast(fences), on=by)
+    if quartiles is None:
+        agg = F.percentile(F.col(col),
+                           F.array(F.lit(0.25), F.lit(0.75))).alias("__q__")
+        fences = sdf.groupBy(*by).agg(agg) if by else sdf.agg(agg)
     else:
-        fences = sdf.agg(agg)
-        joined = sdf.crossJoin(F.broadcast(fences))
+        fences = _plain(quartiles)
+    joined = (sdf.join(F.broadcast(fences), on=by) if by
+              else sdf.crossJoin(F.broadcast(fences)))
     q1, q3 = F.col("__q__")[0], F.col("__q__")[1]
     lo = q1 - F.lit(k) * (q3 - q1)
     hi = q3 + F.lit(k) * (q3 - q1)
@@ -169,4 +180,43 @@ def iqr_outliers(frame, col: str, by: list[str] | None = None,
            .withColumn("is_outlier",
                        (F.col(col) < lo) | (F.col(col) > hi))
            .drop("__q__"))
+    return SparkFrame(out)
+
+
+def quantile_bins_outliers(frame, col: str, n_bins: int = 4,
+                           by: list[str] | None = None, k: float = 1.5,
+                           output_col: str = "bin") -> SparkFrame:
+    """Fused ``quantile_bins`` + ``iqr_outliers``: ONE exact-percentile
+    aggregation computes both the bin cutpoints (``i/n_bins``) and the
+    Tukey quartiles (0.25/0.75) per group, broadcast back once — so a
+    caller needing both labels and outlier flags scans the table twice
+    total (stats pass + labeling pass) instead of four times.
+
+    Per-row output matches the composition exactly: *output_col* (1-based
+    bin), ``fence_lo``/``fence_hi`` (rounded 6), ``is_outlier`` —
+    ``percentile(col, array(...))`` interpolates each probability
+    independently, so the shared array yields the identical cutpoint and
+    quartile doubles the separate operators produce.
+    """
+    sdf = _plain(frame)
+    bin_probs = [i / n_bins for i in range(1, n_bins)]
+    probs = bin_probs + [0.25, 0.75]
+    agg = F.percentile(F.col(col),
+                       F.array(*[F.lit(p) for p in probs])).alias("__p__")
+    stats = sdf.groupBy(*by).agg(agg) if by else sdf.agg(agg)
+    joined = (sdf.join(F.broadcast(stats), on=by) if by
+              else sdf.crossJoin(F.broadcast(stats)))
+    nb = len(bin_probs)
+    cuts = F.slice("__p__", 1, nb)
+    label = F.lit(1) + F.size(F.filter(cuts, lambda c: F.col(col) > c))
+    q1, q3 = F.col("__p__")[nb], F.col("__p__")[nb + 1]
+    lo = q1 - F.lit(k) * (q3 - q1)
+    hi = q3 + F.lit(k) * (q3 - q1)
+    out = (joined
+           .withColumn(output_col, label)
+           .withColumn("fence_lo", F.round(lo, 6))
+           .withColumn("fence_hi", F.round(hi, 6))
+           .withColumn("is_outlier",
+                       (F.col(col) < lo) | (F.col(col) > hi))
+           .drop("__p__"))
     return SparkFrame(out)

@@ -146,13 +146,32 @@ def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
     cols = [zorder_by] if isinstance(zorder_by, str) else list(zorder_by)
     bounds = sdf.agg(*[f(c).alias(f"{n}_{c}") for c in cols
                        for n, f in (("mn", F.min), ("mx", F.max))]).collect()[0]
+
+    def _num(v):
+        # timestamps quantize on their epoch-seconds value (matching the
+        # column-side cast("double") below)
+        return v.timestamp() if hasattr(v, "timestamp") else float(v)
+
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
         mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-        span = (mx - mn) or 1
-        scaled.append(F.floor((F.col(c) - F.lit(mn)) * top / F.lit(span))
-                      .cast("bigint"))
+        if mn is None or mx is None:
+            # all-NULL z-column: no spread to order by — constant 0
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        mn_d, mx_d = _num(mn), _num(mx)
+        span = (mx_d - mn_d) or 1.0
+        # scale in DOUBLE before flooring: (col - mn) * top in integer
+        # space silently wraps for wide ranges (e.g. a micros timestamp
+        # span > ~4.5 years already overflows int64 at bits=16); the
+        # double path loses only sub-cell precision, which quantization
+        # discards anyway. Clamp to [0, top] against rounding at the max
+        # edge; NULL values land in cell 0 (greatest skips NULLs).
+        q = F.floor((F.col(c).cast("double") - F.lit(mn_d))
+                    * F.lit(top / span)).cast("bigint")
+        scaled.append(F.least(F.lit(top).cast("bigint"),
+                              F.greatest(F.lit(0).cast("bigint"), q)))
     n = num_files or default_parallelism(sdf)
     (sdf.withColumn("__z__", zorder_value(scaled, bits=bits))
      .repartitionByRange(n, "__z__")

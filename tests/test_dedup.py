@@ -192,3 +192,22 @@ def test_self_repetition_keeps_first_occurrence(spark):
     assert out[1]["clean_text"] == "p q r s x y"
     assert out[2]["rep_tokens"] == 0
     assert out[2]["clean_text"] == "a b c d e f g h"
+
+
+def test_skew_safe_dedup_matches_default(spark):
+    """The pre-aggregate + semi-join escape hatch must produce exactly
+    the window-rank path's output — including on a mass-duplicated
+    fingerprint (the case it exists for)."""
+    rows = [(i, "THE  same   doc " if i % 3 else "the same doc")
+            for i in range(200)]
+    rows += [(1000 + i, f"unique doc number {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default = X.dedup_exact_normalized(df).spark_df
+    safe = X.dedup_exact_normalized(df, skew_safe=True).spark_df
+    assert default.columns == safe.columns
+    a = sorted(tuple(r) for r in default.collect())
+    b = sorted(tuple(r) for r in safe.collect())
+    assert a == b
+    # the normalized mass-duplicate family collapses to its min id
+    assert (0,) == tuple(r[0] for r in safe.collect()
+                         if "same" in r[1])[:1]

@@ -197,8 +197,13 @@ def test_frequent_items_aggregates_before_rank(spark, sf_dir):
     p = _plan(SK.frequent_items(li, "l_partkey", k=5,
                                 group_cols=["l_returnflag"]).spark_df)
     assert p.count("HashAggregate") >= 2
-    assert p.index("HashAggregate") > p.index("Window") or \
-        "Window" in p[p.index("HashAggregate"):]
+    # explain() prints the root first, so "aggregate feeds the window"
+    # (window is the aggregate's ANCESTOR) means Window appears BEFORE
+    # every HashAggregate in the text — both partial and final
+    assert "Window" in p
+    win_at = p.index("Window")
+    assert win_at < p.index("HashAggregate")
+    assert "HashAggregate" not in p[:win_at]
 
 
 def test_quantile_bins_broadcasts_cutpoints(spark, sf_dir):

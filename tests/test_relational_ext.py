@@ -270,3 +270,45 @@ def test_table_diff_classifies_changes(spark):
            table_diff(old, new, "k").spark_df.collect()}
     # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
     assert out == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_rolling_zscore_constant_window_gated(spark):
+    """A trailing window of n>1 IDENTICAL values has zero variance: the
+    z-score must be NULL and is_anomaly False (NOT NULL) — Spark's
+    non-ANSI divide would otherwise leak NULL flags while an IEEE engine
+    produced Inf/NaN (ADVICE round 4)."""
+    from cl_data_frame_spark.operators.relational import rolling_zscore
+    rows = [(i, _ts(f"2024-01-0{d} 12:00:00"), 1, 5.0)
+            for i, d in enumerate([1, 2, 3], start=1)]
+    rows.append((4, _ts("2024-01-04 12:00:00"), 1, 50.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    out = {r["event_id"]: r for r in rolling_zscore(
+        df, days=7, z_threshold=3.0).spark_df.collect()}
+    # events 2,3: n>1 but window is constant -> std 0, gated
+    for eid in (2, 3):
+        assert out[eid]["roll_std"] == 0.0
+        assert out[eid]["zscore"] is None
+        assert out[eid]["is_anomaly"] is False
+    # first event: n=1 -> everything NULL as before
+    assert out[1]["roll_std"] is None and out[1]["is_anomaly"] is None
+    # the jump event has a real z-score
+    assert out[4]["zscore"] is not None
+
+
+def test_table_diff_injective_fingerprint(spark):
+    """Separator/sentinel bytes inside values must not collide: the
+    per-column md5 encoding classifies ('a\\x01b','c') vs ('a','b\\x01c')
+    as update, and a literal '\\x00' value vs NULL as update."""
+    from cl_data_frame_spark.operators.relational import table_diff
+    old = spark.createDataFrame(
+        [(1, "a\x01b", "c"), (2, "\x00", "x"), (3, "same", "same")],
+        "k long, c1 string, c2 string")
+    new = spark.createDataFrame(
+        [(1, "a", "b\x01c"), (2, None, "x"), (3, "same", "same")],
+        "k long, c1 string, c2 string")
+    out = {r["k"]: r["change_type"]
+           for r in table_diff(old, new, "k").spark_df.collect()}
+    assert out.get(1) == "update"
+    assert out.get(2) == "update"
+    assert 3 not in out

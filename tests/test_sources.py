@@ -201,3 +201,27 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path, sf_dir):
     n_after = len(glob.glob(f"{dst}/part-*.parquet"))
     assert n_after < n_before
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_zorder_write_wide_range_and_all_null(spark, tmp_path):
+    """Quantization must survive value ranges that overflow the old
+    integer-space scale (micros-magnitude spans) and a z-column that is
+    entirely NULL (ADVICE round 4)."""
+    from pyspark.sql import functions as F2
+    from cl_data_frame_spark.sources import write_parquet_zordered
+    df = (spark.range(1000)
+          .select(F2.col("id"),
+                  (F2.col("id") * 1_000_000_000_000).alias("wide"),
+                  F2.lit(None).cast("double").alias("allnull")))
+    path = str(tmp_path / "z1")
+    write_parquet_zordered(df, path, ["wide", "allnull"], bits=16,
+                           num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    # wide-range column must still produce an ordered layout: the file
+    # containing id=0 must not also contain id=999 (overflow used to
+    # wrap the scale and scramble blocks)
+    withf = back.withColumn("f", F2.input_file_name())
+    lo = withf.filter(F2.col("id") == 0).select("f").first()["f"]
+    hi = withf.filter(F2.col("id") == 999).select("f").first()["f"]
+    assert lo != hi

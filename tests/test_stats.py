@@ -100,3 +100,58 @@ def test_iqr_outliers_per_group(spark):
     assert out[("a", 500.0)] is True
     # 500 would NOT be an outlier under b's fences; group isolation
     assert out[("b", 1005.0)] is False
+
+
+def test_fused_bins_outliers_matches_composition(spark):
+    """quantile_bins_outliers (one shared percentile pass) must emit the
+    identical per-row (bin, fences, flag) the two separate operators
+    produce — joined on a unique synthetic key."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, "g" + str(i % 3),
+             rng.gauss(100.0 * (i % 3 + 1), 30.0)) for i in range(900)]
+    rows += [(1000 + j, "g0", 10_000.0 + j) for j in range(5)]  # outliers
+    df = spark.createDataFrame(rows, "rid long, grp string, v double")
+    fused = STAT.quantile_bins_outliers(
+        df, "v", n_bins=4, by=["grp"]).spark_df
+    binned = STAT.quantile_bins(df, "v", n_bins=4, by=["grp"]).spark_df
+    flagged = STAT.iqr_outliers(df, "v", by=["grp"]).spark_df
+    ref = (binned.select("rid", "bin")
+           .join(flagged.select("rid", "fence_lo", "fence_hi",
+                                "is_outlier"), on="rid"))
+    got = sorted(tuple(r) for r in fused.select(
+        "rid", "bin", "fence_lo", "fence_hi", "is_outlier").collect())
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want
+    assert any(r[4] for r in got)  # the planted outliers are flagged
+
+
+def test_precomputed_cuts_and_quartiles_match(spark, sf_dir):
+    """Passing an externally computed cut/quartile table must reproduce
+    the internally aggregated result exactly."""
+    from pyspark.sql import functions as F
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_quantity"))
+    shared = (li.groupBy("l_returnflag")
+              .agg(F.percentile(
+                  F.col("l_quantity"),
+                  F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+                  .alias("__p__")))
+    cuts = shared.select("l_returnflag", F.col("__p__").alias("__cuts__"))
+    quart = shared.select(
+        "l_returnflag",
+        F.array(F.col("__p__")[0], F.col("__p__")[2]).alias("__q__"))
+    a = sorted(tuple(r) for r in STAT.quantile_bins(
+        li, "l_quantity", n_bins=4, by=["l_returnflag"],
+        cuts=cuts).spark_df.collect())
+    b = sorted(tuple(r) for r in STAT.quantile_bins(
+        li, "l_quantity", n_bins=4,
+        by=["l_returnflag"]).spark_df.collect())
+    assert a == b
+    c = sorted(tuple(r) for r in STAT.iqr_outliers(
+        li, "l_quantity", by=["l_returnflag"],
+        quartiles=quart).spark_df.collect())
+    d = sorted(tuple(r) for r in STAT.iqr_outliers(
+        li, "l_quantity", by=["l_returnflag"]).spark_df.collect())
+    assert c == d

@@ -1,0 +1,96 @@
+"""Per-query bench regression diff: join two BENCH_r{N}.json files and
+print the delta for every query, annotated with whether the entry's part
+set changed between the rounds (from the PARTS_CHANGED table below, which
+mirrors SURVEY.md §2.4's round-composition notes).
+
+Usage:
+    python tools/bench_diff.py BENCH_r04.json BENCH_r05.json [threshold]
+
+Queries whose wall moved more than *threshold* (default 1.5x) in either
+direction and whose parts did NOT change are flagged REGRESSION/SPEEDUP —
+those are the rows that need an explanation (methodology, environment, or
+a real plan change); moves on entries with changed parts are expected.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+#: rounds in which an entry's part composition changed (new sub-queries
+#: folded in, or parts moved between entries) — a wall move across that
+#: boundary is expected, not a regression. Keep appending per round.
+PARTS_CHANGED: dict[str, list[int]] = {
+    # round 4 folded 16 new oracle parts into existing entries
+    "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused into one pass
+    "s_skew_udaf": [4],             # +grouped_map
+    "s_merge_upsert": [4],          # +scd2 +incr +diff
+    "s_window_range_trailing": [4],  # +zscore
+    "s_time_rollup": [4],           # +resample
+    "s_funnel": [4],                # +retention
+    "s_approx_sketches": [4],       # +theta +kll +freq
+    "x_dedup": [4],                 # +spans +selfspans
+    "x_embed_neardup": [4, 5],      # r4 +semdedup; r5 sqrt(n) centroids + norms
+    "x_hash_sampling": [4],         # +weighted
+    "x_curation_scrub": [4],        # +expect
+    "s_source_roundtrip": [4],      # +zorder
+    "x_cosine_search": [5],         # +ann_lsh (moved from x_probes_rows_only)
+    "x_probes_rows_only": [5],      # -ann_lsh
+    "x_cluster_assign": [5],        # kmeans_fit input persist
+}
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+    def load(p):
+        with open(p) as f:
+            d = json.load(f)
+        return d.get("queries", {}), d.get("value")
+
+    def round_of(p):
+        import re
+        m = re.search(r"r(\d+)", p)
+        return int(m.group(1)) if m else None
+
+    old_q, old_total = load(old_path)
+    new_q, new_total = load(new_path)
+    new_round = round_of(new_path)
+
+    rows = []
+    for name in sorted(set(old_q) | set(new_q)):
+        a, b = old_q.get(name), new_q.get(name)
+        if a is None or b is None:
+            rows.append((name, a, b, None, "added" if a is None
+                         else "removed"))
+            continue
+        if a <= 0 or b <= 0:
+            rows.append((name, a, b, None, "FAILED run"))
+            continue
+        ratio = b / a
+        changed = (new_round is not None
+                   and new_round in PARTS_CHANGED.get(name, []))
+        note = "parts-changed" if changed else ""
+        if not changed and ratio >= threshold:
+            note = "REGRESSION"
+        elif not changed and ratio <= 1 / threshold:
+            note = "SPEEDUP"
+        rows.append((name, a, b, ratio, note))
+
+    width = max(len(r[0]) for r in rows)
+    print(f"{'query':<{width}} {'old':>8} {'new':>8} {'ratio':>7}  note")
+    for name, a, b, ratio, note in rows:
+        fa = f"{a:.2f}" if isinstance(a, float) else "-"
+        fb = f"{b:.2f}" if isinstance(b, float) else "-"
+        fr = f"{ratio:.2f}x" if ratio else "-"
+        print(f"{name:<{width}} {fa:>8} {fb:>8} {fr:>7}  {note}")
+    if old_total and new_total:
+        print(f"\ntotal: {old_total:.1f}s -> {new_total:.1f}s "
+              f"({new_total / old_total:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
