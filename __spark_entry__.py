@@ -2073,21 +2073,77 @@ def q_s_top_frequent(spark, sf_dir):
     return STAT.top_frequent(part, "p_brand", k=5).spark_df
 
 
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
 def q_s_stats(spark, sf_dir):
-    """Statistical functions composite: moments + crosstab + exact
-    frequent items in one tagged union."""
-    a = _tag(q_s_moment_stats(spark, sf_dir), "moments",
+    """Statistical functions composite: moments + correlation matrix +
+    grouped OLS regression + crosstab + chi-square cells + exact
+    frequent items in one tagged union.
+
+    Shared-pass layout: ONE decimal moment aggregation over lineitem
+    (``moment_sums``, localCheckpoint'd) feeds the 'moments',
+    'corrmatrix' (global sums = exact re-aggregation of the per-flag
+    sums), and 'regression' branches; ONE crosstab aggregation
+    (localCheckpoint'd) feeds 'crosstab' and — via a 2-struct explode
+    unpivot — the 'chisq' cells. So eight statistical parts cost four
+    lineitem scans total (moments, crosstab, fused percentile stats,
+    bin labeling) plus the part-table freq pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    sums = (STAT.moment_sums(li, _STATS_COLS, by=["l_returnflag"])
+            .spark_df.localCheckpoint(eager=False))
+    a = _tag(STAT.moment_stats_from_sums(
+                 sums, _STATS_COLS, "l_quantity", "l_extendedprice",
+                 by=["l_returnflag"]).spark_df, "moments",
              F.col("l_returnflag").alias("s1"),
              F.col("n").cast("bigint").alias("i1"), _BNULL().alias("i2"),
              F.col("corr").cast("double").alias("d1"),
              F.col("cov_samp").cast("double").alias("d2"),
              F.col("std_x").cast("double").alias("d3"),
              F.col("std_y").cast("double").alias("d4"))
-    b = _tag(q_s_crosstab(spark, sf_dir), "crosstab",
+    scols = [c for c in sums.columns if c.startswith("s_")]
+    gsums = sums.groupBy().agg(
+        F.sum("n").alias("n"), *[F.sum(c).alias(c) for c in scols])
+    f = _tag(STAT.corr_matrix(None, _STATS_COLS, sums=gsums).spark_df,
+             "corrmatrix",
+             F.concat_ws(">", "col_x", "col_y").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"), _BNULL().alias("i2"),
+             F.col("corr").cast("double").alias("d1"),
+             F.col("cov_samp").cast("double").alias("d2"),
+             _DNULL().alias("d3"), _DNULL().alias("d4"))
+    g = _tag(STAT.grouped_regression(
+                 None, "l_quantity", "l_extendedprice",
+                 by=["l_returnflag"], sums=sums,
+                 cols=_STATS_COLS).spark_df, "regression",
+             F.col("l_returnflag").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"), _BNULL().alias("i2"),
+             F.col("slope").cast("double").alias("d1"),
+             F.col("intercept").cast("double").alias("d2"),
+             F.col("r2").cast("double").alias("d3"),
+             _DNULL().alias("d4"))
+    ct = q_s_crosstab(spark, sf_dir).localCheckpoint(eager=False)
+    b = _tag(ct, "crosstab",
              F.col("l_returnflag").alias("s1"),
              F.col("n_F").cast("bigint").alias("i1"),
              F.col("n_O").cast("bigint").alias("i2"),
              _DNULL().alias("d1"), _DNULL().alias("d2"),
+             _DNULL().alias("d3"), _DNULL().alias("d4"))
+    cells = (ct.select(
+                 "l_returnflag",
+                 F.explode(F.array(
+                     F.struct(F.lit("F").alias("l_linestatus"),
+                              F.col("n_F").alias("n_obs")),
+                     F.struct(F.lit("O").alias("l_linestatus"),
+                              F.col("n_O").alias("n_obs")))).alias("c"))
+             .select("l_returnflag", F.col("c.l_linestatus"),
+                     F.col("c.n_obs")))
+    h = _tag(STAT.chisq_cells(cells=cells, row_col="l_returnflag",
+                              col_col="l_linestatus").spark_df, "chisq",
+             F.concat_ws(":", "l_returnflag", "l_linestatus").alias("s1"),
+             F.col("n_obs").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"),
+             F.col("expected").cast("double").alias("d1"),
+             F.col("chi2_term").cast("double").alias("d2"),
              _DNULL().alias("d3"), _DNULL().alias("d4"))
     c = _tag(q_s_top_frequent(spark, sf_dir), "freq",
              F.col("p_brand").alias("s1"),
@@ -2131,7 +2187,8 @@ def q_s_stats(spark, sf_dir):
              F.col("fence_lo").cast("double").alias("d1"),
              F.col("fence_hi").cast("double").alias("d2"),
              _DNULL().alias("d3"), _DNULL().alias("d4"))
-    return (a.unionByName(b).unionByName(c).unionByName(d)
+    return (a.unionByName(f).unionByName(g).unionByName(b)
+            .unionByName(h).unionByName(c).unionByName(d)
             .unionByName(e))
 
 
@@ -2263,7 +2320,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_merge_upsert": ["merge", "scd2", "incr", "diff"],
     "s_funnel": ["funnel", "retention"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq"],
-    "s_stats": ["moments", "crosstab", "freq", "bins", "outliers"],
+    "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
+                "chisq", "freq", "bins", "outliers"],
     "s_window_range_trailing": ["trailing", "zscore"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans"],
     "x_ngram_jaccard": ["blocked", "global"],
@@ -3918,14 +3976,121 @@ _ORACLES["s_top_frequent"] = """
 
 _STATS_NULLS = ("NULL::DOUBLE AS d1, NULL::DOUBLE AS d2, "
                 "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4")
+def _msum_sql(cols: list[str], by: list[str] | None = None) -> str:
+    """DuckDB mirror of ``stats.moment_sums``: exact decimal moment sums
+    (same DECIMAL casts, same s_<i>/s_<i>_<j> layout)."""
+    sel = ["count(*) AS n"]
+    for i, ci in enumerate(cols):
+        sel.append(f"sum(CAST({ci} AS DECIMAL(18,2))) AS s_{i}")
+        for j in range(i, len(cols)):
+            sel.append(f"sum(CAST({ci} AS DECIMAL(18,2)) * "
+                       f"CAST({cols[j]} AS DECIMAL(18,2))) AS s_{i}_{j}")
+    bycl = (", ".join(by) + ", ") if by else ""
+    grp = f" GROUP BY {', '.join(by)}" if by else ""
+    return f"SELECT {bycl}{', '.join(sel)} FROM lineitem{grp}"
+
+
+def _corr_matrix_sql(cols: list[str]) -> str:
+    """Long-format global correlation matrix from one moment CTE; the
+    double arithmetic mirrors stats._pair_exprs term-for-term."""
+    pair_rows = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            n = "n::DOUBLE"
+            sx, sy = f"s_{i}::DOUBLE", f"s_{j}::DOUBLE"
+            sxx, syy = f"s_{i}_{i}::DOUBLE", f"s_{j}_{j}::DOUBLE"
+            sxy = f"s_{i}_{j}::DOUBLE"
+            var_x = f"({n} * {sxx} - {sx} * {sx})"
+            var_y = f"({n} * {syy} - {sy} * {sy})"
+            corr = (f"round(({n} * {sxy} - {sx} * {sy}) "
+                    f"/ sqrt({var_x} * {var_y}), 6)")
+            cov = (f"round(({sxy} - {sx} * {sy} / {n}) "
+                   f"/ ({n} - 1.0), 6)")
+            pair_rows.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"n::BIGINT AS n, {corr} AS corr, {cov} AS cov_samp "
+                f"FROM m")
+    return (f"WITH m AS ({_msum_sql(cols)})\n"
+            + "\nUNION ALL\n".join(pair_rows))
+
+
+_ORACLES["s_corr_matrix"] = _corr_matrix_sql(
+    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+_ORACLES["s_regression"] = """
+    WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n::BIGINT AS n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+               AS slope,
+           round((sy::DOUBLE
+                  - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS r2
+    FROM m"""
+
+_ORACLES["s_chisq"] = """
+    WITH ct AS (
+        SELECT l_returnflag,
+               sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+               sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O
+        FROM lineitem GROUP BY l_returnflag),
+    cells AS (
+        SELECT l_returnflag, 'F' AS l_linestatus, n_F AS n_obs FROM ct
+        UNION ALL
+        SELECT l_returnflag, 'O' AS l_linestatus, n_O AS n_obs FROM ct),
+    t AS (
+        SELECT l_returnflag, l_linestatus, n_obs,
+               sum(n_obs) OVER (PARTITION BY l_returnflag) AS row_tot,
+               sum(n_obs) OVER (PARTITION BY l_linestatus) AS col_tot,
+               sum(n_obs) OVER () AS tot
+        FROM cells),
+    e AS (
+        SELECT l_returnflag, l_linestatus, n_obs,
+               row_tot::DOUBLE * col_tot::DOUBLE / tot::DOUBLE AS expected
+        FROM t)
+    SELECT l_returnflag, l_linestatus, n_obs::BIGINT AS n_obs,
+           round(expected, 6) AS expected,
+           round((n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected)
+                 / expected, 6) AS chi2_term
+    FROM e"""
+
 _ORACLES["s_stats"] = _union(
     _wrap("moments", _ORACLES["s_moment_stats"],
           "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
           "corr::DOUBLE AS d1, cov_samp::DOUBLE AS d2, "
           "std_x::DOUBLE AS d3, std_y::DOUBLE AS d4"),
+    _wrap("corrmatrix", _ORACLES["s_corr_matrix"],
+          "col_x || '>' || col_y AS s1, n::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, corr::DOUBLE AS d1, "
+          "cov_samp::DOUBLE AS d2, NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("regression", _ORACLES["s_regression"],
+          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "slope::DOUBLE AS d1, intercept::DOUBLE AS d2, "
+          "r2::DOUBLE AS d3, NULL::DOUBLE AS d4"),
     _wrap("crosstab", _ORACLES["s_crosstab"],
           "l_returnflag AS s1, n_F::BIGINT AS i1, n_O::BIGINT AS i2, "
           + _STATS_NULLS),
+    _wrap("chisq", _ORACLES["s_chisq"],
+          "l_returnflag || ':' || l_linestatus AS s1, "
+          "n_obs::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "expected::DOUBLE AS d1, chi2_term::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
     _wrap("freq", _ORACLES["s_top_frequent"],
           "p_brand AS s1, n::BIGINT AS i1, rank::BIGINT AS i2, "
           + _STATS_NULLS),

@@ -74,6 +74,186 @@ def moment_stats(frame, x_col: str, y_col: str,
     return SparkFrame(out)
 
 
+def moment_sums(frame, cols: list[str], by: list[str] | None = None) -> SparkFrame:
+    """ONE-pass exact decimal moment sums for *k* columns, optionally per
+    group: ``n``, first moments ``s_<i>``, and all cross moments
+    ``s_<i>_<j>`` for ``i <= j`` (k + k(k+1)/2 sums total).
+
+    This is the shared substrate for ``moment_stats`` (any single pair),
+    ``corr_matrix`` (all pairs), and ``grouped_regression`` — a caller
+    that needs several of those scans the table ONCE and derives each
+    statistic from the tiny (#groups-row) sums table.
+
+    Scale: one partial+final hash aggregation; the shuffle carries one
+    row of k(k+3)/2 decimals per group, never raw rows. Decimal sums are
+    exact and associative, so re-aggregating these sums (e.g. rolling
+    groups up to a global row with ``F.sum``) is also exact — global
+    statistics can be derived from per-group sums without rescanning.
+    """
+    sdf = _plain(frame)
+    dec = {c: _dec(c, 2) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, ci in enumerate(cols):
+        aggs.append(F.sum(dec[ci]).alias(f"s_{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(F.sum(dec[ci] * dec[cols[j]]).alias(f"s_{i}_{j}"))
+    grouped = sdf.groupBy(*(by or [])).agg(*aggs)
+    return SparkFrame(grouped)
+
+
+def _pair_exprs(i: int, j: int):
+    """corr / sample-cov / sample-std expressions for the (i, j) column
+    pair of a ``moment_sums`` table — the same fixed double-arithmetic
+    order as ``moment_stats`` so derived results are bit-identical."""
+    n = F.col("n").cast("double")
+    sx, sy = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
+    sxx = F.col(f"s_{i}_{i}").cast("double")
+    syy = F.col(f"s_{j}_{j}").cast("double")
+    sxy = F.col(f"s_{min(i, j)}_{max(i, j)}").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
+    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
+    std_x = F.sqrt(var_x / (n * (n - F.lit(1.0))))
+    std_y = F.sqrt(var_y / (n * (n - F.lit(1.0))))
+    return corr, cov, std_x, std_y
+
+
+def moment_stats_from_sums(sums, cols: list[str], x_col: str, y_col: str,
+                           by: list[str] | None = None) -> SparkFrame:
+    """Derive ``moment_stats``'s exact output (by + n, corr, cov_samp,
+    std_x, std_y; rounded 6) from a precomputed ``moment_sums`` table —
+    zero additional scans of the base data."""
+    s = _plain(sums)
+    ix, iy = cols.index(x_col), cols.index(y_col)
+    corr, cov, std_x, std_y = _pair_exprs(ix, iy)
+    out = s.select(
+        *(by or []), F.col("n"),
+        F.round(corr, 6).alias("corr"),
+        F.round(cov, 6).alias("cov_samp"),
+        F.round(std_x, 6).alias("std_x"),
+        F.round(std_y, 6).alias("std_y"))
+    return SparkFrame(out)
+
+
+def corr_matrix(frame, cols: list[str], by: list[str] | None = None,
+                sums=None) -> SparkFrame:
+    """Long-format Pearson correlation matrix: one row per unordered
+    column pair (upper triangle, ``col_x < col_y`` in *cols* order) with
+    (by-cols, col_x, col_y, n, corr, cov_samp), all from ONE moment
+    aggregation pass.
+
+    Plan: the k(k-1)/2 pair rows are produced by exploding an inline
+    array of structs over the (#groups-row) sums table — a pure
+    projection, not a per-pair union, so the aggregation is planned (and
+    run) exactly once even without caching. Pass *sums* (a
+    ``moment_sums(cols, by)`` table) to share the pass with other
+    derived statistics.
+    """
+    if sums is None:
+        sums = moment_sums(frame, cols, by)
+    s = _plain(sums)
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            corr, cov, _, _ = _pair_exprs(i, j)
+            pairs.append(F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                F.round(corr, 6).alias("corr"),
+                F.round(cov, 6).alias("cov_samp")))
+    out = (s.select(*(by or []), F.col("n"),
+                    F.explode(F.array(*pairs)).alias("__p__"))
+           .select(*(by or []),
+                   F.col("__p__.col_x").alias("col_x"),
+                   F.col("__p__.col_y").alias("col_y"),
+                   F.col("n"),
+                   F.col("__p__.corr").alias("corr"),
+                   F.col("__p__.cov_samp").alias("cov_samp")))
+    return SparkFrame(out)
+
+
+def grouped_regression(frame, x_col: str, y_col: str,
+                       by: list[str] | None = None,
+                       sums=None, cols: list[str] | None = None) -> SparkFrame:
+    """Per-group simple OLS fit ``y = intercept + slope * x`` from exact
+    decimal moments (``regr_slope``/``regr_intercept``/``regr_r2``
+    parity, but order-independent and cross-engine exact):
+
+        slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r2        = corr²
+
+    Output: by-cols + (n, slope, intercept, r2), rounded to 6. Pass
+    *sums* + *cols* (a ``moment_sums`` table and its column layout) to
+    derive from a shared single pass; otherwise one aggregation scan.
+    """
+    if sums is None:
+        cols = [x_col, y_col]
+        sums = moment_sums(frame, cols, by)
+    s = _plain(sums)
+    ix, iy = cols.index(x_col), cols.index(y_col)
+    n = F.col("n").cast("double")
+    sx, sy = F.col(f"s_{ix}").cast("double"), F.col(f"s_{iy}").cast("double")
+    sxx = F.col(f"s_{ix}_{ix}").cast("double")
+    syy = F.col(f"s_{iy}_{iy}").cast("double")
+    sxy = F.col(f"s_{min(ix, iy)}_{max(ix, iy)}").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov_n = n * sxy - sx * sy
+    slope = cov_n / var_x
+    intercept = (sy - cov_n / var_x * sx) / n
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    out = s.select(
+        *(by or []), F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"))
+    return SparkFrame(out)
+
+
+def chisq_cells(frame=None, row_col: str = None, col_col: str = None,
+                cells=None) -> SparkFrame:
+    """Per-cell chi-square-of-independence contributions for the
+    (*row_col* × *col_col*) contingency table: observed count, expected
+    count ``row_total · col_total / n``, and the cell term
+    ``(observed − expected)² / expected``.
+
+    The output is per-cell (not the summed statistic) deliberately:
+    every value is a short fixed chain of double ops over exact integer
+    counts, so it is deterministic on any engine; the scalar chi² is
+    ``sum(chi2_term)`` over the handful of cells, summed client-side or
+    in decimal if an exact total is needed.
+
+    Plan: raw rows shuffle once into the cell-count hash aggregation
+    (#cells rows); the row/column/grand totals are window sums over that
+    tiny table — no second pass over the data. *cells*: optional
+    precomputed (row_col, col_col, ``n_obs``) table (e.g. an unpivoted
+    ``crosstab``) so a caller already counting cells adds zero scans.
+    """
+    from pyspark.sql import Window
+    if cells is None:
+        sdf = _plain(frame)
+        cells = sdf.groupBy(row_col, col_col).agg(
+            F.count(F.lit(1)).alias("n_obs"))
+    else:
+        cells = _plain(cells)
+    row_tot = F.sum("n_obs").over(Window.partitionBy(row_col))
+    col_tot = F.sum("n_obs").over(Window.partitionBy(col_col))
+    tot = F.sum("n_obs").over(Window.partitionBy())
+    e = row_tot.cast("double") * col_tot.cast("double") / tot.cast("double")
+    o = F.col("n_obs").cast("double")
+    out = (cells
+           .withColumn("expected", e)
+           .withColumn("chi2_term",
+                       (o - F.col("expected")) * (o - F.col("expected"))
+                       / F.col("expected"))
+           .select(row_col, col_col, "n_obs",
+                   F.round("expected", 6).alias("expected"),
+                   F.round("chi2_term", 6).alias("chi2_term")))
+    return SparkFrame(out)
+
+
 def crosstab(frame, row_col: str, col_col: str,
              col_values: list[str]) -> SparkFrame:
     """Contingency table (``df.stat.crosstab`` equivalent) with an

@@ -155,3 +155,93 @@ def test_precomputed_cuts_and_quartiles_match(spark, sf_dir):
     d = sorted(tuple(r) for r in STAT.iqr_outliers(
         li, "l_quantity", by=["l_returnflag"]).spark_df.collect())
     assert c == d
+
+
+def test_moment_sums_reaggregation_is_exact(spark, sf_dir):
+    """Per-group decimal moment sums rolled up with F.sum must equal the
+    direct global sums (associativity of exact decimals) — the property
+    the shared-pass corr_matrix derivation relies on."""
+    from pyspark.sql import functions as F
+    cols = ["l_quantity", "l_extendedprice"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per = STAT.moment_sums(li, cols, by=["l_returnflag"]).spark_df
+    scols = [c for c in per.columns if c.startswith("s_")]
+    rolled = per.groupBy().agg(
+        F.sum("n").alias("n"),
+        *[F.sum(c).alias(c) for c in scols]).collect()[0]
+    direct = STAT.moment_sums(li, cols).spark_df.collect()[0]
+    assert tuple(rolled) == tuple(direct)
+
+
+def test_corr_matrix_matches_pairwise_moment_stats(spark, sf_dir):
+    """Every (col_x, col_y) row of the one-pass matrix must equal the
+    dedicated two-column moment_stats result for that pair."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    matrix = {(r["col_x"], r["col_y"]): (r["n"], r["corr"], r["cov_samp"])
+              for r in STAT.corr_matrix(li, cols).spark_df.collect()}
+    assert len(matrix) == 3
+    for cx, cy in matrix:
+        row = STAT.moment_stats(li, cx, cy).spark_df.collect()[0]
+        assert matrix[(cx, cy)] == (row["n"], row["corr"], row["cov_samp"])
+
+
+def test_grouped_regression_matches_closed_form(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    ys = [2.1, 4.2, 5.9, 8.1, 9.8, 12.2]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    row = STAT.grouped_regression(df, "x", "y").spark_df.collect()[0]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    sxx = sum((a - mx) ** 2 for a in xs)
+    syy = sum((b - my) ** 2 for b in ys)
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    r2 = sxy * sxy / (sxx * syy)
+    assert row["n"] == n
+    assert abs(row["slope"] - slope) < 1e-6
+    assert abs(row["intercept"] - intercept) < 1e-6
+    assert abs(row["r2"] - r2) < 1e-6
+
+
+def test_grouped_regression_from_shared_sums_identical(spark, sf_dir):
+    """Deriving from a moment_sums table must be bit-identical to the
+    self-aggregating path."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sums = STAT.moment_sums(li, cols, by=["l_returnflag"]).spark_df
+    a = sorted(tuple(r) for r in STAT.grouped_regression(
+        li, "l_quantity", "l_extendedprice",
+        by=["l_returnflag"]).spark_df.collect())
+    b = sorted(tuple(r) for r in STAT.grouped_regression(
+        None, "l_quantity", "l_extendedprice", by=["l_returnflag"],
+        sums=sums, cols=cols).spark_df.collect())
+    assert a == b
+
+
+def test_chisq_cells_independence_identity(spark):
+    """For a table with perfectly independent margins every chi2_term is
+    0 and expected equals observed."""
+    rows = [("a", "x")] * 6 + [("a", "y")] * 2 + \
+           [("b", "x")] * 3 + [("b", "y")] * 1
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = STAT.chisq_cells(df, "r", "c").spark_df.collect()
+    assert len(out) == 4
+    for row in out:
+        assert row["chi2_term"] == 0.0
+        assert abs(row["expected"] - row["n_obs"]) < 1e-9
+
+
+def test_chisq_cells_statistic_matches_closed_form(spark):
+    """2x2 chi-square statistic n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))."""
+    a, b, c, d = 10, 20, 30, 5
+    rows = ([("r1", "c1")] * a + [("r1", "c2")] * b
+            + [("r2", "c1")] * c + [("r2", "c2")] * d)
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = STAT.chisq_cells(df, "r", "c").spark_df.collect()
+    stat = sum(r["chi2_term"] for r in out)
+    n = a + b + c + d
+    expect = n * (a * d - b * c) ** 2 / \
+        ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(stat - expect) < 1e-5
