@@ -1206,6 +1206,27 @@ def q_x_hash_split(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+#: Domain-mixture target weights for the 'mix' sampling part; the
+#: normalized values are embedded as literals in BOTH engines (repr
+#: round-trips the exact double, so the thresholds agree bit-for-bit).
+_MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "fr": 0.2}
+_MIX_BUDGET = 30000.0
+
+
+def q_x_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling toward target language
+    weights under a 30k-char budget: per-domain floor(rate*BUCKETS)
+    thresholds broadcast onto the scan, md5-bucket filter, then a
+    per-language audit of what was kept."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SAMP.mixture_sample(docs, "doc_id", "lang", _MIX_WEIGHTS,
+                               budget=_MIX_BUDGET,
+                               size_col="n_chars").spark_df
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("chars_kept")))
+
+
 def q_x_embed_centroid(spark, sf_dir):
     """Per-label embedding centroids in long form; component sums pass
     through DECIMAL so they are exact and order-independent."""
@@ -1833,11 +1854,11 @@ def q_x_hash_sampling(spark, sf_dir):
     a = _tag(q_x_hash_sample(spark, sf_dir), "sample",
              F.col("doc_id").cast("bigint").alias("doc_id"),
              F.col("lang").alias("lang"), _SNULL().alias("split"),
-             _BNULL().alias("n"))
+             _BNULL().alias("n"), _BNULL().alias("i2"))
     b = _tag(q_x_hash_split(spark, sf_dir), "split",
              _BNULL().alias("doc_id"), F.col("lang").alias("lang"),
              F.col("split").alias("split"),
-             F.col("n").cast("bigint").alias("n"))
+             F.col("n").cast("bigint").alias("n"), _BNULL().alias("i2"))
     # weighted sampling without replacement: longer docs win
     # proportionally more often, same sample on every engine
     docs = _t(spark, sf_dir, "documents") \
@@ -1846,8 +1867,13 @@ def q_x_hash_sampling(spark, sf_dir):
     c = _tag(w, "weighted",
              F.col("doc_id").cast("bigint").alias("doc_id"),
              F.col("lang").alias("lang"), _SNULL().alias("split"),
-             _BNULL().alias("n"))
-    return a.unionByName(b).unionByName(c)
+             _BNULL().alias("n"), _BNULL().alias("i2"))
+    d = _tag(q_x_mixture_sample(spark, sf_dir), "mix",
+             _BNULL().alias("doc_id"), F.col("lang").alias("lang"),
+             _SNULL().alias("split"),
+             F.col("n_kept").cast("bigint").alias("n"),
+             F.col("chars_kept").cast("bigint").alias("i2"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_chunk_pack(spark, sf_dir):
@@ -2329,7 +2355,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
     "x_cluster_assign": ["ivf", "kmeans"],
     "x_term_weights": ["tfidf", "count_vectorize"],
-    "x_hash_sampling": ["sample", "split", "weighted"],
+    "x_hash_sampling": ["sample", "split", "weighted", "mix"],
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect"],
@@ -3771,12 +3797,36 @@ _ORACLES["x_term_weights"] = _union(
           "doc_id::BIGINT AS doc_id, term, tf::BIGINT AS tf, "
           "NULL::DOUBLE AS val_d, idx::BIGINT AS val_i"))
 
+_MIX_TOTAL = sum(_MIX_WEIGHTS.values())
+_MIX_CASE = ("CASE lang "
+             + " ".join(f"WHEN '{k}' THEN {v / _MIX_TOTAL!r}"
+                        for k, v in _MIX_WEIGHTS.items())
+             + " ELSE 0.0 END")
+
+_ORACLES["x_mixture_sample"] = f"""
+    WITH sizes AS (
+        SELECT lang, sum(n_chars) AS size FROM documents GROUP BY lang),
+    rates AS (
+        SELECT lang,
+               floor(least(1.0, {_MIX_BUDGET!r} * ({_MIX_CASE})
+                           / size::DOUBLE) * 10000)::BIGINT AS thresh
+        FROM sizes),
+    kept AS (
+        SELECT d.lang, d.doc_id, d.n_chars
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'),
+                              1, 8))::UBIGINT % 10000 < r.thresh)
+    SELECT lang, count(*)::BIGINT AS n_kept,
+           sum(n_chars)::BIGINT AS chars_kept
+    FROM kept GROUP BY lang"""
+
 _ORACLES["x_hash_sampling"] = _union(
     _wrap("sample", _ORACLES["x_hash_sample"],
           "doc_id::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
-          "NULL::BIGINT AS n"),
+          "NULL::BIGINT AS n, NULL::BIGINT AS i2"),
     _wrap("split", _ORACLES["x_hash_split"],
-          "NULL::BIGINT AS doc_id, lang, split, n::BIGINT AS n"),
+          "NULL::BIGINT AS doc_id, lang, split, n::BIGINT AS n, "
+          "NULL::BIGINT AS i2"),
     _wrap("weighted", """
         SELECT doc_id, lang FROM (
             SELECT doc_id, lang,
@@ -3786,7 +3836,10 @@ _ORACLES["x_hash_sampling"] = _union(
             FROM documents)
         ORDER BY wkey DESC, doc_id ASC LIMIT 100""",
           "doc_id::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
-          "NULL::BIGINT AS n"))
+          "NULL::BIGINT AS n, NULL::BIGINT AS i2"),
+    _wrap("mix", _ORACLES["x_mixture_sample"],
+          "NULL::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
+          "n_kept::BIGINT AS n, chars_kept::BIGINT AS i2"))
 
 _ORACLES["x_chunk_pack"] = _union(
     _wrap("chunk", _ORACLES["x_chunk_documents"],

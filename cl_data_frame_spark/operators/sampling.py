@@ -114,6 +114,71 @@ def interleave(frames_weights, id_col: str, salt: str = "mix") -> DataFrame:
     return out
 
 
+def mixture_rates(frame, domain_col: str,
+                  target_weights: Mapping[str, float], budget: float,
+                  size_col: str | None = None) -> DataFrame:
+    """Per-domain keep rates that steer a corpus toward a target mixture
+    (the static analog of training-mixture reweighting à la The Pile's
+    domain weights): ``rate_d = min(1, budget · w_d / size_d)`` with the
+    weights normalized, where ``size_d`` is the domain's row count (or
+    its ``size_col`` sum, e.g. chars or tokens). Domains absent from
+    *target_weights* get rate 0; a domain too small to fill its slot
+    saturates at rate 1 (can't oversample without replacement).
+
+    Returns (domain, size, rate, thresh) where ``thresh = floor(rate ·
+    BUCKETS)`` is the md5-bucket cutoff — floor, not round, so the
+    integer threshold is identical on every engine.
+
+    Plan: ONE partial+final aggregation to #domains rows; everything
+    else is arithmetic on that tiny table.
+    """
+    sdf = _plain(frame)
+    total = float(sum(target_weights.values()))
+    if total <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    size = (F.count(F.lit(1)) if size_col is None
+            else F.sum(F.col(size_col))).alias("__size__")
+    sizes = sdf.groupBy(domain_col).agg(size)
+    w = None
+    for dom, wt in target_weights.items():
+        cond = F.col(domain_col) == dom
+        lit = F.lit(wt / total)
+        w = F.when(cond, lit) if w is None else w.when(cond, lit)
+    w = w.otherwise(F.lit(0.0))
+    rate = F.least(F.lit(1.0),
+                   F.lit(float(budget)) * w
+                   / F.col("__size__").cast("double"))
+    return sizes.select(domain_col,
+                        F.col("__size__").cast("long").alias("size"),
+                        rate.alias("rate"),
+                        F.floor(rate * BUCKETS).cast("long")
+                        .alias("thresh"))
+
+
+def mixture_sample(frame, id_col: str, domain_col: str,
+                   target_weights: Mapping[str, float], budget: float,
+                   size_col: str | None = None,
+                   salt: str = "mix") -> SparkFrame:
+    """Deterministic domain-mixture sampling: compute ``mixture_rates``
+    and keep each row iff its md5 bucket falls under its domain's
+    threshold. Same (ids, weights, salt) → same sample, on any engine.
+
+    Plan: sizes aggregation (#domains rows) → broadcast-join the
+    thresholds back onto the scan → narrow hash filter. The data itself
+    never shuffles; at 100 TB this is one scan plus a broadcast of a
+    few-row table.
+    """
+    sdf = _plain(frame)
+    rates = mixture_rates(sdf, domain_col, target_weights, budget,
+                          size_col)
+    joined = sdf.join(F.broadcast(rates.select(domain_col, "thresh")),
+                      on=domain_col)
+    out = (joined
+           .filter(hash_bucket(F.col(id_col), salt) < F.col("thresh"))
+           .drop("thresh"))
+    return SparkFrame(out)
+
+
 def weighted_sample(frame, id_col: str, weight_col: str, k: int,
                     salt: str = "") -> SparkFrame:
     """Deterministic weighted sampling WITHOUT replacement (top-k of the

@@ -322,3 +322,59 @@ def test_ivf_assign_join_matches_literal_router(spark, sf_dir):
     b = ivf_assign_join(emb, cents).spark_df
     assert a.subtract(b).count() == 0
     assert b.subtract(a).count() == 0
+
+
+def test_mixture_rates_saturation_and_exclusion(spark):
+    """A domain smaller than its target slot saturates at rate 1
+    (thresh = BUCKETS); a domain absent from the weights gets rate 0."""
+    from cl_data_frame_spark.operators import sampling as SAMP
+    rows = ([(i, "big") for i in range(100)]
+            + [(i + 100, "tiny") for i in range(5)]
+            + [(i + 200, "out") for i in range(50)])
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    rates = {r["dom"]: r for r in SAMP.mixture_rates(
+        df, "dom", {"big": 0.5, "tiny": 0.5}, budget=40).collect()}
+    assert rates["tiny"]["rate"] == 1.0
+    assert rates["tiny"]["thresh"] == SAMP.BUCKETS
+    assert rates["out"]["rate"] == 0.0
+    assert rates["out"]["thresh"] == 0
+    assert 0.0 < rates["big"]["rate"] < 1.0
+
+
+def test_mixture_sample_deterministic_and_filtered(spark):
+    """Same inputs -> identical sample; excluded domains drop out;
+    saturated domains keep everything."""
+    from cl_data_frame_spark.operators import sampling as SAMP
+    rows = ([(i, "a") for i in range(200)]
+            + [(i + 1000, "b") for i in range(10)]
+            + [(i + 2000, "c") for i in range(100)])
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    kept1 = sorted(r["id"] for r in SAMP.mixture_sample(
+        df, "id", "dom", {"a": 0.5, "b": 0.5}, budget=60)
+        .spark_df.collect())
+    kept2 = sorted(r["id"] for r in SAMP.mixture_sample(
+        df, "id", "dom", {"a": 0.5, "b": 0.5}, budget=60)
+        .spark_df.collect())
+    assert kept1 == kept2
+    doms = {("a" if i < 1000 else "b" if i < 2000 else "c")
+            for i in kept1}
+    assert "c" not in doms
+    # saturated domain b (10 rows, slot 30) keeps all 10
+    assert sum(1 for i in kept1 if 1000 <= i < 2000) == 10
+    # domain a keeps roughly its 30-row slot (hash noise tolerated)
+    n_a = sum(1 for i in kept1 if i < 1000)
+    assert 10 <= n_a <= 60
+
+
+def test_mixture_sample_size_weighted_budget(spark):
+    """With a size column the slot math is in size units, not rows."""
+    from cl_data_frame_spark.operators import sampling as SAMP
+    rows = [(i, "a", 10) for i in range(100)] \
+        + [(i + 100, "b", 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "dom", "sz"])
+    rates = {r["dom"]: r["rate"] for r in SAMP.mixture_rates(
+        df, "dom", {"a": 0.5, "b": 0.5}, budget=100,
+        size_col="sz").collect()}
+    # a holds 1000 units -> rate 0.05; b holds 100 units -> rate 0.5
+    assert abs(rates["a"] - 0.05) < 1e-12
+    assert abs(rates["b"] - 0.5) < 1e-12
