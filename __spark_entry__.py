@@ -2219,14 +2219,32 @@ def q_s_stats(spark, sf_dir):
 
 
 def q_x_bm25(spark, sf_dir):
-    """Okapi BM25 scores for the query bag (table, window, spark) over
-    documents — every matching doc, exact decimal-summed contributions."""
+    """Full-text search composite: Okapi BM25 scoring, exact-phrase
+    search (zero-shuffle array adjacency scan), and top-10 inverted-
+    index term stats, in one tagged union."""
     docs = _t(spark, sf_dir, "documents")
-    out = TS.bm25_scores(docs, ["table", "window", "spark"]).spark_df
-    return out.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
-        F.col("score").cast("double").alias("score"))
+    bm = TS.bm25_scores(docs, ["table", "window", "spark"]).spark_df
+    a = _tag(bm, "bm25",
+             _SNULL().alias("s1"),
+             F.col("doc_id").cast("bigint").alias("i1"),
+             F.col("n_terms_hit").cast("bigint").alias("i2"),
+             _BNULL().alias("i3"),
+             F.col("score").cast("double").alias("d1"))
+    ph = TS.phrase_search(docs, "fast table").spark_df
+    b = _tag(ph, "phrase",
+             _SNULL().alias("s1"),
+             F.col("doc_id").cast("bigint").alias("i1"),
+             F.col("n_hits").cast("bigint").alias("i2"),
+             F.col("first_pos").cast("bigint").alias("i3"),
+             _DNULL().alias("d1"))
+    st = TS.postings_stats(docs, k=10).spark_df
+    c = _tag(st, "postings",
+             F.col("term").alias("s1"),
+             F.col("df").cast("bigint").alias("i1"),
+             F.col("cf").cast("bigint").alias("i2"),
+             F.col("rank").cast("bigint").alias("i3"),
+             _DNULL().alias("d1"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_embed_quantize(spark, sf_dir):
@@ -2356,6 +2374,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_cluster_assign": ["ivf", "kmeans"],
     "x_term_weights": ["tfidf", "count_vectorize"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix"],
+    "x_bm25": ["bm25", "phrase", "postings"],
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect"],
@@ -4290,7 +4309,7 @@ _ORACLES["x_curation_scrub"] = _union(
           "n_rows::BIGINT AS i2, passed::BIGINT AS i3, "
           "NULL::BIGINT AS i4, NULL::DOUBLE AS d1, rule AS s1"))
 
-_ORACLES["x_bm25"] = """
+_ORACLES["x_bm25_scores"] = """
     WITH toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(trim(text), '\\s+'),
@@ -4317,6 +4336,54 @@ _ORACLES["x_bm25"] = """
     JOIN dl USING (doc_id)
     CROSS JOIN stats
     GROUP BY tc.doc_id"""
+
+_ORACLES["x_phrase_search"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 2
+                    THEN list_filter(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] = 'fast'
+                                          AND tk[i + 1] = 'table')
+                    ELSE [] END AS pos
+        FROM t)
+    SELECT doc_id::BIGINT AS doc_id, len(pos)::BIGINT AS n_hits,
+           pos[1]::BIGINT AS first_pos
+    FROM p WHERE len(pos) > 0"""
+
+_ORACLES["x_postings_stats"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+    toks AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    agg AS (
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+        FROM toks GROUP BY term)
+    SELECT term, df::BIGINT AS df, cf::BIGINT AS cf,
+           rank::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY df DESC, term ASC)
+                 AS rank
+          FROM agg)
+    WHERE rank <= 10"""
+
+_ORACLES["x_bm25"] = _union(
+    _wrap("bm25", _ORACLES["x_bm25_scores"],
+          "NULL::VARCHAR AS s1, doc_id::BIGINT AS i1, "
+          "n_terms_hit::BIGINT AS i2, NULL::BIGINT AS i3, "
+          "score::DOUBLE AS d1"),
+    _wrap("phrase", _ORACLES["x_phrase_search"],
+          "NULL::VARCHAR AS s1, doc_id::BIGINT AS i1, "
+          "n_hits::BIGINT AS i2, first_pos::BIGINT AS i3, "
+          "NULL::DOUBLE AS d1"),
+    _wrap("postings", _ORACLES["x_postings_stats"],
+          "term AS s1, df::BIGINT AS i1, cf::BIGINT AS i2, "
+          "rank::BIGINT AS i3, NULL::DOUBLE AS d1"))
 
 _ORACLES["x_embed_quantize"] = """
     WITH v AS (

@@ -421,6 +421,118 @@ def pack_sequences(frame, id_col: str = "doc_id", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Positional inverted index + exact-phrase search (Tier X: full-text
+# search primitives; no reference analogue)
+# ---------------------------------------------------------------------------
+
+def build_postings(frame, id_col: str = "doc_id",
+                   text_col: str = "text") -> SparkFrame:
+    """Positional inverted-index rows: one (term, *id_col*, pos) row per
+    token occurrence, positions 1-based in token order.
+
+    This is the flat (queryable) form; ``posting_lists`` aggregates it.
+    Scale: a posexplode projection — narrow, no shuffle; downstream
+    consumers group by ``term``, where stopword skew is the hazard (see
+    ``posting_lists``)."""
+    sdf = _plain(frame)
+    return SparkFrame(
+        sdf.select(F.col(id_col),
+                   F.posexplode(tokens(F.col(text_col)))
+                   .alias("pos0", "term"))
+        .select("term", id_col, (F.col("pos0") + 1).alias("pos")))
+
+
+def posting_lists(frame, id_col: str = "doc_id",
+                  text_col: str = "text") -> SparkFrame:
+    """Aggregated postings: per term, the document frequency ``df``,
+    collection frequency ``cf``, and the sorted (doc, pos) posting list.
+
+    ``collect_list`` order is partition-dependent, so the list is
+    normalized with ``sort_array`` — deterministic output. Scale: one
+    shuffle keyed by term; ultra-frequent terms (stopwords) produce
+    hot keys AND giant arrays — filter them first (``remove_stopwords``)
+    or cap with a df threshold; the stats-only path
+    (``postings_stats``) never materializes the arrays."""
+    p = _plain(build_postings(frame, id_col, text_col))
+    return SparkFrame(
+        p.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"),
+             F.count(F.lit(1)).alias("cf"),
+             F.sort_array(F.collect_list(
+                 F.struct(F.col(id_col).alias("doc"),
+                          F.col("pos")))).alias("postings")))
+
+
+def postings_stats(frame, k: int = 10, id_col: str = "doc_id",
+                   text_col: str = "text") -> SparkFrame:
+    """Top-*k* index terms by document frequency: (term, df, cf, rank),
+    rank by (df desc, term asc) — a total order, reproducible anywhere.
+
+    Plan: posexplode → one partial+final hash aggregation to #terms
+    rows (counts only, no arrays) → k-row window over the aggregated
+    table. The shuffle carries (term, counts), never positions."""
+    p = _plain(build_postings(frame, id_col, text_col))
+    agg = p.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.count(F.lit(1)).alias("cf"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    out = (agg.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("term", "df", "cf", "rank"))
+    return SparkFrame(out)
+
+
+def phrase_positions(col, words: list[str]) -> Column:
+    """1-based token positions where the n-word phrase starts, as an
+    array expression over the token array — zero shuffle, zero explode:
+
+        filter(sequence(1, len - n + 1),
+               i -> tk[i] = w0 AND tk[i+1] = w1 AND ...)
+
+    Guarded for docs shorter than the phrase (Spark's ``sequence(1, 0)``
+    would count DOWN; the guard returns an empty array instead)."""
+    if not words:
+        raise ValueError("phrase must contain at least one word")
+    tk = tokens(col)
+    n = len(words)
+
+    def match(i):
+        cond = F.element_at(tk, i) == F.lit(words[0])
+        for off, w in enumerate(words[1:], 1):
+            cond = cond & (F.element_at(tk, i + F.lit(off)) == F.lit(w))
+        return cond
+
+    hits = F.filter(F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                    match)
+    return F.when(F.size(tk) >= n, hits) \
+        .otherwise(F.array().cast("array<integer>"))
+
+
+def phrase_search(frame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> SparkFrame:
+    """Exact-phrase full-text search: documents containing *phrase* as
+    consecutive whitespace tokens, with the occurrence count and first
+    1-based position.
+
+    Implementation is the adjacency scan over the in-row token array
+    (``phrase_positions``), NOT a positional-postings self-join: the
+    whole query is a narrow projection + filter that pushes to the scan
+    — at 100 TB it is exactly one pass with no shuffle, and Catalyst
+    prunes the read to (id, text). Use the postings form only when the
+    index is reused across many queries."""
+    sdf = _plain(frame)
+    pos = phrase_positions(F.col(text_col), phrase.split())
+    out = (sdf.select(F.col(id_col), pos.alias("__pos__"))
+           .filter(F.size("__pos__") > 0)
+           .select(id_col,
+                   F.size("__pos__").cast("long").alias("n_hits"),
+                   F.element_at("__pos__", 1).cast("long")
+                   .alias("first_pos")))
+    return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
 # BM25 relevance scoring (Robertson/Sparck-Jones Okapi BM25 — public
 # formulation; no reference analogue, Tier X scope per SURVEY §2.4)
 # ---------------------------------------------------------------------------

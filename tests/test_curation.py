@@ -163,3 +163,45 @@ def test_rule_unique_counts_extra_rows(spark):
     row = CUR.rule_unique(df, ["a", "b"]).spark_df.collect()[0]
     assert row["n_violations"] == 1 and row["n_rows"] == 4
     assert not row["passed"]
+
+
+def test_phrase_search_counts_and_positions(spark):
+    rows = [
+        (1, "the quick brown fox the quick brown"),
+        (2, "quick brown"),
+        (3, "the quick"),          # phrase absent (needs 'quick brown')
+        (4, "brown quick"),        # reversed -> no match
+        (5, "quick"),              # shorter than phrase
+        (6, ""),                   # empty doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in TS.phrase_search(df, "quick brown")
+           .spark_df.collect()}
+    assert out == {1: (2, 2), 2: (1, 1)}
+
+
+def test_phrase_search_three_word_phrase(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "a b"), (3, "c a b c")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+           for r in TS.phrase_search(df, "a b c").spark_df.collect()}
+    assert out == {1: (2, 1), 3: (1, 2)}  # doc3: 'c a b c' has 'a b c' @2
+
+
+def test_postings_roundtrip_and_stats(spark):
+    rows = [(1, "x y x"), (2, "y z"), (3, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flat = sorted(tuple(r) for r in TS.build_postings(df)
+                  .spark_df.collect())
+    assert flat == sorted([
+        ("x", 1, 1), ("y", 1, 2), ("x", 1, 3),
+        ("y", 2, 1), ("z", 2, 2), ("x", 3, 1)])
+    lists = {r["term"]: (r["df"], r["cf"], [tuple(p) for p in r["postings"]])
+             for r in TS.posting_lists(df).spark_df.collect()}
+    assert lists["x"] == (2, 3, [(1, 1), (1, 3), (3, 1)])
+    assert lists["z"] == (1, 1, [(2, 2)])
+    stats = [(r["term"], r["df"], r["cf"], r["rank"])
+             for r in TS.postings_stats(df, k=2).spark_df.collect()]
+    assert sorted(stats) == [("x", 2, 3, 1), ("y", 2, 2, 2)]
