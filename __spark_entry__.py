@@ -2248,16 +2248,29 @@ def q_x_bm25(spark, sf_dir):
 
 
 def q_x_embed_quantize(spark, sf_dir):
-    """Symmetric int8 quantization of the embedding column: per-vector
-    scale, integer checksums of the quantized vector, L2 recon error."""
+    """Embedding compression composite: symmetric int8 quantization
+    (per-vector scale + checksums + L2 recon error) and product
+    quantization (4x4 deterministic codebooks, per-subspace argmin
+    codes + recon error), one tagged union."""
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.quantize_embeddings(emb).spark_df
-    return out.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col("scale").cast("double").alias("scale"),
-        F.col("q_sum").cast("bigint").alias("q_sum"),
-        F.col("q_absmax").cast("bigint").alias("q_absmax"),
-        F.col("l2_err").cast("double").alias("l2_err"))
+    a = _tag(out, "int8",
+             F.col("vec_id").cast("bigint").alias("vec_id"),
+             F.col("q_sum").cast("bigint").alias("i1"),
+             F.col("q_absmax").cast("bigint").alias("i2"),
+             _BNULL().alias("i3"), _BNULL().alias("i4"),
+             F.col("scale").cast("double").alias("d1"),
+             F.col("l2_err").cast("double").alias("d2"))
+    pq = SIM.pq_encode(emb, dim=64, m=4, k=4).spark_df
+    b = _tag(pq, "pq",
+             F.col("vec_id").cast("bigint").alias("vec_id"),
+             F.element_at("codes", 1).cast("bigint").alias("i1"),
+             F.element_at("codes", 2).cast("bigint").alias("i2"),
+             F.element_at("codes", 3).cast("bigint").alias("i3"),
+             F.element_at("codes", 4).cast("bigint").alias("i4"),
+             F.col("recon_err").cast("double").alias("d1"),
+             _DNULL().alias("d2"))
+    return a.unionByName(b)
 
 
 # ===========================================================================
@@ -2375,6 +2388,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_term_weights": ["tfidf", "count_vectorize"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix"],
     "x_bm25": ["bm25", "phrase", "postings"],
+    "x_embed_quantize": ["int8", "pq"],
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect"],
@@ -4385,7 +4399,7 @@ _ORACLES["x_bm25"] = _union(
           "term AS s1, df::BIGINT AS i1, cf::BIGINT AS i2, "
           "rank::BIGINT AS i3, NULL::DOUBLE AS d1"))
 
-_ORACLES["x_embed_quantize"] = """
+_ORACLES["x_embed_int8"] = """
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
         FROM embeddings),
@@ -4409,6 +4423,57 @@ _ORACLES["x_embed_quantize"] = """
                                    * (z[1] - z[2] * scale)),
                (acc, x) -> acc + x)), 6) AS l2_err
     FROM q"""
+
+
+def _pq_oracle_sql(dim: int = 64, m: int = 4, k: int = 4,
+                   seed: int = 7) -> str:
+    """DuckDB mirror of similarity.pq_encode: the same LCG codebooks as
+    literal lists, the same in-order list_reduce squared-L2 folds, the
+    same first-position-of-min code assignment."""
+    books = SIM.pq_codebooks(dim, m, k, seed)
+    d_sub = dim // m
+    dist_lists = []
+    for j in range(m):
+        sub = f"list_slice(e, {j * d_sub + 1}, {(j + 1) * d_sub})"
+        dists = []
+        for c in range(k):
+            lit = "[" + ", ".join(repr(x) for x in books[j][c]) + "]"
+            dists.append(
+                f"list_reduce(list_transform(list_zip({sub}, {lit}), "
+                f"z -> (z[1] - z[2]) * (z[1] - z[2])), "
+                f"(acc, x) -> acc + x)")
+        dist_lists.append("[" + ",\n               ".join(dists)
+                          + f"] AS d{j}")
+    codes = ", ".join(
+        f"(list_position(d{j}, list_min(d{j})) - 1)::BIGINT AS c{j}"
+        for j in range(m))
+    err = " + ".join(f"list_min(d{j})" for j in range(m))
+    dist_sel = ",\n               ".join(dist_lists)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings),
+    d AS (
+        SELECT vec_id,
+               {dist_sel}
+        FROM v)
+    SELECT vec_id::BIGINT AS vec_id, {codes},
+           round(sqrt({err}), 6) AS recon_err
+    FROM d"""
+
+
+_ORACLES["x_pq_encode"] = _pq_oracle_sql()
+
+_ORACLES["x_embed_quantize"] = _union(
+    _wrap("int8", _ORACLES["x_embed_int8"],
+          "vec_id::BIGINT AS vec_id, q_sum::BIGINT AS i1, "
+          "q_absmax::BIGINT AS i2, NULL::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, scale::DOUBLE AS d1, "
+          "l2_err::DOUBLE AS d2"),
+    _wrap("pq", _ORACLES["x_pq_encode"],
+          "vec_id::BIGINT AS vec_id, c0::BIGINT AS i1, c1::BIGINT AS i2, "
+          "c2::BIGINT AS i3, c3::BIGINT AS i4, recon_err::DOUBLE AS d1, "
+          "NULL::DOUBLE AS d2"))
 
 
 def oracle_sql() -> dict[str, str]:

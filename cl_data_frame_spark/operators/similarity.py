@@ -341,6 +341,77 @@ def quantize_embeddings(frame, id_col: str = "vec_id",
     return SparkFrame(out)
 
 
+def pq_codebooks(dim: int, m: int, k: int,
+                 seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: *m* subspaces of
+    ``dim/m`` dims, *k* codewords each, components in (-1, 1) from the
+    same LCG as ``_hyperplanes`` — no runtime RNG, so the encoding and
+    its SQL oracle are reproducible everywhere. (Real deployments train
+    codebooks per-subspace with k-means — ``kmeans_fit`` composes — but
+    the encoding path is identical either way.)"""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    state = seed
+    books = []
+    for _ in range(m):
+        cws = []
+        for _ in range(k):
+            vec = []
+            for _ in range(d_sub):
+                state = (6364136223846793005 * state
+                         + 1442695040888963407) % (1 << 64)
+                vec.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+            cws.append(vec)
+        books.append(cws)
+    return books
+
+
+def pq_encode(frame, dim: int, m: int = 4, k: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 7) -> SparkFrame:
+    """Product-quantization encoding (Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split
+    each vector into *m* subvectors, assign each to its nearest codeword
+    by squared L2, and report the code plus the total reconstruction
+    error ``sqrt(Σ_j min_c ||sub_j − cw_jc||²)``.
+
+    Output: (id_col, codes array<int> of length m, recon_err rounded 6).
+    Ties break to the lowest codeword id (first position of the min).
+
+    Plan: pure array expressions — m·k in-order zip_with/aggregate folds
+    per row, staged so each distance array is computed ONCE (the
+    multi-use columns block CollapseProject from inlining them, same
+    trick as ``quantize_embeddings``). Narrow, shuffle-free, scan-speed
+    at any scale; compression is m·log2(k) bits per vector.
+    """
+    books = pq_codebooks(dim, m, k, seed)
+    d_sub = dim // m
+    sdf = _plain(frame)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cur = sdf.select(F.col(id_col), v.alias("__v__"))
+    for j in range(m):
+        sub = F.slice(F.col("__v__"), j * d_sub + 1, d_sub)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(sub, _lit_vec(books[j][c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x)
+            for c in range(k)])
+        cur = cur.withColumn(f"__d{j}__", dists)
+    codes = F.array(*[
+        (F.array_position(F.col(f"__d{j}__"),
+                          F.array_min(F.col(f"__d{j}__"))) - 1).cast("int")
+        for j in range(m)])
+    err = None
+    for j in range(m):
+        mn = F.array_min(F.col(f"__d{j}__"))
+        err = mn if err is None else err + mn
+    out = cur.select(F.col(id_col), codes.alias("codes"),
+                     F.round(F.sqrt(err), 6).alias("recon_err"))
+    return SparkFrame(out)
+
+
 def ivf_search_topk(frame, query_vec, centroids, k: int = 10,
                     nprobe: int = 2, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> SparkFrame:

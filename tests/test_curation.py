@@ -205,3 +205,40 @@ def test_postings_roundtrip_and_stats(spark):
     stats = [(r["term"], r["df"], r["cf"], r["rank"])
              for r in TS.postings_stats(df, k=2).spark_df.collect()]
     assert sorted(stats) == [("x", 2, 3, 1), ("y", 2, 2, 2)]
+
+
+def test_pq_encode_matches_bruteforce(spark):
+    """Codes must equal the numpy argmin over the same deterministic
+    codebooks, and recon_err the sqrt of the summed min distances."""
+    import math
+    dim, m, k = 8, 2, 3
+    books = SIM.pq_codebooks(dim, m, k, seed=11)
+    vecs = [(1, [0.1 * i for i in range(dim)]),
+            (2, [(-1.0) ** i * 0.3 for i in range(dim)]),
+            (3, [0.0] * dim)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           SIM.pq_encode(df, dim=dim, m=m, k=k, seed=11)
+           .spark_df.collect()}
+    for vid, v in vecs:
+        mins = []
+        codes = []
+        for j in range(m):
+            sub = v[j * 4:(j + 1) * 4]
+            ds = [sum((a - b) ** 2 for a, b in zip(sub, cw))
+                  for cw in books[j]]
+            codes.append(ds.index(min(ds)))
+            mins.append(min(ds))
+        assert list(out[vid]["codes"]) == codes
+        assert abs(out[vid]["recon_err"] - math.sqrt(sum(mins))) < 1e-5
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    a = SIM.pq_codebooks(16, 4, 2, seed=3)
+    b = SIM.pq_codebooks(16, 4, 2, seed=3)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 2 and len(a[0][0]) == 4
+    assert all(-1.0 < x < 1.0 for bk in a for cw in bk for x in cw)
+    import pytest
+    with pytest.raises(ValueError):
+        SIM.pq_codebooks(10, 3, 2)
