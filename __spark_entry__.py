@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from cl_data_frame_spark.frame import SparkFrame, df as make_frame
 from cl_data_frame_spark.operators import curation as CUR
 from cl_data_frame_spark.operators import dedup as X
+from cl_data_frame_spark.operators import graph as G
 from cl_data_frame_spark.operators import multimodal as MM
 from cl_data_frame_spark.operators import pipeline as PIPE
 from cl_data_frame_spark.operators import relational as R
@@ -1176,14 +1177,29 @@ def q_x_repetition_stats(spark, sf_dir):
 
 
 def q_x_dedup_clusters(spark, sf_dir):
-    """Near-dup pairs -> duplicate clusters: connected components of the
-    within-lang n-gram-Jaccard pair graph via iterative min-label
-    propagation (operators/dedup.py:duplicate_clusters); the oracle
-    computes the identical fixpoint with a recursive CTE."""
+    """Graph analytics over the within-lang n-gram-Jaccard pair graph:
+    connected components (iterative min-label propagation,
+    dedup.duplicate_clusters; recursive-CTE oracle) + integer
+    fixed-point PageRank (graph.pagerank; unrolled-CTE oracle), one
+    tagged union. The pair table is localCheckpoint'd so the quadratic
+    pair generation runs once for both parts."""
     docs = _f(spark, sf_dir, "documents")
     pairs = X.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
-                                  block_col="lang")
-    return X.duplicate_clusters(pairs).spark_df
+                                  block_col="lang") \
+        .spark_df.localCheckpoint(eager=False)
+    cc = X.duplicate_clusters(pairs).spark_df
+    a = _tag(cc, "cc",
+             F.col("node").cast("bigint").alias("node"),
+             F.col("component").cast("bigint").alias("i1"),
+             F.col("is_canonical").alias("flag"),
+             _DNULL().alias("d1"))
+    pr = G.pagerank(pairs, n_iter=3).spark_df
+    b = _tag(pr, "pagerank",
+             F.col("node").cast("bigint").alias("node"),
+             F.col("rank").cast("bigint").alias("i1"),
+             F.lit(None).cast("boolean").alias("flag"),
+             F.col("rank_scaled").cast("double").alias("d1"))
+    return a.unionByName(b)
 
 
 def q_x_hash_sample(spark, sf_dir):
@@ -2389,6 +2405,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_hash_sampling": ["sample", "split", "weighted", "mix"],
     "x_bm25": ["bm25", "phrase", "postings"],
     "x_embed_quantize": ["int8", "pq"],
+    "x_dedup_clusters": ["cc", "pagerank"],
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect"],
@@ -3205,30 +3222,7 @@ _ORACLES: dict[str, str] = {
                round(top_uni::DOUBLE / n_tokens, 6) AS top_unigram_frac,
                round(top_bi::DOUBLE / n_bigrams, 6) AS top_bigram_frac
         FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id""",
-    "x_dedup_clusters": """
-        WITH RECURSIVE ng AS (
-            SELECT doc_id, lang,
-                   list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
-                       FOR i IN generate_series(1, greatest(len(t) - 2, 1))])
-                       AS g
-            FROM (SELECT doc_id, lang,
-                         string_split_regex(trim(text), '\\s+') AS t
-                  FROM documents)),
-        pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.g, b.g))::DOUBLE /
-                  len(list_distinct(list_cat(a.g, b.g))) >= 0.5),
-        und AS (SELECT id_a AS a, id_b AS b FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-        cc(node, label) AS (
-            SELECT a, least(a, min(b)) FROM und GROUP BY a
-            UNION
-            SELECT u.a, min(c.label) FROM und u JOIN cc c ON u.b = c.node
-            GROUP BY u.a)
-        SELECT node, min(label) AS component,
-               (node = min(label)) AS is_canonical
-        FROM cc GROUP BY node""",
+    "x_dedup_clusters": None,  # composite; assigned below _union/_wrap
     "x_hash_sample": """
         SELECT doc_id, lang FROM documents
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
@@ -3829,6 +3823,71 @@ _ORACLES["x_term_weights"] = _union(
     _wrap("count_vectorize", _ORACLES["x_count_vectorize"],
           "doc_id::BIGINT AS doc_id, term, tf::BIGINT AS tf, "
           "NULL::DOUBLE AS val_d, idx::BIGINT AS val_i"))
+
+#: shared within-lang 3-gram Jaccard pair graph (threshold 0.5) used by
+#: both x_dedup_clusters parts.
+_PAIR_GRAPH_CTES = """
+        ng AS (
+            SELECT doc_id, lang,
+                   list_distinct([array_to_string(list_slice(t, i, i + 2), ' ')
+                       FOR i IN generate_series(1, greatest(len(t) - 2, 1))])
+                       AS g
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents)),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                  len(list_distinct(list_cat(a.g, b.g))) >= 0.5),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs)"""
+
+_ORACLES["x_cc_clusters"] = f"""
+        WITH RECURSIVE {_PAIR_GRAPH_CTES},
+        cc(node, label) AS (
+            SELECT a, least(a, min(b)) FROM und GROUP BY a
+            UNION
+            SELECT u.a, min(c.label) FROM und u JOIN cc c ON u.b = c.node
+            GROUP BY u.a)
+        SELECT node, min(label) AS component,
+               (node = min(label)) AS is_canonical
+        FROM cc GROUP BY node"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 3, damping_pct: int = 85,
+                         scale: int = 10 ** 12) -> str:
+    """Unrolled-CTE mirror of graph.pagerank: the same bigint floor
+    divisions each round, so ranks are exact-equal."""
+    teleport = (100 - damping_pct) * scale // 100
+    rounds = [f"r0 AS (SELECT a AS node, {scale}::BIGINT AS rank FROM deg)"]
+    for t in range(1, n_iter + 1):
+        rounds.append(f"""
+        r{t} AS (
+            SELECT e.b AS node,
+                   ({teleport} + (sum((r.rank // d.deg)) * {damping_pct})
+                    // 100)::BIGINT AS rank
+            FROM und e
+            JOIN r{t - 1} r ON e.a = r.node
+            JOIN deg d ON e.a = d.a
+            GROUP BY e.b)""")
+    return (f"WITH {_PAIR_GRAPH_CTES},\n"
+            "        deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),\n"
+            "        " + ",\n        ".join(rounds) + f"""
+        SELECT node::BIGINT AS node, rank,
+               round(rank / {float(scale)!r}, 6) AS rank_scaled
+        FROM r{n_iter}""")
+
+
+_ORACLES["x_pagerank"] = _pagerank_oracle_sql()
+
+_ORACLES["x_dedup_clusters"] = _union(
+    _wrap("cc", _ORACLES["x_cc_clusters"],
+          "node::BIGINT AS node, component::BIGINT AS i1, "
+          "is_canonical AS flag, NULL::DOUBLE AS d1"),
+    _wrap("pagerank", _ORACLES["x_pagerank"],
+          "node::BIGINT AS node, rank::BIGINT AS i1, "
+          "NULL::BOOLEAN AS flag, rank_scaled::DOUBLE AS d1"))
 
 _MIX_TOTAL = sum(_MIX_WEIGHTS.values())
 _MIX_CASE = ("CASE lang "

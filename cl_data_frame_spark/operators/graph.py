@@ -1,0 +1,84 @@
+"""Graph analytics over pair/edge tables (Tier X; no reference
+analogue — cl-data-frame.lisp:1-583 has no graph surface).
+
+The near-dup operators emit PAIR tables (`minhash_near_duplicates`,
+`ngram_jaccard_pairs`, `embedding_near_duplicates`); `dedup` turns them
+into components (`duplicate_clusters`). This module adds centrality over
+the same graphs — e.g. rank documents inside a duplicate cluster by how
+"central" they are before choosing a keeper, or score citation/link
+graphs in a curation pipeline.
+
+Determinism contract: ranks are computed in exact bigint fixed-point
+(floor division at every step), so the result is bit-identical under any
+row order, partitioning, or engine — a float PageRank's per-node sum
+order would never hash-match an external oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..frame import SparkFrame
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def pagerank(pairs, id_a: str = "id_a", id_b: str = "id_b",
+             damping_pct: int = 85, n_iter: int = 3,
+             scale: int = 10 ** 12) -> SparkFrame:
+    """PageRank over the undirected pair graph, in integer fixed-point.
+
+    Each node starts at ``scale`` (the unnormalized 1.0-per-node
+    formulation); every iteration is
+
+        r(v) <- floor((100 - damping_pct) * scale / 100)
+                + floor(damping_pct * Σ_{u~v} floor(r(u) / deg(u)) / 100)
+
+    — the standard damped update with every division floored in bigint,
+    so the aggregation is order-independent and cross-engine exact. The
+    pair graph is symmetrized, so there are no dangling nodes (every
+    node in a pair has degree ≥ 1) and no lost mass term is needed.
+
+    Output: (node, rank, rank_scaled) — ``rank`` the exact bigint
+    fixed-point value, ``rank_scaled`` = rank/scale rounded to 6.
+
+    Scale shape: per iteration, one broadcast-size share projection
+    (#nodes rows), one hash join keyed on the edge source, and one
+    partial+final aggregation keyed on the destination — two shuffles of
+    edge-sized slim rows per round, O(n_iter) rounds, with
+    ``localCheckpoint`` truncating lineage each round (same recipe as
+    ``dedup.duplicate_clusters``). Convergence at web scale typically
+    needs tens of rounds; near-dup cluster graphs are tiny-diameter, so
+    3-5 rounds rank them stably.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    p = _plain(pairs).select(F.col(id_a).alias("a"),
+                             F.col(id_b).alias("b"))
+    edges = (p.union(p.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=False))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = deg.select(F.col("a").alias("node"),
+                       F.lit(scale).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        shares = (ranks.join(deg, ranks["node"] == deg["a"])
+                  .select(F.col("node").alias("a"),
+                          F.expr("rank div deg").alias("share")))
+        ranks = (edges.join(shares, on="a")
+                 .groupBy(F.col("b").alias("node"))
+                 .agg(F.sum("share").alias("s"))
+                 .select("node",
+                         (F.lit(teleport)
+                          + F.expr(f"(s * {damping_pct}) div 100"))
+                         .cast("long").alias("rank"))
+                 .localCheckpoint(eager=False))
+    out = ranks.select(
+        "node", "rank",
+        F.round(F.col("rank") / F.lit(float(scale)), 6)
+        .alias("rank_scaled"))
+    return SparkFrame(out)

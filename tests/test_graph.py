@@ -1,0 +1,53 @@
+"""Graph analytics: integer fixed-point PageRank (Tier X)."""
+
+from __future__ import annotations
+
+from cl_data_frame_spark.operators import graph as G
+
+
+def _mirror_pagerank(edges, n_iter=3, damping_pct=85, scale=10 ** 12):
+    """Driver-side mirror of the exact integer recurrence."""
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    ranks = {a: scale for a in deg}
+    teleport = (100 - damping_pct) * scale // 100
+    for _ in range(n_iter):
+        nxt = {}
+        for a, b in und:
+            nxt[b] = nxt.get(b, 0) + ranks[a] // deg[a]
+        ranks = {v: teleport + (s * damping_pct) // 100
+                 for v, s in nxt.items()}
+    return ranks
+
+
+def test_pagerank_matches_integer_mirror(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {r["node"]: r["rank"]
+           for r in G.pagerank(df, n_iter=3).spark_df.collect()}
+    assert out == _mirror_pagerank(edges, n_iter=3)
+
+
+def test_pagerank_star_center_ranks_highest(spark):
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {r["node"]: r["rank"]
+           for r in G.pagerank(df, n_iter=4).spark_df.collect()}
+    assert out[0] == max(out.values())
+    leaves = {out[i] for i in range(1, 6)}
+    assert len(leaves) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_rank_scaled_and_validation(spark):
+    import pytest
+    df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    rows = G.pagerank(df, n_iter=2).spark_df.collect()
+    for r in rows:
+        assert abs(r["rank_scaled"] - r["rank"] / 1e12) < 1e-6
+    with pytest.raises(ValueError):
+        G.pagerank(df, damping_pct=0)
