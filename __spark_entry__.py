@@ -978,19 +978,30 @@ def q_s_approx_sketches(spark, sf_dir):
 
 def q_s_funnel(spark, sf_dir):
     """User-journey analytics: ordered funnel (signup -> view -> click
-    -> purchase) + daily cohort retention matrix."""
+    -> purchase) + daily cohort retention matrix + first/last-touch
+    conversion attribution."""
     ev = _f(spark, sf_dir, "events")
     fn = R.funnel(ev, ["signup", "view", "click", "purchase"]).spark_df
     a = _tag(fn, "funnel",
              F.col("stage_idx").cast("bigint").alias("i1"),
              _BNULL().alias("i2"), F.col("stage").alias("s1"),
-             F.col("n_users").cast("bigint").alias("n"))
+             F.col("n_users").cast("bigint").alias("n"),
+             _BNULL().alias("i3"), _SNULL().alias("s2"))
     ret = R.cohort_retention(ev, granularity="day").spark_df
     b = _tag(ret, "retention",
              F.col("offset").cast("bigint").alias("i1"),
              F.unix_micros("cohort").alias("i2"), _SNULL().alias("s1"),
-             F.col("n_users").cast("bigint").alias("n"))
-    return a.unionByName(b)
+             F.col("n_users").cast("bigint").alias("n"),
+             _BNULL().alias("i3"), _SNULL().alias("s2"))
+    at = R.conversion_attribution(ev).spark_df
+    c = _tag(at, "attribution",
+             F.col("event_id").cast("bigint").alias("i1"),
+             F.col("last_touch_id").cast("bigint").alias("i2"),
+             F.col("last_touch_type").alias("s1"),
+             F.col("user_id").cast("bigint").alias("n"),
+             F.col("first_touch_id").cast("bigint").alias("i3"),
+             F.col("first_touch_type").alias("s2"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_window_range_trailing(spark, sf_dir):
@@ -2391,7 +2402,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_functions": ["scalar", "collection"],
     "s_source_roundtrip": ["roundtrip", "zorder"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff"],
-    "s_funnel": ["funnel", "retention"],
+    "s_funnel": ["funnel", "retention", "attribution"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq"],
     "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
                 "chisq", "freq", "bins", "outliers"],
@@ -4006,10 +4017,35 @@ _ORACLES["s_window_range_trailing"] = _union(
           "roll_std::DOUBLE AS d2, zscore::DOUBLE AS d3, "
           "is_anomaly::BIGINT AS i1"))
 
+_ORACLES["s_attribution"] = """
+    WITH w AS (
+        SELECT event_id, user_id, event_type,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                                THEN event_id END IGNORE NULLS)
+                   OVER pre AS first_touch_id,
+               first_value(CASE WHEN event_type IN ('view', 'click')
+                                THEN event_type END IGNORE NULLS)
+                   OVER pre AS first_touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_id END IGNORE NULLS)
+                   OVER pre AS last_touch_id,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER pre AS last_touch_type
+        FROM events
+        WINDOW pre AS (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING))
+    SELECT event_id, user_id, first_touch_id, first_touch_type,
+           last_touch_id, last_touch_type
+    FROM w WHERE event_type = 'purchase'"""
+
 _ORACLES["s_funnel"] = _union(
     _wrap("funnel", _ORACLES["s_funnel"],
           "stage_idx::BIGINT AS i1, NULL::BIGINT AS i2, stage AS s1, "
-          "n_users::BIGINT AS n"),
+          "n_users::BIGINT AS n, NULL::BIGINT AS i3, "
+          "NULL::VARCHAR AS s2"),
     _wrap("retention", """
         WITH ub AS (SELECT DISTINCT user_id,
                            date_trunc('day', ts) AS b FROM events),
@@ -4019,7 +4055,12 @@ _ORACLES["s_funnel"] = _union(
                count(DISTINCT ub.user_id)::BIGINT AS n_users
         FROM ub JOIN f USING (user_id) GROUP BY 1, 2""",
           '"offset"::BIGINT AS i1, cohort_us::BIGINT AS i2, '
-          "NULL::VARCHAR AS s1, n_users::BIGINT AS n"))
+          "NULL::VARCHAR AS s1, n_users::BIGINT AS n, "
+          "NULL::BIGINT AS i3, NULL::VARCHAR AS s2"),
+    _wrap("attribution", _ORACLES["s_attribution"],
+          "event_id::BIGINT AS i1, last_touch_id::BIGINT AS i2, "
+          "last_touch_type AS s1, user_id::BIGINT AS n, "
+          "first_touch_id::BIGINT AS i3, first_touch_type AS s2"))
 
 _ORACLES["s_time_rollup"] = _union(
     _wrap("rollup", _ORACLES["s_time_rollup"],

@@ -799,6 +799,51 @@ def cohort_retention(frame, user_col: str = "user_id", ts_col: str = "ts",
     return SparkFrame(out)
 
 
+def conversion_attribution(frame, user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id",
+                           conversion: str = "purchase",
+                           touch_types: tuple[str, ...] = ("view",
+                                                           "click")
+                           ) -> SparkFrame:
+    """First-touch / last-touch conversion attribution: for every
+    *conversion* event, the first and the last preceding touch event
+    (of *touch_types*) in the same user's history.
+
+    Output: one row per conversion — (id_col, user_col,
+    first_touch_id, first_touch_type, last_touch_id, last_touch_type);
+    NULL touches mark unattributed conversions (no touch before them).
+
+    Plan: ONE window pass per user ordered by (ts, id) with a
+    rows-preceding frame and ``first/last(..., ignorenulls=True)`` —
+    raw events shuffle once on the user key; no self-join, no
+    per-conversion scan. Ordering ties break on the event id, so the
+    attribution is a total order and reproducible everywhere.
+    """
+    sdf = _plain(frame)
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col(type_col).isin(*touch_types)
+    t_id = F.when(is_touch, F.col(id_col))
+    t_type = F.when(is_touch, F.col(type_col))
+    out = (sdf
+           .withColumn("first_touch_id",
+                       F.first(t_id, ignorenulls=True).over(w))
+           .withColumn("first_touch_type",
+                       F.first(t_type, ignorenulls=True).over(w))
+           .withColumn("last_touch_id",
+                       F.last(t_id, ignorenulls=True).over(w))
+           .withColumn("last_touch_type",
+                       F.last(t_type, ignorenulls=True).over(w))
+           .filter(F.col(type_col) == conversion)
+           .select(id_col, user_col, "first_touch_id",
+                   "first_touch_type", "last_touch_id",
+                   "last_touch_type"))
+    return SparkFrame(out)
+
+
 def rolling_zscore(frame, user_col: str = "user_id", ts_col: str = "ts",
                    val_col: str = "value", id_col: str = "event_id",
                    days: int = 7, z_threshold: float = 3.0) -> SparkFrame:

@@ -312,3 +312,45 @@ def test_table_diff_injective_fingerprint(spark):
     assert out.get(1) == "update"
     assert out.get(2) == "update"
     assert 3 not in out
+
+
+def test_conversion_attribution_first_last_touch(spark):
+    from cl_data_frame_spark.operators import relational as R
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view(1) click(2) purchase(3) view(4) purchase(5)
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "view"),
+        (5, t0 + dt.timedelta(minutes=4), 1, "purchase"),
+        # user 2: purchase with no prior touch (error doesn't count)
+        (6, t0, 2, "error"),
+        (7, t0 + dt.timedelta(minutes=1), 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"])
+    out = {r["event_id"]: r for r in
+           R.conversion_attribution(df).spark_df.collect()}
+    assert set(out) == {3, 5, 7}
+    assert (out[3]["first_touch_id"], out[3]["last_touch_id"]) == (1, 2)
+    assert out[3]["last_touch_type"] == "click"
+    # second conversion: first touch is STILL the very first view (full
+    # user history), last touch is the view after the prior purchase
+    assert (out[5]["first_touch_id"], out[5]["last_touch_id"]) == (1, 4)
+    assert out[5]["last_touch_type"] == "view"
+    assert out[7]["first_touch_id"] is None
+    assert out[7]["last_touch_type"] is None
+
+
+def test_conversion_attribution_tie_breaks_on_event_id(spark):
+    from cl_data_frame_spark.operators import relational as R
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(10, t0, 1, "view"), (11, t0, 1, "click"),
+            (12, t0, 1, "purchase")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"])
+    row = R.conversion_attribution(df).spark_df.collect()[0]
+    assert row["first_touch_id"] == 10 and row["last_touch_id"] == 11
