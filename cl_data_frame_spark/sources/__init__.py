@@ -18,9 +18,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..frame import ROW_ID, SparkFrame
 
 
-def read_parquet(spark: SparkSession, path: str, columns=None) -> SparkFrame:
-    """Parquet scan -> SparkFrame; column list prunes at the reader."""
-    sdf = spark.read.parquet(path)
+def read_parquet(spark: SparkSession, path: str, columns=None,
+                 merge_schema: bool = False) -> SparkFrame:
+    """Parquet scan -> SparkFrame; column list prunes at the reader.
+
+    ``merge_schema=True`` reconciles evolving schemas across files
+    (columns added over time surface as NULL in older files) — the
+    standard additive-evolution read path; it costs a footer scan per
+    file, so leave it off for fixed-schema datasets."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    sdf = reader.parquet(path)
     if columns:
         sdf = sdf.select(*columns)
     return SparkFrame(sdf)

@@ -105,12 +105,29 @@ def running_user_totals(sdf: DataFrame, user_col: str = "user_id",
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
-                         output_mode: str = "update") -> None:
+                         output_mode: str = "update",
+                         min_rows: int | None = None,
+                         timeout: float = 120.0) -> None:
     """Drive a stream to a memory sink until all available data is
-    processed (test/verification harness)."""
+    processed (test/verification harness).
+
+    *min_rows*: keep the query alive until the sink holds at least this
+    many rows (or *timeout* elapses). Needed for watermark-gated output
+    — outer-join null rows and final window panes are emitted by the
+    no-data micro-batch AFTER the watermark advances, which
+    ``processAllAvailable`` alone may return before.
+    """
     q = (stream_df.writeStream.format("memory").queryName(query_name)
          .outputMode(output_mode).start())
     q.processAllAvailable()
+    if min_rows is not None:
+        import time as _time
+        spark = stream_df.sparkSession
+        deadline = _time.time() + timeout
+        while (spark.table(query_name).count() < min_rows
+               and _time.time() < deadline):
+            _time.sleep(0.5)
+            q.processAllAvailable()
     q.stop()
 
 
@@ -141,9 +158,10 @@ def stream_static_join(stream_df: DataFrame, static_df: DataFrame,
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 key: str, left_ts: str, right_ts: str,
                                 max_delay: str = "10 minutes",
-                                watermark: str = "1 hour") -> DataFrame:
-    """Stream-stream inner join: pair each left event with the right
-    events of the same *key* whose timestamp falls in
+                                watermark: str = "1 hour",
+                                how: str = "inner") -> DataFrame:
+    """Stream-stream join: pair each left event with the right events of
+    the same *key* whose timestamp falls in
     ``[left_ts, left_ts + max_delay]``.
 
     Both sides carry watermarks and the join condition bounds event time
@@ -151,6 +169,13 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
     watermark passes ``left_ts + max_delay`` — bounded state on infinite
     streams, the production-safe shape. The same plan runs in batch mode
     (the oracle path) because the condition is an ordinary theta join.
+
+    ``how='left_outer'`` additionally emits each unmatched left event
+    with NULL right columns — but only once the watermark proves no
+    matching right event can still arrive, i.e. null rows surface in a
+    LATER micro-batch than their event (use ``run_stream_to_memory``'s
+    *min_rows* to wait for that flush in tests). Right/full outer work
+    the same way; semi/anti are not supported by the state store.
     """
     l = left.select(F.col(key).alias("__lk__"),
                     F.col(left_ts).alias("__lts__"),
@@ -165,7 +190,7 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
             & (F.col("__rts__") >= F.col("__lts__"))
             & (F.col("__rts__") <= F.col("__lts__")
                + F.expr(f"INTERVAL {max_delay}")))
-    return (l.join(r, cond)
+    return (l.join(r, cond, how)
             .select(F.col("__lk__").alias(key),
                     F.col("__lts__").alias(left_ts),
                     F.col("__rts__").alias(right_ts),

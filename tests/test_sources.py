@@ -225,3 +225,20 @@ def test_zorder_write_wide_range_and_all_null(spark, tmp_path):
     lo = withf.filter(F2.col("id") == 0).select("f").first()["f"]
     hi = withf.filter(F2.col("id") == 999).select("f").first()["f"]
     assert lo != hi
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution: files written before a column was
+    added surface NULL for it under merge_schema=True, and the merged
+    schema is the union."""
+    from cl_data_frame_spark import sources as SRC
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]) \
+        .write.mode("overwrite").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2"]) \
+        .write.mode("append").parquet(p)
+    merged = SRC.read_parquet(spark, p, merge_schema=True).spark_df
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["v2"] is None
+    assert rows[2]["v2"] == 9.5

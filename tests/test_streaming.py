@@ -256,3 +256,62 @@ def test_foreach_batch_sink_idempotent_layout(spark, stream_dir, tmp_path):
     back = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
     assert back.count() == batch.count()
     assert back.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_stream_left_outer_join_flushes_unmatched(
+        spark, stream_dir, tmp_path):
+    """Left-outer stream-stream join: unmatched view events surface
+    with NULL click columns once the watermark proves no matching
+    click can still arrive. A far-future sentinel pair (self-matching,
+    filtered out below) advances the watermark past all real data so
+    the null rows flush deterministically."""
+    import datetime as dt
+    import shutil as sh
+    batch = _events_batch(spark)
+    d = tmp_path / "in"
+    d.mkdir()
+    i = 0
+    import pathlib
+    for f in sorted(pathlib.Path(stream_dir).glob("*.parquet")):
+        sh.copy(f, d / f"part-{i}.parquet")
+        i += 1
+    far = batch.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=100)
+    sentinel = spark.createDataFrame(
+        [(900001, far, 99999, "view", 0.0, "{}"),
+         (900002, far + dt.timedelta(minutes=1), 99999, "click",
+          0.0, "{}")],
+        schema=batch.schema)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "sentinel"))
+    for f in pathlib.Path(str(tmp_path / "sentinel")).glob("*.parquet"):
+        sh.copy(f, d / f"part-{i}.parquet")
+        i += 1
+
+    def split(df, kind, idc, tsc):
+        return (df.filter(F.col("event_type") == kind)
+                .select("user_id", F.col("event_id").alias(idc),
+                        F.col("ts").alias(tsc)))
+
+    expected_df = ST.stream_stream_interval_join(
+        split(batch, "view", "view_id", "vts"),
+        split(batch, "click", "click_id", "cts"),
+        key="user_id", left_ts="vts", right_ts="cts",
+        max_delay="30 minutes", how="left_outer")
+    expected = _sorted_rows(expected_df,
+                            ["user_id", "view_id", "click_id"])
+    n_expected = len(expected) + 1  # + the sentinel self-match
+
+    stream = ST.read_stream_parquet_throttled(
+        spark, str(d), batch.schema, max_files_per_trigger=1)
+    joined = ST.stream_stream_interval_join(
+        split(stream, "view", "view_id", "vts"),
+        split(stream, "click", "click_id", "cts"),
+        key="user_id", left_ts="vts", right_ts="cts",
+        max_delay="30 minutes", how="left_outer")
+    ST.run_stream_to_memory(joined, "t_ssj_lo", output_mode="append",
+                            min_rows=n_expected)
+    got = _sorted_rows(
+        spark.table("t_ssj_lo").filter(F.col("user_id") < 90000),
+        ["user_id", "view_id", "click_id"])
+    assert any(c is None for _, _, c in got)  # real null-flushed rows
+    assert got == expected
