@@ -1767,9 +1767,19 @@ def q_x_dedup(spark, sf_dir):
     return a.unionByName(b).unionByName(c).unionByName(d)
 
 
+def q_x_edit_distance(spark, sf_dir):
+    """Fuzzy entity-resolution join: supplier-name pairs within
+    Levenshtein distance 1 via the sound length-band bucket grid +
+    exact verify (dedup.edit_distance_join)."""
+    sup = _t(spark, sf_dir, "supplier")
+    return X.edit_distance_join(sup, "s_suppkey", "s_name",
+                                max_dist=1).spark_df
+
+
 def q_x_ngram_jaccard_all(spark, sf_dir):
-    """Exact n-gram Jaccard pairs: lang-blocked quadratic and global
-    prefix-filtered PPJoin candidate generation."""
+    """String-similarity joins: lang-blocked quadratic and global
+    prefix-filtered PPJoin n-gram Jaccard pairs + edit-distance fuzzy
+    join (length-band blocked, exact levenshtein verify)."""
     a = _tag(q_x_ngram_jaccard(spark, sf_dir), "blocked",
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
@@ -1778,7 +1788,11 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("jaccard").cast("double").alias("jaccard"))
-    return a.unionByName(b)
+    c = _tag(q_x_edit_distance(spark, sf_dir), "editdist",
+             F.col("id_a").cast("bigint").alias("id_a"),
+             F.col("id_b").cast("bigint").alias("id_b"),
+             F.col("dist").cast("double").alias("jaccard"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_ivf_topk(spark, sf_dir):
@@ -2408,7 +2422,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "chisq", "freq", "bins", "outliers"],
     "s_window_range_trailing": ["trailing", "zscore"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans"],
-    "x_ngram_jaccard": ["blocked", "global"],
+    "x_ngram_jaccard": ["blocked", "global", "editdist"],
     "x_embed_neardup": ["pairs", "semdedup"],
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
     "x_cluster_assign": ["ivf", "kmeans"],
@@ -3644,9 +3658,20 @@ _NGRAM_PAIR_SEL = ("id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
                    "jaccard::DOUBLE AS jaccard")
 _NJ_BLOCKED, _NJ_GLOBAL = (_ORACLES["x_ngram_jaccard"],
                            _ORACLES["x_ngram_jaccard_global"])
+_ORACLES["x_edit_distance"] = """
+    WITH s AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier)
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.nm, b.nm)::DOUBLE AS dist
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE abs(length(a.nm) - length(b.nm)) <= 1
+      AND levenshtein(a.nm, b.nm) <= 1"""
+
 _ORACLES["x_ngram_jaccard"] = _union(
     _wrap("blocked", _NJ_BLOCKED, _NGRAM_PAIR_SEL),
-    _wrap("global", _NJ_GLOBAL, _NGRAM_PAIR_SEL))
+    _wrap("global", _NJ_GLOBAL, _NGRAM_PAIR_SEL),
+    _wrap("editdist", _ORACLES["x_edit_distance"],
+          "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+          "dist::DOUBLE AS jaccard"))
 
 def _duck_cos(a: str, b: str) -> str:
     return (f"round(list_reduce(list_transform(list_zip({a}, {b}), "

@@ -406,6 +406,53 @@ def ngram_jaccard_pairs_prefix(frame, id_col: str = "doc_id",
     return SparkFrame(out)
 
 
+def edit_distance_join(frame, id_col: str, str_col: str,
+                       max_dist: int = 1) -> SparkFrame:
+    """Fuzzy string self-join (entity resolution): id pairs whose
+    strings are within Levenshtein distance *max_dist*, with the exact
+    distance.
+
+    Blocking is the SOUND length-band bucket grid: edit distance is
+    bounded below by the length difference, so candidates only need
+    ``|len(a) − len(b)| ≤ max_dist``. Lengths bucket at width
+    ``max_dist + 1``; the probe side explodes to its bucket ±1 and
+    equi-joins the build side's single bucket — two large sides
+    co-partition on the bucket key (the ``bucketed_range_join`` shape),
+    each qualifying pair meets exactly once, and the exact
+    ``levenshtein`` verify runs JVM-side on candidates only.
+
+    Output: (id_a, id_b, dist) with ``id_a < id_b``.
+
+    100 TB hazard: within-band all-pairs is quadratic when one length
+    band is hot (uniform-length corpora). The length filter is the only
+    SOUND cheap filter; for hot bands compose a q-gram count filter —
+    strings within distance d share at least
+    ``max(len)−q+1−d·q`` q-grams — via the PPJoin prefix machinery
+    (``ngram_jaccard_pairs_prefix``) before the verify.
+    """
+    w = max_dist + 1
+    sdf = _plain(frame).select(F.col(id_col).alias("__id__"),
+                               F.col(str_col).alias("__s__"))
+    lens = sdf.withColumn("__bk0__",
+                          F.floor(F.length("__s__") / F.lit(w)))
+    probe = lens.select(
+        F.col("__id__").alias("id_a"), F.col("__s__").alias("s_a"),
+        F.explode(F.array(F.col("__bk0__") - 1, F.col("__bk0__"),
+                          F.col("__bk0__") + 1)).alias("__bk__"))
+    build = lens.select(
+        F.col("__id__").alias("id_b"), F.col("__s__").alias("s_b"),
+        F.col("__bk0__").alias("__bk__"))
+    cand = (probe.join(build, on="__bk__")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.abs(F.length("s_a") - F.length("s_b"))
+                       <= max_dist)))
+    out = (cand
+           .withColumn("dist", F.levenshtein("s_a", "s_b"))
+           .filter(F.col("dist") <= max_dist)
+           .select("id_a", "id_b", "dist"))
+    return SparkFrame(out)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

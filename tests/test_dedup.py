@@ -211,3 +211,45 @@ def test_skew_safe_dedup_matches_default(spark):
     # the normalized mass-duplicate family collapses to its min id
     assert (0,) == tuple(r[0] for r in safe.collect()
                          if "same" in r[1])[:1]
+
+
+def test_edit_distance_join_pairs_and_blocking(spark):
+    from cl_data_frame_spark.operators import dedup as X
+    rows = [(1, "kitten"), (2, "sitten"), (3, "sittin"),
+            (4, "kitten!"), (5, "dog"), (6, "completely-different")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in X.edit_distance_join(df, "id", "name", max_dist=1)
+           .spark_df.collect()}
+    # kitten~sitten (1 sub), sitten~sittin (1 sub), kitten~kitten! (1
+    # insert, crosses a length-band boundary -> probes the +-1 bucket)
+    assert out == {(1, 2): 1, (2, 3): 1, (1, 4): 1}
+
+
+def test_edit_distance_join_matches_naive(spark):
+    """Bucket-grid candidates must find exactly the naive quadratic
+    result (soundness of the length-band blocking)."""
+    from cl_data_frame_spark.operators import dedup as X
+    import itertools
+    names = ["alpha", "alphb", "alpha1", "beta", "betta", "bet",
+             "gamma", "gamm", "gamma12", "delta"]
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = sorted((r["id_a"], r["id_b"], r["dist"])
+                 for r in X.edit_distance_join(df, "id", "name",
+                                               max_dist=2)
+                 .spark_df.collect())
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = sorted((i, j, lev(a, b))
+                  for (i, a), (j, b) in itertools.combinations(rows, 2)
+                  if lev(a, b) <= 2)
+    assert got == want

@@ -27,16 +27,19 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "s_merge_upsert": [4],          # +scd2 +incr +diff
     "s_window_range_trailing": [4],  # +zscore
     "s_time_rollup": [4],           # +resample
-    "s_funnel": [4],                # +retention
+    "s_funnel": [4, 5],             # r4 +retention; r5 +attribution
     "s_approx_sketches": [4],       # +theta +kll +freq
     "x_dedup": [4],                 # +spans +selfspans
     "x_embed_neardup": [4, 5],      # r4 +semdedup; r5 sqrt(n) centroids + norms
-    "x_hash_sampling": [4],         # +weighted
+    "x_hash_sampling": [4, 5],      # r4 +weighted; r5 +mix
     "x_curation_scrub": [4],        # +expect
     "s_source_roundtrip": [4],      # +zorder
     "x_cosine_search": [5],         # +ann_lsh (moved from x_probes_rows_only)
     "x_probes_rows_only": [5],      # -ann_lsh
     "x_cluster_assign": [5],        # kmeans_fit input persist
+    "x_bm25": [5],                  # +phrase +postings
+    "x_embed_quantize": [5],        # +pq
+    "x_dedup_clusters": [5],        # +pagerank
 }
 
 
@@ -49,6 +52,10 @@ def main() -> None:
     def load(p):
         with open(p) as f:
             d = json.load(f)
+        # driver-recorded BENCH_r{N}.json wraps bench.py's JSON line
+        # under "parsed"; a raw bench.py line has "queries" at top level
+        if "parsed" in d and isinstance(d["parsed"], dict):
+            d = d["parsed"]
         return d.get("queries", {}), d.get("value")
 
     def round_of(p):
