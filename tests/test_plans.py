@@ -224,3 +224,48 @@ def test_incremental_merge_plan_has_single_agg_over_union(spark):
     part = incremental_agg_build(df, "k", ["v"]).spark_df
     p = _plan(incremental_agg_merge(part, part, "k", ["v"]).spark_df)
     assert "Union" in p
+
+
+def test_phrase_search_is_scan_side_zero_shuffle(spark, sf_dir):
+    """The in-row adjacency scan must plan as a pruned parquet read with
+    NO Exchange anywhere — the whole query is narrow."""
+    from cl_data_frame_spark.operators.textstats import phrase_search
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(phrase_search(docs, "fast table").spark_df)
+    assert "Exchange" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_mixture_sample_broadcasts_thresholds(spark, sf_dir):
+    """Rates join back onto the scan as a broadcast; the data side must
+    not shuffle (only the tiny sizes aggregation exchanges)."""
+    from cl_data_frame_spark.operators.sampling import mixture_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _plan(mixture_sample(docs, "doc_id", "lang",
+                             {"en": 0.5, "de": 0.5},
+                             budget=100).spark_df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pq_encode_zero_shuffle_staged_projections(spark, sf_dir):
+    """PQ encoding is narrow (no Exchange) and keeps its distance
+    arrays in separate projection stages (multi-use columns must not be
+    inlined by CollapseProject, which would re-run each fold 3x)."""
+    from cl_data_frame_spark.operators.similarity import pq_encode
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = _plan(pq_encode(emb, dim=64).spark_df)
+    assert "Exchange" not in p
+    assert p.count("Project") >= 2
+
+
+def test_edit_distance_join_single_bucket_exchange_pair(spark):
+    """The length-band fuzzy join must plan as an equi-join on the
+    bucket key (hash-partitionable both sides), not a cartesian or
+    broadcast-nested-loop."""
+    from cl_data_frame_spark.operators.dedup import edit_distance_join
+    df = spark.createDataFrame(
+        [(i, f"name{i:04d}") for i in range(200)], ["id", "nm"])
+    p = _plan(edit_distance_join(df, "id", "nm").spark_df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
