@@ -1076,7 +1076,7 @@ def q_s_merge_upsert(spark, sf_dir):
         SparkFrame(_t(spark, sf_dir, "orders").select(
             "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")),
         "o_custkey", "o_orderdate", ["o_orderstatus"],
-        tiebreak_col="o_orderkey").spark_df
+        tiebreak_col="o_orderkey").spark_df.localCheckpoint(eager=False)
     b = _tag(hist, "scd2",
              F.col("o_custkey").cast("bigint").alias("k1"),
              F.col("version").cast("bigint").alias("k2"),
@@ -1137,18 +1137,53 @@ def q_s_merge_upsert(spark, sf_dir):
                          F.coalesce("new_fp", F.lit(""))).alias("s1"),
              _BNULL().alias("vf"), _BNULL().alias("vt"),
              F.lit(None).cast("int").alias("cur"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # point-in-time lookup: each customer's status version valid at the
+    # probe instant, straight off the checkpointed SCD2 history
+    probe_ts = F.lit("1998-06-15 00:00:00").cast(hist.schema["valid_from"].dataType)
+    probes = (hist.select("o_custkey").distinct()
+              .withColumn("__pts__", probe_ts))
+    pit = R.scd2_lookup(hist, probes, "o_custkey", "__pts__").spark_df
+    e = _tag(pit, "pit",
+             F.col("o_custkey").cast("bigint").alias("k1"),
+             F.col("version").cast("bigint").alias("k2"),
+             _DNULL().alias("v"),
+             F.col("o_orderstatus").alias("s1"),
+             F.unix_micros(F.col("valid_from").cast("timestamp"))
+             .alias("vf"),
+             F.unix_micros(F.col("valid_to").cast("timestamp"))
+             .alias("vt"),
+             F.col("is_current").cast("int").alias("cur"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_s_sessionize(spark, sf_dir):
-    """Batch sessionization of the events stream (30-minute gap)."""
+    """Behavioral sequence analytics: 30-minute-gap sessionization +
+    first-order Markov event-transition matrix, one tagged union (both
+    are one lag-window pass over the same user-keyed shuffle)."""
     ev = _f(spark, sf_dir, "events")
-    out = R.sessionize(ev, gap_minutes=30.0)
-    return out.spark_df.select(
+    ses = R.sessionize(ev, gap_minutes=30.0).spark_df.select(
         "user_id", "session_id",
         F.unix_micros("session_start").alias("start_us"),
         F.unix_micros("session_end").alias("end_us"),
         "n_events")
+    a = _tag(ses, "sessions",
+             F.col("user_id").cast("bigint").alias("i1"),
+             F.col("session_id").cast("bigint").alias("i2"),
+             F.col("start_us").cast("bigint").alias("i3"),
+             F.col("end_us").cast("bigint").alias("i4"),
+             F.col("n_events").cast("bigint").alias("n"),
+             _SNULL().alias("s1"), _SNULL().alias("s2"),
+             _DNULL().alias("d1"))
+    tr = R.event_transitions(ev).spark_df
+    b = _tag(tr, "transitions",
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _BNULL().alias("i4"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("from_type").alias("s1"),
+             F.col("to_type").alias("s2"),
+             F.col("prob").cast("double").alias("d1"))
+    return a.unionByName(b)
 
 
 def q_x_chunk_documents(spark, sf_dir):
@@ -2415,8 +2450,9 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_skew_udaf": ["salted", "udaf", "grouped_map"],
     "s_functions": ["scalar", "collection"],
     "s_source_roundtrip": ["roundtrip", "zorder"],
-    "s_merge_upsert": ["merge", "scd2", "incr", "diff"],
+    "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit"],
     "s_funnel": ["funnel", "retention", "attribution"],
+    "s_sessionize": ["sessions", "transitions"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq"],
     "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
                 "chisq", "freq", "bins", "outliers"],
@@ -3080,6 +3116,32 @@ _ORACLES: dict[str, str] = {
                    epoch_us(lead(ts) OVER w2)::BIGINT AS vt,
                    (lead(ts) OVER w2 IS NULL)::INT AS cur
             FROM kept WINDOW w2 AS (PARTITION BY k ORDER BY ts, id))
+        UNION ALL
+        SELECT 'pit', k1, k2, NULL::DOUBLE AS v, s1, vf, vt, cur FROM (
+            WITH flg2 AS (
+                SELECT o_custkey AS k, o_orderdate AS ts,
+                       o_orderkey AS id, o_orderstatus AS st,
+                       CASE WHEN lag(o_orderdate) OVER w IS NULL
+                                 OR o_orderstatus IS DISTINCT FROM
+                                    lag(o_orderstatus) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)),
+            kept2 AS (SELECT * FROM flg2 WHERE chg = 1),
+            hist AS (
+                SELECT k::BIGINT AS k1,
+                       (row_number() OVER w2)::BIGINT AS k2,
+                       st AS s1,
+                       epoch_us(ts)::BIGINT AS vf,
+                       epoch_us(lead(ts) OVER w2)::BIGINT AS vt,
+                       (lead(ts) OVER w2 IS NULL)::INT AS cur
+                FROM kept2 WINDOW w2 AS (PARTITION BY k
+                                         ORDER BY ts, id))
+            SELECT k1, k2, s1, vf, vt, cur FROM hist
+            WHERE vf <= epoch_us(TIMESTAMP '1998-06-15')
+              AND (vt IS NULL
+                   OR epoch_us(TIMESTAMP '1998-06-15') < vt))
         UNION ALL
         SELECT 'incr', o_custkey::BIGINT AS k1, count(*)::BIGINT AS k2,
                (sum(o_totalprice::DECIMAL(28,6)))::DOUBLE AS v,
@@ -4041,6 +4103,34 @@ _ORACLES["s_window_range_trailing"] = _union(
           "ts_us::BIGINT AS ts_us, roll_mean::DOUBLE AS d1, "
           "roll_std::DOUBLE AS d2, zscore::DOUBLE AS d3, "
           "is_anomaly::BIGINT AS i1"))
+
+_SESS_NULLS_A = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, "
+                 "NULL::BIGINT AS i3, NULL::BIGINT AS i4")
+
+_ORACLES["s_transitions"] = """
+    WITH p AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events),
+    c AS (SELECT from_type, to_type, count(*) AS n
+          FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n::BIGINT AS n,
+           round(n::DOUBLE /
+                 (sum(n) OVER (PARTITION BY from_type))::DOUBLE, 6)
+               AS prob
+    FROM c"""
+
+_SESS_BASE = _ORACLES["s_sessionize"]
+_ORACLES["s_sessionize"] = _union(
+    _wrap("sessions", _SESS_BASE,
+          "user_id::BIGINT AS i1, session_id::BIGINT AS i2, "
+          "start_us::BIGINT AS i3, end_us::BIGINT AS i4, "
+          "n_events::BIGINT AS n, NULL::VARCHAR AS s1, "
+          "NULL::VARCHAR AS s2, NULL::DOUBLE AS d1"),
+    _wrap("transitions", _ORACLES["s_transitions"],
+          _SESS_NULLS_A + ", n::BIGINT AS n, from_type AS s1, "
+          "to_type AS s2, prob::DOUBLE AS d1"))
 
 _ORACLES["s_attribution"] = """
     WITH w AS (

@@ -514,6 +514,72 @@ def scd2_build(changes, key_cols: Sequence[str] | str, ts_col: str,
     return SparkFrame(out)
 
 
+def scd2_lookup(history, probes, key_cols: Sequence[str] | str,
+                probe_ts_col: str, vf_col: str = "valid_from",
+                vt_col: str = "valid_to") -> SparkFrame:
+    """Point-in-time dimension lookup against an SCD2 history (the
+    output shape of ``scd2_build``): each probe row joins the ONE
+    version whose validity interval contains its timestamp —
+    ``valid_from <= t`` and (``valid_to`` IS NULL or ``t < valid_to``),
+    i.e. intervals are closed-open, matching ``scd2_build``'s
+    ``valid_to = next change``.
+
+    This is the warehouse "as-of" join for fact enrichment: facts pick
+    up the dimension attributes as they were at fact time, not as they
+    are now.
+
+    Plan: hash equi-join on the key with the validity predicate as a
+    join residual — versions per key are few, so the interval resolves
+    inside the join's matches; no bucket grid or window needed. Both
+    sides co-partition on the key; at 100 TB the history side is
+    usually small enough to broadcast.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = _plain(history)
+    p = _plain(probes)
+    t = F.col(probe_ts_col)
+    cond = None
+    for k in keys:
+        c = p[k] == h[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (t >= h[vf_col]) \
+        & (h[vt_col].isNull() | (t < h[vt_col]))
+    out = p.join(h, cond).drop(*[h[k] for k in keys])
+    return SparkFrame(out)
+
+
+def event_transitions(frame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> SparkFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) pair of CONSECUTIVE events
+    of the same user, the transition count and the row-normalized
+    probability ``P(to | from)``.
+
+    Output: (from_type, to_type, n, prob), prob rounded to 6.
+
+    Plan: one lag-window pass (raw events shuffle once on the user
+    key), a partial+final hash aggregation down to ≤ #types² rows, and
+    the normalizing totals as a window sum over that tiny table.
+    Ordering ties break on the event id, so the chain — and therefore
+    the matrix — is a deterministic function of the data.
+    """
+    sdf = _plain(frame)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col(id_col).asc())
+    pairs = (sdf.select(F.lag(type_col).over(w).alias("from_type"),
+                        F.col(type_col).alias("to_type"))
+             .filter(F.col("from_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    out = counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / tot.cast("double"), 6)
+        .alias("prob"))
+    return SparkFrame(out)
+
+
 def scd2_apply(history, updates, key_cols: Sequence[str] | str, ts_col: str,
                attr_cols: Sequence[str]) -> SparkFrame:
     """Apply a batch of new change rows to an existing SCD2 ``history``

@@ -354,3 +354,68 @@ def test_conversion_attribution_tie_breaks_on_event_id(spark):
                                       "event_type"])
     row = R.conversion_attribution(df).spark_df.collect()[0]
     assert row["first_touch_id"] == 10 and row["last_touch_id"] == 11
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from cl_data_frame_spark.operators import relational as R
+    import datetime as dt
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), 10, "A"),
+         (1, dt.datetime(2020, 6, 1), 11, "B"),
+         (1, dt.datetime(2021, 1, 1), 12, "C"),
+         (2, dt.datetime(2020, 3, 1), 13, "X")],
+        ["k", "ts", "id", "attr"])
+    hist = R.scd2_build(changes, "k", "ts", ["attr"],
+                        tiebreak_col="id").spark_df
+    probes = spark.createDataFrame(
+        [(1, dt.datetime(2020, 7, 15)),   # inside version B
+         (1, dt.datetime(2020, 6, 1)),    # boundary: valid_from inclusive
+         (1, dt.datetime(2019, 1, 1)),    # before history -> no match
+         (2, dt.datetime(2030, 1, 1))],   # open current version
+        ["k", "pts"])
+    out = [(r["k"], r["pts"], r["attr"])
+           for r in R.scd2_lookup(hist, probes, "k", "pts")
+           .spark_df.collect()]
+    got = sorted(out)
+    assert got == sorted([
+        (1, __import__("datetime").datetime(2020, 7, 15), "B"),
+        (1, __import__("datetime").datetime(2020, 6, 1), "B"),
+        (2, __import__("datetime").datetime(2030, 1, 1), "X")])
+
+
+def test_scd2_lookup_valid_to_exclusive(spark):
+    from cl_data_frame_spark.operators import relational as R
+    import datetime as dt
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), 1, "old"),
+         (1, dt.datetime(2021, 1, 1), 2, "new")],
+        ["k", "ts", "id", "attr"])
+    hist = R.scd2_build(changes, "k", "ts", ["attr"],
+                        tiebreak_col="id").spark_df
+    probes = spark.createDataFrame(
+        [(1, dt.datetime(2021, 1, 1))], ["k", "pts"])
+    out = R.scd2_lookup(hist, probes, "k", "pts").spark_df.collect()
+    # exactly ONE version matches at the boundary: closed-open intervals
+    assert len(out) == 1 and out[0]["attr"] == "new"
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from cl_data_frame_spark.operators import relational as R
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {1: ["a", "b", "a", "b"], 2: ["a", "b", "c"], 3: ["c"]}
+    rows = []
+    eid = 0
+    for u, types in seqs.items():
+        for i, ty in enumerate(types):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, ty))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"])
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+           for r in R.event_transitions(df).spark_df.collect()}
+    # transitions: u1 a>b, b>a, a>b; u2 a>b, b>c; u3 none
+    assert out[("a", "b")] == (3, 1.0)
+    assert out[("b", "a")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 0.5)
+    assert len(out) == 3
