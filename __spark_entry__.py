@@ -1514,8 +1514,16 @@ def q_r_summary_all(spark, sf_dir):
     sb = flagged.column_summary("high_disc")
     rows += [("bits", "length", sb.length, None),
              ("bits", "ones", sb.count, None)]
-    return spark.createDataFrame(
+    lit_rows = spark.createDataFrame(
         rows, "part string, k string, v_i bigint, v_d double")
+    from cl_data_frame_spark.summary import equi_width_histogram
+    hist = equi_width_histogram(fr.spark_df, "l_extendedprice",
+                                n_bins=10)
+    h = hist.select(F.lit("hist").alias("part"),
+                    F.col("bin").cast("string").alias("k"),
+                    F.col("n").cast("bigint").alias("v_i"),
+                    F.col("lo").cast("double").alias("v_d"))
+    return lit_rows.unionByName(h)
 
 
 def q_r_select_positional(spark, sf_dir):
@@ -3514,7 +3522,21 @@ _ORACLES["r_summary_all"] = """
     UNION ALL SELECT 'bits', 'length', count(*)::BIGINT, NULL FROM lineitem
     UNION ALL SELECT 'bits', 'ones',
         sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT, NULL
-        FROM lineitem"""
+        FROM lineitem
+    UNION ALL SELECT 'hist', bin::VARCHAR, n::BIGINT, lo::DOUBLE FROM (
+        WITH b AS (SELECT min(l_extendedprice) AS mn,
+                          max(l_extendedprice) AS mx FROM lineitem),
+        h AS (SELECT (CASE WHEN mx > mn
+                           THEN least(floor((l_extendedprice - mn)
+                                            / ((mx - mn) / 10.0)), 9)
+                           ELSE 0 END)::BIGINT AS bin, mn, mx
+              FROM lineitem CROSS JOIN b),
+        g AS (SELECT bin, count(*) AS n, min(mn) AS mn, min(mx) AS mx
+              FROM h GROUP BY bin)
+        SELECT bin,
+               round(mn + bin::DOUBLE * ((mx - mn) / 10.0), 6) AS lo,
+               n
+        FROM g)"""
 
 _ORACLES["r_select_positional"] = _union(
     _wrap("columns_select", _ORACLES["r_columns_select"],

@@ -170,6 +170,42 @@ def column_summary(frame, key: str, approximate: bool = False):
                           quantiles=quantiles, n_distinct=stats["nd"])
 
 
+def equi_width_histogram(frame, key: str, n_bins: int = 10):
+    """Equi-width histogram of a numeric column — the distribution view
+    the reference's quantile summary (cl-data-frame.lisp:63-90) implies
+    but never materializes. Output: one row per NON-EMPTY bin with
+    (bin, lo, hi, n); bin width is ``(max − min) / n_bins`` and the top
+    bin is closed (the max value clamps into bin ``n_bins − 1``).
+
+    Plan: one tiny min/max aggregation broadcast back onto the scan,
+    then a partial+final count aggregation to ≤ n_bins rows — two scans,
+    no data shuffle. All bounds arithmetic is a fixed double-op chain
+    over the exact min/max, so bins and edges are engine-reproducible.
+    Degenerate column (min == max) lands everything in bin 0.
+    """
+    sdf = frame.spark_df if hasattr(frame, "spark_df") else frame
+    b = sdf.agg(F.min(key).alias("__mn__"), F.max(key).alias("__mx__"))
+    j = sdf.select(key).crossJoin(F.broadcast(b))
+    nb = F.lit(float(n_bins))
+    width = (F.col("__mx__") - F.col("__mn__")) / nb
+    bin_ = (F.when(F.col("__mx__") > F.col("__mn__"),
+                   F.least(F.floor((F.col(key) - F.col("__mn__"))
+                           / width),
+                           F.lit(n_bins - 1)))
+            .otherwise(F.lit(0))).cast("long")
+    agg = (j.withColumn("__bin__", bin_)
+           .groupBy("__bin__")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("__mn__").alias("__mn__"),
+                F.min("__mx__").alias("__mx__")))
+    w2 = (F.col("__mx__") - F.col("__mn__")) / nb
+    lo = F.col("__mn__") + F.col("__bin__").cast("double") * w2
+    return agg.select(F.col("__bin__").alias("bin"),
+                      F.round(lo, 6).alias("lo"),
+                      F.round(lo + w2, 6).alias("hi"),
+                      F.col("n"))
+
+
 def frame_repr(frame) -> str:
     """Printable representation with the reference's summarization threshold
     (print-object, cl-data-frame.lisp:463-476)."""

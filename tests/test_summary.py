@@ -84,3 +84,22 @@ def test_print_threshold(spark):
     assert "[1, 2, 3]" in repr(small)
     big = df(spark, "a", [float(i) for i in range(50)])
     assert "reals" in repr(big)
+
+
+def test_equi_width_histogram_bins_and_edges(spark):
+    from cl_data_frame_spark.summary import equi_width_histogram
+    df = spark.createDataFrame([(float(x),) for x in range(10)], ["v"])
+    out = {r["bin"]: r for r in
+           equi_width_histogram(df, "v", n_bins=5).collect()}
+    # range [0, 9], width 1.8: bins 0..4 get 2 each; max clamps to bin 4
+    assert {b: out[b]["n"] for b in out} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+    assert out[0]["lo"] == 0.0 and out[0]["hi"] == 1.8
+    assert out[4]["hi"] == 9.0
+
+
+def test_equi_width_histogram_degenerate_column(spark):
+    from cl_data_frame_spark.summary import equi_width_histogram
+    df = spark.createDataFrame([(5.0,)] * 7, ["v"])
+    out = equi_width_histogram(df, "v", n_bins=4).collect()
+    assert len(out) == 1
+    assert out[0]["bin"] == 0 and out[0]["n"] == 7
