@@ -171,8 +171,12 @@ def main() -> None:
                           file=sys.stderr)
                 finally:
                     spark.catalog.clearCache()
+            # parts run STANDALONE: each re-pays any shared
+            # localCheckpoint'd substrate the composite computes once,
+            # so parts-sum > entry means the sharing is saving that much
             print(f"[bench]   {name} parts-sum: {psum:.2f}s "
-                  f"(entry {dt:.2f}s)", file=sys.stderr)
+                  f"(entry {dt:.2f}s, sharing saves "
+                  f"{max(psum - dt, 0):.2f}s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
