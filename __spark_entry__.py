@@ -2191,17 +2191,29 @@ def q_s_stats(spark, sf_dir):
     grouped OLS regression + crosstab + chi-square cells + exact
     frequent items in one tagged union.
 
-    Shared-pass layout: ONE decimal moment aggregation over lineitem
-    (``moment_sums``, localCheckpoint'd) feeds the 'moments',
-    'corrmatrix' (global sums = exact re-aggregation of the per-flag
-    sums), and 'regression' branches; ONE crosstab aggregation
-    (localCheckpoint'd) feeds 'crosstab' and — via a 2-struct explode
-    unpivot — the 'chisq' cells. So eight statistical parts cost four
-    lineitem scans total (moments, crosstab, fused percentile stats,
-    bin labeling) plus the part-table freq pass."""
+    Shared-pass layout: ONE mega-aggregation over lineitem (grouped by
+    returnflag, localCheckpoint'd) computes the percentile array, all
+    decimal moment sums, AND the crosstab conditional counts in a
+    single scan+shuffle; every statistical branch derives from that
+    tiny table — 'moments'/'regression' directly, 'corrmatrix' via
+    exact decimal re-aggregation to global sums, 'crosstab'/'chisq'
+    from the count columns, 'bins'/'outliers' by broadcasting the
+    percentile slice back for the one labeling pass. Eight statistical
+    parts, TWO lineitem scans total (stats pass + bin labeling) plus
+    the part-table freq pass."""
     li = _t(spark, sf_dir, "lineitem")
-    sums = (STAT.moment_sums(li, _STATS_COLS, by=["l_returnflag"])
-            .spark_df.localCheckpoint(eager=False))
+    probs = STAT.quantile_bins_percentile_probs(n_bins=4)
+    mega = (li.groupBy("l_returnflag")
+            .agg(F.percentile(F.col("l_extendedprice"),
+                              F.array(*[F.lit(p) for p in probs]))
+                 .alias("__p__"),
+                 *STAT.moment_agg_exprs(_STATS_COLS),
+                 F.sum(F.when(F.col("l_linestatus") == "F", 1)
+                       .otherwise(0)).cast("long").alias("n_F"),
+                 F.sum(F.when(F.col("l_linestatus") == "O", 1)
+                       .otherwise(0)).cast("long").alias("n_O"))
+            .localCheckpoint(eager=False))
+    sums = mega
     a = _tag(STAT.moment_stats_from_sums(
                  sums, _STATS_COLS, "l_quantity", "l_extendedprice",
                  by=["l_returnflag"]).spark_df, "moments",
@@ -2231,7 +2243,7 @@ def q_s_stats(spark, sf_dir):
              F.col("intercept").cast("double").alias("d2"),
              F.col("r2").cast("double").alias("d3"),
              _DNULL().alias("d4"))
-    ct = q_s_crosstab(spark, sf_dir).localCheckpoint(eager=False)
+    ct = mega.select("l_returnflag", "n_F", "n_O")
     b = _tag(ct, "crosstab",
              F.col("l_returnflag").alias("s1"),
              F.col("n_F").cast("bigint").alias("i1"),
@@ -2268,8 +2280,9 @@ def q_s_stats(spark, sf_dir):
     # union read it instead of re-running the scan (round-4 verdict: the
     # two independent exact-percentile passes were the entry's cost)
     li = _t(spark, sf_dir, "lineitem")
-    both = STAT.quantile_bins_outliers(li, "l_extendedprice", n_bins=4,
-                                       by=["l_returnflag"]).spark_df
+    both = STAT.quantile_bins_outliers(
+        li, "l_extendedprice", n_bins=4, by=["l_returnflag"],
+        stats=mega.select("l_returnflag", "__p__")).spark_df
     per_bin = (both.groupBy("l_returnflag", "bin")
                .agg(F.count(F.lit(1)).alias("n"),
                     _dec_sum("l_extendedprice").alias("sum_price"),

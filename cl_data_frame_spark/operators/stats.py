@@ -91,14 +91,22 @@ def moment_sums(frame, cols: list[str], by: list[str] | None = None) -> SparkFra
     statistics can be derived from per-group sums without rescanning.
     """
     sdf = _plain(frame)
+    grouped = sdf.groupBy(*(by or [])).agg(*moment_agg_exprs(cols))
+    return SparkFrame(grouped)
+
+
+def moment_agg_exprs(cols: list[str]) -> list[Column]:
+    """The aggregate expressions behind ``moment_sums`` — exposed so a
+    caller can FUSE the moment pass into a wider single aggregation
+    (e.g. one groupBy computing percentiles + moments + crosstab counts
+    in one scan) and still feed every ``*_from_sums`` derivation."""
     dec = {c: _dec(c, 2) for c in cols}
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, ci in enumerate(cols):
         aggs.append(F.sum(dec[ci]).alias(f"s_{i}"))
         for j in range(i, len(cols)):
             aggs.append(F.sum(dec[ci] * dec[cols[j]]).alias(f"s_{i}_{j}"))
-    grouped = sdf.groupBy(*(by or [])).agg(*aggs)
-    return SparkFrame(grouped)
+    return aggs
 
 
 def _pair_exprs(i: int, j: int):
@@ -363,9 +371,18 @@ def iqr_outliers(frame, col: str, by: list[str] | None = None,
     return SparkFrame(out)
 
 
+def quantile_bins_percentile_probs(n_bins: int = 4) -> list[float]:
+    """The probability layout ``quantile_bins_outliers`` aggregates:
+    bin cutpoints ``i/n_bins`` followed by the Tukey quartiles
+    (0.25, 0.75) — for callers precomputing the ``__p__`` array inside
+    a wider fused aggregation."""
+    return [i / n_bins for i in range(1, n_bins)] + [0.25, 0.75]
+
+
 def quantile_bins_outliers(frame, col: str, n_bins: int = 4,
                            by: list[str] | None = None, k: float = 1.5,
-                           output_col: str = "bin") -> SparkFrame:
+                           output_col: str = "bin",
+                           stats=None) -> SparkFrame:
     """Fused ``quantile_bins`` + ``iqr_outliers``: ONE exact-percentile
     aggregation computes both the bin cutpoints (``i/n_bins``) and the
     Tukey quartiles (0.25/0.75) per group, broadcast back once — so a
@@ -377,13 +394,22 @@ def quantile_bins_outliers(frame, col: str, n_bins: int = 4,
     ``percentile(col, array(...))`` interpolates each probability
     independently, so the shared array yields the identical cutpoint and
     quartile doubles the separate operators produce.
+
+    *stats*: optional precomputed table (by-cols + ``__p__`` laid out
+    per ``quantile_bins_percentile_probs(n_bins)``) — lets a caller
+    fuse this operator's percentile aggregation into a wider one-scan
+    aggregate (moments, crosstab counts, …) and skip the scan here.
     """
     sdf = _plain(frame)
     bin_probs = [i / n_bins for i in range(1, n_bins)]
     probs = bin_probs + [0.25, 0.75]
-    agg = F.percentile(F.col(col),
-                       F.array(*[F.lit(p) for p in probs])).alias("__p__")
-    stats = sdf.groupBy(*by).agg(agg) if by else sdf.agg(agg)
+    if stats is None:
+        agg = F.percentile(
+            F.col(col),
+            F.array(*[F.lit(p) for p in probs])).alias("__p__")
+        stats = sdf.groupBy(*by).agg(agg) if by else sdf.agg(agg)
+    else:
+        stats = _plain(stats)
     joined = (sdf.join(F.broadcast(stats), on=by) if by
               else sdf.crossJoin(F.broadcast(stats)))
     nb = len(bin_probs)

@@ -90,7 +90,10 @@ def test_cosine_topk_no_shuffle(spark, sf_dir):
 #: attach (inside x_term_weights)
 # BNLJ only where it IS the design: broadcast interval probes and 1-row
 # corpus-scalar crossJoins (tf-idf N, bm25 N/avgdl)
-_BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights", "x_bm25"}
+#: entries whose BroadcastNestedLoopJoin is the one-row scalar-broadcast
+#: pattern (corpus stats, min/max bounds) — constant cost at any scale
+_BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights", "x_bm25",
+            "r_summary_all"}
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
