@@ -1957,7 +1957,16 @@ def q_x_hash_sampling(spark, sf_dir):
              _SNULL().alias("split"),
              F.col("n_kept").cast("bigint").alias("n"),
              F.col("chars_kept").cast("bigint").alias("i2"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # deterministic k-per-group sample: exactly 8 docs per language in a
+    # fixed md5-derived order
+    pg = SAMP.per_group_sample(_t(spark, sf_dir, "documents"),
+                               "doc_id", "lang", k=8).spark_df
+    e = _tag(pg, "pergroup",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             F.col("lang").alias("lang"), _SNULL().alias("split"),
+             _BNULL().alias("n"), _BNULL().alias("i2"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_x_chunk_pack(spark, sf_dir):
@@ -2484,7 +2493,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
     "x_cluster_assign": ["ivf", "kmeans"],
     "x_term_weights": ["tfidf", "count_vectorize"],
-    "x_hash_sampling": ["sample", "split", "weighted", "mix"],
+    "x_hash_sampling": ["sample", "split", "weighted", "mix",
+                        "pergroup"],
     "x_bm25": ["bm25", "phrase", "postings"],
     "x_embed_quantize": ["int8", "pq"],
     "x_dedup_clusters": ["cc", "pagerank"],
@@ -4064,7 +4074,20 @@ _ORACLES["x_hash_sampling"] = _union(
           "NULL::BIGINT AS n, NULL::BIGINT AS i2"),
     _wrap("mix", _ORACLES["x_mixture_sample"],
           "NULL::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
-          "n_kept::BIGINT AS n, chars_kept::BIGINT AS i2"))
+          "n_kept::BIGINT AS n, chars_kept::BIGINT AS i2"),
+    _wrap("pergroup", """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),
+                                                1, 8))::UBIGINT % 10000
+                                    ASC,
+                                doc_id ASC) AS rk
+            FROM documents)
+        WHERE rk <= 8""",
+          "doc_id::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
+          "NULL::BIGINT AS n, NULL::BIGINT AS i2"))
 
 _ORACLES["x_chunk_pack"] = _union(
     _wrap("chunk", _ORACLES["x_chunk_documents"],

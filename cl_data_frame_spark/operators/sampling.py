@@ -179,6 +179,30 @@ def mixture_sample(frame, id_col: str, domain_col: str,
     return SparkFrame(out)
 
 
+def per_group_sample(frame, id_col: str, group_col: str, k: int,
+                     salt: str = "") -> SparkFrame:
+    """Deterministic k-per-group sample (the reproducible replacement
+    for per-group reservoir sampling): rank each group's rows by
+    ``(md5-bucket(id || salt), id)`` — a uniform but FIXED order — and
+    keep the first *k*. Same rows every run, on every engine; different
+    *salt* draws an independent sample.
+
+    Plan: one hash shuffle on the group key + in-partition rank; the
+    filter keeps ≤ k rows per group, so downstream stages see a bounded
+    result regardless of group skew. (A group with fewer than k rows
+    keeps them all.)
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash_bucket(F.col(id_col), salt).asc(),
+                  F.col(id_col).asc()))
+    out = (sdf.withColumn("__rk__", F.row_number().over(w))
+           .filter(F.col("__rk__") <= k)
+           .drop("__rk__"))
+    return SparkFrame(out)
+
+
 def weighted_sample(frame, id_col: str, weight_col: str, k: int,
                     salt: str = "") -> SparkFrame:
     """Deterministic weighted sampling WITHOUT replacement (top-k of the

@@ -378,3 +378,22 @@ def test_mixture_sample_size_weighted_budget(spark):
     # a holds 1000 units -> rate 0.05; b holds 100 units -> rate 0.5
     assert abs(rates["a"] - 0.05) < 1e-12
     assert abs(rates["b"] - 0.5) < 1e-12
+
+
+def test_per_group_sample_exact_k_and_deterministic(spark):
+    from cl_data_frame_spark.operators import sampling as SAMP
+    rows = [(i, "a") for i in range(50)] + [(i + 100, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    one = sorted(r["id"] for r in SAMP.per_group_sample(
+        df, "id", "g", k=5).spark_df.collect())
+    two = sorted(r["id"] for r in SAMP.per_group_sample(
+        df, "id", "g", k=5).spark_df.collect())
+    assert one == two
+    per = {}
+    for i in one:
+        per.setdefault("a" if i < 100 else "b", []).append(i)
+    assert len(per["a"]) == 5      # capped
+    assert len(per["b"]) == 3      # short group keeps all
+    other = sorted(r["id"] for r in SAMP.per_group_sample(
+        df, "id", "g", k=5, salt="x").spark_df.collect())
+    assert other != one            # independent draw under a new salt
