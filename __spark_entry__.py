@@ -973,7 +973,20 @@ def q_s_approx_sketches(spark, sf_dir):
              F.col("rank").cast("bigint").alias("i3"),
              _DNULL().alias("d1"), _DNULL().alias("d2"),
              _DNULL().alias("d3"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # theta set algebra: en-vs-de overlap of the bounded char-bucket
+    # domain (both slices < 2^lg_k -> every estimate exact)
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", (F.col("n_chars") % 97).alias("cb"))
+    so = SK.theta_set_ops(docs, "cb", "lang", "en", "de").spark_df
+    e = _tag(so, "setops",
+             F.lit("en~de").alias("g"),
+             F.col("n_a").alias("i1"), F.col("n_b").alias("i2"),
+             F.col("n_union").alias("i3"),
+             F.col("n_intersect").cast("double").alias("d1"),
+             F.col("n_diff").cast("double").alias("d2"),
+             _DNULL().alias("d3"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_s_funnel(spark, sf_dir):
@@ -2483,7 +2496,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions"],
-    "s_approx_sketches": ["hll", "theta", "kll", "freq"],
+    "r_summary_all": ["quantiles", "freq", "bits", "hist"],
+    "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
                 "chisq", "freq", "bins", "outliers"],
     "s_window_range_trailing": ["trailing", "zscore"],
@@ -3689,7 +3703,23 @@ _ORACLES["s_approx_sketches"] = _union(
           "q75::DOUBLE AS d3"),
     _wrap("freq", _ORACLES["s_frequent_items"],
           "l_returnflag AS g, l_partkey::BIGINT AS i1, cnt::BIGINT AS i2, "
-          f"rank::BIGINT AS i3, {_SKETCH_NULLS_D}"))
+          f"rank::BIGINT AS i3, {_SKETCH_NULLS_D}"),
+    _wrap("setops", """
+        WITH a AS (SELECT DISTINCT n_chars % 97 AS cb FROM documents
+                   WHERE lang = 'en'),
+        b AS (SELECT DISTINCT n_chars % 97 AS cb FROM documents
+              WHERE lang = 'de')
+        SELECT (SELECT count(*) FROM a) AS n_a,
+               (SELECT count(*) FROM b) AS n_b,
+               (SELECT count(*) FROM (SELECT cb FROM a UNION
+                                      SELECT cb FROM b)) AS n_union,
+               (SELECT count(*) FROM (SELECT cb FROM a INTERSECT
+                                      SELECT cb FROM b)) AS n_intersect,
+               (SELECT count(*) FROM (SELECT cb FROM a EXCEPT
+                                      SELECT cb FROM b)) AS n_diff""",
+          "'en~de' AS g, n_a::BIGINT AS i1, n_b::BIGINT AS i2, "
+          "n_union::BIGINT AS i3, n_intersect::DOUBLE AS d1, "
+          "n_diff::DOUBLE AS d2, NULL::DOUBLE AS d3"))
 
 _Z_EXPR = " + ".join(
     f"(((l_{c} % 256) >> {i}) & 1) * {1 << (i * 2 + j)}"

@@ -137,6 +137,43 @@ def theta_distinct(frame, col: str, group_cols: Sequence[str] = (),
         "sketch"))
 
 
+def theta_set_ops(frame, col: str, split_col: str, a_value, b_value,
+                  lg_k: int = 12) -> SparkFrame:
+    """Set-cardinality algebra between two slices of a table via Theta
+    sketches: ``|A|, |B|, |A∪B|, |A∩B|, |A∖B|`` where A/B are the
+    distinct *col* values of rows with ``split_col == a_value`` /
+    ``b_value`` — the "how much does corpus A overlap corpus B"
+    question answered WITHOUT joining raw rows.
+
+    ONE scan builds both sketches (conditional ``theta_sketch_agg``
+    over CASE expressions — the agg skips NULLs); the set operations
+    run on the two sketch blobs. While each slice's cardinality stays
+    under the 2^lg_k retained hashes, every estimate is exact; beyond
+    that the error follows the Theta intersection bounds. At 100 TB
+    this is the mergeable pattern: per-partition sketches union first,
+    intersection last.
+    """
+    sdf = _plain(frame)
+
+    def side(v):
+        return F.expr(
+            f"theta_sketch_agg(CASE WHEN {split_col} = '{v}' "
+            f"THEN {col} END, {int(lg_k)})")
+
+    row = sdf.agg(side(a_value).alias("ska"), side(b_value).alias("skb"))
+    est = "theta_sketch_estimate"
+    out = row.select(
+        F.expr(f"{est}(ska)").cast("long").alias("n_a"),
+        F.expr(f"{est}(skb)").cast("long").alias("n_b"),
+        F.expr(f"{est}(theta_union(ska, skb))").cast("long")
+        .alias("n_union"),
+        F.expr(f"{est}(theta_intersection(ska, skb))").cast("long")
+        .alias("n_intersect"),
+        F.expr(f"{est}(theta_difference(ska, skb))").cast("long")
+        .alias("n_diff"))
+    return SparkFrame(out)
+
+
 def frequent_items(frame, col: str, k: int = 10,
                    group_cols: Sequence[str] = (),
                    candidate_limit: int | None = None) -> SparkFrame:

@@ -62,3 +62,26 @@ def test_frequent_items_candidate_prefilter_keeps_heavy_hitters(spark):
                                candidate_limit=8).spark_df.collect()
     assert [(r["k"], r["cnt"]) for r in exact] == \
         [(r["k"], r["cnt"]) for r in approx] == [("hot", 400)]
+
+
+def test_theta_set_ops_exact_in_range(spark):
+    from cl_data_frame_spark.operators import sketch as SK
+    rows = ([("a", v) for v in range(40)]            # A = 0..39
+            + [("b", v) for v in range(20, 70)])     # B = 20..69
+    df = spark.createDataFrame(rows, ["part", "v"])
+    r = SK.theta_set_ops(df, "v", "part", "a", "b").spark_df.collect()[0]
+    assert (r["n_a"], r["n_b"]) == (40, 50)
+    assert r["n_union"] == 70
+    assert r["n_intersect"] == 20
+    assert r["n_diff"] == 20      # A minus B = 0..19
+
+
+def test_theta_set_ops_disjoint_and_empty_slice(spark):
+    from cl_data_frame_spark.operators import sketch as SK
+    rows = [("a", 1), ("a", 2), ("b", 9)]
+    df = spark.createDataFrame(rows, ["part", "v"])
+    r = SK.theta_set_ops(df, "v", "part", "a", "b").spark_df.collect()[0]
+    assert r["n_intersect"] == 0 and r["n_union"] == 3
+    r2 = SK.theta_set_ops(df, "v", "part", "a", "zzz") \
+        .spark_df.collect()[0]
+    assert r2["n_b"] == 0 and r2["n_union"] == 2 and r2["n_diff"] == 2
