@@ -1589,14 +1589,33 @@ def q_s_join_agg(spark, sf_dir):
 
 
 def q_s_join_semi_anti(spark, sf_dir):
-    """Semi + anti joins (key-only probe side)."""
+    """Semi + anti joins (key-only probe side) + Bloom-filter semi
+    pre-filter (broadcast bitset, scan-side membership test; the
+    per-priority audit counts bloom-passing vs exact-semi rows, so the
+    false-positive overhead is part of the checked result)."""
     a = _tag(q_s_join_semi(spark, sf_dir), "semi",
              F.col("c_custkey").cast("bigint").alias("i1"),
-             F.col("c_name").alias("s1"))
+             F.col("c_name").alias("s1"), _BNULL().alias("i2"))
     b = _tag(q_s_join_anti(spark, sf_dir), "anti",
              F.col("c_custkey").cast("bigint").alias("i1"),
-             F.col("c_mktsegment").alias("s1"))
-    return a.unionByName(b)
+             F.col("c_mktsegment").alias("s1"), _BNULL().alias("i2"))
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000).select("c_custkey")
+    passed = R.bloom_semi_filter(orders, rich, "o_custkey",
+                                 build_key_col="c_custkey").spark_df
+    exact = orders.join(rich, orders["o_custkey"] == rich["c_custkey"],
+                        "left_semi")
+    audit = (passed.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_bloom"))
+             .join(exact.groupBy("o_orderpriority")
+                   .agg(F.count(F.lit(1)).alias("n_exact")),
+                   on="o_orderpriority"))
+    c = _tag(audit, "bloom",
+             F.col("n_bloom").cast("bigint").alias("i1"),
+             F.col("o_orderpriority").alias("s1"),
+             F.col("n_exact").cast("bigint").alias("i2"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_group_sets(spark, sf_dir):
@@ -2484,7 +2503,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "r_map_mutate": ["map_rows", "map_df", "add_replace",
                      "copy_isolation"],
     "s_join_agg": ["broadcast", "fact"],
-    "s_join_semi_anti": ["semi", "anti"],
+    "s_join_semi_anti": ["semi", "anti", "bloom"],
     "s_group_sets": ["rollup", "cube"],
     "s_set_ops": ["except", "intersect_union", "distinct"],
     "s_time_rollup": ["rollup", "resample"],
@@ -3603,11 +3622,51 @@ _ORACLES["s_join_agg"] = _union(
           "o_orderpriority AS k, n_items::BIGINT AS n, "
           "sum_revenue::DOUBLE AS v"))
 
+_ORACLES["s_bloom_semi"] = """
+    WITH bkeys AS (
+        SELECT DISTINCT c_custkey AS key FROM customer
+        WHERE c_acctbal > 9000),
+    bpos AS (
+        SELECT DISTINCT unnest([
+            ('0x' || substr(md5(key::VARCHAR || 'bloom0'), 1, 8))
+                ::UBIGINT % 8192,
+            ('0x' || substr(md5(key::VARCHAR || 'bloom1'), 1, 8))
+                ::UBIGINT % 8192,
+            ('0x' || substr(md5(key::VARCHAR || 'bloom2'), 1, 8))
+                ::UBIGINT % 8192])::BIGINT AS pos
+        FROM bkeys),
+    probe AS (
+        SELECT o_orderpriority, o_custkey,
+               (('0x' || substr(md5(o_custkey::VARCHAR || 'bloom0'),
+                                1, 8))::UBIGINT % 8192)::BIGINT AS p0,
+               (('0x' || substr(md5(o_custkey::VARCHAR || 'bloom1'),
+                                1, 8))::UBIGINT % 8192)::BIGINT AS p1,
+               (('0x' || substr(md5(o_custkey::VARCHAR || 'bloom2'),
+                                1, 8))::UBIGINT % 8192)::BIGINT AS p2
+        FROM orders),
+    passed AS (
+        SELECT o_orderpriority FROM probe
+        WHERE p0 IN (SELECT pos FROM bpos)
+          AND p1 IN (SELECT pos FROM bpos)
+          AND p2 IN (SELECT pos FROM bpos)),
+    exact AS (
+        SELECT o_orderpriority FROM orders
+        WHERE o_custkey IN (SELECT key FROM bkeys))
+    SELECT b.o_orderpriority, b.n_bloom, e.n_exact FROM
+        (SELECT o_orderpriority, count(*) AS n_bloom
+         FROM passed GROUP BY 1) b
+    JOIN (SELECT o_orderpriority, count(*) AS n_exact
+          FROM exact GROUP BY 1) e USING (o_orderpriority)"""
+
 _ORACLES["s_join_semi_anti"] = _union(
     _wrap("semi", _ORACLES["s_join_semi"],
-          "c_custkey::BIGINT AS i1, c_name AS s1"),
+          "c_custkey::BIGINT AS i1, c_name AS s1, NULL::BIGINT AS i2"),
     _wrap("anti", _ORACLES["s_join_anti"],
-          "c_custkey::BIGINT AS i1, c_mktsegment AS s1"))
+          "c_custkey::BIGINT AS i1, c_mktsegment AS s1, "
+          "NULL::BIGINT AS i2"),
+    _wrap("bloom", _ORACLES["s_bloom_semi"],
+          "n_bloom::BIGINT AS i1, o_orderpriority AS s1, "
+          "n_exact::BIGINT AS i2"))
 
 _ORACLES["s_group_sets"] = _union(
     _wrap("rollup", _ORACLES["s_group_rollup"],

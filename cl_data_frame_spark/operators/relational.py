@@ -330,6 +330,80 @@ def group_agg_udaf(frame: SparkFrame, group_keys: Sequence[str],
     return SparkFrame(sdf.groupBy(*group_keys).agg(*exprs))
 
 
+def _bloom_positions(key: Column, m_bits: int, k: int,
+                     salt: str) -> list[Column]:
+    """k md5-derived bit positions in [0, m_bits) — the same
+    engine-portable uniform-hash recipe as ``sampling.hash_bucket``,
+    decorrelated per hash index by the salt suffix."""
+    out = []
+    for i in range(k):
+        h = F.conv(F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f"{salt}{i}"))),
+            1, 8), 16, 10)
+        out.append(h.cast("long") % m_bits)
+    return out
+
+
+def bloom_build(build, key_col: str, m_bits: int = 8192, k: int = 3,
+                salt: str = "bloom") -> DataFrame:
+    """ONE-row Bloom bitset over *build*'s key set, as a map
+    word-index -> 64-bit word: positions aggregate per word with
+    ``bit_or`` (partial+final, #words rows through the shuffle), then
+    fold into a single broadcastable map row. m_bits/8 bytes total —
+    8 KiB at the default — regardless of build cardinality."""
+    sdf = _plain(build)
+    pos = (sdf.select(F.explode(F.array(
+               *_bloom_positions(F.col(key_col), m_bits, k, salt)))
+               .alias("pos"))
+           .distinct())
+    words = (pos.groupBy(F.expr("pos div 64").alias("w"))
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+                 .alias("bits")))
+    return words.agg(F.map_from_entries(
+        F.collect_list(F.struct("w", "bits"))).alias("__bloom__"))
+
+
+def bloom_semi_filter(probe, build, key_col: str,
+                      build_key_col: str | None = None,
+                      m_bits: int = 8192, k: int = 3,
+                      salt: str = "bloom") -> SparkFrame:
+    """Bloom-filter semi-join pre-filter: keep probe rows whose key
+    MIGHT be in *build*'s key set — a superset of the exact semi-join
+    with false-positive rate ≈ (1 − e^(−k·n/m))^k, and ZERO shuffle of
+    the probe side: the build side reduces to a ≤ m/64-entry bitset
+    map broadcast to every task, and the membership test is k
+    constant-time word lookups per row, applied at the scan.
+
+    This is the runtime-filter pattern Spark's InjectRuntimeFilter
+    applies internally, exposed as an explicit operator with
+    md5-derived positions so the exact pass set (false positives
+    included) is deterministic and reproducible by an external SQL
+    oracle. Compose with the exact join afterwards; at 100 TB the win
+    is that most probe rows drop BEFORE the join shuffle.
+    """
+    bloom = bloom_build(build, build_key_col or key_col, m_bits, k,
+                        salt)
+    j = _plain(probe).crossJoin(F.broadcast(bloom))
+    staged = j.select(
+        "*", *[p.alias(f"__bp{i}__")
+               for i, p in enumerate(_bloom_positions(
+                   F.col(key_col), m_bits, k, salt))])
+    cond = None
+    for i in range(k):
+        word = F.coalesce(
+            F.element_at(F.col("__bloom__"),
+                         F.expr(f"__bp{i}__ div 64")),
+            F.lit(0).cast("long"))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST(__bp{i}__ % 64 AS INT))")
+        test = word.bitwiseAND(bit) != 0
+        cond = test if cond is None else cond & test
+    out = (staged.filter(cond)
+           .drop("__bloom__", *[f"__bp{i}__" for i in range(k)]))
+    return SparkFrame(out)
+
+
 def salted_join(left: SparkFrame, right: SparkFrame, on: Sequence[str] | str,
                 how: str = "inner", nsalts: int = 16,
                 salt_from: Sequence[str] | None = None) -> SparkFrame:

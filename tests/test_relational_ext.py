@@ -419,3 +419,40 @@ def test_event_transitions_counts_and_probs(spark):
     assert out[("b", "a")] == (1, 0.5)
     assert out[("b", "c")] == (1, 0.5)
     assert len(out) == 3
+
+
+def test_bloom_semi_filter_superset_and_determinism(spark):
+    from cl_data_frame_spark.operators import relational as R
+    probe = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    build = spark.createDataFrame([(i,) for i in range(0, 2000, 40)],
+                                  ["k"])
+    passed = sorted(r["k"] for r in R.bloom_semi_filter(
+        probe, build, "k").spark_df.collect())
+    exact = set(range(0, 2000, 40))
+    assert exact.issubset(set(passed))        # no false negatives, ever
+    assert len(passed) < 2000                 # filter actually filters
+    again = sorted(r["k"] for r in R.bloom_semi_filter(
+        probe, build, "k").spark_df.collect())
+    assert passed == again                    # deterministic pass set
+
+
+def test_bloom_semi_filter_fp_rate_shrinks_with_bits(spark):
+    from cl_data_frame_spark.operators import relational as R
+    probe = spark.createDataFrame([(i,) for i in range(4000)], ["k"])
+    build = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    small = R.bloom_semi_filter(probe, build, "k",
+                                m_bits=1024).spark_df.count()
+    big = R.bloom_semi_filter(probe, build, "k",
+                              m_bits=65536).spark_df.count()
+    assert big <= small
+    assert big - 50 <= 40     # FP count tiny at 64k bits for n=50
+
+
+def test_bloom_semi_filter_plan_broadcasts_no_probe_shuffle(spark):
+    from cl_data_frame_spark.operators import relational as R
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    build = spark.range(10).select(F.col("id").alias("k"))
+    p = (R.bloom_semi_filter(probe, build, "k").spark_df
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
