@@ -1166,8 +1166,37 @@ def q_s_merge_upsert(spark, sf_dir):
              F.unix_micros(F.col("valid_to").cast("timestamp"))
              .alias("vt"),
              F.col("is_current").cast("int").alias("cur"))
+    # CDC apply (the inverse of 'diff'): a compacted insert/update/
+    # delete feed replayed onto the snapshot
+    snap = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    feed = (snap.filter(F.col("o_orderkey") % 10 == 0)
+            .select("o_orderkey",
+                    (F.col("o_totalprice") + 1.5).alias("o_totalprice"),
+                    "o_orderstatus", F.lit("update").alias("op"))
+            .unionByName(
+                snap.filter(F.col("o_orderkey") % 1000 == 1)
+                .select("o_orderkey",
+                        F.lit(None).cast("double").alias("o_totalprice"),
+                        F.lit(None).cast("string").alias("o_orderstatus"),
+                        F.lit("delete").alias("op")))
+            .unionByName(
+                snap.filter(F.col("o_orderkey") % 1000 == 2)
+                .select((F.col("o_orderkey") + 90_000_000)
+                        .alias("o_orderkey"),
+                        F.lit(42.0).alias("o_totalprice"),
+                        F.lit("X").alias("o_orderstatus"),
+                        F.lit("insert").alias("op"))))
+    applied = R.cdc_apply(snap, feed, "o_orderkey").spark_df
+    g = _tag(applied, "apply",
+             F.col("o_orderkey").cast("bigint").alias("k1"),
+             _BNULL().alias("k2"),
+             F.col("o_totalprice").cast("double").alias("v"),
+             F.col("o_orderstatus").alias("s1"),
+             _BNULL().alias("vf"), _BNULL().alias("vt"),
+             F.lit(None).cast("int").alias("cur"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(g))
 
 
 def q_s_sessionize(spark, sf_dir):
@@ -1803,7 +1832,19 @@ def q_s_source_roundtrip(spark, sf_dir):
     b = _tag(z, "zorder", _SNULL().alias("s1"),
              F.col("key").cast("bigint").alias("i1"),
              _DNULL().alias("d1"), F.col("z").cast("bigint").alias("i2"))
-    return a.unionByName(b)
+    # order-independent integrity checksum of the ROUND-TRIPPED copy —
+    # hash-matching the oracle (which reads the original table) proves
+    # the sink->scan path byte-preserved the data
+    cs_in = back.spark_df.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").cast("string")
+        .alias("qty"), "l_returnflag")
+    cs = R.table_checksum(cs_in).spark_df
+    c = _tag(cs, "checksum", _SNULL().alias("s1"),
+             F.col("n_rows").cast("bigint").alias("i1"),
+             F.col("sum_h").cast("double").alias("d1"),
+             F.col("xor_h").cast("bigint").alias("i2"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_dedup(spark, sf_dir):
@@ -2511,8 +2552,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_range_joins": ["broadcast", "bucketed"],
     "s_skew_udaf": ["salted", "udaf", "grouped_map"],
     "s_functions": ["scalar", "collection"],
-    "s_source_roundtrip": ["roundtrip", "zorder"],
-    "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit"],
+    "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
+    "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist"],
@@ -3207,6 +3248,19 @@ _ORACLES: dict[str, str] = {
               AND (vt IS NULL
                    OR epoch_us(TIMESTAMP '1998-06-15') < vt))
         UNION ALL
+        SELECT 'apply', k1, NULL::BIGINT AS k2, v, s1,
+               NULL::BIGINT AS vf, NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM (
+            SELECT o_orderkey::BIGINT AS k1,
+                   (CASE WHEN o_orderkey % 10 = 0
+                         THEN o_totalprice + 1.5
+                         ELSE o_totalprice END)::DOUBLE AS v,
+                   o_orderstatus AS s1
+            FROM orders WHERE o_orderkey % 1000 <> 1
+            UNION ALL
+            SELECT (o_orderkey + 90000000)::BIGINT, 42.0::DOUBLE, 'X'
+            FROM orders WHERE o_orderkey % 1000 = 2)
+        UNION ALL
         SELECT 'incr', o_custkey::BIGINT AS k1, count(*)::BIGINT AS k2,
                (sum(o_totalprice::DECIMAL(28,6)))::DOUBLE AS v,
                NULL::VARCHAR AS s1, NULL::BIGINT AS vf,
@@ -3795,7 +3849,28 @@ _ORACLES["s_source_roundtrip"] = _union(
                ({_Z_EXPR}) AS z
         FROM lineitem WHERE l_orderkey % 50 = 0""",
           "NULL::VARCHAR AS s1, key::BIGINT AS i1, NULL::DOUBLE AS d1, "
-          "z::BIGINT AS i2"))
+          "z::BIGINT AS i2"),
+    _wrap("checksum", """
+        WITH c AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                       AS qty,
+                   l_returnflag
+            FROM lineitem WHERE l_quantity >= 45),
+        h AS (
+            SELECT ('0x' || substr(md5(concat_ws('|',
+                       coalesce(md5(l_orderkey::VARCHAR), 'N'),
+                       coalesce(md5(l_linenumber::VARCHAR), 'N'),
+                       coalesce(md5(qty), 'N'),
+                       coalesce(md5(l_returnflag), 'N'))), 1, 12))
+                       ::UBIGINT::BIGINT AS hh
+            FROM c)
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(hh % 1000000)::BIGINT AS sum_h,
+               bit_xor(hh)::BIGINT AS xor_h
+        FROM h""",
+          "NULL::VARCHAR AS s1, n_rows::BIGINT AS i1, "
+          "sum_h::DOUBLE AS d1, xor_h::BIGINT AS i2"))
 
 _SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
                "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")

@@ -939,6 +939,63 @@ def cohort_retention(frame, user_col: str = "user_id", ts_col: str = "ts",
     return SparkFrame(out)
 
 
+def cdc_apply(snapshot, changes, key_cols: Sequence[str] | str,
+              op_col: str = "op") -> SparkFrame:
+    """Apply a compacted CDC change feed to a snapshot — the inverse of
+    ``table_diff``: rows with ``op='delete'`` drop their key,
+    ``'insert'``/``'update'`` upsert the row's after-image values, so
+    ``cdc_apply(old, feed(old→new)) == new`` (property-tested).
+
+    The feed must be COMPACTED: one change per key (reduce a raw
+    multi-event feed first — groupBy key, keep the latest by sequence
+    number). *changes* carries the full after-image columns for
+    insert/update; delete rows may leave them NULL.
+
+    Plan: one left-anti join of the snapshot against the feed's key set
+    (AQE broadcasts it when small — the common case: feeds are deltas)
+    plus a shuffle-free union of the surviving after-images. The
+    snapshot never rewrites untouched rows' values, so at 100 TB the
+    cost is the key-set join, not the data width.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    s = _plain(snapshot)
+    c = _plain(changes)
+    touched = c.select(*keys).distinct()
+    untouched = s.join(touched, on=keys, how="left_anti")
+    after = (c.filter(F.col(op_col) != "delete")
+             .drop(op_col).select(s.columns))
+    return SparkFrame(untouched.unionByName(after))
+
+
+def table_checksum(frame, cols: Sequence[str] | None = None) -> SparkFrame:
+    """Order-independent whole-table integrity checksum: ONE aggregation
+    row (``n_rows``, ``sum_h``, ``xor_h``) where ``h`` is a 48-bit
+    integer from the per-row md5 over per-column digests (the same
+    injective encoding as ``table_diff``). SUM and BIT_XOR are
+    commutative and associative, so the checksum is identical under any
+    row order, partitioning, file layout, or engine — verify a 100 TB
+    copy with one scan per side and a three-number compare, no sort, no
+    shuffle of data (the aggregation reduces map-side).
+
+    ``sum_h`` accumulates ``h % 10^6`` so the bigint sum cannot
+    overflow below ~9·10^12 rows; ``xor_h`` keeps the full 48-bit
+    digest strength. Cross-engine caveat: floating-point columns
+    stringify differently per engine — cast them to DECIMAL strings
+    first (as ``table_diff``'s oracle does).
+    """
+    sdf = _plain(frame)
+    cs = list(cols) if cols else list(sdf.columns)
+    parts = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N"))
+             for c in cs]
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12),
+               16, 10).cast("long")
+    out = (sdf.select(h.alias("__h__"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("__h__") % F.lit(1_000_000)).alias("sum_h"),
+                F.expr("bit_xor(__h__)").alias("xor_h")))
+    return SparkFrame(out)
+
+
 def conversion_attribution(frame, user_col: str = "user_id",
                            ts_col: str = "ts",
                            type_col: str = "event_type",

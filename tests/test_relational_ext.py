@@ -456,3 +456,42 @@ def test_bloom_semi_filter_plan_broadcasts_no_probe_shuffle(spark):
          ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_cdc_apply_inverts_table_diff(spark):
+    """apply(old, feed(old->new)) == new — the CDC round-trip
+    invariant: a feed built from table_diff's classification plus the
+    new-side after-images reconstructs the new snapshot exactly."""
+    from cl_data_frame_spark.operators import relational as R
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")],
+        ["k", "v", "s"])
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),      # unchanged
+         (2, 25.0, "B"),      # update
+         (4, 40.0, "D")],     # insert; key 3 deleted
+        ["k", "v", "s"])
+    diff = R.table_diff(old, new, "k").spark_df
+    feed = (diff.join(new, on="k", how="left")
+            .select("k", "v", "s",
+                    F.col("change_type").alias("op")))
+    applied = R.cdc_apply(old, feed, "k").spark_df
+    assert sorted(tuple(r) for r in applied.collect()) == \
+        sorted(tuple(r) for r in new.collect())
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from cl_data_frame_spark.operators import relational as R
+    rows = [(i, f"s{i}") for i in range(500)]
+    a = spark.createDataFrame(rows, ["k", "s"])
+    b = spark.createDataFrame(list(reversed(rows)), ["k", "s"]) \
+        .repartition(13)
+    ca = R.table_checksum(a).spark_df.collect()[0]
+    cb = R.table_checksum(b).spark_df.collect()[0]
+    assert tuple(ca) == tuple(cb)
+    # a single changed value must change the checksum
+    c = spark.createDataFrame(
+        [(0, "CHANGED")] + rows[1:], ["k", "s"])
+    cc = R.table_checksum(c).spark_df.collect()[0]
+    assert tuple(cc) != tuple(ca)
+    assert cc["n_rows"] == ca["n_rows"]
