@@ -24,20 +24,23 @@ PARTS_CHANGED: dict[str, list[int]] = {
     # round 4 folded 16 new oracle parts into existing entries
     "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused into one pass
     "s_skew_udaf": [4],             # +grouped_map
-    "s_merge_upsert": [4],          # +scd2 +incr +diff
+    "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
     "s_window_range_trailing": [4],  # +zscore
     "s_time_rollup": [4],           # +resample
     "s_funnel": [4, 5],             # r4 +retention; r5 +attribution
-    "s_approx_sketches": [4],       # +theta +kll +freq
+    "s_approx_sketches": [4, 5],    # r4 +theta+kll+freq; r5 +setops
     "x_dedup": [4],                 # +spans +selfspans
     "x_embed_neardup": [4, 5],      # r4 +semdedup; r5 sqrt(n) centroids + norms
     "x_hash_sampling": [4, 5],      # r4 +weighted; r5 +mix
     "x_curation_scrub": [4],        # +expect
-    "s_source_roundtrip": [4],      # +zorder
+    "s_source_roundtrip": [4, 5],   # r4 +zorder; r5 +checksum
     "x_cosine_search": [5],         # +ann_lsh (moved from x_probes_rows_only)
     "x_probes_rows_only": [5],      # -ann_lsh
     "x_cluster_assign": [5],        # kmeans_fit input persist
     "x_bm25": [5],                  # +phrase +postings
+    "s_join_semi_anti": [5],        # +bloom
+    "s_sessionize": [5],            # +transitions
+    "r_summary_all": [5],           # +hist
     "x_embed_quantize": [5],        # +pq
     "x_dedup_clusters": [5],        # +pagerank
 }
