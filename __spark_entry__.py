@@ -1908,7 +1908,18 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("dist").cast("double").alias("jaccard"))
-    return a.unionByName(b).unionByName(c)
+    # SimHash with the portable md5 hash family — the ONE hash-family
+    # near-dup probe that IS SQL-expressible, so it gets a full oracle
+    # (the xxhash64 production variant stays rows-only in
+    # x_probes_rows_only)
+    docs = _f(spark, sf_dir, "documents")
+    sh = X.simhash_near_duplicates(docs, max_hamming=3,
+                                   hash_fn="md5").spark_df
+    d = _tag(sh, "simhash",
+             F.col("id_a").cast("bigint").alias("id_a"),
+             F.col("id_b").cast("bigint").alias("id_b"),
+             F.col("hamming").cast("double").alias("jaccard"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_ivf_topk(spark, sf_dir):
@@ -2562,7 +2573,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "chisq", "freq", "bins", "outliers"],
     "s_window_range_trailing": ["trailing", "zscore"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans"],
-    "x_ngram_jaccard": ["blocked", "global", "editdist"],
+    "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash"],
     "x_embed_neardup": ["pairs", "semdedup"],
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
     "x_cluster_assign": ["ivf", "kmeans"],
@@ -3937,12 +3948,64 @@ _ORACLES["x_edit_distance"] = """
     WHERE abs(length(a.nm) - length(b.nm)) <= 1
       AND levenshtein(a.nm, b.nm) <= 1"""
 
+def _simhash_oracle_sql(max_hamming: int = 3, band_bits: int = 16,
+                        hash_bits: int = 60) -> str:
+    """DuckDB mirror of simhash_near_duplicates(hash_fn='md5'): the same
+    15-nibble md5 token hash, the same ±1 bit counters, fingerprint
+    fold, 16-bit band blocking and bit_count verify."""
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS c{i}"
+        for i in range(hash_bits))
+    fp = " + ".join(f"(CASE WHEN c{i} > 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(hash_bits))
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = ", ".join(str(b) for b in range(nbands))
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text),
+                                                     '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h
+        FROM t),
+    c AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM h GROUP BY doc_id),
+    f0 AS (SELECT doc_id, ({fp})::BIGINT AS fp FROM c),
+    f AS (
+        SELECT d.doc_id, coalesce(f0.fp, 0) AS fp
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN f0 USING (doc_id)),
+    banded AS (
+        SELECT doc_id, fp, b.i AS band,
+               (fp >> (b.i * {band_bits})) & {mask} AS bv
+        FROM f, (SELECT unnest([{bands}]) AS i) b),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.fp AS fa,
+               bb.doc_id AS id_b, bb.fp AS fb
+        FROM banded a
+        JOIN banded bb ON a.band = bb.band AND a.bv = bb.bv
+                      AND a.doc_id < bb.doc_id)
+    SELECT id_a, id_b, bit_count(xor(fa, fb))::DOUBLE AS hamming
+    FROM pairs WHERE bit_count(xor(fa, fb)) <= {max_hamming}"""
+
+
+_ORACLES["x_simhash_md5"] = _simhash_oracle_sql()
+
 _ORACLES["x_ngram_jaccard"] = _union(
     _wrap("blocked", _NJ_BLOCKED, _NGRAM_PAIR_SEL),
     _wrap("global", _NJ_GLOBAL, _NGRAM_PAIR_SEL),
     _wrap("editdist", _ORACLES["x_edit_distance"],
           "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
-          "dist::DOUBLE AS jaccard"))
+          "dist::DOUBLE AS jaccard"),
+    _wrap("simhash", _ORACLES["x_simhash_md5"],
+          "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+          "hamming::DOUBLE AS jaccard"))
 
 def _duck_cos(a: str, b: str) -> str:
     return (f"round(list_reduce(list_transform(list_zip({a}, {b}), "

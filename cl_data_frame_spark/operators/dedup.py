@@ -498,14 +498,33 @@ def simhash_column(text_col, bits: int = 64) -> Column:
     return simhash_fold(_simhash_counts(text_col, bits), bits)
 
 
+def _token_hash64(col, hash_fn: str = "xxhash64") -> Column:
+    """64-bit-ish token hash. ``xxhash64`` (default) is the fast JVM
+    path; ``md5`` derives a 60-bit value from the md5 hex (15 nibbles —
+    the largest slice that cannot overflow a signed cast) and is
+    bit-reproducible on any engine with md5, which makes the WHOLE
+    SimHash pipeline SQL-oracle-checkable. The 4 permanently-zero top
+    bits under md5 only shrink the fingerprint space 64→60; the banding
+    pigeonhole and hamming verify are unchanged."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10) \
+            .cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text",
-                            max_hamming: int = 3, band_bits: int = 16) -> SparkFrame:
+                            max_hamming: int = 3, band_bits: int = 16,
+                            hash_fn: str = "xxhash64") -> SparkFrame:
     """SimHash near-dup pairs: fingerprint, block on 16-bit bands (a pair
     within hamming distance 3 of a 64-bit hash shares at least one of 4
     bands by pigeonhole), then verify with ``bit_count(a XOR b)``.
 
     Scale: candidate generation is an equi-join on (band_index, band_value);
-    verification is a single bit_count expression.
+    verification is a single bit_count expression. *hash_fn*: see
+    ``_token_hash64`` — 'md5' trades some hash speed for cross-engine
+    reproducibility (the driver's oracle checks that variant).
     """
     # Fingerprint via explode + 64 sum aggregates: higher-order array
     # folds never enter whole-stage codegen (per-element interpreted
@@ -516,7 +535,8 @@ def simhash_near_duplicates(frame, id_col: str = "doc_id", text_col: str = "text
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
     exploded = (base.select(id_col, F.explode(toks).alias("__t__"))
-                .select(id_col, F.xxhash64("__t__").alias("__th__")))
+                .select(id_col, _token_hash64(F.col("__t__"), hash_fn)
+                        .alias("__th__")))
     bit_sums = [
         F.sum(F.when(F.shiftright("__th__", i).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"__c{i}__")

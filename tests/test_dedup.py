@@ -253,3 +253,33 @@ def test_edit_distance_join_matches_naive(spark):
                   for (i, a), (j, b) in itertools.combinations(rows, 2)
                   if lev(a, b) <= 2)
     assert got == want
+
+
+def test_simhash_md5_family_finds_duplicates(spark):
+    """The portable md5 hash family must behave like the xxhash64 one:
+    identical texts pair at hamming 0, near-identical at small hamming,
+    unrelated docs don't pair."""
+    from cl_data_frame_spark.operators import dedup as X
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [(1, base), (2, base),
+            (3, base + "iota"),          # one extra token
+            (4, "totally different words nothing shared here at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in X.simhash_near_duplicates(
+               df, max_hamming=3, hash_fn="md5").spark_df.collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 4) not in out and (2, 4) not in out
+    for k, h in out.items():
+        assert 0 <= h <= 3
+
+
+def test_token_hash64_md5_matches_manual(spark):
+    from cl_data_frame_spark.operators.dedup import _token_hash64
+    import hashlib
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("hello",), ("world",)], ["t"])
+    got = {r["t"]: r["h"] for r in df.select(
+        "t", _token_hash64(F.col("t"), "md5").alias("h")).collect()}
+    for t in ("hello", "world"):
+        assert got[t] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
