@@ -1659,7 +1659,20 @@ def q_s_group_sets(spark, sf_dir):
              F.col("o_orderstatus").alias("k1"),
              F.col("o_orderpriority").alias("k2"),
              _DNULL().alias("agg"), F.col("n").cast("bigint").alias("n"))
-    return a.unionByName(b)
+    # explicit GROUPING SETS (the general form rollup/cube abbreviate)
+    # with grouping_id disambiguating NULL keys from superaggregates
+    li = _f(spark, sf_dir, "lineitem")
+    gs = R.group_agg(li, ["l_returnflag", "l_linestatus"], {
+        "n": F.count(F.lit(1)),
+        "gid": F.grouping_id(),
+    }, kind="grouping_sets",
+        sets=[["l_returnflag", "l_linestatus"], ["l_linestatus"], []])
+    c = _tag(gs.spark_df, "gsets",
+             F.col("l_returnflag").alias("k1"),
+             F.col("l_linestatus").alias("k2"),
+             F.col("gid").cast("double").alias("agg"),
+             F.col("n").cast("bigint").alias("n"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_window_running_lag(spark, sf_dir):
@@ -2556,7 +2569,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                      "copy_isolation"],
     "s_join_agg": ["broadcast", "fact"],
     "s_join_semi_anti": ["semi", "anti", "bloom"],
-    "s_group_sets": ["rollup", "cube"],
+    "s_group_sets": ["rollup", "cube", "gsets"],
     "s_set_ops": ["except", "intersect_union", "distinct"],
     "s_time_rollup": ["rollup", "resample"],
     "s_asof": ["keyed", "unkeyed", "nearest"],
@@ -3736,6 +3749,14 @@ _ORACLES["s_join_semi_anti"] = _union(
 _ORACLES["s_group_sets"] = _union(
     _wrap("rollup", _ORACLES["s_group_rollup"],
           "l_returnflag AS k1, l_linestatus AS k2, sum_qty::DOUBLE AS agg, "
+          "n::BIGINT AS n"),
+    _wrap("gsets", """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())""",
+          "l_returnflag AS k1, l_linestatus AS k2, gid::DOUBLE AS agg, "
           "n::BIGINT AS n"),
     _wrap("cube", _ORACLES["s_group_cube"],
           "o_orderstatus AS k1, o_orderpriority AS k2, "

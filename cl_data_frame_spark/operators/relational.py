@@ -42,17 +42,30 @@ def join(left: SparkFrame, right: SparkFrame, on, how: str = "inner",
 
 def group_agg(frame: SparkFrame, group_keys: Sequence[str],
               aggs: Mapping[str, Column], having: Column | None = None,
-              kind: str = "groupby") -> SparkFrame:
+              kind: str = "groupby",
+              sets: Sequence[Sequence[str]] | None = None) -> SparkFrame:
     """Hash aggregation with automatic map-side partial aggregation.
 
-    ``kind``: 'groupby' | 'rollup' | 'cube' (grouping-set variants).
-    Scale: partial aggregation runs before the shuffle, so shuffled bytes
-    are proportional to #groups, not #rows; AQE coalesces post-shuffle
-    partitions.
+    ``kind``: 'groupby' | 'rollup' | 'cube' | 'grouping_sets' — the
+    last takes an explicit *sets* list (each a subset of *group_keys*),
+    the general form that rollup/cube are shorthands for; add
+    ``F.grouping_id()`` to *aggs* to disambiguate NULL-as-group-key
+    from NULL-as-superaggregate.
+
+    Scale: partial aggregation runs before the shuffle, so shuffled
+    bytes are proportional to #groups (summed over the grouping sets —
+    Spark plans one Expand + one aggregation, not one pass per set);
+    AQE coalesces post-shuffle partitions.
     """
     sdf = _plain(frame)
-    grouping = {"groupby": sdf.groupBy, "rollup": sdf.rollup,
-                "cube": sdf.cube}[kind](*group_keys)
+    if kind == "grouping_sets":
+        if sets is None:
+            raise ValueError("kind='grouping_sets' requires sets=")
+        grouping = sdf.groupingSets([list(s) for s in sets],
+                                    *group_keys)
+    else:
+        grouping = {"groupby": sdf.groupBy, "rollup": sdf.rollup,
+                    "cube": sdf.cube}[kind](*group_keys)
     out = grouping.agg(*[expr.alias(name) for name, expr in aggs.items()])
     if having is not None:
         out = out.filter(having)

@@ -495,3 +495,22 @@ def test_table_checksum_order_and_partition_invariant(spark):
     cc = R.table_checksum(c).spark_df.collect()[0]
     assert tuple(cc) != tuple(ca)
     assert cc["n_rows"] == ca["n_rows"]
+
+
+def test_grouping_sets_with_grouping_id(spark):
+    from cl_data_frame_spark.operators import relational as R
+    import pytest
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], ["g1", "g2", "v"])
+    out = {(r["g1"], r["g2"], r["gid"]): r["s"]
+           for r in R.group_agg(df, ["g1", "g2"], {
+               "s": F.sum("v"), "gid": F.grouping_id()},
+               kind="grouping_sets",
+               sets=[["g1", "g2"], ["g2"], []]).spark_df.collect()}
+    assert out[("a", "x", 0)] == 1 and out[("b", "x", 0)] == 3
+    assert out[(None, "x", 2)] == 4      # g1 aggregated away -> bit set
+    assert out[(None, "y", 2)] == 2
+    assert out[(None, None, 3)] == 6     # grand total
+    assert ("a", None, 1) not in out     # (g1) alone is NOT a set
+    with pytest.raises(ValueError):
+        R.group_agg(df, ["g1"], {"s": F.sum("v")}, kind="grouping_sets")
