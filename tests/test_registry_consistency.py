@@ -1,0 +1,43 @@
+"""Registry drift guards: the part-attribution table, the tagged-union
+Spark queries, and the composed oracle SQL must agree on part tags —
+catches the classic failure of adding a part to one of the three and
+forgetting the others."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as E
+
+#: join-shaped composites list building-block callables whose names are
+#: not literal part tags; streaming entries run real streams on build
+_SKIP_SPARK_RUN = {"x_text_stats", "st_windows", "st_stateful",
+                   "st_dedup"}
+
+
+def test_declared_parts_appear_in_oracle_sql():
+    oracles = E.oracle_sql()
+    for entry, parts in E._TAGGED_PARTS.items():
+        sql = oracles.get(entry)
+        if sql is None:
+            continue  # rows-only entry
+        lits = set(re.findall(r"'([A-Za-z0-9_]+)'", sql))
+        missing = set(parts) - lits
+        assert not missing, (entry, missing)
+
+
+def test_spark_part_tags_match_declared(spark):
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for entry, parts in E._TAGGED_PARTS.items():
+        if entry in _SKIP_SPARK_RUN:
+            continue
+        df = qs[entry](spark, sf)
+        if "part" not in df.columns:
+            continue
+        got = {r["part"] for r in df.select("part").distinct().collect()}
+        # every emitted tag must be declared (no orphan branches) …
+        assert got <= set(parts), (entry, got - set(parts))
+        # … and at the tiny scale most parts should still be exercised;
+        # a COMPLETELY empty entry means the union is broken
+        assert got, entry
