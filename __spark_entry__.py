@@ -2008,8 +2008,13 @@ def q_x_text_stats(spark, sf_dir):
         "doc_id", F.col("n_distinct_tokens").cast("bigint"),
         F.col("entropy_bits").cast("double"),
         F.col("top_token_mass").cast("double"))
+    u = TS.unigram_logprob_scores(
+        _t(spark, sf_dir, "documents")).spark_df.select(
+        "doc_id", F.col("n_lm_tokens").cast("bigint"),
+        F.col("mean_nll").cast("double"))
     return (q.join(l, "doc_id").join(t, "doc_id").join(f, "doc_id")
-            .join(r, "doc_id").join(s, "doc_id").join(e, "doc_id"))
+            .join(r, "doc_id").join(s, "doc_id").join(e, "doc_id")
+            .join(u, "doc_id"))
 
 
 def q_x_term_weights(spark, sf_dir):
@@ -2623,6 +2628,8 @@ def query_parts() -> dict[str, dict[str, Callable]]:
         "stopwords": q_x_stopword_filter,
         "entropy": lambda spark, sf_dir: TS.token_entropy(
             _f(spark, sf_dir, "documents")).spark_df,
+        "nll": lambda spark, sf_dir: TS.unigram_logprob_scores(
+            _t(spark, sf_dir, "documents")).spark_df,
     }
     return out
 
@@ -4191,6 +4198,21 @@ _ORACLES["x_token_entropy"] = f"""
            round(a.maxc::DOUBLE / a.n, 6) AS top_token_mass
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
+_ORACLES["x_unigram_nll"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    lm AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+    tot AS (SELECT sum(cnt) AS tot FROM lm),
+    lmq AS (
+        SELECT t,
+               CAST(round(-ln(cnt::DOUBLE / tot::DOUBLE), 9)
+                    AS DECIMAL(28,9)) AS nll
+        FROM lm CROSS JOIN tot)
+    SELECT toks.doc_id, count(*)::BIGINT AS n_lm_tokens,
+           round((sum(nll))::DOUBLE / count(*)::DOUBLE, 6) AS mean_nll
+    FROM toks JOIN lmq ON toks.t = lmq.t
+    GROUP BY toks.doc_id"""
+
 _ORACLES["x_text_stats"] = f"""
     SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.mean_word_len,
            q.punct_ratio, q.stopword_ratio, q.quality,
@@ -4198,14 +4220,16 @@ _ORACLES["x_text_stats"] = f"""
            t.n_bpe, f.fingerprint, f.n_sketch_hashes,
            r.ttr, r.top_unigram_frac, r.top_bigram_frac,
            s.n_content_tokens,
-           e.n_distinct_tokens, e.entropy_bits, e.top_token_mass
+           e.n_distinct_tokens, e.entropy_bits, e.top_token_mass,
+           u.n_lm_tokens, u.mean_nll
     FROM ({_ORACLES["x_text_quality"]}) q
     JOIN ({_ORACLES["x_lang_id"]}) l ON q.doc_id = l.doc_id
     JOIN ({_ORACLES["x_token_counts"]}) t ON q.doc_id = t.doc_id
     JOIN ({_ORACLES["x_fingerprints"]}) f ON q.doc_id = f.doc_id
     JOIN ({_ORACLES["x_repetition_stats"]}) r ON q.doc_id = r.doc_id
     JOIN ({_ORACLES["x_stopword_filter"]}) s ON q.doc_id = s.doc_id
-    JOIN ({_ORACLES["x_token_entropy"]}) e ON q.doc_id = e.doc_id"""
+    JOIN ({_ORACLES["x_token_entropy"]}) e ON q.doc_id = e.doc_id
+    JOIN ({_ORACLES["x_unigram_nll"]}) u ON q.doc_id = u.doc_id"""
 
 _ORACLES["x_term_weights"] = _union(
     _wrap("tfidf", _ORACLES["x_tfidf_topk"],

@@ -420,6 +420,51 @@ def pack_sequences(frame, id_col: str = "doc_id", text_col: str = "text",
     return SparkFrame(out)
 
 
+def unigram_logprob_scores(frame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           quant: int = 9) -> SparkFrame:
+    """Language-model quality proxy (the CCNet-style perplexity filter,
+    Wenzek et al. 2020, with an in-corpus unigram LM): score each
+    document by the mean negative log-probability of its tokens under
+    the corpus's own unigram distribution. Documents of common fluent
+    vocabulary score LOW; rare-token soup scores HIGH — threshold
+    ``mean_nll`` to filter. The real CCNet uses a pretrained Kneser-Ney
+    model; this keeps the identical pipeline shape (broadcast LM table
+    → per-token lookup → per-doc aggregate) with no external artifact.
+
+    Output: (id_col, n_lm_tokens, mean_nll rounded 6).
+
+    Determinism: every token's −ln p quantizes to *quant* decimal
+    places as DECIMAL before the per-doc sum, so the aggregation is
+    exact and order-independent (the ``bm25_scores`` recipe); the mean
+    divides once at the end.
+
+    Plan: one explode + hash-count pass builds the LM (#vocab rows,
+    broadcast); one explode + broadcast-join + aggregate pass scores —
+    shuffles carry (token, count) and per-doc partials only.
+    """
+    sdf = _plain(frame)
+    toks = sdf.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("__t__"))
+    lm = toks.groupBy("__t__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    total = lm.agg(F.sum("__cnt__").alias("__tot__"))
+    nll = -F.log(F.col("__cnt__").cast("double")
+                 / F.col("__tot__").cast("double"))
+    lm_q = (lm.crossJoin(F.broadcast(total))
+            .select("__t__",
+                    F.round(nll, quant)
+                    .cast(f"decimal(28,{quant})").alias("__nll__")))
+    out = (toks.join(F.broadcast(lm_q), on="__t__")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_lm_tokens"),
+                F.sum("__nll__").alias("__s__"))
+           .select(id_col, "n_lm_tokens",
+                   F.round(F.col("__s__").cast("double")
+                           / F.col("n_lm_tokens").cast("double"), 6)
+                   .alias("mean_nll")))
+    return SparkFrame(out)
+
+
 # ---------------------------------------------------------------------------
 # Positional inverted index + exact-phrase search (Tier X: full-text
 # search primitives; no reference analogue)

@@ -242,3 +242,28 @@ def test_pq_codebooks_deterministic_and_shaped(spark):
     import pytest
     with pytest.raises(ValueError):
         SIM.pq_codebooks(10, 3, 2)
+
+
+def test_unigram_logprob_orders_fluency(spark):
+    """Documents made of corpus-common tokens must score a LOWER mean
+    NLL than documents of corpus-rare tokens, and the per-doc mean must
+    match a driver-side recomputation of the quantized-decimal sum."""
+    import math
+    from decimal import Decimal
+    common = "the the the cat cat sat"
+    rows = [(1, common), (2, "the cat"), (3, "zyx qwv")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TS.unigram_logprob_scores(df).spark_df.collect()}
+    # corpus counts: the=4, cat=3, sat=1, zyx=1, qwv=1; total=10
+    cnt = {"the": 4, "cat": 3, "sat": 1, "zyx": 1, "qwv": 1}
+
+    def nll_q(t):
+        return Decimal(str(round(-math.log(cnt[t] / 10.0), 9)))
+
+    for doc_id, text in rows:
+        toks = text.split()
+        want = float(sum(nll_q(t) for t in toks)) / len(toks)
+        assert abs(out[doc_id]["mean_nll"] - round(want, 6)) < 1e-9
+        assert out[doc_id]["n_lm_tokens"] == len(toks)
+    assert out[2]["mean_nll"] < out[3]["mean_nll"]  # common < rare
