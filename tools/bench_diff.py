@@ -38,6 +38,9 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "x_probes_rows_only": [5],      # -ann_lsh
     "x_cluster_assign": [5],        # kmeans_fit input persist
     "x_bm25": [5],                  # +phrase +postings
+    "x_ngram_jaccard": [5],         # +editdist +simhash(md5)
+    "s_group_sets": [5],            # +gsets
+    "x_text_stats": [5],            # +unigram nll columns
     "s_join_semi_anti": [5],        # +bloom
     "s_sessionize": [5],            # +transitions
     "r_summary_all": [5],           # +hist
