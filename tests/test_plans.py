@@ -93,7 +93,7 @@ def test_cosine_topk_no_shuffle(spark, sf_dir):
 #: entries whose BroadcastNestedLoopJoin is the one-row scalar-broadcast
 #: pattern (corpus stats, min/max bounds) — constant cost at any scale
 _BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights", "x_bm25",
-            "r_summary_all", "s_join_semi_anti"}
+            "r_summary_all", "s_join_semi_anti", "x_text_stats"}
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
