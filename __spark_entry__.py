@@ -1019,7 +1019,10 @@ def q_s_funnel(spark, sf_dir):
 
 def q_s_window_range_trailing(spark, sf_dir):
     """Event-time RANGE-frame windows: 7-day trailing per-user sum/count
-    + rolling z-score anomaly flags from the same frame shape."""
+    + rolling z-score anomaly flags from the same frame shape + bounded
+    k-lag EWMA (one more pass over the same user-keyed shuffle) +
+    7-day trailing distinct actives (bounded-explode distinct-count —
+    the window-distinct shape Spark windows can't express)."""
     ev = _f(spark, sf_dir, "events")
     tr = R.trailing_range_window(ev, days=7).spark_df
     a = _tag(tr, "trailing",
@@ -1038,7 +1041,22 @@ def q_s_window_range_trailing(spark, sf_dir):
              F.col("roll_std").cast("double").alias("d2"),
              F.col("zscore").cast("double").alias("d3"),
              F.col("is_anomaly").cast("bigint").alias("i1"))
-    return a.unionByName(b)
+    ew = R.ewma(ev, alpha=0.3, k=8).spark_df
+    c = _tag(ew, "ewma",
+             F.col("user_id").cast("bigint").alias("user_id"),
+             F.col("event_id").cast("bigint").alias("event_id"),
+             F.col("ts_us").cast("bigint").alias("ts_us"),
+             F.col("ewma").cast("double").alias("d1"),
+             F.col("value").cast("double").alias("d2"),
+             _DNULL().alias("d3"), _BNULL().alias("i1"))
+    au = R.trailing_active_users(ev, days=7).spark_df
+    d = _tag(au, "distinct7",
+             _BNULL().alias("user_id"), _BNULL().alias("event_id"),
+             F.unix_micros("obs_day").alias("ts_us"),
+             _DNULL().alias("d1"), _DNULL().alias("d2"),
+             _DNULL().alias("d3"),
+             F.col("active_users").cast("bigint").alias("i1"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_s_udtf_tokens(spark, sf_dir):
@@ -1201,8 +1219,9 @@ def q_s_merge_upsert(spark, sf_dir):
 
 def q_s_sessionize(spark, sf_dir):
     """Behavioral sequence analytics: 30-minute-gap sessionization +
-    first-order Markov event-transition matrix, one tagged union (both
-    are one lag-window pass over the same user-keyed shuffle)."""
+    first-order Markov event-transition matrix + gaps-and-islands
+    interval merge (6-hour activity windows per user), one tagged union
+    (all three are window passes over the same user-keyed shuffle)."""
     ev = _f(spark, sf_dir, "events")
     ses = R.sessionize(ev, gap_minutes=30.0).spark_df.select(
         "user_id", "session_id",
@@ -1225,7 +1244,19 @@ def q_s_sessionize(spark, sf_dir):
              F.col("from_type").alias("s1"),
              F.col("to_type").alias("s2"),
              F.col("prob").cast("double").alias("d1"))
-    return a.unionByName(b)
+    iv = ev.spark_df.select(
+        "user_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("e"))
+    isl = R.merge_intervals(iv, "user_id", "s", "e").spark_df
+    c = _tag(isl, "islands",
+             F.col("user_id").cast("bigint").alias("i1"),
+             F.col("island_id").cast("bigint").alias("i2"),
+             F.unix_micros("island_start").alias("i3"),
+             F.unix_micros("island_end").alias("i4"),
+             F.col("n_intervals").cast("bigint").alias("n"),
+             _SNULL().alias("s1"), _SNULL().alias("s2"),
+             _DNULL().alias("d1"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_chunk_documents(spark, sf_dir):
@@ -2584,12 +2615,13 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
-    "s_sessionize": ["sessions", "transitions"],
+    "s_sessionize": ["sessions", "transitions", "islands"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
                 "chisq", "freq", "bins", "outliers"],
-    "s_window_range_trailing": ["trailing", "zscore"],
+    "s_window_range_trailing": ["trailing", "zscore", "ewma",
+                                "distinct7"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans"],
     "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash"],
     "x_embed_neardup": ["pairs", "semdedup"],
@@ -4391,6 +4423,16 @@ _ORACLES["st_windows"] = _union(
           "NULL::VARCHAR AS s1, n_events::BIGINT AS n, "
           "NULL::DOUBLE AS sum_value"))
 
+#: unrolled k-lag EWMA terms (alpha=0.3, k=8) — the Python float repr
+#: of 0.7**j is bit-identical to the F.lit(beta**j) literal the Spark
+#: operator compiles, so both engines weight with the same doubles
+_EWMA_NUM = " + ".join(
+    f"coalesce(lag(value, {j}) OVER w * {0.7 ** j!r}, 0.0)"
+    for j in range(8))
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
+    f"THEN {0.7 ** j!r} ELSE 0.0 END)" for j in range(8))
+
 _ORACLES["s_window_range_trailing"] = _union(
     _wrap("trailing", _ORACLES["s_window_range_trailing"],
           "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
@@ -4432,7 +4474,32 @@ _ORACLES["s_window_range_trailing"] = _union(
           "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
           "ts_us::BIGINT AS ts_us, roll_mean::DOUBLE AS d1, "
           "roll_std::DOUBLE AS d2, zscore::DOUBLE AS d3, "
-          "is_anomaly::BIGINT AS i1"))
+          "is_anomaly::BIGINT AS i1"),
+    _wrap("ewma", f"""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                   ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ew
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, event_id, ts_us, value::DOUBLE AS value,
+               round(ew, 6) AS ewma FROM t""",
+          "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
+          "ts_us::BIGINT AS ts_us, ewma::DOUBLE AS d1, "
+          "value::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::BIGINT AS i1"),
+    _wrap("distinct7", """
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+        SELECT epoch_us(d) AS day_us,
+               (SELECT count(DISTINCT e.user_id) FROM events e
+                WHERE date_trunc('day', e.ts)
+                      BETWEEN d - INTERVAL 6 DAY AND d)::BIGINT
+                   AS active_users
+        FROM days""",
+          "NULL::BIGINT AS user_id, NULL::BIGINT AS event_id, "
+          "day_us::BIGINT AS ts_us, NULL::DOUBLE AS d1, "
+          "NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "active_users::BIGINT AS i1"))
 
 _SESS_NULLS_A = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, "
                  "NULL::BIGINT AS i3, NULL::BIGINT AS i4")
@@ -4460,7 +4527,36 @@ _ORACLES["s_sessionize"] = _union(
           "NULL::VARCHAR AS s2, NULL::DOUBLE AS d1"),
     _wrap("transitions", _ORACLES["s_transitions"],
           _SESS_NULLS_A + ", n::BIGINT AS n, from_type AS s1, "
-          "to_type AS s2, prob::DOUBLE AS d1"))
+          "to_type AS s2, prob::DOUBLE AS d1"),
+    _wrap("islands", """
+        WITH iv AS (
+            SELECT user_id, ts AS s, ts + INTERVAL 6 HOUR AS e
+            FROM events),
+        o AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pme
+            FROM iv),
+        f AS (
+            SELECT user_id, s, e,
+                   CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END
+                       AS newf
+            FROM o),
+        g AS (
+            SELECT user_id, s, e,
+                   sum(newf) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING)
+                       AS island_id
+            FROM f)
+        SELECT user_id, island_id::BIGINT AS island_id,
+               epoch_us(min(s)) AS start_us, epoch_us(max(e)) AS end_us,
+               count(*)::BIGINT AS n_intervals
+        FROM g GROUP BY user_id, island_id""",
+          "user_id::BIGINT AS i1, island_id::BIGINT AS i2, "
+          "start_us::BIGINT AS i3, end_us::BIGINT AS i4, "
+          "n_intervals::BIGINT AS n, NULL::VARCHAR AS s1, "
+          "NULL::VARCHAR AS s2, NULL::DOUBLE AS d1"))
 
 _ORACLES["s_attribution"] = """
     WITH w AS (

@@ -1139,3 +1139,114 @@ def table_diff(old, new, key_cols: Sequence[str] | str,
                    F.col("__old_fp__").alias("old_fp"),
                    F.col("__new_fp__").alias("new_fp")))
     return SparkFrame(out)
+
+
+def merge_intervals(frame, key_col: str, start_col: str, end_col: str) -> SparkFrame:
+    """Gaps-and-islands: merge overlapping or touching intervals per key
+    into maximal disjoint islands; emit one row per island with
+    (key, island_id, island_start, island_end, n_intervals).
+
+    The classic rolling-max recipe: per key, order intervals by
+    (start, end) and flag a NEW island whenever the interval's start
+    exceeds the running ``max(end)`` of everything before it; the
+    island id is the running sum of flags. Two window passes
+    partitioned BY KEY (hash-parallel across keys — never a global
+    window) and one hash aggregate. The flag depends only on the
+    rolling max, so equal-start ties produce identical islands under
+    any tie order and the output is a deterministic function of the
+    data — engine-reproducible for the DuckDB oracle.
+
+    100 TB: one shuffle on the key; per-key interval counts bound the
+    window state. (The reference has no interval ops —
+    cl-data-frame.lisp has no relational layer at all; Tier S surface.)
+    """
+    sdf = _plain(frame)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc())
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
+        F.lit(1)).otherwise(F.lit(0))
+    out = (sdf
+           .withColumn("__new__", new_island)
+           .withColumn("island_id",
+                       F.sum("__new__").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0)))
+           .groupBy(key_col, "island_id")
+           .agg(F.min(start_col).alias("island_start"),
+                F.max(end_col).alias("island_end"),
+                F.count(F.lit(1)).alias("n_intervals")))
+    return SparkFrame(out)
+
+
+def ewma(frame, key_col: str = "user_id", ts_col: str = "ts",
+         val_col: str = "value", id_col: str = "event_id",
+         alpha: float = 0.3, k: int = 8) -> SparkFrame:
+    """Exponentially weighted moving average per key, bounded-memory
+    variant: the adjusted EWMA over the trailing ``k`` observations,
+
+        ewma_t = sum_{j<k} (1-a)^j x_{t-j} / sum_{j<k, exists} (1-a)^j
+
+    (pandas ``ewm(alpha, adjust=True)`` semantics truncated at k lags;
+    the (1-a)^k tail each term drops is < 6% of the weight mass at the
+    defaults and the truncation is part of the operator contract, so
+    results are exactly reproducible in any engine).
+
+    The k lag terms are UNROLLED into k ``lag()`` calls over ONE window
+    definition — a single user-keyed shuffle, one pass, all whole-stage
+    codegen; no recurrence, no UDF, no per-key state. Bounded k keeps
+    the plan O(k) expressions — the scale-safe alternative to an
+    unbounded running recurrence (which would need either a
+    non-codegen-able running product or driver iteration).
+    """
+    sdf = _plain(frame)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    beta = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        term = F.lag(F.col(val_col).cast("double"), j).over(w)
+        wgt = F.lit(beta ** j)
+        num = num + F.coalesce(term * wgt, F.lit(0.0))
+        den = den + F.when(term.isNotNull(), wgt).otherwise(F.lit(0.0))
+    out = sdf.select(
+        key_col, id_col,
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(val_col).cast("double").alias("value"),
+        F.round(num / den, 6).alias("ewma"))
+    return SparkFrame(out)
+
+
+def trailing_active_users(frame, ts_col: str = "ts",
+                          user_col: str = "user_id",
+                          days: int = 7) -> SparkFrame:
+    """Trailing-window distinct counts (e.g. 7-day active users): for
+    every calendar day WITH activity, the number of distinct users
+    active in the trailing ``days``-day window ending that day.
+
+    ``count(DISTINCT)`` is not a Spark window function, and the naive
+    day×events range join is quadratic. Instead each event row is
+    EXPLODED to the ≤``days`` observation days it can influence
+    (``sequence(day, day+days-1)``) and a plain distinct-count
+    aggregation runs per observation day — a bounded ×days expansion of
+    a slim (obs_day, user) projection, one exchange, partial-agg
+    combined map-side. A semi-join against the distinct active days
+    restricts output to days that actually occur. 100 TB: expansion
+    factor is the window length, not data size; the shuffle carries
+    (date, bigint) pairs only.
+    """
+    sdf = _plain(frame)
+    day = F.date_trunc("DAY", F.col(ts_col))
+    obs = (sdf.select(day.alias("__day__"), F.col(user_col))
+           .select(F.explode(F.sequence(
+               F.col("__day__"),
+               F.col("__day__") + F.expr(f"INTERVAL {days - 1} DAYS"),
+               F.expr("INTERVAL 1 DAY"))).alias("obs_day"),
+               F.col(user_col)))
+    active_days = sdf.select(day.alias("obs_day")).distinct()
+    out = (obs.join(active_days, on="obs_day", how="left_semi")
+           .groupBy("obs_day")
+           .agg(F.count_distinct(F.col(user_col)).alias("active_users")))
+    return SparkFrame(out)

@@ -514,3 +514,70 @@ def test_grouping_sets_with_grouping_id(spark):
     assert ("a", None, 1) not in out     # (g1) alone is NOT a set
     with pytest.raises(ValueError):
         R.group_agg(df, ["g1"], {"s": F.sum("v")}, kind="grouping_sets")
+
+
+def test_merge_intervals_islands(spark):
+    from cl_data_frame_spark.operators.relational import merge_intervals
+    rows = [
+        # key 1: [0,10] overlaps [5,12]; [12,15] TOUCHES (merged, not >);
+        # [20,25] separate; [21,22] contained
+        (1, 0, 10), (1, 5, 12), (1, 12, 15), (1, 20, 25), (1, 21, 22),
+        # key 2: single interval
+        (2, 100, 110),
+    ]
+    df = SparkFrame(spark.createDataFrame(rows, "k int, s int, e int"))
+    got = {(r.k, r.island_id): (r.island_start, r.island_end,
+                                r.n_intervals)
+           for r in merge_intervals(df, "k", "s", "e").spark_df.collect()}
+    assert got[(1, 1)] == (0, 15, 3)       # touching end==start merges
+    assert got[(1, 2)] == (20, 25, 2)      # contained interval absorbed
+    assert got[(2, 1)] == (100, 110, 1)
+    assert len(got) == 3
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    import pandas as pd
+    from cl_data_frame_spark.operators.relational import ewma
+    vals = [1.0, 2.0, 4.0, 8.0, 3.0]
+    rows = [(1, i, datetime(2024, 1, 1, 0, i), v)
+            for i, v in enumerate(vals)]
+    df = SparkFrame(spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"))
+    # k=8 > len(vals): truncation inactive -> exact pandas adjust=True
+    got = {r.event_id: r.ewma
+           for r in ewma(df, alpha=0.3, k=8).spark_df.collect()}
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - round(want[i], 6)) < 1e-9
+
+
+def test_ewma_truncates_at_k_lags(spark):
+    from cl_data_frame_spark.operators.relational import ewma
+    vals = [100.0, 1.0, 1.0]
+    rows = [(1, i, datetime(2024, 1, 1, 0, i), v)
+            for i, v in enumerate(vals)]
+    df = SparkFrame(spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"))
+    got = {r.event_id: r.ewma
+           for r in ewma(df, alpha=0.5, k=2).spark_df.collect()}
+    # at t=2 the window holds only [1.0, 1.0]; the 100.0 fell out of k=2
+    assert got[2] == 1.0
+
+
+def test_trailing_active_users_windowed_distinct(spark):
+    from cl_data_frame_spark.operators.relational import (
+        trailing_active_users)
+    rows = [
+        (1, datetime(2024, 1, 1, 5)), (2, datetime(2024, 1, 2, 6)),
+        (1, datetime(2024, 1, 2, 7)),           # dup user within window
+        (3, datetime(2024, 1, 10, 8)),          # far past the window
+    ]
+    df = SparkFrame(spark.createDataFrame(
+        rows, "user_id int, ts timestamp"))
+    got = {r.obs_day.day: r.active_users
+           for r in trailing_active_users(df, days=3).spark_df.collect()}
+    # only days WITH activity appear
+    assert set(got) == {1, 2, 10}
+    assert got[1] == 1          # user 1
+    assert got[2] == 2          # users 1, 2 (dedup'd across events)
+    assert got[10] == 1         # window [8, 10] sees only user 3
