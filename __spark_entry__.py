@@ -1300,8 +1300,10 @@ def q_x_dedup_clusters(spark, sf_dir):
     connected components (iterative min-label propagation,
     dedup.duplicate_clusters; recursive-CTE oracle) + integer
     fixed-point PageRank (graph.pagerank; unrolled-CTE oracle), one
-    tagged union. The pair table is localCheckpoint'd so the quadratic
-    pair generation runs once for both parts."""
+    tagged union, plus per-node triangle counts + degree
+    (graph.triangle_counts — clique-vs-chain diagnostics over the same
+    graph). The pair table is localCheckpoint'd so the quadratic pair
+    generation runs once for all three parts."""
     docs = _f(spark, sf_dir, "documents")
     pairs = X.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
                                   block_col="lang") \
@@ -1318,7 +1320,13 @@ def q_x_dedup_clusters(spark, sf_dir):
              F.col("rank").cast("bigint").alias("i1"),
              F.lit(None).cast("boolean").alias("flag"),
              F.col("rank_scaled").cast("double").alias("d1"))
-    return a.unionByName(b)
+    tg = G.triangle_counts(pairs).spark_df
+    c = _tag(tg, "triangles",
+             F.col("node").cast("bigint").alias("node"),
+             F.col("triangles").cast("bigint").alias("i1"),
+             F.lit(None).cast("boolean").alias("flag"),
+             F.col("degree").cast("double").alias("d1"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_hash_sample(spark, sf_dir):
@@ -1569,9 +1577,18 @@ def q_r_shape_meta(spark, sf_dir):
         rows, "part string, k string, v_i bigint, v_s string, v_d double")
 
 
+#: columns the r_summary_all 'profile' part profiles (orders table);
+#: the oracle generator marks which ones get a mean
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate", "o_totalprice"]
+_PROFILE_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
 def q_r_summary_all(spark, sf_dir):
     """R26-R28: bit summary, exact-quantile summary, frequency summary in
-    long form (counts in v_i, statistics in v_d)."""
+    long form (counts in v_i, statistics in v_d, strings in v_s) + the
+    one-pass whole-table column profiler (summary.profile_table) over
+    orders, exploded to (column|stat) rows."""
     fr = _f(spark, sf_dir, "lineitem")
     s = fr.column_summary("l_extendedprice")
     q = s.quantiles
@@ -1588,15 +1605,38 @@ def q_r_summary_all(spark, sf_dir):
     rows += [("bits", "length", sb.length, None),
              ("bits", "ones", sb.count, None)]
     lit_rows = spark.createDataFrame(
-        rows, "part string, k string, v_i bigint, v_d double")
+        [(p, k, vi, vd, None) for (p, k, vi, vd) in rows],
+        "part string, k string, v_i bigint, v_d double, v_s string")
     from cl_data_frame_spark.summary import equi_width_histogram
     hist = equi_width_histogram(fr.spark_df, "l_extendedprice",
                                 n_bins=10)
     h = hist.select(F.lit("hist").alias("part"),
                     F.col("bin").cast("string").alias("k"),
                     F.col("n").cast("bigint").alias("v_i"),
-                    F.col("lo").cast("double").alias("v_d"))
-    return lit_rows.unionByName(h)
+                    F.col("lo").cast("double").alias("v_d"),
+                    _SNULL().alias("v_s"))
+    from cl_data_frame_spark.summary import profile_table
+    prof = profile_table(_t(spark, sf_dir, "orders"),
+                         _PROFILE_COLS).spark_df
+
+    def _stat(name, v_i=None, v_d=None, v_s=None):
+        return F.struct(
+            F.concat_ws("|", F.col("column"), F.lit(name)).alias("k"),
+            (v_i if v_i is not None else _BNULL()).alias("v_i"),
+            (v_d if v_d is not None else _DNULL()).alias("v_d"),
+            (v_s if v_s is not None else _SNULL()).alias("v_s"))
+
+    p = (prof.select(F.explode(F.array(
+             _stat("n_rows", v_i=F.col("n_rows")),
+             _stat("n_null", v_i=F.col("n_null")),
+             _stat("n_distinct", v_i=F.col("n_distinct")),
+             _stat("min", v_s=F.col("min_str")),
+             _stat("max", v_s=F.col("max_str")),
+             _stat("mean", v_d=F.col("mean")))).alias("r"))
+         .select(F.lit("profile").alias("part"),
+                 F.col("r.k"), F.col("r.v_i"), F.col("r.v_d"),
+                 F.col("r.v_s")))
+    return lit_rows.unionByName(h).unionByName(p)
 
 
 def q_r_select_positional(spark, sf_dir):
@@ -2340,9 +2380,11 @@ def q_s_stats(spark, sf_dir):
     tiny table — 'moments'/'regression' directly, 'corrmatrix' via
     exact decimal re-aggregation to global sums, 'crosstab'/'chisq'
     from the count columns, 'bins'/'outliers' by broadcasting the
-    percentile slice back for the one labeling pass. Eight statistical
-    parts, TWO lineitem scans total (stats pass + bin labeling) plus
-    the part-table freq pass."""
+    percentile slice back for the one labeling pass, 'mad' by reusing
+    the shared pass's 0.5-percentile as its median (only the
+    deviation-median + flag passes are extra — inherent to MAD's
+    nested-median definition). Nine statistical parts, FOUR lineitem
+    scans total plus the part-table freq pass."""
     li = _t(spark, sf_dir, "lineitem")
     probs = STAT.quantile_bins_percentile_probs(n_bins=4)
     mega = (li.groupBy("l_returnflag")
@@ -2452,9 +2494,30 @@ def q_s_stats(spark, sf_dir):
              F.col("fence_lo").cast("double").alias("d1"),
              F.col("fence_hi").cast("double").alias("d2"),
              _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # MAD robust outliers: the group median comes FREE from the shared
+    # percentile layout (probs[1] = 0.5), so only the deviation-median
+    # pass and the flag/count pass scan lineitem
+    meds = mega.select("l_returnflag",
+                       F.col("__p__")[1].alias("__med__"))
+    mo = STAT.mad_outliers(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_extendedprice", by=["l_returnflag"], medians=meds).spark_df
+    mad_agg = (mo.groupBy("l_returnflag")
+               .agg(F.sum(F.col("is_mad_outlier").cast("bigint"))
+                    .alias("n_out"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("median").alias("median"),
+                    F.min("mad").alias("mad")))
+    m = _tag(mad_agg, "mad",
+             F.col("l_returnflag").alias("s1"),
+             F.col("n_out").cast("bigint").alias("i1"),
+             F.col("n").cast("bigint").alias("i2"),
+             F.col("median").cast("double").alias("d1"),
+             F.col("mad").cast("double").alias("d2"),
+             _DNULL().alias("d3"), _DNULL().alias("d4"))
     return (a.unionByName(f).unionByName(g).unionByName(b)
             .unionByName(h).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(m))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -2616,10 +2679,10 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands"],
-    "r_summary_all": ["quantiles", "freq", "bits", "hist"],
+    "r_summary_all": ["quantiles", "freq", "bits", "hist", "profile"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
-                "chisq", "freq", "bins", "outliers"],
+                "chisq", "freq", "bins", "outliers", "mad"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans"],
@@ -2632,7 +2695,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                         "pergroup"],
     "x_bm25": ["bm25", "phrase", "postings"],
     "x_embed_quantize": ["int8", "pq"],
-    "x_dedup_clusters": ["cc", "pagerank"],
+    "x_dedup_clusters": ["cc", "pagerank", "triangles"],
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect"],
@@ -3676,6 +3739,39 @@ _ORACLES["r_shape_meta"] = """
     UNION ALL SELECT 'errors', 'ColumnLengthMismatch', 1::BIGINT, NULL,
         NULL"""
 
+def _profile_oracle_rows() -> str:
+    """Per-(column|stat) long rows mirroring summary.profile_table over
+    the orders profile columns; min/max verify as strings (one shared
+    schema across heterogeneous column types), mean only for
+    numerics."""
+    selects = []
+    for c in _PROFILE_COLS:
+        # non-numeric mean rows are constant: FROM-less single row (a
+        # bare NULL select FROM orders would fan out per source row)
+        mean_row = (
+            f"SELECT 'profile', '{c}|mean', NULL::BIGINT, "
+            f"round(avg({c}), 6), NULL::VARCHAR FROM orders"
+            if c in _PROFILE_NUMERIC else
+            f"SELECT 'profile', '{c}|mean', NULL::BIGINT, "
+            "NULL::DOUBLE, NULL::VARCHAR")
+        selects += [
+            f"SELECT 'profile', '{c}|n_rows', count(*)::BIGINT, "
+            "NULL::DOUBLE, NULL::VARCHAR FROM orders",
+            f"SELECT 'profile', '{c}|n_null', "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT, "
+            "NULL::DOUBLE, NULL::VARCHAR FROM orders",
+            f"SELECT 'profile', '{c}|n_distinct', "
+            f"count(DISTINCT {c})::BIGINT, NULL::DOUBLE, "
+            "NULL::VARCHAR FROM orders",
+            f"SELECT 'profile', '{c}|min', NULL::BIGINT, NULL::DOUBLE, "
+            f"min({c})::VARCHAR FROM orders",
+            f"SELECT 'profile', '{c}|max', NULL::BIGINT, NULL::DOUBLE, "
+            f"max({c})::VARCHAR FROM orders",
+            mean_row,
+        ]
+    return "\n    UNION ALL ".join(selects)
+
+
 _ORACLES["r_summary_all"] = """
     SELECT 'quantiles' AS part, 'n' AS k,
            count(l_extendedprice)::BIGINT AS v_i, NULL::DOUBLE AS v_d
@@ -3710,6 +3806,13 @@ _ORACLES["r_summary_all"] = """
                round(mn + bin::DOUBLE * ((mx - mn) / 10.0), 6) AS lo,
                n
         FROM g)"""
+
+# widen to the v_s string slot (NULL for every pre-profile part) and
+# append the one-pass column-profiler rows
+_ORACLES["r_summary_all"] = f"""
+    SELECT part, k, v_i, v_d, NULL::VARCHAR AS v_s
+    FROM ({_ORACLES["r_summary_all"]})
+    UNION ALL {_profile_oracle_rows()}"""
 
 _ORACLES["r_select_positional"] = _union(
     _wrap("columns_select", _ORACLES["r_columns_select"],
@@ -4328,13 +4431,32 @@ def _pagerank_oracle_sql(n_iter: int = 3, damping_pct: int = 85,
 
 _ORACLES["x_pagerank"] = _pagerank_oracle_sql()
 
+_ORACLES["x_triangles"] = f"""
+        WITH {_PAIR_GRAPH_CTES},
+        tri AS (
+            SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e1.id_b = e2.id_a
+            JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        tn AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri),
+        tc AS (SELECT node, count(*) AS triangles FROM tn GROUP BY node),
+        dg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a)
+        SELECT d.node::BIGINT AS node, d.degree::BIGINT AS degree,
+               coalesce(tc.triangles, 0)::BIGINT AS triangles
+        FROM dg d LEFT JOIN tc ON d.node = tc.node"""
+
 _ORACLES["x_dedup_clusters"] = _union(
     _wrap("cc", _ORACLES["x_cc_clusters"],
           "node::BIGINT AS node, component::BIGINT AS i1, "
           "is_canonical AS flag, NULL::DOUBLE AS d1"),
     _wrap("pagerank", _ORACLES["x_pagerank"],
           "node::BIGINT AS node, rank::BIGINT AS i1, "
-          "NULL::BOOLEAN AS flag, rank_scaled::DOUBLE AS d1"))
+          "NULL::BOOLEAN AS flag, rank_scaled::DOUBLE AS d1"),
+    _wrap("triangles", _ORACLES["x_triangles"],
+          "node::BIGINT AS node, triangles::BIGINT AS i1, "
+          "NULL::BOOLEAN AS flag, degree::DOUBLE AS d1"))
 
 _MIX_TOTAL = sum(_MIX_WEIGHTS.values())
 _MIX_CASE = ("CASE lang "
@@ -4857,6 +4979,29 @@ _ORACLES["s_stats"] = _union(
         GROUP BY l.l_returnflag""",
           "l_returnflag AS s1, n_outliers::BIGINT AS i1, n::BIGINT AS i2, "
           "fence_lo::DOUBLE AS d1, fence_hi::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("mad", """
+        WITH med AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS m
+            FROM lineitem GROUP BY l_returnflag),
+        wm AS (
+            SELECT l.l_returnflag, l.l_extendedprice, med.m
+            FROM lineitem l JOIN med USING (l_returnflag)),
+        mad AS (
+            SELECT l_returnflag,
+                   quantile_cont(abs(l_extendedprice - m), 0.5) AS md
+            FROM wm GROUP BY l_returnflag)
+        SELECT w.l_returnflag,
+               sum((abs(w.l_extendedprice - w.m)
+                    > 3.0 * 1.4826 * mad.md)::BIGINT)::BIGINT AS n_out,
+               count(*)::BIGINT AS n,
+               round(min(w.m), 6) AS median,
+               round(min(mad.md), 6) AS mad
+        FROM wm w JOIN mad USING (l_returnflag)
+        GROUP BY w.l_returnflag""",
+          "l_returnflag AS s1, n_out::BIGINT AS i1, n::BIGINT AS i2, "
+          "median::DOUBLE AS d1, mad::DOUBLE AS d2, "
           "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
 
 

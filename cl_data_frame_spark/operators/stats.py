@@ -426,3 +426,52 @@ def quantile_bins_outliers(frame, col: str, n_bins: int = 4,
                        (F.col(col) < lo) | (F.col(col) > hi))
            .drop("__p__"))
     return SparkFrame(out)
+
+
+def mad_outliers(frame, col: str, by: list[str] | None = None,
+                 k: float = 3.0, consistency: float = 1.4826,
+                 medians=None) -> SparkFrame:
+    """Robust outlier flagging via the Median Absolute Deviation: rows
+    with ``|x - median| > k * consistency * MAD`` (optionally per
+    group). MAD = median(|x - median|); the 1.4826 factor makes it a
+    consistent σ estimator under normality, so the default k=3 mirrors
+    a 3-sigma rule that — unlike Tukey fences on the IQR — stays
+    stable with up to 50% contamination.
+
+    Two exact-percentile aggregations are INHERENT (the deviation
+    median depends on the data median), each a partial+final hash agg
+    to #groups rows broadcast back onto the input — the input shuffles
+    zero times; only the two tiny stat tables move. At 100 TB swap
+    each exact ``percentile`` for ``sketch.kll_quantiles`` (same
+    broadcast-back shape), at the documented <1% rank-error cost.
+
+    Per-row output: col, the group median, ``mad`` (both rounded 6)
+    and ``is_mad_outlier``. A constant group (MAD = 0) flags any
+    deviation from the median, matching the estimator's definition.
+
+    *medians*: optional precomputed table (by-cols + ``__med__``) —
+    callers that already ran a percentile aggregation (e.g. the fused
+    ``quantile_bins_outliers`` stats pass, whose prob layout carries
+    0.5) skip the first scan entirely.
+    """
+    sdf = _plain(frame)
+    if medians is None:
+        med_agg = F.percentile(F.col(col), F.lit(0.5)).alias("__med__")
+        meds = sdf.groupBy(*by).agg(med_agg) if by else sdf.agg(med_agg)
+    else:
+        meds = _plain(medians)
+    with_med = (sdf.join(F.broadcast(meds), on=by) if by
+                else sdf.crossJoin(F.broadcast(meds)))
+    dev = F.abs(F.col(col) - F.col("__med__"))
+    mad_agg = F.percentile(dev, F.lit(0.5)).alias("__mad__")
+    mads = (with_med.groupBy(*by).agg(mad_agg) if by
+            else with_med.agg(mad_agg))
+    joined = (with_med.join(F.broadcast(mads), on=by) if by
+              else with_med.crossJoin(F.broadcast(mads)))
+    thresh = F.lit(k) * F.lit(consistency) * F.col("__mad__")
+    out = (joined
+           .withColumn("median", F.round(F.col("__med__"), 6))
+           .withColumn("mad", F.round(F.col("__mad__"), 6))
+           .withColumn("is_mad_outlier", dev > thresh)
+           .drop("__med__", "__mad__"))
+    return SparkFrame(out)

@@ -51,3 +51,25 @@ def test_pagerank_rank_scaled_and_validation(spark):
         assert abs(r["rank_scaled"] - r["rank"] / 1e12) < 1e-6
     with pytest.raises(ValueError):
         G.pagerank(df, damping_pct=0)
+
+
+def test_triangle_counts_known_graph(spark):
+    from cl_data_frame_spark.operators.graph import triangle_counts
+    # 1-2-3 triangle + pendant 4 on node 3; reversed/dup edges collapse
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.node: (r.degree, r.triangles)
+           for r in triangle_counts(df).spark_df.collect()}
+    assert got[1] == (2, 1)
+    assert got[2] == (2, 1)
+    assert got[3] == (3, 1)
+    assert got[4] == (1, 0)
+
+
+def test_triangle_counts_two_triangles_share_edge(spark):
+    from cl_data_frame_spark.operators.graph import triangle_counts
+    # triangles (1,2,3) and (2,3,4) share edge 2-3
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.node: r.triangles for r in triangle_counts(df).spark_df.collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}

@@ -245,3 +245,42 @@ def test_chisq_cells_statistic_matches_closed_form(spark):
     expect = n * (a * d - b * c) ** 2 / \
         ((a + b) * (c + d) * (a + c) * (b + d))
     assert abs(stat - expect) < 1e-5
+
+
+def test_mad_outliers_flags_extreme_value(spark):
+    from cl_data_frame_spark.operators.stats import mad_outliers
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = mad_outliers(df, "x").spark_df.collect()
+    flags = {r.x: r.is_mad_outlier for r in rows}
+    assert flags[100.0] is True
+    assert all(not flags[v] for v in vals[:-1])
+    # median of the six values interpolates to 12.5
+    assert rows[0].median == 12.5
+
+
+def test_mad_outliers_grouped_and_constant_group(spark):
+    from cl_data_frame_spark.operators.stats import mad_outliers
+    rows = [("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 50.0),
+            ("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = [(r.g, r.x, r.is_mad_outlier)
+           for r in mad_outliers(df, "x", by=["g"]).spark_df.collect()]
+    # group a: MAD = 0 (median 1.0) -> ANY deviation flags
+    assert ("a", 50.0, True) in got
+    assert ("a", 1.0, False) in got
+    # group b is tight: nothing flags
+    assert all(not f for (g, _, f) in got if g == "b")
+
+
+def test_profile_table_one_pass_stats(spark):
+    from cl_data_frame_spark.summary import profile_table
+    rows = [(1, "x", 1.0), (2, "y", None), (2, None, 3.0)]
+    df = spark.createDataFrame(rows, "k bigint, s string, v double")
+    got = {r.column: r for r in profile_table(df).spark_df.collect()}
+    assert got["k"].n_rows == 3 and got["k"].n_null == 0
+    assert got["k"].n_distinct == 2
+    assert got["k"].min_str == "1" and got["k"].max_str == "2"
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+    assert got["s"].mean is None
+    assert got["v"].n_null == 1 and got["v"].mean == 2.0
