@@ -2065,8 +2065,9 @@ def q_x_cluster_assign(spark, sf_dir):
 def q_x_text_stats(spark, sf_dir):
     """Text analysis, one wide per-doc frame: quality metrics, lang-id,
     BPE-ish token estimate, fingerprints, Gopher-style repetition stats,
-    stopword filtering — joined on doc_id (each operator emits one row
-    per doc, so the join is a key-aligned zip)."""
+    stopword filtering, unigram + bigram LM quality proxies — joined on
+    doc_id (each operator emits one row per doc, so the join is a
+    key-aligned zip)."""
     q = q_x_text_quality(spark, sf_dir)
     l = q_x_lang_id(spark, sf_dir)
     t = q_x_token_counts(spark, sf_dir).select("doc_id", "n_bpe")
@@ -2083,13 +2084,20 @@ def q_x_text_stats(spark, sf_dir):
         _t(spark, sf_dir, "documents")).spark_df.select(
         "doc_id", F.col("n_lm_tokens").cast("bigint"),
         F.col("mean_nll").cast("double"))
+    # left join: a single-token doc has no bigrams (NULL columns), and
+    # must not drop the doc's whole row from the wide frame
+    b2 = TS.bigram_logprob_scores(
+        _t(spark, sf_dir, "documents")).spark_df.select(
+        "doc_id", F.col("n_bigrams").cast("bigint"),
+        F.col("mean_nll2").cast("double"))
     return (q.join(l, "doc_id").join(t, "doc_id").join(f, "doc_id")
             .join(r, "doc_id").join(s, "doc_id").join(e, "doc_id")
-            .join(u, "doc_id"))
+            .join(u, "doc_id").join(b2, "doc_id", "left"))
 
 
 def q_x_term_weights(spark, sf_dir):
-    """TF-IDF top-k terms + CountVectorizer long form."""
+    """TF-IDF top-k terms + CountVectorizer long form + top-50 PMI
+    collocations (corpus-level phrase mining, textstats.collocations)."""
     a = _tag(q_x_tfidf_topk(spark, sf_dir), "tfidf",
              F.col("doc_id").cast("bigint").alias("doc_id"),
              F.col("term").alias("term"),
@@ -2102,7 +2110,15 @@ def q_x_term_weights(spark, sf_dir):
              F.col("tf").cast("bigint").alias("tf"),
              _DNULL().alias("val_d"),
              F.col("idx").cast("bigint").alias("val_i"))
-    return a.unionByName(b)
+    co = TS.collocations(_t(spark, sf_dir, "documents"),
+                         min_count=5, top_k=50).spark_df
+    c = _tag(co, "colloc",
+             _BNULL().alias("doc_id"),
+             F.concat_ws(" ", "gram_a", "gram_b").alias("term"),
+             F.col("n_pair").cast("bigint").alias("tf"),
+             F.col("pmi").cast("double").alias("val_d"),
+             _BNULL().alias("val_i"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_hash_sampling(spark, sf_dir):
@@ -2690,7 +2706,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_embed_neardup": ["pairs", "semdedup"],
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
     "x_cluster_assign": ["ivf", "kmeans"],
-    "x_term_weights": ["tfidf", "count_vectorize"],
+    "x_term_weights": ["tfidf", "count_vectorize", "colloc"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix",
                         "pergroup"],
     "x_bm25": ["bm25", "phrase", "postings"],
@@ -4348,6 +4364,24 @@ _ORACLES["x_unigram_nll"] = f"""
     FROM toks JOIN lmq ON toks.t = lmq.t
     GROUP BY toks.doc_id"""
 
+_ORACLES["x_bigram_nll"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (SELECT doc_id, tk[i-1] AS a, tk[i] AS b
+          FROM (SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i
+                FROM t)),
+    uni AS (SELECT a, count(*) AS uc FROM p GROUP BY a),
+    v AS (SELECT count(DISTINCT u) AS vs
+          FROM (SELECT unnest(tk) AS u FROM t)),
+    bi AS (SELECT a, b, count(*) AS bc FROM p GROUP BY a, b),
+    lm AS (SELECT a, b,
+                  (round(-ln((bc + 1)::DOUBLE)
+                         + ln((uc + vs)::DOUBLE), 9))::DECIMAL(28,9)
+                      AS nll
+           FROM bi JOIN uni USING (a) CROSS JOIN v)
+    SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(sum(lm.nll)::DOUBLE / count(*), 6) AS mean_nll2
+    FROM p JOIN lm USING (a, b) GROUP BY p.doc_id"""
+
 _ORACLES["x_text_stats"] = f"""
     SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.mean_word_len,
            q.punct_ratio, q.stopword_ratio, q.quality,
@@ -4356,7 +4390,8 @@ _ORACLES["x_text_stats"] = f"""
            r.ttr, r.top_unigram_frac, r.top_bigram_frac,
            s.n_content_tokens,
            e.n_distinct_tokens, e.entropy_bits, e.top_token_mass,
-           u.n_lm_tokens, u.mean_nll
+           u.n_lm_tokens, u.mean_nll,
+           b2.n_bigrams, b2.mean_nll2
     FROM ({_ORACLES["x_text_quality"]}) q
     JOIN ({_ORACLES["x_lang_id"]}) l ON q.doc_id = l.doc_id
     JOIN ({_ORACLES["x_token_counts"]}) t ON q.doc_id = t.doc_id
@@ -4364,7 +4399,29 @@ _ORACLES["x_text_stats"] = f"""
     JOIN ({_ORACLES["x_repetition_stats"]}) r ON q.doc_id = r.doc_id
     JOIN ({_ORACLES["x_stopword_filter"]}) s ON q.doc_id = s.doc_id
     JOIN ({_ORACLES["x_token_entropy"]}) e ON q.doc_id = e.doc_id
-    JOIN ({_ORACLES["x_unigram_nll"]}) u ON q.doc_id = u.doc_id"""
+    JOIN ({_ORACLES["x_unigram_nll"]}) u ON q.doc_id = u.doc_id
+    LEFT JOIN ({_ORACLES["x_bigram_nll"]}) b2 ON q.doc_id = b2.doc_id"""
+
+_ORACLES["x_collocations"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (SELECT tk[i-1] AS gram_a, tk[i] AS gram_b
+          FROM (SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i
+                FROM t)),
+    nb AS (SELECT count(*) AS nb FROM p),
+    toks AS (SELECT unnest(tk) AS u FROM t),
+    uni AS (SELECT u, count(*) AS uc FROM toks GROUP BY u),
+    nu AS (SELECT count(*) AS nu FROM toks),
+    bi AS (SELECT gram_a, gram_b, count(*) AS n_pair FROM p
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT gram_a, gram_b, n_pair::BIGINT AS n_pair,
+           round(ln(n_pair::DOUBLE * nu.nu::DOUBLE * nu.nu::DOUBLE
+                    / (nb.nb::DOUBLE * ua.uc::DOUBLE * ub.uc::DOUBLE)),
+                 6) AS pmi
+    FROM bi
+    JOIN uni ua ON bi.gram_a = ua.u
+    JOIN uni ub ON bi.gram_b = ub.u
+    CROSS JOIN nb CROSS JOIN nu
+    ORDER BY pmi DESC, gram_a, gram_b LIMIT 50"""
 
 _ORACLES["x_term_weights"] = _union(
     _wrap("tfidf", _ORACLES["x_tfidf_topk"],
@@ -4372,7 +4429,11 @@ _ORACLES["x_term_weights"] = _union(
           "tfidf::DOUBLE AS val_d, rank::BIGINT AS val_i"),
     _wrap("count_vectorize", _ORACLES["x_count_vectorize"],
           "doc_id::BIGINT AS doc_id, term, tf::BIGINT AS tf, "
-          "NULL::DOUBLE AS val_d, idx::BIGINT AS val_i"))
+          "NULL::DOUBLE AS val_d, idx::BIGINT AS val_i"),
+    _wrap("colloc", _ORACLES["x_collocations"],
+          "NULL::BIGINT AS doc_id, gram_a || ' ' || gram_b AS term, "
+          "n_pair::BIGINT AS tf, pmi::DOUBLE AS val_d, "
+          "NULL::BIGINT AS val_i"))
 
 #: shared within-lang 3-gram Jaccard pair graph (threshold 0.5) used by
 #: both x_dedup_clusters parts.

@@ -672,3 +672,128 @@ def token_entropy(frame, id_col: str = "doc_id",
                    F.round(F.col("__maxc__") / F.col("__n__"), 6)
                    .alias("top_token_mass")))
     return SparkFrame(out)
+
+
+def bigram_logprob_scores(frame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          quant: int = 9) -> SparkFrame:
+    """Second-order LM quality proxy: mean negative log of the
+    add-one-smoothed bigram conditional ``P(w_i | w_{i-1})`` under the
+    corpus's own bigram/unigram counts. Extends
+    ``unigram_logprob_scores`` — token-frequency soup that a unigram LM
+    scores as fluent (common words in scrambled order) scores HIGH
+    here, because scrambling destroys the conditional structure.
+
+        −ln P(w_i | w_{i-1}) = −ln (c(w_{i-1} w_i) + 1)
+                               + ln (c(w_{i-1}) + V)
+
+    with V the unigram vocabulary size (add-one smoothing keeps unseen
+    continuations finite and the formula engine-exact).
+
+    Output: (id_col, n_bigrams, mean_nll2 rounded 6); single-token
+    documents have no bigrams and drop out (thresholding semantics:
+    treat missing as no evidence).
+
+    Determinism: per-bigram −ln p quantizes to *quant* DECIMAL places
+    before the per-doc sum (order-independent exact aggregation); the
+    mean divides once at the end.
+
+    Plan: the adjacent-pair table comes from one posexplode + 1-lag
+    window per doc (doc-keyed shuffle); the bigram LM is a hash count
+    of that table (#bigram-types rows) and the unigram LM of its
+    prefix column — both broadcast back onto the pair table. Shuffles
+    carry (pair, count) partials and per-doc sums only; nothing
+    quadratic, no UDF.
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    toks = sdf.select(F.col(id_col),
+                      F.posexplode(tokens(F.col(text_col)))
+                      .alias("__pos__", "__t__"))
+    w = Window.partitionBy(id_col).orderBy("__pos__")
+    pairs = (toks
+             .select(F.col(id_col),
+                     F.lag("__t__").over(w).alias("__prev__"),
+                     F.col("__t__"))
+             .filter(F.col("__prev__").isNotNull()))
+    uni = (pairs.groupBy("__prev__")
+           .agg(F.count(F.lit(1)).alias("__uc__")))
+    vocab = toks.agg(F.count_distinct("__t__").alias("__v__"))
+    bi = (pairs.groupBy("__prev__", "__t__")
+          .agg(F.count(F.lit(1)).alias("__bc__")))
+    lm = (bi.join(F.broadcast(uni), on="__prev__")
+          .crossJoin(F.broadcast(vocab)))
+    nll = (-F.log((F.col("__bc__") + F.lit(1)).cast("double"))
+           + F.log((F.col("__uc__") + F.col("__v__")).cast("double")))
+    lm_q = lm.select("__prev__", "__t__",
+                     F.round(nll, quant)
+                     .cast(f"decimal(28,{quant})").alias("__nll__"))
+    out = (pairs.join(F.broadcast(lm_q), on=["__prev__", "__t__"])
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("__nll__").alias("__s__"))
+           .select(id_col, "n_bigrams",
+                   F.round(F.col("__s__").cast("double")
+                           / F.col("n_bigrams").cast("double"), 6)
+                   .alias("mean_nll2")))
+    return SparkFrame(out)
+
+
+def collocations(frame, id_col: str = "doc_id", text_col: str = "text",
+                 min_count: int = 5, top_k: int = 50) -> SparkFrame:
+    """Collocation mining: the *top_k* adjacent-token bigrams by
+    pointwise mutual information,
+
+        PMI(a, b) = ln( P(a,b) / (P(a) P(b)) )
+                  = ln( c(a,b) * N_uni² / (N_bi * c(a) * c(b)) )
+
+    over corpus-wide counts, keeping only bigrams seen at least
+    *min_count* times (the standard guard — PMI of hapax pairs is
+    pure noise). The classic phrase-detection pass (e.g. word2vec's
+    phrase joining) for finding multiword units before training.
+
+    Output: (gram_a, gram_b, n_pair, pmi rounded 6), ranked by
+    (pmi desc, pair) with a total tiebreak so top-k is deterministic.
+
+    Plan: adjacent pairs via posexplode + 1-lag window (doc-keyed
+    shuffle), one hash count to #bigram-types, two broadcast joins
+    against the unigram count table, then a global top-k
+    (TakeOrdered — no full sort). Linear in corpus tokens; the
+    min_count filter prunes the candidate table before the joins.
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    toks = sdf.select(F.col(id_col),
+                      F.posexplode(tokens(F.col(text_col)))
+                      .alias("__pos__", "__t__"))
+    w = Window.partitionBy(id_col).orderBy("__pos__")
+    pairs = (toks
+             .select(F.lag("__t__").over(w).alias("gram_a"),
+                     F.col("__t__").alias("gram_b"))
+             .filter(F.col("gram_a").isNotNull()))
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("__nb__"))
+    uni = toks.groupBy(F.col("__t__")).agg(
+        F.count(F.lit(1)).alias("__uc__"))
+    n_uni = toks.agg(F.count(F.lit(1)).alias("__nu__"))
+    bi = (pairs.groupBy("gram_a", "gram_b")
+          .agg(F.count(F.lit(1)).alias("n_pair"))
+          .filter(F.col("n_pair") >= min_count))
+    ua = uni.select(F.col("__t__").alias("gram_a"),
+                    F.col("__uc__").alias("__ca__"))
+    ub = uni.select(F.col("__t__").alias("gram_b"),
+                    F.col("__uc__").alias("__cb__"))
+    scored = (bi.join(F.broadcast(ua), on="gram_a")
+              .join(F.broadcast(ub), on="gram_b")
+              .crossJoin(F.broadcast(n_bi))
+              .crossJoin(F.broadcast(n_uni)))
+    pmi = F.log((F.col("n_pair").cast("double")
+                 * F.col("__nu__").cast("double")
+                 * F.col("__nu__").cast("double"))
+                / (F.col("__nb__").cast("double")
+                   * F.col("__ca__").cast("double")
+                   * F.col("__cb__").cast("double")))
+    out = (scored.select("gram_a", "gram_b", "n_pair",
+                         F.round(pmi, 6).alias("pmi"))
+           .orderBy(F.col("pmi").desc(), "gram_a", "gram_b")
+           .limit(top_k))
+    return SparkFrame(out)

@@ -267,3 +267,65 @@ def test_unigram_logprob_orders_fluency(spark):
         assert abs(out[doc_id]["mean_nll"] - round(want, 6)) < 1e-9
         assert out[doc_id]["n_lm_tokens"] == len(toks)
     assert out[2]["mean_nll"] < out[3]["mean_nll"]  # common < rare
+
+
+def test_bigram_logprob_penalizes_scrambled_order(spark):
+    """Same token multiset, scrambled order -> higher bigram NLL; and a
+    driver-side recomputation of the add-one-smoothed formula matches
+    exactly."""
+    import math
+    from decimal import Decimal
+    fluent = "the cat sat the cat sat the cat sat"
+    scrambled = "cat the sat sat the cat sat cat the"
+    rows = [(1, fluent), (2, fluent), (3, scrambled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TS.bigram_logprob_scores(df).spark_df.collect()}
+    assert out[1]["n_bigrams"] == 8
+    assert out[1]["mean_nll2"] < out[3]["mean_nll2"]
+    # recompute doc 1 by hand: V = 3 distinct tokens
+    pairs = list(zip(fluent.split(), fluent.split()[1:]))
+    allp = pairs * 2 + list(zip(scrambled.split(), scrambled.split()[1:]))
+    bc = {}
+    uc = {}
+    for a, b in allp:
+        bc[(a, b)] = bc.get((a, b), 0) + 1
+        uc[a] = uc.get(a, 0) + 1
+
+    def nll_q(a, b):
+        return Decimal(str(round(
+            -math.log(bc[(a, b)] + 1) + math.log(uc[a] + 3), 9)))
+
+    want = float(sum(nll_q(a, b) for a, b in pairs)) / len(pairs)
+    assert abs(out[1]["mean_nll2"] - round(want, 6)) < 1e-9
+
+
+def test_bigram_logprob_single_token_doc_drops(spark):
+    rows = [(1, "hello"), (2, "hello world")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"] for r in
+           TS.bigram_logprob_scores(df).spark_df.collect()}
+    assert got == {2}
+
+
+def test_collocations_rank_phrases_over_chance_pairs(spark):
+    """A pair that ALWAYS co-occurs ('new york') outranks a pair of
+    independently common tokens, and min_count prunes hapaxes."""
+    # (new, york) occurs 3x and its tokens occur NOWHERE else; (the,
+    # dog) also occurs 3x but 'the' is common (9x), so its expected
+    # co-occurrence is high and PMI low: ln(3*24^2/(22*3*3)) ~ 2.17
+    # for new-york vs ln(3*24^2/(22*9*3)) ~ 1.07 for the-dog
+    text1 = " ".join(["new york"] * 3)
+    text2 = ("the dog the cat the dog the cat the dog "
+             "the mouse the house the fish the bird")
+    df = spark.createDataFrame([(1, text1), (2, text2)],
+                               ["doc_id", "text"])
+    out = TS.collocations(df, min_count=3, top_k=10).spark_df.collect()
+    grams = [(r["gram_a"], r["gram_b"]) for r in out]
+    assert ("york", "new") not in grams           # 2 < min_count
+    assert ("the", "mouse") not in grams          # 1 < min_count
+    assert ("new", "york") in grams and ("the", "dog") in grams
+    top = out[0]
+    assert (top["gram_a"], top["gram_b"]) == ("new", "york")
+    pmis = {(r["gram_a"], r["gram_b"]): r["pmi"] for r in out}
+    assert pmis[("new", "york")] > pmis[("the", "dog")]
