@@ -1933,7 +1933,10 @@ def q_s_source_roundtrip(spark, sf_dir):
 
 def q_x_dedup(spark, sf_dir):
     """Exact dedup (distinct on subset) + normalized-text dedup with a
-    deterministic min-id winner + sub-document duplicated-span removal."""
+    deterministic min-id winner + sub-document duplicated-span removal
+    + keep-best dedup (score-ranked winner over a synthesized
+    corpus-with-variants — sf0.01 documents have no natural normalized
+    dups, so the part constructs them)."""
     a = _tag(q_x_dedup_exact(spark, sf_dir), "exact",
              _BNULL().alias("doc_id"), F.col("lang").alias("lang"),
              F.col("source").alias("source"),
@@ -1964,7 +1967,28 @@ def q_x_dedup(spark, sf_dir):
              F.col("rep_tokens").cast("bigint").alias("i3"),
              F.col("rep_frac").cast("double").alias("d1"),
              F.md5("clean_text").alias("s1"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # keep-best dedup over a corpus with REAL normalized duplicates:
+    # each doc gets an upper-cased double-spaced variant with a higher
+    # quality score — the winner set must be exactly the variants
+    docs = _t(spark, sf_dir, "documents")
+    variant = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.upper(F.regexp_replace(F.col("text"), " ", "  "))
+        .alias("text"),
+        F.col("lang"), F.col("source"),
+        (F.col("n_chars") + 5).alias("n_chars"))
+    kb = X.dedup_keep_best(
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(variant), score_col="n_chars").spark_df
+    e = _tag(kb.select("doc_id", "lang", "source"), "keepbest",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             F.col("lang").alias("lang"),
+             F.col("source").alias("source"),
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _DNULL().alias("d1"),
+             _SNULL().alias("s1"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_x_edit_distance(spark, sf_dir):
@@ -1979,7 +2003,8 @@ def q_x_edit_distance(spark, sf_dir):
 def q_x_ngram_jaccard_all(spark, sf_dir):
     """String-similarity joins: lang-blocked quadratic and global
     prefix-filtered PPJoin n-gram Jaccard pairs + edit-distance fuzzy
-    join (length-band blocked, exact levenshtein verify)."""
+    join (length-band blocked, exact levenshtein verify) + directed
+    asymmetric-containment pairs (near-subset detection)."""
     a = _tag(q_x_ngram_jaccard(spark, sf_dir), "blocked",
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
@@ -2003,7 +2028,14 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("hamming").cast("double").alias("jaccard"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    cp = X.containment_pairs(docs, n=3, threshold=0.6,
+                             block_col="lang").spark_df
+    e = _tag(cp, "containment",
+             F.col("id_a").cast("bigint").alias("id_a"),
+             F.col("id_b").cast("bigint").alias("id_b"),
+             F.col("containment").cast("double").alias("jaccard"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_x_ivf_topk(spark, sf_dir):
@@ -2701,8 +2733,10 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "chisq", "freq", "bins", "outliers", "mad"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7"],
-    "x_dedup": ["exact", "normalized", "spans", "selfspans"],
-    "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash"],
+    "x_dedup": ["exact", "normalized", "spans", "selfspans",
+                "keepbest"],
+    "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash",
+                        "containment"],
     "x_embed_neardup": ["pairs", "semdedup"],
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
     "x_cluster_assign": ["ivf", "kmeans"],
@@ -4113,7 +4147,28 @@ _ORACLES["x_dedup"] = _union(
           "doc_id::BIGINT AS doc_id, NULL::VARCHAR AS lang, "
           "NULL::VARCHAR AS source, n_tokens::BIGINT AS i1, "
           "rep_spans::BIGINT AS i2, rep_tokens::BIGINT AS i3, "
-          "rep_frac::DOUBLE AS d1, clean_md5 AS s1"))
+          "rep_frac::DOUBLE AS d1, clean_md5 AS s1"),
+    _wrap("keepbest", """
+        WITH u AS (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 10000,
+                   upper(regexp_replace(text, ' ', '  ', 'g')),
+                   lang, source, n_chars + 5
+            FROM documents),
+        fp AS (
+            SELECT doc_id, lang, source, n_chars,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                            'g'))) AS f
+            FROM u),
+        r AS (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (PARTITION BY f
+                                      ORDER BY n_chars DESC,
+                                               doc_id ASC) AS rk
+            FROM fp)
+        SELECT doc_id, lang, source FROM r WHERE rk = 1""",
+          f"doc_id::BIGINT AS doc_id, lang, source, {_SPAN_NULLS}"))
 
 _NGRAM_PAIR_SEL = ("id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
                    "jaccard::DOUBLE AS jaccard")
@@ -4176,6 +4231,24 @@ def _simhash_oracle_sql(max_hamming: int = 3, band_bits: int = 16,
 
 _ORACLES["x_simhash_md5"] = _simhash_oracle_sql()
 
+_ORACLES["x_containment"] = """
+    WITH ng AS (
+        SELECT doc_id, lang,
+               list_distinct([array_to_string(list_slice(t, i, i + 2),
+                                              ' ')
+                   FOR i IN generate_series(
+                       1, greatest(len(t) - 2, 1))]) AS g
+        FROM (SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) AS c
+        FROM ng a JOIN ng b
+             ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+    SELECT id_a, id_b, round(c, 6) AS containment
+    FROM p WHERE c >= 0.6"""
+
 _ORACLES["x_ngram_jaccard"] = _union(
     _wrap("blocked", _NJ_BLOCKED, _NGRAM_PAIR_SEL),
     _wrap("global", _NJ_GLOBAL, _NGRAM_PAIR_SEL),
@@ -4184,7 +4257,10 @@ _ORACLES["x_ngram_jaccard"] = _union(
           "dist::DOUBLE AS jaccard"),
     _wrap("simhash", _ORACLES["x_simhash_md5"],
           "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
-          "hamming::DOUBLE AS jaccard"))
+          "hamming::DOUBLE AS jaccard"),
+    _wrap("containment", _ORACLES["x_containment"],
+          "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+          "containment::DOUBLE AS jaccard"))
 
 def _duck_cos(a: str, b: str) -> str:
     return (f"round(list_reduce(list_transform(list_zip({a}, {b}), "

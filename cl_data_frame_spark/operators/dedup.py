@@ -955,3 +955,83 @@ def self_repetition_removal(frame, text_col: str = "text",
                                lambda j: F.element_at("__toks__", j + 1)),
                    " ").alias("clean_text")))
     return SparkFrame(out)
+
+
+def containment_pairs(frame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8,
+                      block_col: str | None = None) -> SparkFrame:
+    """Asymmetric near-SUBSET detection: directed pairs where document
+    ``a``'s n-gram set is mostly contained in ``b``'s,
+
+        containment(a → b) = |G(a) ∩ G(b)| / |G(a)| ≥ threshold.
+
+    Jaccard misses the quote-inside-a-longer-article case (the union
+    in its denominator is dominated by the longer doc); containment is
+    the standard asymmetric complement (Broder's resemblance vs
+    containment distinction) — pipeline use: drop ``a``, keep the
+    superset document.
+
+    Plan: inverted-index join, never pairwise array ops — explode each
+    doc's DISTINCT hashed grams to slim (gram, id) rows, self-join on
+    the gram (optionally block-scoped), hash-count shared grams per
+    directed pair, then one broadcast-size join against the per-doc
+    set sizes. Shuffles carry (gram, id) longs and (id_a, id_b, count)
+    partials only. Skew hazard: a corpus-ubiquitous gram fans out the
+    gram join quadratically — at scale drop grams with document
+    frequency above a cap first (they cannot discriminate containment
+    anyway); the cap is a recall-neutral optimization for
+    threshold-high queries only when |G(a)| ≫ capped-out grams,
+    documented rather than defaulted here.
+    """
+    base = ensure_min_partitions(_plain(frame).select(
+        id_col, *([block_col] if block_col else []), text_col))
+    grams = base.select(
+        id_col, *([block_col] if block_col else []),
+        F.explode(F.transform(word_ngrams(text_col, n),
+                              lambda g: F.xxhash64(g))).alias("__g__"))
+    sizes = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__sz__"))
+    on = ["__g__"] + ([block_col] if block_col else [])
+    ga = grams.select(*on, F.col(id_col).alias("id_a"))
+    gb = grams.select(*on, F.col(id_col).alias("id_b"))
+    shared = (ga.join(gb, on=on)
+              .filter(F.col("id_a") != F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("__inter__")))
+    out = (shared
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("__sz__").alias("__sa__")),
+                 on="id_a")
+           .withColumn("containment",
+                       F.col("__inter__").cast("double")
+                       / F.col("__sa__").cast("double"))
+           .filter(F.col("containment") >= threshold)
+           .select("id_a", "id_b",
+                   F.round("containment", 6).alias("containment")))
+    return SparkFrame(out)
+
+
+def dedup_keep_best(frame, score_col: str, text_col: str = "text",
+                    id_col: str = "doc_id") -> SparkFrame:
+    """Normalized-text dedup keeping the BEST-scoring duplicate (ties
+    break on the smallest id) instead of ``dedup_exact_normalized``'s
+    min-id winner — the production pattern when a quality score exists:
+    among byte-identical-after-normalization copies, keep the one with
+    the best metadata (longest original, highest LM score, …).
+
+    Same single-shuffle window-rank plan and the same mass-duplicate
+    skew caveat as ``dedup_exact_normalized`` (see its ``skew_safe``
+    recipe — the pre-aggregate shape works here with
+    ``max_by(id, (score, -id))`` as the combiner).
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    with_fp = sdf.withColumn("__fp__",
+                             normalized_fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp__").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    out = (with_fp.withColumn("__rk__", F.row_number().over(w))
+           .filter(F.col("__rk__") == 1)
+           .drop("__fp__", "__rk__"))
+    return SparkFrame(out)

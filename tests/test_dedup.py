@@ -283,3 +283,37 @@ def test_token_hash64_md5_matches_manual(spark):
         "t", _token_hash64(F.col("t"), "md5").alias("h")).collect()}
     for t in ("hello", "world"):
         assert got[t] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+
+def test_containment_pairs_directed_subset(spark):
+    from cl_data_frame_spark.frame import SparkFrame
+    from cl_data_frame_spark.operators.dedup import containment_pairs
+    quote = "alpha beta gamma delta epsilon zeta"
+    article = quote + " eta theta iota kappa lambda mu nu xi " \
+                      "omicron pi rho sigma tau"
+    rows = [(1, quote), (2, article), (3, "unrelated words entirely here")]
+    df = SparkFrame(spark.createDataFrame(rows, ["doc_id", "text"]))
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, n=3, threshold=0.8)
+           .spark_df.collect()}
+    # quote's grams are fully inside the article: containment(1->2)=1.0
+    assert got[(1, 2)] == 1.0
+    # the reverse direction is weak (article >> quote) and filtered out
+    assert (2, 1) not in got
+    assert all(3 not in pair for pair in got)
+
+
+def test_dedup_keep_best_prefers_score_then_min_id(spark):
+    from cl_data_frame_spark.frame import SparkFrame
+    from cl_data_frame_spark.operators.dedup import dedup_keep_best
+    rows = [
+        (1, "Hello  World", 5.0),
+        (2, "hello world", 9.0),     # same normalized text, best score
+        (3, "hello world ", 9.0),    # tie -> loses on id
+        (4, "different doc", 1.0),
+    ]
+    df = SparkFrame(spark.createDataFrame(
+        rows, ["doc_id", "text", "quality"]))
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_best(df, "quality").spark_df.collect())
+    assert kept == [2, 4]

@@ -22,14 +22,14 @@ import sys
 #: boundary is expected, not a regression. Keep appending per round.
 PARTS_CHANGED: dict[str, list[int]] = {
     # round 4 folded 16 new oracle parts into existing entries
-    "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused into one pass
+    "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused one pass, +mad
     "s_skew_udaf": [4],             # +grouped_map
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
-    "s_window_range_trailing": [4],  # +zscore
+    "s_window_range_trailing": [4, 5],  # r4 +zscore; r5 +ewma +distinct7
     "s_time_rollup": [4],           # +resample
     "s_funnel": [4, 5],             # r4 +retention; r5 +attribution
     "s_approx_sketches": [4, 5],    # r4 +theta+kll+freq; r5 +setops
-    "x_dedup": [4],                 # +spans +selfspans
+    "x_dedup": [4, 5],              # r4 +spans+selfspans; r5 +keepbest
     "x_embed_neardup": [4, 5],      # r4 +semdedup; r5 sqrt(n) centroids + norms
     "x_hash_sampling": [4, 5],      # r4 +weighted; r5 +mix
     "x_curation_scrub": [4],        # +expect
@@ -38,14 +38,15 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "x_probes_rows_only": [5],      # -ann_lsh
     "x_cluster_assign": [5],        # kmeans_fit input persist
     "x_bm25": [5],                  # +phrase +postings
-    "x_ngram_jaccard": [5],         # +editdist +simhash(md5)
+    "x_ngram_jaccard": [5],         # +editdist +simhash(md5) +containment
     "s_group_sets": [5],            # +gsets
-    "x_text_stats": [5],            # +unigram nll columns
+    "x_text_stats": [5],            # +unigram-nll, +bigram-nll columns
     "s_join_semi_anti": [5],        # +bloom
-    "s_sessionize": [5],            # +transitions
-    "r_summary_all": [5],           # +hist
+    "s_sessionize": [5],            # +transitions +islands
+    "r_summary_all": [5],           # +hist +profile (and the v_s slot)
     "x_embed_quantize": [5],        # +pq
-    "x_dedup_clusters": [5],        # +pagerank
+    "x_term_weights": [5],          # +colloc
+    "x_dedup_clusters": [5],        # +pagerank +triangles
 }
 
 
