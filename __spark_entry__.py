@@ -1587,8 +1587,8 @@ _PROFILE_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
 def q_r_summary_all(spark, sf_dir):
     """R26-R28: bit summary, exact-quantile summary, frequency summary in
     long form (counts in v_i, statistics in v_d, strings in v_s) + the
-    one-pass whole-table column profiler (summary.profile_table) over
-    orders, exploded to (column|stat) rows."""
+    family-split whole-table column profiler (summary.profile_table)
+    over orders, exploded to (column|stat) rows."""
     fr = _f(spark, sf_dir, "lineitem")
     s = fr.column_summary("l_extendedprice")
     q = s.quantiles

@@ -1250,3 +1250,30 @@ def trailing_active_users(frame, ts_col: str = "ts",
            .groupBy("obs_day")
            .agg(F.count_distinct(F.col(user_col)).alias("active_users")))
     return SparkFrame(out)
+
+
+def rolling_median(frame, key_col: str = "user_id", ts_col: str = "ts",
+                   val_col: str = "value", id_col: str = "event_id",
+                   k: int = 7) -> SparkFrame:
+    """Rolling exact median over the trailing ``k`` observations per
+    key — the robust smoother (outlier-immune, unlike a rolling mean;
+    pairs with ``rolling_zscore`` the way ``mad_outliers`` pairs with
+    ``iqr_outliers``).
+
+    ``percentile`` runs directly as a WINDOW aggregate over a ROWS
+    frame — one user-keyed shuffle, one pass; the imperative aggregate
+    buffers at most ``k`` values per frame, so state is bounded by the
+    window length, not the partition. Output: (key, id, ts_us, value,
+    roll_median rounded 6).
+    """
+    sdf = _plain(frame)
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+         .rowsBetween(-(k - 1), 0))
+    med = F.percentile(F.col(val_col).cast("double"), F.lit(0.5)).over(w)
+    out = sdf.select(
+        key_col, id_col,
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(val_col).cast("double").alias("value"),
+        F.round(med, 6).alias("roll_median"))
+    return SparkFrame(out)

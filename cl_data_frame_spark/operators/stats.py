@@ -475,3 +475,85 @@ def mad_outliers(frame, col: str, by: list[str] | None = None,
            .withColumn("is_mad_outlier", dev > thresh)
            .drop("__med__", "__mad__"))
     return SparkFrame(out)
+
+
+def global_avg_ranks(frame, col: str, npart: int | None = None) -> SparkFrame:
+    """PER-VALUE global average ranks (fractional / tie-averaged, the
+    Spearman convention): for each distinct value ``v``,
+
+        avg_rank(v) = #{x < v} + (count(v) + 1) / 2.
+
+    NO single-partition global window: the distinct-value table is
+    range-partitioned, the strictly-less cumulative count runs inside
+    each partition, and cross-partition offsets come from a
+    #partitions-row carry table built with one tiny global window and
+    broadcast back (the ``asof_join`` unkeyed-fill recipe). Equal
+    values co-locate under range partitioning, so tie groups never
+    straddle the offset boundary. Shuffle ledger: one value-count
+    aggregation + one range repartition of the value table.
+
+    Output: (col, ``cnt``, ``avg_rank`` as double — ranks are exact
+    k/2 halves, so downstream decimal aggregation stays exact).
+    """
+    sdf = _plain(frame)
+    spark = sdf.sparkSession
+    npart = npart or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    vals = sdf.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    parted = (vals.repartitionByRange(npart, F.col(col))
+              .sortWithinPartitions(F.col(col).asc())
+              .withColumn("__pid__", F.spark_partition_id()))
+    w_in = (Window.partitionBy("__pid__").orderBy(F.col(col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    less_in = F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+    pid_tot = parted.groupBy("__pid__").agg(F.sum("cnt").alias("__n__"))
+    w_carry = (Window.orderBy(F.col("__pid__").asc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carry = pid_tot.select(
+        "__pid__",
+        F.coalesce(F.sum("__n__").over(w_carry), F.lit(0))
+        .alias("__off__"))
+    out = (parted.withColumn("__less__", less_in)
+           .join(F.broadcast(carry), on="__pid__")
+           .select(col, "cnt",
+                   ((F.col("__less__") + F.col("__off__")).cast("double")
+                    + (F.col("cnt").cast("double") + 1.0) / 2.0)
+                   .alias("avg_rank")))
+    return SparkFrame(out)
+
+
+def spearman_corr(frame, x_col: str, y_col: str) -> SparkFrame:
+    """Spearman rank correlation: Pearson over tie-averaged global
+    ranks — the standard robust alternative when the relationship is
+    monotone but not linear, or outliers poison Pearson.
+
+    Ranks come from ``global_avg_ranks`` (range-partitioned, no global
+    window) and attach back to rows by value equi-joins (broadcast
+    when the distinct-value table is small — Catalyst/AQE decides);
+    the Pearson step aggregates DECIMAL moment sums of the rank pairs
+    (ranks are exact halves, so sums are exact and order-independent,
+    matching the engine's moment_stats determinism contract).
+
+    Output: one row (n, rho rounded 6).
+    """
+    sdf = _plain(frame).select(x_col, y_col)
+    rx = _plain(global_avg_ranks(sdf, x_col)).select(
+        x_col, F.col("avg_rank").alias("__rx__"))
+    ry = _plain(global_avg_ranks(sdf, y_col)).select(
+        y_col, F.col("avg_rank").alias("__ry__"))
+    ranked = sdf.join(rx, on=x_col).join(ry, on=y_col)
+    dx = F.col("__rx__").cast("decimal(38,1)")
+    dy = F.col("__ry__").cast("decimal(38,1)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = ((n * sxy - sx * sy)
+           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return SparkFrame(agg.select(F.col("n").cast("bigint").alias("n"),
+                                 F.round(rho, 6).alias("rho")))

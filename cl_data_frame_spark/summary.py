@@ -222,19 +222,24 @@ def frame_repr(frame) -> str:
 
 
 def profile_table(frame, cols: list[str] | None = None) -> "object":
-    """One-pass column profiler: for each selected column, the row
+    """One-scan-per-family column profiler: for each selected column, the row
     count, NULL count, exact distinct count, min/max (as strings, so
     heterogeneous types share one output schema) and — for numeric
     columns — the mean. The long-format analogue of the reference's
     whole-frame summary print (cl-data-frame.lisp:463-476), shaped as
     a queryable table instead of console text.
 
-    Plan: ONE aggregation over the input computes every statistic for
-    every column (Spark plans the multi-``count_distinct`` via a
-    single Expand + partial/final agg — the input is scanned once),
-    producing a 1-row wide result that a driver-free array-explode
-    pivots to one row per column. At 100 TB swap ``count_distinct``
-    for ``approx_count_distinct`` per column; the rest is unchanged.
+    Plan: TWO aggregations over the input — the distinct-count family
+    (Spark plans multi-``count_distinct`` via one Expand +
+    partial/final HASH agg) and the order-statistics family (count /
+    nulls / min / max / mean) — broadcast-crossJoined into one wide
+    row that a driver-free array-explode pivots to one row per column.
+    Mixing the two families into one aggregate forces the whole plan
+    into a single global SortAggregate (the ``first()``-wrapped
+    string buffers disqualify hash aggregation; measured ~2x slower
+    at sf0.1); split, each side keeps its partial+final hash form. At
+    100 TB swap ``count_distinct`` for ``approx_count_distinct`` per
+    column; the rest is unchanged.
 
     Output: (column, n_rows, n_null, n_distinct, min_str, max_str,
     mean) — mean NULL for non-numerics, rounded 6.
@@ -243,17 +248,20 @@ def profile_table(frame, cols: list[str] | None = None) -> "object":
     sdf = frame.spark_df if isinstance(frame, SparkFrame) else frame
     cols = list(cols) if cols is not None else list(sdf.columns)
     dtypes = {f.name: f.dataType for f in sdf.schema}
-    aggs = [F.count(F.lit(1)).alias("__n__")]
+    plain = [F.count(F.lit(1)).alias("__n__")]
     for c in cols:
-        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                    .cast("long").alias(f"__null__{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd__{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min__{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max__{c}"))
+        plain.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                     .cast("long").alias(f"__null__{c}"))
+        plain.append(F.min(F.col(c)).cast("string")
+                     .alias(f"__min__{c}"))
+        plain.append(F.max(F.col(c)).cast("string")
+                     .alias(f"__max__{c}"))
         if _is_numeric(dtypes[c]):
-            aggs.append(F.round(F.avg(F.col(c)), 6)
-                        .alias(f"__mean__{c}"))
-    wide = sdf.agg(*aggs)
+            plain.append(F.round(F.avg(F.col(c)), 6)
+                         .alias(f"__mean__{c}"))
+    distincts = [F.count_distinct(F.col(c)).alias(f"__nd__{c}")
+                 for c in cols]
+    wide = sdf.agg(*plain).crossJoin(F.broadcast(sdf.agg(*distincts)))
     entries = []
     for c in cols:
         mean = (F.col(f"__mean__{c}") if _is_numeric(dtypes[c])

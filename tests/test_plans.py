@@ -272,3 +272,86 @@ def test_edit_distance_join_single_bucket_exchange_pair(spark):
     p = _plan(edit_distance_join(df, "id", "nm").spark_df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ewma_is_one_partitioned_window_no_join(spark, sf_dir):
+    """The k-lag unroll must compile into ONE window definition (all
+    lag terms share a spec) — no self-joins, no extra exchanges."""
+    from cl_data_frame_spark.operators.relational import ewma
+    df = E._t(spark, sf_dir, "events")
+    p = _plan(ewma(df, alpha=0.3, k=8).spark_df)
+    assert p.count("Window") == 1
+    assert "Join" not in p
+    specs = [seg.split(")", 1)[0] for seg in
+             p.split("windowspecdefinition(")[1:]]
+    for s in specs:
+        first = s.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            f"unpartitioned EWMA window: {s[:80]}")
+
+
+def test_trailing_active_users_has_no_range_join(spark, sf_dir):
+    """The bounded-explode plan must contain NO nested-loop range join
+    (the quadratic alternative) and exactly one distinct-count agg."""
+    from cl_data_frame_spark.operators.relational import (
+        trailing_active_users)
+    df = E._t(spark, sf_dir, "events")
+    p = _plan(trailing_active_users(df, days=7).spark_df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p or "Generate" in p
+
+
+def test_merge_intervals_windows_are_key_partitioned(spark, sf_dir):
+    from cl_data_frame_spark.operators.relational import merge_intervals
+    ev = E._t(spark, sf_dir, "events")
+    iv = ev.select("user_id", F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("e"))
+    p = _plan(merge_intervals(iv, "user_id", "s", "e").spark_df)
+    specs = [seg.split(")", 1)[0] for seg in
+             p.split("windowspecdefinition(")[1:]]
+    assert specs
+    for s in specs:
+        first = s.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            f"global window in merge_intervals: {s[:80]}")
+
+
+def test_containment_join_carries_hashed_grams_not_text(spark, sf_dir):
+    """The gram self-join must move hashed-long gram rows; the text
+    column must be pruned out before the exchange."""
+    from cl_data_frame_spark.frame import SparkFrame
+    from cl_data_frame_spark.operators.dedup import containment_pairs
+    docs = E._t(spark, sf_dir, "documents")
+    p = _plan(containment_pairs(SparkFrame(docs), n=3, threshold=0.6,
+                                block_col="lang").spark_df)
+    assert "CartesianProduct" not in p
+    # shuffles carry __g__ (xxhash64 long), never the text payload
+    for seg in p.split("Exchange hashpartitioning(")[1:]:
+        cols = seg.split(")", 1)[0]
+        assert "text" not in cols, f"text through a shuffle: {cols[:80]}"
+
+
+def test_profile_table_is_two_hash_aggregations(spark, sf_dir):
+    """One scan per stat family (distincts via Expand + hash agg,
+    order-stats separately) — NEVER one scan per column, and the
+    distinct side must not degrade to a sort-based aggregate (the
+    fused-single-agg regression this layout exists to avoid)."""
+    from cl_data_frame_spark.summary import profile_table
+    orders = E._t(spark, sf_dir, "orders")
+    p = _plan(profile_table(orders, E._PROFILE_COLS).spark_df)
+    assert p.count("Scan parquet") == 2
+    assert "Expand" in p
+    # distinct family stays hash-aggregated; only the string min/max
+    # side may be sort-based (no-grouping-key fold, not a real sort)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_triangle_counts_no_broadcast_of_edges(spark, sf_dir):
+    """Triangle enumeration joins hash-partition on edge endpoints;
+    no cartesian anywhere."""
+    from cl_data_frame_spark.operators.graph import triangle_counts
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a bigint, id_b bigint")
+    p = _plan(triangle_counts(edges).spark_df)
+    assert "CartesianProduct" not in p
