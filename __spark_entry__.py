@@ -1022,7 +1022,9 @@ def q_s_window_range_trailing(spark, sf_dir):
     + rolling z-score anomaly flags from the same frame shape + bounded
     k-lag EWMA (one more pass over the same user-keyed shuffle) +
     7-day trailing distinct actives (bounded-explode distinct-count —
-    the window-distinct shape Spark windows can't express)."""
+    the window-distinct shape Spark windows can't express) + k-row
+    rolling exact median (percentile as a bounded-frame window
+    aggregate)."""
     ev = _f(spark, sf_dir, "events")
     tr = R.trailing_range_window(ev, days=7).spark_df
     a = _tag(tr, "trailing",
@@ -1056,7 +1058,16 @@ def q_s_window_range_trailing(spark, sf_dir):
              _DNULL().alias("d1"), _DNULL().alias("d2"),
              _DNULL().alias("d3"),
              F.col("active_users").cast("bigint").alias("i1"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    rm = R.rolling_median(ev, k=7).spark_df
+    e = _tag(rm, "rollmed",
+             F.col("user_id").cast("bigint").alias("user_id"),
+             F.col("event_id").cast("bigint").alias("event_id"),
+             F.col("ts_us").cast("bigint").alias("ts_us"),
+             F.col("roll_median").cast("double").alias("d1"),
+             F.col("value").cast("double").alias("d2"),
+             _DNULL().alias("d3"), _BNULL().alias("i1"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_s_udtf_tokens(spark, sf_dir):
@@ -2563,9 +2574,17 @@ def q_s_stats(spark, sf_dir):
              F.col("median").cast("double").alias("d1"),
              F.col("mad").cast("double").alias("d2"),
              _DNULL().alias("d3"), _DNULL().alias("d4"))
+    sp = STAT.spearman_corr(li, "l_quantity", "l_extendedprice").spark_df
+    s = _tag(sp, "spearman",
+             F.lit("l_quantity>l_extendedprice").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"),
+             F.col("rho").cast("double").alias("d1"),
+             _DNULL().alias("d2"), _DNULL().alias("d3"),
+             _DNULL().alias("d4"))
     return (a.unionByName(f).unionByName(g).unionByName(b)
             .unionByName(h).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(m))
+            .unionByName(e).unionByName(m).unionByName(s))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -2730,9 +2749,10 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "r_summary_all": ["quantiles", "freq", "bits", "hist", "profile"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
-                "chisq", "freq", "bins", "outliers", "mad"],
+                "chisq", "freq", "bins", "outliers", "mad",
+                "spearman"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
-                                "distinct7"],
+                                "distinct7", "rollmed"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
                 "keepbest"],
     "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash",
@@ -4758,7 +4778,18 @@ _ORACLES["s_window_range_trailing"] = _union(
           "NULL::BIGINT AS user_id, NULL::BIGINT AS event_id, "
           "day_us::BIGINT AS ts_us, NULL::DOUBLE AS d1, "
           "NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
-          "active_users::BIGINT AS i1"))
+          "active_users::BIGINT AS i1"),
+    _wrap("rollmed", """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS roll_median
+        FROM events""",
+          "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
+          "ts_us::BIGINT AS ts_us, roll_median::DOUBLE AS d1, "
+          "value::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::BIGINT AS i1"))
 
 _SESS_NULLS_A = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, "
                  "NULL::BIGINT AS i3, NULL::BIGINT AS i4")
@@ -5139,6 +5170,32 @@ _ORACLES["s_stats"] = _union(
         GROUP BY w.l_returnflag""",
           "l_returnflag AS s1, n_out::BIGINT AS i1, n::BIGINT AS i2, "
           "median::DOUBLE AS d1, mad::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("spearman", """
+        WITH r AS (
+            SELECT (rank() OVER (ORDER BY l_quantity)
+                    + (count(*) OVER (PARTITION BY l_quantity) - 1)
+                      / 2.0) AS rx,
+                   (rank() OVER (ORDER BY l_extendedprice)
+                    + (count(*) OVER (PARTITION BY l_extendedprice)
+                       - 1) / 2.0) AS ry
+            FROM lineitem),
+        s AS (SELECT count(*) AS n,
+                     sum(rx::DECIMAL(38,1)) AS sx,
+                     sum(ry::DECIMAL(38,1)) AS sy,
+                     sum(rx::DECIMAL(38,1) * rx::DECIMAL(38,1)) AS sxx,
+                     sum(ry::DECIMAL(38,1) * ry::DECIMAL(38,1)) AS syy,
+                     sum(rx::DECIMAL(38,1) * ry::DECIMAL(38,1)) AS sxy
+              FROM r)
+        SELECT n::BIGINT AS n,
+               round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / sqrt((n::DOUBLE * sxx::DOUBLE
+                             - sx::DOUBLE * sx::DOUBLE)
+                            * (n::DOUBLE * syy::DOUBLE
+                               - sy::DOUBLE * sy::DOUBLE)), 6) AS rho
+        FROM s""",
+          "'l_quantity>l_extendedprice' AS s1, n::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, rho::DOUBLE AS d1, NULL::DOUBLE AS d2, "
           "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
 
 

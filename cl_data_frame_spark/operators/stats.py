@@ -20,7 +20,7 @@ row per (group, pivot-value) pair through the shuffle, not raw rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cl_data_frame_spark.frame import SparkFrame

@@ -355,3 +355,22 @@ def test_triangle_counts_no_broadcast_of_edges(spark, sf_dir):
         [(1, 2), (2, 3), (1, 3)], "id_a bigint, id_b bigint")
     p = _plan(triangle_counts(edges).spark_df)
     assert "CartesianProduct" not in p
+
+
+def test_global_avg_ranks_carry_window_is_tiny(spark, sf_dir):
+    """Only the #partitions-row carry table may use a global window;
+    the per-value cumulative count must be __pid__-partitioned."""
+    from cl_data_frame_spark.operators.stats import global_avg_ranks
+    li = E._t(spark, sf_dir, "lineitem")
+    p = _plan(global_avg_ranks(li, "l_extendedprice").spark_df)
+    specs = [seg.split(")", 1)[0] for seg in
+             p.split("windowspecdefinition(")[1:]]
+    pid_windows = [s for s in specs if s.startswith("__pid__")]
+    global_windows = [s for s in specs
+                      if s.split(",")[0].strip().endswith(("ASC", "DESC"))
+                      or "ASC NULLS" in s.split(",")[0]
+                      or "DESC NULLS" in s.split(",")[0]]
+    assert pid_windows, "expected a __pid__-partitioned rank window"
+    # the only unpartitioned window orders by __pid__ (carry table)
+    for s in global_windows:
+        assert s.split(",")[0].startswith("__pid__"), s[:80]

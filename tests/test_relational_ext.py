@@ -581,3 +581,16 @@ def test_trailing_active_users_windowed_distinct(spark):
     assert got[1] == 1          # user 1
     assert got[2] == 2          # users 1, 2 (dedup'd across events)
     assert got[10] == 1         # window [8, 10] sees only user 3
+
+
+def test_rolling_median_window_and_robustness(spark):
+    from cl_data_frame_spark.operators.relational import rolling_median
+    vals = [1.0, 1.0, 100.0, 1.0, 1.0]
+    rows = [(1, i, datetime(2024, 1, 1, 0, i), v)
+            for i, v in enumerate(vals)]
+    df = SparkFrame(spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"))
+    got = {r.event_id: r.roll_median
+           for r in rolling_median(df, k=3).spark_df.collect()}
+    # the 100.0 outlier never moves the median of any 3-row window
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}

@@ -284,3 +284,39 @@ def test_profile_table_one_pass_stats(spark):
     assert got["s"].n_null == 1 and got["s"].n_distinct == 2
     assert got["s"].mean is None
     assert got["v"].n_null == 1 and got["v"].mean == 2.0
+
+
+def test_global_avg_ranks_tie_averaged(spark):
+    from cl_data_frame_spark.operators.stats import global_avg_ranks
+    df = spark.createDataFrame([(10.0,), (20.0,), (20.0,), (30.0,)],
+                               "x double")
+    got = {r.x: (r.cnt, r.avg_rank)
+           for r in global_avg_ranks(df, "x").spark_df.collect()}
+    assert got[10.0] == (1, 1.0)
+    assert got[20.0] == (2, 2.5)     # ranks 2 and 3 averaged
+    assert got[30.0] == (1, 4.0)
+
+
+def test_spearman_perfect_monotone_and_scipy_free_check(spark):
+    from cl_data_frame_spark.operators.stats import spearman_corr
+    # y = x^3 is monotone but nonlinear: Spearman = 1 exactly
+    rows = [(float(x), float(x) ** 3) for x in range(1, 20)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(df, "x", "y").spark_df.collect()[0]
+    assert r.n == 19 and r.rho == 1.0
+    # reversing makes it -1
+    rows2 = [(float(x), -float(x) ** 3) for x in range(1, 20)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    assert spearman_corr(df2, "x", "y").spark_df.collect()[0].rho == -1.0
+
+
+def test_spearman_ties_match_pandas(spark):
+    import pandas as pd
+    from cl_data_frame_spark.operators.stats import spearman_corr
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 6.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = spearman_corr(df, "x", "y").spark_df.collect()[0].rho
+    # pandas average ranks + Pearson == Spearman (no scipy in env)
+    want = pd.Series(xs).rank().corr(pd.Series(ys).rank())
+    assert abs(got - round(want, 6)) < 1e-6

@@ -22,10 +22,10 @@ import sys
 #: boundary is expected, not a regression. Keep appending per round.
 PARTS_CHANGED: dict[str, list[int]] = {
     # round 4 folded 16 new oracle parts into existing entries
-    "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused one pass, +mad
+    "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused, +mad +spearman
     "s_skew_udaf": [4],             # +grouped_map
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
-    "s_window_range_trailing": [4, 5],  # r4 +zscore; r5 +ewma +distinct7
+    "s_window_range_trailing": [4, 5],  # r4 +zscore; r5 +ewma+distinct7+rollmed
     "s_time_rollup": [4],           # +resample
     "s_funnel": [4, 5],             # r4 +retention; r5 +attribution
     "s_approx_sketches": [4, 5],    # r4 +theta+kll+freq; r5 +setops
