@@ -1231,8 +1231,10 @@ def q_s_merge_upsert(spark, sf_dir):
 def q_s_sessionize(spark, sf_dir):
     """Behavioral sequence analytics: 30-minute-gap sessionization +
     first-order Markov event-transition matrix + gaps-and-islands
-    interval merge (6-hour activity windows per user), one tagged union
-    (all three are window passes over the same user-keyed shuffle)."""
+    interval merge (6-hour activity windows per user) + top-20
+    session-opening paths (journey mining over the same session
+    assignment), one tagged union — all window passes over the same
+    user-keyed shuffle."""
     ev = _f(spark, sf_dir, "events")
     ses = R.sessionize(ev, gap_minutes=30.0).spark_df.select(
         "user_id", "session_id",
@@ -1267,7 +1269,14 @@ def q_s_sessionize(spark, sf_dir):
              F.col("n_intervals").cast("bigint").alias("n"),
              _SNULL().alias("s1"), _SNULL().alias("s2"),
              _DNULL().alias("d1"))
-    return a.unionByName(b).unionByName(c)
+    tp = R.top_paths(ev, depth=3, k=20).spark_df
+    d = _tag(tp, "paths",
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _BNULL().alias("i4"),
+             F.col("n_sessions").cast("bigint").alias("n"),
+             F.col("path").alias("s1"), _SNULL().alias("s2"),
+             _DNULL().alias("d1"))
+    return (a.unionByName(b).unionByName(c).unionByName(d))
 
 
 def q_x_chunk_documents(spark, sf_dir):
@@ -2745,7 +2754,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
-    "s_sessionize": ["sessions", "transitions", "islands"],
+    "s_sessionize": ["sessions", "transitions", "islands", "paths"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist", "profile"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
@@ -4846,6 +4855,37 @@ _ORACLES["s_sessionize"] = _union(
           "user_id::BIGINT AS i1, island_id::BIGINT AS i2, "
           "start_us::BIGINT AS i3, end_us::BIGINT AS i4, "
           "n_intervals::BIGINT AS n, NULL::VARCHAR AS s1, "
+          "NULL::VARCHAR AS s2, NULL::DOUBLE AS d1"),
+    _wrap("paths", """
+        WITH o AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events),
+        f AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN prev IS NULL THEN 1
+                        WHEN epoch_us(ts) - epoch_us(prev) > 1800000000
+                        THEN 1 ELSE 0 END AS newf
+            FROM o),
+        s AS (
+            SELECT user_id, event_id, ts, event_type,
+                   sum(newf) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                       AS session_id
+            FROM f),
+        seq AS (
+            SELECT user_id, session_id,
+                   array_to_string(
+                       list(event_type ORDER BY ts, event_id)[1:3],
+                       '>') AS path
+            FROM s GROUP BY user_id, session_id)
+        SELECT path, count(*)::BIGINT AS n_sessions
+        FROM seq GROUP BY path
+        ORDER BY n_sessions DESC, path ASC LIMIT 20""",
+          "NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, n_sessions::BIGINT AS n, path AS s1, "
           "NULL::VARCHAR AS s2, NULL::DOUBLE AS d1"))
 
 _ORACLES["s_attribution"] = """

@@ -705,28 +705,16 @@ def sessionize(frame, user_col: str = "user_id", ts_col: str = "ts",
     wherever the gap to the previous event exceeds ``gap_minutes``; emit
     one row per session with start/end/duration/event count.
 
-    The classic lag -> boundary-flag -> running-sum recipe: two window
-    passes partitioned BY USER (hash-parallel across users — never a
-    global window), then a hash aggregate on (user, session). Event-time
-    ties are totaled by ``id_col`` so the assignment is deterministic.
-    The streaming equivalent is ``streaming.session_window_agg``.
+    The classic lag -> boundary-flag -> running-sum recipe
+    (``assign_sessions``): two window passes partitioned BY USER
+    (hash-parallel across users — never a global window), then a hash
+    aggregate on (user, session). Event-time ties are totaled by
+    ``id_col`` so the assignment is deterministic. The streaming
+    equivalent is ``streaming.session_window_agg``.
     """
-    from pyspark.sql import Window
-    sdf = _plain(frame)
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
-                                             F.col(id_col).asc())
-    gap_us = int(gap_minutes * 60 * 1_000_000)
-    prev = F.lag(ts_col).over(w)
-    new_sess = (F.when(prev.isNull(), F.lit(1))
-                .when((F.unix_micros(F.col(ts_col))
-                       - F.unix_micros(prev)) > gap_us, F.lit(1))
-                .otherwise(F.lit(0)))
-    out = (sdf
-           .withColumn("__new__", new_sess)
-           .withColumn("session_id",
-                       F.sum("__new__").over(
-                           w.rowsBetween(Window.unboundedPreceding, 0)))
-           .groupBy(user_col, "session_id")
+    sdf = _plain(assign_sessions(frame, user_col, ts_col, id_col,
+                                 gap_minutes))
+    out = (sdf.groupBy(user_col, "session_id")
            .agg(F.min(ts_col).alias("session_start"),
                 F.max(ts_col).alias("session_end"),
                 F.count(F.lit(1)).alias("n_events")))
@@ -1276,4 +1264,66 @@ def rolling_median(frame, key_col: str = "user_id", ts_col: str = "ts",
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(val_col).cast("double").alias("value"),
         F.round(med, 6).alias("roll_median"))
+    return SparkFrame(out)
+
+
+def assign_sessions(frame, user_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    gap_minutes: float = 30.0) -> SparkFrame:
+    """Per-EVENT session assignment: every input row plus its
+    ``session_id`` (1-based per user, gap-based boundaries) — the
+    event-level form of ``sessionize``, for downstream operators that
+    need the raw events tagged (path mining, within-session funnels).
+    Same two window passes partitioned by user; same deterministic
+    event-time + id ordering.
+    """
+    sdf = _plain(frame)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col(id_col).asc())
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    prev = F.lag(ts_col).over(w)
+    new_sess = (F.when(prev.isNull(), F.lit(1))
+                .when((F.unix_micros(F.col(ts_col))
+                       - F.unix_micros(prev)) > gap_us, F.lit(1))
+                .otherwise(F.lit(0)))
+    out = (sdf.withColumn("__new__", new_sess)
+           .withColumn("session_id",
+                       F.sum("__new__").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0)))
+           .drop("__new__"))
+    return SparkFrame(out)
+
+
+def top_paths(frame, user_col: str = "user_id", ts_col: str = "ts",
+              type_col: str = "event_type", id_col: str = "event_id",
+              gap_minutes: float = 30.0, depth: int = 3,
+              k: int = 20) -> SparkFrame:
+    """User-journey mining: the *k* most common session-opening event
+    paths — each session's first *depth* event types joined with
+    ``>`` — with the number of sessions following each path. The
+    sequence-level complement of ``funnel`` (which checks ONE
+    prescribed order; this DISCOVERS the orders that actually occur)
+    and ``event_transitions`` (first-order only; paths capture
+    higher-order structure).
+
+    Plan: ``assign_sessions``'s user-keyed window passes, then one
+    hash aggregation per (user, session) that sorts each session's
+    (ts, id, type) structs in-row (``sort_array`` — no extra ordering
+    shuffle) and slices the first *depth* types, one path-count
+    aggregation, and a TakeOrdered top-k with a total (count desc,
+    path) tiebreak. State per group = session length; nothing global.
+    """
+    sdf = _plain(assign_sessions(frame, user_col, ts_col, id_col,
+                                 gap_minutes))
+    seq = (sdf.groupBy(user_col, "session_id")
+           .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("e")))).alias("__seq__"))
+           .select(F.array_join(
+               F.slice(F.transform("__seq__", lambda s: s["e"]),
+                       1, depth), ">").alias("path")))
+    out = (seq.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+           .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+           .limit(k))
     return SparkFrame(out)

@@ -594,3 +594,26 @@ def test_rolling_median_window_and_robustness(spark):
            for r in rolling_median(df, k=3).spark_df.collect()}
     # the 100.0 outlier never moves the median of any 3-row window
     assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+
+
+def test_top_paths_discovers_dominant_journey(spark):
+    from cl_data_frame_spark.operators.relational import top_paths
+    base = datetime(2024, 1, 1, 9)
+    rows = []
+    eid = 0
+    # 3 users follow view>click>buy; 1 user follows view>view>view;
+    # session gaps split a 4th user's events into two 1-event sessions
+    for u in (1, 2, 3):
+        for j, t in enumerate(["view", "click", "buy"]):
+            rows.append((u, eid, base.replace(minute=j), t)); eid += 1
+    for j in range(3):
+        rows.append((4, eid, base.replace(minute=j), "view")); eid += 1
+    rows.append((5, eid, base, "login")); eid += 1
+    rows.append((5, eid, base.replace(hour=15), "login")); eid += 1
+    df = SparkFrame(spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, event_type string"))
+    got = {r.path: r.n_sessions
+           for r in top_paths(df, depth=3, k=10).spark_df.collect()}
+    assert got["view>click>buy"] == 3
+    assert got["view>view>view"] == 1
+    assert got["login"] == 2          # two single-event sessions
