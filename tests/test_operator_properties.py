@@ -80,3 +80,75 @@ def test_quantile_bins_monotone_in_value(spark, vals, n_bins):
     bins = [b for _, b in by_val]
     assert bins == sorted(bins)
     assert all(1 <= b <= n_bins for b in bins)
+
+
+@given(ivs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),     # key
+              st.integers(min_value=0, max_value=50),    # start
+              st.integers(min_value=0, max_value=20)),   # length
+    min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_merge_intervals_invariants(spark, ivs):
+    """Islands per key are disjoint and non-touching, ordered, cover
+    every input interval, and their interval counts sum to the
+    inputs."""
+    from cl_data_frame_spark.operators.relational import merge_intervals
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k int, s int, e int")
+    out = merge_intervals(df, "k", "s", "e").spark_df.collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    n_total = 0
+    for k, islands in by_key.items():
+        islands.sort(key=lambda r: r.island_start)
+        for a, b in zip(islands, islands[1:]):
+            assert a.island_end < b.island_start   # gap between islands
+        for r in islands:
+            assert r.island_start <= r.island_end
+            n_total += r.n_intervals
+        # every input interval of this key fits inside some island
+        for (kk, s, e) in rows:
+            if kk != k:
+                continue
+            assert any(r.island_start <= s and e <= r.island_end
+                       for r in islands)
+    assert n_total == len(rows)
+
+
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False, width=32),
+                     min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_ewma_bounded_by_window_extremes(spark, vals):
+    """An average with positive weights stays within [min, max] of the
+    lags it covers; first row equals its own value."""
+    from datetime import datetime
+    from cl_data_frame_spark.operators.relational import ewma
+    rows = [(1, i, datetime(2024, 1, 1, 0, 0, i), float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double")
+    got = {r.event_id: r.ewma
+           for r in ewma(df, alpha=0.4, k=4).spark_df.collect()}
+    for i in range(len(vals)):
+        window = vals[max(0, i - 3):i + 1]
+        assert min(window) - 1e-6 <= got[i] <= max(window) + 1e-6
+    assert abs(got[0] - round(vals[0], 6)) < 1e-6
+
+
+@given(vals=st.lists(st.integers(min_value=-5, max_value=5),
+                     min_size=2, max_size=25))
+@settings(**SETTINGS)
+def test_global_avg_ranks_are_a_permutation_average(spark, vals):
+    """Tie-averaged ranks sum to n(n+1)/2 and are monotone in value."""
+    from cl_data_frame_spark.operators.stats import global_avg_ranks
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = sorted(global_avg_ranks(df, "x").spark_df.collect(),
+                 key=lambda r: r.x)
+    total = sum(r.avg_rank * r.cnt for r in out)
+    n = len(vals)
+    assert abs(total - n * (n + 1) / 2) < 1e-6
+    ranks = [r.avg_rank for r in out]
+    assert ranks == sorted(ranks)
+    assert sum(r.cnt for r in out) == n
