@@ -2175,7 +2175,9 @@ def q_x_term_weights(spark, sf_dir):
 
 def q_x_hash_sampling(spark, sf_dir):
     """Deterministic md5-bucket sampling: stratified sample + train/val/
-    test split summary."""
+    test split summary + weighted/mixture/per-group variants +
+    contrastive negative sampling (k pseudo-random corpus negatives per
+    doc via an equi-join, no cross join)."""
     a = _tag(q_x_hash_sample(spark, sf_dir), "sample",
              F.col("doc_id").cast("bigint").alias("doc_id"),
              F.col("lang").alias("lang"), _SNULL().alias("split"),
@@ -2206,8 +2208,15 @@ def q_x_hash_sampling(spark, sf_dir):
              F.col("doc_id").cast("bigint").alias("doc_id"),
              F.col("lang").alias("lang"), _SNULL().alias("split"),
              _BNULL().alias("n"), _BNULL().alias("i2"))
+    ns = SAMP.negative_sample(_t(spark, sf_dir, "documents"),
+                              "doc_id", k=4).spark_df
+    f = _tag(ns, "negatives",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             _SNULL().alias("lang"), _SNULL().alias("split"),
+             F.col("j").cast("bigint").alias("n"),
+             F.col("neg_id").cast("bigint").alias("i2"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(f))
 
 
 def q_x_chunk_pack(spark, sf_dir):
@@ -2771,7 +2780,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_cluster_assign": ["ivf", "kmeans"],
     "x_term_weights": ["tfidf", "count_vectorize", "colloc"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix",
-                        "pergroup"],
+                        "pergroup", "negatives"],
     "x_bm25": ["bm25", "phrase", "postings"],
     "x_embed_quantize": ["int8", "pq"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles"],
@@ -4679,7 +4688,24 @@ _ORACLES["x_hash_sampling"] = _union(
             FROM documents)
         WHERE rk <= 8""",
           "doc_id::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
-          "NULL::BIGINT AS n, NULL::BIGINT AS i2"))
+          "NULL::BIGINT AS n, NULL::BIGINT AS i2"),
+    _wrap("negatives", """
+        WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        mx AS (SELECT max(doc_id) AS m FROM ids),
+        cand AS (
+            SELECT i.doc_id, j.j,
+                   ('0x' || substr(md5(i.doc_id::VARCHAR || '|'
+                                       || j.j::VARCHAR || '|neg'),
+                                   1, 8))::UBIGINT % (mx.m + 1) AS c
+            FROM ids i
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+            CROSS JOIN mx)
+        SELECT c1.doc_id, c1.c::BIGINT AS neg_id, c1.j::BIGINT AS j
+        FROM cand c1 JOIN ids e ON c1.c = e.doc_id
+        WHERE c1.c <> c1.doc_id""",
+          "doc_id::BIGINT AS doc_id, NULL::VARCHAR AS lang, "
+          "NULL::VARCHAR AS split, j::BIGINT AS n, "
+          "neg_id::BIGINT AS i2"))
 
 _ORACLES["x_chunk_pack"] = _union(
     _wrap("chunk", _ORACLES["x_chunk_documents"],

@@ -226,3 +226,43 @@ def weighted_sample(frame, id_col: str, weight_col: str, k: int,
            .limit(k)
            .drop("__wkey__"))
     return SparkFrame(out)
+
+
+def negative_sample(frame, id_col: str, k: int = 4,
+                    salt: str = "neg") -> SparkFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for each row, up to *k* pseudo-random OTHER rows, reproducible on
+    any engine. The j-th candidate for id ``x`` is the row whose id
+    equals ``md5(x || '|' || j || salt) mod (max_id + 1)`` — an
+    equi-JOIN against the id table, never a cross join or per-row
+    sampling loop; self-pairs drop, candidate ids that don't exist in
+    a sparse id space drop (callers wanting exactly-k over sparse ids
+    compose a dense index first).
+
+    Output: (id_col, neg_id, j). Scale: the candidate table is k slim
+    rows per input row (a bounded ×k projection), joined hash-
+    partitioned on the candidate id; max_id is a broadcast one-row
+    aggregate. Collision with the positive (x = candidate) is the only
+    exclusion — by design negatives are uniform over the corpus, the
+    standard in-batch/corpus-negative recipe.
+    """
+    sdf = _plain(frame)
+    ids = sdf.select(F.col(id_col)).distinct()
+    mx = ids.agg(F.max(id_col).alias("__mx__"))
+    cand = (ids.crossJoin(F.broadcast(mx))
+            .select(F.col(id_col),
+                    F.explode(F.array(
+                        *[F.lit(j) for j in range(k)])).alias("j"),
+                    F.col("__mx__"))
+            .withColumn(
+                "__cand__",
+                F.conv(F.substring(F.md5(F.concat_ws(
+                    "|", F.col(id_col).cast("string"),
+                    F.col("j").cast("string"), F.lit(salt))), 1, 8),
+                    16, 10).cast("bigint")
+                % (F.col("__mx__") + 1))
+            .filter(F.col("__cand__") != F.col(id_col)))
+    out = (cand.join(ids.select(F.col(id_col).alias("__cand__")),
+                     on="__cand__", how="left_semi")
+           .select(id_col, F.col("__cand__").alias("neg_id"), "j"))
+    return SparkFrame(out)

@@ -397,3 +397,30 @@ def test_per_group_sample_exact_k_and_deterministic(spark):
     other = sorted(r["id"] for r in SAMP.per_group_sample(
         df, "id", "g", k=5, salt="x").spark_df.collect())
     assert other != one            # independent draw under a new salt
+
+
+def test_negative_sample_determinism_and_exclusions(spark):
+    from cl_data_frame_spark.operators.sampling import negative_sample
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    a = negative_sample(df, "doc_id", k=3).spark_df.collect()
+    b = negative_sample(df, "doc_id", k=3).spark_df.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    for r in a:
+        assert r.neg_id != r.doc_id            # never the positive
+        assert 0 <= r.neg_id < 50              # a real corpus id
+        assert 0 <= r.j < 3
+    # each doc gets at most k negatives, most get exactly k
+    from collections import Counter
+    per = Counter(r.doc_id for r in a)
+    assert max(per.values()) <= 3
+    assert sum(per.values()) >= 50 * 2         # few self-collisions
+
+
+def test_negative_sample_sparse_ids_drop_missing(spark):
+    from cl_data_frame_spark.operators.sampling import negative_sample
+    df = spark.createDataFrame([(i * 7,) for i in range(10)],
+                               "doc_id bigint")
+    out = negative_sample(df, "doc_id", k=4).spark_df.collect()
+    valid = {i * 7 for i in range(10)}
+    for r in out:
+        assert r.neg_id in valid               # only existing ids

@@ -31,7 +31,7 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "s_approx_sketches": [4, 5],    # r4 +theta+kll+freq; r5 +setops
     "x_dedup": [4, 5],              # r4 +spans+selfspans; r5 +keepbest
     "x_embed_neardup": [4, 5],      # r4 +semdedup; r5 sqrt(n) centroids + norms
-    "x_hash_sampling": [4, 5],      # r4 +weighted; r5 +mix
+    "x_hash_sampling": [4, 5],      # r4 +weighted; r5 +mix+pergroup+negatives
     "x_curation_scrub": [4],        # +expect
     "s_source_roundtrip": [4, 5],   # r4 +zorder; r5 +checksum
     "x_cosine_search": [5],         # +ann_lsh (moved from x_probes_rows_only)
