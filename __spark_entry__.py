@@ -1859,7 +1859,9 @@ def q_s_grouped_map(spark, sf_dir):
 
 
 def q_s_skew_udaf(spark, sf_dir):
-    """Skew-salted join + grouped pandas UDAF + grouped-map transform."""
+    """Skew-salted join + grouped pandas UDAF + grouped-map transform +
+    the key-skew diagnostics report (per-key count Gini/CV/max-share —
+    the decide-before-you-shuffle companion to salted_join)."""
     a = _tag(q_s_salted_join(spark, sf_dir), "salted",
              F.col("o_orderstatus").alias("k"),
              F.col("n").cast("bigint").alias("n"),
@@ -1875,7 +1877,15 @@ def q_s_skew_udaf(spark, sf_dir):
              F.col("median_price").cast("double").alias("v"),
              F.col("min_price").cast("double").alias("v2"),
              F.col("max_price").cast("double").alias("v3"))
-    return a.unionByName(b).unionByName(c)
+    sk = STAT.key_skew_report(_t(spark, sf_dir, "orders"),
+                              "o_custkey").spark_df
+    d = _tag(sk, "skewreport",
+             F.lit("o_custkey").alias("k"),
+             F.col("n_keys").cast("bigint").alias("n"),
+             F.col("max_frac").cast("double").alias("v"),
+             F.col("gini").cast("double").alias("v2"),
+             F.col("cv").cast("double").alias("v3"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_s_functions(spark, sf_dir):
@@ -2758,7 +2768,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_time_rollup": ["rollup", "resample"],
     "s_asof": ["keyed", "unkeyed", "nearest"],
     "s_range_joins": ["broadcast", "bucketed"],
-    "s_skew_udaf": ["salted", "udaf", "grouped_map"],
+    "s_skew_udaf": ["salted", "udaf", "grouped_map", "skewreport"],
     "s_functions": ["scalar", "collection"],
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
@@ -4050,7 +4060,41 @@ _ORACLES["s_skew_udaf"] = _union(
                max(l_extendedprice)::DOUBLE AS max_price
         FROM lineitem GROUP BY l_returnflag""",
           "l_returnflag AS k, n::BIGINT AS n, median_price::DOUBLE AS v, "
-          "min_price::DOUBLE AS v2, max_price::DOUBLE AS v3"))
+          "min_price::DOUBLE AS v2, max_price::DOUBLE AS v3"),
+    _wrap("skewreport", """
+        WITH counts AS (
+            SELECT o_custkey, count(*) AS c FROM orders
+            GROUP BY o_custkey),
+        k AS (SELECT c, count(*) AS t FROM counts GROUP BY c),
+        rk AS (
+            SELECT c, t,
+                   sum(t) OVER (ORDER BY c
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS lt
+            FROM k),
+        rk2 AS (
+            SELECT c, t, coalesce(lt, 0) + (t + 1) / 2.0 AS rbar
+            FROM rk),
+        s AS (
+            SELECT sum(t) AS nk,
+                   sum(c::DECIMAL(38,0) * t) AS tot,
+                   sum(c::DECIMAL(38,0) * c * t) AS tot2,
+                   max(c) AS mx,
+                   sum(c::DECIMAL(38,0) * t
+                       * (2.0 * rbar)::DECIMAL(38,1)) AS g2r
+            FROM rk2)
+        SELECT nk::BIGINT AS n_keys,
+               round(mx::DOUBLE / tot::DOUBLE, 6) AS max_frac,
+               round((g2r::DOUBLE - (nk::DOUBLE + 1.0) * tot::DOUBLE)
+                     / (nk::DOUBLE * tot::DOUBLE), 6) AS gini,
+               round(sqrt(tot2::DOUBLE / nk::DOUBLE
+                          - (tot::DOUBLE / nk::DOUBLE)
+                            * (tot::DOUBLE / nk::DOUBLE))
+                     / (tot::DOUBLE / nk::DOUBLE), 6) AS cv
+        FROM s""",
+          "'o_custkey' AS k, n_keys::BIGINT AS n, "
+          "max_frac::DOUBLE AS v, gini::DOUBLE AS v2, "
+          "cv::DOUBLE AS v3"))
 
 _ORACLES["s_functions"] = _union(
     _wrap("scalar", _ORACLES["s_scalar_functions"],

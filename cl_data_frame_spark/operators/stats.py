@@ -557,3 +557,56 @@ def spearman_corr(frame, x_col: str, y_col: str) -> SparkFrame:
            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
     return SparkFrame(agg.select(F.col("n").cast("bigint").alias("n"),
                                  F.round(rho, 6).alias("rho")))
+
+
+def key_skew_report(frame, key_cols: list[str] | str) -> SparkFrame:
+    """Shuffle-key skew diagnostics: one row summarizing how unevenly
+    rows distribute over a would-be join/aggregation key — run this
+    BEFORE committing a 100 TB shuffle to that key (the engine's
+    ``salted_join`` / AQE skew handling are the remedies this report
+    tells you whether you need).
+
+    Output: (n_keys, n_rows, max_count, max_frac, gini, cv) —
+    ``max_frac`` the heaviest key's row share (its minimum task skew
+    under hash partitioning), ``gini`` the Gini coefficient of the
+    per-key count distribution (0 = uniform, → 1 = one key owns
+    everything), ``cv`` the coefficient of variation. All rounded 6.
+
+    Gini comes from the tie-safe rank identity
+    ``G = Σ c·t·(2r̄ - (n+1)) / (n Σc)`` over DISTINCT count values
+    (t = #keys sharing count c, r̄ = their average rank), so the whole
+    computation is the per-key count aggregate + ``global_avg_ranks``
+    of the (#distinct-count-row) value table — no global sort of the
+    keys, no driver collect. CV derives from exact decimal moment
+    sums.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sdf = _plain(frame)
+    counts = (sdf.groupBy(*keys)
+              .agg(F.count(F.lit(1)).alias("__c__")))
+    ranks = _plain(global_avg_ranks(counts, "__c__"))
+    c = F.col("__c__").cast("decimal(38,0)")
+    t = F.col("cnt").cast("decimal(38,0)")
+    stats = ranks.agg(
+        F.sum(t).alias("nk"),
+        F.sum(c * t).alias("tot"),
+        F.sum(c * c * t).alias("tot2"),
+        F.max("__c__").alias("mx"),
+        F.sum(c * t * (F.lit(2.0) * F.col("avg_rank")
+                       ).cast("decimal(38,1)")).alias("g2r"))
+    nk = F.col("nk").cast("double")
+    tot = F.col("tot").cast("double")
+    tot2 = F.col("tot2").cast("double")
+    mean = tot / nk
+    var = tot2 / nk - mean * mean
+    cv = F.sqrt(var) / mean
+    gini = (F.col("g2r").cast("double")
+            - (nk + F.lit(1.0)) * tot) / (nk * tot)
+    out = stats.select(
+        F.col("nk").cast("bigint").alias("n_keys"),
+        F.col("tot").cast("bigint").alias("n_rows"),
+        F.col("mx").cast("bigint").alias("max_count"),
+        F.round(F.col("mx").cast("double") / tot, 6).alias("max_frac"),
+        F.round(gini, 6).alias("gini"),
+        F.round(cv, 6).alias("cv"))
+    return SparkFrame(out)

@@ -320,3 +320,20 @@ def test_spearman_ties_match_pandas(spark):
     # pandas average ranks + Pearson == Spearman (no scipy in env)
     want = pd.Series(xs).rank().corr(pd.Series(ys).rank())
     assert abs(got - round(want, 6)) < 1e-6
+
+
+def test_key_skew_report_uniform_vs_skewed(spark):
+    from cl_data_frame_spark.operators.stats import key_skew_report
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(10) for i in range(5)], "k int, v int")
+    r = key_skew_report(uniform, "k").spark_df.collect()[0]
+    assert r.n_keys == 10 and r.n_rows == 50 and r.max_count == 5
+    assert r.gini == 0.0 and r.cv == 0.0 and r.max_frac == 0.1
+    # one hot key owning half the rows
+    skewed = spark.createDataFrame(
+        [(0, i) for i in range(50)] + [(k, 0) for k in range(1, 51)],
+        "k int, v int")
+    s = key_skew_report(skewed, "k").spark_df.collect()[0]
+    assert s.n_keys == 51 and s.max_count == 50
+    assert s.max_frac == 0.5
+    assert s.gini > 0.4 and s.cv > 3.0

@@ -23,7 +23,7 @@ import sys
 PARTS_CHANGED: dict[str, list[int]] = {
     # round 4 folded 16 new oracle parts into existing entries
     "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused, +mad +spearman
-    "s_skew_udaf": [4],             # +grouped_map
+    "s_skew_udaf": [4, 5],          # r4 +grouped_map; r5 +skewreport
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
     "s_window_range_trailing": [4, 5],  # r4 +zscore; r5 +ewma+distinct7+rollmed
     "s_time_rollup": [4],           # +resample
