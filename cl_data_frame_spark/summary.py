@@ -221,7 +221,8 @@ def frame_repr(frame) -> str:
     return "\n".join(lines)
 
 
-def profile_table(frame, cols: list[str] | None = None) -> "object":
+def profile_table(frame, cols: list[str] | None = None,
+                  approximate: bool = False) -> "object":
     """One-scan-per-family column profiler: for each selected column, the row
     count, NULL count, exact distinct count, min/max (as strings, so
     heterogeneous types share one output schema) and — for numeric
@@ -237,9 +238,11 @@ def profile_table(frame, cols: list[str] | None = None) -> "object":
     Mixing the two families into one aggregate forces the whole plan
     into a single global SortAggregate (the ``first()``-wrapped
     string buffers disqualify hash aggregation; measured ~2x slower
-    at sf0.1); split, each side keeps its partial+final hash form. At
-    100 TB swap ``count_distinct`` for ``approx_count_distinct`` per
-    column; the rest is unchanged.
+    at sf0.1); split, each side keeps its partial+final hash form.
+    ``approximate=True`` is the 100 TB path: HyperLogLog++
+    (``approx_count_distinct``) replaces the exact distinct counts,
+    turning the Expand-multiplied distinct pass into one constant-size
+    mergeable sketch per column; everything else is unchanged.
 
     Output: (column, n_rows, n_null, n_distinct, min_str, max_str,
     mean) — mean NULL for non-numerics, rounded 6.
@@ -259,8 +262,8 @@ def profile_table(frame, cols: list[str] | None = None) -> "object":
         if _is_numeric(dtypes[c]):
             plain.append(F.round(F.avg(F.col(c)), 6)
                          .alias(f"__mean__{c}"))
-    distincts = [F.count_distinct(F.col(c)).alias(f"__nd__{c}")
-                 for c in cols]
+    nd = (F.approx_count_distinct if approximate else F.count_distinct)
+    distincts = [nd(F.col(c)).alias(f"__nd__{c}") for c in cols]
     wide = sdf.agg(*plain).crossJoin(F.broadcast(sdf.agg(*distincts)))
     entries = []
     for c in cols:

@@ -337,3 +337,18 @@ def test_key_skew_report_uniform_vs_skewed(spark):
     assert s.n_keys == 51 and s.max_count == 50
     assert s.max_frac == 0.5
     assert s.gini > 0.4 and s.cv > 3.0
+
+
+def test_profile_table_approximate_mode(spark):
+    from cl_data_frame_spark.summary import profile_table
+    rows = [(i, "s%d" % (i % 7)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    got = {r.column: r
+           for r in profile_table(df, approximate=True)
+           .spark_df.collect()}
+    # HLL++ default rsd 5%: wide tolerance on the big column, tight on
+    # the 7-value one; everything else stays exact
+    assert abs(got["k"].n_distinct - 1000) <= 100
+    assert got["s"].n_distinct == 7
+    assert got["k"].n_rows == 1000 and got["k"].n_null == 0
+    assert got["k"].min_str == "0" and got["k"].max_str == "999"
