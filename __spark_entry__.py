@@ -2617,8 +2617,9 @@ def q_s_stats(spark, sf_dir):
 
 def q_x_bm25(spark, sf_dir):
     """Full-text search composite: Okapi BM25 scoring, exact-phrase
-    search (zero-shuffle array adjacency scan), and top-10 inverted-
-    index term stats, in one tagged union."""
+    search (zero-shuffle array adjacency scan), top-10 inverted-index
+    term stats, and KWIC context snippets per phrase occurrence, in
+    one tagged union."""
     docs = _t(spark, sf_dir, "documents")
     bm = TS.bm25_scores(docs, ["table", "window", "spark"]).spark_df
     a = _tag(bm, "bm25",
@@ -2641,7 +2642,14 @@ def q_x_bm25(spark, sf_dir):
              F.col("cf").cast("bigint").alias("i2"),
              F.col("rank").cast("bigint").alias("i3"),
              _DNULL().alias("d1"))
-    return a.unionByName(b).unionByName(c)
+    sn = TS.phrase_snippets(docs, "fast table", window=3).spark_df
+    d = _tag(sn, "snippets",
+             F.col("snippet").alias("s1"),
+             F.col("doc_id").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"),
+             F.col("pos").cast("bigint").alias("i3"),
+             _DNULL().alias("d1"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_embed_quantize(spark, sf_dir):
@@ -2791,7 +2799,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_term_weights": ["tfidf", "count_vectorize", "colloc"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix",
                         "pergroup", "negatives"],
-    "x_bm25": ["bm25", "phrase", "postings"],
+    "x_bm25": ["bm25", "phrase", "postings", "snippets"],
     "x_embed_quantize": ["int8", "pq"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles"],
     "x_chunk_pack": ["chunk", "pack"],
@@ -5487,7 +5495,22 @@ _ORACLES["x_bm25"] = _union(
           "NULL::DOUBLE AS d1"),
     _wrap("postings", _ORACLES["x_postings_stats"],
           "term AS s1, df::BIGINT AS i1, cf::BIGINT AS i2, "
-          "rank::BIGINT AS i3, NULL::DOUBLE AS d1"))
+          "rank::BIGINT AS i3, NULL::DOUBLE AS d1"),
+    _wrap("snippets", f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        hits AS (
+            SELECT doc_id, tk, unnest(
+                list_filter(range(1, len(tk) - 1 + 1),
+                            i -> tk[i] = 'fast'
+                                 AND tk[i+1] = 'table')) AS pos
+            FROM t)
+        SELECT doc_id, pos::BIGINT AS pos,
+               array_to_string(
+                   tk[greatest(pos - 3, 1) :
+                      least(pos + 1 + 3, len(tk))], ' ') AS snippet
+        FROM hits""",
+          "snippet AS s1, doc_id::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "pos::BIGINT AS i3, NULL::DOUBLE AS d1"))
 
 _ORACLES["x_embed_int8"] = """
     WITH v AS (

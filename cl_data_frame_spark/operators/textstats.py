@@ -797,3 +797,38 @@ def collocations(frame, id_col: str = "doc_id", text_col: str = "text",
            .orderBy(F.col("pmi").desc(), "gram_a", "gram_b")
            .limit(top_k))
     return SparkFrame(out)
+
+
+def phrase_snippets(frame, phrase: str, window: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> SparkFrame:
+    """KWIC (keyword-in-context) snippet extraction: for every
+    occurrence of *phrase*, the surrounding ±``window`` tokens joined
+    back into a display string — the search-results companion to
+    ``phrase_search`` (which only reports positions).
+
+    One narrow projection: ``phrase_positions`` finds the 1-based
+    match starts in-row, a bounded explode (one row per OCCURRENCE,
+    not per token) splits them out, and the snippet is an in-row
+    ``slice`` + ``array_join`` over the same token array. Zero
+    shuffle; Catalyst prunes the scan to (id, text); at 100 TB this
+    is one pass like the search itself.
+
+    Output: (id_col, pos, snippet) — ``pos`` the 1-based match start,
+    snippet clamped at document edges.
+    """
+    sdf = _plain(frame)
+    n = len(phrase.split())
+    tk = tokens(F.col(text_col))
+    hit = phrase_positions(F.col(text_col), phrase.split())
+    exploded = (sdf.select(F.col(id_col), tk.alias("__tk__"),
+                           F.explode(hit).alias("pos")))
+    start = F.greatest(F.col("pos") - F.lit(window), F.lit(1))
+    end = F.least(F.col("pos") + F.lit(n - 1 + window),
+                  F.size("__tk__"))
+    out = exploded.select(
+        id_col, F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("__tk__", start,
+                             end - start + F.lit(1)), " ")
+        .alias("snippet"))
+    return SparkFrame(out)

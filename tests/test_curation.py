@@ -329,3 +329,22 @@ def test_collocations_rank_phrases_over_chance_pairs(spark):
     assert (top["gram_a"], top["gram_b"]) == ("new", "york")
     pmis = {(r["gram_a"], r["gram_b"]): r["pmi"] for r in out}
     assert pmis[("new", "york")] > pmis[("the", "dog")]
+
+
+def test_phrase_snippets_window_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b target phrase c d e"),
+         (2, "target phrase at start"),
+         (3, "ends with target phrase"),
+         (4, "no match here"),
+         (5, "target phrase then target phrase")],
+        ["doc_id", "text"])
+    out = {(r.doc_id, r.pos): r.snippet
+           for r in TS.phrase_snippets(df, "target phrase", window=2)
+           .spark_df.collect()}
+    assert out[(1, 3)] == "a b target phrase c d"
+    assert out[(2, 1)] == "target phrase at start"      # clamped left
+    assert out[(3, 3)] == "ends with target phrase"     # clamped right
+    assert 4 not in {k[0] for k in out}
+    assert out[(5, 1)] == "target phrase then target"
+    assert out[(5, 4)] == "phrase then target phrase"   # both hits

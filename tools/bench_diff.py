@@ -37,7 +37,7 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "x_cosine_search": [5],         # +ann_lsh (moved from x_probes_rows_only)
     "x_probes_rows_only": [5],      # -ann_lsh
     "x_cluster_assign": [5],        # kmeans_fit input persist
-    "x_bm25": [5],                  # +phrase +postings
+    "x_bm25": [5],                  # +phrase +postings +snippets
     "x_ngram_jaccard": [5],         # +editdist +simhash(md5) +containment
     "s_group_sets": [5],            # +gsets
     "x_text_stats": [5],            # +unigram-nll, +bigram-nll columns
