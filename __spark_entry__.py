@@ -2514,6 +2514,17 @@ def q_s_stats(spark, sf_dir):
              F.col("intercept").cast("double").alias("d2"),
              F.col("r2").cast("double").alias("d3"),
              _DNULL().alias("d4"))
+    g2 = _tag(STAT.grouped_regression2(
+                  None, "l_quantity", "l_discount", "l_extendedprice",
+                  by=["l_returnflag"], sums=sums,
+                  cols=_STATS_COLS).spark_df, "regression2",
+              F.col("l_returnflag").alias("s1"),
+              F.col("n").cast("bigint").alias("i1"),
+              _BNULL().alias("i2"),
+              F.col("b0").cast("double").alias("d1"),
+              F.col("b1").cast("double").alias("d2"),
+              F.col("b2").cast("double").alias("d3"),
+              F.col("r2").cast("double").alias("d4"))
     ct = mega.select("l_returnflag", "n_F", "n_O")
     b = _tag(ct, "crosstab",
              F.col("l_returnflag").alias("s1"),
@@ -2610,9 +2621,10 @@ def q_s_stats(spark, sf_dir):
              F.col("rho").cast("double").alias("d1"),
              _DNULL().alias("d2"), _DNULL().alias("d3"),
              _DNULL().alias("d4"))
-    return (a.unionByName(f).unionByName(g).unionByName(b)
-            .unionByName(h).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(m).unionByName(s))
+    return (a.unionByName(f).unionByName(g).unionByName(g2)
+            .unionByName(b).unionByName(h).unionByName(c)
+            .unionByName(d).unionByName(e).unionByName(m)
+            .unionByName(s))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -2784,8 +2796,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist", "profile"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
-    "s_stats": ["moments", "corrmatrix", "regression", "crosstab",
-                "chisq", "freq", "bins", "outliers", "mad",
+    "s_stats": ["moments", "corrmatrix", "regression", "regression2",
+                "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "spearman"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed"],
@@ -5218,6 +5230,56 @@ _ORACLES["s_stats"] = _union(
           "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
           "slope::DOUBLE AS d1, intercept::DOUBLE AS d2, "
           "r2::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("regression2", """
+        WITH s AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(l_quantity::DECIMAL(38,2)) AS s1,
+                   sum(l_discount::DECIMAL(38,2)) AS s2,
+                   sum(l_extendedprice::DECIMAL(38,2)) AS sy,
+                   sum(l_quantity::DECIMAL(38,2)
+                       * l_quantity::DECIMAL(38,2)) AS s11r,
+                   sum(l_discount::DECIMAL(38,2)
+                       * l_discount::DECIMAL(38,2)) AS s22r,
+                   sum(l_quantity::DECIMAL(38,2)
+                       * l_discount::DECIMAL(38,2)) AS s12r,
+                   sum(l_quantity::DECIMAL(38,2)
+                       * l_extendedprice::DECIMAL(38,2)) AS s1yr,
+                   sum(l_discount::DECIMAL(38,2)
+                       * l_extendedprice::DECIMAL(38,2)) AS s2yr,
+                   sum(l_extendedprice::DECIMAL(38,2)
+                       * l_extendedprice::DECIMAL(38,2)) AS syyr
+            FROM lineitem GROUP BY l_returnflag),
+        d AS (
+            SELECT l_returnflag, n,
+                   n::DOUBLE * s11r::DOUBLE - s1::DOUBLE * s1::DOUBLE
+                       AS s11,
+                   n::DOUBLE * s22r::DOUBLE - s2::DOUBLE * s2::DOUBLE
+                       AS s22,
+                   n::DOUBLE * s12r::DOUBLE - s1::DOUBLE * s2::DOUBLE
+                       AS s12,
+                   n::DOUBLE * s1yr::DOUBLE - s1::DOUBLE * sy::DOUBLE
+                       AS s1y,
+                   n::DOUBLE * s2yr::DOUBLE - s2::DOUBLE * sy::DOUBLE
+                       AS s2y,
+                   n::DOUBLE * syyr::DOUBLE - sy::DOUBLE * sy::DOUBLE
+                       AS syy,
+                   s1::DOUBLE AS s1d, s2::DOUBLE AS s2d,
+                   sy::DOUBLE AS syd
+            FROM s)
+        SELECT l_returnflag, n::BIGINT AS n,
+               round((syd
+                      - ((s1y*s22 - s2y*s12)/(s11*s22 - s12*s12))*s1d
+                      - ((s2y*s11 - s1y*s12)/(s11*s22 - s12*s12))*s2d)
+                     / n::DOUBLE, 6) AS b0,
+               round((s1y*s22 - s2y*s12)/(s11*s22 - s12*s12), 6) AS b1,
+               round((s2y*s11 - s1y*s12)/(s11*s22 - s12*s12), 6) AS b2,
+               round((((s1y*s22 - s2y*s12)/(s11*s22 - s12*s12))*s1y
+                      + ((s2y*s11 - s1y*s12)/(s11*s22 - s12*s12))*s2y)
+                     / syy, 6) AS r2
+        FROM d""",
+          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "b0::DOUBLE AS d1, b1::DOUBLE AS d2, b2::DOUBLE AS d3, "
+          "r2::DOUBLE AS d4"),
     _wrap("crosstab", _ORACLES["s_crosstab"],
           "l_returnflag AS s1, n_F::BIGINT AS i1, n_O::BIGINT AS i2, "
           + _STATS_NULLS),

