@@ -1608,7 +1608,8 @@ def q_r_summary_all(spark, sf_dir):
     """R26-R28: bit summary, exact-quantile summary, frequency summary in
     long form (counts in v_i, statistics in v_d, strings in v_s) + the
     family-split whole-table column profiler (summary.profile_table)
-    over orders, exploded to (column|stat) rows."""
+    over orders, exploded to (column|stat) rows + the Benford
+    first-digit audit over o_totalprice (stats.benford_digit_test)."""
     fr = _f(spark, sf_dir, "lineitem")
     s = fr.column_summary("l_extendedprice")
     q = s.quantiles
@@ -1656,7 +1657,16 @@ def q_r_summary_all(spark, sf_dir):
          .select(F.lit("profile").alias("part"),
                  F.col("r.k"), F.col("r.v_i"), F.col("r.v_d"),
                  F.col("r.v_s")))
-    return lit_rows.unionByName(h).unionByName(p)
+    from cl_data_frame_spark.operators.stats import benford_digit_test
+    bf = benford_digit_test(_t(spark, sf_dir, "orders"),
+                            "o_totalprice").spark_df
+    bfp = bf.select(F.lit("benford").alias("part"),
+                    F.col("digit").cast("string").alias("k"),
+                    F.col("n_obs").cast("bigint").alias("v_i"),
+                    F.col("chi2_term").cast("double").alias("v_d"),
+                    _SNULL().alias("v_s"))
+    return (lit_rows.unionByName(h).unionByName(p)
+            .unionByName(bfp))
 
 
 def q_r_select_positional(spark, sf_dir):
@@ -2794,7 +2804,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
-    "r_summary_all": ["quantiles", "freq", "bits", "hist", "profile"],
+    "r_summary_all": ["quantiles", "freq", "bits", "hist", "profile",
+                      "benford"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
@@ -3925,12 +3936,36 @@ _ORACLES["r_summary_all"] = """
                n
         FROM g)"""
 
+#: Benford expectation array literal (log10(1 + 1/d), d = 1..9) —
+#: Python float reprs match the F.lit doubles the operator compiles
+_BENFORD_EXP = ", ".join(
+    repr(__import__("math").log10(1 + 1 / d)) for d in range(1, 10))
+
 # widen to the v_s string slot (NULL for every pre-profile part) and
-# append the one-pass column-profiler rows
+# append the column-profiler and Benford-audit rows
 _ORACLES["r_summary_all"] = f"""
     SELECT part, k, v_i, v_d, NULL::VARCHAR AS v_s
     FROM ({_ORACLES["r_summary_all"]})
-    UNION ALL {_profile_oracle_rows()}"""
+    UNION ALL {_profile_oracle_rows()}
+    UNION ALL
+    SELECT 'benford', digit::VARCHAR, n_obs::BIGINT,
+           chi2_term::DOUBLE, NULL::VARCHAR
+    FROM (
+        WITH c AS (
+            SELECT floor(o_totalprice
+                         / pow(10.0, floor(log10(o_totalprice))))::INT
+                       AS digit,
+                   count(*) AS n_obs
+            FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        t AS (SELECT sum(n_obs) AS tot FROM c)
+        SELECT digit, n_obs,
+               round((n_obs::DOUBLE
+                      - ([{_BENFORD_EXP}])[digit] * tot::DOUBLE)
+                     * (n_obs::DOUBLE
+                        - ([{_BENFORD_EXP}])[digit] * tot::DOUBLE)
+                     / (([{_BENFORD_EXP}])[digit] * tot::DOUBLE), 6)
+                   AS chi2_term
+        FROM c CROSS JOIN t)"""
 
 _ORACLES["r_select_positional"] = _union(
     _wrap("columns_select", _ORACLES["r_columns_select"],

@@ -669,3 +669,45 @@ def grouped_regression2(frame, x1_col: str, x2_col: str, y_col: str,
         F.round(F.when(guard, b2), 6).alias("b2"),
         F.round(F.when(guard, r2), 6).alias("r2"))
     return SparkFrame(out)
+
+
+def benford_digit_test(frame, col: str) -> SparkFrame:
+    """Benford's-law first-digit audit: the observed leading-digit
+    distribution of a positive numeric column vs the Benford
+    expectation ``P(d) = log10(1 + 1/d)``, with the per-digit
+    chi-square contribution — the classic fraud/data-quality screen
+    for naturally occurring amounts (invoice totals, populations).
+
+    The leading digit is computed arithmetically —
+    ``floor(x / 10^floor(log10 x))`` — not by string formatting, so
+    the result is engine-exact; non-positive values are excluded (they
+    have no Benford digit). One partial+final hash aggregation to ≤9
+    rows; the chi-square terms derive from exact counts in a fixed
+    expression order.
+
+    Output: (digit, n_obs, obs_frac, exp_frac, chi2_term), rounded 6,
+    one row per occurring digit.
+    """
+    import math
+    sdf = _plain(frame)
+    x = F.col(col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    counts = (sdf.filter(x > 0)
+              .select(digit.cast("int").alias("digit"))
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).alias("n_obs")))
+    total = counts.agg(F.sum("n_obs").alias("__tot__"))
+    exp_frac = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit"))
+    n = F.col("n_obs").cast("double")
+    tot = F.col("__tot__").cast("double")
+    expected = exp_frac * tot
+    chi2 = (n - expected) * (n - expected) / expected
+    out = (counts.crossJoin(F.broadcast(total))
+           .select("digit",
+                   F.col("n_obs").cast("long").alias("n_obs"),
+                   F.round(n / tot, 6).alias("obs_frac"),
+                   F.round(exp_frac, 6).alias("exp_frac"),
+                   F.round(chi2, 6).alias("chi2_term")))
+    return SparkFrame(out)

@@ -381,3 +381,23 @@ def test_grouped_regression2_collinear_is_null(spark):
     r = grouped_regression2(df, "x1", "x2", "y",
                             by=["g"]).spark_df.collect()[0]
     assert r.b0 is None and r.b1 is None and r.b2 is None
+
+
+def test_benford_digit_test_known_distribution(spark):
+    import math
+    from cl_data_frame_spark.operators.stats import benford_digit_test
+    # values spanning magnitudes; digits computed arithmetically
+    vals = [1.5, 12.0, 19.9, 200.0, 2.0e6, 0.003, 9.0, -5.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.digit: r for r in
+           benford_digit_test(df, "x").spark_df.collect()}
+    # -5 and 0 excluded -> 7 positive values
+    assert sum(r.n_obs for r in got.values()) == 7
+    assert got[1].n_obs == 3          # 1.5, 12.0, 19.9
+    assert got[2].n_obs == 2          # 200.0, 2e6
+    assert got[3].n_obs == 1          # 0.003
+    assert got[9].n_obs == 1
+    assert abs(got[1].exp_frac - round(math.log10(2), 6)) < 1e-9
+    # chi2 term consistency for digit 1: (n - e)^2 / e, e = p*7
+    e = math.log10(2) * 7
+    assert abs(got[1].chi2_term - round((3 - e) ** 2 / e, 6)) < 1e-6

@@ -43,7 +43,7 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "x_text_stats": [5],            # +unigram-nll, +bigram-nll columns
     "s_join_semi_anti": [5],        # +bloom
     "s_sessionize": [5],            # +transitions +islands +paths
-    "r_summary_all": [5],           # +hist +profile (and the v_s slot)
+    "r_summary_all": [5],           # +hist +profile +benford (and v_s slot)
     "x_embed_quantize": [5],        # +pq
     "x_term_weights": [5],          # +colloc
     "x_dedup_clusters": [5],        # +pagerank +triangles
