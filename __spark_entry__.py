@@ -2623,6 +2623,16 @@ def q_s_stats(spark, sf_dir):
              F.col("median").cast("double").alias("d1"),
              F.col("mad").cast("double").alias("d2"),
              _DNULL().alias("d3"), _DNULL().alias("d4"))
+    wt = STAT.welch_t_test(None, "l_extendedprice", "l_returnflag",
+                           sums=sums, cols=_STATS_COLS).spark_df
+    w = _tag(wt, "welch",
+             F.concat_ws(">", "g1", "g2").alias("s1"),
+             F.col("n1").cast("bigint").alias("i1"),
+             F.col("n2").cast("bigint").alias("i2"),
+             F.col("t_stat").cast("double").alias("d1"),
+             F.col("welch_df").cast("double").alias("d2"),
+             F.col("cohens_d").cast("double").alias("d3"),
+             _DNULL().alias("d4"))
     sp = STAT.spearman_corr(li, "l_quantity", "l_extendedprice").spark_df
     s = _tag(sp, "spearman",
              F.lit("l_quantity>l_extendedprice").alias("s1"),
@@ -2634,7 +2644,7 @@ def q_s_stats(spark, sf_dir):
     return (a.unionByName(f).unionByName(g).unionByName(g2)
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
-            .unionByName(s))
+            .unionByName(w).unionByName(s))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -2809,7 +2819,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
-                "spearman"],
+                "welch", "spearman"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -5386,6 +5396,33 @@ _ORACLES["s_stats"] = _union(
           "l_returnflag AS s1, n_out::BIGINT AS i1, n::BIGINT AS i2, "
           "median::DOUBLE AS d1, mad::DOUBLE AS d2, "
           "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("welch", """
+        WITH g AS (
+            SELECT l_returnflag AS grp, count(*) AS n,
+                   sum(l_extendedprice::DECIMAL(38,2)) AS sx,
+                   sum(l_extendedprice::DECIMAL(38,2)
+                       * l_extendedprice::DECIMAL(38,2)) AS sxx
+            FROM lineitem GROUP BY l_returnflag),
+        m AS (
+            SELECT grp, n,
+                   sx::DOUBLE / n::DOUBLE AS mean,
+                   (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       / (n::DOUBLE * (n::DOUBLE - 1.0)) AS var
+            FROM g)
+        SELECT a.grp AS g1, b.grp AS g2,
+               a.n::BIGINT AS n1, b.n::BIGINT AS n2,
+               round((a.mean - b.mean)
+                     / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+               round(pow(a.var / a.n + b.var / b.n, 2)
+                     / (pow(a.var / a.n, 2) / (a.n - 1.0)
+                        + pow(b.var / b.n, 2) / (b.n - 1.0)), 6)
+                   AS welch_df,
+               round((a.mean - b.mean)
+                     / sqrt((a.var + b.var) / 2.0), 6) AS cohens_d
+        FROM m a JOIN m b ON a.grp < b.grp""",
+          "g1 || '>' || g2 AS s1, n1::BIGINT AS i1, n2::BIGINT AS i2, "
+          "t_stat::DOUBLE AS d1, welch_df::DOUBLE AS d2, "
+          "cohens_d::DOUBLE AS d3, NULL::DOUBLE AS d4"),
     _wrap("spearman", """
         WITH r AS (
             SELECT (rank() OVER (ORDER BY l_quantity)

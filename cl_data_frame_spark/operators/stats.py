@@ -711,3 +711,61 @@ def benford_digit_test(frame, col: str) -> SparkFrame:
                    F.round(exp_frac, 6).alias("exp_frac"),
                    F.round(chi2, 6).alias("chi2_term")))
     return SparkFrame(out)
+
+
+def welch_t_test(frame, val_col: str, group_col: str,
+                 sums=None, cols: list[str] | None = None) -> SparkFrame:
+    """Welch's unequal-variance t-test between every PAIR of groups
+    (plus Cohen's d effect size): the standard "are these two slices
+    actually different?" screen when comparing corpus segments,
+    experiment arms, or data sources.
+
+        t  = (m1 − m2) / sqrt(v1/n1 + v2/n2)
+        df = (v1/n1 + v2/n2)² /
+             ((v1/n1)²/(n1−1) + (v2/n2)²/(n2−1))   (Welch–Satterthwaite)
+        d  = (m1 − m2) / sqrt((v1 + v2) / 2)
+
+    Everything derives from per-group (n, Σx, Σx²) — pass a
+    ``moment_sums(cols, by=[group_col])`` table (+ its *cols* layout)
+    and this is a self-join of the #groups-row table with ZERO scans
+    of the base data (the s_stats shared-pass pattern); without *sums*
+    it costs one aggregation. Pairs are emitted once (g1 < g2); fixed
+    double-arithmetic order keeps both engines bit-identical.
+
+    Output: (g1, g2, n1, n2, t_stat, welch_df, cohens_d), rounded 6.
+    """
+    if sums is None:
+        cols = [val_col]
+        sums = moment_sums(frame, cols, by=[group_col])
+    s = _plain(sums)
+    i = cols.index(val_col)
+    n = F.col("n").cast("double")
+    sx = F.col(f"s_{i}").cast("double")
+    sxx = F.col(f"s_{i}_{i}").cast("double")
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    g = s.select(F.col(group_col), F.col("n").alias("__n__"),
+                 mean.alias("__m__"), var.alias("__v__"))
+    a = g.select(F.col(group_col).alias("g1"),
+                 F.col("__n__").alias("n1"),
+                 F.col("__m__").alias("m1"), F.col("__v__").alias("v1"))
+    b = g.select(F.col(group_col).alias("g2"),
+                 F.col("__n__").alias("n2"),
+                 F.col("__m__").alias("m2"), F.col("__v__").alias("v2"))
+    pairs = a.join(b, on=F.col("g1") < F.col("g2"))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1, m2 = F.col("m1"), F.col("m2")
+    v1, v2 = F.col("v1"), F.col("v2")
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+                        + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0)))
+    d = (m1 - m2) / F.sqrt((v1 + v2) / F.lit(2.0))
+    out = pairs.select(
+        "g1", "g2",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+        F.round(d, 6).alias("cohens_d"))
+    return SparkFrame(out)

@@ -401,3 +401,20 @@ def test_benford_digit_test_known_distribution(spark):
     # chi2 term consistency for digit 1: (n - e)^2 / e, e = p*7
     e = math.log10(2) * 7
     assert abs(got[1].chi2_term - round((3 - e) ** 2 / e, 6)) < 1e-6
+
+
+def test_welch_t_test_separated_vs_identical_groups(spark):
+    from cl_data_frame_spark.operators.stats import welch_t_test
+    rows = ([("a", float(v)) for v in range(1, 11)]           # mean 5.5
+            + [("b", float(v)) for v in range(101, 111)]      # mean 105.5
+            + [("c", float(v)) for v in range(1, 11)])        # == a
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r.g1, r.g2): r for r in
+           welch_t_test(df, "x", "g").spark_df.collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    # equal n and variance: Welch df = n1 + n2 - 2 = 18; huge |t|
+    assert abs(ab.welch_df - 18.0) < 1e-6
+    assert ab.t_stat < -50 and ab.cohens_d < -30
+    ac = got[("a", "c")]
+    assert ac.t_stat == 0.0 and ac.cohens_d == 0.0
