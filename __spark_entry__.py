@@ -3961,12 +3961,20 @@ _ORACLES["r_summary_all"] = f"""
     SELECT 'benford', digit::VARCHAR, n_obs::BIGINT,
            chi2_term::DOUBLE, NULL::VARCHAR
     FROM (
-        WITH c AS (
+        WITH r AS (
             SELECT floor(o_totalprice
                          / pow(10.0, floor(log10(o_totalprice))))::INT
-                       AS digit,
+                       AS raw
+            FROM orders WHERE o_totalprice > 0),
+        c AS (
+            -- float-log10 edge mapping mirrors benford_digit_test:
+            -- raw 0 is a value ~1 ULP below a power of 10 (digit 9),
+            -- raw 10 is just above one (digit 1)
+            SELECT (CASE WHEN raw < 1 THEN 9
+                         WHEN raw > 9 THEN 1
+                         ELSE raw END) AS digit,
                    count(*) AS n_obs
-            FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+            FROM r GROUP BY 1),
         t AS (SELECT sum(n_obs) AS tot FROM c)
         SELECT digit, n_obs,
                round((n_obs::DOUBLE

@@ -1176,10 +1176,14 @@ def ewma(frame, key_col: str = "user_id", ts_col: str = "ts",
 
         ewma_t = sum_{j<k} (1-a)^j x_{t-j} / sum_{j<k, exists} (1-a)^j
 
-    (pandas ``ewm(alpha, adjust=True)`` semantics truncated at k lags;
-    the (1-a)^k tail each term drops is < 6% of the weight mass at the
-    defaults and the truncation is part of the operator contract, so
-    results are exactly reproducible in any engine).
+    (pandas ``ewm(alpha, adjust=True, ignore_na=True)`` semantics
+    truncated at k lags — a NULL observation mid-series drops its term
+    from BOTH numerator and denominator, i.e. surviving observations
+    keep their relative weights rather than pandas' default
+    position-based ``ignore_na=False`` weighting; the (1-a)^k tail
+    each term drops is < 6% of the weight mass at the defaults and
+    the truncation is part of the operator contract, so results are
+    exactly reproducible in any engine).
 
     The k lag terms are UNROLLED into k ``lag()`` calls over ONE window
     definition — a single user-keyed shuffle, one pass, all whole-stage

@@ -640,6 +640,8 @@ def grouped_regression2(frame, x1_col: str, x2_col: str, y_col: str,
     if sums is None:
         cols = [x1_col, x2_col, y_col]
         sums = moment_sums(frame, cols, by)
+    elif cols is None:
+        raise ValueError("cols is required when sums is provided")
     s = _plain(sums)
     i1, i2, iy = (cols.index(x1_col), cols.index(x2_col),
                   cols.index(y_col))
@@ -680,8 +682,11 @@ def benford_digit_test(frame, col: str) -> SparkFrame:
 
     The leading digit is computed arithmetically —
     ``floor(x / 10^floor(log10 x))`` — not by string formatting, so
-    the result is engine-exact; non-positive values are excluded (they
-    have no Benford digit). One partial+final hash aggregation to ≤9
+    the result is engine-exact; the two float-log10 edge cases (a
+    double within ~1 ULP below a power of 10 yields raw digit 0, one
+    just above yields 10) are mapped to their true digits 9 and 1, so
+    ``element_at`` never sees an out-of-range index. Non-positive
+    values are excluded (they have no Benford digit). One partial+final hash aggregation to ≤9
     rows; the chi-square terms derive from exact counts in a fixed
     expression order.
 
@@ -691,7 +696,14 @@ def benford_digit_test(frame, col: str) -> SparkFrame:
     import math
     sdf = _plain(frame)
     x = F.col(col).cast("double")
-    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    # floor(log10 x) can round UP for doubles within ~1 ULP below a
+    # power of 10 (raw digit 0 — the true leading digit is 9) or DOWN
+    # just above one (raw digit 10 — true digit 1); map both edges to
+    # the true digit so element_at stays in [1, 9].
+    raw = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    digit = (F.when(raw < 1, F.lit(9))
+             .when(raw > 9, F.lit(1))
+             .otherwise(raw))
     counts = (sdf.filter(x > 0)
               .select(digit.cast("int").alias("digit"))
               .groupBy("digit")
@@ -737,6 +749,8 @@ def welch_t_test(frame, val_col: str, group_col: str,
     if sums is None:
         cols = [val_col]
         sums = moment_sums(frame, cols, by=[group_col])
+    elif cols is None:
+        raise ValueError("cols is required when sums is provided")
     s = _plain(sums)
     i = cols.index(val_col)
     n = F.col("n").cast("double")

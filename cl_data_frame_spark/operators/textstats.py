@@ -701,7 +701,10 @@ def bigram_logprob_scores(frame, id_col: str = "doc_id",
     Plan: the adjacent-pair table comes from one posexplode + 1-lag
     window per doc (doc-keyed shuffle); the bigram LM is a hash count
     of that table (#bigram-types rows) and the unigram LM of its
-    prefix column — both broadcast back onto the pair table. Shuffles
+    prefix column. Both joins back onto the pair table are left to
+    Catalyst/AQE — at corpus scale the bigram-type table can reach
+    billions of rows, so force-broadcasting it would OOM; AQE picks
+    broadcast only when the runtime size is actually small. Shuffles
     carry (pair, count) partials and per-doc sums only; nothing
     quadratic, no UDF.
     """
@@ -721,14 +724,14 @@ def bigram_logprob_scores(frame, id_col: str = "doc_id",
     vocab = toks.agg(F.count_distinct("__t__").alias("__v__"))
     bi = (pairs.groupBy("__prev__", "__t__")
           .agg(F.count(F.lit(1)).alias("__bc__")))
-    lm = (bi.join(F.broadcast(uni), on="__prev__")
+    lm = (bi.join(uni, on="__prev__")
           .crossJoin(F.broadcast(vocab)))
     nll = (-F.log((F.col("__bc__") + F.lit(1)).cast("double"))
            + F.log((F.col("__uc__") + F.col("__v__")).cast("double")))
     lm_q = lm.select("__prev__", "__t__",
                      F.round(nll, quant)
                      .cast(f"decimal(28,{quant})").alias("__nll__"))
-    out = (pairs.join(F.broadcast(lm_q), on=["__prev__", "__t__"])
+    out = (pairs.join(lm_q, on=["__prev__", "__t__"])
            .groupBy(id_col)
            .agg(F.count(F.lit(1)).alias("n_bigrams"),
                 F.sum("__nll__").alias("__s__"))
@@ -756,10 +759,12 @@ def collocations(frame, id_col: str = "doc_id", text_col: str = "text",
     (pmi desc, pair) with a total tiebreak so top-k is deterministic.
 
     Plan: adjacent pairs via posexplode + 1-lag window (doc-keyed
-    shuffle), one hash count to #bigram-types, two broadcast joins
-    against the unigram count table, then a global top-k
-    (TakeOrdered — no full sort). Linear in corpus tokens; the
-    min_count filter prunes the candidate table before the joins.
+    shuffle), one hash count to #bigram-types, two joins against the
+    unigram count table (strategy left to Catalyst/AQE — the unigram
+    vocabulary grows with the corpus, so no forced broadcast), then a
+    global top-k (TakeOrdered — no full sort). Linear in corpus
+    tokens; the min_count filter prunes the candidate table before
+    the joins.
     """
     from pyspark.sql import Window
     sdf = _plain(frame)
@@ -782,8 +787,8 @@ def collocations(frame, id_col: str = "doc_id", text_col: str = "text",
                     F.col("__uc__").alias("__ca__"))
     ub = uni.select(F.col("__t__").alias("gram_b"),
                     F.col("__uc__").alias("__cb__"))
-    scored = (bi.join(F.broadcast(ua), on="gram_a")
-              .join(F.broadcast(ub), on="gram_b")
+    scored = (bi.join(ua, on="gram_a")
+              .join(ub, on="gram_b")
               .crossJoin(F.broadcast(n_bi))
               .crossJoin(F.broadcast(n_uni)))
     pmi = F.log((F.col("n_pair").cast("double")

@@ -403,6 +403,36 @@ def test_benford_digit_test_known_distribution(spark):
     assert abs(got[1].chi2_term - round((3 - e) ** 2 / e, 6)) < 1e-6
 
 
+def test_benford_digit_clamped_at_float_log10_edges(spark):
+    from cl_data_frame_spark.operators.stats import benford_digit_test
+    # 9999999999999.99 as a double sits within 1 ULP below 10^13:
+    # log10 rounds UP to 13 and the raw arithmetic digit would be 0
+    # (element_at index-0 error); the edge mapping must classify both
+    # near-power-of-10 doubles as true digit 9.
+    vals = [9999999999999.99, 0.09999999999999999, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.digit: r.n_obs for r in
+           benford_digit_test(df, "x").spark_df.collect()}
+    assert sum(got.values()) == 3
+    assert set(got) <= set(range(1, 10))
+    assert got.get(9, 0) == 2 and got.get(1, 0) == 1
+
+
+def test_sums_without_cols_raises(spark):
+    import pytest
+    from cl_data_frame_spark.operators.stats import (
+        moment_sums, welch_t_test, grouped_regression2)
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0, 3.0), ("a", 2.0, 1.0, 4.0),
+         ("b", 3.0, 5.0, 6.0), ("b", 4.0, 2.0, 7.0)],
+        "g string, x1 double, x2 double, y double")
+    sums = moment_sums(df, ["x1", "x2", "y"], by=["g"])
+    with pytest.raises(ValueError, match="cols is required"):
+        welch_t_test(df, "x1", "g", sums=sums)
+    with pytest.raises(ValueError, match="cols is required"):
+        grouped_regression2(df, "x1", "x2", "y", by=["g"], sums=sums)
+
+
 def test_welch_t_test_separated_vs_identical_groups(spark):
     from cl_data_frame_spark.operators.stats import welch_t_test
     rows = ([("a", float(v)) for v in range(1, 11)]           # mean 5.5
