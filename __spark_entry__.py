@@ -168,6 +168,39 @@ def q_r_add_replace(spark, sf_dir):
     return with_margin.select(["p_partkey", "p_size", "margin"]).spark_df
 
 
+def q_r_na_base(spark, sf_dir):
+    """Deterministic NULL injection for the NA-surface parts: the
+    testdata has no NULLs, so null out l_quantity wherever
+    l_orderkey % 7 == 0 (engine-exact arithmetic predicate both
+    DuckDB and Spark compute identically) over a ~5% orderkey slice."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 < 5)
+    base = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_orderkey") % 7 != 0,
+               F.col("l_quantity").cast("double")).alias("qty"))
+    return SparkFrame.from_spark(base)
+
+
+def q_r_na_fill(spark, sf_dir):
+    """fill_na: scalar NULL fill over a column subset (Catalyst-native
+    na.fill — narrow projection, no shuffle)."""
+    fr = q_r_na_base(spark, sf_dir)
+    return fr.fill_na(-1.0, keys=["qty"]).spark_df
+
+
+def q_r_na_drop(spark, sf_dir):
+    """drop_na: NULL-row drop over a column subset (narrow filter)."""
+    fr = q_r_na_base(spark, sf_dir)
+    return fr.drop_na(keys=["qty"]).spark_df
+
+
+def q_r_na_replace(spark, sf_dir):
+    """replace_values: exact-value substitution ({1.0: -5.0, 2.0: -6.0}
+    on the quantity column; NULLs pass through untouched)."""
+    fr = q_r_na_base(spark, sf_dir)
+    return fr.replace_values({1.0: -5.0, 2.0: -6.0}, keys=["qty"]).spark_df
+
+
 def q_r_slice_positional(spark, sf_dir):
     """R12/R14 positional: integer-range row slice on an explicit sort."""
     fr = _f(spark, sf_dir, "customer")
@@ -1701,7 +1734,17 @@ def q_r_map_mutate(spark, sf_dir):
              F.col("p_partkey").cast("bigint").alias("i1"),
              F.col("p_size").cast("bigint").alias("i2"),
              _DNULL().alias("d1"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+
+    def _na(tag, qfn):
+        return _tag(qfn(spark, sf_dir), tag,
+                    F.col("l_orderkey").cast("bigint").alias("i1"),
+                    F.col("l_linenumber").cast("bigint").alias("i2"),
+                    F.col("qty").cast("double").alias("d1"))
+    e = _na("na_fill", q_r_na_fill)
+    f_ = _na("na_drop", q_r_na_drop)
+    g = _na("na_replace", q_r_na_replace)
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e).unionByName(f_).unionByName(g))
 
 
 def q_s_join_agg(spark, sf_dir):
@@ -2800,7 +2843,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                                "column_get_set", "map_columns"],
     "r_select_positional": ["columns_select", "slice_positional"],
     "r_map_mutate": ["map_rows", "map_df", "add_replace",
-                     "copy_isolation"],
+                     "copy_isolation", "na_fill", "na_drop",
+                     "na_replace"],
     "s_join_agg": ["broadcast", "fact"],
     "s_join_semi_anti": ["semi", "anti", "bloom"],
     "s_group_sets": ["rollup", "cube", "gsets"],
@@ -4003,7 +4047,32 @@ _ORACLES["r_map_mutate"] = _union(
           "margin::DOUBLE AS d1"),
     _wrap("copy_isolation", _ORACLES["r_copy_isolation"],
           "p_partkey::BIGINT AS i1, p_size::BIGINT AS i2, "
-          "NULL::DOUBLE AS d1"))
+          "NULL::DOUBLE AS d1"),
+    # NA surface: same deterministic NULL injection as q_r_na_base
+    _wrap("na_fill", """
+        SELECT l_orderkey, l_linenumber,
+               coalesce(CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                             ELSE l_quantity::DOUBLE END, -1.0) AS qty
+        FROM lineitem WHERE l_orderkey % 100 < 5""",
+          "l_orderkey::BIGINT AS i1, l_linenumber::BIGINT AS i2, "
+          "qty::DOUBLE AS d1"),
+    _wrap("na_drop", """
+        SELECT l_orderkey, l_linenumber, l_quantity::DOUBLE AS qty
+        FROM lineitem
+        WHERE l_orderkey % 100 < 5 AND l_orderkey % 7 != 0""",
+          "l_orderkey::BIGINT AS i1, l_linenumber::BIGINT AS i2, "
+          "qty::DOUBLE AS d1"),
+    _wrap("na_replace", """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN qty = 1.0 THEN -5.0
+                    WHEN qty = 2.0 THEN -6.0
+                    ELSE qty END AS qty
+        FROM (SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                          ELSE l_quantity::DOUBLE END AS qty
+              FROM lineitem WHERE l_orderkey % 100 < 5)""",
+          "l_orderkey::BIGINT AS i1, l_linenumber::BIGINT AS i2, "
+          "qty::DOUBLE AS d1"))
 
 _ORACLES["s_join_agg"] = _union(
     _wrap("broadcast", _ORACLES["s_join_broadcast"],

@@ -774,6 +774,67 @@ class SparkFrame:
         """Non-destructive replace (cl-data-frame.lisp:581-583)."""
         return self.copy().replace_column_(key, fn_or_column, element_type)
 
+    # -- missing-data surface (engine completion; the reference has no NA
+    #    concept — cl-data-frame.lisp:268-269 stores arbitrary vectors — but
+    #    every real tabular user needs these in week one) -----------------------
+
+    def _na_subset(self, keys) -> list[str]:
+        """Validate an NA-op column subset (KeyNotFound on misses);
+        None means every user column."""
+        if keys is None:
+            return self.keys()
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        for k in keys:
+            self._keys.index(k)
+        return keys
+
+    def fill_na_(self, value, keys=None) -> "SparkFrame":
+        """Destructive NULL fill. *value* is a scalar (applied to every
+        type-compatible column in *keys*) or a {key: value} mapping.
+        Catalyst-native ``DataFrameNaFunctions.fill`` — a narrow
+        projection, no shuffle, fully whole-stage-codegen."""
+        if isinstance(value, Mapping):
+            for k in value:
+                self._keys.index(k)
+            self._df = self._df.na.fill(dict(value))
+        else:
+            self._df = self._df.na.fill(value, subset=self._na_subset(keys))
+        return self
+
+    def fill_na(self, value, keys=None) -> "SparkFrame":
+        """Non-destructive NULL fill: copy then fill."""
+        return self.copy().fill_na_(value, keys)
+
+    def drop_na_(self, keys=None, how: str = "any",
+                 thresh: int | None = None) -> "SparkFrame":
+        """Destructive NULL-row drop over *keys* (default: all user
+        columns — the hidden row-id is never consulted). ``how`` is
+        'any'/'all'; ``thresh`` keeps rows with at least that many
+        non-NULLs among *keys*. A narrow Catalyst filter."""
+        self._df = self._df.na.drop(how=how, thresh=thresh,
+                                    subset=self._na_subset(keys))
+        self._nrow = None  # row count changed; recount lazily
+        return self
+
+    def drop_na(self, keys=None, how: str = "any",
+                thresh: int | None = None) -> "SparkFrame":
+        """Non-destructive NULL-row drop: copy then drop."""
+        return self.copy().drop_na_(keys, how, thresh)
+
+    def replace_values_(self, to_replace, value=None, keys=None) -> "SparkFrame":
+        """Destructive value substitution: *to_replace* is a scalar, a
+        list (with *value* the replacement), or a {old: new} mapping,
+        applied over *keys* (default all). NULL replacements are
+        allowed ({old: None} nulls matching cells). Narrow
+        ``DataFrameNaFunctions.replace`` projection, no shuffle."""
+        self._df = self._df.na.replace(to_replace, value,
+                                       subset=self._na_subset(keys))
+        return self
+
+    def replace_values(self, to_replace, value=None, keys=None) -> "SparkFrame":
+        """Non-destructive value substitution: copy then replace."""
+        return self.copy().replace_values_(to_replace, value, keys)
+
     def copy(self) -> "SparkFrame":
         """Copy the wrapper: keys deep-copied, the immutable DataFrame shared
         (exactly the reference's shallow copy, cl-data-frame.lisp:337-343)."""

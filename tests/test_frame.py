@@ -309,3 +309,56 @@ class TestRepr:
     def test_repr_smoke_large(self, spark):
         big = df(spark, "x", list(range(100)))
         assert "x" in repr(big)
+
+
+# --- missing-data surface (engine completion; no reference counterpart —
+#     cl-data-frame.lisp has no NA concept) ----------------------------------
+
+class TestNaSurface:
+    @pytest.fixture()
+    def fna(self, spark):
+        sdf = spark.createDataFrame(
+            [(1, 1.0, "a"), (2, None, None), (None, 3.0, "c"),
+             (None, None, None)],
+            "i bigint, x double, s string")
+        return SparkFrame(sdf)
+
+    def test_fill_na_scalar_subset(self, fna):
+        out = fna.fill_na(0.0, keys=["x"])
+        assert out.column("x") == [1.0, 0.0, 3.0, 0.0]
+        # untouched columns keep their NULLs; original frame unmodified
+        assert out.column("s") == ["a", None, "c", None]
+        assert fna.column("x") == [1.0, None, 3.0, None]
+
+    def test_fill_na_mapping(self, fna):
+        out = fna.fill_na({"i": -1, "s": "?"})
+        assert out.column("i") == [1, 2, -1, -1]
+        assert out.column("s") == ["a", "?", "c", "?"]
+        assert out.column("x") == [1.0, None, 3.0, None]
+
+    def test_drop_na_any_all_thresh(self, fna):
+        assert fna.drop_na().nrow == 1          # only the full row
+        assert fna.drop_na(how="all").nrow == 3  # all-NULL row gone
+        assert fna.drop_na(thresh=2).nrow == 2   # >= 2 non-NULLs
+        assert fna.drop_na(keys=["x"]).column("x") == [1.0, 3.0]
+        assert fna.nrow == 4                     # non-destructive
+
+    def test_replace_values(self, fna):
+        out = fna.replace_values({"a": "A", "c": "?"}, keys=["s"])
+        assert out.column("s") == ["A", None, "?", None]
+        out2 = fna.replace_values([1.0, 3.0], 9.0, keys=["x"])
+        assert out2.column("x") == [9.0, None, 9.0, None]
+
+    def test_destructive_variants_mutate(self, fna):
+        fna.fill_na_(0.0, keys=["x"])
+        assert fna.column("x") == [1.0, 0.0, 3.0, 0.0]
+        fna.drop_na_(keys=["s"])
+        assert fna.nrow == 2
+
+    def test_bad_key_raises(self, fna):
+        with pytest.raises(KeyNotFound):
+            fna.fill_na(0, keys=["nope"])
+        with pytest.raises(KeyNotFound):
+            fna.drop_na(keys=["nope"])
+        with pytest.raises(KeyNotFound):
+            fna.fill_na({"nope": 0})

@@ -43,6 +43,30 @@ def test_spark_part_tags_match_declared(spark):
         assert got, entry
 
 
+def test_survey_part_claims_match_registry():
+    """Inverse direction of the guard below: every ``entry (tags…)``
+    claim in SURVEY.md must cite a real registry entry, real part tags
+    of THAT entry, and may claim *rows-only* only for entries actually
+    in ROWS_ONLY — so a part promoted to an oracled entry fails here
+    if its old SURVEY row survives (the round-5 ann_lsh drift)."""
+    text = open("SURVEY.md").read()
+    entries = set(E.queries())
+    problems = []
+    for name, paren in re.findall(r"`([a-z0-9_]+)`\s*\(([^)]*)\)", text):
+        if name not in entries:
+            continue  # module paths, test ids, prose
+        declared = set(E._TAGGED_PARTS.get(name, []))
+        head = paren.split(";")[0]
+        tags = [t.strip() for t in head.split(",")]
+        tags = [t for t in tags if re.fullmatch(r"[a-z0-9_]+", t)]
+        bad = [t for t in tags if declared and t not in declared]
+        if bad:
+            problems.append(f"{name}: undeclared tags {bad}")
+        if "rows-only" in paren and name not in E.ROWS_ONLY:
+            problems.append(f"{name}: claims rows-only but is oracled")
+    assert not problems, problems
+
+
 def test_every_part_tag_is_documented_in_survey():
     """SURVEY §2.4 is the judge-facing coverage map: every part tag the
     registry emits must appear somewhere in SURVEY.md, so adding a part
