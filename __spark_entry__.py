@@ -614,6 +614,31 @@ def q_s_bucketed_range_join(spark, sf_dir):
     }).spark_df
 
 
+def q_s_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join (two LARGE interval tables):
+    bucket-grid with span replication on BOTH sides, pair anchored to
+    its overlap-start bucket for exactly-once output — no cartesian,
+    no distinct shuffle (relational.interval_overlap_join). Intervals
+    derive deterministically from two disjoint orderkey slices of the
+    orders price column; per-left-interval overlap count + partner-id
+    sum keeps the output compact and hash-checkable."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    l = SparkFrame(orders.filter(F.col("o_orderkey") % 100 < 2).select(
+        F.col("o_orderkey").alias("lid"),
+        price.alias("l_lo"), (price + F.lit(5000.0)).alias("l_hi")))
+    r = SparkFrame(
+        orders.filter((F.col("o_orderkey") % 100 >= 2)
+                      & (F.col("o_orderkey") % 100 < 4)).select(
+            F.col("o_orderkey").alias("rid"),
+            price.alias("r_lo"), (price + F.lit(7000.0)).alias("r_hi")))
+    j = R.interval_overlap_join(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+                                bucket_width=5000.0)
+    return (j.spark_df.groupBy("lid")
+            .agg(F.count(F.lit(1)).alias("n_overlaps"),
+                 F.sum("rid").alias("sum_rid")))
+
+
 def q_s_salted_join(spark, sf_dir):
     """Skew-salted equi-join: deterministic salt spreads hot keys over
     nsalts shuffle partitions; same result as the plain join."""
@@ -1883,7 +1908,11 @@ def q_s_range_joins(spark, sf_dir):
     b = _tag(q_s_bucketed_range_join(spark, sf_dir), "bucketed",
              F.col("band").alias("band"), F.col("n").cast("bigint").alias("n"),
              F.col("sum_qty").cast("double").alias("sum_qty"))
-    return a.unionByName(b)
+    c = _tag(q_s_interval_overlap(spark, sf_dir), "overlap",
+             F.col("lid").cast("string").alias("band"),
+             F.col("n_overlaps").cast("bigint").alias("n"),
+             F.col("sum_rid").cast("double").alias("sum_qty"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_grouped_map(spark, sf_dir):
@@ -2851,7 +2880,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_set_ops": ["except", "intersect_union", "distinct"],
     "s_time_rollup": ["rollup", "resample"],
     "s_asof": ["keyed", "unkeyed", "nearest"],
-    "s_range_joins": ["broadcast", "bucketed"],
+    "s_range_joins": ["broadcast", "bucketed", "overlap"],
     "s_skew_udaf": ["salted", "udaf", "grouped_map", "skewreport"],
     "s_functions": ["scalar", "collection"],
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
@@ -4185,7 +4214,26 @@ _ORACLES["s_range_joins"] = _union(
     _wrap("broadcast", _ORACLES["s_range_join"],
           "band AS band, n::BIGINT AS n, sum_qty::DOUBLE AS sum_qty"),
     _wrap("bucketed", _ORACLES["s_bucketed_range_join"],
-          "band AS band, n::BIGINT AS n, sum_qty::DOUBLE AS sum_qty"))
+          "band AS band, n::BIGINT AS n, sum_qty::DOUBLE AS sum_qty"),
+    # interval × interval overlap: the naive quadratic twin of the
+    # bucket-grid + span-replication + overlap-start-anchor plan
+    _wrap("overlap", """
+        WITH l AS (
+            SELECT o_orderkey AS lid,
+                   o_totalprice::DOUBLE AS l_lo,
+                   o_totalprice::DOUBLE + 5000.0 AS l_hi
+            FROM orders WHERE o_orderkey % 100 < 2),
+        r AS (
+            SELECT o_orderkey AS rid,
+                   o_totalprice::DOUBLE AS r_lo,
+                   o_totalprice::DOUBLE + 7000.0 AS r_hi
+            FROM orders
+            WHERE o_orderkey % 100 >= 2 AND o_orderkey % 100 < 4)
+        SELECT lid, count(*) AS n_overlaps, sum(rid) AS sum_rid
+        FROM l JOIN r ON l.l_lo < r.r_hi AND r.r_lo < l.l_hi
+        GROUP BY lid""",
+          "lid::VARCHAR AS band, n_overlaps::BIGINT AS n, "
+          "sum_rid::DOUBLE AS sum_qty"))
 
 _ORACLES["s_skew_udaf"] = _union(
     _wrap("salted", _ORACLES["s_salted_join"],

@@ -617,3 +617,48 @@ def test_top_paths_discovers_dominant_journey(spark):
     assert got["view>click>buy"] == 3
     assert got["view>view>view"] == 1
     assert got["login"] == 2          # two single-event sessions
+
+
+# --- interval-overlap join (round 6) ----------------------------------------
+
+def _overlap_fixture(spark):
+    # spans of wildly different lengths so intervals explode into 1..60
+    # grid buckets; several pairs overlap across MANY shared buckets,
+    # exercising the exactly-once anchor
+    lrows = [(1, 0.0, 10.0), (2, 5.0, 300.0), (3, 250.0, 260.0),
+             (4, 500.0, 501.0), (5, -50.0, -10.0)]
+    rrows = [(10, 8.0, 12.0), (11, 100.0, 290.0), (12, 255.0, 256.0),
+             (13, 600.0, 700.0), (14, -20.0, 5.0)]
+    l = SparkFrame(spark.createDataFrame(
+        lrows, "lid bigint, l_lo double, l_hi double"))
+    r = SparkFrame(spark.createDataFrame(
+        rrows, "rid bigint, r_lo double, r_hi double"))
+    return l, r, lrows, rrows
+
+
+def test_interval_overlap_join_matches_naive_quadratic(spark):
+    from cl_data_frame_spark.operators.relational import \
+        interval_overlap_join
+    l, r, lrows, rrows = _overlap_fixture(spark)
+    expected = {(a, b) for a, lo1, hi1 in lrows for b, lo2, hi2 in rrows
+                if lo1 < hi2 and lo2 < hi1}
+    for w in (5.0, 50.0, 1000.0):  # pair output must be width-invariant
+        got = [(row.lid, row.rid) for row in
+               interval_overlap_join(l, r, "l_lo", "l_hi",
+                                     "r_lo", "r_hi", bucket_width=w)
+               .spark_df.collect()]
+        assert sorted(got) == sorted(expected), w  # exactly once each
+
+
+def test_interval_overlap_join_is_bucket_equi_join(spark):
+    """Plan shape: a hash-partitioned equi-join on the grid bucket —
+    never a CartesianProduct or a data-sized nested-loop broadcast."""
+    from cl_data_frame_spark.operators.relational import \
+        interval_overlap_join
+    l, r, _, _ = _overlap_fixture(spark)
+    p = (interval_overlap_join(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+                               bucket_width=50.0)
+         .spark_df._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)
