@@ -317,3 +317,40 @@ def test_dedup_keep_best_prefers_score_then_min_id(spark):
     kept = sorted(r.doc_id for r in
                   dedup_keep_best(df, "quality").spark_df.collect())
     assert kept == [2, 4]
+
+
+def test_edit_distance_all_methods_agree(spark):
+    """The deletion-neighbourhood, Ed-Join q-gram prefix, and
+    length-band paths must produce identical pairs — including on a
+    UNIFORM-length corpus (every name 12 chars: one hot length band,
+    the measured 20x-on-10x hazard the signature paths exist to kill)
+    with short/empty strings exercising the sentinel and D_0 cases."""
+    from cl_data_frame_spark.operators import dedup as X
+    names = [f"supplier{i:04d}" for i in range(80)]        # all len 12
+    names[10] = "supplier00O1"   # 1 sub of names[1]
+    names[20] = "supplier0x02"   # 1 sub+shift of names[2]
+    names += ["ab", "ac", "b", ""]                         # sentinel band
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, ["id", "name"])
+    for d in (1, 2):
+        results = {
+            m: sorted((r["id_a"], r["id_b"], r["dist"]) for r in
+                      X.edit_distance_join(df, "id", "name", max_dist=d,
+                                           method=m).spark_df.collect())
+            for m in ("deletion", "qgram", "lengthband")}
+        assert results["deletion"] == results["qgram"] == \
+            results["lengthband"], d
+        assert results["deletion"], d  # planted near-dups must appear
+
+
+def test_edit_distance_auto_routes_by_length(spark):
+    """auto = deletion for short strings; qgram once variants would
+    blow up (len > 46 at d=2). Both exact — results must agree."""
+    from cl_data_frame_spark.operators import dedup as X
+    long = "x" * 60
+    rows = [(1, long), (2, long[:-1] + "y"), (3, "abc"), (4, "abd")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in
+                 X.edit_distance_join(df, "id", "name", max_dist=2)
+                 .spark_df.collect())
+    assert got == [(1, 2, 1), (3, 4, 1)]
