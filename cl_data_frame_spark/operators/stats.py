@@ -559,6 +559,91 @@ def spearman_corr(frame, x_col: str, y_col: str) -> SparkFrame:
                                  F.round(rho, 6).alias("rho")))
 
 
+def spearman_corr_approx(frame, x_col: str, y_col: str,
+                         buckets: int = 128,
+                         accuracy: int = 10000) -> SparkFrame:
+    """Approximate Spearman for the 100 TB path — the sketch sibling of
+    ``spearman_corr`` (same exact/approx split as quantile_bins vs the
+    KLL sketch surface).
+
+    Ranks are replaced by equi-depth BUCKET MIDRANKS: *buckets*−1
+    boundary values per column come from one ``approx_percentile``
+    pass (Greenwald–Khanna sketch, mergeable, driver state = 2·B
+    doubles — the k-sized-model-state pattern, like k-means
+    centroids); each row maps to its bucket by an O(B) boundary-count
+    expression; one exact hash aggregation per column yields bucket
+    counts, whose cumulative midranks (a B-row carry table, broadcast
+    back) stand in for per-value average ranks. Pearson then runs over
+    the midranks with the same decimal-exact moment sums as the exact
+    path.
+
+    Plan: 4 narrow scans (boundaries, 2 bucket counts, final moments),
+    zero data-sized joins — vs the exact path's two distinct-value
+    range repartitions and two rank-attach shuffles. Error: within-
+    bucket rank displacement is ≤ half the bucket population, so
+    |rho_approx − rho| = O(1/buckets) for continuous data; heavy ties
+    collapse into shared buckets and keep the monotone structure.
+    Not DuckDB-oracled (approx_percentile sketches are engine-
+    specific); pytest bounds it against the exact rho at sf0.01.
+
+    Output: one row (n, rho rounded 6).
+    """
+    sdf = _plain(frame).select(x_col, y_col)
+    probs = [i / buckets for i in range(1, buckets)]
+    parr = F.array(*[F.lit(p) for p in probs])
+    row = sdf.agg(
+        F.approx_percentile(F.col(x_col).cast("double"), parr,
+                            F.lit(accuracy)).alias("bx"),
+        F.approx_percentile(F.col(y_col).cast("double"), parr,
+                            F.lit(accuracy)).alias("by")).first()
+
+    def idx(col, bounds):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.size(F.filter(
+            arr, lambda b: b <= F.col(col).cast("double")))
+
+    from pyspark import StorageLevel
+    binned = sdf.select(idx(x_col, row["bx"]).alias("__bx__"),
+                        idx(y_col, row["by"]).alias("__by__"))
+    # feeds two bucket-count aggs + the final moment agg
+    binned = binned.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def midranks(col, out_name):
+        counts = binned.groupBy(col).agg(
+            F.count(F.lit(1)).alias("__c__"))
+        # B-row table: the tiny-carry-table global window (allowed on
+        # broadcast-sized relations only, like the as-of carry table)
+        w = (Window.orderBy(F.col(col).asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return counts.select(
+            col,
+            (F.coalesce(F.sum("__c__").over(w), F.lit(0)).cast("double")
+             + (F.col("__c__").cast("double") + 1.0) / 2.0)
+            .alias(out_name))
+
+    ranked = (binned
+              .join(F.broadcast(midranks("__bx__", "__rx__")),
+                    on="__bx__")
+              .join(F.broadcast(midranks("__by__", "__ry__")),
+                    on="__by__"))
+    dx = F.col("__rx__").cast("decimal(38,1)")
+    dy = F.col("__ry__").cast("decimal(38,1)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = ((n * sxy - sx * sy)
+           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    out = agg.select(F.col("n").cast("bigint").alias("n"),
+                     F.round(rho, 6).alias("rho"))
+    return SparkFrame(out)
+
+
 def key_skew_report(frame, key_cols: list[str] | str) -> SparkFrame:
     """Shuffle-key skew diagnostics: one row summarizing how unevenly
     rows distribute over a would-be join/aggregation key — run this

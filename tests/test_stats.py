@@ -448,3 +448,27 @@ def test_welch_t_test_separated_vs_identical_groups(spark):
     assert ab.t_stat < -50 and ab.cohens_d < -30
     ac = got[("a", "c")]
     assert ac.t_stat == 0.0 and ac.cohens_d == 0.0
+
+
+def test_spearman_approx_bounds_exact(spark):
+    """The rank-bucket sketch sibling must land within O(1/buckets) of
+    the exact rho on real data, and nail the perfect-monotone cases."""
+    from cl_data_frame_spark.operators.stats import (spearman_corr,
+                                                     spearman_corr_approx)
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = spearman_corr(li, "l_quantity",
+                          "l_extendedprice").spark_df.first()
+    approx = spearman_corr_approx(li, "l_quantity", "l_extendedprice",
+                                  buckets=128).spark_df.first()
+    assert approx["n"] == exact["n"]
+    assert abs(approx["rho"] - exact["rho"]) <= 0.02
+
+    # perfect monotone (rho = 1) and anti-monotone (rho = -1)
+    import math
+    rows = [(float(i), math.exp(i / 50.0), -float(i) ** 3)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    up = spearman_corr_approx(df, "x", "y", buckets=64).spark_df.first()
+    dn = spearman_corr_approx(df, "x", "z", buckets=64).spark_df.first()
+    assert up["rho"] >= 0.99
+    assert dn["rho"] <= -0.99
