@@ -779,12 +779,6 @@ def q_x_ngram_jaccard_global(spark, sf_dir):
     return X.ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.5).spark_df
 
 
-def q_x_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 fingerprints -> rows-only check)."""
-    docs = _f(spark, sf_dir, "documents")
-    return X.simhash_near_duplicates(docs, max_hamming=3).spark_df
-
-
 def q_x_embed_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label. The synthetic
     embeddings are near-orthogonal (max within-label cosine ~0.47 at
@@ -939,19 +933,6 @@ def q_x_media_frames(spark, sf_dir):
     frames = MM.frame_sample(media, every_n_bytes=64, frame_bytes=16,
                              max_frames=8)
     return frames.spark_df.select("media_id", "n_frames")
-
-
-def q_x_media_features(spark, sf_dir):
-    """Multimodal: mapInPandas feature extraction over binary payloads
-    (decode is the documented deterministic stub -> rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
-    media = SparkFrame(docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload")))
-    feats = MM.extract_features(media, n_features=16)
-    return feats.spark_df.select(
-        "media_id", F.size("features").alias("n_features"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"))
 
 
 def q_s_hll_rollup(spark, sf_dir):
@@ -2131,8 +2112,8 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
              F.col("dist").cast("double").alias("jaccard"))
     # SimHash with the portable md5 hash family — the ONE hash-family
     # near-dup probe that IS SQL-expressible, so it gets a full oracle
-    # (the xxhash64 production variant stays rows-only in
-    # x_probes_rows_only)
+    # (the xxhash64 production variant is pytest-covered,
+    # tests/test_dedup.py::test_simhash_identical_docs_pair)
     docs = _f(spark, sf_dir, "documents")
     sh = X.simhash_near_duplicates(docs, max_hamming=3,
                                    hash_fn="md5").spark_df
@@ -2339,21 +2320,65 @@ def q_x_media(spark, sf_dir):
     return a.unionByName(b)
 
 
-def q_x_probes_rows_only(spark, sf_dir):
-    """Rows-only union: SimHash banding (xxhash64 fingerprints) and
-    mapInPandas media feature extraction — deterministic but not
-    SQL-expressible (hash family / numpy stub). The hyperplane-LSH ANN
-    probe moved to the hash-checked ``x_cosine_search`` composite in
-    round 5 (its LCG planes ARE SQL-expressible as literals)."""
-    a = _tag(q_x_simhash_neardup(spark, sf_dir), "simhash",
-             F.col("id_a").cast("bigint").alias("i1"),
-             F.col("id_b").cast("bigint").alias("i2"),
-             F.col("hamming").cast("double").alias("d1"))
-    c = _tag(q_x_media_features(spark, sf_dir), "media_features",
-             F.col("media_id").cast("bigint").alias("i1"),
-             F.col("n_features").cast("bigint").alias("i2"),
-             F.col("f0").cast("double").alias("d1"))
-    return a.unionByName(c)
+def q_s_layout_prune(spark, sf_dir):
+    """Physical-layout maintenance, hash-checked end to end (round 6:
+    this entry replaces the oracle-less ``x_probes_rows_only`` slot —
+    its xxhash64-SimHash twin and codec-stub probes remain pytest-only
+    by nature, tests/test_dedup.py:81 and test_multimodal.py):
+
+    - ``zprune``: lineitem written through ``write_parquet_zordered``
+      (Morton layout over l_partkey × l_suppkey), re-read with a
+      2-dimensional range predicate, and aggregated — hash-matching
+      the oracle (which filters the ORIGINAL table) proves the
+      z-order rewrite + pruned scan loses and invents nothing. File-
+      skip effectiveness itself is plan/pytest-asserted
+      (tests/test_sources.py::test_zorder_layout_prunes_both_dimensions).
+    - ``compact``: a 64-small-file copy compacted by
+      ``compact_parquet`` (size-derived coalesce, no shuffle), then
+      the order-independent md5 table checksum of the compacted copy —
+      matching the oracle's checksum of the source rows proves
+      byte-preservation; the file-count invariant is pytest-asserted
+      (test_compact_parquet_reduces_file_count)."""
+    import os
+    import tempfile
+
+    from cl_data_frame_spark.sources import (compact_parquet, read_parquet,
+                                             write_parquet_zordered)
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_returnflag"]
+    li = _t(spark, sf_dir, "lineitem").select(*cols)
+    zpath = os.path.join(tempfile.mkdtemp(prefix="cdf_zorder_"), "li")
+    write_parquet_zordered(SparkFrame(li), zpath,
+                           ["l_partkey", "l_suppkey"], bits=8,
+                           num_files=16)
+    zread = read_parquet(spark, zpath).spark_df
+    zagg = (zread
+            .filter(F.col("l_partkey").between(100, 400)
+                    & F.col("l_suppkey").between(1, 40))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    a = _tag(zagg, "zprune",
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("sum_qty").cast("double").alias("d1"),
+             F.col("sum_ok").cast("bigint").alias("i2"))
+
+    tmp = tempfile.mkdtemp(prefix="cdf_compact_")
+    src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
+    (li.filter(F.col("l_quantity") <= 5).repartition(64)
+     .write.mode("overwrite").parquet(src))
+    compact_parquet(spark, src, dst, target_file_mb=128,
+                    sort_within_by="l_orderkey")
+    back = spark.read.parquet(dst).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").cast("string")
+        .alias("qty"), "l_returnflag")
+    cs = R.table_checksum(back).spark_df
+    b = _tag(cs, "compact",
+             F.col("n_rows").cast("bigint").alias("i1"),
+             F.col("sum_h").cast("double").alias("d1"),
+             F.col("xor_h").cast("bigint").alias("i2"))
+    return a.unionByName(b)
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -2713,10 +2738,32 @@ def q_s_stats(spark, sf_dir):
              F.col("rho").cast("double").alias("d1"),
              _DNULL().alias("d2"), _DNULL().alias("d3"),
              _DNULL().alias("d4"))
+    # one-way ANOVA across all flags: ANOTHER zero-extra-scan derivation
+    # of the shared mega-aggregation (k-group companion to welch)
+    av = STAT.anova_oneway(None, "l_extendedprice", "l_returnflag",
+                           sums=sums, cols=_STATS_COLS).spark_df
+    an = _tag(av, "anova",
+              F.lit("l_extendedprice~l_returnflag").alias("s1"),
+              F.col("k").cast("bigint").alias("i1"),
+              F.col("n").cast("bigint").alias("i2"),
+              F.col("f_stat").cast("double").alias("d1"),
+              F.col("eta_sq").cast("double").alias("d2"),
+              _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # Mann-Whitney U over l_quantity (~50 distinct values — the
+    # value-count regime the operator targets)
+    mw = STAT.mann_whitney_u(li, "l_quantity", "l_returnflag").spark_df
+    mwt = _tag(mw, "mannwhitney",
+               F.concat_ws(">", "g1", "g2").alias("s1"),
+               F.col("n1").cast("bigint").alias("i1"),
+               F.col("n2").cast("bigint").alias("i2"),
+               F.col("u1").cast("double").alias("d1"),
+               F.col("z").cast("double").alias("d2"),
+               _DNULL().alias("d3"), _DNULL().alias("d4"))
     return (a.unionByName(f).unionByName(g).unionByName(g2)
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
-            .unionByName(w).unionByName(s))
+            .unionByName(w).unionByName(s).unionByName(an)
+            .unionByName(mwt))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -2841,7 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_curation_scrub": q_x_curation_scrub,
         "x_bm25": q_x_bm25,
         "x_embed_quantize": q_x_embed_quantize,
-        "x_probes_rows_only": q_x_probes_rows_only,
+        "s_layout_prune": q_s_layout_prune,
         # streaming
         "st_windows": q_st_windows,
         "st_stateful": q_st_stateful,
@@ -2849,11 +2896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: queries whose internals SQL cannot reproduce (xxhash64 SimHash, the
-#: numpy codec stub) — deliberately absent from oracle_sql(). The
-#: hyperplane-LSH probe moved OUT of this bucket in round 5 (oracled
-#: inside x_cosine_search via literal plane vectors).
-ROWS_ONLY = {"x_probes_rows_only"}
+#: queries whose internals SQL cannot reproduce — deliberately absent
+#: from oracle_sql(). EMPTY since round 6: the ``x_probes_rows_only``
+#: slot (xxhash64 SimHash twin + numpy codec stub, both pytest-covered
+#: with oracled md5/content-hash siblings) was retired in favour of the
+#: fully oracled ``s_layout_prune`` entry, making the board 50/50
+#: hash-checked. Streaming entries keep oracles (memory-sink results).
+ROWS_ONLY: set[str] = set()
 
 
 def _part_filter(fn, pname: str):
@@ -2892,7 +2941,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
-                "welch", "spearman"],
+                "welch", "spearman", "anova", "mannwhitney"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -2911,7 +2960,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect"],
-    "x_probes_rows_only": ["simhash", "media_features"],
+    "s_layout_prune": ["zprune", "compact"],
 }
 
 
@@ -4368,6 +4417,42 @@ _ORACLES["s_source_roundtrip"] = _union(
           "NULL::VARCHAR AS s1, n_rows::BIGINT AS i1, "
           "sum_h::DOUBLE AS d1, xor_h::BIGINT AS i2"))
 
+_ORACLES["s_layout_prune"] = _union(
+    # zprune: the z-ordered rewrite + pruned 2-D range scan must
+    # return exactly the original table's rows under the predicate
+    _wrap("zprune", """
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem
+        WHERE l_partkey BETWEEN 100 AND 400
+          AND l_suppkey BETWEEN 1 AND 40""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, sum_ok::BIGINT AS i2"),
+    # compact: order-independent md5 checksum of the compacted copy ==
+    # checksum of the source rows (byte preservation through coalesce)
+    _wrap("compact", """
+        WITH c AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                       AS qty,
+                   l_returnflag
+            FROM lineitem WHERE l_quantity <= 5),
+        h AS (
+            SELECT ('0x' || substr(md5(concat_ws('|',
+                       coalesce(md5(l_orderkey::VARCHAR), 'N'),
+                       coalesce(md5(l_linenumber::VARCHAR), 'N'),
+                       coalesce(md5(qty), 'N'),
+                       coalesce(md5(l_returnflag), 'N'))), 1, 12))
+                       ::UBIGINT::BIGINT AS hh
+            FROM c)
+        SELECT count(*)::BIGINT AS n_rows,
+               sum(hh % 1000000)::BIGINT AS sum_h,
+               bit_xor(hh)::BIGINT AS xor_h
+        FROM h""",
+          "n_rows::BIGINT AS i1, sum_h::DOUBLE AS d1, "
+          "xor_h::BIGINT AS i2"))
+
 _SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
                "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")
 _ORACLES["x_dedup"] = _union(
@@ -5573,7 +5658,78 @@ _ORACLES["s_stats"] = _union(
         FROM s""",
           "'l_quantity>l_extendedprice' AS s1, n::BIGINT AS i1, "
           "NULL::BIGINT AS i2, rho::DOUBLE AS d1, NULL::DOUBLE AS d2, "
-          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    # one-way ANOVA from the same per-group moment sums (stats.anova_oneway)
+    _wrap("anova", """
+        WITH m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+            FROM lineitem GROUP BY l_returnflag),
+        a AS (
+            SELECT count(*) AS k, sum(n) AS N, sum(sx) AS S,
+                   sum(sxx) AS Q,
+                   sum(CAST(round(sx::DOUBLE * sx::DOUBLE / n::DOUBLE,
+                                  12) AS DECIMAL(38,12))) AS T
+            FROM m)
+        SELECT k::BIGINT AS k, N::BIGINT AS n,
+               round(((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
+                      / (k::DOUBLE - 1.0))
+                     / ((Q::DOUBLE - T::DOUBLE)
+                        / (N::DOUBLE - k::DOUBLE)), 6) AS f_stat,
+               round((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
+                     / ((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
+                        + (Q::DOUBLE - T::DOUBLE)), 6) AS eta_sq
+        FROM a""",
+          "'l_extendedprice~l_returnflag' AS s1, k::BIGINT AS i1, "
+          "n::BIGINT AS i2, f_stat::DOUBLE AS d1, eta_sq::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    # Mann-Whitney U from per-(group, value) counts (stats.mann_whitney_u)
+    _wrap("mannwhitney", """
+        WITH vc AS (
+            SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+            FROM lineitem GROUP BY 1, 2),
+        p AS (
+            SELECT a.g AS g1, b.g AS g2, a.v AS v1, b.v AS v2,
+                   a.c::DOUBLE AS c1, b.c::DOUBLE AS c2
+            FROM vc a JOIN vc b ON a.g < b.g),
+        u AS (
+            SELECT g1, g2,
+                   sum(CAST(round(CASE WHEN v2 < v1 THEN c1 * c2
+                                       WHEN v2 = v1 THEN c1 * c2 / 2.0
+                                       ELSE 0.0 END, 12)
+                            AS DECIMAL(38,12))) AS u1
+            FROM p GROUP BY g1, g2),
+        ns AS (SELECT g, sum(c) AS n FROM vc GROUP BY g),
+        bg AS (SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2
+               FROM ns a JOIN ns b ON a.g < b.g),
+        pv AS (
+            SELECT g1, g2, v, sum(c)::DOUBLE AS t FROM (
+                SELECT bg.g1, bg.g2, vc.v, vc.c
+                FROM bg JOIN vc ON vc.g = bg.g1
+                UNION ALL
+                SELECT bg.g1, bg.g2, vc.v, vc.c
+                FROM bg JOIN vc ON vc.g = bg.g2)
+            GROUP BY g1, g2, v),
+        ts AS (SELECT g1, g2,
+                      sum(CAST(round(t * t * t - t, 6)
+                               AS DECIMAL(38,6))) AS ts
+               FROM pv GROUP BY g1, g2)
+        SELECT u.g1, u.g2, n1::BIGINT AS n1, n2::BIGINT AS n2,
+               round(u1::DOUBLE, 6) AS u1,
+               round((u1::DOUBLE - n1::DOUBLE * n2::DOUBLE / 2.0)
+                     / sqrt(n1::DOUBLE * n2::DOUBLE / 12.0
+                            * ((n1::DOUBLE + n2::DOUBLE + 1.0)
+                               - ts::DOUBLE
+                                 / ((n1::DOUBLE + n2::DOUBLE)
+                                    * (n1::DOUBLE + n2::DOUBLE
+                                       - 1.0)))), 6) AS z
+        FROM u JOIN ts ON u.g1 = ts.g1 AND u.g2 = ts.g2
+        JOIN bg ON u.g1 = bg.g1 AND u.g2 = bg.g2""",
+          "g1 || '>' || g2 AS s1, n1::BIGINT AS i1, n2::BIGINT AS i2, "
+          "u1::DOUBLE AS d1, z::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"))
 
 
 _ORACLES["x_decontaminate"] = """

@@ -57,7 +57,7 @@ HEADLINE = [
     "x_embed_centroid",        # per-group centroid (fixed-point agg)
     "x_cosine_search",         # brute-force top-k + blocked top-k join
     "x_cluster_assign",        # IVF routing + iterative k-means
-    "x_probes_rows_only",      # SimHash + hyperplane LSH + media features
+    "s_layout_prune",          # z-order rewrite + pruned scan, compaction
     "x_text_stats",            # text metrics/lang-id/fingerprints/repetition
     "x_term_weights",          # TF-IDF top-k + CountVectorizer long form
     "x_pipeline_filter",       # composed curation pipeline (one plan)

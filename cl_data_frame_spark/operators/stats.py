@@ -559,6 +559,150 @@ def spearman_corr(frame, x_col: str, y_col: str) -> SparkFrame:
                                  F.round(rho, 6).alias("rho")))
 
 
+def anova_oneway(frame, val_col: str, group_col: str,
+                 sums=None, cols: list[str] | None = None) -> SparkFrame:
+    """One-way ANOVA F-test across ALL groups at once — the k-group
+    companion to ``welch_t_test``'s pairwise screen ("does the group
+    factor explain any variance at all?"):
+
+        SSB = Σ_g (Σx_g)²/n_g − S²/N      (between groups)
+        SSW = Q − Σ_g (Σx_g)²/n_g          (within groups)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+        η²  = SSB / (SSB + SSW)            (effect size)
+
+    Everything derives from per-group (n, Σx, Σx²): pass a
+    ``moment_sums(cols, by=[group_col])`` table (+ its *cols* layout)
+    and this is ONE aggregation of the #groups-row table with zero
+    scans of the base data (the s_stats shared-pass pattern); without
+    *sums* it costs one aggregation. Per-group ratio terms quantize to
+    12 decimals before the cross-group sum (order-independent exact
+    aggregation — group sum order is engine-dependent otherwise), the
+    repo's standard determinism recipe.
+
+    Output: one row (k, n, f_stat, eta_sq), rounded 6.
+    """
+    if sums is None:
+        cols = [val_col]
+        sums = moment_sums(frame, cols, by=[group_col])
+    elif cols is None:
+        raise ValueError("cols is required when sums is provided")
+    s = _plain(sums)
+    i = cols.index(val_col)
+    n_g = F.col("n").cast("double")
+    sx = F.col(f"s_{i}").cast("double")
+    sxx = F.col(f"s_{i}_{i}")
+    term = F.round(sx * sx / n_g, 12).cast("decimal(38,12)")
+    agg = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("N"),
+        F.sum(F.col(f"s_{i}")).alias("S"),
+        F.sum(sxx).alias("Q"),
+        F.sum(term).alias("T"))
+    k = F.col("k").cast("double")
+    N = F.col("N").cast("double")
+    S = F.col("S").cast("double")
+    Q = F.col("Q").cast("double")
+    T = F.col("T").cast("double")
+    ssb = T - S * S / N
+    ssw = Q - T
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (N - k))
+    eta = ssb / (ssb + ssw)
+    out = agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("N").cast("bigint").alias("n"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(eta, 6).alias("eta_sq"))
+    return SparkFrame(out)
+
+
+def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between every PAIR of groups
+    — the non-parametric sibling of ``welch_t_test`` for skewed /
+    ordinal metrics where mean comparisons mislead.
+
+    Computed from per-(group, value) counts, not per-row ranks:
+
+        U₁ = Σ_{v₁∈g1, v₂∈g2} c₁c₂·([v₂ < v₁] + ½[v₂ = v₁])
+
+    with the tie-corrected normal approximation
+
+        z = (U₁ − n₁n₂/2) / sqrt(n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+
+    (t = tie-group sizes in the pooled pair sample). The value-count
+    table has (#groups × #distinct values) rows — ONE hash aggregation
+    of the base data; the pairwise inequality self-join and the tie
+    sum run over that tiny table only. The right shape for discrete /
+    low-cardinality metrics (scores, counts, quantities); for
+    continuous high-cardinality columns bucket first (the
+    ``spearman_corr_approx`` boundary recipe) — the join is quadratic
+    in DISTINCT VALUES, never in rows.
+
+    Pairs are emitted once (g1 < g2); fixed double-arithmetic order
+    and 12-decimal quantization of cross-value partial sums keep both
+    engines bit-identical.
+
+    Output: (g1, g2, n1, n2, u1, z), rounded 6.
+    """
+    sdf = _plain(frame)
+    vc = (sdf.groupBy(group_col, F.col(val_col).alias("__v__"))
+          .agg(F.count(F.lit(1)).alias("__c__")))
+    a = vc.select(F.col(group_col).alias("g1"),
+                  F.col("__v__").alias("v1"), F.col("__c__").alias("c1"))
+    b = vc.select(F.col(group_col).alias("g2"),
+                  F.col("__v__").alias("v2"), F.col("__c__").alias("c2"))
+    pairs = a.join(b, on=F.col("g1") < F.col("g2"))
+    c1 = F.col("c1").cast("double")
+    c2 = F.col("c2").cast("double")
+    u_term = F.when(F.col("v2") < F.col("v1"), c1 * c2).otherwise(
+        F.when(F.col("v2") == F.col("v1"), c1 * c2 / F.lit(2.0))
+        .otherwise(F.lit(0.0)))
+    per_pair = (pairs.groupBy("g1", "g2")
+                .agg(F.sum(F.round(u_term, 12).cast("decimal(38,12)"))
+                     .alias("__u__")))
+    ns = vc.groupBy(group_col).agg(F.sum("__c__").alias("__n__"))
+    both_g = (ns.select(F.col(group_col).alias("g1"),
+                        F.col("__n__").alias("n1"))
+              .join(ns.select(F.col(group_col).alias("g2"),
+                              F.col("__n__").alias("n2")),
+                    on=F.col("g1") < F.col("g2")))
+    # pooled per-(pair, value) counts: replicate each group's value
+    # counts to every pair containing it, sum within the pair
+    gv = vc.select(F.col(group_col).alias("__g__"), "__v__", "__c__")
+    pv = (both_g.select("g1", "g2")
+          .join(gv, on=F.col("g1") == F.col("__g__"))
+          .unionByName(both_g.select("g1", "g2")
+                       .join(gv, on=F.col("g2") == F.col("__g__")))
+          .groupBy("g1", "g2", "__v__")
+          .agg(F.sum("__c__").cast("double").alias("__t__")))
+    t = F.col("__t__")
+    # per-value t³−t is deterministic double arithmetic; quantize to
+    # decimal before the cross-value sum (order-independent, the repo's
+    # determinism recipe)
+    ties = (pv.groupBy("g1", "g2")
+            .agg(F.sum(F.round(t * t * t - t, 6).cast("decimal(38,6)"))
+                 .alias("__ts__")))
+    out = (per_pair.join(ties, on=["g1", "g2"])
+           .join(both_g, on=["g1", "g2"])
+           .select("g1", "g2", "n1", "n2",
+                   F.col("__u__").cast("double").alias("u1"),
+                   F.col("__ts__").cast("double").alias("__ts__")))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    mu = n1 * n2 / F.lit(2.0)
+    var = (n1 * n2 / F.lit(12.0)
+           * ((nn + F.lit(1.0))
+              - F.col("__ts__") / (nn * (nn - F.lit(1.0)))))
+    z = (F.col("u1") - mu) / F.sqrt(var)
+    out = out.select(
+        "g1", "g2",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("u1", 6).alias("u1"),
+        F.round(z, 6).alias("z"))
+    return SparkFrame(out)
+
+
 def spearman_corr_approx(frame, x_col: str, y_col: str,
                          buckets: int = 128,
                          accuracy: int = 10000) -> SparkFrame:

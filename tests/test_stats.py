@@ -472,3 +472,70 @@ def test_spearman_approx_bounds_exact(spark):
     dn = spearman_corr_approx(df, "x", "z", buckets=64).spark_df.first()
     assert up["rho"] >= 0.99
     assert dn["rho"] <= -0.99
+
+
+def test_anova_oneway_matches_hand_computation(spark):
+    from cl_data_frame_spark.operators.stats import anova_oneway
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 3.0, 4.0, 5.0],
+              "c": [10.0, 11.0, 12.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = anova_oneway(df, "x", "g").spark_df.first()
+    all_v = [v for vs in groups.values() for v in vs]
+    N, k = len(all_v), len(groups)
+    grand = sum(all_v) / N
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+              for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2
+              for vs in groups.values() for v in vs)
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    assert got["k"] == k and got["n"] == N
+    assert abs(got["f_stat"] - f) < 1e-4
+    assert abs(got["eta_sq"] - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_anova_from_shared_sums(spark):
+    from cl_data_frame_spark.operators.stats import (anova_oneway,
+                                                     moment_sums)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    sums = moment_sums(li, cols, by=["l_returnflag"])
+    a = anova_oneway(li, "l_extendedprice", "l_returnflag").spark_df.first()
+    b = anova_oneway(None, "l_extendedprice", "l_returnflag",
+                     sums=sums, cols=cols).spark_df.first()
+    assert a == b
+
+
+def test_mann_whitney_u_with_ties(spark):
+    from cl_data_frame_spark.operators.stats import mann_whitney_u
+    g1 = [1.0, 2.0, 2.0, 5.0]
+    g2 = [2.0, 3.0, 4.0]
+    rows = [("a", v) for v in g1] + [("b", v) for v in g2]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r.g1, r.g2): r for r in
+           mann_whitney_u(df, "x", "g").spark_df.collect()}
+    r = got[("a", "b")]
+    # U1 = sum over (x in a, y in b) of [y<x] + 0.5[y==x]
+    u1 = sum((1.0 if y < x else 0.5 if y == x else 0.0)
+             for x in g1 for y in g2)
+    assert abs(r["u1"] - u1) < 1e-9
+    n1, n2 = len(g1), len(g2)
+    n = n1 + n2
+    from collections import Counter
+    tc = Counter(g1 + g2)
+    ts = sum(t ** 3 - t for t in tc.values())
+    var = n1 * n2 / 12.0 * ((n + 1) - ts / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / var ** 0.5
+    assert abs(r["z"] - z) < 1e-6
+    assert r["n1"] == n1 and r["n2"] == n2
+
+
+def test_mann_whitney_u_separated_groups(spark):
+    from cl_data_frame_spark.operators.stats import mann_whitney_u
+    rows = ([("lo", float(v)) for v in range(10)]
+            + [("hi", float(v)) for v in range(100, 110)])
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = mann_whitney_u(df, "x", "g").spark_df.first()
+    # 'hi' < 'lo' lexically -> g1=hi fully dominates: U1 = n1*n2
+    assert r["g1"] == "hi" and r["u1"] == 100.0
+    assert r["z"] > 3.5
