@@ -1586,7 +1586,16 @@ def q_r_construct_roundtrips(spark, sf_dir):
              F.col("n_nationkey").cast("bigint").alias("i1"),
              F.col("n_regionkey").cast("bigint").alias("i2"),
              _SNULL().alias("s1"))
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    # key rename (engine completion): order-preserving projection
+    ren = _f(spark, sf_dir, "nation").rename_columns(
+        {"n_nationkey": "nation_id", "n_name": "nation_name"})
+    fr = _tag(ren.select(["nation_id", "n_regionkey",
+                          "nation_name"]).spark_df, "rename",
+              F.col("nation_id").cast("bigint").alias("i1"),
+              F.col("n_regionkey").cast("bigint").alias("i2"),
+              F.col("nation_name").alias("s1"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e).unionByName(fr))
 
 
 def q_r_shape_meta(spark, sf_dir):
@@ -2918,7 +2927,8 @@ def _part_filter(fn, pname: str):
 #: part tags per tagged-union composite (bench attribution)
 _TAGGED_PARTS: dict[str, list[str]] = {
     "r_construct_roundtrips": ["construct", "alist_plist", "matrix",
-                               "column_get_set", "map_columns"],
+                               "column_get_set", "map_columns",
+                               "rename"],
     "r_select_positional": ["columns_select", "slice_positional"],
     "r_map_mutate": ["map_rows", "map_df", "add_replace",
                      "copy_isolation", "na_fill", "na_drop",
@@ -3969,6 +3979,11 @@ _ORACLES["r_construct_roundtrips"] = _union(
           "NULL::VARCHAR AS s1"),
     _wrap("column_get_set", _ORACLES["r_column_get_set"],
           "r_regionkey::BIGINT AS i1, NULL::BIGINT AS i2, r_name AS s1"),
+    _wrap("rename", """
+        SELECT n_nationkey AS nation_id, n_regionkey,
+               n_name AS nation_name FROM nation""",
+          "nation_id::BIGINT AS i1, n_regionkey::BIGINT AS i2, "
+          "nation_name AS s1"),
     _wrap("map_columns", _ORACLES["r_map_columns"],
           "n_nationkey::BIGINT AS i1, n_regionkey::BIGINT AS i2, "
           "NULL::VARCHAR AS s1"))

@@ -835,6 +835,39 @@ class SparkFrame:
         """Non-destructive value substitution: copy then replace."""
         return self.copy().replace_values_(to_replace, value, keys)
 
+    def rename_columns_(self, mapping: Mapping[str, str]) -> "SparkFrame":
+        """Destructive key rename ({old: new}): column order preserved,
+        KeyNotFound on a missing old key, DuplicateKey when a new name
+        collides with a surviving key. A Catalyst projection — no data
+        movement."""
+        for old in mapping:
+            self._keys.index(old)
+        old_keys = self.keys()
+        new_keys = [mapping.get(k, k) for k in old_keys]
+        self._keys = OrderedKeys(new_keys)  # raises DuplicateKey
+        self._df = self._df.select(
+            ROW_ID, *[F.col(o).alias(n) if o != n else F.col(o)
+                      for o, n in zip(old_keys, new_keys)])
+        return self
+
+    def rename_columns(self, mapping: Mapping[str, str]) -> "SparkFrame":
+        """Non-destructive key rename: copy then rename."""
+        return self.copy().rename_columns_(mapping)
+
+    def persist_(self, storage_level=None) -> "SparkFrame":
+        """Pin this frame's lineage in executor memory/disk (Spark
+        ``persist``): the pay-once substrate move when a frame feeds
+        several downstream plans. Default MEMORY_AND_DISK."""
+        from pyspark import StorageLevel
+        self._df = self._df.persist(
+            storage_level or StorageLevel.MEMORY_AND_DISK)
+        return self
+
+    def unpersist_(self) -> "SparkFrame":
+        """Release blocks pinned by ``persist_``."""
+        self._df = self._df.unpersist()
+        return self
+
     def copy(self) -> "SparkFrame":
         """Copy the wrapper: keys deep-copied, the immutable DataFrame shared
         (exactly the reference's shallow copy, cl-data-frame.lisp:337-343)."""

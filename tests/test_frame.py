@@ -362,3 +362,33 @@ class TestNaSurface:
             fna.drop_na(keys=["nope"])
         with pytest.raises(KeyNotFound):
             fna.fill_na({"nope": 0})
+
+
+class TestRenamePersist:
+    def test_rename_preserves_order_and_data(self, spark):
+        fr = df(spark, "a", [1, 2], "b", [3, 4], "c", [5, 6])
+        out = fr.rename_columns({"b": "bee", "a": "ay"})
+        assert out.keys() == ["ay", "bee", "c"]
+        assert out.as_dict() == {"ay": [1, 2], "bee": [3, 4], "c": [5, 6]}
+        assert fr.keys() == ["a", "b", "c"]  # non-destructive
+
+    def test_rename_errors(self, spark):
+        fr = df(spark, "a", [1], "b", [2])
+        with pytest.raises(KeyNotFound):
+            fr.rename_columns({"nope": "x"})
+        with pytest.raises(DuplicateKey):
+            fr.rename_columns({"a": "b"})
+        assert fr.keys() == ["a", "b"]  # failed rename leaves it intact
+
+    def test_rename_swap(self, spark):
+        fr = df(spark, "a", [1], "b", [2])
+        out = fr.rename_columns({"a": "b", "b": "a"})
+        assert out.keys() == ["b", "a"]
+        assert out.as_dict() == {"b": [1], "a": [2]}
+
+    def test_persist_roundtrip(self, spark):
+        fr = df(spark, "x", [1, 2, 3])
+        fr.persist_()
+        assert fr.column("x") == [1, 2, 3]
+        fr.unpersist_()
+        assert fr.column("x") == [1, 2, 3]
