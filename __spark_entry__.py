@@ -2768,11 +2768,22 @@ def q_s_stats(spark, sf_dir):
                F.col("u1").cast("double").alias("d1"),
                F.col("z").cast("double").alias("d2"),
                _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # Kendall tau-b from the (quantity x linenumber) contingency —
+    # <=350 cells, quadratic in value pairs, never rows
+    kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber").spark_df
+    kt = _tag(kd, "kendall",
+              F.lit("l_quantity~l_linenumber").alias("s1"),
+              F.col("n").cast("bigint").alias("i1"),
+              _BNULL().alias("i2"),
+              F.col("tau_b").cast("double").alias("d1"),
+              F.col("concordant").cast("double").alias("d2"),
+              F.col("discordant").cast("double").alias("d3"),
+              _DNULL().alias("d4"))
     return (a.unionByName(f).unionByName(g).unionByName(g2)
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
             .unionByName(w).unionByName(s).unionByName(an)
-            .unionByName(mwt))
+            .unionByName(mwt).unionByName(kt))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -2951,7 +2962,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
-                "welch", "spearman", "anova", "mannwhitney"],
+                "welch", "spearman", "anova", "mannwhitney", "kendall"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -5744,6 +5755,39 @@ _ORACLES["s_stats"] = _union(
         JOIN bg ON u.g1 = bg.g1 AND u.g2 = bg.g2""",
           "g1 || '>' || g2 AS s1, n1::BIGINT AS i1, n2::BIGINT AS i2, "
           "u1::DOUBLE AS d1, z::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    # Kendall tau-b from contingency cells (stats.kendall_tau_b)
+    _wrap("kendall", """
+        WITH cells AS (
+            SELECT l_quantity AS x, l_linenumber AS y,
+                   count(*)::DECIMAL(19,0) AS c
+            FROM lineitem GROUP BY 1, 2),
+        cd AS (
+            SELECT sum(CASE WHEN b.y > a.y
+                            THEN CAST(a.c * b.c AS DECIMAL(38,0))
+                            ELSE 0::DECIMAL(38,0) END) AS C,
+                   sum(CASE WHEN b.y < a.y
+                            THEN CAST(a.c * b.c AS DECIMAL(38,0))
+                            ELSE 0::DECIMAL(38,0) END) AS D
+            FROM cells a JOIN cells b ON b.x > a.x),
+        tx AS (SELECT sum(CAST(t * (t - 1) / 2 AS DECIMAL(38,0))) AS n1
+               FROM (SELECT sum(c)::DECIMAL(19,0) AS t FROM cells
+                     GROUP BY x)),
+        ty AS (SELECT sum(CAST(t * (t - 1) / 2 AS DECIMAL(38,0))) AS n2
+               FROM (SELECT sum(c)::DECIMAL(19,0) AS t FROM cells
+                     GROUP BY y)),
+        tot AS (SELECT sum(c)::DECIMAL(19,0) AS n FROM cells)
+        SELECT n::BIGINT AS n, C::DOUBLE AS concordant,
+               D::DOUBLE AS discordant,
+               round((C::DOUBLE - D::DOUBLE)
+                     / sqrt((CAST(n * (n - 1) / 2 AS DECIMAL(38,0))
+                             - n1)::DOUBLE
+                            * (CAST(n * (n - 1) / 2 AS DECIMAL(38,0))
+                               - n2)::DOUBLE), 6) AS tau_b
+        FROM cd, tx, ty, tot""",
+          "'l_quantity~l_linenumber' AS s1, n::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, tau_b::DOUBLE AS d1, "
+          "concordant::DOUBLE AS d2, discordant::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"))
 
 

@@ -539,3 +539,34 @@ def test_mann_whitney_u_separated_groups(spark):
     # 'hi' < 'lo' lexically -> g1=hi fully dominates: U1 = n1*n2
     assert r["g1"] == "hi" and r["u1"] == 100.0
     assert r["z"] > 3.5
+
+
+def test_kendall_tau_b_matches_hand_computation(spark):
+    from cl_data_frame_spark.operators.stats import kendall_tau_b
+    import itertools
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 6.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = kendall_tau_b(df, "x", "y").spark_df.first()
+    C = D = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(zip(xs, ys), 2):
+        s = (x1 - x2) * (y1 - y2)
+        C += s > 0
+        D += s < 0
+    n = len(xs)
+    n0 = n * (n - 1) / 2
+    from collections import Counter
+    n1 = sum(t * (t - 1) // 2 for t in Counter(xs).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(ys).values())
+    tau = (C - D) / ((n0 - n1) * (n0 - n2)) ** 0.5
+    assert got["n"] == n
+    assert got["concordant"] == C and got["discordant"] == D
+    assert abs(got["tau_b"] - tau) < 1e-6
+
+
+def test_kendall_tau_b_perfect_orders(spark):
+    from cl_data_frame_spark.operators.stats import kendall_tau_b
+    rows = [(float(i), float(i * 2), float(-i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    assert kendall_tau_b(df, "x", "y").spark_df.first()["tau_b"] == 1.0
+    assert kendall_tau_b(df, "x", "z").spark_df.first()["tau_b"] == -1.0
