@@ -1684,6 +1684,17 @@ def q_r_summary_all(spark, sf_dir):
                     F.col("n").cast("bigint").alias("v_i"),
                     F.col("lo").cast("double").alias("v_d"),
                     _SNULL().alias("v_s"))
+    from cl_data_frame_spark.summary import equi_width_histogram2d
+    hist2 = equi_width_histogram2d(fr.spark_df, "l_quantity",
+                                   "l_extendedprice",
+                                   n_bins_x=5, n_bins_y=5)
+    h2 = hist2.select(
+        F.lit("hist2d").alias("part"),
+        F.concat_ws(":", F.col("bin_x").cast("string"),
+                    F.col("bin_y").cast("string")).alias("k"),
+        F.col("n").cast("bigint").alias("v_i"),
+        F.col("lo_x").cast("double").alias("v_d"),
+        _SNULL().alias("v_s"))
     from cl_data_frame_spark.summary import profile_table
     prof = profile_table(_t(spark, sf_dir, "orders"),
                          _PROFILE_COLS).spark_df
@@ -1713,7 +1724,7 @@ def q_r_summary_all(spark, sf_dir):
                     F.col("n_obs").cast("bigint").alias("v_i"),
                     F.col("chi2_term").cast("double").alias("v_d"),
                     _SNULL().alias("v_s"))
-    return (lit_rows.unionByName(h).unionByName(p)
+    return (lit_rows.unionByName(h).unionByName(h2).unionByName(p)
             .unionByName(bfp))
 
 
@@ -2957,8 +2968,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
-    "r_summary_all": ["quantiles", "freq", "bits", "hist", "profile",
-                      "benford"],
+    "r_summary_all": ["quantiles", "freq", "bits", "hist", "hist2d",
+                      "profile", "benford"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
@@ -4091,6 +4102,29 @@ _ORACLES["r_summary_all"] = """
               FROM h GROUP BY bin)
         SELECT bin,
                round(mn + bin::DOUBLE * ((mx - mn) / 10.0), 6) AS lo,
+               n
+        FROM g)
+    UNION ALL SELECT 'hist2d', bx::VARCHAR || ':' || by::VARCHAR,
+        n::BIGINT, lo_x::DOUBLE FROM (
+        WITH b AS (SELECT min(l_quantity) AS mnx,
+                          max(l_quantity) AS mxx,
+                          min(l_extendedprice) AS mny,
+                          max(l_extendedprice) AS mxy FROM lineitem),
+        h AS (SELECT (CASE WHEN mxx > mnx
+                           THEN least(floor((l_quantity - mnx)
+                                            / ((mxx - mnx) / 5.0)), 4)
+                           ELSE 0 END)::BIGINT AS bx,
+                     (CASE WHEN mxy > mny
+                           THEN least(floor((l_extendedprice - mny)
+                                            / ((mxy - mny) / 5.0)), 4)
+                           ELSE 0 END)::BIGINT AS by,
+                     mnx, mxx
+              FROM lineitem CROSS JOIN b),
+        g AS (SELECT bx, by, count(*) AS n, min(mnx) AS mnx,
+                     min(mxx) AS mxx
+              FROM h GROUP BY bx, by)
+        SELECT bx, by,
+               round(mnx + bx::DOUBLE * ((mxx - mnx) / 5.0), 6) AS lo_x,
                n
         FROM g)"""
 

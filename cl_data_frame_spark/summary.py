@@ -206,6 +206,56 @@ def equi_width_histogram(frame, key: str, n_bins: int = 10):
                       F.col("n"))
 
 
+def equi_width_histogram2d(frame, x_key: str, y_key: str,
+                           n_bins_x: int = 10, n_bins_y: int = 10):
+    """2-D equi-width histogram (heatmap binning) over two numeric
+    columns — the joint-distribution view behind density heatmaps and
+    drift dashboards. Output: one row per NON-EMPTY cell with
+    (bin_x, bin_y, lo_x, lo_y, n); both top bins are closed (each max
+    clamps into its last bin).
+
+    Same plan shape as the 1-D histogram: ONE tiny min/max aggregation
+    over both columns broadcast back onto the scan, then a
+    partial+final count aggregation to ≤ n_bins_x·n_bins_y rows — two
+    scans, no data shuffle, all bounds arithmetic a fixed double-op
+    chain (engine-reproducible). A degenerate axis (min == max)
+    collapses to bin 0 on that axis.
+    """
+    sdf = frame.spark_df if hasattr(frame, "spark_df") else frame
+    b = sdf.agg(F.min(x_key).alias("__mnx__"),
+                F.max(x_key).alias("__mxx__"),
+                F.min(y_key).alias("__mny__"),
+                F.max(y_key).alias("__mxy__"))
+    j = sdf.select(x_key, y_key).crossJoin(F.broadcast(b))
+
+    def bin_of(key, mn, mx, nb):
+        width = (F.col(mx) - F.col(mn)) / F.lit(float(nb))
+        return (F.when(F.col(mx) > F.col(mn),
+                       F.least(F.floor((F.col(key) - F.col(mn)) / width),
+                               F.lit(nb - 1)))
+                .otherwise(F.lit(0))).cast("long")
+
+    agg = (j.withColumn("__bx__", bin_of(x_key, "__mnx__", "__mxx__",
+                                         n_bins_x))
+           .withColumn("__by__", bin_of(y_key, "__mny__", "__mxy__",
+                                        n_bins_y))
+           .groupBy("__bx__", "__by__")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("__mnx__").alias("__mnx__"),
+                F.min("__mxx__").alias("__mxx__"),
+                F.min("__mny__").alias("__mny__"),
+                F.min("__mxy__").alias("__mxy__")))
+    wx = (F.col("__mxx__") - F.col("__mnx__")) / F.lit(float(n_bins_x))
+    wy = (F.col("__mxy__") - F.col("__mny__")) / F.lit(float(n_bins_y))
+    lox = F.col("__mnx__") + F.col("__bx__").cast("double") * wx
+    loy = F.col("__mny__") + F.col("__by__").cast("double") * wy
+    return agg.select(F.col("__bx__").alias("bin_x"),
+                      F.col("__by__").alias("bin_y"),
+                      F.round(lox, 6).alias("lo_x"),
+                      F.round(loy, 6).alias("lo_y"),
+                      F.col("n"))
+
+
 def frame_repr(frame) -> str:
     """Printable representation with the reference's summarization threshold
     (print-object, cl-data-frame.lisp:463-476)."""

@@ -103,3 +103,28 @@ def test_equi_width_histogram_degenerate_column(spark):
     out = equi_width_histogram(df, "v", n_bins=4).collect()
     assert len(out) == 1
     assert out[0]["bin"] == 0 and out[0]["n"] == 7
+
+
+def test_equi_width_histogram2d_cells(spark):
+    from cl_data_frame_spark.summary import equi_width_histogram2d
+    # 100 points on a diagonal: cells (i, i) each get 25; off-diagonal
+    # cells are empty and must NOT appear
+    rows = [(float(i), float(i * 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r.bin_x, r.bin_y): r for r in
+           equi_width_histogram2d(df, "x", "y", 4, 4).collect()}
+    assert set(out) == {(i, i) for i in range(4)}
+    assert all(out[(i, i)].n == 25 for i in range(4))
+    # max values clamp into the last closed bin; lo edges are exact
+    assert out[(0, 0)].lo_x == 0.0 and out[(0, 0)].lo_y == 0.0
+    assert out[(3, 3)].lo_x == 74.25  # 0 + 3 * (99 / 4)
+
+
+def test_equi_width_histogram2d_degenerate_axis(spark):
+    from cl_data_frame_spark.summary import equi_width_histogram2d
+    rows = [(5.0, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r.bin_x, r.bin_y): r.n for r in
+           equi_width_histogram2d(df, "x", "y", 3, 2).collect()}
+    assert set(k[0] for k in out) == {0}       # x collapses to bin 0
+    assert sum(out.values()) == 10
