@@ -2779,6 +2779,33 @@ def q_s_stats(spark, sf_dir):
                F.col("u1").cast("double").alias("d1"),
                F.col("z").cast("double").alias("d2"),
                _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # winsorization: per-flag [p05, p95] clip — bounds from one tiny
+    # percentile agg (reused via bounds=), clip-side counts + bounds
+    # (no sums of interpolated values: rounding-mode-proof oracle)
+    wli = li.select("l_returnflag", "l_extendedprice")
+    pctb = (wli.groupBy("l_returnflag")
+            .agg(F.percentile(F.col("l_extendedprice"),
+                              F.array(F.lit(0.05), F.lit(0.95)))
+                 .alias("__p__")))
+    wbounds = pctb.select("l_returnflag",
+                          F.col("__p__")[0].alias("__lo__"),
+                          F.col("__p__")[1].alias("__hi__"))
+    wz = STAT.winsorize(SparkFrame(wli), "l_extendedprice",
+                        by=["l_returnflag"], bounds=wbounds).spark_df
+    x = F.col("l_extendedprice").cast("double")
+    wagg = (wz.groupBy("l_returnflag")
+            .agg(F.sum((F.col("l_extendedprice_wins") > x)
+                       .cast("bigint")).alias("n_lo"),
+                 F.sum((F.col("l_extendedprice_wins") < x)
+                       .cast("bigint")).alias("n_hi"))
+            .join(wbounds, on="l_returnflag"))
+    wn = _tag(wagg, "winsor",
+              F.col("l_returnflag").alias("s1"),
+              F.col("n_lo").cast("bigint").alias("i1"),
+              F.col("n_hi").cast("bigint").alias("i2"),
+              F.round(F.col("__lo__").cast("double"), 6).alias("d1"),
+              F.round(F.col("__hi__").cast("double"), 6).alias("d2"),
+              _DNULL().alias("d3"), _DNULL().alias("d4"))
     # Kendall tau-b from the (quantity x linenumber) contingency —
     # <=350 cells, quadratic in value pairs, never rows
     kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber").spark_df
@@ -2794,7 +2821,7 @@ def q_s_stats(spark, sf_dir):
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
             .unionByName(w).unionByName(s).unionByName(an)
-            .unionByName(mwt).unionByName(kt))
+            .unionByName(mwt).unionByName(kt).unionByName(wn))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -2973,7 +3000,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
-                "welch", "spearman", "anova", "mannwhitney", "kendall"],
+                "welch", "spearman", "anova", "mannwhitney", "kendall",
+                "winsor"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -5822,6 +5850,27 @@ _ORACLES["s_stats"] = _union(
           "'l_quantity~l_linenumber' AS s1, n::BIGINT AS i1, "
           "NULL::BIGINT AS i2, tau_b::DOUBLE AS d1, "
           "concordant::DOUBLE AS d2, discordant::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    # winsorization clip-side counts + bounds (stats.winsorize)
+    _wrap("winsor", """
+        WITH p AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem GROUP BY l_returnflag),
+        a AS (
+            SELECT l.l_returnflag,
+                   sum(CASE WHEN l.l_extendedprice::DOUBLE < p.lo::DOUBLE
+                            THEN 1 ELSE 0 END) AS n_lo,
+                   sum(CASE WHEN l.l_extendedprice::DOUBLE > p.hi::DOUBLE
+                            THEN 1 ELSE 0 END) AS n_hi
+            FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
+            GROUP BY l.l_returnflag)
+        SELECT a.l_returnflag, n_lo, n_hi,
+               round(p.lo::DOUBLE, 6) AS lo, round(p.hi::DOUBLE, 6) AS hi
+        FROM a JOIN p ON a.l_returnflag = p.l_returnflag""",
+          "l_returnflag AS s1, n_lo::BIGINT AS i1, n_hi::BIGINT AS i2, "
+          "lo::DOUBLE AS d1, hi::DOUBLE AS d2, NULL::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"))
 
 

@@ -703,6 +703,40 @@ def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
     return SparkFrame(out)
 
 
+def winsorize(frame, col: str, lower: float = 0.05, upper: float = 0.95,
+              by: list[str] | None = None, bounds=None) -> SparkFrame:
+    """Winsorization: clip *col* at its [*lower*, *upper*] exact
+    percentiles (per group when *by* is given) — the standard outlier
+    taming before means/regressions that must not be poisoned by tails
+    (the keep-the-row alternative to ``iqr_outliers`` filtering).
+
+    Adds ``<col>_wins`` next to the original column. Plan: ONE exact
+    percentile aggregation (tiny, broadcast back) + a narrow clip
+    projection — two scans, no data shuffle; pass a precomputed
+    *bounds* table ((by cols +) ``__lo__``, ``__hi__``) to reuse a
+    shared percentile pass and make it one scan (the s_stats
+    shared-pass convention).
+    """
+    sdf = _plain(frame)
+    if bounds is None:
+        pct = F.percentile(F.col(col),
+                           F.array(F.lit(lower), F.lit(upper)))
+        b = (sdf.groupBy(*by).agg(pct.alias("__p__")) if by
+             else sdf.agg(pct.alias("__p__")))
+        bounds = b.select(*(by or []),
+                          F.col("__p__")[0].alias("__lo__"),
+                          F.col("__p__")[1].alias("__hi__"))
+    else:
+        bounds = _plain(bounds)
+    joined = (sdf.join(F.broadcast(bounds), on=by) if by
+              else sdf.crossJoin(F.broadcast(bounds)))
+    clipped = F.least(F.greatest(F.col(col).cast("double"),
+                                 F.col("__lo__")), F.col("__hi__"))
+    out = (joined.withColumn(f"{col}_wins", clipped)
+           .drop("__lo__", "__hi__"))
+    return SparkFrame(out)
+
+
 def kendall_tau_b(frame, x_col: str, y_col: str) -> SparkFrame:
     """Kendall's τ-b rank correlation (tie-adjusted) — the third
     member of the correlation family (Pearson: ``moment_stats``,

@@ -570,3 +570,27 @@ def test_kendall_tau_b_perfect_orders(spark):
     df = spark.createDataFrame(rows, "x double, y double, z double")
     assert kendall_tau_b(df, "x", "y").spark_df.first()["tau_b"] == 1.0
     assert kendall_tau_b(df, "x", "z").spark_df.first()["tau_b"] == -1.0
+
+
+def test_winsorize_clips_at_percentiles(spark):
+    from cl_data_frame_spark.operators.stats import winsorize
+    vals = [float(v) for v in range(1, 101)]          # 1..100
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r["v"]: r["v_wins"] for r in
+           winsorize(df, "v", 0.10, 0.90).spark_df.collect()}
+    # exact percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert out[1.0] == 10.9 and out[5.0] == 10.9
+    assert abs(out[100.0] - 90.1) < 1e-9
+    assert abs(out[95.0] - 90.1) < 1e-9
+    assert out[50.0] == 50.0                          # interior untouched
+
+
+def test_winsorize_per_group_isolation(spark):
+    from cl_data_frame_spark.operators.stats import winsorize
+    rows = [("a", float(v)) for v in range(1, 11)] + \
+           [("b", float(v)) for v in range(1000, 1010)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g"], r["v"]): r["v_wins"] for r in
+           winsorize(df, "v", 0.2, 0.8, by=["g"]).spark_df.collect()}
+    assert out[("a", 1.0)] > 1.0 and out[("a", 1.0)] < 5.0
+    assert out[("b", 1000.0)] > 1000.0   # b clips at ITS OWN bounds
