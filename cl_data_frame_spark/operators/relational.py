@@ -490,7 +490,9 @@ def bucketed_range_join(left: SparkFrame, right: SparkFrame, left_col: str,
 def interval_overlap_join(left: SparkFrame, right: SparkFrame,
                           left_lower: str, left_upper: str,
                           right_lower: str, right_upper: str,
-                          bucket_width: float) -> SparkFrame:
+                          bucket_width: float,
+                          on: Sequence[str] | str | None = None
+                          ) -> SparkFrame:
     """Interval × interval OVERLAP join for two LARGE interval tables:
     half-open ``[lo, hi)`` intervals match iff
     ``left.lo < right.hi AND right.lo < left.hi`` — the sessions ×
@@ -510,11 +512,16 @@ def interval_overlap_join(left: SparkFrame, right: SparkFrame,
     Scale: shuffle volume is rows × (span / bucket_width); choose
     ``bucket_width`` near the typical interval length so each side
     replicates into O(1) buckets. Timestamp intervals: cast to epoch
-    seconds/micros first (the grid is numeric). Column names must be
+    seconds/micros first (the grid is numeric). ``on`` adds equality
+    keys (same name both sides — per-user sessions × per-user windows)
+    to the bucket join key, so co-partitioning happens on
+    (key, bucket) and hot wall-clock ranges spread across keys; key
+    columns appear once in the output. All other column names must be
     disjoint across the two sides (rename before joining, as with any
     same-name Spark join). Inner-only: null-extension under anchored
     replication would need a separate anti-join pass.
     """
+    on = [on] if isinstance(on, str) else list(on or [])
     ldf = _plain(left)
     rdf = _plain(right)
     w = float(bucket_width)
@@ -534,8 +541,15 @@ def interval_overlap_join(left: SparkFrame, right: SparkFrame,
     anchor = (F.floor(F.greatest(lbk[left_lower], rbk[right_lower])
                       / F.lit(w)) == lbk["__lbucket__"])
     cond = (lbk["__lbucket__"] == rbk["__rbucket__"]) & overlap & anchor
-    out = (lbk.join(rbk, on=cond, how="inner")
-           .drop("__lbucket__", "__rbucket__"))
+    for k in on:
+        cond = cond & (lbk[k] == rbk[k])
+    out = lbk.join(rbk, on=cond, how="inner")
+    # key columns appear on both sides of the condition join — emit
+    # the left copy once
+    keep = ([lbk[k] for k in on]
+            + [lbk[c] for c in ldf.columns if c not in on]
+            + [rbk[c] for c in rdf.columns if c not in on])
+    out = out.select(*keep)
     return SparkFrame(out)
 
 

@@ -662,3 +662,26 @@ def test_interval_overlap_join_is_bucket_equi_join(spark):
     assert "CartesianProduct" not in p
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
             or "BroadcastHashJoin" in p)
+
+
+def test_interval_overlap_join_keyed(spark):
+    """Equality keys join the bucket key: only same-user intervals
+    pair, key columns appear once, exactly-once anchoring holds."""
+    from cl_data_frame_spark.operators.relational import \
+        interval_overlap_join
+    lrows = [("u1", 1, 0.0, 100.0), ("u1", 2, 90.0, 95.0),
+             ("u2", 3, 0.0, 100.0)]
+    rrows = [("u1", 10, 50.0, 150.0), ("u2", 11, 200.0, 300.0),
+             ("u3", 12, 0.0, 1000.0)]
+    l = SparkFrame(spark.createDataFrame(
+        lrows, "user string, lid bigint, l_lo double, l_hi double"))
+    r = SparkFrame(spark.createDataFrame(
+        rrows, "user string, rid bigint, r_lo double, r_hi double"))
+    out = interval_overlap_join(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+                                bucket_width=25.0, on="user")
+    rows = out.spark_df.collect()
+    got = sorted((row.user, row.lid, row.rid) for row in rows)
+    # u1 intervals overlap u1's [50,150); u2's [0,100) misses [200,300);
+    # u3 has no left side at all
+    assert got == [("u1", 1, 10), ("u1", 2, 10)]
+    assert rows[0].__fields__.count("user") == 1  # key emitted once
