@@ -2779,6 +2779,16 @@ def q_s_stats(spark, sf_dir):
                F.col("u1").cast("double").alias("d1"),
                F.col("z").cast("double").alias("d2"),
                _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # Cramér's V association strength for returnflag x linestatus
+    cv = STAT.cramers_v(li, "l_returnflag", "l_linestatus").spark_df
+    cvt = _tag(cv, "cramer",
+               F.lit("l_returnflag~l_linestatus").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               F.col("r").cast("bigint").alias("i2"),
+               F.col("chi2").cast("double").alias("d1"),
+               F.col("cramers_v").cast("double").alias("d2"),
+               F.col("c").cast("double").alias("d3"),
+               _DNULL().alias("d4"))
     # winsorization: per-flag [p05, p95] clip — bounds from one tiny
     # percentile agg (reused via bounds=), clip-side counts + bounds
     # (no sums of interpolated values: rounding-mode-proof oracle)
@@ -2821,7 +2831,8 @@ def q_s_stats(spark, sf_dir):
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
             .unionByName(w).unionByName(s).unionByName(an)
-            .unionByName(mwt).unionByName(kt).unionByName(wn))
+            .unionByName(mwt).unionByName(kt).unionByName(wn)
+            .unionByName(cvt))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3001,7 +3012,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
-                "winsor"],
+                "winsor", "cramer"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -5871,6 +5882,33 @@ _ORACLES["s_stats"] = _union(
         FROM a JOIN p ON a.l_returnflag = p.l_returnflag""",
           "l_returnflag AS s1, n_lo::BIGINT AS i1, n_hi::BIGINT AS i2, "
           "lo::DOUBLE AS d1, hi::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    # Cramér's V via the observed-cells identity (stats.cramers_v)
+    _wrap("cramer", """
+        WITH cells AS (
+            SELECT l_returnflag AS rv, l_linestatus AS cv,
+                   count(*) AS o
+            FROM lineitem GROUP BY 1, 2),
+        t AS (SELECT rv, cv, o,
+                     sum(o) OVER (PARTITION BY rv) AS rt,
+                     sum(o) OVER (PARTITION BY cv) AS ct
+              FROM cells),
+        q AS (SELECT sum(CAST(round(o::DOUBLE * o::DOUBLE
+                                    / (rt::DOUBLE * ct::DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS Q,
+                     sum(o) AS n, count(DISTINCT rv) AS r,
+                     count(DISTINCT cv) AS c
+              FROM t)
+        SELECT n::BIGINT AS n, r::BIGINT AS r, c::BIGINT AS c,
+               round(n::DOUBLE * (Q::DOUBLE - 1.0), 6) AS chi2,
+               round(sqrt(greatest(n::DOUBLE * (Q::DOUBLE - 1.0), 0.0)
+                          / (n::DOUBLE
+                             * (least(r, c)::DOUBLE - 1.0))), 6)
+                   AS cramers_v
+        FROM q""",
+          "'l_returnflag~l_linestatus' AS s1, n::BIGINT AS i1, "
+          "r::BIGINT AS i2, chi2::DOUBLE AS d1, "
+          "cramers_v::DOUBLE AS d2, c::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"))
 
 

@@ -262,6 +262,60 @@ def chisq_cells(frame=None, row_col: str = None, col_col: str = None,
     return SparkFrame(out)
 
 
+def cramers_v(frame=None, row_col: str = None, col_col: str = None,
+              cells=None) -> SparkFrame:
+    """Cramér's V association strength for a (*row_col* × *col_col*)
+    contingency table — the normalized effect size the raw chi-square
+    lacks (0 = independent, 1 = perfectly associated; comparable
+    across table shapes):
+
+        V = sqrt( χ² / (n · (min(r, c) − 1)) )
+
+    χ² comes from the observed-cells-only identity
+    ``χ² = n · (Σ_cells o²/(row_tot·col_tot) − 1)`` — ``chisq_cells``'s
+    per-cell terms omit EMPTY cells (which still contribute their
+    expectation), so summing them under-counts sparse tables; the
+    identity needs only occurring cells. Per-cell ratios quantize to
+    12 decimals and sum as exact decimals (order-independent); totals
+    are window sums over the tiny cell table — one hash aggregation of
+    the base data total (zero when *cells* is precomputed).
+
+    Output: one row (n, r, c, chi2, cramers_v), rounded 6.
+    """
+    from pyspark.sql import Window
+    if cells is None:
+        sdf = _plain(frame)
+        cells = sdf.groupBy(row_col, col_col).agg(
+            F.count(F.lit(1)).alias("n_obs"))
+    else:
+        cells = _plain(cells)
+    row_tot = F.sum("n_obs").over(Window.partitionBy(row_col))
+    col_tot = F.sum("n_obs").over(Window.partitionBy(col_col))
+    o = F.col("n_obs").cast("double")
+    ratio = o * o / (row_tot.cast("double") * col_tot.cast("double"))
+    terms = cells.select(
+        row_col, col_col, "n_obs",
+        F.round(ratio, 12).cast("decimal(38,12)").alias("__q__"))
+    agg = terms.agg(
+        F.sum("n_obs").alias("n"),
+        F.count_distinct(F.col(row_col)).alias("r"),
+        F.count_distinct(F.col(col_col)).alias("c"),
+        F.sum("__q__").alias("Q"))
+    n_d = F.col("n").cast("double")
+    chi2 = n_d * (F.col("Q").cast("double") - F.lit(1.0))
+    denom = n_d * (F.least("r", "c").cast("double") - F.lit(1.0))
+    out = agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("r"),
+        F.col("c").cast("bigint").alias("c"),
+        F.round(chi2, 6).alias("chi2"),
+        # guard tiny negatives from the 12-decimal quantization when
+        # the table is exactly independent (chi2 == 0)
+        F.round(F.sqrt(F.greatest(chi2, F.lit(0.0)) / denom), 6)
+        .alias("cramers_v"))
+    return SparkFrame(out)
+
+
 def crosstab(frame, row_col: str, col_col: str,
              col_values: list[str]) -> SparkFrame:
     """Contingency table (``df.stat.crosstab`` equivalent) with an

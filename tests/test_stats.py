@@ -594,3 +594,18 @@ def test_winsorize_per_group_isolation(spark):
            winsorize(df, "v", 0.2, 0.8, by=["g"]).spark_df.collect()}
     assert out[("a", 1.0)] > 1.0 and out[("a", 1.0)] < 5.0
     assert out[("b", 1000.0)] > 1000.0   # b clips at ITS OWN bounds
+
+
+def test_cramers_v_extremes(spark):
+    from cl_data_frame_spark.operators.stats import cramers_v
+    # perfect association: each row value maps to exactly one col value
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5 + [("c", "z")] * 5
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = cramers_v(df, "r", "c").spark_df.first()
+    assert got["cramers_v"] == 1.0 and got["r"] == 3 and got["c"] == 3
+    # independence: identical col distribution in every row class
+    rows2 = [(r, c) for r in "ab" for c in "xy" for _ in range(10)]
+    df2 = spark.createDataFrame(rows2, "r string, c string")
+    got2 = cramers_v(df2, "r", "c").spark_df.first()
+    assert got2["chi2"] == 0.0 and got2["cramers_v"] == 0.0
+    assert got2["n"] == 40
