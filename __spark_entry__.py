@@ -2398,7 +2398,32 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n_rows").cast("bigint").alias("i1"),
              F.col("sum_h").cast("double").alias("d1"),
              F.col("xor_h").cast("bigint").alias("i2"))
-    return a.unionByName(b)
+
+    # dynamic partition overwrite: base table partitioned by
+    # returnflag, then ONE partition replaced by a smaller slice —
+    # the read-back must equal (base minus flag A) UNION (replacement),
+    # proving untouched partitions survive (static overwrite would
+    # truncate them)
+    from cl_data_frame_spark.sources import write_parquet_partitioned
+    ppath = os.path.join(tempfile.mkdtemp(prefix="cdf_dynpart_"), "pt")
+    pbase = li.filter(F.col("l_quantity") <= 3)
+    write_parquet_partitioned(pbase, ppath, "l_returnflag")
+    repl = pbase.filter((F.col("l_returnflag") == "A")
+                        & (F.col("l_quantity") <= 2))
+    write_parquet_partitioned(repl, ppath, "l_returnflag",
+                              dynamic=True)
+    pagg = (spark.read.parquet(ppath)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    c = _tag(pagg.select(F.col("n"), F.col("sum_qty"),
+                         F.col("sum_ok")),
+             "partitioned",
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("sum_qty").cast("double").alias("d1"),
+             F.col("sum_ok").cast("bigint").alias("i2"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -3031,7 +3056,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect"],
-    "s_layout_prune": ["zprune", "compact"],
+    "s_layout_prune": ["zprune", "compact", "partitioned"],
 }
 
 
@@ -4550,7 +4575,25 @@ _ORACLES["s_layout_prune"] = _union(
                bit_xor(hh)::BIGINT AS xor_h
         FROM h""",
           "n_rows::BIGINT AS i1, sum_h::DOUBLE AS d1, "
-          "xor_h::BIGINT AS i2"))
+          "xor_h::BIGINT AS i2"),
+    # dynamic partition overwrite: untouched partitions survive, the
+    # overwritten one holds exactly the replacement slice
+    _wrap("partitioned", """
+        WITH base AS (
+            SELECT l_returnflag, l_orderkey, l_quantity
+            FROM lineitem WHERE l_quantity <= 3),
+        final AS (
+            SELECT * FROM base WHERE l_returnflag != 'A'
+            UNION ALL
+            SELECT * FROM base
+            WHERE l_returnflag = 'A' AND l_quantity <= 2)
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM final GROUP BY l_returnflag""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"))
 
 _SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
                "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")

@@ -189,6 +189,61 @@ def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
      .write.mode(mode).parquet(path))
 
 
+def write_parquet_partitioned(frame, path: str, partition_by,
+                              mode: str = "overwrite",
+                              dynamic: bool = False,
+                              files_per_partition: int = 1) -> None:
+    """Hive-style partitioned parquet write (``path/col=value/...``)
+    with optional DYNAMIC partition overwrite — the incremental-
+    pipeline pattern: re-running a day's job replaces ONLY the
+    partitions present in the incoming frame, never truncating the
+    rest of the table (static overwrite would).
+
+    ``files_per_partition`` repartitions by the partition columns
+    first so each partition directory gets a bounded file count
+    instead of one file per incoming task — the small-file guard at
+    write time (``compact_parquet`` is the after-the-fact repair).
+
+    Scale: partition columns become directory pruning at read time
+    (``PartitionFilters`` in the scan — zero I/O for excluded
+    partitions, stronger than footer min/max skipping); choose
+    low-cardinality columns (date, region, source) — a high-
+    cardinality partition column IS the small-file problem.
+    """
+    from pyspark.sql import functions as F
+
+    sdf = _plain(frame)
+    cols = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    spark = sdf.sparkSession
+    writer = sdf
+    if files_per_partition:
+        k = int(files_per_partition)
+        if k == 1:
+            # hash by the partition columns: each value co-locates in
+            # ONE task (one file per directory), values run in parallel
+            writer = sdf.repartition(*[F.col(c) for c in cols])
+        else:
+            # deterministic sub-salt spreads a hot partition value over
+            # exactly k tasks/files
+            others = [c for c in sdf.columns if c not in cols] or cols
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in others]),
+                          F.lit(k))
+            writer = (sdf.withColumn("__fsalt__", salt)
+                      .repartition(*([F.col(c) for c in cols]
+                                     + [F.col("__fsalt__")]))
+                      .drop("__fsalt__"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "STATIC")
+    try:
+        if dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+        (writer.write.mode(mode).partitionBy(*cols).parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,
                     target_file_mb: int = 128,
                     sort_within_by=None) -> int:

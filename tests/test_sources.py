@@ -242,3 +242,55 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["v2"] is None
     assert rows[2]["v2"] == 9.5
+
+
+def test_partitioned_write_dynamic_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite must replace ONLY incoming
+    partitions; static overwrite truncates the whole table. Reads must
+    partition-prune (PartitionFilters, not just footer stats)."""
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import write_parquet_partitioned
+    path = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], "part string, v int")
+    write_parquet_partitioned(base, path, "part")
+    assert spark.read.parquet(path).count() == 4
+
+    # dynamic overwrite of partition 'a' only
+    upd = spark.createDataFrame([("a", 99)], "part string, v int")
+    write_parquet_partitioned(upd, path, "part", dynamic=True)
+    after = {(r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == {("a", 99), ("b", 3), ("c", 4)}
+
+    # partition pruning shows in the scan
+    plan = (spark.read.parquet(path).filter(F.col("part") == "b")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "part" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+    # static overwrite replaces everything (the contrast case)
+    write_parquet_partitioned(upd, path, "part", dynamic=False)
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_partitioned_write_bounds_file_count(spark, tmp_path):
+    from cl_data_frame_spark.sources import write_parquet_partitioned
+    import glob
+    path = str(tmp_path / "pt2")
+    df = spark.range(1000).selectExpr("id % 3 as part", "id as v")
+    write_parquet_partitioned(df, path, "part", files_per_partition=1)
+    for d in glob.glob(f"{path}/part=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+
+
+def test_partitioned_write_salted_file_fanout(spark, tmp_path):
+    from cl_data_frame_spark.sources import write_parquet_partitioned
+    import glob
+    path = str(tmp_path / "pt3")
+    df = spark.range(2000).selectExpr("id % 2 as part", "id as v")
+    write_parquet_partitioned(df, path, "part", files_per_partition=4)
+    for d in glob.glob(f"{path}/part=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 4, d
