@@ -1105,8 +1105,17 @@ def q_s_window_range_trailing(spark, sf_dir):
              F.col("roll_median").cast("double").alias("d1"),
              F.col("value").cast("double").alias("d2"),
              _DNULL().alias("d3"), _BNULL().alias("i1"))
+    # per-user autocorrelation at lags 1..3 (lag slot rides in ts_us)
+    ac = R.acf(ev, max_lag=3).spark_df
+    f = _tag(ac, "acf",
+             F.col("user_id").cast("bigint").alias("user_id"),
+             _BNULL().alias("event_id"),
+             F.col("lag").cast("bigint").alias("ts_us"),
+             F.col("acf").cast("double").alias("d1"),
+             _DNULL().alias("d2"), _DNULL().alias("d3"),
+             F.col("n_pairs").cast("bigint").alias("i1"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(f))
 
 
 def q_s_udtf_tokens(spark, sf_dir):
@@ -3039,7 +3048,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
                 "winsor", "cramer"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
-                                "distinct7", "rollmed"],
+                                "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
                 "keepbest"],
     "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash",
@@ -5285,7 +5294,55 @@ _ORACLES["s_window_range_trailing"] = _union(
           "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
           "ts_us::BIGINT AS ts_us, roll_median::DOUBLE AS d1, "
           "value::DOUBLE AS d2, NULL::DOUBLE AS d3, "
-          "NULL::BIGINT AS i1"))
+          "NULL::BIGINT AS i1"),
+    # per-user ACF at lags 1..3 (relational.acf): decimal-exact mean,
+    # 6-decimal-quantized term sums — identical doubles both engines
+    _wrap("acf", """
+        WITH b AS (
+            SELECT user_id, value::DOUBLE AS x,
+                   lag(value::DOUBLE, 1) OVER w AS l1,
+                   lag(value::DOUBLE, 2) OVER w AS l2,
+                   lag(value::DOUBLE, 3) OVER w AS l3,
+                   (sum(CAST(value AS DECIMAL(28,6)))
+                        OVER (PARTITION BY user_id))::DOUBLE
+                       / (count(*) OVER (PARTITION BY user_id)) AS m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        a AS (
+            SELECT user_id,
+                   sum(CAST(round((x - m) * (x - m), 6)
+                            AS DECIMAL(38,6))) AS den,
+                   sum(CASE WHEN l1 IS NOT NULL THEN
+                       CAST(round((x - m) * (l1 - m), 6)
+                            AS DECIMAL(38,6)) END) AS n1,
+                   count(l1) AS p1,
+                   sum(CASE WHEN l2 IS NOT NULL THEN
+                       CAST(round((x - m) * (l2 - m), 6)
+                            AS DECIMAL(38,6)) END) AS n2,
+                   count(l2) AS p2,
+                   sum(CASE WHEN l3 IS NOT NULL THEN
+                       CAST(round((x - m) * (l3 - m), 6)
+                            AS DECIMAL(38,6)) END) AS n3,
+                   count(l3) AS p3
+            FROM b GROUP BY user_id)
+        SELECT user_id, 1 AS lag, p1 AS n_pairs,
+               CASE WHEN den > 0
+                   THEN round(n1::DOUBLE / den::DOUBLE, 6) END AS acf
+        FROM a
+        UNION ALL
+        SELECT user_id, 2, p2,
+               CASE WHEN den > 0
+                   THEN round(n2::DOUBLE / den::DOUBLE, 6) END
+        FROM a
+        UNION ALL
+        SELECT user_id, 3, p3,
+               CASE WHEN den > 0
+                   THEN round(n3::DOUBLE / den::DOUBLE, 6) END
+        FROM a""",
+          "user_id::BIGINT AS user_id, NULL::BIGINT AS event_id, "
+          "lag::BIGINT AS ts_us, acf::DOUBLE AS d1, "
+          "NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "n_pairs::BIGINT AS i1"))
 
 _SESS_NULLS_A = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, "
                  "NULL::BIGINT AS i3, NULL::BIGINT AS i4")

@@ -1277,6 +1277,64 @@ def ewma(frame, key_col: str = "user_id", ts_col: str = "ts",
     return SparkFrame(out)
 
 
+def acf(frame, key_col: str = "user_id", ts_col: str = "ts",
+        val_col: str = "value", id_col: str = "event_id",
+        max_lag: int = 3) -> SparkFrame:
+    """Per-key sample autocorrelation function at lags 1..*max_lag*
+    (the standard definition with the full-series mean and variance
+    normalizer):
+
+        r_j = Σ_{t>j} (x_t − x̄)(x_{t−j} − x̄) / Σ_t (x_t − x̄)²
+
+    The seasonality/memory screen for event streams — is a user's
+    metric bursty (r₁ ≫ 0), mean-reverting (r₁ < 0), or noise?
+
+    Plan: ONE key-partitioned window pass computes all j lag columns
+    AND the per-key decimal mean (unbounded partition frame — never a
+    global window), then one hash aggregation per key emits every lag
+    row via an inline explode — two shuffles total, both keyed, O(k)
+    expressions. Per-term products quantize to 6 decimals before the
+    per-key sum (order-independent exact aggregation); the mean is an
+    exact decimal-sum ratio, so both engines compute identical doubles.
+
+    Output: (key, lag, n_pairs, acf rounded 6); keys with zero
+    variance (constant series) yield NULL acf.
+    """
+    sdf = _plain(frame)
+    wp = Window.partitionBy(key_col)
+    w = wp.orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    x = F.col(val_col).cast("double")
+    mean = (F.sum(x.cast("decimal(28,6)")).over(wp).cast("double")
+            / F.count(F.lit(1)).over(wp).cast("double"))
+    base = sdf.select(key_col, x.alias("__x__"), mean.alias("__m__"),
+                      *[F.lag(x, j).over(w).alias(f"__l{j}__")
+                        for j in range(1, max_lag + 1)])
+    dev = F.col("__x__") - F.col("__m__")
+    den_term = F.round(dev * dev, 6).cast("decimal(38,6)")
+    aggs = [F.sum(den_term).alias("__den__"),
+            F.count(F.lit(1)).alias("__n__")]
+    for j in range(1, max_lag + 1):
+        lagdev = F.col(f"__l{j}__") - F.col("__m__")
+        num = F.when(F.col(f"__l{j}__").isNotNull(),
+                     F.round(dev * lagdev, 6).cast("decimal(38,6)"))
+        aggs += [F.sum(num).alias(f"__num{j}__"),
+                 F.count(F.col(f"__l{j}__")).alias(f"__np{j}__")]
+    per_key = base.groupBy(key_col).agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("lag"),
+                 F.col(f"__np{j}__").alias("n_pairs"),
+                 F.when(F.col("__den__") > 0,
+                        F.round(F.col(f"__num{j}__").cast("double")
+                                / F.col("__den__").cast("double"), 6))
+                 .alias("acf"))
+        for j in range(1, max_lag + 1)]))
+    out = (per_key.select(key_col, rows.alias("__r__"))
+           .select(key_col, F.col("__r__.lag").alias("lag"),
+                   F.col("__r__.n_pairs").cast("bigint").alias("n_pairs"),
+                   F.col("__r__.acf").alias("acf")))
+    return SparkFrame(out)
+
+
 def trailing_active_users(frame, ts_col: str = "ts",
                           user_col: str = "user_id",
                           days: int = 7) -> SparkFrame:

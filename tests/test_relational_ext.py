@@ -685,3 +685,44 @@ def test_interval_overlap_join_keyed(spark):
     # u3 has no left side at all
     assert got == [("u1", 1, 10), ("u1", 2, 10)]
     assert rows[0].__fields__.count("user") == 1  # key emitted once
+
+
+def test_acf_alternating_and_constant_series(spark):
+    from cl_data_frame_spark.operators.relational import acf
+    # u1: perfectly alternating -1/+1 -> acf(1) = -1, acf(2) = +1
+    # u2: constant -> zero variance -> NULL acf
+    rows = ([(1, i, float(1 if i % 2 == 0 else -1))
+             for i in range(40)]
+            + [(2, i, 5.0) for i in range(10)])
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, "
+                                     "value double")
+    from pyspark.sql import functions as F
+    df = df.withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000))
+    out = {(r.user_id, r.lag): r for r in
+           acf(df, max_lag=2).spark_df.collect()}
+    assert abs(out[(1, 1)].acf - (-39 / 40)) < 0.02   # ~ -(n-1)/n
+    assert out[(1, 2)].acf > 0.9
+    assert out[(1, 1)].n_pairs == 39
+    assert out[(2, 1)].acf is None                     # zero variance
+
+
+def test_acf_matches_numpy_definition(spark):
+    from cl_data_frame_spark.operators.relational import acf
+    import random
+    rng = random.Random(3)
+    xs = [0.0]
+    for _ in range(199):
+        xs.append(0.8 * xs[-1] + rng.gauss(0, 1))      # AR(1), phi=0.8
+    rows = [(7, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, "
+                                     "value double")
+    from pyspark.sql import functions as F
+    df = df.withColumn("ts", F.timestamp_micros(F.col("event_id") * 1000000))
+    got = {r.lag: r.acf for r in acf(df, max_lag=3).spark_df.collect()}
+    m = sum(xs) / len(xs)
+    den = sum((x - m) ** 2 for x in xs)
+    for j in (1, 2, 3):
+        want = sum((xs[t] - m) * (xs[t - j] - m)
+                   for t in range(j, len(xs))) / den
+        assert abs(got[j] - want) < 1e-4, j
+    assert got[1] > 0.6                                # AR(1) memory
