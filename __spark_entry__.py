@@ -2317,8 +2317,19 @@ def q_x_hash_sampling(spark, sf_dir):
              _SNULL().alias("lang"), _SNULL().alias("split"),
              F.col("j").cast("bigint").alias("n"),
              F.col("neg_id").cast("bigint").alias("i2"))
+    # deterministic k-fold CV assignment, summarized per (fold, lang)
+    kf = SAMP.kfold_split(_t(spark, sf_dir, "documents"),
+                          "doc_id", k=5)
+    kfs = (kf.groupBy("fold", "lang")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("sum_id")))
+    g = _tag(kfs, "kfold",
+             _BNULL().alias("doc_id"), F.col("lang").alias("lang"),
+             F.col("fold").cast("string").alias("split"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_id").cast("bigint").alias("i2"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f))
+            .unionByName(e).unionByName(f).unionByName(g))
 
 
 def q_x_chunk_pack(spark, sf_dir):
@@ -3058,7 +3069,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_cluster_assign": ["ivf", "kmeans"],
     "x_term_weights": ["tfidf", "count_vectorize", "colloc"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix",
-                        "pergroup", "negatives"],
+                        "pergroup", "negatives", "kfold"],
     "x_bm25": ["bm25", "phrase", "postings", "snippets"],
     "x_embed_quantize": ["int8", "pq"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles"],
@@ -5159,6 +5170,16 @@ _ORACLES["x_hash_sampling"] = _union(
         WHERE rk <= 8""",
           "doc_id::BIGINT AS doc_id, lang, NULL::VARCHAR AS split, "
           "NULL::BIGINT AS n, NULL::BIGINT AS i2"),
+    # deterministic k-fold CV: fold = md5-bucket(id || 'cv') % 10000 % 5
+    _wrap("kfold", """
+        SELECT fold, lang, count(*) AS n, sum(doc_id) AS sum_id FROM (
+            SELECT doc_id, lang,
+                   (('0x' || substr(md5(doc_id::VARCHAR || 'cv'), 1, 8))
+                    ::UBIGINT % 10000) % 5 AS fold
+            FROM documents)
+        GROUP BY fold, lang""",
+          "NULL::BIGINT AS doc_id, lang, fold::VARCHAR AS split, "
+          "n::BIGINT AS n, sum_id::BIGINT AS i2"),
     _wrap("negatives", """
         WITH ids AS (SELECT DISTINCT doc_id FROM documents),
         mx AS (SELECT max(doc_id) AS m FROM ids),

@@ -102,6 +102,30 @@ def hash_split(frame, id_col: str, weights: Mapping[str, float],
     return SparkFrame.from_spark(out) if isinstance(frame, SparkFrame) else out
 
 
+def kfold_split(frame, id_col: str, k: int = 5,
+                group_col: str | None = None,
+                fold_col: str = "fold", salt: str = "cv") -> SparkFrame:
+    """Deterministic k-fold cross-validation assignment: fold index in
+    [0, k) from the md5 bucket of *id_col* — stable under re-runs,
+    engines, and row order (the property random splits lack), so every
+    worker/engine agrees which rows are fold 3 without coordination.
+
+    ``group_col`` makes the split LEAKAGE-SAFE at the group level:
+    the fold derives from the group key instead of the row id, so all
+    rows of one group (a user's events, a document's chunks) land in
+    the SAME fold and a model never trains on half of an entity it is
+    validated on. Narrow projection, no shuffle either way.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    sdf = _plain(frame)
+    key = F.col(group_col if group_col else id_col)
+    fold = (hash_bucket(key, salt) % k).cast("int").alias(fold_col)
+    out = sdf.withColumn(fold_col, fold)
+    return SparkFrame.from_spark(out) if isinstance(frame, SparkFrame) \
+        else out
+
+
 def interleave(frames_weights, id_col: str, salt: str = "mix") -> DataFrame:
     """Weighted deterministic dataset mixing: union N sources, keeping a
     hash-fraction of each. ``frames_weights`` is a list of (frame, keep

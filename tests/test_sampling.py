@@ -424,3 +424,42 @@ def test_negative_sample_sparse_ids_drop_missing(spark):
     valid = {i * 7 for i in range(10)}
     for r in out:
         assert r.neg_id in valid               # only existing ids
+
+
+def test_kfold_split_balanced_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.operators.sampling import kfold_split
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    out = kfold_split(df, "doc_id", k=5)
+    sizes = {r.fold: r.n for r in
+             out.groupBy("fold").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert all(abs(n - 1000) < 150 for n in sizes.values())
+    # deterministic: a second run assigns identical folds
+    again = {r.doc_id: r.fold for r in kfold_split(
+        df, "doc_id", k=5).collect()}
+    first = {r.doc_id: r.fold for r in out.collect()}
+    assert first == again
+
+
+def test_kfold_split_group_leakage_safe(spark):
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.operators.sampling import kfold_split
+    rows = [(i, i // 10) for i in range(1000)]   # 100 groups of 10
+    df = spark.createDataFrame(rows, "row_id bigint, grp bigint")
+    out = kfold_split(df, "row_id", k=4, group_col="grp")
+    per_group = (out.groupBy("grp")
+                 .agg(F.count_distinct("fold").alias("nf")).collect())
+    assert all(r.nf == 1 for r in per_group)     # no group straddles folds
+
+
+def test_kfold_split_validates_k(spark):
+    import pytest
+
+    from cl_data_frame_spark.operators.sampling import kfold_split
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        kfold_split(df, "id", k=1)
