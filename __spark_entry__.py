@@ -2598,7 +2598,19 @@ def q_x_curation_scrub(spark, sf_dir):
              F.col("passed").cast("bigint").alias("i3"),
              _BNULL().alias("i4"), _DNULL().alias("d1"),
              F.col("rule").alias("s1"))
-    return a.unionByName(b).unionByName(c)
+    # wordlist blocklist screen (C4-badwords-style): literal-array
+    # token membership, no join, no shuffle
+    bl = CUR.blocklist_screen(_t(spark, sf_dir, "documents"),
+                              ["table", "spark", "window"],
+                              max_hits=2).spark_df
+    d = _tag(bl, "blocklist",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             F.col("n_hits").cast("bigint").alias("i1"),
+             F.col("n_terms").cast("bigint").alias("i2"),
+             F.col("blocked").cast("bigint").alias("i3"),
+             _BNULL().alias("i4"), _DNULL().alias("d1"),
+             _SNULL().alias("s1"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_s_moment_stats(spark, sf_dir):
@@ -3075,7 +3087,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_dedup_clusters": ["cc", "pagerank", "triangles"],
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
-    "x_curation_scrub": ["decontaminate", "pii", "expect"],
+    "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist"],
     "s_layout_prune": ["zprune", "compact", "partitioned"],
 }
 
@@ -6135,7 +6147,23 @@ _ORACLES["x_curation_scrub"] = _union(
                n::BIGINT, (v = 0)::BIGINT FROM u""",
           "NULL::BIGINT AS doc_id, n_violations::BIGINT AS i1, "
           "n_rows::BIGINT AS i2, passed::BIGINT AS i3, "
-          "NULL::BIGINT AS i4, NULL::DOUBLE AS d1, rule AS s1"))
+          "NULL::BIGINT AS i4, NULL::DOUBLE AS d1, rule AS s1"),
+    _wrap("blocklist", f"""
+        SELECT doc_id,
+               len(list_filter(list_transform({_TOKS}, t -> lower(t)),
+                               t -> list_contains(
+                                   ['table', 'spark', 'window'], t)))
+                   AS n_hits,
+               len(list_distinct(
+                   list_filter(list_transform({_TOKS}, t -> lower(t)),
+                               t -> list_contains(
+                                   ['table', 'spark', 'window'], t))))
+                   AS n_terms
+        FROM documents""",
+          "doc_id::BIGINT AS doc_id, n_hits::BIGINT AS i1, "
+          "n_terms::BIGINT AS i2, (n_hits > 2)::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, NULL::DOUBLE AS d1, "
+          "NULL::VARCHAR AS s1"))
 
 _ORACLES["x_bm25_scores"] = """
     WITH toks AS (

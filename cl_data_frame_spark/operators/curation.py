@@ -144,6 +144,35 @@ def pii_redact(frame, id_col: str = "doc_id", text_col: str = "text",
     return SparkFrame(out)
 
 
+def blocklist_screen(frame, terms: list[str], id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_hits: int = 0) -> SparkFrame:
+    """Term-blocklist screen: per document, the count of whitespace
+    tokens that appear (case-insensitively) in *terms*, plus the
+    distinct matched-term count and a keep/drop flag
+    (``blocked = n_hits > max_hits``) — the wordlist filter every
+    web-scale curation pipeline runs (adult/spam/boilerplate lists,
+    e.g. the C4 badwords pass).
+
+    Plan: the blocklist compiles into a LITERAL lowercase array (lists
+    are thousands of terms — expression-side constant, no join at all,
+    unlike ``decontaminate``'s broadcast n-gram table which scales with
+    the benchmark); per row it is two higher-order array expressions
+    over the token array — whole-stage codegen, no shuffle, no UDF.
+    """
+    from .textstats import tokens
+    sdf = _plain(frame)
+    lit_terms = F.array(*[F.lit(t.lower()) for t in terms])
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    hits = F.filter(toks, lambda t: F.array_contains(lit_terms, t))
+    out = sdf.select(
+        id_col,
+        F.size(hits).alias("n_hits"),
+        F.size(F.array_distinct(hits)).alias("n_terms"),
+        (F.size(hits) > max_hits).cast("int").alias("blocked"))
+    return SparkFrame(out)
+
+
 def expect(frame, rules: dict) -> SparkFrame:
     """Data-quality expectation gate: evaluate named rules over the
     whole input in ONE aggregation pass and return one row per rule with

@@ -348,3 +348,20 @@ def test_phrase_snippets_window_and_edges(spark):
     assert 4 not in {k[0] for k in out}
     assert out[(5, 1)] == "target phrase then target"
     assert out[(5, 4)] == "phrase then target phrase"   # both hits
+
+
+def test_blocklist_screen_counts_and_flags(spark):
+    from cl_data_frame_spark.operators import curation as CUR
+    rows = [(1, "the SPAM king sells spam and Spam"),
+            (2, "perfectly clean prose here"),
+            (3, "one casino visit"),
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           CUR.blocklist_screen(df, ["spam", "casino"], max_hits=1)
+           .spark_df.collect()}
+    assert out[1].n_hits == 3 and out[1].n_terms == 1   # case-folded
+    assert out[1].blocked == 1
+    assert out[3].n_hits == 1 and out[3].blocked == 0   # <= max_hits
+    assert out[2].n_hits == 0 and out[2].blocked == 0
+    assert out[4].n_hits == 0
