@@ -854,6 +854,27 @@ class SparkFrame:
         """Non-destructive key rename: copy then rename."""
         return self.copy().rename_columns_(mapping)
 
+    def cast_columns_(self, mapping: Mapping[str, object]) -> "SparkFrame":
+        """Destructive typed cast ({key: type}; Spark type names,
+        DataType objects, or the engine's element-type aliases).
+        KeyNotFound on a missing key; column order preserved. A
+        Catalyst projection — no data movement."""
+        for k in mapping:
+            self._keys.index(k)
+        exprs = []
+        for k in self.keys():
+            if k in mapping:
+                exprs.append(F.col(k).cast(
+                    to_spark_type(mapping[k])).alias(k))
+            else:
+                exprs.append(F.col(k))
+        self._df = self._df.select(ROW_ID, *exprs)
+        return self
+
+    def cast_columns(self, mapping: Mapping[str, object]) -> "SparkFrame":
+        """Non-destructive typed cast: copy then cast."""
+        return self.copy().cast_columns_(mapping)
+
     def persist_(self, storage_level=None) -> "SparkFrame":
         """Pin this frame's lineage in executor memory/disk (Spark
         ``persist``): the pay-once substrate move when a frame feeds

@@ -392,3 +392,18 @@ class TestRenamePersist:
         assert fr.column("x") == [1, 2, 3]
         fr.unpersist_()
         assert fr.column("x") == [1, 2, 3]
+
+
+class TestCastColumns:
+    def test_cast_types_and_order(self, spark):
+        fr = df(spark, "a", [1, 2], "b", ["3.5", "4.5"], "c", [True, False])
+        out = fr.cast_columns({"a": "double", "b": "double"})
+        assert out.keys() == ["a", "b", "c"]
+        assert out.column("a") == [1.0, 2.0]
+        assert out.column("b") == [3.5, 4.5]
+        assert fr.column("b") == ["3.5", "4.5"]  # non-destructive
+
+    def test_cast_bad_key(self, spark):
+        fr = df(spark, "a", [1])
+        with pytest.raises(KeyNotFound):
+            fr.cast_columns({"nope": "double"})
