@@ -2836,6 +2836,20 @@ def q_s_stats(spark, sf_dir):
                F.col("u1").cast("double").alias("d1"),
                F.col("z").cast("double").alias("d2"),
                _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # ROC AUC via the Mann-Whitney identity: quantity as the score,
+    # returnflag 'A' as the positive label (50 distinct score values —
+    # the value-count regime)
+    auc_in = li.select(F.col("l_quantity").alias("score"),
+                       (F.col("l_returnflag") == "A").cast("int")
+                       .alias("is_a"))
+    au = STAT.auc_score(auc_in, "score", "is_a").spark_df
+    aut = _tag(au, "auc",
+               F.lit("l_quantity~is_A").alias("s1"),
+               F.col("n_pos").cast("bigint").alias("i1"),
+               F.col("n_neg").cast("bigint").alias("i2"),
+               F.col("auc").cast("double").alias("d1"),
+               _DNULL().alias("d2"), _DNULL().alias("d3"),
+               _DNULL().alias("d4"))
     # Cramér's V association strength for returnflag x linestatus
     cv = STAT.cramers_v(li, "l_returnflag", "l_linestatus").spark_df
     cvt = _tag(cv, "cramer",
@@ -2889,7 +2903,7 @@ def q_s_stats(spark, sf_dir):
             .unionByName(d).unionByName(e).unionByName(m)
             .unionByName(w).unionByName(s).unionByName(an)
             .unionByName(mwt).unionByName(kt).unionByName(wn)
-            .unionByName(cvt))
+            .unionByName(cvt).unionByName(aut))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3069,7 +3083,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
-                "winsor", "cramer"],
+                "winsor", "cramer", "auc"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -6042,7 +6056,34 @@ _ORACLES["s_stats"] = _union(
           "'l_returnflag~l_linestatus' AS s1, n::BIGINT AS i1, "
           "r::BIGINT AS i2, chi2::DOUBLE AS d1, "
           "cramers_v::DOUBLE AS d2, c::DOUBLE AS d3, "
-          "NULL::DOUBLE AS d4"))
+          "NULL::DOUBLE AS d4"),
+    # ROC AUC via the Mann-Whitney identity (stats.auc_score)
+    _wrap("auc", """
+        WITH vc AS (
+            SELECT (l_returnflag = 'A')::INT AS g,
+                   l_quantity AS v, count(*) AS c
+            FROM lineitem GROUP BY 1, 2),
+        p AS (
+            SELECT a.v AS v1, b.v AS v2,
+                   a.c::DOUBLE AS c1, b.c::DOUBLE AS c2
+            FROM vc a JOIN vc b ON a.g < b.g),
+        u AS (
+            SELECT sum(CAST(round(CASE WHEN v2 < v1 THEN c1 * c2
+                                       WHEN v2 = v1 THEN c1 * c2 / 2.0
+                                       ELSE 0.0 END, 12)
+                            AS DECIMAL(38,12))) AS u1
+            FROM p),
+        ns AS (SELECT g, sum(c) AS n FROM vc GROUP BY g)
+        SELECT (SELECT n FROM ns WHERE g = 1)::BIGINT AS n_pos,
+               (SELECT n FROM ns WHERE g = 0)::BIGINT AS n_neg,
+               round(1.0 - u1::DOUBLE
+                     / ((SELECT n FROM ns WHERE g = 0)::DOUBLE
+                        * (SELECT n FROM ns WHERE g = 1)::DOUBLE), 6)
+                   AS auc
+        FROM u""",
+          "'l_quantity~is_A' AS s1, n_pos::BIGINT AS i1, "
+          "n_neg::BIGINT AS i2, auc::DOUBLE AS d1, NULL::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
 
 
 _ORACLES["x_decontaminate"] = """

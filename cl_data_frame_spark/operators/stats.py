@@ -857,6 +857,40 @@ def kendall_tau_b(frame, x_col: str, y_col: str) -> SparkFrame:
     return SparkFrame(out)
 
 
+def auc_score(frame, score_col: str, label_col: str) -> SparkFrame:
+    """ROC AUC of a score against a binary label — the ranking-quality
+    number every classifier/quality-filter evaluation reports, computed
+    exactly via the Mann–Whitney identity
+
+        AUC = U_pos / (n_pos · n_neg),
+        U_pos = Σ_{p∈pos, n∈neg} [s_n < s_p] + ½[s_n = s_p]
+
+    (tie-aware, equivalent to the trapezoidal ROC integral). Reuses
+    the per-(label, value) count formulation of ``mann_whitney_u``:
+    one hash aggregation of the base data, pairwise work quadratic in
+    DISTINCT SCORE VALUES only — bucket continuous scores first (the
+    ``spearman_corr_approx`` boundary recipe) when score cardinality
+    approaches row count.
+
+    *label_col* must be 0/1-valued (cast from boolean upstream).
+    Output: one row (n_pos, n_neg, auc rounded 6).
+    """
+    sdf = _plain(frame).select(
+        F.col(score_col).alias("__s__"),
+        F.col(label_col).cast("int").alias("__y__"))
+    mw = _plain(mann_whitney_u(sdf, "__s__", "__y__"))
+    # groups sort as g1=0 (neg), g2=1 (pos): U reported is U_neg;
+    # AUC_pos = 1 − U_neg/(n_pos·n_neg)
+    n1 = F.col("n1").cast("double")   # label 0 count
+    n2 = F.col("n2").cast("double")   # label 1 count
+    auc = F.lit(1.0) - F.col("u1") / (n1 * n2)
+    out = mw.select(
+        F.col("n2").cast("bigint").alias("n_pos"),
+        F.col("n1").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"))
+    return SparkFrame(out)
+
+
 def spearman_corr_approx(frame, x_col: str, y_col: str,
                          buckets: int = 128,
                          accuracy: int = 10000) -> SparkFrame:

@@ -609,3 +609,29 @@ def test_cramers_v_extremes(spark):
     got2 = cramers_v(df2, "r", "c").spark_df.first()
     assert got2["chi2"] == 0.0 and got2["cramers_v"] == 0.0
     assert got2["n"] == 40
+
+
+def test_auc_score_matches_pairwise_definition(spark):
+    from cl_data_frame_spark.operators.stats import auc_score
+    scores = [0.9, 0.8, 0.7, 0.6, 0.55, 0.5, 0.5, 0.3, 0.2, 0.1]
+    labels = [1, 1, 0, 1, 0, 1, 0, 0, 1, 0]
+    df = spark.createDataFrame(list(zip(scores, labels)),
+                               "s double, y int")
+    got = auc_score(df, "s", "y").spark_df.first()
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    u = sum((1.0 if sn < sp else 0.5 if sn == sp else 0.0)
+            for sp in pos for sn in neg)
+    want = u / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - want) < 1e-9
+
+
+def test_auc_score_extremes(spark):
+    from cl_data_frame_spark.operators.stats import auc_score
+    rows = ([(float(i), 1) for i in range(50, 100)]
+            + [(float(i), 0) for i in range(50)])
+    df = spark.createDataFrame(rows, "s double, y int")
+    assert auc_score(df, "s", "y").spark_df.first()["auc"] == 1.0
+    flipped = df.selectExpr("s", "1 - y AS y")
+    assert auc_score(flipped, "s", "y").spark_df.first()["auc"] == 0.0
