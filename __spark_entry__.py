@@ -2966,7 +2966,19 @@ def q_x_embed_quantize(spark, sf_dir):
              F.element_at("codes", 4).cast("bigint").alias("i4"),
              F.col("recon_err").cast("double").alias("d1"),
              _DNULL().alias("d2"))
-    return a.unionByName(b)
+    # Johnson-Lindenstrauss 64->8 projection: first two renormed
+    # coordinates + positive-coordinate count, hash-checked against
+    # the literal-plane DuckDB twin
+    jp = SIM.random_projection(emb, dim=64, out_dim=8).spark_df
+    c = _tag(jp, "jlproj",
+             F.col("vec_id").cast("bigint").alias("vec_id"),
+             F.size(F.filter(F.col("proj"), lambda x: x > 0))
+             .cast("bigint").alias("i1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             _BNULL().alias("i4"),
+             F.element_at("proj", 1).cast("double").alias("d1"),
+             F.element_at("proj", 2).cast("double").alias("d2"))
+    return a.unionByName(b).unionByName(c)
 
 
 # ===========================================================================
@@ -3097,7 +3109,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_hash_sampling": ["sample", "split", "weighted", "mix",
                         "pergroup", "negatives", "kfold"],
     "x_bm25": ["bm25", "phrase", "postings", "snippets"],
-    "x_embed_quantize": ["int8", "pq"],
+    "x_embed_quantize": ["int8", "pq", "jlproj"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles"],
     "x_chunk_pack": ["chunk", "pack"],
     "x_media": ["dedup", "frames"],
@@ -6362,6 +6374,37 @@ def _pq_oracle_sql(dim: int = 64, m: int = 4, k: int = 4,
 
 _ORACLES["x_pq_encode"] = _pq_oracle_sql()
 
+def _jlproj_oracle() -> str:
+    """DuckDB twin of ``similarity.random_projection`` (64 -> 8,
+    seed 42): literal LCG planes, left-chained dot folds (identical to
+    Spark's aggregate-from-0.0 order), 9-decimal rounding at both the
+    scale and renorm steps."""
+    import math as _math
+
+    from cl_data_frame_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 8, seed=42)
+    scale = _math.sqrt(64 / 8.0)
+
+    def dot(p):
+        lits = ", ".join(repr(x) for x in p)
+        return ("list_reduce(list_transform(list_zip("
+                f"embedding::DOUBLE[], [{lits}]::DOUBLE[]), "
+                "z -> z[1] * z[2]), (acc, x) -> acc + x)")
+
+    coords = ", ".join(
+        f"round(({dot(p)}) * {scale!r}, 9) AS c{k}"
+        for k, p in enumerate(planes))
+    nrm = " + ".join(f"c{k} * c{k}" for k in range(8))
+    npos = " + ".join(f"(round(c{k} / nrm, 9) > 0)::INT"
+                      for k in range(8))
+    return f"""
+        WITH c AS (SELECT vec_id, {coords} FROM embeddings),
+        n AS (SELECT *, sqrt({nrm}) AS nrm FROM c)
+        SELECT vec_id, ({npos}) AS npos,
+               round(c0 / nrm, 9) AS p0, round(c1 / nrm, 9) AS p1
+        FROM n"""
+
+
 _ORACLES["x_embed_quantize"] = _union(
     _wrap("int8", _ORACLES["x_embed_int8"],
           "vec_id::BIGINT AS vec_id, q_sum::BIGINT AS i1, "
@@ -6371,7 +6414,11 @@ _ORACLES["x_embed_quantize"] = _union(
     _wrap("pq", _ORACLES["x_pq_encode"],
           "vec_id::BIGINT AS vec_id, c0::BIGINT AS i1, c1::BIGINT AS i2, "
           "c2::BIGINT AS i3, c3::BIGINT AS i4, recon_err::DOUBLE AS d1, "
-          "NULL::DOUBLE AS d2"))
+          "NULL::DOUBLE AS d2"),
+    _wrap("jlproj", _jlproj_oracle(),
+          "vec_id::BIGINT AS vec_id, npos::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, NULL::BIGINT AS i3, NULL::BIGINT AS i4, "
+          "p0::DOUBLE AS d1, p1::DOUBLE AS d2"))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -63,6 +63,46 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def random_projection(frame, dim: int, out_dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 42, renorm: bool = True) -> SparkFrame:
+    """Johnson–Lindenstrauss random projection: reduce *dim*-d
+    embeddings to *out_dim* dimensions with pairwise distances
+    preserved to within ~O(sqrt(log n / out_dim)) distortion — the
+    standard cheapening pass before clustering / IVF / near-dup over
+    100 TB embedding tables (a 768→64 projection cuts every downstream
+    shuffle and distance computation 12×).
+
+    The projection matrix is the same deterministic LCG unit-plane
+    family as ``hyperplane_bucket`` (seed-reproducible, literal
+    expressions — no runtime RNG, no broadcast join, oracle-friendly);
+    each output coordinate is one fold dot product, scaled by
+    ``sqrt(dim / out_dim)`` (the JL variance correction), and
+    ``renorm=True`` re-normalizes outputs to unit length so downstream
+    cosine math is unchanged. Zero shuffle: a pure projection.
+
+    Output: (id_col, ``proj`` array<double>).
+    """
+    sdf = _plain(frame)
+    v = F.col(vec_col).cast("array<double>")
+    planes = _hyperplanes(dim, out_dim, seed)
+    scale = math.sqrt(dim / float(out_dim))
+    coords = [
+        F.round(
+            F.aggregate(F.zip_with(v, _lit_vec(p), lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            * F.lit(scale), 9)
+        for p in planes]
+    proj = F.array(*coords)
+    if renorm:
+        nrm = F.sqrt(F.aggregate(proj, F.lit(0.0),
+                                 lambda acc, x: acc + x * x))
+        proj = F.when(nrm > 0, F.transform(
+            proj, lambda x: F.round(x / nrm, 9))).otherwise(proj)
+    out = sdf.select(id_col, proj.alias("proj"))
+    return SparkFrame(out)
+
+
 def hyperplane_bucket(vec_col, dim: int, n_planes: int = 16,
                       seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (SimHash over the embedding space):

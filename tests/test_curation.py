@@ -365,3 +365,43 @@ def test_blocklist_screen_counts_and_flags(spark):
     assert out[3].n_hits == 1 and out[3].blocked == 0   # <= max_hits
     assert out[2].n_hits == 0 and out[2].blocked == 0
     assert out[4].n_hits == 0
+
+
+def test_random_projection_preserves_cosine_structure(spark, sf_dir):
+    """JL projection 64->16: projected cosine similarities must track
+    the originals (high for near-identical vectors, low for random
+    pairs), outputs unit-norm, deterministic across runs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.operators.similarity import random_projection
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    out = random_projection(emb, dim=dim, out_dim=16).spark_df
+    rows = {r.vec_id: list(r.proj) for r in out.limit(200).collect()}
+    # unit norm after renorm
+    for v in list(rows.values())[:10]:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
+    # determinism
+    again = {r.vec_id: list(r.proj) for r in
+             random_projection(emb, dim=dim, out_dim=16)
+             .spark_df.limit(200).collect()}
+    assert rows == again
+
+    # structure: a vector projected twice is identical; near-duplicates
+    # (vector + tiny noise) stay close while random pairs stay apart
+    base = spark.createDataFrame(
+        [(1, [1.0] * 8 + [0.0] * 8),
+         (2, [1.0] * 8 + [0.01] * 8),     # near-dup of 1
+         (3, [0.0] * 8 + [1.0] * 8)],     # orthogonal to 1
+        "vec_id bigint, embedding array<double>")
+    p = {r.vec_id: list(r.proj) for r in
+         random_projection(base, dim=16, out_dim=8).spark_df.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num  # unit vectors
+
+    assert cos(p[1], p[2]) > 0.95
+    assert abs(cos(p[1], p[3])) < 0.7
