@@ -2272,7 +2272,18 @@ def q_x_term_weights(spark, sf_dir):
              F.col("n_pair").cast("bigint").alias("tf"),
              F.col("pmi").cast("double").alias("val_d"),
              _BNULL().alias("val_i"))
-    return a.unionByName(b).unionByName(c)
+    # TF-IDF cosine near-topic pairs on the 'de' block: inverted-index
+    # join with the max_df_frac stop-term knob (weighted sibling of
+    # the Jaccard pair family)
+    de = _t(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    tcp = TS.tfidf_cosine_pairs(SparkFrame(de), threshold=0.8,
+                                max_df_frac=0.3).spark_df
+    d = _tag(tcp, "tfcos",
+             F.col("id_a").cast("bigint").alias("doc_id"),
+             _SNULL().alias("term"), _BNULL().alias("tf"),
+             F.col("cosine").cast("double").alias("val_d"),
+             F.col("id_b").cast("bigint").alias("val_i"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_hash_sampling(spark, sf_dir):
@@ -3105,7 +3116,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_embed_neardup": ["pairs", "semdedup"],
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
     "x_cluster_assign": ["ivf", "kmeans"],
-    "x_term_weights": ["tfidf", "count_vectorize", "colloc"],
+    "x_term_weights": ["tfidf", "count_vectorize", "colloc", "tfcos"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix",
                         "pergroup", "negatives", "kfold"],
     "x_bm25": ["bm25", "phrase", "postings", "snippets"],
@@ -5066,7 +5077,49 @@ _ORACLES["x_term_weights"] = _union(
     _wrap("colloc", _ORACLES["x_collocations"],
           "NULL::BIGINT AS doc_id, gram_a || ' ' || gram_b AS term, "
           "n_pair::BIGINT AS tf, pmi::DOUBLE AS val_d, "
-          "NULL::BIGINT AS val_i"))
+          "NULL::BIGINT AS val_i"),
+    # TF-IDF cosine pairs on the de block (textstats.tfidf_cosine_pairs)
+    _wrap("tfcos", """
+        WITH de AS (SELECT doc_id, text FROM documents
+                    WHERE lang = 'de'),
+        tc AS (
+            SELECT doc_id, lower(t) AS term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(list_filter(
+                      string_split_regex(trim(text), '\\s+'),
+                      t -> t <> '')) AS t
+                  FROM de)
+            GROUP BY doc_id, lower(t)),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tc
+                  GROUP BY term),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM de),
+        w AS (
+            SELECT tc.doc_id, tc.term,
+                   round(tc.tf * (ln((1.0 + n.n_docs)
+                                     / (1.0 + dfreq.df)) + 1.0), 6)
+                       AS wt
+            FROM tc JOIN dfreq ON tc.term = dfreq.term CROSS JOIN n
+            WHERE dfreq.df <= 0.3 * n.n_docs),
+        norms AS (
+            SELECT doc_id,
+                   sqrt(sum(CAST(round(wt * wt, 9)
+                                 AS DECIMAL(38,9)))::DOUBLE) AS nrm
+            FROM w GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   sum(CAST(round(a.wt * b.wt, 9)
+                            AS DECIMAL(38,9))) AS dt
+            FROM w a JOIN w b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(dt::DOUBLE / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON dots.id_a = na.doc_id
+        JOIN norms nb ON dots.id_b = nb.doc_id
+        WHERE round(dt::DOUBLE / (na.nrm * nb.nrm), 6) >= 0.8""",
+          "id_a::BIGINT AS doc_id, NULL::VARCHAR AS term, "
+          "NULL::BIGINT AS tf, cosine::DOUBLE AS val_d, "
+          "id_b::BIGINT AS val_i"))
 
 #: shared within-lang 3-gram Jaccard pair graph (threshold 0.5) used by
 #: both x_dedup_clusters parts.

@@ -405,3 +405,40 @@ def test_random_projection_preserves_cosine_structure(spark, sf_dir):
 
     assert cos(p[1], p[2]) > 0.95
     assert abs(cos(p[1], p[3])) < 0.7
+
+
+def test_tfidf_cosine_pairs_matches_hand_computation(spark):
+    import math
+    from collections import Counter
+
+    from cl_data_frame_spark.operators import textstats as TS
+    rows = [(1, "apple banana apple cherry"),
+            (2, "apple banana durian"),
+            (3, "elderberry fig grape"),
+            (4, "apple banana apple cherry")]   # dup of 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.cosine for r in
+           TS.tfidf_cosine_pairs(df, threshold=0.0).spark_df.collect()}
+
+    texts = {i: t for i, t in rows}
+    n = len(rows)
+    dfreq = Counter(t for _, txt in rows for t in set(txt.split()))
+
+    def wvec(txt):
+        tf = Counter(txt.split())
+        return {t: round(c * (math.log((1 + n) / (1 + dfreq[t])) + 1), 6)
+                for t, c in tf.items()}
+
+    def cos(i, j):
+        wa, wb = wvec(texts[i]), wvec(texts[j])
+        dot = sum(wa[t] * wb[t] for t in wa if t in wb)
+        na = math.sqrt(sum(v * v for v in wa.values()))
+        nb = math.sqrt(sum(v * v for v in wb.values()))
+        return dot / (na * nb)
+
+    assert got[(1, 4)] == 1.0                       # exact duplicate
+    assert abs(got[(1, 2)] - cos(1, 2)) < 1e-5
+    assert (3, 4) not in got and (1, 3) not in got  # no shared terms
+    # threshold prunes
+    high = TS.tfidf_cosine_pairs(df, threshold=0.9).spark_df.collect()
+    assert {(r.id_a, r.id_b) for r in high} == {(1, 4)}
