@@ -172,11 +172,20 @@ def unpivot(frame: SparkFrame, ids: Sequence[str], values: Sequence[str],
 
 
 def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = None,
-              direction: str = "backward", right_prefix: str = "r_") -> SparkFrame:
+              direction: str = "backward", right_prefix: str = "r_",
+              tolerance: float | None = None) -> SparkFrame:
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction='backward'; 'forward' flips it;
     'nearest' takes whichever of the two is closer, ties backward),
     optionally matching a ``by`` equality key.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics) NULLs a match
+    whose distance ``|left.on − matched.on|`` exceeds the bound — a
+    stale quote should not join to tomorrow's trade. Units: the
+    column's own units for numeric ``on``; SECONDS for
+    timestamp/date ``on``. Plan-neutral: the matched key rides along
+    as one extra filled column and the bound is a post-fill
+    projection — no extra shuffle.
 
     Absent in both the reference and core Spark (SURVEY §2.2 'Joins').
     Keyed path: union + last(..., ignorenulls) over a window partitioned on
@@ -199,16 +208,30 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
                          "carries in both directions)")
     rcols = [c for c in rdf.columns if c != on and (by is None or c != by)]
     rnames = [right_prefix + c for c in rcols]
+    dtype_on = dict(ldf.dtypes)[on]
+    is_time = dtype_on.startswith(("timestamp", "date"))
+
+    def _onnum(c):
+        return F.unix_micros(c.cast("timestamp")) if is_time else c
+
+    tol_units = (None if tolerance is None
+                 else tolerance * 1e6 if is_time else tolerance)
+    # with a tolerance, the matched right `on` rides along as one more
+    # filled column so the distance bound can be applied post-fill
+    fill_names = rnames + (["__ron__"] if tolerance is not None else [])
     rdf_t = rdf.select(
         *([F.col(by)] if by else []),
         F.col(on),
         F.lit(1).alias("__is_right__"),
-        *[F.col(c).alias(right_prefix + c) for c in rcols])
+        *[F.col(c).alias(right_prefix + c) for c in rcols],
+        *([F.col(on).alias("__ron__")] if tolerance is not None else []))
     ldf_t = ldf.select(
         *ldf.columns,
         F.lit(0).alias("__is_right__"),
         *[F.lit(None).cast(rdf_t.schema[right_prefix + c].dataType)
-          .alias(right_prefix + c) for c in rcols])
+          .alias(right_prefix + c) for c in rcols],
+        *([F.lit(None).cast(rdf_t.schema["__ron__"].dataType)
+           .alias("__ron__")] if tolerance is not None else []))
     unioned = ldf_t.unionByName(rdf_t, allowMissingColumns=True)
 
     if direction == "nearest":
@@ -244,9 +267,15 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
                   .when(F.col("__back__").isNull(), F.col("__fwd__"))
                   .when(dist_f < dist_b, F.col("__fwd__"))
                   .otherwise(F.col("__back__")))
+        if tolerance is not None:
+            dist_c = F.abs(_onnum(F.col(on))
+                           - _onnum(chosen["__on__"]))
+            sel = [F.when(dist_c <= F.lit(tol_units),
+                          chosen[rp]).alias(rp) for rp in rnames]
+        else:
+            sel = [chosen[rp].alias(rp) for rp in rnames]
         out = (both.filter(F.col("__is_right__") == 0)
-               .select(*ldf.columns,
-                       *[chosen[rp].alias(rp) for rp in rnames]))
+               .select(*ldf.columns, *sel))
         return SparkFrame(out)
 
     on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
@@ -256,9 +285,17 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
              .orderBy(on_order, F.col("__is_right__").desc())
              .rowsBetween(Window.unboundedPreceding, 0))
         filled = unioned.select(
-            *[c for c in unioned.columns if c not in rnames],
-            *[F.last(rp, ignorenulls=True).over(w).alias(rp) for rp in rnames])
+            *[c for c in unioned.columns if c not in fill_names],
+            *[F.last(rp, ignorenulls=True).over(w).alias(rp)
+              for rp in fill_names])
         out = filled.filter(F.col("__is_right__") == 0).drop("__is_right__")
+        if tolerance is not None:
+            dist = F.abs(_onnum(F.col(on)) - _onnum(F.col("__ron__")))
+            keep = dist <= F.lit(tol_units)
+            out = out.select(
+                *[c for c in out.columns
+                  if c not in rnames and c != "__ron__"],
+                *[F.when(keep, F.col(rp)).alias(rp) for rp in rnames])
         return SparkFrame(out)
 
     # Unkeyed: range-partition on `on` so the fill parallelizes, then carry
@@ -273,13 +310,14 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
             .rowsBetween(Window.unboundedPreceding, 0))
     filled = parted.select(
         "__pid__",
-        *[c for c in unioned.columns if c not in rnames],
-        *[F.last(rp, ignorenulls=True).over(w_in).alias(rp) for rp in rnames])
+        *[c for c in unioned.columns if c not in fill_names],
+        *[F.last(rp, ignorenulls=True).over(w_in).alias(rp)
+          for rp in fill_names])
     # last right row per partition, as a struct ordered by the as-of key
     extreme = F.max if direction == "backward" else F.min
     rstruct = F.when(F.col("__is_right__") == 1,
                      F.struct(F.col(on).alias("__on__"),
-                              *[F.col(rp) for rp in rnames]))
+                              *[F.col(rp) for rp in fill_names]))
     pid_last = parted.groupBy("__pid__").agg(extreme(rstruct).alias("__last__"))
     pid_order = (F.col("__pid__").asc() if direction == "backward"
                  else F.col("__pid__").desc())
@@ -288,11 +326,19 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
     carry = pid_last.select(
         "__pid__",
         F.last("__last__", ignorenulls=True).over(w_carry).alias("__carry__"))
-    out = (filled.join(F.broadcast(carry), on="__pid__", how="left")
-           .filter(F.col("__is_right__") == 0)
-           .select(*[c for c in ldf.columns],
-                   *[F.coalesce(F.col(rp), F.col("__carry__")[rp]).alias(rp)
-                     for rp in rnames]))
+    joined = (filled.join(F.broadcast(carry), on="__pid__", how="left")
+              .filter(F.col("__is_right__") == 0))
+    if tolerance is not None:
+        matched_on = F.coalesce(F.col("__ron__"),
+                                F.col("__carry__")["__ron__"])
+        keep = (F.abs(_onnum(F.col(on)) - _onnum(matched_on))
+                <= F.lit(tol_units))
+        sel = [F.when(keep, F.coalesce(F.col(rp), F.col("__carry__")[rp]))
+               .alias(rp) for rp in rnames]
+    else:
+        sel = [F.coalesce(F.col(rp), F.col("__carry__")[rp]).alias(rp)
+               for rp in rnames]
+    out = joined.select(*[c for c in ldf.columns], *sel)
     return SparkFrame(out)
 
 

@@ -726,3 +726,50 @@ def test_acf_matches_numpy_definition(spark):
                    for t in range(j, len(xs))) / den
         assert abs(got[j] - want) < 1e-4, j
     assert got[1] > 0.6                                # AR(1) memory
+
+
+# --- as-of tolerance (round 6; pandas merge_asof semantics) -----------------
+
+def test_asof_tolerance_keyed_backward(spark):
+    from cl_data_frame_spark.operators.relational import asof_join
+    left = SparkFrame(spark.createDataFrame(
+        [(1, 10.0), (1, 100.0), (2, 5.0)], "k bigint, t double"))
+    right = SparkFrame(spark.createDataFrame(
+        [(1, 8.0, "a"), (1, 50.0, "b"), (2, 1.0, "c")],
+        "k bigint, t double, v string"))
+    out = {(r.k, r.t): r.r_v for r in
+           asof_join(left, right, "t", by="k",
+                     tolerance=10.0).spark_df.collect()}
+    assert out[(1, 10.0)] == "a"      # dist 2 <= 10
+    assert out[(1, 100.0)] is None    # nearest backward is 50, dist 50
+    assert out[(2, 5.0)] == "c"       # dist 4
+    # no tolerance: the stale match comes back
+    full = {(r.k, r.t): r.r_v for r in
+            asof_join(left, right, "t", by="k").spark_df.collect()}
+    assert full[(1, 100.0)] == "b"
+
+
+def test_asof_tolerance_unkeyed_and_nearest(spark):
+    from cl_data_frame_spark.operators.relational import asof_join
+    left = SparkFrame(spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(20)], "id bigint, t double"))
+    right = SparkFrame(spark.createDataFrame(
+        [(float(t), f"q{t}") for t in (5, 95, 170)],
+        "t double, v string"))
+    un = {r.id: r.r_v for r in
+          asof_join(left, right, "t",
+                    tolerance=20.0).spark_df.collect()}
+    assert un[0] is None              # t=0: backward match none
+    assert un[1] == "q5"              # t=10, dist 5
+    assert un[5] is None              # t=50, last quote 5 -> dist 45
+    assert un[10] == "q95"            # t=100, dist 5
+    # nearest with tolerance (keyed): t=50's nearest quote is 5 or 95,
+    # both at distance 45 > 20 -> NULL; t=100 snaps to 95 (dist 5)
+    lk = SparkFrame(left.spark_df.withColumn("k", F.lit(1)))
+    rk = SparkFrame(right.spark_df.withColumn("k", F.lit(1)))
+    near = {r.id: r.r_v for r in
+            asof_join(lk, rk, "t", by="k", direction="nearest",
+                      tolerance=20.0).spark_df.collect()}
+    assert near[5] is None
+    assert near[10] == "q95"
+    assert near[0] == "q5"            # t=0 forward match, dist 5
