@@ -531,7 +531,21 @@ def q_s_time_rollup(spark, sf_dir):
              F.col("event_type").alias("s1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_value").cast("double").alias("sum_value"))
-    return a.unionByName(b)
+    # linear interpolation over the same grid: gap buckets take the
+    # straight line between surrounding observations (sensor-series
+    # repair; endpoints degrade to ffill/bfill)
+    lin = R.resample_fill(
+        SparkFrame(ev.select("event_type", "ts", "value")),
+        "ts", "1 hour", ["event_type"],
+        {"v": F.max(F.col("value").cast("double"))},
+        fill="linear").spark_df
+    c = _tag(lin, "linear",
+             _BNULL().alias("d_us"),
+             F.unix_micros("bucket").alias("h_us"),
+             F.col("event_type").alias("s1"),
+             _BNULL().alias("n"),
+             F.col("v").cast("double").alias("sum_value"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_asof_join(spark, sf_dir):
@@ -3091,7 +3105,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_join_semi_anti": ["semi", "anti", "bloom"],
     "s_group_sets": ["rollup", "cube", "gsets"],
     "s_set_ops": ["except", "intersect_union", "distinct"],
-    "s_time_rollup": ["rollup", "resample"],
+    "s_time_rollup": ["rollup", "resample", "linear"],
     "s_asof": ["keyed", "unkeyed", "nearest"],
     "s_range_joins": ["broadcast", "bucketed", "overlap"],
     "s_skew_udaf": ["salted", "udaf", "grouped_map", "skewreport"],
@@ -5616,7 +5630,52 @@ _ORACLES["s_time_rollup"] = _union(
           ON g.event_type = s.event_type AND g.bucket = s.bucket""",
           "NULL::BIGINT AS d_us, h_us::BIGINT AS h_us, "
           "event_type AS s1, n::BIGINT AS n, "
-          "sum_value::DOUBLE AS sum_value"))
+          "sum_value::DOUBLE AS sum_value"),
+    # linear interpolation over the same grid (resample_fill linear)
+    _wrap("linear", """
+        WITH sparse AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   max(value::DOUBLE) AS v
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+            FROM sparse GROUP BY event_type),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                       AS bucket
+            FROM span),
+        j AS (
+            SELECT g.event_type, g.bucket, s.v,
+                   epoch_us(g.bucket)::DOUBLE AS t,
+                   CASE WHEN s.v IS NOT NULL THEN
+                       {'t': epoch_us(g.bucket)::DOUBLE, 'v': s.v} END
+                       AS obs
+            FROM grid g LEFT JOIN sparse s
+              ON g.event_type = s.event_type AND g.bucket = s.bucket),
+        w AS (
+            SELECT event_type, bucket, v, t,
+                   last_value(obs IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS prev,
+                   first_value(obs IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS nxt
+            FROM j)
+        SELECT event_type, epoch_us(bucket)::BIGINT AS h_us,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev IS NULL THEN nxt.v
+                    WHEN nxt IS NULL THEN prev.v
+                    ELSE round(prev.v + (nxt.v - prev.v)
+                               * (t - prev.t) / (nxt.t - prev.t), 6)
+               END AS v
+        FROM w""",
+          "NULL::BIGINT AS d_us, h_us::BIGINT AS h_us, "
+          "event_type AS s1, NULL::BIGINT AS n, "
+          "v::DOUBLE AS sum_value"))
 
 _ORACLES["st_dedup"] = _union(
     _wrap("dedup", _ORACLES["st_dedup"],

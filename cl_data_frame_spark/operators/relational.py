@@ -999,8 +999,44 @@ def resample_fill(frame, ts_col: str, step: str = "1 hour",
             *keys, "__bucket__",
             *[F.last(F.col(c), ignorenulls=True).over(w).alias(c)
               for c in val_cols])
+    elif fill == "bfill":
+        w = (Window.partitionBy(*keys).orderBy("__bucket__")
+             .rowsBetween(0, Window.unboundedFollowing))
+        filled = joined.select(
+            *keys, "__bucket__",
+            *[F.first(F.col(c), ignorenulls=True).over(w).alias(c)
+              for c in val_cols])
+    elif fill == "linear":
+        # linear interpolation between the surrounding observed grid
+        # points: value and bucket-time of the previous/next non-null
+        # observation travel as structs through two key-partitioned
+        # window passes (ONE shuffle — both windows share the key
+        # partitioning); endpoints degrade to ffill/bfill. The standard
+        # sensor-series gap repair.
+        wb = (Window.partitionBy(*keys).orderBy("__bucket__")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wf = (Window.partitionBy(*keys).orderBy("__bucket__")
+              .rowsBetween(0, Window.unboundedFollowing))
+        t = F.unix_micros(F.col("__bucket__")).cast("double")
+        sel = [*keys, "__bucket__"]
+        for c in val_cols:
+            obs = F.when(F.col(c).isNotNull(),
+                         F.struct(t.alias("t"),
+                                  F.col(c).cast("double").alias("v")))
+            prev = F.last(obs, ignorenulls=True).over(wb)
+            nxt = F.first(obs, ignorenulls=True).over(wf)
+            interp = (prev["v"]
+                      + (nxt["v"] - prev["v"])
+                      * (t - prev["t"]) / (nxt["t"] - prev["t"]))
+            sel.append(
+                F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+                .when(prev.isNull(), nxt["v"])
+                .when(nxt.isNull(), prev["v"])
+                .otherwise(F.round(interp, 6)).alias(c))
+        filled = joined.select(*sel)
     else:
-        raise ValueError(f"fill must be 'zero' or 'ffill', got {fill!r}")
+        raise ValueError(
+            f"fill must be 'zero'/'ffill'/'bfill'/'linear', got {fill!r}")
     return SparkFrame(filled.withColumnRenamed("__bucket__", "bucket"))
 
 

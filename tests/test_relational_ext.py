@@ -773,3 +773,32 @@ def test_asof_tolerance_unkeyed_and_nearest(spark):
     assert near[5] is None
     assert near[10] == "q95"
     assert near[0] == "q5"            # t=0 forward match, dist 5
+
+
+def test_resample_linear_interpolation(spark):
+    from cl_data_frame_spark.operators.relational import resample_fill
+    rows = [("a", _ts("2024-01-01T00:00:00"), 10.0),
+            ("a", _ts("2024-01-01T04:00:00"), 50.0),
+            ("a", _ts("2024-01-01T06:00:00"), 20.0)]
+    df = SparkFrame(spark.createDataFrame(
+        rows, "k string, ts timestamp, v double"))
+    out = {r.bucket.hour: r.v for r in
+           resample_fill(df, "ts", "1 hour", ["k"],
+                         aggs={"v": F.max("v")},
+                         fill="linear").spark_df.collect()}
+    assert out[0] == 10.0 and out[4] == 50.0 and out[6] == 20.0
+    assert out[1] == 20.0 and out[2] == 30.0 and out[3] == 40.0
+    assert out[5] == 35.0                       # midpoint of 50 -> 20
+
+
+def test_resample_bfill(spark):
+    from cl_data_frame_spark.operators.relational import resample_fill
+    rows = [("a", _ts("2024-01-01T00:00:00"), 1.0),
+            ("a", _ts("2024-01-01T03:00:00"), 9.0)]
+    df = SparkFrame(spark.createDataFrame(
+        rows, "k string, ts timestamp, v double"))
+    out = {r.bucket.hour: r.v for r in
+           resample_fill(df, "ts", "1 hour", ["k"],
+                         aggs={"v": F.max("v")},
+                         fill="bfill").spark_df.collect()}
+    assert out == {0: 1.0, 1: 9.0, 2: 9.0, 3: 9.0}
