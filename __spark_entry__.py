@@ -2875,6 +2875,19 @@ def q_s_stats(spark, sf_dir):
                F.col("auc").cast("double").alias("d1"),
                _DNULL().alias("d2"), _DNULL().alias("d3"),
                _DNULL().alias("d4"))
+    # Cohen's kappa between two deterministic pseudo-raters (mod-3
+    # labels of two uncorrelated columns -> chance-level agreement)
+    raters = li.select((F.col("l_quantity") % 3).cast("int").alias("ra"),
+                       (F.col("l_partkey") % 3).cast("int").alias("rb"))
+    kp = STAT.cohens_kappa(raters, "ra", "rb").spark_df
+    kpt = _tag(kp, "kappa",
+               F.lit("qty%3~partkey%3").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("kappa").cast("double").alias("d1"),
+               F.col("p_obs").cast("double").alias("d2"),
+               F.col("p_exp").cast("double").alias("d3"),
+               _DNULL().alias("d4"))
     # Cramér's V association strength for returnflag x linestatus
     cv = STAT.cramers_v(li, "l_returnflag", "l_linestatus").spark_df
     cvt = _tag(cv, "cramer",
@@ -2928,7 +2941,7 @@ def q_s_stats(spark, sf_dir):
             .unionByName(d).unionByName(e).unionByName(m)
             .unionByName(w).unionByName(s).unionByName(an)
             .unionByName(mwt).unionByName(kt).unionByName(wn)
-            .unionByName(cvt).unionByName(aut))
+            .unionByName(cvt).unionByName(aut).unionByName(kpt))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3120,7 +3133,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
-                "winsor", "cramer", "auc"],
+                "winsor", "cramer", "auc", "kappa"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -6207,7 +6220,35 @@ _ORACLES["s_stats"] = _union(
         FROM u""",
           "'l_quantity~is_A' AS s1, n_pos::BIGINT AS i1, "
           "n_neg::BIGINT AS i2, auc::DOUBLE AS d1, NULL::DOUBLE AS d2, "
-          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    # Cohen's kappa between mod-3 pseudo-raters (stats.cohens_kappa)
+    _wrap("kappa", """
+        WITH cells AS (
+            SELECT (l_quantity::BIGINT % 3)::INT AS a,
+                   (l_partkey % 3)::INT AS b, count(*) AS c
+            FROM lineitem GROUP BY 1, 2),
+        ra AS (SELECT a AS k, sum(c) AS ra FROM cells GROUP BY a),
+        rb AS (SELECT b AS k, sum(c) AS rb FROM cells GROUP BY b),
+        pe AS (SELECT sum(CAST(ra.ra::DECIMAL(19,0)
+                               * rb.rb::DECIMAL(19,0)
+                               AS DECIMAL(38,0))) AS rc
+               FROM ra JOIN rb ON ra.k = rb.k),
+        ag AS (SELECT sum(c) AS n,
+                      sum(CASE WHEN a = b THEN c ELSE 0 END) AS diag
+               FROM cells)
+        SELECT n::BIGINT AS n,
+               round(diag::DOUBLE / n::DOUBLE, 6) AS p_obs,
+               round(rc::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS p_exp,
+               CASE WHEN rc::DOUBLE / (n::DOUBLE * n::DOUBLE) < 1.0
+                   THEN round((diag::DOUBLE / n::DOUBLE
+                               - rc::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                              / (1.0 - rc::DOUBLE
+                                 / (n::DOUBLE * n::DOUBLE)), 6) END
+                   AS kappa
+        FROM ag CROSS JOIN pe""",
+          "'qty%3~partkey%3' AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "kappa::DOUBLE AS d1, p_obs::DOUBLE AS d2, "
+          "p_exp::DOUBLE AS d3, NULL::DOUBLE AS d4"))
 
 
 _ORACLES["x_decontaminate"] = """

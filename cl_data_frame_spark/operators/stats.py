@@ -316,6 +316,54 @@ def cramers_v(frame=None, row_col: str = None, col_col: str = None,
     return SparkFrame(out)
 
 
+def cohens_kappa(frame, rater_a: str, rater_b: str) -> SparkFrame:
+    """Cohen's κ inter-rater agreement between two categorical label
+    columns — the label-quality screen for any human- or model-labeled
+    training set (raw percent agreement rewards majority-class spam;
+    κ subtracts chance):
+
+        κ = (p_o − p_e) / (1 − p_e),
+        p_o = Σ_k n_kk / n,   p_e = Σ_k (row_k · col_k) / n²
+
+    One hash aggregation to the contingency cells; the chance term
+    Σ_k row_k·col_k comes from an inner join of the two marginal
+    tables on the label (labels on only one side contribute 0), all
+    sums exact integers in decimal — zero extra scans of the base
+    data, the ``cramers_v`` plan shape.
+
+    Output: one row (n, p_obs, p_exp, kappa), rounded 6. Perfect
+    agreement → 1; chance-level → 0; systematic disagreement < 0;
+    degenerate p_e = 1 (both raters constant and equal) → NULL.
+    """
+    sdf = _plain(frame)
+    cells = (sdf.groupBy(F.col(rater_a).alias("__a__"),
+                         F.col(rater_b).alias("__b__"))
+             .agg(F.count(F.lit(1)).alias("__c__")))
+    ra = (cells.groupBy("__a__").agg(F.sum("__c__").alias("__ra__"))
+          .select(F.col("__a__").alias("__k__"), "__ra__"))
+    rb = (cells.groupBy("__b__").agg(F.sum("__c__").alias("__rb__"))
+          .select(F.col("__b__").alias("__k__"), "__rb__"))
+    pe = (ra.join(rb, on="__k__")
+          .agg(F.sum((F.col("__ra__").cast("decimal(19,0)")
+                      * F.col("__rb__").cast("decimal(19,0)"))
+                     .cast("decimal(38,0)")).alias("__rc__")))
+    agg = cells.agg(
+        F.sum("__c__").alias("n"),
+        F.sum(F.when(F.col("__a__") == F.col("__b__"), F.col("__c__"))
+              .otherwise(F.lit(0))).alias("diag"))
+    j = agg.crossJoin(F.broadcast(pe))
+    n = F.col("n").cast("double")
+    po = F.col("diag").cast("double") / n
+    pexp = F.col("__rc__").cast("double") / (n * n)
+    kappa = (po - pexp) / (F.lit(1.0) - pexp)
+    out = j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(po, 6).alias("p_obs"),
+        F.round(pexp, 6).alias("p_exp"),
+        F.round(F.when(pexp < 1.0, kappa), 6).alias("kappa"))
+    return SparkFrame(out)
+
+
 def crosstab(frame, row_col: str, col_col: str,
              col_values: list[str]) -> SparkFrame:
     """Contingency table (``df.stat.crosstab`` equivalent) with an

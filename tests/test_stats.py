@@ -635,3 +635,33 @@ def test_auc_score_extremes(spark):
     assert auc_score(df, "s", "y").spark_df.first()["auc"] == 1.0
     flipped = df.selectExpr("s", "1 - y AS y")
     assert auc_score(flipped, "s", "y").spark_df.first()["auc"] == 0.0
+
+
+def test_cohens_kappa_known_values(spark):
+    from cl_data_frame_spark.operators.stats import cohens_kappa
+    # classic textbook table: raters agree on 20+15 of 50
+    rows = ([("yes", "yes")] * 20 + [("no", "no")] * 15
+            + [("yes", "no")] * 10 + [("no", "yes")] * 5)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = cohens_kappa(df, "a", "b").spark_df.first()
+    po = 35 / 50
+    pe = (30 / 50) * (25 / 50) + (20 / 50) * (25 / 50)
+    want = (po - pe) / (1 - pe)
+    assert got["n"] == 50
+    assert abs(got["p_obs"] - po) < 1e-9
+    assert abs(got["p_exp"] - pe) < 1e-9
+    assert abs(got["kappa"] - want) < 1e-6
+
+
+def test_cohens_kappa_extremes(spark):
+    from cl_data_frame_spark.operators.stats import cohens_kappa
+    perfect = spark.createDataFrame(
+        [(c, c) for c in "abcabcabc"], "a string, b string")
+    assert cohens_kappa(perfect, "a", "b").spark_df.first()["kappa"] == 1.0
+    # systematic disagreement -> negative kappa
+    anti = spark.createDataFrame(
+        [("x", "y")] * 10 + [("y", "x")] * 10, "a string, b string")
+    assert cohens_kappa(anti, "a", "b").spark_df.first()["kappa"] < 0
+    # degenerate: both constant and equal -> p_e = 1 -> NULL
+    const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    assert cohens_kappa(const, "a", "b").spark_df.first()["kappa"] is None
