@@ -2370,7 +2370,16 @@ def q_x_chunk_pack(spark, sf_dir):
              F.col("shard").cast("bigint").alias("i1"), _SNULL().alias("s1"),
              F.col("n_tokens").cast("bigint").alias("n_tokens"),
              F.col("bin_id").cast("bigint").alias("i2"))
-    return a.unionByName(b)
+    # sentence-boundary chunking (RAG chunks never cut mid-sentence)
+    cs = TS.chunk_by_sentences(_t(spark, sf_dir, "documents"),
+                               max_tokens=48).spark_df
+    c = _tag(cs, "chunk_sent",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             F.col("chunk_id").cast("bigint").alias("i1"),
+             F.col("chunk_text").alias("s1"),
+             F.col("n_tokens").cast("bigint").alias("n_tokens"),
+             F.col("n_sentences").cast("bigint").alias("i2"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_x_media(spark, sf_dir):
@@ -3149,7 +3158,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_bm25": ["bm25", "phrase", "postings", "snippets"],
     "x_embed_quantize": ["int8", "pq", "jlproj"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles"],
-    "x_chunk_pack": ["chunk", "pack"],
+    "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist"],
     "s_layout_prune": ["zprune", "compact", "partitioned"],
@@ -5324,7 +5333,46 @@ _ORACLES["x_chunk_pack"] = _union(
     _wrap("pack", _ORACLES["x_pack_sequences"],
           "doc_id::BIGINT AS doc_id, shard::BIGINT AS i1, "
           "NULL::VARCHAR AS s1, n_tokens::BIGINT AS n_tokens, "
-          "bin_id::BIGINT AS i2"))
+          "bin_id::BIGINT AS i2"),
+    # sentence-boundary chunking (textstats.chunk_by_sentences,
+    # max_tokens=48): sentinel split (no lookbehind — RE2-portable)
+    _wrap("chunk_sent", """
+        WITH s AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split(
+                           regexp_replace(text, '([.!?])\\s+',
+                                          '\\1' || chr(1), 'g'),
+                           chr(1)),
+                       x -> trim(x) <> '')) AS sent,
+                   generate_subscripts(list_filter(
+                       string_split(
+                           regexp_replace(text, '([.!?])\\s+',
+                                          '\\1' || chr(1), 'g'),
+                           chr(1)),
+                       x -> trim(x) <> ''), 1) AS i
+            FROM documents),
+        t AS (
+            SELECT doc_id, i, sent,
+                   len(list_filter(string_split_regex(trim(sent),
+                                                      '\\s+'),
+                                   x -> x <> '')) AS tk
+            FROM s),
+        c AS (
+            SELECT doc_id, i, sent, tk,
+                   floor(coalesce(sum(tk) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) / 48.0)::BIGINT AS chunk_id
+            FROM t)
+        SELECT doc_id, chunk_id,
+               string_agg(sent, ' ' ORDER BY i) AS chunk_text,
+               count(*)::BIGINT AS n_sentences,
+               sum(tk)::BIGINT AS n_tokens
+        FROM c GROUP BY doc_id, chunk_id""",
+          "doc_id::BIGINT AS doc_id, chunk_id::BIGINT AS i1, "
+          "chunk_text AS s1, n_tokens::BIGINT AS n_tokens, "
+          "n_sentences::BIGINT AS i2"))
 
 _ORACLES["x_media"] = _union(
     _wrap("dedup", _ORACLES["x_media_dedup"],

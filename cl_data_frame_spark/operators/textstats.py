@@ -454,6 +454,51 @@ def chunk_documents(frame, id_col: str = "doc_id", text_col: str = "text",
     return SparkFrame(out)
 
 
+def chunk_by_sentences(frame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_tokens: int = 64) -> SparkFrame:
+    """Sentence-boundary chunking — the RAG-friendly sibling of
+    ``chunk_documents`` (fixed token windows cut mid-sentence; this
+    never does): sentences split on ``[.!?]`` + whitespace, then packed
+    greedily into chunks by running token budget. Chunk k holds the
+    sentences whose PRECEDING running total lies in
+    ``[k·max_tokens, (k+1)·max_tokens)`` — a chunk may overflow by the
+    sentence that crosses the boundary (sentences are never split),
+    and a single over-budget sentence gets a chunk of its own.
+
+    Splitting avoids lookbehind (RE2-portable): a sentinel is injected
+    after each terminator+space, then split on the sentinel. Plan:
+    narrow sentence explode, ONE doc-keyed window for the running
+    token count, one (doc, chunk) hash aggregation that reassembles
+    text in sentence order via a sorted struct array — two shuffles.
+
+    Output: (id_col, chunk_id, chunk_text, n_sentences, n_tokens).
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+",
+                              "$1\u0001")
+    sents = F.filter(F.split(marked, "\u0001"),
+                     lambda s: F.trim(s) != "")
+    ex = sdf.select(id_col,
+                    F.posexplode(sents).alias("__i__", "__s__"))
+    ex = ex.withColumn("__t__", F.size(tokens(F.col("__s__"))))
+    w = (Window.partitionBy(id_col).orderBy("__i__")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum("__t__").over(w), F.lit(0))
+    ex = ex.withColumn("chunk_id",
+                       F.floor(before / F.lit(max_tokens)).cast("long"))
+    out = (ex.groupBy(id_col, "chunk_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("__i__"), F.col("__s__")))),
+                        lambda s: s["__s__"]), " ").alias("chunk_text"),
+                F.count(F.lit(1)).alias("n_sentences"),
+                F.sum("__t__").cast("bigint").alias("n_tokens")))
+    return SparkFrame(out)
+
+
 def pack_sequences(frame, id_col: str = "doc_id", text_col: str = "text",
                    capacity_tokens: int = 256,
                    n_shards: int = 1024) -> SparkFrame:

@@ -442,3 +442,31 @@ def test_tfidf_cosine_pairs_matches_hand_computation(spark):
     # threshold prunes
     high = TS.tfidf_cosine_pairs(df, threshold=0.9).spark_df.collect()
     assert {(r.id_a, r.id_b) for r in high} == {(1, 4)}
+
+
+def test_chunk_by_sentences_boundaries_and_budget(spark):
+    from cl_data_frame_spark.operators import textstats as TS
+    text = ("one two three. four five six! seven eight? "
+            "nine ten eleven twelve. end.")
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = sorted((r.chunk_id, r.chunk_text, r.n_sentences, r.n_tokens)
+                 for r in TS.chunk_by_sentences(df, max_tokens=6)
+                 .spark_df.collect())
+    # sentences: 3 + 3 + 2 + 4 + 1 tokens; running-before totals
+    # 0,3,6,8,12 -> chunks floor(/6): 0,0,1,1,2
+    assert out[0] == (0, "one two three. four five six!", 2, 6)
+    assert out[1] == (1, "seven eight? nine ten eleven twelve.", 2, 6)
+    assert out[2] == (2, "end.", 1, 1)
+    # no sentence is ever split mid-way
+    assert all(c.endswith((".", "!", "?")) for _, c, _, _ in out)
+
+
+def test_chunk_by_sentences_oversized_sentence_own_chunk(spark):
+    from cl_data_frame_spark.operators import textstats as TS
+    text = "short one. " + " ".join(f"w{i}" for i in range(20)) + ". tail."
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = {r.chunk_id: r for r in
+           TS.chunk_by_sentences(df, max_tokens=5)
+           .spark_df.collect()}
+    assert out[0].n_tokens == 2 + 20      # overflow by the crosser
+    assert out[4].chunk_text == "tail."   # 22 // 5 = 4
