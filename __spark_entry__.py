@@ -2436,6 +2436,22 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
+    # Hilbert-curve layout twin: same rewrite + pruned scan contract,
+    # tighter per-file boxes (no Morton diagonal jumps)
+    hpath = os.path.join(tempfile.mkdtemp(prefix="cdf_hilbert_"), "li")
+    write_parquet_zordered(SparkFrame(li), hpath,
+                           ["l_partkey", "l_suppkey"], bits=8,
+                           num_files=16, curve="hilbert")
+    hagg = (read_parquet(spark, hpath).spark_df
+            .filter(F.col("l_partkey").between(100, 400)
+                    & F.col("l_suppkey").between(1, 40))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    ah = _tag(hagg, "hprune",
+              F.col("n").cast("bigint").alias("i1"),
+              F.col("sum_qty").cast("double").alias("d1"),
+              F.col("sum_ok").cast("bigint").alias("i2"))
 
     tmp = tempfile.mkdtemp(prefix="cdf_compact_")
     src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
@@ -2477,7 +2493,8 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
-    return a.unionByName(b).unionByName(c)
+    return (a.unionByName(ah).unionByName(b)
+            .unionByName(c))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -3161,7 +3178,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist"],
-    "s_layout_prune": ["zprune", "compact", "partitioned"],
+    "s_layout_prune": ["zprune", "hprune", "compact", "partitioned"],
 }
 
 
@@ -4650,6 +4667,16 @@ _ORACLES["s_layout_prune"] = _union(
     # zprune: the z-ordered rewrite + pruned 2-D range scan must
     # return exactly the original table's rows under the predicate
     _wrap("zprune", """
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem
+        WHERE l_partkey BETWEEN 100 AND 400
+          AND l_suppkey BETWEEN 1 AND 40""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, sum_ok::BIGINT AS i2"),
+    # Hilbert layout twin — layout-independent result, same oracle
+    _wrap("hprune", """
         SELECT count(*) AS n,
                sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
                    AS sum_qty,

@@ -52,3 +52,48 @@ def zorder_value(cols, bits: int = 16):
             bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
     return z
+
+
+def hilbert_value(x_col, y_col, bits: int = 16):
+    """Hilbert-curve index of two already-quantized non-negative int
+    columns (the classic xy2d walk, bit-unrolled into a pure integer
+    expression — public technique: Hilbert 1891 / Warren HD).
+
+    Strictly better locality than the Morton interleave for 2-D
+    layouts: the Hilbert curve has no long diagonal jumps, so
+    consecutive index ranges cover more compact rectangles and parquet
+    min/max pruning keeps fewer false-positive files for box
+    predicates (the reason Delta OPTIMIZE offers both). Costs ~4×
+    the expression nodes of ``zorder_value`` — still whole-stage
+    codegen, still zero shuffle beyond the write's range partition.
+    """
+    from pyspark.sql import functions as F
+
+    x0 = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("bigint")
+    y0 = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("bigint")
+    # the rotation state makes each step reference x/y several times, so
+    # a Python-unrolled loop would grow the expression tree ~3^bits;
+    # folding over the bit sequence keeps the plan O(1) expressions and
+    # runs the walk at RUNTIME per row (still codegen'd, still no UDF)
+    init = F.struct(x0.alias("x"), y0.alias("y"),
+                    F.lit(0).cast("bigint").alias("d"))
+
+    n_side = 1 << bits  # reflection is against the FULL grid (n−1−x),
+    # not the current quadrant — the classic rot() signature
+
+    def step(acc, i):
+        # s = 2^i; quantized inputs are < 2^bits <= 2^16, so the double
+        # round-trip is exact and coordinates stay in [0, n)
+        s = F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.floor(x / s).cast("bigint") % 2
+        ry = F.floor(y / s).cast("bigint") % 2
+        d2 = d + s * s * (F.lit(3) * rx).bitwiseXOR(ry)
+        refl_x = F.when(rx == 1, F.lit(n_side - 1) - x).otherwise(x)
+        refl_y = F.when(rx == 1, F.lit(n_side - 1) - y).otherwise(y)
+        nx = F.when(ry == 0, refl_y).otherwise(x)
+        ny = F.when(ry == 0, refl_x).otherwise(y)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    seq = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    return F.aggregate(seq, init, step)["d"]

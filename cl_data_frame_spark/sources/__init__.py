@@ -136,20 +136,28 @@ def read_binary(spark: SparkSession, path: str,
 
 def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
                            num_files: int | None = None,
-                           mode: str = "overwrite") -> None:
-    """Write parquet with a Z-order layout over *zorder_by* columns.
+                           mode: str = "overwrite",
+                           curve: str = "zorder") -> None:
+    """Write parquet with a space-filling-curve layout over *zorder_by*
+    columns.
 
     Each column is min-max quantized to *bits* bits (one tiny agg
-    collects the bounds), the Morton interleave is computed as a plain
+    collects the bounds), the curve index is computed as a plain
     integer expression, and ``repartitionByRange`` over it assigns
-    z-contiguous blocks to files — so parquet footer min/max stats prune
-    files for range predicates on ANY of the z-ordered columns, not just
-    the leading sort key. ``num_files`` defaults to the session's shuffle
-    width.
+    curve-contiguous blocks to files — so parquet footer min/max stats
+    prune files for range predicates on ANY of the layout columns, not
+    just the leading sort key. ``num_files`` defaults to the session's
+    shuffle width.
+
+    ``curve='zorder'`` (default, any #columns) is the Morton
+    interleave; ``curve='hilbert'`` (exactly 2 columns) trades ~4× the
+    expression nodes for measurably tighter per-file boxes (no Morton
+    diagonal jumps) — prefer it for hot 2-D layouts.
     """
     from pyspark.sql import functions as F
 
-    from ..partitioning import default_parallelism, zorder_value
+    from ..partitioning import (default_parallelism, hilbert_value,
+                                zorder_value)
 
     sdf = _plain(frame)
     cols = [zorder_by] if isinstance(zorder_by, str) else list(zorder_by)
@@ -182,7 +190,16 @@ def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
         scaled.append(F.least(F.lit(top).cast("bigint"),
                               F.greatest(F.lit(0).cast("bigint"), q)))
     n = num_files or default_parallelism(sdf)
-    (sdf.withColumn("__z__", zorder_value(scaled, bits=bits))
+    if curve == "hilbert":
+        if len(scaled) != 2:
+            raise ValueError("curve='hilbert' requires exactly 2 columns")
+        idx = hilbert_value(scaled[0], scaled[1], bits=bits)
+    elif curve == "zorder":
+        idx = zorder_value(scaled, bits=bits)
+    else:
+        raise ValueError(f"curve must be 'zorder' or 'hilbert', "
+                         f"got {curve!r}")
+    (sdf.withColumn("__z__", idx)
      .repartitionByRange(n, "__z__")
      .sortWithinPartitions("__z__")
      .drop("__z__")

@@ -294,3 +294,61 @@ def test_partitioned_write_salted_file_fanout(spark, tmp_path):
     for d in glob.glob(f"{path}/part=*"):
         files = glob.glob(f"{d}/*.parquet")
         assert 1 <= len(files) <= 4, d
+
+
+def test_hilbert_value_matches_reference_walk(spark):
+    """The expression-unrolled Hilbert index must equal the classic
+    xy2d reference on a full 16x16 grid, be a bijection, and step by
+    exactly one grid cell between consecutive indices (the locality
+    property Morton lacks)."""
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.partitioning import hilbert_value
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = {(r.x, r.y): r.h for r in
+           df.select("x", "y",
+                     hilbert_value("x", "y", bits=4).alias("h")).collect()}
+    want = {(x, y): xy2d(16, x, y) for x, y in rows}
+    assert got == want
+    assert sorted(got.values()) == list(range(256))      # bijection
+    inv = {d: xy for xy, d in got.items()}
+    for d in range(255):                                  # unit steps
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path, sf_dir):
+    """Hilbert-laid-out files must cluster 2-D range predicates into a
+    strict subset of files on BOTH dimensions (same bar as the z-order
+    test)."""
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import write_parquet_zordered
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    path = str(tmp_path / "hb")
+    write_parquet_zordered(li, path, ["l_partkey", "l_suppkey"],
+                           bits=8, num_files=16, curve="hilbert")
+    back = spark.read.parquet(path)
+    total = back.select(F.input_file_name()).distinct().count()
+    for pred in [F.col("l_partkey") <= 50,
+                 F.col("l_suppkey") <= 3]:
+        touched = (back.filter(pred)
+                   .select(F.input_file_name()).distinct().count())
+        assert touched < total, pred
