@@ -930,6 +930,24 @@ class SparkFrame:
 
     # -- summaries / printing (R26-R28) ------------------------------------------
 
+    def describe(self, keys=None, approximate: bool = False) -> "SparkFrame":
+        """Whole-frame profile (pandas ``describe`` analog): one row per
+        column with n_rows/n_null/n_distinct/min/max/mean — delegates to
+        ``summary.profile_table`` (two family-split hash aggregations;
+        ``approximate=True`` swaps exact distinct counts for HLL++ on
+        the 100 TB path)."""
+        from .summary import profile_table
+        cols = self._na_subset(keys) if keys is not None else None
+        return profile_table(self, cols, approximate=approximate)
+
+    def value_counts(self, key: str, k: int = 20) -> "SparkFrame":
+        """Top-k values of one column by count (pandas ``value_counts``
+        analog): exact, ties broken by value — delegates to
+        ``stats.top_frequent`` (hash aggregation + TakeOrdered)."""
+        self._keys.index(key)
+        from .operators.stats import top_frequent
+        return top_frequent(self, key, k=k)
+
     def column_summary(self, key: str, approximate: bool = False):
         from .summary import column_summary
         return column_summary(self, key, approximate=approximate)

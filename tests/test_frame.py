@@ -407,3 +407,20 @@ class TestCastColumns:
         fr = df(spark, "a", [1])
         with pytest.raises(KeyNotFound):
             fr.cast_columns({"nope": "double"})
+
+
+class TestDescribeValueCounts:
+    def test_describe_profiles_all_columns(self, spark):
+        fr = df(spark, "a", [1, 2, 2], "b", ["x", "y", None])
+        prof = {r["column"]: r for r in fr.describe().spark_df.collect()}
+        assert set(prof) == {"a", "b"}
+        assert prof["a"]["n_rows"] == 3 and prof["a"]["n_distinct"] == 2
+        assert prof["b"]["n_null"] == 1
+
+    def test_value_counts_topk(self, spark):
+        fr = df(spark, "v", ["p", "p", "p", "q", "q", "r"])
+        got = [(r["v"], r["n"]) for r in
+               fr.value_counts("v", k=2).spark_df.collect()]
+        assert sorted(got) == [("p", 3), ("q", 2)]
+        with pytest.raises(KeyNotFound):
+            fr.value_counts("nope")
