@@ -22,31 +22,43 @@ import sys
 #: boundary is expected, not a regression. Keep appending per round.
 PARTS_CHANGED: dict[str, list[int]] = {
     # round 4 folded 16 new oracle parts into existing entries
-    "s_stats": [4, 5],              # r4 +bins+outliers; r5 fused, +mad +spearman
+    "s_stats": [4, 5, 6],           # r4 +bins+outliers; r5 fused, +mad
+                                    # +spearman; r6 +anova +mannwhitney
+                                    # +kendall +winsor +cramer +auc +kappa
     "s_skew_udaf": [4, 5],          # r4 +grouped_map; r5 +skewreport
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
-    "s_window_range_trailing": [4, 5],  # r4 +zscore; r5 +ewma+distinct7+rollmed
-    "s_time_rollup": [4],           # +resample
+    "s_window_range_trailing": [4, 5, 6],  # r4 +zscore; r5 +ewma+distinct7
+                                    # +rollmed; r6 +acf
+    "s_time_rollup": [4, 6],        # r4 +resample; r6 +linear
     "s_funnel": [4, 5],             # r4 +retention; r5 +attribution
     "s_approx_sketches": [4, 5],    # r4 +theta+kll+freq; r5 +setops
     "x_dedup": [4, 5],              # r4 +spans+selfspans; r5 +keepbest
     "x_embed_neardup": [4, 5],      # r4 +semdedup; r5 sqrt(n) centroids + norms
-    "x_hash_sampling": [4, 5],      # r4 +weighted; r5 +mix+pergroup+negatives
-    "x_curation_scrub": [4],        # +expect
+    "x_hash_sampling": [4, 5, 6],   # r4 +weighted; r5 +mix+pergroup
+                                    # +negatives; r6 +kfold
+    "x_curation_scrub": [4, 6],     # r4 +expect; r6 +blocklist
     "s_source_roundtrip": [4, 5],   # r4 +zorder; r5 +checksum
     "x_cosine_search": [5],         # +ann_lsh (moved from x_probes_rows_only)
-    "x_probes_rows_only": [5],      # -ann_lsh
+    "x_probes_rows_only": [5, 6],   # r5 -ann_lsh; r6 entry RETIRED
     "x_cluster_assign": [5],        # kmeans_fit input persist
     "x_bm25": [5],                  # +phrase +postings +snippets
-    "x_ngram_jaccard": [5],         # +editdist +simhash(md5) +containment
+    "x_ngram_jaccard": [5, 6],      # r5 +editdist +simhash(md5) +containment;
+                                    # r6 editdist default -> FastSS deletion
     "s_group_sets": [5],            # +gsets
     "x_text_stats": [5],            # +unigram-nll, +bigram-nll columns
     "s_join_semi_anti": [5],        # +bloom
     "s_sessionize": [5],            # +transitions +islands +paths
-    "r_summary_all": [5],           # +hist +profile +benford (and v_s slot)
-    "x_embed_quantize": [5],        # +pq
-    "x_term_weights": [5],          # +colloc
+    "r_summary_all": [5, 6],        # r5 +hist +profile +benford; r6 +hist2d
+    "x_embed_quantize": [5, 6],     # r5 +pq; r6 +jlproj
+    "x_term_weights": [5, 6],       # r5 +colloc; r6 +tfcos
     "x_dedup_clusters": [5],        # +pagerank +triangles
+    "r_construct_roundtrips": [6],  # +rename
+    "r_map_mutate": [6],            # +na_fill +na_drop +na_replace
+    "s_range_joins": [6],           # +overlap
+    "x_chunk_pack": [6],            # +chunk_sent
+    "s_layout_prune": [6],          # NEW entry (zprune/hprune/compact/
+                                    # partitioned — replaces the retired
+                                    # x_probes_rows_only slot)
 }
 
 
