@@ -152,3 +152,37 @@ def test_global_avg_ranks_are_a_permutation_average(spark, vals):
     ranks = [r.avg_rank for r in out]
     assert ranks == sorted(ranks)
     assert sum(r.cnt for r in out) == n
+
+
+strings_strategy = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=10),
+    min_size=1, max_size=10, unique=True)
+
+
+@given(names=strings_strategy, d=st.sampled_from([1, 2]))
+@settings(**SETTINGS)
+def test_edit_distance_deletion_scheme_is_exact(spark, names, d):
+    """FastSS deletion-neighbourhood candidates must reproduce the
+    naive quadratic levenshtein result on arbitrary short strings —
+    including empties, shared prefixes, and pure repetitions."""
+    from cl_data_frame_spark.operators.dedup import edit_distance_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in
+                 edit_distance_join(df, "id", "name", max_dist=d,
+                                    method="deletion")
+                 .spark_df.collect())
+    want = sorted((i, j, lev(a, b))
+                  for (i, a) in rows for (j, b) in rows
+                  if i < j and lev(a, b) <= d)
+    assert got == want
