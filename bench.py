@@ -114,6 +114,11 @@ def main() -> None:
     except AttributeError:  # older entry module
         parts_of = {}
     PARTS_ABOVE = float(os.environ.get("SPARK_GRAFT_PARTS_ABOVE", "2.0"))
+    # attribution is stderr-only diagnostics; without a budget a
+    # 17-part composite re-paying its shared substrate per part costs
+    # minutes per entry and risks the harness timeout. The cap is
+    # EXPLICIT: skipped parts are named (no silent truncation).
+    PARTS_BUDGET = float(os.environ.get("SPARK_GRAFT_PARTS_BUDGET", "45"))
 
     # Local-JVM wall clocks carry transient stalls (GC cycles, JIT
     # recompilation, noisy-neighbor VM contention); a stall rarely
@@ -156,7 +161,16 @@ def main() -> None:
         parts = parts_of.get(name)
         if parts and dt >= PARTS_ABOVE:
             psum = 0.0
-            for pname, pfn in parts.items():
+            t_attr = time.time()
+            names_left = list(parts.items())
+            for k, (pname, pfn) in enumerate(names_left):
+                if time.time() - t_attr > PARTS_BUDGET:
+                    skipped = [p for p, _ in names_left[k:]]
+                    print(f"[bench]   {name}: attribution budget "
+                          f"({PARTS_BUDGET:.0f}s) reached — skipped "
+                          f"parts: {', '.join(skipped)}",
+                          file=sys.stderr)
+                    break
                 try:
                     # same retry ladder as entries: a part's first run is
                     # cold (fresh plan, cleared cache) while the entry
