@@ -2258,9 +2258,15 @@ def q_x_text_stats(spark, sf_dir):
         _t(spark, sf_dir, "documents")).spark_df.select(
         "doc_id", F.col("n_bigrams").cast("bigint"),
         F.col("mean_nll2").cast("double"))
+    rd = TS.readability_scores(
+        _t(spark, sf_dir, "documents")).spark_df.select(
+        "doc_id", F.col("n_sents").cast("bigint"),
+        F.col("n_syllables").cast("bigint"),
+        F.col("flesch").cast("double"))
     return (q.join(l, "doc_id").join(t, "doc_id").join(f, "doc_id")
             .join(r, "doc_id").join(s, "doc_id").join(e, "doc_id")
-            .join(u, "doc_id").join(b2, "doc_id", "left"))
+            .join(u, "doc_id").join(b2, "doc_id", "left")
+            .join(rd, "doc_id"))
 
 
 def q_x_term_weights(spark, sf_dir):
@@ -5096,6 +5102,40 @@ _ORACLES["x_bigram_nll"] = f"""
            round(sum(lm.nll)::DOUBLE / count(*), 6) AS mean_nll2
     FROM p JOIN lm USING (a, b) GROUP BY p.doc_id"""
 
+# Flesch reading ease (textstats.readability_scores): sentinel
+# sentence split + vowel-run syllable heuristic, floored at 1/word
+_ORACLES["x_readability"] = f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_words,
+           greatest(len(list_filter(
+               string_split(regexp_replace(text, '([.!?])\\s+',
+                                           '\\1' || chr(1), 'g'),
+                            chr(1)),
+               x -> trim(x) <> '')), 1)::BIGINT AS n_sents,
+           (CASE WHEN len({_TOKS}) = 0 THEN 0 ELSE
+               list_reduce(list_transform({_TOKS},
+                   t -> greatest(1, len(list_filter(
+                       string_split_regex(lower(t), '[^aeiouy]+'),
+                       x -> x <> '')))::BIGINT),
+                   (a, b) -> a + b) END) AS n_syllables,
+           CASE WHEN len({_TOKS}) > 0 THEN
+               round(206.835
+                     - 1.015 * (len({_TOKS})::DOUBLE
+                                / greatest(len(list_filter(
+                                    string_split(regexp_replace(
+                                        text, '([.!?])\\s+',
+                                        '\\1' || chr(1), 'g'), chr(1)),
+                                    x -> trim(x) <> '')), 1)::DOUBLE)
+                     - 84.6 * ((CASE WHEN len({_TOKS}) = 0 THEN 0 ELSE
+                         list_reduce(list_transform({_TOKS},
+                             t -> greatest(1, len(list_filter(
+                                 string_split_regex(lower(t),
+                                                    '[^aeiouy]+'),
+                                 x -> x <> '')))::BIGINT),
+                             (a, b) -> a + b) END)::DOUBLE
+                               / len({_TOKS})::DOUBLE), 6) END AS flesch
+    FROM documents"""
+
 _ORACLES["x_text_stats"] = f"""
     SELECT q.doc_id, q.n_chars_actual, q.n_tokens, q.mean_word_len,
            q.punct_ratio, q.stopword_ratio, q.quality,
@@ -5105,7 +5145,8 @@ _ORACLES["x_text_stats"] = f"""
            s.n_content_tokens,
            e.n_distinct_tokens, e.entropy_bits, e.top_token_mass,
            u.n_lm_tokens, u.mean_nll,
-           b2.n_bigrams, b2.mean_nll2
+           b2.n_bigrams, b2.mean_nll2,
+           rd.n_sents, rd.n_syllables, rd.flesch
     FROM ({_ORACLES["x_text_quality"]}) q
     JOIN ({_ORACLES["x_lang_id"]}) l ON q.doc_id = l.doc_id
     JOIN ({_ORACLES["x_token_counts"]}) t ON q.doc_id = t.doc_id
@@ -5114,7 +5155,8 @@ _ORACLES["x_text_stats"] = f"""
     JOIN ({_ORACLES["x_stopword_filter"]}) s ON q.doc_id = s.doc_id
     JOIN ({_ORACLES["x_token_entropy"]}) e ON q.doc_id = e.doc_id
     JOIN ({_ORACLES["x_unigram_nll"]}) u ON q.doc_id = u.doc_id
-    LEFT JOIN ({_ORACLES["x_bigram_nll"]}) b2 ON q.doc_id = b2.doc_id"""
+    LEFT JOIN ({_ORACLES["x_bigram_nll"]}) b2 ON q.doc_id = b2.doc_id
+    JOIN ({_ORACLES["x_readability"]}) rd ON q.doc_id = rd.doc_id"""
 
 _ORACLES["x_collocations"] = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

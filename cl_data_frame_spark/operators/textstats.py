@@ -245,6 +245,52 @@ def tf_idf(frame, id_col: str = "doc_id", text_col: str = "text",
     return SparkFrame(out)
 
 
+def readability_scores(frame, id_col: str = "doc_id",
+                       text_col: str = "text") -> SparkFrame:
+    """Flesch reading-ease per document,
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+
+    with the standard engine-portable approximations: sentences split
+    on ``[.!?]`` + whitespace (the ``chunk_by_sentences`` sentinel
+    recipe — no lookbehind), syllables per word = the count of
+    ``[aeiouy]`` vowel runs, floored at 1. The classic
+    readability-band quality filter (Flesch 1948; public formula) —
+    pure expressions, one narrow projection, no shuffle, no UDF.
+
+    Output: (id_col, n_words, n_sents, n_syllables, flesch rounded 6);
+    empty documents yield NULL flesch.
+    """
+    sdf = _plain(frame)
+    toks = tokens(F.col(text_col))
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+",
+                              "$1\u0001")
+    sents = F.filter(F.split(marked, "\u0001"),
+                     lambda s: F.trim(s) != "")
+
+    def syllables(t):
+        runs = F.size(F.filter(
+            F.split(F.lower(t), "[^aeiouy]+"), lambda x: x != ""))
+        return F.greatest(F.lit(1).cast("int"), runs).cast("bigint")
+
+    n_words = F.size(toks).cast("bigint")
+    n_sents = F.greatest(F.size(sents), F.lit(1)).cast("bigint")
+    n_syll = F.aggregate(toks, F.lit(0).cast("bigint"),
+                         lambda acc, t: acc + syllables(t))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (n_words.cast("double")
+                                / n_sents.cast("double"))
+              - F.lit(84.6) * (n_syll.cast("double")
+                               / n_words.cast("double")))
+    out = sdf.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syllables"),
+        F.when(n_words > 0, F.round(flesch, 6)).alias("flesch"))
+    return SparkFrame(out)
+
+
 def tfidf_cosine_pairs(frame, id_col: str = "doc_id",
                        text_col: str = "text", threshold: float = 0.3,
                        min_df: int = 1,

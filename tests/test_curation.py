@@ -470,3 +470,31 @@ def test_chunk_by_sentences_oversized_sentence_own_chunk(spark):
            .spark_df.collect()}
     assert out[0].n_tokens == 2 + 20      # overflow by the crosser
     assert out[4].chunk_text == "tail."   # 22 // 5 = 4
+
+
+def test_readability_scores_hand_computation(spark):
+    from cl_data_frame_spark.operators import textstats as TS
+    rows = [(1, "The cat sat. The dog ran away!"),
+            (2, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           TS.readability_scores(df).spark_df.collect()}
+    r = got[1]
+    assert r.n_words == 7 and r.n_sents == 2
+    # vowel runs: The=1 cat=1 sat.=1 The=1 dog=1 ran=1 away!=2 -> 8
+    assert r.n_syllables == 8
+    want = 206.835 - 1.015 * (7 / 2) - 84.6 * (8 / 7)
+    assert abs(r.flesch - want) < 1e-4
+    assert got[2].flesch is None and got[2].n_words == 0
+
+
+def test_readability_orders_simple_before_dense(spark):
+    from cl_data_frame_spark.operators import textstats as TS
+    rows = [(1, "I like to run. It is fun. We go now."),
+            (2, "Multisyllabic terminology necessitates extraordinary "
+                "comprehension capabilities notwithstanding brevity.")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.flesch for r in
+           TS.readability_scores(df).spark_df.collect()}
+    assert got[1] > 80          # simple prose reads easy
+    assert got[2] < got[1] - 50  # dense prose scores far lower
