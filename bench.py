@@ -118,7 +118,7 @@ def main() -> None:
     # 17-part composite re-paying its shared substrate per part costs
     # minutes per entry and risks the harness timeout. The cap is
     # EXPLICIT: skipped parts are named (no silent truncation).
-    PARTS_BUDGET = float(os.environ.get("SPARK_GRAFT_PARTS_BUDGET", "45"))
+    PARTS_BUDGET = float(os.environ.get("SPARK_GRAFT_PARTS_BUDGET", "30"))
 
     # Local-JVM wall clocks carry transient stalls (GC cycles, JIT
     # recompilation, noisy-neighbor VM contention); a stall rarely
