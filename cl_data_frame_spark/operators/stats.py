@@ -805,6 +805,43 @@ def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
     return SparkFrame(out)
 
 
+def target_encode(frame, cat_col: str, target_col: str,
+                  smoothing: float = 20.0,
+                  out_col: str | None = None) -> SparkFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    tabular-ML feature that replaces a high-cardinality category with
+    its target mean, shrunk toward the global mean so rare categories
+    don't memorize noise:
+
+        enc(c) = (Σ_c y + m · ȳ) / (n_c + m)        (m = *smoothing*)
+
+    Scale: one hash aggregation to the #categories table + one global
+    mean (decimal-exact sums, order-independent), then a broadcast-or-
+    AQE join back — the per-category table is tiny next to the data.
+    Leakage note: this is the FIT-ON-TRAIN artifact; compute it on the
+    training split (``kfold_split``/``hash_split``) and join onto
+    validation — never fit on the full set.
+
+    Output: all input columns + ``<cat>_enc`` (rounded 6).
+    """
+    out_col = out_col or f"{cat_col}_enc"
+    sdf = _plain(frame)
+    y = F.col(target_col).cast("decimal(28,6)")
+    per = (sdf.groupBy(cat_col)
+           .agg(F.count(F.lit(1)).alias("__n__"),
+                F.sum(y).alias("__s__")))
+    g = sdf.agg(F.count(F.lit(1)).alias("__gn__"),
+                F.sum(y).alias("__gs__"))
+    gmean = F.col("__gs__").cast("double") / F.col("__gn__").cast("double")
+    enc = ((F.col("__s__").cast("double")
+            + F.lit(smoothing) * gmean)
+           / (F.col("__n__").cast("double") + F.lit(smoothing)))
+    table = (per.crossJoin(F.broadcast(g))
+             .select(cat_col, F.round(enc, 6).alias(out_col)))
+    out = sdf.join(F.broadcast(table), on=cat_col, how="left")
+    return SparkFrame(out)
+
+
 def winsorize(frame, col: str, lower: float = 0.05, upper: float = 0.95,
               by: list[str] | None = None, bounds=None) -> SparkFrame:
     """Winsorization: clip *col* at its [*lower*, *upper*] exact

@@ -665,3 +665,32 @@ def test_cohens_kappa_extremes(spark):
     # degenerate: both constant and equal -> p_e = 1 -> NULL
     const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
     assert cohens_kappa(const, "a", "b").spark_df.first()["kappa"] is None
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    from cl_data_frame_spark.operators.stats import target_encode
+    rows = ([("big", 10.0)] * 100        # well-estimated mean 10
+            + [("rare", 100.0)])         # one sample, mean 100
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {r.c: r.c_enc for r in
+           target_encode(df, "c", "y", smoothing=20.0)
+           .spark_df.dropDuplicates(["c"]).collect()}
+    gmean = (100 * 10.0 + 100.0) / 101
+    want_big = (100 * 10.0 + 20 * gmean) / 120
+    want_rare = (100.0 + 20 * gmean) / 21
+    assert abs(out["big"] - want_big) < 1e-4
+    assert abs(out["rare"] - want_rare) < 1e-4
+    # shrinkage: the rare category sits FAR from its raw mean, near
+    # the prior; the big one stays near its own mean
+    assert out["rare"] < 30
+    assert abs(out["big"] - 10.0) < 0.5
+
+
+def test_target_encode_zero_smoothing_is_raw_mean(spark):
+    from cl_data_frame_spark.operators.stats import target_encode
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {r.c: r.c_enc for r in
+           target_encode(df, "c", "y", smoothing=0.0)
+           .spark_df.dropDuplicates(["c"]).collect()}
+    assert out["a"] == 2.0 and out["b"] == 10.0
