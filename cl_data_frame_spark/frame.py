@@ -930,6 +930,39 @@ class SparkFrame:
 
     # -- summaries / printing (R26-R28) ------------------------------------------
 
+    # -- relational conveniences (delegates into operators.relational so a
+    #    migrating user can stay on the frame API end to end) ----------------
+
+    def join(self, other: "SparkFrame", on, how: str = "inner",
+             broadcast_right: bool = False) -> "SparkFrame":
+        """Relational join (all Spark join types; ``broadcast_right``
+        hints the small-dim side). Delegates to ``relational.join``."""
+        from .operators.relational import join as _join
+        return _join(self, other, on, how=how,
+                     broadcast_right=broadcast_right)
+
+    def group_agg(self, group_keys, aggs,
+                  kind: str = "groupby") -> "SparkFrame":
+        """Hash aggregation ({name: agg Column}); ``kind`` selects
+        groupby/rollup/cube/grouping_sets. Delegates to ``relational.group_agg``."""
+        from .operators.relational import group_agg as _ga
+        keys = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+        for k in keys:
+            self._keys.index(k)
+        return _ga(self, keys, aggs, kind=kind)
+
+    def order_by(self, *cols, ascending=True) -> "SparkFrame":
+        """Total order (global sort — the explicit opt-in Spark needs
+        before positional slicing). Delegates to ``relational.order_by``."""
+        from .operators.relational import order_by as _ob
+        return _ob(self, *cols, ascending=ascending)
+
+    def union(self, other: "SparkFrame", by_name: bool = True) -> "SparkFrame":
+        """Row union (by column name by default). Delegates to
+        ``relational.union``."""
+        from .operators.relational import union as _un
+        return _un(self, other, by_name=by_name)
+
     def describe(self, keys=None, approximate: bool = False) -> "SparkFrame":
         """Whole-frame profile (pandas ``describe`` analog): one row per
         column with n_rows/n_null/n_distinct/min/max/mean — delegates to

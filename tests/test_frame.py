@@ -424,3 +424,20 @@ class TestDescribeValueCounts:
         assert sorted(got) == [("p", 3), ("q", 2)]
         with pytest.raises(KeyNotFound):
             fr.value_counts("nope")
+
+
+class TestRelationalConveniences:
+    def test_join_group_order_union(self, spark):
+        left = df(spark, "k", [1, 2, 3], "v", [10, 20, 30])
+        right = df(spark, "k", [1, 2, 2], "w", ["a", "b", "c"])
+        j = left.join(right, on="k")
+        assert sorted((r["k"], r["v"], r["w"]) for r in j.collect()) == \
+            [(1, 10, "a"), (2, 20, "b"), (2, 20, "c")]
+        g = j.group_agg("k", {"n": F.count(F.lit(1))})
+        assert {(r["k"], r["n"]) for r in g.collect()} == {(1, 1), (2, 2)}
+        o = left.order_by("v", ascending=False)
+        assert [r["v"] for r in o.collect()] == [30, 20, 10]
+        u = left.union(left)
+        assert u.spark_df.count() == 6
+        with pytest.raises(KeyNotFound):
+            left.group_agg("nope", {"n": F.count(F.lit(1))})
