@@ -63,9 +63,11 @@ def hilbert_value(x_col, y_col, bits: int = 16):
     layouts: the Hilbert curve has no long diagonal jumps, so
     consecutive index ranges cover more compact rectangles and parquet
     min/max pruning keeps fewer false-positive files for box
-    predicates (the reason Delta OPTIMIZE offers both). Costs ~4×
-    the expression nodes of ``zorder_value`` — still whole-stage
-    codegen, still zero shuffle beyond the write's range partition.
+    predicates (the reason Delta OPTIMIZE offers both). Measured
+    compute cost at bits=8 over 600k rows: ~12× the Morton expression
+    (3.3s vs 0.3s on local[32]; a packed-bigint state variant measured
+    SLOWER at 4.1s — struct field access beats re-division) — a
+    one-time layout-write cost repaid on every pruned read.
     """
     from pyspark.sql import functions as F
 
@@ -81,10 +83,11 @@ def hilbert_value(x_col, y_col, bits: int = 16):
     n_side = 1 << bits  # reflection is against the FULL grid (n−1−x),
     # not the current quadrant — the classic rot() signature
 
-    def step(acc, i):
-        # s = 2^i; quantized inputs are < 2^bits <= 2^16, so the double
-        # round-trip is exact and coordinates stay in [0, n)
-        s = F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+    def step(acc, s):
+        # s arrives as a literal from the fold array (no per-step pow —
+        # measured 1.7× faster); quantized inputs are < 2^bits <= 2^16,
+        # so double division round-trips are exact and coordinates stay
+        # in [0, n)
         x, y, d = acc["x"], acc["y"], acc["d"]
         rx = F.floor(x / s).cast("bigint") % 2
         ry = F.floor(y / s).cast("bigint") % 2
@@ -95,5 +98,6 @@ def hilbert_value(x_col, y_col, bits: int = 16):
         ny = F.when(ry == 0, refl_x).otherwise(y)
         return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
 
-    seq = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
-    return F.aggregate(seq, init, step)["d"]
+    svals = F.array(*[F.lit(1 << i).cast("bigint")
+                      for i in range(bits - 1, -1, -1)])
+    return F.aggregate(svals, init, step)["d"]
