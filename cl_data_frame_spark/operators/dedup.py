@@ -596,6 +596,38 @@ def edit_distance_join(frame, id_col: str, str_col: str,
     return SparkFrame(out)
 
 
+def phonetic_join(frame, id_col: str, str_col: str,
+                  max_dist: int = 2) -> SparkFrame:
+    """Phonetic entity-resolution join: candidate pairs share a
+    SOUNDEX code (Spark's built-in — "Smith"/"Smyth" block together
+    even at edit distance 2+ where deletion neighbourhoods get
+    expensive), verified with the exact JVM ``levenshtein``.
+
+    The classic complement to ``edit_distance_join``: phonetic
+    blocking catches sound-alike spelling variants at ANY edit
+    distance within a block, while staying sublinear — candidates are
+    an equi-join on the 4-char code (hash shuffle; one task per code
+    bucket, so corpora dominated by one surname distribution should
+    pre-salt or compose with a length filter). Not DuckDB-oracled
+    (soundex is not portable SQL) — pytest-verified.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ *max_dist*.
+    """
+    sdf = _plain(frame).select(F.col(id_col).alias("__id__"),
+                               F.col(str_col).alias("__s__"),
+                               F.soundex(F.col(str_col)).alias("__k__"))
+    a = sdf.select(F.col("__id__").alias("id_a"),
+                   F.col("__s__").alias("s_a"), "__k__")
+    b = sdf.select(F.col("__id__").alias("id_b"),
+                   F.col("__s__").alias("s_b"), "__k__")
+    out = (a.join(b, on="__k__")
+           .filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("dist", F.levenshtein("s_a", "s_b"))
+           .filter(F.col("dist") <= max_dist)
+           .select("id_a", "id_b", "dist"))
+    return SparkFrame(out)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

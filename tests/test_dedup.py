@@ -354,3 +354,17 @@ def test_edit_distance_auto_routes_by_length(spark):
                  X.edit_distance_join(df, "id", "name", max_dist=2)
                  .spark_df.collect())
     assert got == [(1, 2, 1), (3, 4, 1)]
+
+
+def test_phonetic_join_blocks_sound_alikes(spark):
+    from cl_data_frame_spark.operators import dedup as X
+    rows = [(1, "Smith"), (2, "Smyth"), (3, "Smithe"),
+            (4, "Jones"), (5, "Jonas"), (6, "Walker")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {(r.id_a, r.id_b): r.dist for r in
+           X.phonetic_join(df, "id", "name", max_dist=2)
+           .spark_df.collect()}
+    assert got[(1, 2)] == 1          # Smith ~ Smyth share S530
+    assert got[(1, 3)] == 1          # Smith ~ Smithe
+    assert (4, 5) in got             # Jones ~ Jonas (J520)
+    assert all(6 not in pair for pair in got)   # Walker blocks alone
