@@ -930,6 +930,45 @@ class SparkFrame:
 
     # -- summaries / printing (R26-R28) ------------------------------------------
 
+    def explode_column(self, key: str, pos_key: str | None = None
+                       ) -> "SparkFrame":
+        """Array column → one row per element (long form), other
+        columns repeated; ``pos_key`` optionally adds the 0-based
+        within-array position. A narrow generator — no shuffle."""
+        self._keys.index(key)
+        others = [k for k in self.keys() if k != key]
+        if pos_key:
+            gen = F.posexplode(F.col(key)).alias(pos_key, key)
+        else:
+            gen = F.explode(F.col(key)).alias(key)
+        out = self._df.select(ROW_ID, *others, gen)
+        cols = others + ([pos_key] if pos_key else []) + [key]
+        return SparkFrame(out.select(ROW_ID, *cols))
+
+    def collect_column(self, group_keys, value_key: str,
+                       sort_key: str | None = None,
+                       out_key: str | None = None) -> "SparkFrame":
+        """Rows → one array per group (wide form): the inverse of
+        ``explode_column``. ``sort_key`` pins element order inside the
+        array (sorted (sort_key, value) structs — deterministic on any
+        engine; without it Spark's collect order is undefined). One
+        hash shuffle on the group keys."""
+        gks = [group_keys] if isinstance(group_keys, str) \
+            else list(group_keys)
+        for k in (*gks, value_key, *( [sort_key] if sort_key else [])):
+            self._keys.index(k)
+        out_key = out_key or f"{value_key}s"
+        if sort_key:
+            arr = F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(sort_key).alias("s"),
+                             F.col(value_key).alias("v")))),
+                lambda x: x["v"])
+        else:
+            arr = F.collect_list(F.col(value_key))
+        out = (self._df.groupBy(*gks).agg(arr.alias(out_key)))
+        return SparkFrame(out)
+
     # -- relational conveniences (delegates into operators.relational so a
     #    migrating user can stay on the frame API end to end) ----------------
 

@@ -441,3 +441,19 @@ class TestRelationalConveniences:
         assert u.spark_df.count() == 6
         with pytest.raises(KeyNotFound):
             left.group_agg("nope", {"n": F.count(F.lit(1))})
+
+
+class TestReshape:
+    def test_explode_and_collect_roundtrip(self, spark):
+        fr = SparkFrame(spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["c"]), (3, [])],
+            "gid bigint, vals array<string>"))
+        long = fr.explode_column("vals", pos_key="pos")
+        rows = sorted((r["gid"], r["pos"], r["vals"])
+                      for r in long.collect())
+        assert rows == [(1, 0, "a"), (1, 1, "b"), (2, 0, "c")]
+        back = long.collect_column("gid", "vals", sort_key="pos")
+        got = {r["gid"]: r["valss"] for r in back.collect()}
+        assert got == {1: ["a", "b"], 2: ["c"]}  # empty group dropped
+        with pytest.raises(KeyNotFound):
+            fr.explode_column("nope")
