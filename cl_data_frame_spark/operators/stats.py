@@ -805,6 +805,68 @@ def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
     return SparkFrame(out)
 
 
+def poisson_bootstrap_ci(frame, col: str, id_col: str,
+                         n_replicates: int = 100,
+                         alpha: float = 0.05,
+                         salt: str = "boot") -> SparkFrame:
+    """Bootstrap confidence interval for the MEAN of a column via the
+    Poisson bootstrap — the one bootstrap that works at 100 TB
+    (Chamandy et al., Google; public technique): classical resampling
+    needs n draws WITH replacement per replicate (a shuffle per
+    replicate), while Poisson(1) per-row weights approximate the
+    multinomial resample exactly as n → ∞ and need only ONE pass.
+
+    Each row contributes weight ``w_r ~ Poisson(1)`` to replicate r,
+    derived deterministically from ``md5(id‖r‖salt)`` by inverse-CDF
+    thresholding (weights 0..7 cover 1−4e−6 of the mass) — no RNG, so
+    retries/engines agree. ONE aggregation computes all 2·R weighted
+    decimal sums; the R replicate means (a driver-side array of
+    doubles) give the percentile interval.
+
+    Output: one row (n, mean, lo, hi, n_replicates) — ``lo``/``hi``
+    the (α/2, 1−α/2) percentile bootstrap bounds, rounded 6.
+    """
+    import math
+    sdf = _plain(frame)
+    # Poisson(1) CDF thresholds for k = 0..7
+    cum, acc = [], 0.0
+    for k in range(8):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cum.append(acc)
+    thresholds = F.array(*[F.lit(c) for c in cum])
+
+    def weight(r):
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"|{r}|{salt}"))), 1, 13), 16, 10)
+        u = h.cast("double") / F.lit(float(1 << 52))
+        return F.size(F.filter(thresholds, lambda t: t < u)) \
+            .cast("decimal(19,0)")
+
+    x = F.col(col).cast("decimal(28,6)")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(x).alias("s")]
+    for r in range(n_replicates):
+        w = weight(r)
+        aggs.append(F.sum(w * x).alias(f"sw_{r}"))
+        aggs.append(F.sum(w).alias(f"w_{r}"))
+    row = sdf.agg(*aggs).first()
+    means = sorted(
+        float(row[f"sw_{r}"]) / float(row[f"w_{r}"])
+        for r in range(n_replicates) if row[f"w_{r}"])
+    lo_i = max(0, int(math.floor(alpha / 2 * len(means))))
+    hi_i = min(len(means) - 1,
+               int(math.ceil((1 - alpha / 2) * len(means))) - 1)
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(int(row["n"]),
+          round(float(row["s"]) / int(row["n"]), 6),
+          round(means[lo_i], 6), round(means[hi_i], 6),
+          n_replicates)],
+        "n bigint, mean double, lo double, hi double, "
+        "n_replicates int")
+    return SparkFrame(out)
+
+
 def target_encode(frame, cat_col: str, target_col: str,
                   smoothing: float = 20.0,
                   out_col: str | None = None) -> SparkFrame:

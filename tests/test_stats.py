@@ -694,3 +694,38 @@ def test_target_encode_zero_smoothing_is_raw_mean(spark):
            target_encode(df, "c", "y", smoothing=0.0)
            .spark_df.dropDuplicates(["c"]).collect()}
     assert out["a"] == 2.0 and out["b"] == 10.0
+
+
+def test_poisson_bootstrap_ci_covers_true_mean(spark):
+    from cl_data_frame_spark.operators.stats import poisson_bootstrap_ci
+    import random
+    rng = random.Random(11)
+    vals = [(i, rng.gauss(50.0, 10.0)) for i in range(2000)]
+    df = spark.createDataFrame(vals, "rid bigint, x double")
+    r = poisson_bootstrap_ci(df, "x", "rid",
+                             n_replicates=60).spark_df.first()
+    true_mean = sum(v for _, v in vals) / len(vals)
+    assert r["n"] == 2000
+    assert abs(r["mean"] - true_mean) < 1e-4
+    assert r["lo"] <= true_mean <= r["hi"]
+    # ~95% CI for n=2000, sd=10: half-width around 0.45 — sane bounds
+    assert 0.1 < (r["hi"] - r["lo"]) < 2.5
+    # deterministic across runs
+    r2 = poisson_bootstrap_ci(df, "x", "rid",
+                              n_replicates=60).spark_df.first()
+    assert (r["lo"], r["hi"]) == (r2["lo"], r2["hi"])
+
+
+def test_poisson_bootstrap_ci_width_shrinks_with_n(spark):
+    from cl_data_frame_spark.operators.stats import poisson_bootstrap_ci
+    import random
+    rng = random.Random(3)
+    small = [(i, rng.gauss(0, 1.0)) for i in range(200)]
+    big = [(i, rng.gauss(0, 1.0)) for i in range(5000)]
+    w = {}
+    for name, rows in (("small", small), ("big", big)):
+        df = spark.createDataFrame(rows, "rid bigint, x double")
+        r = poisson_bootstrap_ci(df, "x", "rid",
+                                 n_replicates=50).spark_df.first()
+        w[name] = r["hi"] - r["lo"]
+    assert w["big"] < w["small"] / 2
