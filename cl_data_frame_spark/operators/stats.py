@@ -808,6 +808,7 @@ def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
 def poisson_bootstrap_ci(frame, col: str, id_col: str,
                          n_replicates: int = 100,
                          alpha: float = 0.05,
+                         by: list[str] | None = None,
                          salt: str = "boot") -> SparkFrame:
     """Bootstrap confidence interval for the MEAN of a column via the
     Poisson bootstrap — the one bootstrap that works at 100 TB
@@ -823,8 +824,13 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
     decimal sums; the R replicate means (a driver-side array of
     doubles) give the percentile interval.
 
-    Output: one row (n, mean, lo, hi, n_replicates) — ``lo``/``hi``
-    the (α/2, 1−α/2) percentile bootstrap bounds, rounded 6.
+    ``by`` computes an independent interval per group (one row per
+    group; the aggregation becomes a hash groupBy, still one pass —
+    the per-segment error-bar report). Driver state is
+    #groups × R doubles, the k-sized-model-state pattern.
+
+    Output: (by cols +) (n, mean, lo, hi, n_replicates) —
+    ``lo``/``hi`` the (α/2, 1−α/2) percentile bounds, rounded 6.
     """
     import math
     sdf = _plain(frame)
@@ -849,20 +855,28 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
         w = weight(r)
         aggs.append(F.sum(w * x).alias(f"sw_{r}"))
         aggs.append(F.sum(w).alias(f"w_{r}"))
-    row = sdf.agg(*aggs).first()
-    means = sorted(
-        float(row[f"sw_{r}"]) / float(row[f"w_{r}"])
-        for r in range(n_replicates) if row[f"w_{r}"])
-    lo_i = max(0, int(math.floor(alpha / 2 * len(means))))
-    hi_i = min(len(means) - 1,
-               int(math.ceil((1 - alpha / 2) * len(means))) - 1)
+    rows = (sdf.groupBy(*by).agg(*aggs) if by
+            else sdf.agg(*aggs)).collect()
+    out_rows = []
+    for row in rows:
+        means = sorted(
+            float(row[f"sw_{r}"]) / float(row[f"w_{r}"])
+            for r in range(n_replicates) if row[f"w_{r}"])
+        lo_i = max(0, int(math.floor(alpha / 2 * len(means))))
+        hi_i = min(len(means) - 1,
+                   int(math.ceil((1 - alpha / 2) * len(means))) - 1)
+        out_rows.append(tuple(
+            [row[k] for k in (by or [])]
+            + [int(row["n"]),
+               round(float(row["s"]) / int(row["n"]), 6),
+               round(means[lo_i], 6), round(means[hi_i], 6),
+               n_replicates]))
     spark = sdf.sparkSession
+    by_schema = "".join(
+        f"{k} {dict(sdf.dtypes)[k]}, " for k in (by or []))
     out = spark.createDataFrame(
-        [(int(row["n"]),
-          round(float(row["s"]) / int(row["n"]), 6),
-          round(means[lo_i], 6), round(means[hi_i], 6),
-          n_replicates)],
-        "n bigint, mean double, lo double, hi double, "
+        out_rows,
+        f"{by_schema}n bigint, mean double, lo double, hi double, "
         "n_replicates int")
     return SparkFrame(out)
 

@@ -729,3 +729,19 @@ def test_poisson_bootstrap_ci_width_shrinks_with_n(spark):
                                  n_replicates=50).spark_df.first()
         w[name] = r["hi"] - r["lo"]
     assert w["big"] < w["small"] / 2
+
+
+def test_poisson_bootstrap_ci_per_group(spark):
+    from cl_data_frame_spark.operators.stats import poisson_bootstrap_ci
+    import random
+    rng = random.Random(5)
+    rows = ([(i, "lo", rng.gauss(10.0, 1.0)) for i in range(800)]
+            + [(i + 10000, "hi", rng.gauss(100.0, 1.0))
+               for i in range(800)])
+    df = spark.createDataFrame(rows, "rid bigint, g string, x double")
+    out = {r["g"]: r for r in
+           poisson_bootstrap_ci(df, "x", "rid", n_replicates=40,
+                                by=["g"]).spark_df.collect()}
+    assert out["lo"]["lo"] <= 10.0 <= out["lo"]["hi"]
+    assert out["hi"]["lo"] <= 100.0 <= out["hi"]["hi"]
+    assert out["lo"]["hi"] < 12 < 98 < out["hi"]["lo"]   # disjoint CIs
