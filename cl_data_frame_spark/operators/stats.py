@@ -881,6 +881,66 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
     return SparkFrame(out)
 
 
+def population_stability_index(frame_ref, frame_cur, col: str,
+                               n_bins: int = 10,
+                               min_frac: float = 1e-4) -> SparkFrame:
+    """PSI drift report between a reference snapshot and the current
+    one — the standard data-drift alarm for features and model scores
+    (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate):
+
+        PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    Bins are the REFERENCE's exact equi-frequency quantile cuts
+    (drift is measured against where the reference mass sat), with
+    ±∞ edge bins so current values outside the reference range are
+    counted, and both fractions floored at *min_frac* (the standard
+    guard — an empty bin would send the log term to ±∞).
+
+    Plan: one percentile aggregation on the reference (tiny,
+    broadcast as literals), one O(bins) boundary-count projection +
+    hash aggregation per side, and a #bins-row join — three scans
+    total, nothing data-sized moves.
+
+    Output: per-bin rows (bin, lo, n_ref, n_cur, p_ref, p_cur,
+    psi_term) + the roll-up is ``sum(psi_term)`` — left to the caller
+    so the per-bin attribution (WHICH bins drifted) stays visible.
+    """
+    import math
+    ref = _plain(frame_ref)
+    cur = _plain(frame_cur)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = ref.agg(F.percentile(
+        F.col(col).cast("double"),
+        F.array(*[F.lit(p) for p in probs])).alias("c")).first()["c"]
+    edges = [float("-inf")] + [float(c) for c in cuts]
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+
+    def binned(sdf):
+        idx = F.size(F.filter(
+            arr, lambda b: b <= F.col(col).cast("double")))
+        return (sdf.select(idx.alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+
+    a = binned(ref).select("bin", F.col("n").alias("n_ref"))
+    b = binned(cur).select("bin", F.col("n").alias("n_cur"))
+    j = a.join(b, on="bin", how="full").na.fill(0, ["n_ref", "n_cur"])
+    tot_r = F.sum("n_ref").over(Window.partitionBy())
+    tot_c = F.sum("n_cur").over(Window.partitionBy())
+    p_r = F.greatest(F.col("n_ref") / tot_r, F.lit(min_frac))
+    p_c = F.greatest(F.col("n_cur") / tot_c, F.lit(min_frac))
+    lo = F.element_at(F.array(*[F.lit(e) for e in edges]),
+                      F.col("bin").cast("int") + 1)
+    out = (j.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round(lo, 6).alias("lo"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(p_r, 6).alias("p_ref"),
+        F.round(p_c, 6).alias("p_cur"),
+        F.round((p_c - p_r) * F.log(p_c / p_r), 6).alias("psi_term")))
+    return SparkFrame(out)
+
+
 def target_encode(frame, cat_col: str, target_col: str,
                   smoothing: float = 20.0,
                   out_col: str | None = None) -> SparkFrame:

@@ -745,3 +745,35 @@ def test_poisson_bootstrap_ci_per_group(spark):
     assert out["lo"]["lo"] <= 10.0 <= out["lo"]["hi"]
     assert out["hi"]["lo"] <= 100.0 <= out["hi"]["hi"]
     assert out["lo"]["hi"] < 12 < 98 < out["hi"]["lo"]   # disjoint CIs
+
+
+def test_psi_no_drift_is_near_zero(spark):
+    from cl_data_frame_spark.operators.stats import \
+        population_stability_index
+    import random
+    rng = random.Random(7)
+    vals = [rng.gauss(0, 1) for _ in range(4000)]
+    ref = spark.createDataFrame([(v,) for v in vals[:2000]], ["x"])
+    cur = spark.createDataFrame([(v,) for v in vals[2000:]], ["x"])
+    out = population_stability_index(ref, cur, "x").spark_df.collect()
+    psi = sum(r.psi_term for r in out)
+    assert psi < 0.05                       # same distribution
+    assert len(out) == 10
+    assert abs(sum(r.p_ref for r in out) - 1.0) < 0.01
+
+
+def test_psi_detects_mean_shift_and_out_of_range(spark):
+    from cl_data_frame_spark.operators.stats import \
+        population_stability_index
+    import random
+    rng = random.Random(9)
+    ref = spark.createDataFrame(
+        [(rng.gauss(0, 1),) for _ in range(2000)], ["x"])
+    cur = spark.createDataFrame(
+        [(rng.gauss(3, 1),) for _ in range(2000)], ["x"])
+    out = population_stability_index(ref, cur, "x").spark_df.collect()
+    psi = sum(r.psi_term for r in out)
+    assert psi > 0.25                       # investigate-level drift
+    # mass concentrates in the reference's TOP bin (+ above its range)
+    top = max(out, key=lambda r: r.bin)
+    assert top.p_cur > 0.5
