@@ -2890,7 +2890,7 @@ def q_s_stats(spark, sf_dir):
               _DNULL().alias("d3"), _DNULL().alias("d4"))
     # Mann-Whitney U over l_quantity (~50 distinct values — the
     # value-count regime the operator targets)
-    mw = STAT.mann_whitney_u(li, "l_quantity", "l_returnflag").spark_df
+    mw = STAT.mann_whitney_u(li, "l_quantity", "l_returnflag", exact=True).spark_df
     mwt = _tag(mw, "mannwhitney",
                F.concat_ws(">", "g1", "g2").alias("s1"),
                F.col("n1").cast("bigint").alias("i1"),
@@ -2904,7 +2904,7 @@ def q_s_stats(spark, sf_dir):
     auc_in = li.select(F.col("l_quantity").alias("score"),
                        (F.col("l_returnflag") == "A").cast("int")
                        .alias("is_a"))
-    au = STAT.auc_score(auc_in, "score", "is_a").spark_df
+    au = STAT.auc_score(auc_in, "score", "is_a", exact=True).spark_df
     aut = _tag(au, "auc",
                F.lit("l_quantity~is_A").alias("s1"),
                F.col("n_pos").cast("bigint").alias("i1"),
@@ -2926,7 +2926,7 @@ def q_s_stats(spark, sf_dir):
                F.col("p_exp").cast("double").alias("d3"),
                _DNULL().alias("d4"))
     # Cramér's V association strength for returnflag x linestatus
-    cv = STAT.cramers_v(li, "l_returnflag", "l_linestatus").spark_df
+    cv = STAT.cramers_v(li, "l_returnflag", "l_linestatus", exact=True).spark_df
     cvt = _tag(cv, "cramer",
                F.lit("l_returnflag~l_linestatus").alias("s1"),
                F.col("n").cast("bigint").alias("i1"),
@@ -2964,7 +2964,7 @@ def q_s_stats(spark, sf_dir):
               _DNULL().alias("d3"), _DNULL().alias("d4"))
     # Kendall tau-b from the (quantity x linenumber) contingency —
     # <=350 cells, quadratic in value pairs, never rows
-    kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber").spark_df
+    kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber", exact=True).spark_df
     kt = _tag(kd, "kendall",
               F.lit("l_quantity~l_linenumber").alias("s1"),
               F.col("n").cast("bigint").alias("i1"),

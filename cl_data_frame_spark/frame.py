@@ -934,16 +934,24 @@ class SparkFrame:
                        ) -> "SparkFrame":
         """Array column → one row per element (long form), other
         columns repeated; ``pos_key`` optionally adds the 0-based
-        within-array position. A narrow generator — no shuffle."""
+        within-array position. A narrow generator — no shuffle.
+
+        The exploded frame mints FRESH row ids (the parent id would
+        repeat per element, breaking the unique-row-id invariant that
+        ``_with_column_df`` and positional ops depend on). The generator
+        is narrow, so fresh ids preserve (parent-partition-order,
+        element-position) ordering deterministically."""
         self._keys.index(key)
         others = [k for k in self.keys() if k != key]
         if pos_key:
             gen = F.posexplode(F.col(key)).alias(pos_key, key)
         else:
             gen = F.explode(F.col(key)).alias(key)
-        out = self._df.select(ROW_ID, *others, gen)
         cols = others + ([pos_key] if pos_key else []) + [key]
-        return SparkFrame(out.select(ROW_ID, *cols))
+        # drop the (now non-unique) parent id; the constructor mints fresh
+        # monotonically_increasing_id values over the narrow exploded
+        # lineage, which emits elements in (parent row, position) order
+        return SparkFrame(self._df.select(*others, gen).select(*cols))
 
     def collect_column(self, group_keys, value_key: str,
                        sort_key: str | None = None,

@@ -216,23 +216,27 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
 
     tol_units = (None if tolerance is None
                  else tolerance * 1e6 if is_time else tolerance)
-    # with a tolerance, the matched right `on` rides along as one more
-    # filled column so the distance bound can be applied post-fill
-    fill_names = rnames + (["__ron__"] if tolerance is not None else [])
     rdf_t = rdf.select(
         *([F.col(by)] if by else []),
         F.col(on),
         F.lit(1).alias("__is_right__"),
-        *[F.col(c).alias(right_prefix + c) for c in rcols],
-        *([F.col(on).alias("__ron__")] if tolerance is not None else []))
+        *[F.col(c).alias(right_prefix + c) for c in rcols])
     ldf_t = ldf.select(
         *ldf.columns,
         F.lit(0).alias("__is_right__"),
         *[F.lit(None).cast(rdf_t.schema[right_prefix + c].dataType)
-          .alias(right_prefix + c) for c in rcols],
-        *([F.lit(None).cast(rdf_t.schema["__ron__"].dataType)
-           .alias("__ron__")] if tolerance is not None else []))
+          .alias(right_prefix + c) for c in rcols])
     unioned = ldf_t.unionByName(rdf_t, allowMissingColumns=True)
+    # the matched right row travels as ONE struct (its `on` + every
+    # payload column) and is filled with a single last(ignorenulls) —
+    # the match is atomic, so a NULL in one right column cannot be
+    # backfilled from an older (possibly out-of-tolerance) row, and the
+    # tolerance bound applies to the row that supplied every value
+    # (pandas merge_asof whole-row semantics)
+    row_payload = F.when(
+        F.col("__is_right__") == 1,
+        F.struct(F.col(on).alias("__on__"),
+                 *[F.col(rp) for rp in rnames]))
 
     if direction == "nearest":
         # Backward fill + forward fill in one plan (same hash partition on
@@ -284,18 +288,17 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
         w = (Window.partitionBy(by)
              .orderBy(on_order, F.col("__is_right__").desc())
              .rowsBetween(Window.unboundedPreceding, 0))
-        filled = unioned.select(
-            *[c for c in unioned.columns if c not in fill_names],
-            *[F.last(rp, ignorenulls=True).over(w).alias(rp)
-              for rp in fill_names])
-        out = filled.filter(F.col("__is_right__") == 0).drop("__is_right__")
+        filled = (unioned
+                  .withColumn("__m__",
+                              F.last(row_payload, ignorenulls=True).over(w))
+                  .filter(F.col("__is_right__") == 0))
+        matched = F.col("__m__")
         if tolerance is not None:
-            dist = F.abs(_onnum(F.col(on)) - _onnum(F.col("__ron__")))
-            keep = dist <= F.lit(tol_units)
-            out = out.select(
-                *[c for c in out.columns
-                  if c not in rnames and c != "__ron__"],
-                *[F.when(keep, F.col(rp)).alias(rp) for rp in rnames])
+            dist = F.abs(_onnum(F.col(on)) - _onnum(matched["__on__"]))
+            matched = F.when(dist <= F.lit(tol_units), matched)
+        out = filled.select(
+            *ldf.columns,
+            *[matched[rp].alias(rp) for rp in rnames])
         return SparkFrame(out)
 
     # Unkeyed: range-partition on `on` so the fill parallelizes, then carry
@@ -308,17 +311,13 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
     w_in = (Window.partitionBy("__pid__")
             .orderBy(on_order, F.col("__is_right__").desc())
             .rowsBetween(Window.unboundedPreceding, 0))
-    filled = parted.select(
-        "__pid__",
-        *[c for c in unioned.columns if c not in fill_names],
-        *[F.last(rp, ignorenulls=True).over(w_in).alias(rp)
-          for rp in fill_names])
+    filled = parted.withColumn(
+        "__m__", F.last(row_payload, ignorenulls=True).over(w_in))
     # last right row per partition, as a struct ordered by the as-of key
+    # (__on__ is the struct's first field, so max/min orders by it)
     extreme = F.max if direction == "backward" else F.min
-    rstruct = F.when(F.col("__is_right__") == 1,
-                     F.struct(F.col(on).alias("__on__"),
-                              *[F.col(rp) for rp in fill_names]))
-    pid_last = parted.groupBy("__pid__").agg(extreme(rstruct).alias("__last__"))
+    pid_last = parted.groupBy("__pid__").agg(
+        extreme(row_payload).alias("__last__"))
     pid_order = (F.col("__pid__").asc() if direction == "backward"
                  else F.col("__pid__").desc())
     w_carry = (Window.orderBy(pid_order)
@@ -328,17 +327,15 @@ def asof_join(left: SparkFrame, right: SparkFrame, on: str, by: str | None = Non
         F.last("__last__", ignorenulls=True).over(w_carry).alias("__carry__"))
     joined = (filled.join(F.broadcast(carry), on="__pid__", how="left")
               .filter(F.col("__is_right__") == 0))
+    # the whole matched row coalesces atomically: in-partition match
+    # wins, else the carried last-row struct from earlier partitions
+    matched = F.coalesce(F.col("__m__"), F.col("__carry__"))
     if tolerance is not None:
-        matched_on = F.coalesce(F.col("__ron__"),
-                                F.col("__carry__")["__ron__"])
-        keep = (F.abs(_onnum(F.col(on)) - _onnum(matched_on))
-                <= F.lit(tol_units))
-        sel = [F.when(keep, F.coalesce(F.col(rp), F.col("__carry__")[rp]))
-               .alias(rp) for rp in rnames]
-    else:
-        sel = [F.coalesce(F.col(rp), F.col("__carry__")[rp]).alias(rp)
-               for rp in rnames]
-    out = joined.select(*[c for c in ldf.columns], *sel)
+        dist = F.abs(_onnum(F.col(on)) - _onnum(matched["__on__"]))
+        matched = F.when(dist <= F.lit(tol_units), matched)
+    out = joined.select(
+        *[c for c in ldf.columns],
+        *[matched[rp].alias(rp) for rp in rnames])
     return SparkFrame(out)
 
 
@@ -568,15 +565,22 @@ def interval_overlap_join(left: SparkFrame, right: SparkFrame,
     replication would need a separate anti-join pass.
     """
     on = [on] if isinstance(on, str) else list(on or [])
-    ldf = _plain(left)
-    rdf = _plain(right)
+    # half-open semantics: an empty interval [x, x) overlaps nothing —
+    # drop before bucketing (also keeps the bucket sequence ascending;
+    # sequence(start, stop) with stop < start would generate DESCENDING
+    # spurious buckets)
+    ldf = _plain(left).filter(F.col(left_lower) < F.col(left_upper))
+    rdf = _plain(right).filter(F.col(right_lower) < F.col(right_upper))
     w = float(bucket_width)
-    eps = F.lit(1e-9)
 
     def buckets(lo, hi):
+        # last bucket touched by half-open [lo, hi): ceil(hi/w) - 1 —
+        # exact on grid boundaries with no epsilon (a subtracted 1e-9
+        # underflows to a no-op on large domains like epoch micros,
+        # replicating boundary-ending intervals one bucket too far)
         return F.explode(F.sequence(
             F.floor(F.col(lo) / F.lit(w)),
-            F.floor((F.col(hi) - eps) / F.lit(w))))
+            F.ceil(F.col(hi) / F.lit(w)) - F.lit(1)))
 
     lbk = ldf.select("*", buckets(left_lower, left_upper)
                      .alias("__lbucket__"))

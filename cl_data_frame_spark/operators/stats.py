@@ -35,6 +35,58 @@ def _dec(col, scale: int = 4, precision: int = 38) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
+def _cardinality_guard(sdf, cols: list[str], exact: bool,
+                       max_distinct: int, buckets: int,
+                       accuracy: int = 10_000):
+    """Auto-guard for the contingency-quadratic stats family
+    (``kendall_tau_b`` / ``mann_whitney_u`` / ``auc_score`` /
+    ``cramers_v``): those statistics are computed over the DISTINCT-
+    VALUE contingency cells, so a continuous high-cardinality column
+    silently turns the cell join row-quadratic. Same posture as
+    ``edit_distance_join``'s "auto" pre-scan (dedup.py): ONE cheap
+    ``approx_count_distinct`` aggregation over *cols*; any NUMERIC
+    column whose estimate exceeds *max_distinct* is replaced in place
+    by its equi-depth bucket index (the ``spearman_corr_approx``
+    boundary recipe — order-preserving, so rank statistics stay
+    O(1/buckets)-accurate and the cell count is bounded by *buckets*).
+    A non-numeric column above the bound raises instead (hash-
+    bucketing a categorical would silently change the statistic's
+    meaning — pre-bucket deliberately or pass ``exact=True``).
+
+    ``exact=True`` skips the scan entirely: the zero-surprise oracle
+    path, identical plan to the unguarded original.
+    """
+    if exact:
+        return sdf
+    from pyspark.sql.types import NumericType
+    est = sdf.agg(*[F.approx_count_distinct(F.col(c)).alias(f"c{i}")
+                    for i, c in enumerate(cols)]).first()
+    hot = [c for i, c in enumerate(cols)
+           if (est[f"c{i}"] or 0) > max_distinct]
+    if not hot:
+        return sdf
+    bad = [c for c in hot
+           if not isinstance(sdf.schema[c].dataType, NumericType)]
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} have > {max_distinct} distinct values; "
+            "this statistic is quadratic in distinct-value cells. "
+            "Bucket/group the column first, or pass exact=True to "
+            "accept the cells-squared cost deliberately.")
+    probs = [i / buckets for i in range(1, buckets)]
+    parr = F.array(*[F.lit(p) for p in probs])
+    brow = sdf.agg(*[
+        F.approx_percentile(F.col(c).cast("double"), parr,
+                            F.lit(accuracy)).alias(f"b{i}")
+        for i, c in enumerate(hot)]).first()
+    for i, c in enumerate(hot):
+        arr = F.array(*[F.lit(float(b)) for b in brow[f"b{i}"]])
+        sdf = sdf.withColumn(
+            c, F.size(F.filter(arr,
+                               lambda b: b <= F.col(c).cast("double"))))
+    return sdf
+
+
 def moment_stats(frame, x_col: str, y_col: str,
                  by: list[str] | None = None) -> SparkFrame:
     """Pearson correlation, sample covariance, and sample stddevs of two
@@ -263,7 +315,8 @@ def chisq_cells(frame=None, row_col: str = None, col_col: str = None,
 
 
 def cramers_v(frame=None, row_col: str = None, col_col: str = None,
-              cells=None) -> SparkFrame:
+              cells=None, exact: bool = False,
+              max_distinct: int = 10_000, buckets: int = 64) -> SparkFrame:
     """Cramér's V association strength for a (*row_col* × *col_col*)
     contingency table — the normalized effect size the raw chi-square
     lacks (0 = independent, 1 = perfectly associated; comparable
@@ -281,10 +334,16 @@ def cramers_v(frame=None, row_col: str = None, col_col: str = None,
     the base data total (zero when *cells* is precomputed).
 
     Output: one row (n, r, c, chi2, cramers_v), rounded 6.
+
+    Continuous inputs: each axis above *max_distinct* distinct values
+    auto-buckets to *buckets* equi-depth bins (``_cardinality_guard``)
+    — a χ² over one-row-per-cell continuous data is meaningless AND
+    cell-explosive; ``exact=True`` restores the unguarded plan.
     """
     from pyspark.sql import Window
     if cells is None:
-        sdf = _plain(frame)
+        sdf = _cardinality_guard(_plain(frame), [row_col, col_col],
+                                 exact, max_distinct, buckets)
         cells = sdf.groupBy(row_col, col_col).agg(
             F.count(F.lit(1)).alias("n_obs"))
     else:
@@ -717,7 +776,9 @@ def anova_oneway(frame, val_col: str, group_col: str,
     return SparkFrame(out)
 
 
-def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
+def mann_whitney_u(frame, val_col: str, group_col: str,
+                   exact: bool = False, max_distinct: int = 10_000,
+                   buckets: int = 1024) -> SparkFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) between every PAIR of groups
     — the non-parametric sibling of ``welch_t_test`` for skewed /
     ordinal metrics where mean comparisons mislead.
@@ -734,10 +795,12 @@ def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
     table has (#groups × #distinct values) rows — ONE hash aggregation
     of the base data; the pairwise inequality self-join and the tie
     sum run over that tiny table only. The right shape for discrete /
-    low-cardinality metrics (scores, counts, quantities); for
-    continuous high-cardinality columns bucket first (the
-    ``spearman_corr_approx`` boundary recipe) — the join is quadratic
-    in DISTINCT VALUES, never in rows.
+    low-cardinality metrics (scores, counts, quantities); a continuous
+    *val_col* above *max_distinct* distinct values AUTO-BUCKETS to
+    *buckets* equi-depth bins (``_cardinality_guard`` — order-
+    preserving midrank approximation, so U/z stay O(1/buckets)-
+    accurate); ``exact=True`` restores the unguarded plan. The join
+    is quadratic in DISTINCT VALUES, never in rows.
 
     Pairs are emitted once (g1 < g2); fixed double-arithmetic order
     and 12-decimal quantization of cross-value partial sums keep both
@@ -745,7 +808,8 @@ def mann_whitney_u(frame, val_col: str, group_col: str) -> SparkFrame:
 
     Output: (g1, g2, n1, n2, u1, z), rounded 6.
     """
-    sdf = _plain(frame)
+    sdf = _cardinality_guard(_plain(frame), [val_col],
+                             exact, max_distinct, buckets)
     vc = (sdf.groupBy(group_col, F.col(val_col).alias("__v__"))
           .agg(F.count(F.lit(1)).alias("__c__")))
     a = vc.select(F.col(group_col).alias("g1"),
@@ -850,9 +914,12 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
             .cast("decimal(19,0)")
 
     x = F.col(col).cast("decimal(28,6)")
-    aggs = [F.count(F.lit(1)).alias("n"), F.sum(x).alias("s")]
+    # count/weight only non-null values: a NULL x contributes neither to
+    # the point mean nor to any replicate (sum(w*x) already drops it; the
+    # weight sum must agree or replicate means are deflated)
+    aggs = [F.count(x).alias("n"), F.sum(x).alias("s")]
     for r in range(n_replicates):
-        w = weight(r)
+        w = F.when(x.isNotNull(), weight(r))
         aggs.append(F.sum(w * x).alias(f"sw_{r}"))
         aggs.append(F.sum(w).alias(f"w_{r}"))
     rows = (sdf.groupBy(*by).agg(*aggs) if by
@@ -862,13 +929,20 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
         means = sorted(
             float(row[f"sw_{r}"]) / float(row[f"w_{r}"])
             for r in range(n_replicates) if row[f"w_{r}"])
+        n = int(row["n"] or 0)
+        if n == 0 or not means:
+            # empty frame / all-NULL group / every replicate zero-weight
+            # (tiny group): emit a NULL interval row rather than crash
+            out_rows.append(tuple(
+                [row[k] for k in (by or [])]
+                + [n, None, None, None, n_replicates]))
+            continue
         lo_i = max(0, int(math.floor(alpha / 2 * len(means))))
         hi_i = min(len(means) - 1,
                    int(math.ceil((1 - alpha / 2) * len(means))) - 1)
         out_rows.append(tuple(
             [row[k] for k in (by or [])]
-            + [int(row["n"]),
-               round(float(row["s"]) / int(row["n"]), 6),
+            + [n, round(float(row["s"]) / n, 6),
                round(means[lo_i], 6), round(means[hi_i], 6),
                n_replicates]))
     spark = sdf.sparkSession
@@ -1003,16 +1077,23 @@ def winsorize(frame, col: str, lower: float = 0.05, upper: float = 0.95,
                           F.col("__p__")[1].alias("__hi__"))
     else:
         bounds = _plain(bounds)
-    joined = (sdf.join(F.broadcast(bounds), on=by) if by
+    # left join: keep-the-row contract holds for NULL-keyed rows too —
+    # they get no bounds row, so __lo__/__hi__ are NULL and the clip
+    # below passes the value through unchanged
+    joined = (sdf.join(F.broadcast(bounds), on=by, how="left") if by
               else sdf.crossJoin(F.broadcast(bounds)))
     clipped = F.least(F.greatest(F.col(col).cast("double"),
                                  F.col("__lo__")), F.col("__hi__"))
+    clipped = F.when(F.col("__lo__").isNull(),
+                     F.col(col).cast("double")).otherwise(clipped)
     out = (joined.withColumn(f"{col}_wins", clipped)
            .drop("__lo__", "__hi__"))
     return SparkFrame(out)
 
 
-def kendall_tau_b(frame, x_col: str, y_col: str) -> SparkFrame:
+def kendall_tau_b(frame, x_col: str, y_col: str,
+                  exact: bool = False, max_distinct: int = 10_000,
+                  buckets: int = 64) -> SparkFrame:
     """Kendall's τ-b rank correlation (tie-adjusted) — the third
     member of the correlation family (Pearson: ``moment_stats``,
     Spearman: ``spearman_corr``), preferred for heavily tied ordinal
@@ -1029,14 +1110,19 @@ def kendall_tau_b(frame, x_col: str, y_col: str) -> SparkFrame:
     each unordered pair of cells meets once (x_j > x_i):
     C += n_i·n_j when the y's agree in direction, D += when they
     invert. Quadratic in DISTINCT VALUE PAIRS, never rows — the same
-    regime statement as ``mann_whitney_u`` (bucket continuous columns
-    first via the ``spearman_corr_approx`` boundary recipe). All pair
-    products and tie counts aggregate as exact decimals (integer
-    arithmetic — order-independent, overflow-safe to 38 digits).
+    regime statement as ``mann_whitney_u``. A continuous axis above
+    *max_distinct* distinct values AUTO-BUCKETS to *buckets*
+    equi-depth bins per axis (``_cardinality_guard``; 64² = 4096
+    cells worst case keeps the cell self-join ~8M comparisons, and
+    bucket-midrank τ tracks exact τ within O(1/buckets)); pass
+    ``exact=True`` to restore the unguarded plan. All pair products
+    and tie counts aggregate as exact decimals (integer arithmetic —
+    order-independent, overflow-safe to 38 digits).
 
     Output: one row (n, concordant, discordant, tau_b rounded 6).
     """
-    sdf = _plain(frame)
+    sdf = _cardinality_guard(_plain(frame), [x_col, y_col],
+                             exact, max_distinct, buckets)
     cells = (sdf.groupBy(F.col(x_col).alias("__x__"),
                          F.col(y_col).alias("__y__"))
              .agg(F.count(F.lit(1)).alias("__c__")))
@@ -1078,7 +1164,9 @@ def kendall_tau_b(frame, x_col: str, y_col: str) -> SparkFrame:
     return SparkFrame(out)
 
 
-def auc_score(frame, score_col: str, label_col: str) -> SparkFrame:
+def auc_score(frame, score_col: str, label_col: str,
+              exact: bool = False, max_distinct: int = 10_000,
+              buckets: int = 1024) -> SparkFrame:
     """ROC AUC of a score against a binary label — the ranking-quality
     number every classifier/quality-filter evaluation reports, computed
     exactly via the Mann–Whitney identity
@@ -1089,9 +1177,11 @@ def auc_score(frame, score_col: str, label_col: str) -> SparkFrame:
     (tie-aware, equivalent to the trapezoidal ROC integral). Reuses
     the per-(label, value) count formulation of ``mann_whitney_u``:
     one hash aggregation of the base data, pairwise work quadratic in
-    DISTINCT SCORE VALUES only — bucket continuous scores first (the
-    ``spearman_corr_approx`` boundary recipe) when score cardinality
-    approaches row count.
+    DISTINCT SCORE VALUES only — a continuous score above
+    *max_distinct* distinct values auto-buckets to *buckets*
+    equi-depth bins (via ``mann_whitney_u``'s ``_cardinality_guard``;
+    AUC over bucket indices is the grouped-ROC trapezoid, error
+    O(1/buckets)); ``exact=True`` restores the unguarded plan.
 
     *label_col* must be 0/1-valued (cast from boolean upstream).
     Output: one row (n_pos, n_neg, auc rounded 6).
@@ -1099,7 +1189,9 @@ def auc_score(frame, score_col: str, label_col: str) -> SparkFrame:
     sdf = _plain(frame).select(
         F.col(score_col).alias("__s__"),
         F.col(label_col).cast("int").alias("__y__"))
-    mw = _plain(mann_whitney_u(sdf, "__s__", "__y__"))
+    mw = _plain(mann_whitney_u(sdf, "__s__", "__y__", exact=exact,
+                               max_distinct=max_distinct,
+                               buckets=buckets))
     # groups sort as g1=0 (neg), g2=1 (pos): U reported is U_neg;
     # AUC_pos = 1 − U_neg/(n_pos·n_neg)
     n1 = F.col("n1").cast("double")   # label 0 count

@@ -457,3 +457,25 @@ class TestReshape:
         assert got == {1: ["a", "b"], 2: ["c"]}  # empty group dropped
         with pytest.raises(KeyNotFound):
             fr.explode_column("nope")
+
+
+def test_explode_column_mints_fresh_row_ids(spark):
+    """ADVICE r6: exploded frames must not reuse the parent row id —
+    a driver-side literal column attached afterwards (broadcast
+    equi-join on the row id) must land one value per exploded row."""
+    fr = SparkFrame(spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c", "d", "e"])],
+        "gid bigint, vals array<string>"))
+    long = fr.explode_column("vals", pos_key="pos")
+    assert long.nrow == 5
+    from cl_data_frame_spark.frame import ROW_ID
+    ids = [r[0] for r in
+           long.spark_df_with_id.select(ROW_ID).collect()]
+    assert len(set(ids)) == 5              # unique row ids
+    long.add_column_("tag", ["t0", "t1", "t2", "t3", "t4"])
+    rows = sorted((r["gid"], r["pos"], r["vals"], r["tag"])
+                  for r in long.collect())
+    assert len(rows) == 5                  # join did not multiply rows
+    assert [t for *_, t in rows] == sorted(
+        t for *_, t in rows)  # one tag each
+    assert {r[3] for r in rows} == {"t0", "t1", "t2", "t3", "t4"}

@@ -802,3 +802,66 @@ def test_resample_bfill(spark):
                          aggs={"v": F.max("v")},
                          fill="bfill").spark_df.collect()}
     assert out == {0: 1.0, 1: 9.0, 2: 9.0, 3: 9.0}
+
+
+def test_interval_overlap_join_degenerate_and_boundary(spark):
+    """ADVICE r6: empty intervals [x, x) overlap nothing under
+    half-open semantics (and must not generate descending bucket
+    sequences on a grid boundary); boundary-ending intervals on
+    large-magnitude domains (epoch micros) replicate into exactly
+    the buckets they touch — no epsilon underflow."""
+    from cl_data_frame_spark.operators.relational import \
+        interval_overlap_join
+    # [5,5) is empty — even though 5 sits inside [4,6), no match;
+    # [10,10) sits exactly on a bucket boundary of width 5
+    l = SparkFrame(spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 10.0, 10.0), (3, 4.5, 5.5)],
+        "lid bigint, l_lo double, l_hi double"))
+    r = SparkFrame(spark.createDataFrame(
+        [(10, 4.0, 6.0)], "rid bigint, r_lo double, r_hi double"))
+    got = sorted((row.lid, row.rid) for row in
+                 interval_overlap_join(l, r, "l_lo", "l_hi",
+                                       "r_lo", "r_hi", bucket_width=5.0)
+                 .spark_df.collect())
+    assert got == [(3, 10)]
+    # epoch-micros magnitude, intervals ending exactly on the grid:
+    # [T, T+w) must touch exactly ONE bucket (1e-9 epsilon would
+    # underflow and leak it into a second)
+    T = 1_700_000_000_000_000.0           # ~2023 in epoch micros
+    w = 1_000_000.0                        # 1-second grid
+    lb = SparkFrame(spark.createDataFrame(
+        [(1, T, T + w)], "lid bigint, l_lo double, l_hi double"))
+    rb = SparkFrame(spark.createDataFrame(
+        [(10, T, T + w), (11, T + w, T + 2 * w)],
+        "rid bigint, r_lo double, r_hi double"))
+    got2 = sorted((row.lid, row.rid) for row in
+                  interval_overlap_join(lb, rb, "l_lo", "l_hi",
+                                        "r_lo", "r_hi", bucket_width=w)
+                  .spark_df.collect())
+    assert got2 == [(1, 10)]              # half-open: no touch-match
+
+
+def test_asof_tolerance_atomic_row_semantics(spark):
+    """ADVICE r6: the matched right row is ATOMIC (pandas merge_asof):
+    a NULL column in the nearest right row stays NULL — it must not
+    backfill from an older, possibly out-of-tolerance row."""
+    from cl_data_frame_spark.operators.relational import asof_join
+    left = SparkFrame(spark.createDataFrame(
+        [(1, 100.0)], "k bigint, t double"))
+    # older row (t=10, out of tolerance) has v='old'; nearest row
+    # (t=99, in tolerance) has v=NULL
+    right = SparkFrame(spark.createDataFrame(
+        [(1, 10.0, "old", 1.0), (1, 99.0, None, 2.0)],
+        "k bigint, t double, v string, p double"))
+    row = asof_join(left, right, "t", by="k",
+                    tolerance=5.0).spark_df.first()
+    assert row["r_p"] == 2.0        # from the matched row
+    assert row["r_v"] is None       # NOT backfilled from t=10
+    # same contract without tolerance: whole-row, not per-column fill
+    row2 = asof_join(left, right, "t", by="k").spark_df.first()
+    assert row2["r_p"] == 2.0 and row2["r_v"] is None
+    # unkeyed path: same atomic semantics
+    row3 = asof_join(SparkFrame(left.spark_df.drop("k")),
+                     SparkFrame(right.spark_df.drop("k")),
+                     "t", tolerance=5.0).spark_df.first()
+    assert row3["r_p"] == 2.0 and row3["r_v"] is None

@@ -777,3 +777,103 @@ def test_psi_detects_mean_shift_and_out_of_range(spark):
     # mass concentrates in the reference's TOP bin (+ above its range)
     top = max(out, key=lambda r: r.bin)
     assert top.p_cur > 0.5
+
+
+def test_winsorize_null_group_key_keeps_rows(spark):
+    """ADVICE r6: by= must not drop NULL-keyed rows (keep-the-row
+    contract) — they pass through unclipped."""
+    from cl_data_frame_spark.operators.stats import winsorize
+    rows = ([("a", float(v)) for v in range(1, 11)]
+            + [(None, 500.0), (None, -500.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = winsorize(df, "v", 0.2, 0.8, by=["g"]).spark_df.collect()
+    assert len(got) == 12                      # no row lost
+    nulls = {r["v"]: r["v_wins"] for r in got if r["g"] is None}
+    assert nulls == {500.0: 500.0, -500.0: -500.0}   # unclipped
+
+
+def test_poisson_bootstrap_ci_edge_inputs(spark):
+    """ADVICE r6: empty frame / all-NULL column must yield a NULL
+    interval row, not crash; NULL values are excluded from n/mean."""
+    from cl_data_frame_spark.operators.stats import poisson_bootstrap_ci
+    empty = spark.createDataFrame([], "rid bigint, x double")
+    r = poisson_bootstrap_ci(empty, "x", "rid",
+                             n_replicates=10).spark_df.first()
+    assert r["n"] == 0 and r["mean"] is None
+    assert r["lo"] is None and r["hi"] is None
+    # NULLs in col: excluded from the count and every replicate
+    rows = [(1, 10.0), (2, 20.0), (3, None), (4, 30.0)]
+    df = spark.createDataFrame(rows, "rid bigint, x double")
+    r2 = poisson_bootstrap_ci(df, "x", "rid",
+                              n_replicates=30).spark_df.first()
+    assert r2["n"] == 3
+    assert abs(r2["mean"] - 20.0) < 1e-9
+    assert r2["lo"] is not None and 10.0 <= r2["lo"] <= r2["hi"] <= 30.0
+    # per-group with one all-NULL group: NULL interval row for it
+    grows = [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, None)]
+    gdf = spark.createDataFrame(grows, "g string, rid bigint, x double")
+    out = {r["g"]: r for r in
+           poisson_bootstrap_ci(gdf, "x", "rid", n_replicates=10,
+                                by=["g"]).spark_df.collect()}
+    assert out["b"]["n"] == 0 and out["b"]["mean"] is None
+    assert out["a"]["n"] == 2
+
+
+def test_cardinality_guard_bounds_cells_and_tracks_exact(spark):
+    """VERDICT r6 #1: continuous high-cardinality inputs auto-bucket
+    instead of going cells-squared; the guarded statistic tracks the
+    exact one; exact=True restores the unguarded path bit-for-bit."""
+    from cl_data_frame_spark.operators.stats import (
+        _cardinality_guard, kendall_tau_b, mann_whitney_u, auc_score)
+    import random
+    rng = random.Random(7)
+    # continuous x with a clear monotone relation to y + noise
+    rows = [(rng.random() * 1000.0,) for _ in range(4000)]
+    rows = [(x, x * 0.5 + rng.gauss(0, 50.0)) for (x,) in rows]
+    df = spark.createDataFrame(rows, "x double, y double")
+    # the guard itself: bucketed column cardinality <= buckets, so the
+    # cell self-join is bounded by bucketed-cells squared
+    g = _cardinality_guard(df, ["x"], exact=False,
+                           max_distinct=1000, buckets=64)
+    n_distinct = g.select("x").distinct().count()
+    assert n_distinct <= 64
+    # tau: guarded vs exact within the O(1/buckets) regime
+    t_exact = kendall_tau_b(df, "x", "y", exact=True).spark_df.first()
+    t_guard = kendall_tau_b(df, "x", "y", max_distinct=1000,
+                            buckets=64).spark_df.first()
+    assert abs(t_guard["tau_b"] - t_exact["tau_b"]) < 0.05
+    # below the threshold the guard is a no-op: identical result
+    small = spark.createDataFrame(
+        [(float(i % 20), float((i * 7) % 13)) for i in range(500)],
+        "x double, y double")
+    assert (kendall_tau_b(small, "x", "y").spark_df.first()
+            == kendall_tau_b(small, "x", "y",
+                             exact=True).spark_df.first())
+    # U/AUC: continuous score, binary label
+    srows = [(rng.gauss(1.0 if i % 2 else 0.0, 1.0), i % 2)
+             for i in range(4000)]
+    sdf = spark.createDataFrame(srows, "s double, y int")
+    a_exact = auc_score(sdf, "s", "y", exact=True).spark_df.first()
+    a_guard = auc_score(sdf, "s", "y", max_distinct=1000,
+                        buckets=256).spark_df.first()
+    assert abs(a_guard["auc"] - a_exact["auc"]) < 0.01
+    u_exact = mann_whitney_u(sdf, "s", "y",
+                             exact=True).spark_df.first()
+    u_guard = mann_whitney_u(sdf, "s", "y", max_distinct=1000,
+                             buckets=256).spark_df.first()
+    assert abs(u_guard["z"] - u_exact["z"]) / abs(u_exact["z"]) < 0.05
+
+
+def test_cardinality_guard_rejects_noncontinuous_high_card(spark):
+    """A non-numeric column above the bound raises with guidance
+    (hash-bucketing a categorical would change the statistic)."""
+    from cl_data_frame_spark.operators.stats import cramers_v
+    import pytest
+    rows = [(f"id_{i}", "x" if i % 2 else "y") for i in range(3000)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    with pytest.raises(ValueError, match="distinct"):
+        cramers_v(df, "r", "c", max_distinct=1000)
+    # exact=True opts back in
+    got = cramers_v(df, "r", "c", max_distinct=1000,
+                    exact=True).spark_df.first()
+    assert got["n"] == 3000
