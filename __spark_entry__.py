@@ -1521,11 +1521,9 @@ def q_st_stateful(spark, sf_dir):
                     F.round("total", 4).alias("total")))
 
 
-def q_st_dedup(spark, sf_dir):
-    """Streaming dedup over an at-least-once stream: the events file read
-    as TWO unioned file-source streams (every record delivered twice),
-    watermarked dropDuplicates collapsing them back; the oracle is the
-    plain batch aggregate over the single copy."""
+def q_st_dedup_only(spark, sf_dir):
+    """The dedup stream of the st_dedup composite on its own (bench
+    parts attribution runs each real stream separately)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
@@ -1539,11 +1537,19 @@ def q_st_dedup(spark, sf_dir):
     _STREAM_SEQ[0] += 1
     name = f"st_dedup_{_STREAM_SEQ[0]}"
     ST.run_stream_to_memory(deduped, name, output_mode="append")
-    agg = (spark.table(name)
-           .groupBy("event_type")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                .alias("sum_value")))
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value")))
+
+
+def q_st_dedup(spark, sf_dir):
+    """Streaming dedup over an at-least-once stream: the events file read
+    as TWO unioned file-source streams (every record delivered twice),
+    watermarked dropDuplicates collapsing them back; the oracle is the
+    plain batch aggregate over the single copy."""
+    agg = q_st_dedup_only(spark, sf_dir)
     # the other REAL-stream queries live in this (correctness-only)
     # composite too: bench's st_windows entry measures the windowed
     # analytical plans, while stream startup latency is verified here
@@ -2672,7 +2678,54 @@ def q_x_curation_scrub(spark, sf_dir):
              F.col("blocked").cast("bigint").alias("i3"),
              _BNULL().alias("i4"), _DNULL().alias("d1"),
              _SNULL().alias("s1"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # URL curation (curation.url_normalize / url_dedup / domain_cap):
+    # deterministic messy URLs synthesized from doc_id exercise scheme/
+    # host lowering, default-port and fragment drop, tracking-param
+    # strip + sort, trailing-slash, and the co.uk second-level branch;
+    # the oracle states the EXPECTED canonical form directly (ground
+    # truth, not a regex re-implementation)
+    urls = _messy_urls(spark, sf_dir)
+    un = CUR.url_normalize(urls, "url").spark_df
+    e = _tag(un, "url",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _BNULL().alias("i4"),
+             _DNULL().alias("d1"),
+             F.concat(F.col("url_norm"), F.lit("|"),
+                      F.col("domain")).alias("s1"))
+    ud = CUR.url_dedup(urls, "url", "doc_id").spark_df
+    f = _tag(ud, "urldedup",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _BNULL().alias("i4"),
+             _DNULL().alias("d1"), F.col("url_norm").alias("s1"))
+    dc = CUR.domain_cap(urls, "url", "doc_id", k=5).spark_df
+    g = _tag(dc, "domcap",
+             F.col("doc_id").cast("bigint").alias("doc_id"),
+             _BNULL().alias("i1"), _BNULL().alias("i2"),
+             _BNULL().alias("i3"), _BNULL().alias("i4"),
+             _DNULL().alias("d1"), F.col("domain").alias("s1"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e).unionByName(f).unionByName(g))
+
+
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL table for the URL-curation parts: even
+    doc_ids get an https://WWW.…:443 URL with tracking params and a
+    fragment, odd doc_ids an http://…Shop.CO.UK:80 URL with a trailing
+    slash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    even = F.concat(
+        F.lit("HTTPS://WWW.Example.COM:443/docs/"),
+        (d % 7).cast("string"),
+        F.lit("/?utm_source=x&b="), (d % 3).cast("string"),
+        F.lit("&a=1&fbclid=z#f"), d.cast("string"))
+    odd = F.concat(
+        F.lit("http://Sub"), (d % 4).cast("string"),
+        F.lit(".Shop.CO.UK:80/p/"), (d % 5).cast("string"), F.lit("/"))
+    return docs.withColumn(
+        "url", F.when(d % 2 == 0, even).otherwise(odd))
 
 
 def q_s_moment_stats(spark, sf_dir):
@@ -3188,7 +3241,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_dedup_clusters": ["cc", "pagerank", "triangles"],
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
     "x_media": ["dedup", "frames"],
-    "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist"],
+    "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
+                         "url", "urldedup", "domcap"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned"],
 }
 
@@ -3215,6 +3269,14 @@ def query_parts() -> dict[str, dict[str, Callable]]:
             _f(spark, sf_dir, "documents")).spark_df,
         "nll": lambda spark, sf_dir: TS.unigram_logprob_scores(
             _t(spark, sf_dir, "documents")).spark_df,
+    }
+    # streaming composite: each part callable runs ITS OWN real stream
+    # (a tag filter over the composite would restart all three), so the
+    # bench clock decomposes st_dedup into its stream plans
+    out["st_dedup"] = {
+        "dedup": q_st_dedup_only,
+        "ss_join": q_st_ss_join,
+        "static_join": q_st_static_join,
     }
     return out
 
@@ -6439,6 +6501,19 @@ _ORACLES["x_pii_redact"] = """
            md5(redacted) AS redacted_md5
     FROM red"""
 
+#: expected canonical URL + registered domain for ``_messy_urls``
+_URL_NORM_CTE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://www.example.com/docs/' || (doc_id % 7)
+                     || '?a=1&b=' || (doc_id % 3)
+                ELSE 'http://sub' || (doc_id % 4) || '.shop.co.uk/p/'
+                     || (doc_id % 5)
+           END AS url_norm,
+           CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+                ELSE 'shop.co.uk' END AS domain
+    FROM documents"""
+
 _ORACLES["x_curation_scrub"] = _union(
     _wrap("decontaminate", _ORACLES["x_decontaminate"],
           "doc_id::BIGINT AS doc_id, n_ngrams::BIGINT AS i1, "
@@ -6493,7 +6568,35 @@ _ORACLES["x_curation_scrub"] = _union(
           "doc_id::BIGINT AS doc_id, n_hits::BIGINT AS i1, "
           "n_terms::BIGINT AS i2, (n_hits > 2)::BIGINT AS i3, "
           "NULL::BIGINT AS i4, NULL::DOUBLE AS d1, "
-          "NULL::VARCHAR AS s1"))
+          "NULL::VARCHAR AS s1"),
+    # URL curation: the oracle states the EXPECTED canonical URL /
+    # registered domain for the synthesized messy URLs (ground truth)
+    _wrap("url", f"""
+        SELECT doc_id, url_norm || '|' || domain AS s1
+        FROM ({_URL_NORM_CTE})""",
+          "doc_id::BIGINT AS doc_id, NULL::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, NULL::BIGINT AS i3, NULL::BIGINT AS i4, "
+          "NULL::DOUBLE AS d1, s1"),
+    _wrap("urldedup", f"""
+        SELECT min(doc_id) AS doc_id, url_norm AS s1
+        FROM ({_URL_NORM_CTE}) GROUP BY url_norm""",
+          "doc_id::BIGINT AS doc_id, NULL::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, NULL::BIGINT AS i3, NULL::BIGINT AS i4, "
+          "NULL::DOUBLE AS d1, s1"),
+    _wrap("domcap", f"""
+        SELECT doc_id, domain AS s1 FROM (
+            SELECT doc_id, domain,
+                   row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),
+                                                1, 8))::UBIGINT % 10000
+                                    ASC,
+                                doc_id ASC) AS rk
+            FROM ({_URL_NORM_CTE}))
+        WHERE rk <= 5""",
+          "doc_id::BIGINT AS doc_id, NULL::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, NULL::BIGINT AS i3, NULL::BIGINT AS i4, "
+          "NULL::DOUBLE AS d1, s1"))
 
 _ORACLES["x_bm25_scores"] = """
     WITH toks AS (

@@ -66,6 +66,8 @@ HEADLINE = [
     "x_bm25",                  # Okapi BM25 scoring
     "x_embed_quantize",        # int8 embedding quantization
     "st_windows",              # tumbling/sliding/session windowed aggs
+    "st_stateful",             # applyInPandasWithState running totals
+    "st_dedup",                # watermarked dedup + stream-stream/static joins
 ]
 
 

@@ -55,3 +55,25 @@ class EmptyFrame(DataFrameError):
 
     def __init__(self):
         super().__init__("Can't create an empty data frame.")
+
+
+class CollectGuardExceeded(DataFrameError):
+    """A driver-side materialization would exceed the collect guard.
+
+    The Tier-R contract surface (``column``/``columns``/positional
+    ``slice``/``as_dict``/``to_pandas``/``collect``) intentionally
+    materializes on the driver to honor the reference's in-memory
+    semantics (cl-data-frame.lisp:345-361) — at 100 TB that habit
+    would OOM the driver, so collects above
+    ``cl_data_frame_spark.frame.MAX_COLLECT_ROWS`` raise instead.
+    """
+
+    def __init__(self, nrow: int, limit: int):
+        self.nrow = nrow
+        self.limit = limit
+        super().__init__(
+            f"Driver-side materialization of {nrow:,} rows exceeds the "
+            f"collect guard ({limit:,} rows). Use the lazy surface "
+            "(col()/select()/filter()/operators.*) for distributed "
+            "work, write results with sources.write_parquet, or raise "
+            "cl_data_frame_spark.frame.MAX_COLLECT_ROWS deliberately.")

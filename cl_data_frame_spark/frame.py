@@ -36,12 +36,22 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .errors import ColumnLengthMismatch, DuplicateKey, EmptyFrame, KeyNotFound
+from .errors import (CollectGuardExceeded, ColumnLengthMismatch,
+                     DuplicateKey, EmptyFrame, KeyNotFound)
 from .keys import OrderedKeys
 from .sparktypes import to_spark_type
 
 ROW_ID = "__row_id__"
 _POS = "__pos__"
+
+#: Driver-OOM guard for the eager Tier-R contract surface (VERDICT r6
+#: #6): column()/columns()/positional slice/as_dict/to_pandas/collect
+#: materialize driver-side by contract (the reference is in-memory) —
+#: above this row count they raise CollectGuardExceeded instead of
+#: OOMing a 100 TB user's driver. Generous default; set it per-process
+#: (``cl_data_frame_spark.frame.MAX_COLLECT_ROWS = ...``) to widen or
+#: tighten deliberately.
+MAX_COLLECT_ROWS = 10_000_000
 
 
 class ALL:
@@ -387,6 +397,14 @@ class SparkFrame:
             self._nrow = self._df.count()
         return self._nrow
 
+    def _guard_collect(self) -> None:
+        """Raise ``CollectGuardExceeded`` before a driver-side
+        materialization of more than ``MAX_COLLECT_ROWS`` rows. The
+        count is cached (``nrow``), so the guard costs at most one
+        count job — cheap next to the collect it gates."""
+        if MAX_COLLECT_ROWS is not None and self.nrow > MAX_COLLECT_ROWS:
+            raise CollectGuardExceeded(self.nrow, MAX_COLLECT_ROWS)
+
     @property
     def ncol(self) -> int:
         return len(self._keys)
@@ -416,6 +434,7 @@ class SparkFrame:
         if isinstance(key, int) and not isinstance(key, bool):
             key = self._keys.resolve_position(key)
         self._keys.index(key)
+        self._guard_collect()
         rows = self._df.select(ROW_ID, key).orderBy(ROW_ID).collect()
         return [r[1] for r in rows]
 
@@ -433,6 +452,7 @@ class SparkFrame:
         keys = _resolve_keyspec(self._keys, spec)
         if isinstance(spec, (str, int)) and not isinstance(spec, bool):
             return self.column(keys[0])
+        self._guard_collect()
         rows = self._df.select(ROW_ID, *keys).orderBy(ROW_ID).collect()
         return [[r[i + 1] for r in rows] for i in range(len(keys))]
 
@@ -559,6 +579,7 @@ class SparkFrame:
                 return row[0]
             return DataVector(list(zip(keys, row)))
         if col_scalar:
+            self._guard_collect()
             rows_out = filtered.select(ROW_ID, keys[0]).orderBy(ROW_ID).collect()
             return [r[1] for r in rows_out]
         return SparkFrame(filtered.select(ROW_ID, *keys), keys)
@@ -626,6 +647,7 @@ class SparkFrame:
     def map_rows_values(self, keys, fn, element_type=None, vectorized=False) -> list:
         """Eager variant returning materialized values in ingest order."""
         col = self.map_rows(keys, fn, element_type, vectorized)
+        self._guard_collect()
         rows = self._df.select(ROW_ID, col.alias("__v__")).orderBy(ROW_ID).collect()
         return [r[1] for r in rows]
 
@@ -722,6 +744,7 @@ class SparkFrame:
             # a lazily-recomputed monotonically_increasing_id could attach
             # values to the wrong rows on a shuffled lineage.
             self._stabilize()
+            self._guard_collect()
             spark = self._df.sparkSession
             ids = [r[0] for r in
                    self._df.select(ROW_ID).orderBy(ROW_ID).collect()]
@@ -903,6 +926,7 @@ class SparkFrame:
 
     def to_pandas(self) -> pd.DataFrame:
         """Arrow-path collection in ingest order."""
+        self._guard_collect()
         return (self._df.orderBy(ROW_ID).drop(ROW_ID).toPandas())
 
     def as_dict(self) -> dict[str, list]:
@@ -925,6 +949,7 @@ class SparkFrame:
 
     def collect(self) -> list[dict]:
         """All rows as dicts, ingest order."""
+        self._guard_collect()
         rows = self._df.orderBy(ROW_ID).drop(ROW_ID).collect()
         return [r.asDict() for r in rows]
 

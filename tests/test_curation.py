@@ -498,3 +498,49 @@ def test_readability_orders_simple_before_dense(spark):
            TS.readability_scores(df).spark_df.collect()}
     assert got[1] > 80          # simple prose reads easy
     assert got[2] < got[1] - 50  # dense prose scores far lower
+
+
+def test_url_normalize_canonicalization(spark):
+    from cl_data_frame_spark.operators.curation import url_normalize
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Docs/A/?utm_source=x&b=2&a=1&fbclid=z#frag"),
+        (2, "http://example.com:80/"),
+        (3, "https://sub.shop.co.uk/p//?gclid=1"),
+        (4, "https://example.com/Docs/A?a=1&b=2"),
+        (5, "ftp://Files.Example.org/pub/"),
+        (6, "https://example.com:8443/x"),          # NON-default port kept
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    out = {r.id: (r.url_norm, r.domain) for r in
+           url_normalize(df, "url").spark_df.collect()}
+    assert out[1] == ("https://www.example.com/Docs/A?a=1&b=2",
+                      "example.com")        # path case preserved
+    assert out[2] == ("http://example.com", "example.com")
+    assert out[3] == ("https://sub.shop.co.uk/p", "shop.co.uk")
+    assert out[4] == ("https://example.com/Docs/A?a=1&b=2", "example.com")
+    assert out[5] == ("ftp://files.example.org/pub", "example.org")
+    assert out[6] == ("https://example.com:8443/x", "example.com")
+    # 1 and 4 differ only by www + mess -> distinct url_norm (www kept
+    # in the URL, stripped in the domain)
+    assert out[1][0] != out[4][0]
+
+
+def test_url_dedup_and_domain_cap(spark):
+    from cl_data_frame_spark.operators.curation import (
+        url_dedup, domain_cap)
+    rows = [(i,
+             f"https://A{'x' if i % 2 else ''}.example.com/p/{i % 3}/"
+             f"?utm_source=s{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    # 2 hosts x 3 paths = 6 canonical URLs; min doc_id survives each
+    kept = url_dedup(df, "url", "doc_id").spark_df.collect()
+    assert len(kept) == 6
+    assert {r.doc_id for r in kept} == {0, 1, 2, 3, 4, 5}
+    # all 30 rows share the registered domain example.com -> cap at 4
+    capped = domain_cap(df, "url", "doc_id", k=4).spark_df.collect()
+    assert len(capped) == 4
+    assert all(r.domain == "example.com" for r in capped)
+    # deterministic: same rows every run
+    again = domain_cap(df, "url", "doc_id", k=4).spark_df.collect()
+    assert {r.doc_id for r in capped} == {r.doc_id for r in again}

@@ -479,3 +479,30 @@ def test_explode_column_mints_fresh_row_ids(spark):
     assert [t for *_, t in rows] == sorted(
         t for *_, t in rows)  # one tag each
     assert {r[3] for r in rows} == {"t0", "t1", "t2", "t3", "t4"}
+
+
+def test_collect_guard_raises_above_limit(spark):
+    """VERDICT r6 #6: driver-side materialization above
+    MAX_COLLECT_ROWS raises instead of OOMing the driver."""
+    import cl_data_frame_spark.frame as frame_mod
+    from cl_data_frame_spark.errors import CollectGuardExceeded
+    fr = SparkFrame(spark.range(100).withColumnRenamed("id", "v"))
+    old = frame_mod.MAX_COLLECT_ROWS
+    try:
+        frame_mod.MAX_COLLECT_ROWS = 50
+        for op in (lambda: fr.column("v"),
+                   lambda: fr.columns(),
+                   lambda: fr.to_pandas(),
+                   lambda: fr.as_dict(),
+                   lambda: fr.collect(),
+                   lambda: fr.add_column_("w", list(range(100)))):
+            with pytest.raises(CollectGuardExceeded, match="collect guard"):
+                op()
+        # under the limit everything still works
+        frame_mod.MAX_COLLECT_ROWS = 1000
+        assert len(fr.column("v")) == 100
+        # opt-out entirely
+        frame_mod.MAX_COLLECT_ROWS = None
+        assert len(fr.collect()) == 100
+    finally:
+        frame_mod.MAX_COLLECT_ROWS = old
