@@ -3026,12 +3026,55 @@ def q_s_stats(spark, sf_dir):
               F.col("concordant").cast("double").alias("d2"),
               F.col("discordant").cast("double").alias("d3"),
               _DNULL().alias("d4"))
+    # PSI drift report: reference = l_quantity, current = a +5-shifted
+    # copy (drift by construction, so per-bin attribution is non-trivial)
+    psi = STAT.population_stability_index(
+        li.select("l_quantity"),
+        li.select((F.col("l_quantity") + 5).alias("l_quantity")),
+        "l_quantity", n_bins=10).spark_df
+    pst = _tag(psi, "psi",
+               F.col("bin").cast("string").alias("s1"),
+               F.col("n_ref").cast("bigint").alias("i1"),
+               F.col("n_cur").cast("bigint").alias("i2"),
+               F.col("p_ref").cast("double").alias("d1"),
+               F.col("p_cur").cast("double").alias("d2"),
+               F.col("psi_term").cast("double").alias("d3"),
+               _DNULL().alias("d4"))
+    # smoothed target encoding: the per-category encoding table
+    te = STAT.target_encode(li.select("l_returnflag", "l_quantity"),
+                            "l_returnflag", "l_quantity",
+                            smoothing=20.0).spark_df
+    tet = _tag(te.groupBy("l_returnflag")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.min("l_returnflag_enc").alias("enc")),
+               "targetenc",
+               F.col("l_returnflag").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("enc").cast("double").alias("d1"),
+               _DNULL().alias("d2"), _DNULL().alias("d3"),
+               _DNULL().alias("d4"))
+    # Poisson bootstrap CI for mean(n_chars) per language over documents
+    # (md5 inverse-CDF weights -> deterministic, oracle-able)
+    docs = _t(spark, sf_dir, "documents")
+    bs = STAT.poisson_bootstrap_ci(
+        docs.select("lang", "doc_id", "n_chars"), "n_chars", "doc_id",
+        n_replicates=40, by=["lang"]).spark_df
+    bst = _tag(bs, "bootstrap",
+               F.col("lang").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               F.col("n_replicates").cast("bigint").alias("i2"),
+               F.col("mean").cast("double").alias("d1"),
+               F.col("lo").cast("double").alias("d2"),
+               F.col("hi").cast("double").alias("d3"),
+               _DNULL().alias("d4"))
     return (a.unionByName(f).unionByName(g).unionByName(g2)
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
             .unionByName(w).unionByName(s).unionByName(an)
             .unionByName(mwt).unionByName(kt).unionByName(wn)
-            .unionByName(cvt).unionByName(aut).unionByName(kpt))
+            .unionByName(cvt).unionByName(aut).unionByName(kpt)
+            .unionByName(pst).unionByName(tet).unionByName(bst))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3223,7 +3266,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
-                "winsor", "cramer", "auc", "kappa"],
+                "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
+                "bootstrap"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -3286,6 +3330,21 @@ def query_parts() -> dict[str, dict[str, Callable]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+# Poisson(1) CDF thresholds for the bootstrap oracle — the SAME Python
+# formula stats.poisson_bootstrap_ci evaluates, repr()d so both engines
+# compare against bit-identical doubles
+def _poisson_cum_literals() -> tuple[str, float, float]:
+    import math
+    cum, acc = [], 0.0
+    for k in range(8):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cum.append(acc)
+    arr = "[" + ", ".join(repr(c) for c in cum) + "]"
+    return arr, 0.05 / 2, 1 - 0.05 / 2
+
+
+_POISSON_CUM_SQL, _BOOT_A2, _BOOT_A1 = _poisson_cum_literals()
 
 _ORACLES: dict[str, str] = {
     "r_construct_df": "SELECT r_regionkey, r_name FROM region",
@@ -6434,7 +6493,100 @@ _ORACLES["s_stats"] = _union(
         FROM ag CROSS JOIN pe""",
           "'qty%3~partkey%3' AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
           "kappa::DOUBLE AS d1, p_obs::DOUBLE AS d2, "
-          "p_exp::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+          "p_exp::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    # PSI drift: reference l_quantity vs a +5-shifted current copy;
+    # bins are the reference's exact deciles (stats.population_stability_index)
+    _wrap("psi", """
+        WITH ref AS (SELECT l_quantity::DOUBLE AS x FROM lineitem),
+        cur AS (SELECT (l_quantity + 5)::DOUBLE AS x FROM lineitem),
+        cuts AS (SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                          0.6, 0.7, 0.8, 0.9]) AS c
+                 FROM ref),
+        rb AS (SELECT len(list_filter((SELECT c FROM cuts),
+                                      b -> b <= x)) AS bin,
+                      count(*) AS n_ref
+               FROM ref GROUP BY 1),
+        cb AS (SELECT len(list_filter((SELECT c FROM cuts),
+                                      b -> b <= x)) AS bin,
+                      count(*) AS n_cur
+               FROM cur GROUP BY 1),
+        j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                     coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_cur, 0) AS n_cur
+              FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+        t AS (SELECT bin, n_ref, n_cur,
+                     greatest(n_ref::DOUBLE / sum(n_ref) OVER (),
+                              0.0001) AS p_ref,
+                     greatest(n_cur::DOUBLE / sum(n_cur) OVER (),
+                              0.0001) AS p_cur
+              FROM j)
+        SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+               round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+               round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        FROM t""",
+          "bin::VARCHAR AS s1, n_ref::BIGINT AS i1, n_cur::BIGINT AS i2, "
+          "p_ref::DOUBLE AS d1, p_cur::DOUBLE AS d2, "
+          "psi_term::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    # smoothed target encoding table (stats.target_encode, m = 20)
+    _wrap("targetenc", """
+        WITH per AS (SELECT l_returnflag, count(*) AS n,
+                            sum(l_quantity::DECIMAL(28,6)) AS s
+                     FROM lineitem GROUP BY 1),
+        g AS (SELECT count(*) AS gn,
+                     sum(l_quantity::DECIMAL(28,6)) AS gs
+              FROM lineitem)
+        SELECT l_returnflag, n::BIGINT AS n,
+               round((s::DOUBLE + 20.0 * (gs::DOUBLE / gn::DOUBLE))
+                     / (n::DOUBLE + 20.0), 6) AS enc
+        FROM per CROSS JOIN g""",
+          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "enc::DOUBLE AS d1, NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    # Poisson bootstrap CI per language over documents
+    # (stats.poisson_bootstrap_ci: md5 inverse-CDF weights, R = 40,
+    # alpha = 0.05; threshold literals repr()d from the same Python
+    # formula the operator evaluates)
+    _wrap("bootstrap", f"""
+        WITH t AS (SELECT lang, doc_id,
+                          n_chars::DECIMAL(28,6) AS x FROM documents),
+        reps AS (SELECT unnest(generate_series(0, 39)) AS r),
+        w AS (
+          SELECT lang, r, sum(wt * x) AS sw, sum(wt) AS wsum
+          FROM (
+            SELECT t.lang, reps.r, t.x,
+                   len(list_filter({_POISSON_CUM_SQL},
+                       c -> c < (('0x' || substr(md5(t.doc_id::VARCHAR
+                                     || '|' || reps.r || '|boot'),
+                                     1, 13))::UBIGINT::DOUBLE
+                                 / 4503599627370496.0)))
+                       ::DECIMAL(19,0) AS wt
+            FROM t CROSS JOIN reps)
+          GROUP BY lang, r),
+        m AS (SELECT lang, sw::DOUBLE / wsum::DOUBLE AS mean
+              FROM w WHERE wsum > 0),
+        o AS (SELECT lang, mean,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY mean) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM m),
+        sel AS (SELECT lang,
+                       max(CASE WHEN rk = greatest(0,
+                               floor({_BOOT_A2!r} * cnt)::BIGINT) + 1
+                                THEN mean END) AS lo,
+                       max(CASE WHEN rk = least(cnt - 1,
+                               ceil({_BOOT_A1!r} * cnt)::BIGINT - 1) + 1
+                                THEN mean END) AS hi
+                FROM o GROUP BY lang),
+        base AS (SELECT lang, count(x) AS n, sum(x) AS s
+                 FROM t GROUP BY lang)
+        SELECT b.lang, b.n::BIGINT AS n,
+               round(b.s::DOUBLE / b.n, 6) AS mean,
+               round(sel.lo, 6) AS lo, round(sel.hi, 6) AS hi,
+               40 AS n_replicates
+        FROM base b JOIN sel USING (lang)""",
+          "lang AS s1, n::BIGINT AS i1, n_replicates::BIGINT AS i2, "
+          "mean::DOUBLE AS d1, lo::DOUBLE AS d2, hi::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"))
 
 
 _ORACLES["x_decontaminate"] = """
