@@ -40,7 +40,12 @@ def token_count(col) -> Column:
 def bpe_ish_token_count(col) -> Column:
     """BPE-ish subword count: alphanumeric runs + individual punctuation,
     each alpha run contributing ceil(len/4) subwords (the ~4-chars-per-token
-    rule of thumb). Regex extraction, no tokenizer dependency."""
+    rule of thumb). Regex extraction, no tokenizer dependency.
+
+    Calibration (measured, tests/test_bpe.py): mean relative error ~0.50
+    vs an exact trained BPE on the documents fixtures — an order-of-
+    magnitude screen, NOT a budget unit. Budget chunking/packing with
+    ``operators.bpe.bpe_token_count`` (exact trained BPE) instead."""
     pieces = F.expr(
         f"regexp_extract_all({_sql_name(col)}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
     return F.aggregate(
