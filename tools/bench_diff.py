@@ -6,7 +6,7 @@ mirrors SURVEY.md §2.4's round-composition notes).
 Usage:
     python tools/bench_diff.py BENCH_r04.json BENCH_r05.json [threshold]
 
-Queries whose wall moved more than *threshold* (default 1.5x) in either
+Queries whose wall moved more than *threshold* (default 1.4x) in either
 direction and whose parts did NOT change are flagged REGRESSION/SPEEDUP —
 those are the rows that need an explanation (methodology, environment, or
 a real plan change); moves on entries with changed parts are expected.
@@ -66,7 +66,7 @@ def main() -> None:
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.4
 
     def load(p):
         with open(p) as f:
