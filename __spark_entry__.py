@@ -2705,8 +2705,31 @@ def q_x_curation_scrub(spark, sf_dir):
              _BNULL().alias("i1"), _BNULL().alias("i2"),
              _BNULL().alias("i3"), _BNULL().alias("i4"),
              _DNULL().alias("d1"), F.col("domain").alias("s1"))
+    # temperature-scaled language mix (sampling.temperature_weights /
+    # temperature_sample): alpha=0.7 upsamples rare languages
+    docs = _t(spark, sf_dir, "documents")
+    tw = SAMP.temperature_weights(docs, "lang", alpha=0.7).spark_df
+    h = _tag(tw, "tempw",
+             _BNULL().alias("doc_id"),
+             F.col("n").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             _BNULL().alias("i4"),
+             F.col("w").cast("double").alias("d1"),
+             F.col("lang").alias("s1"))
+    ts = SAMP.temperature_sample(docs, "doc_id", "lang",
+                                 budget=200, alpha=0.7).spark_df
+    tss = (ts.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").alias("sum_id")))
+    i = _tag(tss, "tempsamp",
+             _BNULL().alias("doc_id"),
+             F.col("n_kept").cast("bigint").alias("i1"),
+             F.col("sum_id").cast("bigint").alias("i2"),
+             _BNULL().alias("i3"), _BNULL().alias("i4"),
+             _DNULL().alias("d1"), F.col("lang").alias("s1"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f).unionByName(g))
+            .unionByName(e).unionByName(f).unionByName(g)
+            .unionByName(h).unionByName(i))
 
 
 def _messy_urls(spark, sf_dir):
@@ -3294,7 +3317,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
-                         "url", "urldedup", "domcap"],
+                         "url", "urldedup", "domcap", "tempw",
+                         "tempsamp"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned"],
 }
 
@@ -6756,7 +6780,42 @@ _ORACLES["x_curation_scrub"] = _union(
         WHERE rk <= 5""",
           "doc_id::BIGINT AS doc_id, NULL::BIGINT AS i1, "
           "NULL::BIGINT AS i2, NULL::BIGINT AS i3, NULL::BIGINT AS i4, "
-          "NULL::DOUBLE AS d1, s1"))
+          "NULL::DOUBLE AS d1, s1"),
+    # temperature-scaled language mix: w = p^0.7 / sum(p^0.7)
+    _wrap("tempw", """
+        WITH per AS (SELECT lang, count(*) AS n FROM documents
+                     GROUP BY lang),
+        t AS (SELECT lang, n,
+                     n::DOUBLE / sum(n) OVER () AS p,
+                     pow(n::DOUBLE / sum(n) OVER (), 0.7) AS pa
+              FROM per)
+        SELECT lang, n::BIGINT AS n,
+               round(pa / sum(pa) OVER (), 6) AS w
+        FROM t""",
+          "NULL::BIGINT AS doc_id, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "NULL::BIGINT AS i3, NULL::BIGINT AS i4, w::DOUBLE AS d1, "
+          "lang AS s1"),
+    # deterministic temperature resample at budget 200: keep iff
+    # md5-bucket(doc_id || 'temp') < min(10000, 200*w*10000/n)
+    _wrap("tempsamp", """
+        WITH per AS (SELECT lang, count(*) AS n FROM documents
+                     GROUP BY lang),
+        t AS (SELECT lang, n,
+                     pow(n::DOUBLE / sum(n) OVER (), 0.7) AS pa
+              FROM per),
+        w AS (SELECT lang, n,
+                     round(pa / sum(pa) OVER (), 6) AS w FROM t),
+        keep AS (
+            SELECT d.lang, d.doc_id
+            FROM documents d JOIN w USING (lang)
+            WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || 'temp'),
+                                   1, 8))::UBIGINT % 10000)::DOUBLE
+                  < least(10000.0, 200.0 * w.w * 10000.0 / w.n))
+        SELECT lang, count(*) AS n_kept, sum(doc_id) AS sum_id
+        FROM keep GROUP BY lang""",
+          "NULL::BIGINT AS doc_id, n_kept::BIGINT AS i1, "
+          "sum_id::BIGINT AS i2, NULL::BIGINT AS i3, NULL::BIGINT AS i4, "
+          "NULL::DOUBLE AS d1, lang AS s1"))
 
 _ORACLES["x_bm25_scores"] = """
     WITH toks AS (

@@ -290,3 +290,66 @@ def negative_sample(frame, id_col: str, k: int = 4,
                      on="__cand__", how="left_semi")
            .select(id_col, F.col("__cand__").alias("neg_id"), "j"))
     return SparkFrame(out)
+
+
+def temperature_weights(frame, domain_col: str, alpha: float = 0.7,
+                        size_col: str | None = None) -> SparkFrame:
+    """Temperature-scaled domain weights ``w_d = p_d^α / Σ p^α`` — the
+    multilingual-sampling rule (α < 1 upsamples rare domains; α = 1 is
+    natural proportions, α = 0 uniform; the exponent convention of
+    public multilingual-pretraining recipes, e.g. the XLM-R /
+    mBERT-style sampling rate).
+
+    ``size_col`` weighs domain mass by a size column (chars/tokens)
+    instead of row counts. One #domains-row aggregation + a window
+    normalization over that tiny table; nothing data-sized moves.
+
+    Output: (domain_col, n, p, w), p the natural share, w the
+    temperature-scaled target share, both rounded 6.
+    """
+    from pyspark.sql import Window
+    sdf = _plain(frame)
+    mass = (F.sum(F.col(size_col).cast("double")) if size_col
+            else F.count(F.lit(1)).cast("double"))
+    per = sdf.groupBy(domain_col).agg(mass.alias("__m__"),
+                                      F.count(F.lit(1)).alias("n"))
+    tot = F.sum("__m__").over(Window.partitionBy())
+    p = F.col("__m__") / tot
+    pa = F.pow(p, F.lit(alpha))
+    za = F.sum(pa).over(Window.partitionBy())
+    out = per.select(
+        domain_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(p, 6).alias("p"),
+        F.round(pa / za, 6).alias("w"))
+    return SparkFrame(out)
+
+
+def temperature_sample(frame, id_col: str, domain_col: str,
+                       budget: float, alpha: float = 0.7,
+                       salt: str = "temp") -> SparkFrame:
+    """Deterministic temperature resampling: draw a *budget*-row sample
+    whose domain mix follows ``temperature_weights`` (α < 1 upsamples
+    rare domains). Per-domain keep rate = min(1, budget·w_d / n_d),
+    applied by md5-bucket thresholding — same sample on every engine,
+    no RNG. A domain whose quota exceeds its rows keeps all of them
+    (this engine does not replicate rows; cap α or budget if exact
+    quotas matter more than at-most-once semantics).
+
+    Plan: one #domains aggregation, broadcast the thresholds back,
+    narrow hash filter — one scan, zero data shuffles (the
+    ``mixture_sample`` shape with temperature-derived weights).
+    """
+    sdf = _plain(frame)
+    w = _plain(temperature_weights(sdf, domain_col, alpha))
+    thresh = w.select(
+        domain_col,
+        F.least(F.lit(float(BUCKETS)),
+                F.lit(float(budget)) * F.col("w")
+                * F.lit(float(BUCKETS))
+                / F.col("n").cast("double")).alias("__thresh__"))
+    out = (sdf.join(F.broadcast(thresh), on=domain_col)
+           .filter(hash_bucket(F.col(id_col), salt)
+                   < F.col("__thresh__"))
+           .drop("__thresh__"))
+    return SparkFrame(out)

@@ -463,3 +463,45 @@ def test_kfold_split_validates_k(spark):
     df = spark.range(10)
     with pytest.raises(ValueError):
         kfold_split(df, "id", k=1)
+
+
+def test_temperature_weights_upsample_rare(spark):
+    from cl_data_frame_spark.operators.sampling import temperature_weights
+    rows = [("en", i) for i in range(900)] + [("sw", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "lang string, id bigint")
+    w = {r["lang"]: r for r in
+         temperature_weights(df, "lang", alpha=0.7).spark_df.collect()}
+    assert w["en"]["n"] == 900 and w["sw"]["n"] == 100
+    assert abs(w["en"]["p"] - 0.9) < 1e-9
+    # alpha < 1 moves weight from the dominant to the rare language
+    assert w["sw"]["w"] > 0.1 and w["en"]["w"] < 0.9
+    assert abs(w["en"]["w"] + w["sw"]["w"] - 1.0) < 1e-5
+    # alpha = 1 reproduces natural proportions; alpha = 0 is uniform
+    w1 = {r["lang"]: r["w"] for r in
+          temperature_weights(df, "lang", alpha=1.0).spark_df.collect()}
+    assert abs(w1["en"] - 0.9) < 1e-6
+    w0 = {r["lang"]: r["w"] for r in
+          temperature_weights(df, "lang", alpha=0.0).spark_df.collect()}
+    assert abs(w0["en"] - 0.5) < 1e-6
+
+
+def test_temperature_sample_budget_and_determinism(spark):
+    from cl_data_frame_spark.operators.sampling import temperature_sample
+    rows = [("en", i) for i in range(2000)] + [("sw", i + 10_000)
+                                              for i in range(200)]
+    df = spark.createDataFrame(rows, "lang string, id bigint")
+    got = temperature_sample(df, "id", "lang", budget=400,
+                             alpha=0.7).spark_df
+    by_lang = {r["lang"]: r["n"] for r in
+               got.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    total = sum(by_lang.values())
+    assert 300 <= total <= 500                 # ~budget
+    # rare language keeps a larger share than its natural 9%
+    # (expected w_sw ~ 16.6%; md5 thresholding noise ~ +-3pp)
+    assert by_lang["sw"] / total > 0.12
+    # deterministic
+    again = temperature_sample(df, "id", "lang", budget=400,
+                               alpha=0.7).spark_df
+    assert sorted(r["id"] for r in got.collect()) == \
+        sorted(r["id"] for r in again.collect())
