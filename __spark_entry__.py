@@ -2510,8 +2510,30 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
+    # snapshot table with time travel (sources.snapshots): publish
+    # v1 (qty<=2), append v2 (qty=3), overwrite v3 (qty=4); the
+    # TIME-TRAVEL read of v2 must equal the qty<=3 slice even though
+    # v3 has since replaced the table — manifest pinning proves the
+    # reproducible-read contract end to end
+    from cl_data_frame_spark.sources.snapshots import (snapshot_read,
+                                                       snapshot_write)
+    spath = os.path.join(tempfile.mkdtemp(prefix="cdf_snap_"), "tbl")
+    snapshot_write(li.filter(F.col("l_quantity") <= 2), spath,
+                   mode="append", num_files=4)
+    snapshot_write(li.filter(F.col("l_quantity") == 3), spath,
+                   mode="append", num_files=4)
+    snapshot_write(li.filter(F.col("l_quantity") == 4), spath,
+                   mode="overwrite", num_files=4)
+    sagg = (snapshot_read(spark, spath, version=2).spark_df
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    d = _tag(sagg, "snapshot",
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("sum_qty").cast("double").alias("d1"),
+             F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
-            .unionByName(c))
+            .unionByName(c).unionByName(d))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -3319,7 +3341,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp"],
-    "s_layout_prune": ["zprune", "hprune", "compact", "partitioned"],
+    "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
+                       "snapshot"],
 }
 
 
@@ -4890,6 +4913,16 @@ _ORACLES["s_layout_prune"] = _union(
                    AS sum_qty,
                sum(l_orderkey) AS sum_ok
         FROM final GROUP BY l_returnflag""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapshot time travel: version 2 = append(qty<=2, qty=3) — read
+    # AFTER version 3 overwrote the table with the qty=4 slice
+    _wrap("snapshot", """
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem WHERE l_quantity <= 3""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"))
 

@@ -1,0 +1,182 @@
+"""Versioned snapshot tables: append/overwrite + time travel + vacuum.
+
+Tier S sources/sinks extension (SURVEY.md §2.2): the reference
+(`cl-data-frame.lisp:1-583`) has no I/O at all; a 100 TB pipeline needs
+reproducible reads ("train on exactly the corpus snapshot the eval ran
+on") — the manifest-of-files idea public lakehouse formats (Delta Lake,
+Apache Iceberg papers) are built on, reduced to its portable core:
+
+Layout::
+
+    <table_dir>/
+      _manifests/v00000001.json   {"version", "files", "schema",
+                                   "parent", "operation"}
+      data/v00000001-<token>/part-*.parquet
+
+- Every write lands data in a FRESH uniquely-named directory (no file
+  is ever mutated or reused across writes), then publishes a manifest
+  naming the full file set of the new version: ``append`` = parent's
+  files + new, ``overwrite`` = new only. Readers resolve a manifest
+  (latest or pinned ``version=``) and scan exactly those files —
+  concurrent writers cannot corrupt a read, and an unpublished crash
+  leaves only orphan data files that ``vacuum`` collects.
+- Manifest publish is write-temp-then-``os.replace`` — atomic on POSIX
+  filesystems. (Object stores without atomic rename need a commit
+  lock/service on top, exactly as the public formats document; the
+  manifest content itself is portable.)
+- Scale: the manifest is a file-path list — KBs of driver-side metadata
+  per version even when the files hold terabytes; data moves only
+  through normal distributed parquet writes. ``files`` carries
+  per-file row counts so ``history`` answers count questions from
+  metadata alone.
+
+Cite: /root/reference has no counterpart (no I/O surface); semantics
+follow the public Delta/Iceberg snapshot model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cl_data_frame_spark.frame import SparkFrame
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _versions(table_dir: str) -> list[int]:
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _publish(table_dir: str, manifest: dict) -> None:
+    """Atomic manifest publish: temp file + os.replace."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    final = _manifest_path(table_dir, manifest["version"])
+    if os.path.exists(final):
+        raise FileExistsError(
+            f"version {manifest['version']} already published at "
+            f"{final} (concurrent writer?)")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, final)
+
+
+def snapshot_write(frame, table_dir: str, mode: str = "append",
+                   num_files: int | None = None) -> int:
+    """Publish a new table version; returns the version number.
+
+    ``mode='append'`` adds this DataFrame's rows to the current
+    version's file set; ``'overwrite'`` starts the version from only
+    the new files (old versions stay readable until ``vacuum``).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+    sdf = _plain(frame)
+    versions = _versions(table_dir)
+    parent = versions[-1] if versions else None
+    version = (parent or 0) + 1
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
+    out_dir = os.path.join(table_dir, rel_dir)
+    writer = sdf.coalesce(num_files) if num_files else sdf
+    writer.write.mode("error").parquet(out_dir)
+    new_files = sorted(
+        os.path.join(rel_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _read_manifest(table_dir, parent)["files"] + files
+    _publish(table_dir, {
+        "version": version,
+        "parent": parent,
+        "operation": mode,
+        "schema": sdf.schema.json(),
+        "files": files,
+    })
+    return version
+
+
+def snapshot_read(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> SparkFrame:
+    """Read a table snapshot — the latest version, or time-travel to a
+    pinned ``version=``. The scan lists EXACTLY the manifest's files,
+    so a concurrent writer (or later vacuum of newer versions) cannot
+    change what this read sees."""
+    versions = _versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {table_dir} "
+            f"(available: {versions})")
+    m = _read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    return SparkFrame(spark.read.parquet(*paths))
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """Version log, oldest first: (version, parent, operation,
+    n_files) — metadata only, no data scan."""
+    return [{"version": v,
+             "parent": (m := _read_manifest(table_dir, v))["parent"],
+             "operation": m["operation"],
+             "n_files": len(m["files"])}
+            for v in _versions(table_dir)]
+
+
+def snapshot_vacuum(table_dir: str, keep_last: int = 1) -> int:
+    """Drop all but the newest *keep_last* versions and delete every
+    data file no kept manifest references (including orphans from
+    crashed writes). Returns the number of files deleted. Time travel
+    to dropped versions stops working — exactly the retention trade
+    the public formats expose."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _versions(table_dir)
+    keep = set(versions[-keep_last:])
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(table_dir, v)["files"])
+    deleted = 0
+    ddir = os.path.join(table_dir, _DATA_DIR)
+    for root, _dirs, names in os.walk(ddir, topdown=False):
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_dir)
+            if rel not in referenced and name.endswith(".parquet"):
+                os.remove(full)
+                deleted += 1
+        if not os.listdir(root):
+            os.rmdir(root)
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(table_dir, v))
+    return deleted

@@ -352,3 +352,60 @@ def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path, sf_dir):
         touched = (back.filter(pred)
                    .select(F.input_file_name()).distinct().count())
         assert touched < total, pred
+
+
+class TestSnapshots:
+    def test_append_overwrite_time_travel(self, spark, tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_history)
+        t = str(tmp_path / "tbl")
+        v1 = snapshot_write(spark.range(0, 10).withColumnRenamed(
+            "id", "v"), t, mode="append")
+        v2 = snapshot_write(spark.range(10, 15).withColumnRenamed(
+            "id", "v"), t, mode="append")
+        v3 = snapshot_write(spark.range(100, 102).withColumnRenamed(
+            "id", "v"), t, mode="overwrite")
+        assert (v1, v2, v3) == (1, 2, 3)
+        # latest = overwrite content only
+        assert sorted(r.v for r in
+                      snapshot_read(spark, t).spark_df.collect()) == \
+            [100, 101]
+        # time travel: v2 = v1 + appended rows; v1 = first write
+        assert snapshot_read(spark, t, version=2).nrow == 15
+        assert snapshot_read(spark, t, version=1).nrow == 10
+        hist = snapshot_history(t)
+        assert [h["version"] for h in hist] == [1, 2, 3]
+        assert hist[1]["operation"] == "append"
+        assert hist[2]["operation"] == "overwrite"
+        import pytest
+        with pytest.raises(FileNotFoundError, match="version 9"):
+            snapshot_read(spark, t, version=9)
+
+    def test_vacuum_drops_unreferenced(self, spark, tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_vacuum)
+        import pytest
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(0, 10).withColumnRenamed("id", "v"),
+                       t, num_files=2)
+        snapshot_write(spark.range(10, 20).withColumnRenamed("id", "v"),
+                       t, mode="overwrite", num_files=2)
+        deleted = snapshot_vacuum(t, keep_last=1)
+        assert deleted == 2                     # v1's two files gone
+        # latest still reads fine; v1 is gone
+        assert snapshot_read(spark, t).nrow == 10
+        with pytest.raises(FileNotFoundError):
+            snapshot_read(spark, t, version=1)
+
+    def test_reader_isolated_from_later_writes(self, spark, tmp_path):
+        """A resolved snapshot keeps reading the same rows even after
+        newer overwrites land (reproducible-training contract)."""
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(0, 5).withColumnRenamed("id", "v"), t)
+        pinned = snapshot_read(spark, t, version=1)
+        snapshot_write(spark.range(50, 99).withColumnRenamed("id", "v"),
+                       t, mode="overwrite")
+        assert sorted(r.v for r in pinned.spark_df.collect()) == \
+            list(range(5))
