@@ -2219,7 +2219,23 @@ def q_x_cosine_search(spark, sf_dir):
              F.col("vec_id").cast("bigint").alias("id_r"),
              F.col("cosine").cast("double").alias("cosine"),
              _BNULL().alias("rank"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # recall@5 of the multi-probe LSH JOIN against exact ground truth
+    # (similarity.ann_join_topk_lsh + ann_recall_at_k): 20 queries,
+    # 6 planes, hamming<=2 multi-probe — the evaluation an approximate
+    # index must pass before it replaces the brute-force path
+    emb = _f(spark, sf_dir, "embeddings")
+    qf = SparkFrame(emb.spark_df.filter(F.col("vec_id") < 20))
+    truth = SIM.similarity_join_topk(qf, emb, k=5)
+    approx = SIM.ann_join_topk_lsh(qf, emb, k=5, n_planes=6,
+                                   max_hamming=2)
+    rec = SIM.ann_recall_at_k(truth, approx, k=5).spark_df
+    e = _tag(rec, "recall",
+             F.col("id_l").cast("bigint").alias("id_l"),
+             F.col("n_hit").cast("bigint").alias("id_r"),
+             F.col("recall").cast("double").alias("cosine"),
+             F.col("n_truth").cast("bigint").alias("rank"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_x_cluster_assign(spark, sf_dir):
@@ -3328,7 +3344,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash",
                         "containment"],
     "x_embed_neardup": ["pairs", "semdedup"],
-    "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh"],
+    "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh",
+                        "recall"],
     "x_cluster_assign": ["ivf", "kmeans"],
     "x_term_weights": ["tfidf", "count_vectorize", "colloc", "tfcos"],
     "x_hash_sampling": ["sample", "split", "weighted", "mix",
@@ -5219,6 +5236,82 @@ def _ann_lsh_oracle() -> str:
 
 _ORACLES["x_ann_lsh"] = _ann_lsh_oracle()
 
+
+def _ann_recall_oracle() -> str:
+    """Recall@5 of the multi-probe LSH join vs exact ground truth —
+    planes and probe masks materialized as literals (same LCG planes
+    the Spark operator derives)."""
+    from itertools import combinations
+
+    from cl_data_frame_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 6, seed=42)
+    values = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(x) for x in p))
+        for i, p in enumerate(planes))
+    masks = [0]
+    for h in (1, 2):
+        for bits in combinations(range(6), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    maskvals = ", ".join(f"({m})" for m in masks)
+    dot = ("list_reduce(list_transform(list_zip({a}, pl.p), "
+           "z -> z[1] * z[2]), (acc, x) -> acc + x)")
+    return f"""
+        WITH planes(i, p) AS (VALUES {values}),
+        masks(m) AS (VALUES {maskvals}),
+        vb AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN {dot.format(a='e.embedding::DOUBLE[]')}
+                                 >= 0
+                            THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT
+                       AS bucket
+            FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+        q AS (SELECT vec_id AS id_l, embedding::DOUBLE[] AS ve
+              FROM embeddings WHERE vec_id < 20),
+        truth AS (
+            SELECT id_l, vec_id AS id_r FROM (
+                SELECT q.id_l, e.vec_id,
+                       row_number() OVER (PARTITION BY q.id_l
+                           ORDER BY {_duck_cos("e.embedding::DOUBLE[]",
+                                               "q.ve")} DESC,
+                                    e.vec_id ASC) AS rk
+                FROM q JOIN embeddings e ON e.vec_id <> q.id_l)
+            WHERE rk <= 5),
+        probes AS (
+            SELECT q.id_l, xor(qb.bucket, masks.m) AS bucket
+            FROM q JOIN vb qb ON qb.vec_id = q.id_l CROSS JOIN masks),
+        cand AS (
+            SELECT DISTINCT p.id_l, v.vec_id AS id_r
+            FROM probes p JOIN vb v ON v.bucket = p.bucket
+            WHERE v.vec_id <> p.id_l),
+        approx AS (
+            SELECT id_l, id_r FROM (
+                SELECT c.id_l, c.id_r,
+                       row_number() OVER (PARTITION BY c.id_l
+                           ORDER BY {_duck_cos("e.embedding::DOUBLE[]",
+                                               "q.ve")} DESC,
+                                    c.id_r ASC) AS rk
+                FROM cand c JOIN embeddings e ON e.vec_id = c.id_r
+                JOIN q ON q.id_l = c.id_l)
+            WHERE rk <= 5),
+        tn AS (SELECT id_l, count(*) AS n_truth FROM truth
+               GROUP BY id_l),
+        hits AS (SELECT t.id_l, count(*) AS n_hit
+                 FROM truth t JOIN approx a
+                 ON t.id_l = a.id_l AND t.id_r = a.id_r
+                 GROUP BY t.id_l)
+        SELECT tn.id_l, tn.n_truth, coalesce(h.n_hit, 0) AS n_hit,
+               round(coalesce(h.n_hit, 0)::DOUBLE / tn.n_truth, 6)
+                   AS recall
+        FROM tn LEFT JOIN hits h ON tn.id_l = h.id_l"""
+
+
+_ORACLES["x_ann_recall"] = _ann_recall_oracle()
+
+
 _ORACLES["x_cosine_search"] = _union(
     _wrap("topk", _ORACLES["x_cosine_topk"],
           "NULL::BIGINT AS id_l, vec_id::BIGINT AS id_r, "
@@ -5231,7 +5324,10 @@ _ORACLES["x_cosine_search"] = _union(
           "cosine::DOUBLE AS cosine, NULL::BIGINT AS rank"),
     _wrap("ann_lsh", _ORACLES["x_ann_lsh"],
           "NULL::BIGINT AS id_l, vec_id::BIGINT AS id_r, "
-          "cosine::DOUBLE AS cosine, NULL::BIGINT AS rank"))
+          "cosine::DOUBLE AS cosine, NULL::BIGINT AS rank"),
+    _wrap("recall", _ORACLES["x_ann_recall"],
+          "id_l::BIGINT AS id_l, n_hit::BIGINT AS id_r, "
+          "recall::DOUBLE AS cosine, n_truth::BIGINT AS rank"))
 
 _ASSIGN_SEL = ("vec_id::BIGINT AS vec_id, centroid_id::BIGINT AS "
                "centroid_id, centroid_sim::DOUBLE AS centroid_sim")

@@ -536,3 +536,109 @@ def _route(frame, centroids, id_col, vec_col):
     ``ivf_assign_join``)."""
     impl = ivf_assign if len(centroids) <= 32 else ivf_assign_join
     return impl(frame, centroids, id_col, vec_col)
+
+
+def _hamming_probes(bucket: int, n_planes: int,
+                    max_hamming: int) -> list[int]:
+    """All bucket ids within *max_hamming* bit flips of *bucket*
+    (multi-probe set; C(n_planes, <=h) ids)."""
+    from itertools import combinations
+    out = [bucket]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            b = bucket
+            for i in bits:
+                b ^= 1 << i
+            out.append(b)
+    return out
+
+
+def ann_join_topk_lsh(left_frame, right_frame, k: int = 5,
+                      left_id: str = "vec_id", right_id: str = "vec_id",
+                      vec_col: str = "embedding", n_planes: int = 8,
+                      max_hamming: int = 1, seed: int = 42) -> SparkFrame:
+    """Approximate top-k similarity JOIN via multi-probe hyperplane
+    LSH — the scale path ``similarity_join_topk`` documents: instead of
+    the quadratic (or hand-blocked) pair join, each LEFT vector probes
+    every bucket within *max_hamming* bit flips of its own (a
+    C(n_planes, ≤h)-way explode of (id, bucket) rows only), buckets
+    hash-EQUI-join, and exact cosine + per-left rank run on the
+    candidates. Shuffle volume is candidate pairs, sublinear in n² for
+    any non-degenerate bucket distribution; recall is tunable by
+    (n_planes, max_hamming) and measured by ``ann_recall_at_k``.
+    """
+    ldf = _plain(left_frame)
+    rdf = _plain(right_frame)
+    dim = len(ldf.select(vec_col).first()[0])
+    bkt = hyperplane_bucket(vec_col, dim, n_planes, seed)
+    # left probes: explode the multi-probe neighbourhood of the left
+    # bucket — pure expressions (flip each subset of <= max_hamming bits)
+    from itertools import combinations
+    masks = [0]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            masks.append(m)
+    probe_arr = F.array(*[F.col("__bkt__").bitwiseXOR(F.lit(m))
+                          for m in masks])
+    lids = (ldf.select(F.col(left_id).alias("id_l"),
+                       bkt.alias("__bkt__"))
+            .select("id_l", F.explode(probe_arr).alias("__bucket__")))
+    rids = rdf.select(F.col(right_id).alias("id_r"),
+                      bkt.alias("__bucket__"))
+    pairs = (lids.join(rids, on="__bucket__")
+             .filter(F.col("id_l") != F.col("id_r"))
+             .select("id_l", "id_r").distinct())
+    lv = F.col(vec_col).cast("array<double>")
+    joined = (pairs
+              .join(ldf.select(F.col(left_id).alias("id_l"),
+                               lv.alias("v_l"),
+                               vector_norm(lv).alias("n_l")), on="id_l")
+              .join(rdf.select(F.col(right_id).alias("id_r"),
+                               lv.alias("v_r"),
+                               vector_norm(lv).alias("n_r")), on="id_r"))
+    cos = dot_product(F.col("v_l"), F.col("v_r")) \
+        / (F.col("n_l") * F.col("n_r"))
+    w = Window.partitionBy("id_l").orderBy(F.col("cosine").desc(),
+                                           F.col("id_r").asc())
+    out = (joined.withColumn("cosine", F.round(cos, 6))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("id_l", "id_r", "cosine", "rank"))
+    return SparkFrame(out)
+
+
+def ann_recall_at_k(truth_frame, approx_frame, k: int,
+                    query_col: str = "id_l",
+                    id_col: str = "id_r") -> SparkFrame:
+    """Recall@k of an ANN result against exact ground truth — the
+    evaluation every approximate index needs before it replaces the
+    brute-force path: per query, |approx ∩ truth| / |truth| over each
+    side's top-k rows (both frames shaped (query, id, rank); rows with
+    rank > k are ignored, and the denominator is the query's actual
+    truth count so k > corpus stays well-defined).
+
+    Plan: two slim (query, id) projections, one equi-join on the pair,
+    one hash agg per query — nothing data-sized beyond the result
+    lists themselves.
+
+    Output: (query_col, n_truth, n_hit, recall rounded 6).
+    """
+    t = (_plain(truth_frame).filter(F.col("rank") <= k)
+         .select(F.col(query_col), F.col(id_col)))
+    a = (_plain(approx_frame).filter(F.col("rank") <= k)
+         .select(F.col(query_col), F.col(id_col)))
+    truth_n = t.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_truth"))
+    hits = (t.join(a, on=[query_col, id_col])
+            .groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit")))
+    out = (truth_n.join(hits, on=query_col, how="left")
+           .na.fill(0, ["n_hit"])
+           .select(F.col(query_col),
+                   F.col("n_truth").cast("bigint").alias("n_truth"),
+                   F.col("n_hit").cast("bigint").alias("n_hit"),
+                   F.round(F.col("n_hit") / F.col("n_truth"), 6)
+                   .alias("recall")))
+    return SparkFrame(out)

@@ -85,3 +85,30 @@ def test_theta_set_ops_disjoint_and_empty_slice(spark):
     r2 = SK.theta_set_ops(df, "v", "part", "a", "zzz") \
         .spark_df.collect()[0]
     assert r2["n_b"] == 0 and r2["n_union"] == 2 and r2["n_diff"] == 2
+
+
+def test_ann_join_topk_lsh_and_recall(spark):
+    """Multi-probe LSH join: exact-equality equi-join on exploded probe
+    buckets, recall measured against the brute-force truth; full probe
+    space (hamming <= n_planes) degenerates to exact recall = 1."""
+    import random
+    from cl_data_frame_spark.operators.similarity import (
+        ann_join_topk_lsh, ann_recall_at_k, similarity_join_topk)
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 10)
+    truth = similarity_join_topk(q, df, k=3)
+    # full probe space: every bucket probed -> identical to exact
+    full = ann_join_topk_lsh(q, df, k=3, n_planes=4, max_hamming=4)
+    rec_full = ann_recall_at_k(truth, full, k=3).spark_df.collect()
+    assert all(r["recall"] == 1.0 for r in rec_full)
+    assert all(r["n_truth"] == 3 for r in rec_full)
+    # restricted probes: recall in [0, 1], deterministic across runs
+    part = ann_join_topk_lsh(q, df, k=3, n_planes=6, max_hamming=1)
+    r1 = sorted((r["id_l"], r["recall"]) for r in
+                ann_recall_at_k(truth, part, k=3).spark_df.collect())
+    r2 = sorted((r["id_l"], r["recall"]) for r in
+                ann_recall_at_k(truth, part, k=3).spark_df.collect())
+    assert r1 == r2
+    assert all(0.0 <= rec <= 1.0 for _, rec in r1)
