@@ -1753,8 +1753,29 @@ def q_r_summary_all(spark, sf_dir):
                     F.col("n_obs").cast("bigint").alias("v_i"),
                     F.col("chi2_term").cast("double").alias("v_d"),
                     _SNULL().alias("v_s"))
+    # foreign-key discovery (summary.key_containment): the four real
+    # TPC-H FK edges verify as 'fk'; the reverse direction
+    # customer->orders is only 'partial' (not every customer ordered)
+    from cl_data_frame_spark.summary import key_containment
+    pairs = [
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+    ]
+    fk = None
+    for ct, cc, pt, pc in pairs:
+        one = key_containment(_t(spark, sf_dir, ct), cc,
+                              _t(spark, sf_dir, pt), pc).spark_df
+        fk = one if fk is None else fk.unionByName(one)
+    fkp = fk.select(F.lit("fk").alias("part"),
+                    F.col("pair").alias("k"),
+                    F.col("n_missing").cast("bigint").alias("v_i"),
+                    F.col("containment").cast("double").alias("v_d"),
+                    F.col("verdict").alias("v_s"))
     return (lit_rows.unionByName(h).unionByName(h2).unionByName(p)
-            .unionByName(bfp))
+            .unionByName(bfp).unionByName(fkp))
 
 
 def q_r_select_positional(spark, sf_dir):
@@ -3329,7 +3350,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
-    "r_summary_all": ["quantiles", "freq", "bits", "hist", "hist2d",
+    "r_summary_all": ["quantiles", "freq", "bits", "hist", "hist2d", "fk",
                       "profile", "benford"],
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
@@ -4525,6 +4546,37 @@ _BENFORD_EXP = ", ".join(
 
 # widen to the v_s string slot (NULL for every pre-profile part) and
 # append the column-profiler and Benford-audit rows
+def _fk_oracle_rows() -> str:
+    """FK-discovery oracle rows (summary.key_containment)."""
+    pairs = [
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+    ]
+    rows = []
+    for ct, cc, pt, pc in pairs:
+        rows.append(f"""
+        SELECT 'fk' AS part, '{cc}->{pc}' AS k,
+               (nc - nm)::BIGINT AS v_i,
+               round(nm::DOUBLE / nc::DOUBLE, 6) AS v_d,
+               (CASE WHEN nm = nc AND pmax <= 1 THEN 'fk'
+                     WHEN nm > 0 THEN 'partial' ELSE 'none' END) AS v_s
+        FROM (
+            SELECT (SELECT count(DISTINCT {cc}) FROM {ct}
+                    WHERE {cc} IS NOT NULL) AS nc,
+                   (SELECT count(*) FROM
+                       (SELECT DISTINCT {cc} AS k FROM {ct}
+                        WHERE {cc} IS NOT NULL) c
+                    WHERE EXISTS (SELECT 1 FROM {pt}
+                                  WHERE {pc} = c.k)) AS nm,
+                   (SELECT coalesce(max(c2), 0) FROM
+                       (SELECT count(*) AS c2 FROM {pt}
+                        WHERE {pc} IS NOT NULL GROUP BY {pc})) AS pmax)""")
+    return "\n    UNION ALL".join(rows)
+
+
 _ORACLES["r_summary_all"] = f"""
     SELECT part, k, v_i, v_d, NULL::VARCHAR AS v_s
     FROM ({_ORACLES["r_summary_all"]})
@@ -4555,7 +4607,8 @@ _ORACLES["r_summary_all"] = f"""
                         - ([{_BENFORD_EXP}])[digit] * tot::DOUBLE)
                      / (([{_BENFORD_EXP}])[digit] * tot::DOUBLE), 6)
                    AS chi2_term
-        FROM c CROSS JOIN t)"""
+        FROM c CROSS JOIN t)
+    UNION ALL {_fk_oracle_rows()}"""
 
 _ORACLES["r_select_positional"] = _union(
     _wrap("columns_select", _ORACLES["r_columns_select"],

@@ -330,3 +330,60 @@ def profile_table(frame, cols: list[str] | None = None,
     out = (wide.select(F.explode(F.array(*entries)).alias("p"))
            .select("p.*"))
     return SparkFrame(out)
+
+
+def key_containment(child_frame, child_col: str, parent_frame,
+                    parent_col: str) -> "SparkFrame":
+    """Join-key containment profile: how much of *child_col*'s distinct
+    value set exists in *parent_col* — the foreign-key discovery /
+    referential-integrity audit every warehouse migration runs before
+    trusting a join (a 0.98 containment is a data bug, not a key).
+
+    One row: (n_child_distinct, n_matched, n_missing, containment
+    rounded 6, parent_unique) — ``verdict``: 'fk' when containment is
+    exactly 1 AND the parent side is duplicate-free (a true candidate
+    key), 'partial' when > 0, 'none' otherwise. NULL child values are
+    excluded (SQL FK semantics: NULLs don't participate).
+
+    Plan: both sides collapse to DISTINCT key sets first (hash aggs,
+    slim), then one left join + one count pass over #distinct rows —
+    at 100 TB the data-sized tables never shuffle, only their key
+    projections.
+    """
+    from cl_data_frame_spark.frame import SparkFrame
+
+    def _plain(fr):
+        return fr.spark_df if isinstance(fr, SparkFrame) else fr
+
+    c = (_plain(child_frame).select(F.col(child_col).alias("__k__"))
+         .filter(F.col("__k__").isNotNull()).distinct())
+    pdf = _plain(parent_frame).select(F.col(parent_col).alias("__k__")) \
+        .filter(F.col("__k__").isNotNull())
+    pd_distinct = pdf.groupBy("__k__").agg(
+        F.count(F.lit(1)).alias("__c__"))
+    joined = c.join(pd_distinct, on="__k__", how="left")
+    # parent uniqueness over the WHOLE parent key set (an unmatched
+    # duplicate still disqualifies it as a candidate key)
+    pmax = pd_distinct.agg(
+        F.coalesce(F.max("__c__"), F.lit(0)).alias("__pmax__"))
+    agg = (joined.agg(
+        F.count(F.lit(1)).alias("n_child_distinct"),
+        F.sum(F.when(F.col("__c__").isNotNull(), 1).otherwise(0))
+        .alias("n_matched"))
+        .crossJoin(F.broadcast(pmax)))
+    pu = F.col("__pmax__") <= 1
+    containment = (F.col("n_matched").cast("double")
+                   / F.col("n_child_distinct").cast("double"))
+    verdict = (F.when((containment == 1.0) & pu, "fk")
+               .when(F.col("n_matched") > 0, "partial")
+               .otherwise("none"))
+    out = agg.select(
+        F.lit(f"{child_col}->{parent_col}").alias("pair"),
+        F.col("n_child_distinct").cast("bigint").alias("n_child_distinct"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        (F.col("n_child_distinct") - F.col("n_matched")).cast("bigint")
+        .alias("n_missing"),
+        F.round(containment, 6).alias("containment"),
+        pu.alias("parent_unique"),
+        verdict.alias("verdict"))
+    return SparkFrame(out)

@@ -128,3 +128,32 @@ def test_equi_width_histogram2d_degenerate_axis(spark):
            equi_width_histogram2d(df, "x", "y", 3, 2).collect()}
     assert set(k[0] for k in out) == {0}       # x collapses to bin 0
     assert sum(out.values()) == 10
+
+
+def test_key_containment_fk_partial_none(spark):
+    from cl_data_frame_spark.summary import key_containment
+    parent = spark.createDataFrame([(i,) for i in range(10)], ["pk"])
+    child_fk = spark.createDataFrame(
+        [(i % 10,) for i in range(50)], ["ck"])
+    r = key_containment(child_fk, "ck", parent, "pk").spark_df.first()
+    assert r["verdict"] == "fk" and r["containment"] == 1.0
+    assert r["n_child_distinct"] == 10 and r["n_missing"] == 0
+    # partial: some child values missing from the parent
+    child_part = spark.createDataFrame(
+        [(i,) for i in range(5, 15)], ["ck"])
+    r2 = key_containment(child_part, "ck", parent, "pk").spark_df.first()
+    assert r2["verdict"] == "partial"
+    assert r2["n_matched"] == 5 and r2["n_missing"] == 5
+    assert abs(r2["containment"] - 0.5) < 1e-9
+    # duplicate parent keys disqualify the FK verdict even at
+    # containment 1 (not a candidate key)
+    dup_parent = spark.createDataFrame(
+        [(i,) for i in list(range(10)) + [3]], ["pk"])
+    r3 = key_containment(child_fk, "ck", dup_parent, "pk").spark_df.first()
+    assert r3["containment"] == 1.0 and r3["verdict"] == "partial"
+    assert not r3["parent_unique"]
+    # disjoint -> none; NULL child keys excluded
+    child_none = spark.createDataFrame(
+        [(100,), (None,)], "ck int")
+    r4 = key_containment(child_none, "ck", parent, "pk").spark_df.first()
+    assert r4["verdict"] == "none" and r4["n_child_distinct"] == 1
