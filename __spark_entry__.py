@@ -1408,7 +1408,15 @@ def q_x_dedup_clusters(spark, sf_dir):
              F.col("triangles").cast("bigint").alias("i1"),
              F.lit(None).cast("boolean").alias("flag"),
              F.col("degree").cast("double").alias("d1"))
-    return a.unionByName(b).unionByName(c)
+    # BFS hop distances from the smallest node (graph.bfs_distances;
+    # recursive-CTE oracle) — k-hop neighbourhood over the same graph
+    bf = G.bfs_distances(pairs, max_hops=3).spark_df
+    d = _tag(bf, "bfs",
+             F.col("node").cast("bigint").alias("node"),
+             F.col("dist").cast("bigint").alias("i1"),
+             F.lit(None).cast("boolean").alias("flag"),
+             _DNULL().alias("d1"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_hash_sample(spark, sf_dir):
@@ -3373,7 +3381,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                         "pergroup", "negatives", "kfold"],
     "x_bm25": ["bm25", "phrase", "postings", "snippets"],
     "x_embed_quantize": ["int8", "pq", "jlproj"],
-    "x_dedup_clusters": ["cc", "pagerank", "triangles"],
+    "x_dedup_clusters": ["cc", "pagerank", "triangles", "bfs"],
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
@@ -5625,6 +5633,18 @@ def _pagerank_oracle_sql(n_iter: int = 3, damping_pct: int = 85,
 
 _ORACLES["x_pagerank"] = _pagerank_oracle_sql()
 
+_ORACLES["x_bfs"] = f"""
+        WITH RECURSIVE {_PAIR_GRAPH_CTES},
+        src AS (SELECT min(a) AS s FROM und),
+        walk(node, d) AS (
+            SELECT s, 0 FROM src
+            UNION
+            SELECT u.b, w.d + 1
+            FROM walk w JOIN und u ON u.a = w.node
+            WHERE w.d < 3)
+        SELECT node, min(d)::BIGINT AS dist FROM walk GROUP BY node"""
+
+
 _ORACLES["x_triangles"] = f"""
         WITH {_PAIR_GRAPH_CTES},
         tri AS (
@@ -5650,7 +5670,10 @@ _ORACLES["x_dedup_clusters"] = _union(
           "NULL::BOOLEAN AS flag, rank_scaled::DOUBLE AS d1"),
     _wrap("triangles", _ORACLES["x_triangles"],
           "node::BIGINT AS node, triangles::BIGINT AS i1, "
-          "NULL::BOOLEAN AS flag, degree::DOUBLE AS d1"))
+          "NULL::BOOLEAN AS flag, degree::DOUBLE AS d1"),
+    _wrap("bfs", _ORACLES["x_bfs"],
+          "node::BIGINT AS node, dist::BIGINT AS i1, "
+          "NULL::BOOLEAN AS flag, NULL::DOUBLE AS d1"))
 
 _MIX_TOTAL = sum(_MIX_WEIGHTS.values())
 _MIX_CASE = ("CASE lang "

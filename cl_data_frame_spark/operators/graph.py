@@ -129,3 +129,52 @@ def triangle_counts(pairs, id_a: str = "id_a",
                    F.coalesce(F.col("triangles"), F.lit(0))
                    .alias("triangles")))
     return SparkFrame(out)
+
+
+def bfs_distances(pairs, sources=None, id_a: str = "id_a",
+                  id_b: str = "id_b", max_hops: int = 3) -> SparkFrame:
+    """Multi-source BFS hop distances over the undirected pair graph —
+    the "how far is everything from these seeds" primitive behind
+    k-hop neighbourhoods, contamination-spread audits, and cluster
+    diameter checks.
+
+    *sources*: an iterable of seed node ids; ``None`` seeds from the
+    single smallest node id in the graph (deterministic default).
+    Nodes unreachable within *max_hops* are absent from the output.
+
+    Plan: classic frontier iteration (the ``duplicate_clusters`` /
+    ``pagerank`` recipe) — per hop, one hash join of the CURRENT
+    frontier (shrinking, slim (node) rows) against the symmetrized
+    edge table + one anti-join against the visited set, with
+    ``localCheckpoint`` truncating lineage each round and an early
+    exit when the frontier drains. O(max_hops) rounds; per-round
+    shuffle is edge-sized at worst, never nodes × hops.
+
+    Output: (node, dist), dist = exact minimum hop count ≤ max_hops.
+    """
+    p = _plain(pairs).select(F.col(id_a).alias("a"),
+                             F.col(id_b).alias("b"))
+    edges = (p.union(p.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=False))
+    if sources is None:
+        row = edges.agg(F.min("a").alias("m")).first()
+        sources = [] if row["m"] is None else [row["m"]]
+    spark = edges.sparkSession
+    src = spark.createDataFrame([(int(s),) for s in sources],
+                                "node bigint")
+    dist = src.select("node", F.lit(0).cast("int").alias("dist")) \
+        .localCheckpoint(eager=False)
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["a"])
+               .select(F.col("b").alias("node")).distinct()
+               .join(dist.select("node"), on="node", how="left_anti")
+               .localCheckpoint(eager=False))
+        if nxt.rdd.isEmpty():
+            break
+        dist = dist.unionByName(
+            nxt.select("node", F.lit(hop).cast("int").alias("dist"))) \
+            .localCheckpoint(eager=False)
+        frontier = nxt
+    return SparkFrame(dist)

@@ -73,3 +73,25 @@ def test_triangle_counts_two_triangles_share_edge(spark):
     df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {r.node: r.triangles for r in triangle_counts(df).spark_df.collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_bfs_distances_chain_and_multisource(spark):
+    from cl_data_frame_spark.operators.graph import bfs_distances
+    # chain 1-2-3-4-5 plus isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "id_a bigint, id_b bigint")
+    # default source = min node (1)
+    d = {r["node"]: r["dist"] for r in
+         bfs_distances(pairs, max_hops=3).spark_df.collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}      # 5 beyond 3 hops; 10/11 unreachable
+    # multi-source: min over seeds
+    d2 = {r["node"]: r["dist"] for r in
+          bfs_distances(pairs, sources=[5, 10],
+                        max_hops=2).spark_df.collect()}
+    assert d2 == {5: 0, 10: 0, 4: 1, 11: 1, 3: 2}
+    # early exit when the frontier drains (hops > diameter)
+    d3 = {r["node"]: r["dist"] for r in
+          bfs_distances(pairs, sources=[10],
+                        max_hops=99).spark_df.collect()}
+    assert d3 == {10: 0, 11: 1}
