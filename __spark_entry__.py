@@ -545,7 +545,29 @@ def q_s_time_rollup(spark, sf_dir):
              F.col("event_type").alias("s1"),
              _BNULL().alias("n"),
              F.col("v").cast("double").alias("sum_value"))
-    return a.unionByName(b).unionByName(c)
+    # classical additive seasonal decomposition of the zero-filled
+    # hourly series (relational.seasonal_decompose, daily cycle p=24);
+    # three component rows per bucket, NULL trend/residual at edges
+    sd = R.seasonal_decompose(
+        SparkFrame(dense.select("event_type", "bucket",
+                                F.col("sum_value").alias("v"))),
+        "bucket", "v", period=24, by=["event_type"]).spark_df
+    comp = sd.select(
+        "event_type", "bucket", "phase",
+        F.explode(F.array(
+            F.struct(F.lit("trend").alias("c"),
+                     F.col("trend").alias("x")),
+            F.struct(F.lit("seasonal").alias("c"),
+                     F.col("seasonal").alias("x")),
+            F.struct(F.lit("residual").alias("c"),
+                     F.col("residual").alias("x")))).alias("e"))
+    d = _tag(comp, "seasonal",
+             _BNULL().alias("d_us"),
+             F.unix_micros("bucket").alias("h_us"),
+             F.concat_ws("|", "event_type", "e.c").alias("s1"),
+             F.col("phase").cast("bigint").alias("n"),
+             F.col("e.x").cast("double").alias("sum_value"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_s_asof_join(spark, sf_dir):
@@ -3349,7 +3371,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_join_semi_anti": ["semi", "anti", "bloom"],
     "s_group_sets": ["rollup", "cube", "gsets"],
     "s_set_ops": ["except", "intersect_union", "distinct"],
-    "s_time_rollup": ["rollup", "resample", "linear"],
+    "s_time_rollup": ["rollup", "resample", "linear", "seasonal"],
     "s_asof": ["keyed", "unkeyed", "nearest"],
     "s_range_joins": ["broadcast", "bucketed", "overlap"],
     "s_skew_udaf": ["salted", "udaf", "grouped_map", "skewreport"],
@@ -6170,7 +6192,75 @@ _ORACLES["s_time_rollup"] = _union(
         FROM w""",
           "NULL::BIGINT AS d_us, h_us::BIGINT AS h_us, "
           "event_type AS s1, NULL::BIGINT AS n, "
-          "v::DOUBLE AS sum_value"))
+          "v::DOUBLE AS sum_value"),
+    # classical additive seasonal decomposition, daily cycle p=24
+    # (relational.seasonal_decompose over the zero-filled hourly grid)
+    _wrap("seasonal", """
+        WITH sparse AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+            FROM sparse GROUP BY event_type),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                       AS bucket
+            FROM span),
+        dense AS (
+            SELECT g.event_type, g.bucket,
+                   coalesce(s.sum_value, 0)::DOUBLE AS v
+            FROM grid g LEFT JOIN sparse s
+              ON g.event_type = s.event_type AND g.bucket = s.bucket),
+        wnd AS (
+            SELECT event_type, bucket, v,
+                   ((row_number() OVER (PARTITION BY event_type
+                                        ORDER BY bucket)) - 1) % 24
+                       AS phase,
+                   count(v) OVER (PARTITION BY event_type
+                       ORDER BY bucket ROWS BETWEEN 12 PRECEDING
+                       AND 12 FOLLOWING) AS cnt,
+                   sum(v) OVER (PARTITION BY event_type
+                       ORDER BY bucket ROWS BETWEEN 12 PRECEDING
+                       AND 12 FOLLOWING) AS s_full,
+                   lag(v, 12) OVER (PARTITION BY event_type
+                       ORDER BY bucket) AS le,
+                   lead(v, 12) OVER (PARTITION BY event_type
+                       ORDER BY bucket) AS ri
+            FROM dense),
+        tr AS (
+            SELECT *, CASE WHEN cnt = 25 AND le IS NOT NULL
+                                AND ri IS NOT NULL
+                           THEN (s_full - 0.5 * le - 0.5 * ri) / 24.0
+                      END AS trend
+            FROM wnd),
+        pm AS (SELECT event_type, phase, avg(v - trend) AS pmn
+               FROM tr GROUP BY 1, 2),
+        ctr AS (SELECT event_type, avg(pmn) AS c FROM pm GROUP BY 1),
+        fin AS (
+            SELECT t.event_type, t.bucket, t.phase, t.trend,
+                   p.pmn - c.c AS seasonal,
+                   t.v - t.trend - (p.pmn - c.c) AS residual
+            FROM tr t
+            JOIN pm p ON t.event_type = p.event_type
+                     AND t.phase = p.phase
+            JOIN ctr c ON c.event_type = t.event_type)
+        SELECT event_type || '|trend' AS s1,
+               epoch_us(bucket)::BIGINT AS h_us, phase,
+               round(trend, 6) AS x
+        FROM fin
+        UNION ALL
+        SELECT event_type || '|seasonal', epoch_us(bucket)::BIGINT,
+               phase, round(seasonal, 6)
+        FROM fin
+        UNION ALL
+        SELECT event_type || '|residual', epoch_us(bucket)::BIGINT,
+               phase, round(residual, 6)
+        FROM fin""",
+          "NULL::BIGINT AS d_us, h_us::BIGINT AS h_us, "
+          "s1, phase::BIGINT AS n, x::DOUBLE AS sum_value"))
 
 _ORACLES["st_dedup"] = _union(
     _wrap("dedup", _ORACLES["st_dedup"],

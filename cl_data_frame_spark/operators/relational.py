@@ -1541,3 +1541,70 @@ def top_paths(frame, user_col: str = "user_id", ts_col: str = "ts",
            .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
            .limit(k))
     return SparkFrame(out)
+
+
+def seasonal_decompose(frame, ts_col: str, val_col: str, period: int,
+                       by: Sequence[str] | None = None) -> SparkFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    procedure of the public X-11/STL lineage, additive form):
+
+        value = trend + seasonal + residual
+
+    - **trend**: centered moving average of length *period* (odd
+      period: plain window mean; even period: the standard 2×p
+      weighted MA — half weight on both end lags via lag/lead).
+      NULL at the series edges where the window is incomplete (classic
+      behavior — no fabricated trend).
+    - **seasonal**: per-phase mean of the detrended series
+      (phase = position in the period cycle), re-centered so the
+      seasonal components sum to ~0 over one cycle.
+    - **residual**: value − trend − seasonal.
+
+    Expects a REGULAR series per group (run ``resample_fill`` first —
+    gaps would shift every later phase). Plan: one window pass for the
+    trend + phase, one #groups×period aggregation for the phase means
+    (tiny, broadcast back), one #groups aggregation for the centering
+    term — nothing data-sized beyond the single ordered window.
+
+    Output: input columns + (phase, trend, seasonal, residual),
+    doubles rounded 6.
+    """
+    by = list(by or [])
+    sdf = _plain(frame)
+    w_order = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
+    half = period // 2
+    w_ma = w_order.rowsBetween(-half, half)
+    x = F.col(val_col).cast("double")
+    cnt = F.count(x).over(w_ma)
+    if period % 2 == 1:
+        trend = F.when(cnt == period, F.avg(x).over(w_ma))
+    else:
+        full = F.sum(x).over(w_ma)
+        lo = F.lag(x, half).over(w_order)
+        hi = F.lead(x, half).over(w_order)
+        trend = F.when(
+            (cnt == period + 1) & lo.isNotNull() & hi.isNotNull(),
+            (full - F.lit(0.5) * lo - F.lit(0.5) * hi)
+            / F.lit(float(period)))
+    phase = (F.row_number().over(w_order) - 1) % period
+    base = sdf.withColumn("phase", phase.cast("int")) \
+              .withColumn("__trend__", trend)
+    det = F.col(val_col).cast("double") - F.col("__trend__")
+    pm = (base.groupBy(*by, "phase")
+          .agg(F.avg(det).alias("__pm__")))
+    ctr = (pm.groupBy(*by)
+           .agg(F.avg("__pm__").alias("__ctr__")))
+    joined = base.join(F.broadcast(pm), on=by + ["phase"], how="left")
+    if by:
+        joined = joined.join(F.broadcast(ctr), on=by, how="left")
+    else:
+        joined = joined.crossJoin(F.broadcast(ctr))
+    seasonal = F.col("__pm__") - F.col("__ctr__")
+    resid = (F.col(val_col).cast("double") - F.col("__trend__")
+             - seasonal)
+    out = joined.select(
+        *by, ts_col, val_col, "phase",
+        F.round(F.col("__trend__"), 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(resid, 6).alias("residual"))
+    return SparkFrame(out)

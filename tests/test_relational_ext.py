@@ -865,3 +865,41 @@ def test_asof_tolerance_atomic_row_semantics(spark):
                      SparkFrame(right.spark_df.drop("k")),
                      "t", tolerance=5.0).spark_df.first()
     assert row3["r_p"] == 2.0 and row3["r_v"] is None
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """Pure trend+seasonal series: the classical decomposition recovers
+    both exactly (residual 0 in the interior), edges have NULL trend,
+    per-key isolation holds, odd periods use the plain centered MA."""
+    from cl_data_frame_spark.operators.relational import \
+        seasonal_decompose
+    rows = []
+    for g, off in (("a", 0.0), ("b", 5.0)):
+        for t in range(40):
+            s = [2.0, -1.0, -2.0, 1.0][t % 4]
+            rows.append((g, t, 0.5 * t + s + off))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = seasonal_decompose(df, "t", "v", period=4,
+                             by=["g"]).spark_df.collect()
+    a = sorted((r for r in out if r["g"] == "a"),
+               key=lambda r: r["t"])
+    interior = [r for r in a if r["trend"] is not None]
+    assert a[0]["trend"] is None and a[-1]["trend"] is None  # edges
+    for r in interior:
+        assert abs(r["trend"] - 0.5 * r["t"]) < 1e-6
+        assert abs(r["seasonal"]
+                   - [2.0, -1.0, -2.0, 1.0][r["phase"]]) < 1e-6
+        assert abs(r["residual"]) < 1e-6
+    # per-key isolation: same seasonal for b despite the +5 offset
+    b = [r for r in out if r["g"] == "b" and r["trend"] is not None]
+    assert all(abs(r["seasonal"]
+                   - [2.0, -1.0, -2.0, 1.0][r["phase"]]) < 1e-6
+               for r in b)
+    # odd period: plain centered MA, still zero residual on pure series
+    rows5 = [("a", t, 1.0 * t + [3, 1, -1, -2, -1][t % 5])
+             for t in range(30)]
+    df5 = spark.createDataFrame(rows5, "g string, t int, v double")
+    out5 = [r for r in seasonal_decompose(df5, "t", "v", period=5,
+                                          by=["g"]).spark_df.collect()
+            if r["trend"] is not None]
+    assert all(abs(r["residual"]) < 1e-6 for r in out5)

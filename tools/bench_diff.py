@@ -22,23 +22,26 @@ import sys
 #: boundary is expected, not a regression. Keep appending per round.
 PARTS_CHANGED: dict[str, list[int]] = {
     # round 4 folded 16 new oracle parts into existing entries
-    "s_stats": [4, 5, 6],           # r4 +bins+outliers; r5 fused, +mad
+    "s_stats": [4, 5, 6, 7],        # r4 +bins+outliers; r5 fused, +mad
                                     # +spearman; r6 +anova +mannwhitney
-                                    # +kendall +winsor +cramer +auc +kappa
+                                    # +kendall +winsor +cramer +auc +kappa;
+                                    # r7 +psi +targetenc +bootstrap, shared
+                                    # slim checkpoint
     "s_skew_udaf": [4, 5],          # r4 +grouped_map; r5 +skewreport
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
     "s_window_range_trailing": [4, 5, 6],  # r4 +zscore; r5 +ewma+distinct7
                                     # +rollmed; r6 +acf
-    "s_time_rollup": [4, 6],        # r4 +resample; r6 +linear
+    "s_time_rollup": [4, 6, 7],     # r4 +resample; r6 +linear; r7 +seasonal
     "s_funnel": [4, 5],             # r4 +retention; r5 +attribution
     "s_approx_sketches": [4, 5],    # r4 +theta+kll+freq; r5 +setops
     "x_dedup": [4, 5],              # r4 +spans+selfspans; r5 +keepbest
     "x_embed_neardup": [4, 5],      # r4 +semdedup; r5 sqrt(n) centroids + norms
     "x_hash_sampling": [4, 5, 6],   # r4 +weighted; r5 +mix+pergroup
                                     # +negatives; r6 +kfold
-    "x_curation_scrub": [4, 6],     # r4 +expect; r6 +blocklist
+    "x_curation_scrub": [4, 6, 7],  # r4 +expect; r6 +blocklist; r7 +url
+                                    # +urldedup +domcap +tempw +tempsamp
     "s_source_roundtrip": [4, 5],   # r4 +zorder; r5 +checksum
-    "x_cosine_search": [5],         # +ann_lsh (moved from x_probes_rows_only)
+    "x_cosine_search": [5, 7],      # r5 +ann_lsh; r7 +recall
     "x_probes_rows_only": [5, 6],   # r5 -ann_lsh; r6 entry RETIRED
     "x_cluster_assign": [5],        # kmeans_fit input persist
     "x_bm25": [5],                  # +phrase +postings +snippets
@@ -48,17 +51,20 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "x_text_stats": [5],            # +unigram-nll, +bigram-nll columns
     "s_join_semi_anti": [5],        # +bloom
     "s_sessionize": [5],            # +transitions +islands +paths
-    "r_summary_all": [5, 6],        # r5 +hist +profile +benford; r6 +hist2d
+    "r_summary_all": [5, 6, 7],     # r5 +hist +profile +benford; r6 +hist2d;
+                                    # r7 +fk
     "x_embed_quantize": [5, 6],     # r5 +pq; r6 +jlproj
     "x_term_weights": [5, 6],       # r5 +colloc; r6 +tfcos
-    "x_dedup_clusters": [5],        # +pagerank +triangles
+    "x_dedup_clusters": [5, 7],     # r5 +pagerank +triangles; r7 +bfs
     "r_construct_roundtrips": [6],  # +rename
     "r_map_mutate": [6],            # +na_fill +na_drop +na_replace
     "s_range_joins": [6],           # +overlap
     "x_chunk_pack": [6],            # +chunk_sent
-    "s_layout_prune": [6],          # NEW entry (zprune/hprune/compact/
+    "s_layout_prune": [6, 7],       # NEW entry r6 (zprune/hprune/compact/
                                     # partitioned — replaces the retired
-                                    # x_probes_rows_only slot)
+                                    # x_probes_rows_only slot); r7 +snapshot
+    "st_stateful": [7],             # first round on the bench clock
+    "st_dedup": [7],                # first round on the bench clock
 }
 
 
