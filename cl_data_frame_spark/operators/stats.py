@@ -1544,3 +1544,72 @@ def welch_t_test(frame, val_col: str, group_col: str,
         F.round(df, 6).alias("welch_df"),
         F.round(d, 6).alias("cohens_d"))
     return SparkFrame(out)
+
+
+def theil_sen(frame, x_col: str, y_col: str,
+              exact: bool = False, max_distinct: int = 10_000,
+              buckets: int = 64) -> SparkFrame:
+    """Theil–Sen robust regression: slope = the (weighted lower)
+    MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i), intercept =
+    the weighted lower median of y − slope·x — the standard
+    outlier-immune trend estimator (up to ~29% contamination) where
+    OLS (``grouped_regression``) gets dragged by tails.
+
+    Same contingency-cell formulation as ``kendall_tau_b``: one hash
+    aggregation to (x, y) cells, a cell×cell inequality join restricted
+    to x_j > x_i (pairs with equal x have no slope), each pair weighted
+    by c_i·c_j — quadratic in DISTINCT VALUE PAIRS, never rows, with
+    the same ``_cardinality_guard`` auto-bucketing for continuous
+    inputs (``exact=True`` opts out). The weighted median is a window
+    cumulative-weight scan over the slope-ordered cell-pair table
+    (2·cum ≥ total picks the lower median — deterministic on ties).
+
+    Output: one row (n, slope, intercept), rounded 6.
+    """
+    sdf = _cardinality_guard(_plain(frame), [x_col, y_col],
+                             exact, max_distinct, buckets)
+    cells = (sdf.groupBy(F.col(x_col).cast("double").alias("__x__"),
+                         F.col(y_col).cast("double").alias("__y__"))
+             .agg(F.count(F.lit(1)).alias("__c__")))
+    a = cells.select(F.col("__x__").alias("xi"),
+                     F.col("__y__").alias("yi"),
+                     F.col("__c__").alias("ci"))
+    b = cells.select(F.col("__x__").alias("xj"),
+                     F.col("__y__").alias("yj"),
+                     F.col("__c__").alias("cj"))
+    pairs = a.join(b, on=F.col("xj") > F.col("xi"))
+    slopes = pairs.select(
+        ((F.col("yj") - F.col("yi"))
+         / (F.col("xj") - F.col("xi"))).alias("__s__"),
+        (F.col("ci") * F.col("cj")).cast("decimal(38,0)").alias("__w__"))
+
+    def weighted_lower_median(df, val, w):
+        ww = Window.orderBy(F.col(val).asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy()
+        cum = F.sum(w).over(ww)
+        total = F.sum(w).over(tot)
+        return (df.withColumn("__cum__", cum)
+                .withColumn("__tot__", total)
+                .filter(F.col("__cum__") * 2 >= F.col("__tot__"))
+                .orderBy(F.col(val).asc()).limit(1)
+                .select(F.col(val).alias("median")))
+
+    # the slope-ordered scan is a global window over the CELL-PAIR
+    # table (bounded by bucketed-cells², broadcast scale) — never rows
+    m_row = weighted_lower_median(slopes, "__s__", F.col("__w__")) \
+        .first()
+    slope = float(m_row["median"])
+    resid = sdf.select(
+        (F.col(y_col).cast("double")
+         - F.lit(slope) * F.col(x_col).cast("double")).alias("__r__")) \
+        .groupBy("__r__").agg(F.count(F.lit(1))
+                              .cast("decimal(38,0)").alias("__w__"))
+    i_row = weighted_lower_median(resid, "__r__", F.col("__w__")) \
+        .first()
+    spark = sdf.sparkSession
+    n = sdf.count()
+    out = spark.createDataFrame(
+        [(n, round(slope, 6), round(float(i_row["median"]), 6))],
+        "n bigint, slope double, intercept double")
+    return SparkFrame(out)
