@@ -3146,6 +3146,17 @@ def q_s_stats(spark, sf_dir):
               F.col("concordant").cast("double").alias("d2"),
               F.col("discordant").cast("double").alias("d3"),
               _DNULL().alias("d4"))
+    # Theil-Sen robust regression of l_tax on l_quantity (contingency
+    # cells, <=450, exact=True: known low-cardinality oracle fixture)
+    th = STAT.theil_sen(li.select("l_quantity", "l_tax"),
+                        "l_quantity", "l_tax", exact=True).spark_df
+    tht = _tag(th, "theilsen",
+               F.lit("l_tax~l_quantity").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("slope").cast("double").alias("d1"),
+               F.col("intercept").cast("double").alias("d2"),
+               _DNULL().alias("d3"), _DNULL().alias("d4"))
     # PSI drift report: reference = l_quantity, current = a +5-shifted
     # copy (drift by construction, so per-bin attribution is non-trivial)
     psi = STAT.population_stability_index(
@@ -3194,7 +3205,8 @@ def q_s_stats(spark, sf_dir):
             .unionByName(w).unionByName(s).unionByName(an)
             .unionByName(mwt).unionByName(kt).unionByName(wn)
             .unionByName(cvt).unionByName(aut).unionByName(kpt)
-            .unionByName(pst).unionByName(tet).unionByName(bst))
+            .unionByName(pst).unionByName(tet).unionByName(bst)
+            .unionByName(tht))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3387,7 +3399,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
                 "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
-                "bootstrap"],
+                "bootstrap", "theilsen"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma",
                                 "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -6913,6 +6925,44 @@ _ORACLES["s_stats"] = _union(
         FROM base b JOIN sel USING (lang)""",
           "lang AS s1, n::BIGINT AS i1, n_replicates::BIGINT AS i2, "
           "mean::DOUBLE AS d1, lo::DOUBLE AS d2, hi::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    # Theil-Sen robust regression from (x, y) contingency cells; the
+    # weighted lower median is a cumulative-weight scan (stats.theil_sen)
+    _wrap("theilsen", """
+        WITH cells AS (
+            SELECT l_quantity::DOUBLE AS x, l_tax::DOUBLE AS y,
+                   count(*)::DECIMAL(38,0) AS c
+            FROM lineitem GROUP BY 1, 2),
+        sl AS (
+            SELECT (b.y - a.y) / (b.x - a.x) AS s, a.c * b.c AS w
+            FROM cells a JOIN cells b ON b.x > a.x),
+        o AS (
+            SELECT s, sum(w) OVER (ORDER BY s ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum,
+                   sum(w) OVER () AS tot
+            FROM sl),
+        m AS (SELECT min(s) AS slope FROM o WHERE cum * 2 >= tot),
+        rc AS (
+            SELECT (l_tax::DOUBLE
+                    - (SELECT slope FROM m) * l_quantity::DOUBLE)
+                       AS res,
+                   count(*)::DECIMAL(38,0) AS w
+            FROM lineitem GROUP BY 1),
+        ro AS (
+            SELECT res, sum(w) OVER (ORDER BY res ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum,
+                   sum(w) OVER () AS tot
+            FROM rc),
+        i AS (SELECT min(res) AS intercept FROM ro
+              WHERE cum * 2 >= tot)
+        SELECT (SELECT count(*) FROM lineitem) AS n,
+               round((SELECT slope FROM m), 6) AS slope,
+               round((SELECT intercept FROM i), 6) AS intercept""",
+          "'l_tax~l_quantity' AS s1, n::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, slope::DOUBLE AS d1, "
+          "intercept::DOUBLE AS d2, NULL::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"))
 
 

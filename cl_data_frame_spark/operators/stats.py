@@ -37,7 +37,8 @@ def _dec(col, scale: int = 4, precision: int = 38) -> Column:
 
 def _cardinality_guard(sdf, cols: list[str], exact: bool,
                        max_distinct: int, buckets: int,
-                       accuracy: int = 10_000):
+                       accuracy: int = 10_000,
+                       as_values: bool = False):
     """Auto-guard for the contingency-quadratic stats family
     (``kendall_tau_b`` / ``mann_whitney_u`` / ``auc_score`` /
     ``cramers_v``): those statistics are computed over the DISTINCT-
@@ -55,6 +56,11 @@ def _cardinality_guard(sdf, cols: list[str], exact: bool,
 
     ``exact=True`` skips the scan entirely: the zero-surprise oracle
     path, identical plan to the unguarded original.
+
+    ``as_values=True`` replaces a hot column with its equi-depth bucket
+    MIDPOINT (in the column's own units) instead of the bucket index —
+    required when the statistic's output lives in value space
+    (``theil_sen`` slopes); rank statistics use the default index form.
     """
     if exact:
         return sdf
@@ -73,17 +79,28 @@ def _cardinality_guard(sdf, cols: list[str], exact: bool,
             "this statistic is quadratic in distinct-value cells. "
             "Bucket/group the column first, or pass exact=True to "
             "accept the cells-squared cost deliberately.")
-    probs = [i / buckets for i in range(1, buckets)]
+    probs = [i / buckets for i in range(buckets + 1)] if as_values \
+        else [i / buckets for i in range(1, buckets)]
     parr = F.array(*[F.lit(p) for p in probs])
     brow = sdf.agg(*[
         F.approx_percentile(F.col(c).cast("double"), parr,
                             F.lit(accuracy)).alias(f"b{i}")
         for i, c in enumerate(hot)]).first()
     for i, c in enumerate(hot):
-        arr = F.array(*[F.lit(float(b)) for b in brow[f"b{i}"]])
-        sdf = sdf.withColumn(
-            c, F.size(F.filter(arr,
-                               lambda b: b <= F.col(c).cast("double"))))
+        edges = [float(b) for b in brow[f"b{i}"]]
+        if as_values:
+            inner = F.array(*[F.lit(b) for b in edges[1:-1]])
+            earr = F.array(*[F.lit(b) for b in edges])
+            idx = F.size(F.filter(
+                inner, lambda b: b <= F.col(c).cast("double")))
+            mid = (F.element_at(earr, idx + 1)
+                   + F.element_at(earr, idx + 2)) / F.lit(2.0)
+            sdf = sdf.withColumn(c, mid)
+        else:
+            arr = F.array(*[F.lit(b) for b in edges])
+            sdf = sdf.withColumn(
+                c, F.size(F.filter(
+                    arr, lambda b: b <= F.col(c).cast("double"))))
     return sdf
 
 
@@ -1567,7 +1584,8 @@ def theil_sen(frame, x_col: str, y_col: str,
     Output: one row (n, slope, intercept), rounded 6.
     """
     sdf = _cardinality_guard(_plain(frame), [x_col, y_col],
-                             exact, max_distinct, buckets)
+                             exact, max_distinct, buckets,
+                             as_values=True)
     cells = (sdf.groupBy(F.col(x_col).cast("double").alias("__x__"),
                          F.col(y_col).cast("double").alias("__y__"))
              .agg(F.count(F.lit(1)).alias("__c__")))

@@ -877,3 +877,29 @@ def test_cardinality_guard_rejects_noncontinuous_high_card(spark):
     got = cramers_v(df, "r", "c", max_distinct=1000,
                     exact=True).spark_df.first()
     assert got["n"] == 3000
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    from cl_data_frame_spark.operators.stats import theil_sen
+    rows = [(float(x), 2.0 * x + 1.0) for x in range(50)] \
+        + [(10.0, 500.0), (20.0, -400.0)]   # gross outliers
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = theil_sen(df, "x", "y", exact=True).spark_df.first()
+    assert r["slope"] == 2.0 and r["intercept"] == 1.0
+    assert r["n"] == 52
+    # duplicate points weight the slope median correctly
+    dup = spark.createDataFrame(
+        [(0.0, 0.0)] * 10 + [(1.0, 3.0)] * 10 + [(2.0, 100.0)],
+        "x double, y double")
+    r2 = theil_sen(dup, "x", "y", exact=True).spark_df.first()
+    assert r2["slope"] == 3.0          # 100 weight-3 pairs dominate
+    # guard path on a continuous column still lands near the truth
+    import random
+    rng = random.Random(4)
+    cont = [(rng.random() * 100.0,) for _ in range(3000)]
+    cont = [(x, 1.5 * x + rng.gauss(0, 3.0)) for (x,) in cont]
+    dfc = spark.createDataFrame(cont, "x double, y double")
+    r3 = theil_sen(dfc, "x", "y", max_distinct=1000,
+                   buckets=64).spark_df.first()
+    # bucket-midpoint slope: accuracy bounded by bucket width
+    assert abs(r3["slope"] - 1.5) < 0.15
