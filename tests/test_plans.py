@@ -99,7 +99,12 @@ def test_cosine_topk_no_shuffle(spark, sf_dir):
 #: group/distinct-value counts, never data-sized
 _BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights", "x_bm25",
             "r_summary_all", "s_join_semi_anti", "x_text_stats",
-            "x_hash_sampling", "s_stats"}
+            "x_hash_sampling", "s_stats",
+            # r7: the recall part's EXACT ground-truth baseline is a
+            # labeled #queries x corpus id pair join (20 query ids
+            # broadcast) — the evaluation's stated cost, not a hazard;
+            # the measured side is the LSH bucket equi-join
+            "x_cosine_search"}
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
