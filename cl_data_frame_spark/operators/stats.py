@@ -1027,31 +1027,37 @@ def population_stability_index(frame_ref, frame_cur, col: str,
     psi_term) + the roll-up is ``sum(psi_term)`` — left to the caller
     so the per-bin attribution (WHICH bins drifted) stays visible.
     """
-    import math
     ref = _plain(frame_ref)
     cur = _plain(frame_cur)
     probs = [i / n_bins for i in range(1, n_bins)]
+    # the cut array stays a LAZY one-row relation broadcast into both
+    # binning passes — no driver round-trip (at a 1000-executor scale
+    # an eager .first() here both serializes the pipeline on the
+    # driver and re-runs the percentile when the plan is retried)
     cuts = ref.agg(F.percentile(
         F.col(col).cast("double"),
-        F.array(*[F.lit(p) for p in probs])).alias("c")).first()["c"]
-    edges = [float("-inf")] + [float(c) for c in cuts]
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
+        F.array(*[F.lit(p) for p in probs])).alias("__cuts__"))
 
     def binned(sdf):
         idx = F.size(F.filter(
-            arr, lambda b: b <= F.col(col).cast("double")))
-        return (sdf.select(idx.alias("bin"))
+            F.col("__cuts__"),
+            lambda b: b <= F.col(col).cast("double")))
+        return (sdf.crossJoin(F.broadcast(cuts))
+                .select(idx.alias("bin"))
                 .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
 
     a = binned(ref).select("bin", F.col("n").alias("n_ref"))
     b = binned(cur).select("bin", F.col("n").alias("n_cur"))
-    j = a.join(b, on="bin", how="full").na.fill(0, ["n_ref", "n_cur"])
+    j = (a.join(b, on="bin", how="full").na.fill(0, ["n_ref", "n_cur"])
+         .crossJoin(F.broadcast(cuts)))
     tot_r = F.sum("n_ref").over(Window.partitionBy())
     tot_c = F.sum("n_cur").over(Window.partitionBy())
     p_r = F.greatest(F.col("n_ref") / tot_r, F.lit(min_frac))
     p_c = F.greatest(F.col("n_cur") / tot_c, F.lit(min_frac))
-    lo = F.element_at(F.array(*[F.lit(e) for e in edges]),
-                      F.col("bin").cast("int") + 1)
+    # bin 0's lower edge is -inf; bin i>0 starts at cut i
+    lo = F.when(F.col("bin") == 0,
+                F.lit(float("-inf"))).otherwise(
+        F.element_at(F.col("__cuts__"), F.col("bin").cast("int")))
     out = (j.select(
         F.col("bin").cast("int").alias("bin"),
         F.round(lo, 6).alias("lo"),
@@ -1614,20 +1620,24 @@ def theil_sen(frame, x_col: str, y_col: str,
                 .select(F.col(val).alias("median")))
 
     # the slope-ordered scan is a global window over the CELL-PAIR
-    # table (bounded by bucketed-cells², broadcast scale) — never rows
-    m_row = weighted_lower_median(slopes, "__s__", F.col("__w__")) \
-        .first()
-    slope = float(m_row["median"])
-    resid = sdf.select(
-        (F.col(y_col).cast("double")
-         - F.lit(slope) * F.col(x_col).cast("double")).alias("__r__")) \
-        .groupBy("__r__").agg(F.count(F.lit(1))
-                              .cast("decimal(38,0)").alias("__w__"))
-    i_row = weighted_lower_median(resid, "__r__", F.col("__w__")) \
-        .first()
-    spark = sdf.sparkSession
-    n = sdf.count()
-    out = spark.createDataFrame(
-        [(n, round(slope, 6), round(float(i_row["median"]), 6))],
-        "n bigint, slope double, intercept double")
+    # table (bounded by bucketed-cells², broadcast scale) — never rows.
+    # Both medians stay LAZY one-row relations broadcast into the next
+    # stage (no driver round-trip; the whole estimator is one plan)
+    m_df = weighted_lower_median(slopes, "__s__", F.col("__w__")) \
+        .select(F.col("median").alias("__slope__"))
+    resid = (sdf.crossJoin(F.broadcast(m_df))
+             .select("__slope__",
+                     (F.col(y_col).cast("double")
+                      - F.col("__slope__")
+                      * F.col(x_col).cast("double")).alias("__r__"))
+             .groupBy("__r__").agg(F.count(F.lit(1))
+                                   .cast("decimal(38,0)").alias("__w__")))
+    i_df = weighted_lower_median(resid, "__r__", F.col("__w__")) \
+        .select(F.col("median").alias("__icpt__"))
+    n_df = _plain(frame).agg(F.count(F.lit(1)).alias("n"))
+    out = (n_df.crossJoin(F.broadcast(m_df))
+           .crossJoin(F.broadcast(i_df))
+           .select(F.col("n").cast("bigint").alias("n"),
+                   F.round(F.col("__slope__"), 6).alias("slope"),
+                   F.round(F.col("__icpt__"), 6).alias("intercept")))
     return SparkFrame(out)
