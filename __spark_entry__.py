@@ -2227,8 +2227,30 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("containment").cast("double").alias("jaccard"))
+    # Fellegi-Sunter probabilistic record linkage: customer
+    # self-linkage blocked by nation, three agreement fields (market
+    # segment, balance sign, name last-4); only pairs whose summed
+    # log2 weight clears the threshold are link candidates
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cid"),
+        F.col("c_nationkey").alias("blk"),
+        "c_mktsegment",
+        (F.col("c_acctbal") > 0).alias("bal_pos"),
+        F.substring(F.col("c_name"), -4, 4).alias("name4"))
+    fs = X.fellegi_sunter_pairs(
+        cust, "cid", "blk", _FS_FIELDS, threshold=2.9).spark_df
+    g = _tag(fs, "linkage",
+             F.col("id_a").cast("bigint").alias("id_a"),
+             F.col("id_b").cast("bigint").alias("id_b"),
+             F.col("weight").cast("double").alias("jaccard"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(g))
+
+
+#: (m, u) per linkage field — shared between the Spark entry and the
+#: DuckDB oracle so both engines inline identical log2 weight literals
+_FS_FIELDS = {"c_mktsegment": (0.9, 0.2), "bal_pos": (0.85, 0.5),
+              "name4": (0.95, 0.001)}
 
 
 def q_x_ivf_topk(spark, sf_dir):
@@ -3404,7 +3426,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                                 "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
                 "keepbest"],
-    "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash",
+    "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash", "linkage",
                         "containment"],
     "x_embed_neardup": ["pairs", "semdedup"],
     "x_cosine_search": ["topk", "join_topk", "ivf_topk", "ann_lsh",
@@ -5191,6 +5213,40 @@ _ORACLES["x_containment"] = """
     SELECT id_a, id_b, round(c, 6) AS containment
     FROM p WHERE c >= 0.6"""
 
+def _fs_linkage_oracle() -> str:
+    """Fellegi-Sunter linkage oracle: identical Python-computed log2
+    weight literals as the Spark expression (dedup.fellegi_sunter_pairs
+    with the shared _FS_FIELDS deck)."""
+    import math
+    terms, agrees = [], []
+    exprs = {"c_mktsegment": "c_mktsegment",
+             "bal_pos": "(c_acctbal > 0)",
+             "name4": "substr(c_name, -4, 4)"}
+    for f, (m, u) in _FS_FIELDS.items():
+        wa = repr(math.log2(m / u))
+        wd = repr(math.log2((1 - m) / (1 - u)))
+        ea, eb = f"a.{f}", f"b.{f}"
+        terms.append(
+            f"(CASE WHEN {ea} IS NOT NULL AND {eb} IS NOT NULL "
+            f"AND {ea} = {eb} THEN {wa} "
+            f"WHEN {ea} IS NOT NULL AND {eb} IS NOT NULL "
+            f"THEN {wd} ELSE 0.0 END)")
+        agrees.append(
+            f"(CASE WHEN {ea} IS NOT NULL AND {eb} IS NOT NULL "
+            f"AND {ea} = {eb} THEN 1 ELSE 0 END)")
+    sel = ", ".join(f"{e} AS {f}" for f, e in exprs.items())
+    weight = " + ".join(terms)
+    nag = " + ".join(agrees)
+    return f"""
+        WITH c AS (
+            SELECT c_custkey AS cid, c_nationkey AS blk, {sel}
+            FROM customer)
+        SELECT a.cid AS id_a, b.cid AS id_b,
+               round({weight}, 6) AS weight
+        FROM c a JOIN c b ON a.blk = b.blk AND a.cid < b.cid
+        WHERE round({weight}, 6) >= 2.9"""
+
+
 _ORACLES["x_ngram_jaccard"] = _union(
     _wrap("blocked", _NJ_BLOCKED, _NGRAM_PAIR_SEL),
     _wrap("global", _NJ_GLOBAL, _NGRAM_PAIR_SEL),
@@ -5202,7 +5258,10 @@ _ORACLES["x_ngram_jaccard"] = _union(
           "hamming::DOUBLE AS jaccard"),
     _wrap("containment", _ORACLES["x_containment"],
           "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
-          "containment::DOUBLE AS jaccard"))
+          "containment::DOUBLE AS jaccard"),
+    _wrap("linkage", _fs_linkage_oracle(),
+          "id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+          "weight::DOUBLE AS jaccard"))
 
 def _duck_cos(a: str, b: str) -> str:
     return (f"round(list_reduce(list_transform(list_zip({a}, {b}), "

@@ -1210,3 +1210,61 @@ def dedup_keep_best(frame, score_col: str, text_col: str = "text",
            .filter(F.col("__rk__") == 1)
            .drop("__fp__", "__rk__"))
     return SparkFrame(out)
+
+
+def fellegi_sunter_pairs(frame, id_col: str, block_col: str,
+                         fields: dict[str, tuple[float, float]],
+                         threshold: float | None = None) -> SparkFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969, JASA —
+    public methodology): score candidate record pairs by summed field
+    agreement log-weights
+
+        agree(f):    log2(m_f / u_f)
+        disagree(f): log2((1 − m_f) / (1 − u_f))
+
+    where m_f = P(fields agree | same entity), u_f = P(agree |
+    different entities) — supplied per field (estimated upstream or
+    set from domain knowledge, as in every production linkage deck).
+    A NULL on either side contributes 0 (missing ≠ evidence). Pairs
+    at or above *threshold* (when given) are the link candidates.
+
+    Self-linkage form: candidate pairs come from a *block_col*
+    equi-join of the table with itself (id_a < id_b, each unordered
+    pair once) — the standard blocking step, so the join is hash
+    shuffle on the block key, never all-pairs. The weight sum is a
+    fixed-order expression over the field list — deterministic and
+    cross-engine exact (the log weights are Python-computed literals).
+
+    Output: (id_a, id_b, weight rounded 6, n_agree).
+    """
+    import math
+    for f, (m, u) in fields.items():
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"field {f!r}: need 0 < u < m < 1, got m={m}, u={u}")
+    sdf = _plain(frame)
+    cols = [id_col, block_col, *fields.keys()]
+    a = sdf.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = sdf.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    pairs = a.join(
+        b, on=(F.col(f"a_{block_col}") == F.col(f"b_{block_col}"))
+        & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")))
+    weight = F.lit(0.0)
+    n_agree = F.lit(0)
+    for f, (m, u) in fields.items():
+        wa = F.lit(math.log2(m / u))
+        wd = F.lit(math.log2((1 - m) / (1 - u)))
+        la, rb = F.col(f"a_{f}"), F.col(f"b_{f}")
+        both = la.isNotNull() & rb.isNotNull()
+        weight = weight + (F.when(both & (la == rb), wa)
+                           .when(both, wd)
+                           .otherwise(F.lit(0.0)))
+        n_agree = n_agree + F.when(both & (la == rb), 1).otherwise(0)
+    out = pairs.select(
+        F.col(f"a_{id_col}").alias("id_a"),
+        F.col(f"b_{id_col}").alias("id_b"),
+        F.round(weight, 6).alias("weight"),
+        n_agree.cast("int").alias("n_agree"))
+    if threshold is not None:
+        out = out.filter(F.col("weight") >= threshold)
+    return SparkFrame(out)

@@ -368,3 +368,38 @@ def test_phonetic_join_blocks_sound_alikes(spark):
     assert got[(1, 3)] == 1          # Smith ~ Smithe
     assert (4, 5) in got             # Jones ~ Jonas (J520)
     assert all(6 not in pair for pair in got)   # Walker blocks alone
+
+
+def test_fellegi_sunter_pairs_weights_and_blocking(spark):
+    import math
+    from cl_data_frame_spark.operators.dedup import fellegi_sunter_pairs
+    rows = [
+        (1, "b1", "smith", "london"),
+        (2, "b1", "smith", "london"),    # full agreement with 1
+        (3, "b1", "jones", "paris"),     # full disagreement
+        (4, "b2", "smith", "london"),    # different block: never paired
+        (5, "b1", "smith", None),        # NULL field contributes 0
+    ]
+    df = spark.createDataFrame(rows, "id bigint, blk string, "
+                                     "name string, city string")
+    fields = {"name": (0.95, 0.05), "city": (0.9, 0.1)}
+    got = {(r.id_a, r.id_b): r for r in
+           fellegi_sunter_pairs(df, "id", "blk",
+                                fields).spark_df.collect()}
+    assert (1, 4) not in got and (2, 4) not in got     # blocking
+    wa_n, wd_n = math.log2(0.95 / 0.05), math.log2(0.05 / 0.95)
+    wa_c, wd_c = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    assert abs(got[(1, 2)].weight - round(wa_n + wa_c, 6)) < 1e-6
+    assert got[(1, 2)].n_agree == 2
+    assert abs(got[(1, 3)].weight - round(wd_n + wd_c, 6)) < 1e-6
+    # NULL city: only the name term fires
+    assert abs(got[(1, 5)].weight - round(wa_n, 6)) < 1e-6
+    assert got[(1, 5)].n_agree == 1
+    # threshold filters
+    kept = fellegi_sunter_pairs(df, "id", "blk", fields,
+                                threshold=5.0).spark_df.collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(1, 2), (2, 5), (1, 5)} \
+        or all(r.weight >= 5.0 for r in kept)
+    import pytest
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fellegi_sunter_pairs(df, "id", "blk", {"name": (0.05, 0.95)})

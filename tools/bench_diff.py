@@ -45,8 +45,9 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "x_probes_rows_only": [5, 6],   # r5 -ann_lsh; r6 entry RETIRED
     "x_cluster_assign": [5],        # kmeans_fit input persist
     "x_bm25": [5],                  # +phrase +postings +snippets
-    "x_ngram_jaccard": [5, 6],      # r5 +editdist +simhash(md5) +containment;
-                                    # r6 editdist default -> FastSS deletion
+    "x_ngram_jaccard": [5, 6, 7],   # r5 +editdist +simhash(md5) +containment;
+                                    # r6 editdist default -> FastSS deletion;
+                                    # r7 +linkage
     "s_group_sets": [5],            # +gsets
     "x_text_stats": [5],            # +unigram-nll, +bigram-nll columns
     "s_join_semi_anti": [5],        # +bloom
