@@ -998,3 +998,60 @@ def phrase_snippets(frame, phrase: str, window: int = 3,
                              end - start + F.lit(1)), " ")
         .alias("snippet"))
     return SparkFrame(out)
+
+
+def normalize_text(frame, text_col: str, out_col: str | None = None,
+                   form: str = "NFKC", lower: bool = True,
+                   strip_accents: bool = False,
+                   collapse_whitespace: bool = True) -> "SparkFrame":
+    """Unicode text normalization — the standard pre-tokenization
+    cleanup every web corpus needs (mixed NFC/NFD sources, fullwidth
+    forms, ligatures): applies ``unicodedata.normalize(form)``,
+    optional casefold, optional accent stripping (NFD + combining-mark
+    removal), and whitespace collapsing.
+
+    Spark has no built-in Unicode normalizer, so this is the
+    documented Arrow-batched exception (``pandas_udf``, never
+    row-at-a-time): one narrow projection at scan bandwidth, zero
+    shuffle. The pure-ASCII fast operations (lower, whitespace) stay
+    JVM-side when they are the ONLY ones requested.
+
+    Output: input columns + *out_col* (default ``<text_col>_norm``).
+    """
+    from cl_data_frame_spark.frame import SparkFrame
+    out_col = out_col or f"{text_col}_norm"
+    sdf = frame.spark_df if isinstance(frame, SparkFrame) else frame
+    if form is None and not strip_accents:
+        # expression-only path: no Unicode table needed
+        c = F.col(text_col)
+        if lower:
+            c = F.lower(c)
+        if collapse_whitespace:
+            c = F.regexp_replace(F.trim(c), r"\s+", " ")
+        return SparkFrame(sdf.withColumn(out_col, c))
+
+    import pandas as pd  # noqa: F401 (Arrow batch types)
+
+    @F.pandas_udf("string")
+    def _norm(texts):
+        import re
+        import unicodedata
+        ws = re.compile(r"\s+")
+
+        def one(t):
+            if t is None:
+                return None
+            s = unicodedata.normalize(form, t)
+            if strip_accents:
+                s = "".join(ch for ch in
+                            unicodedata.normalize("NFD", s)
+                            if not unicodedata.combining(ch))
+            if lower:
+                s = s.casefold()
+            if collapse_whitespace:
+                s = ws.sub(" ", s).strip()
+            return s
+
+        return texts.map(one)
+
+    return SparkFrame(sdf.withColumn(out_col, _norm(F.col(text_col))))

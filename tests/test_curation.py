@@ -544,3 +544,31 @@ def test_url_dedup_and_domain_cap(spark):
     # deterministic: same rows every run
     again = domain_cap(df, "url", "doc_id", k=4).spark_df.collect()
     assert {r.doc_id for r in capped} == {r.doc_id for r in again}
+
+
+def test_normalize_text_unicode_forms(spark):
+    from cl_data_frame_spark.operators.textstats import normalize_text
+    rows = [
+        (1, "Café  DELUXE"),          # decomposed accent + case + ws
+        (2, "Ｈｅllo"),             # fullwidth H, e
+        (3, "ﬁne"),                    # fi ligature (NFKC expands)
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {r.id: r.text_norm for r in
+           normalize_text(df, "text").spark_df.collect()}
+    assert out[1] == "café deluxe"      # NFKC composes, lower, ws
+    assert out[2] == "hello"                 # fullwidth folded
+    assert out[3] == "fine"                  # ligature expanded
+    assert out[4] is None
+    # accent stripping
+    out2 = {r.id: r.text_norm for r in
+            normalize_text(df, "text",
+                           strip_accents=True).spark_df.collect()}
+    assert out2[1] == "cafe deluxe"
+    # expression-only path (form=None): no Python in the plan
+    expr = normalize_text(df, "text", form=None)
+    p = expr.spark_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert {r.id: r.text_norm for r in expr.spark_df.collect()}[1] \
+        == "café deluxe"
