@@ -186,3 +186,85 @@ def test_edit_distance_deletion_scheme_is_exact(spark, names, d):
                   for (i, a) in rows for (j, b) in rows
                   if i < j and lev(a, b) <= d)
     assert got == want
+
+
+_url_piece = st.text(alphabet="abXY19", min_size=0, max_size=4)
+
+
+@given(host=st.lists(st.sampled_from(["ex", "Sub", "co", "uk", "org"]),
+                     min_size=1, max_size=4),
+       path=st.lists(_url_piece, min_size=0, max_size=3),
+       params=st.lists(st.sampled_from(
+           ["a=1", "b=2", "utm_source=x", "fbclid=z", "C=9"]),
+           min_size=0, max_size=4),
+       scheme=st.sampled_from(["http", "HTTPS", "ftp"]),
+       frag=st.booleans(), slash=st.booleans())
+@settings(**SETTINGS)
+def test_url_normalize_idempotent(spark, host, path, params, scheme,
+                                  frag, slash):
+    """normalize(normalize(u)) == normalize(u): canonical forms are
+    fixed points (the property every canonicalizer must satisfy, or
+    URL-dedup keys drift across pipeline stages)."""
+    from cl_data_frame_spark.operators.curation import url_normalize
+    u = (scheme + "://" + ".".join(host)
+         + ("/" + "/".join(path) if path else "")
+         + ("/" if slash else "")
+         + ("?" + "&".join(params) if params else "")
+         + ("#frag" if frag else ""))
+    df = spark.createDataFrame([(1, u)], "id bigint, url string")
+    once = url_normalize(df, "url", out_col="n1",
+                         domain_col=None).spark_df
+    twice = url_normalize(once, "n1", out_col="n2",
+                          domain_col=None).spark_df.first()
+    assert twice["n2"] == twice["n1"], u
+
+
+@given(li=st.lists(st.tuples(st.integers(-20, 20), st.integers(0, 10)),
+                   min_size=1, max_size=6),
+       ri=st.lists(st.tuples(st.integers(-20, 20), st.integers(0, 10)),
+                   min_size=1, max_size=6),
+       width=st.sampled_from([1.0, 3.0, 7.5]))
+@settings(**SETTINGS)
+def test_interval_overlap_join_equals_naive(spark, li, ri, width):
+    """Bucket-grid overlap join == the naive quadratic definition for
+    arbitrary (incl. empty and boundary-touching) intervals at any
+    bucket width."""
+    from cl_data_frame_spark.operators.relational import \
+        interval_overlap_join
+    from cl_data_frame_spark.frame import SparkFrame
+    lrows = [(i, float(lo), float(lo + ln)) for i, (lo, ln)
+             in enumerate(li)]
+    rrows = [(i, float(lo), float(lo + ln)) for i, (lo, ln)
+             in enumerate(ri)]
+    l = SparkFrame(spark.createDataFrame(
+        lrows, "lid bigint, l_lo double, l_hi double"))
+    r = SparkFrame(spark.createDataFrame(
+        rrows, "rid bigint, r_lo double, r_hi double"))
+    got = sorted((row.lid, row.rid) for row in
+                 interval_overlap_join(l, r, "l_lo", "l_hi",
+                                       "r_lo", "r_hi",
+                                       bucket_width=width)
+                 .spark_df.collect())
+    want = sorted((a, b)
+                  for a, lo1, hi1 in lrows for b, lo2, hi2 in rrows
+                  if lo1 < hi2 and lo2 < hi1
+                  and lo1 < hi1 and lo2 < hi2)   # half-open, non-empty
+    assert got == want
+
+
+@given(texts=st.lists(st.text(alphabet="abc .", min_size=0,
+                              max_size=20), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_bpe_pieces_reconstruct_pretokens(spark, texts):
+    """Lossless-ness: stripping EOW and concatenating a document's BPE
+    pieces reproduces the concatenation of its pre-tokens, for any
+    merge table learned from any corpus."""
+    from cl_data_frame_spark.operators import bpe
+    import re
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe.train_bpe(df, "text", n_merges=6)
+    enc = bpe.bpe_encode(df, "text", merges).spark_df.collect()
+    pat = re.compile(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]")
+    for r in enc:
+        joined = "".join(p for p in r.bpe_pieces).replace(bpe.EOW, "")
+        assert joined == "".join(pat.findall(r.text)), r.text
