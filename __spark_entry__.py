@@ -1150,8 +1150,21 @@ def q_s_window_range_trailing(spark, sf_dir):
              F.col("acf").cast("double").alias("d1"),
              _DNULL().alias("d2"), _DNULL().alias("d3"),
              F.col("n_pairs").cast("bigint").alias("i1"))
+    # Holt linear-trend smoothing per user over the value series
+    # (relational.holt_linear; list-state fold, alpha=0.5 beta=0.3,
+    # 3-step-ahead forecast) — bit-identical DuckDB list_reduce mirror
+    hl = R.holt_linear(ev, "ts", "value", by=["user_id"],
+                       alpha=0.5, beta=0.3, horizon=3,
+                       order_cols=["ts", "event_id"]).spark_df
+    g = _tag(hl, "holt",
+             F.col("user_id").cast("bigint").alias("user_id"),
+             _BNULL().alias("event_id"), _BNULL().alias("ts_us"),
+             F.col("level").cast("double").alias("d1"),
+             F.col("trend").cast("double").alias("d2"),
+             F.col("forecast").cast("double").alias("d3"),
+             F.col("n").cast("bigint").alias("i1"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f))
+            .unionByName(e).unionByName(f).unionByName(g))
 
 
 def q_s_udtf_tokens(spark, sf_dir):
@@ -3422,7 +3435,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
                 "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
                 "bootstrap", "theilsen"],
-    "s_window_range_trailing": ["trailing", "zscore", "ewma",
+    "s_window_range_trailing": ["trailing", "zscore", "ewma", "holt",
                                 "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
                 "keepbest"],
@@ -5931,12 +5944,49 @@ _EWMA_DEN = " + ".join(
     f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
     f"THEN {0.7 ** j!r} ELSE 0.0 END)" for j in range(8))
 
+def _holt_oracle() -> str:
+    """Holt linear smoothing oracle: DuckDB list_reduce with a LIST
+    accumulator (the struct-literal lambda binder in DuckDB 1.0
+    mis-binds cross-field acc reads — measured; list state is exact)
+    and the SAME Python-computed constants the Spark fold inlines."""
+    a, b, h = 0.5, 0.3, 3
+    a1, a2 = repr(float(a)), repr(float(1 - a))
+    c1, c2 = repr(float(b * a)), repr(float(1 - b * a))
+    return f"""
+        WITH s AS (
+            SELECT user_id,
+                   list(value::DOUBLE ORDER BY ts, event_id) AS ys,
+                   count(*) AS n
+            FROM events GROUP BY user_id),
+        f AS (
+            SELECT user_id, n,
+                   list_reduce(
+                       [[ys[1], ys[2] - ys[1]]] ||
+                       list_transform(ys[2:],
+                                      y -> [y, 0.0::DOUBLE]),
+                       (acc, x) -> [
+                           {a1}::DOUBLE * x[1]
+                           + {a2}::DOUBLE * (acc[1] + acc[2]),
+                           {c1}::DOUBLE * (x[1] - acc[1])
+                           + {c2}::DOUBLE * acc[2]]) AS st
+            FROM s WHERE n >= 2)
+        SELECT user_id, n::BIGINT AS n,
+               round(st[1], 6) AS level, round(st[2], 6) AS trend,
+               round(st[1] + {float(h)!r} * st[2], 6) AS forecast
+        FROM f"""
+
+
 _ORACLES["s_window_range_trailing"] = _union(
     _wrap("trailing", _ORACLES["s_window_range_trailing"],
           "user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, "
           "ts_us::BIGINT AS ts_us, trailing_sum::DOUBLE AS d1, "
           "NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
           "trailing_n::BIGINT AS i1"),
+    _wrap("holt", _holt_oracle(),
+          "user_id::BIGINT AS user_id, NULL::BIGINT AS event_id, "
+          "NULL::BIGINT AS ts_us, level::DOUBLE AS d1, "
+          "trend::DOUBLE AS d2, forecast::DOUBLE AS d3, "
+          "n::BIGINT AS i1"),
     _wrap("zscore", """
         WITH w AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -1608,3 +1608,70 @@ def seasonal_decompose(frame, ts_col: str, val_col: str, period: int,
         F.round(seasonal, 6).alias("seasonal"),
         F.round(resid, 6).alias("residual"))
     return SparkFrame(out)
+
+
+def holt_linear(frame, ts_col: str, val_col: str,
+                by: Sequence[str] | None = None,
+                alpha: float = 0.5, beta: float = 0.3,
+                horizon: int = 3,
+                order_cols: Sequence[str] | None = None) -> SparkFrame:
+    """Holt's linear-trend double exponential smoothing per key (the
+    public Holt 1957 / Winters lineage, additive trend, no season):
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = βα·(y_t − l_{t−1}) + (1 − βα)·b_{t−1}
+
+    (the trend line algebraically substituted so each state field is
+    read exactly once per step — the same operation order on every
+    engine, so results are bit-identical). Init: l₁ = y₁,
+    b₁ = y₂ − y₁; series with fewer than 2 points are dropped.
+
+    Plan: ONE hash aggregation collects each key's ordered value
+    array (``order_cols`` pins tie order; default (ts_col,)), and the
+    recurrence folds over it as a single array expression — a bounded-
+    series-per-key contract (the per-key forecasting shape: millions
+    of keys × thousands of points each, state is 2 doubles). For
+    unbounded per-key series, window-based EWMA (``ewma``) is the
+    streaming-friendly alternative.
+
+    Output: by-cols + (n, level, trend, forecast) — ``forecast`` =
+    level + horizon·trend, doubles rounded 6.
+    """
+    by = list(by or [])
+    order_cols = list(order_cols or [ts_col])
+    sdf = _plain(frame)
+    sort_struct = F.struct(
+        *[F.col(c).alias(f"__o{i}__") for i, c in enumerate(order_cols)],
+        F.col(val_col).cast("double").alias("__v__"))
+    per = (sdf.groupBy(*by)
+           .agg(F.transform(F.array_sort(F.collect_list(sort_struct)),
+                            lambda s: s["__v__"]).alias("__ys__")))
+    arr = F.col("__ys__")
+    n = F.size(arr)
+    a1, a2 = float(alpha), float(1 - alpha)
+    c1, c2 = float(beta * alpha), float(1 - beta * alpha)
+    # try_element_at: the n >= 2 filter is in the same plan, but ANSI
+    # element_at must not blow up if Spark evaluates the projection
+    # before the predicate on a 1-point series
+    init = F.array(
+        F.try_element_at(arr, F.lit(1)),
+        F.try_element_at(arr, F.lit(2)) - F.try_element_at(arr, F.lit(1)))
+    state = F.aggregate(
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))),
+        init,
+        lambda acc, y: F.array(
+            F.lit(a1) * y
+            + F.lit(a2) * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            F.lit(c1) * (y - F.element_at(acc, 1))
+            + F.lit(c2) * F.element_at(acc, 2)))
+    out = (per.filter(n >= 2)
+           .withColumn("__st__", state)
+           .select(*by,
+                   n.alias("n"),
+                   F.round(F.element_at("__st__", 1), 6).alias("level"),
+                   F.round(F.element_at("__st__", 2), 6).alias("trend"),
+                   F.round(F.element_at("__st__", 1)
+                           + F.lit(float(horizon))
+                           * F.element_at("__st__", 2), 6)
+                   .alias("forecast")))
+    return SparkFrame(out)

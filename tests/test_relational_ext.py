@@ -903,3 +903,43 @@ def test_seasonal_decompose_recovers_components(spark):
                                           by=["g"]).spark_df.collect()
             if r["trend"] is not None]
     assert all(abs(r["residual"]) < 1e-6 for r in out5)
+
+
+def test_holt_linear_matches_reference_fold(spark):
+    from cl_data_frame_spark.operators.relational import holt_linear
+    series = {"a": [10.0, 12.0, 13.0, 15.0],
+              "b": [100.0, 90.0, 85.0, 70.0, 65.0]}
+    rows = [(g, t, v) for g, ys in series.items()
+            for t, v in enumerate(ys)]
+    rows.append(("solo", 0, 5.0))     # 1-point series dropped
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {r["g"]: r for r in
+           holt_linear(df, "t", "v", by=["g"], alpha=0.5, beta=0.3,
+                       horizon=3).spark_df.collect()}
+    assert "solo" not in got
+
+    def ref(ys, a=0.5, b=0.3):
+        l, bt = ys[0], ys[1] - ys[0]
+        c1, c2 = b * a, 1 - b * a
+        for y in ys[1:]:
+            ln = a * y + (1 - a) * (l + bt)
+            bt = c1 * (y - l) + c2 * bt
+            l = ln
+        return l, bt
+
+    for g, ys in series.items():
+        l, bt = ref(ys)
+        assert got[g]["n"] == len(ys)
+        assert abs(got[g]["level"] - round(l, 6)) < 1e-9
+        assert abs(got[g]["trend"] - round(bt, 6)) < 1e-9
+        assert abs(got[g]["forecast"] - round(l + 3.0 * bt, 6)) < 1e-9
+    # a pure linear series forecasts exactly on the line
+    lin = [(float(t), 4.0 + 2.0 * t) for t in range(30)]
+    dfl = spark.createDataFrame([("l", t, v) for t, v in lin],
+                                "g string, t double, v double")
+    r = holt_linear(dfl, "t", "v", by=["g"], alpha=0.5, beta=0.3,
+                    horizon=5).spark_df.first()
+    # level converges to the last point, trend to the slope
+    assert abs(r["level"] - lin[-1][1]) < 1e-3
+    assert abs(r["trend"] - 2.0) < 1e-3
+    assert abs(r["forecast"] - (lin[-1][1] + 10.0)) < 5e-3

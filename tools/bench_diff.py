@@ -29,8 +29,8 @@ PARTS_CHANGED: dict[str, list[int]] = {
                                     # slim checkpoint
     "s_skew_udaf": [4, 5],          # r4 +grouped_map; r5 +skewreport
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
-    "s_window_range_trailing": [4, 5, 6],  # r4 +zscore; r5 +ewma+distinct7
-                                    # +rollmed; r6 +acf
+    "s_window_range_trailing": [4, 5, 6, 7],  # r4 +zscore; r5 +ewma
+                                    # +distinct7 +rollmed; r6 +acf; r7 +holt
     "s_time_rollup": [4, 6, 7],     # r4 +resample; r6 +linear; r7 +seasonal
     "s_funnel": [4, 5],             # r4 +retention; r5 +attribution
     "s_approx_sketches": [4, 5],    # r4 +theta+kll+freq; r5 +setops
