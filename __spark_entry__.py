@@ -3192,6 +3192,26 @@ def q_s_stats(spark, sf_dir):
                F.col("slope").cast("double").alias("d1"),
                F.col("intercept").cast("double").alias("d2"),
                _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # multivariate Mahalanobis outliers over (quantity, price,
+    # discount) per flag — matrix entries derive from the SHARED mega
+    # sums (cols 0..2 of _STATS_COLS use the same s_i/s_i_j names)
+    mh = STAT.mahalanobis_distance(
+        li.select("l_returnflag", *_STATS_COLS[:3]),
+        _STATS_COLS[:3], by=["l_returnflag"], threshold=9.0,
+        sums=mega).spark_df
+    mha = (mh.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("is_outlier").cast("bigint"))
+                .alias("n_out"),
+                F.sum(F.col("d2").cast("decimal(18,6)"))
+                .cast("double").alias("sum_d2")))
+    mht = _tag(mha, "mahala",
+               F.col("l_returnflag").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               F.col("n_out").cast("bigint").alias("i2"),
+               F.col("sum_d2").cast("double").alias("d1"),
+               _DNULL().alias("d2"), _DNULL().alias("d3"),
+               _DNULL().alias("d4"))
     # PSI drift report: reference = l_quantity, current = a +5-shifted
     # copy (drift by construction, so per-bin attribution is non-trivial)
     psi = STAT.population_stability_index(
@@ -3241,7 +3261,7 @@ def q_s_stats(spark, sf_dir):
             .unionByName(mwt).unionByName(kt).unionByName(wn)
             .unionByName(cvt).unionByName(aut).unionByName(kpt)
             .unionByName(pst).unionByName(tet).unionByName(bst)
-            .unionByName(tht))
+            .unionByName(tht).unionByName(mht))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3434,7 +3454,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
                 "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
-                "bootstrap", "theilsen"],
+                "bootstrap", "theilsen", "mahala"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma", "holt",
                                 "distinct7", "rollmed", "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
@@ -3504,6 +3524,61 @@ _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 # Poisson(1) CDF thresholds for the bootstrap oracle — the SAME Python
 # formula stats.poisson_bootstrap_ci evaluates, repr()d so both engines
 # compare against bit-identical doubles
+def _mahala_oracle() -> str:
+    """Mahalanobis oracle: cofactor-inverse formulas generated with the
+    SAME textual operation order as stats.mahalanobis_distance, over
+    the same decimal moment sums — bit-identical doubles."""
+    cols = _STATS_COLS[:3]
+    dec = "DECIMAL(38,2)"
+    sums = [f"count(*) AS n"]
+    for i, ci in enumerate(cols):
+        sums.append(f"sum({ci}::{dec}) AS s_{i}")
+        for j in range(i, 3):
+            sums.append(f"sum({ci}::{dec} * {cols[j]}::{dec}) "
+                        f"AS s_{i}_{j}")
+
+    def cv(i, j):
+        lo, hi = (i, j) if i <= j else (j, i)
+        return (f"((s_{lo}_{hi}::DOUBLE - s_{lo}::DOUBLE "
+                f"* s_{hi}::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0))")
+
+    c = {(i, j): cv(i, j) for i in range(3) for j in range(3)}
+    det = (f"({c[0,0]} * ({c[1,1]} * {c[2,2]} - {c[1,2]} * {c[1,2]}) "
+           f"- {c[0,1]} * ({c[0,1]} * {c[2,2]} - {c[1,2]} * {c[0,2]}) "
+           f"+ {c[0,2]} * ({c[0,1]} * {c[1,2]} - {c[1,1]} * {c[0,2]}))")
+    inv = {
+        (0, 0): f"(({c[1,1]} * {c[2,2]} - {c[1,2]} * {c[1,2]}) / {det})",
+        (1, 1): f"(({c[0,0]} * {c[2,2]} - {c[0,2]} * {c[0,2]}) / {det})",
+        (2, 2): f"(({c[0,0]} * {c[1,1]} - {c[0,1]} * {c[0,1]}) / {det})",
+        (0, 1): f"(-({c[0,1]} * {c[2,2]} - {c[1,2]} * {c[0,2]}) / {det})",
+        (0, 2): f"(({c[0,1]} * {c[1,2]} - {c[1,1]} * {c[0,2]}) / {det})",
+        (1, 2): f"(-({c[0,0]} * {c[1,2]} - {c[0,1]} * {c[0,2]}) / {det})",
+    }
+    mus = ", ".join(f"s_{i}::DOUBLE / n::DOUBLE AS mu{i}"
+                    for i in range(3))
+    ivs = ", ".join(f"{inv[i, j]} AS iv{i}{j}"
+                    for i in range(3) for j in range(i, 3))
+    ds = [f"(l.{cols[i]}::DOUBLE - m.mu{i})" for i in range(3)]
+    d2 = "0.0"
+    for i in range(3):
+        d2 += f" + {ds[i]} * {ds[i]} * m.iv{i}{i}"
+    for i in range(3):
+        for j in range(i + 1, 3):
+            d2 += f" + 2.0 * {ds[i]} * {ds[j]} * m.iv{i}{j}"
+    return f"""
+        WITH s AS (
+            SELECT l_returnflag, {", ".join(sums)}
+            FROM lineitem GROUP BY l_returnflag),
+        m AS (SELECT l_returnflag, {mus}, {ivs} FROM s),
+        r AS (
+            SELECT l.l_returnflag, round({d2}, 6) AS d2
+            FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag)
+        SELECT l_returnflag, count(*) AS n,
+               sum((d2 > 9.0)::INT)::BIGINT AS n_out,
+               sum(d2::DECIMAL(18,6))::DOUBLE AS sum_d2
+        FROM r GROUP BY l_returnflag"""
+
+
 def _poisson_cum_literals() -> tuple[str, float, float]:
     import math
     cum, acc = [], 0.0
@@ -7072,7 +7147,12 @@ _ORACLES["s_stats"] = _union(
           "'l_tax~l_quantity' AS s1, n::BIGINT AS i1, "
           "NULL::BIGINT AS i2, slope::DOUBLE AS d1, "
           "intercept::DOUBLE AS d2, NULL::DOUBLE AS d3, "
-          "NULL::DOUBLE AS d4"))
+          "NULL::DOUBLE AS d4"),
+    # multivariate Mahalanobis outliers (stats.mahalanobis_distance)
+    _wrap("mahala", _mahala_oracle(),
+          "l_returnflag AS s1, n::BIGINT AS i1, n_out::BIGINT AS i2, "
+          "sum_d2::DOUBLE AS d1, NULL::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
 
 
 _ORACLES["x_decontaminate"] = """

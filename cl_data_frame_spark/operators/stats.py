@@ -1641,3 +1641,95 @@ def theil_sen(frame, x_col: str, y_col: str,
                    F.round(F.col("__slope__"), 6).alias("slope"),
                    F.round(F.col("__icpt__"), 6).alias("intercept")))
     return SparkFrame(out)
+
+
+def mahalanobis_distance(frame, cols: list[str],
+                         by: list[str] | None = None,
+                         threshold: float = 9.0,
+                         sums=None) -> SparkFrame:
+    """Multivariate outlier distance: per-row squared Mahalanobis
+    distance d² = (x − μ)ᵀ S⁻¹ (x − μ) against the (per-group) sample
+    covariance — the k-dimensional generalization of the z-score
+    (``rolling_zscore``/``iqr_outliers`` are per-column; correlated
+    columns hide joint outliers a Mahalanobis ellipse catches).
+    ``is_outlier`` flags d² > *threshold* (9 ≈ the 3σ ellipse).
+
+    k = 2 or 3 columns (closed-form cofactor inverse as pure COLUMN
+    expressions over the ``moment_sums`` table — no driver linear
+    algebra, no collect; the per-group matrix entries broadcast-join
+    back to the rows). Larger k belongs to an Arrow-batched path;
+    raise rather than silently build a k² expression blowup.
+
+    All matrix arithmetic derives from exact decimal sums in a FIXED
+    written order, so results are bit-identical across engines (the
+    oracle mirrors the same cofactor formulas). Pass a precomputed
+    *sums* table (``moment_sums(cols=cols, by=by)`` layout) to reuse a
+    shared aggregation pass.
+
+    Output: input columns + (d2 rounded 6, is_outlier).
+    """
+    k = len(cols)
+    if k not in (2, 3):
+        raise ValueError(
+            f"mahalanobis_distance supports 2 or 3 columns, got {k} "
+            "(larger k needs the Arrow-batched path)")
+    sdf = _plain(frame)
+    by = list(by or [])
+    if sums is None:
+        sums = moment_sums(sdf, cols, by=by or None)
+    st = _plain(sums)
+    n = F.col("n").cast("double")
+
+    def mu(i):
+        return F.col(f"s_{i}").cast("double") / n
+
+    def cov(i, j):
+        lo, hi = (i, j) if i <= j else (j, i)
+        sij = F.col(f"s_{lo}_{hi}").cast("double")
+        si = F.col(f"s_{lo}").cast("double")
+        sj = F.col(f"s_{hi}").cast("double")
+        return (sij - si * sj / n) / (n - F.lit(1.0))
+
+    c = {(i, j): cov(i, j) for i in range(k) for j in range(k)}
+    if k == 2:
+        det = c[0, 0] * c[1, 1] - c[0, 1] * c[0, 1]
+        inv = {(0, 0): c[1, 1] / det, (1, 1): c[0, 0] / det,
+               (0, 1): -c[0, 1] / det, (1, 0): -c[0, 1] / det}
+    else:
+        det = (c[0, 0] * (c[1, 1] * c[2, 2] - c[1, 2] * c[1, 2])
+               - c[0, 1] * (c[0, 1] * c[2, 2] - c[1, 2] * c[0, 2])
+               + c[0, 2] * (c[0, 1] * c[1, 2] - c[1, 1] * c[0, 2]))
+        inv = {
+            (0, 0): (c[1, 1] * c[2, 2] - c[1, 2] * c[1, 2]) / det,
+            (1, 1): (c[0, 0] * c[2, 2] - c[0, 2] * c[0, 2]) / det,
+            (2, 2): (c[0, 0] * c[1, 1] - c[0, 1] * c[0, 1]) / det,
+            (0, 1): -(c[0, 1] * c[2, 2] - c[1, 2] * c[0, 2]) / det,
+            (0, 2): (c[0, 1] * c[1, 2] - c[1, 1] * c[0, 2]) / det,
+            (1, 2): -(c[0, 0] * c[1, 2] - c[0, 1] * c[0, 2]) / det,
+        }
+        inv[1, 0] = inv[0, 1]
+        inv[2, 0] = inv[0, 2]
+        inv[2, 1] = inv[1, 2]
+    model = st.select(
+        *by,
+        *[mu(i).alias(f"__mu{i}__") for i in range(k)],
+        *[inv[i, j].alias(f"__iv{i}{j}__")
+          for i in range(k) for j in range(i, k)])
+    joined = (sdf.join(F.broadcast(model), on=by) if by
+              else sdf.crossJoin(F.broadcast(model)))
+    d = [F.col(cols[i]).cast("double") - F.col(f"__mu{i}__")
+         for i in range(k)]
+    # fixed summation order: diagonal terms ascending, then each
+    # off-diagonal pair once with factor 2
+    d2 = F.lit(0.0)
+    for i in range(k):
+        d2 = d2 + d[i] * d[i] * F.col(f"__iv{i}{i}__")
+    for i in range(k):
+        for j in range(i + 1, k):
+            d2 = d2 + F.lit(2.0) * d[i] * d[j] * F.col(f"__iv{i}{j}__")
+    out = (joined.withColumn("d2", F.round(d2, 6))
+           .withColumn("is_outlier", F.col("d2") > F.lit(threshold))
+           .drop(*[f"__mu{i}__" for i in range(k)],
+                 *[f"__iv{i}{j}__" for i in range(k)
+                   for j in range(i, k)]))
+    return SparkFrame(out)

@@ -903,3 +903,49 @@ def test_theil_sen_robust_to_outliers(spark):
                    buckets=64).spark_df.first()
     # bucket-midpoint slope: accuracy bounded by bucket width
     assert abs(r3["slope"] - 1.5) < 0.15
+
+
+def test_mahalanobis_catches_joint_outlier(spark):
+    """A point whose coordinates are individually in-range but jointly
+    impossible (against the correlation) gets a large d2; per-group
+    matrices are independent; k not in (2,3) raises."""
+    import random
+    from cl_data_frame_spark.operators.stats import mahalanobis_distance
+    rng = random.Random(2)
+    rows = []
+    for i in range(500):
+        x = rng.gauss(0, 1.0)
+        rows.append((i, "g1", x, 2.0 * x + rng.gauss(0, 0.3)))
+    rows.append((999, "g1", 2.0, -4.0))     # joint outlier
+    # second group: anti-correlated; the same point is NOT an outlier
+    for i in range(500):
+        x = rng.gauss(0, 1.0)
+        rows.append((2000 + i, "g2", x, -2.0 * x + rng.gauss(0, 0.3)))
+    rows.append((2999, "g2", 2.0, -4.0))
+    df = spark.createDataFrame(rows, "id bigint, g string, "
+                                     "x double, y double")
+    out = {r.id: r for r in
+           mahalanobis_distance(df, ["x", "y"],
+                                by=["g"]).spark_df.collect()}
+    assert out[999].is_outlier and out[999].d2 > 100
+    assert not out[2999].is_outlier and out[2999].d2 < 9
+    # 3-column closed form agrees with numpy within the decimal(38,2)
+    # input-quantization tolerance
+    import numpy as np
+    rows3 = [(i, rng.gauss(0, 1), rng.gauss(5, 2), rng.gauss(-3, 1))
+             for i in range(400)]
+    df3 = spark.createDataFrame(rows3, "id bigint, a double, "
+                                       "b double, c double")
+    got = {r.id: r.d2 for r in
+           mahalanobis_distance(df3, ["a", "b", "c"])
+           .spark_df.collect()}
+    arr = np.array([[round(a, 2), round(b, 2), round(c, 2)]
+                    for _, a, b, c in rows3])
+    mu = arr.mean(0)
+    iv = np.linalg.inv(np.cov(arr.T))
+    for i, a, b, c in rows3[:25]:
+        v = np.array([round(a, 2), round(b, 2), round(c, 2)]) - mu
+        assert abs(got[i] - float(v @ iv @ v)) < 0.05
+    import pytest
+    with pytest.raises(ValueError, match="2 or 3"):
+        mahalanobis_distance(df3, ["a"])
