@@ -1163,8 +1163,22 @@ def q_s_window_range_trailing(spark, sf_dir):
              F.col("trend").cast("double").alias("d2"),
              F.col("forecast").cast("double").alias("d3"),
              F.col("n").cast("bigint").alias("i1"))
+    # two-sided CUSUM mean-shift detector per user (relational.
+    # cusum_drift; kappa=0.5, h=4 in per-key sigma units)
+    cu = R.cusum_drift(ev, "ts", "value", by=["user_id"],
+                       kappa=0.5, h=4.0,
+                       order_cols=["ts", "event_id"]).spark_df
+    hh = _tag(cu, "cusum",
+              F.col("user_id").cast("bigint").alias("user_id"),
+              F.col("alarm").cast("bigint").alias("event_id"),
+              F.col("n").cast("bigint").alias("ts_us"),
+              F.col("max_s_plus").cast("double").alias("d1"),
+              F.col("max_s_minus").cast("double").alias("d2"),
+              F.col("sd").cast("double").alias("d3"),
+              _BNULL().alias("i1"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f).unionByName(g))
+            .unionByName(e).unionByName(f).unionByName(g)
+            .unionByName(hh))
 
 
 def q_s_udtf_tokens(spark, sf_dir):
@@ -3456,7 +3470,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
                 "bootstrap", "theilsen", "mahala"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma", "holt",
-                                "distinct7", "rollmed", "acf"],
+                                "cusum", "distinct7", "rollmed",
+                                "acf"],
     "x_dedup": ["exact", "normalized", "spans", "selfspans",
                 "keepbest"],
     "x_ngram_jaccard": ["blocked", "global", "editdist", "simhash", "linkage",
@@ -6019,6 +6034,47 @@ _EWMA_DEN = " + ".join(
     f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
     f"THEN {0.7 ** j!r} ELSE 0.0 END)" for j in range(8))
 
+def _cusum_oracle() -> str:
+    """CUSUM oracle: list-state fold with the SAME written operation
+    order as relational.cusum_drift (kappa=0.5, h=4)."""
+    sp = "greatest(0.0::DOUBLE, acc[1] + (x[1] - mu - 0.5::DOUBLE * sd))"
+    sm = "greatest(0.0::DOUBLE, acc[2] + (mu - x[1] - 0.5::DOUBLE * sd))"
+    return f"""
+        WITH s AS (
+            SELECT user_id,
+                   list(value::DOUBLE ORDER BY ts, event_id) AS ys,
+                   count(*) AS n,
+                   sum(value::DECIMAL(38,2)) AS sx,
+                   sum(value::DECIMAL(38,2) * value::DECIMAL(38,2))
+                       AS sxx
+            FROM events GROUP BY user_id),
+        m AS (
+            SELECT user_id, ys, n,
+                   sx::DOUBLE / n::DOUBLE AS mu,
+                   sqrt((n::DOUBLE * sxx::DOUBLE
+                         - sx::DOUBLE * sx::DOUBLE)
+                        / (n::DOUBLE * (n::DOUBLE - 1.0))) AS sd
+            FROM s WHERE n >= 2),
+        f AS (
+            SELECT user_id, n, mu, sd,
+                   list_reduce(
+                       [[0.0::DOUBLE, 0.0, 0.0, 0.0]] ||
+                       list_transform(ys, y -> [y, 0.0::DOUBLE,
+                                                0.0, 0.0]),
+                       (acc, x) -> [
+                           {sp}, {sm},
+                           greatest(acc[3], {sp}),
+                           greatest(acc[4], {sm})]) AS st
+            FROM m)
+        SELECT user_id, n::BIGINT AS n, round(mu, 6) AS mu,
+               round(sd, 6) AS sd,
+               round(st[3], 6) AS max_s_plus,
+               round(st[4], 6) AS max_s_minus,
+               (st[3] > 4.0::DOUBLE * sd
+                OR st[4] > 4.0::DOUBLE * sd) AS alarm
+        FROM f"""
+
+
 def _holt_oracle() -> str:
     """Holt linear smoothing oracle: DuckDB list_reduce with a LIST
     accumulator (the struct-literal lambda binder in DuckDB 1.0
@@ -6062,6 +6118,11 @@ _ORACLES["s_window_range_trailing"] = _union(
           "NULL::BIGINT AS ts_us, level::DOUBLE AS d1, "
           "trend::DOUBLE AS d2, forecast::DOUBLE AS d3, "
           "n::BIGINT AS i1"),
+    _wrap("cusum", _cusum_oracle(),
+          "user_id::BIGINT AS user_id, alarm::BIGINT AS event_id, "
+          "n::BIGINT AS ts_us, max_s_plus::DOUBLE AS d1, "
+          "max_s_minus::DOUBLE AS d2, sd::DOUBLE AS d3, "
+          "NULL::BIGINT AS i1"),
     _wrap("zscore", """
         WITH w AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

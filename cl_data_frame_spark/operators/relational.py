@@ -1675,3 +1675,81 @@ def holt_linear(frame, ts_col: str, val_col: str,
                            * F.element_at("__st__", 2), 6)
                    .alias("forecast")))
     return SparkFrame(out)
+
+
+def cusum_drift(frame, ts_col: str, val_col: str,
+                by: Sequence[str] | None = None,
+                kappa: float = 0.5, h: float = 4.0,
+                order_cols: Sequence[str] | None = None) -> SparkFrame:
+    """Two-sided CUSUM drift detection per key (Page 1954, public
+    methodology): fold the ordered series with
+
+        S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − κσ))
+        S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − κσ))
+
+    and alarm when either cumulative sum's MAXIMUM exceeds h·σ — the
+    standard sequential mean-shift detector (κ = half the shift to
+    detect, h the decision interval, both in per-key σ units). μ/σ
+    come from the key's own exact decimal moment sums in the SAME
+    aggregation that collects the ordered array, so the whole detector
+    is one hash aggregation + one array fold (the ``holt_linear``
+    bounded-series-per-key shape; 4-double fold state). Keys with
+    n < 2 are dropped (σ undefined).
+
+    Output: by-cols + (n, mu, sd, max_s_plus, max_s_minus, alarm),
+    doubles rounded 6; the S values are reported in σ-unscaled raw
+    units (compare against h·σ — ``alarm`` already does).
+    """
+    by = list(by or [])
+    order_cols = list(order_cols or [ts_col])
+    sdf = _plain(frame)
+    x = F.col(val_col).cast("decimal(38,2)")
+    sort_struct = F.struct(
+        *[F.col(c).alias(f"__o{i}__") for i, c in enumerate(order_cols)],
+        F.col(val_col).cast("double").alias("__v__"))
+    per = (sdf.groupBy(*by)
+           .agg(F.transform(F.array_sort(F.collect_list(sort_struct)),
+                            lambda s: s["__v__"]).alias("__ys__"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("__sx__"),
+                F.sum(x * x).alias("__sxx__"))
+           .filter(F.col("n") >= 2))
+    n = F.col("n").cast("double")
+    sx = F.col("__sx__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    mu = sx / n
+    sd = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    per = per.withColumn("__mu__", mu).withColumn("__sd__", sd)
+    slack = F.lit(float(kappa)) * F.col("__sd__")
+
+    def sp(acc, y):
+        return F.greatest(F.lit(0.0),
+                          F.element_at(acc, 1)
+                          + (y - F.col("__mu__") - slack))
+
+    def sm(acc, y):
+        return F.greatest(F.lit(0.0),
+                          F.element_at(acc, 2)
+                          + (F.col("__mu__") - y - slack))
+
+    state = F.aggregate(
+        F.col("__ys__"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        lambda acc, y: F.array(
+            sp(acc, y), sm(acc, y),
+            F.greatest(F.element_at(acc, 3), sp(acc, y)),
+            F.greatest(F.element_at(acc, 4), sm(acc, y))))
+    limit = F.lit(float(h)) * F.col("__sd__")
+    out = (per.withColumn("__st__", state)
+           .select(*by,
+                   F.col("n").cast("bigint").alias("n"),
+                   F.round("__mu__", 6).alias("mu"),
+                   F.round("__sd__", 6).alias("sd"),
+                   F.round(F.element_at("__st__", 3), 6)
+                   .alias("max_s_plus"),
+                   F.round(F.element_at("__st__", 4), 6)
+                   .alias("max_s_minus"),
+                   ((F.element_at("__st__", 3) > limit)
+                    | (F.element_at("__st__", 4) > limit))
+                   .alias("alarm")))
+    return SparkFrame(out)

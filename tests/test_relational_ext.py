@@ -943,3 +943,27 @@ def test_holt_linear_matches_reference_fold(spark):
     assert abs(r["level"] - lin[-1][1]) < 1e-3
     assert abs(r["trend"] - 2.0) < 1e-3
     assert abs(r["forecast"] - (lin[-1][1] + 10.0)) < 5e-3
+
+
+def test_cusum_drift_alarms_on_mean_shift(spark):
+    import random
+    from cl_data_frame_spark.operators.relational import cusum_drift
+    rng = random.Random(9)
+    rows = []
+    for t in range(200):
+        rows.append(("stable", t, rng.gauss(10.0, 1.0)))
+        rows.append(("shift", t,
+                     rng.gauss(10.0 if t < 100 else 13.0, 1.0)))
+    rows.append(("solo", 0, 1.0))          # n < 2 dropped
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {r.g: r for r in
+           cusum_drift(df, "t", "v", by=["g"]).spark_df.collect()}
+    assert "solo" not in got
+    assert got["shift"].alarm and not got["stable"].alarm
+    assert got["shift"].max_s_plus > 10 * got["shift"].sd
+    assert got["stable"].max_s_plus <= 4.0 * got["stable"].sd
+    # constant series: sd = 0, S stays 0, no alarm, no crash
+    const = spark.createDataFrame([("c", t, 5.0) for t in range(20)],
+                                  "g string, t int, v double")
+    rc = cusum_drift(const, "t", "v", by=["g"]).spark_df.first()
+    assert rc.max_s_plus == 0.0 and not rc.alarm
