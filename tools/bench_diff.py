@@ -25,8 +25,9 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "s_stats": [4, 5, 6, 7],        # r4 +bins+outliers; r5 fused, +mad
                                     # +spearman; r6 +anova +mannwhitney
                                     # +kendall +winsor +cramer +auc +kappa;
-                                    # r7 +psi +targetenc +bootstrap, shared
-                                    # slim checkpoint
+                                    # r7 +psi +targetenc +bootstrap
+                                    # +theilsen +mahala, shared slim
+                                    # checkpoint
     "s_skew_udaf": [4, 5],          # r4 +grouped_map; r5 +skewreport
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
     "s_window_range_trailing": [4, 5, 6, 7],  # r4 +zscore; r5 +ewma
