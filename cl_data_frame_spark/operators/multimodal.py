@@ -139,3 +139,184 @@ def resize_stub(*_args, **_kwargs):
     raise NotImplementedError(
         "resize requires an image library (PIL/opencv) not present in this "
         "environment; the Spark-side plumbing is extract_features/frame_sample")
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for formats the Python stdlib + numpy can parse (round 7):
+# WAV audio (stdlib `wave`), binary PPM (P6) and uncompressed 24-bit BMP
+# images. These need NO external codec library, so for these formats the
+# decode/feature path below is genuinely real end to end — the fake/stub
+# path now covers only compressed codecs (JPEG/PNG/MP3/MP4...).
+# ---------------------------------------------------------------------------
+
+def _decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE payload: (meta dict, feature list).
+
+    Features: [duration_s, sample_rate/1e4, rms, zero_crossing_rate]
+    over the channel-averaged normalized signal.
+    """
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        arr -= 128.0
+    arr /= float(2 ** (8 * sw - 1))
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    dur_ms = int(round(n / sr * 1000)) if sr else 0
+    rms = float(np.sqrt(np.mean(arr ** 2))) if arr.size else 0.0
+    zcr = (float(np.mean(np.abs(np.diff(np.signbit(arr)
+                                        .astype(np.int8)))))
+           if arr.size > 1 else 0.0)
+    meta = {"media_type": "audio", "format": "wav", "width": None,
+            "height": None, "duration_ms": dur_ms, "sample_rate": sr}
+    return meta, [dur_ms / 1000.0, sr / 1e4, rms, zcr]
+
+
+def _image_features(px: np.ndarray, w: int, h: int, fmt: str):
+    """Shared image feature vector: [w/1e3, h/1e3, meanR, meanG, meanB]
+    + 8-bin normalized luminance histogram (13 values)."""
+    means = px.reshape(-1, 3).mean(axis=0) / 255.0
+    lum = px.reshape(-1, 3).astype(np.float64) @ [0.299, 0.587, 0.114]
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 255.0))
+    hist = hist.astype(np.float64)
+    tot = hist.sum()
+    if tot > 0:
+        hist /= tot
+    meta = {"media_type": "image", "format": fmt, "width": int(w),
+            "height": int(h), "duration_ms": None, "sample_rate": None}
+    return meta, ([w / 1e3, h / 1e3, *means.tolist()]
+                  + hist.tolist())
+
+
+def _decode_ppm(payload: bytes):
+    """Parse a binary PPM (P6, maxval <= 255)."""
+    pos = [0]
+
+    def token():
+        # skip whitespace and '#' comments
+        while True:
+            while pos[0] < len(payload) and payload[pos[0]:pos[0] + 1] \
+                    .isspace():
+                pos[0] += 1
+            if payload[pos[0]:pos[0] + 1] == b"#":
+                while pos[0] < len(payload) \
+                        and payload[pos[0]] != 0x0A:
+                    pos[0] += 1
+                continue
+            break
+        start = pos[0]
+        while pos[0] < len(payload) and not payload[pos[0]:pos[0] + 1] \
+                .isspace():
+            pos[0] += 1
+        return payload[start:pos[0]]
+
+    magic = token()
+    if magic != b"P6":
+        raise ValueError(f"not a binary PPM: magic {magic!r}")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos[0] += 1                      # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                       offset=pos[0]).reshape(h, w, 3)
+    return _image_features(px, w, h, "ppm")
+
+
+def _decode_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
+    import struct
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported "
+                         f"(bpp={bpp}, compression={compression})")
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_off + r * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3,
+                            offset=off).reshape(w, 3)
+        rows.append(row[:, ::-1])     # BGR -> RGB
+    px = np.stack(rows[::-1] if flipped else rows)
+    return _image_features(px, w, h, "bmp")
+
+
+def _detect_decode(payload: bytes, n_features: int, strict: bool):
+    """Sniff the payload's magic bytes and run the REAL decoder when
+    one exists; otherwise the deterministic fake (or raise under
+    ``strict=True``). Returns (meta dict | None, feature list)."""
+    if payload:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            meta, feats = _decode_wav(bytes(payload))
+        elif payload[:2] == b"P6":
+            meta, feats = _decode_ppm(bytes(payload))
+        elif payload[:2] == b"BM":
+            meta, feats = _decode_bmp(bytes(payload))
+        else:
+            if strict:
+                raise NotImplementedError(
+                    "no stdlib decoder for this format (compressed "
+                    "codecs need PIL/ffmpeg, absent here); formats "
+                    "decoded for real: WAV, PPM (P6), BMP (24-bit)")
+            return None, _fake_decode(bytes(payload),
+                                      n_features).tolist()
+    else:
+        return None, _fake_decode(b"", n_features).tolist()
+    feats = feats[:n_features] + [0.0] * max(0, n_features - len(feats))
+    return meta, [float(x) for x in feats]
+
+
+def extract_features_real(frame_or_df, payload_col: str = "payload",
+                          id_col: str = "media_id",
+                          n_features: int = 32,
+                          strict: bool = False) -> SparkFrame:
+    """Decode + feature-extract with REAL stdlib decoders where the
+    format allows (WAV / PPM / 24-bit BMP — magic-byte sniffed), the
+    deterministic fake elsewhere (``strict=True`` raises instead).
+    Emits the decoded metadata struct alongside the feature vector,
+    so this is also the real ``media_info`` pass.
+
+    Same Arrow plumbing as ``extract_features``: ``mapInPandas`` over
+    record batches, payloads never leave the executor.
+    """
+    sdf = frame_or_df.spark_df if isinstance(frame_or_df, SparkFrame) \
+        else frame_or_df
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("meta", MEDIA_METADATA_TYPE, True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        T.StructField("decoded", T.BooleanType(), False)])
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, feats, decoded = [], [], []
+            for p in pdf[payload_col]:
+                m, f = _detect_decode(p, n_features, strict)
+                metas.append(m)
+                feats.append(f)
+                decoded.append(m is not None)
+            yield pd.DataFrame({id_col: pdf[id_col], "meta": metas,
+                                "features": feats, "decoded": decoded})
+
+    out = sdf.select(id_col, payload_col).mapInPandas(_extract,
+                                                      schema=schema)
+    return SparkFrame(out)

@@ -73,3 +73,78 @@ def test_frame_sample_counts(media):
 def test_resize_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.resize_stub()
+
+
+def _make_wav(freq=440.0, sr=8000, seconds=0.5, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+    buf = io.BytesIO()
+    n = int(sr * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack("<h", int(amp * 32767
+                                  * math.sin(2 * math.pi * freq * t / sr)))
+            for t in range(n))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _make_ppm(w=4, h=2, rgb=(255, 0, 0)):
+    header = f"P6\n# comment\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def _make_bmp(w=3, h=2, rgb=(0, 0, 255)):
+    import struct
+    row = bytes(rgb[::-1]) * w
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    data = row * h
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(data), 2835, 2835, 0, 0))
+    return hdr + data
+
+
+def test_real_decoders_wav_ppm_bmp(spark):
+    """WAV/PPM/BMP decode for REAL (stdlib + numpy — no codec libs):
+    metadata and features come from the actual samples/pixels."""
+    import math
+    from cl_data_frame_spark.operators.multimodal import \
+        extract_features_real
+    rows = [(1, _make_wav()), (2, _make_ppm()), (3, _make_bmp()),
+            (4, b"\x89PNG\r\n\x1a\nnotreallypng")]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r.media_id: r for r in
+           extract_features_real(df, n_features=16).spark_df.collect()}
+    wav = out[1]
+    assert wav.decoded and wav.meta.media_type == "audio"
+    assert wav.meta.sample_rate == 8000 and wav.meta.duration_ms == 500
+    # 0.5-amplitude sine has RMS ~ 0.5/sqrt(2)
+    assert abs(wav.features[2] - 0.5 / math.sqrt(2)) < 0.01
+    ppm = out[2]
+    assert ppm.decoded and ppm.meta.width == 4 and ppm.meta.height == 2
+    # pure red: meanR=1, meanG=meanB=0
+    assert abs(ppm.features[2] - 1.0) < 1e-6
+    assert ppm.features[3] == 0.0 and ppm.features[4] == 0.0
+    bmp = out[3]
+    assert bmp.decoded and bmp.meta.width == 3 and bmp.meta.height == 2
+    # pure blue: meanB=1
+    assert abs(bmp.features[4] - 1.0) < 1e-6
+    assert bmp.features[2] == 0.0
+    # unknown format: falls back to the deterministic fake
+    png = out[4]
+    assert not png.decoded and png.meta is None
+    assert len(png.features) == 16
+    # strict mode raises for formats with no stdlib decoder
+    import pytest
+    with pytest.raises(Exception, match="no stdlib decoder"):
+        extract_features_real(
+            spark.createDataFrame([(9, b"\x89PNGxxxx")],
+                                  "media_id bigint, payload binary"),
+            strict=True).spark_df.collect()
