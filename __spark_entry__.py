@@ -3206,6 +3206,19 @@ def q_s_stats(spark, sf_dir):
                F.col("slope").cast("double").alias("d1"),
                F.col("intercept").cast("double").alias("d2"),
                _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # partial correlation of (quantity, price) controlling discount,
+    # per flag — three pairwise correlations from the SHARED mega sums
+    pc = STAT.partial_correlation(
+        None, "l_quantity", "l_extendedprice", "l_discount",
+        cols=_STATS_COLS, by=["l_returnflag"], sums=mega).spark_df
+    pct = _tag(pc, "partialcorr",
+               F.col("l_returnflag").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("r_xy").cast("double").alias("d1"),
+               F.col("r_xz").cast("double").alias("d2"),
+               F.col("r_yz").cast("double").alias("d3"),
+               F.col("partial_r").cast("double").alias("d4"))
     # multivariate Mahalanobis outliers over (quantity, price,
     # discount) per flag — matrix entries derive from the SHARED mega
     # sums (cols 0..2 of _STATS_COLS use the same s_i/s_i_j names)
@@ -3275,7 +3288,7 @@ def q_s_stats(spark, sf_dir):
             .unionByName(mwt).unionByName(kt).unionByName(wn)
             .unionByName(cvt).unionByName(aut).unionByName(kpt)
             .unionByName(pst).unionByName(tet).unionByName(bst)
-            .unionByName(tht).unionByName(mht))
+            .unionByName(tht).unionByName(mht).unionByName(pct))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3468,7 +3481,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
                 "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
-                "bootstrap", "theilsen", "mahala"],
+                "bootstrap", "theilsen", "mahala", "partialcorr"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma", "holt",
                                 "cusum", "distinct7", "rollmed",
                                 "acf"],
@@ -3539,6 +3552,42 @@ _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 # Poisson(1) CDF thresholds for the bootstrap oracle — the SAME Python
 # formula stats.poisson_bootstrap_ci evaluates, repr()d so both engines
 # compare against bit-identical doubles
+def _partialcorr_oracle() -> str:
+    """Partial correlation oracle — the _pair_exprs formula order over
+    per-flag decimal moment sums."""
+    dec = "DECIMAL(38,2)"
+    cols = _STATS_COLS
+    sums = ["count(*) AS n"]
+    for i, ci in enumerate(cols[:3]):
+        sums.append(f"sum({ci}::{dec}) AS s_{i}")
+        for j in range(i, 3):
+            sums.append(f"sum({ci}::{dec} * {cols[j]}::{dec}) "
+                        f"AS s_{i}_{j}")
+
+    def r(i, j):
+        lo, hi = min(i, j), max(i, j)
+        return (f"((n::DOUBLE * s_{lo}_{hi}::DOUBLE "
+                f"- s_{i}::DOUBLE * s_{j}::DOUBLE) "
+                f"/ sqrt((n::DOUBLE * s_{i}_{i}::DOUBLE "
+                f"- s_{i}::DOUBLE * s_{i}::DOUBLE) "
+                f"* (n::DOUBLE * s_{j}_{j}::DOUBLE "
+                f"- s_{j}::DOUBLE * s_{j}::DOUBLE)))")
+
+    rxy, rxz, ryz = r(0, 1), r(0, 2), r(1, 2)
+    partial = (f"(({rxy} - {rxz} * {ryz}) "
+               f"/ sqrt((1.0 - {rxz} * {rxz}) "
+               f"* (1.0 - {ryz} * {ryz})))")
+    return f"""
+        WITH s AS (
+            SELECT l_returnflag, {", ".join(sums)}
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n::BIGINT AS n,
+               round({rxy}, 6) AS r_xy, round({rxz}, 6) AS r_xz,
+               round({ryz}, 6) AS r_yz,
+               round({partial}, 6) AS partial_r
+        FROM s"""
+
+
 def _mahala_oracle() -> str:
     """Mahalanobis oracle: cofactor-inverse formulas generated with the
     SAME textual operation order as stats.mahalanobis_distance, over
@@ -7209,6 +7258,11 @@ _ORACLES["s_stats"] = _union(
           "NULL::BIGINT AS i2, slope::DOUBLE AS d1, "
           "intercept::DOUBLE AS d2, NULL::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"),
+    # partial correlation controlling discount (stats.partial_correlation)
+    _wrap("partialcorr", _partialcorr_oracle(),
+          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "r_xy::DOUBLE AS d1, r_xz::DOUBLE AS d2, r_yz::DOUBLE AS d3, "
+          "partial_r::DOUBLE AS d4"),
     # multivariate Mahalanobis outliers (stats.mahalanobis_distance)
     _wrap("mahala", _mahala_oracle(),
           "l_returnflag AS s1, n::BIGINT AS i1, n_out::BIGINT AS i2, "

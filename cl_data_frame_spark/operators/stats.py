@@ -1733,3 +1733,45 @@ def mahalanobis_distance(frame, cols: list[str],
                  *[f"__iv{i}{j}__" for i in range(k)
                    for j in range(i, k)]))
     return SparkFrame(out)
+
+
+def partial_correlation(frame, x_col: str, y_col: str, z_col: str,
+                        cols: list[str] | None = None,
+                        by: list[str] | None = None,
+                        sums=None) -> SparkFrame:
+    """First-order partial correlation of x and y CONTROLLING for z —
+    the "is the x~y relationship real or just z driving both" answer
+    confounder-aware analysis needs before trusting a correlation:
+
+        r_xy·z = (r_xy − r_xz·r_yz)
+                 / sqrt((1 − r_xz²)(1 − r_yz²))
+
+    All three pairwise correlations derive from ONE exact decimal
+    moment-sums pass (``_pair_exprs`` — the same fixed double order as
+    ``moment_stats``, so the result is bit-identical across engines);
+    pass a shared *sums* table (``moment_sums`` layout over *cols*) to
+    reuse an existing aggregation with zero extra scans.
+
+    Output: by-cols + (n, r_xy, r_xz, r_yz, partial_r), rounded 6.
+    """
+    if sums is None:
+        cols = cols or [x_col, y_col, z_col]
+        sums = moment_sums(_plain(frame), cols, by=by)
+    else:
+        assert cols is not None, "cols= names the sums layout"
+    s = _plain(sums)
+    ix, iy, iz = cols.index(x_col), cols.index(y_col), cols.index(z_col)
+    r_xy, _, _, _ = _pair_exprs(ix, iy)
+    r_xz, _, _, _ = _pair_exprs(ix, iz)
+    r_yz, _, _, _ = _pair_exprs(iy, iz)
+    partial = ((r_xy - r_xz * r_yz)
+               / F.sqrt((F.lit(1.0) - r_xz * r_xz)
+                        * (F.lit(1.0) - r_yz * r_yz)))
+    out = s.select(
+        *(by or []),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(r_xy, 6).alias("r_xy"),
+        F.round(r_xz, 6).alias("r_xz"),
+        F.round(r_yz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("partial_r"))
+    return SparkFrame(out)

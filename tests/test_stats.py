@@ -949,3 +949,24 @@ def test_mahalanobis_catches_joint_outlier(spark):
     import pytest
     with pytest.raises(ValueError, match="2 or 3"):
         mahalanobis_distance(df3, ["a"])
+
+
+def test_partial_correlation_removes_confounder(spark):
+    import random
+    from cl_data_frame_spark.operators.stats import partial_correlation
+    rng = random.Random(3)
+    rows = []
+    for _ in range(2000):
+        z = rng.gauss(0, 1)
+        rows.append((z + rng.gauss(0, 0.3), z + rng.gauss(0, 0.3), z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_correlation(df, "x", "y", "z").spark_df.first()
+    # x and y are strongly correlated only through z
+    assert r["r_xy"] > 0.85
+    assert abs(r["partial_r"]) < 0.1
+    # direct relation survives controlling for an irrelevant z
+    rows2 = [(x, 2.0 * x + rng.gauss(0, 0.2), rng.gauss(0, 1))
+             for x in (rng.gauss(0, 1) for _ in range(2000))]
+    df2 = spark.createDataFrame(rows2, "x double, y double, z double")
+    r2 = partial_correlation(df2, "x", "y", "z").spark_df.first()
+    assert r2["partial_r"] > 0.9
