@@ -180,3 +180,45 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1) -> int:
         if v not in keep:
             os.remove(_manifest_path(table_dir, v))
     return deleted
+
+
+def snapshot_read_merged(spark: SparkSession, table_dir: str,
+                         version: int | None = None) -> SparkFrame:
+    """Schema-evolution read: like ``snapshot_read`` but with parquet
+    ``mergeSchema`` across the version's file set, so an append that
+    ADDED columns reads as one unified schema (old files surface NULLs
+    for the new columns) — the additive-evolution contract the public
+    formats guarantee. Column REMOVALS/renames are an overwrite, not an
+    append (the manifest keeps each version's own schema JSON for
+    audits)."""
+    versions = _versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
+    if version is None:
+        version = versions[-1]
+    m = _read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    return SparkFrame(
+        spark.read.option("mergeSchema", "true").parquet(*paths))
+
+
+def snapshot_merge(spark: SparkSession, table_dir: str, source,
+                   on, update_cols=None, insert_unmatched: bool = True,
+                   num_files: int | None = None) -> int:
+    """MERGE INTO a snapshot table: read the latest version, apply the
+    relational MERGE rewrite (``relational.merge_into`` — WHEN MATCHED
+    update / WHEN NOT MATCHED insert), publish the result as a new
+    OVERWRITE version. Returns the new version number.
+
+    This is the Delta-style upsert loop on the manifest format: readers
+    pinned to older versions keep their snapshot; the merge itself is
+    the one hash join ``merge_into`` documents. (Row-level rewrite of
+    only affected files needs file-level statistics — out of scope; the
+    whole-table rewrite is the correct-first formulation.)
+    """
+    from cl_data_frame_spark.operators.relational import merge_into
+    target = snapshot_read(spark, table_dir)
+    merged = merge_into(target, source, on, update_cols=update_cols,
+                        insert_unmatched=insert_unmatched)
+    return snapshot_write(merged, table_dir, mode="overwrite",
+                          num_files=num_files)

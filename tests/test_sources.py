@@ -409,3 +409,45 @@ class TestSnapshots:
                        t, mode="overwrite")
         assert sorted(r.v for r in pinned.spark_df.collect()) == \
             list(range(5))
+
+
+class TestSnapshotEvolution:
+    def test_schema_evolution_append(self, spark, tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read_merged)
+        from pyspark.sql import functions as F
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(
+            F.col("id").alias("k"), F.lit("a").alias("v")), t)
+        # append with an ADDED column
+        snapshot_write(spark.range(3, 5).select(
+            F.col("id").alias("k"), F.lit("b").alias("v"),
+            F.lit(7).alias("extra")), t, mode="append")
+        out = snapshot_read_merged(spark, t).spark_df
+        assert set(out.columns) >= {"k", "v", "extra"}
+        rows = {r.k: (r.v, r.extra) for r in out.collect()}
+        assert rows[0] == ("a", None)         # old files: NULL extra
+        assert rows[4] == ("b", 7)
+        assert len(rows) == 5
+
+    def test_snapshot_merge_upsert(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_merge,
+            snapshot_history)
+        t = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "old1"), (2, "old2"), (3, "old3")], "k bigint, v string")
+        snapshot_write(base, t)
+        updates = spark.createDataFrame(
+            [(2, "NEW2"), (9, "NEW9")], "k bigint, v string")
+        v = snapshot_merge(spark, t, updates, on="k")
+        assert v == 2
+        got = {r.k: r.v for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert got == {1: "old1", 2: "NEW2", 3: "old3", 9: "NEW9"}
+        # pinned reader still sees the pre-merge table
+        pre = {r.k: r.v for r in
+               snapshot_read(spark, t, version=1).spark_df.collect()}
+        assert pre == {1: "old1", 2: "old2", 3: "old3"}
+        assert snapshot_history(t)[-1]["operation"] == "overwrite"
