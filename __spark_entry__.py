@@ -3206,6 +3206,17 @@ def q_s_stats(spark, sf_dir):
                F.col("slope").cast("double").alias("d1"),
                F.col("intercept").cast("double").alias("d2"),
                _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # mutual information + entropies for returnflag x linestatus
+    mi = STAT.mutual_information(li, "l_returnflag", "l_linestatus",
+                                 exact=True).spark_df
+    mit = _tag(mi, "mutualinfo",
+               F.lit("l_returnflag~l_linestatus").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("mi").cast("double").alias("d1"),
+               F.col("nmi").cast("double").alias("d2"),
+               F.col("h_x").cast("double").alias("d3"),
+               F.col("h_y").cast("double").alias("d4"))
     # partial correlation of (quantity, price) controlling discount,
     # per flag — three pairwise correlations from the SHARED mega sums
     pc = STAT.partial_correlation(
@@ -3288,7 +3299,8 @@ def q_s_stats(spark, sf_dir):
             .unionByName(mwt).unionByName(kt).unionByName(wn)
             .unionByName(cvt).unionByName(aut).unionByName(kpt)
             .unionByName(pst).unionByName(tet).unionByName(bst)
-            .unionByName(tht).unionByName(mht).unionByName(pct))
+            .unionByName(tht).unionByName(mht).unionByName(pct)
+            .unionByName(mit))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3481,7 +3493,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
                 "welch", "spearman", "anova", "mannwhitney", "kendall",
                 "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
-                "bootstrap", "theilsen", "mahala", "partialcorr"],
+                "bootstrap", "theilsen", "mahala", "partialcorr",
+                "mutualinfo"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma", "holt",
                                 "cusum", "distinct7", "rollmed",
                                 "acf"],
@@ -7258,6 +7271,48 @@ _ORACLES["s_stats"] = _union(
           "NULL::BIGINT AS i2, slope::DOUBLE AS d1, "
           "intercept::DOUBLE AS d2, NULL::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"),
+    # mutual information over the contingency cells (stats.mutual_information)
+    _wrap("mutualinfo", """
+        WITH cells AS (
+            SELECT l_returnflag AS x, l_linestatus AS y,
+                   count(*) AS c
+            FROM lineitem GROUP BY 1, 2),
+        w AS (
+            SELECT x, y, c,
+                   sum(c) OVER (PARTITION BY x) AS rt,
+                   sum(c) OVER (PARTITION BY y) AS ct,
+                   sum(c) OVER () AS tot
+            FROM cells),
+        t AS (
+            SELECT tot,
+                   round((c::DOUBLE / tot::DOUBLE)
+                         * ln((c::DOUBLE / tot::DOUBLE)
+                              / ((rt::DOUBLE / tot::DOUBLE)
+                                 * (ct::DOUBLE / tot::DOUBLE))), 12)
+                       ::DECIMAL(38,12) AS mi_t,
+                   round((c::DOUBLE / rt::DOUBLE)
+                         * (-(rt::DOUBLE / tot::DOUBLE)
+                            * ln(rt::DOUBLE / tot::DOUBLE)), 12)
+                       ::DECIMAL(38,12) AS hx_t,
+                   round((c::DOUBLE / ct::DOUBLE)
+                         * (-(ct::DOUBLE / tot::DOUBLE)
+                            * ln(ct::DOUBLE / tot::DOUBLE)), 12)
+                       ::DECIMAL(38,12) AS hy_t
+            FROM w),
+        a AS (SELECT max(tot) AS n, sum(mi_t) AS mi,
+                     sum(hx_t) AS h_x, sum(hy_t) AS h_y
+              FROM t)
+        SELECT n::BIGINT AS n, round(h_x::DOUBLE, 6) AS h_x,
+               round(h_y::DOUBLE, 6) AS h_y,
+               round(mi::DOUBLE, 6) AS mi,
+               CASE WHEN h_x::DOUBLE * h_y::DOUBLE > 0
+                    THEN round(mi::DOUBLE
+                               / sqrt(h_x::DOUBLE * h_y::DOUBLE), 6)
+               END AS nmi
+        FROM a""",
+          "'l_returnflag~l_linestatus' AS s1, n::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, mi::DOUBLE AS d1, nmi::DOUBLE AS d2, "
+          "h_x::DOUBLE AS d3, h_y::DOUBLE AS d4"),
     # partial correlation controlling discount (stats.partial_correlation)
     _wrap("partialcorr", _partialcorr_oracle(),
           "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "

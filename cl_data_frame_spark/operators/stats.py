@@ -1775,3 +1775,67 @@ def partial_correlation(frame, x_col: str, y_col: str, z_col: str,
         F.round(r_yz, 6).alias("r_yz"),
         F.round(partial, 6).alias("partial_r"))
     return SparkFrame(out)
+
+
+def mutual_information(frame, x_col: str, y_col: str,
+                       exact: bool = False, max_distinct: int = 10_000,
+                       buckets: int = 64) -> SparkFrame:
+    """Mutual information between two categorical columns, with the
+    entropies and the normalized score
+
+        MI  = Σ_ij p_ij · ln(p_ij / (p_i · p_j))
+        NMI = MI / sqrt(H_x · H_y)
+
+    — the dependence measure that catches NON-monotone association
+    (feature selection, redundancy screens) where Pearson/Spearman/
+    Cramér's V each miss part of the picture. Natural-log nats.
+
+    Same contingency shape as ``cramers_v``: one hash aggregation to
+    the observed cells, window marginals over the tiny cell table,
+    per-cell terms quantized to 12 decimals and summed as exact
+    decimals (order-independent, cross-engine identical). Continuous
+    inputs auto-bucket via ``_cardinality_guard`` (``exact=True``
+    opts out).
+
+    Output: one row (n, h_x, h_y, mi, nmi), rounded 6.
+    """
+    sdf = _cardinality_guard(_plain(frame), [x_col, y_col],
+                             exact, max_distinct, buckets)
+    cells = (sdf.groupBy(F.col(x_col).alias("__x__"),
+                         F.col(y_col).alias("__y__"))
+             .agg(F.count(F.lit(1)).alias("__c__")))
+    rt = F.sum("__c__").over(Window.partitionBy("__x__"))
+    ct = F.sum("__c__").over(Window.partitionBy("__y__"))
+    tot = F.sum("__c__").over(Window.partitionBy())
+    n = tot.cast("double")
+    pij = F.col("__c__").cast("double") / n
+    pi = rt.cast("double") / n
+    pj = ct.cast("double") / n
+    q12 = "decimal(38,12)"
+    terms = cells.select(
+        "__x__", "__y__", "__c__",
+        F.round(pij * F.log(pij / (pi * pj)), 12).cast(q12)
+        .alias("__mi__"),
+        # entropy terms attributed once per marginal: weight each
+        # cell's share of its row/col so the sums telescope exactly
+        F.round((F.col("__c__").cast("double") / rt.cast("double"))
+                * (-pi * F.log(pi)), 12).cast(q12).alias("__hx__"),
+        F.round((F.col("__c__").cast("double") / ct.cast("double"))
+                * (-pj * F.log(pj)), 12).cast(q12).alias("__hy__"),
+        tot.alias("__n__"))
+    agg = terms.agg(
+        F.max("__n__").alias("n"),
+        F.sum("__mi__").alias("mi"),
+        F.sum("__hx__").alias("h_x"),
+        F.sum("__hy__").alias("h_y"))
+    mi = F.col("mi").cast("double")
+    hx = F.col("h_x").cast("double")
+    hy = F.col("h_y").cast("double")
+    nmi = F.when(hx * hy > 0, mi / F.sqrt(hx * hy))
+    out = agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(hx, 6).alias("h_x"),
+        F.round(hy, 6).alias("h_y"),
+        F.round(mi, 6).alias("mi"),
+        F.round(nmi, 6).alias("nmi"))
+    return SparkFrame(out)

@@ -970,3 +970,35 @@ def test_partial_correlation_removes_confounder(spark):
     df2 = spark.createDataFrame(rows2, "x double, y double, z double")
     r2 = partial_correlation(df2, "x", "y", "z").spark_df.first()
     assert r2["partial_r"] > 0.9
+
+
+def test_mutual_information_extremes(spark):
+    import math
+    from cl_data_frame_spark.operators.stats import mutual_information
+    # perfect dependence: MI = H = ln(2), NMI = 1
+    dep = spark.createDataFrame([("a", "x")] * 50 + [("b", "y")] * 50,
+                                "r string, c string")
+    r = mutual_information(dep, "r", "c").spark_df.first()
+    ln2 = round(math.log(2), 6)
+    assert r["mi"] == ln2 and r["h_x"] == ln2 and r["nmi"] == 1.0
+    # independence: MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "ab" for b in "xy" for _ in range(25)],
+        "r string, c string")
+    r2 = mutual_information(ind, "r", "c").spark_df.first()
+    assert r2["mi"] == 0.0 and r2["nmi"] == 0.0
+    # XOR-shaped dependence: zero Pearson-style signal, full MI
+    xor = spark.createDataFrame(
+        [(a, b, str((a == "1") ^ (b == "1")))
+         for a in "01" for b in "01" for _ in range(25)],
+        "a string, b string, x string")
+    rx = mutual_information(xor, "a", "x").spark_df.first()
+    assert rx["mi"] == 0.0                     # a alone says nothing
+    # but (a,b) jointly determines x: concat the pair
+    from pyspark.sql import functions as F
+    rj = mutual_information(
+        xor.withColumn("ab", F.concat("a", "b")), "ab", "x")\
+        .spark_df.first()
+    # MI = H(x) = ln2 (x fully determined); NMI = ln2/sqrt(2ln2*ln2)
+    assert rj["mi"] == round(math.log(2), 6)
+    assert abs(rj["nmi"] - 1 / math.sqrt(2)) < 1e-6
