@@ -268,3 +268,65 @@ def test_bpe_pieces_reconstruct_pretokens(spark, texts):
     for r in enc:
         joined = "".join(p for p in r.bpe_pieces).replace(bpe.EOW, "")
         assert joined == "".join(pat.findall(r.text)), r.text
+
+
+@given(ys=st.lists(st.floats(min_value=-50, max_value=50,
+                             allow_nan=False, allow_infinity=False,
+                             width=32),
+                   min_size=2, max_size=15),
+       alpha=st.sampled_from([0.2, 0.5, 0.8]),
+       beta=st.sampled_from([0.1, 0.3]))
+@settings(**SETTINGS)
+def test_holt_fold_matches_python_reference(spark, ys, alpha, beta):
+    """The distributed Holt array fold equals the sequential Python
+    recurrence for arbitrary series and smoothing constants."""
+    from cl_data_frame_spark.operators.relational import holt_linear
+    df = spark.createDataFrame(
+        [("g", t, float(v)) for t, v in enumerate(ys)],
+        "g string, t int, v double")
+    got = holt_linear(df, "t", "v", by=["g"], alpha=alpha,
+                      beta=beta, horizon=2).spark_df.first()
+    l, bt = ys[0], ys[1] - ys[0]
+    c1, c2 = beta * alpha, 1 - beta * alpha
+    for y in ys[1:]:
+        ln = alpha * y + (1 - alpha) * (l + bt)
+        bt = c1 * (y - l) + c2 * bt
+        l = ln
+    assert got["level"] == round(l, 6)
+    assert got["trend"] == round(bt, 6)
+    assert got["forecast"] == round(l + 2.0 * bt, 6)
+
+
+# integer-valued inputs: the operator casts values to decimal(38,2)
+# with HALF_UP while Python round() is half-even — exact decimal
+# quarter values (0.125, ...) would round differently; integers are
+# exact under both, keeping the reference comparison sound
+@given(ys=st.lists(st.integers(min_value=-50, max_value=50)
+                   .map(float),
+                   min_size=2, max_size=15))
+@settings(**SETTINGS)
+def test_cusum_fold_matches_python_reference(spark, ys):
+    """The CUSUM fold equals the sequential reference: same mean/std
+    derivation, same max statistics."""
+    import math
+    from cl_data_frame_spark.operators.relational import cusum_drift
+    df = spark.createDataFrame(
+        [("g", t, float(v)) for t, v in enumerate(ys)],
+        "g string, t int, v double")
+    got = cusum_drift(df, "t", "v", by=["g"], kappa=0.5,
+                      h=4.0).spark_df.first()
+    n = len(ys)
+    q = [round(v, 2) for v in ys]          # decimal(38,2) input cast
+    sx, sxx = sum(q), sum(v * v for v in q)
+    mu = sx / n
+    var = (n * sxx - sx * sx) / (n * (n - 1.0))
+    sd = math.sqrt(var) if var > 0 else 0.0
+    sp = sm = mp = mm = 0.0
+    for y in ys:
+        sp = max(0.0, sp + (y - mu - 0.5 * sd))
+        sm = max(0.0, sm + (mu - y - 0.5 * sd))
+        mp, mm = max(mp, sp), max(mm, sm)
+    assert got["n"] == n
+    assert abs(got["max_s_plus"] - round(mp, 6)) < 1e-6
+    assert abs(got["max_s_minus"] - round(mm, 6)) < 1e-6
+    assert got["alarm"] == (mp > 4.0 * sd or mm > 4.0 * sd)
