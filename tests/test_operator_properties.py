@@ -270,9 +270,11 @@ def test_bpe_pieces_reconstruct_pretokens(spark, texts):
         assert joined == "".join(pat.findall(r.text)), r.text
 
 
-@given(ys=st.lists(st.floats(min_value=-50, max_value=50,
-                             allow_nan=False, allow_infinity=False,
-                             width=32),
+# integer-valued inputs, same reason as the CUSUM test below: short
+# dyadic values (0.0078125...) can land exactly on a 7th-decimal half
+# where Spark's HALF_UP round and Python's half-even round diverge
+@given(ys=st.lists(st.integers(min_value=-50, max_value=50)
+                   .map(float),
                    min_size=2, max_size=15),
        alpha=st.sampled_from([0.2, 0.5, 0.8]),
        beta=st.sampled_from([0.1, 0.3]))
