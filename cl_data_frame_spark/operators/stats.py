@@ -1839,3 +1839,48 @@ def mutual_information(frame, x_col: str, y_col: str,
         F.round(mi, 6).alias("mi"),
         F.round(nmi, 6).alias("nmi"))
     return SparkFrame(out)
+
+
+def weighted_percentile(frame, val_col: str, weight_col: str,
+                        probs: list[float],
+                        by: list[str] | None = None) -> SparkFrame:
+    """Weighted percentiles (lower weighted-quantile rule): for each
+    p, the smallest value whose cumulative weight reaches p·Σw — the
+    percentile that respects row importance (token counts, sampling
+    weights, dollar amounts) where plain ``percentile`` treats every
+    row equally. p = 0.5 is the weighted median ``theil_sen``'s
+    intercept uses; p = 1 is the max.
+
+    Plan: one per-group sort + cumulative DECIMAL weight window (exact,
+    order-independent given the (value, weight) sort), then one hash
+    aggregation taking each p's threshold min — two shuffles on the
+    group key, never a global sort. NULL values/weights are excluded;
+    negative weights raise downstream of the decimal sum (document:
+    weights are masses).
+
+    Output: by-cols + n + one ``p<percent>`` column per prob,
+    rounded 6.
+    """
+    for p in probs:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"probs must be in (0, 1], got {p}")
+    by = list(by or [])
+    sdf = (_plain(frame)
+           .filter(F.col(val_col).isNotNull()
+                   & F.col(weight_col).isNotNull()))
+    w = F.col(weight_col).cast("decimal(38,6)")
+    win = Window.partitionBy(*by).orderBy(
+        F.col(val_col).asc(), F.col(weight_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(*by)
+    cur = (sdf.withColumn("__cw__", F.sum(w).over(win))
+           .withColumn("__tw__", F.sum(w).over(tot)))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in probs:
+        name = f"p{int(round(p * 100))}"
+        thresh = F.col("__tw__").cast("double") * F.lit(float(p))
+        aggs.append(F.round(F.min(F.when(
+            F.col("__cw__").cast("double") >= thresh,
+            F.col(val_col).cast("double"))), 6).alias(name))
+    out = cur.groupBy(*by).agg(*aggs)
+    return SparkFrame(out)

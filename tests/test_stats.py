@@ -1002,3 +1002,32 @@ def test_mutual_information_extremes(spark):
     # MI = H(x) = ln2 (x fully determined); NMI = ln2/sqrt(2ln2*ln2)
     assert rj["mi"] == round(math.log(2), 6)
     assert abs(rj["nmi"] - 1 / math.sqrt(2)) < 1e-6
+
+
+def test_weighted_percentile_rules(spark):
+    from cl_data_frame_spark.operators.stats import weighted_percentile
+    import pytest
+    # values 1..4 with weights (1, 1, 1, 7): the mass sits at 4
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)], "v double, w double")
+    r = weighted_percentile(df, "v", "w", [0.25, 0.5, 1.0]).spark_df.first()
+    assert r["p25"] == 3.0          # cum 1,2,3,10; 0.25*10=2.5 -> v=3
+    assert r["p50"] == 4.0
+    assert r["p100"] == 4.0
+    # uniform weights degenerate to the lower quantile of the values
+    u = spark.createDataFrame([(float(v), 1.0) for v in range(1, 11)],
+                              "v double, w double")
+    ru = weighted_percentile(u, "v", "w", [0.5]).spark_df.first()
+    assert ru["p50"] == 5.0
+    # per-group isolation + NULL exclusion
+    g = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 100.0, 9.0), ("b", 5.0, 1.0),
+         ("b", None, 99.0), ("b", 6.0, None)],
+        "g string, v double, w double")
+    got = {r["g"]: r for r in
+           weighted_percentile(g, "v", "w", [0.5],
+                               by=["g"]).spark_df.collect()}
+    assert got["a"]["p50"] == 100.0 and got["a"]["n"] == 2
+    assert got["b"]["p50"] == 5.0 and got["b"]["n"] == 1
+    with pytest.raises(ValueError, match="probs"):
+        weighted_percentile(df, "v", "w", [0.0])
