@@ -20,10 +20,12 @@ Layout::
   (latest or pinned ``version=``) and scan exactly those files —
   concurrent writers cannot corrupt a read, and an unpublished crash
   leaves only orphan data files that ``vacuum`` collects.
-- Manifest publish is write-temp-then-``os.replace`` — atomic on POSIX
-  filesystems. (Object stores without atomic rename need a commit
-  lock/service on top, exactly as the public formats document; the
-  manifest content itself is portable.)
+- Manifest publish is write-temp-then-``os.link`` — an atomic
+  create-exclusive on POSIX filesystems, so of two racing writers for
+  the same version exactly one publishes and the other gets
+  ``FileExistsError`` (optimistic concurrency). (Object stores without
+  atomic create need a commit lock/service on top, exactly as the
+  public formats document; the manifest content itself is portable.)
 - Scale: the manifest is a file-path list — KBs of driver-side metadata
   per version even when the files hold terabytes; data moves only
   through normal distributed parquet writes. ``files`` carries
@@ -73,18 +75,30 @@ def _read_manifest(table_dir: str, version: int) -> dict:
 
 
 def _publish(table_dir: str, manifest: dict) -> None:
-    """Atomic manifest publish: temp file + os.replace."""
+    """Atomic manifest publish: temp file + ``os.link`` to the final
+    name. ``link`` fails with ``FileExistsError`` if the target already
+    exists — atomically, in the filesystem — so two writers racing to
+    publish the same version cannot both succeed (the old exists-check
+    + ``os.replace`` had a TOCTOU window in which the loser silently
+    clobbered the winner's manifest, orphaning its data files). The
+    loser's caller should re-read the table and retry at the next
+    version number — standard optimistic-concurrency commit, exactly
+    the public Delta/Iceberg commit contract."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(table_dir, manifest["version"])
-    if os.path.exists(final):
-        raise FileExistsError(
-            f"version {manifest['version']} already published at "
-            f"{final} (concurrent writer?)")
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, final)
+    try:
+        os.link(tmp, final)  # atomic create-exclusive: loser raises
+    except FileExistsError:
+        raise FileExistsError(
+            f"version {manifest['version']} already published at "
+            f"{final} (concurrent writer lost the publish race; "
+            f"re-read and retry at the next version)") from None
+    finally:
+        os.unlink(tmp)
 
 
 def snapshot_write(frame, table_dir: str, mode: str = "append",

@@ -411,6 +411,49 @@ class TestSnapshots:
             list(range(5))
 
 
+    def test_concurrent_writers_exactly_one_wins(self, spark, tmp_path,
+                                                 monkeypatch):
+        """Two writers racing to publish the SAME version: the atomic
+        create-exclusive manifest publish (``os.link``) guarantees
+        exactly one lands and the loser gets ``FileExistsError`` —
+        the TOCTOU the old exists-check + ``os.replace`` publish had
+        let both 'succeed', silently dropping the first manifest."""
+        import threading
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        barrier = threading.Barrier(2, timeout=60)
+        orig_versions = snapshots._versions
+
+        def synced(table_dir):
+            out = orig_versions(table_dir)
+            barrier.wait()  # both writers see the same parent before
+            return out      # either publishes -> both target version 1
+
+        monkeypatch.setattr(snapshots, "_versions", synced)
+        results: dict[str, object] = {}
+
+        def write(tag, lo, hi):
+            try:
+                results[tag] = snapshots.snapshot_write(
+                    spark.range(lo, hi).withColumnRenamed("id", "v"), t)
+            except FileExistsError as exc:
+                results[tag] = exc
+
+        th_a = threading.Thread(target=write, args=("a", 0, 5))
+        th_b = threading.Thread(target=write, args=("b", 100, 107))
+        th_a.start(); th_b.start()
+        th_a.join(120); th_b.join(120)
+        monkeypatch.setattr(snapshots, "_versions", orig_versions)
+        outcomes = sorted(results.values(),
+                          key=lambda r: isinstance(r, Exception))
+        assert outcomes[0] == 1                       # one winner at v1
+        assert isinstance(outcomes[1], FileExistsError)  # one loser
+        hist = snapshots.snapshot_history(t)
+        assert [h["version"] for h in hist] == [1]    # history intact
+        n = snapshots.snapshot_read(spark, t).nrow
+        assert n in (5, 7)                            # the winner's rows
+
+
 class TestSnapshotEvolution:
     def test_schema_evolution_append(self, spark, tmp_path):
         from cl_data_frame_spark.sources.snapshots import (
