@@ -2631,15 +2631,21 @@ def q_s_layout_prune(spark, sf_dir):
     # TIME-TRAVEL read of v2 must equal the qty<=3 slice even though
     # v3 has since replaced the table — manifest pinning proves the
     # reproducible-read contract end to end
-    from cl_data_frame_spark.sources.snapshots import (snapshot_read,
-                                                       snapshot_write)
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_scan_files, snapshot_write)
     spath = os.path.join(tempfile.mkdtemp(prefix="cdf_snap_"), "tbl")
-    snapshot_write(li.filter(F.col("l_quantity") <= 2), spath,
-                   mode="append", num_files=4)
-    snapshot_write(li.filter(F.col("l_quantity") == 3), spath,
-                   mode="append", num_files=4)
-    snapshot_write(li.filter(F.col("l_quantity") == 4), spath,
-                   mode="overwrite", num_files=4)
+    # range-partitioned on l_orderkey with footer min/max stats in the
+    # manifest -> disjoint per-file key ranges the predicated read
+    # below can skip (the Delta/Iceberg data-skipping model)
+    snapshot_write(li.filter(F.col("l_quantity") <= 2)
+                   .repartitionByRange(4, "l_orderkey"), spath,
+                   mode="append", stats_cols=["l_orderkey"])
+    snapshot_write(li.filter(F.col("l_quantity") == 3)
+                   .repartitionByRange(4, "l_orderkey"), spath,
+                   mode="append", stats_cols=["l_orderkey"])
+    snapshot_write(li.filter(F.col("l_quantity") == 4)
+                   .repartitionByRange(4, "l_orderkey"), spath,
+                   mode="overwrite", stats_cols=["l_orderkey"])
     sagg = (snapshot_read(spark, spath, version=2).spark_df
             .agg(F.count(F.lit(1)).alias("n"),
                  _dec_sum("l_quantity").alias("sum_qty"),
@@ -2648,8 +2654,30 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
+    # stats-pruned time travel: the predicated v2 read must (i) hand
+    # Spark STRICTLY fewer files than the full v2 file set — asserted
+    # on the manifest listing right here, every run, at every SF —
+    # and (ii) hash-match the oracle's filter of the original rows.
+    # The cut is SF-relative (max key / 4 — lands inside file 1 of the
+    # 4 range-partitioned files at every scale); the 1-row agg collect
+    # is metadata-sized driver state, same class as a centroid fetch.
+    cut = li.agg(F.floor(F.max("l_orderkey") / 4)).collect()[0][0]
+    pred = [("l_orderkey", "<=", int(cut))]
+    n_all = len(snapshot_scan_files(spath, 2))
+    n_hit = len(snapshot_scan_files(spath, 2, where=pred))
+    assert 0 < n_hit < n_all, \
+        f"snapshot stats pruning ineffective: {n_hit}/{n_all} files"
+    pagg2 = (snapshot_read(spark, spath, version=2, where=pred)
+             .spark_df
+             .agg(F.count(F.lit(1)).alias("n"),
+                  _dec_sum("l_quantity").alias("sum_qty"),
+                  F.sum("l_orderkey").alias("sum_ok")))
+    e = _tag(pagg2, "snapprune",
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("sum_qty").cast("double").alias("d1"),
+             F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
-            .unionByName(c).unionByName(d))
+            .unionByName(c).unionByName(d).unionByName(e))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -3518,7 +3546,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
-                       "snapshot"],
+                       "snapshot", "snapprune"],
 }
 
 
@@ -5222,6 +5250,20 @@ _ORACLES["s_layout_prune"] = _union(
                    AS sum_qty,
                sum(l_orderkey) AS sum_ok
         FROM lineitem WHERE l_quantity <= 3""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapprune: stats-pruned predicated time travel of version 2 —
+    # the Spark side also asserts the manifest pruning handed the scan
+    # strictly fewer files; the values must match a plain filter
+    _wrap("snapprune", """
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem
+        WHERE l_quantity <= 3
+          AND l_orderkey <= (SELECT floor(max(l_orderkey) / 4)::BIGINT
+                             FROM lineitem)""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"))
 

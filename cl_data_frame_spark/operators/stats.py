@@ -1851,12 +1851,27 @@ def weighted_percentile(frame, val_col: str, weight_col: str,
     row equally. p = 0.5 is the weighted median ``theil_sen``'s
     intercept uses; p = 1 is the max.
 
-    Plan: one per-group sort + cumulative DECIMAL weight window (exact,
-    order-independent given the (value, weight) sort), then one hash
-    aggregation taking each p's threshold min — two shuffles on the
-    group key, never a global sort. NULL values/weights are excluded;
-    negative weights raise downstream of the decimal sum (document:
-    weights are masses).
+    Plan, grouped (``by``): one per-group sort + cumulative DECIMAL
+    weight window (exact, order-independent given the (value, weight)
+    sort), then one hash aggregation taking each p's threshold min —
+    two shuffles on the group key, never a global sort.
+
+    Plan, ungrouped (``by=None``): a ``Window.partitionBy()`` with no
+    keys would funnel the whole table through ONE partition — the
+    global-window anti-pattern. Instead, the standard two-pass global
+    cumulative-sum recipe (the ``spearman_corr_approx`` global-ranks
+    shape): (1) ``approx_percentile`` cuts split values into ~64
+    equi-depth buckets (bucket ranges are disjoint and ordered, ties
+    can't straddle a boundary since assignment is by value); (2) one
+    tiny per-bucket DECIMAL weight-sum aggregation is collected
+    (k-sized driver state — one decimal per bucket) and turned into
+    cumulative bucket OFFSETS; (3) the cumulative window then runs
+    PARTITIONED BY BUCKET — per-bucket prefix sums + the bucket's
+    offset reconstruct the exact global cumulative weight with no
+    single-partition exchange anywhere in the full-data path.
+
+    NULL values/weights are excluded; negative weights raise
+    downstream of the decimal sum (document: weights are masses).
 
     Output: by-cols + n + one ``p<percent>`` column per prob,
     rounded 6.
@@ -1869,16 +1884,57 @@ def weighted_percentile(frame, val_col: str, weight_col: str,
            .filter(F.col(val_col).isNotNull()
                    & F.col(weight_col).isNotNull()))
     w = F.col(weight_col).cast("decimal(38,6)")
-    win = Window.partitionBy(*by).orderBy(
-        F.col(val_col).asc(), F.col(weight_col).asc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy(*by)
-    cur = (sdf.withColumn("__cw__", F.sum(w).over(win))
-           .withColumn("__tw__", F.sum(w).over(tot)))
+    if by:
+        win = Window.partitionBy(*by).orderBy(
+            F.col(val_col).asc(), F.col(weight_col).asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy(*by)
+        cur = (sdf.withColumn("__cw__", F.sum(w).over(win))
+               .withColumn("__tw__", F.sum(w).over(tot)))
+        tw = F.col("__tw__").cast("double")
+    else:
+        n_buckets = 64
+        cut_probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sdf.agg(F.approx_percentile(
+            F.col(val_col).cast("double"),
+            F.array(*[F.lit(p) for p in cut_probs]),
+            10_000).alias("c")).collect()[0]["c"] or []
+        # strictly increasing cut list (low-cardinality values repeat
+        # percentiles); bucket b = #cuts below the value
+        uniq = sorted(set(cuts))
+        v = F.col(val_col).cast("double")
+        bkt = F.lit(0)
+        for c in uniq:
+            bkt = bkt + F.when(v > F.lit(c), 1).otherwise(0)
+        cur = sdf.withColumn("__bkt__", bkt)
+        totals = {r["__bkt__"]: r["t"] for r in
+                  (cur.groupBy("__bkt__").agg(F.sum(w).alias("t"))
+                   .collect())}  # k-sized: one decimal per bucket
+        import decimal as _dec
+        run = _dec.Decimal(0)
+        offsets = {}
+        for b in sorted(totals):
+            offsets[b] = run
+            run += totals[b]
+        grand_total = run
+        if offsets:
+            off = F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(b) for b in sorted(offsets)]),
+                    F.array(*[F.lit(offsets[b]).cast("decimal(38,6)")
+                              for b in sorted(offsets)])),
+                F.col("__bkt__"))
+        else:  # empty input: no buckets, offset is vacuous
+            off = F.lit(0).cast("decimal(38,6)")
+        win = Window.partitionBy("__bkt__").orderBy(
+            F.col(val_col).asc(), F.col(weight_col).asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        cur = cur.withColumn("__cw__", F.sum(w).over(win) + off)
+        tw = F.lit(grand_total).cast("decimal(38,6)").cast("double")
     aggs = [F.count(F.lit(1)).alias("n")]
     for p in probs:
         name = f"p{int(round(p * 100))}"
-        thresh = F.col("__tw__").cast("double") * F.lit(float(p))
+        thresh = tw * F.lit(float(p))
         aggs.append(F.round(F.min(F.when(
             F.col("__cw__").cast("double") >= thresh,
             F.col(val_col).cast("double"))), 6).alias(name))

@@ -38,11 +38,15 @@ follow the public Delta/Iceberg snapshot model.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import uuid
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cl_data_frame_spark.frame import SparkFrame
 
@@ -101,13 +105,170 @@ def _publish(table_dir: str, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+# ---------------------------------------------------------------------------
+# per-file column statistics (the public Delta/Iceberg data-skipping
+# model): min/max/null_count per (file, column) read from the parquet
+# FOOTERS — zero data scan, exact, and written into the manifest so a
+# predicated read can prune the file list before Spark ever lists it.
+# ---------------------------------------------------------------------------
+
+def _enc_stat(v):
+    """JSON-safe encoding of a footer min/max value, type-tagged so
+    pruning can decode to an exactly-comparable Python value."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _dec_stat(e):
+    if isinstance(e, dict):
+        if e["t"] == "dec":
+            return decimal.Decimal(e["v"])
+        if e["t"] == "ts":
+            return datetime.datetime.fromisoformat(e["v"])
+        if e["t"] == "date":
+            return datetime.date.fromisoformat(e["v"])
+    return e
+
+
+def _coerce_pred(bound, value):
+    """Coerce a user predicate value to the decoded bound's type so the
+    comparison is exact (numeric predicate vs DECIMAL stats is the
+    common case: Decimal(str(v)) avoids any float/binary rounding)."""
+    if isinstance(bound, decimal.Decimal) \
+            and isinstance(value, (int, float)):
+        return decimal.Decimal(str(value))
+    if isinstance(bound, float) and isinstance(value, int):
+        return float(value)
+    if isinstance(bound, int) and isinstance(value, float):
+        return value  # int/float compare exactly in Python
+    return value
+
+
+_PRUNE_OPS = {"==", "=", "<", "<=", ">", ">="}
+
+
+def _file_may_match(stats: dict, predicates) -> bool:
+    """Conservative range check: False ONLY when the file's [min, max]
+    for some predicate column provably excludes every matching row.
+    Columns without stats never prune. NULL rows never satisfy a
+    comparison predicate, so null_count is irrelevant to soundness."""
+    for col, op, val in predicates:
+        st = stats.get(col)
+        if not st or st.get("min") is None or st.get("max") is None:
+            continue
+        mn, mx = _dec_stat(st["min"]), _dec_stat(st["max"])
+        v = _coerce_pred(mn, val)
+        try:
+            if op in ("==", "="):
+                if v < mn or v > mx:
+                    return False
+            elif op == "<":
+                if mn >= v:
+                    return False
+            elif op == "<=":
+                if mn > v:
+                    return False
+            elif op == ">":
+                if mx <= v:
+                    return False
+            elif op == ">=":
+                if mx < v:
+                    return False
+        except TypeError:
+            continue  # incomparable types: keep the file (sound)
+    return True
+
+
+def _collect_file_stats(table_dir: str, rel_files: list[str],
+                        stats_cols: Sequence[str]) -> dict:
+    """Per-file min/max/null_count for *stats_cols* from the parquet
+    footers (pyarrow metadata) — no data pages are read. Row-group
+    stats are folded to file-level bounds. On a cluster this loop is a
+    flat map over file paths (footers are KBs); the driver-side loop
+    here is the local-mode expression of the same metadata pass."""
+    import pyarrow.parquet as pq
+    wanted = set(stats_cols)
+    out = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        per: dict[str, dict] = {}
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                name = c.path_in_schema
+                if name not in wanted:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    per[name] = {"min": None, "max": None}
+                    continue
+                cur = per.setdefault(
+                    name, {"min": st.min, "max": st.max, "nulls": 0})
+                if isinstance(cur["min"], dict) or cur["min"] is None:
+                    continue
+                cur["min"] = min(cur["min"], st.min)
+                cur["max"] = max(cur["max"], st.max)
+                cur["nulls"] += st.null_count or 0
+        out[rel] = {k: {"min": _enc_stat(v["min"]),
+                        "max": _enc_stat(v["max"]),
+                        "nulls": v.get("nulls", 0)}
+                    for k, v in per.items()}
+    return out
+
+
+def snapshot_scan_files(table_dir: str, version: int | None = None,
+                        where=None) -> list[str]:
+    """The file list a ``snapshot_read`` with the same arguments will
+    hand Spark — *where* (list of ``(col, op, value)`` triples, ops
+    ``== < <= > >=``) prunes via the manifest's per-file min/max stats.
+    Exposed so tests and capacity planning can assert skip
+    effectiveness without running the scan."""
+    versions = _versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
+    m = _read_manifest(table_dir, version if version is not None
+                       else versions[-1])
+    files = m["files"]
+    if where:
+        for col, op, _v in where:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported prune op {op!r}")
+        stats = m.get("stats") or {}
+        files = [f for f in files
+                 if _file_may_match(stats.get(f, {}), where)]
+    return files
+
+
 def snapshot_write(frame, table_dir: str, mode: str = "append",
-                   num_files: int | None = None) -> int:
+                   num_files: int | None = None,
+                   stats_cols: Sequence[str] | None = None) -> int:
     """Publish a new table version; returns the version number.
 
     ``mode='append'`` adds this DataFrame's rows to the current
     version's file set; ``'overwrite'`` starts the version from only
     the new files (old versions stay readable until ``vacuum``).
+
+    ``stats_cols`` names columns whose per-file min/max/null_count are
+    read from the new files' parquet FOOTERS (no data scan) and stored
+    in the manifest; a later ``snapshot_read(..., where=...)`` prunes
+    files against them before the scan — the public Delta/Iceberg
+    data-skipping model. Appends inherit the parent's stats for the
+    files they carry forward.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
@@ -124,24 +285,40 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         os.path.join(rel_dir, f) for f in os.listdir(out_dir)
         if f.endswith(".parquet"))
     files = list(new_files)
+    stats = (_collect_file_stats(table_dir, new_files, stats_cols)
+             if stats_cols else {})
     if mode == "append" and parent is not None:
-        files = _read_manifest(table_dir, parent)["files"] + files
-    _publish(table_dir, {
+        pm = _read_manifest(table_dir, parent)
+        files = pm["files"] + files
+        stats = {**(pm.get("stats") or {}), **stats}
+    manifest = {
         "version": version,
         "parent": parent,
         "operation": mode,
         "schema": sdf.schema.json(),
         "files": files,
-    })
+    }
+    if stats:
+        manifest["stats"] = stats
+    _publish(table_dir, manifest)
     return version
 
 
 def snapshot_read(spark: SparkSession, table_dir: str,
-                  version: int | None = None) -> SparkFrame:
+                  version: int | None = None,
+                  where=None) -> SparkFrame:
     """Read a table snapshot — the latest version, or time-travel to a
     pinned ``version=``. The scan lists EXACTLY the manifest's files,
     so a concurrent writer (or later vacuum of newer versions) cannot
-    change what this read sees."""
+    change what this read sees.
+
+    ``where`` is a list of ``(col, op, value)`` triples (ops ``==``,
+    ``<``, ``<=``, ``>``, ``>=``) ANDed together: files whose
+    manifest min/max stats provably exclude every matching row are
+    SKIPPED before Spark lists them (data skipping — a point lookup on
+    a 100 TB table touches only the files whose range covers the key),
+    and the same predicates are applied as a row filter so the result
+    is exactly the predicated snapshot regardless of stats coverage."""
     versions = _versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
@@ -151,9 +328,23 @@ def snapshot_read(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(
             f"version {version} not in {table_dir} "
             f"(available: {versions})")
-    m = _read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
-    return SparkFrame(spark.read.parquet(*paths))
+    files = snapshot_scan_files(table_dir, version, where=where)
+    if not files:  # every file pruned: empty frame with the schema
+        from pyspark.sql.types import StructType
+        schema = StructType.fromJson(
+            json.loads(_read_manifest(table_dir, version)["schema"]))
+        return SparkFrame(spark.createDataFrame([], schema))
+    paths = [os.path.join(table_dir, f) for f in files]
+    sdf = spark.read.parquet(*paths)
+    for col, op, val in (where or []):
+        c = F.col(col)
+        sdf = sdf.filter(
+            c == val if op in ("==", "=") else
+            c < val if op == "<" else
+            c <= val if op == "<=" else
+            c > val if op == ">" else
+            c >= val)
+    return SparkFrame(sdf)
 
 
 def snapshot_history(table_dir: str) -> list[dict]:

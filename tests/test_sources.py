@@ -411,6 +411,58 @@ class TestSnapshots:
             list(range(5))
 
 
+    def test_stats_pruning_skips_files(self, spark, tmp_path):
+        """Data skipping: per-file min/max footer stats in the manifest
+        let a predicated read hand Spark strictly fewer files, and the
+        result equals the unpruned read + filter (soundness)."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_scan_files)
+        t = str(tmp_path / "tbl")
+        # range-partitioned writes -> disjoint per-file v ranges
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("v"),
+            (F.col("id") % 7).alias("w"))
+        snapshot_write(df.repartitionByRange(8, "v"), t,
+                       stats_cols=["v"])
+        allf = snapshot_scan_files(t)
+        assert len(allf) == 8
+        pruned = snapshot_scan_files(t, where=[("v", ">=", 900)])
+        assert 0 < len(pruned) < len(allf)
+        got = snapshot_read(spark, t, where=[("v", ">=", 900)])
+        assert sorted(r.v for r in got.spark_df.collect()) == \
+            list(range(900, 1000))
+        # point lookup: touches exactly the one file covering the key
+        assert len(snapshot_scan_files(t, where=[("v", "==", 42)])) == 1
+        # empty-prune path keeps the schema
+        empty = snapshot_read(spark, t, where=[("v", ">", 10_000)])
+        assert empty.nrow == 0 and set(empty.spark_df.columns) == \
+            {"v", "w"}
+        # column without stats never prunes (sound fallback)
+        assert len(snapshot_scan_files(t, where=[("w", "==", 3)])) == 8
+
+    def test_stats_pruning_append_inherits_and_decimal_exact(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_scan_files)
+        t = str(tmp_path / "tbl")
+        lo = spark.range(0, 100).select(
+            (F.col("id").cast("decimal(18,2)") / 4).alias("d"))
+        hi = spark.range(400, 500).select(
+            (F.col("id").cast("decimal(18,2)") / 4).alias("d"))
+        snapshot_write(lo.coalesce(1), t, stats_cols=["d"])
+        snapshot_write(hi.coalesce(1), t, mode="append",
+                       stats_cols=["d"])
+        assert len(snapshot_scan_files(t)) == 2
+        # boundary exactness: max(lo) = 24.75; >= 24.75 must KEEP lo
+        assert len(snapshot_scan_files(t, where=[("d", ">=", 24.75)])) \
+            == 2
+        assert len(snapshot_scan_files(t, where=[("d", ">", 24.75)])) \
+            == 1
+        got = snapshot_read(spark, t, where=[("d", ">", 24.75)])
+        assert got.nrow == 100
+
     def test_concurrent_writers_exactly_one_wins(self, spark, tmp_path,
                                                  monkeypatch):
         """Two writers racing to publish the SAME version: the atomic

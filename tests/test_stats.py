@@ -1031,3 +1031,46 @@ def test_weighted_percentile_rules(spark):
     assert got["b"]["p50"] == 5.0 and got["b"]["n"] == 1
     with pytest.raises(ValueError, match="probs"):
         weighted_percentile(df, "v", "w", [0.0])
+
+
+def test_weighted_percentile_unkeyed_matches_sequential(spark):
+    """The bucketed two-pass global path (by=None) must reproduce the
+    sequential lower weighted-quantile rule exactly — including
+    boundary ties that straddle approx-percentile cuts."""
+    import random
+    from cl_data_frame_spark.operators.stats import weighted_percentile
+    rng = random.Random(8)
+    # low-cardinality values -> repeated cuts + heavy boundary ties
+    rows = [(float(rng.randint(1, 20)), float(rng.randint(1, 5)))
+            for _ in range(5000)]
+    probs = [0.1, 0.25, 0.5, 0.9, 1.0]
+
+    def sequential(rows, p):
+        srt = sorted(rows)
+        tot = sum(w for _v, w in srt)
+        cum = 0.0
+        for v, w in srt:
+            cum += w
+            if cum >= p * tot:
+                return v
+        return srt[-1][0]
+
+    df = spark.createDataFrame(rows, "v double, w double").repartition(8)
+    got = weighted_percentile(df, "v", "w", probs).spark_df.first()
+    assert got["n"] == 5000
+    for p in probs:
+        assert got[f"p{int(round(p * 100))}"] == sequential(rows, p), p
+
+
+def test_weighted_percentile_unkeyed_no_global_window(spark):
+    """by=None must NOT plan a single-partition global window: the
+    cumulative window is partitioned by the equi-depth bucket, and the
+    only SinglePartition exchange allowed is the final global
+    aggregate's merge of per-partition partial rows."""
+    from cl_data_frame_spark.operators.stats import weighted_percentile
+    df = spark.range(0, 10_000).selectExpr(
+        "cast(id % 997 as double) AS v", "cast(1 + id % 7 as double) AS w")
+    out = weighted_percentile(df, "v", "w", [0.5, 0.9]).spark_df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt__" in plan
+    assert plan.count("Exchange SinglePartition") <= 1

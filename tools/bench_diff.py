@@ -62,9 +62,10 @@ PARTS_CHANGED: dict[str, list[int]] = {
     "r_map_mutate": [6],            # +na_fill +na_drop +na_replace
     "s_range_joins": [6],           # +overlap
     "x_chunk_pack": [6],            # +chunk_sent
-    "s_layout_prune": [6, 7],       # NEW entry r6 (zprune/hprune/compact/
+    "s_layout_prune": [6, 7, 8],    # NEW entry r6 (zprune/hprune/compact/
                                     # partitioned — replaces the retired
-                                    # x_probes_rows_only slot); r7 +snapshot
+                                    # x_probes_rows_only slot); r7 +snapshot;
+                                    # r8 +snapprune (stats-pruned time travel)
     "st_stateful": [7],             # first round on the bench clock
     "st_dedup": [7],                # first round on the bench clock
 }
