@@ -483,6 +483,28 @@ def q_s_unpivot(spark, sf_dir):
                                F.col("val").cast("double").alias("val"))
 
 
+def q_s_pivot_unpivot(spark, sf_dir):
+    """Pivot + unpivot in one tagged union (round 8: the two 0.2-0.5s
+    entries share their result-shape machinery — merging them freed a
+    registry slot for ``s_stats_rank``, splitting the oversized
+    ``s_stats`` composite)."""
+    a = _tag(q_s_pivot(spark, sf_dir), "pivot",
+             F.col("o_orderstatus").alias("s1"),
+             F.col("p1").cast("bigint").alias("i1"),
+             F.col("p2").cast("bigint").alias("i2"),
+             F.col("p3").cast("bigint").alias("i3"),
+             F.col("p4").cast("bigint").alias("i4"),
+             F.col("p5").cast("bigint").alias("i5"),
+             _DNULL().alias("d1"))
+    b = _tag(q_s_unpivot(spark, sf_dir), "unpivot",
+             F.col("measure").alias("s1"),
+             F.col("p_partkey").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             _BNULL().alias("i4"), _BNULL().alias("i5"),
+             F.col("val").cast("double").alias("d1"))
+    return a.unionByName(b)
+
+
 def q_s_group_quantiles(spark, sf_dir):
     """Per-group exact quantiles: median + p90 of extendedprice per
     returnflag (ordered-set aggregate analog)."""
@@ -3123,14 +3145,6 @@ def q_s_stats(spark, sf_dir):
              F.col("welch_df").cast("double").alias("d2"),
              F.col("cohens_d").cast("double").alias("d3"),
              _DNULL().alias("d4"))
-    sp = STAT.spearman_corr(li, "l_quantity", "l_extendedprice").spark_df
-    s = _tag(sp, "spearman",
-             F.lit("l_quantity>l_extendedprice").alias("s1"),
-             F.col("n").cast("bigint").alias("i1"),
-             _BNULL().alias("i2"),
-             F.col("rho").cast("double").alias("d1"),
-             _DNULL().alias("d2"), _DNULL().alias("d3"),
-             _DNULL().alias("d4"))
     # one-way ANOVA across all flags: ANOTHER zero-extra-scan derivation
     # of the shared mega-aggregation (k-group companion to welch)
     av = STAT.anova_oneway(None, "l_extendedprice", "l_returnflag",
@@ -3142,30 +3156,6 @@ def q_s_stats(spark, sf_dir):
               F.col("f_stat").cast("double").alias("d1"),
               F.col("eta_sq").cast("double").alias("d2"),
               _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # Mann-Whitney U over l_quantity (~50 distinct values — the
-    # value-count regime the operator targets)
-    mw = STAT.mann_whitney_u(li, "l_quantity", "l_returnflag", exact=True).spark_df
-    mwt = _tag(mw, "mannwhitney",
-               F.concat_ws(">", "g1", "g2").alias("s1"),
-               F.col("n1").cast("bigint").alias("i1"),
-               F.col("n2").cast("bigint").alias("i2"),
-               F.col("u1").cast("double").alias("d1"),
-               F.col("z").cast("double").alias("d2"),
-               _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # ROC AUC via the Mann-Whitney identity: quantity as the score,
-    # returnflag 'A' as the positive label (50 distinct score values —
-    # the value-count regime)
-    auc_in = li.select(F.col("l_quantity").alias("score"),
-                       (F.col("l_returnflag") == "A").cast("int")
-                       .alias("is_a"))
-    au = STAT.auc_score(auc_in, "score", "is_a", exact=True).spark_df
-    aut = _tag(au, "auc",
-               F.lit("l_quantity~is_A").alias("s1"),
-               F.col("n_pos").cast("bigint").alias("i1"),
-               F.col("n_neg").cast("bigint").alias("i2"),
-               F.col("auc").cast("double").alias("d1"),
-               _DNULL().alias("d2"), _DNULL().alias("d3"),
-               _DNULL().alias("d4"))
     # Cohen's kappa between two deterministic pseudo-raters (mod-3
     # labels of two uncorrelated columns -> chance-level agreement)
     raters = li.select((F.col("l_quantity") % 3).cast("int").alias("ra"),
@@ -3212,39 +3202,6 @@ def q_s_stats(spark, sf_dir):
               F.round(F.col("__lo__").cast("double"), 6).alias("d1"),
               F.round(F.col("__hi__").cast("double"), 6).alias("d2"),
               _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # Kendall tau-b from the (quantity x linenumber) contingency —
-    # <=350 cells, quadratic in value pairs, never rows
-    kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber", exact=True).spark_df
-    kt = _tag(kd, "kendall",
-              F.lit("l_quantity~l_linenumber").alias("s1"),
-              F.col("n").cast("bigint").alias("i1"),
-              _BNULL().alias("i2"),
-              F.col("tau_b").cast("double").alias("d1"),
-              F.col("concordant").cast("double").alias("d2"),
-              F.col("discordant").cast("double").alias("d3"),
-              _DNULL().alias("d4"))
-    # Theil-Sen robust regression of l_tax on l_quantity (contingency
-    # cells, <=450, exact=True: known low-cardinality oracle fixture)
-    th = STAT.theil_sen(li.select("l_quantity", "l_tax"),
-                        "l_quantity", "l_tax", exact=True).spark_df
-    tht = _tag(th, "theilsen",
-               F.lit("l_tax~l_quantity").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("slope").cast("double").alias("d1"),
-               F.col("intercept").cast("double").alias("d2"),
-               _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # mutual information + entropies for returnflag x linestatus
-    mi = STAT.mutual_information(li, "l_returnflag", "l_linestatus",
-                                 exact=True).spark_df
-    mit = _tag(mi, "mutualinfo",
-               F.lit("l_returnflag~l_linestatus").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("mi").cast("double").alias("d1"),
-               F.col("nmi").cast("double").alias("d2"),
-               F.col("h_x").cast("double").alias("d3"),
-               F.col("h_y").cast("double").alias("d4"))
     # partial correlation of (quantity, price) controlling discount,
     # per flag — three pairwise correlations from the SHARED mega sums
     pc = STAT.partial_correlation(
@@ -3323,12 +3280,107 @@ def q_s_stats(spark, sf_dir):
     return (a.unionByName(f).unionByName(g).unionByName(g2)
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
-            .unionByName(w).unionByName(s).unionByName(an)
-            .unionByName(mwt).unionByName(kt).unionByName(wn)
-            .unionByName(cvt).unionByName(aut).unionByName(kpt)
+            .unionByName(w).unionByName(an).unionByName(wn)
+            .unionByName(cvt).unionByName(kpt)
             .unionByName(pst).unionByName(tet).unionByName(bst)
-            .unionByName(tht).unionByName(mht).unionByName(pct)
-            .unionByName(mit))
+            .unionByName(mht).unionByName(pct))
+
+
+def q_s_stats_rank(spark, sf_dir):
+    """Rank/ordinal statistics composite (round 8: split out of the
+    26-part ``s_stats`` — VERDICT r7 #4): Spearman rank correlation,
+    Mann-Whitney U, ROC AUC, Kendall τ-b, Theil–Sen regression, mutual
+    information, and the unkeyed weighted percentile, in one tagged
+    union over ONE shared 6-column localCheckpoint'd projection of
+    lineitem. All six contingency-family members run their own tiny
+    cell aggregations off that shared scan; wpct exercises the
+    two-pass bucketed global cumulative-weight path (no
+    single-partition window)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+                  "l_extendedprice", "l_tax", "l_linenumber")
+          .localCheckpoint(eager=False))
+    sp = STAT.spearman_corr(li, "l_quantity", "l_extendedprice").spark_df
+    s = _tag(sp, "spearman",
+             F.lit("l_quantity>l_extendedprice").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"),
+             F.col("rho").cast("double").alias("d1"),
+             _DNULL().alias("d2"), _DNULL().alias("d3"),
+             _DNULL().alias("d4"))
+    # Mann-Whitney U over l_quantity (~50 distinct values — the
+    # value-count regime the operator targets)
+    mw = STAT.mann_whitney_u(li, "l_quantity", "l_returnflag",
+                             exact=True).spark_df
+    mwt = _tag(mw, "mannwhitney",
+               F.concat_ws(">", "g1", "g2").alias("s1"),
+               F.col("n1").cast("bigint").alias("i1"),
+               F.col("n2").cast("bigint").alias("i2"),
+               F.col("u1").cast("double").alias("d1"),
+               F.col("z").cast("double").alias("d2"),
+               _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # ROC AUC via the Mann-Whitney identity: quantity as the score,
+    # returnflag 'A' as the positive label
+    auc_in = li.select(F.col("l_quantity").alias("score"),
+                       (F.col("l_returnflag") == "A").cast("int")
+                       .alias("is_a"))
+    au = STAT.auc_score(auc_in, "score", "is_a", exact=True).spark_df
+    aut = _tag(au, "auc",
+               F.lit("l_quantity~is_A").alias("s1"),
+               F.col("n_pos").cast("bigint").alias("i1"),
+               F.col("n_neg").cast("bigint").alias("i2"),
+               F.col("auc").cast("double").alias("d1"),
+               _DNULL().alias("d2"), _DNULL().alias("d3"),
+               _DNULL().alias("d4"))
+    # Kendall tau-b from the (quantity x linenumber) contingency —
+    # <=350 cells, quadratic in value pairs, never rows
+    kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber",
+                            exact=True).spark_df
+    kt = _tag(kd, "kendall",
+              F.lit("l_quantity~l_linenumber").alias("s1"),
+              F.col("n").cast("bigint").alias("i1"),
+              _BNULL().alias("i2"),
+              F.col("tau_b").cast("double").alias("d1"),
+              F.col("concordant").cast("double").alias("d2"),
+              F.col("discordant").cast("double").alias("d3"),
+              _DNULL().alias("d4"))
+    # Theil-Sen robust regression of l_tax on l_quantity (contingency
+    # cells, <=450, exact=True: known low-cardinality oracle fixture)
+    th = STAT.theil_sen(li.select("l_quantity", "l_tax"),
+                        "l_quantity", "l_tax", exact=True).spark_df
+    tht = _tag(th, "theilsen",
+               F.lit("l_tax~l_quantity").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("slope").cast("double").alias("d1"),
+               F.col("intercept").cast("double").alias("d2"),
+               _DNULL().alias("d3"), _DNULL().alias("d4"))
+    # mutual information + entropies for returnflag x linestatus
+    mi = STAT.mutual_information(li, "l_returnflag", "l_linestatus",
+                                 exact=True).spark_df
+    mit = _tag(mi, "mutualinfo",
+               F.lit("l_returnflag~l_linestatus").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("mi").cast("double").alias("d1"),
+               F.col("nmi").cast("double").alias("d2"),
+               F.col("h_x").cast("double").alias("d3"),
+               F.col("h_y").cast("double").alias("d4"))
+    # unkeyed weighted percentile (round 8: promoted from pytest-only;
+    # the quantity-weighted price distribution — the token-weighted
+    # doc-length shape of a curation pipeline)
+    wp = STAT.weighted_percentile(li, "l_extendedprice", "l_quantity",
+                                  [0.25, 0.5, 0.9]).spark_df
+    wpt = _tag(wp, "wpct",
+               F.lit("l_extendedprice~l_quantity").alias("s1"),
+               F.col("n").cast("bigint").alias("i1"),
+               _BNULL().alias("i2"),
+               F.col("p25").cast("double").alias("d1"),
+               F.col("p50").cast("double").alias("d2"),
+               F.col("p90").cast("double").alias("d3"),
+               _DNULL().alias("d4"))
+    return (s.unionByName(mwt).unionByName(aut).unionByName(kt)
+            .unionByName(tht).unionByName(mit).unionByName(wpt))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3433,8 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_window_range_trailing": q_s_window_range_trailing,
         "s_sort_topk": q_s_sort_topk,
         "s_set_ops": q_s_set_ops,
-        "s_pivot": q_s_pivot,
-        "s_unpivot": q_s_unpivot,
+        "s_pivot_unpivot": q_s_pivot_unpivot,
         "s_time_rollup": q_s_time_rollup,
         "s_asof": q_s_asof,
         "s_range_joins": q_s_range_joins,
@@ -3447,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_approx_sketches": q_s_approx_sketches,
         "s_sessionize": q_s_sessionize,
         "s_stats": q_s_stats,
+        "s_stats_rank": q_s_stats_rank,
         # Tier X (LLM-pipeline extensions, SURVEY §2.3)
         "x_dedup": q_x_dedup,
         "x_ngram_jaccard": q_x_ngram_jaccard_all,
@@ -3519,10 +3571,11 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_approx_sketches": ["hll", "theta", "kll", "freq", "setops"],
     "s_stats": ["moments", "corrmatrix", "regression", "regression2",
                 "crosstab", "chisq", "freq", "bins", "outliers", "mad",
-                "welch", "spearman", "anova", "mannwhitney", "kendall",
-                "winsor", "cramer", "auc", "kappa", "psi", "targetenc",
-                "bootstrap", "theilsen", "mahala", "partialcorr",
-                "mutualinfo"],
+                "welch", "anova", "winsor", "cramer", "kappa", "psi",
+                "targetenc", "bootstrap", "mahala", "partialcorr"],
+    "s_stats_rank": ["spearman", "mannwhitney", "kendall", "auc",
+                     "mutualinfo", "theilsen", "wpct"],
+    "s_pivot_unpivot": ["pivot", "unpivot"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma", "holt",
                                 "cusum", "distinct7", "rollmed",
                                 "acf"],
@@ -6949,6 +7002,201 @@ _ORACLES["s_stats"] = _union(
           "g1 || '>' || g2 AS s1, n1::BIGINT AS i1, n2::BIGINT AS i2, "
           "t_stat::DOUBLE AS d1, welch_df::DOUBLE AS d2, "
           "cohens_d::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("anova", """
+        WITH m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+            FROM lineitem GROUP BY l_returnflag),
+        a AS (
+            SELECT count(*) AS k, sum(n) AS N, sum(sx) AS S,
+                   sum(sxx) AS Q,
+                   sum(CAST(round(sx::DOUBLE * sx::DOUBLE / n::DOUBLE,
+                                  12) AS DECIMAL(38,12))) AS T
+            FROM m)
+        SELECT k::BIGINT AS k, N::BIGINT AS n,
+               round(((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
+                      / (k::DOUBLE - 1.0))
+                     / ((Q::DOUBLE - T::DOUBLE)
+                        / (N::DOUBLE - k::DOUBLE)), 6) AS f_stat,
+               round((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
+                     / ((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
+                        + (Q::DOUBLE - T::DOUBLE)), 6) AS eta_sq
+        FROM a""",
+          "'l_extendedprice~l_returnflag' AS s1, k::BIGINT AS i1, "
+          "n::BIGINT AS i2, f_stat::DOUBLE AS d1, eta_sq::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("winsor", """
+        WITH p AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem GROUP BY l_returnflag),
+        a AS (
+            SELECT l.l_returnflag,
+                   sum(CASE WHEN l.l_extendedprice::DOUBLE < p.lo::DOUBLE
+                            THEN 1 ELSE 0 END) AS n_lo,
+                   sum(CASE WHEN l.l_extendedprice::DOUBLE > p.hi::DOUBLE
+                            THEN 1 ELSE 0 END) AS n_hi
+            FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
+            GROUP BY l.l_returnflag)
+        SELECT a.l_returnflag, n_lo, n_hi,
+               round(p.lo::DOUBLE, 6) AS lo, round(p.hi::DOUBLE, 6) AS hi
+        FROM a JOIN p ON a.l_returnflag = p.l_returnflag""",
+          "l_returnflag AS s1, n_lo::BIGINT AS i1, n_hi::BIGINT AS i2, "
+          "lo::DOUBLE AS d1, hi::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    _wrap("cramer", """
+        WITH cells AS (
+            SELECT l_returnflag AS rv, l_linestatus AS cv,
+                   count(*) AS o
+            FROM lineitem GROUP BY 1, 2),
+        t AS (SELECT rv, cv, o,
+                     sum(o) OVER (PARTITION BY rv) AS rt,
+                     sum(o) OVER (PARTITION BY cv) AS ct
+              FROM cells),
+        q AS (SELECT sum(CAST(round(o::DOUBLE * o::DOUBLE
+                                    / (rt::DOUBLE * ct::DOUBLE), 12)
+                              AS DECIMAL(38,12))) AS Q,
+                     sum(o) AS n, count(DISTINCT rv) AS r,
+                     count(DISTINCT cv) AS c
+              FROM t)
+        SELECT n::BIGINT AS n, r::BIGINT AS r, c::BIGINT AS c,
+               round(n::DOUBLE * (Q::DOUBLE - 1.0), 6) AS chi2,
+               round(sqrt(greatest(n::DOUBLE * (Q::DOUBLE - 1.0), 0.0)
+                          / (n::DOUBLE
+                             * (least(r, c)::DOUBLE - 1.0))), 6)
+                   AS cramers_v
+        FROM q""",
+          "'l_returnflag~l_linestatus' AS s1, n::BIGINT AS i1, "
+          "r::BIGINT AS i2, chi2::DOUBLE AS d1, "
+          "cramers_v::DOUBLE AS d2, c::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    _wrap("kappa", """
+        WITH cells AS (
+            SELECT (l_quantity::BIGINT % 3)::INT AS a,
+                   (l_partkey % 3)::INT AS b, count(*) AS c
+            FROM lineitem GROUP BY 1, 2),
+        ra AS (SELECT a AS k, sum(c) AS ra FROM cells GROUP BY a),
+        rb AS (SELECT b AS k, sum(c) AS rb FROM cells GROUP BY b),
+        pe AS (SELECT sum(CAST(ra.ra::DECIMAL(19,0)
+                               * rb.rb::DECIMAL(19,0)
+                               AS DECIMAL(38,0))) AS rc
+               FROM ra JOIN rb ON ra.k = rb.k),
+        ag AS (SELECT sum(c) AS n,
+                      sum(CASE WHEN a = b THEN c ELSE 0 END) AS diag
+               FROM cells)
+        SELECT n::BIGINT AS n,
+               round(diag::DOUBLE / n::DOUBLE, 6) AS p_obs,
+               round(rc::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS p_exp,
+               CASE WHEN rc::DOUBLE / (n::DOUBLE * n::DOUBLE) < 1.0
+                   THEN round((diag::DOUBLE / n::DOUBLE
+                               - rc::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                              / (1.0 - rc::DOUBLE
+                                 / (n::DOUBLE * n::DOUBLE)), 6) END
+                   AS kappa
+        FROM ag CROSS JOIN pe""",
+          "'qty%3~partkey%3' AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "kappa::DOUBLE AS d1, p_obs::DOUBLE AS d2, "
+          "p_exp::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("psi", """
+        WITH ref AS (SELECT l_quantity::DOUBLE AS x FROM lineitem),
+        cur AS (SELECT (l_quantity + 5)::DOUBLE AS x FROM lineitem),
+        cuts AS (SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                          0.6, 0.7, 0.8, 0.9]) AS c
+                 FROM ref),
+        rb AS (SELECT len(list_filter((SELECT c FROM cuts),
+                                      b -> b <= x)) AS bin,
+                      count(*) AS n_ref
+               FROM ref GROUP BY 1),
+        cb AS (SELECT len(list_filter((SELECT c FROM cuts),
+                                      b -> b <= x)) AS bin,
+                      count(*) AS n_cur
+               FROM cur GROUP BY 1),
+        j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                     coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_cur, 0) AS n_cur
+              FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+        t AS (SELECT bin, n_ref, n_cur,
+                     greatest(n_ref::DOUBLE / sum(n_ref) OVER (),
+                              0.0001) AS p_ref,
+                     greatest(n_cur::DOUBLE / sum(n_cur) OVER (),
+                              0.0001) AS p_cur
+              FROM j)
+        SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+               round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+               round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        FROM t""",
+          "bin::VARCHAR AS s1, n_ref::BIGINT AS i1, n_cur::BIGINT AS i2, "
+          "p_ref::DOUBLE AS d1, p_cur::DOUBLE AS d2, "
+          "psi_term::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    _wrap("targetenc", """
+        WITH per AS (SELECT l_returnflag, count(*) AS n,
+                            sum(l_quantity::DECIMAL(28,6)) AS s
+                     FROM lineitem GROUP BY 1),
+        g AS (SELECT count(*) AS gn,
+                     sum(l_quantity::DECIMAL(28,6)) AS gs
+              FROM lineitem)
+        SELECT l_returnflag, n::BIGINT AS n,
+               round((s::DOUBLE + 20.0 * (gs::DOUBLE / gn::DOUBLE))
+                     / (n::DOUBLE + 20.0), 6) AS enc
+        FROM per CROSS JOIN g""",
+          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "enc::DOUBLE AS d1, NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    _wrap("bootstrap", f"""
+        WITH t AS (SELECT lang, doc_id,
+                          n_chars::DECIMAL(28,6) AS x FROM documents),
+        reps AS (SELECT unnest(generate_series(0, 39)) AS r),
+        w AS (
+          SELECT lang, r, sum(wt * x) AS sw, sum(wt) AS wsum
+          FROM (
+            SELECT t.lang, reps.r, t.x,
+                   len(list_filter({_POISSON_CUM_SQL},
+                       c -> c < (('0x' || substr(md5(t.doc_id::VARCHAR
+                                     || '|' || reps.r || '|boot'),
+                                     1, 13))::UBIGINT::DOUBLE
+                                 / 4503599627370496.0)))
+                       ::DECIMAL(19,0) AS wt
+            FROM t CROSS JOIN reps)
+          GROUP BY lang, r),
+        m AS (SELECT lang, sw::DOUBLE / wsum::DOUBLE AS mean
+              FROM w WHERE wsum > 0),
+        o AS (SELECT lang, mean,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY mean) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM m),
+        sel AS (SELECT lang,
+                       max(CASE WHEN rk = greatest(0,
+                               floor({_BOOT_A2!r} * cnt)::BIGINT) + 1
+                                THEN mean END) AS lo,
+                       max(CASE WHEN rk = least(cnt - 1,
+                               ceil({_BOOT_A1!r} * cnt)::BIGINT - 1) + 1
+                                THEN mean END) AS hi
+                FROM o GROUP BY lang),
+        base AS (SELECT lang, count(x) AS n, sum(x) AS s
+                 FROM t GROUP BY lang)
+        SELECT b.lang, b.n::BIGINT AS n,
+               round(b.s::DOUBLE / b.n, 6) AS mean,
+               round(sel.lo, 6) AS lo, round(sel.hi, 6) AS hi,
+               40 AS n_replicates
+        FROM base b JOIN sel USING (lang)""",
+          "lang AS s1, n::BIGINT AS i1, n_replicates::BIGINT AS i2, "
+          "mean::DOUBLE AS d1, lo::DOUBLE AS d2, hi::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"),
+    _wrap("partialcorr", _partialcorr_oracle(),
+          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "r_xy::DOUBLE AS d1, r_xz::DOUBLE AS d2, r_yz::DOUBLE AS d3, "
+          "partial_r::DOUBLE AS d4"),
+    _wrap("mahala", _mahala_oracle(),
+          "l_returnflag AS s1, n::BIGINT AS i1, n_out::BIGINT AS i2, "
+          "sum_d2::DOUBLE AS d1, NULL::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+
+# rank/ordinal statistics family — split out of s_stats in round 8
+_ORACLES["s_stats_rank"] = _union(
     _wrap("spearman", """
         WITH r AS (
             SELECT (rank() OVER (ORDER BY l_quantity)
@@ -6975,33 +7223,6 @@ _ORACLES["s_stats"] = _union(
           "'l_quantity>l_extendedprice' AS s1, n::BIGINT AS i1, "
           "NULL::BIGINT AS i2, rho::DOUBLE AS d1, NULL::DOUBLE AS d2, "
           "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
-    # one-way ANOVA from the same per-group moment sums (stats.anova_oneway)
-    _wrap("anova", """
-        WITH m AS (
-            SELECT l_returnflag, count(*) AS n,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
-            FROM lineitem GROUP BY l_returnflag),
-        a AS (
-            SELECT count(*) AS k, sum(n) AS N, sum(sx) AS S,
-                   sum(sxx) AS Q,
-                   sum(CAST(round(sx::DOUBLE * sx::DOUBLE / n::DOUBLE,
-                                  12) AS DECIMAL(38,12))) AS T
-            FROM m)
-        SELECT k::BIGINT AS k, N::BIGINT AS n,
-               round(((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
-                      / (k::DOUBLE - 1.0))
-                     / ((Q::DOUBLE - T::DOUBLE)
-                        / (N::DOUBLE - k::DOUBLE)), 6) AS f_stat,
-               round((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
-                     / ((T::DOUBLE - S::DOUBLE * S::DOUBLE / N::DOUBLE)
-                        + (Q::DOUBLE - T::DOUBLE)), 6) AS eta_sq
-        FROM a""",
-          "'l_extendedprice~l_returnflag' AS s1, k::BIGINT AS i1, "
-          "n::BIGINT AS i2, f_stat::DOUBLE AS d1, eta_sq::DOUBLE AS d2, "
-          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
-    # Mann-Whitney U from per-(group, value) counts (stats.mann_whitney_u)
     _wrap("mannwhitney", """
         WITH vc AS (
             SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
@@ -7046,7 +7267,6 @@ _ORACLES["s_stats"] = _union(
           "g1 || '>' || g2 AS s1, n1::BIGINT AS i1, n2::BIGINT AS i2, "
           "u1::DOUBLE AS d1, z::DOUBLE AS d2, NULL::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"),
-    # Kendall tau-b from contingency cells (stats.kendall_tau_b)
     _wrap("kendall", """
         WITH cells AS (
             SELECT l_quantity AS x, l_linenumber AS y,
@@ -7079,55 +7299,6 @@ _ORACLES["s_stats"] = _union(
           "NULL::BIGINT AS i2, tau_b::DOUBLE AS d1, "
           "concordant::DOUBLE AS d2, discordant::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"),
-    # winsorization clip-side counts + bounds (stats.winsorize)
-    _wrap("winsor", """
-        WITH p AS (
-            SELECT l_returnflag,
-                   quantile_cont(l_extendedprice, 0.05) AS lo,
-                   quantile_cont(l_extendedprice, 0.95) AS hi
-            FROM lineitem GROUP BY l_returnflag),
-        a AS (
-            SELECT l.l_returnflag,
-                   sum(CASE WHEN l.l_extendedprice::DOUBLE < p.lo::DOUBLE
-                            THEN 1 ELSE 0 END) AS n_lo,
-                   sum(CASE WHEN l.l_extendedprice::DOUBLE > p.hi::DOUBLE
-                            THEN 1 ELSE 0 END) AS n_hi
-            FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
-            GROUP BY l.l_returnflag)
-        SELECT a.l_returnflag, n_lo, n_hi,
-               round(p.lo::DOUBLE, 6) AS lo, round(p.hi::DOUBLE, 6) AS hi
-        FROM a JOIN p ON a.l_returnflag = p.l_returnflag""",
-          "l_returnflag AS s1, n_lo::BIGINT AS i1, n_hi::BIGINT AS i2, "
-          "lo::DOUBLE AS d1, hi::DOUBLE AS d2, NULL::DOUBLE AS d3, "
-          "NULL::DOUBLE AS d4"),
-    # Cramér's V via the observed-cells identity (stats.cramers_v)
-    _wrap("cramer", """
-        WITH cells AS (
-            SELECT l_returnflag AS rv, l_linestatus AS cv,
-                   count(*) AS o
-            FROM lineitem GROUP BY 1, 2),
-        t AS (SELECT rv, cv, o,
-                     sum(o) OVER (PARTITION BY rv) AS rt,
-                     sum(o) OVER (PARTITION BY cv) AS ct
-              FROM cells),
-        q AS (SELECT sum(CAST(round(o::DOUBLE * o::DOUBLE
-                                    / (rt::DOUBLE * ct::DOUBLE), 12)
-                              AS DECIMAL(38,12))) AS Q,
-                     sum(o) AS n, count(DISTINCT rv) AS r,
-                     count(DISTINCT cv) AS c
-              FROM t)
-        SELECT n::BIGINT AS n, r::BIGINT AS r, c::BIGINT AS c,
-               round(n::DOUBLE * (Q::DOUBLE - 1.0), 6) AS chi2,
-               round(sqrt(greatest(n::DOUBLE * (Q::DOUBLE - 1.0), 0.0)
-                          / (n::DOUBLE
-                             * (least(r, c)::DOUBLE - 1.0))), 6)
-                   AS cramers_v
-        FROM q""",
-          "'l_returnflag~l_linestatus' AS s1, n::BIGINT AS i1, "
-          "r::BIGINT AS i2, chi2::DOUBLE AS d1, "
-          "cramers_v::DOUBLE AS d2, c::DOUBLE AS d3, "
-          "NULL::DOUBLE AS d4"),
-    # ROC AUC via the Mann-Whitney identity (stats.auc_score)
     _wrap("auc", """
         WITH vc AS (
             SELECT (l_returnflag = 'A')::INT AS g,
@@ -7154,129 +7325,6 @@ _ORACLES["s_stats"] = _union(
           "'l_quantity~is_A' AS s1, n_pos::BIGINT AS i1, "
           "n_neg::BIGINT AS i2, auc::DOUBLE AS d1, NULL::DOUBLE AS d2, "
           "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"),
-    # Cohen's kappa between mod-3 pseudo-raters (stats.cohens_kappa)
-    _wrap("kappa", """
-        WITH cells AS (
-            SELECT (l_quantity::BIGINT % 3)::INT AS a,
-                   (l_partkey % 3)::INT AS b, count(*) AS c
-            FROM lineitem GROUP BY 1, 2),
-        ra AS (SELECT a AS k, sum(c) AS ra FROM cells GROUP BY a),
-        rb AS (SELECT b AS k, sum(c) AS rb FROM cells GROUP BY b),
-        pe AS (SELECT sum(CAST(ra.ra::DECIMAL(19,0)
-                               * rb.rb::DECIMAL(19,0)
-                               AS DECIMAL(38,0))) AS rc
-               FROM ra JOIN rb ON ra.k = rb.k),
-        ag AS (SELECT sum(c) AS n,
-                      sum(CASE WHEN a = b THEN c ELSE 0 END) AS diag
-               FROM cells)
-        SELECT n::BIGINT AS n,
-               round(diag::DOUBLE / n::DOUBLE, 6) AS p_obs,
-               round(rc::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS p_exp,
-               CASE WHEN rc::DOUBLE / (n::DOUBLE * n::DOUBLE) < 1.0
-                   THEN round((diag::DOUBLE / n::DOUBLE
-                               - rc::DOUBLE / (n::DOUBLE * n::DOUBLE))
-                              / (1.0 - rc::DOUBLE
-                                 / (n::DOUBLE * n::DOUBLE)), 6) END
-                   AS kappa
-        FROM ag CROSS JOIN pe""",
-          "'qty%3~partkey%3' AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
-          "kappa::DOUBLE AS d1, p_obs::DOUBLE AS d2, "
-          "p_exp::DOUBLE AS d3, NULL::DOUBLE AS d4"),
-    # PSI drift: reference l_quantity vs a +5-shifted current copy;
-    # bins are the reference's exact deciles (stats.population_stability_index)
-    _wrap("psi", """
-        WITH ref AS (SELECT l_quantity::DOUBLE AS x FROM lineitem),
-        cur AS (SELECT (l_quantity + 5)::DOUBLE AS x FROM lineitem),
-        cuts AS (SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
-                                          0.6, 0.7, 0.8, 0.9]) AS c
-                 FROM ref),
-        rb AS (SELECT len(list_filter((SELECT c FROM cuts),
-                                      b -> b <= x)) AS bin,
-                      count(*) AS n_ref
-               FROM ref GROUP BY 1),
-        cb AS (SELECT len(list_filter((SELECT c FROM cuts),
-                                      b -> b <= x)) AS bin,
-                      count(*) AS n_cur
-               FROM cur GROUP BY 1),
-        j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
-                     coalesce(n_ref, 0) AS n_ref,
-                     coalesce(n_cur, 0) AS n_cur
-              FROM rb FULL JOIN cb ON rb.bin = cb.bin),
-        t AS (SELECT bin, n_ref, n_cur,
-                     greatest(n_ref::DOUBLE / sum(n_ref) OVER (),
-                              0.0001) AS p_ref,
-                     greatest(n_cur::DOUBLE / sum(n_cur) OVER (),
-                              0.0001) AS p_cur
-              FROM j)
-        SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
-               round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
-               round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
-        FROM t""",
-          "bin::VARCHAR AS s1, n_ref::BIGINT AS i1, n_cur::BIGINT AS i2, "
-          "p_ref::DOUBLE AS d1, p_cur::DOUBLE AS d2, "
-          "psi_term::DOUBLE AS d3, NULL::DOUBLE AS d4"),
-    # smoothed target encoding table (stats.target_encode, m = 20)
-    _wrap("targetenc", """
-        WITH per AS (SELECT l_returnflag, count(*) AS n,
-                            sum(l_quantity::DECIMAL(28,6)) AS s
-                     FROM lineitem GROUP BY 1),
-        g AS (SELECT count(*) AS gn,
-                     sum(l_quantity::DECIMAL(28,6)) AS gs
-              FROM lineitem)
-        SELECT l_returnflag, n::BIGINT AS n,
-               round((s::DOUBLE + 20.0 * (gs::DOUBLE / gn::DOUBLE))
-                     / (n::DOUBLE + 20.0), 6) AS enc
-        FROM per CROSS JOIN g""",
-          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
-          "enc::DOUBLE AS d1, NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, "
-          "NULL::DOUBLE AS d4"),
-    # Poisson bootstrap CI per language over documents
-    # (stats.poisson_bootstrap_ci: md5 inverse-CDF weights, R = 40,
-    # alpha = 0.05; threshold literals repr()d from the same Python
-    # formula the operator evaluates)
-    _wrap("bootstrap", f"""
-        WITH t AS (SELECT lang, doc_id,
-                          n_chars::DECIMAL(28,6) AS x FROM documents),
-        reps AS (SELECT unnest(generate_series(0, 39)) AS r),
-        w AS (
-          SELECT lang, r, sum(wt * x) AS sw, sum(wt) AS wsum
-          FROM (
-            SELECT t.lang, reps.r, t.x,
-                   len(list_filter({_POISSON_CUM_SQL},
-                       c -> c < (('0x' || substr(md5(t.doc_id::VARCHAR
-                                     || '|' || reps.r || '|boot'),
-                                     1, 13))::UBIGINT::DOUBLE
-                                 / 4503599627370496.0)))
-                       ::DECIMAL(19,0) AS wt
-            FROM t CROSS JOIN reps)
-          GROUP BY lang, r),
-        m AS (SELECT lang, sw::DOUBLE / wsum::DOUBLE AS mean
-              FROM w WHERE wsum > 0),
-        o AS (SELECT lang, mean,
-                     row_number() OVER (PARTITION BY lang
-                                        ORDER BY mean) AS rk,
-                     count(*) OVER (PARTITION BY lang) AS cnt
-              FROM m),
-        sel AS (SELECT lang,
-                       max(CASE WHEN rk = greatest(0,
-                               floor({_BOOT_A2!r} * cnt)::BIGINT) + 1
-                                THEN mean END) AS lo,
-                       max(CASE WHEN rk = least(cnt - 1,
-                               ceil({_BOOT_A1!r} * cnt)::BIGINT - 1) + 1
-                                THEN mean END) AS hi
-                FROM o GROUP BY lang),
-        base AS (SELECT lang, count(x) AS n, sum(x) AS s
-                 FROM t GROUP BY lang)
-        SELECT b.lang, b.n::BIGINT AS n,
-               round(b.s::DOUBLE / b.n, 6) AS mean,
-               round(sel.lo, 6) AS lo, round(sel.hi, 6) AS hi,
-               40 AS n_replicates
-        FROM base b JOIN sel USING (lang)""",
-          "lang AS s1, n::BIGINT AS i1, n_replicates::BIGINT AS i2, "
-          "mean::DOUBLE AS d1, lo::DOUBLE AS d2, hi::DOUBLE AS d3, "
-          "NULL::DOUBLE AS d4"),
-    # Theil-Sen robust regression from (x, y) contingency cells; the
-    # weighted lower median is a cumulative-weight scan (stats.theil_sen)
     _wrap("theilsen", """
         WITH cells AS (
             SELECT l_quantity::DOUBLE AS x, l_tax::DOUBLE AS y,
@@ -7313,7 +7361,6 @@ _ORACLES["s_stats"] = _union(
           "NULL::BIGINT AS i2, slope::DOUBLE AS d1, "
           "intercept::DOUBLE AS d2, NULL::DOUBLE AS d3, "
           "NULL::DOUBLE AS d4"),
-    # mutual information over the contingency cells (stats.mutual_information)
     _wrap("mutualinfo", """
         WITH cells AS (
             SELECT l_returnflag AS x, l_linestatus AS y,
@@ -7355,16 +7402,46 @@ _ORACLES["s_stats"] = _union(
           "'l_returnflag~l_linestatus' AS s1, n::BIGINT AS i1, "
           "NULL::BIGINT AS i2, mi::DOUBLE AS d1, nmi::DOUBLE AS d2, "
           "h_x::DOUBLE AS d3, h_y::DOUBLE AS d4"),
-    # partial correlation controlling discount (stats.partial_correlation)
-    _wrap("partialcorr", _partialcorr_oracle(),
-          "l_returnflag AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
-          "r_xy::DOUBLE AS d1, r_xz::DOUBLE AS d2, r_yz::DOUBLE AS d3, "
-          "partial_r::DOUBLE AS d4"),
-    # multivariate Mahalanobis outliers (stats.mahalanobis_distance)
-    _wrap("mahala", _mahala_oracle(),
-          "l_returnflag AS s1, n::BIGINT AS i1, n_out::BIGINT AS i2, "
-          "sum_d2::DOUBLE AS d1, NULL::DOUBLE AS d2, "
-          "NULL::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+    # unkeyed weighted percentile: sequential lower weighted-quantile
+    # rule — DuckDB runs the global cumulative window directly; the
+    # Spark side reproduces it with the bucketed two-pass plan
+    _wrap("wpct", """
+        WITH w AS (
+            SELECT l_extendedprice AS v, l_quantity AS q,
+                   l_quantity::DECIMAL(38,6) AS wt
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL),
+        c AS (
+            SELECT v,
+                   sum(wt) OVER (ORDER BY v, q
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cw,
+                   sum(wt) OVER () AS tw
+            FROM w)
+        SELECT count(*)::BIGINT AS n,
+               round(min(CASE WHEN cw::DOUBLE >= tw::DOUBLE * 0.25
+                              THEN v::DOUBLE END), 6) AS p25,
+               round(min(CASE WHEN cw::DOUBLE >= tw::DOUBLE * 0.5
+                              THEN v::DOUBLE END), 6) AS p50,
+               round(min(CASE WHEN cw::DOUBLE >= tw::DOUBLE * 0.9
+                              THEN v::DOUBLE END), 6) AS p90
+        FROM c""",
+          "'l_extendedprice~l_quantity' AS s1, n::BIGINT AS i1, "
+          "NULL::BIGINT AS i2, p25::DOUBLE AS d1, p50::DOUBLE AS d2, "
+          "p90::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+
+# pivot + unpivot merged into one tagged union (round 8 — freed a
+# registry slot for s_stats_rank); building-block oracles unchanged
+_ORACLES["s_pivot_unpivot"] = _union(
+    _wrap("pivot", _ORACLES["s_pivot"],
+          "o_orderstatus AS s1, p1::BIGINT AS i1, p2::BIGINT AS i2, "
+          "p3::BIGINT AS i3, p4::BIGINT AS i4, p5::BIGINT AS i5, "
+          "NULL::DOUBLE AS d1"),
+    _wrap("unpivot", _ORACLES["s_unpivot"],
+          "measure AS s1, p_partkey::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "NULL::BIGINT AS i3, NULL::BIGINT AS i4, NULL::BIGINT AS i5, "
+          "val::DOUBLE AS d1"))
 
 
 _ORACLES["x_decontaminate"] = """

@@ -33,8 +33,7 @@ HEADLINE = [
     "s_window_running_lag",    # running sum + lag/lead (one window pass)
     "s_sort_topk",             # TakeOrderedAndProject
     "s_set_ops",               # EXCEPT / INTERSECT+UNION / DISTINCT
-    "s_pivot",                 # pivot
-    "s_unpivot",               # melt (Expand, no shuffle)
+    "s_pivot_unpivot",         # pivot + melt (Expand, no shuffle)
     "s_group_quantiles",       # per-group exact percentiles
     "s_time_rollup",           # day/hour grouping-sets rollup
     "s_asof",                  # keyed + range-partitioned as-of joins
@@ -45,6 +44,7 @@ HEADLINE = [
     "s_merge_upsert",          # MERGE/upsert relational rewrite
     "s_sessionize",            # gap-based sessionization
     "s_stats",                 # exact-moment corr/cov + crosstab + freq
+    "s_stats_rank",            # rank/ordinal family + weighted pctile
     "s_funnel",                # ordered funnel (single conditional agg)
     "s_window_range_trailing", # event-time RANGE frame window
     "s_approx_sketches",       # HLL sketch + union rollup

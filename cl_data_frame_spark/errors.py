@@ -57,6 +57,30 @@ class EmptyFrame(DataFrameError):
         super().__init__("Can't create an empty data frame.")
 
 
+class BoundedSeriesExceeded(DataFrameError):
+    """A per-key ordered-series fold would collect too many points.
+
+    ``holt_linear`` / ``cusum_drift`` aggregate each key's FULL ordered
+    value array into one executor buffer (the bounded-series-per-key
+    contract); a hot key with 10⁸ points would OOM that executor at
+    100 TB. The cheap ``max(count) per key`` pre-scan raises this
+    instead, naming the streaming-friendly alternative.
+    """
+
+    def __init__(self, op: str, worst: int, limit: int,
+                 alternative: str):
+        self.op = op
+        self.worst = worst
+        self.limit = limit
+        super().__init__(
+            f"{op}: a key holds {worst:,} points, over the "
+            f"{limit:,}-point bounded-series-per-key contract — one "
+            f"executor would buffer the whole series. Pre-aggregate "
+            f"to a coarser grain, use {alternative} (windowed, "
+            f"unbounded-safe), or pass assume_bounded=True if the "
+            f"key cardinality is known safe.")
+
+
 class CollectGuardExceeded(DataFrameError):
     """A driver-side materialization would exceed the collect guard.
 

@@ -1610,11 +1610,36 @@ def seasonal_decompose(frame, ts_col: str, val_col: str, period: int,
     return SparkFrame(out)
 
 
+def _bounded_series_guard(sdf, by: list[str], op: str,
+                          max_points_per_key: int,
+                          alternative: str) -> None:
+    """Fail-fast pre-scan for the bounded-series-per-key folds
+    (``holt_linear`` / ``cusum_drift``): ONE cheap count aggregation
+    (map-side combined — bytes per key, never values) finds the
+    largest key; if it exceeds *max_points_per_key*, raise
+    ``BoundedSeriesExceeded`` BEFORE the collect_list aggregation
+    would buffer that key's whole series in one executor. The
+    docstring contract alone couldn't stop a hot key with 10⁸ points
+    from OOMing an executor at 100 TB — this makes the contract
+    enforced, with ``assume_bounded=True`` as the audited escape
+    hatch (mirrors ``stats._cardinality_guard``'s ``exact=True``)."""
+    from ..errors import BoundedSeriesExceeded
+    counts = (sdf.groupBy(*by).agg(F.count(F.lit(1)).alias("__n__"))
+              if by else
+              sdf.agg(F.count(F.lit(1)).alias("__n__")))
+    worst = counts.agg(F.max("__n__")).collect()[0][0]
+    if worst is not None and worst > max_points_per_key:
+        raise BoundedSeriesExceeded(op, worst, max_points_per_key,
+                                    alternative)
+
+
 def holt_linear(frame, ts_col: str, val_col: str,
                 by: Sequence[str] | None = None,
                 alpha: float = 0.5, beta: float = 0.3,
                 horizon: int = 3,
-                order_cols: Sequence[str] | None = None) -> SparkFrame:
+                order_cols: Sequence[str] | None = None,
+                max_points_per_key: int = 5_000_000,
+                assume_bounded: bool = False) -> SparkFrame:
     """Holt's linear-trend double exponential smoothing per key (the
     public Holt 1957 / Winters lineage, additive trend, no season):
 
@@ -1632,7 +1657,10 @@ def holt_linear(frame, ts_col: str, val_col: str,
     series-per-key contract (the per-key forecasting shape: millions
     of keys × thousands of points each, state is 2 doubles). For
     unbounded per-key series, window-based EWMA (``ewma``) is the
-    streaming-friendly alternative.
+    streaming-friendly alternative. The contract is ENFORCED: a cheap
+    count pre-scan raises ``BoundedSeriesExceeded`` when any key holds
+    more than *max_points_per_key* points (``assume_bounded=True``
+    skips the scan when key cardinality is known safe).
 
     Output: by-cols + (n, level, trend, forecast) — ``forecast`` =
     level + horizon·trend, doubles rounded 6.
@@ -1640,6 +1668,9 @@ def holt_linear(frame, ts_col: str, val_col: str,
     by = list(by or [])
     order_cols = list(order_cols or [ts_col])
     sdf = _plain(frame)
+    if not assume_bounded:
+        _bounded_series_guard(sdf, by, "holt_linear",
+                              max_points_per_key, "relational.ewma")
     sort_struct = F.struct(
         *[F.col(c).alias(f"__o{i}__") for i, c in enumerate(order_cols)],
         F.col(val_col).cast("double").alias("__v__"))
@@ -1680,7 +1711,9 @@ def holt_linear(frame, ts_col: str, val_col: str,
 def cusum_drift(frame, ts_col: str, val_col: str,
                 by: Sequence[str] | None = None,
                 kappa: float = 0.5, h: float = 4.0,
-                order_cols: Sequence[str] | None = None) -> SparkFrame:
+                order_cols: Sequence[str] | None = None,
+                max_points_per_key: int = 5_000_000,
+                assume_bounded: bool = False) -> SparkFrame:
     """Two-sided CUSUM drift detection per key (Page 1954, public
     methodology): fold the ordered series with
 
@@ -1693,7 +1726,9 @@ def cusum_drift(frame, ts_col: str, val_col: str,
     come from the key's own exact decimal moment sums in the SAME
     aggregation that collects the ordered array, so the whole detector
     is one hash aggregation + one array fold (the ``holt_linear``
-    bounded-series-per-key shape; 4-double fold state). Keys with
+    bounded-series-per-key shape; 4-double fold state, and the same
+    ENFORCED *max_points_per_key* pre-scan guard /
+    ``assume_bounded=True`` escape). Keys with
     n < 2 are dropped (σ undefined).
 
     Output: by-cols + (n, mu, sd, max_s_plus, max_s_minus, alarm),
@@ -1703,6 +1738,9 @@ def cusum_drift(frame, ts_col: str, val_col: str,
     by = list(by or [])
     order_cols = list(order_cols or [ts_col])
     sdf = _plain(frame)
+    if not assume_bounded:
+        _bounded_series_guard(sdf, by, "cusum_drift",
+                              max_points_per_key, "relational.ewma")
     x = F.col(val_col).cast("decimal(38,2)")
     sort_struct = F.struct(
         *[F.col(c).alias(f"__o{i}__") for i, c in enumerate(order_cols)],

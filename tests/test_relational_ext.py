@@ -967,3 +967,30 @@ def test_cusum_drift_alarms_on_mean_shift(spark):
                                   "g string, t int, v double")
     rc = cusum_drift(const, "t", "v", by=["g"]).spark_df.first()
     assert rc.max_s_plus == 0.0 and not rc.alarm
+
+
+def test_bounded_series_guard_raises_and_escapes(spark):
+    """The per-key array folds enforce the bounded-series contract: a
+    key over max_points_per_key raises BEFORE the collect_list
+    aggregation runs; assume_bounded=True skips the pre-scan; results
+    are unchanged for in-bound data."""
+    import pytest
+    from cl_data_frame_spark.errors import BoundedSeriesExceeded
+    from cl_data_frame_spark.operators.relational import (cusum_drift,
+                                                          holt_linear)
+    df = spark.range(0, 500).selectExpr(
+        "CASE WHEN id < 450 THEN 'hot' ELSE 'cold' END AS g",
+        "cast(id as int) AS t", "cast(id % 13 as double) AS v")
+    for op in (holt_linear, cusum_drift):
+        with pytest.raises(BoundedSeriesExceeded, match="hot|points"):
+            op(df, "t", "v", by=["g"], max_points_per_key=100)
+        # unkeyed: the whole table is one series
+        with pytest.raises(BoundedSeriesExceeded):
+            op(df, "t", "v", max_points_per_key=100)
+        # escape hatch + in-bound data agree
+        a = op(df, "t", "v", by=["g"],
+               max_points_per_key=100,
+               assume_bounded=True).spark_df.collect()
+        b = op(df, "t", "v", by=["g"]).spark_df.collect()
+        key = lambda r: r.g
+        assert sorted(a, key=key) == sorted(b, key=key)

@@ -22,12 +22,18 @@ import sys
 #: boundary is expected, not a regression. Keep appending per round.
 PARTS_CHANGED: dict[str, list[int]] = {
     # round 4 folded 16 new oracle parts into existing entries
-    "s_stats": [4, 5, 6, 7],        # r4 +bins+outliers; r5 fused, +mad
+    "s_stats": [4, 5, 6, 7, 8],     # r4 +bins+outliers; r5 fused, +mad
                                     # +spearman; r6 +anova +mannwhitney
                                     # +kendall +winsor +cramer +auc +kappa;
                                     # r7 +psi +targetenc +bootstrap
                                     # +theilsen +mahala, shared slim
-                                    # checkpoint
+                                    # checkpoint; r8 rank family split OUT
+                                    # into s_stats_rank (-6 parts)
+    "s_stats_rank": [8],            # NEW entry r8: spearman/mannwhitney/
+                                    # kendall/auc/mutualinfo/theilsen moved
+                                    # from s_stats, +wpct
+    "s_pivot_unpivot": [8],         # NEW entry r8: merges the retired
+                                    # s_pivot + s_unpivot entries
     "s_skew_udaf": [4, 5],          # r4 +grouped_map; r5 +skewreport
     "s_merge_upsert": [4, 5],       # r4 +scd2+incr+diff; r5 +pit+apply
     "s_window_range_trailing": [4, 5, 6, 7],  # r4 +zscore; r5 +ewma
