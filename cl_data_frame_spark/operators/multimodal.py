@@ -2,11 +2,14 @@
 ``binary`` payloads with typed metadata, plus decode / feature-extract /
 resize / frame-sample operators as Arrow-batched pandas transforms.
 
-The media codec libraries are not available in this environment, so the
-*decode* step is stubbed (deterministic fake features derived from the
-payload bytes, or ``NotImplementedError`` when ``strict=True``). Everything
-Spark-side — schema, batching, partitioning, UDF signatures — is real and
-tested; swapping the stub for PIL/torchaudio/ffmpeg is a one-function change.
+Formats a stdlib parser can handle decode FOR REAL: WAV (``wave``),
+PPM (P6), 24-bit BMP, and 8-bit PNG (``zlib`` inflate + RFC 2083
+scanline unfiltering). Only JPEG/MP4-class compressed codecs — whose
+libraries are not in this environment — fall back to a stub
+(deterministic fake features derived from the payload bytes, or
+``NotImplementedError`` when ``strict=True``). Everything Spark-side —
+schema, batching, partitioning, UDF signatures — is real and tested;
+swapping the stub for PIL/torchaudio/ffmpeg is a one-function change.
 
 Scale: payloads stay opaque binaries end-to-end (parquet keeps them
 compressed, column pruning keeps them unread unless asked for); decode runs
@@ -260,6 +263,82 @@ def _decode_bmp(payload: bytes):
     return _image_features(px, w, h, "bmp")
 
 
+def _decode_png(payload: bytes):
+    """Parse an 8-bit non-interlaced PNG (gray / RGB / RGBA) with
+    nothing but stdlib ``zlib``: concatenate the IDAT chunks, inflate,
+    and undo the per-scanline filters (None/Sub/Up/Average/Paeth —
+    RFC 2083 §6). Palette, 16-bit, and interlaced PNGs raise (they
+    need more machinery than a feature probe justifies); alpha is
+    dropped, gray is replicated to RGB for the shared feature vector.
+    """
+    import struct
+    import zlib
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG supported "
+            f"(depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             r * (stride + 1) + 1).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:                              # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):                      # Sub/Average/Paeth
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    if ctype == 0:
+        px = np.repeat(out.reshape(h, w, 1), 3, axis=2)
+    elif ctype == 2:
+        px = out.reshape(h, w, 3)
+    else:
+        px = out.reshape(h, w, 4)[:, :, :3]
+    return _image_features(px, w, h, "png")
+
+
 def _detect_decode(payload: bytes, n_features: int, strict: bool):
     """Sniff the payload's magic bytes and run the REAL decoder when
     one exists; otherwise the deterministic fake (or raise under
@@ -271,12 +350,15 @@ def _detect_decode(payload: bytes, n_features: int, strict: bool):
             meta, feats = _decode_ppm(bytes(payload))
         elif payload[:2] == b"BM":
             meta, feats = _decode_bmp(bytes(payload))
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            meta, feats = _decode_png(bytes(payload))
         else:
             if strict:
                 raise NotImplementedError(
-                    "no stdlib decoder for this format (compressed "
+                    "no stdlib decoder for this format (JPEG/MP4-class "
                     "codecs need PIL/ffmpeg, absent here); formats "
-                    "decoded for real: WAV, PPM (P6), BMP (24-bit)")
+                    "decoded for real: WAV, PPM (P6), BMP (24-bit), "
+                    "PNG (8-bit gray/RGB/RGBA)")
             return None, _fake_decode(bytes(payload),
                                       n_features).tolist()
     else:

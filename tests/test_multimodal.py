@@ -118,7 +118,7 @@ def test_real_decoders_wav_ppm_bmp(spark):
     from cl_data_frame_spark.operators.multimodal import \
         extract_features_real
     rows = [(1, _make_wav()), (2, _make_ppm()), (3, _make_bmp()),
-            (4, b"\x89PNG\r\n\x1a\nnotreallypng")]
+            (4, b"\xff\xd8\xff\xe0\x00\x10JFIFnotdecodable")]
     df = spark.createDataFrame(rows, "media_id bigint, payload binary")
     out = {r.media_id: r for r in
            extract_features_real(df, n_features=16).spark_df.collect()}
@@ -137,10 +137,10 @@ def test_real_decoders_wav_ppm_bmp(spark):
     # pure blue: meanB=1
     assert abs(bmp.features[4] - 1.0) < 1e-6
     assert bmp.features[2] == 0.0
-    # unknown format: falls back to the deterministic fake
-    png = out[4]
-    assert not png.decoded and png.meta is None
-    assert len(png.features) == 16
+    # unknown format (JPEG magic): falls back to the deterministic fake
+    jpg = out[4]
+    assert not jpg.decoded and jpg.meta is None
+    assert len(jpg.features) == 16
     # strict mode raises for formats with no stdlib decoder
     import pytest
     with pytest.raises(Exception, match="no stdlib decoder"):
@@ -148,3 +148,84 @@ def test_real_decoders_wav_ppm_bmp(spark):
             spark.createDataFrame([(9, b"\x89PNGxxxx")],
                                   "media_id bigint, payload binary"),
             strict=True).spark_df.collect()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def _make_png(px, ctype: int, filters) -> bytes:
+    """Encode a pixel array as PNG, applying the REQUESTED per-row
+    filter types (exercises every unfilter branch of the decoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    h, w = px.shape[:2]
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r, f in zip(range(h), filters):
+        line = flat[r]
+        left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - (left + prev) // 2
+        elif f == 4:
+            upleft = np.concatenate([np.zeros(ch, np.int32),
+                                     prev[:-ch]])
+            enc = np.zeros_like(line)
+            for i in range(len(line)):
+                a, b, c = int(left[i]), int(prev[i]), int(upleft[i])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                enc[i] = line[i] - pred
+        raw += bytes([f]) + bytes((enc & 0xFF).astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_real_decoder_png_golden_pixels(spark):
+    """PNG decodes for REAL with stdlib zlib: every filter type
+    (None/Sub/Up/Average/Paeth) round-trips to the exact golden
+    pixels' features, for RGB, grayscale, and RGBA payloads."""
+    import numpy as np
+    from cl_data_frame_spark.operators.multimodal import (
+        _image_features, extract_features_real)
+    rng = np.random.RandomState(8)
+    rgb = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    rgba = np.dstack([rgb, np.full((5, 4), 77, np.uint8)])
+    rows = [
+        (1, _make_png(rgb, 2, [0, 1, 2, 3, 4])),   # all five filters
+        (2, _make_png(gray, 0, [4, 3, 1])),
+        (3, _make_png(rgba, 6, [2, 4, 0, 1, 3])),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r.media_id: r for r in
+           extract_features_real(df, n_features=13).spark_df.collect()}
+    golden = {
+        1: _image_features(rgb, 4, 5, "png"),
+        2: _image_features(np.repeat(gray, 3, axis=2), 6, 3, "png"),
+        3: _image_features(rgb, 4, 5, "png"),      # alpha dropped
+    }
+    for mid, (gmeta, gfeats) in golden.items():
+        got = out[mid]
+        assert got.decoded and got.meta.format == "png"
+        assert got.meta.width == gmeta["width"]
+        assert got.meta.height == gmeta["height"]
+        assert np.allclose(got.features, gfeats[:13], atol=1e-6), mid
