@@ -1581,7 +1581,7 @@ def q_st_session(spark, sf_dir):
 _STREAM_SEQ = [0]
 
 
-def q_st_stateful(spark, sf_dir):
+def q_st_totals_only(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): runs a
     real file-source stream of events into a memory sink, one micro-batch,
     per-user running totals."""
@@ -1598,6 +1598,49 @@ def q_st_stateful(spark, sf_dir):
     return (spark.table(name)
             .select("user_id", "count",
                     F.round("total", 4).alias("total")))
+
+
+def q_st_holt_only(spark, sf_dir):
+    """Streaming Holt drift state (O(1) per key, applyInPandasWithState)
+    over the real events stream — the unbounded-series sibling of the
+    batch ``holt_linear`` fold, same recurrence bit-for-bit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = ST.read_stream_parquet(spark, sf_dir, schema,
+                                    glob="events.parquet")
+    holt = ST.streaming_holt(stream, key_col="user_id",
+                             value_col="value",
+                             order_cols=["ts", "event_id"])
+    _STREAM_SEQ[0] += 1
+    name = f"st_holt_{_STREAM_SEQ[0]}"
+    ST.run_stream_to_memory(holt, name, output_mode="update")
+    return (spark.table(name)
+            .select("user_id", "n",
+                    F.round("level", 6).alias("level"),
+                    F.round("trend", 6).alias("trend"),
+                    F.round("forecast", 6).alias("forecast")))
+
+
+def q_st_stateful(spark, sf_dir):
+    """Stateful streaming composite (round 8: +holt): per-user running
+    totals AND the streaming Holt twin, each its own REAL
+    applyInPandasWithState stream into a memory sink, tag-unioned. The
+    holt part's oracle is the SAME DuckDB list-state recursion the
+    batch operator is checked against — stream and batch agree on the
+    single-micro-batch prefix by construction (pytest pins the
+    bit-equality on multi-batch prefixes too)."""
+    a = _tag(q_st_totals_only(spark, sf_dir), "totals",
+             F.col("user_id").cast("bigint").alias("i1"),
+             F.col("count").cast("bigint").alias("i2"),
+             F.col("total").cast("double").alias("d1"),
+             _DNULL().alias("d2"), _DNULL().alias("d3"))
+    b = _tag(q_st_holt_only(spark, sf_dir), "holt",
+             F.col("user_id").cast("bigint").alias("i1"),
+             F.col("n").cast("bigint").alias("i2"),
+             F.col("level").cast("double").alias("d1"),
+             F.col("trend").cast("double").alias("d2"),
+             F.col("forecast").cast("double").alias("d3"))
+    return a.unionByName(b)
 
 
 def q_st_dedup_only(spark, sf_dir):
@@ -3634,6 +3677,10 @@ def query_parts() -> dict[str, dict[str, Callable]]:
         "ss_join": q_st_ss_join,
         "static_join": q_st_static_join,
     }
+    out["st_stateful"] = {
+        "totals": q_st_totals_only,
+        "holt": q_st_holt_only,
+    }
     return out
 
 
@@ -4640,7 +4687,7 @@ _ORACLES: dict[str, str] = {
         SELECT user_id, epoch_us(min(ts)) AS session_us,
                count(*)::BIGINT AS n_events
         FROM sessioned GROUP BY user_id, sid""",
-    "st_stateful": """
+    "st_totals": """
         SELECT user_id, count(*)::BIGINT AS count,
                round(sum(value), 4) AS total
         FROM events GROUP BY user_id""",
@@ -7430,6 +7477,20 @@ _ORACLES["s_stats_rank"] = _union(
           "'l_extendedprice~l_quantity' AS s1, n::BIGINT AS i1, "
           "NULL::BIGINT AS i2, p25::DOUBLE AS d1, p50::DOUBLE AS d2, "
           "p90::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+
+# stateful streaming composite (round 8: +holt): the holt part's
+# oracle is the SAME DuckDB list-state recursion the batch operator
+# checks against — the stream's single-batch result must equal the
+# batch fold over the full ordered series
+_ORACLES["st_stateful"] = _union(
+    _wrap("totals", _ORACLES["st_totals"],
+          "user_id::BIGINT AS i1, count::BIGINT AS i2, "
+          "total::DOUBLE AS d1, NULL::DOUBLE AS d2, "
+          "NULL::DOUBLE AS d3"),
+    _wrap("holt", _holt_oracle(),
+          "user_id::BIGINT AS i1, n::BIGINT AS i2, "
+          "level::DOUBLE AS d1, trend::DOUBLE AS d2, "
+          "forecast::DOUBLE AS d3"))
 
 # pivot + unpivot merged into one tagged union (round 8 — freed a
 # registry slot for s_stats_rank); building-block oracles unchanged

@@ -104,6 +104,86 @@ def running_user_totals(sdf: DataFrame, user_col: str = "user_id",
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+_HOLT_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("y1", T.DoubleType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+])
+
+_HOLT_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+    T.StructField("forecast", T.DoubleType()),
+])
+
+
+def streaming_holt(sdf: DataFrame, key_col: str = "user_id",
+                   value_col: str = "value",
+                   order_cols: list[str] | None = None,
+                   alpha: float = 0.5, beta: float = 0.3,
+                   horizon: int = 3) -> DataFrame:
+    """Streaming twin of ``relational.holt_linear``: per-key Holt
+    linear-trend smoothing as an ``applyInPandasWithState`` operator.
+    The batch operator collects each key's FULL ordered series into one
+    array (bounded-series contract); here the state is O(1) — four
+    numbers (n, first value, level, trend) carried across micro-batches
+    — so the stream form handles UNBOUNDED per-key series, exactly the
+    escape the batch guard's error message points to for hot keys.
+
+    Semantics: identical recurrence, identical operation order (the
+    same Python float ops the batch fold inlines as JVM doubles), so
+    on the same prefix in the same order the two agree bit-for-bit —
+    pytest-pinned. Rows are sorted by *order_cols* WITHIN each
+    micro-batch; cross-batch order is the arrival order, the standard
+    streaming contract (a watermark + sorted replay gives total order).
+
+    Output (update mode): one row per key per micro-batch with the
+    state after that batch — keys still holding fewer than 2 points
+    emit nothing (the batch operator drops them too).
+    """
+    a1, a2 = float(alpha), float(1 - alpha)
+    c1, c2 = float(beta * alpha), float(1 - beta * alpha)
+    ocols = list(order_cols or [])
+    fh = float(horizon)
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (k,) = key
+        n, y1, lev, tr = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        if ocols:
+            pdf = pdf.sort_values(ocols, kind="stable")
+        for y in pdf[value_col].astype(float):
+            if n == 0:
+                y1 = y
+            else:
+                if n == 1:
+                    lev, tr = y1, y - y1
+                # same op order as the batch fold (old level on the RHS
+                # of both updates) -> bit-identical doubles
+                lev, tr = (a1 * y + a2 * (lev + tr),
+                           c1 * (y - lev) + c2 * tr)
+            n += 1
+        state.update((n, y1, lev, tr))
+        if n >= 2:
+            yield pd.DataFrame({
+                "user_id": [k], "n": [n], "level": [lev],
+                "trend": [tr], "forecast": [lev + fh * tr]})
+
+    cols = [key_col, value_col] + ocols
+    return (sdf.select(*cols)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                _update,
+                outputStructType=_HOLT_OUTPUT_SCHEMA,
+                stateStructType=_HOLT_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "update",
                          min_rows: int | None = None,

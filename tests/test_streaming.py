@@ -315,3 +315,74 @@ def test_stream_stream_left_outer_join_flushes_unmatched(
         ["user_id", "view_id", "click_id"])
     assert any(c is None for _, _, c in got)  # real null-flushed rows
     assert got == expected
+
+
+def test_streaming_holt_matches_batch_across_microbatches(
+        spark, tmp_path):
+    """The O(1)-state streaming Holt twin must agree with the batch
+    bounded-series fold on the same prefix — across MULTIPLE real
+    micro-batches (state carried through the state store), bit-for-bit
+    vs the sequential reference and to 6 decimals vs the batch
+    operator."""
+    import random
+    from cl_data_frame_spark.operators.relational import holt_linear
+
+    rng = random.Random(88)
+    rows = [(k, t, rng.uniform(-50.0, 50.0))
+            for k in (1, 2, 3) for t in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    d = tmp_path / "in"
+    d.mkdir()
+    first = df.filter(F.col("ts") < 25)
+    second = df.filter(F.col("ts") >= 25)
+    first.coalesce(1).write.mode("overwrite").parquet(str(d / "b0"))
+    import shutil
+    for i, f in enumerate((d / "b0").glob("*.parquet")):
+        shutil.copy(f, d / f"f0-{i}.parquet")
+    shutil.rmtree(d / "b0")
+
+    holt = ST.streaming_holt(
+        ST.read_stream_parquet(spark, str(d), df.schema),
+        key_col="user_id", value_col="value", order_cols=["ts"])
+    q = (holt.writeStream.format("memory").queryName("t_holt")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()          # micro-batch 1: ts < 25
+        second.coalesce(1).write.mode("overwrite").parquet(str(d / "b1"))
+        for i, f in enumerate((d / "b1").glob("*.parquet")):
+            shutil.copy(f, d / f"f1-{i}.parquet")
+        shutil.rmtree(d / "b1")
+        q.processAllAvailable()          # micro-batch 2: ts >= 25
+    finally:
+        q.stop()
+
+    final = (spark.table("t_holt")
+             .groupBy("user_id")
+             .agg(F.max(F.struct("n", "level", "trend", "forecast"))
+                  .alias("s"))
+             .select("user_id", "s.n", "s.level", "s.trend",
+                     "s.forecast"))
+    got = {r.user_id: r for r in final.collect()}
+    assert all(got[k].n == 40 for k in (1, 2, 3))
+
+    # bit-exact vs the sequential reference (same Python float ops)
+    series = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append((t, v))
+    a1, a2, c1, c2 = 0.5, 0.5, 0.3 * 0.5, 1 - 0.3 * 0.5
+    for k, pts in series.items():
+        ys = [v for _t, v in sorted(pts)]
+        lev, tr = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            lev, tr = (a1 * y + a2 * (lev + tr),
+                       c1 * (y - lev) + c2 * tr)
+        assert got[k].level == lev and got[k].trend == tr, k
+
+    # and 6-decimal agreement with the batch operator on the full data
+    batch = {r.user_id: r for r in
+             holt_linear(df, "ts", "value",
+                         by=["user_id"]).spark_df.collect()}
+    for k in (1, 2, 3):
+        assert round(got[k].level, 6) == batch[k].level
+        assert round(got[k].trend, 6) == batch[k].trend
+        assert round(got[k].forecast, 6) == batch[k].forecast

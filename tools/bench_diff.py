@@ -72,7 +72,8 @@ PARTS_CHANGED: dict[str, list[int]] = {
                                     # partitioned — replaces the retired
                                     # x_probes_rows_only slot); r7 +snapshot;
                                     # r8 +snapprune (stats-pruned time travel)
-    "st_stateful": [7],             # first round on the bench clock
+    "st_stateful": [7, 8],          # r7 first round on the bench clock;
+                                    # r8 +holt (second real stream)
     "st_dedup": [7],                # first round on the bench clock
 }
 
