@@ -410,20 +410,88 @@ def snapshot_read_merged(spark: SparkSession, table_dir: str,
 def snapshot_merge(spark: SparkSession, table_dir: str, source,
                    on, update_cols=None, insert_unmatched: bool = True,
                    num_files: int | None = None) -> int:
-    """MERGE INTO a snapshot table: read the latest version, apply the
-    relational MERGE rewrite (``relational.merge_into`` — WHEN MATCHED
-    update / WHEN NOT MATCHED insert), publish the result as a new
-    OVERWRITE version. Returns the new version number.
+    """MERGE INTO a snapshot table: apply the relational MERGE rewrite
+    (``relational.merge_into`` — WHEN MATCHED update / WHEN NOT MATCHED
+    insert) and publish the result as a new version. Returns the new
+    version number. Readers pinned to older versions keep their
+    snapshot.
 
-    This is the Delta-style upsert loop on the manifest format: readers
-    pinned to older versions keep their snapshot; the merge itself is
-    the one hash join ``merge_into`` documents. (Row-level rewrite of
-    only affected files needs file-level statistics — out of scope; the
-    whole-table rewrite is the correct-first formulation.)
+    When the current manifest carries file statistics for a join-key
+    column (``snapshot_write(stats_cols=...)``), the merge is
+    ROW-LEVEL: one tiny aggregation finds the source's key range,
+    files whose stats prove no key overlap are carried into the new
+    version UNCHANGED (same physical files — no read, no write), and
+    only the overlapping files are merge-rewritten. That is the
+    Delta-style data-skipping merge: a 100-row upsert against a
+    100 TB table rewrites a handful of files instead of the table.
+    Without usable stats it falls back to the whole-table rewrite
+    (correct at any stats coverage, since skipping is conservative).
     """
+    from pyspark.sql.types import StructType
+
     from cl_data_frame_spark.operators.relational import merge_into
-    target = snapshot_read(spark, table_dir)
-    merged = merge_into(target, source, on, update_cols=update_cols,
-                        insert_unmatched=insert_unmatched)
-    return snapshot_write(merged, table_dir, mode="overwrite",
-                          num_files=num_files)
+    keys = [on] if isinstance(on, str) else list(on)
+    src = _plain(source)
+    versions = _versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
+    m = _read_manifest(table_dir, versions[-1])
+    stats = m.get("stats") or {}
+    # key columns whose stats EVERY live file carries (partial coverage
+    # would make skipped-vs-kept asymmetric; fall back instead)
+    usable = [k for k in keys
+              if all(f in stats and stats[f].get(k, {}).get("min")
+                     is not None for f in m["files"])]
+    if not usable:
+        target = snapshot_read(spark, table_dir)
+        merged = merge_into(target, src, on, update_cols=update_cols,
+                            insert_unmatched=insert_unmatched)
+        return snapshot_write(merged, table_dir, mode="overwrite",
+                              num_files=num_files)
+    # source key envelope: one k-sized aggregate row
+    bounds = src.agg(*[f(c).alias(f"{t}_{c}")
+                       for c in usable
+                       for t, f in (("lo", F.min), ("hi", F.max))]) \
+        .collect()[0]
+    preds = []
+    for c in usable:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is not None:
+            preds += [(c, ">=", lo), (c, "<=", hi)]
+    touched = [f for f in m["files"]
+               if _file_may_match(stats.get(f, {}), preds)] \
+        if preds else list(m["files"])
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if touched:
+        t_df = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in touched])
+    else:
+        t_df = spark.createDataFrame([], schema)
+    merged = _plain(merge_into(t_df, src, on, update_cols=update_cols,
+                               insert_unmatched=insert_unmatched)) \
+        .select(*[f.name for f in schema.fields])
+    # publish: untouched files carried over verbatim (stats included),
+    # rewritten rows land in a fresh data dir with fresh stats
+    version = versions[-1] + 1
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
+    out_dir = os.path.join(table_dir, rel_dir)
+    writer = merged.coalesce(num_files) if num_files else merged
+    writer.write.mode("error").parquet(out_dir)
+    new_files = sorted(
+        os.path.join(rel_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))
+    stats_cols = sorted({c for f in m["files"]
+                         for c in (stats.get(f) or {})})
+    new_stats = _collect_file_stats(table_dir, new_files, stats_cols) \
+        if stats_cols else {}
+    _publish(table_dir, {
+        "version": version,
+        "parent": versions[-1],
+        "operation": "merge",
+        "schema": m["schema"],
+        "files": untouched + new_files,
+        "stats": {**{f: stats[f] for f in untouched}, **new_stats},
+    })
+    return version

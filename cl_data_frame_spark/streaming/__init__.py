@@ -184,6 +184,76 @@ def streaming_holt(sdf: DataFrame, key_col: str = "user_id",
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+_CUSUM_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s_plus", T.DoubleType()),
+    T.StructField("s_minus", T.DoubleType()),
+    T.StructField("max_s_plus", T.DoubleType()),
+    T.StructField("max_s_minus", T.DoubleType()),
+])
+
+_CUSUM_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("max_s_plus", T.DoubleType()),
+    T.StructField("max_s_minus", T.DoubleType()),
+    T.StructField("alarm", T.BooleanType()),
+])
+
+
+def streaming_cusum(sdf: DataFrame, mu: float, sigma: float,
+                    key_col: str = "user_id",
+                    value_col: str = "value",
+                    order_cols: list[str] | None = None,
+                    kappa: float = 0.5, h: float = 4.0) -> DataFrame:
+    """Streaming twin of ``relational.cusum_drift`` — Page's CUSUM in
+    its ORIGINAL sequential form: the reference mean/σ are supplied
+    (from a calibration window, a control chart, or the batch
+    operator's own exact moments) instead of estimated from the full
+    series, because a stream never has the full series. State is five
+    numbers per key across micro-batches; same update expression, same
+    operation order as the batch fold, so with ``mu``/``sigma`` set to
+    the batch operator's computed moments the S statistics agree
+    bit-for-bit on the same prefix — pytest-pinned. Emits each key's
+    running maxima + alarm (max S exceeds h·σ) every micro-batch.
+    """
+    fmu, fsd = float(mu), float(sigma)
+    slack = float(kappa) * fsd
+    limit = float(h) * fsd
+    ocols = list(order_cols or [])
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (k,) = key
+        n, sp, sm, msp, msm = state.get if state.exists \
+            else (0, 0.0, 0.0, 0.0, 0.0)
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        if ocols:
+            pdf = pdf.sort_values(ocols, kind="stable")
+        for y in pdf[value_col].astype(float):
+            sp = max(0.0, sp + (y - fmu - slack))
+            sm = max(0.0, sm + (fmu - y - slack))
+            msp = max(msp, sp)
+            msm = max(msm, sm)
+            n += 1
+        state.update((n, sp, sm, msp, msm))
+        if n >= 1:
+            yield pd.DataFrame({
+                "user_id": [k], "n": [n], "max_s_plus": [msp],
+                "max_s_minus": [msm],
+                "alarm": [msp > limit or msm > limit]})
+
+    cols = [key_col, value_col] + ocols
+    return (sdf.select(*cols)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                _update,
+                outputStructType=_CUSUM_OUTPUT_SCHEMA,
+                stateStructType=_CUSUM_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "update",
                          min_rows: int | None = None,

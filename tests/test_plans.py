@@ -93,13 +93,14 @@ def test_cosine_topk_no_shuffle(spark, sf_dir):
 #: entries whose BroadcastNestedLoopJoin is the one-row scalar-broadcast
 #: pattern (corpus stats, min/max bounds) — constant cost at any scale
 #: x_hash_sampling: negative_sample's one-row max-id broadcast;
-#: s_stats: the statistical pair/cell self-joins — welch's #groups-row
-#: (g1 < g2) pairs, mann_whitney/auc's (label, value)-count pairs,
-#: kendall's contingency-cell inequality join — all tables bounded by
-#: group/distinct-value counts, never data-sized
+#: s_stats / s_stats_rank: the statistical pair/cell self-joins —
+#: welch's #groups-row (g1 < g2) pairs, mann_whitney/auc's
+#: (label, value)-count pairs, kendall's contingency-cell inequality
+#: join (the rank family moved to s_stats_rank in round 8) — all
+#: tables bounded by group/distinct-value counts, never data-sized
 _BNLJ_OK = {"s_range_joins", "s_skew_udaf", "x_term_weights", "x_bm25",
             "r_summary_all", "s_join_semi_anti", "x_text_stats",
-            "x_hash_sampling", "s_stats",
+            "x_hash_sampling", "s_stats", "s_stats_rank",
             # r7: the recall part's EXACT ground-truth baseline is a
             # labeled #queries x corpus id pair join (20 query ids
             # broadcast) — the evaluation's stated cost, not a hazard;

@@ -546,3 +546,68 @@ class TestSnapshotEvolution:
                snapshot_read(spark, t, version=1).spark_df.collect()}
         assert pre == {1: "old1", 2: "old2", 3: "old3"}
         assert snapshot_history(t)[-1]["operation"] == "overwrite"
+
+
+class TestSnapshotRowLevelMerge:
+    def test_merge_rewrites_only_overlapping_files(self, spark,
+                                                   tmp_path):
+        """With file stats on the key, MERGE carries non-overlapping
+        files into the new version VERBATIM (same physical paths) and
+        rewrites only the files whose key range the source touches —
+        the Delta-style data-skipping merge."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            _read_manifest, snapshot_merge, snapshot_read,
+            snapshot_write)
+        t = str(tmp_path / "tbl")
+        base = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("old"), F.col("id")).alias("v"))
+        snapshot_write(base.repartitionByRange(8, "k"), t,
+                       stats_cols=["k"])
+        m1 = _read_manifest(t, 1)
+        assert len(m1["files"]) == 8
+        updates = spark.createDataFrame(
+            [(910, "NEW910"), (955, "NEW955"), (2000, "NEW2000")],
+            "k bigint, v string")
+        v = snapshot_merge(spark, t, updates, on="k")
+        assert v == 2
+        m2 = _read_manifest(t, 2)
+        assert m2["operation"] == "merge"
+        carried = set(m1["files"]) & set(m2["files"])
+        rewritten = set(m1["files"]) - set(m2["files"])
+        # source keys 910-2000 touch only the top range file(s)
+        assert len(carried) >= 6 and len(rewritten) <= 2
+        # stats carried/refreshed for every live file (merge chains)
+        assert set(m2["files"]) == set(m2["stats"])
+        got = {r.k: r.v for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert len(got) == 1001
+        assert got[910] == "NEW910" and got[955] == "NEW955"
+        assert got[2000] == "NEW2000" and got[0] == "old0"
+        assert got[909] == "old909"
+        # a second stats-merge chains off the merge version
+        v3 = snapshot_merge(spark, t, spark.createDataFrame(
+            [(5, "NEW5")], "k bigint, v string"), on="k")
+        m3 = _read_manifest(t, v3)
+        assert m3["operation"] == "merge"
+        got3 = {r.k: r.v for r in
+                snapshot_read(spark, t).spark_df.collect()}
+        assert got3[5] == "NEW5" and got3[910] == "NEW910"
+        assert len(got3) == 1001
+
+    def test_merge_falls_back_without_stats(self, spark, tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            _read_manifest, snapshot_merge, snapshot_read,
+            snapshot_write)
+        t = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k bigint, v string")
+        snapshot_write(base, t)                   # no stats_cols
+        v = snapshot_merge(spark, t, spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k bigint, v string"), on="k")
+        m = _read_manifest(t, v)
+        assert m["operation"] == "overwrite"      # whole-table path
+        got = {r.k: r.v for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}

@@ -386,3 +386,83 @@ def test_streaming_holt_matches_batch_across_microbatches(
         assert round(got[k].level, 6) == batch[k].level
         assert round(got[k].trend, 6) == batch[k].trend
         assert round(got[k].forecast, 6) == batch[k].forecast
+
+
+def test_streaming_cusum_matches_batch_with_its_moments(
+        spark, tmp_path):
+    """Streaming CUSUM (fixed reference mean/σ — Page's sequential
+    form) must reproduce the batch detector's S maxima when given the
+    batch operator's own moments, across two real micro-batches, and
+    alarm on the shifted key."""
+    import math
+    import shutil
+    from cl_data_frame_spark.operators.relational import cusum_drift
+
+    # key 1 stable around 10, key 2 shifts +8 halfway
+    rows = [(1, t, 10.0 + (1.5 if t % 2 else -1.5)) for t in range(60)]
+    rows += [(2, t, (10.0 if t < 30 else 18.0)
+              + (1.5 if t % 2 else -1.5)) for t in range(60)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+
+    # the batch fold's exact-moment expressions, mirrored op-for-op
+    def moments(vals):
+        n = float(len(vals))
+        sx, sxx = float(sum(vals)), float(sum(v * v for v in vals))
+        mu = sx / n
+        sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+        return mu, sd
+
+    stable_mu, stable_sd = moments([v for k, _t, v in rows if k == 1])
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def land(sub, name):
+        sub.coalesce(1).write.mode("overwrite").parquet(str(d / "tmp"))
+        for i, f in enumerate((d / "tmp").glob("*.parquet")):
+            shutil.copy(f, d / f"{name}-{i}.parquet")
+        shutil.rmtree(d / "tmp")
+
+    land(df.filter(F.col("ts") < 40), "f0")
+    cus = ST.streaming_cusum(
+        ST.read_stream_parquet(spark, str(d), df.schema),
+        mu=stable_mu, sigma=stable_sd,
+        key_col="user_id", value_col="value", order_cols=["ts"])
+    q = (cus.writeStream.format("memory").queryName("t_cusum")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        land(df.filter(F.col("ts") >= 40), "f1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = (spark.table("t_cusum")
+             .groupBy("user_id")
+             .agg(F.max(F.struct("n", "max_s_plus", "max_s_minus",
+                                 "alarm")).alias("s"))
+             .select("user_id", "s.n", "s.max_s_plus", "s.max_s_minus",
+                     "s.alarm"))
+    got = {r.user_id: r for r in final.collect()}
+    assert got[1].n == 60 and got[2].n == 60
+    assert got[2].alarm and not got[1].alarm
+
+    # key 1's own moments == the reference passed in, so the batch
+    # detector (which estimates from the series) must agree on key 1
+    batch = {r.user_id: r for r in
+             cusum_drift(df, "ts", "value",
+                         by=["user_id"]).spark_df.collect()}
+    assert round(got[1].max_s_plus, 6) == batch[1].max_s_plus
+    assert round(got[1].max_s_minus, 6) == batch[1].max_s_minus
+    # batch emits mu/sd rounded to 6 decimals
+    assert abs(batch[1].mu - stable_mu) < 1e-6
+    assert abs(batch[1].sd - stable_sd) < 1e-6
+
+    # bit-exact vs the sequential reference with the same reference
+    kappa, slack = 0.5, 0.5 * stable_sd
+    for k in (1, 2):
+        sp = sm = msp = msm = 0.0
+        for _t, y in sorted((t, v) for kk, t, v in rows if kk == k):
+            sp = max(0.0, sp + (y - stable_mu - slack))
+            sm = max(0.0, sm + (stable_mu - y - slack))
+            msp, msm = max(msp, sp), max(msm, sm)
+        assert got[k].max_s_plus == msp and got[k].max_s_minus == msm
