@@ -3036,20 +3036,22 @@ def q_s_stats(spark, sf_dir):
                   "l_partkey", "l_linenumber")
           .localCheckpoint(eager=False))
     probs = STAT.quantile_bins_percentile_probs(n_bins=4)
+    # ONE exact-percentile aggregate for bins+outliers AND the winsor
+    # bounds: two separate percentile() calls each buffer every group
+    # value independently (round 8, measured ~1.4s of the entry) — the
+    # combined prob array shares one buffer and is sliced apart below
+    all_probs = probs + [0.05, 0.95]
     mega = (li.groupBy("l_returnflag")
             .agg(F.percentile(F.col("l_extendedprice"),
-                              F.array(*[F.lit(p) for p in probs]))
-                 .alias("__p__"),
-                 # winsor bounds ride the same shuffle (extra exact
-                 # percentile pair, no second aggregation pass)
-                 F.percentile(F.col("l_extendedprice"),
-                              F.array(F.lit(0.05), F.lit(0.95)))
-                 .alias("__pw__"),
+                              F.array(*[F.lit(p) for p in all_probs]))
+                 .alias("__pall__"),
                  *STAT.moment_agg_exprs(_STATS_COLS),
                  F.sum(F.when(F.col("l_linestatus") == "F", 1)
                        .otherwise(0)).cast("long").alias("n_F"),
                  F.sum(F.when(F.col("l_linestatus") == "O", 1)
                        .otherwise(0)).cast("long").alias("n_O"))
+            .withColumn("__p__", F.slice("__pall__", 1, len(probs)))
+            .withColumn("__pw__", F.slice("__pall__", len(probs) + 1, 2))
             .localCheckpoint(eager=False))
     sums = mega
     a = _tag(STAT.moment_stats_from_sums(
@@ -7202,9 +7204,10 @@ _ORACLES["s_stats"] = _union(
             SELECT t.lang, reps.r, t.x,
                    len(list_filter({_POISSON_CUM_SQL},
                        c -> c < (('0x' || substr(md5(t.doc_id::VARCHAR
-                                     || '|' || reps.r || '|boot'),
-                                     1, 13))::UBIGINT::DOUBLE
-                                 / 4503599627370496.0)))
+                                     || '|' || (reps.r // 4) || '|boot'),
+                                     (reps.r % 4) * 8 + 1, 8))
+                                     ::UBIGINT::DOUBLE
+                                 / 4294967296.0)))
                        ::DECIMAL(19,0) AS wt
             FROM t CROSS JOIN reps)
           GROUP BY lang, r),

@@ -927,12 +927,20 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
     thresholds = F.array(*[F.lit(c) for c in cum])
 
     def weight(r):
-        """Poisson(1) weight for replicate *r* (a Column)."""
-        h = F.conv(F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
-                           r.cast("string"), F.lit(f"|{salt}"))),
-            1, 13), 16, 10)
-        u = h.cast("double") / F.lit(float(1 << 52))
+        """Poisson(1) weight for replicate *r* (a Column). ONE md5
+        digest serves FOUR replicates (32-bit lanes of the 128-bit
+        digest — md5 bits are independent, so the replicate weights
+        are too): 4x fewer hash evaluations per row than the
+        digest-per-replicate form (round 8, measured — the md5+conv
+        chain was the bootstrap's per-row cost)."""
+        digest = F.md5(F.concat(
+            F.col(id_col).cast("string"), F.lit("|"),
+            F.floor(r / F.lit(4)).cast("int").cast("string"),
+            F.lit(f"|{salt}")))
+        lane = (r % F.lit(4)).cast("int")
+        h = F.conv(F.substring(digest, lane * F.lit(8) + F.lit(1),
+                               F.lit(8)), 16, 10)
+        u = h.cast("double") / F.lit(float(1 << 32))
         return F.size(F.filter(thresholds, lambda t: t < u)) \
             .cast("decimal(19,0)")
 

@@ -347,6 +347,58 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     return SparkFrame(sdf)
 
 
+def snapshot_optimize(spark: SparkSession, table_dir: str,
+                      target_file_mb: int = 128,
+                      zorder_by: Sequence[str] | None = None,
+                      num_files: int | None = None) -> int:
+    """OPTIMIZE the current version: bin-pack its (typically many
+    small) files into ~*target_file_mb* files and publish the result
+    as a new version with identical rows — the public Delta OPTIMIZE
+    maintenance op on the manifest format. ``zorder_by`` additionally
+    range-clusters the rewrite on a Morton key over the given columns
+    (locality for later predicate pruning). File statistics are
+    recollected for whatever columns the old manifest tracked, so
+    data skipping keeps working across compactions. Readers pinned to
+    older versions are untouched; ``vacuum`` reclaims the small files
+    once their versions age out."""
+    versions = _versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
+    m = _read_manifest(table_dir, versions[-1])
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    n_files = num_files or max(
+        1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    sdf = spark.read.parquet(*paths)
+    version = versions[-1] + 1
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
+    out_dir = os.path.join(table_dir, rel_dir)
+    if zorder_by:
+        from cl_data_frame_spark.sources import write_parquet_zordered
+        write_parquet_zordered(sdf, out_dir, list(zorder_by),
+                               num_files=n_files, mode="error")
+    else:
+        sdf.coalesce(n_files).write.mode("error").parquet(out_dir)
+    new_files = sorted(
+        os.path.join(rel_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))
+    stats_cols = sorted({c for f in m["files"]
+                         for c in (m.get("stats") or {}).get(f, {})})
+    manifest = {
+        "version": version,
+        "parent": versions[-1],
+        "operation": "optimize",
+        "schema": m["schema"],
+        "files": new_files,
+    }
+    if stats_cols:
+        manifest["stats"] = _collect_file_stats(table_dir, new_files,
+                                                stats_cols)
+    _publish(table_dir, manifest)
+    return version
+
+
 def snapshot_history(table_dir: str) -> list[dict]:
     """Version log, oldest first: (version, parent, operation,
     n_files) — metadata only, no data scan."""

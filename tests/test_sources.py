@@ -611,3 +611,60 @@ class TestSnapshotRowLevelMerge:
         got = {r.k: r.v for r in
                snapshot_read(spark, t).spark_df.collect()}
         assert got == {1: "a", 2: "B", 3: "c"}
+
+
+class TestSnapshotOptimize:
+    def test_optimize_binpacks_preserves_rows_and_stats(self, spark,
+                                                        tmp_path):
+        """OPTIMIZE: many small files -> few files in a NEW version,
+        identical rows, stats recollected so data skipping keeps
+        working; pinned readers of the pre-optimize version intact."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            _read_manifest, snapshot_optimize, snapshot_read,
+            snapshot_scan_files, snapshot_write)
+        t = str(tmp_path / "tbl")
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        snapshot_write(df.repartition(32), t, stats_cols=["k"])
+        assert len(snapshot_scan_files(t)) == 32
+        v = snapshot_optimize(spark, t, target_file_mb=128)
+        m = _read_manifest(t, v)
+        assert m["operation"] == "optimize"
+        assert len(m["files"]) < 32
+        assert set(m["files"]) == set(m["stats"])      # stats refreshed
+        got = sorted(r.k for r in
+                     snapshot_read(spark, t).spark_df.collect())
+        assert got == list(range(2000))
+        # pinned pre-optimize version still readable with 32 files
+        assert len(snapshot_scan_files(t, 1)) == 32
+        assert snapshot_read(spark, t, version=1).nrow == 2000
+        # pruning still effective on the compacted layout: the files
+        # came from coalesce of range-partitioned input, but the stats
+        # themselves must at least bound correctly
+        pruned = snapshot_read(spark, t, where=[("k", "==", 5)])
+        assert [r.k for r in pruned.spark_df.collect()] == [5]
+
+    def test_optimize_zorder_clusters_key(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_optimize, snapshot_read, snapshot_scan_files,
+            snapshot_write)
+        t = str(tmp_path / "tbl")
+        # shuffled key order -> every small file spans the whole range
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"),
+            F.xxhash64("id").alias("r")).orderBy("r")
+        snapshot_write(df.repartition(16), t, stats_cols=["k"])
+        before = len(snapshot_scan_files(
+            t, where=[("k", ">=", 3900)]))
+        assert before == 16            # no locality pre-optimize
+        snapshot_optimize(spark, t, num_files=8, zorder_by=["k"])
+        files_all = snapshot_scan_files(t)
+        hit = len(snapshot_scan_files(t, where=[("k", ">=", 3900)]))
+        # post-optimize: the clustered layout prunes most files
+        assert len(files_all) > 1 and hit < len(files_all)
+        got = snapshot_read(
+            spark, t, where=[("k", ">=", 3900)]).spark_df
+        assert sorted(r.k for r in got.collect()) == \
+            list(range(3900, 4000))
