@@ -1186,10 +1186,14 @@ def q_s_window_range_trailing(spark, sf_dir):
              F.col("forecast").cast("double").alias("d3"),
              F.col("n").cast("bigint").alias("i1"))
     # two-sided CUSUM mean-shift detector per user (relational.
-    # cusum_drift; kappa=0.5, h=4 in per-key sigma units)
+    # cusum_drift; kappa=0.5, h=4 in per-key sigma units).
+    # assume_bounded: holt_linear's guard just verified the bound on
+    # the IDENTICAL (frame, keys) — the second pre-scan would re-count
+    # the same grouping
     cu = R.cusum_drift(ev, "ts", "value", by=["user_id"],
                        kappa=0.5, h=4.0,
-                       order_cols=["ts", "event_id"]).spark_df
+                       order_cols=["ts", "event_id"],
+                       assume_bounded=True).spark_df
     hh = _tag(cu, "cusum",
               F.col("user_id").cast("bigint").alias("user_id"),
               F.col("alarm").cast("bigint").alias("event_id"),

@@ -584,6 +584,84 @@ class SparkFrame:
             return [r[1] for r in rows_out]
         return SparkFrame(filtered.select(ROW_ID, *keys), keys)
 
+    def _rows_predicate(self, spec) -> Column:
+        """A boolean Column marking the rows a slice spec selects —
+        the assignment-side mirror of ``_resolve_rows`` (which filters).
+        Positional specs resolve through ``_with_pos``'s dense index,
+        so the caller must apply this to a frame carrying ``_POS``."""
+        if spec is ALL or spec is True or spec is None:
+            return F.lit(True)
+        if isinstance(spec, Column):
+            return spec
+        if isinstance(spec, bool):
+            raise TypeError("bool is not a valid row slice")
+        if isinstance(spec, int):
+            pos = spec if spec >= 0 else self.nrow + spec
+            return F.col(_POS) == pos
+        if isinstance(spec, (slice, range)):
+            if isinstance(spec, slice):
+                start, stop, step = spec.indices(self.nrow)
+                positions = list(range(start, stop, step))
+            else:
+                positions = list(spec)
+            return F.col(_POS).isin(positions) if positions else F.lit(False)
+        seq = list(spec)
+        if seq and all(isinstance(x, bool) for x in seq):
+            if len(seq) != self.nrow:
+                raise ColumnLengthMismatch(self.nrow, len(seq))
+            positions = [i for i, b in enumerate(seq) if b]
+        else:
+            n = self.nrow if any(x < 0 for x in seq) else None
+            positions = [x if x >= 0 else n + x for x in seq]
+        return F.col(_POS).isin(positions) if positions else F.lit(False)
+
+    def set_slice(self, rows, cols, value) -> "SparkFrame":
+        """Functional ``(setf slice)`` — the ONE operation the reference
+        declared and never built (its own TODO, cl-data-frame.lisp:502):
+        assign *value* into the (rows × cols) rectangle and return the
+        updated frame. *value* is a scalar (broadcast to every selected
+        cell), a Column expression (evaluated per selected row), or a
+        dict {key: scalar|Column} giving each target column its own
+        value. Every cell outside the rectangle is untouched; column
+        dtypes are preserved (the value is cast to the target column's
+        existing type, matching the reference's typed-vector columns).
+
+        Plan: one projection of ``when(pred, value).otherwise(col)``
+        per target column — no shuffle for mask/ALL row specs; integer/
+        positional specs pay the same total-order position attach every
+        positional Tier-R op documents.
+        """
+        target_keys = _resolve_keyspec(self._keys, cols)
+        if isinstance(value, dict):
+            unknown = set(value) - set(target_keys)
+            if unknown:
+                raise KeyNotFound(sorted(unknown)[0], target_keys)
+            val_for = dict(value)
+        else:
+            val_for = {k: value for k in target_keys}
+        positional = not (rows is ALL or rows is True or rows is None
+                         or isinstance(rows, Column))
+        base = self._with_pos() if positional else self._df
+        pred = self._rows_predicate(rows)
+        dtypes = dict(base.dtypes)
+        exprs = []
+        for k in self.keys():
+            if k in val_for:
+                v = val_for[k]
+                vcol = v if isinstance(v, Column) else F.lit(v)
+                exprs.append(F.when(pred, vcol.cast(dtypes[k]))
+                             .otherwise(F.col(k)).alias(k))
+            else:
+                exprs.append(F.col(k))
+        out = base.select(F.col(ROW_ID), *exprs)
+        return SparkFrame(out, self.keys(), nrow=self._nrow)
+
+    def set_slice_(self, rows, cols, value) -> "SparkFrame":
+        """In-place ``(setf slice)`` (mutating twin of ``set_slice``,
+        the ``set_column_`` convention)."""
+        self._df = self.set_slice(rows, cols, value)._df
+        return self
+
     def filter(self, predicate: Column) -> "SparkFrame":
         """Lazy mask filter (the scale path for slice-by-mask)."""
         return SparkFrame(self._df.filter(predicate), self.keys())

@@ -506,3 +506,51 @@ def test_collect_guard_raises_above_limit(spark):
         assert len(fr.collect()) == 100
     finally:
         frame_mod.MAX_COLLECT_ROWS = old
+
+
+class TestSetSlice:
+    """(setf slice) — the reference DECLARED this and never built it
+    (its own TODO at cl-data-frame.lisp:502); implemented here so the
+    R-tier surface is total, reference-abandoned ideas included."""
+
+    @pytest.fixture()
+    def g(self, spark):
+        return df(spark, "a", [1, 2, 3, 4], "b", [10.0, 20.0, 30.0, 40.0],
+                  "s", ["w", "x", "y", "z"])
+
+    def test_scalar_broadcast_rectangle(self, g):
+        out = g.set_slice([1, 2], ["a", "b"], 0)
+        assert out.column("a") == [1, 0, 0, 4]
+        assert out.column("b") == [10.0, 0.0, 0.0, 40.0]
+        assert out.column("s") == ["w", "x", "y", "z"]   # untouched
+        assert g.column("a") == [1, 2, 3, 4]             # functional
+
+    def test_mask_rows_column_value(self, g):
+        out = g.set_slice(F.col("a") >= 3, "b", F.col("b") * 2)
+        assert out.column("b") == [10.0, 20.0, 60.0, 80.0]
+
+    def test_dict_per_column_and_negative_index(self, g):
+        out = g.set_slice(-1, ["a", "s"], {"a": 99, "s": "END"})
+        assert out.column("a") == [1, 2, 3, 99]
+        assert out.column("s") == ["w", "x", "y", "END"]
+
+    def test_bool_sequence_and_all(self, g):
+        out = g.set_slice([True, False, True, False], "a", -1)
+        assert out.column("a") == [-1, 2, -1, 4]
+        out2 = g.set_slice(ALL, "a", 7)
+        assert out2.column("a") == [7, 7, 7, 7]
+
+    def test_dtype_preserved(self, g):
+        out = g.set_slice(0, "a", 2.9)        # cast into int column
+        assert dict(out.spark_df.dtypes)["a"] == \
+            dict(g.spark_df.dtypes)["a"]
+        assert out.column("a")[0] == 2        # truncating int cast
+
+    def test_in_place_twin_and_errors(self, g):
+        g.set_slice_(slice(0, 2), "b", 0.5)
+        assert g.column("b") == [0.5, 0.5, 30.0, 40.0]
+        from cl_data_frame_spark.errors import KeyNotFound
+        with pytest.raises(KeyNotFound):
+            g.set_slice(ALL, ["a"], {"nope": 1})
+        with pytest.raises(ColumnLengthMismatch):
+            g.set_slice([True, False], "a", 1)
