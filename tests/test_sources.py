@@ -668,3 +668,29 @@ class TestSnapshotOptimize:
             spark, t, where=[("k", ">=", 3900)]).spark_df
         assert sorted(r.k for r in got.collect()) == \
             list(range(3900, 4000))
+
+    def test_vacuum_after_row_level_merge_keeps_shared_files(
+            self, spark, tmp_path):
+        """Row-level merge SHARES untouched physical files between the
+        old and new versions; vacuum of the old version must keep every
+        file the surviving manifest references and the merged table
+        must read back whole."""
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_merge, snapshot_read, snapshot_vacuum,
+            snapshot_write)
+        t = str(tmp_path / "tbl")
+        base = spark.range(0, 400).select(
+            F.col("id").alias("k"), F.lit("old").alias("v"))
+        snapshot_write(base.repartitionByRange(4, "k"), t,
+                       stats_cols=["k"])
+        snapshot_merge(spark, t, spark.createDataFrame(
+            [(399, "NEW")], "k bigint, v string"), on="k")
+        deleted = snapshot_vacuum(t, keep_last=1)
+        assert deleted >= 1               # the rewritten file's old copy
+        got = {r.k: r.v for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert len(got) == 400 and got[399] == "NEW" and got[0] == "old"
+        with pytest.raises(FileNotFoundError):
+            snapshot_read(spark, t, version=1)
