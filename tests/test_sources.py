@@ -694,3 +694,30 @@ class TestSnapshotOptimize:
         assert len(got) == 400 and got[399] == "NEW" and got[0] == "old"
         with pytest.raises(FileNotFoundError):
             snapshot_read(spark, t, version=1)
+
+    def test_snapshot_diff_classifies_merge_changes(self, spark,
+                                                    tmp_path):
+        """snapshot_diff between a pre- and post-merge version reports
+        exactly the merge's updates + inserts (and a delete when an
+        overwrite drops keys)."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_diff, snapshot_merge, snapshot_write)
+        t = str(tmp_path / "tbl")
+        base = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("old").alias("v"))
+        snapshot_write(base.repartitionByRange(4, "k"), t,
+                       stats_cols=["k"])
+        snapshot_merge(spark, t, spark.createDataFrame(
+            [(7, "NEW7"), (500, "NEW500")], "k bigint, v string"),
+            on="k")
+        d = {r.k: r.change_type for r in
+             snapshot_diff(spark, t, "k", 1).spark_df.collect()}
+        assert d == {7: "update", 500: "insert"}
+        # overwrite dropping keys -> deletes vs version 2
+        snapshot_write(spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("old").alias("v")), t,
+            mode="overwrite")
+        d2 = {r.change_type for r in
+              snapshot_diff(spark, t, "k", 2, 3).spark_df.collect()}
+        assert "delete" in d2
