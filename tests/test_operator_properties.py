@@ -332,3 +332,78 @@ def test_cusum_fold_matches_python_reference(spark, ys):
     assert abs(got["max_s_plus"] - round(mp, 6)) < 1e-6
     assert abs(got["max_s_minus"] - round(mm, 6)) < 1e-6
     assert got["alarm"] == (mp > 4.0 * sd or mm > 4.0 * sd)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=12),   # value
+              st.integers(min_value=1, max_value=9)),   # weight
+    min_size=1, max_size=60),
+    probs=st.lists(st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+                   min_size=1, max_size=3, unique=True))
+@settings(**SETTINGS)
+def test_weighted_percentile_unkeyed_property(spark, rows, probs):
+    """Round 8: the bucketed two-pass by=None plan equals the
+    sequential lower weighted-quantile rule on arbitrary tie-heavy
+    integer data (integers: the decimal sums and double thresholds
+    are exact, so equality is strict)."""
+    from cl_data_frame_spark.operators.stats import weighted_percentile
+    df = spark.createDataFrame(
+        [(float(v), float(w)) for v, w in rows], "v double, w double")
+    got = weighted_percentile(df, "v", "w", probs).spark_df.first()
+
+    srt = sorted((float(v), float(w)) for v, w in rows)
+    tot = sum(w for _v, w in srt)
+    for p in probs:
+        cum, want = 0.0, srt[-1][0]
+        for v, w in srt:
+            cum += w
+            if cum >= p * tot:
+                want = v
+                break
+        assert got[f"p{int(round(p * 100))}"] == want, (p, rows)
+
+
+@given(rows=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=40),
+       lo=st.integers(min_value=-50, max_value=50),
+       op=st.sampled_from(["==", "<", "<=", ">", ">="]))
+@settings(**SETTINGS)
+def test_snapshot_stats_pruning_sound(spark, tmp_path_factory, rows,
+                                      lo, op):
+    """Round 8: file pruning is SOUND for every op — the predicated
+    snapshot read equals the brute-force filter of the full table, no
+    matter how the values straddle the per-file ranges."""
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources.snapshots import (snapshot_read,
+                                                       snapshot_write)
+    t = str(tmp_path_factory.mktemp("snapprop") / "tbl")
+    df = spark.createDataFrame([(v,) for v in rows], "v bigint")
+    snapshot_write(df.repartitionByRange(3, "v"), t, stats_cols=["v"])
+    got = sorted(r.v for r in snapshot_read(
+        spark, t, where=[("v", op, lo)]).spark_df.collect())
+    pred = {"==": lambda x: x == lo, "<": lambda x: x < lo,
+            "<=": lambda x: x <= lo, ">": lambda x: x > lo,
+            ">=": lambda x: x >= lo}[op]
+    assert got == sorted(v for v in rows if pred(v))
+
+
+@given(rows=st.lists(st.integers(min_value=-9, max_value=9),
+                     min_size=1, max_size=12),
+       positions=st.lists(st.integers(min_value=-12, max_value=11),
+                          min_size=0, max_size=6),
+       val=st.integers(min_value=-99, max_value=99))
+@settings(**SETTINGS)
+def test_set_slice_positional_property(spark, rows, positions, val):
+    """Round 8 (setf slice): positional assignment touches exactly the
+    requested cells — the Python-list semantics of the reference's
+    typed columns."""
+    from cl_data_frame_spark.frame import df as make_df
+    n = len(rows)
+    positions = [p for p in positions if -n <= p < n]
+    g = make_df(spark, "a", list(rows), "b", [str(x) for x in rows])
+    out = g.set_slice(positions, "a", val)
+    want = list(rows)
+    for p in positions:
+        want[p if p >= 0 else n + p] = val
+    assert out.column("a") == want
+    assert out.column("b") == [str(x) for x in rows]
