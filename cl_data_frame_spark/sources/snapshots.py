@@ -304,6 +304,35 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     return version
 
 
+def snapshot_write_retrying(frame, table_dir: str,
+                            mode: str = "append",
+                            num_files: int | None = None,
+                            stats_cols: Sequence[str] | None = None,
+                            max_retries: int = 5) -> int:
+    """``snapshot_write`` with the standard optimistic-concurrency
+    retry loop: a writer that loses the atomic publish race re-reads
+    the version listing and retries at the next number. Each attempt
+    is a full ``snapshot_write`` (the retry re-runs the Spark write —
+    callers with expensive inputs should persist them first; the
+    loser's orphaned data directory is reclaimed by ``vacuum``). For
+    ``append`` the result is equivalent under any interleaving; an
+    ``overwrite`` retry supersedes whatever the interleaved winner
+    wrote — the documented last-writer-wins overwrite semantics.
+    Raises after *max_retries* consecutive lost races (pathological
+    contention)."""
+    last: FileExistsError | None = None
+    for _ in range(max_retries):
+        try:
+            return snapshot_write(frame, table_dir, mode=mode,
+                                  num_files=num_files,
+                                  stats_cols=stats_cols)
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"lost the publish race {max_retries} times in {table_dir} "
+        f"(pathological contention): {last}")
+
+
 def snapshot_read(spark: SparkSession, table_dir: str,
                   version: int | None = None,
                   where=None) -> SparkFrame:

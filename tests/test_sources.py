@@ -721,3 +721,38 @@ class TestSnapshotOptimize:
         d2 = {r.change_type for r in
               snapshot_diff(spark, t, "k", 2, 3).spark_df.collect()}
         assert "delete" in d2
+
+    def test_retrying_writer_both_land(self, spark, tmp_path,
+                                       monkeypatch):
+        """Two concurrent retrying appenders: the loser retries at the
+        next version and BOTH land — the full optimistic-concurrency
+        loop over the atomic publish."""
+        import threading
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        barrier = threading.Barrier(2, timeout=60)
+        orig = snapshots._versions
+        fired = []
+
+        def synced(table_dir):
+            out = orig(table_dir)
+            if len(fired) < 2:          # race only the FIRST attempts
+                fired.append(1)
+                barrier.wait()
+            return out
+
+        monkeypatch.setattr(snapshots, "_versions", synced)
+        results = {}
+
+        def write(tag, lo, hi):
+            results[tag] = snapshots.snapshot_write_retrying(
+                spark.range(lo, hi).withColumnRenamed("id", "v"), t)
+
+        a = threading.Thread(target=write, args=("a", 0, 5))
+        b = threading.Thread(target=write, args=("b", 100, 107))
+        a.start(); b.start(); a.join(120); b.join(120)
+        monkeypatch.setattr(snapshots, "_versions", orig)
+        assert sorted(results.values()) == [1, 2]
+        assert snapshots.snapshot_read(spark, t).nrow == 12
+        hist = snapshots.snapshot_history(t)
+        assert [h["version"] for h in hist] == [1, 2]
