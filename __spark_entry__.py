@@ -3428,8 +3428,21 @@ def q_s_stats_rank(spark, sf_dir):
                F.col("p50").cast("double").alias("d2"),
                F.col("p90").cast("double").alias("d3"),
                _DNULL().alias("d4"))
+    # grouped twin: per-flag keyed cumulative-weight windows (the
+    # partitioned path the unkeyed plan above carefully avoids needing)
+    wpg = STAT.weighted_percentile(li, "l_extendedprice", "l_quantity",
+                                   [0.5, 0.9],
+                                   by=["l_returnflag"]).spark_df
+    wpgt = _tag(wpg, "wpctg",
+                F.col("l_returnflag").alias("s1"),
+                F.col("n").cast("bigint").alias("i1"),
+                _BNULL().alias("i2"),
+                F.col("p50").cast("double").alias("d1"),
+                F.col("p90").cast("double").alias("d2"),
+                _DNULL().alias("d3"), _DNULL().alias("d4"))
     return (s.unionByName(mwt).unionByName(aut).unionByName(kt)
-            .unionByName(tht).unionByName(mit).unionByName(wpt))
+            .unionByName(tht).unionByName(mit).unionByName(wpt)
+            .unionByName(wpgt))
 
 
 def q_x_bm25(spark, sf_dir):
@@ -3623,7 +3636,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                 "welch", "anova", "winsor", "cramer", "kappa", "psi",
                 "targetenc", "bootstrap", "mahala", "partialcorr"],
     "s_stats_rank": ["spearman", "mannwhitney", "kendall", "auc",
-                     "mutualinfo", "theilsen", "wpct"],
+                     "mutualinfo", "theilsen", "wpct", "wpctg"],
     "s_pivot_unpivot": ["pivot", "unpivot"],
     "s_window_range_trailing": ["trailing", "zscore", "ewma", "holt",
                                 "cusum", "distinct7", "rollmed",
@@ -7483,7 +7496,31 @@ _ORACLES["s_stats_rank"] = _union(
         FROM c""",
           "'l_extendedprice~l_quantity' AS s1, n::BIGINT AS i1, "
           "NULL::BIGINT AS i2, p25::DOUBLE AS d1, p50::DOUBLE AS d2, "
-          "p90::DOUBLE AS d3, NULL::DOUBLE AS d4"))
+          "p90::DOUBLE AS d3, NULL::DOUBLE AS d4"),
+    # grouped weighted percentile: per-key cumulative-weight windows
+    _wrap("wpctg", """
+        WITH w AS (
+            SELECT l_returnflag AS g, l_extendedprice AS v,
+                   l_quantity AS q, l_quantity::DECIMAL(38,6) AS wt
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL),
+        c AS (
+            SELECT g, v,
+                   sum(wt) OVER (PARTITION BY g ORDER BY v, q
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cw,
+                   sum(wt) OVER (PARTITION BY g) AS tw
+            FROM w)
+        SELECT g, count(*)::BIGINT AS n,
+               round(min(CASE WHEN cw::DOUBLE >= tw::DOUBLE * 0.5
+                              THEN v::DOUBLE END), 6) AS p50,
+               round(min(CASE WHEN cw::DOUBLE >= tw::DOUBLE * 0.9
+                              THEN v::DOUBLE END), 6) AS p90
+        FROM c GROUP BY g""",
+          "g AS s1, n::BIGINT AS i1, NULL::BIGINT AS i2, "
+          "p50::DOUBLE AS d1, p90::DOUBLE AS d2, NULL::DOUBLE AS d3, "
+          "NULL::DOUBLE AS d4"))
 
 # stateful streaming composite (round 8: +holt): the holt part's
 # oracle is the SAME DuckDB list-state recursion the batch operator
