@@ -147,7 +147,10 @@ def _dec_stat(e):
 def _coerce_pred(bound, value):
     """Coerce a user predicate value to the decoded bound's type so the
     comparison is exact (numeric predicate vs DECIMAL stats is the
-    common case: Decimal(str(v)) avoids any float/binary rounding)."""
+    common case: Decimal(str(v)) avoids any float/binary rounding).
+    Timestamp bounds come back tz-aware (parquet isAdjustedToUTC); a
+    NAIVE predicate datetime is interpreted in the bound's own zone —
+    UTC for Spark-written files under the default session timezone."""
     if isinstance(bound, decimal.Decimal) \
             and isinstance(value, (int, float)):
         return decimal.Decimal(str(value))
@@ -155,6 +158,16 @@ def _coerce_pred(bound, value):
         return float(value)
     if isinstance(bound, int) and isinstance(value, float):
         return value  # int/float compare exactly in Python
+    if isinstance(bound, datetime.datetime):
+        if isinstance(value, datetime.date) \
+                and not isinstance(value, datetime.datetime):
+            value = datetime.datetime(value.year, value.month, value.day)
+        if isinstance(value, datetime.datetime):
+            if bound.tzinfo is not None and value.tzinfo is None:
+                return value.replace(tzinfo=bound.tzinfo)
+            if bound.tzinfo is None and value.tzinfo is not None:
+                return value.astimezone(
+                    datetime.timezone.utc).replace(tzinfo=None)
     return value
 
 
@@ -231,6 +244,32 @@ def _collect_file_stats(table_dir: str, rel_files: list[str],
     return out
 
 
+class _micros_timestamps:
+    """Write-scope override to TIMESTAMP_MICROS parquet timestamps:
+    Spark's INT96 default (legacy Hive compatibility) carries NO
+    footer min/max statistics, which would silently disable data
+    skipping on timestamp columns — the modern INT64 micros encoding
+    has full stats and is what the public lakehouse formats write."""
+
+    _KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        try:
+            self._prev = self._spark.conf.get(self._KEY)
+        except Exception:
+            self._prev = None
+        self._spark.conf.set(self._KEY, "TIMESTAMP_MICROS")
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
+
+
 def snapshot_scan_files(table_dir: str, version: int | None = None,
                         where=None) -> list[str]:
     """The file list a ``snapshot_read`` with the same arguments will
@@ -280,7 +319,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
     writer = sdf.coalesce(num_files) if num_files else sdf
-    writer.write.mode("error").parquet(out_dir)
+    with _micros_timestamps(writer.sparkSession):
+        writer.write.mode("error").parquet(out_dir)
     new_files = sorted(
         os.path.join(rel_dir, f) for f in os.listdir(out_dir)
         if f.endswith(".parquet"))
@@ -408,7 +448,8 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
         write_parquet_zordered(sdf, out_dir, list(zorder_by),
                                num_files=n_files, mode="error")
     else:
-        sdf.coalesce(n_files).write.mode("error").parquet(out_dir)
+        with _micros_timestamps(spark):
+            sdf.coalesce(n_files).write.mode("error").parquet(out_dir)
     new_files = sorted(
         os.path.join(rel_dir, f) for f in os.listdir(out_dir)
         if f.endswith(".parquet"))
@@ -583,7 +624,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
     writer = merged.coalesce(num_files) if num_files else merged
-    writer.write.mode("error").parquet(out_dir)
+    with _micros_timestamps(writer.sparkSession):
+        writer.write.mode("error").parquet(out_dir)
     new_files = sorted(
         os.path.join(rel_dir, f) for f in os.listdir(out_dir)
         if f.endswith(".parquet"))

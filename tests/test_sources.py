@@ -756,3 +756,34 @@ class TestSnapshotOptimize:
         assert snapshots.snapshot_read(spark, t).nrow == 12
         hist = snapshots.snapshot_history(t)
         assert [h["version"] for h in hist] == [1, 2]
+
+    def test_stats_pruning_timestamp_and_date(self, spark, tmp_path):
+        """Footer stats for timestamp/date columns round-trip through
+        the manifest's ISO encoding and prune correctly with
+        datetime/date predicate values."""
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_read, snapshot_scan_files, snapshot_write)
+        t = str(tmp_path / "tbl")
+        df = spark.range(0, 365).select(
+            F.col("id").alias("i"),
+            F.expr("timestamp'2024-01-01 00:00:00' "
+                   "+ make_interval(0,0,0,cast(id as int),0,0,0)")
+            .alias("ts"),
+            F.expr("date'2024-01-01' + cast(id as int)").alias("d"))
+        snapshot_write(df.repartitionByRange(6, "i"), t,
+                       stats_cols=["ts", "d"])
+        n_all = len(snapshot_scan_files(t))
+        assert n_all == 6
+        cut_ts = datetime.datetime(2024, 12, 1)
+        hit = snapshot_scan_files(t, where=[("ts", ">=", cut_ts)])
+        assert 0 < len(hit) < n_all
+        got = snapshot_read(spark, t, where=[("ts", ">=", cut_ts)])
+        assert got.nrow == 30           # Dec 1..30 (2024 is a
+        # leap year: ids 0..364 run Jan 1 .. Dec 30)
+        cut_d = datetime.date(2024, 2, 1)
+        hit_d = snapshot_scan_files(t, where=[("d", "<", cut_d)])
+        assert 0 < len(hit_d) < n_all
+        assert snapshot_read(spark, t,
+                             where=[("d", "<", cut_d)]).nrow == 31
