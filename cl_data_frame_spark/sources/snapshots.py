@@ -148,9 +148,21 @@ def _coerce_pred(bound, value):
     """Coerce a user predicate value to the decoded bound's type so the
     comparison is exact (numeric predicate vs DECIMAL stats is the
     common case: Decimal(str(v)) avoids any float/binary rounding).
-    Timestamp bounds come back tz-aware (parquet isAdjustedToUTC); a
-    NAIVE predicate datetime is interpreted in the bound's own zone —
-    UTC for Spark-written files under the default session timezone."""
+
+    Timestamp bounds come back tz-aware (parquet isAdjustedToUTC). A
+    NAIVE predicate datetime is localized in the DRIVER'S OS ZONE
+    (``.astimezone()`` with no argument — DST-correct per value),
+    because that is exactly how PySpark's plain (non-Arrow) converters
+    treat naive datetimes: ``TimestampType.toInternal`` turns a naive
+    literal into epoch micros via the OS zone (so the Spark-side row
+    filter built from the same value compares in OS-zone terms), and
+    ``collect()``'s ``fromInternal`` hands envelope bounds back as
+    OS-zone naive values. Localizing in any other zone (the bound's
+    UTC, or ``spark.sql.session.timeZone``) makes the prune disagree
+    with the row filter by the zone offset whenever the zones differ —
+    silently skipping files that contain matching rows. (Only the
+    Arrow path, ``toPandas``, uses the session zone; the snapshot code
+    paths use plain collect/lit.)"""
     if isinstance(bound, decimal.Decimal) \
             and isinstance(value, (int, float)):
         return decimal.Decimal(str(value))
@@ -164,7 +176,7 @@ def _coerce_pred(bound, value):
             value = datetime.datetime(value.year, value.month, value.day)
         if isinstance(value, datetime.datetime):
             if bound.tzinfo is not None and value.tzinfo is None:
-                return value.replace(tzinfo=bound.tzinfo)
+                return value.astimezone()
             if bound.tzinfo is None and value.tzinfo is not None:
                 return value.astimezone(
                     datetime.timezone.utc).replace(tzinfo=None)
@@ -219,6 +231,12 @@ def _collect_file_stats(table_dir: str, rel_files: list[str],
     for rel in rel_files:
         md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
         per: dict[str, dict] = {}
+        # one stats-less row group makes the column's FILE bounds
+        # unknowable — flag it unusable (no pruning; sound) without
+        # clobbering the accumulator, so the outcome is the same
+        # whichever row-group order the stats-less group appears in,
+        # and null counts keep folding either way.
+        unusable: set[str] = set()
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             for j in range(rg.num_columns):
@@ -227,19 +245,23 @@ def _collect_file_stats(table_dir: str, rel_files: list[str],
                 if name not in wanted:
                     continue
                 st = c.statistics
-                if st is None or not st.has_min_max:
-                    per[name] = {"min": None, "max": None}
-                    continue
                 cur = per.setdefault(
-                    name, {"min": st.min, "max": st.max, "nulls": 0})
-                if isinstance(cur["min"], dict) or cur["min"] is None:
-                    continue
-                cur["min"] = min(cur["min"], st.min)
-                cur["max"] = max(cur["max"], st.max)
-                cur["nulls"] += st.null_count or 0
-        out[rel] = {k: {"min": _enc_stat(v["min"]),
-                        "max": _enc_stat(v["max"]),
-                        "nulls": v.get("nulls", 0)}
+                    name, {"min": None, "max": None, "nulls": 0})
+                if st is None or not st.has_min_max:
+                    unusable.add(name)
+                else:
+                    if cur["min"] is None:
+                        cur["min"], cur["max"] = st.min, st.max
+                    else:
+                        cur["min"] = min(cur["min"], st.min)
+                        cur["max"] = max(cur["max"], st.max)
+                if st is not None:
+                    cur["nulls"] += st.null_count or 0
+        out[rel] = {k: {"min": (None if k in unusable
+                                else _enc_stat(v["min"])),
+                        "max": (None if k in unusable
+                                else _enc_stat(v["max"])),
+                        "nulls": v["nulls"]}
                     for k, v in per.items()}
     return out
 
@@ -276,7 +298,9 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
     hand Spark — *where* (list of ``(col, op, value)`` triples, ops
     ``== < <= > >=``) prunes via the manifest's per-file min/max stats.
     Exposed so tests and capacity planning can assert skip
-    effectiveness without running the scan."""
+    effectiveness without running the scan. Naive datetime predicate
+    values are localized in the driver's OS zone (see
+    ``_coerce_pred``)."""
     versions = _versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
@@ -594,7 +618,14 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
                             insert_unmatched=insert_unmatched)
         return snapshot_write(merged, table_dir, mode="overwrite",
                               num_files=num_files)
-    # source key envelope: one k-sized aggregate row
+    # source key envelope: one k-sized aggregate row. Collected
+    # TimestampType values come back as NAIVE datetimes in the
+    # driver's OS zone — _coerce_pred localizes them (.astimezone())
+    # before comparing against the UTC-aware parquet footer bounds
+    # (an unlocalized compare under a non-UTC OS zone shifts the
+    # envelope by the zone offset and silently mis-classifies
+    # overlapping files as untouched: missed updates + duplicate
+    # inserted keys).
     bounds = src.agg(*[f(c).alias(f"{t}_{c}")
                        for c in usable
                        for t, f in (("lo", F.min), ("hi", F.max))]) \

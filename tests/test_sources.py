@@ -787,3 +787,138 @@ class TestSnapshotOptimize:
         assert 0 < len(hit_d) < n_all
         assert snapshot_read(spark, t,
                              where=[("d", "<", cut_d)]).nrow == 31
+
+
+class TestSnapshotDriverTimezone:
+    """Regression: PySpark's plain (non-Arrow) timestamp converters
+    use the DRIVER'S OS ZONE — ``collect()`` hands back naive
+    OS-zone datetimes and a naive predicate literal is read as an
+    OS-zone value — while parquet footer bounds are UTC-aware. With
+    a non-UTC OS zone, localizing naive values in any other zone
+    shifts every stats compare by the zone offset: the prune and the
+    row filter disagree, files containing matching rows get skipped,
+    and a row-level MERGE carries the real file forward 'untouched'
+    while inserting a duplicate key."""
+
+    @staticmethod
+    def _with_os_tz(tz):
+        import contextlib
+        import os
+        import time
+
+        @contextlib.contextmanager
+        def cm():
+            prev = os.environ.get("TZ")
+            os.environ["TZ"] = tz
+            time.tzset()
+            try:
+                yield
+            finally:
+                if prev is None:
+                    os.environ.pop("TZ", None)
+                else:
+                    os.environ["TZ"] = prev
+                time.tzset()
+        return cm()
+
+    def test_merge_envelope_localized(self, spark, tmp_path):
+        """Timestamp-keyed row-level MERGE with the driver in
+        America/Los_Angeles (UTC-8 in January): the collected source
+        envelope for UTC 10:00 comes back as naive 02:00; treating
+        that as UTC routes the merge at file A [00Z,04Z] instead of
+        file B [08Z,12Z] — missed update + duplicate key."""
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_merge, snapshot_write)
+        t = str(tmp_path / "tbl")
+        with self._with_os_tz("America/Los_Angeles"):
+            # file A: 00..04Z; file B: 08..12Z (session tz is UTC)
+            df = spark.sql(
+                "SELECT timestamp'2024-01-15 00:00:00'"
+                " + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts,"
+                " 'old' AS v FROM range(0, 5) "
+                "UNION ALL "
+                "SELECT timestamp'2024-01-15 08:00:00'"
+                " + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts,"
+                " 'old' AS v FROM range(0, 5)")
+            snapshot_write(
+                df.repartitionByRange(2, "ts"), t, stats_cols=["ts"])
+            src = spark.sql(
+                "SELECT timestamp'2024-01-15 10:00:00' AS ts,"
+                " 'NEW' AS v")
+            snapshot_merge(spark, t, src, on="ts")
+        # assert OUTSIDE the tz override, rendering timestamps
+        # JVM-side (date_format, session tz) so the check itself is
+        # OS-zone independent
+        from cl_data_frame_spark.sources.snapshots import snapshot_read
+        rows = [(r.s, r.v) for r in
+                snapshot_read(spark, t).spark_df.selectExpr(
+                    "date_format(ts, 'yyyy-MM-dd HH:mm') AS s", "v")
+                .collect()]
+        assert len(rows) == 10       # a missed-envelope merge inserts
+        # a duplicate 10:00 row alongside the untouched 'old' one
+        got = dict(rows)
+        assert len(got) == 10
+        assert got["2024-01-15 10:00"] == "NEW"
+        assert got["2024-01-15 09:00"] == "old"
+        assert got["2024-01-15 02:00"] == "old"
+
+    def test_read_prune_matches_row_filter(self, spark, tmp_path):
+        """snapshot_read(where=[('ts','<',naive)]) with the driver in
+        a non-UTC zone: Spark reads the naive literal as an OS-zone
+        instant, so the prune must too — localizing it as UTC skips
+        files whose rows the filter would keep."""
+        import datetime
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_read, snapshot_write)
+        t = str(tmp_path / "tbl")
+        df = spark.sql(
+            "SELECT timestamp'2024-01-15 00:00:00'"
+            " + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts,"
+            " id AS i FROM range(0, 24)")
+        snapshot_write(
+            df.repartitionByRange(4, "ts"), t, stats_cols=["ts"])
+        with self._with_os_tz("America/Los_Angeles"):
+            cut = datetime.datetime(2024, 1, 15, 6, 0)  # 14:00Z
+            got = snapshot_read(spark, t, where=[("ts", "<", cut)])
+            assert got.nrow == 14                       # 00..13Z
+
+
+class TestFileStatsCollection:
+    def test_multi_rowgroup_fold_and_nulls(self, tmp_path):
+        """File-level bounds fold across row groups (min of mins, max
+        of maxes) and null counts accumulate."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from cl_data_frame_spark.sources.snapshots import (
+            _collect_file_stats, _dec_stat)
+        path = tmp_path / "f.parquet"
+        tab = pa.table({"k": [5, 6, 7, 1, 2, None],
+                        "v": ["a"] * 6})
+        pq.write_table(tab, path, row_group_size=3)
+        assert pq.ParquetFile(path).metadata.num_row_groups == 2
+        st = _collect_file_stats(str(tmp_path), ["f.parquet"],
+                                 ["k"])["f.parquet"]["k"]
+        assert _dec_stat(st["min"]) == 1
+        assert _dec_stat(st["max"]) == 7
+        assert st["nulls"] == 1
+
+    def test_statless_column_unusable_but_sound(self, spark, tmp_path):
+        """A column written without statistics yields min/max None
+        (never prunes — sound), while a stats-bearing sibling column
+        still prunes; null counts for the stat-less column are
+        whatever the footer offers, not a crash."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from cl_data_frame_spark.sources.snapshots import (
+            _collect_file_stats, _file_may_match)
+        path = tmp_path / "g.parquet"
+        tab = pa.table({"a": [1, 2, 3], "b": [10, 20, 30]})
+        pq.write_table(tab, path, write_statistics=["b"])
+        st = _collect_file_stats(str(tmp_path), ["g.parquet"],
+                                 ["a", "b"])["g.parquet"]
+        assert st["a"]["min"] is None and st["a"]["max"] is None
+        assert st["b"]["min"] == 10 and st["b"]["max"] == 30
+        # stat-less column never prunes; sibling still does
+        assert _file_may_match(st, [("a", ">", 100)]) is True
+        assert _file_may_match(st, [("b", ">", 100)]) is False
+        assert _file_may_match(st, [("b", ">=", 15)]) is True
