@@ -911,8 +911,13 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
     driver codegen at R = 40 — the array form compiles once.)
 
     ``by`` computes an independent interval per group (one row per
-    group). Driver state is #groups × R doubles, the
-    k-sized-model-state pattern.
+    group). The replicate fold is a SECOND Spark aggregation over the
+    #groups × R partial rows (sorted collect_list of R replicate
+    means per group — R-sized state per group, never collected to the
+    driver), so a high-cardinality ``by`` (per-domain CIs over a
+    100 TB corpus: 10M groups × 100 replicates) streams through the
+    shuffle instead of OOMing the driver. Nothing here calls
+    ``collect``; the result is a lazy frame.
 
     Output: (by cols +) (n, mean, lo, hi, n_replicates) —
     ``lo``/``hi`` the (α/2, 1−α/2) percentile bounds, rounded 6.
@@ -966,48 +971,46 @@ def poisson_bootstrap_ci(frame, col: str, id_col: str,
                .agg(F.count("__x__").alias("n"),
                     F.sum("__x__").alias("s"),
                     F.sum(F.col("rw.w") * F.col("__x__")).alias("sw"),
-                    F.sum("rw.w").alias("w"))
-               .collect())
-    # fold the R rows per group back into one record each (base n/s are
-    # identical across replicates of a group — take them from any row)
-    grouped: dict[tuple, dict] = {}
-    for row in per_rep:
-        key = tuple(row[k] for k in (by or []))
-        g = grouped.setdefault(key, {"n": row["n"], "s": row["s"],
-                                     "reps": []})
-        if row["w"]:
-            g["reps"].append(float(row["sw"]) / float(row["w"]))
-    out_rows = []
-    # an empty input frame produces zero aggregate rows ungrouped too —
-    # synthesize the single empty record so the no-by contract holds
-    if not by and not grouped:
-        grouped[()] = {"n": 0, "s": None, "reps": []}
-    for key, g in grouped.items():
-        means = sorted(g["reps"])
-        row = dict(zip(by or [], key))
-        n = int(g["n"] or 0)
-        if n == 0 or not means:
-            # empty frame / all-NULL group / every replicate zero-weight
-            # (tiny group): emit a NULL interval row rather than crash
-            out_rows.append(tuple(
-                [row[k] for k in (by or [])]
-                + [n, None, None, None, n_replicates]))
-            continue
-        lo_i = max(0, int(math.floor(alpha / 2 * len(means))))
-        hi_i = min(len(means) - 1,
-                   int(math.ceil((1 - alpha / 2) * len(means))) - 1)
-        out_rows.append(tuple(
-            [row[k] for k in (by or [])]
-            + [n, round(float(g["s"]) / n, 6),
-               round(means[lo_i], 6), round(means[hi_i], 6),
-               n_replicates]))
-    spark = sdf.sparkSession
-    by_schema = "".join(
-        f"{k} {dict(sdf.dtypes)[k]}, " for k in (by or []))
-    out = spark.createDataFrame(
-        out_rows,
-        f"{by_schema}n bigint, mean double, lo double, hi double, "
-        "n_replicates int")
+                    F.sum("rw.w").alias("w")))
+    # fold the R rows per group back into one record each — a SECOND
+    # hash aggregation, still in Spark (base n/s are identical across
+    # a group's replicates: max() reads them off any row). Replicates
+    # with zero/NULL total weight (tiny group) contribute a NULL
+    # rep_mean, which collect_list drops — mirroring the classical
+    # "skip degenerate replicate" rule.
+    rep_mean = F.when(
+        F.col("w") > 0,
+        F.col("sw").cast("double") / F.col("w").cast("double"))
+    agg = (per_rep.withColumn("__rm__", rep_mean)
+           .groupBy(*(by or []))
+           .agg(F.max("n").alias("n"),
+                F.max("s").alias("s"),
+                F.sort_array(F.collect_list("__rm__")).alias("__ms__")))
+    # an empty ungrouped input produces zero aggregate rows — LEFT-join
+    # from a one-row frame to synthesize the single empty record
+    # relationally (the grouped path correctly yields zero rows)
+    if not by:
+        agg = (sdf.sparkSession.range(1).select(F.lit(1).alias("__k__"))
+               .join(agg.withColumn("__k__", F.lit(1)), "__k__", "left")
+               .drop("__k__"))
+    cnt = F.size("__ms__")
+    # index-percentile bounds — the exact floor/ceil/clamp arithmetic
+    # the oracle SQL mirrors (see __spark_entry__'s bootstrap oracle)
+    lo_i = F.greatest(F.lit(0).cast("bigint"),
+                      F.floor(F.lit(alpha / 2) * cnt))
+    hi_i = F.least((cnt - 1).cast("bigint"),
+                   F.ceil(F.lit(1 - alpha / 2) * cnt) - 1)
+    ok = (F.coalesce(F.col("n"), F.lit(0)) > 0) & (cnt > 0)
+    out = agg.select(
+        *(by or []),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.when(ok, F.round(
+            F.col("s").cast("double") / F.col("n"), 6)).alias("mean"),
+        F.when(ok, F.round(F.element_at(
+            "__ms__", (lo_i + 1).cast("int")), 6)).alias("lo"),
+        F.when(ok, F.round(F.element_at(
+            "__ms__", (hi_i + 1).cast("int")), 6)).alias("hi"),
+        F.lit(n_replicates).cast("int").alias("n_replicates"))
     return SparkFrame(out)
 
 

@@ -747,6 +747,33 @@ def test_poisson_bootstrap_ci_per_group(spark):
     assert out["lo"]["hi"] < 12 < 98 < out["hi"]["lo"]   # disjoint CIs
 
 
+def test_poisson_bootstrap_ci_never_collects(spark, monkeypatch):
+    """The replicate fold is a second Spark aggregation — building
+    the grouped-CI frame must run NO driver collect (the #groups × R
+    driver fold would OOM on a high-cardinality ``by``). Empty-input
+    synthesis must be relational too."""
+    from pyspark.sql import DataFrame
+    from cl_data_frame_spark.operators.stats import poisson_bootstrap_ci
+
+    def boom(self):
+        raise AssertionError("driver collect() inside bootstrap build")
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "rid bigint, g string, x double")
+    grouped = poisson_bootstrap_ci(df, "x", "rid", n_replicates=8,
+                                   by=["g"])
+    ungrouped = poisson_bootstrap_ci(df, "x", "rid", n_replicates=8)
+    empty = poisson_bootstrap_ci(
+        df.filter("x < 0"), "x", "rid", n_replicates=8)
+    monkeypatch.undo()
+    rows = {r["g"]: r for r in grouped.spark_df.collect()}
+    assert set(rows) == {"a", "b"} and rows["a"]["n"] == 2
+    assert ungrouped.spark_df.first()["n"] == 3
+    er = empty.spark_df.collect()
+    assert len(er) == 1 and er[0]["n"] == 0 and er[0]["mean"] is None
+
+
 def test_psi_no_drift_is_near_zero(spark):
     from cl_data_frame_spark.operators.stats import \
         population_stability_index
