@@ -397,6 +397,72 @@ def snapshot_write_retrying(frame, table_dir: str,
         f"(pathological contention): {last}")
 
 
+def _try_rebase_publish(table_dir: str, base_version: int,
+                        replaced: set[str], new_files: list[str],
+                        new_stats: dict, operation: str,
+                        schema_json: str, keys=None, preds=None,
+                        max_attempts: int = 5) -> int | None:
+    """After losing the publish race: if every interleaved winner was
+    a pure APPEND on top of our base version (all base files still
+    live, same schema) whose ADDED files provably don't overlap our
+    operation's key envelope, the operation COMMUTES with the appends —
+    publish a rebased manifest on the new latest, reusing our
+    already-written data files (no recompute). The file stats needed
+    for the disjointness proof are already in the winner's manifest.
+
+    *keys*/*preds*: for MERGE, the merge keys and the source key
+    envelope — an added file lacking stats for any key, or whose range
+    may overlap the envelope, is a TRUE conflict (its rows could have
+    matched the source). Pass ``keys=None`` for OPTIMIZE: a compaction
+    rewrites identical rows, so ANY appended file commutes (it is
+    simply carried into the rebased version uncompacted).
+
+    Returns the published version, or None on a true conflict (caller
+    recomputes against the new latest). Retries internally when yet
+    another writer lands mid-rebase."""
+    base = _read_manifest(table_dir, base_version)
+    base_files = set(base["files"])
+    for _ in range(max_attempts):
+        latest = _versions(table_dir)[-1]
+        lm = _read_manifest(table_dir, latest)
+        if lm["schema"] != schema_json:
+            return None            # interleaved schema evolution
+        lfiles = lm["files"]
+        if not base_files <= set(lfiles):
+            return None            # winner rewrote/removed base files
+        added = [f for f in lfiles if f not in base_files]
+        lstats = lm.get("stats") or {}
+        if keys is not None:
+            for f in added:
+                st = lstats.get(f) or {}
+                if any((st.get(k) or {}).get("min") is None
+                       for k in keys):
+                    return None    # can't prove disjoint: conflict
+                if preds and _file_may_match(st, preds):
+                    return None    # may hold matching keys: conflict
+            if added and not preds:
+                return None        # no envelope to prove with
+        files = [f for f in lfiles if f not in replaced] + new_files
+        stats = {**{f: lstats[f] for f in lfiles
+                    if f not in replaced and f in lstats},
+                 **new_stats}
+        manifest = {
+            "version": latest + 1,
+            "parent": latest,
+            "operation": operation,
+            "schema": schema_json,
+            "files": files,
+        }
+        if stats:
+            manifest["stats"] = stats
+        try:
+            _publish(table_dir, manifest)
+            return latest + 1
+        except FileExistsError:
+            continue               # another racer: re-check new latest
+    return None
+
+
 def snapshot_read(spark: SparkSession, table_dir: str,
                   version: int | None = None,
                   where=None) -> SparkFrame:
@@ -443,7 +509,8 @@ def snapshot_read(spark: SparkSession, table_dir: str,
 def snapshot_optimize(spark: SparkSession, table_dir: str,
                       target_file_mb: int = 128,
                       zorder_by: Sequence[str] | None = None,
-                      num_files: int | None = None) -> int:
+                      num_files: int | None = None,
+                      max_retries: int = 5) -> int:
     """OPTIMIZE the current version: bin-pack its (typically many
     small) files into ~*target_file_mb* files and publish the result
     as a new version with identical rows — the public Delta OPTIMIZE
@@ -453,7 +520,32 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
     recollected for whatever columns the old manifest tracked, so
     data skipping keeps working across compactions. Readers pinned to
     older versions are untouched; ``vacuum`` reclaims the small files
-    once their versions age out."""
+    once their versions age out.
+
+    Losing the publish race to a concurrent APPEND doesn't abandon the
+    compaction (a nightly OPTIMIZE racing an ingest writer used to
+    lose its work): a compaction rewrites identical rows, so it
+    commutes with ANY append — the rebased manifest carries the
+    winner's new files uncompacted alongside our compacted rewrite.
+    A winner that rewrote files (merge/overwrite/another optimize)
+    forces a recompute against the new state, up to *max_retries*
+    times."""
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _optimize_once(spark, table_dir, target_file_mb,
+                                  zorder_by, num_files)
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"optimize lost the publish race {max_retries + 1} times in "
+        f"{table_dir} (pathological contention): {last}")
+
+
+def _optimize_once(spark: SparkSession, table_dir: str,
+                   target_file_mb: int,
+                   zorder_by: Sequence[str] | None,
+                   num_files: int | None) -> int:
     versions = _versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
@@ -486,11 +578,22 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
         "schema": m["schema"],
         "files": new_files,
     }
-    if stats_cols:
-        manifest["stats"] = _collect_file_stats(table_dir, new_files,
-                                                stats_cols)
-    _publish(table_dir, manifest)
-    return version
+    new_stats = (_collect_file_stats(table_dir, new_files, stats_cols)
+                 if stats_cols else {})
+    if new_stats:
+        manifest["stats"] = new_stats
+    try:
+        _publish(table_dir, manifest)
+        return version
+    except FileExistsError:
+        # compaction commutes with any append (identical rows):
+        # rebase carries the winner's new files uncompacted
+        rebased = _try_rebase_publish(
+            table_dir, versions[-1], set(m["files"]), new_files,
+            new_stats, "optimize", m["schema"], keys=None)
+        if rebased is not None:
+            return rebased
+        raise
 
 
 def snapshot_diff(spark: SparkSession, table_dir: str,
@@ -579,7 +682,8 @@ def snapshot_read_merged(spark: SparkSession, table_dir: str,
 
 def snapshot_merge(spark: SparkSession, table_dir: str, source,
                    on, update_cols=None, insert_unmatched: bool = True,
-                   num_files: int | None = None) -> int:
+                   num_files: int | None = None,
+                   max_retries: int = 5) -> int:
     """MERGE INTO a snapshot table: apply the relational MERGE rewrite
     (``relational.merge_into`` — WHEN MATCHED update / WHEN NOT MATCHED
     insert) and publish the result as a new version. Returns the new
@@ -596,12 +700,38 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
     100 TB table rewrites a handful of files instead of the table.
     Without usable stats it falls back to the whole-table rewrite
     (correct at any stats coverage, since skipping is conservative).
+
+    Losing the atomic publish race no longer abandons the computed
+    merge (the public Delta commit protocol retries): if every
+    interleaved winner was an append whose files provably can't hold
+    matching keys (disjoint stats envelopes), the already-written
+    result is REBASED onto the new latest — same data files, new
+    manifest; on a true conflict the merge recomputes against the new
+    table state, up to *max_retries* times.
     """
+    keys = [on] if isinstance(on, str) else list(on)
+    src = _plain(source)
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _merge_once(spark, table_dir, src, keys, on,
+                               update_cols, insert_unmatched, num_files)
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"merge lost the publish race {max_retries + 1} times in "
+        f"{table_dir} (pathological contention): {last}")
+
+
+def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
+                update_cols, insert_unmatched,
+                num_files: int | None) -> int:
+    """One optimistic MERGE attempt against the current latest version
+    (see ``snapshot_merge``). Raises FileExistsError only on a TRUE
+    commit conflict (commutable appends are absorbed by rebasing)."""
     from pyspark.sql.types import StructType
 
     from cl_data_frame_spark.operators.relational import merge_into
-    keys = [on] if isinstance(on, str) else list(on)
-    src = _plain(source)
     versions = _versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
@@ -664,12 +794,23 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
                          for c in (stats.get(f) or {})})
     new_stats = _collect_file_stats(table_dir, new_files, stats_cols) \
         if stats_cols else {}
-    _publish(table_dir, {
-        "version": version,
-        "parent": versions[-1],
-        "operation": "merge",
-        "schema": m["schema"],
-        "files": untouched + new_files,
-        "stats": {**{f: stats[f] for f in untouched}, **new_stats},
-    })
-    return version
+    try:
+        _publish(table_dir, {
+            "version": version,
+            "parent": versions[-1],
+            "operation": "merge",
+            "schema": m["schema"],
+            "files": untouched + new_files,
+            "stats": {**{f: stats[f] for f in untouched}, **new_stats},
+        })
+        return version
+    except FileExistsError:
+        # lost the race — absorb commutable interleaved appends by
+        # rebasing the already-written result; true conflicts
+        # propagate to snapshot_merge's recompute loop
+        rebased = _try_rebase_publish(
+            table_dir, versions[-1], set(touched), new_files,
+            new_stats, "merge", m["schema"], keys=usable, preds=preds)
+        if rebased is not None:
+            return rebased
+        raise

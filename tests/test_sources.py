@@ -922,3 +922,166 @@ class TestFileStatsCollection:
         assert _file_may_match(st, [("a", ">", 100)]) is True
         assert _file_may_match(st, [("b", ">", 100)]) is False
         assert _file_may_match(st, [("b", ">=", 15)]) is True
+
+
+class TestSnapshotCommitRetry:
+    """MERGE/OPTIMIZE losing the atomic publish race must not abandon
+    their (already computed, already written) result: commutable
+    interleaved appends are absorbed by REBASING the manifest onto the
+    new latest; true conflicts recompute against the new state. The
+    'race' is injected deterministically: the competitor lands inside
+    the victim's first _publish call."""
+
+    @staticmethod
+    def _race(monkeypatch, competitor, on_operation):
+        """Patch _publish so the FIRST publish of *on_operation* is
+        preceded by *competitor*() landing its own version."""
+        from cl_data_frame_spark.sources import snapshots
+        orig = snapshots._publish
+        fired = {"done": False}
+
+        def racing(table_dir, manifest):
+            if manifest["operation"] == on_operation \
+                    and not fired["done"]:
+                fired["done"] = True
+                competitor()
+            return orig(table_dir, manifest)
+        monkeypatch.setattr(snapshots, "_publish", racing)
+
+    @staticmethod
+    def _count(monkeypatch, name):
+        from cl_data_frame_spark.sources import snapshots
+        orig = getattr(snapshots, name)
+        calls = {"n": 0}
+
+        def counted(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+        monkeypatch.setattr(snapshots, name, counted)
+        return calls
+
+    def test_merge_vs_disjoint_append_rebases(self, spark, tmp_path,
+                                              monkeypatch):
+        """Merge racing an append with a provably-disjoint key range:
+        both land, the merge result is REBASED (no recompute) and the
+        winner's appended rows survive into the merged version."""
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        base = spark.range(0, 1000).selectExpr(
+            "id AS k", "concat('old', id) AS v")
+        snapshots.snapshot_write(base.repartitionByRange(4, "k"), t,
+                                 stats_cols=["k"])
+
+        def competitor():
+            snapshots.snapshot_write(
+                spark.range(2000, 2005).selectExpr(
+                    "id AS k", "concat('app', id) AS v"),
+                t, mode="append", stats_cols=["k"])
+        self._race(monkeypatch, competitor, "merge")
+        attempts = self._count(monkeypatch, "_merge_once")
+        v = snapshots.snapshot_merge(
+            spark, t, spark.createDataFrame(
+                [(910, "NEW910")], "k bigint, v string"), on="k")
+        assert attempts["n"] == 1          # rebased, not recomputed
+        assert v == 3                      # append took v2, rebase v3
+        hist = {h["version"]: h["operation"]
+                for h in snapshots.snapshot_history(t)}
+        assert hist == {1: "append", 2: "append", 3: "merge"}
+        got = {r.k: r.v for r in
+               snapshots.snapshot_read(spark, t).spark_df.collect()}
+        assert len(got) == 1005            # 1000 base + 5 appended
+        assert got[910] == "NEW910"        # the merge landed
+        assert got[2004] == "app2004"      # the append survived
+        # stats coverage intact for a later row-level merge
+        m3 = snapshots._read_manifest(t, 3)
+        assert set(m3["files"]) == set(m3["stats"])
+
+    def test_merge_vs_merge_recomputes(self, spark, tmp_path,
+                                       monkeypatch):
+        """Merge racing another merge that rewrote files: true
+        conflict — the loser recomputes against the winner's version;
+        both updates land, no duplicate keys."""
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        base = spark.range(0, 1000).selectExpr(
+            "id AS k", "concat('old', id) AS v")
+        snapshots.snapshot_write(base.repartitionByRange(4, "k"), t,
+                                 stats_cols=["k"])
+
+        def competitor():
+            snapshots.snapshot_merge(
+                spark, t, spark.createDataFrame(
+                    [(10, "NEW10")], "k bigint, v string"), on="k")
+        self._race(monkeypatch, competitor, "merge")
+        attempts = self._count(monkeypatch, "_merge_once")
+        v = snapshots.snapshot_merge(
+            spark, t, spark.createDataFrame(
+                [(910, "NEW910")], "k bigint, v string"), on="k")
+        # outer merge: 1 failed attempt + 1 recompute; competitor's
+        # merge also ran through the counted _merge_once
+        assert attempts["n"] == 3
+        assert v == 3
+        got = {r.k: r.v for r in
+               snapshots.snapshot_read(spark, t).spark_df.collect()}
+        assert len(got) == 1000
+        assert got[10] == "NEW10" and got[910] == "NEW910"
+        n_rows = snapshots.snapshot_read(spark, t).nrow
+        assert n_rows == 1000              # no duplicate keys
+
+    def test_merge_vs_overlapping_append_recomputes(
+            self, spark, tmp_path, monkeypatch):
+        """An interleaved append whose key range MAY overlap the merge
+        envelope is a true conflict: the merge must recompute so the
+        appended rows are visible to the rewrite."""
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(0, 100).selectExpr(
+                "id AS k", "concat('old', id) AS v")
+            .repartitionByRange(2, "k"), t, stats_cols=["k"])
+
+        def competitor():
+            snapshots.snapshot_write(
+                spark.createDataFrame([(900, "app900")],
+                                      "k bigint, v string"),
+                t, mode="append", stats_cols=["k"])
+        self._race(monkeypatch, competitor, "merge")
+        attempts = self._count(monkeypatch, "_merge_once")
+        snapshots.snapshot_merge(
+            spark, t, spark.createDataFrame(
+                [(900, "NEW900")], "k bigint, v string"), on="k")
+        assert attempts["n"] == 2          # recompute, not rebase
+        got = {r.k: r.v for r in
+               snapshots.snapshot_read(spark, t).spark_df.collect()}
+        # recompute saw the appended 900 row and UPDATED it — one row
+        assert len(got) == 101
+        assert got[900] == "NEW900"
+
+    def test_optimize_vs_append_rebases(self, spark, tmp_path,
+                                        monkeypatch):
+        """OPTIMIZE racing an ingest append: compaction commutes with
+        any append — the rebased version carries the appended file
+        uncompacted; no work lost, no rows lost."""
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+            .repartition(16), t, stats_cols=["k"])
+
+        def competitor():
+            snapshots.snapshot_write(
+                spark.range(9000, 9005).selectExpr(
+                    "id AS k", "id * 2 AS v"),
+                t, mode="append")          # even WITHOUT stats
+        self._race(monkeypatch, competitor, "optimize")
+        attempts = self._count(monkeypatch, "_optimize_once")
+        v = snapshots.snapshot_optimize(spark, t, target_file_mb=128)
+        assert attempts["n"] == 1          # rebased, not recomputed
+        m = snapshots._read_manifest(t, v)
+        assert m["operation"] == "optimize"
+        # compacted base (few files) + the appended file(s) carried
+        assert len(m["files"]) < 16 + 2
+        got = sorted(r.k for r in
+                     snapshots.snapshot_read(spark, t)
+                     .spark_df.collect())
+        assert got == list(range(2000)) + list(range(9000, 9005))
