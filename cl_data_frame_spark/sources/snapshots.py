@@ -52,6 +52,7 @@ from cl_data_frame_spark.frame import SparkFrame
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_LATEST_HINT = "_latest"
 
 
 def _plain(frame) -> DataFrame:
@@ -76,6 +77,44 @@ def _versions(table_dir: str) -> list[int]:
 def _read_manifest(table_dir: str, version: int) -> dict:
     with open(_manifest_path(table_dir, version)) as f:
         return json.load(f)
+
+
+def _write_latest_hint(table_dir: str, version: int) -> None:
+    """Best-effort O(1) latest-version pointer (the public formats'
+    ``_last_checkpoint`` idea): written AFTER a successful publish via
+    atomic ``os.replace``. Last-writer-wins is safe because the hint
+    is only ever a LOWER bound that ``_latest_version`` verifies and
+    probes forward from — a stale or regressed hint costs a few extra
+    ``stat`` calls, never a wrong answer."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    tmp = os.path.join(mdir, f".latest.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, _LATEST_HINT))
+
+
+def _latest_version(table_dir: str) -> int | None:
+    """Latest version in O(1) manifest-metadata reads: the hint file
+    plus a forward existence probe (covers a writer that crashed
+    between manifest link and hint update, and hint regression under
+    racing writers). Without the full ``os.listdir`` this stays flat
+    at one commit/minute for a year (~500k manifests) where the old
+    listing walk grew linearly. Falls back to the listing when the
+    hint is missing (pre-hint tables) or points at a vacuumed
+    version."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    try:
+        with open(os.path.join(mdir, _LATEST_HINT)) as f:
+            v = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        vs = _versions(table_dir)
+        return vs[-1] if vs else None
+    if not os.path.exists(_manifest_path(table_dir, v)):
+        vs = _versions(table_dir)    # stale hint (vacuumed version)
+        return vs[-1] if vs else None
+    while os.path.exists(_manifest_path(table_dir, v + 1)):
+        v += 1                       # hint is a verified lower bound
+    return v
 
 
 def _publish(table_dir: str, manifest: dict) -> None:
@@ -103,6 +142,7 @@ def _publish(table_dir: str, manifest: dict) -> None:
             f"re-read and retry at the next version)") from None
     finally:
         os.unlink(tmp)
+    _write_latest_hint(table_dir, manifest["version"])
 
 
 # ---------------------------------------------------------------------------
@@ -301,11 +341,12 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
     effectiveness without running the scan. Naive datetime predicate
     values are localized in the driver's OS zone (see
     ``_coerce_pred``)."""
-    versions = _versions(table_dir)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
-    m = _read_manifest(table_dir, version if version is not None
-                       else versions[-1])
+    if version is None:
+        version = _latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+    m = _read_manifest(table_dir, version)
     files = m["files"]
     if where:
         for col, op, _v in where:
@@ -336,8 +377,7 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     sdf = _plain(frame)
-    versions = _versions(table_dir)
-    parent = versions[-1] if versions else None
+    parent = _latest_version(table_dir)
     version = (parent or 0) + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
@@ -423,7 +463,7 @@ def _try_rebase_publish(table_dir: str, base_version: int,
     base = _read_manifest(table_dir, base_version)
     base_files = set(base["files"])
     for _ in range(max_attempts):
-        latest = _versions(table_dir)[-1]
+        latest = _latest_version(table_dir)
         lm = _read_manifest(table_dir, latest)
         if lm["schema"] != schema_json:
             return None            # interleaved schema evolution
@@ -478,15 +518,15 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     a 100 TB table touches only the files whose range covers the key),
     and the same predicates are applied as a row filter so the result
     is exactly the predicated snapshot regardless of stats coverage."""
-    versions = _versions(table_dir)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
     if version is None:
-        version = versions[-1]
-    if version not in versions:
+        version = _latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+    elif not os.path.exists(_manifest_path(table_dir, version)):
         raise FileNotFoundError(
             f"version {version} not in {table_dir} "
-            f"(available: {versions})")
+            f"(available: {_versions(table_dir)})")
     files = snapshot_scan_files(table_dir, version, where=where)
     if not files:  # every file pruned: empty frame with the schema
         from pyspark.sql.types import StructType
@@ -546,16 +586,16 @@ def _optimize_once(spark: SparkSession, table_dir: str,
                    target_file_mb: int,
                    zorder_by: Sequence[str] | None,
                    num_files: int | None) -> int:
-    versions = _versions(table_dir)
-    if not versions:
+    base_v = _latest_version(table_dir)
+    if base_v is None:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
-    m = _read_manifest(table_dir, versions[-1])
+    m = _read_manifest(table_dir, base_v)
     paths = [os.path.join(table_dir, f) for f in m["files"]]
     total_bytes = sum(os.path.getsize(p) for p in paths)
     n_files = num_files or max(
         1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     sdf = spark.read.parquet(*paths)
-    version = versions[-1] + 1
+    version = base_v + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
@@ -573,7 +613,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
                          for c in (m.get("stats") or {}).get(f, {})})
     manifest = {
         "version": version,
-        "parent": versions[-1],
+        "parent": base_v,
         "operation": "optimize",
         "schema": m["schema"],
         "files": new_files,
@@ -589,7 +629,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         # compaction commutes with any append (identical rows):
         # rebase carries the winner's new files uncompacted
         rebased = _try_rebase_publish(
-            table_dir, versions[-1], set(m["files"]), new_files,
+            table_dir, base_v, set(m["files"]), new_files,
             new_stats, "optimize", m["schema"], keys=None)
         if rebased is not None:
             return rebased
@@ -630,18 +670,45 @@ def snapshot_history(table_dir: str) -> list[dict]:
             for v in _versions(table_dir)]
 
 
-def snapshot_vacuum(table_dir: str, keep_last: int = 1) -> int:
-    """Drop all but the newest *keep_last* versions and delete every
-    data file no kept manifest references (including orphans from
-    crashed writes). Returns the number of files deleted. Time travel
-    to dropped versions stops working — exactly the retention trade
-    the public formats expose."""
+def snapshot_vacuum(table_dir: str, keep_last: int = 1,
+                    retain_hours: float = 168.0,
+                    force: bool = False) -> int:
+    """Drop old versions and delete every data file no surviving
+    manifest references (including orphans from crashed writes).
+    Returns the number of files deleted. Time travel to dropped
+    versions stops working — exactly the retention trade the public
+    formats expose.
+
+    **Age floor** (Delta's default-retention guard): nothing younger
+    than *retain_hours* (default 7 days, Delta's default) is deleted
+    unless ``force=True`` — a version outside the newest *keep_last*
+    is dropped only once its manifest has aged past the floor, and a
+    candidate data file is likewise spared while young. This protects
+    (a) a reader pinned to a recent version (``snapshot_read(version=
+    v)``) whose files a concurrent ``vacuum(keep_last=1)`` would
+    otherwise delete mid-scan, and (b) an in-flight writer's data
+    files, which land BEFORE its manifest publishes and would look
+    like orphans to an agefloor-less vacuum. ``force=True`` is the
+    documented I-know-nothing-is-reading-this override (tests,
+    teardown of abandoned tables)."""
+    import time
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if retain_hours < 0:
+        raise ValueError("retain_hours must be >= 0")
+    cutoff = time.time() - retain_hours * 3600.0
+
+    def _old_enough(path: str) -> bool:
+        return force or os.path.getmtime(path) <= cutoff
+
     versions = _versions(table_dir)
     keep = set(versions[-keep_last:])
+    # versions outside the keep window survive while young (age floor)
+    surviving = [v for v in versions
+                 if v in keep or not _old_enough(_manifest_path(
+                     table_dir, v))]
     referenced: set[str] = set()
-    for v in keep:
+    for v in surviving:
         referenced.update(_read_manifest(table_dir, v)["files"])
     deleted = 0
     ddir = os.path.join(table_dir, _DATA_DIR)
@@ -649,13 +716,14 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1) -> int:
         for name in names:
             full = os.path.join(root, name)
             rel = os.path.relpath(full, table_dir)
-            if rel not in referenced and name.endswith(".parquet"):
+            if rel not in referenced and name.endswith(".parquet") \
+                    and _old_enough(full):
                 os.remove(full)
                 deleted += 1
         if not os.listdir(root):
             os.rmdir(root)
     for v in versions:
-        if v not in keep:
+        if v not in surviving:
             os.remove(_manifest_path(table_dir, v))
     return deleted
 
@@ -669,11 +737,11 @@ def snapshot_read_merged(spark: SparkSession, table_dir: str,
     formats guarantee. Column REMOVALS/renames are an overwrite, not an
     append (the manifest keeps each version's own schema JSON for
     audits)."""
-    versions = _versions(table_dir)
-    if not versions:
-        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
     if version is None:
-        version = versions[-1]
+        version = _latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
     m = _read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, f) for f in m["files"]]
     return SparkFrame(
@@ -732,10 +800,10 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
     from pyspark.sql.types import StructType
 
     from cl_data_frame_spark.operators.relational import merge_into
-    versions = _versions(table_dir)
-    if not versions:
+    base_v = _latest_version(table_dir)
+    if base_v is None:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
-    m = _read_manifest(table_dir, versions[-1])
+    m = _read_manifest(table_dir, base_v)
     stats = m.get("stats") or {}
     # key columns whose stats EVERY live file carries (partial coverage
     # would make skipped-vs-kept asymmetric; fall back instead)
@@ -780,7 +848,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         .select(*[f.name for f in schema.fields])
     # publish: untouched files carried over verbatim (stats included),
     # rewritten rows land in a fresh data dir with fresh stats
-    version = versions[-1] + 1
+    version = base_v + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
@@ -797,7 +865,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
     try:
         _publish(table_dir, {
             "version": version,
-            "parent": versions[-1],
+            "parent": base_v,
             "operation": "merge",
             "schema": m["schema"],
             "files": untouched + new_files,
@@ -809,7 +877,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         # rebasing the already-written result; true conflicts
         # propagate to snapshot_merge's recompute loop
         rebased = _try_rebase_publish(
-            table_dir, versions[-1], set(touched), new_files,
+            table_dir, base_v, set(touched), new_files,
             new_stats, "merge", m["schema"], keys=usable, preds=preds)
         if rebased is not None:
             return rebased
