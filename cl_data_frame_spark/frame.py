@@ -599,12 +599,26 @@ class SparkFrame:
             pos = spec if spec >= 0 else self.nrow + spec
             return F.col(_POS) == pos
         if isinstance(spec, (slice, range)):
+            # arithmetic predicate, NOT a materialized isin list — a
+            # slice(0, 10_000_000) would otherwise compile a 10M-literal
+            # expression (driver memory + plan-size blowup); three
+            # comparisons cover any start/stop/step (mirrors the
+            # read-side _positions_df range compilation)
             if isinstance(spec, slice):
                 start, stop, step = spec.indices(self.nrow)
-                positions = list(range(start, stop, step))
             else:
-                positions = list(spec)
-            return F.col(_POS).isin(positions) if positions else F.lit(False)
+                start, stop, step = spec.start, spec.stop, spec.step
+            if len(range(start, stop, step)) == 0:
+                return F.lit(False)
+            pos = F.col(_POS)
+            if step > 0:
+                pred = (pos >= start) & (pos < stop)
+                if step != 1:
+                    pred &= (pos - start) % step == 0
+            else:
+                pred = (pos <= start) & (pos > stop) \
+                    & ((start - pos) % (-step) == 0)
+            return pred
         seq = list(spec)
         if seq and all(isinstance(x, bool) for x in seq):
             if len(seq) != self.nrow:

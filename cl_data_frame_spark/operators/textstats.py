@@ -328,8 +328,15 @@ def tfidf_cosine_pairs(frame, id_col: str = "doc_id",
     """
     w = _plain(tf_idf(frame, id_col, text_col, min_df=min_df))
     if max_df_frac is not None:
-        n_docs = _plain(frame).count()
-        w = w.filter(F.col("df") <= max_df_frac * n_docs)
+        # lazy scalar via broadcast crossJoin (same pattern tf_idf
+        # uses for its idf N) — the old eager frame.count() here was
+        # a separate full scan per call, one wasted 100 TB pass
+        n_docs = _plain(frame).select(
+            F.count(F.lit(1)).alias("__nd__"))
+        w = (w.crossJoin(F.broadcast(n_docs))
+             .filter(F.col("df")
+                     <= F.lit(max_df_frac) * F.col("__nd__"))
+             .drop("__nd__"))
     w = w.select(F.col(id_col).alias("__id__"), "term",
                  F.col("tfidf").alias("__w__"))
     # weights feed the pair join twice and the norm aggregation

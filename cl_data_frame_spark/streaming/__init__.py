@@ -68,11 +68,21 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("total", T.DoubleType()),
 ])
 
-_OUTPUT_SCHEMA = T.StructType([
-    T.StructField("user_id", T.LongType()),
+def _keyed_output_schema(sdf: DataFrame, key_col: str,
+                         tail: list) -> T.StructType:
+    """Output StructType for a keyed stateful operator: the key field
+    under its REAL name and input type (not a hardcoded user_id/long —
+    a string key would otherwise fail at runtime with an Arrow schema
+    mismatch, and a renamed key silently emitted as user_id)."""
+    return T.StructType(
+        [T.StructField(key_col, sdf.schema[key_col].dataType)]
+        + list(tail))
+
+
+_TOTALS_TAIL = [
     T.StructField("count", T.LongType()),
     T.StructField("total", T.DoubleType()),
-])
+]
 
 
 def running_user_totals(sdf: DataFrame, user_col: str = "user_id",
@@ -91,14 +101,15 @@ def running_user_totals(sdf: DataFrame, user_col: str = "user_id",
             count += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((count, total))
-        yield pd.DataFrame({"user_id": [user], "count": [count],
+        yield pd.DataFrame({user_col: [user], "count": [count],
                             "total": [total]})
 
     return (sdf.select(user_col, value_col)
             .groupBy(user_col)
             .applyInPandasWithState(
                 _update,
-                outputStructType=_OUTPUT_SCHEMA,
+                outputStructType=_keyed_output_schema(
+                    sdf, user_col, _TOTALS_TAIL),
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
@@ -111,13 +122,12 @@ _HOLT_STATE_SCHEMA = T.StructType([
     T.StructField("trend", T.DoubleType()),
 ])
 
-_HOLT_OUTPUT_SCHEMA = T.StructType([
-    T.StructField("user_id", T.LongType()),
+_HOLT_TAIL = [
     T.StructField("n", T.LongType()),
     T.StructField("level", T.DoubleType()),
     T.StructField("trend", T.DoubleType()),
     T.StructField("forecast", T.DoubleType()),
-])
+]
 
 
 def streaming_holt(sdf: DataFrame, key_col: str = "user_id",
@@ -170,7 +180,7 @@ def streaming_holt(sdf: DataFrame, key_col: str = "user_id",
         state.update((n, y1, lev, tr))
         if n >= 2:
             yield pd.DataFrame({
-                "user_id": [k], "n": [n], "level": [lev],
+                key_col: [k], "n": [n], "level": [lev],
                 "trend": [tr], "forecast": [lev + fh * tr]})
 
     cols = [key_col, value_col] + ocols
@@ -178,7 +188,8 @@ def streaming_holt(sdf: DataFrame, key_col: str = "user_id",
             .groupBy(key_col)
             .applyInPandasWithState(
                 _update,
-                outputStructType=_HOLT_OUTPUT_SCHEMA,
+                outputStructType=_keyed_output_schema(
+                    sdf, key_col, _HOLT_TAIL),
                 stateStructType=_HOLT_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
@@ -192,13 +203,12 @@ _CUSUM_STATE_SCHEMA = T.StructType([
     T.StructField("max_s_minus", T.DoubleType()),
 ])
 
-_CUSUM_OUTPUT_SCHEMA = T.StructType([
-    T.StructField("user_id", T.LongType()),
+_CUSUM_TAIL = [
     T.StructField("n", T.LongType()),
     T.StructField("max_s_plus", T.DoubleType()),
     T.StructField("max_s_minus", T.DoubleType()),
     T.StructField("alarm", T.BooleanType()),
-])
+]
 
 
 def streaming_cusum(sdf: DataFrame, mu: float, sigma: float,
@@ -239,7 +249,7 @@ def streaming_cusum(sdf: DataFrame, mu: float, sigma: float,
         state.update((n, sp, sm, msp, msm))
         if n >= 1:
             yield pd.DataFrame({
-                "user_id": [k], "n": [n], "max_s_plus": [msp],
+                key_col: [k], "n": [n], "max_s_plus": [msp],
                 "max_s_minus": [msm],
                 "alarm": [msp > limit or msm > limit]})
 
@@ -248,7 +258,8 @@ def streaming_cusum(sdf: DataFrame, mu: float, sigma: float,
             .groupBy(key_col)
             .applyInPandasWithState(
                 _update,
-                outputStructType=_CUSUM_OUTPUT_SCHEMA,
+                outputStructType=_keyed_output_schema(
+                    sdf, key_col, _CUSUM_TAIL),
                 stateStructType=_CUSUM_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -572,3 +572,24 @@ def test_normalize_text_unicode_forms(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert {r.id: r.text_norm for r in expr.spark_df.collect()}[1] \
         == "café deluxe"
+
+
+def test_tfidf_cosine_pairs_max_df_is_lazy(spark, monkeypatch):
+    """The max_df_frac doc-count must fold into the lazy plan (a
+    broadcast scalar), not run an eager frame.count() — that was a
+    separate full corpus scan per call."""
+    from pyspark.sql import DataFrame
+    from cl_data_frame_spark.operators import textstats as TS
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a x y"), (4, "a z w")],
+        "doc_id bigint, text string")
+
+    def boom(self):
+        raise AssertionError("eager count() in tfidf_cosine_pairs")
+    monkeypatch.setattr(DataFrame, "count", boom)
+    fr = TS.tfidf_cosine_pairs(df, threshold=0.0, max_df_frac=0.8)
+    monkeypatch.undo()
+    got = {(r.id_a, r.id_b) for r in fr.spark_df.collect()}
+    # 'a' (df=4 > 0.8*4) is excluded; 'b' still pairs docs 1-2
+    assert (1, 2) in got
+    assert all(p[0] < p[1] for p in got)

@@ -554,3 +554,27 @@ class TestSetSlice:
             g.set_slice(ALL, ["a"], {"nope": 1})
         with pytest.raises(ColumnLengthMismatch):
             g.set_slice([True, False], "a", 1)
+
+
+def test_set_slice_range_is_arithmetic_not_literal_list(spark):
+    """A huge slice/range row spec must compile to range comparisons,
+    not a 10M-literal isin (driver memory / plan-size blowup)."""
+    import time
+    from cl_data_frame_spark.frame import SparkFrame
+    fr = SparkFrame(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, x double"))
+    t0 = time.time()
+    out = fr.set_slice(range(0, 10_000_000), ["x"], 99.0)
+    build_s = time.time() - t0           # plan build, pre-action
+    assert build_s < 5.0
+    assert [r.x for r in
+            out.spark_df.orderBy("k").collect()] == [99.0] * 10
+    # step and negative-step variants stay correct under the
+    # arithmetic form
+    out3 = fr.set_slice(slice(1, 8, 3), ["x"], -1.0)
+    got3 = [r.x for r in out3.spark_df.orderBy("k").collect()]
+    assert [i for i, v in enumerate(got3) if v == -1.0] == [1, 4, 7]
+    outn = fr.set_slice(slice(None, None, -2), ["x"], -2.0)
+    gotn = [r.x for r in outn.spark_df.orderBy("k").collect()]
+    assert [i for i, v in enumerate(gotn) if v == -2.0] == \
+        [1, 3, 5, 7, 9]

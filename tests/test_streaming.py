@@ -466,3 +466,36 @@ def test_streaming_cusum_matches_batch_with_its_moments(
             sm = max(0.0, sm + (stable_mu - y - slack))
             msp, msm = max(msp, sp), max(msm, sm)
         assert got[k].max_s_plus == msp and got[k].max_s_minus == msm
+
+
+def test_stateful_operators_respect_key_name_and_type(spark, tmp_path):
+    """streaming_holt with a non-default, non-long key (string) must
+    emit the key under its real name and type — the schema used to
+    hardcode user_id/long, failing string keys at runtime."""
+    from cl_data_frame_spark.streaming import (
+        run_stream_to_memory, streaming_cusum, streaming_holt)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", i, float(i)) for i in range(6)]
+        + [("b", i, 10.0 + i) for i in range(6)],
+        "host string, seq int, value double") \
+        .coalesce(1).write.json(src)
+    stream = (spark.readStream.schema("host string, seq int, "
+                                      "value double").json(src))
+    run_stream_to_memory(
+        streaming_holt(stream, key_col="host", value_col="value",
+                       order_cols=["seq"]),
+        "holt_strkey", min_rows=2)
+    out = spark.table("holt_strkey")
+    assert set(out.columns) == {"host", "n", "level", "trend",
+                                "forecast"}
+    got = {r.host: r for r in out.collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"].n == 6
+    run_stream_to_memory(
+        streaming_cusum(stream, mu=5.0, sigma=2.0, key_col="host",
+                        value_col="value", order_cols=["seq"]),
+        "cusum_strkey", min_rows=2)
+    out2 = spark.table("cusum_strkey")
+    assert "host" in out2.columns
+    assert {r.host for r in out2.collect()} == {"a", "b"}

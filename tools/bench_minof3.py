@@ -22,14 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_samples = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--samples"):
-            n_samples = int(a.split("=", 1)[1])
-    if not args:
-        print("usage: bench_minof3.py entry [entry ...]", file=sys.stderr)
-        sys.exit(2)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="min-of-N re-measurement of named bench entries")
+    ap.add_argument("entries", nargs="+", metavar="entry")
+    ap.add_argument("--samples", type=int, default=3)
+    ns = ap.parse_args()
+    args, n_samples = ns.entries, ns.samples
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
