@@ -329,10 +329,45 @@ def ngram_jaccard_pairs(frame, id_col: str = "doc_id", text_col: str = "text",
     return SparkFrame(out)
 
 
+def ngram_order_profile(frame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        carry_cols: list[str] | None = None):
+    """The shared SUBSTRATE of the prefix-filtered set-similarity
+    family: per-document word-n-gram hashed-token arrays sorted by
+    GLOBAL rarest-first (document-frequency, hash) order — stages 1-3
+    of ``ngram_jaccard_pairs_prefix``. Build once, ``persist``, and
+    feed every same-(n, corpus) similarity query through ``profile=``:
+    the tokenize + hash + df-aggregate + sort-agg pipeline (the bulk
+    of the wall) runs once instead of per query. *carry_cols* rides
+    block/metadata columns along so blocked and global queries can
+    share ONE profile. Returns a plain DataFrame
+    (id_col, *carry_cols, __toks__)."""
+    ccols = list(carry_cols or [])
+    base = ensure_min_partitions(_plain(frame).select(id_col, *ccols,
+                                                      text_col))
+    ng = base.select(
+        id_col, *ccols,
+        F.array_distinct(F.transform(word_ngrams(text_col, n),
+                                     lambda g: F.xxhash64(g)))
+        .alias("__ng__"))
+    tok = ng.select(id_col, *ccols, F.explode("__ng__").alias("__t__"))
+    dfreq = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__df__"))
+    # rarest-first order: sort per-doc tokens by (df, hash)
+    return (tok.join(dfreq, on="__t__")
+            .groupBy(id_col, *ccols)
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("__df__"), F.col("__t__"))))
+                .alias("__o__"))
+            .select(id_col, *ccols,
+                    F.transform("__o__", lambda s: s["__t__"])
+                    .alias("__toks__")))
+
+
 def ngram_jaccard_pairs_prefix(frame, id_col: str = "doc_id",
                                text_col: str = "text", n: int = 3,
                                threshold: float = 0.5,
-                               block_col: str | None = None) -> SparkFrame:
+                               block_col: str | None = None,
+                               profile=None) -> SparkFrame:
     """EXACT global set-similarity join (word n-gram Jaccard >= threshold)
     without blocking and without the O(n²) pair join — the AllPairs /
     PPJoin prefix-filtering scheme (Bayardo et al., WWW'07; public
@@ -358,27 +393,23 @@ def ngram_jaccard_pairs_prefix(frame, id_col: str = "doc_id",
     pairs form — output identical to a blocked all-pairs verify, with
     the prefix filter's near-linear candidate count. The df ordering
     stays global (valid for any global order; one aggregate).
+
+    ``profile``: a precomputed (persisted) ``ngram_order_profile`` of
+    the same corpus and *n* — lets a query suite amortize the
+    tokenize/hash/df-sort substrate across blocked, global, and
+    containment queries instead of rebuilding it per call. Must carry
+    *block_col* when one is used here.
     """
     bcols = [block_col] if block_col else []
-    base = ensure_min_partitions(_plain(frame).select(id_col, *bcols,
-                                                      text_col))
-    ng = base.select(
-        id_col, *bcols,
-        F.array_distinct(F.transform(word_ngrams(text_col, n),
-                                     lambda g: F.xxhash64(g))).alias("__ng__"))
-    tok = ng.select(id_col, *bcols, F.explode("__ng__").alias("__t__"))
-    dfreq = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__df__"))
-    # rarest-first order: sort per-doc tokens by (df, hash)
-    ordered = (tok.join(dfreq, on="__t__")
-               .groupBy(id_col, *bcols)
-               .agg(F.array_sort(F.collect_list(
-                   F.struct(F.col("__df__"), F.col("__t__")))).alias("__o__"))
-               .select(id_col, *bcols,
-                       F.transform("__o__", lambda s: s["__t__"])
-                       .alias("__toks__")))
-    # the ordered-token table feeds three plan branches (prefix explode +
-    # two verify joins); persist so the shingle+df-sort pipeline runs once
-    ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
+    if profile is not None:
+        ordered = _plain(profile).select(id_col, *bcols, "__toks__")
+    else:
+        ordered = ngram_order_profile(frame, id_col, text_col, n,
+                                      carry_cols=bcols)
+        # the ordered-token table feeds three plan branches (prefix
+        # explode + two verify joins); persist so the shingle+df-sort
+        # pipeline runs once
+        ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
     plen = (F.size("__toks__")
             - F.ceil(F.size("__toks__") * F.lit(threshold)).cast("int")
             + F.lit(1))

@@ -403,3 +403,31 @@ def test_fellegi_sunter_pairs_weights_and_blocking(spark):
     import pytest
     with pytest.raises(ValueError, match="0 < u < m < 1"):
         fellegi_sunter_pairs(df, "id", "blk", {"name": (0.05, 0.95)})
+
+
+def test_ngram_profile_reuse_matches_fresh_build(spark):
+    """A shared ngram_order_profile must produce byte-identical pairs
+    through ngram_jaccard_pairs_prefix for both the blocked and the
+    global form — the substrate-sharing contract the bench composite
+    relies on."""
+    from cl_data_frame_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix, ngram_order_profile)
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat today fine"),
+         (2, "en", "the cat sat on the mat today okay"),
+         (3, "de", "der hund lief durch den park heute"),
+         (4, "de", "der hund lief durch den park gestern"),
+         (5, "en", "completely different text with no overlap here")],
+        "doc_id bigint, lang string, text string")
+    prof = ngram_order_profile(docs, n=2, carry_cols=["lang"]).persist()
+    try:
+        for bc in ("lang", None):
+            fresh = sorted(map(tuple, ngram_jaccard_pairs_prefix(
+                docs, n=2, threshold=0.3, block_col=bc)
+                .spark_df.collect()))
+            shared = sorted(map(tuple, ngram_jaccard_pairs_prefix(
+                docs, n=2, threshold=0.3, block_col=bc, profile=prof)
+                .spark_df.collect()))
+            assert fresh == shared and len(fresh) >= 2
+    finally:
+        prof.unpersist()
