@@ -3074,6 +3074,15 @@ def q_s_stats(spark, sf_dir):
     # value independently (round 8, measured ~1.4s of the entry) — the
     # combined prob array shares one buffer and is sliced apart below
     all_probs = probs + [0.05, 0.95]
+    # kappa rater cells ride the same aggregation: 9 indicator sums
+    # of (l_quantity%3, l_partkey%3) — the kappa part then needs ZERO
+    # additional scans (round 9: it previously re-aggregated lineitem,
+    # up to 3x through its unshared cell branches)
+    kp_cells = [
+        F.sum(F.when(((F.col("l_quantity") % 3).cast("int") == i)
+                     & ((F.col("l_partkey") % 3).cast("int") == j), 1)
+              .otherwise(0)).cast("long").alias(f"kp_{i}_{j}")
+        for i in range(3) for j in range(3)]
     mega = (li.groupBy("l_returnflag")
             .agg(F.percentile(F.col("l_extendedprice"),
                               F.array(*[F.lit(p) for p in all_probs]))
@@ -3082,7 +3091,8 @@ def q_s_stats(spark, sf_dir):
                  F.sum(F.when(F.col("l_linestatus") == "F", 1)
                        .otherwise(0)).cast("long").alias("n_F"),
                  F.sum(F.when(F.col("l_linestatus") == "O", 1)
-                       .otherwise(0)).cast("long").alias("n_O"))
+                       .otherwise(0)).cast("long").alias("n_O"),
+                 *kp_cells)
             .withColumn("__p__", F.slice("__pall__", 1, len(probs)))
             .withColumn("__pw__", F.slice("__pall__", len(probs) + 1, 2))
             .localCheckpoint(eager=False))
@@ -3235,10 +3245,17 @@ def q_s_stats(spark, sf_dir):
               F.col("eta_sq").cast("double").alias("d2"),
               _DNULL().alias("d3"), _DNULL().alias("d4"))
     # Cohen's kappa between two deterministic pseudo-raters (mod-3
-    # labels of two uncorrelated columns -> chance-level agreement)
-    raters = li.select((F.col("l_quantity") % 3).cast("int").alias("ra"),
-                       (F.col("l_partkey") % 3).cast("int").alias("rb"))
-    kp = STAT.cohens_kappa(raters, "ra", "rb").spark_df
+    # labels of two uncorrelated columns -> chance-level agreement);
+    # the 9 contingency cells come FREE from the shared mega sums
+    kcells = (mega.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("ra"), F.lit(j).alias("rb"),
+                 F.col(f"kp_{i}_{j}").alias("__v__"))
+        for i in range(3) for j in range(3)])).alias("c"))
+        .groupBy(F.col("c.ra").alias("ra"), F.col("c.rb").alias("rb"))
+        .agg(F.sum("c.__v__").alias("n_obs"))
+        .localCheckpoint(eager=False))
+    kp = STAT.cohens_kappa(rater_a="ra", rater_b="rb",
+                           cells=kcells).spark_df
     kpt = _tag(kp, "kappa",
                F.lit("qty%3~partkey%3").alias("s1"),
                F.col("n").cast("bigint").alias("i1"),
@@ -3247,8 +3264,13 @@ def q_s_stats(spark, sf_dir):
                F.col("p_obs").cast("double").alias("d2"),
                F.col("p_exp").cast("double").alias("d3"),
                _DNULL().alias("d4"))
-    # Cramér's V association strength for returnflag x linestatus
-    cv = STAT.cramers_v(li, "l_returnflag", "l_linestatus", exact=True).spark_df
+    # Cramér's V association strength for returnflag x linestatus —
+    # its contingency table IS the chisq `cells` already derived from
+    # the mega sums (l_linestatus is two-valued F/O): zero extra scans
+    ccells = cells.select("l_returnflag", "l_linestatus",
+                          F.col("n_obs")).localCheckpoint(eager=False)
+    cv = STAT.cramers_v(row_col="l_returnflag", col_col="l_linestatus",
+                        cells=ccells).spark_df
     cvt = _tag(cv, "cramer",
                F.lit("l_returnflag~l_linestatus").alias("s1"),
                F.col("n").cast("bigint").alias("i1"),

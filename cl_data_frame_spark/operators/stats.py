@@ -392,7 +392,8 @@ def cramers_v(frame=None, row_col: str = None, col_col: str = None,
     return SparkFrame(out)
 
 
-def cohens_kappa(frame, rater_a: str, rater_b: str) -> SparkFrame:
+def cohens_kappa(frame=None, rater_a: str = None, rater_b: str = None,
+                 cells=None) -> SparkFrame:
     """Cohen's κ inter-rater agreement between two categorical label
     columns — the label-quality screen for any human- or model-labeled
     training set (raw percent agreement rewards majority-class spam;
@@ -410,11 +411,24 @@ def cohens_kappa(frame, rater_a: str, rater_b: str) -> SparkFrame:
     Output: one row (n, p_obs, p_exp, kappa), rounded 6. Perfect
     agreement → 1; chance-level → 0; systematic disagreement < 0;
     degenerate p_e = 1 (both raters constant and equal) → NULL.
+
+    ``cells``: precomputed contingency cells (*rater_a*, *rater_b*,
+    ``n_obs``) — the ``cramers_v``/``chisq_cells`` sharing hook, for
+    when the cells fall out of an aggregation the caller already runs
+    (zero scans of the base data here). The tiny cell table feeds
+    three plan branches (marginals × 2 + diagonal); callers passing
+    ``cells`` should hand in a persisted/checkpointed frame.
     """
-    sdf = _plain(frame)
-    cells = (sdf.groupBy(F.col(rater_a).alias("__a__"),
-                         F.col(rater_b).alias("__b__"))
-             .agg(F.count(F.lit(1)).alias("__c__")))
+    if cells is not None:
+        cells = _plain(cells).select(
+            F.col(rater_a).alias("__a__"),
+            F.col(rater_b).alias("__b__"),
+            F.col("n_obs").alias("__c__"))
+    else:
+        sdf = _plain(frame)
+        cells = (sdf.groupBy(F.col(rater_a).alias("__a__"),
+                             F.col(rater_b).alias("__b__"))
+                 .agg(F.count(F.lit(1)).alias("__c__")))
     ra = (cells.groupBy("__a__").agg(F.sum("__c__").alias("__ra__"))
           .select(F.col("__a__").alias("__k__"), "__ra__"))
     rb = (cells.groupBy("__b__").agg(F.sum("__c__").alias("__rb__"))
