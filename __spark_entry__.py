@@ -1670,6 +1670,43 @@ def q_st_dedup_only(spark, sf_dir):
                  .alias("sum_value")))
 
 
+def q_st_snapsink_only(spark, sf_dir):
+    """Streaming -> snapshot-table sink with exactly-once replay: the
+    events file streamed through ``write_stream_to_snapshot``, then
+    the LAST batch replayed directly against the sink (Spark's
+    at-least-once foreachBatch contract after a crash) — the txn
+    watermark must swallow the replay, so the final snapshot aggregate
+    equals the plain batch aggregate over the single copy (the oracle;
+    a duplicated batch would double its rows and hash-mismatch)."""
+    import os
+    import tempfile
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base = tempfile.mkdtemp(prefix="cdf_snapsink_")
+    t, ckpt = os.path.join(base, "tbl"), os.path.join(base, "ckpt")
+    raw = ST.read_stream_parquet(spark, sf_dir, schema,
+                                 glob="events.parquet")
+    sel = raw.select("event_id", "event_type", "value")
+    q = ST.write_stream_to_snapshot(sel, t, ckpt, app_id="snapsink")
+    q.processAllAvailable()
+    q.stop()
+    # crash-replay simulation: re-offer the whole source as the same
+    # batch id the query just committed (foreachBatch replays the last
+    # uncommitted batch with ITS id; re-sending an already-committed
+    # id is the idempotence contract under test)
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_txn_version)
+    sink = ST.snapshot_stream_sink(t, app_id="snapsink")
+    last_bid = snapshot_txn_version(t, "snapsink")
+    sink(spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("event_id", "event_type", "value"), last_bid)
+    return (snapshot_read(spark, t).spark_df
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_value")))
+
+
 def q_st_dedup(spark, sf_dir):
     """Streaming dedup over an at-least-once stream: the events file read
     as TWO unioned file-source streams (every record delivered twice),
@@ -1692,7 +1729,11 @@ def q_st_dedup(spark, sf_dir):
              F.col("n_name").alias("s1"), _BNULL().alias("i1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_value").cast("double").alias("sum_value"))
-    return a.unionByName(b).unionByName(c)
+    d = _tag(q_st_snapsink_only(spark, sf_dir), "snapsink",
+             F.col("event_type").alias("s1"), _BNULL().alias("i1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_value").cast("double").alias("sum_value"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 # ===========================================================================
@@ -3746,6 +3787,7 @@ def query_parts() -> dict[str, dict[str, Callable]]:
         "dedup": q_st_dedup_only,
         "ss_join": q_st_ss_join,
         "static_join": q_st_static_join,
+        "snapsink": q_st_snapsink_only,
     }
     out["st_stateful"] = {
         "totals": q_st_totals_only,
@@ -6815,6 +6857,15 @@ _ORACLES["st_dedup"] = _union(
         FROM events e JOIN nation ON e.user_id % 25 = n_nationkey
         GROUP BY n_name""",
           "n_name AS s1, NULL::BIGINT AS i1, n::BIGINT AS n, "
+          "sum_value::DOUBLE AS sum_value"),
+    # snapsink: stream -> snapshot table with a replayed last batch;
+    # exactly-once means the final table is ONE copy of events (a
+    # swallowed replay; a duplicate batch would double n/sum here)
+    _wrap("snapsink", """
+        SELECT event_type, count(*)::BIGINT AS n,
+               (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+        FROM events GROUP BY event_type""",
+          "event_type AS s1, NULL::BIGINT AS i1, n::BIGINT AS n, "
           "sum_value::DOUBLE AS sum_value"))
 
 

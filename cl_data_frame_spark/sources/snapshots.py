@@ -360,7 +360,8 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
 
 def snapshot_write(frame, table_dir: str, mode: str = "append",
                    num_files: int | None = None,
-                   stats_cols: Sequence[str] | None = None) -> int:
+                   stats_cols: Sequence[str] | None = None,
+                   txn: tuple[str, int] | None = None) -> int:
     """Publish a new table version; returns the version number.
 
     ``mode='append'`` adds this DataFrame's rows to the current
@@ -373,6 +374,14 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     files against them before the scan — the public Delta/Iceberg
     data-skipping model. Appends inherit the parent's stats for the
     files they carry forward.
+
+    ``txn=(app_id, txn_version)`` records an idempotent-writer
+    watermark in the manifest (Delta's ``txnAppId``/``txnVersion``
+    protocol): every publish carries the parent's ``txn`` map forward,
+    so ``snapshot_txn_version(table_dir, app_id)`` answers "which was
+    the last transaction this writer committed?" from the latest
+    manifest alone — the exactly-once hook the streaming snapshot
+    sink replays against.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
@@ -404,6 +413,12 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     }
     if stats:
         manifest["stats"] = stats
+    txns = dict(_read_manifest(table_dir, parent).get("txn") or {}) \
+        if parent is not None else {}
+    if txn is not None:
+        txns[txn[0]] = int(txn[1])
+    if txns:
+        manifest["txn"] = txns
     _publish(table_dir, manifest)
     return version
 
@@ -412,7 +427,8 @@ def snapshot_write_retrying(frame, table_dir: str,
                             mode: str = "append",
                             num_files: int | None = None,
                             stats_cols: Sequence[str] | None = None,
-                            max_retries: int = 5) -> int:
+                            max_retries: int = 5,
+                            txn: tuple[str, int] | None = None) -> int:
     """``snapshot_write`` with the standard optimistic-concurrency
     retry loop: a writer that loses the atomic publish race re-reads
     the version listing and retries at the next number. Each attempt
@@ -429,7 +445,7 @@ def snapshot_write_retrying(frame, table_dir: str,
         try:
             return snapshot_write(frame, table_dir, mode=mode,
                                   num_files=num_files,
-                                  stats_cols=stats_cols)
+                                  stats_cols=stats_cols, txn=txn)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -495,12 +511,28 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         }
         if stats:
             manifest["stats"] = stats
+        if lm.get("txn"):
+            manifest["txn"] = lm["txn"]
         try:
             _publish(table_dir, manifest)
             return latest + 1
         except FileExistsError:
             continue               # another racer: re-check new latest
     return None
+
+
+def snapshot_txn_version(table_dir: str, app_id: str) -> int | None:
+    """The last transaction version writer *app_id* committed to this
+    table, or None — read from the LATEST manifest's carried-forward
+    ``txn`` map (O(1); Delta's ``txnAppId``/``txnVersion`` idempotence
+    protocol). An idempotent writer (the streaming snapshot sink)
+    checks this before publishing a replayed batch."""
+    latest = _latest_version(table_dir)
+    if latest is None:
+        return None
+    txns = _read_manifest(table_dir, latest).get("txn") or {}
+    v = txns.get(app_id)
+    return int(v) if v is not None else None
 
 
 def snapshot_read(spark: SparkSession, table_dir: str,
@@ -618,6 +650,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         "schema": m["schema"],
         "files": new_files,
     }
+    if m.get("txn"):
+        manifest["txn"] = m["txn"]
     new_stats = (_collect_file_stats(table_dir, new_files, stats_cols)
                  if stats_cols else {})
     if new_stats:
@@ -863,14 +897,17 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
     new_stats = _collect_file_stats(table_dir, new_files, stats_cols) \
         if stats_cols else {}
     try:
-        _publish(table_dir, {
+        manifest = {
             "version": version,
             "parent": base_v,
             "operation": "merge",
             "schema": m["schema"],
             "files": untouched + new_files,
             "stats": {**{f: stats[f] for f in untouched}, **new_stats},
-        })
+        }
+        if m.get("txn"):
+            manifest["txn"] = m["txn"]
+        _publish(table_dir, manifest)
         return version
     except FileExistsError:
         # lost the race — absorb commutable interleaved appends by

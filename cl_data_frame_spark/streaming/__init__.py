@@ -410,3 +410,66 @@ def read_stream_parquet_throttled(spark: SparkSession, path: str, schema,
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.parquet(path)
+
+
+def snapshot_stream_sink(table_dir: str, app_id: str,
+                         mode: str = "append",
+                         stats_cols=None, num_files: int | None = None,
+                         max_retries: int = 5):
+    """foreachBatch callable publishing each micro-batch as a snapshot
+    table version EXACTLY ONCE — the union of the two subsystems: a
+    stream lands in the same time-travelable, stats-pruned, vacuumable
+    manifest format every batch reader uses.
+
+    Exactly-once protocol (Delta's ``txnAppId``/``txnVersion``, public):
+    every publish stamps ``txn = (app_id, batch_id)`` into the manifest
+    (carried forward by all later writers); a REPLAYED batch — Spark
+    re-runs the last micro-batch when a crash lands between the sink
+    call and the checkpoint commit — sees ``snapshot_txn_version >=
+    batch_id`` and returns without writing. Racing non-stream writers
+    (ingest appends, OPTIMIZE) are absorbed by the publish retry loop,
+    which re-checks the watermark before every attempt so a conflict
+    caused by our own landed commit can't double-publish.
+    """
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_txn_version, snapshot_write)
+    if mode not in ("append", "complete"):
+        raise ValueError(f"mode must be append/complete, got {mode!r}")
+    write_mode = "append" if mode == "append" else "overwrite"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = FileExistsError("unreached")
+        for _ in range(max_retries + 1):
+            done = snapshot_txn_version(table_dir, app_id)
+            if done is not None and int(batch_id) <= done:
+                return                       # replayed batch: landed
+            try:
+                snapshot_write(batch_df, table_dir, mode=write_mode,
+                               stats_cols=stats_cols,
+                               num_files=num_files,
+                               txn=(app_id, int(batch_id)))
+                return
+            except FileExistsError as exc:
+                last = exc                   # racer: re-check, retry
+        raise FileExistsError(
+            f"stream batch {batch_id} lost the publish race "
+            f"{max_retries + 1} times in {table_dir}: {last}")
+
+    return _sink
+
+
+def write_stream_to_snapshot(stream_df: DataFrame, table_dir: str,
+                             checkpoint_dir: str, app_id: str,
+                             mode: str = "append", stats_cols=None,
+                             num_files: int | None = None):
+    """Start a streaming query landing every micro-batch in a snapshot
+    table via ``snapshot_stream_sink`` (exactly-once across restarts:
+    the checkpoint replays at-least-once, the txn watermark dedups).
+    Returns the running ``StreamingQuery`` — callers drive/stop it."""
+    return (stream_df.writeStream
+            .foreachBatch(snapshot_stream_sink(
+                table_dir, app_id, mode=mode, stats_cols=stats_cols,
+                num_files=num_files))
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update" if mode == "complete" else "append")
+            .start())

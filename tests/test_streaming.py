@@ -499,3 +499,71 @@ def test_stateful_operators_respect_key_name_and_type(spark, tmp_path):
     out2 = spark.table("cusum_strkey")
     assert "host" in out2.columns
     assert {r.host for r in out2.collect()} == {"a", "b"}
+
+
+class TestSnapshotStreamSink:
+    def test_replayed_batch_publishes_once(self, spark, tmp_path):
+        """Direct replay simulation: calling the sink twice with the
+        same batch id (Spark's at-least-once foreachBatch contract
+        after a crash) must publish exactly one version; the txn
+        watermark also survives interleaved writers and OPTIMIZE."""
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_history, snapshot_optimize, snapshot_read,
+            snapshot_txn_version, snapshot_write)
+        from cl_data_frame_spark.streaming import snapshot_stream_sink
+        t = str(tmp_path / "tbl")
+        sink = snapshot_stream_sink(t, app_id="q1")
+        b0 = spark.range(0, 5).withColumnRenamed("id", "v")
+        b1 = spark.range(5, 8).withColumnRenamed("id", "v")
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b1, 1)                       # replay: must be a no-op
+        assert snapshot_txn_version(t, "q1") == 1
+        assert len(snapshot_history(t)) == 2
+        assert snapshot_read(spark, t).nrow == 8
+        # interleaved non-stream writers carry the watermark forward
+        snapshot_write(spark.range(100, 102)
+                       .withColumnRenamed("id", "v"), t)
+        snapshot_optimize(spark, t, num_files=1)
+        assert snapshot_txn_version(t, "q1") == 1
+        sink(b1, 1)                       # replay AFTER other commits
+        assert snapshot_read(spark, t).nrow == 10
+        # a new batch still lands
+        sink(spark.range(8, 9).withColumnRenamed("id", "v"), 2)
+        assert snapshot_txn_version(t, "q1") == 2
+        assert snapshot_read(spark, t).nrow == 11
+        # two independent app_ids keep independent watermarks
+        assert snapshot_txn_version(t, "other") is None
+
+    def test_kill_and_restart_replay_exactly_once(self, spark,
+                                                  tmp_path):
+        """Integration: a file-source stream into a snapshot table,
+        stopped and restarted with the same checkpoint — every source
+        row lands exactly once and versions match processed batches."""
+        import os
+        from cl_data_frame_spark.sources.snapshots import snapshot_read
+        from cl_data_frame_spark.streaming import (
+            write_stream_to_snapshot)
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        t = str(tmp_path / "tbl")
+        os.makedirs(src)
+        spark.range(0, 10).withColumnRenamed("id", "v") \
+            .coalesce(1).write.mode("append").json(src)
+        stream = spark.readStream.schema("v bigint").json(src)
+        q = write_stream_to_snapshot(stream, t, ckpt, app_id="sq")
+        q.processAllAvailable()
+        q.stop()
+        assert sorted(r.v for r in
+                      snapshot_read(spark, t).spark_df.collect()) == \
+            list(range(10))
+        # restart with MORE data on the same checkpoint
+        spark.range(10, 15).withColumnRenamed("id", "v") \
+            .coalesce(1).write.mode("append").json(src)
+        stream2 = spark.readStream.schema("v bigint").json(src)
+        q2 = write_stream_to_snapshot(stream2, t, ckpt, app_id="sq")
+        q2.processAllAvailable()
+        q2.stop()
+        got = sorted(r.v for r in
+                     snapshot_read(spark, t).spark_df.collect())
+        assert got == list(range(15))     # no duplicates, no losses
