@@ -118,7 +118,7 @@ def test_real_decoders_wav_ppm_bmp(spark):
     from cl_data_frame_spark.operators.multimodal import \
         extract_features_real
     rows = [(1, _make_wav()), (2, _make_ppm()), (3, _make_bmp()),
-            (4, b"\xff\xd8\xff\xe0\x00\x10JFIFnotdecodable")]
+            (4, b"\x00UNKNOWNMAGICnotdecodable")]
     df = spark.createDataFrame(rows, "media_id bigint, payload binary")
     out = {r.media_id: r for r in
            extract_features_real(df, n_features=16).spark_df.collect()}
@@ -137,10 +137,10 @@ def test_real_decoders_wav_ppm_bmp(spark):
     # pure blue: meanB=1
     assert abs(bmp.features[4] - 1.0) < 1e-6
     assert bmp.features[2] == 0.0
-    # unknown format (JPEG magic): falls back to the deterministic fake
-    jpg = out[4]
-    assert not jpg.decoded and jpg.meta is None
-    assert len(jpg.features) == 16
+    # unknown format: falls back to the deterministic fake
+    unk = out[4]
+    assert not unk.decoded and unk.meta is None
+    assert len(unk.features) == 16
     # strict mode raises for formats with no stdlib decoder
     import pytest
     with pytest.raises(Exception, match="no stdlib decoder"):
@@ -229,3 +229,242 @@ def test_real_decoder_png_golden_pixels(spark):
         assert got.meta.width == gmeta["width"]
         assert got.meta.height == gmeta["height"]
         assert np.allclose(got.features, gfeats[:13], atol=1e-6), mid
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG decode (round 9): a minimal VALID encoder lives here in
+# the tests (flat quant=1 so coding is near-lossless; simple canonical
+# huffman tables — 12x4-bit DC codes, 255x9-bit + 1x10-bit AC codes —
+# a legal T.81 table set that is NOT the decoder's code path), plus
+# analytic constant-image checks that pin the IDCT scaling
+# independently of the encoder.
+# ---------------------------------------------------------------------------
+
+def _jpeg_codes(bits, vals):
+    code, k, out = 0, 0, {}
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+_AC_VALS = list(range(256))
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)     # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _cat(v):
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_jpeg(px, subsample=False, restart_interval=0):
+    """Encode an RGB uint8 array as baseline JPEG: flat quant=1,
+    4:4:4 or 4:2:0 (2x2-mean chroma), optional restart markers."""
+    import struct
+
+    import numpy as np
+    from cl_data_frame_spark.operators.multimodal import _IDCT_M, _JPEG_ZZ
+    h, w = px.shape[:2]
+    rgb = px.astype(np.float64)
+    y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+         + 0.114 * rgb[:, :, 2])
+    cb = (128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+          + 0.5 * rgb[:, :, 2])
+    cr = (128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+          - 0.081312 * rgb[:, :, 2])
+    if subsample:
+        assert h % 2 == 0 and w % 2 == 0
+        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    planes = [y, cb, cr]
+    hmax, vmax = max(s[0] for s in samp), max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    def padded(p, sh, sv):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        out = np.zeros((th, tw))
+        ph, pw = p.shape
+        out[:ph, :pw] = p
+        out[ph:, :pw] = p[-1:, :]             # edge replicate
+        out[:, pw:] = out[:, pw - 1:pw]
+        return out
+
+    planes = [padded(p, s[0], s[1]) for p, s in zip(planes, samp)]
+    dc_codes = _jpeg_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _jpeg_codes(_AC_BITS, _AC_VALS)
+    M = _IDCT_M
+
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    scan = bytearray()
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.pad()
+            scan += bw.buf
+            bw = _JpegBitWriter()
+            scan += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            preds = [0, 0, 0]
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (sh, sv)) in enumerate(zip(planes, samp)):
+            for by in range(sv):
+                for bx in range(sh):
+                    r0 = (my * sv + by) * 8
+                    c0 = (mx * sh + bx) * 8
+                    blk = p[r0:r0 + 8, c0:c0 + 8] - 128.0
+                    coef = M @ blk @ M.T
+                    q = np.rint(coef).astype(int).reshape(64)
+                    zz = [q[i] for i in _JPEG_ZZ]
+                    diff = zz[0] - preds[ci]
+                    preds[ci] = zz[0]
+                    s = _cat(diff)
+                    ln, code = dc_codes[s]
+                    bw.put(code, ln)
+                    if s:
+                        v = diff if diff >= 0 else diff + (1 << s) - 1
+                        bw.put(v, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = zz[k]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = ac_codes[0xF0]     # ZRL
+                            bw.put(code, ln)
+                            run -= 16
+                        s = _cat(v)
+                        ln, code = ac_codes[(run << 4) | s]
+                        bw.put(code, ln)
+                        vv = v if v >= 0 else v + (1 << s) - 1
+                        bw.put(vv, s)
+                        run = 0
+                    if run:
+                        ln, code = ac_codes[0x00]          # EOB
+                        bw.put(code, ln)
+    bw.pad()
+    scan += bw.buf
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + b"".join(
+        bytes([i + 1, (s[0] << 4) | s[1], 0])
+        for i, s in enumerate(samp)))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+              + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = seg(0xDA, bytes([3]) + b"".join(
+        bytes([i + 1, 0x00]) for i in range(3)) + bytes([0, 63, 0]))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(scan)
+            + b"\xff\xd9")
+
+
+def _test_pattern(h, w, seed=7):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def test_jpeg_constant_images_decode_exactly():
+    """Analytic golden pixels independent of the encoder's DCT: a
+    constant image has ONLY a DC coefficient (8*(v-128) at quant=1),
+    so any IDCT scaling error shows up as a wrong constant."""
+    import numpy as np
+    from cl_data_frame_spark.operators.multimodal import \
+        _decode_jpeg_pixels
+    for v in (0, 1, 127, 128, 200, 255):
+        px = np.full((8, 8, 3), v, dtype=np.uint8)
+        got = _decode_jpeg_pixels(_encode_jpeg(px))
+        assert got.shape == (8, 8, 3)
+        assert int(np.max(np.abs(got.astype(int) - int(v)))) <= 1, v
+
+
+def test_jpeg_roundtrip_444_gradient():
+    import numpy as np
+    from cl_data_frame_spark.operators.multimodal import \
+        _decode_jpeg_pixels
+    px = _test_pattern(16, 24)
+    got = _decode_jpeg_pixels(_encode_jpeg(px))
+    assert got.shape == px.shape
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.max() <= 4          # flat quant=1: rounding noise only
+
+
+def test_jpeg_roundtrip_420_subsampled_and_restarts():
+    """4:2:0 chroma subsampling with constant chroma (exactly
+    recoverable) + restart markers every 2 MCUs."""
+    import numpy as np
+    from cl_data_frame_spark.operators.multimodal import \
+        _decode_jpeg_pixels
+    h, w = 16, 48                 # 1x3 MCUs at 4:2:0
+    yy, xx = np.mgrid[0:h, 0:w]
+    lum = (xx * 4 + yy * 2).astype(np.uint8)
+    px = np.stack([lum, lum, lum], axis=2)   # gray -> constant chroma
+    got = _decode_jpeg_pixels(_encode_jpeg(px, subsample=True,
+                                           restart_interval=2))
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.max() <= 4
+    # odd-size crop: 4:4:4 at non-multiple-of-8 dims decodes cropped
+    px2 = _test_pattern(10, 13)
+    got2 = _decode_jpeg_pixels(_encode_jpeg(px2))
+    assert got2.shape == (10, 13, 3)
+    assert np.abs(got2.astype(int) - px2.astype(int)).max() <= 4
+
+
+def test_jpeg_rejects_progressive_and_detect_integration(spark):
+    import numpy as np
+    import pytest
+    from cl_data_frame_spark.operators import multimodal as MM
+    payload = _encode_jpeg(_test_pattern(8, 8))
+    prog = bytearray(payload)
+    i = payload.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2            # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        MM._decode_jpeg_pixels(bytes(prog))
+    # strict detect path now decodes JPEG for real
+    media = spark.createDataFrame([(1, bytearray(payload))],
+                                  "media_id bigint, payload binary")
+    out = MM.extract_features_real(media, strict=True).spark_df.collect()
+    assert len(out) == 1 and out[0]["decoded"]
+    assert out[0]["meta"]["format"] == "jpeg"
+    assert out[0]["meta"]["width"] == 8
+    feats = out[0]["features"]
+    assert abs(feats[0] - 0.008) < 1e-6      # w/1e3
