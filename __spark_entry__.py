@@ -2815,8 +2815,31 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
+    # row-level DELETE with file skipping (round 9): remove the same
+    # key band from the latest (qty=4) version — files whose stats
+    # exclude the band must be carried VERBATIM into the delete
+    # version (asserted on the manifests inline, every run), and the
+    # read-back equals the oracle's anti-filter
+    from cl_data_frame_spark.sources.snapshots import (
+        _read_manifest, snapshot_delete)
+    pre_files = _read_manifest(spath, 3)["files"]
+    dv = snapshot_delete(spark, spath, pred)
+    post_files = _read_manifest(spath, dv)["files"]
+    carried_del = set(pre_files) & set(post_files)
+    assert 0 < len(carried_del) < len(pre_files), \
+        f"snapshot_delete file skipping ineffective: " \
+        f"{len(carried_del)}/{len(pre_files)} carried"
+    dagg = (snapshot_read(spark, spath).spark_df
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    g = _tag(dagg, "snapdelete",
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("sum_qty").cast("double").alias("d1"),
+             F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
-            .unionByName(c).unionByName(d).unionByName(e))
+            .unionByName(c).unionByName(d).unionByName(e)
+            .unionByName(g))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -3753,7 +3776,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
-                       "snapshot", "snapprune"],
+                       "snapshot", "snapprune", "snapdelete"],
 }
 
 
@@ -5476,6 +5499,21 @@ _ORACLES["s_layout_prune"] = _union(
         WHERE l_quantity <= 3
           AND l_orderkey <= (SELECT floor(max(l_orderkey) / 4)::BIGINT
                              FROM lineitem)""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapdelete: row-level DELETE of the key band from the qty=4
+    # version — survivors are the anti-filter (the Spark side also
+    # asserts untouched files were carried verbatim)
+    _wrap("snapdelete", """
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem
+        WHERE l_quantity = 4
+          AND NOT (l_orderkey <=
+                   (SELECT floor(max(l_orderkey) / 4)::BIGINT
+                    FROM lineitem))""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"))
 

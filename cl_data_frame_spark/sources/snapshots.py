@@ -361,7 +361,8 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
 def snapshot_write(frame, table_dir: str, mode: str = "append",
                    num_files: int | None = None,
                    stats_cols: Sequence[str] | None = None,
-                   txn: tuple[str, int] | None = None) -> int:
+                   txn: tuple[str, int] | None = None,
+                   merge_schema: bool = False) -> int:
     """Publish a new table version; returns the version number.
 
     ``mode='append'`` adds this DataFrame's rows to the current
@@ -382,11 +383,35 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     the last transaction this writer committed?" from the latest
     manifest alone — the exactly-once hook the streaming snapshot
     sink replays against.
+
+    **Schema enforcement** (the public formats' default): an append
+    whose schema differs from the table's current schema raises
+    instead of silently publishing a mixed-schema file set — schema
+    drift in an ingest pipeline should fail loudly at the writer, not
+    surface as reader errors months later. ``merge_schema=True`` is
+    the explicit evolution opt-in (additive columns; read the unified
+    view via ``snapshot_read_merged``); the manifest then records the
+    APPENDING frame's schema as the version's schema.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     sdf = _plain(frame)
     parent = _latest_version(table_dir)
+    if mode == "append" and parent is not None and not merge_schema:
+        from pyspark.sql.types import StructType
+        cur = StructType.fromJson(json.loads(
+            _read_manifest(table_dir, parent)["schema"]))
+
+        def shape(st):
+            # names + types in order; nullability and metadata are
+            # not enforced (nullable-into-nullable widening is fine)
+            return [(f.name, f.dataType.simpleString()) for f in st]
+        if shape(cur) != shape(sdf.schema):
+            raise ValueError(
+                "append schema does not match the table schema "
+                f"(table: {shape(cur)}, append: {shape(sdf.schema)}); "
+                "pass merge_schema=True to evolve the schema "
+                "explicitly")
     version = (parent or 0) + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
@@ -916,6 +941,148 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         rebased = _try_rebase_publish(
             table_dir, base_v, set(touched), new_files,
             new_stats, "merge", m["schema"], keys=usable, preds=preds)
+        if rebased is not None:
+            return rebased
+        raise
+
+
+def snapshot_restore(table_dir: str, version: int) -> int:
+    """RESTORE: republish an old version's exact file set (and stats,
+    schema, txn watermarks) as the NEW latest — Delta's ``RESTORE
+    TABLE ... TO VERSION`` as a metadata-only commit. Nothing is
+    copied or rewritten: the manifest points at the old files, which
+    the age-floor vacuum has kept alive. Raises if any restored file
+    has already been vacuumed (the retention trade, surfaced instead
+    of published as a broken table)."""
+    m = _read_manifest(table_dir, version)
+    missing = [f for f in m["files"]
+               if not os.path.exists(os.path.join(table_dir, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore version {version}: {len(missing)} of its "
+            f"files were vacuumed (first: {missing[0]})")
+    latest = _latest_version(table_dir)
+    lm = _read_manifest(table_dir, latest)
+    new_v = latest + 1
+    manifest = {
+        "version": new_v,
+        "parent": latest,
+        "operation": "restore",
+        "schema": m["schema"],
+        "files": m["files"],
+    }
+    if m.get("stats"):
+        manifest["stats"] = m["stats"]
+    if lm.get("txn"):
+        manifest["txn"] = lm["txn"]     # idempotence watermarks are
+        # writer-progress, not data state: they survive a restore
+    _publish(table_dir, manifest)
+    return new_v
+
+
+def snapshot_delete(spark: SparkSession, table_dir: str, where,
+                    num_files: int | None = None,
+                    max_retries: int = 5) -> int:
+    """Row-level DELETE: remove every row matching *where* (a list of
+    ``(col, op, value)`` triples ANDed together, ops ``== < <= > >=``
+    — the same predicate shape ``snapshot_read`` prunes with) and
+    publish the result as a new version.
+
+    Plan mirrors the row-level MERGE: files whose manifest stats PROVE
+    no row matches are carried into the new version untouched (same
+    physical files — no read, no write); only files that may hold
+    matching rows are rewritten with the inverted filter. A 100-row
+    delete against a 100 TB table rewrites a handful of files. Files
+    without usable stats are conservatively rewritten (correct at any
+    stats coverage). Publish-race handling matches MERGE: interleaved
+    appends whose files provably can't match the predicate commute
+    (rebase, reusing the written files); true conflicts recompute."""
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _delete_once(spark, table_dir, where, num_files)
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"delete lost the publish race {max_retries + 1} times in "
+        f"{table_dir} (pathological contention): {last}")
+
+
+def _delete_once(spark: SparkSession, table_dir: str, where,
+                 num_files: int | None) -> int:
+    from pyspark.sql.types import StructType
+    preds = list(where or [])
+    for col, op, _v in preds:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported delete predicate op {op!r}")
+    if not preds:
+        raise ValueError("snapshot_delete requires a predicate — use "
+                         "snapshot_write(mode='overwrite') with an "
+                         "empty frame to truncate")
+    base_v = _latest_version(table_dir)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshot versions in {table_dir}")
+    m = _read_manifest(table_dir, base_v)
+    stats = m.get("stats") or {}
+    touched = [f for f in m["files"]
+               if _file_may_match(stats.get(f, {}), preds)]
+    untouched = [f for f in m["files"] if f not in set(touched)]
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    keep_cond = None
+    for col, op, val in preds:
+        c = F.col(col)
+        term = (c == val if op in ("==", "=") else
+                c < val if op == "<" else
+                c <= val if op == "<=" else
+                c > val if op == ">" else
+                c >= val)
+        keep_cond = term if keep_cond is None else (keep_cond & term)
+    version = base_v + 1
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
+    out_dir = os.path.join(table_dir, rel_dir)
+    new_files: list[str] = []
+    new_stats: dict = {}
+    if touched:
+        t_df = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in touched])
+        # keep rows NOT matching the conjunction (NULLs never match a
+        # comparison predicate, so they are kept — SQL DELETE WHERE
+        # semantics)
+        kept = t_df.filter(~F.coalesce(keep_cond, F.lit(False))) \
+            .select(*[f.name for f in schema.fields])
+        writer = kept.coalesce(num_files) if num_files else kept
+        with _micros_timestamps(spark):
+            writer.write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join(rel_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet"))
+        stats_cols = sorted({c for f in m["files"]
+                             for c in (stats.get(f) or {})})
+        new_stats = _collect_file_stats(table_dir, new_files,
+                                        stats_cols) if stats_cols \
+            else {}
+    manifest = {
+        "version": version,
+        "parent": base_v,
+        "operation": "delete",
+        "schema": m["schema"],
+        "files": untouched + new_files,
+        "stats": {**{f: stats[f] for f in untouched if f in stats},
+                  **new_stats},
+    }
+    if not manifest["stats"]:
+        del manifest["stats"]
+    if m.get("txn"):
+        manifest["txn"] = m["txn"]
+    try:
+        _publish(table_dir, manifest)
+        return version
+    except FileExistsError:
+        pred_cols = sorted({c for c, _o, _v in preds})
+        rebased = _try_rebase_publish(
+            table_dir, base_v, set(touched), new_files, new_stats,
+            "delete", m["schema"], keys=pred_cols, preds=preds)
         if rebased is not None:
             return rebased
         raise

@@ -514,10 +514,17 @@ class TestSnapshotEvolution:
         t = str(tmp_path / "tbl")
         snapshot_write(spark.range(3).select(
             F.col("id").alias("k"), F.lit("a").alias("v")), t)
-        # append with an ADDED column
+        # append with an ADDED column: rejected by default (schema
+        # enforcement), allowed with the explicit evolution opt-in
+        import pytest
+        with pytest.raises(ValueError, match="merge_schema"):
+            snapshot_write(spark.range(3, 5).select(
+                F.col("id").alias("k"), F.lit("b").alias("v"),
+                F.lit(7).alias("extra")), t, mode="append")
         snapshot_write(spark.range(3, 5).select(
             F.col("id").alias("k"), F.lit("b").alias("v"),
-            F.lit(7).alias("extra")), t, mode="append")
+            F.lit(7).alias("extra")), t, mode="append",
+            merge_schema=True)
         out = snapshot_read_merged(spark, t).spark_df
         assert set(out.columns) >= {"k", "v", "extra"}
         rows = {r.k: (r.v, r.extra) for r in out.collect()}
@@ -1192,3 +1199,110 @@ class TestLatestVersionHint:
         os.remove(hint)
         assert snapshots._latest_version(t) == 2      # listing fallback
         assert snapshots.snapshot_read(spark, t).nrow == 6
+
+
+class TestSnapshotDeleteRestore:
+    def test_delete_rewrites_only_matching_files(self, spark,
+                                                 tmp_path):
+        """Row-level DELETE: files whose stats prove no match are
+        carried verbatim (same physical paths); NULL key rows are
+        KEPT (SQL DELETE WHERE semantics)."""
+        from cl_data_frame_spark.sources.snapshots import (
+            _read_manifest, snapshot_delete, snapshot_read,
+            snapshot_write)
+        t = str(tmp_path / "tbl")
+        base = spark.range(0, 1000).selectExpr(
+            "CASE WHEN id = 500 THEN NULL ELSE id END AS k",
+            "concat('v', id) AS v")
+        snapshot_write(base.repartitionByRange(8, "k"), t,
+                       stats_cols=["k"])
+        m1 = _read_manifest(t, 1)
+        v = snapshot_delete(spark, t,
+                            [("k", ">=", 900), ("k", "<=", 949)])
+        assert v == 2
+        m2 = _read_manifest(t, v)
+        assert m2["operation"] == "delete"
+        carried = set(m1["files"]) & set(m2["files"])
+        assert len(carried) >= 6          # most range files untouched
+        got = {r.k for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert None in got                # NULL row survived
+        assert 899 in got and 950 in got
+        assert not any(k is not None and 900 <= k <= 949 for k in got)
+        assert snapshot_read(spark, t).nrow == 950
+        # time travel to the pre-delete version still whole
+        assert snapshot_read(spark, t, version=1).nrow == 1000
+
+    def test_delete_without_stats_full_rewrite(self, spark, tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_delete, snapshot_read, snapshot_write)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(0, 20).selectExpr(
+            "id AS k", "id * 2 AS v"), t)          # no stats
+        snapshot_delete(spark, t, [("k", "<", 5)])
+        assert sorted(r.k for r in
+                      snapshot_read(spark, t).spark_df.collect()) == \
+            list(range(5, 20))
+
+    def test_delete_vs_disjoint_append_rebases(self, spark, tmp_path,
+                                               monkeypatch):
+        """DELETE racing a provably-disjoint append commutes: both
+        land without recompute, appended rows survive."""
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(0, 400).selectExpr("id AS k", "id*2 AS v")
+            .repartitionByRange(4, "k"), t, stats_cols=["k"])
+        orig = snapshots._publish
+        fired = {"done": False}
+
+        def racing(table_dir, manifest):
+            if manifest["operation"] == "delete" and not fired["done"]:
+                fired["done"] = True
+                snapshots.snapshot_write(
+                    spark.range(9000, 9003).selectExpr(
+                        "id AS k", "id*2 AS v"),
+                    t, mode="append", stats_cols=["k"])
+            return orig(table_dir, manifest)
+        monkeypatch.setattr(snapshots, "_publish", racing)
+        v = snapshots.snapshot_delete(spark, t, [("k", "<", 10)])
+        assert v == 3
+        got = sorted(r.k for r in
+                     snapshots.snapshot_read(spark, t)
+                     .spark_df.collect())
+        assert got == list(range(10, 400)) + [9000, 9001, 9002]
+
+    def test_restore_is_metadata_only(self, spark, tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            _read_manifest, snapshot_delete, snapshot_read,
+            snapshot_restore, snapshot_write)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(0, 100).selectExpr(
+            "id AS k", "id*2 AS v").repartitionByRange(4, "k"), t,
+            stats_cols=["k"])
+        snapshot_delete(spark, t, [("k", ">=", 50)])
+        assert snapshot_read(spark, t).nrow == 50
+        v = snapshot_restore(t, 1)
+        assert v == 3
+        m = _read_manifest(t, v)
+        assert m["operation"] == "restore"
+        assert m["files"] == _read_manifest(t, 1)["files"]  # same files
+        assert snapshot_read(spark, t).nrow == 100
+        # restoring a version whose files are gone (manual deletion /
+        # over-aggressive retention) surfaces the problem instead of
+        # publishing a broken table
+        import os
+        import pytest
+        victim = os.path.join(t, _read_manifest(t, 2)["files"][0])
+        os.remove(victim)
+        with pytest.raises(FileNotFoundError, match="cannot restore"):
+            snapshot_restore(t, 2)
+
+    def test_delete_requires_predicate(self, spark, tmp_path):
+        import pytest
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_delete, snapshot_write)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).selectExpr("id AS k"), t)
+        with pytest.raises(ValueError, match="predicate"):
+            snapshot_delete(spark, t, [])
