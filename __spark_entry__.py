@@ -2207,7 +2207,44 @@ def q_s_functions(spark, sf_dir):
              _DNULL().alias("d1"), F.col("map_val").alias("s2"),
              F.col("n_distinct").cast("bigint").alias("i4"),
              _BNULL().alias("i5"))
-    return a.unionByName(b)
+    # feature scaling (round 9): the three standard scalers applied
+    # per returnflag; the checked values are boundary scalings whose
+    # per-row double arithmetic the oracle mirrors exactly (max of the
+    # rounded per-row value == rounded value at the group max, since
+    # every scaler is monotone)
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                              "l_extendedprice")
+    zs = STAT.standardize(li, "l_extendedprice",
+                          by=["l_returnflag"]).spark_df
+    mm = STAT.minmax_scale(li, "l_extendedprice",
+                           by=["l_returnflag"]).spark_df
+    rb = STAT.robust_scale(li, "l_extendedprice",
+                           by=["l_returnflag"]).spark_df
+    wide = (zs.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("l_extendedprice_z").alias("z_hi"))
+            .join(mm.groupBy("l_returnflag")
+                  .agg(F.min("l_extendedprice_mm").alias("mm_lo"),
+                       F.max("l_extendedprice_mm").alias("mm_hi")),
+                  on="l_returnflag")
+            .join(rb.groupBy("l_returnflag")
+                  .agg(F.max("l_extendedprice_rb").alias("rb_hi")),
+                  on="l_returnflag"))
+    long = wide.select(
+        "l_returnflag", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(name).alias("metric"),
+                     F.col(name).alias("val"))
+            for name in ("z_hi", "mm_lo", "mm_hi", "rb_hi")]))
+        .alias("m")).select("l_returnflag", "n", "m.metric", "m.val")
+    c = _tag(long, "scaling",
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("l_returnflag").alias("s1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             F.col("val").cast("double").alias("d1"),
+             F.col("metric").alias("s2"),
+             _BNULL().alias("i4"), _BNULL().alias("i5"))
+    return a.unionByName(b).unionByName(c)
 
 
 def q_s_source_roundtrip(spark, sf_dir):
@@ -3738,7 +3775,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_asof": ["keyed", "unkeyed", "nearest"],
     "s_range_joins": ["broadcast", "bucketed", "overlap"],
     "s_skew_udaf": ["salted", "udaf", "grouped_map", "skewreport"],
-    "s_functions": ["scalar", "collection"],
+    "s_functions": ["scalar", "collection", "scaling"],
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
     "s_funnel": ["funnel", "retention", "attribution"],
@@ -5339,7 +5376,46 @@ _ORACLES["s_functions"] = _union(
           "n_nationkey::BIGINT AS i1, json_name AS s1, "
           "arr_sum::BIGINT AS i2, arr_max::BIGINT AS i3, "
           "NULL::DOUBLE AS d1, map_val AS s2, n_distinct::BIGINT AS i4, "
-          "NULL::BIGINT AS i5"))
+          "NULL::BIGINT AS i5"),
+    # feature scalers at the group boundary values: every scaler is
+    # monotone, so max(round(scaled)) == round(scaled(max)) and the
+    # oracle can derive each check from the group aggregates with the
+    # operators' exact double-arithmetic order
+    _wrap("scaling", """
+        WITH s AS (
+          SELECT l_returnflag, count(*) AS n,
+                 sum(l_extendedprice::DECIMAL(38,2)) AS sx,
+                 sum(l_extendedprice::DECIMAL(38,2)
+                     * l_extendedprice::DECIMAL(38,2)) AS sxx,
+                 min(l_extendedprice) AS lo,
+                 max(l_extendedprice) AS hi,
+                 quantile_cont(l_extendedprice, 0.25) AS q1,
+                 quantile_cont(l_extendedprice, 0.50) AS q2,
+                 quantile_cont(l_extendedprice, 0.75) AS q3
+          FROM lineitem GROUP BY 1),
+        m AS (
+          SELECT l_returnflag, n,
+                 round((hi::DOUBLE - sx::DOUBLE / n::DOUBLE)
+                       / sqrt((n::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                              / (n::DOUBLE * (n::DOUBLE - 1.0))), 6)
+                     AS z_hi,
+                 round((lo::DOUBLE - lo::DOUBLE)
+                       / (hi::DOUBLE - lo::DOUBLE), 6) AS mm_lo,
+                 round((hi::DOUBLE - lo::DOUBLE)
+                       / (hi::DOUBLE - lo::DOUBLE), 6) AS mm_hi,
+                 round((hi::DOUBLE - q2) / (q3 - q1), 6) AS rb_hi
+          FROM s)
+        SELECT l_returnflag, n, 'z_hi' AS metric, z_hi AS val FROM m
+        UNION ALL
+        SELECT l_returnflag, n, 'mm_lo', mm_lo FROM m
+        UNION ALL
+        SELECT l_returnflag, n, 'mm_hi', mm_hi FROM m
+        UNION ALL
+        SELECT l_returnflag, n, 'rb_hi', rb_hi FROM m""",
+          "n::BIGINT AS i1, l_returnflag AS s1, NULL::BIGINT AS i2, "
+          "NULL::BIGINT AS i3, val::DOUBLE AS d1, metric AS s2, "
+          "NULL::BIGINT AS i4, NULL::BIGINT AS i5"))
 
 _SKETCH_NULLS_I = "NULL::BIGINT AS i2, NULL::BIGINT AS i3"
 _SKETCH_NULLS_D = "NULL::DOUBLE AS d1, NULL::DOUBLE AS d2, NULL::DOUBLE AS d3"

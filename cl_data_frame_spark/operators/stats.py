@@ -1965,3 +1965,112 @@ def weighted_percentile(frame, val_col: str, weight_col: str,
             F.col(val_col).cast("double"))), 6).alias(name))
     out = cur.groupBy(*by).agg(*aggs)
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# feature scaling (round 9): the three standard per-column scalers a
+# training pipeline normalizes features with, each as ONE aggregate pass
+# + a broadcast-sized join back — zero collect, grouped or global.
+# ---------------------------------------------------------------------------
+
+def _attach_stats(sdf: DataFrame, stats: DataFrame,
+                  by: list[str] | None) -> DataFrame:
+    """Join a per-group (or one-row global) stats table back onto the
+    rows: broadcast equi-join when grouped (group tables are tiny next
+    to the data), scalar broadcast crossJoin ungrouped — the same
+    pattern every *_from_sums derivation uses."""
+    if by:
+        return sdf.join(F.broadcast(stats), on=list(by))
+    return sdf.crossJoin(F.broadcast(stats))
+
+
+def standardize(frame, cols, by: list[str] | None = None,
+                ddof: int = 1, suffix: str = "_z") -> SparkFrame:
+    """Z-score scaling: ``(x − mean) / std`` per column (optionally per
+    group) appended as ``<col><suffix>``. Mean/std derive from ONE
+    decimal-exact moment aggregation (count + Σx + Σx² — the
+    ``moment_agg_exprs`` fixed double-arithmetic order, so results are
+    oracle-reproducible); *ddof* 1 = sample std (default), 0 =
+    population. A zero-variance column scales to NULL (no silent
+    divide-by-zero).
+
+    Scale: one full pass for the aggregate, one for the apply; the
+    shuffle carries only the group keys' stat rows.
+    """
+    sdf = _plain(frame)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    by = list(by or [])
+    aggs = []
+    for c in cols:
+        d = _dec(c, 2)
+        aggs += [F.count(c).alias(f"__n_{c}__"),
+                 F.sum(d).alias(f"__s_{c}__"),
+                 F.sum(d * d).alias(f"__q_{c}__")]
+    stats = sdf.groupBy(*by).agg(*aggs)
+    out = _attach_stats(sdf, stats, by)
+    for c in cols:
+        n = F.col(f"__n_{c}__").cast("double")
+        sx = F.col(f"__s_{c}__").cast("double")
+        sxx = F.col(f"__q_{c}__").cast("double")
+        var = n * sxx - sx * sx
+        denom = n * (n - F.lit(float(ddof)))
+        std = F.sqrt(var / denom)
+        mean = sx / n
+        z = (F.col(c).cast("double") - mean) / std
+        out = out.withColumn(c + suffix,
+                             F.when(std > 0, F.round(z, 6)))
+    drop = [f"__{t}_{c}__" for c in cols for t in ("n", "s", "q")]
+    return SparkFrame(out.drop(*drop))
+
+
+def minmax_scale(frame, cols, by: list[str] | None = None,
+                 suffix: str = "_mm") -> SparkFrame:
+    """Min-max scaling to [0, 1]: ``(x − min) / (max − min)`` per
+    column (optionally per group) appended as ``<col><suffix>``; a
+    constant column scales to NULL. One min/max aggregation +
+    broadcast join back."""
+    sdf = _plain(frame)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    by = list(by or [])
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}__"),
+                 F.max(c).alias(f"__hi_{c}__")]
+    stats = sdf.groupBy(*by).agg(*aggs)
+    out = _attach_stats(sdf, stats, by)
+    for c in cols:
+        lo = F.col(f"__lo_{c}__").cast("double")
+        hi = F.col(f"__hi_{c}__").cast("double")
+        mm = (F.col(c).cast("double") - lo) / (hi - lo)
+        out = out.withColumn(c + suffix,
+                             F.when(hi > lo, F.round(mm, 6)))
+    drop = [f"__{t}_{c}__" for c in cols for t in ("lo", "hi")]
+    return SparkFrame(out.drop(*drop))
+
+
+def robust_scale(frame, cols, by: list[str] | None = None,
+                 suffix: str = "_rb") -> SparkFrame:
+    """Robust scaling: ``(x − median) / IQR`` per column (optionally
+    per group) appended as ``<col><suffix>`` — the outlier-resistant
+    scaler (scikit-learn's RobustScaler semantics; public): center on
+    the exact median, scale by the exact interquartile range, both
+    from ONE ``percentile([0.25, 0.5, 0.75])`` aggregation (linear
+    interpolation — the same exact-percentile kernel the quantile
+    binning shares). Zero IQR scales to NULL.
+    """
+    sdf = _plain(frame)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    by = list(by or [])
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    aggs = [F.percentile(F.col(c).cast("double"), probs)
+            .alias(f"__p_{c}__") for c in cols]
+    stats = sdf.groupBy(*by).agg(*aggs)
+    out = _attach_stats(sdf, stats, by)
+    for c in cols:
+        p = F.col(f"__p_{c}__")
+        med = p[1]
+        iqr = p[2] - p[0]
+        rb = (F.col(c).cast("double") - med) / iqr
+        out = out.withColumn(c + suffix,
+                             F.when(iqr > 0, F.round(rb, 6)))
+    return SparkFrame(out.drop(*[f"__p_{c}__" for c in cols]))

@@ -1101,3 +1101,59 @@ def test_weighted_percentile_unkeyed_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__bkt__" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_feature_scalers(spark):
+    """standardize / minmax_scale / robust_scale: grouped and global,
+    known values, NULL on degenerate (zero-variance / constant /
+    zero-IQR) groups."""
+    from cl_data_frame_spark.operators.stats import (
+        minmax_scale, robust_scale, standardize)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+         ("b", 7.0), ("b", 7.0), ("b", 7.0)],
+        "g string, x double")
+    z = {(r.g, r.x): r.x_z for r in
+         standardize(df, "x", by=["g"]).spark_df.collect()}
+    # group a: mean 3, sample std sqrt(2.5)
+    import math
+    assert abs(z[("a", 5.0)] - round(2 / math.sqrt(2.5), 6)) < 1e-9
+    assert abs(z[("a", 3.0)]) < 1e-9
+    assert z[("b", 7.0)] is None            # zero variance -> NULL
+    mm = {(r.g, r.x): r.x_mm for r in
+          minmax_scale(df, "x", by=["g"]).spark_df.collect()}
+    assert mm[("a", 1.0)] == 0.0 and mm[("a", 5.0)] == 1.0
+    assert mm[("a", 3.0)] == 0.5
+    assert mm[("b", 7.0)] is None           # constant -> NULL
+    rb = {(r.g, r.x): r.x_rb for r in
+          robust_scale(df, "x", by=["g"]).spark_df.collect()}
+    # group a: median 3, IQR = 4 - 2 = 2
+    assert rb[("a", 3.0)] == 0.0 and rb[("a", 5.0)] == 1.0
+    assert rb[("a", 1.0)] == -1.0
+    assert rb[("b", 7.0)] is None           # zero IQR -> NULL
+    # ungrouped path (scalar broadcast crossJoin)
+    g = standardize(df.filter("g = 'a'"), "x").spark_df.collect()
+    assert abs({r.x: r.x_z for r in g}[3.0]) < 1e-9
+    # population std (ddof=0)
+    z0 = {r.x: r.x_z for r in
+          standardize(df.filter("g = 'a'"), "x", ddof=0)
+          .spark_df.collect()}
+    assert abs(z0[5.0] - round(2 / math.sqrt(2.0), 6)) < 1e-9
+
+
+def test_feature_scalers_never_collect(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+    from cl_data_frame_spark.operators.stats import (
+        minmax_scale, robust_scale, standardize)
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                               "g string, x double")
+
+    def boom(self):
+        raise AssertionError("collect() inside scaler build")
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    frames = [standardize(df, "x", by=["g"]),
+              minmax_scale(df, "x", by=["g"]),
+              robust_scale(df, "x", by=["g"])]
+    monkeypatch.undo()
+    for fr in frames:
+        assert fr.spark_df.count() == 2
