@@ -591,28 +591,39 @@ def _detect_decode(payload: bytes, n_features: int, strict: bool):
     """Sniff the payload's magic bytes and run the REAL decoder when
     one exists; otherwise the deterministic fake (or raise under
     ``strict=True``). Returns (meta dict | None, feature list)."""
+    decoder = None
     if payload:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            meta, feats = _decode_wav(bytes(payload))
+            decoder = _decode_wav
         elif payload[:2] == b"P6":
-            meta, feats = _decode_ppm(bytes(payload))
+            decoder = _decode_ppm
         elif payload[:2] == b"BM":
-            meta, feats = _decode_bmp(bytes(payload))
+            decoder = _decode_bmp
         elif payload[:8] == b"\x89PNG\r\n\x1a\n":
-            meta, feats = _decode_png(bytes(payload))
+            decoder = _decode_png
         elif payload[:2] == b"\xff\xd8":
-            meta, feats = _decode_jpeg(bytes(payload))
-        else:
-            if strict:
-                raise NotImplementedError(
-                    "no stdlib decoder for this format (MP4/video-"
-                    "class codecs need ffmpeg, absent here); formats "
-                    "decoded for real: WAV, PPM (P6), BMP (24-bit), "
-                    "PNG (8-bit gray/RGB/RGBA), JPEG (baseline SOF0)")
-            return None, _fake_decode(bytes(payload),
-                                      n_features).tolist()
-    else:
-        return None, _fake_decode(b"", n_features).tolist()
+            decoder = _decode_jpeg
+        elif strict:
+            raise NotImplementedError(
+                "no stdlib decoder for this format (MP4/video-"
+                "class codecs need ffmpeg, absent here); formats "
+                "decoded for real: WAV, PPM (P6), BMP (24-bit), "
+                "PNG (8-bit gray/RGB/RGBA), JPEG (baseline SOF0)")
+    if decoder is None:
+        return None, _fake_decode(bytes(payload or b""),
+                                  n_features).tolist()
+    try:
+        meta, feats = decoder(bytes(payload))
+    except Exception:
+        # a recognized container with an unsupported sub-format
+        # (progressive JPEG, 16-bit PNG, RLE BMP) or a truncated/
+        # corrupt payload: strict surfaces the error, the default
+        # falls back to the deterministic stub instead of failing the
+        # whole Spark task over one bad row — a 100 TB corpus ALWAYS
+        # contains malformed media
+        if strict:
+            raise
+        return None, _fake_decode(bytes(payload), n_features).tolist()
     feats = feats[:n_features] + [0.0] * max(0, n_features - len(feats))
     return meta, [float(x) for x in feats]
 

@@ -2017,8 +2017,13 @@ def standardize(frame, cols, by: list[str] | None = None,
         std = F.sqrt(var / denom)
         mean = sx / n
         z = (F.col(c).cast("double") - mean) / std
+        # var > 0 AND denom > 0, not std > 0: a size-1 group (or an
+        # FP-negative variance) makes std NaN, and Spark's total
+        # ordering ranks NaN ABOVE every number — `std > 0` would
+        # pass and emit NaN instead of the documented NULL
         out = out.withColumn(c + suffix,
-                             F.when(std > 0, F.round(z, 6)))
+                             F.when((var > 0) & (denom > 0),
+                                    F.round(z, 6)))
     drop = [f"__{t}_{c}__" for c in cols for t in ("n", "s", "q")]
     return SparkFrame(out.drop(*drop))
 

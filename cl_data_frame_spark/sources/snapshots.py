@@ -142,7 +142,13 @@ def _publish(table_dir: str, manifest: dict) -> None:
             f"re-read and retry at the next version)") from None
     finally:
         os.unlink(tmp)
-    _write_latest_hint(table_dir, manifest["version"])
+    try:
+        _write_latest_hint(table_dir, manifest["version"])
+    except OSError:
+        pass  # genuinely best-effort: the COMMIT is the os.link above;
+        # a hint-write failure (ENOSPC, read-only FS) must not make a
+        # durable version look failed — a retry would duplicate data.
+        # Readers fall back to the listing / forward probe.
 
 
 # ---------------------------------------------------------------------------
@@ -397,10 +403,11 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     sdf = _plain(frame)
     parent = _latest_version(table_dir)
-    if mode == "append" and parent is not None and not merge_schema:
+    pm = _read_manifest(table_dir, parent) if parent is not None \
+        else None
+    if mode == "append" and pm is not None and not merge_schema:
         from pyspark.sql.types import StructType
-        cur = StructType.fromJson(json.loads(
-            _read_manifest(table_dir, parent)["schema"]))
+        cur = StructType.fromJson(json.loads(pm["schema"]))
 
         def shape(st):
             # names + types in order; nullability and metadata are
@@ -425,8 +432,7 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     files = list(new_files)
     stats = (_collect_file_stats(table_dir, new_files, stats_cols)
              if stats_cols else {})
-    if mode == "append" and parent is not None:
-        pm = _read_manifest(table_dir, parent)
+    if mode == "append" and pm is not None:
         files = pm["files"] + files
         stats = {**(pm.get("stats") or {}), **stats}
     manifest = {
@@ -438,8 +444,7 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     }
     if stats:
         manifest["stats"] = stats
-    txns = dict(_read_manifest(table_dir, parent).get("txn") or {}) \
-        if parent is not None else {}
+    txns = dict(pm.get("txn") or {}) if pm is not None else {}
     if txn is not None:
         txns[txn[0]] = int(txn[1])
     if txns:
@@ -961,23 +966,32 @@ def snapshot_restore(table_dir: str, version: int) -> int:
         raise FileNotFoundError(
             f"cannot restore version {version}: {len(missing)} of its "
             f"files were vacuumed (first: {missing[0]})")
-    latest = _latest_version(table_dir)
-    lm = _read_manifest(table_dir, latest)
-    new_v = latest + 1
-    manifest = {
-        "version": new_v,
-        "parent": latest,
-        "operation": "restore",
-        "schema": m["schema"],
-        "files": m["files"],
-    }
-    if m.get("stats"):
-        manifest["stats"] = m["stats"]
-    if lm.get("txn"):
-        manifest["txn"] = lm["txn"]     # idempotence watermarks are
-        # writer-progress, not data state: they survive a restore
-    _publish(table_dir, manifest)
-    return new_v
+    last: FileExistsError | None = None
+    for _ in range(6):
+        latest = _latest_version(table_dir)
+        lm = _read_manifest(table_dir, latest)
+        manifest = {
+            "version": latest + 1,
+            "parent": latest,
+            "operation": "restore",
+            "schema": m["schema"],
+            "files": m["files"],
+        }
+        if m.get("stats"):
+            manifest["stats"] = m["stats"]
+        if lm.get("txn"):
+            manifest["txn"] = lm["txn"]  # idempotence watermarks are
+            # writer-progress, not data state: they survive a restore
+        try:
+            _publish(table_dir, manifest)
+            return latest + 1
+        except FileExistsError as exc:
+            last = exc          # metadata-only: retrying at the new
+            # latest is trivially safe (last-writer-wins, like
+            # overwrite) — a racing ingest must not abandon a restore
+    raise FileExistsError(
+        f"restore lost the publish race 6 times in {table_dir} "
+        f"(pathological contention): {last}")
 
 
 def snapshot_delete(spark: SparkSession, table_dir: str, where,

@@ -466,10 +466,14 @@ def write_stream_to_snapshot(stream_df: DataFrame, table_dir: str,
     table via ``snapshot_stream_sink`` (exactly-once across restarts:
     the checkpoint replays at-least-once, the txn watermark dedups).
     Returns the running ``StreamingQuery`` — callers drive/stop it."""
+    # mode='complete' must pair with outputMode('complete') so every
+    # trigger hands the sink the FULL result table to overwrite with —
+    # 'update' would deliver only the changed groups and the overwrite
+    # would silently drop every unchanged group from the new version
     return (stream_df.writeStream
             .foreachBatch(snapshot_stream_sink(
                 table_dir, app_id, mode=mode, stats_cols=stats_cols,
                 num_files=num_files))
             .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update" if mode == "complete" else "append")
+            .outputMode("complete" if mode == "complete" else "append")
             .start())

@@ -468,3 +468,30 @@ def test_jpeg_rejects_progressive_and_detect_integration(spark):
     assert out[0]["meta"]["width"] == 8
     feats = out[0]["features"]
     assert abs(feats[0] - 0.008) < 1e-6      # w/1e3
+
+
+def test_detect_decode_nonstrict_falls_back_on_bad_payload(spark):
+    """A recognized container with an unsupported sub-format or a
+    truncated payload must NOT fail the Spark task under the default
+    (non-strict) path — it falls back to the deterministic stub."""
+    from cl_data_frame_spark.operators import multimodal as MM
+    payload = _encode_jpeg(_test_pattern(8, 8))
+    prog = bytearray(payload)
+    i = payload.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2                    # progressive SOF2
+    rows = [(1, bytes(prog)),             # unsupported sub-format
+            (2, payload[:40]),            # truncated JPEG
+            (3, b"\x89PNG\r\n\x1a\nxx")]  # truncated PNG
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r.media_id: r for r in
+           MM.extract_features_real(df, n_features=8)
+           .spark_df.collect()}
+    assert all(not out[k].decoded for k in (1, 2, 3))
+    assert all(len(out[k].features) == 8 for k in (1, 2, 3))
+    # strict still surfaces the real error
+    import pytest
+    with pytest.raises(Exception, match="baseline"):
+        MM.extract_features_real(
+            spark.createDataFrame([(9, bytes(prog))],
+                                  "media_id bigint, payload binary"),
+            strict=True).spark_df.collect()

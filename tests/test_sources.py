@@ -1306,3 +1306,35 @@ class TestSnapshotDeleteRestore:
         snapshot_write(spark.range(3).selectExpr("id AS k"), t)
         with pytest.raises(ValueError, match="predicate"):
             snapshot_delete(spark, t, [])
+
+
+class TestRestoreRace:
+    def test_restore_retries_lost_publish_race(self, spark, tmp_path,
+                                               monkeypatch):
+        """A racing append between restore's latest-read and publish
+        must not abandon the (metadata-only) restore."""
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(0, 10).selectExpr("id AS k"), t)
+        snapshots.snapshot_write(
+            spark.range(10, 20).selectExpr("id AS k"), t,
+            mode="overwrite")
+        orig = snapshots._publish
+        fired = {"done": False}
+
+        def racing(table_dir, manifest):
+            if manifest["operation"] == "restore" \
+                    and not fired["done"]:
+                fired["done"] = True
+                snapshots.snapshot_write(
+                    spark.range(50, 52).selectExpr("id AS k"), t,
+                    mode="append")
+            return orig(table_dir, manifest)
+        monkeypatch.setattr(snapshots, "_publish", racing)
+        v = snapshots.snapshot_restore(t, 1)
+        assert v == 4                     # append won v3, restore v4
+        got = sorted(r.k for r in
+                     snapshots.snapshot_read(spark, t)
+                     .spark_df.collect())
+        assert got == list(range(10))     # v1 state restored

@@ -567,3 +567,34 @@ class TestSnapshotStreamSink:
         got = sorted(r.v for r in
                      snapshot_read(spark, t).spark_df.collect())
         assert got == list(range(15))     # no duplicates, no losses
+
+
+def test_stream_to_snapshot_complete_mode_keeps_all_groups(spark,
+                                                           tmp_path):
+    """mode='complete': every version holds the FULL aggregate table —
+    a later trigger updating only one group must not drop the others
+    (the update-outputMode pairing bug: overwrite with only the
+    changed groups)."""
+    import os
+    from cl_data_frame_spark.sources.snapshots import snapshot_read
+    from cl_data_frame_spark.streaming import write_stream_to_snapshot
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)],
+                          "g string, v int") \
+        .coalesce(1).write.mode("append").json(src)
+    stream = (spark.readStream.schema("g string, v int").json(src)
+              .groupBy("g").count())
+    q = write_stream_to_snapshot(
+        stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        app_id="agg", mode="complete")
+    q.processAllAvailable()
+    # second batch touches ONLY group a
+    spark.createDataFrame([("a", 3)], "g string, v int") \
+        .coalesce(1).write.mode("append").json(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.g: r["count"] for r in
+           snapshot_read(spark, str(tmp_path / "tbl"))
+           .spark_df.collect()}
+    assert got == {"a": 3, "b": 1}        # b survived the update
