@@ -386,3 +386,54 @@ def test_global_avg_ranks_carry_window_is_tiny(spark, sf_dir):
     # the only unpartitioned window orders by __pid__ (carry table)
     for s in global_windows:
         assert s.split(",")[0].startswith("__pid__"), s[:80]
+
+
+class TestPlansModule:
+    """User-facing plan introspection (cl_data_frame_spark.plans):
+    the library form of this test file's guards."""
+
+    def test_plan_summary_and_assert_scalable(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark import plans as P
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        good = (li.join(ords, li.l_orderkey == ords.o_orderkey)
+                .groupBy("l_returnflag").count())
+        s = P.assert_scalable(good)        # returns the summary
+        assert s["cartesian"] == 0
+        assert s["shuffles"] >= 1
+        # codegen spans are hidden inside AdaptiveSparkPlan until
+        # execution (documented in plan_summary); visible with AQE off
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            s2 = P.plan_summary(
+                li2.groupBy("l_returnflag").count())
+            assert s2["codegen_spans"] >= 1
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        bad = li.limit(5).crossJoin(ords.limit(5))
+        import pytest
+        with pytest.raises(P.PlanScalabilityError,
+                           match="BroadcastNestedLoopJoin|Cartesian"):
+            P.assert_scalable(bad)
+        # the audited one-row scalar-broadcast pattern passes with an
+        # explicit allowance
+        scalar = li.crossJoin(F.broadcast(
+            li.agg(F.max("l_quantity").alias("mx"))))
+        P.assert_scalable(scalar, allow_bnlj=1)
+        with pytest.raises(P.PlanScalabilityError):
+            P.assert_scalable(scalar)      # default allowance is 0
+
+    def test_scan_report_shows_pushdown(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark import plans as P
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        q = (li.filter(F.col("l_quantity") > 45)
+             .select("l_orderkey", "l_quantity"))
+        rep = P.scan_report(q)
+        assert len(rep) == 1
+        assert any("l_quantity" in f for f in rep[0]["pushed_filters"])
+        assert set(rep[0]["read_columns"]) == {"l_orderkey",
+                                               "l_quantity"}

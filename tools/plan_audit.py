@@ -57,22 +57,16 @@ def main() -> None:
     for name, fn in qs.items():
         if name in SKIP or (only and name not in only):
             continue
+        from cl_data_frame_spark.plans import plan_summary
         try:
             df = fn(spark, sf_dir)
-            p = df._jdf.queryExecution().executedPlan().toString()
+            c = plan_summary(df)
         except Exception as exc:
             print(f"| {name} | ERROR: {type(exc).__name__} | | | | | |")
             continue
-        exch = p.count("Exchange")
-        bcast = p.count("BroadcastExchange")
-        smj = p.count("SortMergeJoin")
-        bhj = p.count("BroadcastHashJoin")
-        import re
-        wsc = len(set(re.findall(r"\*\((\d+)\)", p)))
-        cart = p.count("CartesianProduct") + p.count(
-            "BroadcastNestedLoopJoin")
-        print(f"| {name} | {exch - bcast} | {bcast} | {smj} | {bhj} "
-              f"| {wsc} | {cart} |")
+        print(f"| {name} | {c['shuffles']} | {c['broadcasts']} "
+              f"| {c['sort_merge_joins']} | {c['broadcast_hash_joins']} "
+              f"| {c['codegen_spans']} | {c['cartesian']} |")
     spark.stop()
 
 
