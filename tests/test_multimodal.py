@@ -495,3 +495,39 @@ def test_detect_decode_nonstrict_falls_back_on_bad_payload(spark):
             spark.createDataFrame([(9, bytes(prog))],
                                   "media_id bigint, payload binary"),
             strict=True).spark_df.collect()
+
+
+def test_jpeg_roundtrip_fuzz():
+    """Property fuzz over the encoder/decoder pair: random dims
+    (including non-multiples of 8), random content, 4:4:4 vs 4:2:0,
+    with and without restart intervals — decode must round-trip
+    within flat-quant rounding error everywhere."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+    from cl_data_frame_spark.operators.multimodal import \
+        _decode_jpeg_pixels
+
+    @given(h=st.integers(6, 26), w=st.integers(6, 26),
+           sub=st.booleans(), ri=st.integers(0, 3),
+           seed=st.integers(0, 1000))
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture])
+    def check(h, w, sub, ri, seed):
+        if sub:
+            h, w = (h + 1) // 2 * 2, (w + 1) // 2 * 2  # even dims
+        rng = np.random.RandomState(seed)
+        if sub:
+            # constant chroma (gray) so 2x2 subsampling is exact
+            lum = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            px = np.stack([lum, lum, lum], axis=2)
+        else:
+            px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        got = _decode_jpeg_pixels(_encode_jpeg(px, subsample=sub,
+                                               restart_interval=ri))
+        assert got.shape == px.shape
+        err = np.abs(got.astype(int) - px.astype(int)).max()
+        assert err <= 4, (h, w, sub, ri, seed, err)
+
+    check()
