@@ -3092,9 +3092,27 @@ def q_x_curation_scrub(spark, sf_dir):
              F.col("sum_id").cast("bigint").alias("i2"),
              _BNULL().alias("i3"), _BNULL().alias("i4"),
              _DNULL().alias("d1"), F.col("lang").alias("s1"))
+    # fuzzy MinHash decontamination (round 9): benchmark = the
+    # doc_id % 41 slice of the corpus itself, so every bench doc is a
+    # guaranteed j=1.0 hit and near-dups surface below it; at 96/24
+    # banding the verified output equals the exact-Jaccard screen the
+    # oracle computes
+    fd = CUR.minhash_decontaminate(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select("doc_id", "text"),
+        num_hashes=96, bands=24, shingle_k=5,
+        jaccard_threshold=0.8).spark_df
+    jt = _tag(fd, "fuzzydecon",
+              F.col("doc_id").cast("bigint").alias("doc_id"),
+              F.col("contaminated").cast("bigint").alias("i1"),
+              F.col("bench_id").cast("bigint").alias("i2"),
+              _BNULL().alias("i3"), _BNULL().alias("i4"),
+              F.col("jaccard").cast("double").alias("d1"),
+              _SNULL().alias("s1"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
-            .unionByName(h).unionByName(i))
+            .unionByName(h).unionByName(i).unionByName(jt))
 
 
 def _messy_urls(spark, sf_dir):
@@ -3811,7 +3829,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
-                         "tempsamp"],
+                         "tempsamp", "fuzzydecon"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapdelete"],
 }
@@ -7959,7 +7977,38 @@ _ORACLES["x_curation_scrub"] = _union(
         FROM keep GROUP BY lang""",
           "NULL::BIGINT AS doc_id, n_kept::BIGINT AS i1, "
           "sum_id::BIGINT AS i2, NULL::BIGINT AS i3, NULL::BIGINT AS i4, "
-          "NULL::DOUBLE AS d1, lang AS s1"))
+          "NULL::DOUBLE AS d1, lang AS s1"),
+    # fuzzy MinHash decontamination: at 96/24 banding the Spark output
+    # equals the exact-Jaccard screen; the oracle computes exactly
+    # that — per-doc best benchmark match (ties to min bench id)
+    _wrap("fuzzydecon", """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([substring(text, i, 5)
+                       FOR i IN generate_series(1,
+                           greatest(length(text) - 4, 1))]) AS s
+            FROM documents),
+        b AS (SELECT doc_id AS bench_id, s FROM sh
+              WHERE doc_id % 41 = 0),
+        j AS (SELECT a.doc_id, b.bench_id,
+                     round(len(list_intersect(a.s, b.s))::DOUBLE
+                           / (len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s))), 6)
+                         AS jac
+              FROM sh a CROSS JOIN b),
+        hits AS (SELECT doc_id, bench_id, jac,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jac DESC, bench_id ASC) AS rk
+                 FROM j WHERE jac >= 0.8)
+        SELECT d.doc_id,
+               (h.bench_id IS NOT NULL)::BIGINT AS contaminated,
+               h.bench_id, h.jac AS jaccard
+        FROM documents d
+        LEFT JOIN (SELECT * FROM hits WHERE rk = 1) h USING (doc_id)""",
+          "doc_id::BIGINT AS doc_id, contaminated::BIGINT AS i1, "
+          "bench_id::BIGINT AS i2, NULL::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, jaccard::DOUBLE AS d1, "
+          "NULL::VARCHAR AS s1"))
 
 _ORACLES["x_bm25_scores"] = """
     WITH toks AS (

@@ -352,3 +352,94 @@ def domain_cap(frame, url_col: str, id_col: str, k: int,
                        domain_col=domain_col)
     out = per_group_sample(fr, id_col, domain_col, k, salt=salt)
     return SparkFrame(_plain(out).drop("__unorm__"))
+
+
+def minhash_decontaminate(corpus, benchmark, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          bench_id_col: str = "doc_id",
+                          bench_text_col: str = "text",
+                          num_hashes: int = 96, bands: int = 24,
+                          shingle_k: int = 5,
+                          jaccard_threshold: float = 0.8) -> SparkFrame:
+    """FUZZY benchmark decontamination — the near-duplicate sibling of
+    ``decontaminate`` (which needs verbatim n-gram overlap): flag
+    corpus documents whose char-shingle Jaccard against ANY benchmark
+    document reaches the threshold, catching paraphrase-lite
+    contamination (reformatted whitespace, shuffled fields, trailing
+    edits) that exact n-gram overlap misses — the published fuzzy
+    eval-decontamination recipe of the large-model training reports.
+
+    Plan — the cross-table form of ``dedup.minhash_near_duplicates``,
+    exploiting the size asymmetry: a benchmark is KBs-MBs against a
+    100 TB corpus, so its banded signature table BROADCASTS and the
+    candidate join is map-side. Corpus docs hash once (explode +
+    grouped-min signature; the shuffle carries signatures, never
+    shingles); candidates = band-bucket equi-join; exact-Jaccard
+    verify on hashed shingle sets (benchmark side broadcast again);
+    best match per corpus doc chosen deterministically (highest
+    rounded Jaccard, ties to the smallest benchmark id). At the
+    default 96/24 (r=4) parameters a pair at j >= 0.8 escapes banding
+    with P ~ 3e-6 — the verified output equals the exact-Jaccard
+    screen, which is what the oracle checks.
+
+    Output: one row per corpus doc —
+    (id_col, contaminated bool, bench_id, jaccard), NULL
+    bench_id/jaccard for clean docs.
+    """
+    from cl_data_frame_spark.operators.dedup import (
+        char_shingles, ensure_min_partitions)
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    def parts(sdf, idc, txc, alias):
+        shingled = sdf.select(
+            F.col(idc).alias(alias),
+            char_shingles(txc, shingle_k).alias("__sh__"))
+        exploded = shingled.select(
+            alias, F.explode("__sh__").alias("__s__")
+        ).select(alias, F.xxhash64("__s__").alias("__h__"))
+        sigs = exploded.groupBy(alias).agg(
+            *[F.min(F.xxhash64("__h__", F.lit(i))).alias(f"__m{i}__")
+              for i in range(num_hashes)])
+        band_hashes = [
+            F.xxhash64(*[F.col(f"__m{i}__")
+                         for i in range(b * rows_per_band,
+                                        (b + 1) * rows_per_band)])
+            for b in range(bands)]
+        banded = sigs.select(
+            alias, F.posexplode(F.array(*band_hashes))
+            .alias("__band__", "__bh__"))
+        hashed = shingled.select(
+            alias, F.array_distinct(
+                F.transform("__sh__", lambda s: F.xxhash64(s)))
+            .alias(f"sh_{alias}"))
+        return banded, hashed
+
+    corp = ensure_min_partitions(_plain(corpus).select(id_col,
+                                                       text_col))
+    bench = _plain(benchmark).select(bench_id_col, bench_text_col)
+    c_band, c_sh = parts(corp, id_col, text_col, "cid")
+    b_band, b_sh = parts(bench, bench_id_col, bench_text_col, "bid")
+    cand = (c_band.join(F.broadcast(b_band), on=["__band__", "__bh__"])
+            .select("cid", "bid")
+            .dropDuplicates(["cid", "bid"]))
+    verified = (cand.join(c_sh, on="cid")
+                .join(F.broadcast(b_sh), on="bid"))
+    inter = F.size(F.array_intersect("sh_cid", "sh_bid"))
+    uni = F.size("sh_cid") + F.size("sh_bid") - inter
+    hits = (verified.withColumn("__j__", F.round(inter / uni, 6))
+            .filter(F.col("__j__") >= jaccard_threshold)
+            .groupBy("cid")
+            .agg(F.max(F.struct(
+                F.col("__j__").alias("j"),
+                (-F.col("bid")).alias("nb"))).alias("__best__"))
+            .select(F.col("cid").alias(id_col),
+                    F.col("__best__.j").alias("jaccard"),
+                    (-F.col("__best__.nb")).alias("bench_id")))
+    out = (corp.select(F.col(id_col))
+           .join(hits, on=id_col, how="left")
+           .select(id_col,
+                   F.col("bench_id").isNotNull().alias("contaminated"),
+                   "bench_id", "jaccard"))
+    return SparkFrame(out)

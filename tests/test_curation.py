@@ -593,3 +593,52 @@ def test_tfidf_cosine_pairs_max_df_is_lazy(spark, monkeypatch):
     # 'a' (df=4 > 0.8*4) is excluded; 'b' still pairs docs 1-2
     assert (1, 2) in got
     assert all(p[0] < p[1] for p in got)
+
+
+def test_minhash_decontaminate_flags_near_duplicates(spark):
+    """Fuzzy decontamination: verbatim and lightly-edited copies of a
+    benchmark doc are flagged with their best match; unrelated docs
+    come back clean with NULL match columns."""
+    from cl_data_frame_spark.operators.curation import (
+        minhash_decontaminate)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near "
+             "the river bank today"),
+         (2, "volcanoes and geology formations are entirely "
+             "unrelated to the benchmark"),
+         (3, "the quick brown fox jumps over the lazy dog near "
+             "the river bank again"),
+         (4, "a second benchmark question about gravity and "
+             "planetary orbital mechanics")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near "
+               "the river bank today"),
+         (200, "a second benchmark question about gravity and "
+               "planetary orbital mechanics")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in minhash_decontaminate(
+        corpus, bench, jaccard_threshold=0.7).spark_df.collect()}
+    assert len(out) == 4                 # one row per corpus doc
+    assert out[1].contaminated and out[1].bench_id == 100
+    assert out[1].jaccard == 1.0
+    assert out[3].contaminated and out[3].bench_id == 100
+    assert 0.7 <= out[3].jaccard < 1.0
+    assert out[4].contaminated and out[4].bench_id == 200
+    assert not out[2].contaminated
+    assert out[2].bench_id is None and out[2].jaccard is None
+
+
+def test_minhash_decontaminate_best_match_ties_min_bench_id(spark):
+    from cl_data_frame_spark.operators.curation import (
+        minhash_decontaminate)
+    text = "identical benchmark text appearing twice in the eval set"
+    corpus = spark.createDataFrame([(1, text)],
+                                   "doc_id bigint, text string")
+    bench = spark.createDataFrame([(9, text), (5, text)],
+                                  "doc_id bigint, text string")
+    r = minhash_decontaminate(corpus, bench,
+                              jaccard_threshold=0.9) \
+        .spark_df.collect()[0]
+    assert r.contaminated and r.jaccard == 1.0
+    assert r.bench_id == 5               # tie -> smallest bench id
