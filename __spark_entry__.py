@@ -3110,9 +3110,22 @@ def q_x_curation_scrub(spark, sf_dir):
               _BNULL().alias("i3"), _BNULL().alias("i4"),
               F.col("jaccard").cast("double").alias("d1"),
               _SNULL().alias("s1"))
+    # hashed linear quality classifier (fastText-style APPLY, round 9):
+    # md5 token buckets -> broadcast k-sized weight table -> exact
+    # integer mean-weight logit; no float in the label decision
+    qc = CUR.quality_classifier(docs, "doc_id", "text").spark_df
+    kt = _tag(qc, "qualclf",
+              F.col("doc_id").cast("bigint").alias("doc_id"),
+              F.col("n_tokens").cast("bigint").alias("i1"),
+              F.col("logit_milli").cast("bigint").alias("i2"),
+              F.col("label").cast("bigint").alias("i3"),
+              _BNULL().alias("i4"),
+              F.col("score").cast("double").alias("d1"),
+              _SNULL().alias("s1"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
-            .unionByName(h).unionByName(i).unionByName(jt))
+            .unionByName(h).unionByName(i).unionByName(jt)
+            .unionByName(kt))
 
 
 def _messy_urls(spark, sf_dir):
@@ -3829,7 +3842,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
-                         "tempsamp", "fuzzydecon"],
+                         "tempsamp", "fuzzydecon", "qualclf"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapdelete"],
 }
@@ -8008,6 +8021,35 @@ _ORACLES["x_curation_scrub"] = _union(
           "doc_id::BIGINT AS doc_id, contaminated::BIGINT AS i1, "
           "bench_id::BIGINT AS i2, NULL::BIGINT AS i3, "
           "NULL::BIGINT AS i4, jaccard::DOUBLE AS d1, "
+          "NULL::VARCHAR AS s1"),
+    # hashed linear quality classifier: md5 token bucket % 1024 ->
+    # deterministic milli-weight ((b*2654435761) % 2001 - 1000) ->
+    # exact-integer mean-weight logit; label = sum > 0 * n (integers)
+    _wrap("qualclf", f"""
+        WITH w AS (
+            SELECT b AS bucket,
+                   (b * 2654435761) % 2001 - 1000 AS w_milli
+            FROM (SELECT unnest(range(1024)) AS b)),
+        tok AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(lower(t) || '|qclf'), 1, 8))
+                       ::UBIGINT % 1024 AS bucket
+            FROM (SELECT doc_id, unnest({_TOKS}) AS t
+                  FROM documents)),
+        sc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(w.w_milli) AS logit_milli
+            FROM tok JOIN w USING (bucket)
+            GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(sc.n_tokens, 0) AS n_tokens, sc.logit_milli,
+               sc.logit_milli / (1000.0 * sc.n_tokens) AS score,
+               CASE WHEN sc.n_tokens > 0
+                    THEN (sc.logit_milli > 0)::BIGINT END AS label
+        FROM documents d LEFT JOIN sc USING (doc_id)""",
+          "doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS i1, "
+          "logit_milli::BIGINT AS i2, label::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, score::DOUBLE AS d1, "
           "NULL::VARCHAR AS s1"))
 
 _ORACLES["x_bm25_scores"] = """

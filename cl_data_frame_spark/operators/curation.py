@@ -443,3 +443,95 @@ def minhash_decontaminate(corpus, benchmark, id_col: str = "doc_id",
                    F.col("bench_id").isNotNull().alias("contaminated"),
                    "bench_id", "jaccard"))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style model APPLY)
+# ---------------------------------------------------------------------------
+
+QCLF_DIM = 1024
+#: Knuth's multiplicative-hash constant — used only to synthesize the
+#: deterministic stand-in weight table in :func:`classifier_weights`.
+QCLF_MIX = 2654435761
+
+
+def classifier_weights(spark, dim: int = QCLF_DIM,
+                       seed_mix: int = QCLF_MIX) -> DataFrame:
+    """Deterministic stand-in weight table ``(bucket, w_milli)`` for the
+    hashed classifier — integer milli-weights in [-1000, 1000].
+
+    A real deployment loads trained weights (a fastText / logistic
+    model exported as one row per hash bucket); this synthesizes an
+    arbitrary-but-fixed table of the same shape so the APPLY plumbing
+    is exercised end-to-end and the oracle can regenerate it exactly.
+    """
+    b = F.col("id")
+    return spark.range(dim).select(
+        b.alias("bucket"),
+        ((b * F.lit(seed_mix)) % 2001 - 1000).cast("long")
+        .alias("w_milli"))
+
+
+def quality_classifier(frame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       weights: DataFrame | None = None,
+                       dim: int = QCLF_DIM, salt: str = "qclf",
+                       threshold_milli: int = 0) -> SparkFrame:
+    """Hashed linear quality-classifier APPLY — the fastText-style
+    (Joulin et al., EACL 2017 "Bag of Tricks") model-based quality
+    filter of the CCNet / GPT-3 WebText curation recipes, scored with
+    EXACT integer arithmetic so any engine reproduces it bit-for-bit.
+
+    Per document: whitespace-tokenize, lowercase, hash each token into
+    one of ``dim`` buckets (md5-based — portable across engines), look
+    the bucket up in the broadcast ``weights`` table (integer
+    milli-weights), and score the document with the MEAN token weight:
+    ``score = sum(w_milli) / (1000 * n_tokens)`` (one exact-integer
+    division — bit-identical everywhere). ``label`` is the integer
+    compare ``sum_milli > threshold_milli * n_tokens``, i.e.
+    ``mean > threshold`` with no float in the decision path. The
+    monotone sigmoid is deliberately NOT applied: thresholding the
+    logit is the same classifier, and ``exp()`` is not cross-engine
+    exact.
+
+    100 TB posture: the weight table is k-sized (``dim`` rows) and
+    BROADCAST; the corpus side is one narrow explode + map-side join +
+    per-doc aggregation on ``id_col`` — no token-keyed shuffle, no UDF,
+    whole-stage codegen throughout. Documents with zero tokens survive
+    via the left join with NULL score/label.
+
+    The reference (`cl-data-frame.lisp:1-583`) has no text pipeline;
+    this is Tier X (SURVEY.md §2.3 text analysis).
+    """
+    sdf = _plain(frame)
+    spark = sdf.sparkSession
+    if weights is None:
+        weights = classifier_weights(spark, dim=dim)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    tok = (sdf.select(id_col, F.explode(toks).alias("__t__"))
+           .select(id_col, F.lower("__t__").alias("__t__")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col("__t__"), F.lit("|" + salt))), 1, 8),
+        16, 10).cast("long") % dim)
+    # LEFT join: a bucket absent from a sparse trained table means
+    # weight 0, and the token still counts toward the mean's divisor
+    scored = (tok.select(id_col, bucket.alias("bucket"))
+              .join(F.broadcast(weights), on="bucket", how="left")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum(F.coalesce("w_milli", F.lit(0)))
+                   .alias("logit_milli")))
+    out = (sdf.select(id_col)
+           .join(scored, on=id_col, how="left")
+           .select(id_col,
+                   F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                   "logit_milli",
+                   (F.col("logit_milli")
+                    / (1000.0 * F.col("n_tokens"))).alias("score"),
+                   F.when(F.col("n_tokens") > 0,
+                          (F.col("logit_milli")
+                           > F.lit(threshold_milli) * F.col("n_tokens"))
+                          .cast("boolean"))
+                   .alias("label")))
+    return SparkFrame(out)

@@ -642,3 +642,72 @@ def test_minhash_decontaminate_best_match_ties_min_bench_id(spark):
         .spark_df.collect()[0]
     assert r.contaminated and r.jaccard == 1.0
     assert r.bench_id == 5               # tie -> smallest bench id
+
+
+def test_quality_classifier_hand_computation(spark):
+    # two one-token docs + an empty doc: score must equal the exact
+    # weight of the token's bucket / 1000, and empty docs survive with
+    # NULL score/label
+    import hashlib
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "ALPHA"), (3, "   "), (4, "alpha beta")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           CUR.quality_classifier(docs).spark_df.collect()}
+
+    def w(tok):
+        b = int(hashlib.md5((tok + "|qclf").encode()).hexdigest()[:8],
+                16) % CUR.QCLF_DIM
+        return (b * CUR.QCLF_MIX) % 2001 - 1000
+
+    assert out[1]["n_tokens"] == 1
+    assert out[1]["logit_milli"] == w("alpha")
+    assert out[1]["score"] == w("alpha") / 1000.0
+    # lowercased before hashing: ALPHA == alpha
+    assert out[2]["logit_milli"] == out[1]["logit_milli"]
+    # empty doc: zero tokens, NULL score/label
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["score"] is None and out[3]["label"] is None
+    # two tokens: exact integer sum, mean logit
+    s = w("alpha") + w("beta")
+    assert out[4]["logit_milli"] == s
+    assert out[4]["score"] == s / 2000.0
+    assert out[4]["label"] == (s > 0)
+
+
+def test_quality_classifier_threshold_and_custom_weights(spark):
+    # a supplied (trained) weight table overrides the stand-in, and the
+    # label thresholds the MEAN milli-weight exactly
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "good bad")], ["doc_id", "text"])
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5((tok + "|qclf").encode())
+                   .hexdigest()[:8], 16) % CUR.QCLF_DIM
+
+    weights = spark.createDataFrame(
+        [(bucket("good"), 500), (bucket("bad"), -100)],
+        ["bucket", "w_milli"])
+    out = {r["doc_id"]: r for r in
+           CUR.quality_classifier(docs, weights=weights,
+                                  threshold_milli=300)
+           .spark_df.collect()}
+    assert out[1]["score"] == 0.5 and out[1]["label"] is True
+    # mean = (500-100)/2 = 200 milli < 300 threshold
+    assert out[2]["logit_milli"] == 400 and out[2]["label"] is False
+
+
+def test_quality_classifier_sparse_weights_zero_fill(spark):
+    # a token whose bucket is missing from the weight table contributes
+    # weight 0 but still counts in n_tokens (the mean's divisor)
+    import hashlib
+    docs = spark.createDataFrame([(1, "good unseen")],
+                                 ["doc_id", "text"])
+    b = int(hashlib.md5(b"good|qclf").hexdigest()[:8], 16) % CUR.QCLF_DIM
+    weights = spark.createDataFrame([(b, 800)], ["bucket", "w_milli"])
+    row = CUR.quality_classifier(docs, weights=weights) \
+        .spark_df.collect()[0]
+    assert row["n_tokens"] == 2
+    assert row["logit_milli"] == 800
+    assert row["score"] == 800 / 2000.0
