@@ -2874,9 +2874,39 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
+    # BLOOM point-lookup skipping (round 9): hash-partitioned on
+    # l_partkey, so every file's [min, max] spans the whole key domain
+    # and range stats prune NOTHING — the per-file Bloom filters must
+    # (i) admit the file(s) holding a present key while skipping
+    # others, (ii) skip (essentially) every file for an absent key —
+    # both asserted inline on the manifest every run — and (iii) the
+    # predicated read hash-matches the oracle's equality filter. The
+    # 1-value key fetch is metadata-sized driver state like `cut`.
+    bpath = os.path.join(tempfile.mkdtemp(prefix="cdf_bloom_"), "tbl")
+    bslice = li.filter(F.col("l_quantity") <= 2)
+    snapshot_write(bslice.repartition(4, "l_partkey"), bpath,
+                   mode="append", bloom_cols=["l_partkey"])
+    bkey = int(bslice.agg(F.min("l_partkey")).collect()[0][0])
+    n_ball = len(snapshot_scan_files(bpath))
+    n_bhit = len(snapshot_scan_files(
+        bpath, where=[("l_partkey", "==", bkey)]))
+    n_babs = len(snapshot_scan_files(
+        bpath, where=[("l_partkey", "==", bkey + 10_000_019)]))
+    assert 0 < n_bhit < n_ball and n_babs <= 1, \
+        f"bloom skipping ineffective: present {n_bhit}/{n_ball}, " \
+        f"absent {n_babs}"
+    bagg = (snapshot_read(spark, bpath,
+                          where=[("l_partkey", "==", bkey)]).spark_df
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    hb = _tag(bagg, "snapbloom",
+              F.col("n").cast("bigint").alias("i1"),
+              F.col("sum_qty").cast("double").alias("d1"),
+              F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
             .unionByName(c).unionByName(d).unionByName(e)
-            .unionByName(g))
+            .unionByName(g).unionByName(hb))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -3844,7 +3874,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp", "fuzzydecon", "qualclf"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
-                       "snapshot", "snapprune", "snapdelete"],
+                       "snapshot", "snapprune", "snapdelete",
+                       "snapbloom"],
 }
 
 
@@ -5621,6 +5652,20 @@ _ORACLES["s_layout_prune"] = _union(
           AND NOT (l_orderkey <=
                    (SELECT floor(max(l_orderkey) / 4)::BIGINT
                     FROM lineitem))""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapbloom: Bloom-filtered point lookup on a hash-scattered key —
+    # the Spark side also asserts the present-key lookup touched
+    # strictly fewer files and an absent key skipped (almost) all
+    _wrap("snapbloom", """
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem
+        WHERE l_quantity <= 2
+          AND l_partkey = (SELECT min(l_partkey) FROM lineitem
+                           WHERE l_quantity <= 2)""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"))
 

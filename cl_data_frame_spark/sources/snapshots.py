@@ -312,6 +312,148 @@ def _collect_file_stats(table_dir: str, rel_files: list[str],
     return out
 
 
+# ---------------------------------------------------------------------------
+# per-file BLOOM filters (the Delta/Iceberg point-lookup complement to
+# min/max stats): a hash-scattered key — uuid, content hash, user id —
+# has a per-file [min, max] spanning nearly the whole domain, so range
+# stats prune NOTHING on equality lookups. A per-file Bloom filter
+# answers "might this file contain key = v?" with no false negatives,
+# so a point read touches only the files whose filter fires.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_KEY = 10     # ~1% false-positive rate at k=7
+_BLOOM_K = 7
+#: column types whose Spark `cast(string)` equals Python `str()` on the
+#: lookup value — the canonicalization both sides must agree on.
+_BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _bloom_hashes(hexmd5: str) -> tuple[int, int]:
+    """Kirsch-Mitzenmacher double hashing off one md5: two 32-bit
+    halves; h2 forced odd so the stride never degenerates."""
+    return int(hexmd5[:8], 16), int(hexmd5[8:16], 16) * 2 + 1
+
+
+def _bloom_may_contain(entry: dict, canonical: str) -> bool:
+    import base64
+    import hashlib
+    bits = base64.b64decode(entry["b64"])
+    h1, h2 = _bloom_hashes(
+        hashlib.md5(canonical.encode("utf-8")).hexdigest())
+    m = entry["m"]
+    for i in range(entry["k"]):
+        p = (h1 + i * h2) % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_canonical(value, col_type: str) -> str | None:
+    """The canonical string both engines hash — None when the value /
+    column type pair has no engine-exact string form (then we keep the
+    file: sound, no pruning)."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, int) and col_type in (
+            "tinyint", "smallint", "int", "bigint"):
+        return str(value)
+    if isinstance(value, str) and col_type == "string":
+        return value
+    return None
+
+
+def _bloom_file_may_match(col_blooms: dict, eq_preds) -> bool:
+    for col, val in eq_preds:
+        e = col_blooms.get(col)
+        if not e:
+            continue
+        canonical = _bloom_canonical(val, e.get("t", ""))
+        if canonical is None:
+            continue
+        if not _bloom_may_contain(e, canonical):
+            return False
+    return True
+
+
+def _collect_file_blooms(spark: SparkSession, table_dir: str,
+                         rel_files: list[str],
+                         bloom_cols: Sequence[str]) -> dict:
+    """Per-file Bloom filters over *bloom_cols*, built DISTRIBUTED:
+    the k bit positions per value are Spark expressions (md5 double
+    hashing, whole-stage codegen), folded map-side to per-(file, byte)
+    ``bit_or`` partials — what reaches the driver is exactly the set
+    bytes of each filter, i.e. the same order of magnitude as the
+    manifest entry it becomes. One data scan over the NEW files only
+    (column-pruned to the bloom columns), mirroring Delta's write-time
+    bloom index cost.
+
+    Filters are sized from a per-file ``approx_count_distinct`` at
+    ``_BLOOM_BITS_PER_KEY`` bits/key (approximate ndv only sizes the
+    filter; correctness is unaffected — no false negatives by
+    construction)."""
+    import base64
+    paths = [os.path.join(table_dir, r) for r in rel_files]
+    df = spark.read.parquet(*paths)
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+    usable = [c for c in bloom_cols if types.get(c) in _BLOOM_TYPES]
+    bad = [c for c in bloom_cols if c not in types]
+    if bad:
+        raise ValueError(f"bloom_cols not in schema: {bad}")
+    out: dict[str, dict] = {}
+    if not usable:
+        return out
+    fcol = F.input_file_name().alias("__file__")
+    sized = (df.select(fcol, *usable).groupBy("__file__")
+             .agg(*[F.approx_count_distinct(c).alias(c)
+                    for c in usable]).collect())
+    m_by = {r["__file__"]: {
+        c: ((max(64, int(r[c]) * _BLOOM_BITS_PER_KEY) + 7) // 8) * 8
+        for c in usable} for r in sized}
+    for c in usable:
+        h = F.md5(F.col(c).cast("string"))
+        h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") * 2 + 1
+        m_map = F.create_map(*[x for fn, ms in m_by.items()
+                               for x in (F.lit(fn), F.lit(ms[c]))])
+        pos = F.explode(F.array(*[
+            ((h1 + i * h2) % F.col("__m__")).cast("int")
+            for i in range(_BLOOM_K)])).alias("__p__")
+        rows = (df.select(fcol, F.col(c))
+                .filter(F.col(c).isNotNull())
+                .withColumn("__m__", m_map[F.col("__file__")])
+                .select("__file__", "__m__", pos)
+                .groupBy("__file__", "__m__",
+                         F.shiftright("__p__", 3).alias("__b__"))
+                .agg(F.bit_or(
+                    F.expr("shiftleft(1, __p__ % 8)")
+                    .cast("int")).alias("__v__"))
+                .collect())
+        acc: dict[str, bytearray] = {}
+        for r in rows:
+            rel = next((x for x in rel_files
+                        if r["__file__"].endswith(x)), None)
+            if rel is None:
+                continue
+            buf = acc.setdefault(rel, bytearray(r["__m__"] // 8))
+            buf[r["__b__"]] |= r["__v__"]
+        for rel, buf in acc.items():
+            out.setdefault(rel, {})[c] = {
+                "m": len(buf) * 8, "k": _BLOOM_K, "t": types[c],
+                "b64": base64.b64encode(bytes(buf)).decode("ascii")}
+    return out
+
+
+def _carry_bloom(parent_manifest: dict | None,
+                 surviving_files, new_blooms: dict | None = None) -> dict:
+    """Bloom entries for a child manifest: parent filters follow the
+    files that survive verbatim (their content is unchanged); rewritten
+    files get fresh entries from *new_blooms* or none (sound — a file
+    without a filter is never pruned)."""
+    pb = (parent_manifest or {}).get("bloom") or {}
+    keep = set(surviving_files)
+    return {**{f: pb[f] for f in pb if f in keep}, **(new_blooms or {})}
+
+
 class _micros_timestamps:
     """Write-scope override to TIMESTAMP_MICROS parquet timestamps:
     Spark's INT96 default (legacy Hive compatibility) carries NO
@@ -361,12 +503,21 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
         stats = m.get("stats") or {}
         files = [f for f in files
                  if _file_may_match(stats.get(f, {}), where)]
+        blooms = m.get("bloom") or {}
+        if blooms:
+            eq = [(col, v) for col, op, v in where
+                  if op in ("==", "=")]
+            if eq:
+                files = [f for f in files
+                         if _bloom_file_may_match(blooms.get(f) or {},
+                                                  eq)]
     return files
 
 
 def snapshot_write(frame, table_dir: str, mode: str = "append",
                    num_files: int | None = None,
                    stats_cols: Sequence[str] | None = None,
+                   bloom_cols: Sequence[str] | None = None,
                    txn: tuple[str, int] | None = None,
                    merge_schema: bool = False) -> int:
     """Publish a new table version; returns the version number.
@@ -381,6 +532,14 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     files against them before the scan — the public Delta/Iceberg
     data-skipping model. Appends inherit the parent's stats for the
     files they carry forward.
+
+    ``bloom_cols`` names point-lookup key columns (int/string) that
+    additionally get a per-file BLOOM filter (built distributed, one
+    column-pruned scan over the new files; ~10 bits/key, ~1% FPP):
+    an ``==`` predicate then prunes files whose filter proves the key
+    absent — the complement to min/max stats for hash-scattered keys
+    whose per-file range spans the whole domain. No false negatives:
+    a fired filter only ever ADMITS a file.
 
     ``txn=(app_id, txn_version)`` records an idempotent-writer
     watermark in the manifest (Delta's ``txnAppId``/``txnVersion``
@@ -432,9 +591,13 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     files = list(new_files)
     stats = (_collect_file_stats(table_dir, new_files, stats_cols)
              if stats_cols else {})
+    bloom = (_collect_file_blooms(sdf.sparkSession, table_dir,
+                                  new_files, bloom_cols)
+             if bloom_cols else {})
     if mode == "append" and pm is not None:
         files = pm["files"] + files
         stats = {**(pm.get("stats") or {}), **stats}
+        bloom = {**(pm.get("bloom") or {}), **bloom}
     manifest = {
         "version": version,
         "parent": parent,
@@ -444,6 +607,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     }
     if stats:
         manifest["stats"] = stats
+    if bloom:
+        manifest["bloom"] = bloom
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
     if txn is not None:
         txns[txn[0]] = int(txn[1])
@@ -457,6 +622,7 @@ def snapshot_write_retrying(frame, table_dir: str,
                             mode: str = "append",
                             num_files: int | None = None,
                             stats_cols: Sequence[str] | None = None,
+                            bloom_cols: Sequence[str] | None = None,
                             max_retries: int = 5,
                             txn: tuple[str, int] | None = None) -> int:
     """``snapshot_write`` with the standard optimistic-concurrency
@@ -475,7 +641,8 @@ def snapshot_write_retrying(frame, table_dir: str,
         try:
             return snapshot_write(frame, table_dir, mode=mode,
                                   num_files=num_files,
-                                  stats_cols=stats_cols, txn=txn)
+                                  stats_cols=stats_cols,
+                                  bloom_cols=bloom_cols, txn=txn)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -532,6 +699,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         stats = {**{f: lstats[f] for f in lfiles
                     if f not in replaced and f in lstats},
                  **new_stats}
+        bloom = _carry_bloom(lm, [f for f in lfiles
+                                  if f not in replaced])
         manifest = {
             "version": latest + 1,
             "parent": latest,
@@ -541,6 +710,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         }
         if stats:
             manifest["stats"] = stats
+        if bloom:
+            manifest["bloom"] = bloom
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]
         try:
@@ -935,6 +1106,9 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             "files": untouched + new_files,
             "stats": {**{f: stats[f] for f in untouched}, **new_stats},
         }
+        bloom = _carry_bloom(m, untouched)
+        if bloom:
+            manifest["bloom"] = bloom
         if m.get("txn"):
             manifest["txn"] = m["txn"]
         _publish(table_dir, manifest)
@@ -979,6 +1153,8 @@ def snapshot_restore(table_dir: str, version: int) -> int:
         }
         if m.get("stats"):
             manifest["stats"] = m["stats"]
+        if m.get("bloom"):
+            manifest["bloom"] = m["bloom"]
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]  # idempotence watermarks are
             # writer-progress, not data state: they survive a restore
@@ -1038,8 +1214,11 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
     m = _read_manifest(table_dir, base_v)
     stats = m.get("stats") or {}
+    blooms = m.get("bloom") or {}
+    eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
     touched = [f for f in m["files"]
-               if _file_may_match(stats.get(f, {}), preds)]
+               if _file_may_match(stats.get(f, {}), preds)
+               and _bloom_file_may_match(blooms.get(f) or {}, eq)]
     untouched = [f for f in m["files"] if f not in set(touched)]
     schema = StructType.fromJson(json.loads(m["schema"]))
     keep_cond = None
@@ -1087,6 +1266,9 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
     }
     if not manifest["stats"]:
         del manifest["stats"]
+    bloom = _carry_bloom(m, untouched)
+    if bloom:
+        manifest["bloom"] = bloom
     if m.get("txn"):
         manifest["txn"] = m["txn"]
     try:

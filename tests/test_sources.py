@@ -1338,3 +1338,108 @@ class TestRestoreRace:
                      snapshots.snapshot_read(spark, t)
                      .spark_df.collect())
         assert got == list(range(10))     # v1 state restored
+
+
+class TestSnapshotBloomFilters:
+    """Per-file Bloom filters: point-lookup skipping where min/max
+    stats can't prune (hash-scattered keys spanning every file)."""
+
+    @staticmethod
+    def _scattered(spark, n=400, parts=8):
+        # multiplicative scramble: every file's [min, max] spans nearly
+        # the whole key domain, so range stats prune nothing
+        from pyspark.sql import functions as F
+        return (spark.range(n)
+                .select(((F.col("id") * 2654435761) % 1_000_003)
+                        .alias("k"),
+                        (F.col("id") % 100).alias("payload"))
+                .repartition(parts, "k"))
+
+    def test_point_lookup_prunes_and_never_false_negatives(
+            self, spark, tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_scan_files)
+        t = str(tmp_path / "tbl")
+        df = self._scattered(spark)
+        snapshot_write(df, t, stats_cols=["k"], bloom_cols=["k"])
+        all_files = snapshot_scan_files(t)
+        assert len(all_files) == 8
+        # range stats alone CANNOT prune this key layout (control)
+        keys = sorted(r.k for r in df.select("k").collect())
+        # every present key must be found (no false negatives), and
+        # its lookup must touch fewer files than the table holds
+        for k in keys[:25]:
+            got = snapshot_read(spark, t, where=[("k", "==", k)])
+            assert got.nrow >= 1
+            touched = snapshot_scan_files(t, where=[("k", "==", k)])
+            assert 1 <= len(touched) < len(all_files)
+        # absent keys: ~1% FPP per file -> expect (near-)total skips;
+        # deterministic data + md5 make this stable across runs
+        absent = [x for x in range(1000, 1100) if x not in set(keys)]
+        skipped_all = sum(
+            1 for k in absent
+            if not snapshot_scan_files(t, where=[("k", "==", k)]))
+        assert skipped_all >= len(absent) * 0.8
+        # and reads of absent keys are exactly empty
+        assert snapshot_read(
+            spark, t, where=[("k", "==", absent[0])]).nrow == 0
+
+    def test_string_keys_and_unprunable_types_sound(self, spark,
+                                                    tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_scan_files)
+        t = str(tmp_path / "tbl")
+        df = (spark.range(200)
+              .select(F.md5(F.col("id").cast("string")).alias("h"),
+                      F.col("id").cast("double").alias("x")))
+        snapshot_write(df.repartition(4, "h"), t,
+                       bloom_cols=["h"])
+        import hashlib
+        present = hashlib.md5(b"7").hexdigest()
+        assert snapshot_read(
+            spark, t, where=[("h", "==", present)]).nrow == 1
+        absent = "f" * 32
+        assert len(snapshot_scan_files(
+            t, where=[("h", "==", absent)])) <= 1
+        # a predicate on a column with no bloom filter never prunes
+        assert len(snapshot_scan_files(
+            t, where=[("x", "==", 3.0)])) == 4
+        # non-canonicalizable value types keep every file (sound)
+        assert len(snapshot_scan_files(
+            t, where=[("h", "==", 3.5)])) == 4
+
+    def test_bloom_carries_across_append_delete_restore(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_scan_files, snapshot_delete,
+            snapshot_restore, _read_manifest, _latest_version)
+        t = str(tmp_path / "tbl")
+        snapshot_write(self._scattered(spark, n=200, parts=4), t,
+                       stats_cols=["k"], bloom_cols=["k"])
+        # append WITHOUT bloom_cols: old files keep their filters
+        snapshot_write(
+            spark.range(1).select(F.lit(999_999).cast("bigint")
+                                  .alias("k"),
+                                  F.lit(0).cast("bigint")
+                                  .alias("payload")),
+            t, mode="append", stats_cols=["k"])
+        m = _read_manifest(t, _latest_version(t))
+        assert len(m["bloom"]) == 4          # v1's four files only
+        # absent-key lookup: v1 files bloom-pruned; the no-bloom append
+        # file survives only if its [min,max] admits the key
+        touched = snapshot_scan_files(t, where=[("k", "==", 123_456)])
+        assert len(touched) <= 1
+        # point DELETE rides the blooms: only the firing file(s) are
+        # rewritten; untouched files carry their filters into the child
+        k0 = self._scattered(spark, n=200, parts=4) \
+            .select("k").head()[0]
+        snapshot_delete(spark, t, [("k", "==", int(k0))])
+        m2 = _read_manifest(t, _latest_version(t))
+        assert set(m2["bloom"]) <= set(m2["files"])
+        assert len(m2["bloom"]) >= 3   # >= 3 of v1's 4 files untouched
+        # restore republises the old version's filters verbatim
+        v = snapshot_restore(t, 1)
+        m3 = _read_manifest(t, v)
+        assert set(m3["bloom"]) == set(m3["files"])
