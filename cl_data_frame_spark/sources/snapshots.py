@@ -443,6 +443,113 @@ def _collect_file_blooms(spark: SparkSession, table_dir: str,
     return out
 
 
+def _read_files_renamed(spark: SparkSession, table_dir: str,
+                        files: list[str], manifest: dict,
+                        merge_schema: bool = False) -> DataFrame:
+    """Read manifest files applying each file's RENAME CHAIN (Iceberg's
+    column-mapping idea reduced to its portable core): files written
+    before a ``snapshot_rename_column`` keep their original physical
+    column names on disk; the manifest records, per file, the renames
+    to apply at read time. Files are grouped by identical chain (one
+    Spark scan per era — almost always 1 or 2 groups) and unioned by
+    name into the table's current logical schema."""
+    rmap = manifest.get("renamed_files") or {}
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        chain = tuple(tuple(p) for p in rmap.get(f, []))
+        groups.setdefault(chain, []).append(f)
+    parts = []
+    for chain, fs in groups.items():
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        sdf = reader.parquet(*[os.path.join(table_dir, f) for f in fs])
+        for old, new in chain:
+            sdf = sdf.withColumnRenamed(old, new)
+        parts.append(sdf)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
+
+
+def snapshot_rename_column(table_dir: str, old: str, new: str,
+                           max_retries: int = 5) -> int:
+    """RENAME COLUMN as a METADATA-ONLY commit (Iceberg's column
+    mapping / Delta's column-mapping mode): no data file is read or
+    rewritten — the new manifest keeps the same file list, records the
+    rename in each existing file's read-time rename chain, rewrites the
+    schema JSON, and remaps per-file stats/bloom entries to the new
+    logical name (so predicated reads keep pruning). Appends after the
+    rename write the new physical name; reads union the eras by name.
+    A zero-cost rename on a 100 TB table — the whole point.
+
+    Metadata-only, so a lost publish race is settled by recomputing
+    against the new latest and retrying (same class as ``restore``).
+    Renaming to an existing column raises; chains compose (a->b then
+    b->c reads old files as c)."""
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        base_v = _latest_version(table_dir)
+        if base_v is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+        m = _read_manifest(table_dir, base_v)
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise KeyError(
+                f"column {old!r} not in table schema {names}")
+        if new in names:
+            raise ValueError(
+                f"column {new!r} already exists in {names}")
+        for fld in schema["fields"]:
+            if fld["name"] == old:
+                fld["name"] = new
+        rmap = {f: [list(p) for p in ch] for f, ch in
+                (m.get("renamed_files") or {}).items()}
+        for f in m["files"]:
+            rmap.setdefault(f, []).append([old, new])
+        stats = {f: {(new if c == old else c): st
+                     for c, st in s.items()}
+                 for f, s in (m.get("stats") or {}).items()}
+        bloom = {f: {(new if c == old else c): e
+                     for c, e in b.items()}
+                 for f, b in (m.get("bloom") or {}).items()}
+        manifest = {
+            "version": base_v + 1,
+            "parent": base_v,
+            "operation": "rename",
+            "schema": json.dumps(schema),
+            "files": m["files"],
+            "renamed_files": rmap,
+        }
+        if stats:
+            manifest["stats"] = stats
+        if bloom:
+            manifest["bloom"] = bloom
+        if m.get("txn"):
+            manifest["txn"] = m["txn"]
+        try:
+            _publish(table_dir, manifest)
+            return base_v + 1
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"rename lost the publish race {max_retries + 1} times in "
+        f"{table_dir}: {last}")
+
+
+def _carry_renames(parent_manifest: dict | None,
+                   surviving_files) -> dict:
+    """Rename chains for a child manifest: they follow the files that
+    survive verbatim; rewritten files are written with the CURRENT
+    logical schema, so they need no chain."""
+    rm = (parent_manifest or {}).get("renamed_files") or {}
+    keep = set(surviving_files)
+    return {f: rm[f] for f in rm if f in keep}
+
+
 def _carry_bloom(parent_manifest: dict | None,
                  surviving_files, new_blooms: dict | None = None) -> dict:
     """Bloom entries for a child manifest: parent filters follow the
@@ -594,10 +701,12 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     bloom = (_collect_file_blooms(sdf.sparkSession, table_dir,
                                   new_files, bloom_cols)
              if bloom_cols else {})
+    renames: dict = {}
     if mode == "append" and pm is not None:
         files = pm["files"] + files
         stats = {**(pm.get("stats") or {}), **stats}
         bloom = {**(pm.get("bloom") or {}), **bloom}
+        renames = pm.get("renamed_files") or {}
     manifest = {
         "version": version,
         "parent": parent,
@@ -609,6 +718,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         manifest["stats"] = stats
     if bloom:
         manifest["bloom"] = bloom
+    if renames:
+        manifest["renamed_files"] = renames
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
     if txn is not None:
         txns[txn[0]] = int(txn[1])
@@ -699,8 +810,9 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         stats = {**{f: lstats[f] for f in lfiles
                     if f not in replaced and f in lstats},
                  **new_stats}
-        bloom = _carry_bloom(lm, [f for f in lfiles
-                                  if f not in replaced])
+        surviving = [f for f in lfiles if f not in replaced]
+        bloom = _carry_bloom(lm, surviving)
+        renames = _carry_renames(lm, surviving)
         manifest = {
             "version": latest + 1,
             "parent": latest,
@@ -712,6 +824,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["stats"] = stats
         if bloom:
             manifest["bloom"] = bloom
+        if renames:
+            manifest["renamed_files"] = renames
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]
         try:
@@ -766,8 +880,8 @@ def snapshot_read(spark: SparkSession, table_dir: str,
         schema = StructType.fromJson(
             json.loads(_read_manifest(table_dir, version)["schema"]))
         return SparkFrame(spark.createDataFrame([], schema))
-    paths = [os.path.join(table_dir, f) for f in files]
-    sdf = spark.read.parquet(*paths)
+    sdf = _read_files_renamed(spark, table_dir, files,
+                              _read_manifest(table_dir, version))
     for col, op, val in (where or []):
         c = F.col(col)
         sdf = sdf.filter(
@@ -827,7 +941,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     total_bytes = sum(os.path.getsize(p) for p in paths)
     n_files = num_files or max(
         1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    sdf = spark.read.parquet(*paths)
+    sdf = _read_files_renamed(spark, table_dir, m["files"], m)
     version = base_v + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
@@ -978,9 +1092,9 @@ def snapshot_read_merged(spark: SparkSession, table_dir: str,
             raise FileNotFoundError(
                 f"no snapshot versions in {table_dir}")
     m = _read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
-    return SparkFrame(
-        spark.read.option("mergeSchema", "true").parquet(*paths))
+    return SparkFrame(_read_files_renamed(spark, table_dir,
+                                          m["files"], m,
+                                          merge_schema=True))
 
 
 def snapshot_merge(spark: SparkSession, table_dir: str, source,
@@ -1074,8 +1188,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
     untouched = [f for f in m["files"] if f not in set(touched)]
     schema = StructType.fromJson(json.loads(m["schema"]))
     if touched:
-        t_df = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in touched])
+        t_df = _read_files_renamed(spark, table_dir, touched, m)
     else:
         t_df = spark.createDataFrame([], schema)
     merged = _plain(merge_into(t_df, src, on, update_cols=update_cols,
@@ -1109,6 +1222,9 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         bloom = _carry_bloom(m, untouched)
         if bloom:
             manifest["bloom"] = bloom
+        renames = _carry_renames(m, untouched)
+        if renames:
+            manifest["renamed_files"] = renames
         if m.get("txn"):
             manifest["txn"] = m["txn"]
         _publish(table_dir, manifest)
@@ -1155,6 +1271,8 @@ def snapshot_restore(table_dir: str, version: int) -> int:
             manifest["stats"] = m["stats"]
         if m.get("bloom"):
             manifest["bloom"] = m["bloom"]
+        if m.get("renamed_files"):
+            manifest["renamed_files"] = m["renamed_files"]
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]  # idempotence watermarks are
             # writer-progress, not data state: they survive a restore
@@ -1237,8 +1355,7 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
     new_files: list[str] = []
     new_stats: dict = {}
     if touched:
-        t_df = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in touched])
+        t_df = _read_files_renamed(spark, table_dir, touched, m)
         # keep rows NOT matching the conjunction (NULLs never match a
         # comparison predicate, so they are kept — SQL DELETE WHERE
         # semantics)
@@ -1269,6 +1386,9 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
     bloom = _carry_bloom(m, untouched)
     if bloom:
         manifest["bloom"] = bloom
+    renames = _carry_renames(m, untouched)
+    if renames:
+        manifest["renamed_files"] = renames
     if m.get("txn"):
         manifest["txn"] = m["txn"]
     try:

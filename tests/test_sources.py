@@ -1443,3 +1443,105 @@ class TestSnapshotBloomFilters:
         v = snapshot_restore(t, 1)
         m3 = _read_manifest(t, v)
         assert set(m3["bloom"]) == set(m3["files"])
+
+
+class TestSnapshotRenameColumn:
+    """Metadata-only RENAME COLUMN (Iceberg column-mapping core): no
+    data file read or rewritten; old files map at read time."""
+
+    def test_rename_is_metadata_only_and_reads_back(self, spark,
+                                                    tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_rename_column,
+            _read_manifest, _latest_version)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(10).select(
+            F.col("id").alias("v"), (F.col("id") * 2).alias("w")), t)
+        before = _read_manifest(t, 1)["files"]
+        v = snapshot_rename_column(t, "v", "renamed_v")
+        assert v == 2
+        m = _read_manifest(t, 2)
+        assert m["files"] == before          # same files, zero rewrite
+        assert m["operation"] == "rename"
+        got = snapshot_read(spark, t)
+        assert sorted(got.spark_df.columns) == ["renamed_v", "w"]
+        assert sorted(r.renamed_v for r in got.spark_df.collect()) == \
+            list(range(10))
+        # time travel BEFORE the rename still shows the old name
+        old = snapshot_read(spark, t, version=1)
+        assert sorted(old.spark_df.columns) == ["v", "w"]
+        # invalid renames raise
+        with pytest.raises(KeyError):
+            snapshot_rename_column(t, "nope", "x")
+        with pytest.raises(ValueError):
+            snapshot_rename_column(t, "w", "renamed_v")
+
+    def test_append_after_rename_unions_eras(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_rename_column)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(5).select(F.col("id").alias("v")), t)
+        snapshot_rename_column(t, "v", "val")
+        # post-rename append uses the NEW name (schema enforcement)
+        snapshot_write(spark.range(5, 8).select(
+            F.col("id").alias("val")), t, mode="append")
+        got = snapshot_read(spark, t)
+        assert got.spark_df.columns == ["val"]
+        assert sorted(r.val for r in got.spark_df.collect()) == \
+            list(range(8))
+        # chained rename: old files now map v -> val -> k
+        snapshot_rename_column(t, "val", "k")
+        got2 = snapshot_read(spark, t)
+        assert got2.spark_df.columns == ["k"]
+        assert got2.nrow == 8
+
+    def test_rename_keeps_stats_bloom_pruning_and_delete(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_scan_files,
+            snapshot_rename_column, snapshot_delete)
+        t = str(tmp_path / "tbl")
+        snapshot_write(
+            spark.range(100).select(F.col("id").alias("k"),
+                                    (F.col("id") % 7).alias("p"))
+            .repartitionByRange(4, "k"),
+            t, stats_cols=["k"], bloom_cols=["k"])
+        snapshot_rename_column(t, "k", "key")
+        # stats/bloom entries were remapped: predicated reads on the
+        # NEW name still prune
+        hit = snapshot_scan_files(t, where=[("key", "==", 3)])
+        assert len(hit) == 1
+        got = snapshot_read(spark, t, where=[("key", "==", 3)])
+        assert [r.key for r in got.spark_df.collect()] == [3]
+        # row-level delete by the new name: rewritten file has the new
+        # physical schema; untouched files keep their chains
+        snapshot_delete(spark, t, [("key", "==", 3)])
+        after = snapshot_read(spark, t)
+        assert after.nrow == 99
+        assert after.spark_df.filter(F.col("key") == 3).count() == 0
+
+    def test_restore_and_optimize_across_rename(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_rename_column,
+            snapshot_restore, snapshot_optimize)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(6).select(F.col("id").alias("v")),
+                       t, num_files=3)
+        snapshot_rename_column(t, "v", "u")
+        # OPTIMIZE reads through the chains and writes the new schema
+        snapshot_optimize(spark, t, num_files=1)
+        got = snapshot_read(spark, t)
+        assert got.spark_df.columns == ["u"] and got.nrow == 6
+        # restore to the renamed-but-uncompacted version keeps chains
+        v = snapshot_restore(t, 2)
+        got2 = snapshot_read(spark, t, version=v)
+        assert got2.spark_df.columns == ["u"] and got2.nrow == 6
+        # and to before the rename
+        v3 = snapshot_restore(t, 1)
+        assert snapshot_read(spark, t, version=v3) \
+            .spark_df.columns == ["v"]
