@@ -598,3 +598,150 @@ def test_stream_to_snapshot_complete_mode_keeps_all_groups(spark,
            snapshot_read(spark, str(tmp_path / "tbl"))
            .spark_df.collect()}
     assert got == {"a": 3, "b": 1}        # b survived the update
+
+
+class TestSnapshotStreamSource:
+    """Snapshot table as a streaming SOURCE (Python data source API):
+    version-number offsets, manifest-diff batches, Delta-parity change
+    handling."""
+
+    def test_incremental_appends_stream_exactly_once(self, spark,
+                                                     tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import snapshot_write
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(F.col("id").alias("v")), t)
+        q = (read_stream_snapshot(spark, t)
+             .writeStream.format("memory").queryName("snapsrc_inc")
+             .start())
+        try:
+            q.processAllAvailable()
+            got = sorted(r.v for r in
+                         spark.table("snapsrc_inc").collect())
+            assert got == [0, 1, 2]
+            snapshot_write(spark.range(3, 5)
+                           .select(F.col("id").alias("v")),
+                           t, mode="append")
+            snapshot_write(spark.range(5, 6)
+                           .select(F.col("id").alias("v")),
+                           t, mode="append")
+            q.processAllAvailable()
+            got = sorted(r.v for r in
+                         spark.table("snapsrc_inc").collect())
+            assert got == [0, 1, 2, 3, 4, 5]   # no re-emission
+        finally:
+            q.stop()
+
+    def test_checkpoint_restart_resumes_at_offset(self, spark,
+                                                  tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import snapshot_write
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        snapshot_write(spark.range(4).select(F.col("id").alias("v")), t)
+        q = (read_stream_snapshot(spark, t)
+             .writeStream.format("parquet")
+             .option("checkpointLocation", ckpt)
+             .option("path", out).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # table grows while the stream is DOWN
+        snapshot_write(spark.range(4, 7).select(F.col("id").alias("v")),
+                       t, mode="append")
+        q2 = (read_stream_snapshot(spark, t)
+              .writeStream.format("parquet")
+              .option("checkpointLocation", ckpt)
+              .option("path", out).start())
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got = sorted(r.v for r in spark.read.parquet(out).collect())
+        assert got == list(range(7))          # resumed, not replayed
+
+    def test_non_append_change_raises_unless_ignored(self, spark,
+                                                     tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_delete)
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(6).select(F.col("id").alias("v")),
+                       t, num_files=1)
+        q = (read_stream_snapshot(spark, t)
+             .writeStream.format("memory").queryName("snapsrc_chg")
+             .start())
+        try:
+            q.processAllAvailable()
+            snapshot_delete(spark, t, [("v", "<=", 1)])  # rewrite
+            with pytest.raises(Exception, match="rewrote files"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # ignoreChanges: the rewritten file streams (re-emission is the
+        # documented Delta ignoreChanges trade)
+        q2 = (read_stream_snapshot(spark, t, ignore_changes=True)
+              .writeStream.format("memory").queryName("snapsrc_ign")
+              .start())
+        try:
+            q2.processAllAvailable()
+            got = sorted(r.v for r in
+                         spark.table("snapsrc_ign").collect())
+            # v1's file (0..5) + v2's rewritten survivors (2..5)
+            assert got == [0, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+        finally:
+            q2.stop()
+
+    def test_restarted_stream_reads_old_files_through_renames(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_rename_column)
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(F.col("id").alias("v")), t)
+        snapshot_rename_column(t, "v", "val")
+        snapshot_write(spark.range(3, 5).select(F.col("id")
+                                                .alias("val")),
+                       t, mode="append")
+        stream = read_stream_snapshot(spark, t)
+        assert stream.columns == ["val"]      # new logical schema
+        q = (stream.writeStream.format("memory")
+             .queryName("snapsrc_ren").start())
+        try:
+            q.processAllAvailable()
+            got = sorted(r.val for r in
+                         spark.table("snapsrc_ren").collect())
+            assert got == [0, 1, 2, 3, 4]     # old era mapped v -> val
+        finally:
+            q.stop()
+
+    def test_starting_version_skips_history(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import snapshot_write
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(F.col("id").alias("v")), t)
+        snapshot_write(spark.range(3, 5).select(F.col("id").alias("v")),
+                       t, mode="append")
+        q = (read_stream_snapshot(spark, t, starting_version=2)
+             .writeStream.format("memory").queryName("snapsrc_sv")
+             .start())
+        try:
+            q.processAllAvailable()
+            got = sorted(r.v for r in
+                         spark.table("snapsrc_sv").collect())
+            assert got == [3, 4]              # v1's files skipped
+        finally:
+            q.stop()
