@@ -1707,6 +1707,40 @@ def q_st_snapsink_only(spark, sf_dir):
                  .cast("double").alias("sum_value")))
 
 
+def q_st_snapsrc_only(spark, sf_dir):
+    """Snapshot table as a STREAMING SOURCE
+    (streaming/snapshot_source): events published as TWO snapshot
+    appends, the second landing WHILE the stream runs — the memory
+    sink's union of both micro-batches must equal the plain batch
+    aggregate over events (a re-emitted file or a missed version would
+    hash-mismatch). Offsets are version numbers; the planner reads
+    manifests only."""
+    import os
+    import tempfile
+    from cl_data_frame_spark.sources.snapshots import snapshot_write
+    from cl_data_frame_spark.streaming.snapshot_source import (
+        read_stream_snapshot)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "event_type", "value"))
+    t = os.path.join(tempfile.mkdtemp(prefix="cdf_snapsrc_"), "tbl")
+    snapshot_write(ev.filter(F.col("event_id") % 2 == 0), t)
+    _STREAM_SEQ[0] += 1
+    name = f"st_snapsrc_{_STREAM_SEQ[0]}"
+    q = (read_stream_snapshot(spark, t)
+         .writeStream.format("memory").queryName(name).start())
+    q.processAllAvailable()
+    snapshot_write(ev.filter(F.col("event_id") % 2 == 1), t,
+                   mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_value")))
+
+
 def q_st_dedup(spark, sf_dir):
     """Streaming dedup over an at-least-once stream: the events file read
     as TWO unioned file-source streams (every record delivered twice),
@@ -1733,7 +1767,12 @@ def q_st_dedup(spark, sf_dir):
              F.col("event_type").alias("s1"), _BNULL().alias("i1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_value").cast("double").alias("sum_value"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = _tag(q_st_snapsrc_only(spark, sf_dir), "snapsrc",
+             F.col("event_type").alias("s1"), _BNULL().alias("i1"),
+             F.col("n").cast("bigint").alias("n"),
+             F.col("sum_value").cast("double").alias("sum_value"))
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 # ===========================================================================
@@ -3910,6 +3949,7 @@ def query_parts() -> dict[str, dict[str, Callable]]:
         "ss_join": q_st_ss_join,
         "static_join": q_st_static_join,
         "snapsink": q_st_snapsink_only,
+        "snapsrc": q_st_snapsrc_only,
     }
     out["st_stateful"] = {
         "totals": q_st_totals_only,
@@ -7052,6 +7092,15 @@ _ORACLES["st_dedup"] = _union(
     # exactly-once means the final table is ONE copy of events (a
     # swallowed replay; a duplicate batch would double n/sum here)
     _wrap("snapsink", """
+        SELECT event_type, count(*)::BIGINT AS n,
+               (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
+        FROM events GROUP BY event_type""",
+          "event_type AS s1, NULL::BIGINT AS i1, n::BIGINT AS n, "
+          "sum_value::DOUBLE AS sum_value"),
+    # snapsrc: snapshot table streamed as a SOURCE across two live
+    # version commits; exactly-once offsets mean the sink holds ONE
+    # copy of events (a re-emitted file would double n/sum here)
+    _wrap("snapsrc", """
         SELECT event_type, count(*)::BIGINT AS n,
                (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
         FROM events GROUP BY event_type""",
