@@ -663,3 +663,116 @@ def extract_features_real(frame_or_df, payload_col: str = "payload",
     out = sdf.select(id_col, payload_col).mapInPandas(_extract,
                                                       schema=schema)
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# audio spectral features (framewise FFT over REAL decoded WAV samples)
+# ---------------------------------------------------------------------------
+
+def _spectral_summary(arr: np.ndarray, sr: int, n_fft: int = 2048,
+                      hop: int = 512):
+    """Framewise magnitude-spectrum summary of a mono signal — the
+    standard audio-curation signals (centroid/bandwidth/rolloff/
+    flatness, e.g. Peeters' CUIDADO feature set): Hann-windowed frames,
+    ``numpy.fft.rfft``, power-weighted moments averaged over frames.
+    Returns (n_frames, centroid_hz, bandwidth_hz, rolloff85_hz,
+    flatness, rms)."""
+    if arr.size == 0 or sr <= 0:
+        return 0, None, None, None, None, None
+    if arr.size < n_fft:
+        arr = np.pad(arr, (0, n_fft - arr.size))
+    n_frames = 1 + (arr.size - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = arr[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    psum = power.sum(axis=1)
+    live = psum > 0
+    if not live.any():
+        return int(n_frames), None, None, None, None, 0.0
+    p, ps = power[live], psum[live]
+    centroid = (p @ freqs) / ps
+    bandwidth = np.sqrt(
+        (p * (freqs[None, :] - centroid[:, None]) ** 2).sum(axis=1)
+        / ps)
+    cum = np.cumsum(p, axis=1)
+    roll_idx = (cum >= 0.85 * ps[:, None]).argmax(axis=1)
+    rolloff = freqs[roll_idx]
+    # spectral flatness: geometric / arithmetic mean of the power
+    # spectrum (exp-mean-log with a tiny floor for silent bins)
+    floor = np.maximum(p, 1e-30)
+    flat = np.exp(np.mean(np.log(floor), axis=1)) / (ps / p.shape[1])
+    rms = float(np.sqrt(np.mean(arr ** 2)))
+    return (int(n_frames), float(centroid.mean()),
+            float(bandwidth.mean()), float(rolloff.mean()),
+            float(flat.mean()), rms)
+
+
+def audio_spectral_features(frame_or_df, payload_col: str = "payload",
+                            id_col: str = "media_id",
+                            n_fft: int = 2048,
+                            hop: int = 512) -> SparkFrame:
+    """Audio feature extraction over a BINARY WAV column: decode with
+    the real stdlib WAV reader, then framewise-FFT spectral summary —
+    the signals an audio-corpus quality filter keys on (a hum/tone is
+    low-flatness + stable centroid; clipped noise is high-flatness;
+    silence is zero RMS). Non-WAV payloads pass through undecoded
+    (``decoded = false``, NULL features) so the operator is safe on a
+    mixed media table.
+
+    100 TB posture: one ``mapInPandas`` pass — payloads never leave
+    the executors, features are a few floats per file; the FFT is
+    numpy-vectorized per Arrow batch. No shuffle at all.
+    """
+    sdf = frame_or_df.spark_df if isinstance(frame_or_df, SparkFrame) \
+        else frame_or_df
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("centroid_hz", T.DoubleType(), True),
+        T.StructField("bandwidth_hz", T.DoubleType(), True),
+        T.StructField("rolloff85_hz", T.DoubleType(), True),
+        T.StructField("flatness", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("decoded", T.BooleanType(), False)])
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if not (isinstance(p, (bytes, bytearray))
+                            and p[:4] == b"RIFF"):
+                        raise ValueError("not WAV")
+                    meta, _ = _decode_wav(bytes(p))
+                    import io
+                    import wave
+                    with wave.open(io.BytesIO(bytes(p)), "rb") as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        sw = w.getsampwidth()
+                        raw = w.readframes(w.getnframes())
+                    dtype = {1: np.uint8, 2: np.dtype("<i2"),
+                             4: np.dtype("<i4")}[sw]
+                    arr = np.frombuffer(raw, dtype=dtype) \
+                        .astype(np.float64)
+                    if sw == 1:
+                        arr -= 128.0
+                    arr /= float(2 ** (8 * sw - 1))
+                    if nch > 1:
+                        arr = arr.reshape(-1, nch).mean(axis=1)
+                    nfr, cen, bw, roll, flat, rms = _spectral_summary(
+                        arr, sr, n_fft, hop)
+                    rows.append((mid, sr, meta["duration_ms"], nfr,
+                                 cen, bw, roll, flat, rms, True))
+                except Exception:
+                    rows.append((mid, None, None, None, None, None,
+                                 None, None, None, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    out = sdf.select(id_col, payload_col).mapInPandas(_extract,
+                                                      schema=schema)
+    return SparkFrame(out)

@@ -531,3 +531,72 @@ def test_jpeg_roundtrip_fuzz():
         assert err <= 4, (h, w, sub, ri, seed, err)
 
     check()
+
+
+class TestAudioSpectralFeatures:
+    """Framewise-FFT spectral summary over real decoded WAV samples."""
+
+    def test_pure_tone_centroid_matches_frequency(self, spark):
+        wav = _make_wav(freq=1000.0, sr=8000, seconds=0.5)
+        df = spark.createDataFrame([(1, wav)],
+                                   "media_id long, payload binary")
+        row = MM.audio_spectral_features(df).spark_df.collect()[0]
+        assert row["decoded"] is True
+        assert row["sample_rate"] == 8000
+        # a pure 1 kHz sine concentrates its power at 1 kHz: the
+        # centroid lands within one FFT bin (8000/2048 ~ 3.9 Hz plus
+        # window leakage)
+        assert abs(row["centroid_hz"] - 1000.0) < 25.0
+        assert row["bandwidth_hz"] < 100.0        # narrowband
+        assert abs(row["rolloff85_hz"] - 1000.0) < 30.0
+        assert row["flatness"] < 0.01             # tonal, not noisy
+        assert abs(row["rms"] - 0.5 / 2 ** 0.5) < 0.01  # sine RMS
+
+    def test_two_tone_centroid_between_and_noise_flatness(self, spark):
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+        # deterministic "noise": a dense multitone from a fixed lcg
+        sr, n = 8000, 8000
+        state, vals = 12345, []
+        for _ in range(n):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            vals.append(state / float(1 << 31) - 0.5)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(b"".join(
+                struct.pack("<h", int(v * 32767)) for v in vals))
+        noise = buf.getvalue()
+        lo = _make_wav(freq=500.0, sr=8000, seconds=0.5)
+        hi = _make_wav(freq=2000.0, sr=8000, seconds=0.5)
+        df = spark.createDataFrame(
+            [(1, lo), (2, hi), (3, noise), (4, b"not a wav")],
+            "media_id long, payload binary")
+        out = {r["media_id"]: r for r in
+               MM.audio_spectral_features(df).spark_df.collect()}
+        assert out[1]["centroid_hz"] < out[2]["centroid_hz"]
+        # broadband "noise" is far flatter and wider than any tone
+        assert out[3]["flatness"] > 10 * out[2]["flatness"]
+        assert out[3]["bandwidth_hz"] > 5 * out[2]["bandwidth_hz"]
+        # non-WAV payloads pass through undecoded, not crashing
+        assert out[4]["decoded"] is False
+        assert out[4]["centroid_hz"] is None
+
+    def test_spectral_summary_numpy_matches_parseval(self):
+        import numpy as np
+        sr = 8000
+        t = np.arange(4096) / sr
+        arr = 0.25 * np.sin(2 * np.pi * 1234.0 * t)
+        nfr, cen, bw, roll, flat, rms = MM._spectral_summary(arr, sr)
+        assert nfr == 1 + (4096 - 2048) // 512
+        assert abs(cen - 1234.0) < 25.0
+        assert abs(rms - 0.25 / 2 ** 0.5) < 1e-3
+        # silence: frames exist but no live power
+        z = np.zeros(4096)
+        nfr0, cen0, *_rest, rms0 = MM._spectral_summary(z, sr)
+        assert cen0 is None and rms0 == 0.0
