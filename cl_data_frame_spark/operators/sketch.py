@@ -212,3 +212,83 @@ def frequent_items(frame, col: str, k: int = 10,
     out = (counts.withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= k))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# incremental sketch STATE tables (snapshot-backed aggregate state)
+# ---------------------------------------------------------------------------
+
+def sketch_state_update(spark, table_dir: str, batch, col: str,
+                        group_cols: Sequence[str] = (),
+                        lg_k: int = 12,
+                        txn: tuple[str, int] | None = None,
+                        max_retries: int = 5) -> int:
+    """Incrementally maintain a per-group distinct-count STATE table:
+    merge the BATCH's HLL sketches into the snapshot-backed state and
+    publish the merged state as a new version — one scan over the
+    batch plus the k-sized state, NEVER a rescan of corpus history.
+    The canonical 100 TB pattern for "distinct users/urls/docs per
+    group, updated per ingest" — history stays in cold storage, the
+    state table is #groups x sketch-bytes forever.
+
+    The state schema is ``(*group_cols, estimate, sketch)``; the
+    binary sketch column is the mergeable truth, ``estimate`` a
+    convenience projection. A publish race (another ingest landed
+    mid-update) is settled by re-reading the new state and retrying —
+    sketch union is commutative/idempotent-free-ish ONLY across
+    disjoint batches, so the loser must re-merge, not rebase.
+    Returns the published version."""
+    new = hll_sketch(batch, col, list(group_cols), lg_k=lg_k) \
+        .spark_df.select(*group_cols, "sketch")
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_write)
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            cur = snapshot_read(spark, table_dir).spark_df \
+                .select(*group_cols, "sketch")
+            both = cur.unionByName(new)
+        except FileNotFoundError:
+            both = new
+        merged = (both.groupBy(*group_cols)
+                  .agg(F.hll_union_agg("sketch").alias("sketch"))
+                  if group_cols else
+                  both.agg(F.hll_union_agg("sketch").alias("sketch")))
+        state = merged.select(
+            *group_cols,
+            F.hll_sketch_estimate("sketch").alias("estimate"),
+            "sketch")
+        try:
+            return snapshot_write(state, table_dir, mode="overwrite",
+                                  num_files=1, txn=txn)
+        except FileExistsError as exc:
+            last = exc                 # racer landed: re-read, re-merge
+    raise FileExistsError(
+        f"sketch state update lost the publish race "
+        f"{max_retries + 1} times in {table_dir}: {last}")
+
+
+def sketch_state_stream_sink(table_dir: str, col: str,
+                             group_cols: Sequence[str] = (),
+                             app_id: str = "sketch_state",
+                             lg_k: int = 12):
+    """foreachBatch callable maintaining the sketch state table from a
+    STREAM with exactly-once semantics: every update stamps
+    ``txn = (app_id, batch_id)``; a replayed micro-batch (Spark's
+    at-least-once foreachBatch contract after a crash) sees the
+    watermark and returns without merging. HLL union happens to be
+    idempotent (register max), so the guard's value here is a clean
+    one-commit-per-batch history — but it is the load-bearing
+    correctness guard the moment the state carries any
+    count-accumulating summary (KLL n, count-min), so the sink keeps
+    the same protocol as ``snapshot_stream_sink``."""
+    def _sink(batch_df, batch_id: int) -> None:
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_txn_version)
+        done = snapshot_txn_version(table_dir, app_id)
+        if done is not None and int(batch_id) <= done:
+            return
+        sketch_state_update(batch_df.sparkSession, table_dir,
+                            batch_df, col, group_cols, lg_k=lg_k,
+                            txn=(app_id, int(batch_id)))
+    return _sink

@@ -112,3 +112,54 @@ def test_ann_join_topk_lsh_and_recall(spark):
                 ann_recall_at_k(truth, part, k=3).spark_df.collect())
     assert r1 == r2
     assert all(0.0 <= rec <= 1.0 for _, rec in r1)
+
+
+class TestSketchStateTable:
+    """Snapshot-backed incremental HLL state: batch merges never
+    rescan history; the final state equals the one-shot aggregate."""
+
+    def test_incremental_equals_oneshot(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.operators import sketch as SK
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_history, snapshot_read)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t = str(tmp_path / "state")
+        for i in range(3):                       # three ingest batches
+            SK.sketch_state_update(
+                spark, t, docs.filter(F.col("doc_id") % 3 == i),
+                "doc_id", ["lang"])
+        got = {r["lang"]: r["estimate"] for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        oneshot = {r["lang"]: r["estimate"] for r in
+                   SK.hll_sketch(docs, "doc_id", ["lang"])
+                   .spark_df.collect()}
+        assert got == oneshot                    # merged == one-shot
+        exact = {r["lang"]: r["n"] for r in
+                 docs.groupBy("lang")
+                 .agg(F.countDistinct("doc_id").alias("n")).collect()}
+        for lang, est in got.items():
+            assert abs(est - exact[lang]) <= max(2, 0.05 * exact[lang])
+        # one version per update, each a k-sized overwrite
+        assert [h["version"] for h in snapshot_history(t)] == [1, 2, 3]
+
+    def test_stream_sink_swallows_replay(self, spark, sf_dir,
+                                         tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.operators import sketch as SK
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_history, snapshot_read)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "lang")
+        t = str(tmp_path / "state")
+        sink = SK.sketch_state_stream_sink(t, "doc_id", ["lang"],
+                                           app_id="t_sketch")
+        sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        sink(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        before = sorted((r["lang"], r["estimate"]) for r in
+                        snapshot_read(spark, t).spark_df.collect())
+        sink(docs.filter(F.col("doc_id") % 2 == 1), 1)   # crash replay
+        after = sorted((r["lang"], r["estimate"]) for r in
+                       snapshot_read(spark, t).spark_df.collect())
+        assert after == before
+        assert len(snapshot_history(t)) == 2     # no third commit
