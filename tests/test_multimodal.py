@@ -600,3 +600,69 @@ class TestAudioSpectralFeatures:
         z = np.zeros(4096)
         nfr0, cen0, *_rest, rms0 = MM._spectral_summary(z, sr)
         assert cen0 is None and rms0 == 0.0
+
+
+def _make_mp4(timescale=1000, duration=5000, w=640, h=360,
+              codec=b"avc1", brand=b"isom"):
+    """Minimal ISO-BMFF container: ftyp + moov{mvhd, trak{tkhd,
+    mdia{minf{stbl{stsd(codec)}}}}} — structurally valid boxes, no
+    media data."""
+    import struct
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd = box(b"mvhd", bytes(4)                      # version/flags
+               + bytes(8)                             # ctime/mtime
+               + struct.pack(">II", timescale, duration)
+               + bytes(80))
+    tkhd = box(b"tkhd", bytes(76)                     # v0 body pre-dims
+               + struct.pack(">II", w << 16, h << 16))
+    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1)
+               + box(codec, bytes(70)))
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+class TestVideoContainerMeta:
+    def test_parses_brand_duration_dims_codec(self, spark):
+        mp4 = _make_mp4()
+        df = spark.createDataFrame(
+            [(1, mp4), (2, b"garbage"), (3, _make_wav())],
+            "media_id long, payload binary")
+        out = {r["media_id"]: r for r in
+               MM.video_container_meta(df).spark_df.collect()}
+        r = out[1]
+        assert r["parsed"] is True
+        assert r["brand"] == "isom"
+        assert r["duration_ms"] == 5000
+        assert (r["width"], r["height"]) == (640, 360)
+        assert r["n_tracks"] == 1
+        assert r["codecs"] == ["avc1"]
+        # non-BMFF payloads surface parsed=false, not a task failure
+        assert out[2]["parsed"] is False
+        assert out[3]["parsed"] is False
+
+    def test_64bit_size_and_v1_mvhd(self):
+        import struct
+
+        def box64(t, payload):
+            return (struct.pack(">I", 1) + t
+                    + struct.pack(">Q", 16 + len(payload)) + payload)
+
+        body = (bytes([1]) + bytes(3)          # version=1
+                + bytes(16)                    # 64-bit ctime/mtime
+                + struct.pack(">IQ", 48000, 96000)   # ts, dur (2 s)
+                + bytes(80))
+        mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+        moov = box64(b"moov", mvhd)
+        meta = MM._decode_mp4_meta(
+            struct.pack(">I", 16) + b"ftyp" + b"mp42" + bytes(4)
+            + moov)
+        assert meta["duration_ms"] == 2000
+        assert meta["format"] == "mp42"
