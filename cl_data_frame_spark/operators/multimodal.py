@@ -603,12 +603,15 @@ def _detect_decode(payload: bytes, n_features: int, strict: bool):
             decoder = _decode_png
         elif payload[:2] == b"\xff\xd8":
             decoder = _decode_jpeg
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            decoder = _decode_gif
         elif strict:
             raise NotImplementedError(
                 "no stdlib decoder for this format (MP4/video-"
                 "class codecs need ffmpeg, absent here); formats "
                 "decoded for real: WAV, PPM (P6), BMP (24-bit), "
-                "PNG (8-bit gray/RGB/RGBA), JPEG (baseline SOF0)")
+                "PNG (8-bit gray/RGB/RGBA), JPEG (baseline SOF0), "
+                "GIF (87a/89a LZW)")
     if decoder is None:
         return None, _fake_decode(bytes(payload or b""),
                                   n_features).tolist()
@@ -913,3 +916,127 @@ def video_container_meta(frame_or_df, payload_col: str = "payload",
     out = sdf.select(id_col, payload_col).mapInPandas(_extract,
                                                       schema=schema)
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF decoder (pure stdlib: GIF87a/89a LZW per the public GIF spec)
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(min_code_size: int, data: bytes,
+                    n_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable code width starting at
+    ``min_code_size + 1``, LSB-first bit packing, CLEAR resets the
+    dictionary, width grows after the dictionary fills, capped at 12
+    bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return ({i: (i,) for i in range(clear)}, clear + 2,
+                min_code_size + 1)
+
+    table, next_code, width = reset()
+    out: list[int] = []
+    acc = nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, next_code, width = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_pixels]
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)   # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels]
+
+
+def _deinterlace_gif(rows: list, h: int) -> list:
+    """GIF 4-pass interlace: rows appear in passes starting at
+    0/4/2/1 with strides 8/8/4/2."""
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    out = [None] * h
+    for src, dst in enumerate(order):
+        out[dst] = rows[src]
+    return out
+
+
+def _decode_gif(payload: bytes):
+    """Decode the FIRST frame of a GIF87a/89a payload to RGB pixels
+    via pure-stdlib LZW (public GIF specification), honoring global/
+    local color tables and the 4-pass interlace; emits the shared
+    image feature vector."""
+    import struct
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[off:off + 3 * n]
+        off += 3 * n
+    while off < len(payload):
+        b = payload[off]
+        if b == 0x21:                       # extension: skip sub-blocks
+            off += 2
+            while payload[off] != 0:
+                off += 1 + payload[off]
+            off += 1
+        elif b == 0x2C:                     # image descriptor
+            _lx, _ty, w, h, ip = struct.unpack("<HHHHB",
+                                               payload[off + 1:off + 10])
+            off += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                pal = payload[off:off + 3 * n]
+                off += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[off]
+            off += 1
+            chunks = []
+            while payload[off] != 0:
+                ln = payload[off]
+                chunks.append(payload[off + 1:off + 1 + ln])
+                off += 1 + ln
+            idx = _gif_lzw_decode(mcs, b"".join(chunks), w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+            if ip & 0x40:
+                rows = _deinterlace_gif(rows, h)
+            flat = [i for row in rows for i in row]
+            px = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[
+                np.asarray(flat, dtype=np.int64)].reshape(h, w, 3)
+            meta, feats = _image_features(px.astype(np.float64), w, h,
+                                          "gif")
+            return meta, feats
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF payload holds no image frame")

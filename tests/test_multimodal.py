@@ -666,3 +666,87 @@ class TestVideoContainerMeta:
             + moov)
         assert meta["duration_ms"] == 2000
         assert meta["format"] == "mp42"
+
+
+def _lzw_pack(codes, width_start):
+    """LSB-first bit packing at FIXED width (valid when every code is
+    preceded by a clear, which pins the width)."""
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width_start
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _make_gif(pixels, w, h, palette, interlace=False):
+    """Hand-built GIF89a: 2-bit-min global color table, each pixel code
+    preceded by a CLEAR (keeps the LZW width fixed — valid, just
+    uncompressed)."""
+    import struct
+    mcs = 2
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pal = bytearray()
+    for rgb in palette:
+        pal.extend(rgb)
+    while len(pal) < 3 * 4:
+        pal.extend((0, 0, 0))
+    codes = []
+    for p in pixels:
+        codes += [clear, p]
+    codes.append(eoi)
+    data = _lzw_pack(codes, mcs + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)  # GCT, 4 ent
+    out += pal[:12]
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out.append(mcs)
+    out += bytes([len(data)]) + data + b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+class TestGifDecoder:
+    PALETTE = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+
+    def test_golden_pixels_2x2(self):
+        gif = _make_gif([0, 1, 2, 3], 2, 2, self.PALETTE)
+        meta, feats = MM._decode_gif(gif)
+        assert (meta["width"], meta["height"]) == (2, 2)
+        assert meta["format"] == "gif"
+        # mean channel values over [red, green, blue, white] pixels:
+        # R: (255+0+0+255)/4/255, G: same, B: same = 0.5 each
+        assert feats[2:5] == [0.5, 0.5, 0.5]
+
+    def test_interlaced_rows_reordered(self):
+        # 1x4 column, final rows must read [0,1,2,3]; interlaced file
+        # order for h=4 is [0,2,1,3]
+        gif = _make_gif([0, 2, 1, 3], 1, 4, self.PALETTE,
+                        interlace=True)
+        import numpy as np
+        meta, feats = MM._decode_gif(gif)
+        assert (meta["width"], meta["height"]) == (1, 4)
+        plain = _make_gif([0, 1, 2, 3], 1, 4, self.PALETTE)
+        assert MM._decode_gif(plain)[1] == feats  # same image
+
+    def test_lzw_kwkwk_case(self):
+        # stream [clear, 1, next_code, EOI] at mcs=2 exercises the
+        # cScSc corner: code == next_code -> prev + prev[0]
+        packed = _lzw_pack([4, 1, 6, 5], 3)
+        assert MM._gif_lzw_decode(2, packed, 3) == [1, 1, 1]
+
+    def test_real_extract_routes_gif(self, spark):
+        gif = _make_gif([0, 0, 3, 3], 2, 2, self.PALETTE)
+        df = spark.createDataFrame([(1, gif)],
+                                   "media_id long, payload binary")
+        row = MM.extract_features_real(df).spark_df.collect()[0]
+        assert row["decoded"] is True
+        assert row["meta"]["format"] == "gif"
+        assert row["meta"]["width"] == 2
