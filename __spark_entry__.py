@@ -3179,6 +3179,20 @@ def q_x_curation_scrub(spark, sf_dir):
               _BNULL().alias("i3"), _BNULL().alias("i4"),
               F.col("jaccard").cast("double").alias("d1"),
               _SNULL().alias("s1"))
+    # Luhn-gated payment-card PII (round 9): deterministic card
+    # templates by doc_id class — valid PAN / Luhn-failing 16 digits /
+    # grouped valid / none — so the oracle states the EXPECTED counts
+    # and redacted text directly (ground truth, not a re-implementation
+    # of the regex + checksum)
+    cards = _card_texts(spark, sf_dir)
+    cp = CUR.card_pii(cards, "doc_id", "text").spark_df
+    ct = _tag(cp, "cardpii",
+              F.col("doc_id").cast("bigint").alias("doc_id"),
+              F.col("n_candidates").cast("bigint").alias("i1"),
+              F.col("n_valid").cast("bigint").alias("i2"),
+              _BNULL().alias("i3"), _BNULL().alias("i4"),
+              _DNULL().alias("d1"),
+              F.col("redacted_md5").alias("s1"))
     # hashed linear quality classifier (fastText-style APPLY, round 9):
     # md5 token buckets -> broadcast k-sized weight table -> exact
     # integer mean-weight logit; no float in the label decision
@@ -3194,7 +3208,21 @@ def q_x_curation_scrub(spark, sf_dir):
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e).unionByName(f).unionByName(g)
             .unionByName(h).unionByName(i).unionByName(jt)
-            .unionByName(kt))
+            .unionByName(kt).unionByName(ct))
+
+
+def _card_texts(spark, sf_dir):
+    """Deterministic card-bearing texts for the cardpii part: doc_id
+    class 0 holds a valid test PAN, class 1 a Luhn-failing 16-digit
+    run, class 2 a space-grouped valid PAN, class 3 no digits."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id") % 4
+    return docs.select(
+        "doc_id",
+        F.when(d == 0, F.lit("pay 4111111111111111 now"))
+        .when(d == 1, F.lit("order 1234567812345678 shipped"))
+        .when(d == 2, F.lit("grouped 4111 1111 1111 1111 card"))
+        .otherwise(F.lit("no digits here")).alias("text"))
 
 
 def _messy_urls(spark, sf_dir):
@@ -3911,7 +3939,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_media": ["dedup", "frames"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
-                         "tempsamp", "fuzzydecon", "qualclf"],
+                         "tempsamp", "fuzzydecon", "qualclf",
+                         "cardpii"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapdelete",
                        "snapbloom"],
@@ -8144,7 +8173,26 @@ _ORACLES["x_curation_scrub"] = _union(
           "doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS i1, "
           "logit_milli::BIGINT AS i2, label::BIGINT AS i3, "
           "NULL::BIGINT AS i4, score::DOUBLE AS d1, "
-          "NULL::VARCHAR AS s1"))
+          "NULL::VARCHAR AS s1"),
+    # cardpii: Luhn-gated card redaction over deterministic templates —
+    # the oracle states the EXPECTED candidate/valid counts and the
+    # redacted text per class (ground truth)
+    _wrap("cardpii", """
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END
+                   AS n_candidates,
+               CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END
+                   AS n_valid,
+               md5(CASE doc_id % 4
+                   WHEN 0 THEN 'pay [CARD] now'
+                   WHEN 1 THEN 'order 1234567812345678 shipped'
+                   WHEN 2 THEN 'grouped [CARD] card'
+                   ELSE 'no digits here' END) AS redacted_md5
+        FROM documents""",
+          "doc_id::BIGINT AS doc_id, n_candidates::BIGINT AS i1, "
+          "n_valid::BIGINT AS i2, NULL::BIGINT AS i3, "
+          "NULL::BIGINT AS i4, NULL::DOUBLE AS d1, "
+          "redacted_md5 AS s1"))
 
 _ORACLES["x_bm25_scores"] = """
     WITH toks AS (

@@ -535,3 +535,59 @@ def quality_classifier(frame, id_col: str = "doc_id",
                           .cast("boolean"))
                    .alias("label")))
     return SparkFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card detection (checksum-gated PII)
+# ---------------------------------------------------------------------------
+
+#: candidate card numbers: 13-19 digits, optionally space/dash grouped
+CARD_CANDIDATE_RE = r"\b(?:[0-9][ -]?){12,18}[0-9]\b"
+
+
+def luhn_valid_expr(digits: Column) -> Column:
+    """Luhn (ISO/IEC 7812) checksum over a digits-only string column —
+    pure expressions: reverse, double every second digit, subtract 9
+    above 9, sum mod 10 == 0. The validation step real PII scanners
+    gate card matches on (a raw 16-digit regex fires on order ids,
+    timestamps, and phone numbers all day)."""
+    rev = F.reverse(digits)
+    idx = F.sequence(F.lit(1), F.length(rev))
+    terms = F.transform(idx, lambda i: F.when(
+        i % 2 == 0,
+        F.when(F.substring(rev, i, 1).cast("int") * 2 > 9,
+               F.substring(rev, i, 1).cast("int") * 2 - 9)
+        .otherwise(F.substring(rev, i, 1).cast("int") * 2))
+        .otherwise(F.substring(rev, i, 1).cast("int")))
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return (F.length(digits).between(13, 19)) & (total % 10 == 0)
+
+
+def card_pii(frame, id_col: str = "doc_id", text_col: str = "text",
+             redact_token: str = "[CARD]") -> SparkFrame:
+    """Checksum-gated payment-card PII: extract candidate digit runs
+    (13-19 digits, space/dash grouping allowed), keep only those whose
+    digits pass the Luhn check, and redact exactly the validated ones.
+    Output per document: candidate count, valid count, redacted text +
+    md5 (exact cross-engine equality signal).
+
+    One narrow codegen'd pass — candidates live in an in-row array,
+    the redaction is an ``aggregate`` fold replacing each validated
+    literal; nothing shuffles.
+    """
+    sdf = _plain(frame)
+    text = F.col(text_col)
+    cands = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RE),
+                                 F.lit(0))
+    digits_of = (lambda s: F.regexp_replace(s, "[ -]", ""))
+    valid = F.filter(cands, lambda s: luhn_valid_expr(digits_of(s)))
+    red = F.aggregate(valid, text,
+                      lambda acc, s: F.replace(acc, s,
+                                               F.lit(redact_token)))
+    out = sdf.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_valid"),
+        red.alias("redacted")).withColumn(
+            "redacted_md5", F.md5("redacted"))
+    return SparkFrame(out)

@@ -711,3 +711,35 @@ def test_quality_classifier_sparse_weights_zero_fill(spark):
     assert row["n_tokens"] == 2
     assert row["logit_milli"] == 800
     assert row["score"] == 800 / 2000.0
+
+
+def test_card_pii_luhn_gates_redaction(spark):
+    df = spark.createDataFrame([
+        (1, "pay 4111111111111111 now"),          # valid Visa test PAN
+        (2, "order 1234567812345678 shipped"),    # 16 digits, bad Luhn
+        (3, "grouped 4111 1111 1111 1111 card"),  # valid, grouped
+        (4, "call 555-123-4567 no card"),         # too short
+        (5, "amex 378282246310005 ok"),           # 15-digit valid
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           CUR.card_pii(df).spark_df.collect()}
+    assert (out[1]["n_candidates"], out[1]["n_valid"]) == (1, 1)
+    assert out[1]["redacted"] == "pay [CARD] now"
+    # a Luhn-failing digit run is COUNTED as a candidate but neither
+    # validated nor redacted (the false-positive gate)
+    assert (out[2]["n_candidates"], out[2]["n_valid"]) == (1, 0)
+    assert out[2]["redacted"] == "order 1234567812345678 shipped"
+    assert out[3]["redacted"] == "grouped [CARD] card"
+    assert (out[4]["n_candidates"], out[4]["n_valid"]) == (0, 0)
+    assert (out[5]["n_candidates"], out[5]["n_valid"]) == (1, 1)
+
+
+def test_luhn_expr_known_vectors(spark):
+    rows = [("4111111111111111", True), ("4111111111111112", False),
+            ("378282246310005", True), ("6011111111111117", True),
+            ("123", False)]
+    df = spark.createDataFrame(rows, ["digits", "expect"])
+    got = df.select("expect",
+                    CUR.luhn_valid_expr(F.col("digits"))
+                    .alias("valid")).collect()
+    assert all(r["valid"] == r["expect"] for r in got)
