@@ -453,11 +453,13 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
     to apply at read time. Files are grouped by identical chain (one
     Spark scan per era — almost always 1 or 2 groups) and unioned by
     name into the table's current logical schema."""
+    from pyspark.sql.types import StructType
     rmap = manifest.get("renamed_files") or {}
     groups: dict[tuple, list[str]] = {}
     for f in files:
         chain = tuple(tuple(p) for p in rmap.get(f, []))
         groups.setdefault(chain, []).append(f)
+    fields = StructType.fromJson(json.loads(manifest["schema"])).fields
     parts = []
     for chain, fs in groups.items():
         reader = spark.read
@@ -466,6 +468,16 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
         sdf = reader.parquet(*[os.path.join(table_dir, f) for f in fs])
         for old, new in chain:
             sdf = sdf.withColumnRenamed(old, new)
+        if not merge_schema:
+            # a version's read surface IS its manifest schema: project
+            # away physically-present-but-dropped columns, NULL-fill
+            # columns this era predates — deterministic regardless of
+            # which files survive pruning
+            have = set(sdf.columns)
+            sdf = sdf.select(*[
+                F.col(f.name) if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields])
         parts.append(sdf)
     out = parts[0]
     for p in parts[1:]:
@@ -538,6 +550,67 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
     raise FileExistsError(
         f"rename lost the publish race {max_retries + 1} times in "
         f"{table_dir}: {last}")
+
+
+def snapshot_drop_column(table_dir: str, col: str,
+                         max_retries: int = 5) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit (the column-mapping twin
+    of ``snapshot_rename_column``): no file is rewritten — the new
+    manifest's schema loses the field, reads project it away, and each
+    existing file's rename chain maps the physical column to a
+    version-unique TOMBSTONE name so a later ``merge_schema`` re-add
+    of the same name can never resurface the stale bytes. Per-file
+    stats/bloom entries for the column are removed. Time travel to
+    pre-drop versions still shows the column."""
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        base_v = _latest_version(table_dir)
+        if base_v is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+        m = _read_manifest(table_dir, base_v)
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if col not in names:
+            raise KeyError(
+                f"column {col!r} not in table schema {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop a table's only column")
+        schema["fields"] = [f for f in schema["fields"]
+                            if f["name"] != col]
+        tomb = f"__dropped_v{base_v + 1}__{col}"
+        rmap = {f: [list(p) for p in ch] for f, ch in
+                (m.get("renamed_files") or {}).items()}
+        for f in m["files"]:
+            rmap.setdefault(f, []).append([col, tomb])
+        stats = {f: {c: st for c, st in s.items() if c != col}
+                 for f, s in (m.get("stats") or {}).items()}
+        bloom = {f: {c: e for c, e in b.items() if c != col}
+                 for f, b in (m.get("bloom") or {}).items()}
+        manifest = {
+            "version": base_v + 1,
+            "parent": base_v,
+            "operation": "drop_column",
+            "schema": json.dumps(schema),
+            "files": m["files"],
+            "renamed_files": rmap,
+        }
+        stats = {f: s for f, s in stats.items() if s}
+        bloom = {f: b for f, b in bloom.items() if b}
+        if stats:
+            manifest["stats"] = stats
+        if bloom:
+            manifest["bloom"] = bloom
+        if m.get("txn"):
+            manifest["txn"] = m["txn"]
+        try:
+            _publish(table_dir, manifest)
+            return base_v + 1
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"drop_column lost the publish race {max_retries + 1} times "
+        f"in {table_dir}: {last}")
 
 
 def _carry_renames(parent_manifest: dict | None,

@@ -45,7 +45,7 @@ FORMAT_NAME = "cdf_snapshot"
 #: operations whose manifest-diff files are pure row ADDITIONS
 _APPEND_OPS = {"append", "overwrite"}
 #: metadata-only operations that add no files (safe to skip silently)
-_METADATA_OPS = {"rename", "restore"}
+_METADATA_OPS = {"rename", "drop_column", "restore"}
 
 
 @dataclass

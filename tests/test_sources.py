@@ -1545,3 +1545,77 @@ class TestSnapshotRenameColumn:
         v3 = snapshot_restore(t, 1)
         assert snapshot_read(spark, t, version=v3) \
             .spark_df.columns == ["v"]
+
+
+class TestSnapshotDropColumn:
+    """Metadata-only DROP COLUMN: reads project it away, tombstone
+    chains keep stale bytes from resurfacing under a re-added name."""
+
+    def test_drop_is_metadata_only_and_projects(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_drop_column,
+            _read_manifest)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(5).select(
+            F.col("id").alias("v"), (F.col("id") * 2).alias("w")), t)
+        before = _read_manifest(t, 1)["files"]
+        v = snapshot_drop_column(t, "w")
+        m = _read_manifest(t, v)
+        assert m["files"] == before            # zero rewrite
+        got = snapshot_read(spark, t)
+        assert got.spark_df.columns == ["v"]
+        assert got.nrow == 5
+        # time travel pre-drop still shows the column
+        assert snapshot_read(spark, t, version=1) \
+            .spark_df.columns == ["v", "w"]
+        with pytest.raises(KeyError):
+            snapshot_drop_column(t, "nope")
+        with pytest.raises(ValueError, match="only column"):
+            snapshot_drop_column(t, "v")
+
+    def test_readd_after_drop_never_resurfaces_stale_bytes(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_drop_column)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(
+            F.col("id").alias("v"),
+            F.lit("STALE").alias("c")), t)
+        snapshot_drop_column(t, "c")
+        # re-add a column named c via schema evolution; old files'
+        # physical c is tombstoned, so it must read as NULL, not STALE
+        snapshot_write(
+            spark.range(3, 5).select(F.col("id").alias("v"),
+                                     F.lit("fresh").alias("c")),
+            t, mode="append", merge_schema=True)
+        got = {r.v: r.c for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert got == {0: None, 1: None, 2: None,
+                       3: "fresh", 4: "fresh"}
+
+    def test_drop_after_rename_and_stats_cleanup(self, spark,
+                                                 tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_drop_column,
+            snapshot_rename_column, snapshot_scan_files,
+            _read_manifest, _latest_version)
+        t = str(tmp_path / "tbl")
+        snapshot_write(
+            spark.range(40).select(F.col("id").alias("k"),
+                                   (F.col("id") % 5).alias("junk"))
+            .repartitionByRange(4, "k"),
+            t, stats_cols=["k", "junk"], bloom_cols=["k"])
+        snapshot_rename_column(t, "junk", "junk2")
+        snapshot_drop_column(t, "junk2")
+        m = _read_manifest(t, _latest_version(t))
+        for f in m["files"]:
+            assert "junk2" not in (m.get("stats") or {}).get(f, {})
+        # k's stats/bloom survive and still prune
+        assert len(snapshot_scan_files(t, where=[("k", "==", 3)])) == 1
+        got = snapshot_read(spark, t, where=[("k", "==", 3)])
+        assert got.spark_df.columns == ["k"]
+        assert got.nrow == 1
