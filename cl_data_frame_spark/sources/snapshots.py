@@ -540,6 +540,8 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
             manifest["stats"] = stats
         if bloom:
             manifest["bloom"] = bloom
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if m.get("txn"):
             manifest["txn"] = m["txn"]
         try:
@@ -550,6 +552,144 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
     raise FileExistsError(
         f"rename lost the publish race {max_retries + 1} times in "
         f"{table_dir}: {last}")
+
+
+def _metadata_commit(table_dir: str, operation: str, mutate,
+                     max_retries: int = 5) -> int:
+    """Shared retry loop for metadata-only commits: *mutate* receives
+    the latest manifest and returns the child manifest's extra/changed
+    fields (schema, constraints, ...); files/stats/bloom/renames/txn
+    carry verbatim unless overridden. A lost race re-reads and
+    recomputes (metadata-only, trivially safe)."""
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        base_v = _latest_version(table_dir)
+        if base_v is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+        m = _read_manifest(table_dir, base_v)
+        manifest = {
+            "version": base_v + 1,
+            "parent": base_v,
+            "operation": operation,
+            "schema": m["schema"],
+            "files": m["files"],
+        }
+        for key in ("stats", "bloom", "renamed_files", "txn",
+                    "constraints"):
+            if m.get(key):
+                manifest[key] = m[key]
+        manifest.update(mutate(m))
+        try:
+            _publish(table_dir, manifest)
+            return base_v + 1
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"{operation} lost the publish race {max_retries + 1} times "
+        f"in {table_dir}: {last}")
+
+
+def snapshot_add_constraint(table_dir: str, name: str,
+                            sql_predicate: str,
+                            max_retries: int = 5) -> int:
+    """ADD a CHECK constraint (Delta's ``ALTER TABLE ADD CONSTRAINT``)
+    as a metadata-only commit: the SQL predicate is stored in the
+    manifest (carried by every later commit) and ENFORCED by
+    ``snapshot_write`` — an append/overwrite whose batch holds any
+    violating row raises before publishing, so bad data fails loudly
+    at the writer. Existing rows are NOT retro-checked (Delta's
+    semantics: adding a constraint validates the table first in Delta;
+    here the caller runs the one-scan check via ``expect`` if wanted —
+    documented difference, kept cheap)."""
+    def mutate(m):
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        cons[name] = sql_predicate
+        return {"constraints": cons}
+    return _metadata_commit(table_dir, "add_constraint", mutate,
+                            max_retries)
+
+
+def snapshot_drop_constraint(table_dir: str, name: str,
+                             max_retries: int = 5) -> int:
+    """DROP a CHECK constraint (metadata-only commit)."""
+    def mutate(m):
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise KeyError(f"no constraint {name!r} "
+                           f"(have: {sorted(cons)})")
+        del cons[name]
+        out = {"constraints": cons}
+        if not cons:
+            out["constraints"] = {}
+        return out
+    v = _metadata_commit(table_dir, "drop_constraint", mutate,
+                         max_retries)
+    return v
+
+
+def _enforce_constraints(sdf: DataFrame, constraints: dict) -> None:
+    """One pass over the batch: any row violating any CHECK predicate
+    aborts the write (NULL predicate results count as violations,
+    matching SQL CHECK's spirit of failing loudly at the writer)."""
+    if not constraints:
+        return
+    bad = None
+    for name, pred in constraints.items():
+        term = ~F.coalesce(F.expr(pred), F.lit(False))
+        bad = term if bad is None else (bad | term)
+    hit = sdf.filter(bad).limit(1).collect()
+    if hit:
+        raise ValueError(
+            f"CHECK constraint violation: batch row {hit[0].asDict()} "
+            f"fails one of {sorted(constraints)} — write aborted")
+
+
+def snapshot_clone(src_table_dir: str, dst_table_dir: str,
+                   version: int | None = None) -> int:
+    """Shallow CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
+    new table whose first version REFERENCES the source version's data
+    files in place — zero bytes copied, metadata only. Stats, blooms,
+    rename chains, and constraints carry (file keys remapped to the
+    clone-relative paths). The clone then evolves independently
+    (appends/merges land in ITS data dir).
+
+    The documented shallow-clone trade (same as Delta's): a VACUUM of
+    the SOURCE can delete files the clone still references — vacuum of
+    the clone itself never touches them (it only walks the clone's own
+    data dir)."""
+    if version is None:
+        version = _latest_version(src_table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {src_table_dir}")
+    m = _read_manifest(src_table_dir, version)
+    if _latest_version(dst_table_dir) is not None:
+        raise FileExistsError(
+            f"clone target {dst_table_dir} already has versions")
+    os.makedirs(dst_table_dir, exist_ok=True)
+
+    def remap(rel: str) -> str:
+        return os.path.relpath(
+            os.path.join(src_table_dir, rel), dst_table_dir)
+
+    files = [remap(f) for f in m["files"]]
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "operation": "clone",
+        "schema": m["schema"],
+        "files": files,
+    }
+    for key in ("stats", "bloom", "renamed_files"):
+        if m.get(key):
+            manifest[key] = {remap(f): v for f, v in m[key].items()}
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
+    _publish(dst_table_dir, manifest)
+    return 1
 
 
 def snapshot_drop_column(table_dir: str, col: str,
@@ -601,6 +741,8 @@ def snapshot_drop_column(table_dir: str, col: str,
             manifest["stats"] = stats
         if bloom:
             manifest["bloom"] = bloom
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if m.get("txn"):
             manifest["txn"] = m["txn"]
         try:
@@ -758,6 +900,9 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
                 f"(table: {shape(cur)}, append: {shape(sdf.schema)}); "
                 "pass merge_schema=True to evolve the schema "
                 "explicitly")
+    constraints = dict(pm.get("constraints") or {}) \
+        if pm is not None else {}
+    _enforce_constraints(sdf, constraints)
     version = (parent or 0) + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
@@ -793,6 +938,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         manifest["bloom"] = bloom
     if renames:
         manifest["renamed_files"] = renames
+    if constraints:
+        manifest["constraints"] = constraints
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
     if txn is not None:
         txns[txn[0]] = int(txn[1])
@@ -899,6 +1046,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["bloom"] = bloom
         if renames:
             manifest["renamed_files"] = renames
+        if lm.get("constraints"):
+            manifest["constraints"] = lm["constraints"]
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]
         try:
@@ -1038,6 +1187,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         "schema": m["schema"],
         "files": new_files,
     }
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     if m.get("txn"):
         manifest["txn"] = m["txn"]
     new_stats = (_collect_file_stats(table_dir, new_files, stats_cols)
@@ -1298,6 +1449,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         renames = _carry_renames(m, untouched)
         if renames:
             manifest["renamed_files"] = renames
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if m.get("txn"):
             manifest["txn"] = m["txn"]
         _publish(table_dir, manifest)
@@ -1346,6 +1499,8 @@ def snapshot_restore(table_dir: str, version: int) -> int:
             manifest["bloom"] = m["bloom"]
         if m.get("renamed_files"):
             manifest["renamed_files"] = m["renamed_files"]
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]  # idempotence watermarks are
             # writer-progress, not data state: they survive a restore
@@ -1462,6 +1617,8 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
     renames = _carry_renames(m, untouched)
     if renames:
         manifest["renamed_files"] = renames
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     if m.get("txn"):
         manifest["txn"] = m["txn"]
     try:

@@ -1619,3 +1619,75 @@ class TestSnapshotDropColumn:
         got = snapshot_read(spark, t, where=[("k", "==", 3)])
         assert got.spark_df.columns == ["k"]
         assert got.nrow == 1
+
+
+class TestSnapshotConstraintsAndClone:
+    def test_check_constraint_enforced_on_write(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_add_constraint,
+            snapshot_drop_constraint, snapshot_rename_column)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(5).select(F.col("id").alias("v")),
+                       t)
+        snapshot_add_constraint(t, "v_nonneg", "v >= 0")
+        # a clean append passes
+        snapshot_write(spark.range(5, 8).select(F.col("id").alias("v")),
+                       t, mode="append")
+        # a violating batch aborts BEFORE publishing
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            snapshot_write(
+                spark.createDataFrame([(-1,)], "v long"), t,
+                mode="append")
+        assert snapshot_read(spark, t).nrow == 8    # nothing landed
+        # NULL predicate results violate (fail loudly at the writer)
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            snapshot_write(spark.createDataFrame([(None,)], "v long"),
+                           t, mode="append")
+        # constraints survive metadata commits and overwrites
+        snapshot_rename_column(t, "v", "v2")
+        with pytest.raises(Exception):
+            # predicate references the old name -> the enforcement
+            # itself errors, which still refuses the write
+            snapshot_write(spark.createDataFrame([(1,)], "v2 long"),
+                           t, mode="append")
+        snapshot_drop_constraint(t, "v_nonneg")
+        snapshot_write(spark.createDataFrame([(-5,)], "v2 long"), t,
+                       mode="append")
+        with pytest.raises(ValueError, match="already exists"):
+            snapshot_add_constraint(t, "x", "1=1")
+            snapshot_add_constraint(t, "x", "1=1")
+
+    def test_shallow_clone_zero_copy_and_independent(self, spark,
+                                                     tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_clone,
+            snapshot_scan_files, snapshot_vacuum, _read_manifest)
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        snapshot_write(
+            spark.range(40).select(F.col("id").alias("k"))
+            .repartitionByRange(4, "k"),
+            src, stats_cols=["k"], bloom_cols=["k"])
+        v = snapshot_clone(src, dst)
+        assert v == 1
+        got = snapshot_read(spark, dst)
+        assert got.nrow == 40
+        # zero copy: the clone's data dir holds nothing of its own
+        import os
+        assert not os.path.exists(os.path.join(dst, "data"))
+        # stats AND blooms carried: point lookup prunes in the clone
+        assert len(snapshot_scan_files(dst,
+                                       where=[("k", "==", 7)])) == 1
+        # the clone evolves independently; the source is untouched
+        snapshot_write(spark.range(40, 45).select(F.col("id")
+                                                  .alias("k")),
+                       dst, mode="append")
+        assert snapshot_read(spark, dst).nrow == 45
+        assert snapshot_read(spark, src).nrow == 40
+        # the clone's own vacuum never touches source files
+        snapshot_vacuum(dst, keep_last=1, force=True)
+        assert snapshot_read(spark, src).nrow == 40
+        assert snapshot_read(spark, dst).nrow == 45
