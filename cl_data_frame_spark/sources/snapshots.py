@@ -1632,3 +1632,41 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
         if rebased is not None:
             return rebased
         raise
+
+
+def snapshot_detail(table_dir: str,
+                    version: int | None = None) -> dict:
+    """DESCRIBE DETAIL: one metadata-only dict for a version — file
+    count, total bytes, schema field names, constraint names, rename
+    count, stats/bloom coverage, and the operation that produced it.
+    Reads the manifest plus ``os.path.getsize`` per file; no scan."""
+    if version is None:
+        version = _latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+    m = _read_manifest(table_dir, version)
+    sizes = []
+    for f in m["files"]:
+        try:
+            sizes.append(os.path.getsize(os.path.join(table_dir, f)))
+        except OSError:
+            sizes.append(0)           # vacuumed-from-under-a-clone
+    fields = [fl["name"] for fl in json.loads(m["schema"])["fields"]]
+    stats = m.get("stats") or {}
+    bloom = m.get("bloom") or {}
+    return {
+        "version": version,
+        "parent": m.get("parent"),
+        "operation": m.get("operation"),
+        "num_files": len(m["files"]),
+        "size_bytes": sum(sizes),
+        "columns": fields,
+        "constraints": sorted((m.get("constraints") or {})),
+        "renamed_files": len(m.get("renamed_files") or {}),
+        "stats_files": len(stats),
+        "stats_columns": sorted({c for s in stats.values() for c in s}),
+        "bloom_files": len(bloom),
+        "bloom_columns": sorted({c for b in bloom.values() for c in b}),
+        "txn": dict(m.get("txn") or {}),
+    }

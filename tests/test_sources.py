@@ -1691,3 +1691,20 @@ class TestSnapshotConstraintsAndClone:
         snapshot_vacuum(dst, keep_last=1, force=True)
         assert snapshot_read(spark, src).nrow == 40
         assert snapshot_read(spark, dst).nrow == 45
+
+
+def test_snapshot_detail_metadata_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_write, snapshot_add_constraint, snapshot_detail)
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(20).select(F.col("id").alias("k")),
+                   t, num_files=2, stats_cols=["k"], bloom_cols=["k"])
+    snapshot_add_constraint(t, "k_nonneg", "k >= 0")
+    d = snapshot_detail(t)
+    assert d["version"] == 2 and d["operation"] == "add_constraint"
+    assert d["num_files"] == 2 and d["size_bytes"] > 0
+    assert d["columns"] == ["k"]
+    assert d["constraints"] == ["k_nonneg"]
+    assert d["stats_columns"] == ["k"] and d["bloom_columns"] == ["k"]
+    assert d["stats_files"] == 2 and d["bloom_files"] == 2
