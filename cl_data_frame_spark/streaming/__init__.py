@@ -414,7 +414,8 @@ def read_stream_parquet_throttled(spark: SparkSession, path: str, schema,
 
 def snapshot_stream_sink(table_dir: str, app_id: str,
                          mode: str = "append",
-                         stats_cols=None, num_files: int | None = None,
+                         stats_cols=None, bloom_cols=None,
+                         num_files: int | None = None,
                          max_retries: int = 5):
     """foreachBatch callable publishing each micro-batch as a snapshot
     table version EXACTLY ONCE — the union of the two subsystems: a
@@ -446,6 +447,7 @@ def snapshot_stream_sink(table_dir: str, app_id: str,
             try:
                 snapshot_write(batch_df, table_dir, mode=write_mode,
                                stats_cols=stats_cols,
+                               bloom_cols=bloom_cols,
                                num_files=num_files,
                                txn=(app_id, int(batch_id)))
                 return
@@ -461,6 +463,7 @@ def snapshot_stream_sink(table_dir: str, app_id: str,
 def write_stream_to_snapshot(stream_df: DataFrame, table_dir: str,
                              checkpoint_dir: str, app_id: str,
                              mode: str = "append", stats_cols=None,
+                             bloom_cols=None,
                              num_files: int | None = None):
     """Start a streaming query landing every micro-batch in a snapshot
     table via ``snapshot_stream_sink`` (exactly-once across restarts:
@@ -473,7 +476,7 @@ def write_stream_to_snapshot(stream_df: DataFrame, table_dir: str,
     return (stream_df.writeStream
             .foreachBatch(snapshot_stream_sink(
                 table_dir, app_id, mode=mode, stats_cols=stats_cols,
-                num_files=num_files))
+                bloom_cols=bloom_cols, num_files=num_files))
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("complete" if mode == "complete" else "append")
             .start())

@@ -73,6 +73,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._starting_version = int(start) if start is not None else 0
         # one Spark task per file by default; tune with maxFilesPerTask
         self._files_per_task = int(options.get("maxfilespertask", 1))
+        # Delta's maxFilesPerTrigger-style admission control: cap how
+        # many files one micro-batch admits (best effort — a single
+        # version bigger than the cap is still admitted whole so the
+        # stream always progresses; a post-restart first trigger may
+        # overshoot since planning state is rebuilt from the offset)
+        mf = options.get("maxfilesperbatch",
+                         options.get("max_files_per_batch"))
+        self._max_files = int(mf) if mf is not None else None
+        self._last_planned: int | None = None
 
     # -- offset planning (driver, manifest metadata only) --------------
     def initialOffset(self) -> dict:
@@ -82,12 +91,35 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if self._starting_version > 0 else 0}
 
     def latestOffset(self) -> dict:
-        from cl_data_frame_spark.sources.snapshots import _latest_version
-        return {"version": _latest_version(self._table_dir) or 0}
+        from cl_data_frame_spark.sources.snapshots import (
+            _latest_version, _read_manifest)
+        latest = _latest_version(self._table_dir) or 0
+        if self._max_files is None:
+            return {"version": latest}
+        base = self._last_planned if self._last_planned is not None \
+            else self.initialOffset()["version"]
+        if latest <= base:
+            return {"version": latest}
+        total, end = 0, base
+        for v in range(base + 1, latest + 1):
+            m = _read_manifest(self._table_dir, v)
+            parent = m.get("parent")
+            pfiles = set(
+                _read_manifest(self._table_dir, parent)["files"]
+            ) if parent is not None else set()
+            n_new = sum(1 for f in m["files"] if f not in pfiles)
+            if total and total + n_new > self._max_files:
+                break
+            total += n_new
+            end = v
+            if total >= self._max_files:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         from cl_data_frame_spark.sources.snapshots import _read_manifest
         sv, ev = int(start["version"]), int(end["version"])
+        self._last_planned = max(self._last_planned or 0, ev)
         added: list[str] = []
         renames_map: dict = {}
         for v in range(sv + 1, ev + 1):

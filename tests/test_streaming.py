@@ -745,3 +745,50 @@ class TestSnapshotStreamSource:
             assert got == [3, 4]              # v1's files skipped
         finally:
             q.stop()
+
+
+class TestSnapshotStreamRateLimit:
+    def test_max_files_per_batch_paces_versions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import snapshot_write
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            register_snapshot_source, FORMAT_NAME)
+        t = str(tmp_path / "tbl")
+        for i in range(3):                   # 3 versions x 2 files
+            snapshot_write(
+                spark.range(i * 10, i * 10 + 10)
+                .select(F.col("id").alias("v")),
+                t, mode="append", num_files=2)
+        register_snapshot_source(spark)
+        stream = (spark.readStream.format(FORMAT_NAME)
+                  .option("path", t)
+                  .option("maxFilesPerBatch", "2").load())
+        batches = []
+        q = (stream.writeStream
+             .foreachBatch(lambda df, bid: batches.append(
+                 sorted(r.v for r in df.collect())))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        flat = sorted(v for b in batches for v in b)
+        assert flat == list(range(30))       # everything arrives once
+        # paced: one 2-file version per batch, three non-empty batches
+        nonempty = [b for b in batches if b]
+        assert len(nonempty) == 3
+        assert all(len(b) == 10 for b in nonempty)
+
+    def test_streaming_sink_builds_blooms(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            _read_manifest, _latest_version)
+        from cl_data_frame_spark.streaming import (
+            snapshot_stream_sink)
+        t = str(tmp_path / "tbl")
+        sink = snapshot_stream_sink(t, app_id="t_bloomsink",
+                                    bloom_cols=["v"])
+        sink(spark.range(50).select(F.col("id").alias("v")), 0)
+        m = _read_manifest(t, _latest_version(t))
+        assert m.get("bloom"), "sink did not build bloom filters"
+        assert all("v" in b for b in m["bloom"].values())
