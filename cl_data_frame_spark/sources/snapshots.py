@@ -1546,15 +1546,69 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
 
 def _delete_once(spark: SparkSession, table_dir: str, where,
                  num_files: int | None) -> int:
+    def rewrite(t_df, match_cond, schema, _m):
+        # keep rows NOT matching the conjunction (NULLs never match a
+        # comparison predicate, so they are kept — SQL DELETE WHERE
+        # semantics)
+        return t_df.filter(~F.coalesce(match_cond, F.lit(False))) \
+            .select(*[f.name for f in schema.fields])
+    return _dml_rewrite_once(spark, table_dir, where, num_files,
+                             "delete", rewrite)
+
+
+def snapshot_update(spark: SparkSession, table_dir: str, where,
+                    set_exprs: dict, num_files: int | None = None,
+                    max_retries: int = 5) -> int:
+    """Row-level UPDATE ... SET: rewrite matching rows' columns to the
+    given expressions (strings or Columns; non-matching rows pass
+    through verbatim) and publish a new version — the third leg of the
+    MERGE/DELETE/UPDATE DML triad, with the same file-skipping plan:
+    files whose stats/bloom prove no row matches are carried verbatim,
+    only possibly-matching files rewrite. CHECK constraints are
+    enforced on the rewritten rows (an UPDATE can create new values;
+    DELETE cannot). Publish races rebase like DELETE's."""
+    last: FileExistsError | None = None
+
+    def rewrite(t_df, match_cond, schema, m):
+        names = [f.name for f in schema.fields]
+        bad = [c for c in set_exprs if c not in names]
+        if bad:
+            raise KeyError(f"SET columns not in schema: {bad}")
+        cond = F.coalesce(match_cond, F.lit(False))
+        out = t_df.select(*[
+            (F.when(cond, F.expr(set_exprs[n])
+                    if isinstance(set_exprs[n], str) else set_exprs[n])
+             .otherwise(F.col(n)).cast(schema[n].dataType).alias(n))
+            if n in set_exprs else F.col(n)
+            for n in names])
+        _enforce_constraints(out, m.get("constraints") or {})
+        return out
+
+    for _ in range(max_retries + 1):
+        try:
+            return _dml_rewrite_once(spark, table_dir, where,
+                                     num_files, "update", rewrite)
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"update lost the publish race {max_retries + 1} times in "
+        f"{table_dir} (pathological contention): {last}")
+
+
+def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
+                      num_files: int | None, operation: str,
+                      rewrite) -> int:
     from pyspark.sql.types import StructType
     preds = list(where or [])
     for col, op, _v in preds:
         if op not in _PRUNE_OPS:
-            raise ValueError(f"unsupported delete predicate op {op!r}")
+            raise ValueError(
+                f"unsupported {operation} predicate op {op!r}")
     if not preds:
-        raise ValueError("snapshot_delete requires a predicate — use "
-                         "snapshot_write(mode='overwrite') with an "
-                         "empty frame to truncate")
+        raise ValueError(
+            f"snapshot_{operation} requires a predicate — use "
+            "snapshot_write(mode='overwrite') for whole-table "
+            "rewrites")
     base_v = _latest_version(table_dir)
     if base_v is None:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
@@ -1567,7 +1621,7 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
                and _bloom_file_may_match(blooms.get(f) or {}, eq)]
     untouched = [f for f in m["files"] if f not in set(touched)]
     schema = StructType.fromJson(json.loads(m["schema"]))
-    keep_cond = None
+    match_cond = None
     for col, op, val in preds:
         c = F.col(col)
         term = (c == val if op in ("==", "=") else
@@ -1575,7 +1629,7 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
                 c <= val if op == "<=" else
                 c > val if op == ">" else
                 c >= val)
-        keep_cond = term if keep_cond is None else (keep_cond & term)
+        match_cond = term if match_cond is None else (match_cond & term)
     version = base_v + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
@@ -1584,11 +1638,7 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
     new_stats: dict = {}
     if touched:
         t_df = _read_files_renamed(spark, table_dir, touched, m)
-        # keep rows NOT matching the conjunction (NULLs never match a
-        # comparison predicate, so they are kept — SQL DELETE WHERE
-        # semantics)
-        kept = t_df.filter(~F.coalesce(keep_cond, F.lit(False))) \
-            .select(*[f.name for f in schema.fields])
+        kept = rewrite(t_df, match_cond, schema, m)
         writer = kept.coalesce(num_files) if num_files else kept
         with _micros_timestamps(spark):
             writer.write.mode("error").parquet(out_dir)
@@ -1603,7 +1653,7 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
     manifest = {
         "version": version,
         "parent": base_v,
-        "operation": "delete",
+        "operation": operation,
         "schema": m["schema"],
         "files": untouched + new_files,
         "stats": {**{f: stats[f] for f in untouched if f in stats},
@@ -1628,7 +1678,7 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
         pred_cols = sorted({c for c, _o, _v in preds})
         rebased = _try_rebase_publish(
             table_dir, base_v, set(touched), new_files, new_stats,
-            "delete", m["schema"], keys=pred_cols, preds=preds)
+            operation, m["schema"], keys=pred_cols, preds=preds)
         if rebased is not None:
             return rebased
         raise

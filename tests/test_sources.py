@@ -1708,3 +1708,62 @@ def test_snapshot_detail_metadata_only(spark, tmp_path):
     assert d["constraints"] == ["k_nonneg"]
     assert d["stats_columns"] == ["k"] and d["bloom_columns"] == ["k"]
     assert d["stats_files"] == 2 and d["bloom_files"] == 2
+
+
+class TestSnapshotUpdate:
+    """Row-level UPDATE ... SET with file skipping (the DML triad's
+    third leg)."""
+
+    def test_update_rewrites_only_matching_files(self, spark,
+                                                 tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_update,
+            _read_manifest, _latest_version)
+        t = str(tmp_path / "tbl")
+        snapshot_write(
+            spark.range(40).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("val"))
+            .repartitionByRange(4, "k"),
+            t, stats_cols=["k"])
+        pre = _read_manifest(t, 1)["files"]
+        v = snapshot_update(spark, t, [("k", "<=", 5)],
+                            {"val": "val + 1000"})
+        post = _read_manifest(t, v)["files"]
+        carried = set(pre) & set(post)
+        assert 0 < len(carried) < len(pre)   # file skipping happened
+        got = {r.k: r.val for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert got[3] == 1030 and got[5] == 1050
+        assert got[6] == 60 and got[39] == 390     # untouched rows
+        assert len(got) == 40                      # no row lost
+        # time travel pre-update unchanged
+        old = {r.k: r.val for r in
+               snapshot_read(spark, t, version=1).spark_df.collect()}
+        assert old[3] == 30
+
+    def test_update_enforces_constraints_and_validates_columns(
+            self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, snapshot_read, snapshot_update,
+            snapshot_add_constraint)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(10).select(
+            F.col("id").alias("k"), F.lit(1).cast("long")
+            .alias("val")), t, stats_cols=["k"])
+        snapshot_add_constraint(t, "val_pos", "val > 0")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            snapshot_update(spark, t, [("k", "==", 3)],
+                            {"val": "-1"})
+        assert snapshot_read(spark, t).spark_df \
+            .filter(F.col("val") <= 0).count() == 0
+        with pytest.raises(KeyError, match="SET columns"):
+            snapshot_update(spark, t, [("k", "==", 3)],
+                            {"nope": "1"})
+        # a passing update lands
+        snapshot_update(spark, t, [("k", "==", 3)], {"val": "7"})
+        got = {r.k: r.val for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert got[3] == 7 and got[4] == 1
