@@ -750,3 +750,29 @@ class TestGifDecoder:
         assert row["decoded"] is True
         assert row["meta"]["format"] == "gif"
         assert row["meta"]["width"] == 2
+
+
+def test_gif_roundtrip_fuzz():
+    """Property: any small indexed image round-trips bit-exactly
+    through the literal-code GIF encoder and _decode_gif (channel
+    means computed from the exact palette entries)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 6),
+           st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255),
+                              st.integers(0, 255)),
+                    min_size=4, max_size=4),
+           st.data())
+    def check(w, h, palette, data):
+        pixels = [data.draw(st.integers(0, 3)) for _ in range(w * h)]
+        gif = _make_gif(pixels, w, h, palette)
+        meta, feats = MM._decode_gif(gif)
+        assert (meta["width"], meta["height"]) == (w, h)
+        px = np.array([palette[p] for p in pixels], dtype=np.float64)
+        want = px.mean(axis=0) / 255.0
+        assert np.allclose(feats[2:5], want)
+
+    check()
