@@ -1,0 +1,69 @@
+"""Incremental MinHash dedup index: batch ingest against persisted
+signature state — corpus history text is never rescanned."""
+
+from __future__ import annotations
+
+
+BASE = "the quick brown fox jumps over the lazy dog " * 8
+OTHER = "completely different text about spark engines " * 8
+FRESH = "fresh unseen content with its own words entirely " * 8
+
+
+def test_index_flags_cross_batch_and_intra_batch_dups(spark,
+                                                      tmp_path):
+    from cl_data_frame_spark.operators import incremental as INC
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_history, snapshot_read)
+    t = str(tmp_path / "idx")
+    b1 = spark.createDataFrame([(1, BASE), (2, OTHER)],
+                               ["doc_id", "text"])
+    f1 = {r.doc_id: r for r in
+          INC.minhash_index_update(spark, t, b1).spark_df.collect()}
+    assert not f1[1].is_duplicate and not f1[2].is_duplicate
+    b2 = spark.createDataFrame(
+        [(10, BASE.replace("lazy", "very lazy", 1)),  # near-dup of 1
+         (11, OTHER),                                 # exact re-ingest
+         (12, FRESH),                                 # novel
+         (13, FRESH)],                                # intra-batch dup
+        ["doc_id", "text"])
+    f2 = {r.doc_id: r for r in
+          INC.minhash_index_update(spark, t, b2).spark_df.collect()}
+    assert f2[10].is_duplicate and f2[10].match_id == 1
+    assert 0.8 <= f2[10].est_jaccard < 1.0
+    assert f2[11].is_duplicate and f2[11].match_id == 2
+    assert f2[11].est_jaccard == 1.0
+    assert not f2[12].is_duplicate
+    assert f2[13].is_duplicate and f2[13].match_id == 12
+    # the index holds ONLY novel signatures, appended per batch
+    idx_ids = sorted(r.doc_id for r in
+                     snapshot_read(spark, t).spark_df
+                     .select("doc_id").collect())
+    assert idx_ids == [1, 2, 12]
+    assert [h["version"] for h in snapshot_history(t)] == [1, 2]
+    assert [h["operation"] for h in snapshot_history(t)] == \
+        ["append", "append"]
+
+
+def test_index_txn_watermark_for_streaming_ingest(spark, tmp_path):
+    from cl_data_frame_spark.operators import incremental as INC
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_txn_version)
+    t = str(tmp_path / "idx")
+    b = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    INC.minhash_index_update(spark, t, b, txn=("ingest", 0))
+    assert snapshot_txn_version(t, "ingest") == 0
+
+
+def test_index_rejects_mismatched_signature_width(spark, tmp_path):
+    import pytest
+    from cl_data_frame_spark.operators import incremental as INC
+    t = str(tmp_path / "idx")
+    b = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    INC.minhash_index_update(spark, t, b, num_hashes=64, bands=16)
+    # a later batch with a different signature width must fail LOUDLY
+    # up front, not silently mix incomparable signatures
+    with pytest.raises(ValueError, match="signature schema mismatch"):
+        INC.minhash_index_update(spark, t,
+                                 spark.createDataFrame(
+                                     [(2, OTHER)], ["doc_id", "text"]),
+                                 num_hashes=128, bands=32)
