@@ -427,6 +427,9 @@ _snap_ops = st.lists(
                   st.integers(0, 900), st.integers(1, 120)),
         st.tuples(st.just("merge"),
                   st.integers(0, 900), st.integers(1, 30)),
+        st.tuples(st.just("update"),
+                  st.integers(0, 900), st.integers(1, 120)),
+        st.tuples(st.just("rename"), st.just(0), st.just(0)),
         st.tuples(st.just("optimize"), st.just(0), st.just(0)),
         st.tuples(st.just("restore"), st.just(0), st.just(0)),
     ),
@@ -439,18 +442,23 @@ _snap_ops = st.lists(
 def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory,
                                           ops, seed):
     from cl_data_frame_spark.sources.snapshots import (
-        snapshot_delete, snapshot_merge, snapshot_optimize,
-        snapshot_read, snapshot_restore, snapshot_write, _versions)
+        snapshot_add_constraint, snapshot_delete, snapshot_merge,
+        snapshot_optimize, snapshot_read, snapshot_rename_column,
+        snapshot_restore, snapshot_update, snapshot_write, _versions)
     t = str(tmp_path_factory.mktemp("snapmodel") / "tbl")
+    vcol = "v"
 
     def frame(lo, n, tag):
         return spark.range(lo, lo + n).selectExpr(
-            "id AS k", f"concat('{tag}', id) AS v")
+            "id AS k", f"concat('{tag}', id) AS {vcol}")
 
     model: dict[int, str] = {int(k): f"base{k}"
                              for k in range(seed, seed + 40)}
     snapshot_write(frame(seed, 40, "base")
                    .repartitionByRange(4, "k"), t, stats_cols=["k"])
+    # an always-true CHECK constraint rides along: every later commit
+    # must carry and satisfy it (a false rejection would abort an op)
+    snapshot_add_constraint(t, "k_bounds", "k >= 0 AND k < 2000")
     history = [dict(model)]
     for i, (op, a, b) in enumerate(ops):
         if op == "append":
@@ -481,6 +489,16 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory,
             snapshot_merge(spark, t, frame(a, b, f"m{i}_"), on="k")
             for k in range(a, a + b):
                 model[k] = f"m{i}_{k}"
+        elif op == "update":
+            snapshot_update(spark, t,
+                            [("k", ">=", a), ("k", "<=", a + b)],
+                            {vcol: f"concat('u{i}_', k)"})
+            model = {k: (f"u{i}_{k}" if a <= k <= a + b else v)
+                     for k, v in model.items()}
+        elif op == "rename":
+            new = "v2" if vcol == "v" else "v"
+            snapshot_rename_column(t, vcol, new)
+            vcol = new
         elif op == "optimize":
             snapshot_optimize(spark, t, num_files=2)
         elif op == "restore":
@@ -491,9 +509,10 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory,
             # the model on the restored read (restore's file-set
             # correctness is pinned in test_sources) so subsequent
             # ops keep checking against it
-            model = {r.k: r.v for r in
-                     snapshot_read(spark, t).spark_df.collect()}
-        got = {r.k: r.v for r in
+            restored = snapshot_read(spark, t).spark_df
+            vcol = [c for c in restored.columns if c != "k"][0]
+            model = {r.k: r[vcol] for r in restored.collect()}
+        got = {r.k: r[vcol] for r in
                snapshot_read(spark, t).spark_df.collect()}
         assert got == model, (op, i)
         history.append(dict(model))
