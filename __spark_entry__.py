@@ -2727,14 +2727,67 @@ def q_x_chunk_pack(spark, sf_dir):
 
 def q_x_media(spark, sf_dir):
     """Multimodal binary columns: sha2 content dedup + frame-sampling
-    plumbing."""
+    plumbing + REAL audio decode metadata (round 9 late)."""
     a = _tag(q_x_media_dedup(spark, sf_dir), "dedup",
              F.col("media_id").cast("bigint").alias("media_id"),
-             F.col("digest").alias("s1"), _BNULL().alias("i1"))
+             F.col("digest").alias("s1"), _BNULL().alias("i1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             _BNULL().alias("i4"))
     b = _tag(q_x_media_frames(spark, sf_dir), "frames",
              F.col("media_id").cast("bigint").alias("media_id"),
-             _SNULL().alias("s1"), F.col("n_frames").cast("bigint").alias("i1"))
-    return a.unionByName(b)
+             _SNULL().alias("s1"),
+             F.col("n_frames").cast("bigint").alias("i1"),
+             _BNULL().alias("i2"), _BNULL().alias("i3"),
+             _BNULL().alias("i4"))
+    c = _tag(q_x_media_audiometa(spark, sf_dir), "audiometa",
+             F.col("media_id").cast("bigint").alias("media_id"),
+             _SNULL().alias("s1"),
+             F.col("sample_rate").cast("bigint").alias("i1"),
+             F.col("duration_ms").cast("bigint").alias("i2"),
+             F.col("n_frames").cast("bigint").alias("i3"),
+             F.col("decoded").cast("bigint").alias("i4"))
+    return a.unionByName(b).unionByName(c)
+
+
+def q_x_media_audiometa(spark, sf_dir):
+    """REAL audio decode + framewise-FFT metadata over synthesized WAV
+    payloads (pure sines, parameters derived from doc_id): the integer
+    surface — sample rate, duration, FFT frame count, decode flag — is
+    exactly computable from the synthesis parameters, so it carries a
+    full oracle; the float spectral features (centroid/bandwidth/
+    rolloff/flatness) are FFT-valued and pytest-pinned instead
+    (tests/test_multimodal.py::TestAudioSpectralFeatures). The 40
+    payloads are built driver-side (k-sized, KBs) — the decode runs
+    distributed through the same mapInPandas path a 100 TB audio table
+    would use."""
+    import io
+    import math
+    import struct
+    import wave
+    ids = [int(r[0]) for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 40).collect()]
+
+    def wav(i):
+        n = 4096 + (i % 5) * 1024
+        freq = 200.0 + (i % 7) * 100.0
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"".join(
+                struct.pack("<h", int(12000 * math.sin(
+                    2 * math.pi * freq * t / 8000)))
+                for t in range(n)))
+        return buf.getvalue()
+
+    media = spark.createDataFrame([(i, wav(i)) for i in ids],
+                                  "media_id long, payload binary")
+    out = MM.audio_spectral_features(media).spark_df
+    return out.select("media_id", "sample_rate", "duration_ms",
+                      "n_frames",
+                      F.col("decoded").cast("bigint").alias("decoded"))
 
 
 def q_s_layout_prune(spark, sf_dir):
@@ -3936,7 +3989,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_embed_quantize": ["int8", "pq", "jlproj"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles", "bfs"],
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
-    "x_media": ["dedup", "frames"],
+    "x_media": ["dedup", "frames", "audiometa"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp", "fuzzydecon", "qualclf",
@@ -6579,12 +6632,29 @@ _ORACLES["x_chunk_pack"] = _union(
           "chunk_text AS s1, n_tokens::BIGINT AS n_tokens, "
           "n_sentences::BIGINT AS i2"))
 
+_X_MEDIA_INULLS = ("NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
+                   "NULL::BIGINT AS i4")
 _ORACLES["x_media"] = _union(
     _wrap("dedup", _ORACLES["x_media_dedup"],
-          "media_id::BIGINT AS media_id, digest AS s1, NULL::BIGINT AS i1"),
+          "media_id::BIGINT AS media_id, digest AS s1, "
+          f"NULL::BIGINT AS i1, {_X_MEDIA_INULLS}"),
     _wrap("frames", _ORACLES["x_media_frames"],
           "media_id::BIGINT AS media_id, NULL::VARCHAR AS s1, "
-          "n_frames::BIGINT AS i1"))
+          f"n_frames::BIGINT AS i1, {_X_MEDIA_INULLS}"),
+    # audiometa: the WAV synthesis parameters are pure doc_id
+    # arithmetic, so the decoded integer surface is stated directly:
+    # n = 4096 + (doc_id%5)*1024 samples @8 kHz -> duration n/8 ms,
+    # FFT frames 1 + (n-2048)//512 at n_fft=2048/hop=512
+    _wrap("audiometa", """
+        SELECT doc_id AS media_id, 8000 AS sample_rate,
+               (4096 + (doc_id % 5) * 1024) // 8 AS duration_ms,
+               1 + (4096 + (doc_id % 5) * 1024 - 2048) // 512
+                   AS n_frames,
+               1 AS decoded
+        FROM documents WHERE doc_id < 40""",
+          "media_id::BIGINT AS media_id, NULL::VARCHAR AS s1, "
+          "sample_rate::BIGINT AS i1, duration_ms::BIGINT AS i2, "
+          "n_frames::BIGINT AS i3, decoded::BIGINT AS i4"))
 
 _ORACLES["st_windows"] = _union(
     _wrap("tumbling", _ORACLES["st_tumbling"],
