@@ -2746,7 +2746,23 @@ def q_x_media(spark, sf_dir):
              F.col("duration_ms").cast("bigint").alias("i2"),
              F.col("n_frames").cast("bigint").alias("i3"),
              F.col("decoded").cast("bigint").alias("i4"))
-    return a.unionByName(b).unionByName(c)
+    # gifpix: real GIF LZW decode of solid-color frames — dims are
+    # exact ints, and the mean channel of a SOLID image is exactly
+    # (palette value)/255.0, so round(mean*255) recovers the palette
+    # byte EXACTLY; the oracle states the bytes from the synthesis
+    # arithmetic (ints compare exactly, no float stringification)
+    gp = q_x_media_gifpix(spark, sf_dir)
+    d = _tag(gp, "gifpix",
+             F.col("media_id").cast("bigint").alias("media_id"),
+             F.round(F.col("mean_b") * 255, 0).cast("bigint")
+             .cast("string").alias("s1"),
+             F.col("width").cast("bigint").alias("i1"),
+             F.col("height").cast("bigint").alias("i2"),
+             F.round(F.col("mean_r") * 255, 0).cast("bigint")
+             .alias("i3"),
+             F.round(F.col("mean_g") * 255, 0).cast("bigint")
+             .alias("i4"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_media_audiometa(spark, sf_dir):
@@ -2788,6 +2804,69 @@ def q_x_media_audiometa(spark, sf_dir):
     return out.select("media_id", "sample_rate", "duration_ms",
                       "n_frames",
                       F.col("decoded").cast("bigint").alias("decoded"))
+
+
+def q_x_media_gifpix(spark, sf_dir):
+    """REAL GIF LZW decode over synthesized solid-color frames: the
+    palette bytes derive from doc_id, every pixel is palette entry 0,
+    so width/height and the per-channel means are exact — the decode
+    itself (header, color table, LZW bitstream, feature pass) runs
+    distributed in mapInPandas with DOUBLE outputs (the production
+    path's float32 cast would blur the exactness the oracle needs)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    ids = [int(r[0]) for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 40).collect()]
+
+    def gif(i):
+        import struct
+        r, g, bl = i % 256, (i * 7) % 256, (i * 13) % 256
+        mcs, clear, eoi = 2, 4, 5
+        codes = []
+        for _p in range(6):                  # 3x2, all palette idx 0
+            codes += [clear, 0]
+        codes.append(eoi)
+        acc = nbits = 0
+        data = bytearray()
+        for cdv in codes:
+            acc |= cdv << nbits
+            nbits += mcs + 1
+            while nbits >= 8:
+                data.append(acc & 255)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 255)
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 3, 2, 0x80 | 0x01, 0, 0)
+        out += bytes([r, g, bl]) + bytes(9)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, 3, 2, 0)
+        out.append(mcs)
+        out += bytes([len(data)]) + bytes(data) + b"\x00\x3B"
+        return bytes(out)
+
+    media = spark.createDataFrame([(i, gif(i)) for i in ids],
+                                  "media_id long, payload binary")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True)])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                meta, feats = MM._decode_gif(bytes(p))
+                rows.append((mid, meta["width"], meta["height"],
+                             feats[2], feats[3], feats[4]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema])
+
+    return media.mapInPandas(decode, schema=schema)
 
 
 def q_s_layout_prune(spark, sf_dir):
@@ -3989,7 +4068,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_embed_quantize": ["int8", "pq", "jlproj"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles", "bfs"],
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
-    "x_media": ["dedup", "frames", "audiometa"],
+    "x_media": ["dedup", "frames", "audiometa", "gifpix"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp", "fuzzydecon", "qualclf",
@@ -6654,7 +6733,17 @@ _ORACLES["x_media"] = _union(
         FROM documents WHERE doc_id < 40""",
           "media_id::BIGINT AS media_id, NULL::VARCHAR AS s1, "
           "sample_rate::BIGINT AS i1, duration_ms::BIGINT AS i2, "
-          "n_frames::BIGINT AS i3, decoded::BIGINT AS i4"))
+          "n_frames::BIGINT AS i3, decoded::BIGINT AS i4"),
+    # gifpix: solid 3x2 GIFs with palette bytes derived from doc_id —
+    # the decoder must hand back exactly those bytes and dims
+    _wrap("gifpix", """
+        SELECT doc_id AS media_id, 3 AS width, 2 AS height,
+               doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+               ((doc_id * 13) % 256)::VARCHAR AS b
+        FROM documents WHERE doc_id < 40""",
+          "media_id::BIGINT AS media_id, b AS s1, "
+          "width::BIGINT AS i1, height::BIGINT AS i2, "
+          "r::BIGINT AS i3, g::BIGINT AS i4"))
 
 _ORACLES["st_windows"] = _union(
     _wrap("tumbling", _ORACLES["st_tumbling"],
