@@ -2751,18 +2751,25 @@ def q_x_media(spark, sf_dir):
     # (palette value)/255.0, so round(mean*255) recovers the palette
     # byte EXACTLY; the oracle states the bytes from the synthesis
     # arithmetic (ints compare exactly, no float stringification)
-    gp = q_x_media_gifpix(spark, sf_dir)
-    d = _tag(gp, "gifpix",
-             F.col("media_id").cast("bigint").alias("media_id"),
-             F.round(F.col("mean_b") * 255, 0).cast("bigint")
-             .cast("string").alias("s1"),
-             F.col("width").cast("bigint").alias("i1"),
-             F.col("height").cast("bigint").alias("i2"),
-             F.round(F.col("mean_r") * 255, 0).cast("bigint")
-             .alias("i3"),
-             F.round(F.col("mean_g") * 255, 0).cast("bigint")
-             .alias("i4"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    def pix_tag(df, part):
+        return _tag(df, part,
+                    F.col("media_id").cast("bigint").alias("media_id"),
+                    F.round(F.col("mean_b") * 255, 0).cast("bigint")
+                    .cast("string").alias("s1"),
+                    F.col("width").cast("bigint").alias("i1"),
+                    F.col("height").cast("bigint").alias("i2"),
+                    F.round(F.col("mean_r") * 255, 0).cast("bigint")
+                    .alias("i3"),
+                    F.round(F.col("mean_g") * 255, 0).cast("bigint")
+                    .alias("i4"))
+    d = pix_tag(q_x_media_gifpix(spark, sf_dir), "gifpix")
+    # pngpix: the SAME exactness argument for the lossless PNG path
+    # (zlib inflate + scanline unfiltering); JPEG stays golden-pixel
+    # pytest-only — it is lossy, so the decoded bytes are not pure
+    # doc_id arithmetic
+    e = pix_tag(q_x_media_pngpix(spark, sf_dir), "pngpix")
+    return (a.unionByName(b).unionByName(c).unionByName(d)
+            .unionByName(e))
 
 
 def q_x_media_audiometa(spark, sf_dir):
@@ -2861,6 +2868,54 @@ def q_x_media_gifpix(spark, sf_dir):
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 meta, feats = MM._decode_gif(bytes(p))
+                rows.append((mid, meta["width"], meta["height"],
+                             feats[2], feats[3], feats[4]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema])
+
+    return media.mapInPandas(decode, schema=schema)
+
+
+def q_x_media_pngpix(spark, sf_dir):
+    """REAL PNG decode (zlib inflate + RFC 2083 unfiltering) over
+    synthesized solid-color 3x2 RGB frames — lossless, so the decoded
+    channel means are exactly the doc_id-derived palette bytes."""
+    import struct
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    ids = [int(r[0]) for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 40).collect()]
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    def png(i):
+        r, g, bl = i % 256, (i * 7) % 256, (i * 13) % 256
+        row = b"\x00" + bytes([r, g, bl]) * 3      # filter 0, 3 px
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(row * 2))
+                + chunk(b"IEND", b""))
+
+    media = spark.createDataFrame([(i, png(i)) for i in ids],
+                                  "media_id long, payload binary")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True)])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                meta, feats = MM._decode_png(bytes(p))
                 rows.append((mid, meta["width"], meta["height"],
                              feats[2], feats[3], feats[4]))
             yield pd.DataFrame(rows,
@@ -4068,7 +4123,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_embed_quantize": ["int8", "pq", "jlproj"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles", "bfs"],
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
-    "x_media": ["dedup", "frames", "audiometa", "gifpix"],
+    "x_media": ["dedup", "frames", "audiometa", "gifpix", "pngpix"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp", "fuzzydecon", "qualclf",
@@ -6737,6 +6792,15 @@ _ORACLES["x_media"] = _union(
     # gifpix: solid 3x2 GIFs with palette bytes derived from doc_id —
     # the decoder must hand back exactly those bytes and dims
     _wrap("gifpix", """
+        SELECT doc_id AS media_id, 3 AS width, 2 AS height,
+               doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+               ((doc_id * 13) % 256)::VARCHAR AS b
+        FROM documents WHERE doc_id < 40""",
+          "media_id::BIGINT AS media_id, b AS s1, "
+          "width::BIGINT AS i1, height::BIGINT AS i2, "
+          "r::BIGINT AS i3, g::BIGINT AS i4"),
+    # pngpix: identical contract for the lossless PNG decoder
+    _wrap("pngpix", """
         SELECT doc_id AS media_id, 3 AS width, 2 AS height,
                doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
                ((doc_id * 13) % 256)::VARCHAR AS b
