@@ -163,3 +163,63 @@ class TestSketchStateTable:
                        snapshot_read(spark, t).spark_df.collect())
         assert after == before
         assert len(snapshot_history(t)) == 2     # no third commit
+
+
+class TestKllStateTable:
+    """Snapshot-backed incremental KLL quantile state."""
+
+    def test_incremental_quantiles_track_exact(self, spark, sf_dir,
+                                               tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.operators import sketch as SK
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_history, snapshot_read)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+            .select("l_returnflag", "l_quantity")
+        t = str(tmp_path / "state")
+        for i in range(3):
+            SK.kll_state_update(
+                spark, t,
+                li.filter(F.col("l_quantity") % 3 == i),
+                "l_quantity", ["l_returnflag"], k=200)
+        got = {r["l_returnflag"]: r for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        exact = {r["l_returnflag"]: r for r in
+                 li.groupBy("l_returnflag")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+                      F.expr("percentile(l_quantity, 0.9)").alias("p90"))
+                 .collect()}
+        for flag, e in exact.items():
+            g = got[flag]
+            assert g["n"] == e["n"]          # counts merge exactly
+            # KLL rank error ~1.65/sqrt(200) ~ 12 ranks of 1..50
+            assert abs(g["q_50"] - e["p50"]) <= 6
+            assert abs(g["q_90"] - e["p90"]) <= 6
+        assert len(snapshot_history(t)) == 3
+
+    def test_unkeyed_and_new_group_entry(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.operators import sketch as SK
+        from cl_data_frame_spark.sources.snapshots import snapshot_read
+        t = str(tmp_path / "state")
+        d1 = spark.range(100).select(F.lit("a").alias("g"),
+                                     F.col("id").cast("double")
+                                     .alias("x"))
+        SK.kll_state_update(spark, t, d1, "x", ["g"], k=400)
+        # a second batch introduces a NEW group; 'a' persists untouched
+        d2 = spark.range(50).select(F.lit("b").alias("g"),
+                                    (F.col("id") + 1000).cast("double")
+                                    .alias("x"))
+        SK.kll_state_update(spark, t, d2, "x", ["g"], k=400)
+        got = {r["g"]: r for r in
+               snapshot_read(spark, t).spark_df.collect()}
+        assert got["a"]["n"] == 100 and got["b"]["n"] == 50
+        # k=400 > n: the sketch is in its exact range
+        assert got["a"]["q_50"] in (49.0, 50.0)
+        assert got["b"]["q_50"] in (1024.0, 1025.0)
+        # unkeyed twin
+        t2 = str(tmp_path / "state2")
+        SK.kll_state_update(spark, t2, d1, "x", k=400)
+        row = snapshot_read(spark, t2).spark_df.collect()[0]
+        assert row["n"] == 100 and row["q_50"] in (49.0, 50.0)
