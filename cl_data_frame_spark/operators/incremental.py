@@ -170,3 +170,33 @@ def minhash_index_update(spark: SparkSession, index_dir: str, batch,
     novel_sigs = sigs.join(novel_ids, on=id_col)
     snapshot_write(novel_sigs, index_dir, mode="append", txn=txn)
     return SparkFrame(flags)
+
+
+def minhash_index_stream_sink(index_dir: str, flags_dir: str,
+                              app_id: str = "dedup_ingest",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_hashes: int = 128, bands: int = 32,
+                              jaccard_threshold: float = 0.8):
+    """foreachBatch callable for STREAMING ingest dedup: every
+    micro-batch dedups against the index (and itself), lands its
+    duplicate flags in a *flags_dir* snapshot table, and appends novel
+    signatures to the index — both commits stamped with the
+    ``(app_id, batch_id)`` watermark so a crash-replayed batch is
+    swallowed whole (neither table double-commits). The streaming twin
+    of ``minhash_index_update``, same protocol as
+    ``snapshot_stream_sink``."""
+    def _sink(batch_df, batch_id: int) -> None:
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_txn_version, snapshot_write)
+        done = snapshot_txn_version(index_dir, app_id)
+        if done is not None and int(batch_id) <= done:
+            return
+        flags = minhash_index_update(
+            batch_df.sparkSession, index_dir, batch_df,
+            id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, jaccard_threshold=jaccard_threshold,
+            txn=(app_id, int(batch_id))).spark_df
+        snapshot_write(flags, flags_dir, mode="append",
+                       txn=(app_id, int(batch_id)))
+    return _sink

@@ -1119,6 +1119,7 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
                       target_file_mb: int = 128,
                       zorder_by: Sequence[str] | None = None,
                       num_files: int | None = None,
+                      where=None,
                       max_retries: int = 5) -> int:
     """OPTIMIZE the current version: bin-pack its (typically many
     small) files into ~*target_file_mb* files and publish the result
@@ -1138,12 +1139,19 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
     winner's new files uncompacted alongside our compacted rewrite.
     A winner that rewrote files (merge/overwrite/another optimize)
     forces a recompute against the new state, up to *max_retries*
-    times."""
+    times.
+
+    ``where`` (Delta's ``OPTIMIZE ... WHERE``): compact ONLY the files
+    whose stats/bloom may hold matching rows — the hot-partition
+    maintenance pattern (yesterday's ingest gets compacted, the cold
+    99% of a 100 TB table is untouched metadata). Predicates use the
+    same ``(col, op, value)`` triples as reads/DML; files outside the
+    selection carry verbatim with their stats/blooms/chains."""
     last: FileExistsError | None = None
     for _ in range(max_retries + 1):
         try:
             return _optimize_once(spark, table_dir, target_file_mb,
-                                  zorder_by, num_files)
+                                  zorder_by, num_files, where)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -1154,16 +1162,33 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
 def _optimize_once(spark: SparkSession, table_dir: str,
                    target_file_mb: int,
                    zorder_by: Sequence[str] | None,
-                   num_files: int | None) -> int:
+                   num_files: int | None, where=None) -> int:
     base_v = _latest_version(table_dir)
     if base_v is None:
         raise FileNotFoundError(f"no snapshot versions in {table_dir}")
     m = _read_manifest(table_dir, base_v)
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    selected = list(m["files"])
+    if where:
+        preds = list(where)
+        for col, op, _v in preds:
+            if op not in _PRUNE_OPS:
+                raise ValueError(
+                    f"unsupported optimize predicate op {op!r}")
+        stats = m.get("stats") or {}
+        blooms = m.get("bloom") or {}
+        eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
+        selected = [f for f in selected
+                    if _file_may_match(stats.get(f, {}), preds)
+                    and _bloom_file_may_match(blooms.get(f) or {},
+                                              eq)]
+    carried = [f for f in m["files"] if f not in set(selected)]
+    if not selected:
+        return base_v                  # nothing to compact: no-op
+    paths = [os.path.join(table_dir, f) for f in selected]
     total_bytes = sum(os.path.getsize(p) for p in paths)
     n_files = num_files or max(
         1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    sdf = _read_files_renamed(spark, table_dir, m["files"], m)
+    sdf = _read_files_renamed(spark, table_dir, selected, m)
     version = base_v + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
@@ -1180,12 +1205,13 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         if f.endswith(".parquet"))
     stats_cols = sorted({c for f in m["files"]
                          for c in (m.get("stats") or {}).get(f, {})})
+    old_stats = m.get("stats") or {}
     manifest = {
         "version": version,
         "parent": base_v,
         "operation": "optimize",
         "schema": m["schema"],
-        "files": new_files,
+        "files": carried + new_files,
     }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
@@ -1193,8 +1219,16 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         manifest["txn"] = m["txn"]
     new_stats = (_collect_file_stats(table_dir, new_files, stats_cols)
                  if stats_cols else {})
-    if new_stats:
-        manifest["stats"] = new_stats
+    stats_all = {**{f: old_stats[f] for f in carried
+                    if f in old_stats}, **new_stats}
+    if stats_all:
+        manifest["stats"] = stats_all
+    bloom = _carry_bloom(m, carried)
+    if bloom:
+        manifest["bloom"] = bloom
+    renames = _carry_renames(m, carried)
+    if renames:
+        manifest["renamed_files"] = renames
     try:
         _publish(table_dir, manifest)
         return version
@@ -1202,7 +1236,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         # compaction commutes with any append (identical rows):
         # rebase carries the winner's new files uncompacted
         rebased = _try_rebase_publish(
-            table_dir, base_v, set(m["files"]), new_files,
+            table_dir, base_v, set(selected), new_files,
             new_stats, "optimize", m["schema"], keys=None)
         if rebased is not None:
             return rebased

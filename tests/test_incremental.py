@@ -67,3 +67,59 @@ def test_index_rejects_mismatched_signature_width(spark, tmp_path):
                                  spark.createDataFrame(
                                      [(2, OTHER)], ["doc_id", "text"]),
                                  num_hashes=128, bands=32)
+
+
+def test_stream_sink_dedups_and_swallows_replay(spark, tmp_path):
+    from cl_data_frame_spark.operators import incremental as INC
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_history, snapshot_read)
+    idx = str(tmp_path / "idx")
+    fl = str(tmp_path / "flags")
+    sink = INC.minhash_index_stream_sink(idx, fl, app_id="t_ingest")
+    b0 = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(2, BASE), (3, OTHER)],
+                               ["doc_id", "text"])
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)                     # crash replay: swallowed whole
+    flags = {r.doc_id: r for r in
+             snapshot_read(spark, fl).spark_df.collect()}
+    assert len(flags) == 3          # no double-landed flags
+    assert not flags[1].is_duplicate
+    assert flags[2].is_duplicate and flags[2].match_id == 1
+    assert not flags[3].is_duplicate
+    idx_ids = sorted(r.doc_id for r in
+                     snapshot_read(spark, idx).spark_df
+                     .select("doc_id").collect())
+    assert idx_ids == [1, 3]
+    assert len(snapshot_history(idx)) == 2
+
+
+def test_optimize_where_compacts_only_matching_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_optimize, snapshot_read, snapshot_write,
+        _read_manifest, _latest_version)
+    t = str(tmp_path / "tbl")
+    # two key bands, many small files each, stats on k
+    snapshot_write(spark.range(100).select(F.col("id").alias("k"))
+                   .repartitionByRange(4, "k"),
+                   t, stats_cols=["k"])
+    snapshot_write(spark.range(1000, 1100).select(F.col("id")
+                                                  .alias("k"))
+                   .repartitionByRange(4, "k"),
+                   t, mode="append", stats_cols=["k"])
+    pre = _read_manifest(t, _latest_version(t))["files"]
+    assert len(pre) == 8
+    v = snapshot_optimize(spark, t, num_files=1,
+                          where=[("k", ">=", 1000)])
+    post = _read_manifest(t, v)["files"]
+    carried = set(pre) & set(post)
+    assert len(carried) == 4        # the cold band untouched
+    assert len(post) == 5           # 4 carried + 1 compacted
+    got = snapshot_read(spark, t)
+    assert got.nrow == 200          # rows identical
+    # a predicate matching nothing is a metadata no-op
+    v2 = snapshot_optimize(spark, t, num_files=1,
+                           where=[("k", ">=", 10_000)])
+    assert v2 == v                  # no new version published
