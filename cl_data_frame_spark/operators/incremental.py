@@ -97,13 +97,18 @@ def minhash_index_update(spark: SparkSession, index_dir: str, batch,
                                                        snapshot_write)
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_txn_version)
     sdf = _plain(batch)
     sigs = _signatures(sdf, id_col, text_col, num_hashes,
                        shingle_k=5).localCheckpoint(eager=True)
     bands_new = _banded(sigs, id_col, num_hashes, bands)
-    try:
-        index = snapshot_read(spark, index_dir).spark_df
-        have_index = True
+
+    def read_index():
+        try:
+            index = snapshot_read(spark, index_dir).spark_df
+        except FileNotFoundError:
+            return None
         idx_lanes = sum(1 for c in index.columns
                         if c.startswith("__m"))
         if idx_lanes != num_hashes:
@@ -113,63 +118,94 @@ def minhash_index_update(spark: SparkSession, index_dir: str, batch,
                 f"num_hashes={num_hashes} was requested — signatures "
                 "from different families are incomparable; rebuild "
                 "the index or match its parameters")
-    except FileNotFoundError:
-        index = None
-        have_index = False
+        return index
 
     def match_frac(a, b):
         hits = sum((F.col(f"a.__m{i}__") == F.col(f"b.__m{i}__"))
                    .cast("int") for i in range(num_hashes))
         return hits / F.lit(float(num_hashes))
 
-    cands = []
-    # intra-batch: candidate pairs with the SMALLER id as the match
-    self_pairs = (bands_new.alias("x")
-                  .join(bands_new.alias("y"),
-                        on=["band", "band_hash"])
-                  .filter(F.col(f"x.{id_col}") > F.col(f"y.{id_col}"))
-                  .select(F.col(f"x.{id_col}").alias("__new__"),
-                          F.col(f"y.{id_col}").alias("__old__"))
-                  .distinct())
-    cands.append(self_pairs)
-    if have_index:
-        bands_idx = _banded(index, id_col, num_hashes, bands)
-        idx_pairs = (bands_new.alias("x")
-                     .join(bands_idx.alias("y"),
-                           on=["band", "band_hash"])
-                     .select(F.col(f"x.{id_col}").alias("__new__"),
-                             F.col(f"y.{id_col}").alias("__old__"))
-                     .distinct())
-        cands.append(idx_pairs)
-    pairs = cands[0] if len(cands) == 1 else cands[0].unionByName(
-        cands[1]).distinct()
-    sig_old = (index.unionByName(sigs) if have_index else sigs)
-    verified = (pairs
-                .join(sigs.alias("a"),
-                      pairs["__new__"] == F.col(f"a.{id_col}"))
-                .join(sig_old.alias("b"),
-                      pairs["__old__"] == F.col(f"b.{id_col}"))
-                .select("__new__", "__old__",
-                        F.round(match_frac("a", "b"), 6)
-                        .alias("est_jaccard"))
-                .filter(F.col("est_jaccard") >= jaccard_threshold))
-    best = (verified.groupBy("__new__")
-            .agg(F.max(F.struct(
-                F.col("est_jaccard").alias("j"),
-                (-F.col("__old__")).alias("nid"))).alias("__best__"))
-            .select(F.col("__new__").alias(id_col),
-                    F.col("__best__.j").alias("est_jaccard"),
-                    (-F.col("__best__.nid")).alias("match_id")))
-    flags = (sdf.select(id_col)
-             .join(best, on=id_col, how="left")
-             .select(id_col,
-                     F.col("match_id").isNotNull()
-                     .alias("is_duplicate"),
-                     "match_id", "est_jaccard"))
-    novel_ids = flags.filter(~F.col("is_duplicate")).select(id_col)
-    novel_sigs = sigs.join(novel_ids, on=id_col)
-    snapshot_write(novel_sigs, index_dir, mode="append", txn=txn)
-    return SparkFrame(flags)
+    def compute_flags(index):
+        cands = []
+        # intra-batch: candidate pairs with the SMALLER id as match
+        self_pairs = (bands_new.alias("x")
+                      .join(bands_new.alias("y"),
+                            on=["band", "band_hash"])
+                      .filter(F.col(f"x.{id_col}")
+                              > F.col(f"y.{id_col}"))
+                      .select(F.col(f"x.{id_col}").alias("__new__"),
+                              F.col(f"y.{id_col}").alias("__old__"))
+                      .distinct())
+        cands.append(self_pairs)
+        if index is not None:
+            bands_idx = _banded(index, id_col, num_hashes, bands)
+            # the self-id filter makes a REPLAY idempotent: a batch
+            # whose ids already landed in the index must not flag
+            # every doc as a duplicate of itself
+            idx_pairs = (bands_new.alias("x")
+                         .join(bands_idx.alias("y"),
+                               on=["band", "band_hash"])
+                         .filter(F.col(f"x.{id_col}")
+                                 != F.col(f"y.{id_col}"))
+                         .select(F.col(f"x.{id_col}")
+                                 .alias("__new__"),
+                                 F.col(f"y.{id_col}")
+                                 .alias("__old__"))
+                         .distinct())
+            cands.append(idx_pairs)
+        pairs = cands[0] if len(cands) == 1 else cands[0].unionByName(
+            cands[1]).distinct()
+        sig_old = (index.unionByName(sigs) if index is not None
+                   else sigs)
+        verified = (pairs
+                    .join(sigs.alias("a"),
+                          pairs["__new__"] == F.col(f"a.{id_col}"))
+                    .join(sig_old.alias("b"),
+                          pairs["__old__"] == F.col(f"b.{id_col}"))
+                    .select("__new__", "__old__",
+                            F.round(match_frac("a", "b"), 6)
+                            .alias("est_jaccard"))
+                    .filter(F.col("est_jaccard")
+                            >= jaccard_threshold))
+        best = (verified.groupBy("__new__")
+                .agg(F.max(F.struct(
+                    F.col("est_jaccard").alias("j"),
+                    (-F.col("__old__")).alias("nid")))
+                    .alias("__best__"))
+                .select(F.col("__new__").alias(id_col),
+                        F.col("__best__.j").alias("est_jaccard"),
+                        (-F.col("__best__.nid")).alias("match_id")))
+        return (sdf.select(id_col)
+                .join(best, on=id_col, how="left")
+                .select(id_col,
+                        F.col("match_id").isNotNull()
+                        .alias("is_duplicate"),
+                        "match_id", "est_jaccard"))
+
+    # optimistic-concurrency loop: a racing ingest that wins the
+    # publish re-enters with ITS signatures in the index, so the loser
+    # RE-DEDUPS against the new state before retrying (a blind retry
+    # would admit both batches' mutual near-dups as novel)
+    last: FileExistsError | None = None
+    for _ in range(6):
+        index = read_index()
+        flags = compute_flags(index)
+        if txn is not None:
+            done = snapshot_txn_version(index_dir, txn[0])
+            if done is not None and int(txn[1]) <= done:
+                return SparkFrame(flags)   # replay: already appended
+        novel_ids = flags.filter(~F.col("is_duplicate")) \
+            .select(id_col)
+        novel_sigs = sigs.join(novel_ids, on=id_col)
+        try:
+            snapshot_write(novel_sigs, index_dir, mode="append",
+                           txn=txn)
+            return SparkFrame(flags)
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"index update lost the publish race 6 times in "
+        f"{index_dir}: {last}")
 
 
 def minhash_index_stream_sink(index_dir: str, flags_dir: str,
@@ -189,7 +225,15 @@ def minhash_index_stream_sink(index_dir: str, flags_dir: str,
     def _sink(batch_df, batch_id: int) -> None:
         from cl_data_frame_spark.sources.snapshots import (
             snapshot_txn_version, snapshot_write)
-        done = snapshot_txn_version(index_dir, app_id)
+        # replay guard on the LAST-committed table: flags land after
+        # the index append, so "flags done" implies both landed. A
+        # crash BETWEEN the commits replays the batch; the index
+        # update is itself replay-idempotent (its own txn watermark
+        # skips the second append, and the self-id candidate filter
+        # keeps already-indexed batch ids from matching themselves),
+        # so the recomputed flags equal the lost ones and only
+        # flags_dir commits anew.
+        done = snapshot_txn_version(flags_dir, app_id)
         if done is not None and int(batch_id) <= done:
             return
         flags = minhash_index_update(

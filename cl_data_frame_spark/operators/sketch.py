@@ -329,8 +329,11 @@ def kll_state_update(spark, table_dir: str, batch, col: str,
     last: FileExistsError | None = None
     for _ in range(max_retries + 1):
         try:
-            cur = snapshot_read(spark, table_dir).spark_df \
-                .select(*key, "sketch")
+            cur = snapshot_read(spark, table_dir).spark_df
+            if not gc:
+                # the stored unkeyed state dropped the synthetic key
+                cur = cur.withColumn("__all__", F.lit(1))
+            cur = cur.select(*key, "sketch")
             both = cur.join(new, on=key, how="full")
             merged = both.select(
                 *key,

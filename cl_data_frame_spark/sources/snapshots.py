@@ -462,9 +462,13 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
     fields = StructType.fromJson(json.loads(manifest["schema"])).fields
     parts = []
     for chain, fs in groups.items():
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
+        # ALWAYS merge footer schemas within a group: files appended
+        # under merge_schema evolution share the same (empty) rename
+        # chain as pre-evolution files, and a plain read would infer
+        # the schema from one file and silently NULL the other era's
+        # real values — unioning the footers keeps every column live,
+        # and the projection below NULL-fills only truly-absent ones
+        reader = spark.read.option("mergeSchema", "true")
         sdf = reader.parquet(*[os.path.join(table_dir, f) for f in fs])
         for old, new in chain:
             sdf = sdf.withColumnRenamed(old, new)
@@ -500,13 +504,7 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
     against the new latest and retrying (same class as ``restore``).
     Renaming to an existing column raises; chains compose (a->b then
     b->c reads old files as c)."""
-    last: FileExistsError | None = None
-    for _ in range(max_retries + 1):
-        base_v = _latest_version(table_dir)
-        if base_v is None:
-            raise FileNotFoundError(
-                f"no snapshot versions in {table_dir}")
-        m = _read_manifest(table_dir, base_v)
+    def mutate(m):
         schema = json.loads(m["schema"])
         names = [f["name"] for f in schema["fields"]]
         if old not in names:
@@ -522,36 +520,17 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
                 (m.get("renamed_files") or {}).items()}
         for f in m["files"]:
             rmap.setdefault(f, []).append([old, new])
-        stats = {f: {(new if c == old else c): st
-                     for c, st in s.items()}
-                 for f, s in (m.get("stats") or {}).items()}
-        bloom = {f: {(new if c == old else c): e
-                     for c, e in b.items()}
-                 for f, b in (m.get("bloom") or {}).items()}
-        manifest = {
-            "version": base_v + 1,
-            "parent": base_v,
-            "operation": "rename",
-            "schema": json.dumps(schema),
-            "files": m["files"],
-            "renamed_files": rmap,
-        }
-        if stats:
-            manifest["stats"] = stats
-        if bloom:
-            manifest["bloom"] = bloom
-        if m.get("constraints"):
-            manifest["constraints"] = m["constraints"]
-        if m.get("txn"):
-            manifest["txn"] = m["txn"]
-        try:
-            _publish(table_dir, manifest)
-            return base_v + 1
-        except FileExistsError as exc:
-            last = exc
-    raise FileExistsError(
-        f"rename lost the publish race {max_retries + 1} times in "
-        f"{table_dir}: {last}")
+        out = {"schema": json.dumps(schema), "renamed_files": rmap}
+        if m.get("stats"):
+            out["stats"] = {f: {(new if c == old else c): st
+                                for c, st in sd.items()}
+                            for f, sd in m["stats"].items()}
+        if m.get("bloom"):
+            out["bloom"] = {f: {(new if c == old else c): e
+                                for c, e in b.items()}
+                            for f, b in m["bloom"].items()}
+        return out
+    return _metadata_commit(table_dir, "rename", mutate, max_retries)
 
 
 def _metadata_commit(table_dir: str, operation: str, mutate,
@@ -580,6 +559,10 @@ def _metadata_commit(table_dir: str, operation: str, mutate,
             if m.get(key):
                 manifest[key] = m[key]
         manifest.update(mutate(m))
+        for key in ("stats", "bloom", "renamed_files",
+                    "constraints"):
+            if key in manifest and not manifest[key]:
+                del manifest[key]
         try:
             _publish(table_dir, manifest)
             return base_v + 1
@@ -702,13 +685,7 @@ def snapshot_drop_column(table_dir: str, col: str,
     of the same name can never resurface the stale bytes. Per-file
     stats/bloom entries for the column are removed. Time travel to
     pre-drop versions still shows the column."""
-    last: FileExistsError | None = None
-    for _ in range(max_retries + 1):
-        base_v = _latest_version(table_dir)
-        if base_v is None:
-            raise FileNotFoundError(
-                f"no snapshot versions in {table_dir}")
-        m = _read_manifest(table_dir, base_v)
+    def mutate(m):
         schema = json.loads(m["schema"])
         names = [f["name"] for f in schema["fields"]]
         if col not in names:
@@ -718,41 +695,23 @@ def snapshot_drop_column(table_dir: str, col: str,
             raise ValueError("cannot drop a table's only column")
         schema["fields"] = [f for f in schema["fields"]
                             if f["name"] != col]
-        tomb = f"__dropped_v{base_v + 1}__{col}"
+        tomb = f"__dropped_v{m['version'] + 1}__{col}"
         rmap = {f: [list(p) for p in ch] for f, ch in
                 (m.get("renamed_files") or {}).items()}
         for f in m["files"]:
             rmap.setdefault(f, []).append([col, tomb])
-        stats = {f: {c: st for c, st in s.items() if c != col}
-                 for f, s in (m.get("stats") or {}).items()}
+        out = {"schema": json.dumps(schema), "renamed_files": rmap}
+        stats = {f: {c: st for c, st in sd.items() if c != col}
+                 for f, sd in (m.get("stats") or {}).items()}
+        stats = {f: sd for f, sd in stats.items() if sd}
         bloom = {f: {c: e for c, e in b.items() if c != col}
                  for f, b in (m.get("bloom") or {}).items()}
-        manifest = {
-            "version": base_v + 1,
-            "parent": base_v,
-            "operation": "drop_column",
-            "schema": json.dumps(schema),
-            "files": m["files"],
-            "renamed_files": rmap,
-        }
-        stats = {f: s for f, s in stats.items() if s}
         bloom = {f: b for f, b in bloom.items() if b}
-        if stats:
-            manifest["stats"] = stats
-        if bloom:
-            manifest["bloom"] = bloom
-        if m.get("constraints"):
-            manifest["constraints"] = m["constraints"]
-        if m.get("txn"):
-            manifest["txn"] = m["txn"]
-        try:
-            _publish(table_dir, manifest)
-            return base_v + 1
-        except FileExistsError as exc:
-            last = exc
-    raise FileExistsError(
-        f"drop_column lost the publish race {max_retries + 1} times "
-        f"in {table_dir}: {last}")
+        out["stats"] = stats
+        out["bloom"] = bloom
+        return out
+    return _metadata_commit(table_dir, "drop_column", mutate,
+                            max_retries)
 
 
 def _carry_renames(parent_manifest: dict | None,
@@ -902,7 +861,13 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
                 "explicitly")
     constraints = dict(pm.get("constraints") or {}) \
         if pm is not None else {}
-    _enforce_constraints(sdf, constraints)
+    if constraints:
+        # pin ONE materialization: the enforcement scan and the
+        # parquet write must see identical rows even for
+        # non-deterministic inputs (rand()-derived columns, re-run
+        # samples) — localCheckpoint computes once, both consume it
+        sdf = sdf.localCheckpoint(eager=False)
+        _enforce_constraints(sdf, constraints)
     version = (parent or 0) + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
@@ -1452,6 +1417,12 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
     merged = _plain(merge_into(t_df, src, on, update_cols=update_cols,
                                insert_unmatched=insert_unmatched)) \
         .select(*[f.name for f in schema.fields])
+    if m.get("constraints"):
+        # MERGE mints new values exactly like UPDATE does — the
+        # file-skipping path must enforce what the whole-table
+        # fallback (via snapshot_write) already enforces
+        merged = merged.localCheckpoint(eager=False)
+        _enforce_constraints(merged, m["constraints"])
     # publish: untouched files carried over verbatim (stats included),
     # rewritten rows land in a fresh data dir with fresh stats
     version = base_v + 1
@@ -1615,7 +1586,9 @@ def snapshot_update(spark: SparkSession, table_dir: str, where,
              .otherwise(F.col(n)).cast(schema[n].dataType).alias(n))
             if n in set_exprs else F.col(n)
             for n in names])
-        _enforce_constraints(out, m.get("constraints") or {})
+        if m.get("constraints"):
+            out = out.localCheckpoint(eager=False)
+            _enforce_constraints(out, m["constraints"])
         return out
 
     for _ in range(max_retries + 1):

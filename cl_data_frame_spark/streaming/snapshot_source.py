@@ -8,11 +8,13 @@ offsets are version numbers (checkpointed by Spark, so a restarted
 query resumes exactly where it stopped — versions are immutable, so
 replanning a batch from its offset range is deterministic), and the
 files of one batch are each version's manifest-diff against its
-parent. Appends stream their new files; a non-append commit (merge /
-delete / optimize rewrites old rows into new files) raises by default
-— exactly Delta's "source table was changed" error — or streams the
-rewritten files when ``ignore_changes`` is set (Delta's
-``ignoreChanges``, re-emission documented).
+parent. Appends (and a clone's initial version) stream their new
+files; any other commit that ADDS files — merge/delete/optimize/
+update rewrote rows, an overwrite replaced them, a restore
+resurrected them — raises by default — exactly Delta's "source table
+was changed" error — or streams those files when ``ignore_changes``
+is set (Delta's ``ignoreChanges``, re-emission documented). A table's
+first version streams whatever operation created it.
 
 Scale: the driver-side planner touches only MANIFESTS (KBs per
 version); the data files are read by executors via Arrow record
@@ -43,9 +45,8 @@ from pyspark.sql.types import StructType
 FORMAT_NAME = "cdf_snapshot"
 
 #: operations whose manifest-diff files are pure row ADDITIONS
-_APPEND_OPS = {"append", "overwrite"}
-#: metadata-only operations that add no files (safe to skip silently)
-_METADATA_OPS = {"rename", "drop_column", "restore"}
+#: (clone: a cloned table's v1 is its initial data, nothing rewritten)
+_APPEND_OPS = {"append", "clone"}
 
 
 @dataclass
@@ -54,6 +55,7 @@ class _FilesPartition(InputPartition):
     files: list = field(default_factory=list)
     renames: list = field(default_factory=list)
     columns: list = field(default_factory=list)
+    schema_json: str = ""
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -82,11 +84,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
                          options.get("max_files_per_batch"))
         self._max_files = int(mf) if mf is not None else None
         self._last_planned: int | None = None
+        self._last_emitted: int | None = None
 
     # -- offset planning (driver, manifest metadata only) --------------
     def initialOffset(self) -> dict:
         # versions <= startingVersion-1 are considered consumed; the
-        # default 0 streams the table from its first commit
+        # default 0 streams the table from its first commit. Spark
+        # calls this ONLY for a fresh query (a restart resumes from
+        # the checkpoint), so it doubles as the pacing base signal:
+        # a fresh stream rate-limits from here, a restarted one
+        # admits everything on its first trigger (see latestOffset)
         return {"version": self._starting_version - 1
                 if self._starting_version > 0 else 0}
 
@@ -96,8 +103,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
         latest = _latest_version(self._table_dir) or 0
         if self._max_files is None:
             return {"version": latest}
-        base = self._last_planned if self._last_planned is not None \
-            else self.initialOffset()["version"]
+        known = [v for v in (self._last_planned,
+                             self._last_emitted) if v is not None]
+        if not known:
+            # first trigger on this reader instance: the consumed
+            # offset lives in Spark's checkpoint and is unknown here,
+            # so admit everything — capping from a guess could hand
+            # Spark an offset BEHIND the checkpoint, and a regressed
+            # offset re-emits consumed versions into the sink. Pacing
+            # therefore applies from the SECOND trigger on (the
+            # initial backfill arrives in one batch — the documented
+            # divergence from Delta: safety over pacing).
+            self._last_emitted = latest
+            return {"version": latest}
+        base = max(known)
         if latest <= base:
             return {"version": latest}
         total, end = 0, base
@@ -114,6 +133,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             end = v
             if total >= self._max_files:
                 break
+        self._last_emitted = max(self._last_emitted or 0, end)
         return {"version": end}
 
     def partitions(self, start: dict, end: dict):
@@ -130,15 +150,24 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 _read_manifest(self._table_dir, parent)["files"]
             ) if parent is not None else set()
             new = [f for f in m["files"] if f not in pfiles]
-            if op not in _APPEND_OPS and op not in _METADATA_OPS \
-                    and new and not self._ignore_changes:
+            # a table's FIRST version is its initial data whatever
+            # operation created it (an initial overwrite/clone is not
+            # a change); after that, ANY non-append commit that adds
+            # files changed the table: an overwrite replaced rows, a
+            # restore resurrected them, merge/delete/optimize/update
+            # rewrote them — streaming those files would emit rows the
+            # sink already holds, so Delta's contract is to fail
+            initial = parent is None
+            if (op not in _APPEND_OPS and not initial and new
+                    and not self._ignore_changes):
                 raise RuntimeError(
                     f"snapshot stream source: version {v} is a "
-                    f"{op!r} commit that rewrote files; a streaming "
-                    "source over a changed table would re-emit old "
-                    "rows. Pass .option('ignoreChanges', 'true') to "
-                    "stream rewritten files anyway (downstream dedup "
-                    "required), or start a fresh stream.")
+                    f"{op!r} commit that rewrote, replaced, or "
+                    "resurrected files; streaming them would re-emit "
+                    "rows the sink already received. Pass "
+                    ".option('ignoreChanges', 'true') to stream them "
+                    "anyway (downstream dedup required), or start a "
+                    "fresh stream.")
             added.extend(new)
             renames_map.update(m.get("renamed_files") or {})
         if not added:
@@ -151,12 +180,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
             parts.append(_FilesPartition(
                 table_dir=self._table_dir, files=chunk,
                 renames=[renames_map.get(f) or [] for f in chunk],
-                columns=cols))
+                columns=cols, schema_json=self._schema.json()))
         return parts
 
     # -- executor-side read (Arrow batches) ----------------------------
     def read(self, partition: _FilesPartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+        schema = StructType.fromJson(json.loads(partition.schema_json))
         for f, chain in zip(partition.files, partition.renames):
             path = os.path.join(partition.table_dir, f)
             tbl = pq.read_table(path)
@@ -165,6 +197,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     tbl = tbl.rename_columns(
                         [new if c == old else c
                          for c in tbl.column_names])
+            # columns this file's era predates surface as typed NULLs
+            # (merge-schema evolution), mirroring the batch reader
+            for name in partition.columns:
+                if name not in tbl.column_names:
+                    tbl = tbl.append_column(
+                        name, pa.nulls(tbl.num_rows,
+                                       type=to_arrow_type(
+                                           schema[name].dataType)))
             tbl = tbl.select(partition.columns)
             yield from tbl.to_batches()
 
@@ -195,8 +235,15 @@ class SnapshotStreamDataSource(DataSource):
         if v is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {table_dir}")
-        return StructType.fromJson(
+        st = StructType.fromJson(
             json.loads(_read_manifest(table_dir, v)["schema"]))
+        # every field nullable: files from eras predating a
+        # merge-schema-added column surface NULLs for it by design,
+        # even when the adding batch recorded the field non-nullable
+        from pyspark.sql.types import StructField
+        return StructType([StructField(f.name, f.dataType, True,
+                                       f.metadata)
+                           for f in st.fields])
 
     def streamReader(self, schema: StructType):
         return SnapshotStreamReader(schema, dict(self.options))

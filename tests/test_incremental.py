@@ -123,3 +123,59 @@ def test_optimize_where_compacts_only_matching_files(spark, tmp_path):
     v2 = snapshot_optimize(spark, t, num_files=1,
                            where=[("k", ">=", 10_000)])
     assert v2 == v                  # no new version published
+
+
+def test_stream_sink_recovers_crash_between_commits(spark, tmp_path):
+    # regression: index committed, flags lost, batch replayed — the
+    # flags must still land (watermark lives on the LAST table), and
+    # the replayed index append is swallowed without self-matching
+    from cl_data_frame_spark.operators import incremental as INC
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_history, snapshot_read)
+    idx = str(tmp_path / "idx")
+    fl = str(tmp_path / "flags")
+    b = spark.createDataFrame([(1, BASE), (2, OTHER)],
+                              ["doc_id", "text"])
+    # simulate the crash: the index append landed with the batch txn,
+    # but the flags write never happened
+    INC.minhash_index_update(spark, idx, b, txn=("t_crash", 0))
+    sink = INC.minhash_index_stream_sink(idx, fl, app_id="t_crash")
+    sink(b, 0)                            # replay
+    flags = {r.doc_id: r for r in
+             snapshot_read(spark, fl).spark_df.collect()}
+    assert len(flags) == 2
+    # ids already in the index must NOT flag as duplicates of
+    # themselves on the replay
+    assert not flags[1].is_duplicate and not flags[2].is_duplicate
+    assert len(snapshot_history(idx)) == 1    # no second append
+
+
+def test_index_update_retries_lost_publish_race(spark, tmp_path,
+                                                monkeypatch):
+    # a lost publish race re-reads the index and re-dedups: the
+    # retried batch must see the interleaved winner's docs
+    from cl_data_frame_spark.operators import incremental as INC
+    from cl_data_frame_spark.sources import snapshots as SNAP
+    idx = str(tmp_path / "idx")
+    INC.minhash_index_update(
+        spark, idx, spark.createDataFrame([(1, OTHER)],
+                                          ["doc_id", "text"]))
+    real_write = SNAP.snapshot_write
+    state = {"raised": False}
+
+    def racing_write(frame, table_dir, **kw):
+        if not state["raised"]:
+            state["raised"] = True
+            raise FileExistsError("simulated lost race")
+        return real_write(frame, table_dir, **kw)
+
+    # winner's doc enters the index between the loser's read and write
+    INC.minhash_index_update(
+        spark, idx, spark.createDataFrame([(50, BASE)],
+                                          ["doc_id", "text"]))
+    monkeypatch.setattr(SNAP, "snapshot_write", racing_write)
+    flags = INC.minhash_index_update(
+        spark, idx, spark.createDataFrame([(99, BASE)],
+                                          ["doc_id", "text"])) \
+        .spark_df.collect()[0]
+    assert flags.is_duplicate and flags.match_id == 50

@@ -223,3 +223,20 @@ class TestKllStateTable:
         SK.kll_state_update(spark, t2, d1, "x", k=400)
         row = snapshot_read(spark, t2).spark_df.collect()[0]
         assert row["n"] == 100 and row["q_50"] in (49.0, 50.0)
+
+
+def test_kll_state_unkeyed_second_update(spark, tmp_path):
+    # regression: the stored unkeyed state drops the synthetic group
+    # key, so the SECOND update must reconstruct it before merging
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators import sketch as SK
+    from cl_data_frame_spark.sources.snapshots import snapshot_read
+    t = str(tmp_path / "state")
+    d1 = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    d2 = spark.range(100, 200).select(F.col("id").cast("double")
+                                      .alias("x"))
+    SK.kll_state_update(spark, t, d1, "x", k=400)
+    SK.kll_state_update(spark, t, d2, "x", k=400)
+    row = snapshot_read(spark, t).spark_df.collect()[0]
+    assert row["n"] == 200
+    assert row["q_50"] in (99.0, 100.0)   # exact range at k=400

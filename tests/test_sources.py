@@ -1767,3 +1767,50 @@ class TestSnapshotUpdate:
         got = {r.k: r.val for r in
                snapshot_read(spark, t).spark_df.collect()}
         assert got[3] == 7 and got[4] == 1
+
+
+def test_merge_enforces_constraints_on_file_skipping_path(spark,
+                                                          tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_add_constraint, snapshot_merge, snapshot_read,
+        snapshot_write)
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(40).select(F.col("id").alias("k"),
+                               F.lit(1).cast("long").alias("v"))
+        .repartitionByRange(4, "k"),
+        t, stats_cols=["k"])                 # stats => row-level path
+    snapshot_add_constraint(t, "v_pos", "v > 0")
+    src = spark.createDataFrame([(3, -9)], "k long, v long")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snapshot_merge(spark, t, src, on="k")
+    assert snapshot_read(spark, t).spark_df \
+        .filter(F.col("v") <= 0).count() == 0
+    # a passing merge still lands row-level
+    snapshot_merge(spark, t,
+                   spark.createDataFrame([(3, 7)], "k long, v long"),
+                   on="k")
+    got = {r.k: r.v for r in
+           snapshot_read(spark, t).spark_df.collect()}
+    assert got[3] == 7 and got[4] == 1
+
+
+def test_plain_read_not_nulled_by_mixed_schema_group(spark, tmp_path):
+    # regression: merge-schema-evolved eras share an empty rename
+    # chain; the group read must union footers so era-B's real values
+    # survive a plain snapshot_read (a single-file schema inference
+    # could silently NULL them)
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_write)
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(2).select(F.col("id").alias("v")), t)
+    snapshot_write(
+        spark.range(2, 4).select(F.col("id").alias("v"),
+                                 (F.col("id") * 10).alias("extra")),
+        t, mode="append", merge_schema=True)
+    got = {r.v: r.extra for r in
+           snapshot_read(spark, t).spark_df.collect()}
+    assert got == {0: None, 1: None, 2: 20, 3: 30}

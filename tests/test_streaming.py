@@ -683,7 +683,7 @@ class TestSnapshotStreamSource:
         try:
             q.processAllAvailable()
             snapshot_delete(spark, t, [("v", "<=", 1)])  # rewrite
-            with pytest.raises(Exception, match="rewrote files"):
+            with pytest.raises(Exception, match="rewrote"):
                 q.processAllAvailable()
         finally:
             q.stop()
@@ -754,11 +754,8 @@ class TestSnapshotStreamRateLimit:
         from cl_data_frame_spark.streaming.snapshot_source import (
             register_snapshot_source, FORMAT_NAME)
         t = str(tmp_path / "tbl")
-        for i in range(3):                   # 3 versions x 2 files
-            snapshot_write(
-                spark.range(i * 10, i * 10 + 10)
-                .select(F.col("id").alias("v")),
-                t, mode="append", num_files=2)
+        snapshot_write(spark.range(10).select(F.col("id").alias("v")),
+                       t, mode="append", num_files=2)
         register_snapshot_source(spark)
         stream = (spark.readStream.format(FORMAT_NAME)
                   .option("path", t)
@@ -769,12 +766,20 @@ class TestSnapshotStreamRateLimit:
                  sorted(r.v for r in df.collect())))
              .start())
         try:
+            q.processAllAvailable()          # initial backfill
+            # versions landing while the stream RUNS arrive paced:
+            # one 2-file version per micro-batch
+            for i in range(1, 3):
+                snapshot_write(
+                    spark.range(i * 10, i * 10 + 10)
+                    .select(F.col("id").alias("v")),
+                    t, mode="append", num_files=2)
             q.processAllAvailable()
         finally:
             q.stop()
         flat = sorted(v for b in batches for v in b)
         assert flat == list(range(30))       # everything arrives once
-        # paced: one 2-file version per batch, three non-empty batches
+        # paced: three non-empty batches of one version each
         nonempty = [b for b in batches if b]
         assert len(nonempty) == 3
         assert all(len(b) == 10 for b in nonempty)
@@ -792,3 +797,123 @@ class TestSnapshotStreamRateLimit:
         m = _read_manifest(t, _latest_version(t))
         assert m.get("bloom"), "sink did not build bloom filters"
         assert all("v" in b for b in m["bloom"].values())
+
+
+class TestSnapshotStreamSourceFixes:
+    def test_overwrite_and_restore_raise_clone_streams(self, spark,
+                                                       tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_clone, snapshot_restore, snapshot_write)
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(4).select(F.col("id").alias("v")),
+                       t)
+        q = (read_stream_snapshot(spark, t)
+             .writeStream.format("memory").queryName("srcfix_ow")
+             .start())
+        try:
+            q.processAllAvailable()
+            # an OVERWRITE mid-stream replaced rows: must raise, not
+            # stream the replacement as an append
+            snapshot_write(spark.range(100, 102)
+                           .select(F.col("id").alias("v")),
+                           t, mode="overwrite")
+            with pytest.raises(Exception, match="replaced|rewrote"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # a RESTORE that resurrects files is likewise a change: v2's
+        # delete rewrote v1's file, so restoring v1 RE-ADDS it
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_delete)
+        t2 = str(tmp_path / "tbl2")
+        snapshot_write(spark.range(4).select(F.col("id").alias("v")),
+                       t2, num_files=1)
+        snapshot_delete(spark, t2, [("v", "<=", 1)])
+        q2 = (read_stream_snapshot(spark, t2, starting_version=3)
+              .writeStream.format("memory").queryName("srcfix_rs")
+              .start())
+        try:
+            q2.processAllAvailable()           # nothing yet (v <= 2)
+            snapshot_restore(t2, 1)            # resurrects v1's file
+            with pytest.raises(Exception, match="resurrected|rewrote"):
+                q2.processAllAvailable()
+        finally:
+            q2.stop()
+        # a CLONE's v1 is initial data: a fresh stream over the clone
+        # must serve it, not error
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        snapshot_write(spark.range(5).select(F.col("id").alias("v")),
+                       src)
+        snapshot_clone(src, dst)
+        q3 = (read_stream_snapshot(spark, dst)
+              .writeStream.format("memory").queryName("srcfix_cl")
+              .start())
+        try:
+            q3.processAllAvailable()
+            got = sorted(r.v for r in
+                         spark.table("srcfix_cl").collect())
+            assert got == list(range(5))
+        finally:
+            q3.stop()
+
+    def test_rate_limit_restart_never_regresses_offset(self, spark,
+                                                       tmp_path):
+        # unit-level: a RESTARTED reader (initialOffset never called)
+        # must admit everything rather than cap from zero — a capped
+        # offset behind the checkpoint would re-emit consumed versions
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_write, _read_manifest)
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            SnapshotStreamReader)
+        import json as _json
+        t = str(tmp_path / "tbl")
+        for i in range(5):
+            snapshot_write(spark.range(i, i + 1)
+                           .select(F.col("id").alias("v")),
+                           t, mode="append")
+        schema = StructType.fromJson(
+            _json.loads(_read_manifest(t, 5)["schema"]))
+        restarted = SnapshotStreamReader(
+            schema, {"path": t, "maxfilesperbatch": "1"})
+        assert restarted.latestOffset() == {"version": 5}
+        # pacing kicks in from the second trigger: THREE new versions
+        # are admitted one per latestOffset call, and the offset never
+        # moves backwards
+        for i in range(3):
+            snapshot_write(spark.range(9 + i, 10 + i)
+                           .selectExpr("id AS v"), t, mode="append")
+        assert restarted.latestOffset() == {"version": 6}
+        assert restarted.latestOffset() == {"version": 7}
+        assert restarted.latestOffset() == {"version": 8}
+        assert restarted.latestOffset() == {"version": 8}
+
+    def test_stream_null_fills_era_predating_columns(self, spark,
+                                                     tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import snapshot_write
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(2).select(F.col("id").alias("v")),
+                       t)
+        snapshot_write(
+            spark.range(2, 4).select(F.col("id").alias("v"),
+                                     F.lit("x").alias("extra")),
+            t, mode="append", merge_schema=True)
+        q = (read_stream_snapshot(spark, t)
+             .writeStream.format("memory").queryName("srcfix_era")
+             .start())
+        try:
+            q.processAllAvailable()
+            got = {r.v: r.extra for r in
+                   spark.table("srcfix_era").collect()}
+            assert got == {0: None, 1: None, 2: "x", 3: "x"}
+        finally:
+            q.stop()
