@@ -459,29 +459,55 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
     for f in files:
         chain = tuple(tuple(p) for p in rmap.get(f, []))
         groups.setdefault(chain, []).append(f)
+    from pyspark.sql.types import StructField
     fields = StructType.fromJson(json.loads(manifest["schema"])).fields
     parts = []
     for chain, fs in groups.items():
-        # ALWAYS merge footer schemas within a group: files appended
-        # under merge_schema evolution share the same (empty) rename
-        # chain as pre-evolution files, and a plain read would infer
-        # the schema from one file and silently NULL the other era's
-        # real values — unioning the footers keeps every column live,
-        # and the projection below NULL-fills only truly-absent ones
-        reader = spark.read.option("mergeSchema", "true")
-        sdf = reader.parquet(*[os.path.join(table_dir, f) for f in fs])
-        for old, new in chain:
-            sdf = sdf.withColumnRenamed(old, new)
-        if not merge_schema:
-            # a version's read surface IS its manifest schema: project
-            # away physically-present-but-dropped columns, NULL-fill
-            # columns this era predates — deterministic regardless of
-            # which files survive pruning
-            have = set(sdf.columns)
-            sdf = sdf.select(*[
-                F.col(f.name) if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in fields])
+        paths = [os.path.join(table_dir, f) for f in fs]
+        if merge_schema:
+            sdf = spark.read.option("mergeSchema", "true") \
+                .parquet(*paths)
+            for old, new in chain:
+                sdf = sdf.withColumnRenamed(old, new)
+            parts.append(sdf)
+            continue
+        # a version's read surface IS its manifest schema: read with
+        # an EXPLICIT per-era schema (each logical field's physical
+        # name = the chain walked backwards), so the parquet reader
+        # resolves by name — files that predate a merge-schema-added
+        # column surface NULLs for it, physically-present-but-dropped
+        # columns are never read, NO footer inference or merge runs
+        # (a plain inferred read could take one era's schema and
+        # silently NULL the other era's real values; mergeSchema
+        # would pay a footer scan per file on a 100k-file table)
+        def physical(name):
+            for old, new in reversed(chain):
+                if name == new:
+                    name = old
+            return name
+        # chain-derived physical names are authoritative, and EVERY
+        # chain source name is spoken for: a rename's old name belongs
+        # to the renamed field, a drop's old name to its tombstone. A
+        # field whose identity name is claimed (rename a->b or drop of
+        # c, then a merge-schema re-add of that name) cannot exist in
+        # these files under it — read it under an absent placeholder
+        # so the parquet reader yields NULLs instead of stale bytes
+        claimed = {physical(f.name) for f in fields
+                   if physical(f.name) != f.name}
+        claimed |= {old for old, _new in chain}
+        era_names = []
+        for f in fields:
+            p = physical(f.name)
+            if p == f.name and p in claimed:
+                p = f"__absent_{f.name}__"
+            era_names.append(p)
+        era = StructType([StructField(p, f.dataType, True)
+                          for p, f in zip(era_names, fields)])
+        sdf = spark.read.schema(era).parquet(*paths)
+        # positional aliasing back to the logical schema (name-based
+        # renames would be ambiguous exactly in the claimed case)
+        sdf = sdf.select(*[F.col(f"`{p}`").alias(f.name)
+                           for p, f in zip(era_names, fields)])
         parts.append(sdf)
     out = parts[0]
     for p in parts[1:]:
