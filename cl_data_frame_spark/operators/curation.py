@@ -591,3 +591,68 @@ def card_pii(frame, id_col: str = "doc_id", text_col: str = "text",
         red.alias("redacted")).withColumn(
             "redacted_md5", F.md5("redacted"))
     return SparkFrame(out)
+
+
+def semantic_decontaminate(corpus_emb, benchmark_emb,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_id_col: str = "vec_id",
+                           bench_vec_col: str = "embedding",
+                           threshold: float = 0.95) -> SparkFrame:
+    """EMBEDDING-space benchmark decontamination — the semantic member
+    of the decontamination triad (exact n-gram ``decontaminate``,
+    fuzzy ``minhash_decontaminate``, and this): flag corpus items
+    whose cosine against ANY benchmark embedding reaches the
+    threshold, catching paraphrases that share no surface form at all
+    (the published embedding-decontamination recipe of recent model
+    reports; same geometry as SemDeDup, arXiv:2303.09540, applied
+    cross-table).
+
+    Plan — the benchmark is broadcast-sized by construction
+    (benchmarks are KBs-MBs against a TB corpus), so its vectors fold
+    into ONE collected-array row broadcast onto the corpus scan; each
+    corpus row finds its best match with an in-row ``aggregate`` fold
+    over that array. ZERO shuffle, zero candidate join — the corpus
+    side is a pure narrow pass, which beats any LSH routing when the
+    right side fits in a broadcast.
+
+    Output: one row per corpus item —
+    (id_col, contaminated, bench_id, cosine)."""
+    from cl_data_frame_spark.operators.similarity import (dot_product,
+                                                          vector_norm)
+    cdf = _plain(corpus_emb)
+    bdf = _plain(benchmark_emb)
+    bv = F.col(bench_vec_col).cast("array<double>")
+    bench_row = bdf.agg(F.collect_list(F.struct(
+        F.col(bench_id_col).cast("long").alias("bid"),
+        bv.alias("bvec"),
+        vector_norm(bv).alias("bnorm"))).alias("__bench__"))
+    v = F.col(vec_col).cast("array<double>")
+    base = (cdf.select(id_col, v.alias("__v__"))
+            .withColumn("__n__", vector_norm(F.col("__v__")))
+            .crossJoin(F.broadcast(bench_row)))
+    acc0 = F.struct(F.lit(-2.0).cast("double").alias("c"),
+                    F.lit(None).cast("long").alias("bid"))
+
+    def step(acc, b):
+        cos = (dot_product(F.col("__v__"), b["bvec"])
+               / (F.col("__n__") * b["bnorm"]))
+        better = cos > acc["c"]
+        return F.struct(
+            F.when(better, cos).otherwise(acc["c"]).alias("c"),
+            F.when(better, b["bid"]).otherwise(acc["bid"])
+            .alias("bid"))
+
+    best = F.aggregate("__bench__", acc0, step)
+    out = (base.withColumn("__best__", best)
+           .select(id_col,
+                   (F.round(F.col("__best__.c"), 6)
+                    >= threshold).alias("contaminated"),
+                   F.when(F.round(F.col("__best__.c"), 6)
+                          >= threshold,
+                          F.col("__best__.bid")).alias("bench_id"),
+                   F.when(F.round(F.col("__best__.c"), 6)
+                          >= threshold,
+                          F.round(F.col("__best__.c"), 6))
+                   .alias("cosine")))
+    return SparkFrame(out)

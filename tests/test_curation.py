@@ -743,3 +743,45 @@ def test_luhn_expr_known_vectors(spark):
                     CUR.luhn_valid_expr(F.col("digits"))
                     .alias("valid")).collect()
     assert all(r["valid"] == r["expect"] for r in got)
+
+
+def test_semantic_decontaminate_flags_scaled_paraphrases(spark):
+    # cosine is scale-invariant: a benchmark vector scaled 3x must
+    # flag at cosine 1.0; an orthogonal vector must pass clean
+    corpus = spark.createDataFrame(
+        [(1, [3.0, 0.0, 0.0]),        # 3x benchmark vec 100
+         (2, [0.0, 1.0, 0.0]),        # orthogonal: clean
+         (3, [1.0, 0.05, 0.0])],      # nearly parallel: flagged
+        ["vec_id", "embedding"])
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           CUR.semantic_decontaminate(corpus, bench, threshold=0.95)
+           .spark_df.collect()}
+    assert out[1].contaminated and out[1].bench_id == 100
+    assert out[1].cosine == 1.0
+    assert not out[2].contaminated
+    assert out[2].bench_id is None and out[2].cosine is None
+    assert out[3].contaminated and out[3].bench_id == 100
+    assert 0.95 <= out[3].cosine < 1.0
+
+
+def test_semantic_decontaminate_on_real_embeddings(spark, sf_dir):
+    # benchmark = a slice of the corpus itself: every slice member is
+    # a guaranteed cosine-1.0 hit against its own vector
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    out = CUR.semantic_decontaminate(emb, bench,
+                                     threshold=0.999).spark_df
+    hits = {r.vec_id: r for r in
+            out.filter(F.col("contaminated")).collect()}
+    for vid in [r.vec_id for r in bench.select("vec_id").collect()]:
+        assert vid in hits and hits[vid].cosine == 1.0
+    # the corpus side is one narrow pass: the only Exchanges are the
+    # benchmark fold (SinglePartition over the tiny side) and its
+    # broadcast — no corpus-keyed shuffle anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    leftover = (plan.replace("BroadcastExchange", "")
+                .replace("Exchange SinglePartition", ""))
+    assert "Exchange" not in leftover
