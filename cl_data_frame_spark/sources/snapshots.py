@@ -485,20 +485,23 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
                 if name == new:
                     name = old
             return name
-        # chain-derived physical names are authoritative, and EVERY
-        # chain source name is spoken for: a rename's old name belongs
-        # to the renamed field, a drop's old name to its tombstone. A
-        # field whose identity name is claimed (rename a->b or drop of
-        # c, then a merge-schema re-add of that name) cannot exist in
-        # these files under it — read it under an absent placeholder
-        # so the parquet reader yields NULLs instead of stale bytes
-        claimed = {physical(f.name) for f in fields
-                   if physical(f.name) != f.name}
-        claimed |= {old for old, _new in chain}
+
+        def forward(name):
+            for old, new in chain:
+                if name == old:
+                    name = new
+            return name
+        # a physical candidate is GENUINE iff the chain walked forward
+        # from it lands back on the logical name: an undone rename
+        # (v->v2->v) round-trips and reads normally, while a name the
+        # chain carried elsewhere — a rename's source or a drop's
+        # tombstoned column, later RE-ADDED via merge_schema — does
+        # not, and must read as an absent placeholder so the parquet
+        # reader yields NULLs instead of another field's stale bytes
         era_names = []
         for f in fields:
             p = physical(f.name)
-            if p == f.name and p in claimed:
+            if forward(p) != f.name:
                 p = f"__absent_{f.name}__"
             era_names.append(p)
         era = StructType([StructField(p, f.dataType, True)

@@ -1814,3 +1814,19 @@ def test_plain_read_not_nulled_by_mixed_schema_group(spark, tmp_path):
     got = {r.v: r.extra for r in
            snapshot_read(spark, t).spark_df.collect()}
     assert got == {0: None, 1: None, 2: 20, 3: 30}
+
+
+def test_rename_undo_roundtrip_reads_values(spark, tmp_path):
+    # hypothesis-found regression: rename v->v2 then v2->v must read
+    # the original values (the chain round-trips), not NULLs — while a
+    # re-added name whose chain does NOT round-trip still reads NULL
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_rename_column, snapshot_write)
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark.range(4).select(F.col("id").alias("v")), t)
+    snapshot_rename_column(t, "v", "v2")
+    snapshot_rename_column(t, "v2", "v")
+    got = sorted(r.v for r in snapshot_read(spark, t)
+                 .spark_df.collect())
+    assert got == [0, 1, 2, 3]
