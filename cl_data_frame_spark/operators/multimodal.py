@@ -436,6 +436,12 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them so a padded-but-valid file still decodes
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         m = payload[pos + 1]
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             pos += 2

@@ -469,6 +469,15 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
                 .parquet(*paths)
             for old, new in chain:
                 sdf = sdf.withColumnRenamed(old, new)
+            # a DROPPED column's rename chain maps it to a tombstone
+            # name; the merged footer schema still carries the physical
+            # column, so project it away here — otherwise the stale
+            # bytes resurface under __dropped_v*__ in the merged view,
+            # breaking drop_column's never-resurface contract
+            tomb = [c for c in sdf.columns
+                    if c.startswith("__dropped_v")]
+            if tomb:
+                sdf = sdf.drop(*tomb)
             parts.append(sdf)
             continue
         # a version's read surface IS its manifest schema: read with
@@ -542,6 +551,12 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
         if new in names:
             raise ValueError(
                 f"column {new!r} already exists in {names}")
+        ref = _constraints_referencing(m, old)
+        if ref:
+            raise ValueError(
+                f"cannot rename column {old!r}: referenced by CHECK "
+                f"constraint(s) {ref} — drop the constraint(s) first "
+                f"and re-add against the new name")
         for fld in schema["fields"]:
             if fld["name"] == old:
                 fld["name"] = new
@@ -659,6 +674,21 @@ def _enforce_constraints(sdf: DataFrame, constraints: dict) -> None:
             f"fails one of {sorted(constraints)} — write aborted")
 
 
+def _constraints_referencing(manifest: dict, col: str) -> list[str]:
+    """Names of stored CHECK constraints whose predicate references
+    *col* as an identifier (word-boundary match, so ``v`` matches in
+    ``v >= 0`` but not in ``level`` or ``'v'``-adjacent words).
+    Rename/drop of a constrained column is blocked — Delta's rule —
+    because the stored predicate would otherwise go UNRESOLVED and
+    brick every later write until the constraint is dropped."""
+    import re
+    pat = re.compile(r"(?<![A-Za-z0-9_`])" + re.escape(col)
+                     + r"(?![A-Za-z0-9_`])", re.IGNORECASE)
+    return sorted(name for name, pred in
+                  (manifest.get("constraints") or {}).items()
+                  if pat.search(pred))
+
+
 def snapshot_clone(src_table_dir: str, dst_table_dir: str,
                    version: int | None = None) -> int:
     """Shallow CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
@@ -722,6 +752,11 @@ def snapshot_drop_column(table_dir: str, col: str,
                 f"column {col!r} not in table schema {names}")
         if len(names) == 1:
             raise ValueError("cannot drop a table's only column")
+        ref = _constraints_referencing(m, col)
+        if ref:
+            raise ValueError(
+                f"cannot drop column {col!r}: referenced by CHECK "
+                f"constraint(s) {ref} — drop the constraint(s) first")
         schema["fields"] = [f for f in schema["fields"]
                             if f["name"] != col]
         tomb = f"__dropped_v{m['version'] + 1}__{col}"
@@ -888,6 +923,24 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
                 f"(table: {shape(cur)}, append: {shape(sdf.schema)}); "
                 "pass merge_schema=True to evolve the schema "
                 "explicitly")
+    if mode == "append" and pm is not None and merge_schema:
+        # merge_schema evolution is strictly ADDITIVE: an append whose
+        # frame lacks an existing column would narrow the manifest
+        # schema with no tombstone chain, and a later merge_schema
+        # re-add of that name would pass the forward-chain genuineness
+        # check and resurface old files' stale bytes — exactly the
+        # hazard snapshot_drop_column tombstones against. Removals
+        # must go through overwrite or snapshot_drop_column.
+        from pyspark.sql.types import StructType
+        cur_names = [f.name for f in
+                     StructType.fromJson(json.loads(pm["schema"]))]
+        dropped = [n for n in cur_names if n not in
+                   set(sdf.schema.fieldNames())]
+        if dropped:
+            raise ValueError(
+                f"merge_schema append drops existing column(s) "
+                f"{dropped}: schema evolution is additive-only — use "
+                f"mode='overwrite' or snapshot_drop_column instead")
     constraints = dict(pm.get("constraints") or {}) \
         if pm is not None else {}
     if constraints:
@@ -1005,6 +1058,13 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         lm = _read_manifest(table_dir, latest)
         if lm["schema"] != schema_json:
             return None            # interleaved schema evolution
+        if (lm.get("constraints") or {}) != \
+                (base.get("constraints") or {}):
+            # an interleaved ADD/DROP CONSTRAINT does NOT commute: our
+            # already-written files were validated against the BASE
+            # constraints, so a rebased publish would claim constraints
+            # the rows were never checked against — recompute instead
+            return None
         lfiles = lm["files"]
         if not base_files <= set(lfiles):
             return None            # winner rewrote/removed base files

@@ -776,3 +776,22 @@ def test_gif_roundtrip_fuzz():
         assert np.allclose(feats[2:5], want)
 
     check()
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; a padded-but-valid file must still really decode instead
+    of silently degrading to stub features (round-10 advisor find)."""
+    import numpy as np
+    from cl_data_frame_spark.operators.multimodal import \
+        _decode_jpeg_pixels
+    px = np.full((8, 8, 3), 200, dtype=np.uint8)
+    enc = _encode_jpeg(px)
+    # inject fill bytes after SOI (before the next marker's 0xFF) and
+    # again before the EOI marker at the end of the stream
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    padded = (b"\xff\xd8" + b"\xff" * 3 + enc[2:-2]
+              + b"\xff" * 2 + b"\xff\xd9")
+    got = _decode_jpeg_pixels(padded)
+    assert got.shape == (8, 8, 3)
+    assert int(np.max(np.abs(got.astype(int) - 200))) <= 1

@@ -1645,14 +1645,13 @@ class TestSnapshotConstraintsAndClone:
         with pytest.raises(ValueError, match="CHECK constraint"):
             snapshot_write(spark.createDataFrame([(None,)], "v long"),
                            t, mode="append")
-        # constraints survive metadata commits and overwrites
-        snapshot_rename_column(t, "v", "v2")
-        with pytest.raises(Exception):
-            # predicate references the old name -> the enforcement
-            # itself errors, which still refuses the write
-            snapshot_write(spark.createDataFrame([(1,)], "v2 long"),
-                           t, mode="append")
+        # renaming a column a stored CHECK references is BLOCKED
+        # (Delta's rule): otherwise the predicate goes UNRESOLVED and
+        # bricks every later write until the constraint is dropped
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            snapshot_rename_column(t, "v", "v2")
         snapshot_drop_constraint(t, "v_nonneg")
+        snapshot_rename_column(t, "v", "v2")
         snapshot_write(spark.createDataFrame([(-5,)], "v2 long"), t,
                        mode="append")
         with pytest.raises(ValueError, match="already exists"):
@@ -1830,3 +1829,101 @@ def test_rename_undo_roundtrip_reads_values(spark, tmp_path):
     got = sorted(r.v for r in snapshot_read(spark, t)
                  .spark_df.collect())
     assert got == [0, 1, 2, 3]
+
+
+class TestAdvisoryHardening:
+    """Round-10 advisor findings: tombstone leakage in merged reads,
+    constraint-referencing column mutations, rebase vs interleaved
+    constraint commits, and schema-narrowing merge_schema appends."""
+
+    def test_merged_read_hides_tombstoned_column(self, spark,
+                                                 tmp_path):
+        # drop c, re-add c via merge_schema: snapshot_read_merged must
+        # neither expose the internal __dropped_v*__ column nor the
+        # dropped column's stale values
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_drop_column, snapshot_read_merged, snapshot_write)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(
+            F.col("id").alias("v"), F.lit("STALE").alias("c")), t)
+        snapshot_drop_column(t, "c")
+        snapshot_write(
+            spark.range(3, 5).select(F.col("id").alias("v"),
+                                     F.lit("fresh").alias("c")),
+            t, mode="append", merge_schema=True)
+        sdf = snapshot_read_merged(spark, t).spark_df
+        assert not [c for c in sdf.columns
+                    if c.startswith("__dropped_v")], sdf.columns
+        got = {r.v: r.c for r in sdf.collect()}
+        assert got == {0: None, 1: None, 2: None,
+                       3: "fresh", 4: "fresh"}
+
+    def test_drop_column_blocked_by_constraint(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_add_constraint, snapshot_drop_column,
+            snapshot_drop_constraint, snapshot_write)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(
+            F.col("id").alias("v"), (F.col("id") * 2).alias("w")), t)
+        snapshot_add_constraint(t, "w_nonneg", "w >= 0")
+        with pytest.raises(ValueError, match="referenced by CHECK"):
+            snapshot_drop_column(t, "w")
+        # word-boundary matching: dropping v (a substring-free other
+        # name) is fine even though 'v' != 'w' shares no boundary
+        snapshot_drop_column(t, "v")
+        snapshot_drop_constraint(t, "w_nonneg")
+
+    def test_rebase_conflicts_with_interleaved_constraint(
+            self, spark, tmp_path, monkeypatch):
+        # an interleaved metadata-only ADD CONSTRAINT must NOT be
+        # treated as commutable: the merge's already-written files were
+        # never validated against it -> the loser must RECOMPUTE (and
+        # the recompute enforces the new constraint)
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        base = spark.range(0, 100).selectExpr(
+            "id AS k", "concat('old', id) AS v")
+        snapshots.snapshot_write(base.repartitionByRange(4, "k"), t,
+                                 stats_cols=["k"])
+
+        def competitor():
+            snapshots.snapshot_add_constraint(t, "k_nonneg", "k >= 0")
+        TestSnapshotCommitRetry._race(monkeypatch, competitor, "merge")
+        attempts = TestSnapshotCommitRetry._count(monkeypatch,
+                                                  "_merge_once")
+        snapshots.snapshot_merge(
+            spark, t, spark.createDataFrame(
+                [(10, "NEW10")], "k bigint, v string"), on="k")
+        assert attempts["n"] == 2          # recomputed, NOT rebased
+        m = snapshots._read_manifest(t, snapshots._latest_version(t))
+        assert m["constraints"] == {"k_nonneg": "k >= 0"}
+        got = {r.k: r.v for r in
+               snapshots.snapshot_read(spark, t).spark_df.collect()}
+        assert got[10] == "NEW10" and len(got) == 100
+
+    def test_merge_schema_append_cannot_narrow(self, spark, tmp_path):
+        # a merge_schema append that REMOVES a column is rejected:
+        # silent narrowing would let a later re-add of the name
+        # resurface old files' stale bytes (no tombstone chain exists)
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_read, snapshot_write)
+        t = str(tmp_path / "tbl")
+        snapshot_write(spark.range(3).select(
+            F.col("id").alias("v"), F.lit("STALE").alias("c")), t)
+        with pytest.raises(ValueError, match="additive-only"):
+            snapshot_write(
+                spark.range(3, 5).select(F.col("id").alias("v")),
+                t, mode="append", merge_schema=True)
+        assert snapshot_read(spark, t).nrow == 3   # nothing landed
+        # widening stays allowed
+        snapshot_write(
+            spark.range(3, 5).select(F.col("id").alias("v"),
+                                     F.lit("x").alias("c"),
+                                     F.lit(1).alias("extra")),
+            t, mode="append", merge_schema=True)
+        assert snapshot_read(spark, t).nrow == 5
