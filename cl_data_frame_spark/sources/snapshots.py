@@ -9,9 +9,25 @@ Apache Iceberg papers) are built on, reduced to its portable core:
 Layout::
 
     <table_dir>/
-      _manifests/v00000001.json   {"version", "files", "schema",
-                                   "parent", "operation"}
+      _manifests/v00000001.json   full state: {"version", "files",
+                                   "schema", "parent", "operation"}
+      _manifests/v00000002.json   DELTA commit: {"add", "remove",
+                                   "stats_add", "op_rename", ...}
+      _manifests/v00000020.ckpt   full-state checkpoint every
+                                   _CHECKPOINT_EVERY commits
+      _manifests/sidecars/sc-<token>.json   bloom-filter bytes
       data/v00000001-<token>/part-*.parquet
+
+Commits are O(changed files) on disk (the public Delta log protocol's
+checkpoint + delta design): ``_publish`` diffs the full in-memory
+state against the parent and writes only the delta — verified by
+replay, falling back to the full state whenever the replay would not
+be exact, so correctness never depends on delta-ability. Reads
+reconstruct from the nearest checkpoint (O(1)) plus the deltas since
+(bounded by the cadence), LRU-cached in-process. Bloom-filter bytes
+live in immutable sidecar files referenced from the manifest and are
+loaded lazily, only for files that survive min/max stats pruning —
+commit JSON never carries filter payloads.
 
 - Every write lands data in a FRESH uniquely-named directory (no file
   is ever mutated or reused across writes), then publishes a manifest
@@ -52,7 +68,15 @@ from cl_data_frame_spark.frame import SparkFrame
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_SIDECAR_DIR = "sidecars"
 _LATEST_HINT = "_latest"
+_CKPT_HINT = "_last_ckpt"
+
+#: write a full-state checkpoint every N commits (the Delta log's
+#: checkpoint cadence, default 10 there; 20 keeps reconstruction reads
+#: bounded while halving checkpoint I/O). Commits between checkpoints
+#: are O(delta) JSON; reads are O(1) checkpoint + O(commits-since).
+_CHECKPOINT_EVERY = 20
 
 
 def _plain(frame) -> DataFrame:
@@ -61,6 +85,10 @@ def _plain(frame) -> DataFrame:
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _ckpt_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.ckpt")
 
 
 def _versions(table_dir: str) -> list[int]:
@@ -74,9 +102,184 @@ def _versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# checkpointed manifest log (the public Delta log protocol's portable
+# core): a commit writes only its DELTA against the parent version —
+# added/removed files, stats/bloom for the added files, metadata-op
+# records — so commit JSON is O(changed files), not O(#files). Every
+# _CHECKPOINT_EVERY commits (and before vacuum drops history) a full
+# reconstructed state lands in a vNNNNNNNN.ckpt file; a read resolves
+# O(1) checkpoint + O(commits-since-checkpoint) deltas. Reconstructed
+# states are LRU-cached in-process (manifests are immutable once
+# published, so the cache can never serve a stale answer). The
+# _read_manifest contract is unchanged: callers always receive the
+# FULL logical state dict, whatever the on-disk encoding.
+# ---------------------------------------------------------------------------
+
+_STATE_CACHE: "dict[tuple[str, int], dict]" = {}
+_STATE_CACHE_MAX = 16
+
+
+def _cache_put(tdir: str, version: int, state: dict) -> None:
+    import copy
+    key = (tdir, version)
+    _STATE_CACHE.pop(key, None)
+    _STATE_CACHE[key] = copy.deepcopy(state)
+    while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+        _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+
+
+def _cache_drop_table(tdir: str) -> None:
+    for key in [k for k in _STATE_CACHE if k[0] == tdir]:
+        del _STATE_CACHE[key]
+
+
+def _apply_delta(state: dict, d: dict) -> dict:
+    """Reconstruct a child version's full state from the parent's:
+    file add/remove, carried stats/bloom/rename-chains restricted to
+    surviving files, compact metadata ops (op_rename/op_drop mirror
+    snapshot_rename_column / snapshot_drop_column exactly), then
+    explicit per-file overrides/deletions for anything else."""
+    rm = set(d.get("remove") or [])
+    fset = set(d.get("add") or [])
+    files = [f for f in state["files"] if f not in rm] \
+        + list(d.get("add") or [])
+    keep = set(files)
+    stats = {f: sd for f, sd in (state.get("stats") or {}).items()
+             if f in keep}
+    bloom = {f: b for f, b in (state.get("bloom") or {}).items()
+             if f in keep}
+    renames = {f: [list(p) for p in ch] for f, ch in
+               (state.get("renamed_files") or {}).items() if f in keep}
+    if d.get("op_rename"):
+        old, new = d["op_rename"]
+        for f in files:
+            renames.setdefault(f, []).append([old, new])
+        stats = {f: {(new if c == old else c): st
+                     for c, st in sd.items()}
+                 for f, sd in stats.items()}
+        bloom = {f: {(new if c == old else c): e
+                     for c, e in b.items()} for f, b in bloom.items()}
+    if d.get("op_drop"):
+        col, tomb = d["op_drop"]
+        for f in files:
+            renames.setdefault(f, []).append([col, tomb])
+        stats = {f: {c: st for c, st in sd.items() if c != col}
+                 for f, sd in stats.items()}
+        stats = {f: sd for f, sd in stats.items() if sd}
+        bloom = {f: {c: e for c, e in b.items() if c != col}
+                 for f, b in bloom.items()}
+        bloom = {f: b for f, b in bloom.items() if b}
+    for f in d.get("stats_del") or []:
+        stats.pop(f, None)
+    for f in d.get("bloom_del") or []:
+        bloom.pop(f, None)
+    for f in d.get("renames_del") or []:
+        renames.pop(f, None)
+    stats.update(d.get("stats_add") or {})
+    bloom.update(d.get("bloom_add") or {})
+    renames.update(d.get("renames_add") or {})
+    out = {"version": d["version"], "parent": d["parent"],
+           "operation": d["operation"], "schema": d["schema"],
+           "files": files}
+    if stats:
+        out["stats"] = stats
+    if bloom:
+        out["bloom"] = bloom
+    if renames:
+        out["renamed_files"] = renames
+    if d.get("constraints"):
+        out["constraints"] = d["constraints"]
+    if d.get("txn"):
+        out["txn"] = d["txn"]
+    _ = fset
+    return out
+
+
+def _norm_state(m: dict) -> str:
+    """Canonical JSON of a manifest's logical state (empty maps drop
+    out, so {'stats': {}} and no-stats compare equal)."""
+    out = {"version": m["version"], "parent": m.get("parent"),
+           "operation": m.get("operation"), "schema": m["schema"],
+           "files": list(m["files"])}
+    for k in ("stats", "bloom", "renamed_files", "constraints", "txn"):
+        if m.get(k):
+            out[k] = m[k]
+    return json.dumps(out, sort_keys=True)
+
+
+def _make_delta(parent: dict, full: dict,
+                ops: dict | None) -> dict | None:
+    """The O(changed-files) commit record whose replay over *parent*
+    reproduces *full* exactly — or None when it can't (the caller then
+    writes the full state; correctness never depends on delta-ability,
+    only commit size does)."""
+    pset = set(parent["files"])
+    fset = set(full["files"])
+    d = {"version": full["version"], "parent": full["parent"],
+         "operation": full.get("operation"), "schema": full["schema"],
+         "delta": 1}
+    add = [f for f in full["files"] if f not in pset]
+    remove = [f for f in parent["files"] if f not in fset]
+    if add:
+        d["add"] = add
+    if remove:
+        d["remove"] = remove
+    for k in ("op_rename", "op_drop"):
+        if ops and ops.get(k):
+            d[k] = ops[k]
+    if full.get("constraints"):
+        d["constraints"] = full["constraints"]
+    if full.get("txn"):
+        d["txn"] = full["txn"]
+    # project the carried-state candidate, then record residual
+    # per-file differences explicitly
+    cand = _apply_delta(parent, d)
+    for key, add_k, del_k in (("stats", "stats_add", "stats_del"),
+                              ("bloom", "bloom_add", "bloom_del"),
+                              ("renamed_files", "renames_add",
+                               "renames_del")):
+        cv = cand.get(key) or {}
+        fv = full.get(key) or {}
+        adds = {f: v for f, v in fv.items() if cv.get(f) != v}
+        dels = [f for f in cv if f not in fv]
+        if adds:
+            d[add_k] = adds
+        if dels:
+            d[del_k] = dels
+    if _norm_state(_apply_delta(parent, d)) != _norm_state(full):
+        return None
+    return d
+
+
 def _read_manifest(table_dir: str, version: int) -> dict:
-    with open(_manifest_path(table_dir, version)) as f:
-        return json.load(f)
+    import copy
+    tdir = os.path.abspath(table_dir)
+    deltas: list[dict] = []
+    v = version
+    while True:
+        cached = _STATE_CACHE.get((tdir, v))
+        if cached is not None:
+            state = copy.deepcopy(cached)
+            break
+        try:
+            with open(_ckpt_path(table_dir, v)) as f:
+                state = json.load(f)
+            break
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        with open(_manifest_path(table_dir, v)) as f:
+            d = json.load(f)
+        if not d.get("delta"):
+            state = d
+            break
+        deltas.append(d)
+        v = d["parent"]
+    for d in reversed(deltas):
+        state = _apply_delta(state, d)
+    if deltas:
+        _cache_put(tdir, version, state)
+    return state
 
 
 def _write_latest_hint(table_dir: str, version: int) -> None:
@@ -129,10 +332,22 @@ def _publish(table_dir: str, manifest: dict) -> None:
     the public Delta/Iceberg commit contract."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
+    ops = manifest.pop("__delta_ops__", None)
+    record = manifest
+    if manifest.get("parent") is not None:
+        # O(delta) commit: write only the change against the parent's
+        # reconstructed state; verified by replay inside _make_delta,
+        # falling back to the full state on any divergence (restore's
+        # arbitrary file-order jumps, unreadable parents, ...)
+        try:
+            base = _read_manifest(table_dir, manifest["parent"])
+            record = _make_delta(base, manifest, ops) or manifest
+        except (OSError, KeyError, json.JSONDecodeError):
+            record = manifest
     final = _manifest_path(table_dir, manifest["version"])
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+        json.dump(record, f, indent=1, sort_keys=True)
     try:
         os.link(tmp, final)  # atomic create-exclusive: loser raises
     except FileExistsError:
@@ -142,13 +357,34 @@ def _publish(table_dir: str, manifest: dict) -> None:
             f"re-read and retry at the next version)") from None
     finally:
         os.unlink(tmp)
+    _cache_put(os.path.abspath(table_dir), manifest["version"],
+               manifest)
     try:
         _write_latest_hint(table_dir, manifest["version"])
+        if manifest["version"] % _CHECKPOINT_EVERY == 0:
+            _write_checkpoint(table_dir, manifest)
     except OSError:
         pass  # genuinely best-effort: the COMMIT is the os.link above;
-        # a hint-write failure (ENOSPC, read-only FS) must not make a
-        # durable version look failed — a retry would duplicate data.
-        # Readers fall back to the listing / forward probe.
+        # a hint/checkpoint-write failure (ENOSPC, read-only FS) must
+        # not make a durable version look failed — a retry would
+        # duplicate data. Readers fall back to listing / delta replay.
+
+
+def _write_checkpoint(table_dir: str, state: dict) -> None:
+    """Full-state checkpoint for *state*'s version: idempotent content
+    (deterministic replay of the log), so last-writer-wins os.replace
+    is safe under racing writers."""
+    cp = _ckpt_path(table_dir, state["version"])
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({k: v for k, v in state.items()
+                   if k != "__delta_ops__"}, f, sort_keys=True)
+    os.replace(tmp, cp)
+    hdir = os.path.join(table_dir, _MANIFEST_DIR)
+    htmp = os.path.join(hdir, f".ckpt.tmp-{uuid.uuid4().hex}")
+    with open(htmp, "w") as f:
+        f.write(str(state["version"]))
+    os.replace(htmp, os.path.join(hdir, _CKPT_HINT))
 
 
 # ---------------------------------------------------------------------------
@@ -334,10 +570,48 @@ def _bloom_hashes(hexmd5: str) -> tuple[int, int]:
     return int(hexmd5[:8], 16), int(hexmd5[8:16], 16) * 2 + 1
 
 
-def _bloom_may_contain(entry: dict, canonical: str) -> bool:
+_SIDECAR_CACHE: "dict[str, dict]" = {}
+_SIDECAR_CACHE_MAX = 8
+
+
+def _load_sidecar(path: str) -> dict:
+    """Bloom-bytes sidecar, LRU-cached (sidecars are immutable once
+    written; vacuum only ever deletes them)."""
+    path = os.path.abspath(path)
+    hit = _SIDECAR_CACHE.get(path)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        content = json.load(f)
+    _SIDECAR_CACHE[path] = content
+    while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+    return content
+
+
+def _bloom_bits(entry: dict, table_dir: str | None) -> bytes | None:
+    """The filter's bytes: inline ``b64`` (legacy manifests) or lazily
+    resolved from the sidecar file the manifest references — loaded
+    only for files that already survived min/max stats pruning, and
+    never serialized into commit JSON."""
     import base64
+    if "b64" in entry:
+        return base64.b64decode(entry["b64"])
+    if entry.get("sc") and table_dir is not None:
+        try:
+            sc = _load_sidecar(os.path.join(table_dir, entry["sc"]))
+            return base64.b64decode(sc[entry["f"]][entry["c"]])
+        except (OSError, KeyError, json.JSONDecodeError):
+            return None   # missing sidecar: sound (no pruning)
+    return None
+
+
+def _bloom_may_contain(entry: dict, canonical: str,
+                       table_dir: str | None = None) -> bool:
     import hashlib
-    bits = base64.b64decode(entry["b64"])
+    bits = _bloom_bits(entry, table_dir)
+    if bits is None:
+        return True
     h1, h2 = _bloom_hashes(
         hashlib.md5(canonical.encode("utf-8")).hexdigest())
     m = entry["m"]
@@ -362,7 +636,8 @@ def _bloom_canonical(value, col_type: str) -> str | None:
     return None
 
 
-def _bloom_file_may_match(col_blooms: dict, eq_preds) -> bool:
+def _bloom_file_may_match(col_blooms: dict, eq_preds,
+                          table_dir: str | None = None) -> bool:
     for col, val in eq_preds:
         e = col_blooms.get(col)
         if not e:
@@ -370,7 +645,7 @@ def _bloom_file_may_match(col_blooms: dict, eq_preds) -> bool:
         canonical = _bloom_canonical(val, e.get("t", ""))
         if canonical is None:
             continue
-        if not _bloom_may_contain(e, canonical):
+        if not _bloom_may_contain(e, canonical, table_dir):
             return False
     return True
 
@@ -440,7 +715,27 @@ def _collect_file_blooms(spark: SparkSession, table_dir: str,
             out.setdefault(rel, {})[c] = {
                 "m": len(buf) * 8, "k": _BLOOM_K, "t": types[c],
                 "b64": base64.b64encode(bytes(buf)).decode("ascii")}
-    return out
+    if not out:
+        return out
+    # the filter BYTES go to a sidecar file published before the
+    # manifest; the manifest keeps only O(1)-sized references per
+    # (file, column), so commit JSON never carries bloom payloads
+    # (the Delta/Iceberg sidecar layout). Sized metadata (m/k/t)
+    # stays inline so pruning decides without touching the sidecar.
+    scdir = os.path.join(table_dir, _MANIFEST_DIR, _SIDECAR_DIR)
+    os.makedirs(scdir, exist_ok=True)
+    sc_name = f"sc-{uuid.uuid4().hex}.json"
+    sc_rel = os.path.join(_MANIFEST_DIR, _SIDECAR_DIR, sc_name)
+    payload = {rel: {c: e["b64"] for c, e in cols.items()}
+               for rel, cols in out.items()}
+    tmp = os.path.join(scdir, f".{sc_name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(scdir, sc_name))
+    return {rel: {c: {"m": e["m"], "k": e["k"], "t": e["t"],
+                      "sc": sc_rel, "f": rel, "c": c}
+                  for c, e in cols.items()}
+            for rel, cols in out.items()}
 
 
 def _read_files_renamed(spark: SparkSession, table_dir: str,
@@ -573,6 +868,9 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
             out["bloom"] = {f: {(new if c == old else c): e
                                 for c, e in b.items()}
                             for f, b in m["bloom"].items()}
+        # compact commit record: the delta log replays this one pair
+        # instead of storing every file's rewritten chain/stats keys
+        out["__delta_ops__"] = {"op_rename": [old, new]}
         return out
     return _metadata_commit(table_dir, "rename", mutate, max_retries)
 
@@ -725,9 +1023,18 @@ def snapshot_clone(src_table_dir: str, dst_table_dir: str,
         "schema": m["schema"],
         "files": files,
     }
-    for key in ("stats", "bloom", "renamed_files"):
+    for key in ("stats", "renamed_files"):
         if m.get(key):
             manifest[key] = {remap(f): v for f, v in m[key].items()}
+    if m.get("bloom"):
+        # file keys become clone-relative; sidecar refs too (entry
+        # "f"/"c" keys stay as-written — they index INTO the source
+        # sidecar's content, which is shared, not copied)
+        manifest["bloom"] = {
+            remap(f): {c: ({**e, "sc": remap(e["sc"])}
+                           if e.get("sc") else e)
+                       for c, e in b.items()}
+            for f, b in m["bloom"].items()}
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
     _publish(dst_table_dir, manifest)
@@ -773,6 +1080,7 @@ def snapshot_drop_column(table_dir: str, col: str,
         bloom = {f: b for f, b in bloom.items() if b}
         out["stats"] = stats
         out["bloom"] = bloom
+        out["__delta_ops__"] = {"op_drop": [col, tomb]}
         return out
     return _metadata_commit(table_dir, "drop_column", mutate,
                             max_retries)
@@ -855,7 +1163,7 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
             if eq:
                 files = [f for f in files
                          if _bloom_file_may_match(blooms.get(f) or {},
-                                                  eq)]
+                                                  eq, table_dir)]
     return files
 
 
@@ -1234,7 +1542,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         selected = [f for f in selected
                     if _file_may_match(stats.get(f, {}), preds)
                     and _bloom_file_may_match(blooms.get(f) or {},
-                                              eq)]
+                                              eq, table_dir)]
     carried = [f for f in m["files"] if f not in set(selected)]
     if not selected:
         return base_v                  # nothing to compact: no-op
@@ -1368,9 +1676,29 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
     surviving = [v for v in versions
                  if v in keep or not _old_enough(_manifest_path(
                      table_dir, v))]
+    survset = set(surviving)
     referenced: set[str] = set()
+    sidecars: set[str] = set()
+    states: dict[int, dict] = {}
     for v in surviving:
-        referenced.update(_read_manifest(table_dir, v)["files"])
+        states[v] = m = _read_manifest(table_dir, v)
+        referenced.update(m["files"])
+        for b in (m.get("bloom") or {}).values():
+            for e in b.values():
+                if e.get("sc"):
+                    sidecars.add(os.path.normpath(e["sc"]))
+    # a surviving DELTA commit whose replay base is being dropped must
+    # be materialized as a checkpoint first, or it becomes unreadable
+    for v in surviving:
+        if v - 1 in survset or os.path.exists(_ckpt_path(table_dir, v)):
+            continue
+        try:
+            with open(_manifest_path(table_dir, v)) as f:
+                on_disk = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            on_disk = {"delta": 1}
+        if on_disk.get("delta"):
+            _write_checkpoint(table_dir, states[v])
     deleted = 0
     ddir = os.path.join(table_dir, _DATA_DIR)
     for root, _dirs, names in os.walk(ddir, topdown=False):
@@ -1383,9 +1711,23 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
                 deleted += 1
         if not os.listdir(root):
             os.rmdir(root)
+    # bloom sidecars no surviving version references
+    scdir = os.path.join(table_dir, _MANIFEST_DIR, _SIDECAR_DIR)
+    if os.path.isdir(scdir):
+        for name in os.listdir(scdir):
+            full = os.path.join(scdir, name)
+            rel = os.path.normpath(os.path.relpath(full, table_dir))
+            if rel not in sidecars and _old_enough(full):
+                os.remove(full)
+                deleted += 1
     for v in versions:
         if v not in surviving:
             os.remove(_manifest_path(table_dir, v))
+            try:
+                os.remove(_ckpt_path(table_dir, v))
+            except FileNotFoundError:
+                pass
+    _cache_drop_table(os.path.abspath(table_dir))
     return deleted
 
 
@@ -1714,7 +2056,8 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
     touched = [f for f in m["files"]
                if _file_may_match(stats.get(f, {}), preds)
-               and _bloom_file_may_match(blooms.get(f) or {}, eq)]
+               and _bloom_file_may_match(blooms.get(f) or {}, eq,
+                                         table_dir)]
     untouched = [f for f in m["files"] if f not in set(touched)]
     schema = StructType.fromJson(json.loads(m["schema"]))
     match_cond = None

@@ -1927,3 +1927,141 @@ class TestAdvisoryHardening:
                                      F.lit(1).alias("extra")),
             t, mode="append", merge_schema=True)
         assert snapshot_read(spark, t).nrow == 5
+
+
+class TestCheckpointedManifestLog:
+    """Round 10: the Delta-log storage layout — commits write O(delta)
+    JSON, full state lands in periodic checkpoints, reads replay O(1)
+    checkpoint + O(commits-since), bloom bytes live in sidecars."""
+
+    def test_commit_json_is_o_delta_not_o_files(self, tmp_path):
+        import json
+        import os
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        files = [f"data/v00000001-x/part-{i:05d}.parquet"
+                 for i in range(1000)]
+        base = {"version": 1, "parent": None, "operation": "append",
+                "schema": '{"type":"struct","fields":[]}',
+                "files": files,
+                "stats": {f: {"k": {"min": i, "max": i,
+                                    "null_count": 0}}
+                          for i, f in enumerate(files)}}
+        snapshots._publish(t, base)
+        v1_size = os.path.getsize(snapshots._manifest_path(t, 1))
+        assert v1_size > 50_000            # the full state IS big
+        sizes = []
+        prev = files
+        for v in range(2, 502):
+            newf = f"data/v{v:08d}-x/part-00000.parquet"
+            m = {"version": v, "parent": v - 1, "operation": "append",
+                 "schema": base["schema"], "files": prev + [newf],
+                 "stats": {**{f: {"k": {"min": 0, "max": 0,
+                                        "null_count": 0}}
+                              for f in []},
+                           **snapshots._read_manifest(t, v - 1)
+                           .get("stats", {}),
+                           newf: {"k": {"min": v, "max": v,
+                                        "null_count": 0}}}}
+            snapshots._publish(t, m)
+            prev = prev + [newf]
+            sizes.append(os.path.getsize(
+                snapshots._manifest_path(t, v)))
+        # (a) every commit record is tiny — O(one added file), not
+        # O(1500 files); 500 commits at ~full-size would be ~25 MB
+        assert max(sizes) < 2_000, max(sizes)
+        # checkpoints exist on the cadence and carry the full state
+        assert os.path.exists(snapshots._ckpt_path(t, 500))
+        with open(snapshots._ckpt_path(t, 500)) as f:
+            assert len(json.load(f)["files"]) == 1000 + 499
+        # reconstruction is exact at the head and mid-history
+        m501 = snapshots._read_manifest(t, 501)
+        assert len(m501["files"]) == 1500
+        assert len(m501["stats"]) == 1500
+        m123 = snapshots._read_manifest(t, 123)
+        assert len(m123["files"]) == 1000 + 122
+        assert m123["files"][-1] == "data/v00000123-x/part-00000.parquet"
+
+    def test_reads_touch_o1_ckpt_plus_deltas(self, tmp_path,
+                                             monkeypatch):
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        m = {"version": 1, "parent": None, "operation": "append",
+             "schema": '{"type":"struct","fields":[]}',
+             "files": ["data/a.parquet"]}
+        snapshots._publish(t, m)
+        for v in range(2, 90):
+            m = {**m, "version": v, "parent": v - 1,
+                 "files": m["files"] + [f"data/f{v}.parquet"]}
+            snapshots._publish(t, m)
+        snapshots._STATE_CACHE.clear()
+        replays = {"n": 0}
+        orig = snapshots._apply_delta
+
+        def counting(state, d):
+            replays["n"] += 1
+            return orig(state, d)
+        monkeypatch.setattr(snapshots, "_apply_delta", counting)
+        got = snapshots._read_manifest(t, 89)
+        assert len(got["files"]) == 89
+        # (b) cold read = nearest checkpoint (v80) + 9 delta replays,
+        # never the 88-commit full walk
+        assert 0 < replays["n"] <= snapshots._CHECKPOINT_EVERY
+
+    def test_vacuum_materializes_checkpoint_for_survivors(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(4).select(F.col("id").alias("v")), t)
+        for i in range(4, 12):
+            snapshots.snapshot_write(
+                spark.range(i, i + 1).select(F.col("id").alias("v")),
+                t, mode="append")
+        # versions 1..9 exist, all deltas after v1; drop all but last 3
+        snapshots.snapshot_vacuum(t, keep_last=3, force=True)
+        vs = snapshots._versions(t)
+        assert vs == [7, 8, 9]
+        # v7's replay base (v6) is gone -> a checkpoint was written
+        import os
+        assert os.path.exists(snapshots._ckpt_path(t, 7))
+        for v in vs:
+            assert len(snapshots._read_manifest(t, v)["files"]) > 0
+        assert snapshots.snapshot_read(spark, t).nrow == 12
+        # time travel to a vacuumed version fails loudly, not wrongly
+        import pytest
+        with pytest.raises(FileNotFoundError):
+            snapshots.snapshot_read(spark, t, version=2)
+
+    def test_bloom_bytes_in_sidecar_not_manifest(self, spark,
+                                                 tmp_path):
+        import os
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(2000).select(F.col("id").alias("k"))
+            .repartitionByRange(4, "k"),
+            t, stats_cols=["k"], bloom_cols=["k"])
+        raw = open(snapshots._manifest_path(t, 1)).read()
+        assert '"b64"' not in raw          # bytes live in the sidecar
+        assert '"sc"' in raw
+        scdir = os.path.join(t, snapshots._MANIFEST_DIR,
+                             snapshots._SIDECAR_DIR)
+        assert len(os.listdir(scdir)) == 1
+        # pruning still fires through the sidecar (lazy load)
+        hit = snapshots.snapshot_scan_files(t, where=[("k", "==", 7)])
+        assert len(hit) == 1
+        absent = snapshots.snapshot_scan_files(
+            t, where=[("k", "==", 999_999_999)])
+        assert len(absent) == 0
+        # overwrite orphans the old sidecar; vacuum reclaims it
+        snapshots.snapshot_write(
+            spark.range(5).select(F.col("id").alias("k")), t,
+            mode="overwrite", stats_cols=["k"], bloom_cols=["k"])
+        assert len(os.listdir(scdir)) == 2
+        snapshots.snapshot_vacuum(t, keep_last=1, force=True)
+        assert len(os.listdir(scdir)) == 1
+        hit2 = snapshots.snapshot_scan_files(t, where=[("k", "==", 3)])
+        assert len(hit2) == 1
