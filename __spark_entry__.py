@@ -3100,6 +3100,35 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
+    # snapdv (round 10): point-delete exactly ONE surviving row via a
+    # positional DELETION VECTOR — the file set must be UNCHANGED
+    # (asserted inline on the manifests: merge-on-read, zero rewrite,
+    # the 1-row-GDPR-delete-in-a-1GB-file shape) and the read-back
+    # equals the oracle's anti-filter of that (orderkey, linenumber).
+    # The 1-row min-struct fetch is metadata-sized driver state.
+    # the MAX row lives in the last (untouched, full-sized) range
+    # file, keeping the 1-row match safely under the DV fraction
+    # threshold at every SF (the min row would sit in the small
+    # band-boundary rewrite file)
+    krow = (snapshot_read(spark, spath).spark_df
+            .agg(F.max(F.struct("l_orderkey", "l_linenumber"))
+                 .alias("s")).collect()[0]["s"])
+    kok, kln = int(krow["l_orderkey"]), int(krow["l_linenumber"])
+    pre_dv = set(_read_manifest(spath, dv)["files"])
+    v_dv = snapshot_delete(spark, spath,
+                           [("l_orderkey", "==", kok),
+                            ("l_linenumber", "==", kln)])
+    m_dv = _read_manifest(spath, v_dv)
+    assert set(m_dv["files"]) == pre_dv and m_dv.get("dv"), \
+        "deletion-vector delete rewrote files instead of writing a DV"
+    dvagg = (snapshot_read(spark, spath).spark_df
+             .agg(F.count(F.lit(1)).alias("n"),
+                  _dec_sum("l_quantity").alias("sum_qty"),
+                  F.sum("l_orderkey").alias("sum_ok")))
+    gdv = _tag(dvagg, "snapdv",
+               F.col("n").cast("bigint").alias("i1"),
+               F.col("sum_qty").cast("double").alias("d1"),
+               F.col("sum_ok").cast("bigint").alias("i2"))
     # BLOOM point-lookup skipping (round 9): hash-partitioned on
     # l_partkey, so every file's [min, max] spans the whole key domain
     # and range stats prune NOTHING — the per-file Bloom filters must
@@ -3132,7 +3161,7 @@ def q_s_layout_prune(spark, sf_dir):
               F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
             .unionByName(c).unionByName(d).unionByName(e)
-            .unionByName(g).unionByName(hb))
+            .unionByName(g).unionByName(gdv).unionByName(hb))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -4130,7 +4159,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                          "cardpii"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapdelete",
-                       "snapbloom"],
+                       "snapdv", "snapbloom"],
 }
 
 
@@ -5908,6 +5937,31 @@ _ORACLES["s_layout_prune"] = _union(
           AND NOT (l_orderkey <=
                    (SELECT floor(max(l_orderkey) / 4)::BIGINT
                     FROM lineitem))""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapdv: ONE row removed from the snapdelete survivors by a
+    # positional deletion vector (the Spark side asserts inline that
+    # the file set is unchanged — merge-on-read, zero rewrite); the
+    # survivors are the anti-filter of the lexicographically-least
+    # (orderkey, linenumber) among them
+    _wrap("snapdv", """
+        WITH rem AS (
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_quantity = 4
+              AND NOT (l_orderkey <=
+                       (SELECT floor(max(l_orderkey) / 4)::BIGINT
+                        FROM lineitem))),
+        mn AS (
+            SELECT l_orderkey AS ko, l_linenumber AS kl FROM rem
+            ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 1)
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM rem
+        WHERE NOT (l_orderkey = (SELECT ko FROM mn)
+                   AND l_linenumber = (SELECT kl FROM mn))""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"),
     # snapbloom: Bloom-filtered point lookup on a hash-scattered key —

@@ -151,6 +151,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
              if f in keep}
     renames = {f: [list(p) for p in ch] for f, ch in
                (state.get("renamed_files") or {}).items() if f in keep}
+    dv = {f: e for f, e in (state.get("dv") or {}).items()
+          if f in keep}
     if d.get("op_rename"):
         old, new = d["op_rename"]
         for f in files:
@@ -176,9 +178,12 @@ def _apply_delta(state: dict, d: dict) -> dict:
         bloom.pop(f, None)
     for f in d.get("renames_del") or []:
         renames.pop(f, None)
+    for f in d.get("dv_del") or []:
+        dv.pop(f, None)
     stats.update(d.get("stats_add") or {})
     bloom.update(d.get("bloom_add") or {})
     renames.update(d.get("renames_add") or {})
+    dv.update(d.get("dv_add") or {})
     out = {"version": d["version"], "parent": d["parent"],
            "operation": d["operation"], "schema": d["schema"],
            "files": files}
@@ -188,6 +193,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["bloom"] = bloom
     if renames:
         out["renamed_files"] = renames
+    if dv:
+        out["dv"] = dv
     if d.get("constraints"):
         out["constraints"] = d["constraints"]
     if d.get("txn"):
@@ -202,7 +209,8 @@ def _norm_state(m: dict) -> str:
     out = {"version": m["version"], "parent": m.get("parent"),
            "operation": m.get("operation"), "schema": m["schema"],
            "files": list(m["files"])}
-    for k in ("stats", "bloom", "renamed_files", "constraints", "txn"):
+    for k in ("stats", "bloom", "renamed_files", "dv", "constraints",
+              "txn"):
         if m.get(k):
             out[k] = m[k]
     return json.dumps(out, sort_keys=True)
@@ -237,6 +245,7 @@ def _make_delta(parent: dict, full: dict,
     cand = _apply_delta(parent, d)
     for key, add_k, del_k in (("stats", "stats_add", "stats_del"),
                               ("bloom", "bloom_add", "bloom_del"),
+                              ("dv", "dv_add", "dv_del"),
                               ("renamed_files", "renames_add",
                                "renames_del")):
         cv = cand.get(key) or {}
@@ -738,18 +747,74 @@ def _collect_file_blooms(spark: SparkSession, table_dir: str,
             for rel, cols in out.items()}
 
 
+def _dv_fid(rel_file: str) -> str:
+    """A file's identity for deletion-vector matching: the last two
+    path components ("v00000001-token/part-....parquet"), which Spark
+    part-file UUIDs make unique within a table — comparable against
+    ``_metadata.file_path`` via ``substring_index(..., '/', -2)``
+    without caring about the file:// URI prefix."""
+    return "/".join(rel_file.split("/")[-2:])
+
+
+def _dv_meta_cols():
+    """(built lazily: Column construction needs a live JVM)"""
+    return (F.expr("substring_index(_metadata.file_path, '/', -2)")
+            .alias("__fid__"),
+            F.col("_metadata.row_index").cast("long").alias("__pos__"))
+
+
+def _dv_positions(table_dir: str, rel_file: str, entry: dict) -> list:
+    """The deleted row indexes for *rel_file* from its DV sidecar
+    (same immutable-sidecar mechanics and cache as bloom filters)."""
+    sc = _load_sidecar(os.path.join(table_dir, entry["sc"]))
+    return sc[entry.get("f", rel_file)]
+
+
+def _write_dv_sidecar(table_dir: str, positions: dict) -> dict:
+    """Publish one DV sidecar holding every file's deleted positions
+    for a commit; returns the manifest ``dv`` entries referencing it."""
+    scdir = os.path.join(table_dir, _MANIFEST_DIR, _SIDECAR_DIR)
+    os.makedirs(scdir, exist_ok=True)
+    name = f"dv-{uuid.uuid4().hex}.json"
+    rel = os.path.join(_MANIFEST_DIR, _SIDECAR_DIR, name)
+    tmp = os.path.join(scdir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({k: sorted(v) for k, v in positions.items()}, f)
+    os.replace(tmp, os.path.join(scdir, name))
+    return {k: {"sc": rel, "f": k, "n": len(v)}
+            for k, v in positions.items()}
+
+
+def _carry_dv(parent_manifest: dict | None, surviving_files) -> dict:
+    keep = set(surviving_files)
+    pd_ = (parent_manifest or {}).get("dv") or {}
+    return {f: e for f, e in pd_.items() if f in keep}
+
+
 def _read_files_renamed(spark: SparkSession, table_dir: str,
                         files: list[str], manifest: dict,
-                        merge_schema: bool = False) -> DataFrame:
+                        merge_schema: bool = False,
+                        with_pos: bool = False) -> DataFrame:
     """Read manifest files applying each file's RENAME CHAIN (Iceberg's
     column-mapping idea reduced to its portable core): files written
     before a ``snapshot_rename_column`` keep their original physical
     column names on disk; the manifest records, per file, the renames
     to apply at read time. Files are grouped by identical chain (one
     Spark scan per era — almost always 1 or 2 groups) and unioned by
-    name into the table's current logical schema."""
+    name into the table's current logical schema.
+
+    Files with a DELETION VECTOR (manifest ``dv``, written by small
+    row-level DELETE/UPDATEs) are filtered by a broadcast anti-join on
+    (file identity, ``_metadata.row_index``) — merge-on-read, the
+    Delta/Iceberg v2 position-delete model. ``with_pos=True`` keeps
+    the ``__fid__``/``__pos__`` identity columns in the result (the
+    DML write path uses them to build new vectors)."""
     from pyspark.sql.types import StructType
     rmap = manifest.get("renamed_files") or {}
+    fset = set(files)
+    dv = {f: e for f, e in (manifest.get("dv") or {}).items()
+          if f in fset}
+    need_meta = bool(dv) or with_pos
     groups: dict[tuple, list[str]] = {}
     for f in files:
         chain = tuple(tuple(p) for p in rmap.get(f, []))
@@ -773,6 +838,8 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
                     if c.startswith("__dropped_v")]
             if tomb:
                 sdf = sdf.drop(*tomb)
+            if need_meta:
+                sdf = sdf.select("*", *_dv_meta_cols())
             parts.append(sdf)
             continue
         # a version's read surface IS its manifest schema: read with
@@ -813,12 +880,24 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
         sdf = spark.read.schema(era).parquet(*paths)
         # positional aliasing back to the logical schema (name-based
         # renames would be ambiguous exactly in the claimed case)
-        sdf = sdf.select(*[F.col(f"`{p}`").alias(f.name)
-                           for p, f in zip(era_names, fields)])
+        sel = [F.col(f"`{p}`").alias(f.name)
+               for p, f in zip(era_names, fields)]
+        if need_meta:
+            sel += list(_dv_meta_cols())
+        sdf = sdf.select(*sel)
         parts.append(sdf)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=merge_schema)
+    if dv:
+        deleted = [(_dv_fid(f), int(p)) for f, e in dv.items()
+                   for p in _dv_positions(table_dir, f, e)]
+        pos_df = spark.createDataFrame(
+            deleted, "__fid__ string, __pos__ long")
+        out = out.join(F.broadcast(pos_df),
+                       on=["__fid__", "__pos__"], how="left_anti")
+    if need_meta and not with_pos:
+        out = out.drop("__fid__", "__pos__")
     return out
 
 
@@ -896,12 +975,12 @@ def _metadata_commit(table_dir: str, operation: str, mutate,
             "schema": m["schema"],
             "files": m["files"],
         }
-        for key in ("stats", "bloom", "renamed_files", "txn",
+        for key in ("stats", "bloom", "renamed_files", "dv", "txn",
                     "constraints"):
             if m.get(key):
                 manifest[key] = m[key]
         manifest.update(mutate(m))
-        for key in ("stats", "bloom", "renamed_files",
+        for key in ("stats", "bloom", "renamed_files", "dv",
                     "constraints"):
             if key in manifest and not manifest[key]:
                 del manifest[key]
@@ -1035,6 +1114,9 @@ def snapshot_clone(src_table_dir: str, dst_table_dir: str,
                            if e.get("sc") else e)
                        for c, e in b.items()}
             for f, b in m["bloom"].items()}
+    if m.get("dv"):
+        manifest["dv"] = {remap(f): {**e, "sc": remap(e["sc"])}
+                          for f, e in m["dv"].items()}
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
     _publish(dst_table_dir, manifest)
@@ -1275,11 +1357,13 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
                                   new_files, bloom_cols)
              if bloom_cols else {})
     renames: dict = {}
+    dv: dict = {}
     if mode == "append" and pm is not None:
         files = pm["files"] + files
         stats = {**(pm.get("stats") or {}), **stats}
         bloom = {**(pm.get("bloom") or {}), **bloom}
         renames = pm.get("renamed_files") or {}
+        dv = pm.get("dv") or {}
     manifest = {
         "version": version,
         "parent": parent,
@@ -1293,6 +1377,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         manifest["bloom"] = bloom
     if renames:
         manifest["renamed_files"] = renames
+    if dv:
+        manifest["dv"] = dv
     if constraints:
         manifest["constraints"] = constraints
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
@@ -1340,7 +1426,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
                         replaced: set[str], new_files: list[str],
                         new_stats: dict, operation: str,
                         schema_json: str, keys=None, preds=None,
-                        max_attempts: int = 5) -> int | None:
+                        max_attempts: int = 5,
+                        dv_add: dict | None = None) -> int | None:
     """After losing the publish race: if every interleaved winner was
     a pure APPEND on top of our base version (all base files still
     live, same schema) whose ADDED files provably don't overlap our
@@ -1373,6 +1460,11 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             # constraints, so a rebased publish would claim constraints
             # the rows were never checked against — recompute instead
             return None
+        if (lm.get("dv") or {}) != (base.get("dv") or {}):
+            # an interleaved deletion-vector commit changed row
+            # visibility under us (our DV union was computed against
+            # the BASE vectors) — true conflict, recompute
+            return None
         lfiles = lm["files"]
         if not base_files <= set(lfiles):
             return None            # winner rewrote/removed base files
@@ -1395,6 +1487,7 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         surviving = [f for f in lfiles if f not in replaced]
         bloom = _carry_bloom(lm, surviving)
         renames = _carry_renames(lm, surviving)
+        dv = {**_carry_dv(lm, surviving), **(dv_add or {})}
         manifest = {
             "version": latest + 1,
             "parent": latest,
@@ -1408,6 +1501,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["bloom"] = bloom
         if renames:
             manifest["renamed_files"] = renames
+        if dv:
+            manifest["dv"] = dv
         if lm.get("constraints"):
             manifest["constraints"] = lm["constraints"]
         if lm.get("txn"):
@@ -1539,10 +1634,14 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         stats = m.get("stats") or {}
         blooms = m.get("bloom") or {}
         eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
+        dvm = m.get("dv") or {}
         selected = [f for f in selected
-                    if _file_may_match(stats.get(f, {}), preds)
-                    and _bloom_file_may_match(blooms.get(f) or {},
-                                              eq, table_dir)]
+                    if (_file_may_match(stats.get(f, {}), preds)
+                        and _bloom_file_may_match(blooms.get(f) or {},
+                                                  eq, table_dir))
+                    or f in dvm]   # DV'd files always compact: an
+        # OPTIMIZE (even a predicated one) materializes merge-on-read
+        # debt away — Delta's PURGE semantics
     carried = [f for f in m["files"] if f not in set(selected)]
     if not selected:
         return base_v                  # nothing to compact: no-op
@@ -1591,6 +1690,11 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     renames = _carry_renames(m, carried)
     if renames:
         manifest["renamed_files"] = renames
+    # compacted files had their DVs APPLIED during the read above, so
+    # their vectors are materialized away; carried files keep theirs
+    dv = _carry_dv(m, carried)
+    if dv:
+        manifest["dv"] = dv
     try:
         _publish(table_dir, manifest)
         return version
@@ -1687,6 +1791,9 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
             for e in b.values():
                 if e.get("sc"):
                     sidecars.add(os.path.normpath(e["sc"]))
+        for e in (m.get("dv") or {}).values():
+            if e.get("sc"):
+                sidecars.add(os.path.normpath(e["sc"]))
     # a surviving DELTA commit whose replay base is being dropped must
     # be materialized as a checkpoint first, or it becomes unreadable
     for v in surviving:
@@ -1885,6 +1992,9 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         renames = _carry_renames(m, untouched)
         if renames:
             manifest["renamed_files"] = renames
+        dv = _carry_dv(m, untouched)
+        if dv:
+            manifest["dv"] = dv
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
         if m.get("txn"):
@@ -1935,6 +2045,8 @@ def snapshot_restore(table_dir: str, version: int) -> int:
             manifest["bloom"] = m["bloom"]
         if m.get("renamed_files"):
             manifest["renamed_files"] = m["renamed_files"]
+        if m.get("dv"):
+            manifest["dv"] = m["dv"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
         if lm.get("txn"):
@@ -1953,6 +2065,7 @@ def snapshot_restore(table_dir: str, version: int) -> int:
 
 
 def snapshot_delete(spark: SparkSession, table_dir: str, where,
+                    dv: bool = True,
                     num_files: int | None = None,
                     max_retries: int = 5) -> int:
     """Row-level DELETE: remove every row matching *where* (a list of
@@ -1968,11 +2081,21 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
     without usable stats are conservatively rewritten (correct at any
     stats coverage). Publish-race handling matches MERGE: interleaved
     appends whose files provably can't match the predicate commute
-    (rebase, reusing the written files); true conflicts recompute."""
+    (rebase, reusing the written files); true conflicts recompute.
+
+    **Deletion vectors** (``dv=True``, the default): a touched file
+    whose matching rows are a small fraction of its live rows is NOT
+    rewritten — the matched positions land in a tiny positional
+    sidecar (Delta/Iceberg v2's position deletes) and reads filter
+    them at scan. A 1-row delete in a 1 GB file writes bytes
+    proportional to 1 row instead of rewriting the gigabyte.
+    ``snapshot_optimize`` materializes vectors away; ``dv=False``
+    forces the classic rewrite."""
     last: FileExistsError | None = None
     for _ in range(max_retries + 1):
         try:
-            return _delete_once(spark, table_dir, where, num_files)
+            return _delete_once(spark, table_dir, where, num_files,
+                                dv)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -1981,7 +2104,7 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
 
 
 def _delete_once(spark: SparkSession, table_dir: str, where,
-                 num_files: int | None) -> int:
+                 num_files: int | None, use_dv: bool = True) -> int:
     def rewrite(t_df, match_cond, schema, _m):
         # keep rows NOT matching the conjunction (NULLs never match a
         # comparison predicate, so they are kept — SQL DELETE WHERE
@@ -1989,12 +2112,12 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
         return t_df.filter(~F.coalesce(match_cond, F.lit(False))) \
             .select(*[f.name for f in schema.fields])
     return _dml_rewrite_once(spark, table_dir, where, num_files,
-                             "delete", rewrite)
+                             "delete", rewrite, use_dv=use_dv)
 
 
 def snapshot_update(spark: SparkSession, table_dir: str, where,
                     set_exprs: dict, num_files: int | None = None,
-                    max_retries: int = 5) -> int:
+                    max_retries: int = 5, dv: bool = True) -> int:
     """Row-level UPDATE ... SET: rewrite matching rows' columns to the
     given expressions (strings or Columns; non-matching rows pass
     through verbatim) and publish a new version — the third leg of the
@@ -2002,7 +2125,12 @@ def snapshot_update(spark: SparkSession, table_dir: str, where,
     files whose stats/bloom prove no row matches are carried verbatim,
     only possibly-matching files rewrite. CHECK constraints are
     enforced on the rewritten rows (an UPDATE can create new values;
-    DELETE cannot). Publish races rebase like DELETE's."""
+    DELETE cannot). Publish races rebase like DELETE's.
+
+    With ``dv=True`` (default) a small-match file is not rewritten:
+    its matched positions take a deletion vector and the UPDATED rows
+    append as a new file (Delta's DV update shape) — write bytes
+    proportional to the matched rows, not the touched files."""
     last: FileExistsError | None = None
 
     def rewrite(t_df, match_cond, schema, m):
@@ -2025,7 +2153,8 @@ def snapshot_update(spark: SparkSession, table_dir: str, where,
     for _ in range(max_retries + 1):
         try:
             return _dml_rewrite_once(spark, table_dir, where,
-                                     num_files, "update", rewrite)
+                                     num_files, "update", rewrite,
+                                     use_dv=dv)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -2033,9 +2162,17 @@ def snapshot_update(spark: SparkSession, table_dir: str, where,
         f"{table_dir} (pathological contention): {last}")
 
 
+#: DV eligibility: a touched file takes a deletion vector instead of a
+#: rewrite when its matching rows are at most this fraction of its
+#: live rows AND at most this many — beyond that, merge-on-read debt
+#: costs more than the rewrite (the Delta/Iceberg tuning intuition).
+_DV_MAX_FRACTION = 0.2
+_DV_MAX_ROWS = 100_000
+
+
 def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                       num_files: int | None, operation: str,
-                      rewrite) -> int:
+                      rewrite, use_dv: bool = True) -> int:
     from pyspark.sql.types import StructType
     preds = list(where or [])
     for col, op, _v in preds:
@@ -2058,7 +2195,6 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                if _file_may_match(stats.get(f, {}), preds)
                and _bloom_file_may_match(blooms.get(f) or {}, eq,
                                          table_dir)]
-    untouched = [f for f in m["files"] if f not in set(touched)]
     schema = StructType.fromJson(json.loads(m["schema"]))
     match_cond = None
     for col, op, val in preds:
@@ -2069,15 +2205,76 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                 c > val if op == ">" else
                 c >= val)
         match_cond = term if match_cond is None else (match_cond & term)
+    cond = F.coalesce(match_cond, F.lit(False))
+    # --- decide per touched file: deletion vector vs rewrite --------
+    # one count pass over the touched subset (post-existing-DV rows):
+    # zero-match files (stats false positives) are carried verbatim;
+    # small-match files take a positional DV sidecar (the data file is
+    # NOT rewritten — merge-on-read, a 1-row GDPR delete in a 1 GB
+    # file writes bytes proportional to 1 row); big-match files take
+    # the classic rewrite. UPDATE appends its transformed rows as a
+    # new file next to the DV that hides the old ones.
+    dv_files: list[str] = []
+    rewrite_files: list[str] = list(touched)
+    new_dv_entries: dict = {}
+    upd_df = None
+    if touched and use_dv:
+        fid_to_rel = {_dv_fid(f): f for f in touched}
+        t_meta = _read_files_renamed(spark, table_dir, touched, m,
+                                     with_pos=True)
+        per_file = (t_meta.groupBy("__fid__")
+                    .agg(F.count(F.lit(1)).alias("__total__"),
+                         F.count(F.when(cond, 1)).alias("__match__"))
+                    .collect())
+        rewrite_files = []
+        for r in per_file:
+            rel = fid_to_rel.get(r["__fid__"])
+            if rel is None or r["__match__"] == 0:
+                continue    # zero-match (stats false positive) or
+                # empty file: carried verbatim, no rewrite, no DV
+            if (r["__match__"] <= _DV_MAX_ROWS
+                    and r["__match__"]
+                    <= _DV_MAX_FRACTION * r["__total__"]):
+                dv_files.append(rel)
+            else:
+                rewrite_files.append(rel)
+        if dv_files:
+            dv_fids = {_dv_fid(f) for f in dv_files}
+            rows = (t_meta.filter(cond
+                                  & F.col("__fid__").isin(dv_fids))
+                    .select("__fid__", "__pos__").collect())
+            merged: dict[str, set] = {}
+            for r in rows:
+                merged.setdefault(fid_to_rel[r["__fid__"]],
+                                  set()).add(int(r["__pos__"]))
+            old_dv = m.get("dv") or {}
+            for rel in merged:
+                if rel in old_dv:
+                    merged[rel] |= set(_dv_positions(
+                        table_dir, rel, old_dv[rel]))
+            new_dv_entries = _write_dv_sidecar(
+                table_dir, {k: sorted(v) for k, v in merged.items()})
+            if operation != "delete":
+                matching = (t_meta
+                            .filter(cond
+                                    & F.col("__fid__").isin(dv_fids))
+                            .drop("__fid__", "__pos__"))
+                upd_df = rewrite(matching, F.lit(True), schema, m)
+    untouched = [f for f in m["files"]
+                 if f not in set(rewrite_files)]  # incl. DV'd/carried
     version = base_v + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
     new_files: list[str] = []
     new_stats: dict = {}
-    if touched:
-        t_df = _read_files_renamed(spark, table_dir, touched, m)
+    kept = None
+    if rewrite_files:
+        t_df = _read_files_renamed(spark, table_dir, rewrite_files, m)
         kept = rewrite(t_df, match_cond, schema, m)
+    if upd_df is not None:
+        kept = kept.unionByName(upd_df) if kept is not None else upd_df
+    if kept is not None:
         writer = kept.coalesce(num_files) if num_files else kept
         with _micros_timestamps(spark):
             writer.write.mode("error").parquet(out_dir)
@@ -2106,6 +2303,9 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     renames = _carry_renames(m, untouched)
     if renames:
         manifest["renamed_files"] = renames
+    dv = {**_carry_dv(m, untouched), **new_dv_entries}
+    if dv:
+        manifest["dv"] = dv
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
     if m.get("txn"):
@@ -2116,8 +2316,9 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     except FileExistsError:
         pred_cols = sorted({c for c, _o, _v in preds})
         rebased = _try_rebase_publish(
-            table_dir, base_v, set(touched), new_files, new_stats,
-            operation, m["schema"], keys=pred_cols, preds=preds)
+            table_dir, base_v, set(rewrite_files), new_files,
+            new_stats, operation, m["schema"], keys=pred_cols,
+            preds=preds, dv_add=new_dv_entries)
         if rebased is not None:
             return rebased
         raise
@@ -2157,5 +2358,8 @@ def snapshot_detail(table_dir: str,
         "stats_columns": sorted({c for s in stats.values() for c in s}),
         "bloom_files": len(bloom),
         "bloom_columns": sorted({c for b in bloom.values() for c in b}),
+        "dv_files": len(m.get("dv") or {}),
+        "dv_rows": sum(e.get("n", 0)
+                       for e in (m.get("dv") or {}).values()),
         "txn": dict(m.get("txn") or {}),
     }

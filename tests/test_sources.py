@@ -2065,3 +2065,116 @@ class TestCheckpointedManifestLog:
         assert len(os.listdir(scdir)) == 1
         hit2 = snapshots.snapshot_scan_files(t, where=[("k", "==", 3)])
         assert len(hit2) == 1
+
+
+class TestDeletionVectors:
+    """Round 10: positional deletion vectors (Delta/Iceberg v2
+    merge-on-read) — small row-level DML writes a tiny sidecar, not a
+    file rewrite; OPTIMIZE materializes the debt away."""
+
+    def _table(self, spark, tmp_path, n=2000):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "tbl")
+        S.snapshot_write(
+            spark.range(n).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v"))
+            .repartitionByRange(4, "k"), t, stats_cols=["k"])
+        return t
+
+    def test_point_delete_leaves_file_untouched(self, spark,
+                                                tmp_path):
+        import os
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._table(spark, tmp_path)
+        m1 = S._read_manifest(t, 1)
+        inodes = {f: os.stat(os.path.join(t, f)).st_ino
+                  for f in m1["files"]}
+        mtimes = {f: os.path.getmtime(os.path.join(t, f))
+                  for f in m1["files"]}
+        v = S.snapshot_delete(spark, t, [("k", "==", 123)])
+        m2 = S._read_manifest(t, v)
+        # the data files are IDENTICAL objects — no rewrite happened
+        assert set(m2["files"]) == set(m1["files"])
+        for f in m1["files"]:
+            p = os.path.join(t, f)
+            assert os.stat(p).st_ino == inodes[f]
+            assert os.path.getmtime(p) == mtimes[f]
+        assert sum(e["n"] for e in m2["dv"].values()) == 1
+        got = sorted(r.k for r in
+                     S.snapshot_read(spark, t).spark_df.collect())
+        assert len(got) == 1999 and 123 not in got
+        # pinned pre-delete version still shows the row
+        assert S.snapshot_read(spark, t, version=1).nrow == 2000
+        # repeat deletes merge positions (DV union, still no rewrite)
+        v = S.snapshot_delete(spark, t, [("k", "==", 124)])
+        m3 = S._read_manifest(t, v)
+        assert set(m3["files"]) == set(m1["files"])
+        assert sum(e["n"] for e in m3["dv"].values()) == 2
+        assert S.snapshot_read(spark, t).nrow == 1998
+
+    def test_dv_update_appends_and_hides(self, spark, tmp_path):
+        import os
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._table(spark, tmp_path)
+        m1 = S._read_manifest(t, 1)
+        v = S.snapshot_update(spark, t, [("k", "==", 500)],
+                              {"v": "999999"})
+        m2 = S._read_manifest(t, v)
+        # original files all carried; exactly the updated rows landed
+        # in (a) new file(s)
+        assert set(m1["files"]) <= set(m2["files"])
+        newf = [f for f in m2["files"] if f not in set(m1["files"])]
+        assert newf
+        import glob
+        total_new = sum(os.path.getsize(os.path.join(t, f))
+                        for f in newf)
+        full = sum(os.path.getsize(os.path.join(t, f))
+                   for f in m1["files"])
+        assert total_new < full / 4      # bytes ~ matched rows, not
+        # the touched file
+        got = {r.k: r.v for r in
+               S.snapshot_read(spark, t).spark_df.collect()}
+        assert got[500] == 999999 and len(got) == 2000
+
+    def test_optimize_purges_dvs_and_dv_false_forces_rewrite(
+            self, spark, tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._table(spark, tmp_path)
+        S.snapshot_delete(spark, t, [("k", "==", 7)])
+        v = S.snapshot_optimize(spark, t)
+        m = S._read_manifest(t, v)
+        assert not m.get("dv")
+        assert S.snapshot_read(spark, t).nrow == 1999
+        # dv=False keeps the classic rewrite path
+        m_pre = S._read_manifest(t, v)
+        v2 = S.snapshot_delete(spark, t, [("k", "==", 8)], dv=False)
+        m2 = S._read_manifest(t, v2)
+        assert not m2.get("dv")
+        assert set(m2["files"]) != set(m_pre["files"])
+        assert S.snapshot_read(spark, t).nrow == 1998
+
+    def test_dv_survives_rename_restore_vacuum_and_scan_prune(
+            self, spark, tmp_path):
+        import os
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._table(spark, tmp_path)
+        S.snapshot_delete(spark, t, [("k", "==", 42)])
+        # metadata-only rename carries the vectors
+        S.snapshot_rename_column(t, "v", "w")
+        got = {r.k for r in
+               S.snapshot_read(spark, t).spark_df.collect()}
+        assert 42 not in got and len(got) == 1999
+        # predicated read through stats pruning still applies the DV
+        hit = S.snapshot_read(spark, t, where=[("k", "<=", 100)])
+        ks = {r.k for r in hit.spark_df.collect()}
+        assert 42 not in ks and len(ks) == 100
+        # restore to pre-delete reads the row again
+        S.snapshot_restore(t, 1)
+        assert S.snapshot_read(spark, t).nrow == 2000
+        # back to the DV version; vacuum must keep its sidecar
+        v = S.snapshot_restore(t, 3)
+        S.snapshot_vacuum(t, keep_last=1, force=True)
+        assert S.snapshot_read(spark, t).nrow == 1999
+        scdir = os.path.join(t, S._MANIFEST_DIR, S._SIDECAR_DIR)
+        assert len(os.listdir(scdir)) == 1
