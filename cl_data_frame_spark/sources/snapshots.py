@@ -153,6 +153,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
                (state.get("renamed_files") or {}).items() if f in keep}
     dv = {f: e for f, e in (state.get("dv") or {}).items()
           if f in keep}
+    parts_ = {f: p for f, p in (state.get("partitions") or {}).items()
+              if f in keep}
     if d.get("op_rename"):
         old, new = d["op_rename"]
         for f in files:
@@ -180,10 +182,13 @@ def _apply_delta(state: dict, d: dict) -> dict:
         renames.pop(f, None)
     for f in d.get("dv_del") or []:
         dv.pop(f, None)
+    for f in d.get("parts_del") or []:
+        parts_.pop(f, None)
     stats.update(d.get("stats_add") or {})
     bloom.update(d.get("bloom_add") or {})
     renames.update(d.get("renames_add") or {})
     dv.update(d.get("dv_add") or {})
+    parts_.update(d.get("parts_add") or {})
     out = {"version": d["version"], "parent": d["parent"],
            "operation": d["operation"], "schema": d["schema"],
            "files": files}
@@ -195,6 +200,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["renamed_files"] = renames
     if dv:
         out["dv"] = dv
+    if parts_:
+        out["partitions"] = parts_
     if d.get("constraints"):
         out["constraints"] = d["constraints"]
     if d.get("txn"):
@@ -209,8 +216,8 @@ def _norm_state(m: dict) -> str:
     out = {"version": m["version"], "parent": m.get("parent"),
            "operation": m.get("operation"), "schema": m["schema"],
            "files": list(m["files"])}
-    for k in ("stats", "bloom", "renamed_files", "dv", "constraints",
-              "txn"):
+    for k in ("stats", "bloom", "renamed_files", "dv", "partitions",
+              "constraints", "txn"):
         if m.get(k):
             out[k] = m[k]
     return json.dumps(out, sort_keys=True)
@@ -246,6 +253,8 @@ def _make_delta(parent: dict, full: dict,
     for key, add_k, del_k in (("stats", "stats_add", "stats_del"),
                               ("bloom", "bloom_add", "bloom_del"),
                               ("dv", "dv_add", "dv_del"),
+                              ("partitions", "parts_add",
+                               "parts_del"),
                               ("renamed_files", "renames_add",
                                "renames_del")):
         cv = cand.get(key) or {}
@@ -931,6 +940,11 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
                 f"cannot rename column {old!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first "
                 f"and re-add against the new name")
+        if any(old in pt for pt in
+               (m.get("partitions") or {}).values()):
+            raise ValueError(
+                f"cannot rename column {old!r}: it is a partition "
+                f"column of live files (rewrite via overwrite first)")
         for fld in schema["fields"]:
             if fld["name"] == old:
                 fld["name"] = new
@@ -975,13 +989,13 @@ def _metadata_commit(table_dir: str, operation: str, mutate,
             "schema": m["schema"],
             "files": m["files"],
         }
-        for key in ("stats", "bloom", "renamed_files", "dv", "txn",
-                    "constraints"):
+        for key in ("stats", "bloom", "renamed_files", "dv",
+                    "partitions", "txn", "constraints"):
             if m.get(key):
                 manifest[key] = m[key]
         manifest.update(mutate(m))
         for key in ("stats", "bloom", "renamed_files", "dv",
-                    "constraints"):
+                    "partitions", "constraints"):
             if key in manifest and not manifest[key]:
                 del manifest[key]
         try:
@@ -1102,7 +1116,7 @@ def snapshot_clone(src_table_dir: str, dst_table_dir: str,
         "schema": m["schema"],
         "files": files,
     }
-    for key in ("stats", "renamed_files"):
+    for key in ("stats", "renamed_files", "partitions"):
         if m.get(key):
             manifest[key] = {remap(f): v for f, v in m[key].items()}
     if m.get("bloom"):
@@ -1146,6 +1160,11 @@ def snapshot_drop_column(table_dir: str, col: str,
             raise ValueError(
                 f"cannot drop column {col!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first")
+        if any(col in pt for pt in
+               (m.get("partitions") or {}).values()):
+            raise ValueError(
+                f"cannot drop column {col!r}: it is a partition "
+                f"column of live files (rewrite via overwrite first)")
         schema["fields"] = [f for f in schema["fields"]
                             if f["name"] != col]
         tomb = f"__dropped_v{m['version'] + 1}__{col}"
@@ -1215,6 +1234,65 @@ class _micros_timestamps:
             self._spark.conf.set(self._KEY, self._prev)
 
 
+def _stats_for_prune(m: dict, f: str) -> dict:
+    """Effective per-file stats for pruning: footer min/max merged
+    with the file's PARTITION TUPLE (Iceberg's partition values),
+    which synthesizes an EXACT min==max stat per partition column —
+    the most common prune (date= on a date-partitioned table) becomes
+    metadata-exact instead of stats-dependent, and composes with
+    footer stats and blooms through the same _file_may_match gate."""
+    stats = (m.get("stats") or {}).get(f) or {}
+    pt = (m.get("partitions") or {}).get(f)
+    if not pt:
+        return stats
+    synth = {c: {"min": v, "max": v, "null_count": 0}
+             for c, v in pt.items() if v is not None}
+    return {**stats, **synth}
+
+
+def _parse_partition_values(rel_file: str, schema_fields: dict) -> dict:
+    """Decode Hive-style ``__part_<col>=<value>`` path segments into
+    typed, ``_enc_stat``-encoded manifest values. Unparseable or NULL
+    segments record None (present in the tuple, never pruned on)."""
+    import urllib.parse
+    out = {}
+    for seg in rel_file.split("/")[:-1]:
+        if "=" not in seg or not seg.startswith("__part_"):
+            continue
+        k, raw = seg.split("=", 1)
+        col = k[len("__part_"):]
+        raw = urllib.parse.unquote(raw)
+        t = schema_fields.get(col)
+        if raw == "__HIVE_DEFAULT_PARTITION__" or t is None:
+            out[col] = None
+            continue
+        try:
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                out[col] = _enc_stat(int(raw))
+            elif t in ("float", "double"):
+                out[col] = _enc_stat(float(raw))
+            elif t == "date":
+                out[col] = _enc_stat(
+                    datetime.date.fromisoformat(raw))
+            elif t == "boolean":
+                out[col] = _enc_stat(raw.lower() == "true")
+            elif t == "string":
+                out[col] = _enc_stat(raw)
+            else:
+                out[col] = None    # timestamp/decimal path encodings
+                # are ambiguous: keep the tuple entry, skip pruning
+        except ValueError:
+            out[col] = None
+    return out
+
+
+def _carry_partitions(parent_manifest: dict | None,
+                      surviving_files) -> dict:
+    keep = set(surviving_files)
+    pp = (parent_manifest or {}).get("partitions") or {}
+    return {f: pp[f] for f in pp if f in keep}
+
+
 def snapshot_scan_files(table_dir: str, version: int | None = None,
                         where=None) -> list[str]:
     """The file list a ``snapshot_read`` with the same arguments will
@@ -1235,9 +1313,8 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
         for col, op, _v in where:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
-        stats = m.get("stats") or {}
         files = [f for f in files
-                 if _file_may_match(stats.get(f, {}), where)]
+                 if _file_may_match(_stats_for_prune(m, f), where)]
         blooms = m.get("bloom") or {}
         if blooms:
             eq = [(col, v) for col, op, v in where
@@ -1254,8 +1331,20 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
                    stats_cols: Sequence[str] | None = None,
                    bloom_cols: Sequence[str] | None = None,
                    txn: tuple[str, int] | None = None,
-                   merge_schema: bool = False) -> int:
+                   merge_schema: bool = False,
+                   partition_by: Sequence[str] | None = None) -> int:
     """Publish a new table version; returns the version number.
+
+    ``partition_by`` lays the new files out Hive-style by the given
+    columns and records each file's PARTITION TUPLE in the manifest
+    (Iceberg's partition values): a predicated read prunes on the
+    tuple with metadata-EXACT min==max stats before footer stats and
+    blooms even load — the date= prune on a date-partitioned 100 TB
+    table. The partition columns stay present IN the data files (the
+    path carries a ``__part_<col>=`` shadow copy), so explicit-schema
+    reads need no basePath reconstruction and renames/era unions work
+    unchanged. Renaming or dropping a partition column is blocked
+    while partitioned files are live.
 
     ``mode='append'`` adds this DataFrame's rows to the current
     version's file set; ``'overwrite'`` starts the version from only
@@ -1344,12 +1433,37 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
-    writer = sdf.coalesce(num_files) if num_files else sdf
-    with _micros_timestamps(writer.sparkSession):
-        writer.write.mode("error").parquet(out_dir)
-    new_files = sorted(
-        os.path.join(rel_dir, f) for f in os.listdir(out_dir)
-        if f.endswith(".parquet"))
+    partitions: dict = {}
+    if partition_by:
+        missing = [c for c in partition_by if c not in sdf.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns not in schema: {missing}")
+        w = sdf
+        pcols = []
+        for c in partition_by:
+            pc = f"__part_{c}"
+            w = w.withColumn(pc, F.col(c))
+            pcols.append(pc)
+        if num_files:
+            w = w.repartition(num_files, *partition_by)
+        with _micros_timestamps(w.sparkSession):
+            w.write.partitionBy(*pcols).mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.relpath(os.path.join(root, name), table_dir)
+            for root, _d, names in os.walk(out_dir)
+            for name in names if name.endswith(".parquet"))
+        ftypes = {f.name: f.dataType.simpleString()
+                  for f in sdf.schema}
+        partitions = {f: _parse_partition_values(f, ftypes)
+                      for f in new_files}
+    else:
+        writer = sdf.coalesce(num_files) if num_files else sdf
+        with _micros_timestamps(writer.sparkSession):
+            writer.write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join(rel_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet"))
     files = list(new_files)
     stats = (_collect_file_stats(table_dir, new_files, stats_cols)
              if stats_cols else {})
@@ -1364,6 +1478,7 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         bloom = {**(pm.get("bloom") or {}), **bloom}
         renames = pm.get("renamed_files") or {}
         dv = pm.get("dv") or {}
+        partitions = {**(pm.get("partitions") or {}), **partitions}
     manifest = {
         "version": version,
         "parent": parent,
@@ -1379,6 +1494,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         manifest["renamed_files"] = renames
     if dv:
         manifest["dv"] = dv
+    if partitions:
+        manifest["partitions"] = partitions
     if constraints:
         manifest["constraints"] = constraints
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
@@ -1488,6 +1605,7 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         bloom = _carry_bloom(lm, surviving)
         renames = _carry_renames(lm, surviving)
         dv = {**_carry_dv(lm, surviving), **(dv_add or {})}
+        parts_ = _carry_partitions(lm, surviving)
         manifest = {
             "version": latest + 1,
             "parent": latest,
@@ -1503,6 +1621,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["renamed_files"] = renames
         if dv:
             manifest["dv"] = dv
+        if parts_:
+            manifest["partitions"] = parts_
         if lm.get("constraints"):
             manifest["constraints"] = lm["constraints"]
         if lm.get("txn"):
@@ -1636,7 +1756,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
         dvm = m.get("dv") or {}
         selected = [f for f in selected
-                    if (_file_may_match(stats.get(f, {}), preds)
+                    if (_file_may_match(_stats_for_prune(m, f), preds)
                         and _bloom_file_may_match(blooms.get(f) or {},
                                                   eq, table_dir))
                     or f in dvm]   # DV'd files always compact: an
@@ -1695,6 +1815,9 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     dv = _carry_dv(m, carried)
     if dv:
         manifest["dv"] = dv
+    parts_ = _carry_partitions(m, carried)
+    if parts_:
+        manifest["partitions"] = parts_
     try:
         _publish(table_dir, manifest)
         return version
@@ -1944,7 +2067,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         if lo is not None:
             preds += [(c, ">=", lo), (c, "<=", hi)]
     touched = [f for f in m["files"]
-               if _file_may_match(stats.get(f, {}), preds)] \
+               if _file_may_match(_stats_for_prune(m, f), preds)] \
         if preds else list(m["files"])
     untouched = [f for f in m["files"] if f not in set(touched)]
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1995,6 +2118,9 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         dv = _carry_dv(m, untouched)
         if dv:
             manifest["dv"] = dv
+        parts_ = _carry_partitions(m, untouched)
+        if parts_:
+            manifest["partitions"] = parts_
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
         if m.get("txn"):
@@ -2047,6 +2173,8 @@ def snapshot_restore(table_dir: str, version: int) -> int:
             manifest["renamed_files"] = m["renamed_files"]
         if m.get("dv"):
             manifest["dv"] = m["dv"]
+        if m.get("partitions"):
+            manifest["partitions"] = m["partitions"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
         if lm.get("txn"):
@@ -2192,7 +2320,7 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     blooms = m.get("bloom") or {}
     eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
     touched = [f for f in m["files"]
-               if _file_may_match(stats.get(f, {}), preds)
+               if _file_may_match(_stats_for_prune(m, f), preds)
                and _bloom_file_may_match(blooms.get(f) or {}, eq,
                                          table_dir)]
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -2306,6 +2434,9 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     dv = {**_carry_dv(m, untouched), **new_dv_entries}
     if dv:
         manifest["dv"] = dv
+    parts_ = _carry_partitions(m, untouched)
+    if parts_:
+        manifest["partitions"] = parts_
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
     if m.get("txn"):
@@ -2361,5 +2492,8 @@ def snapshot_detail(table_dir: str,
         "dv_files": len(m.get("dv") or {}),
         "dv_rows": sum(e.get("n", 0)
                        for e in (m.get("dv") or {}).values()),
+        "partition_columns": sorted({c for pt in
+                                     (m.get("partitions") or {})
+                                     .values() for c in pt}),
         "txn": dict(m.get("txn") or {}),
     }

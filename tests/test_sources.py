@@ -2178,3 +2178,78 @@ class TestDeletionVectors:
         assert S.snapshot_read(spark, t).nrow == 1999
         scdir = os.path.join(t, S._MANIFEST_DIR, S._SIDECAR_DIR)
         assert len(os.listdir(scdir)) == 1
+
+
+class TestSnapshotPartitionTuples:
+    """Round 10: Iceberg-style partition tuples in the manifest —
+    Hive-layout writes record each file's partition values; predicated
+    reads prune on them metadata-exactly before stats/blooms."""
+
+    def test_date_partition_prunes_exact(self, spark, tmp_path):
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "tbl")
+        df = spark.range(300).select(
+            F.col("id").alias("k"),
+            F.date_add(F.lit("2026-01-01").cast("date"),
+                       (F.col("id") % 3).cast("int")).alias("d"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["d"])
+        m = S._read_manifest(t, 1)
+        assert len(m["files"]) == 3          # one file per date dir
+        assert all(set(pt) == {"d"}
+                   for pt in m["partitions"].values())
+        # the date= prune lists ONLY the matching partition's file
+        hit = S.snapshot_scan_files(
+            t, where=[("d", "==", datetime.date(2026, 1, 2))])
+        assert len(hit) == 1
+        fr = S.snapshot_read(
+            spark, t, where=[("d", "==", datetime.date(2026, 1, 2))])
+        assert fr.nrow == 100
+        # range predicates prune too (min==max synthesized stats)
+        ge = S.snapshot_scan_files(
+            t, where=[("d", ">=", datetime.date(2026, 1, 2))])
+        assert len(ge) == 2
+        # partition columns remain IN the data (no basePath games)
+        assert set(fr.spark_df.columns) == {"k", "d"}
+        full = S.snapshot_read(spark, t)
+        assert full.nrow == 300
+
+    def test_tuples_carry_and_block_schema_changes(self, spark,
+                                                   tmp_path):
+        import datetime
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "tbl")
+        df = spark.range(90).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["g"])
+        # append carries old tuples and records the new ones
+        S.snapshot_write(df.filter(F.col("k") < 9).repartition(1), t,
+                         mode="append", partition_by=["g"])
+        assert len(S.snapshot_scan_files(t, where=[("g", "==", 1)])) \
+            == 2
+        # DML prune rides the tuples: deleting one partition touches
+        # only its files
+        pre = set(S._read_manifest(t, 2)["files"])
+        v = S.snapshot_delete(spark, t, [("g", "==", 2)])
+        m = S._read_manifest(t, v)
+        survivors = set(m["files"]) & pre
+        assert len(survivors) == 4           # g=0,1 files untouched
+        assert S.snapshot_read(spark, t).nrow == 66   # 99 - 33
+        # rename/drop of a live partition column is blocked
+        with pytest.raises(ValueError, match="partition column"):
+            S.snapshot_rename_column(t, "g", "grp")
+        with pytest.raises(ValueError, match="partition column"):
+            S.snapshot_drop_column(t, "g")
+        # an unpartitioned overwrite clears the tuples; rename works
+        S.snapshot_write(df, t, mode="overwrite")
+        S.snapshot_rename_column(t, "g", "grp")
+        # optimize compacts partitioned files away cleanly too
+        t2 = str(tmp_path / "t2")
+        S.snapshot_write(df.repartition(4), t2, partition_by=["g"])
+        v = S.snapshot_optimize(spark, t2)
+        m2 = S._read_manifest(t2, v)
+        assert not m2.get("partitions")      # rewritten, tuples gone
+        assert S.snapshot_read(spark, t2).nrow == 90
