@@ -206,6 +206,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["constraints"] = d["constraints"]
     if d.get("txn"):
         out["txn"] = d["txn"]
+    if d.get("op_info"):
+        out["op_info"] = d["op_info"]   # commit-scoped, not carried
     _ = fset
     return out
 
@@ -217,7 +219,7 @@ def _norm_state(m: dict) -> str:
            "operation": m.get("operation"), "schema": m["schema"],
            "files": list(m["files"])}
     for k in ("stats", "bloom", "renamed_files", "dv", "partitions",
-              "constraints", "txn"):
+              "constraints", "txn", "op_info"):
         if m.get(k):
             out[k] = m[k]
     return json.dumps(out, sort_keys=True)
@@ -247,6 +249,8 @@ def _make_delta(parent: dict, full: dict,
         d["constraints"] = full["constraints"]
     if full.get("txn"):
         d["txn"] = full["txn"]
+    if full.get("op_info"):
+        d["op_info"] = full["op_info"]
     # project the carried-state candidate, then record residual
     # per-file differences explicitly
     cand = _apply_delta(parent, d)
@@ -2125,6 +2129,10 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             manifest["constraints"] = m["constraints"]
         if m.get("txn"):
             manifest["txn"] = m["txn"]
+        # commit-scoped (never carried): lets the CDC change feed
+        # classify this commit's diff into update pre/post-images by
+        # joining old and new rows on the merge keys
+        manifest["op_info"] = {"keys": [str(k) for k in keys]}
         _publish(table_dir, manifest)
         return version
     except FileExistsError:

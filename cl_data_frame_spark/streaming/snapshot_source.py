@@ -49,6 +49,11 @@ FORMAT_NAME = "cdf_snapshot"
 _APPEND_OPS = {"append", "clone"}
 
 
+#: CDC metadata columns (Delta Change Data Feed's names)
+_CDF_TYPE = "_change_type"
+_CDF_VER = "_commit_version"
+
+
 @dataclass
 class _FilesPartition(InputPartition):
     table_dir: str
@@ -56,6 +61,72 @@ class _FilesPartition(InputPartition):
     renames: list = field(default_factory=list)
     columns: list = field(default_factory=list)
     schema_json: str = ""
+    #: change-feed labeling: None = plain stream (no CDC columns);
+    #: "insert"/"delete" = every row of these files gets that label
+    change_type: str | None = None
+    commit_version: int = 0
+
+
+@dataclass
+class _DiffPartition(InputPartition):
+    """One non-append commit's row-level delta (change feed): old side
+    = files removed by the commit (minus rows its parent's deletion
+    vectors already hid) plus rows newly hidden by DV growth; new side
+    = files the commit added. The executor diffs the two sides — with
+    the commit's merge keys when recorded (update pre/post-images),
+    else by full-row multiset (delete/insert pairs). Memory bound:
+    ONE commit's rewritten file set per task, the same rows the DML
+    itself shuffled."""
+    table_dir: str
+    commit_version: int = 0
+    operation: str = "merge"
+    #: [(rel_file, chain, excluded_positions)] — parent-DV rows out
+    removed: list = field(default_factory=list)
+    #: [(rel_file, chain, excluded_positions)] — child-DV rows out
+    added: list = field(default_factory=list)
+    #: [(rel_file, chain, newly_hidden_positions)]
+    dv_hidden: list = field(default_factory=list)
+    keys: list | None = None
+    columns: list = field(default_factory=list)
+    schema_json: str = ""
+
+
+def _canon_cell(x):
+    """Deterministic per-cell canonical form for row diffing (numpy
+    scalars/arrays fold to python; repr at row level is exact for
+    floats — shortest round-trip — and never truncates lists)."""
+    if hasattr(x, "tolist"):
+        return x.tolist()
+    return x
+
+
+def _load_norm_table(table_dir: str, rel_file: str, chain,
+                     columns, schema):
+    """One manifest file as an Arrow table normalized to the reader's
+    column set: rename chain applied, era-missing columns as typed
+    NULLs — the executor-side twin of the batch reader's era logic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+    tbl = pq.read_table(os.path.join(table_dir, rel_file))
+    for old, new in chain or []:
+        if old in tbl.column_names:
+            tbl = tbl.rename_columns(
+                [new if c == old else c for c in tbl.column_names])
+    for name in columns:
+        if name not in tbl.column_names:
+            tbl = tbl.append_column(
+                name, pa.nulls(tbl.num_rows,
+                               type=to_arrow_type(
+                                   schema[name].dataType)))
+    # canonical schema: all-nullable, no parquet footer metadata —
+    # per-file nullability drift would otherwise make the Arrow IPC
+    # stream reject batches from the second file onward
+    target = pa.schema(
+        [pa.field(c, to_arrow_type(schema[c].dataType))
+         for c in columns])
+    return tbl.select(columns).cast(target) \
+        .replace_schema_metadata(None)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -66,6 +137,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "cdf_snapshot stream requires .option('path', table_dir)"
                 " or .load(table_dir)")
         self._schema = schema
+        self._cdf = str(
+            options.get("readchangefeed",
+                        options.get("read_change_feed", "false"))
+        ).lower() == "true"
+        #: the table's data columns (the reader schema minus the CDC
+        #: metadata columns appended in change-feed mode)
+        self._data_cols = [f.name for f in schema.fields
+                           if f.name not in (_CDF_TYPE, _CDF_VER)]
         self._ignore_changes = str(
             options.get("ignorechanges",
                         options.get("ignore_changes", "false"))
@@ -140,6 +219,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
         from cl_data_frame_spark.sources.snapshots import _read_manifest
         sv, ev = int(start["version"]), int(end["version"])
         self._last_planned = max(self._last_planned or 0, ev)
+        if self._cdf:
+            return self._cdf_partitions(sv, ev)
         added: list[str] = []
         renames_map: dict = {}
         for v in range(sv + 1, ev + 1):
@@ -183,30 +264,216 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 columns=cols, schema_json=self._schema.json()))
         return parts
 
+    def _cdf_partitions(self, sv: int, ev: int):
+        """Change-feed planning (driver, manifests + DV sidecars
+        only): each version becomes insert/delete file chunks or one
+        row-diff task — Delta CDF reduced to manifest diffs between
+        consecutive versions."""
+        from cl_data_frame_spark.sources.snapshots import (
+            _dv_positions, _read_manifest)
+        cols = self._data_cols
+        sjson = self._schema.json()
+        n = self._files_per_task
+        parts: list = []
+
+        def file_chunks(files, rmap, ctype, v):
+            for i in range(0, len(files), n):
+                chunk = files[i:i + n]
+                parts.append(_FilesPartition(
+                    table_dir=self._table_dir, files=chunk,
+                    renames=[rmap.get(f) or [] for f in chunk],
+                    columns=cols, schema_json=sjson,
+                    change_type=ctype, commit_version=v))
+        for v in range(sv + 1, ev + 1):
+            m = _read_manifest(self._table_dir, v)
+            op = m.get("operation", "append")
+            parent = m.get("parent")
+            pm = _read_manifest(self._table_dir, parent) \
+                if parent is not None else None
+            pfiles = pm["files"] if pm else []
+            cset, pset = set(m["files"]), set(pfiles)
+            added = [f for f in m["files"] if f not in pset]
+            removed = [f for f in pfiles if f not in cset]
+            pdv = (pm.get("dv") or {}) if pm else {}
+            cdv = m.get("dv") or {}
+            rmap_c = m.get("renamed_files") or {}
+            rmap_p = (pm.get("renamed_files") or {}) if pm else {}
+            if parent is None or op in _APPEND_OPS:
+                file_chunks(added, rmap_c, "insert", v)
+                continue
+            if op == "optimize":
+                continue          # net-zero row change (compaction +
+                # DV materialization rewrite identical live rows)
+            # rows a grown deletion vector newly hides
+            dv_hidden = []
+            for f, e in cdv.items():
+                if f not in pset:
+                    continue      # DV on a file this commit added
+                new_pos = set(_dv_positions(self._table_dir, f, e))
+                if f in pdv:
+                    new_pos -= set(_dv_positions(self._table_dir, f,
+                                                 pdv[f]))
+                if new_pos:
+                    dv_hidden.append((f, rmap_p.get(f) or [],
+                                      sorted(new_pos)))
+            if not (added or removed or dv_hidden):
+                continue          # metadata-only commit
+            if op in ("overwrite", "restore") and not pdv \
+                    and not cdv:
+                # whole-table replacement: removed files' rows delete,
+                # added files' rows insert — streamed file-chunked (no
+                # diff task, no single-task memory bound); files in
+                # BOTH versions (a restore sharing files) are net-
+                # unchanged and emit nothing
+                file_chunks(removed, rmap_p, "delete", v)
+                file_chunks(added, rmap_c, "insert", v)
+                continue
+            keys = (m.get("op_info") or {}).get("keys")
+            parts.append(_DiffPartition(
+                table_dir=self._table_dir, commit_version=v,
+                operation=op,
+                removed=[(f, rmap_p.get(f) or [],
+                          sorted(_dv_positions(self._table_dir, f,
+                                               pdv[f]))
+                          if f in pdv else [])
+                         for f in removed],
+                added=[(f, rmap_c.get(f) or [],
+                        sorted(_dv_positions(self._table_dir, f,
+                                             cdv[f]))
+                        if f in cdv else [])
+                       for f in added],
+                dv_hidden=dv_hidden,
+                keys=keys if keys and all(k in cols for k in keys)
+                else None,
+                columns=cols, schema_json=sjson))
+        return parts
+
     # -- executor-side read (Arrow batches) ----------------------------
-    def read(self, partition: _FilesPartition):
+    def read(self, partition):
+        if isinstance(partition, _DiffPartition):
+            yield from self._read_diff(partition)
+            return
         import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
         schema = StructType.fromJson(json.loads(partition.schema_json))
         for f, chain in zip(partition.files, partition.renames):
-            path = os.path.join(partition.table_dir, f)
-            tbl = pq.read_table(path)
-            for old, new in chain:
-                if old in tbl.column_names:
-                    tbl = tbl.rename_columns(
-                        [new if c == old else c
-                         for c in tbl.column_names])
             # columns this file's era predates surface as typed NULLs
             # (merge-schema evolution), mirroring the batch reader
-            for name in partition.columns:
-                if name not in tbl.column_names:
-                    tbl = tbl.append_column(
-                        name, pa.nulls(tbl.num_rows,
-                                       type=to_arrow_type(
-                                           schema[name].dataType)))
-            tbl = tbl.select(partition.columns)
-            yield from tbl.to_batches()
+            tbl = _load_norm_table(partition.table_dir, f, chain,
+                                   partition.columns, schema)
+            if partition.change_type is not None:
+                tbl = tbl.append_column(
+                    _CDF_TYPE, pa.array([partition.change_type]
+                                        * tbl.num_rows))
+                tbl = tbl.append_column(
+                    _CDF_VER, pa.array([partition.commit_version]
+                                       * tbl.num_rows,
+                                       type=pa.int64()))
+            if tbl.num_rows:
+                yield from tbl.to_batches()
+
+    def _read_diff(self, p: _DiffPartition):
+        """One commit's row-level change set: load the old side (rows
+        the commit removed/hid) and the new side (rows it added), diff
+        by merge keys when recorded (update pre/post-images) else by
+        full-row multiset (rows identical on both sides — the bulk of
+        a rewritten file — cancel and emit nothing)."""
+        import pyarrow as pa
+        schema = StructType.fromJson(json.loads(p.schema_json))
+
+        def load(side):
+            tables = []
+            for spec in side:
+                f, chain, excl = (spec if len(spec) == 3
+                                  else (*spec, []))
+                t = _load_norm_table(p.table_dir, f, chain,
+                                     p.columns, schema)
+                if excl:
+                    keep = [i for i in range(t.num_rows)
+                            if i not in set(excl)]
+                    t = t.take(keep)
+                tables.append(t)
+            for f, chain, pos in (p.dv_hidden if side is old_specs
+                                  else []):
+                t = _load_norm_table(p.table_dir, f, chain,
+                                     p.columns, schema)
+                tables.append(t.take(list(pos)))
+            if not tables:
+                return None
+            return pa.concat_tables(tables)
+        old_specs = p.removed
+        old = load(old_specs)
+        new = load(p.added)
+
+        def canon(tbl, cols):
+            if tbl is None:
+                return []
+            rows = tbl.to_pylist()
+            return [repr([_canon_cell(r[c]) for c in cols])
+                    for r in rows]
+        pre_t = "update_preimage" if p.operation == "update" \
+            else "delete"
+        post_t = "update_postimage" if p.operation == "update" \
+            else "insert"
+        old_idx: list[int] = []
+        new_idx: list[int] = []
+        old_lbl: list[str] = []
+        new_lbl: list[str] = []
+        keyed = False
+        if p.keys:
+            ok = canon(old, p.keys)
+            nk = canon(new, p.keys)
+            if len(set(ok)) == len(ok) and len(set(nk)) == len(nk):
+                keyed = True
+                ofull = canon(old, p.columns)
+                nfull = canon(new, p.columns)
+                omap = {k: i for i, k in enumerate(ok)}
+                nmap = {k: i for i, k in enumerate(nk)}
+                for k, i in omap.items():
+                    j = nmap.get(k)
+                    if j is None:
+                        old_idx.append(i)
+                        old_lbl.append("delete")
+                    elif ofull[i] != nfull[j]:
+                        old_idx.append(i)
+                        old_lbl.append("update_preimage")
+                        new_idx.append(j)
+                        new_lbl.append("update_postimage")
+                for k, j in nmap.items():
+                    if k not in omap:
+                        new_idx.append(j)
+                        new_lbl.append("insert")
+        if not keyed:
+            # full-row multiset diff: identical rows cancel with
+            # multiplicity, surviving surplus emits delete/insert
+            # (pre/post-images for an UPDATE commit)
+            from collections import Counter
+            ofull = canon(old, p.columns)
+            nfull = canon(new, p.columns)
+            oc, nc = Counter(ofull), Counter(nfull)
+            surplus_old = {k: c - nc.get(k, 0)
+                           for k, c in oc.items() if c > nc.get(k, 0)}
+            surplus_new = {k: c - oc.get(k, 0)
+                           for k, c in nc.items() if c > oc.get(k, 0)}
+            for i, k in enumerate(ofull):
+                if surplus_old.get(k, 0) > 0:
+                    surplus_old[k] -= 1
+                    old_idx.append(i)
+                    old_lbl.append(pre_t)
+            for j, k in enumerate(nfull):
+                if surplus_new.get(k, 0) > 0:
+                    surplus_new[k] -= 1
+                    new_idx.append(j)
+                    new_lbl.append(post_t)
+        for tbl, idx, lbl in ((old, old_idx, old_lbl),
+                              (new, new_idx, new_lbl)):
+            if tbl is None or not idx:
+                continue
+            out = tbl.take(idx)
+            out = out.append_column(_CDF_TYPE, pa.array(lbl))
+            out = out.append_column(
+                _CDF_VER, pa.array([p.commit_version] * len(idx),
+                                   type=pa.int64()))
+            yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -240,10 +507,17 @@ class SnapshotStreamDataSource(DataSource):
         # every field nullable: files from eras predating a
         # merge-schema-added column surface NULLs for it by design,
         # even when the adding batch recorded the field non-nullable
-        from pyspark.sql.types import StructField
-        return StructType([StructField(f.name, f.dataType, True,
-                                       f.metadata)
-                           for f in st.fields])
+        from pyspark.sql.types import (LongType, StringType,
+                                       StructField)
+        fields = [StructField(f.name, f.dataType, True, f.metadata)
+                  for f in st.fields]
+        if str(self.options.get(
+                "readchangefeed",
+                self.options.get("read_change_feed", "false"))
+               ).lower() == "true":
+            fields += [StructField(_CDF_TYPE, StringType(), True),
+                       StructField(_CDF_VER, LongType(), True)]
+        return StructType(fields)
 
     def streamReader(self, schema: StructType):
         return SnapshotStreamReader(schema, dict(self.options))
@@ -256,12 +530,24 @@ def register_snapshot_source(spark: SparkSession) -> None:
 
 def read_stream_snapshot(spark: SparkSession, table_dir: str,
                          ignore_changes: bool = False,
-                         starting_version: int | None = None):
-    """Convenience wrapper: register the source and open the stream."""
+                         starting_version: int | None = None,
+                         read_change_feed: bool = False):
+    """Convenience wrapper: register the source and open the stream.
+
+    ``read_change_feed=True`` streams Delta-CDF-style change rows
+    instead of raw appends: every emitted row carries ``_change_type``
+    (insert / delete / update_preimage / update_postimage) and
+    ``_commit_version``. Non-append commits no longer raise — a MERGE
+    streams exactly its insert/update delta (classified by the commit's
+    recorded merge keys), a DELETE its deleted rows (deletion-vector
+    commits read just the newly-hidden positions), an OPTIMIZE nothing
+    (net-zero), an overwrite delete+insert of the replaced rows."""
     register_snapshot_source(spark)
     reader = (spark.readStream.format(FORMAT_NAME)
               .option("path", table_dir)
-              .option("ignoreChanges", str(ignore_changes).lower()))
+              .option("ignoreChanges", str(ignore_changes).lower())
+              .option("readChangeFeed",
+                      str(read_change_feed).lower()))
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
     return reader.load()

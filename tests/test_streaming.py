@@ -917,3 +917,117 @@ class TestSnapshotStreamSourceFixes:
             assert got == {0: None, 1: None, 2: "x", 3: "x"}
         finally:
             q.stop()
+
+
+class TestSnapshotChangeFeed:
+    """Round 10: Delta-CDF-style change feed — non-append commits
+    stream their row-level delta with _change_type/_commit_version
+    instead of raising, reduced to manifest diffs per version."""
+
+    @staticmethod
+    def _base(spark, t):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources.snapshots import snapshot_write
+        snapshot_write(
+            spark.range(100).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v"))
+            .repartitionByRange(2, "k"), t, stats_cols=["k"])
+
+    def test_merge_streams_exact_delta(self, spark, tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        self._base(spark, t)
+        S.snapshot_merge(
+            spark, t,
+            spark.createDataFrame([(5, 555), (1000, 1)],
+                                  "k bigint, v bigint"), on="k")
+        q = (read_stream_snapshot(spark, t, read_change_feed=True)
+             .writeStream.format("memory").queryName("cdf_merge")
+             .start())
+        try:
+            q.processAllAvailable()
+            rows = {(r._commit_version, r._change_type, r.k, r.v)
+                    for r in spark.table("cdf_merge").collect()}
+        finally:
+            q.stop()
+        v1 = {r for r in rows if r[0] == 1}
+        assert len(v1) == 100 and all(r[1] == "insert" for r in v1)
+        # the MERGE commit streams EXACTLY its delta: one keyed
+        # update pair + one insert — the ~49 carried rows of the
+        # rewritten file cancel
+        v2 = {r[1:] for r in rows if r[0] == 2}
+        assert v2 == {("update_preimage", 5, 10),
+                      ("update_postimage", 5, 555),
+                      ("insert", 1000, 1)}, v2
+
+    def test_dv_delete_update_optimize_append(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        self._base(spark, t)
+        S.snapshot_delete(spark, t, [("k", "==", 7)])     # v2: DV
+        S.snapshot_update(spark, t, [("k", "==", 8)],     # v3: DV+app
+                          {"v": "888"})
+        S.snapshot_optimize(spark, t)                     # v4: no-op
+        S.snapshot_write(
+            spark.createDataFrame([(2000, 2)], "k bigint, v bigint"),
+            t, mode="append")                             # v5
+        q = (read_stream_snapshot(spark, t, read_change_feed=True)
+             .writeStream.format("memory").queryName("cdf_dml")
+             .start())
+        try:
+            q.processAllAvailable()
+            rows = [(r._commit_version, r._change_type, r.k, r.v)
+                    for r in spark.table("cdf_dml").collect()]
+        finally:
+            q.stop()
+        by = {}
+        for r in rows:
+            by.setdefault(r[0], set()).add(r[1:])
+        assert by[2] == {("delete", 7, 14)}       # just the DV'd row
+        assert by[3] == {("update_preimage", 8, 16),
+                         ("update_postimage", 8, 888)}
+        assert 4 not in by            # OPTIMIZE is a net-zero change
+        assert by[5] == {("insert", 2000, 2)}
+
+    def test_restart_exactly_once(self, spark, tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        from cl_data_frame_spark.streaming.snapshot_source import (
+            read_stream_snapshot)
+        t = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        self._base(spark, t)
+        q = (read_stream_snapshot(spark, t, read_change_feed=True)
+             .writeStream.format("parquet")
+             .option("checkpointLocation", ckpt)
+             .option("path", out).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # changes land while the stream is DOWN
+        S.snapshot_delete(spark, t, [("k", "==", 3)])
+        S.snapshot_merge(
+            spark, t,
+            spark.createDataFrame([(4, 444)], "k bigint, v bigint"),
+            on="k")
+        q2 = (read_stream_snapshot(spark, t, read_change_feed=True)
+              .writeStream.format("parquet")
+              .option("checkpointLocation", ckpt)
+              .option("path", out).start())
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        rows = [(r._commit_version, r._change_type, r.k, r.v)
+                for r in spark.read.parquet(out).collect()]
+        assert len([r for r in rows if r[0] == 1]) == 100  # once
+        assert {r[1:] for r in rows if r[0] == 2} == \
+            {("delete", 3, 6)}
+        assert {r[1:] for r in rows if r[0] == 3} == \
+            {("update_preimage", 4, 8), ("update_postimage", 4, 444)}
