@@ -1,0 +1,152 @@
+"""Persisted IVF/ANN index over snapshot tables (Tier X, SURVEY.md
+§2.3 — similarity-search scale path, round 10).
+
+The batch IVF in ``similarity.py`` recomputes centroid routing on
+every query; a production corpus ingests continuously and queries far
+more often than it retrains. This module persists the two IVF halves
+as snapshot tables under one index directory:
+
+    <index_dir>/centroids   (centroid_id bigint, vector array<double>)
+    <index_dir>/vectors     (id, embedding, centroid_id)
+                            written partition_by=["centroid_id"]
+
+- ``ann_index_build`` trains k-means (the deterministic
+  ``kmeans_fit``) and seeds both tables.
+- ``ann_index_update`` routes ONE ingest batch against the stored
+  k x dim centroid table (broadcast; per-batch cost independent of
+  history size) and appends the routed vectors, Hive-partitioned by
+  cell, with the manifest recording each file's partition tuple.
+  ``txn=(app_id, batch_id)`` gives streaming ingest exactly-once
+  replay (the snapshot txn watermark protocol).
+- ``ann_index_query`` scores the query against the centroids
+  driver-side (k x dim — tiny), keeps the *nprobe* nearest cells, and
+  scans ONLY those cells' files — the partition-tuple prune makes the
+  cell filter metadata-exact, so a query touches ~nprobe/k of the
+  corpus regardless of how many batches have ever been ingested.
+
+The reference (`cl-data-frame.lisp:1-583`) has no similarity search;
+the IVF design follows the public Jégou et al. TPAMI'11 inverted-file
+scheme.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..frame import SparkFrame
+from .similarity import _lit_vec, _route, kmeans_fit
+
+_CENTROIDS = "centroids"
+_VECTORS = "vectors"
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def _dirs(index_dir: str) -> tuple[str, str]:
+    return (os.path.join(index_dir, _CENTROIDS),
+            os.path.join(index_dir, _VECTORS))
+
+
+def load_centroids(spark: SparkSession, index_dir: str) -> list:
+    """The stored model, k x dim — the only driver-side state."""
+    from cl_data_frame_spark.sources.snapshots import snapshot_read
+    cdir, _ = _dirs(index_dir)
+    rows = snapshot_read(spark, cdir).spark_df.collect()
+    return sorted((int(r["centroid_id"]),
+                   [float(x) for x in r["vector"]]) for r in rows)
+
+
+def ann_index_build(spark: SparkSession, index_dir: str, frame,
+                    k: int = 8, max_iter: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> int:
+    """Train the cell model on *frame* and seed the index with its
+    vectors; returns the vectors table's first version."""
+    from cl_data_frame_spark.sources.snapshots import snapshot_write
+    cdir, _ = _dirs(index_dir)
+    cents, _assign = kmeans_fit(frame, k=k, max_iter=max_iter,
+                                id_col=id_col, vec_col=vec_col)
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "centroid_id bigint, vector array<double>")
+    snapshot_write(cdf, cdir, mode="overwrite", num_files=1)
+    return ann_index_update(spark, index_dir, frame,
+                            id_col=id_col, vec_col=vec_col)
+
+
+def ann_index_update(spark: SparkSession, index_dir: str, batch,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     txn: tuple[str, int] | None = None) -> int:
+    """Route one ingest batch to the stored cells and append it,
+    partitioned by cell. Per-batch cost: one broadcast routing pass
+    over the BATCH — never a rescan of the index. Replayed
+    transactions (``txn`` at or below the stored watermark) are
+    swallowed, returning -1."""
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_txn_version, snapshot_write)
+    _, vdir = _dirs(index_dir)
+    if txn is not None:
+        last = snapshot_txn_version(vdir, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            return -1
+    cents = load_centroids(spark, index_dir)
+    sdf = _plain(batch)
+    assign = _route(sdf, cents, id_col, vec_col).spark_df
+    rows = (sdf.select(id_col, vec_col)
+            .join(assign.select(id_col, "centroid_id"), on=id_col))
+    return snapshot_write(rows, vdir, mode="append",
+                          partition_by=["centroid_id"], txn=txn)
+
+
+def ann_index_query(spark: SparkSession, index_dir: str, query_vec,
+                    k: int = 10, nprobe: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> SparkFrame:
+    """Approximate top-k over the persisted index: probe the *nprobe*
+    cells nearest the query (driver-side k x dim scoring), scan only
+    their files (partition-tuple prune), exact cosine + TakeOrdered
+    inside the probed subset. Same argmax/rounding rules as
+    ``ivf_search_topk``, so results match the batch IVF bit-for-bit
+    on identical data and centroids."""
+    from cl_data_frame_spark.sources.snapshots import snapshot_read
+    _, vdir = _dirs(index_dir)
+    cents = load_centroids(spark, index_dir)
+    q = [float(x) for x in query_vec]
+    nq = math.sqrt(sum(x * x for x in q))
+
+    def _cos_to_q(vec):
+        nb = math.sqrt(sum(float(x) * float(x) for x in vec))
+        return sum(a * float(b) for a, b in zip(q, vec)) / (nq * nb)
+
+    probed = [cid for cid, _ in sorted(
+        cents, key=lambda cv: (-_cos_to_q(cv[1]), cv[0]))[:nprobe]]
+    part = None
+    for cid in probed:
+        cell = snapshot_read(spark, vdir,
+                             where=[("centroid_id", "==", int(cid))]
+                             ).spark_df
+        part = cell if part is None else part.unionByName(cell)
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, _lit_vec(q), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (na * F.lit(nq)), 6)
+    out = (part.select(id_col, "centroid_id", cos.alias("cosine"))
+           .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+           .limit(k))
+    return SparkFrame(out)
+
+
+def vectors_table_dir(index_dir: str) -> str:
+    """The vectors snapshot table's path — pass to
+    ``snapshot_scan_files(..., where=[("centroid_id", "==", cid)])``
+    for file-skip asserts and capacity planning."""
+    return _dirs(index_dir)[1]
