@@ -107,6 +107,29 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    def sentinel() -> float:
+        """FROZEN environment control (round 10): a fixed
+        never-changing scan+agg whose min-of-3 wall is recorded in the
+        JSON before and after the query set — when the sentinel moves
+        between rounds, the environment moved, not the code. Do not
+        edit this query."""
+        def _one() -> float:
+            t0 = time.time()
+            df = (spark.read
+                  .parquet(os.path.join(sf_dir, "lineitem.parquet"))
+                  .filter("l_quantity <= 25")
+                  .groupBy("l_returnflag")
+                  .agg({"l_extendedprice": "sum", "*": "count"}))
+            df.write.mode("overwrite").format("noop").save()
+            return time.time() - t0
+        dts = [_one() for _ in range(3)]
+        spark.catalog.clearCache()
+        return round(min(dts), 3)
+
+    sentinel_pre = sentinel()
+    print(f"[bench] sentinel (pre): {sentinel_pre:.3f}s",
+          file=sys.stderr)
+
     # Per-part attribution: composites whose wall exceeds PARTS_ABOVE
     # get each sub-part timed separately (stderr only — the JSON line
     # carries the entry walls, methodology frozen since round 4), so a
@@ -194,11 +217,16 @@ def main() -> None:
                   f"(entry {dt:.2f}s, sharing saves "
                   f"{max(psum - dt, 0):.2f}s)", file=sys.stderr)
 
+    sentinel_post = sentinel()
+    print(f"[bench] sentinel (post): {sentinel_post:.3f}s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "sentinel_pre": sentinel_pre,
+        "sentinel_post": sentinel_post,
         "sf": sf,
         "cpus": cpus,
     }))
