@@ -1860,6 +1860,189 @@ def snapshot_diff(spark: SparkSession, table_dir: str,
     return table_diff(old, new, key_cols, compare_cols=compare_cols)
 
 
+def snapshot_changes(spark: SparkSession, table_dir: str,
+                     from_version: int,
+                     to_version: int | None = None) -> SparkFrame:
+    """Batch CDC (Delta's ``table_changes``): every row-level change
+    committed in versions (*from_version*, *to_version*], as one
+    DataFrame with ``_change_type`` (insert / delete /
+    update_preimage / update_postimage) and ``_commit_version`` —
+    fully distributed (the streaming change feed's Spark-side twin,
+    same classification rules):
+
+    - appends/clones (and the initial version when in range) emit
+      their added files' rows as inserts;
+    - overwrite/restore emit removed-file rows as deletes and
+      added-file rows as inserts (shared files are net-unchanged);
+    - OPTIMIZE emits nothing (compaction and DV materialization
+      rewrite identical live rows);
+    - merge/delete/update diff their old side (removed files read
+      under the PARENT manifest — its deletion vectors apply — plus
+      rows newly hidden by DV growth) against their new side (added
+      files under the child manifest): with the commit's recorded
+      merge keys the diff is a keyed full-outer join emitting update
+      pre/post-image pairs; otherwise a full-row multiset diff
+      cancels the carried rows of rewritten files with multiplicity.
+    """
+    if to_version is None:
+        to_version = _latest_version(table_dir)
+        if to_version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+    out: DataFrame | None = None
+
+    def tagged(sdf: DataFrame, ctype, v: int) -> DataFrame:
+        ct = ctype if not isinstance(ctype, str) else F.lit(ctype)
+        return sdf.select("*", ct.alias("_change_type"),
+                          F.lit(v).cast("long")
+                          .alias("_commit_version"))
+
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_manifest(table_dir, v)
+        op = m.get("operation", "append")
+        parent = m.get("parent")
+        pm = _read_manifest(table_dir, parent) \
+            if parent is not None else None
+        pfiles = pm["files"] if pm else []
+        cset, pset = set(m["files"]), set(pfiles)
+        added = [f for f in m["files"] if f not in pset]
+        removed = [f for f in pfiles if f not in cset]
+        pdv = (pm.get("dv") or {}) if pm else {}
+        cdv = m.get("dv") or {}
+        part: DataFrame | None = None
+        if parent is None or op in ("append", "clone"):
+            if added:
+                part = tagged(_read_files_renamed(spark, table_dir,
+                                                  added, m),
+                              "insert", v)
+        elif op == "optimize":
+            part = None
+        else:
+            dv_grew = {
+                f: e for f, e in cdv.items()
+                if f in pset and (f not in pdv
+                                  or e.get("sc") != pdv[f].get("sc"))}
+            old_side = None
+            if removed:
+                old_side = _read_files_renamed(spark, table_dir,
+                                               removed, pm)
+            for f, e in dv_grew.items():
+                new_pos = set(_dv_positions(table_dir, f, e))
+                if f in pdv:
+                    new_pos -= set(_dv_positions(table_dir, f,
+                                                 pdv[f]))
+                if not new_pos:
+                    continue
+                hidden = (_read_files_renamed(
+                    spark, table_dir, [f],
+                    {**pm, "dv": {}}, with_pos=True)
+                    .filter((F.col("__fid__") == _dv_fid(f))
+                            & F.col("__pos__").isin(
+                                [int(p) for p in new_pos]))
+                    .drop("__fid__", "__pos__"))
+                old_side = hidden if old_side is None \
+                    else old_side.unionByName(hidden)
+            new_side = _read_files_renamed(spark, table_dir, added,
+                                           m) if added else None
+            part = _classify_changes(
+                old_side, new_side, op,
+                (m.get("op_info") or {}).get("keys"), v,
+                json.loads(m["schema"]))
+        if part is not None:
+            out = part if out is None else out.unionByName(part)
+    if out is None:
+        from pyspark.sql.types import StructType
+        base = StructType.fromJson(json.loads(
+            _read_manifest(table_dir, to_version)["schema"]))
+        schema = base.add("_change_type", "string") \
+                     .add("_commit_version", "long")
+        out = spark.createDataFrame([], schema)
+    return SparkFrame(out)
+
+
+def _classify_changes(old_side: DataFrame | None,
+                      new_side: DataFrame | None, op: str,
+                      keys, v: int, schema_json_obj: dict
+                      ) -> DataFrame | None:
+    """Distributed old-vs-new diff for one DML commit (see
+    ``snapshot_changes``). Rows identical on both sides — the bulk of
+    a rewritten file — cancel and emit nothing."""
+    cols = [f["name"] for f in schema_json_obj["fields"]]
+    pre_t = "update_preimage" if op == "update" else "delete"
+    post_t = "update_postimage" if op == "update" else "insert"
+    ver = F.lit(v).cast("long")
+    if old_side is None and new_side is None:
+        return None
+    if new_side is None:
+        return old_side.select(
+            *cols, F.lit(pre_t).alias("_change_type"),
+            ver.alias("_commit_version"))
+    if old_side is None:
+        return new_side.select(
+            *cols, F.lit(post_t).alias("_change_type"),
+            ver.alias("_commit_version"))
+    if keys and all(k in cols for k in keys):
+        non_key = [c for c in cols if c not in set(keys)]
+        o = old_side.select(*[F.col(c).alias(f"__o_{c}") for c in cols])
+        n = new_side.select(*[F.col(c).alias(f"__n_{c}") for c in cols])
+        cond = None
+        for k in keys:
+            t = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+            cond = t if cond is None else (cond & t)
+        j = o.join(n, on=cond, how="full_outer")
+        o_present = F.col(f"__o_{keys[0]}").isNotNull()
+        n_present = F.col(f"__n_{keys[0]}").isNotNull()
+        same = None
+        for c in non_key:
+            t = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+            same = t if same is None else (same & t)
+        same = same if same is not None else F.lit(True)
+        pre = (j.filter(o_present & (~n_present | ~same))
+               .select(*[F.col(f"__o_{c}").alias(c) for c in cols],
+                       F.when(n_present, F.lit("update_preimage"))
+                       .otherwise(F.lit("delete"))
+                       .alias("_change_type"),
+                       ver.alias("_commit_version")))
+        post = (j.filter(n_present & (~o_present | ~same))
+                .select(*[F.col(f"__n_{c}").alias(c) for c in cols],
+                        F.when(o_present,
+                               F.lit("update_postimage"))
+                        .otherwise(F.lit("insert"))
+                        .alias("_change_type"),
+                        ver.alias("_commit_version")))
+        return pre.unionByName(post)
+    # no keys: full-row multiset diff — group both sides by every
+    # column (groupBy is null-safe), join the count tables null-SAFELY
+    # on every column, subtract counts, re-expand the surplus
+    o = (old_side.groupBy(*cols).agg(F.count(F.lit(1)).alias("__oc__"))
+         .select(*[F.col(c).alias(f"__o_{c}") for c in cols],
+                 "__oc__"))
+    n = (new_side.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nc__"))
+         .select(*[F.col(c).alias(f"__n_{c}") for c in cols],
+                 "__nc__"))
+    cond = None
+    for c in cols:
+        t = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        cond = t if cond is None else (cond & t)
+    j = o.join(n, on=cond, how="full_outer")
+    ocnt = F.coalesce(F.col("__oc__"), F.lit(0))
+    ncnt = F.coalesce(F.col("__nc__"), F.lit(0))
+
+    def expand(side_prefix, count_expr, label):
+        return (j.filter(count_expr > 0)
+                .select(*[F.col(f"{side_prefix}{c}").alias(c)
+                          for c in cols],
+                        count_expr.alias("__k__"))
+                .select(*cols,
+                        F.explode(F.sequence(F.lit(1),
+                                             F.col("__k__")))
+                        .alias("__i__"))
+                .select(*cols, F.lit(label).alias("_change_type"),
+                        ver.alias("_commit_version")))
+    return expand("__o_", ocnt - ncnt, pre_t) \
+        .unionByName(expand("__n_", ncnt - ocnt, post_t))
+
+
 def snapshot_history(table_dir: str) -> list[dict]:
     """Version log, oldest first: (version, parent, operation,
     n_files) — metadata only, no data scan."""
