@@ -2171,7 +2171,7 @@ def snapshot_read_merged(spark: SparkSession, table_dir: str,
 def snapshot_merge(spark: SparkSession, table_dir: str, source,
                    on, update_cols=None, insert_unmatched: bool = True,
                    num_files: int | None = None,
-                   max_retries: int = 5) -> int:
+                   max_retries: int = 5, dv: bool = True) -> int:
     """MERGE INTO a snapshot table: apply the relational MERGE rewrite
     (``relational.merge_into`` — WHEN MATCHED update / WHEN NOT MATCHED
     insert) and publish the result as a new version. Returns the new
@@ -2203,7 +2203,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
     for _ in range(max_retries + 1):
         try:
             return _merge_once(spark, table_dir, src, keys, on,
-                               update_cols, insert_unmatched, num_files)
+                               update_cols, insert_unmatched,
+                               num_files, use_dv=dv)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -2213,7 +2214,7 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
 
 def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
                 update_cols, insert_unmatched,
-                num_files: int | None) -> int:
+                num_files: int | None, use_dv: bool = True) -> int:
     """One optimistic MERGE attempt against the current latest version
     (see ``snapshot_merge``). Raises FileExistsError only on a TRUE
     commit conflict (commutable appends are absorbed by rebasing)."""
@@ -2258,10 +2259,63 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         if preds else list(m["files"])
     untouched = [f for f in m["files"] if f not in set(touched)]
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if touched:
-        t_df = _read_files_renamed(spark, table_dir, touched, m)
+    # --- deletion-vector merge (Delta's DV merge shape) -------------
+    # count each touched file's KEY-matched rows; small-match files
+    # are NOT rewritten: their matched positions take a DV and only
+    # the updated rows re-enter the merge target (so merge_into
+    # updates them and appends the result next to the vector), their
+    # unmatched rows stay in the original file. Zero-match files
+    # (stats false positives) carry verbatim. Big-match files keep
+    # the classic whole-file rewrite.
+    new_dv_entries: dict = {}
+    rewrite_files = list(touched)
+    t_extra = None
+    if touched and use_dv:
+        fid_to_rel = {_dv_fid(f): f for f in touched}
+        t_meta = _read_files_renamed(spark, table_dir, touched, m,
+                                     with_pos=True)
+        src_keys = _plain(src).select(*keys).distinct()
+        matched = t_meta.join(src_keys, on=list(keys),
+                              how="left_semi")
+        tot = {r["__fid__"]: r["c"] for r in
+               t_meta.groupBy("__fid__")
+               .agg(F.count(F.lit(1)).alias("c")).collect()}
+        mat = {r["__fid__"]: r["c"] for r in
+               matched.groupBy("__fid__")
+               .agg(F.count(F.lit(1)).alias("c")).collect()}
+        dv_fids = [fid for fid, c in mat.items()
+                   if 0 < c <= _DV_MAX_ROWS
+                   and c <= _DV_MAX_FRACTION * tot.get(fid, 0)]
+        zero = [fid_to_rel[fid] for fid in tot
+                if mat.get(fid, 0) == 0 and fid in fid_to_rel]
+        dv_files = [fid_to_rel[fid] for fid in dv_fids]
+        if dv_files or zero:
+            carried = set(untouched) | set(dv_files) | set(zero)
+            rewrite_files = [f for f in touched if f not in carried]
+            untouched = [f for f in m["files"] if f in carried]
+            if dv_files:
+                rows = (matched.filter(F.col("__fid__").isin(dv_fids))
+                        .select("__fid__", "__pos__").collect())
+                pos: dict[str, set] = {}
+                for r in rows:
+                    pos.setdefault(fid_to_rel[r["__fid__"]],
+                                   set()).add(int(r["__pos__"]))
+                old_dv = m.get("dv") or {}
+                for rel in pos:
+                    if rel in old_dv:
+                        pos[rel] |= set(_dv_positions(
+                            table_dir, rel, old_dv[rel]))
+                new_dv_entries = _write_dv_sidecar(
+                    table_dir, {k: sorted(v) for k, v in pos.items()})
+                t_extra = (matched
+                           .filter(F.col("__fid__").isin(dv_fids))
+                           .drop("__fid__", "__pos__"))
+    if rewrite_files:
+        t_df = _read_files_renamed(spark, table_dir, rewrite_files, m)
     else:
         t_df = spark.createDataFrame([], schema)
+    if t_extra is not None:
+        t_df = t_df.unionByName(t_extra)
     merged = _plain(merge_into(t_df, src, on, update_cols=update_cols,
                                insert_unmatched=insert_unmatched)) \
         .select(*[f.name for f in schema.fields])
@@ -2302,7 +2356,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         renames = _carry_renames(m, untouched)
         if renames:
             manifest["renamed_files"] = renames
-        dv = _carry_dv(m, untouched)
+        dv = {**_carry_dv(m, untouched), **new_dv_entries}
         if dv:
             manifest["dv"] = dv
         parts_ = _carry_partitions(m, untouched)
@@ -2323,8 +2377,9 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         # rebasing the already-written result; true conflicts
         # propagate to snapshot_merge's recompute loop
         rebased = _try_rebase_publish(
-            table_dir, base_v, set(touched), new_files,
-            new_stats, "merge", m["schema"], keys=usable, preds=preds)
+            table_dir, base_v, set(rewrite_files), new_files,
+            new_stats, "merge", m["schema"], keys=usable, preds=preds,
+            dv_add=new_dv_entries)
         if rebased is not None:
             return rebased
         raise

@@ -692,8 +692,11 @@ class TestSnapshotOptimize:
             F.col("id").alias("k"), F.lit("old").alias("v"))
         snapshot_write(base.repartitionByRange(4, "k"), t,
                        stats_cols=["k"])
+        # dv=False pins the classic rewrite path this test exercises
+        # (the default DV merge rewrites nothing, so vacuum would have
+        # nothing to reclaim — covered by TestDeletionVectors)
         snapshot_merge(spark, t, spark.createDataFrame(
-            [(399, "NEW")], "k bigint, v string"), on="k")
+            [(399, "NEW")], "k bigint, v string"), on="k", dv=False)
         deleted = snapshot_vacuum(t, keep_last=1, force=True)
         assert deleted >= 1               # the rewritten file's old copy
         got = {r.k: r.v for r in
@@ -2346,3 +2349,48 @@ class TestSnapshotChangesBatch:
         empty = S.snapshot_changes(spark, t, 6).spark_df
         assert empty.count() == 0
         assert "_change_type" in empty.columns
+
+
+def test_dv_merge_point_upsert_rewrites_nothing(spark, tmp_path):
+    """Round 10: MERGE with deletion vectors (Delta's DV merge) — a
+    point upsert against a stats-covered table carries EVERY original
+    file (inode-asserted), hides the matched rows behind a vector, and
+    appends only the updated + inserted rows."""
+    import os
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(1000).selectExpr("id AS k", "concat('o', id) AS v")
+        .repartitionByRange(4, "k"), t, stats_cols=["k"])
+    m1 = S._read_manifest(t, 1)
+    inodes = {f: os.stat(os.path.join(t, f)).st_ino
+              for f in m1["files"]}
+    v = S.snapshot_merge(
+        spark, t, spark.createDataFrame(
+            [(500, "NEW"), (5000, "INS")], "k bigint, v string"),
+        on="k")
+    m2 = S._read_manifest(t, v)
+    assert set(m1["files"]) <= set(m2["files"])
+    for f in m1["files"]:
+        assert os.stat(os.path.join(t, f)).st_ino == inodes[f]
+    assert sum(e["n"] for e in m2["dv"].values()) == 1
+    got = {r.k: r.v for r in S.snapshot_read(spark, t)
+           .spark_df.collect()}
+    assert len(got) == 1001 and got[500] == "NEW" \
+        and got[5000] == "INS" and got[499] == "o499"
+    # the CDC feed classifies the DV merge exactly
+    ch = {(r._change_type, r.k) for r in
+          S.snapshot_changes(spark, t, 1).spark_df.collect()}
+    assert ch == {("update_preimage", 500),
+                  ("update_postimage", 500), ("insert", 5000)}
+    # a bulk merge falls back to rewriting the heavy-match files and
+    # still reads back whole
+    S.snapshot_merge(
+        spark, t,
+        spark.range(0, 250).selectExpr("id AS k",
+                                       "concat('b', id) AS v"),
+        on="k")
+    got = {r.k: r.v for r in S.snapshot_read(spark, t)
+           .spark_df.collect()}
+    assert len(got) == 1001 and got[0] == "b0" and got[500] == "NEW"
