@@ -535,3 +535,78 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory,
     base = {r.k: r.v for r in
             snapshot_read(spark, t, version=1).spark_df.collect()}
     assert base == history[0]
+
+
+@given(ops=st.lists(
+    st.tuples(st.sampled_from(["append", "overwrite", "delete",
+                               "merge", "update", "optimize",
+                               "restore"]),
+              st.integers(min_value=0, max_value=120),
+              st.integers(min_value=1, max_value=25)),
+    min_size=1, max_size=6),
+    seed=st.integers(min_value=0, max_value=50))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_replay_reproduces_any_history(spark, tmp_path_factory,
+                                           ops, seed):
+    """Round 10 CDC soundness: for ANY random DML history (deletion
+    vectors, rewrites, overwrites, optimize, restore all mixed),
+    applying the batch change feed's rows onto the version-1 state
+    reproduces the final table exactly — deletes/pre-images out,
+    inserts/post-images in, commit order respected."""
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_changes, snapshot_delete, snapshot_merge,
+        snapshot_optimize, snapshot_read, snapshot_restore,
+        snapshot_update, snapshot_write, _versions)
+    t = str(tmp_path_factory.mktemp("cdcmodel") / "tbl")
+
+    def frame(lo, n, tag):
+        return spark.range(lo, lo + n).selectExpr(
+            "id AS k", f"concat('{tag}', id) AS v")
+
+    snapshot_write(frame(seed, 40, "base")
+                   .repartitionByRange(4, "k"), t, stats_cols=["k"])
+    used = set(range(seed, seed + 40))
+    for i, (op, a, b) in enumerate(ops):
+        if op == "append":
+            lo = max(used, default=0) + 1 + a   # never duplicate keys
+            snapshot_write(frame(lo, b, f"a{i}_"), t, mode="append",
+                           stats_cols=["k"])
+            used |= set(range(lo, lo + b))
+        elif op == "overwrite":
+            snapshot_write(frame(a, b, f"o{i}_"), t,
+                           mode="overwrite", stats_cols=["k"])
+            used = set(range(a, a + b))
+        elif op == "delete":
+            snapshot_delete(spark, t,
+                            [("k", ">=", a), ("k", "<=", a + b)])
+        elif op == "merge":
+            snapshot_merge(spark, t, frame(a, b, f"m{i}_"), on="k")
+            used |= set(range(a, a + b))
+        elif op == "update":
+            snapshot_update(spark, t,
+                            [("k", ">=", a), ("k", "<=", a + b)],
+                            {"v": f"concat('u{i}_', k)"})
+        elif op == "optimize":
+            snapshot_optimize(spark, t, num_files=2)
+        elif op == "restore":
+            vs = _versions(t)
+            snapshot_restore(t, vs[max(0, len(vs) // 2 - 1)])
+    state = {(r.k, r.v) for r in
+             snapshot_read(spark, t, version=1).spark_df.collect()}
+    changes = sorted(
+        snapshot_changes(spark, t, 1).spark_df.collect(),
+        key=lambda r: (r._commit_version,
+                       0 if r._change_type in ("delete",
+                                               "update_preimage")
+                       else 1))
+    for r in changes:
+        if r._change_type in ("delete", "update_preimage"):
+            assert (r.k, r.v) in state, ("missing preimage", r)
+            state.discard((r.k, r.v))
+        else:
+            assert (r.k, r.v) not in state, ("duplicate insert", r)
+            state.add((r.k, r.v))
+    final = {(r.k, r.v) for r in
+             snapshot_read(spark, t).spark_df.collect()}
+    assert state == final
