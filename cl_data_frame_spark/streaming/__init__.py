@@ -416,7 +416,8 @@ def snapshot_stream_sink(table_dir: str, app_id: str,
                          mode: str = "append",
                          stats_cols=None, bloom_cols=None,
                          num_files: int | None = None,
-                         max_retries: int = 5):
+                         max_retries: int = 5,
+                         partition_by=None):
     """foreachBatch callable publishing each micro-batch as a snapshot
     table version EXACTLY ONCE — the union of the two subsystems: a
     stream lands in the same time-travelable, stats-pruned, vacuumable
@@ -431,6 +432,11 @@ def snapshot_stream_sink(table_dir: str, app_id: str,
     (ingest appends, OPTIMIZE) are absorbed by the publish retry loop,
     which re-checks the watermark before every attempt so a conflict
     caused by our own landed commit can't double-publish.
+
+    ``partition_by`` lays every micro-batch's files out Hive-style
+    with manifest partition tuples (round 10), so the streamed table
+    gets the same metadata-exact date=/key= pruning as batch writes —
+    the streaming-ingest layout story end to end.
     """
     from cl_data_frame_spark.sources.snapshots import (
         snapshot_txn_version, snapshot_write)
@@ -449,6 +455,7 @@ def snapshot_stream_sink(table_dir: str, app_id: str,
                                stats_cols=stats_cols,
                                bloom_cols=bloom_cols,
                                num_files=num_files,
+                               partition_by=partition_by,
                                txn=(app_id, int(batch_id)))
                 return
             except FileExistsError as exc:
@@ -464,7 +471,8 @@ def write_stream_to_snapshot(stream_df: DataFrame, table_dir: str,
                              checkpoint_dir: str, app_id: str,
                              mode: str = "append", stats_cols=None,
                              bloom_cols=None,
-                             num_files: int | None = None):
+                             num_files: int | None = None,
+                             partition_by=None):
     """Start a streaming query landing every micro-batch in a snapshot
     table via ``snapshot_stream_sink`` (exactly-once across restarts:
     the checkpoint replays at-least-once, the txn watermark dedups).
@@ -476,7 +484,8 @@ def write_stream_to_snapshot(stream_df: DataFrame, table_dir: str,
     return (stream_df.writeStream
             .foreachBatch(snapshot_stream_sink(
                 table_dir, app_id, mode=mode, stats_cols=stats_cols,
-                bloom_cols=bloom_cols, num_files=num_files))
+                bloom_cols=bloom_cols, num_files=num_files,
+                partition_by=partition_by))
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("complete" if mode == "complete" else "append")
             .start())

@@ -1031,3 +1031,34 @@ class TestSnapshotChangeFeed:
             {("delete", 3, 6)}
         assert {r[1:] for r in rows if r[0] == 3} == \
             {("update_preimage", 4, 8), ("update_postimage", 4, 444)}
+
+
+def test_stream_sink_partition_tuples_prune(spark, tmp_path):
+    """Round 10: a streamed snapshot table written with partition_by
+    records partition tuples per micro-batch file, so predicated
+    reads prune metadata-exactly — the batch write's layout story
+    through the streaming sink."""
+    import time
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_scan_files)
+    from cl_data_frame_spark.streaming import write_stream_to_snapshot
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    (spark.range(90)
+     .select(F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+     .write.json(src))
+    stream = (spark.readStream.schema("k long, g long").json(src))
+    q = write_stream_to_snapshot(stream, t, ck, app_id="t_part",
+                                 partition_by=["g"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_all = len(snapshot_scan_files(t))
+    n_one = len(snapshot_scan_files(t, where=[("g", "==", 1)]))
+    assert 0 < n_one < n_all
+    fr = snapshot_read(spark, t, where=[("g", "==", 1)])
+    assert fr.nrow == 30
+    assert snapshot_read(spark, t).nrow == 90
