@@ -3129,6 +3129,24 @@ def q_s_layout_prune(spark, sf_dir):
                F.col("n").cast("bigint").alias("i1"),
                F.col("sum_qty").cast("double").alias("d1"),
                F.col("sum_ok").cast("bigint").alias("i2"))
+    # snapcdc (round 10): the batch CHANGE FEED over versions 3..5 —
+    # the v3 overwrite (all v2 rows delete, all v3 rows insert: the
+    # multiset diff cancels nothing across disjoint qty slices), the
+    # v4 band delete (the rewritten remainder rows CANCEL exactly, so
+    # only the band emits), and the v5 1-row DV delete. One aggregate
+    # row per (version, change_type); the oracle recomputes each from
+    # the original table, proving the CDC values — including the
+    # deletion-vector and rewrite-cancellation paths — against SQL.
+    from cl_data_frame_spark.sources.snapshots import snapshot_changes
+    cagg = (snapshot_changes(spark, spath, 2, v_dv).spark_df
+            .groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    gcdc = _tag(cagg, "snapcdc",
+                F.col("n").cast("bigint").alias("i1"),
+                F.col("sum_qty").cast("double").alias("d1"),
+                F.col("sum_ok").cast("bigint").alias("i2"))
     # BLOOM point-lookup skipping (round 9): hash-partitioned on
     # l_partkey, so every file's [min, max] spans the whole key domain
     # and range stats prune NOTHING — the per-file Bloom filters must
@@ -3161,7 +3179,8 @@ def q_s_layout_prune(spark, sf_dir):
               F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
             .unionByName(c).unionByName(d).unionByName(e)
-            .unionByName(g).unionByName(gdv).unionByName(hb))
+            .unionByName(g).unionByName(gdv).unionByName(gcdc)
+            .unionByName(hb))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -4159,7 +4178,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                          "cardpii"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapdelete",
-                       "snapdv", "snapbloom"],
+                       "snapdv", "snapcdc", "snapbloom"],
 }
 
 
@@ -5962,6 +5981,50 @@ _ORACLES["s_layout_prune"] = _union(
         FROM rem
         WHERE NOT (l_orderkey = (SELECT ko FROM mn)
                    AND l_linenumber = (SELECT kl FROM mn))""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapcdc: the batch change feed over versions 3..5 — one row per
+    # (version, change_type): v3 overwrite deletes every qty<=3 row
+    # and inserts every qty=4 row; v4 deletes the key band (the
+    # rewritten remainder must CANCEL in the engine's multiset diff —
+    # any spurious row breaks the hash); v5 deletes exactly the
+    # snapdv row
+    _wrap("snapcdc", """
+        WITH cut AS (
+            SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+            FROM lineitem),
+        rem AS (
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_quantity = 4
+              AND l_orderkey > (SELECT c FROM cut)),
+        mn AS (
+            SELECT l_orderkey AS ko, l_linenumber AS kl FROM rem
+            ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 1)
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem WHERE l_quantity <= 3
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM lineitem WHERE l_quantity = 4
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM lineitem
+        WHERE l_quantity = 4
+          AND l_orderkey <= (SELECT c FROM cut)
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM rem
+        WHERE l_orderkey = (SELECT ko FROM mn)
+          AND l_linenumber = (SELECT kl FROM mn)""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"),
     # snapbloom: Bloom-filtered point lookup on a hash-scattered key —
