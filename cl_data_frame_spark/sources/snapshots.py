@@ -1297,6 +1297,35 @@ def _carry_partitions(parent_manifest: dict | None,
     return {f: pp[f] for f in pp if f in keep}
 
 
+def _write_partitioned(sdf: DataFrame, table_dir: str, out_dir: str,
+                       partition_by, num_files: int | None
+                       ) -> tuple[list[str], dict]:
+    """Hive-layout write via ``__part_<col>=`` shadow columns (the
+    real columns stay IN the data files); returns (relative file
+    list, per-file partition tuples) for the manifest."""
+    missing = [c for c in partition_by if c not in sdf.columns]
+    if missing:
+        raise ValueError(
+            f"partition_by columns not in schema: {missing}")
+    w = sdf
+    pcols = []
+    for c in partition_by:
+        pc = f"__part_{c}"
+        w = w.withColumn(pc, F.col(c))
+        pcols.append(pc)
+    if num_files:
+        w = w.repartition(num_files, *list(partition_by))
+    with _micros_timestamps(w.sparkSession):
+        w.write.partitionBy(*pcols).mode("error").parquet(out_dir)
+    new_files = sorted(
+        os.path.relpath(os.path.join(root, name), table_dir)
+        for root, _d, names in os.walk(out_dir)
+        for name in names if name.endswith(".parquet"))
+    ftypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
+    return new_files, {f: _parse_partition_values(f, ftypes)
+                       for f in new_files}
+
+
 def snapshot_scan_files(table_dir: str, version: int | None = None,
                         where=None) -> list[str]:
     """The file list a ``snapshot_read`` with the same arguments will
@@ -1439,28 +1468,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     out_dir = os.path.join(table_dir, rel_dir)
     partitions: dict = {}
     if partition_by:
-        missing = [c for c in partition_by if c not in sdf.columns]
-        if missing:
-            raise ValueError(
-                f"partition_by columns not in schema: {missing}")
-        w = sdf
-        pcols = []
-        for c in partition_by:
-            pc = f"__part_{c}"
-            w = w.withColumn(pc, F.col(c))
-            pcols.append(pc)
-        if num_files:
-            w = w.repartition(num_files, *partition_by)
-        with _micros_timestamps(w.sparkSession):
-            w.write.partitionBy(*pcols).mode("error").parquet(out_dir)
-        new_files = sorted(
-            os.path.relpath(os.path.join(root, name), table_dir)
-            for root, _d, names in os.walk(out_dir)
-            for name in names if name.endswith(".parquet"))
-        ftypes = {f.name: f.dataType.simpleString()
-                  for f in sdf.schema}
-        partitions = {f: _parse_partition_values(f, ftypes)
-                      for f in new_files}
+        new_files, partitions = _write_partitioned(
+            sdf, table_dir, out_dir, partition_by, num_files)
     else:
         writer = sdf.coalesce(num_files) if num_files else sdf
         with _micros_timestamps(writer.sparkSession):
@@ -1548,7 +1557,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
                         new_stats: dict, operation: str,
                         schema_json: str, keys=None, preds=None,
                         max_attempts: int = 5,
-                        dv_add: dict | None = None) -> int | None:
+                        dv_add: dict | None = None,
+                        parts_add: dict | None = None) -> int | None:
     """After losing the publish race: if every interleaved winner was
     a pure APPEND on top of our base version (all base files still
     live, same schema) whose ADDED files provably don't overlap our
@@ -1609,7 +1619,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         bloom = _carry_bloom(lm, surviving)
         renames = _carry_renames(lm, surviving)
         dv = {**_carry_dv(lm, surviving), **(dv_add or {})}
-        parts_ = _carry_partitions(lm, surviving)
+        parts_ = {**_carry_partitions(lm, surviving),
+                  **(parts_add or {})}
         manifest = {
             "version": latest + 1,
             "parent": latest,
@@ -1778,16 +1789,34 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
+    # partition-PRESERVING compaction: when every selected file
+    # carries a partition tuple over one key set, the rewrite keeps
+    # the Hive layout and records fresh tuples — otherwise a nightly
+    # OPTIMIZE would silently destroy the table's metadata-exact
+    # pruning (zorder_by takes precedence: clustering replaces the
+    # partition layout by explicit request)
+    new_parts: dict = {}
+    pts = m.get("partitions") or {}
+    pcols: list | None = None
+    if selected and not zorder_by \
+            and all(f in pts for f in selected):
+        keysets = {tuple(sorted(pts[f])) for f in selected}
+        if len(keysets) == 1:
+            pcols = list(keysets.pop())
     if zorder_by:
         from cl_data_frame_spark.sources import write_parquet_zordered
         write_parquet_zordered(sdf, out_dir, list(zorder_by),
                                num_files=n_files, mode="error")
+    elif pcols:
+        new_files, new_parts = _write_partitioned(
+            sdf, table_dir, out_dir, pcols, n_files)
     else:
         with _micros_timestamps(spark):
             sdf.coalesce(n_files).write.mode("error").parquet(out_dir)
-    new_files = sorted(
-        os.path.join(rel_dir, f) for f in os.listdir(out_dir)
-        if f.endswith(".parquet"))
+    if not pcols:
+        new_files = sorted(
+            os.path.join(rel_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet"))
     stats_cols = sorted({c for f in m["files"]
                          for c in (m.get("stats") or {}).get(f, {})})
     old_stats = m.get("stats") or {}
@@ -1819,7 +1848,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     dv = _carry_dv(m, carried)
     if dv:
         manifest["dv"] = dv
-    parts_ = _carry_partitions(m, carried)
+    parts_ = {**_carry_partitions(m, carried), **new_parts}
     if parts_:
         manifest["partitions"] = parts_
     try:
@@ -1830,7 +1859,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         # rebase carries the winner's new files uncompacted
         rebased = _try_rebase_publish(
             table_dir, base_v, set(selected), new_files,
-            new_stats, "optimize", m["schema"], keys=None)
+            new_stats, "optimize", m["schema"], keys=None,
+            parts_add=new_parts)
         if rebased is not None:
             return rebased
         raise

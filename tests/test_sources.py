@@ -2249,13 +2249,23 @@ class TestSnapshotPartitionTuples:
         # an unpartitioned overwrite clears the tuples; rename works
         S.snapshot_write(df, t, mode="overwrite")
         S.snapshot_rename_column(t, "g", "grp")
-        # optimize compacts partitioned files away cleanly too
+        # optimize on a fully-partitioned table PRESERVES the layout:
+        # compacted files land Hive-style with fresh tuples, so the
+        # metadata-exact prune survives the nightly compaction
         t2 = str(tmp_path / "t2")
         S.snapshot_write(df.repartition(4), t2, partition_by=["g"])
-        v = S.snapshot_optimize(spark, t2)
+        pre_files = len(S.snapshot_scan_files(t2))
+        v = S.snapshot_optimize(spark, t2, num_files=1)
         m2 = S._read_manifest(t2, v)
-        assert not m2.get("partitions")      # rewritten, tuples gone
+        assert m2.get("partitions")
+        assert set(m2["partitions"]) == set(m2["files"])
+        post = S.snapshot_scan_files(t2)
+        assert len(post) < pre_files         # actually compacted
+        hit = S.snapshot_scan_files(t2, where=[("g", "==", 1)])
+        assert 0 < len(hit) < len(post)      # pruning survives
         assert S.snapshot_read(spark, t2).nrow == 90
+        fr = S.snapshot_read(spark, t2, where=[("g", "==", 1)])
+        assert fr.nrow == 30
 
 
 class TestSnapshotChangesBatch:
