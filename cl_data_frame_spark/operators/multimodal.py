@@ -4,14 +4,16 @@ resize / frame-sample operators as Arrow-batched pandas transforms.
 
 Formats a stdlib parser can handle decode FOR REAL: WAV (``wave``),
 PPM (P6), 24-bit BMP, 8-bit PNG (``zlib`` inflate + RFC 2083
-scanline unfiltering), and baseline JPEG (full ITU-T T.81 SOF0:
-huffman entropy decode, dequantize, 8x8 IDCT, chroma upsampling,
-YCbCr->RGB — round 9). Only MP4/video-class codecs — whose libraries
-are not in this environment — fall back to a stub (deterministic fake
-features derived from the payload bytes, or ``NotImplementedError``
-when ``strict=True``). Everything Spark-side — schema, batching,
-partitioning, UDF signatures — is real and tested; swapping the stub
-for torchaudio/ffmpeg is a one-function change.
+scanline unfiltering), baseline JPEG (full ITU-T T.81 SOF0: huffman
+entropy decode, dequantize, 8x8 IDCT, chroma upsampling, YCbCr->RGB —
+round 9), GIF 87a/89a (LZW), and MJPEG-in-AVI VIDEO (round 10: RIFF
+walk + per-frame JPEG decode — real frame sampling via
+``video_frames_real``). Only H.264/H.265-class bitstreams — whose
+codec libraries are not in this environment — fall back to a stub
+(deterministic fake features derived from the payload bytes, or
+``NotImplementedError`` when ``strict=True``). Everything Spark-side —
+schema, batching, partitioning, UDF signatures — is real and tested;
+swapping the stub for torchaudio/ffmpeg is a one-function change.
 
 Scale: payloads stay opaque binaries end-to-end (parquet keeps them
 compressed, column pruning keeps them unread unless asked for); decode runs
@@ -601,6 +603,8 @@ def _detect_decode(payload: bytes, n_features: int, strict: bool):
     if payload:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             decoder = _decode_wav
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            decoder = _decode_avi
         elif payload[:2] == b"P6":
             decoder = _decode_ppm
         elif payload[:2] == b"BM":
@@ -613,11 +617,11 @@ def _detect_decode(payload: bytes, n_features: int, strict: bool):
             decoder = _decode_gif
         elif strict:
             raise NotImplementedError(
-                "no stdlib decoder for this format (MP4/video-"
-                "class codecs need ffmpeg, absent here); formats "
-                "decoded for real: WAV, PPM (P6), BMP (24-bit), "
-                "PNG (8-bit gray/RGB/RGBA), JPEG (baseline SOF0), "
-                "GIF (87a/89a LZW)")
+                "no stdlib decoder for this format (MP4/H.264-class "
+                "codecs need ffmpeg, absent here); formats decoded "
+                "for real: WAV, PPM (P6), BMP (24-bit), PNG (8-bit "
+                "gray/RGB/RGBA), JPEG (baseline SOF0), GIF (87a/89a "
+                "LZW), AVI (MJPEG video)")
     if decoder is None:
         return None, _fake_decode(bytes(payload or b""),
                                   n_features).tolist()
@@ -1046,3 +1050,124 @@ def _decode_gif(payload: bytes):
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("GIF payload holds no image frame")
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode (round 10): MJPEG inside an AVI/RIFF container —
+# the RIFF walk is pure stdlib and the frame chunks are baseline JPEGs
+# our own decoder handles, so for this codec the video path is genuinely
+# real end to end. H.264/H.265 bitstreams still need ffmpeg (absent
+# here) and keep the honest strict-mode error.
+# ---------------------------------------------------------------------------
+
+def _parse_avi_frames(payload: bytes):
+    """Walk a RIFF/'AVI ' container (public MS RIFF/AVI spec): returns
+    the ``avih`` main header fields and the video frame chunks
+    ('##dc'/'##db' entries of the movi LIST, in file order). Chunks
+    pad to even offsets; truncated tails stop the walk cleanly."""
+    import struct
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ' missing)")
+    avih: dict | None = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            body_s, body_e = pos + 8, pos + 8 + sz
+            if body_e > end:
+                break                          # truncated chunk
+            if cid == b"LIST":
+                walk(body_s + 4, body_e)       # skip the list type id
+            elif cid == b"avih" and sz >= 40:
+                (uspf, _mbps, _pad, _flags, total, _init, _streams,
+                 _bufsz, w, h) = struct.unpack_from("<10I", payload,
+                                                    body_s)
+                avih = {"us_per_frame": uspf, "total_frames": total,
+                        "width": w, "height": h}
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(payload[body_s:body_e])
+            pos = body_e + (sz & 1)            # even alignment
+    walk(12, len(payload))
+    if avih is None:
+        raise ValueError("AVI: missing avih main header")
+    return avih, frames
+
+
+def _decode_avi(payload: bytes):
+    """MJPEG-in-AVI video decode: meta from the main header (width/
+    height/duration), features = the FIRST frame's shared image
+    features + [n_frames/1e3, fps/1e2]. A non-MJPEG stream raises
+    (H.264-class codecs need ffmpeg)."""
+    avih, frames = _parse_avi_frames(payload)
+    if not frames:
+        raise ValueError("AVI: no video frame chunks")
+    if frames[0][:2] != b"\xff\xd8":
+        raise ValueError(
+            "AVI: non-MJPEG video stream (needs ffmpeg, absent here)")
+    px = _decode_jpeg_pixels(frames[0])
+    h, w = px.shape[:2]
+    meta, feats = _image_features(px.astype(np.float64), w, h,
+                                  "avi-mjpeg")
+    us = int(avih.get("us_per_frame") or 0)
+    meta = {**meta, "media_type": "video",
+            "duration_ms": (len(frames) * us) // 1000 if us else None}
+    return meta, feats + [len(frames) / 1e3,
+                          (1e6 / us) / 1e2 if us else 0.0]
+
+
+def video_frames_real(frame_or_df, payload_col: str = "payload",
+                      id_col: str = "media_id", every_n: int = 1,
+                      max_frames: int = 8,
+                      strict: bool = False) -> SparkFrame:
+    """REAL video frame sampling for MJPEG AVIs: decode every
+    *every_n*-th frame chunk (at most *max_frames* per video) and emit
+    one row per decoded frame with its index, dimensions, and mean
+    RGB — the codec-seek path ``frame_sample`` stubs with byte
+    slicing. ``mapInPandas`` over Arrow batches; payloads never leave
+    the executor. Non-AVI / non-MJPEG payloads yield no rows by
+    default (``strict=True`` raises instead — a 100 TB corpus always
+    contains malformed media)."""
+    sdf = frame_or_df.spark_df if isinstance(frame_or_df, SparkFrame) \
+        else frame_or_df
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "frame_index", "width",
+                                    "height", "mean_r", "mean_g",
+                                    "mean_b")}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _avih, frames = _parse_avi_frames(bytes(p))
+                    picks = list(enumerate(frames))[::max(1, every_n)]
+                    for idx, fr in picks[:max_frames]:
+                        px = _decode_jpeg_pixels(fr).astype(np.float64)
+                        h, w = px.shape[:2]
+                        means = px.reshape(-1, 3).mean(axis=0)
+                        rows[id_col].append(int(mid))
+                        rows["frame_index"].append(int(idx))
+                        rows["width"].append(int(w))
+                        rows["height"].append(int(h))
+                        rows["mean_r"].append(float(means[0]))
+                        rows["mean_g"].append(float(means[1]))
+                        rows["mean_b"].append(float(means[2]))
+                except Exception:
+                    if strict:
+                        raise
+            yield pd.DataFrame(rows)
+
+    out = sdf.select(id_col, payload_col).mapInPandas(gen,
+                                                      schema=schema)
+    return SparkFrame(out)
