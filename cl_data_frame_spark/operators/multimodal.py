@@ -141,11 +141,106 @@ def frame_sample(frame_or_df, payload_col: str = "payload",
     return SparkFrame(out)
 
 
-def resize_stub(*_args, **_kwargs):
-    """Image resize requires a codec library not present here."""
-    raise NotImplementedError(
-        "resize requires an image library (PIL/opencv) not present in this "
-        "environment; the Spark-side plumbing is extract_features/frame_sample")
+def _decode_image_pixels(payload: bytes) -> tuple[np.ndarray, str]:
+    """RGB uint8 pixels for any format with a real stdlib decoder
+    (magic-byte sniffed); raises ValueError for everything else."""
+    payload = bytes(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm_pixels(payload), "ppm"
+    if payload[:2] == b"BM":
+        return _decode_bmp_pixels(payload), "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_pixels(payload), "png"
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg_pixels(payload), "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_pixels(payload), "gif"
+    raise ValueError("no stdlib pixel decoder for this payload")
+
+
+def _resize_pixels(px: np.ndarray, tw: int, th: int,
+                   method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy image resize: 'nearest' index mapping or separable
+    'bilinear' interpolation (the public algorithms, no PIL/opencv).
+    Sampling uses the standard half-pixel-center convention."""
+    h, w = px.shape[:2]
+    src = px.astype(np.float64)
+    if method == "nearest":
+        ys = np.clip(((np.arange(th) + 0.5) * h / th).astype(int),
+                     0, h - 1)
+        xs = np.clip(((np.arange(tw) + 0.5) * w / tw).astype(int),
+                     0, w - 1)
+        return px[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(th) + 0.5) * h / th - 0.5
+    fx = (np.arange(tw) + 0.5) * w / tw - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    top = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
+    bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _encode_ppm(px: np.ndarray) -> bytes:
+    """Re-encode RGB uint8 pixels as binary PPM (P6) — the lossless
+    stdlib-writable output container for resized images."""
+    h, w = px.shape[:2]
+    return (f"P6\n{w} {h}\n255\n".encode("ascii")
+            + px.astype(np.uint8).tobytes())
+
+
+def resize_images_real(frame_or_df, target_w: int, target_h: int,
+                       payload_col: str = "payload",
+                       id_col: str = "media_id",
+                       method: str = "bilinear",
+                       strict: bool = False) -> SparkFrame:
+    """REAL image resize (round 10): decode any stdlib-decodable
+    payload (PPM/BMP/PNG/JPEG/GIF), resample to (target_w, target_h)
+    with pure-numpy nearest/bilinear, and emit the result as a
+    lossless P6 PPM payload plus source metadata — the
+    thumbnail/normalize pass of a multimodal training pipeline,
+    ``mapInPandas`` so payloads never leave the executor. Undecodable
+    payloads pass through with ``resized=false`` (``strict=True``
+    raises instead)."""
+    sdf = frame_or_df.spark_df if isinstance(frame_or_df, SparkFrame) \
+        else frame_or_df
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("src_format", T.StringType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("resized", T.BooleanType(), False)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px, fmt = _decode_image_pixels(bytes(p))
+                    h, w = px.shape[:2]
+                    out = _resize_pixels(px, target_w, target_h,
+                                         method)
+                    rows.append((int(mid), bytearray(_encode_ppm(out)),
+                                 fmt, int(w), int(h), True))
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append((int(mid),
+                                 bytearray(bytes(p or b"")), None,
+                                 None, None, False))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema])
+
+    out = sdf.select(id_col, payload_col).mapInPandas(gen,
+                                                      schema=schema)
+    return SparkFrame(out)
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +302,12 @@ def _image_features(px: np.ndarray, w: int, h: int, fmt: str):
 
 def _decode_ppm(payload: bytes):
     """Parse a binary PPM (P6, maxval <= 255)."""
+    px = _decode_ppm_pixels(payload)
+    h, w = px.shape[:2]
+    return _image_features(px, w, h, "ppm")
+
+
+def _decode_ppm_pixels(payload: bytes) -> np.ndarray:
     pos = [0]
 
     def token():
@@ -236,11 +337,17 @@ def _decode_ppm(payload: bytes):
     pos[0] += 1                      # single whitespace after maxval
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                        offset=pos[0]).reshape(h, w, 3)
-    return _image_features(px, w, h, "ppm")
+    return px
 
 
 def _decode_bmp(payload: bytes):
     """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
+    px = _decode_bmp_pixels(payload)
+    h, w = px.shape[:2]
+    return _image_features(px, w, h, "bmp")
+
+
+def _decode_bmp_pixels(payload: bytes) -> np.ndarray:
     import struct
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
@@ -264,7 +371,7 @@ def _decode_bmp(payload: bytes):
                             offset=off).reshape(w, 3)
         rows.append(row[:, ::-1])     # BGR -> RGB
     px = np.stack(rows[::-1] if flipped else rows)
-    return _image_features(px, w, h, "bmp")
+    return px
 
 
 def _decode_png(payload: bytes):
@@ -275,6 +382,12 @@ def _decode_png(payload: bytes):
     need more machinery than a feature probe justifies); alpha is
     dropped, gray is replicated to RGB for the shared feature vector.
     """
+    px = _decode_png_pixels(payload)
+    h, w = px.shape[:2]
+    return _image_features(px, w, h, "png")
+
+
+def _decode_png_pixels(payload: bytes) -> np.ndarray:
     import struct
     import zlib
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -340,7 +453,7 @@ def _decode_png(payload: bytes):
         px = out.reshape(h, w, 3)
     else:
         px = out.reshape(h, w, 4)[:, :, :3]
-    return _image_features(px, w, h, "png")
+    return px
 
 
 def _make_zigzag():
@@ -998,6 +1111,12 @@ def _decode_gif(payload: bytes):
     via pure-stdlib LZW (public GIF specification), honoring global/
     local color tables and the 4-pass interlace; emits the shared
     image feature vector."""
+    px = _decode_gif_pixels(payload)
+    h, w = px.shape[:2]
+    return _image_features(px.astype(np.float64), w, h, "gif")
+
+
+def _decode_gif_pixels(payload: bytes) -> np.ndarray:
     import struct
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -1042,9 +1161,7 @@ def _decode_gif(payload: bytes):
             flat = [i for row in rows for i in row]
             px = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[
                 np.asarray(flat, dtype=np.int64)].reshape(h, w, 3)
-            meta, feats = _image_features(px.astype(np.float64), w, h,
-                                          "gif")
-            return meta, feats
+            return px
         elif b == 0x3B:
             break
         else:

@@ -70,9 +70,12 @@ def test_frame_sample_counts(media):
     assert rows[3]["n_frames"] == 1
 
 
-def test_resize_stub_raises():
-    with pytest.raises(NotImplementedError):
-        MM.resize_stub()
+def test_resize_is_real_now():
+    # round 10 replaced the resize stub with the pure-numpy
+    # resize_images_real operator (see TestRealResize); the stub and
+    # its NotImplementedError are gone
+    assert not hasattr(MM, "resize_stub")
+    assert callable(MM.resize_images_real)
 
 
 def _make_wav(freq=440.0, sr=8000, seconds=0.5, amp=0.5):
@@ -882,3 +885,70 @@ def test_video_frames_real_samples_frames(spark):
     from py4j.protocol import Py4JJavaError  # noqa: F401
     with pytest.raises(Exception):
         video_frames_real(df, strict=True).spark_df.collect()
+
+
+class TestRealResize:
+    """Round 10: pure-numpy image resize over the stdlib decoders —
+    the former resize stub is now a real thumbnail/normalize pass."""
+
+    def test_nearest_downscale_solid_blocks_exact(self):
+        import numpy as np
+        from cl_data_frame_spark.operators.multimodal import (
+            _decode_ppm_pixels, _encode_ppm, _resize_pixels)
+        # a 4x4 quadrant image downsampled 2x with nearest picks one
+        # pixel per quadrant — exact values, no interpolation
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        px[:2, :2] = 10
+        px[:2, 2:] = 60
+        px[2:, :2] = 110
+        px[2:, 2:] = 160
+        out = _resize_pixels(px, 2, 2, "nearest")
+        assert out.tolist() == [[[10] * 3, [60] * 3],
+                                [[110] * 3, [160] * 3]]
+        # PPM round-trip is lossless
+        rt = _decode_ppm_pixels(_encode_ppm(out))
+        assert (rt == out).all()
+
+    def test_bilinear_constant_image_stays_constant(self):
+        import numpy as np
+        from cl_data_frame_spark.operators.multimodal import (
+            _resize_pixels)
+        px = np.full((5, 7, 3), 123, dtype=np.uint8)
+        for tw, th in ((14, 10), (3, 2), (7, 5)):
+            out = _resize_pixels(px, tw, th, "bilinear")
+            assert out.shape == (th, tw, 3)
+            assert (out == 123).all()
+        # 2x upscale of a ramp stays monotone within rows
+        ramp = np.tile(np.arange(0, 80, 10, dtype=np.uint8)
+                       .reshape(1, 8, 1), (4, 1, 3))
+        up = _resize_pixels(ramp, 16, 8, "bilinear")
+        for row in up[:, :, 0]:
+            assert all(a <= b for a, b in zip(row, row[1:]))
+
+    def test_resize_operator_all_formats_and_fallback(self, spark):
+        import numpy as np
+        from cl_data_frame_spark.operators.multimodal import (
+            _decode_ppm_pixels, _encode_ppm, resize_images_real)
+        px = np.full((8, 8, 3), 200, dtype=np.uint8)
+        payloads = [
+            (1, bytearray(_encode_ppm(px))),          # ppm
+            (2, bytearray(_encode_jpeg(px))),          # jpeg
+            (3, bytearray(b"junk-not-an-image")),      # fallback
+        ]
+        df = spark.createDataFrame(payloads,
+                                   "media_id long, payload binary")
+        got = {r.media_id: r for r in
+               resize_images_real(df, 4, 4).spark_df.collect()}
+        for mid, fmt in ((1, "ppm"), (2, "jpeg")):
+            r = got[mid]
+            assert r.resized and r.src_format == fmt
+            assert (r.src_width, r.src_height) == (8, 8)
+            out = _decode_ppm_pixels(bytes(r.payload))
+            assert out.shape == (4, 4, 3)
+            assert int(np.abs(out.astype(int) - 200).max()) <= 1
+        assert not got[3].resized
+        assert bytes(got[3].payload) == b"junk-not-an-image"
+        import pytest
+        with pytest.raises(Exception):
+            resize_images_real(df, 4, 4, strict=True) \
+                .spark_df.collect()
