@@ -2768,8 +2768,13 @@ def q_x_media(spark, sf_dir):
     # pytest-only — it is lossy, so the decoded bytes are not pure
     # doc_id arithmetic
     e = pix_tag(q_x_media_pngpix(spark, sf_dir), "pngpix")
+    # resizepix: decode -> pure-numpy bilinear resample -> lossless
+    # re-encode; a SOLID source is exact through interpolation, so
+    # the resized payload's decoded bytes are the synthesis
+    # arithmetic at the NEW dimensions
+    f = pix_tag(q_x_media_resizepix(spark, sf_dir), "resizepix")
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e))
+            .unionByName(e).unionByName(f))
 
 
 def q_x_media_audiometa(spark, sf_dir):
@@ -2922,6 +2927,49 @@ def q_x_media_pngpix(spark, sf_dir):
                                columns=[f.name for f in schema])
 
     return media.mapInPandas(decode, schema=schema)
+
+
+def q_x_media_resizepix(spark, sf_dir):
+    """REAL image resize (round 10): synthesized solid-color 6x4 PPMs
+    resized to 3x2 by ``resize_images_real`` — a SOLID image is exact
+    through bilinear interpolation (every neighbor equals every
+    other), and the P6 output container is lossless, so decoding the
+    RESIZED payload recovers the doc_id-derived bytes exactly at the
+    new dimensions. Proves decode -> numpy resample -> re-encode end
+    to end against pure synthesis arithmetic."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    ids = [int(r[0]) for r in
+           _t(spark, sf_dir, "documents").select("doc_id")
+           .filter(F.col("doc_id") < 40).collect()]
+
+    def ppm(i):
+        r, g, bl = i % 256, (i * 7) % 256, (i * 13) % 256
+        return (b"P6\n6 4\n255\n" + bytes([r, g, bl]) * 24)
+
+    media = spark.createDataFrame([(i, ppm(i)) for i in ids],
+                                  "media_id long, payload binary")
+    resized = MM.resize_images_real(media, 3, 2, strict=True).spark_df
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True)])
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                meta, feats = MM._decode_ppm(bytes(p))
+                rows.append((mid, meta["width"], meta["height"],
+                             feats[2], feats[3], feats[4]))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema])
+
+    return (resized.select("media_id", "payload")
+            .mapInPandas(decode, schema=schema))
 
 
 def q_s_layout_prune(spark, sf_dir):
@@ -4171,7 +4219,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "x_embed_quantize": ["int8", "pq", "jlproj"],
     "x_dedup_clusters": ["cc", "pagerank", "triangles", "bfs"],
     "x_chunk_pack": ["chunk", "pack", "chunk_sent"],
-    "x_media": ["dedup", "frames", "audiometa", "gifpix", "pngpix"],
+    "x_media": ["dedup", "frames", "audiometa", "gifpix", "pngpix",
+                "resizepix"],
     "x_curation_scrub": ["decontaminate", "pii", "expect", "blocklist",
                          "url", "urldedup", "domcap", "tempw",
                          "tempsamp", "fuzzydecon", "qualclf",
@@ -6918,6 +6967,17 @@ _ORACLES["x_media"] = _union(
           "r::BIGINT AS i3, g::BIGINT AS i4"),
     # pngpix: identical contract for the lossless PNG decoder
     _wrap("pngpix", """
+        SELECT doc_id AS media_id, 3 AS width, 2 AS height,
+               doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+               ((doc_id * 13) % 256)::VARCHAR AS b
+        FROM documents WHERE doc_id < 40""",
+          "media_id::BIGINT AS media_id, b AS s1, "
+          "width::BIGINT AS i1, height::BIGINT AS i2, "
+          "r::BIGINT AS i3, g::BIGINT AS i4"),
+    # resizepix: solid 6x4 PPMs bilinear-resized to 3x2 and
+    # re-decoded — solid color is exact through interpolation and the
+    # P6 output is lossless, so the bytes survive at the new dims
+    _wrap("resizepix", """
         SELECT doc_id AS media_id, 3 AS width, 2 AS height,
                doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
                ((doc_id * 13) % 256)::VARCHAR AS b
