@@ -2404,3 +2404,62 @@ def test_dv_merge_point_upsert_rewrites_nothing(spark, tmp_path):
     got = {r.k: r.v for r in S.snapshot_read(spark, t)
            .spark_df.collect()}
     assert len(got) == 1001 and got[0] == "b0" and got[500] == "NEW"
+
+
+class TestDeletionVectorRaces:
+    """Round 10: optimistic-concurrency behavior of DV commits — a DV
+    delete racing a disjoint append REBASES (vectors carried via
+    dv_add), racing DV writers are a TRUE conflict (recompute), and
+    the recompute preserves both deletes."""
+
+    def test_dv_delete_vs_disjoint_append_rebases(self, spark,
+                                                  tmp_path,
+                                                  monkeypatch):
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(0, 1000).selectExpr("id AS k",
+                                            "concat('o', id) AS v")
+            .repartitionByRange(4, "k"), t, stats_cols=["k"])
+
+        def competitor():
+            snapshots.snapshot_write(
+                spark.range(5000, 5005).selectExpr(
+                    "id AS k", "concat('a', id) AS v"),
+                t, mode="append", stats_cols=["k"])
+        TestSnapshotCommitRetry._race(monkeypatch, competitor,
+                                      "delete")
+        v = snapshots.snapshot_delete(spark, t, [("k", "==", 500)])
+        hist = {h["version"]: h["operation"]
+                for h in snapshots.snapshot_history(t)}
+        assert hist == {1: "append", 2: "append", 3: "delete"}
+        m = snapshots._read_manifest(t, v)
+        assert m.get("dv")                     # vector survived rebase
+        got = {r.k for r in
+               snapshots.snapshot_read(spark, t).spark_df.collect()}
+        assert 500 not in got and 5004 in got and len(got) == 1004
+
+    def test_dv_delete_vs_dv_delete_recomputes(self, spark, tmp_path,
+                                               monkeypatch):
+        from cl_data_frame_spark.sources import snapshots
+        t = str(tmp_path / "tbl")
+        snapshots.snapshot_write(
+            spark.range(0, 1000).selectExpr("id AS k",
+                                            "concat('o', id) AS v")
+            .repartitionByRange(4, "k"), t, stats_cols=["k"])
+
+        def competitor():
+            snapshots.snapshot_delete(spark, t, [("k", "==", 100)])
+        TestSnapshotCommitRetry._race(monkeypatch, competitor,
+                                      "delete")
+        calls = TestSnapshotCommitRetry._count(monkeypatch,
+                                               "_delete_once")
+        snapshots.snapshot_delete(spark, t, [("k", "==", 101)])
+        # the interleaved DV commit changed row visibility: the loser
+        # must RECOMPUTE — 3 counted calls = loser's first attempt +
+        # the competitor's own delete + the loser's recompute (a
+        # rebase would have stopped at 2)
+        assert calls["n"] == 3
+        got = {r.k for r in
+               snapshots.snapshot_read(spark, t).spark_df.collect()}
+        assert 100 not in got and 101 not in got and len(got) == 998
