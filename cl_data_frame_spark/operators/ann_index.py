@@ -101,8 +101,29 @@ def ann_index_update(spark: SparkSession, index_dir: str, batch,
     assign = _route(sdf, cents, id_col, vec_col).spark_df
     rows = (sdf.select(id_col, vec_col)
             .join(assign.select(id_col, "centroid_id"), on=id_col))
+    # id stats let ann_index_delete prune to the files actually
+    # holding a vector (the GDPR point-delete path)
     return snapshot_write(rows, vdir, mode="append",
-                          partition_by=["centroid_id"], txn=txn)
+                          partition_by=["centroid_id"],
+                          stats_cols=[id_col], txn=txn)
+
+
+def ann_index_delete(spark: SparkSession, index_dir: str, ids,
+                     id_col: str = "vec_id") -> int:
+    """Remove vectors by id (the GDPR/right-to-be-forgotten path):
+    one deletion-vector point delete per id — manifest id stats prune
+    to the files that can hold it, and the matched position lands in a
+    DV sidecar instead of a file rewrite, so forgetting k vectors in a
+    100 TB index writes bytes proportional to k. Returns the final
+    version."""
+    from cl_data_frame_spark.sources.snapshots import snapshot_delete
+    _, vdir = _dirs(index_dir)
+    v = None
+    for i in ids:
+        v = snapshot_delete(spark, vdir, [(id_col, "==", int(i))])
+    if v is None:
+        raise ValueError("ann_index_delete: empty id list")
+    return v
 
 
 def ann_index_query(spark: SparkSession, index_dir: str, query_vec,

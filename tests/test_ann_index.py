@@ -93,3 +93,35 @@ def test_incremental_batches_never_rescan_history(spark, index,
                 "embedding"))
     post = _read_manifest(vd, _latest_version(vd))["files"]
     assert set(pre) <= set(post) and len(post) > len(pre)
+
+
+def test_ann_index_delete_is_dv_backed(spark, tmp_path):
+    """GDPR path: forgetting a vector leaves every data file untouched
+    (deletion vector) and removes it from query results."""
+    import os
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.operators import ann_index as A
+    from cl_data_frame_spark.sources.snapshots import (
+        _latest_version, _read_manifest, snapshot_read)
+    idx = str(tmp_path / "idx")
+    emb = _emb(spark)
+    A.ann_index_build(spark, idx, emb, k=8)
+    vd = A.vectors_table_dir(idx)
+    m1 = _read_manifest(vd, _latest_version(vd))
+    inodes = {f: os.stat(os.path.join(vd, f)).st_ino
+              for f in m1["files"]}
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    top = A.ann_index_query(spark, idx, q, k=1, nprobe=8) \
+        .spark_df.collect()
+    assert top[0].vec_id == 3
+    A.ann_index_delete(spark, idx, [3])
+    m2 = _read_manifest(vd, _latest_version(vd))
+    assert set(m2["files"]) == set(m1["files"])   # zero rewrite
+    for f in m1["files"]:
+        assert os.stat(os.path.join(vd, f)).st_ino == inodes[f]
+    assert m2.get("dv")
+    assert snapshot_read(spark, vd).nrow == 499
+    top = A.ann_index_query(spark, idx, q, k=1, nprobe=8) \
+        .spark_df.collect()
+    assert top[0].vec_id != 3
