@@ -2085,7 +2085,8 @@ def snapshot_history(table_dir: str) -> list[dict]:
 
 def snapshot_vacuum(table_dir: str, keep_last: int = 1,
                     retain_hours: float = 168.0,
-                    force: bool = False) -> int:
+                    force: bool = False,
+                    dry_run: bool = False) -> int:
     """Drop old versions and delete every data file no surviving
     manifest references (including orphans from crashed writes).
     Returns the number of files deleted. Time travel to dropped
@@ -2103,7 +2104,12 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
     files, which land BEFORE its manifest publishes and would look
     like orphans to an agefloor-less vacuum. ``force=True`` is the
     documented I-know-nothing-is-reading-this override (tests,
-    teardown of abandoned tables)."""
+    teardown of abandoned tables).
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): count what a
+    real run would delete — data files, unreferenced sidecars — and
+    change NOTHING (no deletions, no checkpoint materialization, no
+    cache purge)."""
     import time
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -2136,16 +2142,18 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
                 sidecars.add(os.path.normpath(e["sc"]))
     # a surviving DELTA commit whose replay base is being dropped must
     # be materialized as a checkpoint first, or it becomes unreadable
-    for v in surviving:
-        if v - 1 in survset or os.path.exists(_ckpt_path(table_dir, v)):
-            continue
-        try:
-            with open(_manifest_path(table_dir, v)) as f:
-                on_disk = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            on_disk = {"delta": 1}
-        if on_disk.get("delta"):
-            _write_checkpoint(table_dir, states[v])
+    if not dry_run:
+        for v in surviving:
+            if v - 1 in survset \
+                    or os.path.exists(_ckpt_path(table_dir, v)):
+                continue
+            try:
+                with open(_manifest_path(table_dir, v)) as f:
+                    on_disk = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                on_disk = {"delta": 1}
+            if on_disk.get("delta"):
+                _write_checkpoint(table_dir, states[v])
     deleted = 0
     ddir = os.path.join(table_dir, _DATA_DIR)
     for root, _dirs, names in os.walk(ddir, topdown=False):
@@ -2154,19 +2162,23 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
             rel = os.path.relpath(full, table_dir)
             if rel not in referenced and name.endswith(".parquet") \
                     and _old_enough(full):
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted += 1
-        if not os.listdir(root):
+        if not dry_run and not os.listdir(root):
             os.rmdir(root)
-    # bloom sidecars no surviving version references
+    # bloom/DV sidecars no surviving version references
     scdir = os.path.join(table_dir, _MANIFEST_DIR, _SIDECAR_DIR)
     if os.path.isdir(scdir):
         for name in os.listdir(scdir):
             full = os.path.join(scdir, name)
             rel = os.path.normpath(os.path.relpath(full, table_dir))
             if rel not in sidecars and _old_enough(full):
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted += 1
+    if dry_run:
+        return deleted
     for v in versions:
         if v not in surviving:
             os.remove(_manifest_path(table_dir, v))

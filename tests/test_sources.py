@@ -2463,3 +2463,27 @@ class TestDeletionVectorRaces:
         got = {r.k for r in
                snapshots.snapshot_read(spark, t).spark_df.collect()}
         assert 100 not in got and 101 not in got and len(got) == 998
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    """Round 10: VACUUM ... DRY RUN — the count a real run would
+    reclaim, with nothing touched on disk."""
+    import os
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(10).select(F.col("id").alias("v")),
+                     t, num_files=2)
+    S.snapshot_write(spark.range(10).select(F.col("id").alias("v")),
+                     t, mode="overwrite", num_files=2)
+
+    def snap():
+        return sorted(os.path.join(r, n)
+                      for r, _d, ns in os.walk(t) for n in ns)
+    before = snap()
+    n = S.snapshot_vacuum(t, keep_last=1, force=True, dry_run=True)
+    assert n == 2                       # v1's two orphaned files
+    assert snap() == before            # NOTHING changed on disk
+    assert S.snapshot_read(spark, t, version=1).nrow == 10
+    # the real run then deletes exactly what the dry run counted
+    assert S.snapshot_vacuum(t, keep_last=1, force=True) == 2
