@@ -1948,32 +1948,37 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
         elif op == "optimize":
             part = None
         else:
-            dv_grew = {
-                f: e for f, e in cdv.items()
-                if f in pset and (f not in pdv
-                                  or e.get("sc") != pdv[f].get("sc"))}
             old_side = None
             if removed:
                 old_side = _read_files_renamed(spark, table_dir,
                                                removed, pm)
-            for f, e in dv_grew.items():
-                new_pos = set(_dv_positions(table_dir, f, e))
-                if f in pdv:
-                    new_pos -= set(_dv_positions(table_dir, f,
-                                                 pdv[f]))
-                if not new_pos:
-                    continue
-                hidden = (_read_files_renamed(
-                    spark, table_dir, [f],
-                    {**pm, "dv": {}}, with_pos=True)
-                    .filter((F.col("__fid__") == _dv_fid(f))
-                            & F.col("__pos__").isin(
-                                [int(p) for p in new_pos]))
-                    .drop("__fid__", "__pos__"))
-                old_side = hidden if old_side is None \
-                    else old_side.unionByName(hidden)
             new_side = _read_files_renamed(spark, table_dir, added,
                                            m) if added else None
+
+            def rows_at(manifest, f, positions):
+                return (_read_files_renamed(
+                    spark, table_dir, [f],
+                    {**manifest, "dv": {}}, with_pos=True)
+                    .filter((F.col("__fid__") == _dv_fid(f))
+                            & F.col("__pos__").isin(
+                                [int(p) for p in positions]))
+                    .drop("__fid__", "__pos__"))
+            # vector GROWTH hides rows (old side); vector SHRINKAGE —
+            # a restore to a pre-delete version — re-exposes rows
+            # (new side); both on files present in BOTH versions
+            for f in (set(cdv) | set(pdv)) & pset & cset:
+                old_pos = set(_dv_positions(table_dir, f, pdv[f])) \
+                    if f in pdv else set()
+                new_pos = set(_dv_positions(table_dir, f, cdv[f])) \
+                    if f in cdv else set()
+                if new_pos - old_pos:
+                    hidden = rows_at(pm, f, new_pos - old_pos)
+                    old_side = hidden if old_side is None \
+                        else old_side.unionByName(hidden)
+                if old_pos - new_pos:
+                    unhidden = rows_at(m, f, old_pos - new_pos)
+                    new_side = unhidden if new_side is None \
+                        else new_side.unionByName(unhidden)
             part = _classify_changes(
                 old_side, new_side, op,
                 (m.get("op_info") or {}).get("keys"), v,
@@ -2013,15 +2018,21 @@ def _classify_changes(old_side: DataFrame | None,
             ver.alias("_commit_version"))
     if keys and all(k in cols for k in keys):
         non_key = [c for c in cols if c not in set(keys)]
-        o = old_side.select(*[F.col(c).alias(f"__o_{c}") for c in cols])
-        n = new_side.select(*[F.col(c).alias(f"__n_{c}") for c in cols])
+        # explicit presence markers: testing the key for NULL would
+        # misread a genuinely-NULL key value as an absent row
+        o = old_side.select(*[F.col(c).alias(f"__o_{c}")
+                              for c in cols],
+                            F.lit(1).alias("__op__"))
+        n = new_side.select(*[F.col(c).alias(f"__n_{c}")
+                              for c in cols],
+                            F.lit(1).alias("__np__"))
         cond = None
         for k in keys:
             t = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
             cond = t if cond is None else (cond & t)
         j = o.join(n, on=cond, how="full_outer")
-        o_present = F.col(f"__o_{keys[0]}").isNotNull()
-        n_present = F.col(f"__n_{keys[0]}").isNotNull()
+        o_present = F.col("__op__").isNotNull()
+        n_present = F.col("__np__").isNotNull()
         same = None
         for c in non_key:
             t = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -86,6 +86,9 @@ class _DiffPartition(InputPartition):
     added: list = field(default_factory=list)
     #: [(rel_file, chain, newly_hidden_positions)]
     dv_hidden: list = field(default_factory=list)
+    #: [(rel_file, chain, unhidden_positions)] — rows a SHRUNK vector
+    #: re-exposed (a restore to a pre-delete version): new-side rows
+    dv_unhidden: list = field(default_factory=list)
     keys: list | None = None
     columns: list = field(default_factory=list)
     schema_json: str = ""
@@ -304,19 +307,26 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if op == "optimize":
                 continue          # net-zero row change (compaction +
                 # DV materialization rewrite identical live rows)
-            # rows a grown deletion vector newly hides
+            # rows a grown deletion vector newly hides, and rows a
+            # SHRUNK one re-exposes (a restore to a pre-delete
+            # version): both on files present in BOTH versions
             dv_hidden = []
-            for f, e in cdv.items():
-                if f not in pset:
-                    continue      # DV on a file this commit added
-                new_pos = set(_dv_positions(self._table_dir, f, e))
-                if f in pdv:
-                    new_pos -= set(_dv_positions(self._table_dir, f,
-                                                 pdv[f]))
-                if new_pos:
+            dv_unhidden = []
+            both = (set(cdv) | set(pdv)) & pset & cset
+            for f in both:
+                old_pos = set(_dv_positions(self._table_dir, f,
+                                            pdv[f])) if f in pdv \
+                    else set()
+                new_pos = set(_dv_positions(self._table_dir, f,
+                                            cdv[f])) if f in cdv \
+                    else set()
+                if new_pos - old_pos:
                     dv_hidden.append((f, rmap_p.get(f) or [],
-                                      sorted(new_pos)))
-            if not (added or removed or dv_hidden):
+                                      sorted(new_pos - old_pos)))
+                if old_pos - new_pos:
+                    dv_unhidden.append((f, rmap_c.get(f) or [],
+                                        sorted(old_pos - new_pos)))
+            if not (added or removed or dv_hidden or dv_unhidden):
                 continue          # metadata-only commit
             if op in ("overwrite", "restore") and not pdv \
                     and not cdv:
@@ -342,7 +352,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                                              cdv[f]))
                         if f in cdv else [])
                        for f in added],
-                dv_hidden=dv_hidden,
+                dv_hidden=dv_hidden, dv_unhidden=dv_unhidden,
                 keys=keys if keys and all(k in cols for k in keys)
                 else None,
                 columns=cols, schema_json=sjson))
@@ -380,7 +390,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         schema = StructType.fromJson(json.loads(p.schema_json))
 
-        def load(side):
+        def load(side, dv_rows):
             tables = []
             for spec in side:
                 f, chain, excl = (spec if len(spec) == 3
@@ -392,17 +402,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
                             if i not in set(excl)]
                     t = t.take(keep)
                 tables.append(t)
-            for f, chain, pos in (p.dv_hidden if side is old_specs
-                                  else []):
+            for f, chain, pos in dv_rows:
                 t = _load_norm_table(p.table_dir, f, chain,
                                      p.columns, schema)
                 tables.append(t.take(list(pos)))
             if not tables:
                 return None
             return pa.concat_tables(tables)
-        old_specs = p.removed
-        old = load(old_specs)
-        new = load(p.added)
+        old = load(p.removed, p.dv_hidden)
+        new = load(p.added, p.dv_unhidden)
 
         def canon(tbl, cols):
             if tbl is None:

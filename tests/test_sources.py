@@ -2487,3 +2487,39 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     assert S.snapshot_read(spark, t, version=1).nrow == 10
     # the real run then deletes exactly what the dry run counted
     assert S.snapshot_vacuum(t, keep_last=1, force=True) == 2
+
+
+def test_cdc_restore_unhides_dv_rows(spark, tmp_path):
+    """Self-review regression (round 10): a RESTORE to a pre-delete
+    version SHRINKS a carried file's deletion vector — the re-exposed
+    rows must stream as inserts (the file is neither added nor
+    removed, so only DV-shrinkage detection can see them)."""
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(2, "k"), t, stats_cols=["k"])
+    S.snapshot_delete(spark, t, [("k", "==", 7)])     # v2: DV grows
+    S.snapshot_restore(t, 1)                          # v3: DV shrinks
+    assert S.snapshot_read(spark, t).nrow == 100      # row is back
+    by = {}
+    for r in S.snapshot_changes(spark, t, 1).spark_df.collect():
+        by.setdefault(r._commit_version, set()).add(
+            (r._change_type, r.k, r.v))
+    assert by[2] == {("delete", 7, 14)}
+    assert by[3] == {("insert", 7, 14)}, by.get(3)   # re-exposed row
+    # the streaming feed agrees
+    from cl_data_frame_spark.streaming.snapshot_source import (
+        read_stream_snapshot)
+    q = (read_stream_snapshot(spark, t, read_change_feed=True)
+         .writeStream.format("memory").queryName("cdf_unhide")
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {(r._commit_version, r._change_type, r.k)
+               for r in spark.table("cdf_unhide").collect()
+               if r._commit_version > 1}
+    finally:
+        q.stop()
+    assert got == {(2, "delete", 7), (3, "insert", 7)}
