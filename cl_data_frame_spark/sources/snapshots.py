@@ -141,7 +141,6 @@ def _apply_delta(state: dict, d: dict) -> dict:
     snapshot_rename_column / snapshot_drop_column exactly), then
     explicit per-file overrides/deletions for anything else."""
     rm = set(d.get("remove") or [])
-    fset = set(d.get("add") or [])
     files = [f for f in state["files"] if f not in rm] \
         + list(d.get("add") or [])
     keep = set(files)
@@ -208,7 +207,6 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["txn"] = d["txn"]
     if d.get("op_info"):
         out["op_info"] = d["op_info"]   # commit-scoped, not carried
-    _ = fset
     return out
 
 
@@ -1274,7 +1272,10 @@ def _parse_partition_values(rel_file: str, schema_fields: dict) -> dict:
             if t in ("tinyint", "smallint", "int", "bigint"):
                 out[col] = _enc_stat(int(raw))
             elif t in ("float", "double"):
-                out[col] = _enc_stat(float(raw))
+                v = float(raw)
+                # NaN would poison the synthesized min==max stats
+                # into pruning files wrongly; record a no-prune entry
+                out[col] = _enc_stat(v) if v == v else None
             elif t == "date":
                 out[col] = _enc_stat(
                     datetime.date.fromisoformat(raw))
@@ -1919,6 +1920,21 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
         if to_version is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {table_dir}")
+    schemas = {tuple((f["name"], json.dumps(f["type"], sort_keys=True))
+                     for f in json.loads(
+                         _read_manifest(table_dir, v)["schema"])
+                     ["fields"])
+               for v in range(max(1, from_version), to_version + 1)}
+    if len(schemas) > 1:
+        # a rename/drop/merge-schema commit inside the range: change
+        # rows of different eras would not union — fail loudly with
+        # the remedy instead of a cryptic unionByName error (Delta's
+        # CDF draws the same line at schema changes)
+        raise ValueError(
+            "snapshot_changes: the table schema changed inside "
+            f"versions ({from_version}, {to_version}] — read the "
+            "change feed in sub-ranges that end at the schema-change "
+            "commit")
     out: DataFrame | None = None
 
     def tagged(sdf: DataFrame, ctype, v: int) -> DataFrame:

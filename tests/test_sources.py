@@ -2523,3 +2523,19 @@ def test_cdc_restore_unhides_dv_rows(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(2, "delete", 7), (3, "insert", 7)}
+
+
+def test_snapshot_changes_schema_change_fails_loudly(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(5).select(F.col("id").alias("v")), t)
+    S.snapshot_rename_column(t, "v", "w")
+    S.snapshot_write(spark.range(5, 8).select(F.col("id").alias("w")),
+                     t, mode="append")
+    with pytest.raises(ValueError, match="schema changed"):
+        S.snapshot_changes(spark, t, 0)
+    # sub-ranges on either side of the rename work
+    assert S.snapshot_changes(spark, t, 0, 1).spark_df.count() == 5
+    assert S.snapshot_changes(spark, t, 2, 3).spark_df.count() == 3
