@@ -1667,11 +1667,13 @@ def snapshot_txn_version(table_dir: str, app_id: str) -> int | None:
 
 def snapshot_read(spark: SparkSession, table_dir: str,
                   version: int | None = None,
-                  where=None) -> SparkFrame:
-    """Read a table snapshot — the latest version, or time-travel to a
-    pinned ``version=``. The scan lists EXACTLY the manifest's files,
-    so a concurrent writer (or later vacuum of newer versions) cannot
-    change what this read sees.
+                  where=None, timestamp=None) -> SparkFrame:
+    """Read a table snapshot — the latest version, time-travel to a
+    pinned ``version=``, or to ``timestamp=`` (Delta's
+    ``timestampAsOf``: the latest version committed at or before that
+    instant — epoch float, datetime, or ISO string). The scan lists
+    EXACTLY the manifest's files, so a concurrent writer (or later
+    vacuum of newer versions) cannot change what this read sees.
 
     ``where`` is a list of ``(col, op, value)`` triples (ops ``==``,
     ``<``, ``<=``, ``>``, ``>=``) ANDed together: files whose
@@ -1680,6 +1682,11 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     a 100 TB table touches only the files whose range covers the key),
     and the same predicates are applied as a row filter so the result
     is exactly the predicated snapshot regardless of stats coverage."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version= or timestamp=, not both")
+        version = snapshot_version_at(table_dir, timestamp)
     if version is None:
         version = _latest_version(table_dir)
         if version is None:
@@ -2102,12 +2109,40 @@ def _classify_changes(old_side: DataFrame | None,
 
 def snapshot_history(table_dir: str) -> list[dict]:
     """Version log, oldest first: (version, parent, operation,
-    n_files) — metadata only, no data scan."""
+    n_files, timestamp) — metadata only, no data scan. The timestamp
+    is the commit file's mtime (the atomic link instant), the same
+    clock ``timestamp=`` time travel resolves against."""
     return [{"version": v,
              "parent": (m := _read_manifest(table_dir, v))["parent"],
              "operation": m["operation"],
-             "n_files": len(m["files"])}
+             "n_files": len(m["files"]),
+             "timestamp": os.path.getmtime(
+                 _manifest_path(table_dir, v))}
             for v in _versions(table_dir)]
+
+
+def snapshot_version_at(table_dir: str, timestamp) -> int:
+    """Delta's ``timestampAsOf``: the latest version committed AT OR
+    BEFORE *timestamp* (a unix epoch float, a ``datetime``, or an ISO
+    string; naive datetimes read in the driver's OS zone, like
+    predicate localization). Commit instants are the manifest files'
+    mtimes — set atomically by the publish link. Raises if the table's
+    first commit is later than the timestamp."""
+    if isinstance(timestamp, str):
+        timestamp = datetime.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        timestamp = timestamp.timestamp()
+    ts = float(timestamp)
+    best = None
+    for v in _versions(table_dir):
+        if os.path.getmtime(_manifest_path(table_dir, v)) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version in {table_dir} committed at or before "
+            f"{timestamp} (the table's history starts later, or it "
+            f"was vacuumed past that point)")
+    return best
 
 
 def snapshot_vacuum(table_dir: str, keep_last: int = 1,

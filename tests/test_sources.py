@@ -2539,3 +2539,39 @@ def test_snapshot_changes_schema_change_fails_loudly(spark, tmp_path):
     # sub-ranges on either side of the rename work
     assert S.snapshot_changes(spark, t, 0, 1).spark_df.count() == 5
     assert S.snapshot_changes(spark, t, 2, 3).spark_df.count() == 3
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """Round 10: Delta's timestampAsOf — resolve a version by commit
+    instant (manifest mtime, set atomically by the publish link)."""
+    import datetime
+    import os
+    import time
+    import pytest
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(3).select(F.col("id").alias("v")), t)
+    t1 = os.path.getmtime(S._manifest_path(t, 1))
+    time.sleep(0.05)
+    S.snapshot_write(spark.range(3, 7).select(F.col("id").alias("v")),
+                     t, mode="append")
+    t2 = os.path.getmtime(S._manifest_path(t, 2))
+    assert S.snapshot_version_at(t, t1) == 1
+    assert S.snapshot_version_at(t, (t1 + t2) / 2) == 1
+    assert S.snapshot_version_at(t, t2) == 2
+    assert S.snapshot_read(spark, t, timestamp=t1).nrow == 3
+    assert S.snapshot_read(spark, t, timestamp=time.time()).nrow == 7
+    # datetime and ISO-string forms resolve too
+    dt = datetime.datetime.fromtimestamp(t1)
+    assert S.snapshot_read(spark, t, timestamp=dt).nrow == 3
+    assert S.snapshot_read(spark, t,
+                           timestamp=dt.isoformat()).nrow == 3
+    with pytest.raises(ValueError, match="history starts later"):
+        S.snapshot_version_at(t, t1 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        S.snapshot_read(spark, t, version=1, timestamp=t1)
+    # history now carries the commit instants
+    hist = S.snapshot_history(t)
+    assert [h["timestamp"] for h in hist] == sorted(
+        h["timestamp"] for h in hist)
