@@ -539,7 +539,8 @@ def register_snapshot_source(spark: SparkSession) -> None:
 def read_stream_snapshot(spark: SparkSession, table_dir: str,
                          ignore_changes: bool = False,
                          starting_version: int | None = None,
-                         read_change_feed: bool = False):
+                         read_change_feed: bool = False,
+                         starting_timestamp=None):
     """Convenience wrapper: register the source and open the stream.
 
     ``read_change_feed=True`` streams Delta-CDF-style change rows
@@ -549,7 +550,24 @@ def read_stream_snapshot(spark: SparkSession, table_dir: str,
     streams exactly its insert/update delta (classified by the commit's
     recorded merge keys), a DELETE its deleted rows (deletion-vector
     commits read just the newly-hidden positions), an OPTIMIZE nothing
-    (net-zero), an overwrite delete+insert of the replaced rows."""
+    (net-zero), an overwrite delete+insert of the replaced rows.
+
+    ``starting_timestamp`` (Delta's ``startingTimestamp``): stream
+    versions committed strictly AFTER the last version at or before
+    that instant — i.e. everything newer than the timestamp's
+    snapshot. Mutually exclusive with ``starting_version``."""
+    if starting_timestamp is not None:
+        if starting_version is not None:
+            raise ValueError("pass starting_version or "
+                             "starting_timestamp, not both")
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_version_at)
+        try:
+            starting_version = snapshot_version_at(
+                table_dir, starting_timestamp) + 1
+        except ValueError:
+            starting_version = 0       # older than all history:
+            # stream from the first commit (Delta's behavior)
     register_snapshot_source(spark)
     reader = (spark.readStream.format(FORMAT_NAME)
               .option("path", table_dir)

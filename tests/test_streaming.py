@@ -1062,3 +1062,37 @@ def test_stream_sink_partition_tuples_prune(spark, tmp_path):
     fr = snapshot_read(spark, t, where=[("g", "==", 1)])
     assert fr.nrow == 30
     assert snapshot_read(spark, t).nrow == 90
+
+
+def test_starting_timestamp_skips_history(spark, tmp_path):
+    """Round 10: Delta's startingTimestamp — stream only versions
+    committed after the timestamp's snapshot."""
+    import os
+    import time
+    from pyspark.sql import functions as F
+    from cl_data_frame_spark.sources import snapshots as S
+    from cl_data_frame_spark.streaming.snapshot_source import (
+        read_stream_snapshot)
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(3).select(F.col("id").alias("v")), t)
+    t1 = os.path.getmtime(S._manifest_path(t, 1))
+    time.sleep(0.05)
+    S.snapshot_write(spark.range(3, 6).select(F.col("id").alias("v")),
+                     t, mode="append")
+    q = (read_stream_snapshot(spark, t, starting_timestamp=t1)
+         .writeStream.format("memory").queryName("ts_start").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r.v for r in spark.table("ts_start").collect())
+    finally:
+        q.stop()
+    assert got == [3, 4, 5]        # v1 (at the timestamp) skipped
+    # a timestamp older than all history streams from the beginning
+    q2 = (read_stream_snapshot(spark, t, starting_timestamp=t1 - 100)
+          .writeStream.format("memory").queryName("ts_all").start())
+    try:
+        q2.processAllAvailable()
+        got = sorted(r.v for r in spark.table("ts_all").collect())
+    finally:
+        q2.stop()
+    assert got == [0, 1, 2, 3, 4, 5]
