@@ -67,7 +67,10 @@ def ann_index_build(spark: SparkSession, index_dir: str, frame,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> int:
     """Train the cell model on *frame* and seed the index with its
-    vectors; returns the vectors table's first version."""
+    vectors; returns the vectors table's first version. REBUILDING
+    over an existing index OVERWRITES the vectors table too — old
+    vectors carried centroid_ids from the replaced model and would
+    silently route queries to wrong cells if left appended."""
     from cl_data_frame_spark.sources.snapshots import snapshot_write
     cdir, _ = _dirs(index_dir)
     cents, _assign = kmeans_fit(frame, k=k, max_iter=max_iter,
@@ -77,18 +80,22 @@ def ann_index_build(spark: SparkSession, index_dir: str, frame,
         "centroid_id bigint, vector array<double>")
     snapshot_write(cdf, cdir, mode="overwrite", num_files=1)
     return ann_index_update(spark, index_dir, frame,
-                            id_col=id_col, vec_col=vec_col)
+                            id_col=id_col, vec_col=vec_col,
+                            _mode="overwrite")
 
 
 def ann_index_update(spark: SparkSession, index_dir: str, batch,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     txn: tuple[str, int] | None = None) -> int:
+                     txn: tuple[str, int] | None = None,
+                     _mode: str = "append") -> int:
     """Route one ingest batch to the stored cells and append it,
     partitioned by cell. Per-batch cost: one broadcast routing pass
     over the BATCH — never a rescan of the index. Replayed
     transactions (``txn`` at or below the stored watermark) are
-    swallowed, returning -1."""
+    swallowed, returning -1. (``_mode='overwrite'`` is the
+    build/recluster seed path: it replaces any stale vectors routed
+    under a previous model.)"""
     from cl_data_frame_spark.sources.snapshots import (
         snapshot_txn_version, snapshot_write)
     _, vdir = _dirs(index_dir)
@@ -103,26 +110,71 @@ def ann_index_update(spark: SparkSession, index_dir: str, batch,
             .join(assign.select(id_col, "centroid_id"), on=id_col))
     # id stats let ann_index_delete prune to the files actually
     # holding a vector (the GDPR point-delete path)
-    return snapshot_write(rows, vdir, mode="append",
+    return snapshot_write(rows, vdir, mode=_mode,
                           partition_by=["centroid_id"],
                           stats_cols=[id_col], txn=txn)
 
 
 def ann_index_delete(spark: SparkSession, index_dir: str, ids,
                      id_col: str = "vec_id") -> int:
-    """Remove vectors by id (the GDPR/right-to-be-forgotten path):
-    one deletion-vector point delete per id — manifest id stats prune
-    to the files that can hold it, and the matched position lands in a
-    DV sidecar instead of a file rewrite, so forgetting k vectors in a
-    100 TB index writes bytes proportional to k. Returns the final
-    version."""
+    """Remove vectors by id (the GDPR/right-to-be-forgotten path) in
+    ONE deletion-vector commit: an ``(id, in, ids)`` predicate prunes
+    via manifest id stats to the files that can hold any of the ids,
+    and every matched position lands in DV sidecars under a single
+    manifest publish — forgetting k vectors in a 100 TB index writes
+    bytes proportional to k, with ONE Spark job and ONE version bump
+    (the old per-id loop issued k sequential commits). Returns the
+    new version."""
     from cl_data_frame_spark.sources.snapshots import snapshot_delete
     _, vdir = _dirs(index_dir)
-    v = None
-    for i in ids:
-        v = snapshot_delete(spark, vdir, [(id_col, "==", int(i))])
-    if v is None:
+    ids = [int(i) for i in ids]
+    if not ids:
         raise ValueError("ann_index_delete: empty id list")
+    return snapshot_delete(spark, vdir, [(id_col, "in", ids)])
+
+
+def ann_index_recluster(spark: SparkSession, index_dir: str,
+                        k: int | None = None, max_iter: int = 3,
+                        train_frame=None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> int:
+    """Retrain the cell model and re-route EVERY stored vector — the
+    index-maintenance op for centroid drift: ``ann_index_build``
+    trains once, and as the corpus grows past the training
+    distribution the stale cells mix neighborhoods, so a query's
+    probed cells hold an ever-thinner slice of its true neighbors
+    (recall decays). Recluster = one k-means over the CURRENT corpus
+    (or *train_frame*, e.g. a sample or a hand-picked seed set — the
+    standard IVF retraining lever), one OPTIMIZE-style overwrite of
+    the vectors table re-routed and re-partitioned by the new cells,
+    one overwrite of the centroids table. Readers pinned to older
+    versions keep the old routing (snapshot semantics); update/query
+    work unchanged against the new model. Returns the vectors
+    table's new version."""
+    from cl_data_frame_spark.sources.snapshots import (snapshot_read,
+                                                       snapshot_write)
+    cdir, vdir = _dirs(index_dir)
+    cur = snapshot_read(spark, vdir).spark_df.select(id_col, vec_col)
+    if k is None:
+        k = len(load_centroids(spark, index_dir))
+    train = _plain(train_frame) if train_frame is not None else cur
+    cents, _assign = kmeans_fit(train, k=k, max_iter=max_iter,
+                                id_col=id_col, vec_col=vec_col)
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "centroid_id bigint, vector array<double>")
+    assign = _route(cur, cents, id_col, vec_col).spark_df
+    rows = cur.join(assign.select(id_col, "centroid_id"), on=id_col)
+    # two commits, one per table — snapshot isolation is PER TABLE,
+    # so a query racing the recluster can pair one table's new
+    # version with the other's old (approximate results from
+    # mismatched cells for that instant). Run recluster from the
+    # maintenance path, like OPTIMIZE; queries before and after are
+    # exact-per-model.
+    v = snapshot_write(rows, vdir, mode="overwrite",
+                       partition_by=["centroid_id"],
+                       stats_cols=[id_col])
+    snapshot_write(cdf, cdir, mode="overwrite", num_files=1)
     return v
 
 
@@ -148,12 +200,13 @@ def ann_index_query(spark: SparkSession, index_dir: str, query_vec,
 
     probed = [cid for cid, _ in sorted(
         cents, key=lambda cv: (-_cos_to_q(cv[1]), cv[0]))[:nprobe]]
-    part = None
-    for cid in probed:
-        cell = snapshot_read(spark, vdir,
-                             where=[("centroid_id", "==", int(cid))]
-                             ).spark_df
-        part = cell if part is None else part.unionByName(cell)
+    # ONE pruned read over all probed cells: the in-list prunes on
+    # the partition tuples (metadata-exact min==max), so the scan
+    # lists exactly the probed cells' files — no per-cell read loop
+    part = snapshot_read(
+        spark, vdir,
+        where=[("centroid_id", "in", [int(c) for c in probed])]
+    ).spark_df
     v = F.col(vec_col).cast("array<double>")
     dot = F.aggregate(F.zip_with(v, _lit_vec(q), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)

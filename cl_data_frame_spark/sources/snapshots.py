@@ -68,6 +68,9 @@ from cl_data_frame_spark.frame import SparkFrame
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+#: materialized change-data files (Delta's _change_data): one dir per
+#: DML commit, referenced from that commit's manifest "cdc" key
+_CDC_DIR = "_change_data"
 _SIDECAR_DIR = "sidecars"
 _LATEST_HINT = "_latest"
 _CKPT_HINT = "_last_ckpt"
@@ -89,6 +92,11 @@ def _manifest_path(table_dir: str, version: int) -> str:
 
 def _ckpt_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:08d}.ckpt")
+
+
+def _ckpt_pq_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR,
+                        f"v{version:08d}.ckpt.parquet")
 
 
 def _versions(table_dir: str) -> list[int]:
@@ -207,6 +215,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["txn"] = d["txn"]
     if d.get("op_info"):
         out["op_info"] = d["op_info"]   # commit-scoped, not carried
+    if d.get("cdc"):
+        out["cdc"] = d["cdc"]           # commit-scoped, not carried
     return out
 
 
@@ -217,7 +227,7 @@ def _norm_state(m: dict) -> str:
            "operation": m.get("operation"), "schema": m["schema"],
            "files": list(m["files"])}
     for k in ("stats", "bloom", "renamed_files", "dv", "partitions",
-              "constraints", "txn", "op_info"):
+              "constraints", "txn", "op_info", "cdc"):
         if m.get(k):
             out[k] = m[k]
     return json.dumps(out, sort_keys=True)
@@ -249,6 +259,8 @@ def _make_delta(parent: dict, full: dict,
         d["txn"] = full["txn"]
     if full.get("op_info"):
         d["op_info"] = full["op_info"]
+    if full.get("cdc"):
+        d["cdc"] = full["cdc"]
     # project the carried-state candidate, then record residual
     # per-file differences explicitly
     cand = _apply_delta(parent, d)
@@ -272,6 +284,45 @@ def _make_delta(parent: dict, full: dict,
     return d
 
 
+#: table-level state keys carried in the parquet checkpoint's
+#: key-value footer metadata (per-file maps become columns)
+_CKPT_META_KEYS = ("version", "parent", "operation", "schema",
+                   "constraints", "txn", "op_info", "cdc")
+#: per-file state maps and their checkpoint column names
+_CKPT_FILE_COLS = (("stats", "stats"), ("bloom", "bloom"),
+                   ("renamed_files", "chain"), ("dv", "dv"),
+                   ("partitions", "part"))
+
+
+def _read_ckpt_parquet(path: str) -> dict:
+    """Decode a parquet checkpoint back to the full state dict (the
+    ``_read_manifest`` contract). One row per file; per-file maps are
+    JSON string columns, table-level fields live in the footer
+    key-value metadata — so Spark/pyarrow can also scan the file list
+    WITHOUT materializing this dict (``_streamed_scan_files``)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(path)
+    meta = t.schema.metadata or {}
+    state: dict = {}
+    for k in _CKPT_META_KEYS:
+        raw = meta.get(f"cdf.{k}".encode())
+        if raw is not None:
+            v = json.loads(raw)
+            if v is not None:
+                state[k] = v
+    files = t.column("file").to_pylist()
+    state["files"] = files
+    for key, col in _CKPT_FILE_COLS:
+        if col not in t.column_names:
+            continue
+        vals = t.column(col).to_pylist()
+        d = {f: json.loads(s) for f, s in zip(files, vals)
+             if s is not None}
+        if d:
+            state[key] = d
+    return state
+
+
 def _read_manifest(table_dir: str, version: int) -> dict:
     import copy
     tdir = os.path.abspath(table_dir)
@@ -282,6 +333,13 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         if cached is not None:
             state = copy.deepcopy(cached)
             break
+        try:
+            state = _read_ckpt_parquet(_ckpt_pq_path(table_dir, v))
+            break
+        except (OSError, ValueError, KeyError):
+            pass   # absent / unreadable ckpt: ArrowInvalid is a
+            # ValueError, Arrow IO errors are OSError — fall through
+            # to the JSON ckpt, then the delta chain (always correct)
         try:
             with open(_ckpt_path(table_dir, v)) as f:
                 state = json.load(f)
@@ -391,14 +449,36 @@ def _publish(table_dir: str, manifest: dict) -> None:
 
 
 def _write_checkpoint(table_dir: str, state: dict) -> None:
-    """Full-state checkpoint for *state*'s version: idempotent content
-    (deterministic replay of the log), so last-writer-wins os.replace
-    is safe under racing writers."""
-    cp = _ckpt_path(table_dir, state["version"])
+    """Full-state checkpoint for *state*'s version as PARQUET (the
+    public Delta protocol writes parquet checkpoints for the same
+    reason): one row per file with the per-file maps as JSON-string
+    columns and the table-level fields in the footer key-value
+    metadata. Against the old single-JSON-blob checkpoint this is (a)
+    columnar + zstd on highly repetitive paths/stats, and (b)
+    SCANNABLE — a predicated file listing streams record batches
+    (``_streamed_scan_files``) instead of materializing the O(#files)
+    state dict in driver memory, and a real cluster could hand the
+    same file to distributed Spark. Idempotent content (deterministic
+    replay of the log), so last-writer-wins os.replace is safe under
+    racing writers. Pre-existing ``.ckpt`` JSON checkpoints stay
+    readable forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    files = list(state["files"])
+    cols: dict = {"file": pa.array(files, pa.string())}
+    for key, col in _CKPT_FILE_COLS:
+        src = state.get(key) or {}
+        cols[col] = pa.array(
+            [json.dumps(src[f], sort_keys=True) if f in src else None
+             for f in files], pa.string())
+    meta = {f"cdf.{k}".encode(): json.dumps(state.get(k)).encode()
+            for k in _CKPT_META_KEYS}
+    tbl = pa.table(cols).replace_schema_metadata(meta)
+    cp = _ckpt_pq_path(table_dir, state["version"])
+    os.makedirs(os.path.dirname(cp), exist_ok=True)
     tmp = cp + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump({k: v for k, v in state.items()
-                   if k != "__delta_ops__"}, f, sort_keys=True)
+    pq.write_table(tbl, tmp, compression="zstd",
+                   row_group_size=65536)
     os.replace(tmp, cp)
     hdir = os.path.join(table_dir, _MANIFEST_DIR)
     htmp = os.path.join(hdir, f".ckpt.tmp-{uuid.uuid4().hex}")
@@ -485,19 +565,36 @@ def _coerce_pred(bound, value):
     return value
 
 
-_PRUNE_OPS = {"==", "=", "<", "<=", ">", ">="}
+_PRUNE_OPS = {"==", "=", "<", "<=", ">", ">=", "in"}
 
 
 def _file_may_match(stats: dict, predicates) -> bool:
     """Conservative range check: False ONLY when the file's [min, max]
     for some predicate column provably excludes every matching row.
     Columns without stats never prune. NULL rows never satisfy a
-    comparison predicate, so null_count is irrelevant to soundness."""
+    comparison predicate, so null_count is irrelevant to soundness.
+
+    ``("col", "in", [v1, v2, ...])`` is the OR-of-equalities
+    disjunct: the file survives if ANY listed value falls inside its
+    range (an empty list matches no row, so every file prunes) —
+    Delta/Iceberg's IN-list data skipping, and the op that lets
+    ``ann_index_query`` read all probed cells in one scan and
+    ``ann_index_delete`` forget k ids in one commit."""
     for col, op, val in predicates:
         st = stats.get(col)
         if not st or st.get("min") is None or st.get("max") is None:
+            if op == "in" and not list(val):
+                return False   # IN () matches no row, stats or not
             continue
         mn, mx = _dec_stat(st["min"]), _dec_stat(st["max"])
+        if op == "in":
+            vals = [_coerce_pred(mn, x) for x in val]
+            try:
+                if not any(mn <= x <= mx for x in vals):
+                    return False
+            except TypeError:
+                continue  # incomparable types: keep the file (sound)
+            continue
         v = _coerce_pred(mn, val)
         try:
             if op in ("==", "="):
@@ -518,6 +615,28 @@ def _file_may_match(stats: dict, predicates) -> bool:
         except TypeError:
             continue  # incomparable types: keep the file (sound)
     return True
+
+
+def _pred_column(col: str, op: str, val):
+    """The Spark row-filter Column for one ``(col, op, value)`` prune
+    triple — the row-level twin of ``_file_may_match``, so the scan's
+    result is exactly the predicated snapshot whatever the stats
+    coverage. ``in`` over an empty list matches no row."""
+    c = F.col(col)
+    if op in ("==", "="):
+        return c == val
+    if op == "<":
+        return c < val
+    if op == "<=":
+        return c <= val
+    if op == ">":
+        return c > val
+    if op == ">=":
+        return c >= val
+    if op == "in":
+        vals = list(val)
+        return c.isin(vals) if vals else F.lit(False)
+    raise ValueError(f"unsupported predicate op {op!r}")
 
 
 def _collect_file_stats(table_dir: str, rel_files: list[str],
@@ -666,6 +785,33 @@ def _bloom_file_may_match(col_blooms: dict, eq_preds,
         if canonical is None:
             continue
         if not _bloom_may_contain(e, canonical, table_dir):
+            return False
+    return True
+
+
+def _bloom_preds_may_match(col_blooms: dict, preds,
+                           table_dir: str | None = None) -> bool:
+    """Bloom pruning over full predicate triples: an ``==`` prunes
+    when the filter proves the key absent; an ``in`` list prunes only
+    when EVERY listed value is provably absent (a value without a
+    canonical form admits the file — sound, no pruning)."""
+    eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
+    if eq and not _bloom_file_may_match(col_blooms, eq, table_dir):
+        return False
+    for col, op, vals in preds:
+        if op != "in":
+            continue
+        e = col_blooms.get(col)
+        if not e:
+            continue
+        admit = False
+        for v in vals:
+            canonical = _bloom_canonical(v, e.get("t", ""))
+            if canonical is None or _bloom_may_contain(
+                    e, canonical, table_dir):
+                admit = True
+                break
+        if not admit and list(vals):
             return False
     return True
 
@@ -1236,6 +1382,19 @@ class _micros_timestamps:
             self._spark.conf.set(self._KEY, self._prev)
 
 
+def _prune_stats(stats: dict | None, pt: dict | None) -> dict:
+    """Effective stats for pruning from ONE file's entries: footer
+    min/max merged with its partition tuple's synthesized exact
+    min==max stats (the per-row twin of ``_stats_for_prune``, shared
+    with the streamed checkpoint scan)."""
+    stats = stats or {}
+    if not pt:
+        return stats
+    synth = {c: {"min": v, "max": v, "null_count": 0}
+             for c, v in pt.items() if v is not None}
+    return {**stats, **synth}
+
+
 def _stats_for_prune(m: dict, f: str) -> dict:
     """Effective per-file stats for pruning: footer min/max merged
     with the file's PARTITION TUPLE (Iceberg's partition values),
@@ -1243,13 +1402,8 @@ def _stats_for_prune(m: dict, f: str) -> dict:
     the most common prune (date= on a date-partitioned table) becomes
     metadata-exact instead of stats-dependent, and composes with
     footer stats and blooms through the same _file_may_match gate."""
-    stats = (m.get("stats") or {}).get(f) or {}
-    pt = (m.get("partitions") or {}).get(f)
-    if not pt:
-        return stats
-    synth = {c: {"min": v, "max": v, "null_count": 0}
-             for c, v in pt.items() if v is not None}
-    return {**stats, **synth}
+    return _prune_stats((m.get("stats") or {}).get(f),
+                        (m.get("partitions") or {}).get(f))
 
 
 def _parse_partition_values(rel_file: str, schema_fields: dict) -> dict:
@@ -1327,11 +1481,165 @@ def _write_partitioned(sdf: DataFrame, table_dir: str, out_dir: str,
                        for f in new_files}
 
 
+def _streamed_scan_files(table_dir: str, version: int,
+                         where) -> tuple[list, dict] | None:
+    """Predicated file listing that never materializes the O(#files)
+    state dict: stream the nearest PARQUET checkpoint's record
+    batches (bounded by one 64k-row batch at a time), prune each row
+    against stats + partition tuple + bloom, and overlay the O(delta)
+    commits since. Returns ``(files, slim_manifest)`` where the slim
+    manifest carries the schema and ONLY the survivors' chains / DVs
+    / partition tuples — exactly what ``_read_files_renamed`` needs —
+    so a point lookup on a million-file table allocates proportional
+    to the batch size + the matches, not the manifest.
+
+    Returns None (callers fall back to the exact
+    ``_read_manifest``-based prune) when the version's state is
+    already cached, when no parquet checkpoint serves it, or when a
+    metadata op (``op_rename``/``op_drop``, which rewrites every
+    row's stats keys) sits in the delta chain."""
+    import pyarrow.parquet as pq
+    if (os.path.abspath(table_dir), version) in _STATE_CACHE:
+        return None
+    deltas: list[dict] = []
+    v = version
+    while True:
+        pqp = _ckpt_pq_path(table_dir, v)
+        if os.path.exists(pqp):
+            break
+        try:
+            with open(_manifest_path(table_dir, v)) as f:
+                raw = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if not raw.get("delta") or raw.get("op_rename") \
+                or raw.get("op_drop"):
+            return None
+        deltas.append(raw)
+        v = raw["parent"]
+    deltas.reverse()
+    # sequential overlay: per-file status (False = dead) and per-key
+    # value overrides, exactly mirroring _apply_delta's replay — a
+    # remove tombstones the carried values, a later add may re-set
+    status: dict[str, bool] = {}
+    added_order: list[str] = []
+    over: dict[str, dict] = {key: {} for key, _c in _CKPT_FILE_COLS}
+    for d in deltas:
+        for f in d.get("remove") or []:
+            status[f] = False
+            for key, _c in _CKPT_FILE_COLS:
+                over[key][f] = None
+        for f in d.get("add") or []:
+            status[f] = True
+            added_order.append(f)
+        for key, add_k, del_k in (
+                ("stats", "stats_add", "stats_del"),
+                ("bloom", "bloom_add", "bloom_del"),
+                ("dv", "dv_add", "dv_del"),
+                ("partitions", "parts_add", "parts_del"),
+                ("renamed_files", "renames_add", "renames_del")):
+            for f in d.get(del_k) or []:
+                over[key][f] = None
+            for f, val in (d.get(add_k) or {}).items():
+                over[key][f] = val
+    last = deltas[-1] if deltas else None
+    meta_src = last if last is not None \
+        else _read_ckpt_parquet(_ckpt_pq_path(table_dir, v))
+    eq_or_in = any(op in ("==", "=", "in") for _c, op, _v in where)
+
+    def keep(f, stats_entry, bloom_entry, pt_entry):
+        st = over["stats"].get(f, stats_entry)
+        pt = over["partitions"].get(f, pt_entry)
+        if not _file_may_match(_prune_stats(st, pt), where):
+            return False
+        if eq_or_in:
+            bl = over["bloom"].get(f, bloom_entry)
+            if bl and not _bloom_preds_may_match(bl, where,
+                                                 table_dir):
+                return False
+        return True
+
+    survivors: list[str] = []
+    chains: dict = {}
+    dvs: dict = {}
+    parts_: dict = {}
+    stats_out: dict = {}
+
+    def admit(f, stats_entry, chain_entry, dv_entry, pt_entry):
+        survivors.append(f)
+        st = over["stats"].get(f, stats_entry)
+        ch = over["renamed_files"].get(f, chain_entry)
+        dv = over["dv"].get(f, dv_entry)
+        pt = over["partitions"].get(f, pt_entry)
+        if st:
+            stats_out[f] = st
+        if ch:
+            chains[f] = ch
+        if dv:
+            dvs[f] = dv
+        if pt:
+            parts_[f] = pt
+    pf = pq.ParquetFile(_ckpt_pq_path(table_dir, v))
+    want = ["file"] + [c for _k, c in _CKPT_FILE_COLS]
+    have = [c for c in want
+            if c in pf.schema_arrow.names]
+    added_set = set(added_order)
+    in_ckpt_added: set = set()
+    for batch in pf.iter_batches(columns=have):
+        cols = {c: batch.column(c).to_pylist() if c in have
+                else [None] * batch.num_rows for c in want}
+        for i, f in enumerate(cols["file"]):
+            if f in added_set:
+                in_ckpt_added.add(f)   # re-added ckpt file: this
+                # row is its authority, skip it in the adds pass
+            if not status.get(f, True):
+                continue
+            se = cols["stats"][i]
+            be = cols["bloom"][i]
+            ce = cols["chain"][i]
+            de = cols["dv"][i]
+            pe = cols["part"][i]
+            se = json.loads(se) if se is not None else None
+            be = json.loads(be) if be is not None else None
+            if not keep(f, se, be, pe and json.loads(pe)):
+                continue
+            admit(f, se,
+                  json.loads(ce) if ce is not None else None,
+                  json.loads(de) if de is not None else None,
+                  json.loads(pe) if pe is not None else None)
+    done: set = set()
+    for f in added_order:
+        if not status.get(f, True) or f in in_ckpt_added \
+                or f in done:
+            continue   # dead, ckpt-authoritative, or added twice
+        done.add(f)    # (add+remove+re-add across deltas)
+        if keep(f, None, None, None):
+            admit(f, None, None, None, None)
+    slim = {"version": version,
+            "parent": meta_src.get("parent"),
+            "operation": meta_src.get("operation"),
+            "schema": meta_src["schema"],
+            "files": survivors}
+    if stats_out:
+        slim["stats"] = stats_out
+    if chains:
+        slim["renamed_files"] = chains
+    if dvs:
+        slim["dv"] = dvs
+    if parts_:
+        slim["partitions"] = parts_
+    for k in ("constraints", "txn"):
+        if meta_src.get(k):
+            slim[k] = meta_src[k]
+    return survivors, slim
+
+
 def snapshot_scan_files(table_dir: str, version: int | None = None,
                         where=None) -> list[str]:
     """The file list a ``snapshot_read`` with the same arguments will
     hand Spark — *where* (list of ``(col, op, value)`` triples, ops
-    ``== < <= > >=``) prunes via the manifest's per-file min/max stats.
+    ``== < <= > >= in``) prunes via the manifest's per-file min/max
+    stats (``in`` takes a value list — the OR-of-equalities disjunct).
     Exposed so tests and capacity planning can assert skip
     effectiveness without running the scan. Naive datetime predicate
     values are localized in the driver's OS zone (see
@@ -1341,23 +1649,37 @@ def snapshot_scan_files(table_dir: str, version: int | None = None,
         if version is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {table_dir}")
-    m = _read_manifest(table_dir, version)
-    files = m["files"]
+    return _scan_with_state(table_dir, version, where)[0]
+
+
+def _scan_with_state(table_dir: str, version: int,
+                     where) -> tuple[list, dict]:
+    """``(pruned file list, manifest-like state)`` for one version —
+    the shared core of ``snapshot_scan_files`` and ``snapshot_read``.
+    With a predicate and a parquet checkpoint available, the listing
+    STREAMS the checkpoint (``_streamed_scan_files``: driver
+    allocation bounded by batch + matches, and the returned state is
+    SLIM — survivors only); otherwise the exact
+    ``_read_manifest``-based prune runs, returning the full state."""
     if where:
         for col, op, _v in where:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
+        streamed = _streamed_scan_files(table_dir, version, where)
+        if streamed is not None:
+            return streamed
+    m = _read_manifest(table_dir, version)
+    files = m["files"]
+    if where:
         files = [f for f in files
                  if _file_may_match(_stats_for_prune(m, f), where)]
         blooms = m.get("bloom") or {}
-        if blooms:
-            eq = [(col, v) for col, op, v in where
-                  if op in ("==", "=")]
-            if eq:
-                files = [f for f in files
-                         if _bloom_file_may_match(blooms.get(f) or {},
-                                                  eq, table_dir)]
-    return files
+        if blooms and any(op in ("==", "=", "in")
+                          for _c, op, _v in where):
+            files = [f for f in files
+                     if _bloom_preds_may_match(blooms.get(f) or {},
+                                               where, table_dir)]
+    return files, m
 
 
 def snapshot_write(frame, table_dir: str, mode: str = "append",
@@ -1559,7 +1881,9 @@ def _try_rebase_publish(table_dir: str, base_version: int,
                         schema_json: str, keys=None, preds=None,
                         max_attempts: int = 5,
                         dv_add: dict | None = None,
-                        parts_add: dict | None = None) -> int | None:
+                        parts_add: dict | None = None,
+                        cdc: dict | None = None,
+                        op_info: dict | None = None) -> int | None:
     """After losing the publish race: if every interleaved winner was
     a pure APPEND on top of our base version (all base files still
     live, same schema) whose ADDED files provably don't overlap our
@@ -1643,6 +1967,14 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["constraints"] = lm["constraints"]
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]
+        if op_info is not None:
+            manifest["op_info"] = op_info
+        if cdc is not None:
+            # the materialized change rows are commit-content: under
+            # a commutable-append rebase the diff vs the new parent
+            # is IDENTICAL (interleaved appended files sit on both
+            # sides and cancel), so the already-written files carry
+            manifest["cdc"] = cdc
         try:
             _publish(table_dir, manifest)
             return latest + 1
@@ -1676,7 +2008,8 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     vacuum of newer versions) cannot change what this read sees.
 
     ``where`` is a list of ``(col, op, value)`` triples (ops ``==``,
-    ``<``, ``<=``, ``>``, ``>=``) ANDed together: files whose
+    ``<``, ``<=``, ``>``, ``>=``, and ``in`` over a value list — the
+    OR-of-equalities disjunct) ANDed together: files whose
     manifest min/max stats provably exclude every matching row are
     SKIPPED before Spark lists them (data skipping — a point lookup on
     a 100 TB table touches only the files whose range covers the key),
@@ -1696,22 +2029,14 @@ def snapshot_read(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(
             f"version {version} not in {table_dir} "
             f"(available: {_versions(table_dir)})")
-    files = snapshot_scan_files(table_dir, version, where=where)
+    files, state = _scan_with_state(table_dir, version, where)
     if not files:  # every file pruned: empty frame with the schema
         from pyspark.sql.types import StructType
-        schema = StructType.fromJson(
-            json.loads(_read_manifest(table_dir, version)["schema"]))
+        schema = StructType.fromJson(json.loads(state["schema"]))
         return SparkFrame(spark.createDataFrame([], schema))
-    sdf = _read_files_renamed(spark, table_dir, files,
-                              _read_manifest(table_dir, version))
+    sdf = _read_files_renamed(spark, table_dir, files, state)
     for col, op, val in (where or []):
-        c = F.col(col)
-        sdf = sdf.filter(
-            c == val if op in ("==", "=") else
-            c < val if op == "<" else
-            c <= val if op == "<=" else
-            c > val if op == ">" else
-            c >= val)
+        sdf = sdf.filter(_pred_column(col, op, val))
     return SparkFrame(sdf)
 
 
@@ -1776,12 +2101,12 @@ def _optimize_once(spark: SparkSession, table_dir: str,
                     f"unsupported optimize predicate op {op!r}")
         stats = m.get("stats") or {}
         blooms = m.get("bloom") or {}
-        eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
         dvm = m.get("dv") or {}
         selected = [f for f in selected
                     if (_file_may_match(_stats_for_prune(m, f), preds)
-                        and _bloom_file_may_match(blooms.get(f) or {},
-                                                  eq, table_dir))
+                        and _bloom_preds_may_match(blooms.get(f)
+                                                   or {}, preds,
+                                                   table_dir))
                     or f in dvm]   # DV'd files always compact: an
         # OPTIMIZE (even a predicated one) materializes merge-on-read
         # debt away — Delta's PURGE semantics
@@ -1898,124 +2223,232 @@ def snapshot_diff(spark: SparkSession, table_dir: str,
     return table_diff(old, new, key_cols, compare_cols=compare_cols)
 
 
+def _version_change_rows(spark: SparkSession, table_dir: str,
+                         m: dict, pm: dict | None
+                         ) -> DataFrame | None:
+    """One version's row-level change set, RECOMPUTED from its
+    manifest diff against the parent (the pre-materialization rules,
+    kept as (a) the commit-time producer of the ``_change_data``
+    files and (b) the read fallback for commits that predate
+    materialization). Returns a DataFrame with ``_change_type`` and
+    ``_commit_version`` appended, or None for a no-change version:
+
+    - appends/clones (and the initial version) emit their added
+      files' rows as inserts;
+    - OPTIMIZE emits nothing (compaction and DV materialization
+      rewrite identical live rows);
+    - everything else diffs its old side (removed files read under
+      the PARENT manifest — its deletion vectors apply — plus rows
+      newly hidden by DV growth) against its new side (added files
+      under the child manifest, plus rows a shrunk vector
+      re-exposed): with the commit's recorded merge keys the diff is
+      a keyed full-outer join emitting update pre/post-image pairs;
+      otherwise a full-row multiset diff cancels the carried rows of
+      rewritten files with multiplicity."""
+    v = m["version"]
+    op = m.get("operation", "append")
+    parent = m.get("parent")
+    pfiles = pm["files"] if pm else []
+    cset, pset = set(m["files"]), set(pfiles)
+    added = [f for f in m["files"] if f not in pset]
+    removed = [f for f in pfiles if f not in cset]
+    pdv = (pm.get("dv") or {}) if pm else {}
+    cdv = m.get("dv") or {}
+    if parent is None or op in ("append", "clone"):
+        if not added:
+            return None
+        return (_read_files_renamed(spark, table_dir, added, m)
+                .select("*", F.lit("insert").alias("_change_type"),
+                        F.lit(v).cast("long")
+                        .alias("_commit_version")))
+    if op == "optimize":
+        return None
+    old_side = None
+    if removed:
+        old_side = _read_files_renamed(spark, table_dir, removed, pm)
+    new_side = _read_files_renamed(spark, table_dir, added, m) \
+        if added else None
+
+    def rows_at(manifest, f, positions):
+        # broadcast-semi-join the wanted (fid, pos) pairs instead of
+        # an isin literal list: a DV can hold up to _DV_MAX_ROWS
+        # positions, and 100k literals inflate the plan/codegen and
+        # driver memory (same shape as the scan path's DV anti-join)
+        pos_df = spark.createDataFrame(
+            [(_dv_fid(f), int(p)) for p in positions],
+            "__fid__ string, __pos__ long")
+        return (_read_files_renamed(
+            spark, table_dir, [f],
+            {**manifest, "dv": {}}, with_pos=True)
+            .join(F.broadcast(pos_df),
+                  on=["__fid__", "__pos__"], how="left_semi")
+            .drop("__fid__", "__pos__"))
+    # vector GROWTH hides rows (old side); vector SHRINKAGE — a
+    # restore to a pre-delete version — re-exposes rows (new side);
+    # both on files present in BOTH versions
+    for f in (set(cdv) | set(pdv)) & pset & cset:
+        old_pos = set(_dv_positions(table_dir, f, pdv[f])) \
+            if f in pdv else set()
+        new_pos = set(_dv_positions(table_dir, f, cdv[f])) \
+            if f in cdv else set()
+        if new_pos - old_pos:
+            hidden = rows_at(pm, f, new_pos - old_pos)
+            old_side = hidden if old_side is None \
+                else old_side.unionByName(hidden)
+        if old_pos - new_pos:
+            unhidden = rows_at(m, f, old_pos - new_pos)
+            new_side = unhidden if new_side is None \
+                else new_side.unionByName(unhidden)
+    return _classify_changes(
+        old_side, new_side, op,
+        (m.get("op_info") or {}).get("keys"), v,
+        json.loads(m["schema"]))
+
+
+def _read_cdc_files(spark: SparkSession, table_dir: str,
+                    m: dict) -> DataFrame | None:
+    """A materialized commit's change rows: plain scan of its
+    ``_change_data`` files (data columns + ``_change_type``), with
+    ``_commit_version`` attached from the manifest — NOT stored in
+    the files, so a publish-race rebase that renumbers the commit
+    never bakes a stale version into immutable data."""
+    files = (m.get("cdc") or {}).get("files") or []
+    if not files:
+        return None
+    from pyspark.sql.types import StringType, StructField, StructType
+    base = StructType.fromJson(json.loads(m["schema"]))
+    sch = StructType(list(base.fields)
+                     + [StructField("_change_type", StringType(),
+                                    True)])
+    sdf = spark.read.schema(sch).parquet(
+        *[os.path.join(table_dir, f) for f in files])
+    return sdf.select("*", F.lit(m["version"]).cast("long")
+                      .alias("_commit_version"))
+
+
+def _materialize_cdc(spark: SparkSession, table_dir: str,
+                     manifest: dict, parent_manifest: dict) -> None:
+    """Delta's ``_change_data``: compute a DML commit's row-level
+    change set ONCE, distributed, at commit time — the same
+    ``_version_change_rows`` classification both feeds would
+    recompute — and land it under ``_change_data/``, recorded in the
+    manifest's commit-scoped ``cdc`` key. Both ``snapshot_changes``
+    and the streaming change feed then read plain file scans: no
+    per-read rediff, and the streaming path's task memory is bounded
+    by ONE FILE instead of one commit's rewritten volume. Runs BEFORE
+    the manifest publish, so a lost publish race leaves only orphan
+    files for ``vacuum`` (exactly like data files); the change rows
+    are commit-content, identical under any rebase over commutable
+    appends (interleaved appended files sit on both diff sides and
+    cancel)."""
+    chg = _version_change_rows(spark, table_dir, manifest,
+                               parent_manifest)
+    if chg is None:
+        manifest["cdc"] = {"files": []}   # materialized: no changes
+        return
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join(
+        _CDC_DIR, f"v{manifest['version']:08d}-{token}")
+    out_dir = os.path.join(table_dir, rel_dir)
+    with _micros_timestamps(spark):
+        chg.drop("_commit_version").write.mode("error") \
+            .parquet(out_dir)
+    manifest["cdc"] = {"files": sorted(
+        os.path.join(rel_dir, f) for f in os.listdir(out_dir)
+        if f.endswith(".parquet"))}
+
+
+def _era_align_map(era_fields: list, final_fields: list) -> dict:
+    """Column mapping from an older schema era to the final era, for
+    the change feed's auto-split union: a name present in the final
+    schema maps to itself; a vanished name whose POSITION in the
+    final schema holds a same-typed field not present in the era is a
+    rename slot (``snapshot_rename_column`` is metadata-only, so
+    position and type survive) and maps old -> new; anything else
+    keeps its era name and surfaces as a NULL-filled extra column in
+    the other eras (the ``snapshot_read_merged`` unify-by-name
+    rule)."""
+    final_names = {f["name"] for f in final_fields}
+    era_names = {f["name"] for f in era_fields}
+
+    def tkey(f):
+        return json.dumps(f["type"], sort_keys=True)
+    out: dict[str, str] = {}
+    for i, f in enumerate(era_fields):
+        if f["name"] in final_names:
+            continue
+        if i < len(final_fields):
+            g = final_fields[i]
+            if tkey(g) == tkey(f) and g["name"] not in era_names:
+                out[f["name"]] = g["name"]
+    return out
+
+
 def snapshot_changes(spark: SparkSession, table_dir: str,
                      from_version: int,
                      to_version: int | None = None) -> SparkFrame:
     """Batch CDC (Delta's ``table_changes``): every row-level change
     committed in versions (*from_version*, *to_version*], as one
     DataFrame with ``_change_type`` (insert / delete /
-    update_preimage / update_postimage) and ``_commit_version`` —
-    fully distributed (the streaming change feed's Spark-side twin,
-    same classification rules):
+    update_preimage / update_postimage) and ``_commit_version``.
 
-    - appends/clones (and the initial version when in range) emit
-      their added files' rows as inserts;
-    - overwrite/restore emit removed-file rows as deletes and
-      added-file rows as inserts (shared files are net-unchanged);
-    - OPTIMIZE emits nothing (compaction and DV materialization
-      rewrite identical live rows);
-    - merge/delete/update diff their old side (removed files read
-      under the PARENT manifest — its deletion vectors apply — plus
-      rows newly hidden by DV growth) against their new side (added
-      files under the child manifest): with the commit's recorded
-      merge keys the diff is a keyed full-outer join emitting update
-      pre/post-image pairs; otherwise a full-row multiset diff
-      cancels the carried rows of rewritten files with multiplicity.
-    """
+    Commits whose manifest references MATERIALIZED change files
+    (``_change_data``, written at DML commit time) are plain parquet
+    scans; older commits fall back to the distributed manifest-diff
+    recompute (``_version_change_rows`` — the same classification
+    that produced the materialized files, so both paths agree
+    bit-for-bit).
+
+    A schema change inside the range no longer raises: the range is
+    split at each schema-change commit and the eras are unified to
+    the FINAL era's naming — a pure rename is aligned positionally
+    (rename commits are metadata-only, so position and type survive),
+    added/dropped columns NULL-fill by name (the
+    ``snapshot_read_merged`` rule). Column order: final-era columns,
+    then dropped-era extras, then the CDC metadata columns."""
     if to_version is None:
         to_version = _latest_version(table_dir)
         if to_version is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {table_dir}")
-    schemas = {tuple((f["name"], json.dumps(f["type"], sort_keys=True))
-                     for f in json.loads(
-                         _read_manifest(table_dir, v)["schema"])
-                     ["fields"])
-               for v in range(max(1, from_version), to_version + 1)}
-    if len(schemas) > 1:
-        # a rename/drop/merge-schema commit inside the range: change
-        # rows of different eras would not union — fail loudly with
-        # the remedy instead of a cryptic unionByName error (Delta's
-        # CDF draws the same line at schema changes)
-        raise ValueError(
-            "snapshot_changes: the table schema changed inside "
-            f"versions ({from_version}, {to_version}] — read the "
-            "change feed in sub-ranges that end at the schema-change "
-            "commit")
+    final_fields = json.loads(
+        _read_manifest(table_dir, to_version)["schema"])["fields"]
+    final_names = [f["name"] for f in final_fields]
     out: DataFrame | None = None
-
-    def tagged(sdf: DataFrame, ctype, v: int) -> DataFrame:
-        ct = ctype if not isinstance(ctype, str) else F.lit(ctype)
-        return sdf.select("*", ct.alias("_change_type"),
-                          F.lit(v).cast("long")
-                          .alias("_commit_version"))
-
+    extra_names: list[str] = []
     for v in range(from_version + 1, to_version + 1):
         m = _read_manifest(table_dir, v)
-        op = m.get("operation", "append")
-        parent = m.get("parent")
-        pm = _read_manifest(table_dir, parent) \
-            if parent is not None else None
-        pfiles = pm["files"] if pm else []
-        cset, pset = set(m["files"]), set(pfiles)
-        added = [f for f in m["files"] if f not in pset]
-        removed = [f for f in pfiles if f not in cset]
-        pdv = (pm.get("dv") or {}) if pm else {}
-        cdv = m.get("dv") or {}
-        part: DataFrame | None = None
-        if parent is None or op in ("append", "clone"):
-            if added:
-                part = tagged(_read_files_renamed(spark, table_dir,
-                                                  added, m),
-                              "insert", v)
-        elif op == "optimize":
-            part = None
+        if "cdc" in m:
+            part = _read_cdc_files(spark, table_dir, m)
         else:
-            old_side = None
-            if removed:
-                old_side = _read_files_renamed(spark, table_dir,
-                                               removed, pm)
-            new_side = _read_files_renamed(spark, table_dir, added,
-                                           m) if added else None
-
-            def rows_at(manifest, f, positions):
-                return (_read_files_renamed(
-                    spark, table_dir, [f],
-                    {**manifest, "dv": {}}, with_pos=True)
-                    .filter((F.col("__fid__") == _dv_fid(f))
-                            & F.col("__pos__").isin(
-                                [int(p) for p in positions]))
-                    .drop("__fid__", "__pos__"))
-            # vector GROWTH hides rows (old side); vector SHRINKAGE —
-            # a restore to a pre-delete version — re-exposes rows
-            # (new side); both on files present in BOTH versions
-            for f in (set(cdv) | set(pdv)) & pset & cset:
-                old_pos = set(_dv_positions(table_dir, f, pdv[f])) \
-                    if f in pdv else set()
-                new_pos = set(_dv_positions(table_dir, f, cdv[f])) \
-                    if f in cdv else set()
-                if new_pos - old_pos:
-                    hidden = rows_at(pm, f, new_pos - old_pos)
-                    old_side = hidden if old_side is None \
-                        else old_side.unionByName(hidden)
-                if old_pos - new_pos:
-                    unhidden = rows_at(m, f, old_pos - new_pos)
-                    new_side = unhidden if new_side is None \
-                        else new_side.unionByName(unhidden)
-            part = _classify_changes(
-                old_side, new_side, op,
-                (m.get("op_info") or {}).get("keys"), v,
-                json.loads(m["schema"]))
-        if part is not None:
-            out = part if out is None else out.unionByName(part)
+            parent = m.get("parent")
+            pm = _read_manifest(table_dir, parent) \
+                if parent is not None else None
+            part = _version_change_rows(spark, table_dir, m, pm)
+        if part is None:
+            continue
+        era_fields = json.loads(m["schema"])["fields"]
+        ren = _era_align_map(era_fields, final_fields)
+        if ren:
+            part = part.withColumnsRenamed(ren)
+        for f in era_fields:
+            name = ren.get(f["name"], f["name"])
+            if name not in set(final_names) \
+                    and name not in set(extra_names):
+                extra_names.append(name)   # dropped-era column
+        out = part if out is None \
+            else out.unionByName(part, allowMissingColumns=True)
     if out is None:
         from pyspark.sql.types import StructType
-        base = StructType.fromJson(json.loads(
-            _read_manifest(table_dir, to_version)["schema"]))
-        schema = base.add("_change_type", "string") \
-                     .add("_commit_version", "long")
-        out = spark.createDataFrame([], schema)
-    return SparkFrame(out)
+        schema = StructType.fromJson(
+            {"type": "struct", "fields": list(final_fields)}) \
+            .add("_change_type", "string") \
+            .add("_commit_version", "long")
+        return SparkFrame(spark.createDataFrame([], schema))
+    ordered = [c for c in final_names if c in out.columns] \
+        + [c for c in extra_names if c in out.columns] \
+        + ["_change_type", "_commit_version"]
+    return SparkFrame(out.select(*ordered))
 
 
 def _classify_changes(old_side: DataFrame | None,
@@ -2039,7 +2472,22 @@ def _classify_changes(old_side: DataFrame | None,
         return new_side.select(
             *cols, F.lit(post_t).alias("_change_type"),
             ver.alias("_commit_version"))
+    keyed_ok = False
     if keys and all(k in cols for k in keys):
+        # the keyed full-outer join is only sound when the merge keys
+        # are UNIQUE on both sides — duplicate keys (legal in the
+        # target: MERGE only requires the SOURCE to be unique) would
+        # cross-product into phantom update pre/post-image rows. Same
+        # guard the streaming _read_diff applies: verify uniqueness
+        # (null-safe: groupBy, not countDistinct) and fall back to the
+        # full-row multiset diff otherwise. Two tiny aggregates over
+        # the commit's changed slice.
+        def _has_dup(sdf: DataFrame) -> bool:
+            r = (sdf.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+                 .agg(F.max("c").alias("m")).collect()[0]["m"])
+            return (r or 0) > 1
+        keyed_ok = not _has_dup(old_side) and not _has_dup(new_side)
+    if keyed_ok:
         non_key = [c for c in cols if c not in set(keys)]
         # explicit presence markers: testing the key for NULL would
         # misread a genuinely-NULL key value as an absent row
@@ -2111,7 +2559,18 @@ def snapshot_history(table_dir: str) -> list[dict]:
     """Version log, oldest first: (version, parent, operation,
     n_files, timestamp) — metadata only, no data scan. The timestamp
     is the commit file's mtime (the atomic link instant), the same
-    clock ``timestamp=`` time travel resolves against."""
+    clock ``timestamp=`` time travel resolves against.
+
+    Bound: this (like ``snapshot_version_at``/``snapshot_vacuum``)
+    walks EVERY live version file — O(#versions) listing + one stat
+    per version, i.e. milliseconds at the hundreds-of-versions
+    histories vacuum retention produces, and the full-state
+    reconstruction behind each entry is amortized by the checkpoint
+    cadence. Point lookups that don't need the whole log
+    (``_latest_version``, ``snapshot_txn_version``) use the O(1)
+    hint-file path instead; a year-long no-vacuum history (~500k
+    commits at one/minute) should prune with ``vacuum`` before
+    history-walking APIs are on any hot path."""
     return [{"version": v,
              "parent": (m := _read_manifest(table_dir, v))["parent"],
              "operation": m["operation"],
@@ -2127,15 +2586,21 @@ def snapshot_version_at(table_dir: str, timestamp) -> int:
     string; naive datetimes read in the driver's OS zone, like
     predicate localization). Commit instants are the manifest files'
     mtimes — set atomically by the publish link. Raises if the table's
-    first commit is later than the timestamp."""
+    first commit is later than the timestamp.
+
+    Instants compare at MICROsecond resolution (both sides rounded):
+    filesystem mtimes carry nanoseconds but ``datetime`` only micros,
+    so an un-rounded compare would make ``fromtimestamp(mtime)`` of a
+    commit's own instant resolve to the version BEFORE it."""
     if isinstance(timestamp, str):
         timestamp = datetime.datetime.fromisoformat(timestamp)
     if isinstance(timestamp, datetime.datetime):
         timestamp = timestamp.timestamp()
-    ts = float(timestamp)
+    ts = round(float(timestamp), 6)
     best = None
     for v in _versions(table_dir):
-        if os.path.getmtime(_manifest_path(table_dir, v)) <= ts:
+        if round(os.path.getmtime(
+                _manifest_path(table_dir, v)), 6) <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -2143,6 +2608,26 @@ def snapshot_version_at(table_dir: str, timestamp) -> int:
             f"{timestamp} (the table's history starts later, or it "
             f"was vacuumed past that point)")
     return best
+
+
+def snapshot_version_since(table_dir: str, timestamp) -> int | None:
+    """The EARLIEST version committed at or after *timestamp* (same
+    clock and value coercions as ``snapshot_version_at``), or None if
+    every commit predates it — Delta's ``startingTimestamp`` resolver:
+    a commit landing at exactly the instant is INCLUDED (the
+    at-or-after contract), which ``snapshot_version_at(ts) + 1`` would
+    wrongly exclude. Micro-rounded compare, like
+    ``snapshot_version_at``."""
+    if isinstance(timestamp, str):
+        timestamp = datetime.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        timestamp = timestamp.timestamp()
+    ts = round(float(timestamp), 6)
+    for v in _versions(table_dir):
+        if round(os.path.getmtime(
+                _manifest_path(table_dir, v)), 6) >= ts:
+            return v
+    return None
 
 
 def snapshot_vacuum(table_dir: str, keep_last: int = 1,
@@ -2195,6 +2680,7 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
     for v in surviving:
         states[v] = m = _read_manifest(table_dir, v)
         referenced.update(m["files"])
+        referenced.update((m.get("cdc") or {}).get("files") or [])
         for b in (m.get("bloom") or {}).values():
             for e in b.values():
                 if e.get("sc"):
@@ -2207,6 +2693,7 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
     if not dry_run:
         for v in surviving:
             if v - 1 in survset \
+                    or os.path.exists(_ckpt_pq_path(table_dir, v)) \
                     or os.path.exists(_ckpt_path(table_dir, v)):
                 continue
             try:
@@ -2217,18 +2704,20 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
             if on_disk.get("delta"):
                 _write_checkpoint(table_dir, states[v])
     deleted = 0
-    ddir = os.path.join(table_dir, _DATA_DIR)
-    for root, _dirs, names in os.walk(ddir, topdown=False):
-        for name in names:
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, table_dir)
-            if rel not in referenced and name.endswith(".parquet") \
-                    and _old_enough(full):
-                if not dry_run:
-                    os.remove(full)
-                deleted += 1
-        if not dry_run and not os.listdir(root):
-            os.rmdir(root)
+    for sub in (_DATA_DIR, _CDC_DIR):
+        ddir = os.path.join(table_dir, sub)
+        for root, _dirs, names in os.walk(ddir, topdown=False):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table_dir)
+                if rel not in referenced \
+                        and name.endswith(".parquet") \
+                        and _old_enough(full):
+                    if not dry_run:
+                        os.remove(full)
+                    deleted += 1
+            if not dry_run and not os.listdir(root):
+                os.rmdir(root)
     # bloom/DV sidecars no surviving version references
     scdir = os.path.join(table_dir, _MANIFEST_DIR, _SIDECAR_DIR)
     if os.path.isdir(scdir):
@@ -2244,10 +2733,12 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
     for v in versions:
         if v not in surviving:
             os.remove(_manifest_path(table_dir, v))
-            try:
-                os.remove(_ckpt_path(table_dir, v))
-            except FileNotFoundError:
-                pass
+            for cp in (_ckpt_path(table_dir, v),
+                       _ckpt_pq_path(table_dir, v)):
+                try:
+                    os.remove(cp)
+                except FileNotFoundError:
+                    pass
     _cache_drop_table(os.path.abspath(table_dir))
     return deleted
 
@@ -2275,7 +2766,8 @@ def snapshot_read_merged(spark: SparkSession, table_dir: str,
 def snapshot_merge(spark: SparkSession, table_dir: str, source,
                    on, update_cols=None, insert_unmatched: bool = True,
                    num_files: int | None = None,
-                   max_retries: int = 5, dv: bool = True) -> int:
+                   max_retries: int = 5, dv: bool = True,
+                   change_data: bool = True) -> int:
     """MERGE INTO a snapshot table: apply the relational MERGE rewrite
     (``relational.merge_into`` — WHEN MATCHED update / WHEN NOT MATCHED
     insert) and publish the result as a new version. Returns the new
@@ -2308,7 +2800,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
         try:
             return _merge_once(spark, table_dir, src, keys, on,
                                update_cols, insert_unmatched,
-                               num_files, use_dv=dv)
+                               num_files, use_dv=dv,
+                               change_data=change_data)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -2318,7 +2811,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
 
 def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
                 update_cols, insert_unmatched,
-                num_files: int | None, use_dv: bool = True) -> int:
+                num_files: int | None, use_dv: bool = True,
+                change_data: bool = True) -> int:
     """One optimistic MERGE attempt against the current latest version
     (see ``snapshot_merge``). Raises FileExistsError only on a TRUE
     commit conflict (commutable appends are absorbed by rebasing)."""
@@ -2474,6 +2968,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         # classify this commit's diff into update pre/post-images by
         # joining old and new rows on the merge keys
         manifest["op_info"] = {"keys": [str(k) for k in keys]}
+        if change_data:
+            _materialize_cdc(spark, table_dir, manifest, m)
         _publish(table_dir, manifest)
         return version
     except FileExistsError:
@@ -2483,7 +2979,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         rebased = _try_rebase_publish(
             table_dir, base_v, set(rewrite_files), new_files,
             new_stats, "merge", m["schema"], keys=usable, preds=preds,
-            dv_add=new_dv_entries)
+            dv_add=new_dv_entries, cdc=manifest.get("cdc"),
+            op_info=manifest.get("op_info"))
         if rebased is not None:
             return rebased
         raise
@@ -2545,10 +3042,12 @@ def snapshot_restore(table_dir: str, version: int) -> int:
 def snapshot_delete(spark: SparkSession, table_dir: str, where,
                     dv: bool = True,
                     num_files: int | None = None,
-                    max_retries: int = 5) -> int:
+                    max_retries: int = 5,
+                    change_data: bool = True) -> int:
     """Row-level DELETE: remove every row matching *where* (a list of
-    ``(col, op, value)`` triples ANDed together, ops ``== < <= > >=``
-    — the same predicate shape ``snapshot_read`` prunes with) and
+    ``(col, op, value)`` triples ANDed together, ops ``== < <= > >= in``
+    — the same predicate shape ``snapshot_read`` prunes with; a
+    ``("id", "in", ids)`` triple forgets k ids in ONE commit) and
     publish the result as a new version.
 
     Plan mirrors the row-level MERGE: files whose manifest stats PROVE
@@ -2573,7 +3072,7 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
     for _ in range(max_retries + 1):
         try:
             return _delete_once(spark, table_dir, where, num_files,
-                                dv)
+                                dv, change_data)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -2582,7 +3081,8 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
 
 
 def _delete_once(spark: SparkSession, table_dir: str, where,
-                 num_files: int | None, use_dv: bool = True) -> int:
+                 num_files: int | None, use_dv: bool = True,
+                 change_data: bool = True) -> int:
     def rewrite(t_df, match_cond, schema, _m):
         # keep rows NOT matching the conjunction (NULLs never match a
         # comparison predicate, so they are kept — SQL DELETE WHERE
@@ -2590,12 +3090,14 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
         return t_df.filter(~F.coalesce(match_cond, F.lit(False))) \
             .select(*[f.name for f in schema.fields])
     return _dml_rewrite_once(spark, table_dir, where, num_files,
-                             "delete", rewrite, use_dv=use_dv)
+                             "delete", rewrite, use_dv=use_dv,
+                             change_data=change_data)
 
 
 def snapshot_update(spark: SparkSession, table_dir: str, where,
                     set_exprs: dict, num_files: int | None = None,
-                    max_retries: int = 5, dv: bool = True) -> int:
+                    max_retries: int = 5, dv: bool = True,
+                    change_data: bool = True) -> int:
     """Row-level UPDATE ... SET: rewrite matching rows' columns to the
     given expressions (strings or Columns; non-matching rows pass
     through verbatim) and publish a new version — the third leg of the
@@ -2632,7 +3134,8 @@ def snapshot_update(spark: SparkSession, table_dir: str, where,
         try:
             return _dml_rewrite_once(spark, table_dir, where,
                                      num_files, "update", rewrite,
-                                     use_dv=dv)
+                                     use_dv=dv,
+                                     change_data=change_data)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -2650,7 +3153,8 @@ _DV_MAX_ROWS = 100_000
 
 def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                       num_files: int | None, operation: str,
-                      rewrite, use_dv: bool = True) -> int:
+                      rewrite, use_dv: bool = True,
+                      change_data: bool = True) -> int:
     from pyspark.sql.types import StructType
     preds = list(where or [])
     for col, op, _v in preds:
@@ -2668,20 +3172,14 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     m = _read_manifest(table_dir, base_v)
     stats = m.get("stats") or {}
     blooms = m.get("bloom") or {}
-    eq = [(c, v) for c, op, v in preds if op in ("==", "=")]
     touched = [f for f in m["files"]
                if _file_may_match(_stats_for_prune(m, f), preds)
-               and _bloom_file_may_match(blooms.get(f) or {}, eq,
-                                         table_dir)]
+               and _bloom_preds_may_match(blooms.get(f) or {}, preds,
+                                          table_dir)]
     schema = StructType.fromJson(json.loads(m["schema"]))
     match_cond = None
     for col, op, val in preds:
-        c = F.col(col)
-        term = (c == val if op in ("==", "=") else
-                c < val if op == "<" else
-                c <= val if op == "<=" else
-                c > val if op == ">" else
-                c >= val)
+        term = _pred_column(col, op, val)
         match_cond = term if match_cond is None else (match_cond & term)
     cond = F.coalesce(match_cond, F.lit(False))
     # --- decide per touched file: deletion vector vs rewrite --------
@@ -2791,6 +3289,8 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         manifest["constraints"] = m["constraints"]
     if m.get("txn"):
         manifest["txn"] = m["txn"]
+    if change_data:
+        _materialize_cdc(spark, table_dir, manifest, m)
     try:
         _publish(table_dir, manifest)
         return version
@@ -2799,7 +3299,8 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         rebased = _try_rebase_publish(
             table_dir, base_v, set(rewrite_files), new_files,
             new_stats, operation, m["schema"], keys=pred_cols,
-            preds=preds, dv_add=new_dv_entries)
+            preds=preds, dv_add=new_dv_entries,
+            cdc=manifest.get("cdc"))
         if rebased is not None:
             return rebased
         raise
@@ -2842,6 +3343,7 @@ def snapshot_detail(table_dir: str,
         "dv_files": len(m.get("dv") or {}),
         "dv_rows": sum(e.get("n", 0)
                        for e in (m.get("dv") or {}).values()),
+        "cdc_files": len((m.get("cdc") or {}).get("files") or []),
         "partition_columns": sorted({c for pt in
                                      (m.get("partitions") or {})
                                      .values() for c in pt}),

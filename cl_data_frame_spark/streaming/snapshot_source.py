@@ -65,6 +65,9 @@ class _FilesPartition(InputPartition):
     #: "insert"/"delete" = every row of these files gets that label
     change_type: str | None = None
     commit_version: int = 0
+    #: True = files are materialized _change_data parquet (they carry
+    #: _change_type themselves); only _commit_version is appended
+    cdc_file: bool = False
 
 
 @dataclass
@@ -76,7 +79,12 @@ class _DiffPartition(InputPartition):
     the commit's merge keys when recorded (update pre/post-images),
     else by full-row multiset (delete/insert pairs). Memory bound:
     ONE commit's rewritten file set per task, the same rows the DML
-    itself shuffled."""
+    itself shuffled.
+
+    Since round 11 this is the FALLBACK for commits that predate CDC
+    materialization: DML commits persist their change rows as
+    ``_change_data`` files at commit time, and those stream as plain
+    per-file chunks (memory bound: one FILE)."""
     table_dir: str
     commit_version: int = 0
     operation: str = "merge"
@@ -271,26 +279,48 @@ class SnapshotStreamReader(DataSourceStreamReader):
         """Change-feed planning (driver, manifests + DV sidecars
         only): each version becomes insert/delete file chunks or one
         row-diff task — Delta CDF reduced to manifest diffs between
-        consecutive versions."""
+        consecutive versions. A version from an OLDER SCHEMA ERA (a
+        rename landed later in the range) gets era-alignment pairs
+        appended to every file's rename chain, so its rows surface
+        under the reader's (latest) names — the batch feed's
+        auto-split rule (``_era_align_map``)."""
         from cl_data_frame_spark.sources.snapshots import (
-            _dv_positions, _read_manifest)
+            _dv_positions, _era_align_map, _read_manifest)
         cols = self._data_cols
         sjson = self._schema.json()
+        reader_fields = [f for f in json.loads(sjson)["fields"]
+                         if f["name"] not in (_CDF_TYPE, _CDF_VER)]
         n = self._files_per_task
         parts: list = []
 
-        def file_chunks(files, rmap, ctype, v):
+        def file_chunks(files, rmap, align, ctype, v, cdc_file=False):
             for i in range(0, len(files), n):
                 chunk = files[i:i + n]
                 parts.append(_FilesPartition(
                     table_dir=self._table_dir, files=chunk,
-                    renames=[rmap.get(f) or [] for f in chunk],
-                    columns=cols, schema_json=sjson,
-                    change_type=ctype, commit_version=v))
+                    renames=[(rmap.get(f) or []) + align
+                             for f in chunk],
+                    columns=(cols + [_CDF_TYPE]) if cdc_file
+                    else cols,
+                    schema_json=sjson,
+                    change_type=ctype, commit_version=v,
+                    cdc_file=cdc_file))
         for v in range(sv + 1, ev + 1):
             m = _read_manifest(self._table_dir, v)
             op = m.get("operation", "append")
             parent = m.get("parent")
+            align = [list(p) for p in _era_align_map(
+                json.loads(m["schema"])["fields"],
+                reader_fields).items()]
+            if "cdc" in m and op not in _APPEND_OPS \
+                    and parent is not None:
+                # materialized change data (written at DML commit
+                # time): plain file scans, task memory bounded by one
+                # FILE — the single-task rediff below is only the
+                # fallback for commits that predate materialization
+                file_chunks((m["cdc"] or {}).get("files") or [],
+                            {}, align, None, v, cdc_file=True)
+                continue
             pm = _read_manifest(self._table_dir, parent) \
                 if parent is not None else None
             pfiles = pm["files"] if pm else []
@@ -302,7 +332,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             rmap_c = m.get("renamed_files") or {}
             rmap_p = (pm.get("renamed_files") or {}) if pm else {}
             if parent is None or op in _APPEND_OPS:
-                file_chunks(added, rmap_c, "insert", v)
+                file_chunks(added, rmap_c, align, "insert", v)
                 continue
             if op == "optimize":
                 continue          # net-zero row change (compaction +
@@ -321,10 +351,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
                                             cdv[f])) if f in cdv \
                     else set()
                 if new_pos - old_pos:
-                    dv_hidden.append((f, rmap_p.get(f) or [],
+                    dv_hidden.append((f, (rmap_p.get(f) or [])
+                                      + align,
                                       sorted(new_pos - old_pos)))
                 if old_pos - new_pos:
-                    dv_unhidden.append((f, rmap_c.get(f) or [],
+                    dv_unhidden.append((f, (rmap_c.get(f) or [])
+                                        + align,
                                         sorted(old_pos - new_pos)))
             if not (added or removed or dv_hidden or dv_unhidden):
                 continue          # metadata-only commit
@@ -335,19 +367,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # diff task, no single-task memory bound); files in
                 # BOTH versions (a restore sharing files) are net-
                 # unchanged and emit nothing
-                file_chunks(removed, rmap_p, "delete", v)
-                file_chunks(added, rmap_c, "insert", v)
+                file_chunks(removed, rmap_p, align, "delete", v)
+                file_chunks(added, rmap_c, align, "insert", v)
                 continue
             keys = (m.get("op_info") or {}).get("keys")
             parts.append(_DiffPartition(
                 table_dir=self._table_dir, commit_version=v,
                 operation=op,
-                removed=[(f, rmap_p.get(f) or [],
+                removed=[(f, (rmap_p.get(f) or []) + align,
                           sorted(_dv_positions(self._table_dir, f,
                                                pdv[f]))
                           if f in pdv else [])
                          for f in removed],
-                added=[(f, rmap_c.get(f) or [],
+                added=[(f, (rmap_c.get(f) or []) + align,
                         sorted(_dv_positions(self._table_dir, f,
                                              cdv[f]))
                         if f in cdv else [])
@@ -374,6 +406,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 tbl = tbl.append_column(
                     _CDF_TYPE, pa.array([partition.change_type]
                                         * tbl.num_rows))
+            if partition.change_type is not None or partition.cdc_file:
                 tbl = tbl.append_column(
                     _CDF_VER, pa.array([partition.commit_version]
                                        * tbl.num_rows,
@@ -398,9 +431,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 t = _load_norm_table(p.table_dir, f, chain,
                                      p.columns, schema)
                 if excl:
-                    keep = [i for i in range(t.num_rows)
-                            if i not in set(excl)]
-                    t = t.take(keep)
+                    # vectorized boolean mask (a DV can hold 100k
+                    # positions: the old per-row-index Python
+                    # comprehension was O(rows) interpreter work
+                    # per file)
+                    import numpy as np
+                    mask = np.ones(t.num_rows, dtype=bool)
+                    mask[np.asarray(excl, dtype=np.int64)] = False
+                    t = t.filter(pa.array(mask))
                 tables.append(t)
             for f, chain, pos in dv_rows:
                 t = _load_norm_table(p.table_dir, f, chain,
@@ -553,21 +591,20 @@ def read_stream_snapshot(spark: SparkSession, table_dir: str,
     (net-zero), an overwrite delete+insert of the replaced rows.
 
     ``starting_timestamp`` (Delta's ``startingTimestamp``): stream
-    versions committed strictly AFTER the last version at or before
-    that instant — i.e. everything newer than the timestamp's
-    snapshot. Mutually exclusive with ``starting_version``."""
+    every version committed AT OR AFTER that instant — a commit
+    landing at exactly the timestamp is included, matching Delta's
+    at-or-after contract. A timestamp newer than all history streams
+    only future commits (documented divergence: Delta errors there).
+    Mutually exclusive with ``starting_version``."""
     if starting_timestamp is not None:
         if starting_version is not None:
             raise ValueError("pass starting_version or "
                              "starting_timestamp, not both")
         from cl_data_frame_spark.sources.snapshots import (
-            snapshot_version_at)
-        try:
-            starting_version = snapshot_version_at(
-                table_dir, starting_timestamp) + 1
-        except ValueError:
-            starting_version = 0       # older than all history:
-            # stream from the first commit (Delta's behavior)
+            _latest_version, snapshot_version_since)
+        since = snapshot_version_since(table_dir, starting_timestamp)
+        starting_version = since if since is not None \
+            else (_latest_version(table_dir) or 0) + 1
     register_snapshot_source(spark)
     reader = (spark.readStream.format(FORMAT_NAME)
               .option("path", table_dir)

@@ -1065,8 +1065,9 @@ def test_stream_sink_partition_tuples_prune(spark, tmp_path):
 
 
 def test_starting_timestamp_skips_history(spark, tmp_path):
-    """Round 10: Delta's startingTimestamp — stream only versions
-    committed after the timestamp's snapshot."""
+    """Round 10 (+r11 inclusivity fix): Delta's startingTimestamp —
+    stream every version committed AT or after the instant; a commit
+    at exactly the timestamp is included."""
     import os
     import time
     from pyspark.sql import functions as F
@@ -1079,14 +1080,25 @@ def test_starting_timestamp_skips_history(spark, tmp_path):
     time.sleep(0.05)
     S.snapshot_write(spark.range(3, 6).select(F.col("id").alias("v")),
                      t, mode="append")
-    q = (read_stream_snapshot(spark, t, starting_timestamp=t1)
+    # strictly after v1's commit instant: v1 excluded, v2 streams
+    q = (read_stream_snapshot(spark, t,
+                              starting_timestamp=t1 + 0.001)
          .writeStream.format("memory").queryName("ts_start").start())
     try:
         q.processAllAvailable()
         got = sorted(r.v for r in spark.table("ts_start").collect())
     finally:
         q.stop()
-    assert got == [3, 4, 5]        # v1 (at the timestamp) skipped
+    assert got == [3, 4, 5]
+    # AT v1's commit instant: v1 itself is included (at-or-after)
+    q_at = (read_stream_snapshot(spark, t, starting_timestamp=t1)
+            .writeStream.format("memory").queryName("ts_at").start())
+    try:
+        q_at.processAllAvailable()
+        got = sorted(r.v for r in spark.table("ts_at").collect())
+    finally:
+        q_at.stop()
+    assert got == [0, 1, 2, 3, 4, 5]
     # a timestamp older than all history streams from the beginning
     q2 = (read_stream_snapshot(spark, t, starting_timestamp=t1 - 100)
           .writeStream.format("memory").queryName("ts_all").start())
@@ -1096,3 +1108,39 @@ def test_starting_timestamp_skips_history(spark, tmp_path):
     finally:
         q2.stop()
     assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_change_feed_rename_mid_range_streams_both_eras(spark,
+                                                        tmp_path):
+    """Round 11: a rename inside the streamed range no longer loses
+    the old era's column — era-alignment pairs map era names to the
+    reader's (latest) schema, for file chunks, diff tasks, and
+    materialized change-data files alike."""
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import snapshots as S
+    from cl_data_frame_spark.streaming.snapshot_source import (
+        read_stream_snapshot)
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(4).select(F.col("id").alias("v")), t,
+                     stats_cols=["v"])
+    S.snapshot_delete(spark, t, [("v", "==", 1)])   # era-1 DML (cdc)
+    S.snapshot_rename_column(t, "v", "w")
+    S.snapshot_write(spark.range(4, 6).select(F.col("id").alias("w")),
+                     t, mode="append")
+    q = (read_stream_snapshot(spark, t, read_change_feed=True)
+         .writeStream.format("memory").queryName("cdf_eras").start())
+    try:
+        q.processAllAvailable()
+        got = {(r._commit_version, r._change_type, r.w)
+               for r in spark.table("cdf_eras").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, "insert", 0), (1, "insert", 1),
+                   (1, "insert", 2), (1, "insert", 3),
+                   (2, "delete", 1),
+                   (4, "insert", 4), (4, "insert", 5)}
+    # and the batch feed agrees across the same range
+    batch = {(r._commit_version, r._change_type, r.w) for r in
+             S.snapshot_changes(spark, t, 0).spark_df.collect()}
+    assert batch == got
