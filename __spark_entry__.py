@@ -3126,6 +3126,36 @@ def q_s_layout_prune(spark, sf_dir):
              F.col("n").cast("bigint").alias("i1"),
              F.col("sum_qty").cast("double").alias("d1"),
              F.col("sum_ok").cast("bigint").alias("i2"))
+    # snapin (round 11): IN-LIST predicated time travel — the
+    # OR-of-equalities disjunct in the snapshot predicate language
+    # (the op that lets ann_index_delete forget k ids in one commit
+    # and ann_index_query read all probed cells in one scan). The
+    # listing must hand Spark strictly fewer files than v2's full
+    # set (each key admits only files whose range covers it —
+    # asserted inline every run) and the read hash-matches the
+    # oracle's SQL IN over the original rows. The 3 keys (slice min,
+    # slice max, first key past the midpoint) are a 1-row
+    # metadata-sized fetch, same class as `cut`.
+    li23 = li.filter(F.col("l_quantity") <= 3)
+    lo, hi = li23.agg(F.min("l_orderkey"),
+                      F.max("l_orderkey")).collect()[0]
+    mid = li23.filter(F.col("l_orderkey") >= int(hi) // 2) \
+        .agg(F.min("l_orderkey")).collect()[0][0]
+    inkeys = sorted({int(lo), int(mid), int(hi)})
+    inpred = [("l_orderkey", "in", inkeys)]
+    n_in = len(snapshot_scan_files(spath, 2, where=inpred))
+    n_v2 = len(snapshot_scan_files(spath, 2))
+    assert 0 < n_in < n_v2, \
+        f"IN-list pruning ineffective: {n_in}/{n_v2} files"
+    iagg = (snapshot_read(spark, spath, version=2, where=inpred)
+            .spark_df
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    ein = _tag(iagg, "snapin",
+               F.col("n").cast("bigint").alias("i1"),
+               F.col("sum_qty").cast("double").alias("d1"),
+               F.col("sum_ok").cast("bigint").alias("i2"))
     # row-level DELETE with file skipping (round 9): remove the same
     # key band from the latest (qty=4) version — files whose stats
     # exclude the band must be carried VERBATIM into the delete
@@ -3227,6 +3257,7 @@ def q_s_layout_prune(spark, sf_dir):
               F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
             .unionByName(c).unionByName(d).unionByName(e)
+            .unionByName(ein)
             .unionByName(g).unionByName(gdv).unionByName(gcdc)
             .unionByName(hb))
 
@@ -4226,8 +4257,9 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                          "tempsamp", "fuzzydecon", "qualclf",
                          "cardpii"],
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
-                       "snapshot", "snapprune", "snapdelete",
-                       "snapdv", "snapcdc", "snapbloom"],
+                       "snapshot", "snapprune", "snapin",
+                       "snapdelete", "snapdv", "snapcdc",
+                       "snapbloom"],
 }
 
 
@@ -5990,6 +6022,32 @@ _ORACLES["s_layout_prune"] = _union(
         WHERE l_quantity <= 3
           AND l_orderkey <= (SELECT floor(max(l_orderkey) / 4)::BIGINT
                              FROM lineitem)""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapin: IN-list predicated time travel of version 2 — the
+    # OR-of-equalities prune; keys = slice min, first key past the
+    # midpoint, slice max (the Spark side also asserts the listing
+    # handed the scan strictly fewer files)
+    _wrap("snapin", """
+        WITH s AS (
+            SELECT l_orderkey, l_quantity FROM lineitem
+            WHERE l_quantity <= 3),
+        ks AS (
+            SELECT min(l_orderkey) AS k1,
+                   (SELECT min(l_orderkey) FROM s
+                    WHERE l_orderkey >=
+                          (SELECT max(l_orderkey) // 2 FROM s))
+                       AS k2,
+                   max(l_orderkey) AS k3
+            FROM s)
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM s
+        WHERE l_orderkey IN ((SELECT k1 FROM ks),
+                             (SELECT k2 FROM ks),
+                             (SELECT k3 FROM ks))""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"),
     # snapdelete: row-level DELETE of the key band from the qty=4
