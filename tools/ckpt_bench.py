@@ -1,0 +1,90 @@
+"""Synthetic million-file manifest benchmark (round-11 directive):
+measure a COLD predicated file listing against a parquet checkpoint
+at N files — streamed (`_streamed_scan_files`) vs the full-state
+dict reconstruction — reporting wall time, peak driver allocation,
+and checkpoint bytes.
+
+No Spark session: this exercises only the manifest/checkpoint layer
+(the part whose driver cost is at stake at 1M files).
+
+Usage:
+    python tools/ckpt_bench.py [n_files]        # default 1_000_000
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import tracemalloc
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    from cl_data_frame_spark.sources import snapshots as S
+    t = tempfile.mkdtemp(prefix="ckpt_bench_")
+    files = [f"data/v00000001-x/part-{i:08d}.parquet"
+             for i in range(n)]
+    state = {
+        "version": 20, "parent": None, "operation": "append",
+        "schema": '{"type":"struct","fields":[]}',
+        "files": files,
+        "stats": {f: {"k": {"min": i, "max": i, "null_count": 0}}
+                  for i, f in enumerate(files)},
+    }
+    t0 = time.time()
+    S._write_checkpoint(t, state)
+    write_s = time.time() - t0
+    # a delta on top so the listing exercises the overlay too
+    os.makedirs(os.path.join(t, S._MANIFEST_DIR), exist_ok=True)
+    with open(S._manifest_path(t, 21), "w") as f:
+        json.dump({"version": 21, "parent": 20,
+                   "operation": "append", "delta": 1,
+                   "schema": state["schema"],
+                   "add": ["data/v00000021-x/part-00000000.parquet"],
+                   "stats_add": {
+                       "data/v00000021-x/part-00000000.parquet":
+                       {"k": {"min": 10 * n, "max": 10 * n,
+                              "null_count": 0}}}}, f)
+    ckpt_bytes = os.path.getsize(S._ckpt_pq_path(t, 20))
+    del state
+    where = [("k", "==", n // 2)]
+
+    S._STATE_CACHE.clear()
+    tracemalloc.start()
+    t0 = time.time()
+    got = S.snapshot_scan_files(t, 21, where=where)
+    stream_s = time.time() - t0
+    stream_peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert got == [files[n // 2]], got
+
+    S._STATE_CACHE.clear()
+    tracemalloc.start()
+    t0 = time.time()
+    m = S._read_manifest(t, 21)
+    dict_s = time.time() - t0
+    dict_peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert len(m["files"]) == n + 1
+
+    print(json.dumps({
+        "n_files": n,
+        "ckpt_bytes": ckpt_bytes,
+        "ckpt_write_sec": round(write_s, 3),
+        "streamed_scan_sec": round(stream_s, 3),
+        "streamed_peak_mb": round(stream_peak / 1e6, 1),
+        "dict_reconstruct_sec": round(dict_s, 3),
+        "dict_peak_mb": round(dict_peak / 1e6, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
