@@ -294,6 +294,103 @@ _CKPT_FILE_COLS = (("stats", "stats"), ("bloom", "bloom"),
                    ("partitions", "part"))
 
 
+def _stat_float(x, up: bool):
+    """A SOUND float64 envelope edge for one decoded stat bound:
+    always at-or-beyond the true real value in direction *up* (two
+    ulp-steps past the nearest-rounded float — float conversion errs
+    by <= 0.5 ulp, so one step suffices; two is belt). None for value
+    kinds without a clean float order (strings, bools)."""
+    import math
+    if isinstance(x, bool) or x is None:
+        return None
+    if isinstance(x, (int, float, decimal.Decimal)):
+        try:
+            f = float(x)
+        except (OverflowError, ValueError):
+            return None
+    elif isinstance(x, datetime.datetime):
+        if x.tzinfo is None:
+            return None   # zone-ambiguous: exact path decides
+        f = x.timestamp()
+    elif isinstance(x, datetime.date):
+        f = float(x.toordinal())
+    else:
+        return None
+    inf = math.inf if up else -math.inf
+    return math.nextafter(math.nextafter(f, inf), inf)
+
+
+def _stat_kind(x) -> str | None:
+    """The float-envelope conversion family of a decoded bound — read
+    predicates must convert through the SAME family or skip the
+    vectorized stage (a date ordinal vs an epoch second would prune
+    wrongly)."""
+    if isinstance(x, bool) or x is None:
+        return None
+    if isinstance(x, (int, float, decimal.Decimal)):
+        return "num"
+    if isinstance(x, datetime.datetime):
+        return "ts" if x.tzinfo is not None else None
+    if isinstance(x, datetime.date):
+        return "date"
+    return None
+
+
+def _pred_float(value, kind: str, up: bool):
+    """Float64 envelope edge for a PREDICATE value under a column's
+    stored conversion *kind*, widened in direction *up* (opposite the
+    bound widening, so no true match is ever excluded). None = this
+    value can't join the vectorized stage (exact path decides)."""
+    import math
+    if isinstance(value, bool) or value is None:
+        return None
+    v = value
+    if kind == "num":
+        if not isinstance(v, (int, float, decimal.Decimal)):
+            return None
+        try:
+            f = float(v)
+        except (OverflowError, ValueError):
+            return None
+    elif kind == "ts":
+        if isinstance(v, datetime.datetime):
+            f = (v if v.tzinfo is not None
+                 else v.astimezone()).timestamp()
+        elif isinstance(v, datetime.date):
+            f = datetime.datetime(v.year, v.month, v.day) \
+                .astimezone().timestamp()
+        else:
+            return None
+    elif kind == "date":
+        if isinstance(v, datetime.date) \
+                and not isinstance(v, datetime.datetime):
+            f = float(v.toordinal())
+        else:
+            return None
+    else:
+        return None
+    inf = math.inf if up else -math.inf
+    return math.nextafter(math.nextafter(f, inf), inf)
+
+
+def _read_ckpt_meta(path: str) -> dict:
+    """Only a parquet checkpoint's TABLE-LEVEL fields (version,
+    parent, operation, schema, constraints, txn, ...) from the footer
+    key-value metadata — no row is read or decoded (the streamed
+    listing needs exactly this; the full `_read_ckpt_parquet` decode
+    costs seconds at a million files)."""
+    import pyarrow.parquet as pq
+    meta = pq.ParquetFile(path).schema_arrow.metadata or {}
+    state: dict = {}
+    for k in _CKPT_META_KEYS:
+        raw = meta.get(f"cdf.{k}".encode())
+        if raw is not None:
+            v = json.loads(raw)
+            if v is not None:
+                state[k] = v
+    return state
+
+
 def _read_ckpt_parquet(path: str) -> dict:
     """Decode a parquet checkpoint back to the full state dict (the
     ``_read_manifest`` contract). One row per file; per-file maps are
@@ -471,8 +568,46 @@ def _write_checkpoint(table_dir: str, state: dict) -> None:
         cols[col] = pa.array(
             [json.dumps(src[f], sort_keys=True) if f in src else None
              for f in files], pa.string())
+    # vectorized-prune envelope: per stats/partition column, SOUND
+    # float64 [smin, smax] columns (bounds widened outward two ulps;
+    # kind-tagged so read predicates convert through the same family)
+    # — the streamed listing prefilters these with numpy and runs the
+    # exact decoded check only on the surviving candidates, so a
+    # point lookup on a million-file checkpoint does no per-row JSON
+    # parsing on the cold path
+    stats_map = state.get("stats") or {}
+    parts_map = state.get("partitions") or {}
+    env_cols = sorted({c for sd in stats_map.values() for c in sd}
+                      | {c for pt in parts_map.values() for c in pt})
+    kinds: dict[str, str] = {}
+    if env_cols:
+        lo_arrs = {c: [] for c in env_cols}
+        hi_arrs = {c: [] for c in env_cols}
+        for f in files:
+            eff = _prune_stats(stats_map.get(f), parts_map.get(f))
+            for c in env_cols:
+                st = eff.get(c)
+                lo = hi = None
+                if st and st.get("min") is not None \
+                        and st.get("max") is not None:
+                    mn = _dec_stat(st["min"])
+                    mx = _dec_stat(st["max"])
+                    k = _stat_kind(mn)
+                    if k is not None and kinds.setdefault(c, k) == k:
+                        lo = _stat_float(mn, up=False)
+                        hi = _stat_float(mx, up=True)
+                        if lo is None or hi is None:
+                            lo = hi = None
+                lo_arrs[c].append(lo)
+                hi_arrs[c].append(hi)
+        for c in env_cols:
+            if c not in kinds:
+                continue   # no float-orderable bound anywhere
+            cols[f"smin:{c}"] = pa.array(lo_arrs[c], pa.float64())
+            cols[f"smax:{c}"] = pa.array(hi_arrs[c], pa.float64())
     meta = {f"cdf.{k}".encode(): json.dumps(state.get(k)).encode()
             for k in _CKPT_META_KEYS}
+    meta[b"cdf.statkinds"] = json.dumps(kinds).encode()
     tbl = pa.table(cols).replace_schema_metadata(meta)
     cp = _ckpt_pq_path(table_dir, state["version"])
     os.makedirs(os.path.dirname(cp), exist_ok=True)
@@ -1507,6 +1642,9 @@ def _streamed_scan_files(table_dir: str, version: int,
         pqp = _ckpt_pq_path(table_dir, v)
         if os.path.exists(pqp):
             break
+        if len(deltas) > 2 * _CHECKPOINT_EVERY:
+            return None   # no reachable checkpoint at the cadence:
+            # stop paying chain I/O twice, take the exact path
         try:
             with open(_manifest_path(table_dir, v)) as f:
                 raw = json.load(f)
@@ -1544,7 +1682,7 @@ def _streamed_scan_files(table_dir: str, version: int,
                 over[key][f] = val
     last = deltas[-1] if deltas else None
     meta_src = last if last is not None \
-        else _read_ckpt_parquet(_ckpt_pq_path(table_dir, v))
+        else _read_ckpt_meta(_ckpt_pq_path(table_dir, v))
     eq_or_in = any(op in ("==", "=", "in") for _c, op, _v in where)
 
     def keep(f, stats_entry, bloom_entry, pt_entry):
@@ -1580,29 +1718,97 @@ def _streamed_scan_files(table_dir: str, version: int,
         if pt:
             parts_[f] = pt
     pf = pq.ParquetFile(_ckpt_pq_path(table_dir, v))
+    names = set(pf.schema_arrow.names)
+    md = pf.schema_arrow.metadata or {}
+    kinds = json.loads(md.get(b"cdf.statkinds", b"{}") or b"{}")
+    # vectorized prefilter setup: predicates whose column carries a
+    # float envelope in this checkpoint, with the predicate value
+    # widened the OPPOSITE way (soundness: a true match can never be
+    # excluded; candidates still pass the exact decoded check below)
+    vec_preds = []
+    for colp, op, val in where:
+        k = kinds.get(colp)
+        if k is None or f"smin:{colp}" not in names:
+            continue
+        if op == "in":
+            pairs = []
+            ok = True
+            for x in val:
+                vlo = _pred_float(x, k, up=False)
+                vhi = _pred_float(x, k, up=True)
+                if vlo is None or vhi is None:
+                    ok = False
+                    break
+                pairs.append((vlo, vhi))
+            if ok and pairs:
+                vec_preds.append((colp, "in", pairs))
+            continue
+        vlo = _pred_float(val, k, up=False)
+        vhi = _pred_float(val, k, up=True)
+        if vlo is None or vhi is None:
+            continue
+        vec_preds.append((colp, op, (vlo, vhi)))
+    # files whose stats/partition entries were overridden by a delta
+    # have a stale envelope row: always treat them as candidates
+    over_files = set(over["stats"]) | set(over["partitions"])
     want = ["file"] + [c for _k, c in _CKPT_FILE_COLS]
-    have = [c for c in want
-            if c in pf.schema_arrow.names]
+    have = [c for c in want if c in names] \
+        + [f"s{e}:{c}" for c, _o, _v in vec_preds for e in
+           ("min", "max")]
     added_set = set(added_order)
     in_ckpt_added: set = set()
-    for batch in pf.iter_batches(columns=have):
-        cols = {c: batch.column(c).to_pylist() if c in have
-                else [None] * batch.num_rows for c in want}
-        for i, f in enumerate(cols["file"]):
-            if f in added_set:
-                in_ckpt_added.add(f)   # re-added ckpt file: this
-                # row is its authority, skip it in the adds pass
-            if not status.get(f, True):
-                continue
-            se = cols["stats"][i]
-            be = cols["bloom"][i]
-            ce = cols["chain"][i]
-            de = cols["dv"][i]
-            pe = cols["part"][i]
+    import numpy as np
+    for batch in pf.iter_batches(columns=sorted(set(have))):
+        cand = np.ones(batch.num_rows, dtype=bool)
+        for colp, op, vv in vec_preds:
+            lo = batch.column(f"smin:{colp}") \
+                .to_numpy(zero_copy_only=False)
+            hi = batch.column(f"smax:{colp}") \
+                .to_numpy(zero_copy_only=False)
+            has = ~(np.isnan(lo) | np.isnan(hi))
+            if op in ("==", "="):
+                vlo, vhi = vv
+                excl = (lo > vhi) | (hi < vlo)
+            elif op == "<":
+                excl = lo >= vv[1]
+            elif op == "<=":
+                excl = lo > vv[1]
+            elif op == ">":
+                excl = hi <= vv[0]
+            elif op == ">=":
+                excl = hi < vv[0]
+            else:          # "in": outside EVERY listed value's band
+                excl = np.ones(batch.num_rows, dtype=bool)
+                for vlo, vhi in vv:
+                    excl &= (lo > vhi) | (hi < vlo)
+            cand &= ~(has & excl)
+        files_b = batch.column("file").to_pylist()
+        if added_set:
+            # re-added ckpt files: these rows are their authority,
+            # skip them in the adds pass below
+            in_ckpt_added.update(added_set.intersection(files_b))
+        if status or over_files:
+            idx = [i for i, f in enumerate(files_b)
+                   if status.get(f, True)
+                   and (cand[i] or f in over_files)]
+        else:   # ckpt-aligned read: pure numpy candidate selection
+            idx = np.nonzero(cand)[0].tolist()
+        if not idx:
+            continue
+        sub = {c: (batch.column(c).take(idx).to_pylist()
+                   if c in names else [None] * len(idx))
+               for _k, c in _CKPT_FILE_COLS}
+        for j, i in enumerate(idx):
+            f = files_b[i]
+            se = sub["stats"][j]
+            be = sub["bloom"][j]
             se = json.loads(se) if se is not None else None
             be = json.loads(be) if be is not None else None
+            pe = sub["part"][j]
             if not keep(f, se, be, pe and json.loads(pe)):
                 continue
+            ce = sub["chain"][j]
+            de = sub["dv"][j]
             admit(f, se,
                   json.loads(ce) if ce is not None else None,
                   json.loads(de) if de is not None else None,

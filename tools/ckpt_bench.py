@@ -57,23 +57,31 @@ def main() -> None:
     del state
     where = [("k", "==", n // 2)]
 
+    # wall and peak are measured in SEPARATE runs: tracemalloc
+    # instruments every allocation and inflates allocation-heavy
+    # paths by an order of magnitude, so timing under it would
+    # charge the dict path ~10x and the streamed path ~30x
     S._STATE_CACHE.clear()
-    tracemalloc.start()
     t0 = time.time()
     got = S.snapshot_scan_files(t, 21, where=where)
     stream_s = time.time() - t0
-    stream_peak = tracemalloc.get_traced_memory()[1]
-    tracemalloc.stop()
     assert got == [files[n // 2]], got
-
     S._STATE_CACHE.clear()
     tracemalloc.start()
+    S.snapshot_scan_files(t, 21, where=where)
+    stream_peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+
+    S._STATE_CACHE.clear()
     t0 = time.time()
     m = S._read_manifest(t, 21)
     dict_s = time.time() - t0
+    assert len(m["files"]) == n + 1
+    S._STATE_CACHE.clear()
+    tracemalloc.start()
+    S._read_manifest(t, 21)
     dict_peak = tracemalloc.get_traced_memory()[1]
     tracemalloc.stop()
-    assert len(m["files"]) == n + 1
 
     print(json.dumps({
         "n_files": n,
