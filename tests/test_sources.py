@@ -2742,6 +2742,85 @@ def test_cdc_restore_unhides_dv_rows(spark, tmp_path):
     assert got == {(2, "delete", 7), (3, "insert", 7)}
 
 
+def test_streamed_scan_randomized_lifecycle(spark, tmp_path):
+    """Round 11 fuzz: the checkpoint-streaming listing must equal the
+    exact _read_manifest prune after ANY op sequence — seeded-random
+    appends / overwrites / deletes / updates / optimizes crossing the
+    checkpoint cadence, probed with random ==/range/in predicates and
+    full row-read comparison at the end."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import snapshots as S
+    for seed in (11, 1107):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"tbl{seed}")
+        S.snapshot_write(
+            spark.range(60).select((F.col("id") % 3).alias("g"),
+                                   F.col("id").alias("k")),
+            t, partition_by=["g"], stats_cols=["k"])
+        nxt = 60
+        for _ in range(24):   # cross the every-20 ckpt cadence
+            op = rng.choice(["append", "append", "append", "delete",
+                             "update", "optimize", "overwrite"])
+            if op == "append":
+                S.snapshot_write(
+                    spark.range(nxt, nxt + rng.randint(1, 4))
+                    .select((F.col("id") % 3).alias("g"),
+                            F.col("id").alias("k")),
+                    t, mode="append", stats_cols=["k"])
+                nxt += 4
+            elif op == "delete":
+                S.snapshot_delete(
+                    spark, t, [("k", "==", rng.randrange(nxt))])
+            elif op == "update":
+                S.snapshot_update(
+                    spark, t, [("k", "==", rng.randrange(nxt))],
+                    {"g": "2"})
+            elif op == "optimize":
+                S.snapshot_optimize(spark, t, num_files=2)
+            else:
+                S.snapshot_write(
+                    spark.range(nxt, nxt + 30)
+                    .select((F.col("id") % 3).alias("g"),
+                            F.col("id").alias("k")),
+                    t, mode="overwrite", stats_cols=["k"])
+                nxt += 30
+        v = S._latest_version(t)
+        for _ in range(8):
+            kind = rng.choice(["eq", "range", "in", "geq"])
+            if kind == "eq":
+                where = [("k", "==", rng.randrange(nxt))]
+            elif kind == "range":
+                a = rng.randrange(nxt)
+                where = [("k", ">=", a), ("k", "<=", a + 10)]
+            elif kind == "geq":
+                where = [("g", "==", rng.randrange(3))]
+            else:
+                where = [("k", "in",
+                          [rng.randrange(nxt) for _ in range(3)])]
+            S._STATE_CACHE.clear()
+            streamed = S._streamed_scan_files(t, v, where)
+            m = S._read_manifest(t, v)
+            exact = [f for f in m["files"]
+                     if S._file_may_match(S._stats_for_prune(m, f),
+                                          where)]
+            assert streamed is not None, (seed, where)
+            assert sorted(streamed[0]) == sorted(exact), (seed, where)
+            rows_s = sorted(
+                (r.g, r.k) for r in
+                S.snapshot_read(spark, t, where=where)
+                .spark_df.collect())
+            rows_e = sorted(
+                (r.g, r.k) for r in
+                S._read_files_renamed(spark, t, exact, m)
+                .filter(S._pred_column(*where[0]))
+                .filter(S._pred_column(*where[-1]))
+                .collect()) if exact else []
+            assert rows_s == rows_e, (seed, where)
+
+
 class TestMaterializedChangeData:
     """Round 11: Delta's ``_change_data`` — DML commits persist their
     change rows at commit time; both feeds become plain scans and the
