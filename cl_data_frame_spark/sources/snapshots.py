@@ -2591,8 +2591,10 @@ def _era_align_map(era_fields: list, final_fields: list) -> dict:
 
 
 def snapshot_changes(spark: SparkSession, table_dir: str,
-                     from_version: int,
-                     to_version: int | None = None) -> SparkFrame:
+                     from_version: int | None = None,
+                     to_version: int | None = None,
+                     from_timestamp=None,
+                     to_timestamp=None) -> SparkFrame:
     """Batch CDC (Delta's ``table_changes``): every row-level change
     committed in versions (*from_version*, *to_version*], as one
     DataFrame with ``_change_type`` (insert / delete /
@@ -2611,7 +2613,31 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
     (rename commits are metadata-only, so position and type survive),
     added/dropped columns NULL-fill by name (the
     ``snapshot_read_merged`` rule). Column order: final-era columns,
-    then dropped-era extras, then the CDC metadata columns."""
+    then dropped-era extras, then the CDC metadata columns.
+
+    Timestamp bounds (Delta's ``table_changes(tbl, ts, ts)`` form):
+    ``from_timestamp`` includes every commit AT or after that instant
+    (``snapshot_version_since``), ``to_timestamp`` ends at the last
+    commit at or before it (``snapshot_version_at``) — each mutually
+    exclusive with its version twin. A ``from_timestamp`` newer than
+    all history yields an empty feed."""
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass from_version or from_timestamp, not both")
+        since = snapshot_version_since(table_dir, from_timestamp)
+        from_version = since - 1 if since is not None \
+            else _latest_version(table_dir)   # nothing that new:
+        # empty range (from == to), matching the streaming resolver
+    if from_version is None:
+        raise ValueError(
+            "snapshot_changes requires from_version or "
+            "from_timestamp")
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "pass to_version or to_timestamp, not both")
+        to_version = snapshot_version_at(table_dir, to_timestamp)
     if to_version is None:
         to_version = _latest_version(table_dir)
         if to_version is None:

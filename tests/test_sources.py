@@ -3015,3 +3015,45 @@ def test_timestamp_time_travel(spark, tmp_path):
     hist = S.snapshot_history(t)
     assert [h["timestamp"] for h in hist] == sorted(
         h["timestamp"] for h in hist)
+
+
+def test_snapshot_changes_timestamp_bounds(spark, tmp_path):
+    """Round 11: Delta's timestamp form of table_changes —
+    from_timestamp is at-or-after inclusive (micro-rounded, like the
+    streaming startingTimestamp), to_timestamp resolves like
+    timestampAsOf."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(spark.range(2).select(F.col("id").alias("v")), t)
+    time.sleep(0.05)
+    S.snapshot_write(spark.range(2, 4).select(F.col("id").alias("v")),
+                     t, mode="append")
+    t2 = os.path.getmtime(S._manifest_path(t, 2))
+    time.sleep(0.05)
+    S.snapshot_write(spark.range(4, 5).select(F.col("id").alias("v")),
+                     t, mode="append")
+    # at v2's instant: v2 and v3 stream
+    got = sorted(r.v for r in S.snapshot_changes(
+        spark, t, from_timestamp=t2).spark_df.collect())
+    assert got == [2, 3, 4]
+    # bounded above at v2's instant: exactly v2
+    got = sorted(r.v for r in S.snapshot_changes(
+        spark, t, from_version=1, to_timestamp=t2)
+        .spark_df.collect())
+    assert got == [2, 3]
+    # newer than all history: empty, not an error
+    assert S.snapshot_changes(
+        spark, t, from_timestamp=time.time() + 60).spark_df.count() \
+        == 0
+    with pytest.raises(ValueError, match="not both"):
+        S.snapshot_changes(spark, t, from_version=0, from_timestamp=t2)
+    with pytest.raises(ValueError, match="not both"):
+        S.snapshot_changes(spark, t, from_version=0, to_version=2,
+                           to_timestamp=t2)
+    with pytest.raises(ValueError, match="requires"):
+        S.snapshot_changes(spark, t)
