@@ -3057,3 +3057,25 @@ def test_snapshot_changes_timestamp_bounds(spark, tmp_path):
                            to_timestamp=t2)
     with pytest.raises(ValueError, match="requires"):
         S.snapshot_changes(spark, t)
+
+
+def test_materialized_changes_read_plan_is_scan_only(spark, tmp_path):
+    """Round 11: reading the change feed of materialized DML commits
+    plans as plain parquet scans — no join, no aggregate (the r10
+    recompute planned a full-outer SMJ + grouped counts per commit)."""
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(1000).selectExpr("id AS k", "id*2 AS v")
+        .repartitionByRange(2, "k"), t, stats_cols=["k"])
+    S.snapshot_merge(spark, t, spark.createDataFrame(
+        [(5, 1), (2000, 2)], "k bigint, v bigint"), on="k")
+    S.snapshot_delete(spark, t, [("k", "==", 7)])
+    fr = S.snapshot_changes(spark, t, 1)
+    plan = fr.spark_df._jdf.queryExecution().executedPlan().toString()
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate",
+               "Exchange"):
+        assert op not in plan, (op, plan[:2000])
+    assert fr.spark_df.count() >= 3
