@@ -396,7 +396,13 @@ def _read_ckpt_parquet(path: str) -> dict:
     ``_read_manifest`` contract). One row per file; per-file maps are
     JSON string columns, table-level fields live in the footer
     key-value metadata — so Spark/pyarrow can also scan the file list
-    WITHOUT materializing this dict (``_streamed_scan_files``)."""
+    WITHOUT materializing this dict (``_streamed_scan_files``).
+
+    Cost profile: O(#files) json.loads + the dict itself (~18s /
+    ~1.3 GB at 1M files, LRU-amortized) — the price of a FULL state,
+    paid only by unpredicated reads and write paths that need every
+    file; predicated listings take the streamed path instead (0.9s /
+    13 MB at 1M files, tools/ckpt_bench.py)."""
     import pyarrow.parquet as pq
     t = pq.read_table(path)
     meta = t.schema.metadata or {}
@@ -2573,7 +2579,14 @@ def _era_align_map(era_fields: list, final_fields: list) -> dict:
     position and type survive) and maps old -> new; anything else
     keeps its era name and surfaces as a NULL-filled extra column in
     the other eras (the ``snapshot_read_merged`` unify-by-name
-    rule)."""
+    rule).
+
+    Name-match takes PRECEDENCE over position: a pathological column
+    SWAP (x->tmp, y->x, tmp->y — both names survive with exchanged
+    positions) therefore aligns by NAME, the semantics a format
+    without per-column IDs can promise (Delta behaves the same
+    without column mapping); plain renames, adds, and drops — the
+    cases schema evolution actually produces — align exactly."""
     final_names = {f["name"] for f in final_fields}
     era_names = {f["name"] for f in era_fields}
 
