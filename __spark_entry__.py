@@ -3225,6 +3225,34 @@ def q_s_layout_prune(spark, sf_dir):
                 F.col("n").cast("bigint").alias("i1"),
                 F.col("sum_qty").cast("double").alias("d1"),
                 F.col("sum_ok").cast("bigint").alias("i2"))
+    # snapera (round 11): CDC ERA AUTO-SPLIT — rename the quantity
+    # column AFTER the DML history (metadata-only commit), append one
+    # more slice under the new name, then read the change feed over
+    # the WHOLE history: pre-rename eras must surface under the FINAL
+    # name (positional alignment — rename commits preserve position
+    # and type), the rename itself emits nothing, and the post-rename
+    # append emits inserts. One aggregate row per (version,
+    # change_type); the oracle recomputes all seven from the original
+    # table under the renamed label. (The earlier parts pinned their
+    # manifests at build time, so the rename cannot retroactively
+    # change them.)
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_rename_column)
+    snapshot_rename_column(spath, "l_quantity", "qty2")
+    v_era = snapshot_write(
+        li.filter(F.col("l_quantity") == 5)
+        .withColumnRenamed("l_quantity", "qty2")
+        .repartitionByRange(2, "l_orderkey"), spath, mode="append",
+        stats_cols=["l_orderkey"])
+    eagg = (snapshot_changes(spark, spath, 0, v_era).spark_df
+            .groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum("qty2").alias("sum_qty"),
+                 F.sum("l_orderkey").alias("sum_ok")))
+    gera = _tag(eagg, "snapera",
+                F.col("n").cast("bigint").alias("i1"),
+                F.col("sum_qty").cast("double").alias("d1"),
+                F.col("sum_ok").cast("bigint").alias("i2"))
     # BLOOM point-lookup skipping (round 9): hash-partitioned on
     # l_partkey, so every file's [min, max] spans the whole key domain
     # and range stats prune NOTHING — the per-file Bloom filters must
@@ -3259,7 +3287,7 @@ def q_s_layout_prune(spark, sf_dir):
             .unionByName(c).unionByName(d).unionByName(e)
             .unionByName(ein)
             .unionByName(g).unionByName(gdv).unionByName(gcdc)
-            .unionByName(hb))
+            .unionByName(gera).unionByName(hb))
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -4259,7 +4287,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapin",
                        "snapdelete", "snapdv", "snapcdc",
-                       "snapbloom"],
+                       "snapera", "snapbloom"],
 }
 
 
@@ -6132,6 +6160,64 @@ _ORACLES["s_layout_prune"] = _union(
         FROM rem
         WHERE l_orderkey = (SELECT ko FROM mn)
           AND l_linenumber = (SELECT kl FROM mn)""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snapera: the change feed over the WHOLE history after a
+    # post-DML column rename + one more append — the feed auto-splits
+    # at the rename and aligns the old eras to the final name, so the
+    # seven (version, change_type) aggregate rows are exactly the
+    # snapcdc history plus both appends' inserts and the new slice
+    _wrap("snapera", """
+        WITH cut AS (
+            SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+            FROM lineitem),
+        rem AS (
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_quantity = 4
+              AND l_orderkey > (SELECT c FROM cut)),
+        mn AS (
+            SELECT l_orderkey AS ko, l_linenumber AS kl FROM rem
+            ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 1)
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem WHERE l_quantity <= 2
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM lineitem WHERE l_quantity = 3
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM lineitem WHERE l_quantity <= 3
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM lineitem WHERE l_quantity = 4
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM lineitem
+        WHERE l_quantity = 4
+          AND l_orderkey <= (SELECT c FROM cut)
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM rem
+        WHERE l_orderkey = (SELECT ko FROM mn)
+          AND l_linenumber = (SELECT kl FROM mn)
+        UNION ALL
+        SELECT count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE,
+               sum(l_orderkey)
+        FROM lineitem WHERE l_quantity = 5""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"),
     # snapbloom: Bloom-filtered point lookup on a hash-scattered key —
