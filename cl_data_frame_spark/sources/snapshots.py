@@ -1707,8 +1707,14 @@ def _streamed_scan_files(table_dir: str, version: int,
             for f, val in (d.get(add_k) or {}).items():
                 over[key][f] = val
     last = deltas[-1] if deltas else None
-    meta_src = last if last is not None \
-        else _read_ckpt_meta(_ckpt_pq_path(table_dir, v))
+    try:
+        meta_src = last if last is not None \
+            else _read_ckpt_meta(_ckpt_pq_path(table_dir, v))
+        pf = pq.ParquetFile(_ckpt_pq_path(table_dir, v))
+    except (OSError, ValueError, KeyError):
+        return None   # unreadable/corrupt checkpoint (ArrowInvalid
+        # is a ValueError): decline — the exact path replays the
+        # delta chain past it and stays correct
     eq_or_in = any(op in ("==", "=", "in") for _c, op, _v in where)
 
     def keep(f, stats_entry, bloom_entry, pt_entry):
@@ -1743,7 +1749,6 @@ def _streamed_scan_files(table_dir: str, version: int,
             dvs[f] = dv
         if pt:
             parts_[f] = pt
-    pf = pq.ParquetFile(_ckpt_pq_path(table_dir, v))
     names = set(pf.schema_arrow.names)
     md = pf.schema_arrow.metadata or {}
     kinds = json.loads(md.get(b"cdf.statkinds", b"{}") or b"{}")

@@ -3079,3 +3079,68 @@ def test_materialized_changes_read_plan_is_scan_only(spark, tmp_path):
                "Exchange"):
         assert op not in plan, (op, plan[:2000])
     assert fr.spark_df.count() >= 3
+
+
+def test_legacy_json_checkpoint_stays_readable(spark, tmp_path):
+    """Round 11: tables checkpointed by the pre-parquet code (single
+    JSON .ckpt blobs) reconstruct unchanged — the parquet reader falls
+    through to the JSON checkpoint, then to the delta chain."""
+    import json as _json
+
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    files = [f"data/v1/p{i}.parquet" for i in range(5)]
+    st = {"version": 1, "parent": None, "operation": "append",
+          "schema": '{"type":"struct","fields":[]}', "files": files,
+          "stats": {f: {"k": {"min": i, "max": i, "null_count": 0}}
+                    for i, f in enumerate(files)}}
+    S._publish(t, st)
+    st2 = {**st, "version": 2, "parent": 1,
+           "files": files + ["data/v2/p.parquet"],
+           "stats": {**st["stats"],
+                     "data/v2/p.parquet": {"k": {"min": 9, "max": 9,
+                                                 "null_count": 0}}}}
+    S._publish(t, st2)
+    # hand-write a LEGACY JSON checkpoint for v2 and drop the parquet
+    # one, as a pre-round-11 table would look on disk
+    pqp = S._ckpt_pq_path(t, 2)
+    if os.path.exists(pqp):
+        os.remove(pqp)
+    with open(S._ckpt_path(t, 2), "w") as f:
+        _json.dump(st2, f)
+    S._STATE_CACHE.clear()
+    m = S._read_manifest(t, 2)
+    assert len(m["files"]) == 6 and len(m["stats"]) == 6
+    # predicated listing: no parquet ckpt -> exact path, same answer
+    got = S.snapshot_scan_files(t, 2, where=[("k", "==", 3)])
+    assert got == [files[3]]
+
+
+def test_corrupt_parquet_checkpoint_falls_back(spark, tmp_path):
+    """A truncated/garbage .ckpt.parquet must never wedge a read: the
+    reconstruction falls through to the delta chain, and the streamed
+    listing declines in favor of the exact path."""
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import snapshots as S
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(
+        spark.range(50).selectExpr("id AS k").repartitionByRange(
+            2, "k"), t, stats_cols=["k"])
+    for i in range(20):      # force a checkpoint at v20
+        S.snapshot_write(
+            spark.range(50 + i, 51 + i).selectExpr("id AS k"), t,
+            mode="append", stats_cols=["k"])
+    pqp = S._ckpt_pq_path(t, 20)
+    assert os.path.exists(pqp)
+    with open(pqp, "wb") as f:
+        f.write(b"not a parquet file")
+    S._STATE_CACHE.clear()
+    m = S._read_manifest(t, 21)
+    assert len(m["files"]) > 0
+    assert S.snapshot_read(spark, t).nrow == 70
+    S._STATE_CACHE.clear()
+    got = S.snapshot_scan_files(t, 21, where=[("k", "==", 3)])
+    exact_rows = S.snapshot_read(spark, t,
+                                 where=[("k", "==", 3)]).nrow
+    assert exact_rows == 1 and len(got) >= 1
