@@ -3290,6 +3290,87 @@ def q_s_layout_prune(spark, sf_dir):
             .unionByName(gera).unionByName(hb))
 
 
+def q_x_matview(spark, sf_dir):
+    """CDC-maintained MATERIALIZED AGGREGATE VIEW (operators/matview):
+    per-returnflag count/sum/avg/min/max of l_quantity over a snapshot
+    table, maintained INCREMENTALLY from the change feed across a DML
+    history — append (pure-arithmetic refresh, asserted repair-free),
+    band delete (deletes each group's stored min -> exact per-group
+    repair via a pruned re-aggregation), +10 quantity update at the
+    max orderkey (update pre/post images), and a whole-group erase
+    (cnt=0 tombstone, asserted present in storage and absent from the
+    read). Two oracled parts: the view AFTER the first refresh (mvmid,
+    pinned manifest — later merges can't retroactively change it) and
+    the final view (mvread); the oracle recomputes both as plain GROUP
+    BYs over the original rows, so every incremental step must land on
+    the exact full-recompute values. Refresh cost is O(changed rows +
+    touched groups) — the engine-side exactly-once watermark
+    (txn riding the merge commit) is asserted inline."""
+    import os
+    import tempfile
+
+    from cl_data_frame_spark.operators.matview import (
+        matview_create, matview_read, matview_refresh)
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_delete, snapshot_read, snapshot_txn_version,
+        snapshot_update, snapshot_write)
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_quantity"))
+    mvtmp = tempfile.mkdtemp(prefix="cdf_matview_")
+    src = os.path.join(mvtmp, "src")
+    view = os.path.join(mvtmp, "mv")
+    snapshot_write(li.filter(F.col("l_quantity") <= 2)
+                   .repartitionByRange(4, "l_orderkey"), src,
+                   mode="append", stats_cols=["l_orderkey"])
+    matview_create(spark, src, view, keys="l_returnflag",
+                   measure_cols=["l_quantity"])
+    snapshot_write(li.filter(F.col("l_quantity") == 3)
+                   .repartitionByRange(4, "l_orderkey"), src,
+                   mode="append", stats_cols=["l_orderkey"])
+    r1 = matview_refresh(spark, view)
+    assert r1["mode"] == "incremental" and \
+        r1["groups_repaired"] == 0, \
+        f"append-only refresh must be pure arithmetic: {r1}"
+    mid = matview_read(spark, view).spark_df   # manifest pinned here
+    a = _tag(mid, "mvmid",
+             F.col("l_returnflag").alias("s1"),
+             F.col("cnt").cast("bigint").alias("i1"),
+             F.col("sum_l_quantity").cast("double").alias("d1"),
+             F.col("avg_l_quantity").cast("double").alias("d2"),
+             F.col("min_l_quantity").cast("double").alias("d3"),
+             F.col("max_l_quantity").cast("double").alias("d4"))
+    # DML history: band delete (kills each group's min -> repair),
+    # +10 update at the max orderkey (pre/post images), group erase
+    cut = int(li.agg(F.floor(F.max("l_orderkey") / 4))
+              .collect()[0][0])
+    maxok = int(li.filter(F.col("l_quantity") <= 3)
+                .agg(F.max("l_orderkey")).collect()[0][0])
+    snapshot_delete(spark, src, [("l_orderkey", "<=", cut)])
+    snapshot_update(spark, src, [("l_orderkey", "==", maxok)],
+                    set_exprs={"l_quantity": F.col("l_quantity") + 10})
+    v_erase = snapshot_delete(spark, src,
+                              [("l_returnflag", "==", "R")])
+    r2 = matview_refresh(spark, view)
+    assert r2["groups_repaired"] >= 1, \
+        f"band delete must repair stored minima: {r2}"
+    assert snapshot_txn_version(view, "matview") == v_erase, \
+        "refresh watermark must ride the merge commit"
+    stored = snapshot_read(spark, view).spark_df
+    assert stored.where((F.col("l_returnflag") == "R")
+                        & (F.col("cnt") == 0)).count() == 1, \
+        "erased group must leave a cnt=0 tombstone in storage"
+    fin = matview_read(spark, view).spark_df
+    b = _tag(fin, "mvread",
+             F.col("l_returnflag").alias("s1"),
+             F.col("cnt").cast("bigint").alias("i1"),
+             F.col("sum_l_quantity").cast("double").alias("d1"),
+             F.col("avg_l_quantity").cast("double").alias("d2"),
+             F.col("min_l_quantity").cast("double").alias("d3"),
+             F.col("max_l_quantity").cast("double").alias("d4"))
+    return a.unionByName(b)
+
+
 def q_st_ss_join(spark, sf_dir):
     """REAL stream-stream interval join: view events paired with same-user
     click events within 10 minutes, both file-source streams, watermarked
@@ -4202,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bm25": q_x_bm25,
         "x_embed_quantize": q_x_embed_quantize,
         "s_layout_prune": q_s_layout_prune,
+        "x_matview": q_x_matview,
         # streaming
         "st_windows": q_st_windows,
         "st_stateful": q_st_stateful,
@@ -4288,6 +4370,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                        "snapshot", "snapprune", "snapin",
                        "snapdelete", "snapdv", "snapcdc",
                        "snapera", "snapbloom"],
+    "x_matview": ["mvmid", "mvread"],
 }
 
 
@@ -6234,6 +6317,46 @@ _ORACLES["s_layout_prune"] = _union(
                            WHERE l_quantity <= 2)""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"))
+
+# x_matview: the incrementally-maintained aggregate view must land on
+# the exact full-recompute values at both observation points. mvmid:
+# after the append-only refresh the source is the whole qty<=3 slice.
+# mvread: the final state — band rows (orderkey <= cut) deleted,
+# quantity+10 at the max orderkey, returnflag R erased (its tombstone
+# is asserted engine-side). avg is derived the same way on both sides:
+# exact decimal sum cast to DOUBLE, divided by the non-null count.
+_MV_MEASURES = (
+    "count(*) AS cnt, "
+    "sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS sum_q, "
+    "sum(CAST(q AS DECIMAL(28,6)))::DOUBLE / count(q) AS avg_q, "
+    "min(q)::DOUBLE AS min_q, max(q)::DOUBLE AS max_q")
+_MV_TAGCOLS = ("l_returnflag AS s1, cnt::BIGINT AS i1, "
+               "sum_q::DOUBLE AS d1, avg_q::DOUBLE AS d2, "
+               "min_q::DOUBLE AS d3, max_q::DOUBLE AS d4")
+_ORACLES["x_matview"] = _union(
+    _wrap("mvmid", f"""
+        SELECT l_returnflag, {_MV_MEASURES}
+        FROM (SELECT l_returnflag, l_quantity AS q FROM lineitem
+              WHERE l_quantity <= 3)
+        GROUP BY l_returnflag""", _MV_TAGCOLS),
+    _wrap("mvread", f"""
+        WITH cut AS (
+            SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+            FROM lineitem),
+        mx AS (
+            SELECT max(l_orderkey) AS m FROM lineitem
+            WHERE l_quantity <= 3),
+        fin AS (
+            SELECT l_returnflag,
+                   CASE WHEN l_orderkey = (SELECT m FROM mx)
+                        THEN l_quantity + 10
+                        ELSE l_quantity END AS q
+            FROM lineitem
+            WHERE l_quantity <= 3
+              AND l_orderkey > (SELECT c FROM cut)
+              AND l_returnflag <> 'R')
+        SELECT l_returnflag, {_MV_MEASURES}
+        FROM fin GROUP BY l_returnflag""", _MV_TAGCOLS))
 
 _SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
                "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")

@@ -1,0 +1,366 @@
+"""Incrementally-maintained materialized aggregate views, driven by
+the snapshot CDC change feed.
+
+``incremental_agg_build/merge`` (relational.py) maintains an
+append-only rollup: each new shard merges in, but a DELETE or UPDATE
+on the base table silently diverges the rollup. This module closes
+that gap with the classic incremental-view-maintenance construction
+(Gupta & Mumick, "Maintenance of Materialized Views", IEEE Data Eng.
+Bulletin 1995; self-maintainable aggregates): the view is a snapshot
+TABLE of per-group partial aggregates, and each refresh consumes the
+base table's row-level change feed —
+
+1. ``snapshot_changes(from=last_consumed, to=target)`` yields exactly
+   the inserted / deleted / update pre+post rows (a plain scan of the
+   materialized ``_change_data`` files for DML commits);
+2. one small aggregation turns them into per-group DELTAS
+   (count/sum/non-null-count add with sign; inserted-side min/max);
+3. deltas join the CURRENT view rows for only the touched groups
+   (broadcast semi-join — the view is scanned once, never collected);
+4. count and sum merge arithmetically (exact DECIMAL sums, so merge
+   order can never change the result). min/max are NOT
+   self-maintainable under deletion — a group whose deleted values
+   touch its stored extremes is recomputed exactly, from the base
+   snapshot pinned at the target version, over ONLY those groups
+   (broadcast semi-join again);
+5. groups whose count reaches zero become cnt=0 TOMBSTONES (filtered
+   by ``matview_read``) so the whole refresh is ONE ``snapshot_merge``
+   commit — and that commit carries ``txn=("matview", target)``, the
+   idempotent-writer watermark: a maintainer that crashes between its
+   commit and its bookkeeping re-reads the watermark and skips the
+   double-apply (exactly-once refresh, the same protocol the
+   streaming snapshot sink replays against).
+
+Refresh cost is O(changed rows + touched groups), never O(base
+table): at 100 TB the feed scan is the commits' change files, the
+delta is #touched-groups rows, and the MERGE is the snapshot layer's
+stats-skipping row-level merge (key-disjoint view files carry over
+verbatim; the view is created with ``stats_cols=keys`` precisely so
+that skipping fires).
+
+Exposed measures per column c: ``cnt``, ``sum_c`` (exact decimal),
+``avg_c`` (= double(sum)/non-null count — both sides of the oracle
+derive it from the same exact decimal, so the doubles are
+bit-identical), ``min_c``, ``max_c``; SQL NULL semantics (an all-NULL
+or empty measure exposes NULL sum/avg/min/max) via a stored non-null
+counter per measure.
+
+Group keys must be non-NULL (enforced loudly at create and refresh):
+the underlying MERGE matches keys with standard SQL equality, so a
+NULL group would never match its own view row.
+
+No reference analogue (`cl-data-frame.lisp:1-583` has no storage or
+view surface); Tier X extension in the SURVEY §2.3 lakehouse family,
+composing the CDC feed, IN-predicate pruning, and the idempotent
+txn watermark into the standard warehouse maintenance loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.frame import SparkFrame
+
+_META_FILE = "_matview.json"
+_APP_ID = "matview"
+_SUM_T = "decimal(38,{s})"
+
+
+def _plain(frame) -> DataFrame:
+    return frame.spark_df if isinstance(frame, SparkFrame) else frame
+
+
+def _meta_path(view_dir: str) -> str:
+    return os.path.join(view_dir, _META_FILE)
+
+
+def _read_meta(view_dir: str) -> dict:
+    try:
+        with open(_meta_path(view_dir), "r", encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"{view_dir} is not a materialized view "
+            f"(no {_META_FILE}; create one with matview_create)")
+
+
+def _write_meta(view_dir: str, meta: dict) -> None:
+    tmp = _meta_path(view_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _meta_path(view_dir))
+
+
+def _check_keys_nonnull(sdf: DataFrame, keys: list[str],
+                        what: str) -> None:
+    # a NULL group key would never match its own view row under the
+    # MERGE's SQL equality — refuse loudly instead of silently
+    # duplicating the group. The check runs on an already-small frame
+    # (per-group aggregates / per-group deltas), never the base data.
+    cond = F.col(keys[0]).isNull()
+    for k in keys[1:]:
+        cond = cond | F.col(k).isNull()
+    if sdf.where(cond).limit(1).count():
+        raise ValueError(
+            f"NULL group key in {what}: materialized views require "
+            f"non-NULL group keys {keys} (filter or coalesce them "
+            f"in the base table first)")
+
+
+def _full_agg(sdf: DataFrame, keys: list[str],
+              measure_cols: list[str], scale: int) -> DataFrame:
+    """The view's stored shape, computed exactly from base rows:
+    per group ``cnt`` plus, per measure c, exact-decimal ``sum_c``,
+    non-null count ``nn_c``, and ``min_c``/``max_c``."""
+    sum_t = _SUM_T.format(s=scale)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in measure_cols:
+        dec = F.col(c).cast(f"decimal(28,{scale})")
+        aggs += [
+            F.coalesce(F.sum(dec), F.lit(0)).cast(sum_t)
+            .alias(f"sum_{c}"),
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.min(F.col(c)).alias(f"min_{c}"),
+            F.max(F.col(c)).alias(f"max_{c}"),
+        ]
+    return sdf.groupBy(*keys).agg(*aggs)
+
+
+def matview_create(spark: SparkSession, source_dir: str,
+                   view_dir: str, keys: Sequence[str] | str,
+                   measure_cols: Sequence[str] = (),
+                   scale: int = 6,
+                   version: int | None = None,
+                   num_files: int | None = None) -> int:
+    """Materialize the per-group aggregate of snapshot table
+    *source_dir* at *version* (default: its latest) into the snapshot
+    table *view_dir*, and record the consumed source version so
+    ``matview_refresh`` can continue from the change feed. Returns
+    the source version the view reflects."""
+    from cl_data_frame_spark.sources.snapshots import (
+        _latest_version, snapshot_read, snapshot_write)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    measure_cols = list(measure_cols)
+    if version is None:
+        version = _latest_version(source_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {source_dir}")
+    base = _plain(snapshot_read(spark, source_dir, version=version))
+    missing = [c for c in [*keys, *measure_cols]
+               if c not in base.columns]
+    if missing:
+        raise ValueError(
+            f"columns {missing} not in source table "
+            f"(has {base.columns})")
+    # one materialization feeds both the null-key check and the write
+    agg = _full_agg(base, keys, measure_cols, scale) \
+        .localCheckpoint(eager=False)
+    _check_keys_nonnull(agg, keys, "matview_create")
+    snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
+                   num_files=num_files, stats_cols=keys,
+                   txn=(_APP_ID, version))
+    _write_meta(view_dir, {
+        "source_dir": os.path.abspath(source_dir),
+        "keys": keys, "measure_cols": measure_cols,
+        "scale": scale, "source_version": version,
+    })
+    return version
+
+
+def _delta_agg(changes: DataFrame, keys: list[str],
+               measure_cols: list[str], scale: int) -> DataFrame:
+    """Per-group deltas from the change feed: signed count/sum/nn,
+    inserted-side min/max (candidates to improve the stored extremes),
+    deleted-side min/max (to DETECT stored extremes being removed)."""
+    sum_t = _SUM_T.format(s=scale)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).alias("d_cnt")]
+    for c in measure_cols:
+        dec = F.col(c).cast(f"decimal(28,{scale})")
+        nn = F.col(c).isNotNull()
+        aggs += [
+            F.coalesce(F.sum(F.when(nn, sign * dec)), F.lit(0))
+            .cast(sum_t).alias(f"d_sum_{c}"),
+            F.coalesce(F.sum(F.when(nn, sign)), F.lit(0))
+            .alias(f"d_nn_{c}"),
+            F.min(F.when(sign > 0, F.col(c))).alias(f"add_min_{c}"),
+            F.max(F.when(sign > 0, F.col(c))).alias(f"add_max_{c}"),
+            F.min(F.when(sign < 0, F.col(c))).alias(f"del_min_{c}"),
+            F.max(F.when(sign < 0, F.col(c))).alias(f"del_max_{c}"),
+        ]
+    return changes.groupBy(*keys).agg(*aggs)
+
+
+def matview_refresh(spark: SparkSession, view_dir: str,
+                    to_version: int | None = None) -> dict:
+    """Advance the view to the source's *to_version* (default: its
+    latest) by consuming the change feed since the last refresh.
+    Cost O(changed rows + touched groups); ONE snapshot_merge commit
+    on the view, carrying the ``("matview", to_version)`` txn
+    watermark (re-running a crashed refresh is a no-op once the
+    commit landed). Returns a summary dict."""
+    from cl_data_frame_spark.sources.snapshots import (
+        _latest_version, snapshot_changes, snapshot_merge,
+        snapshot_read, snapshot_txn_version)
+    meta = _read_meta(view_dir)
+    src_dir = meta["source_dir"]
+    keys = list(meta["keys"])
+    measure_cols = list(meta["measure_cols"])
+    scale = int(meta["scale"])
+    sum_t = _SUM_T.format(s=scale)
+    target = to_version if to_version is not None \
+        else _latest_version(src_dir)
+    if target is None:
+        raise FileNotFoundError(f"no snapshot versions in {src_dir}")
+    # the commit-riding watermark is the truth; the meta file is only
+    # a cache of it (a crash between merge-commit and meta write must
+    # NOT double-apply the delta)
+    applied = snapshot_txn_version(view_dir, _APP_ID)
+    if applied is None:
+        applied = int(meta["source_version"])
+    if target <= applied:
+        if meta.get("source_version") != applied:
+            _write_meta(view_dir, {**meta, "source_version": applied})
+        return {"mode": "noop", "from_version": applied,
+                "to_version": applied}
+    changes = _plain(snapshot_changes(
+        spark, src_dir, from_version=applied, to_version=target))
+    gone = [c for c in [*keys, *measure_cols]
+            if c not in changes.columns]
+    if gone:
+        raise ValueError(
+            f"view columns {gone} no longer exist in the source's "
+            f"change feed (schema evolution renamed or dropped them) "
+            f"— recreate the view with matview_create")
+    # per-group deltas: small (#touched groups), computed once
+    delta = _delta_agg(changes, keys, measure_cols, scale) \
+        .localCheckpoint(eager=True)
+    n_touched = delta.count()
+    if n_touched == 0:
+        # metadata-only / no-op commits in the range: just advance
+        # the watermark via an empty merge? No — skip the commit and
+        # advance the meta cache; the NEXT real refresh re-reads the
+        # same (cheap, empty) range again from the commit watermark.
+        _write_meta(view_dir, {**meta, "source_version": applied})
+        return {"mode": "empty", "from_version": applied,
+                "to_version": target, "groups_touched": 0}
+    _check_keys_nonnull(delta, keys, "the change feed")
+    view = _plain(snapshot_read(spark, view_dir))
+    stored_types = dict(view.dtypes)
+    # current view rows for ONLY the touched groups (broadcast
+    # semi-join: the view — arbitrarily many groups — streams once)
+    touched = view.join(F.broadcast(delta.select(*keys)),
+                        on=keys, how="left_semi")
+    d, v = delta.alias("d"), touched.alias("v")
+    j = d.join(v, on=keys, how="left")
+    new_cnt = (F.coalesce(F.col("v.cnt"), F.lit(0))
+               + F.col("d.d_cnt"))
+    # min/max are not self-maintainable under deletion: repair any
+    # group whose deleted values may include a stored extreme (or
+    # whose view row is missing while the feed deletes from it —
+    # an inconsistent feed; recompute exactly rather than guess)
+    repair = F.lit(False)
+    for c in measure_cols:
+        dmin, dmax = F.col(f"d.del_min_{c}"), F.col(f"d.del_max_{c}")
+        vmin, vmax = F.col(f"v.min_{c}"), F.col(f"v.max_{c}")
+        has_del = dmin.isNotNull()
+        repair = repair | (has_del & (
+            F.col("v.cnt").isNull() | vmin.isNull()
+            | (dmin <= vmin) | (dmax >= vmax)))
+    stored_cols = ["cnt"] + [f"{p}_{c}" for c in measure_cols
+                             for p in ("sum", "nn", "min", "max")]
+    # arithmetic path (no deleted extreme): counts and exact-decimal
+    # sums add; inserted values can only improve min/max (F.least /
+    # F.greatest skip NULLs, so a fresh group takes the added extreme)
+    arith_cols = [*[F.col(k) for k in keys],
+                  new_cnt.cast("long").alias("cnt")]
+    for c in measure_cols:
+        new_nn = (F.coalesce(F.col(f"v.nn_{c}"), F.lit(0))
+                  + F.col(f"d.d_nn_{c}"))
+        new_sum = (F.coalesce(F.col(f"v.sum_{c}"),
+                              F.lit(0).cast(sum_t))
+                   + F.col(f"d.d_sum_{c}"))
+        arith_cols += [
+            new_sum.cast(sum_t).alias(f"sum_{c}"),
+            new_nn.cast("long").alias(f"nn_{c}"),
+            F.when(new_nn > 0,
+                   F.least(F.col(f"v.min_{c}"),
+                           F.col(f"d.add_min_{c}")))
+            .alias(f"min_{c}"),
+            F.when(new_nn > 0,
+                   F.greatest(F.col(f"v.max_{c}"),
+                              F.col(f"d.add_max_{c}")))
+            .alias(f"max_{c}"),
+        ]
+    arith = j.where(~repair).select(*arith_cols)
+    # repaired groups: exact re-aggregation from the base snapshot
+    # PINNED at the target version, over only those groups
+    repair_keys = j.where(repair).select(*keys) \
+        .localCheckpoint(eager=True)
+    n_repair = repair_keys.count()
+    if n_repair:
+        base = _plain(snapshot_read(spark, src_dir, version=target))
+        base_rows = base.join(F.broadcast(repair_keys),
+                              on=keys, how="inner")
+        recomputed = _full_agg(base_rows, keys, measure_cols, scale)
+        # groups repaired AWAY (no base rows left) need tombstones
+        # too, or the merge would leave their stale view rows live
+        erased = repair_keys.join(recomputed.select(*keys),
+                                  on=keys, how="left_anti")
+        tomb_cols = [*[F.col(k) for k in keys],
+                     F.lit(0).cast("long").alias("cnt")]
+        for c in measure_cols:
+            t = stored_types.get(f"min_{c}", "double")
+            tomb_cols += [
+                F.lit(0).cast(sum_t).alias(f"sum_{c}"),
+                F.lit(0).cast("long").alias(f"nn_{c}"),
+                F.lit(None).cast(t).alias(f"min_{c}"),
+                F.lit(None).cast(t).alias(f"max_{c}"),
+            ]
+        upserts = arith.unionByName(recomputed) \
+            .unionByName(erased.select(*tomb_cols))
+    else:
+        upserts = arith
+    # conform exactly to the view's stored schema (decimal widths,
+    # parquet type stability next to carried-over files)
+    upserts = upserts.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).cast(stored_types[c]).alias(c)
+          for c in stored_cols])
+    snapshot_merge(spark, view_dir, SparkFrame(upserts), on=keys,
+                   txn=(_APP_ID, target))
+    _write_meta(view_dir, {**meta, "source_version": target})
+    return {"mode": "incremental", "from_version": applied,
+            "to_version": target, "groups_touched": n_touched,
+            "groups_repaired": n_repair}
+
+
+def matview_read(spark: SparkSession, view_dir: str) -> SparkFrame:
+    """The view as a user-facing aggregate: tombstones filtered,
+    SQL NULL semantics restored (empty/all-NULL measures expose NULL
+    sum/avg/min/max), ``avg_c`` derived as double(sum)/nn from the
+    exact decimal sum."""
+    from cl_data_frame_spark.sources.snapshots import snapshot_read
+    meta = _read_meta(view_dir)
+    keys = list(meta["keys"])
+    stored = _plain(snapshot_read(spark, view_dir)) \
+        .where(F.col("cnt") > 0)
+    cols = [*[F.col(k) for k in keys], F.col("cnt")]
+    for c in meta["measure_cols"]:
+        nn = F.col(f"nn_{c}")
+        cols += [
+            F.when(nn > 0, F.col(f"sum_{c}")).alias(f"sum_{c}"),
+            F.when(nn > 0,
+                   F.col(f"sum_{c}").cast("double") / nn)
+            .alias(f"avg_{c}"),
+            F.col(f"min_{c}"), F.col(f"max_{c}"),
+        ]
+    return SparkFrame(stored.select(*cols))

@@ -2120,7 +2120,9 @@ def _try_rebase_publish(table_dir: str, base_version: int,
                         dv_add: dict | None = None,
                         parts_add: dict | None = None,
                         cdc: dict | None = None,
-                        op_info: dict | None = None) -> int | None:
+                        op_info: dict | None = None,
+                        txn_add: tuple[str, int] | None = None
+                        ) -> int | None:
     """After losing the publish race: if every interleaved winner was
     a pure APPEND on top of our base version (all base files still
     live, same schema) whose ADDED files provably don't overlap our
@@ -2202,8 +2204,11 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["partitions"] = parts_
         if lm.get("constraints"):
             manifest["constraints"] = lm["constraints"]
-        if lm.get("txn"):
-            manifest["txn"] = lm["txn"]
+        txns_ = dict(lm.get("txn") or {})
+        if txn_add is not None:
+            txns_[txn_add[0]] = int(txn_add[1])
+        if txns_:
+            manifest["txn"] = txns_
         if op_info is not None:
             manifest["op_info"] = op_info
         if cdc is not None:
@@ -3037,7 +3042,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
                    on, update_cols=None, insert_unmatched: bool = True,
                    num_files: int | None = None,
                    max_retries: int = 5, dv: bool = True,
-                   change_data: bool = True) -> int:
+                   change_data: bool = True,
+                   txn: tuple[str, int] | None = None) -> int:
     """MERGE INTO a snapshot table: apply the relational MERGE rewrite
     (``relational.merge_into`` — WHEN MATCHED update / WHEN NOT MATCHED
     insert) and publish the result as a new version. Returns the new
@@ -3062,6 +3068,13 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
     result is REBASED onto the new latest — same data files, new
     manifest; on a true conflict the merge recomputes against the new
     table state, up to *max_retries* times.
+
+    ``txn=(app_id, txn_version)`` rides the merge commit itself (the
+    same idempotent-writer watermark ``snapshot_write`` records —
+    Delta's ``txnAppId``/``txnVersion`` on MERGE): an incremental
+    maintainer that crashes between its commit and its own bookkeeping
+    can ask ``snapshot_txn_version`` whether the merge already landed
+    instead of double-applying its delta.
     """
     keys = [on] if isinstance(on, str) else list(on)
     src = _plain(source)
@@ -3071,7 +3084,7 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
             return _merge_once(spark, table_dir, src, keys, on,
                                update_cols, insert_unmatched,
                                num_files, use_dv=dv,
-                               change_data=change_data)
+                               change_data=change_data, txn=txn)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -3082,7 +3095,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
 def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
                 update_cols, insert_unmatched,
                 num_files: int | None, use_dv: bool = True,
-                change_data: bool = True) -> int:
+                change_data: bool = True,
+                txn: tuple[str, int] | None = None) -> int:
     """One optimistic MERGE attempt against the current latest version
     (see ``snapshot_merge``). Raises FileExistsError only on a TRUE
     commit conflict (commutable appends are absorbed by rebasing)."""
@@ -3104,7 +3118,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         merged = merge_into(target, src, on, update_cols=update_cols,
                             insert_unmatched=insert_unmatched)
         return snapshot_write(merged, table_dir, mode="overwrite",
-                              num_files=num_files)
+                              num_files=num_files, txn=txn)
     # source key envelope: one k-sized aggregate row. Collected
     # TimestampType values come back as NAIVE datetimes in the
     # driver's OS zone — _coerce_pred localizes them (.astimezone())
@@ -3232,8 +3246,11 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             manifest["partitions"] = parts_
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
-        if m.get("txn"):
-            manifest["txn"] = m["txn"]
+        txns = dict(m.get("txn") or {})
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
+        if txns:
+            manifest["txn"] = txns
         # commit-scoped (never carried): lets the CDC change feed
         # classify this commit's diff into update pre/post-images by
         # joining old and new rows on the merge keys
@@ -3250,7 +3267,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             table_dir, base_v, set(rewrite_files), new_files,
             new_stats, "merge", m["schema"], keys=usable, preds=preds,
             dv_add=new_dv_entries, cdc=manifest.get("cdc"),
-            op_info=manifest.get("op_info"))
+            op_info=manifest.get("op_info"), txn_add=txn)
         if rebased is not None:
             return rebased
         raise

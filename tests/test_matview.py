@@ -1,0 +1,288 @@
+"""CDC-maintained materialized aggregate views (operators/matview.py):
+create / incremental refresh / read parity against exact recomputes,
+min-max repair under deletion, tombstones, exactly-once refresh via
+the commit-riding txn watermark."""
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.frame import SparkFrame
+from cl_data_frame_spark.operators.matview import (matview_create,
+                                                   matview_refresh,
+                                                   matview_read)
+from cl_data_frame_spark.sources.snapshots import (snapshot_delete,
+                                                   snapshot_read,
+                                                   snapshot_txn_version,
+                                                   snapshot_update,
+                                                   snapshot_write)
+
+
+def _mkdirs(tmp_path, name):
+    src = str(tmp_path / f"{name}_src")
+    view = str(tmp_path / f"{name}_mv")
+    return src, view
+
+
+def _seed(spark, src, rows):
+    df = spark.createDataFrame(rows, "id int, grp string, val double")
+    snapshot_write(SparkFrame(df), src, mode="overwrite",
+                   stats_cols=["id", "grp"])
+
+
+def _expected(spark, src):
+    """Exact recompute of the view's exposed shape from the base."""
+    dec = F.col("val").cast("decimal(28,6)")
+    s = F.sum(dec).cast("decimal(38,6)")
+    return {r["grp"]: (r["cnt"], r["sum_val"], r["avg_val"],
+                       r["min_val"], r["max_val"])
+            for r in snapshot_read(spark, src).spark_df
+            .groupBy("grp").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                s.alias("sum_val"),
+                (s.cast("double") / F.count("val")).alias("avg_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val")).collect()}
+
+
+def _got(spark, view):
+    return {r["grp"]: (r["cnt"], r["sum_val"], r["avg_val"],
+                       r["min_val"], r["max_val"])
+            for r in matview_read(spark, view).spark_df.collect()}
+
+
+def _assert_parity(spark, src, view, tag=""):
+    got, exp = _got(spark, view), _expected(spark, src)
+    assert got == exp, (tag, got, exp)
+
+
+class TestMatviewBasics:
+    def test_create_matches_full_aggregate(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "basic")
+        _seed(spark, src, [(i, f"g{i % 3}", float(i))
+                           for i in range(30)])
+        v = matview_create(spark, src, view, keys="grp",
+                           measure_cols=["val"])
+        assert v == 1
+        _assert_parity(spark, src, view, "create")
+        # the create commit already carries the watermark
+        assert snapshot_txn_version(view, "matview") == 1
+
+    def test_append_only_refresh_is_arithmetic(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "append")
+        _seed(spark, src, [(i, f"g{i % 3}", float(i))
+                           for i in range(30)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        extra = spark.createDataFrame(
+            [(100, "g0", 99.0), (101, "g7", -1.0)],
+            "id int, grp string, val double")
+        snapshot_write(SparkFrame(extra), src, mode="append")
+        r = matview_refresh(spark, view)
+        assert r["mode"] == "incremental"
+        assert r["groups_repaired"] == 0       # pure inserts: no repair
+        assert r["groups_touched"] == 2
+        _assert_parity(spark, src, view, "append")
+
+    def test_deleting_the_min_triggers_exact_repair(self, spark,
+                                                    tmp_path):
+        src, view = _mkdirs(tmp_path, "repair")
+        _seed(spark, src, [(i, f"g{i % 3}", float(i))
+                           for i in range(30)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("id", "==", 0)])  # g0 min
+        r = matview_refresh(spark, view)
+        assert r["groups_repaired"] == 1
+        _assert_parity(spark, src, view, "repair")
+
+    def test_interior_delete_stays_arithmetic(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "interior")
+        _seed(spark, src, [(i, f"g{i % 3}", float(i))
+                           for i in range(30)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        # id=3 is g0's val=3.0 — strictly inside (0.0, 27.0)
+        snapshot_delete(spark, src, where=[("id", "==", 3)])
+        r = matview_refresh(spark, view)
+        assert r["groups_repaired"] == 0
+        _assert_parity(spark, src, view, "interior")
+
+    def test_update_moves_rows_between_groups(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "move")
+        _seed(spark, src, [(i, f"g{i % 3}", float(i))
+                           for i in range(30)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_update(spark, src, where=[("id", "==", 4)],
+                        set_exprs={"grp": F.lit("gNEW")})
+        matview_refresh(spark, view)
+        _assert_parity(spark, src, view, "move")
+
+    def test_erased_group_tombstones_and_rebirth(self, spark,
+                                                 tmp_path):
+        src, view = _mkdirs(tmp_path, "tomb")
+        _seed(spark, src, [(0, "a", 1.0), (1, "a", 2.0),
+                           (2, "b", 5.0)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("grp", "==", "a")])
+        matview_refresh(spark, view)
+        assert set(_got(spark, view)) == {"b"}
+        # the tombstone row exists in storage, filtered at read
+        stored = snapshot_read(spark, view).spark_df
+        assert stored.where((F.col("grp") == "a")
+                            & (F.col("cnt") == 0)).count() == 1
+        _assert_parity(spark, src, view, "erased")
+        # rebirth: arithmetic resumes cleanly from the tombstone
+        back = spark.createDataFrame([(9, "a", 7.0)],
+                                     "id int, grp string, val double")
+        snapshot_write(SparkFrame(back), src, mode="append")
+        matview_refresh(spark, view)
+        _assert_parity(spark, src, view, "rebirth")
+
+    def test_count_only_view_no_measures(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "cntonly")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i))
+                           for i in range(10)])
+        matview_create(spark, src, view, keys="grp")
+        snapshot_delete(spark, src, where=[("grp", "==", "g1")])
+        r = matview_refresh(spark, view)
+        assert r["groups_repaired"] == 0   # no measures: never repairs
+        got = {r_["grp"]: r_["cnt"] for r_ in
+               matview_read(spark, view).spark_df.collect()}
+        assert got == {"g0": 5}
+
+
+class TestMatviewNullSemantics:
+    def test_all_null_measure_exposes_sql_nulls(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "nulls")
+        _seed(spark, src, [(0, "a", None), (1, "a", None),
+                           (2, "b", 3.0), (3, "b", None)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        got = _got(spark, view)
+        assert got["a"] == (2, None, None, None, None)
+        cnt, s, avg, lo, hi = got["b"]
+        assert (cnt, float(s), avg, lo, hi) == (2, 3.0, 3.0, 3.0, 3.0)
+
+    def test_deleting_last_non_null_value(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "nulldrain")
+        _seed(spark, src, [(0, "a", 5.0), (1, "a", None)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("id", "==", 0)])
+        matview_refresh(spark, view)
+        assert _got(spark, view)["a"] == (1, None, None, None, None)
+        _assert_parity(spark, src, view, "nulldrain")
+
+    def test_null_group_key_rejected(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "nullkey")
+        _seed(spark, src, [(0, None, 1.0), (1, "a", 2.0)])
+        with pytest.raises(ValueError, match="NULL group key"):
+            matview_create(spark, src, view, keys="grp",
+                           measure_cols=["val"])
+
+
+class TestMatviewExactlyOnce:
+    def test_noop_and_crash_recovery(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "once")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i))
+                           for i in range(10)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("id", "==", 9)])
+        r = matview_refresh(spark, view)
+        assert r["mode"] == "incremental" and r["to_version"] == 2
+        assert snapshot_txn_version(view, "matview") == 2
+        assert matview_refresh(spark, view)["mode"] == "noop"
+        # crash-sim: the meta cache rolls back, but the commit
+        # watermark prevents the double-apply
+        mp = os.path.join(view, "_matview.json")
+        meta = json.load(open(mp))
+        json.dump({**meta, "source_version": 1}, open(mp, "w"))
+        assert matview_refresh(spark, view)["mode"] == "noop"
+        _assert_parity(spark, src, view, "crash-sim")
+
+    def test_refresh_to_pinned_version_then_catch_up(self, spark,
+                                                     tmp_path):
+        src, view = _mkdirs(tmp_path, "pinned")
+        _seed(spark, src, [(i, "g", float(i)) for i in range(5)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("id", "==", 2)])  # v2
+        extra = spark.createDataFrame([(9, "g", 90.0)],
+                                      "id int, grp string, val double")
+        snapshot_write(SparkFrame(extra), src, mode="append")  # v3
+        r = matview_refresh(spark, view, to_version=2)
+        assert r["to_version"] == 2
+        got = _got(spark, view)["g"]
+        assert got[0] == 4                      # v2 state: one delete
+        matview_refresh(spark, view)            # catch up to v3
+        _assert_parity(spark, src, view, "caught-up")
+
+
+class TestMatviewSchemaGuards:
+    def test_renamed_measure_column_raises_with_remedy(self, spark,
+                                                       tmp_path):
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_rename_column)
+        src, view = _mkdirs(tmp_path, "schema")
+        _seed(spark, src, [(0, "a", 1.0)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_rename_column(src, "val", "value")
+        extra = spark.createDataFrame([(1, "a", 2.0)],
+                                      "id int, grp string, value double")
+        snapshot_write(SparkFrame(extra), src, mode="append")
+        with pytest.raises(ValueError, match="recreate the view"):
+            matview_refresh(spark, view)
+
+    def test_missing_source_column_at_create(self, spark, tmp_path):
+        src, view = _mkdirs(tmp_path, "misscol")
+        _seed(spark, src, [(0, "a", 1.0)])
+        with pytest.raises(ValueError, match="not in source table"):
+            matview_create(spark, src, view, keys="grp",
+                           measure_cols=["nope"])
+
+
+class TestMatviewRandomizedParity:
+    def test_random_dml_history_stays_exact(self, spark, tmp_path):
+        """Seeded random insert/delete/update history; after every
+        refresh the view equals the exact recompute (the IVM replay
+        invariant, same discipline as the CDC replay property)."""
+        src, view = _mkdirs(tmp_path, "fuzz")
+        rng = random.Random(1311)
+        rows = [(i, f"g{rng.randrange(4)}",
+                 float(rng.randrange(100))) for i in range(40)]
+        _seed(spark, src, rows)
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        next_id = 40
+        for step in range(6):
+            op = rng.choice(["insert", "delete", "update", "mixed"])
+            if op in ("insert", "mixed"):
+                batch = [(next_id + k, f"g{rng.randrange(4)}",
+                          float(rng.randrange(100)))
+                         for k in range(rng.randrange(1, 6))]
+                next_id += len(batch)
+                snapshot_write(SparkFrame(spark.createDataFrame(
+                    batch, "id int, grp string, val double")),
+                    src, mode="append")
+            if op in ("delete", "mixed"):
+                snapshot_delete(
+                    spark, src,
+                    where=[("id", "<", rng.randrange(next_id)),
+                           ("id", ">=", rng.randrange(next_id) - 5)])
+            if op == "update":
+                snapshot_update(
+                    spark, src,
+                    where=[("id", "==", rng.randrange(next_id))],
+                    set_exprs={"val": F.lit(float(
+                        rng.randrange(500))),
+                        "grp": F.lit(f"g{rng.randrange(5)}")})
+            matview_refresh(spark, view)
+            _assert_parity(spark, src, view, f"fuzz step {step}")
