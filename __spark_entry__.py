@@ -1361,8 +1361,12 @@ def q_s_merge_upsert(spark, sf_dir):
              F.col("o_orderstatus").alias("s1"),
              _BNULL().alias("vf"), _BNULL().alias("vt"),
              F.lit(None).cast("int").alias("cur"))
+    # incrementally-maintained materialized view (the delete/update-
+    # aware sibling of 'incr'): mvmid + mvread parts, oracled against
+    # full GROUP BY recomputes of the DML history's states
+    mv = _matview_parts(spark, sf_dir)
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(g))
+            .unionByName(e).unionByName(g).unionByName(mv))
 
 
 def q_s_sessionize(spark, sf_dir):
@@ -3290,7 +3294,7 @@ def q_s_layout_prune(spark, sf_dir):
             .unionByName(gera).unionByName(hb))
 
 
-def q_x_matview(spark, sf_dir):
+def _matview_parts(spark, sf_dir):
     """CDC-maintained MATERIALIZED AGGREGATE VIEW (operators/matview):
     per-returnflag count/sum/avg/min/max of l_quantity over a snapshot
     table, maintained INCREMENTALLY from the change feed across a DML
@@ -3299,13 +3303,15 @@ def q_x_matview(spark, sf_dir):
     repair via a pruned re-aggregation), +10 quantity update at the
     max orderkey (update pre/post images), and a whole-group erase
     (cnt=0 tombstone, asserted present in storage and absent from the
-    read). Two oracled parts: the view AFTER the first refresh (mvmid,
+    read). Two oracled parts inside ``s_merge_upsert`` (the
+    maintenance family): the view AFTER the first refresh (mvmid,
     pinned manifest — later merges can't retroactively change it) and
-    the final view (mvread); the oracle recomputes both as plain GROUP
-    BYs over the original rows, so every incremental step must land on
-    the exact full-recompute values. Refresh cost is O(changed rows +
-    touched groups) — the engine-side exactly-once watermark
-    (txn riding the merge commit) is asserted inline."""
+    the final view (mvread), both in long (flag|metric, value) form;
+    the oracle recomputes both as plain GROUP BYs over the original
+    rows, so every incremental step must land on the exact
+    full-recompute values. Refresh cost is O(changed rows + touched
+    groups) — the engine-side exactly-once watermark (txn riding the
+    merge commit) is asserted inline."""
     import os
     import tempfile
 
@@ -3322,24 +3328,38 @@ def q_x_matview(spark, sf_dir):
     view = os.path.join(mvtmp, "mv")
     snapshot_write(li.filter(F.col("l_quantity") <= 2)
                    .repartitionByRange(4, "l_orderkey"), src,
-                   mode="append", stats_cols=["l_orderkey"])
+                   mode="append", stats_cols=["l_orderkey"],
+                   num_files=4)
     matview_create(spark, src, view, keys="l_returnflag",
-                   measure_cols=["l_quantity"])
+                   measure_cols=["l_quantity"], num_files=1)
     snapshot_write(li.filter(F.col("l_quantity") == 3)
                    .repartitionByRange(4, "l_orderkey"), src,
-                   mode="append", stats_cols=["l_orderkey"])
+                   mode="append", stats_cols=["l_orderkey"],
+                   num_files=4)
     r1 = matview_refresh(spark, view)
     assert r1["mode"] == "incremental" and \
         r1["groups_repaired"] == 0, \
         f"append-only refresh must be pure arithmetic: {r1}"
+
+    def long_form(mv, part):
+        m = mv.select(
+            F.col("l_returnflag").alias("flag"), "cnt",
+            F.explode(F.create_map(
+                F.lit("sum"), F.col("sum_l_quantity").cast("double"),
+                F.lit("avg"), F.col("avg_l_quantity").cast("double"),
+                F.lit("min"), F.col("min_l_quantity").cast("double"),
+                F.lit("max"), F.col("max_l_quantity").cast("double"),
+            )).alias("metric", "val"))
+        return _tag(m, part,
+                    _BNULL().alias("k1"),
+                    F.col("cnt").cast("bigint").alias("k2"),
+                    F.col("val").alias("v"),
+                    F.concat_ws("|", "flag", "metric").alias("s1"),
+                    _BNULL().alias("vf"), _BNULL().alias("vt"),
+                    F.lit(None).cast("int").alias("cur"))
+
     mid = matview_read(spark, view).spark_df   # manifest pinned here
-    a = _tag(mid, "mvmid",
-             F.col("l_returnflag").alias("s1"),
-             F.col("cnt").cast("bigint").alias("i1"),
-             F.col("sum_l_quantity").cast("double").alias("d1"),
-             F.col("avg_l_quantity").cast("double").alias("d2"),
-             F.col("min_l_quantity").cast("double").alias("d3"),
-             F.col("max_l_quantity").cast("double").alias("d4"))
+    a = long_form(mid, "mvmid")
     # DML history: band delete (kills each group's min -> repair),
     # +10 update at the max orderkey (pre/post images), group erase
     cut = int(li.agg(F.floor(F.max("l_orderkey") / 4))
@@ -3360,14 +3380,7 @@ def q_x_matview(spark, sf_dir):
     assert stored.where((F.col("l_returnflag") == "R")
                         & (F.col("cnt") == 0)).count() == 1, \
         "erased group must leave a cnt=0 tombstone in storage"
-    fin = matview_read(spark, view).spark_df
-    b = _tag(fin, "mvread",
-             F.col("l_returnflag").alias("s1"),
-             F.col("cnt").cast("bigint").alias("i1"),
-             F.col("sum_l_quantity").cast("double").alias("d1"),
-             F.col("avg_l_quantity").cast("double").alias("d2"),
-             F.col("min_l_quantity").cast("double").alias("d3"),
-             F.col("max_l_quantity").cast("double").alias("d4"))
+    b = long_form(matview_read(spark, view).spark_df, "mvread")
     return a.unionByName(b)
 
 
@@ -4283,7 +4296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bm25": q_x_bm25,
         "x_embed_quantize": q_x_embed_quantize,
         "s_layout_prune": q_s_layout_prune,
-        "x_matview": q_x_matview,
         # streaming
         "st_windows": q_st_windows,
         "st_stateful": q_st_stateful,
@@ -4329,7 +4341,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_skew_udaf": ["salted", "udaf", "grouped_map", "skewreport"],
     "s_functions": ["scalar", "collection", "scaling"],
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
-    "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply"],
+    "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply",
+                       "mvmid", "mvread"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist", "hist2d", "fk",
@@ -4370,7 +4383,6 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                        "snapshot", "snapprune", "snapin",
                        "snapdelete", "snapdv", "snapcdc",
                        "snapera", "snapbloom"],
-    "x_matview": ["mvmid", "mvread"],
 }
 
 
@@ -5211,7 +5223,63 @@ _ORACLES: dict[str, str] = {
                        coalesce(o.ofp, ''), coalesce(n.nfp, '')) AS s1
             FROM oldt o FULL JOIN newt n ON o.o_orderkey = n.o_orderkey
             WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-               OR o.ofp <> n.nfp)""",
+               OR o.ofp <> n.nfp)
+        UNION ALL
+        -- mvmid: the materialized view after the append-only refresh
+        -- (source = the whole qty<=3 slice), long (flag|metric, v)
+        -- form; avg derives on both sides as exact-decimal-sum
+        -- ::DOUBLE / non-null count, so the doubles are bit-identical
+        SELECT 'mvmid', NULL::BIGINT AS k1, cnt::BIGINT AS k2, v, s1,
+               NULL::BIGINT AS vf, NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM (
+            WITH g AS (
+                SELECT l_returnflag AS flag, count(*) AS cnt,
+                       sum(CAST(l_quantity AS DECIMAL(28,6)))::DOUBLE
+                           AS sum_q,
+                       sum(CAST(l_quantity AS DECIMAL(28,6)))::DOUBLE
+                           / count(l_quantity) AS avg_q,
+                       min(l_quantity)::DOUBLE AS min_q,
+                       max(l_quantity)::DOUBLE AS max_q
+                FROM lineitem WHERE l_quantity <= 3
+                GROUP BY l_returnflag)
+            SELECT cnt, flag || '|sum' AS s1, sum_q AS v FROM g
+            UNION ALL SELECT cnt, flag || '|avg', avg_q FROM g
+            UNION ALL SELECT cnt, flag || '|min', min_q FROM g
+            UNION ALL SELECT cnt, flag || '|max', max_q FROM g)
+        UNION ALL
+        -- mvread: the final view — band rows (orderkey <= cut)
+        -- deleted, quantity+10 at the max orderkey, returnflag R
+        -- erased (its cnt=0 tombstone is asserted engine-side)
+        SELECT 'mvread', NULL::BIGINT AS k1, cnt::BIGINT AS k2, v, s1,
+               NULL::BIGINT AS vf, NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM (
+            WITH cutv AS (
+                SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+                FROM lineitem),
+            mx AS (
+                SELECT max(l_orderkey) AS m FROM lineitem
+                WHERE l_quantity <= 3),
+            fin AS (
+                SELECT l_returnflag AS flag,
+                       CASE WHEN l_orderkey = (SELECT m FROM mx)
+                            THEN l_quantity + 10
+                            ELSE l_quantity END AS q
+                FROM lineitem
+                WHERE l_quantity <= 3
+                  AND l_orderkey > (SELECT c FROM cutv)
+                  AND l_returnflag <> 'R'),
+            g2 AS (
+                SELECT flag, count(*) AS cnt,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS sum_q,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE
+                           / count(q) AS avg_q,
+                       min(q)::DOUBLE AS min_q,
+                       max(q)::DOUBLE AS max_q
+                FROM fin GROUP BY flag)
+            SELECT cnt, flag || '|sum' AS s1, sum_q AS v FROM g2
+            UNION ALL SELECT cnt, flag || '|avg', avg_q FROM g2
+            UNION ALL SELECT cnt, flag || '|min', min_q FROM g2
+            UNION ALL SELECT cnt, flag || '|max', max_q FROM g2)""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,
@@ -6317,46 +6385,6 @@ _ORACLES["s_layout_prune"] = _union(
                            WHERE l_quantity <= 2)""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"))
-
-# x_matview: the incrementally-maintained aggregate view must land on
-# the exact full-recompute values at both observation points. mvmid:
-# after the append-only refresh the source is the whole qty<=3 slice.
-# mvread: the final state — band rows (orderkey <= cut) deleted,
-# quantity+10 at the max orderkey, returnflag R erased (its tombstone
-# is asserted engine-side). avg is derived the same way on both sides:
-# exact decimal sum cast to DOUBLE, divided by the non-null count.
-_MV_MEASURES = (
-    "count(*) AS cnt, "
-    "sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS sum_q, "
-    "sum(CAST(q AS DECIMAL(28,6)))::DOUBLE / count(q) AS avg_q, "
-    "min(q)::DOUBLE AS min_q, max(q)::DOUBLE AS max_q")
-_MV_TAGCOLS = ("l_returnflag AS s1, cnt::BIGINT AS i1, "
-               "sum_q::DOUBLE AS d1, avg_q::DOUBLE AS d2, "
-               "min_q::DOUBLE AS d3, max_q::DOUBLE AS d4")
-_ORACLES["x_matview"] = _union(
-    _wrap("mvmid", f"""
-        SELECT l_returnflag, {_MV_MEASURES}
-        FROM (SELECT l_returnflag, l_quantity AS q FROM lineitem
-              WHERE l_quantity <= 3)
-        GROUP BY l_returnflag""", _MV_TAGCOLS),
-    _wrap("mvread", f"""
-        WITH cut AS (
-            SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
-            FROM lineitem),
-        mx AS (
-            SELECT max(l_orderkey) AS m FROM lineitem
-            WHERE l_quantity <= 3),
-        fin AS (
-            SELECT l_returnflag,
-                   CASE WHEN l_orderkey = (SELECT m FROM mx)
-                        THEN l_quantity + 10
-                        ELSE l_quantity END AS q
-            FROM lineitem
-            WHERE l_quantity <= 3
-              AND l_orderkey > (SELECT c FROM cut)
-              AND l_returnflag <> 'R')
-        SELECT l_returnflag, {_MV_MEASURES}
-        FROM fin GROUP BY l_returnflag""", _MV_TAGCOLS))
 
 _SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
                "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")
