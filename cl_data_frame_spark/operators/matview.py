@@ -136,12 +136,23 @@ def matview_create(spark: SparkSession, source_dir: str,
                    measure_cols: Sequence[str] = (),
                    scale: int = 6,
                    version: int | None = None,
-                   num_files: int | None = None) -> int:
+                   num_files: int | None = None,
+                   where: str | None = None) -> int:
     """Materialize the per-group aggregate of snapshot table
     *source_dir* at *version* (default: its latest) into the snapshot
     table *view_dir*, and record the consumed source version so
     ``matview_refresh`` can continue from the change feed. Returns
-    the source version the view reflects."""
+    the source version the view reflects.
+
+    ``where`` makes it a FILTERED view: a SQL boolean expression over
+    the source's columns (e.g. ``"l_quantity > 5 AND l_returnflag <>
+    'R'"``), applied to the base at create and to every change-feed
+    row at refresh — a row-local predicate stays correct under IVM
+    because each change row filters independently of any other. An
+    UPDATE that moves a row across the predicate boundary surfaces as
+    a bare pre- or post-image on the filtered feed, which the signed
+    delta handles naturally (one side contributes, the other
+    vanishes)."""
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_read, snapshot_write)
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -158,6 +169,8 @@ def matview_create(spark: SparkSession, source_dir: str,
         raise ValueError(
             f"columns {missing} not in source table "
             f"(has {base.columns})")
+    if where is not None:
+        base = base.where(F.expr(where))
     # one materialization feeds both the null-key check and the write
     agg = _full_agg(base, keys, measure_cols, scale) \
         .localCheckpoint(eager=False)
@@ -165,11 +178,14 @@ def matview_create(spark: SparkSession, source_dir: str,
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
                    num_files=num_files, stats_cols=keys,
                    txn=(_APP_ID, version))
-    _write_meta(view_dir, {
+    meta = {
         "source_dir": os.path.abspath(source_dir),
         "keys": keys, "measure_cols": measure_cols,
         "scale": scale, "source_version": version,
-    })
+    }
+    if where is not None:
+        meta["where"] = where
+    _write_meta(view_dir, meta)
     return version
 
 
@@ -240,6 +256,17 @@ def matview_refresh(spark: SparkSession, view_dir: str,
             f"view columns {gone} no longer exist in the source's "
             f"change feed (schema evolution renamed or dropped them) "
             f"— recreate the view with matview_create")
+    where = meta.get("where")
+    if where is not None:
+        # row-local predicate: each change row filters independently,
+        # so the filtered feed maintains the filtered view exactly
+        try:
+            changes = changes.where(F.expr(where))
+        except Exception as exc:
+            raise ValueError(
+                f"the view's where-predicate {where!r} no longer "
+                f"evaluates against the change feed (schema "
+                f"evolution?) — recreate the view: {exc}") from exc
     # per-group deltas: small (#touched groups), computed once
     delta = _delta_agg(changes, keys, measure_cols, scale) \
         .localCheckpoint(eager=True)
@@ -308,6 +335,8 @@ def matview_refresh(spark: SparkSession, view_dir: str,
     n_repair = repair_keys.count()
     if n_repair:
         base = _plain(snapshot_read(spark, src_dir, version=target))
+        if where is not None:
+            base = base.where(F.expr(where))
         base_rows = base.join(F.broadcast(repair_keys),
                               on=keys, how="inner")
         recomputed = _full_agg(base_rows, keys, measure_cols, scale)

@@ -249,6 +249,59 @@ class TestMatviewSchemaGuards:
                            measure_cols=["nope"])
 
 
+class TestMatviewFiltered:
+    def test_filtered_view_parity_and_boundary_updates(self, spark,
+                                                       tmp_path):
+        src, view = _mkdirs(tmp_path, "filt")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i))
+                           for i in range(20)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"], where="val <= 10")
+
+        def exp_filtered():
+            dec = F.col("val").cast("decimal(28,6)")
+            s = F.sum(dec).cast("decimal(38,6)")
+            return {r["grp"]: (r["cnt"], r["sum_val"])
+                    for r in snapshot_read(spark, src).spark_df
+                    .where("val <= 10").groupBy("grp").agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        s.alias("sum_val")).collect()}
+
+        def got():
+            return {r["grp"]: (r["cnt"], r["sum_val"]) for r in
+                    matview_read(spark, view).spark_df.collect()}
+
+        assert got() == exp_filtered()
+        # update moves a row OUT of the predicate (5.0 -> 50.0): its
+        # pre-image passes the filter, its post-image doesn't — the
+        # view loses the row
+        snapshot_update(spark, src, where=[("id", "==", 5)],
+                        set_exprs={"val": F.lit(50.0)})
+        # and one IN (15.0 -> 2.0): bare post-image enters
+        snapshot_update(spark, src, where=[("id", "==", 15)],
+                        set_exprs={"val": F.lit(2.0)})
+        # plus a delete of an already-filtered-out row: no-op
+        snapshot_delete(spark, src, where=[("id", "==", 19)])
+        matview_refresh(spark, view)
+        assert got() == exp_filtered()
+
+    def test_filtered_view_repair_respects_predicate(self, spark,
+                                                     tmp_path):
+        src, view = _mkdirs(tmp_path, "filtrep")
+        _seed(spark, src, [(0, "a", 3.0), (1, "a", 7.0),
+                           (2, "a", 99.0)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"], where="val <= 10")
+        # delete the filtered min -> repair recomputes ONLY over
+        # predicate-passing base rows (99.0 must not leak in as max)
+        snapshot_delete(spark, src, where=[("id", "==", 0)])
+        r = matview_refresh(spark, view)
+        assert r["groups_repaired"] == 1
+        row = matview_read(spark, view).spark_df.collect()[0]
+        assert (row["cnt"], row["min_val"], row["max_val"]) \
+            == (1, 7.0, 7.0)
+
+
 class TestMatviewRandomizedParity:
     def test_random_dml_history_stays_exact(self, spark, tmp_path):
         """Seeded random insert/delete/update history; after every
