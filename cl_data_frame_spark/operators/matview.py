@@ -270,7 +270,14 @@ def matview_refresh(spark: SparkSession, view_dir: str,
     # per-group deltas: small (#touched groups), computed once
     delta = _delta_agg(changes, keys, measure_cols, scale) \
         .localCheckpoint(eager=True)
-    n_touched = delta.count()
+    nullkey = F.col(keys[0]).isNull()
+    for k in keys[1:]:
+        nullkey = nullkey | F.col(k).isNull()
+    # one action answers both "how many groups" and "any NULL key"
+    probe = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(nullkey.cast("int")).alias("bad")).collect()[0]
+    n_touched = int(probe["n"])
     if n_touched == 0:
         # metadata-only / no-op commits in the range: just advance
         # the watermark via an empty merge? No — skip the commit and
@@ -279,28 +286,38 @@ def matview_refresh(spark: SparkSession, view_dir: str,
         _write_meta(view_dir, {**meta, "source_version": applied})
         return {"mode": "empty", "from_version": applied,
                 "to_version": target, "groups_touched": 0}
-    _check_keys_nonnull(delta, keys, "the change feed")
+    if probe["bad"]:
+        raise ValueError(
+            f"NULL group key in the change feed: materialized views "
+            f"require non-NULL group keys {keys} (filter or coalesce "
+            f"them in the base table first)")
     view = _plain(snapshot_read(spark, view_dir))
     stored_types = dict(view.dtypes)
     # current view rows for ONLY the touched groups (broadcast
-    # semi-join: the view — arbitrarily many groups — streams once)
+    # semi-join: the view — arbitrarily many groups — streams once).
+    # The joined frame is touched-groups-sized; checkpointing it means
+    # the view scan runs ONCE, however many downstream actions the
+    # merge machinery takes (key-envelope collect, DV matching, CDC
+    # classification are each an action over the upserts)
     touched = view.join(F.broadcast(delta.select(*keys)),
                         on=keys, how="left_semi")
-    d, v = delta.alias("d"), touched.alias("v")
-    j = d.join(v, on=keys, how="left")
-    new_cnt = (F.coalesce(F.col("v.cnt"), F.lit(0))
-               + F.col("d.d_cnt"))
+    # delta columns (d_*/add_*/del_*) and view columns (cnt/sum_*/...)
+    # never collide, so the join needs no alias qualifiers — which the
+    # checkpoint could not preserve anyway
+    j = delta.join(touched, on=keys, how="left") \
+        .localCheckpoint(eager=True)
+    new_cnt = F.coalesce(F.col("cnt"), F.lit(0)) + F.col("d_cnt")
     # min/max are not self-maintainable under deletion: repair any
     # group whose deleted values may include a stored extreme (or
     # whose view row is missing while the feed deletes from it —
     # an inconsistent feed; recompute exactly rather than guess)
     repair = F.lit(False)
     for c in measure_cols:
-        dmin, dmax = F.col(f"d.del_min_{c}"), F.col(f"d.del_max_{c}")
-        vmin, vmax = F.col(f"v.min_{c}"), F.col(f"v.max_{c}")
+        dmin, dmax = F.col(f"del_min_{c}"), F.col(f"del_max_{c}")
+        vmin, vmax = F.col(f"min_{c}"), F.col(f"max_{c}")
         has_del = dmin.isNotNull()
         repair = repair | (has_del & (
-            F.col("v.cnt").isNull() | vmin.isNull()
+            F.col("cnt").isNull() | vmin.isNull()
             | (dmin <= vmin) | (dmax >= vmax)))
     stored_cols = ["cnt"] + [f"{p}_{c}" for c in measure_cols
                              for p in ("sum", "nn", "min", "max")]
@@ -310,28 +327,28 @@ def matview_refresh(spark: SparkSession, view_dir: str,
     arith_cols = [*[F.col(k) for k in keys],
                   new_cnt.cast("long").alias("cnt")]
     for c in measure_cols:
-        new_nn = (F.coalesce(F.col(f"v.nn_{c}"), F.lit(0))
-                  + F.col(f"d.d_nn_{c}"))
-        new_sum = (F.coalesce(F.col(f"v.sum_{c}"),
+        new_nn = (F.coalesce(F.col(f"nn_{c}"), F.lit(0))
+                  + F.col(f"d_nn_{c}"))
+        new_sum = (F.coalesce(F.col(f"sum_{c}"),
                               F.lit(0).cast(sum_t))
-                   + F.col(f"d.d_sum_{c}"))
+                   + F.col(f"d_sum_{c}"))
         arith_cols += [
             new_sum.cast(sum_t).alias(f"sum_{c}"),
             new_nn.cast("long").alias(f"nn_{c}"),
             F.when(new_nn > 0,
-                   F.least(F.col(f"v.min_{c}"),
-                           F.col(f"d.add_min_{c}")))
+                   F.least(F.col(f"min_{c}"),
+                           F.col(f"add_min_{c}")))
             .alias(f"min_{c}"),
             F.when(new_nn > 0,
-                   F.greatest(F.col(f"v.max_{c}"),
-                              F.col(f"d.add_max_{c}")))
+                   F.greatest(F.col(f"max_{c}"),
+                              F.col(f"add_max_{c}")))
             .alias(f"max_{c}"),
         ]
     arith = j.where(~repair).select(*arith_cols)
     # repaired groups: exact re-aggregation from the base snapshot
-    # PINNED at the target version, over only those groups
-    repair_keys = j.where(repair).select(*keys) \
-        .localCheckpoint(eager=True)
+    # PINNED at the target version, over only those groups (their key
+    # rows come off the checkpointed join — no extra view scan)
+    repair_keys = j.where(repair).select(*keys)
     n_repair = repair_keys.count()
     if n_repair:
         base = _plain(snapshot_read(spark, src_dir, version=target))
@@ -359,11 +376,14 @@ def matview_refresh(spark: SparkSession, view_dir: str,
     else:
         upserts = arith
     # conform exactly to the view's stored schema (decimal widths,
-    # parquet type stability next to carried-over files)
+    # parquet type stability next to carried-over files), then pin ONE
+    # materialization: snapshot_merge takes several actions over its
+    # source (key envelope, DV matching, the merge itself, CDC
+    # classification) and the upserts are touched-groups-sized
     upserts = upserts.select(
         *[F.col(k) for k in keys],
         *[F.col(c).cast(stored_types[c]).alias(c)
-          for c in stored_cols])
+          for c in stored_cols]).localCheckpoint(eager=True)
     snapshot_merge(spark, view_dir, SparkFrame(upserts), on=keys,
                    txn=(_APP_ID, target))
     _write_meta(view_dir, {**meta, "source_version": target})
