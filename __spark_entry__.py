@@ -3287,11 +3287,39 @@ def q_s_layout_prune(spark, sf_dir):
               F.col("n").cast("bigint").alias("i1"),
               F.col("sum_qty").cast("double").alias("d1"),
               F.col("sum_ok").cast("bigint").alias("i2"))
+    # snaphp (round 11 late): HIDDEN PARTITIONING (Iceberg partition
+    # transforms) — the table is laid out by years(l_shipdate), the
+    # DERIVED year lives only in the path + manifest tuple, and the
+    # query predicates on the BASE timestamp column: the prune maps
+    # the predicate through the monotonic transform (strictly fewer
+    # files, asserted inline — and the midnight cutoff exercises the
+    # bucket-boundary tightening for strict ops) while the row filter
+    # keeps the result exact whatever the layout.
+    import datetime as _dt
+    hppath = os.path.join(tempfile.mkdtemp(prefix="cdf_hp_"), "tbl")
+    hp_src = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    snapshot_write(hp_src.filter(F.col("l_quantity") <= 2),
+                   hppath, mode="append",
+                   partition_by=["years(l_shipdate)"], num_files=8)
+    hp_pred = [("l_shipdate", ">=", _dt.datetime(1996, 1, 1))]
+    n_hpall = len(snapshot_scan_files(hppath))
+    n_hphit = len(snapshot_scan_files(hppath, where=hp_pred))
+    assert 0 < n_hphit < n_hpall, \
+        f"hidden-partition pruning ineffective: {n_hphit}/{n_hpall}"
+    hpagg = (snapshot_read(spark, hppath, where=hp_pred).spark_df
+             .agg(F.count(F.lit(1)).alias("n"),
+                  _dec_sum("l_quantity").alias("sum_qty"),
+                  F.sum("l_orderkey").alias("sum_ok")))
+    hp = _tag(hpagg, "snaphp",
+              F.col("n").cast("bigint").alias("i1"),
+              F.col("sum_qty").cast("double").alias("d1"),
+              F.col("sum_ok").cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
             .unionByName(c).unionByName(d).unionByName(e)
             .unionByName(ein)
             .unionByName(g).unionByName(gdv).unionByName(gcdc)
-            .unionByName(gera).unionByName(hb))
+            .unionByName(gera).unionByName(hb).unionByName(hp))
 
 
 def _matview_parts(spark, sf_dir):
@@ -4380,7 +4408,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapin",
                        "snapdelete", "snapdv", "snapcdc",
-                       "snapera", "snapbloom"],
+                       "snapera", "snapbloom", "snaphp"],
 }
 
 
@@ -6375,6 +6403,19 @@ _ORACLES["s_layout_prune"] = _union(
         WHERE l_quantity <= 2
           AND l_partkey = (SELECT min(l_partkey) FROM lineitem
                            WHERE l_quantity <= 2)""",
+          "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
+          "sum_ok::BIGINT AS i2"),
+    # snaphp: hidden partitioning — years(l_shipdate) layout, BASE-
+    # column timestamp predicate; the Spark side asserts the
+    # transform-mapped prune listed strictly fewer files
+    _wrap("snaphp", """
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE
+                   AS sum_qty,
+               sum(l_orderkey) AS sum_ok
+        FROM lineitem
+        WHERE l_quantity <= 2
+          AND l_shipdate >= TIMESTAMP '1996-01-01'""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
           "sum_ok::BIGINT AS i2"))
 

@@ -59,6 +59,7 @@ import decimal
 import json
 import os
 import uuid
+import zlib
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -742,6 +743,20 @@ def _file_may_match(stats: dict, predicates) -> bool:
     ``ann_index_query`` read all probed cells in one scan and
     ``ann_index_delete`` forget k ids in one commit."""
     for col, op, val in predicates:
+        # hidden-partition transforms: a tuple entry keyed
+        # "<col>__<tag>" (days/bucket/truncate value from the file's
+        # path) maps this BASE-column predicate through the transform
+        prefix = col + "__"
+        for key, st2 in stats.items():
+            if not key.startswith(prefix) \
+                    or not _is_transform_tag(key[len(prefix):]):
+                continue
+            pv = st2.get("min")
+            if pv is None or st2.get("max") != pv:
+                continue    # not a partition tuple entry
+            if not _transform_admits(key[len(prefix):], op, val,
+                                     _dec_stat(pv)):
+                return False
         st = stats.get(col)
         if not st or st.get("min") is None or st.get("max") is None:
             if op == "in" and not list(val):
@@ -1249,11 +1264,13 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
                 f"cannot rename column {old!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first "
                 f"and re-add against the new name")
-        if any(old in pt for pt in
-               (m.get("partitions") or {}).values()):
+        if any(old == k or k.startswith(old + "__")
+               for pt in (m.get("partitions") or {}).values()
+               for k in pt):
             raise ValueError(
                 f"cannot rename column {old!r}: it is a partition "
-                f"column of live files (rewrite via overwrite first)")
+                f"column of live files (identity or transform — "
+                f"rewrite via overwrite first)")
         for fld in schema["fields"]:
             if fld["name"] == old:
                 fld["name"] = new
@@ -1469,11 +1486,13 @@ def snapshot_drop_column(table_dir: str, col: str,
             raise ValueError(
                 f"cannot drop column {col!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first")
-        if any(col in pt for pt in
-               (m.get("partitions") or {}).values()):
+        if any(col == k or k.startswith(col + "__")
+               for pt in (m.get("partitions") or {}).values()
+               for k in pt):
             raise ValueError(
                 f"cannot drop column {col!r}: it is a partition "
-                f"column of live files (rewrite via overwrite first)")
+                f"column of live files (identity or transform — "
+                f"rewrite via overwrite first)")
         schema["fields"] = [f for f in schema["fields"]
                             if f["name"] != col]
         tomb = f"__dropped_v{m['version'] + 1}__{col}"
@@ -1580,7 +1599,26 @@ def _parse_partition_values(rel_file: str, schema_fields: dict) -> dict:
         col = k[len("__part_"):]
         raw = urllib.parse.unquote(raw)
         t = schema_fields.get(col)
-        if raw == "__HIVE_DEFAULT_PARTITION__" or t is None:
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[col] = None
+            continue
+        if t is None and "__" in col:
+            # hidden-partitioning transform value: typed by the tag
+            src, tag = col.rsplit("__", 1)
+            if _is_transform_tag(tag):
+                try:
+                    if tag.startswith("bucket_"):
+                        out[col] = _enc_stat(int(raw))
+                    elif tag.startswith("trunc_"):
+                        st = schema_fields.get(src)
+                        out[col] = _enc_stat(
+                            int(raw) if st in _INT_TYPES else raw)
+                    else:               # year/month/day/hour strings
+                        out[col] = _enc_stat(raw)
+                except ValueError:
+                    out[col] = None
+                continue
+        if t is None:
             out[col] = None
             continue
         try:
@@ -1613,31 +1651,283 @@ def _carry_partitions(parent_manifest: dict | None,
     return {f: pp[f] for f in pp if f in keep}
 
 
+# --- hidden partitioning (Iceberg partition transforms) -------------
+#
+# ``partition_by`` accepts, besides identity column names, transform
+# strings in Iceberg's spec syntax: ``days(ts)`` / ``months(ts)`` /
+# ``years(ts)`` / ``hours(ts)`` over timestamp/date columns,
+# ``bucket(N, col)`` over int/string columns (CRC-32 of the UTF-8
+# string form, mod N — the same bytes hash on the Spark write side
+# and the Python prune side), and ``truncate(W, col)`` over
+# int/string columns (floor-to-multiple / prefix). The DERIVED value
+# exists only in the file path and the manifest's partition tuple —
+# the base column stays in the data files, queries keep predicating
+# on the BASE column, and the prune maps each base-column predicate
+# through the transform (Iceberg's hidden-partitioning contract:
+# users never filter on a partition-derived column).
+#
+# Soundness of the mapping: the time and truncate transforms are
+# MONOTONIC (x <= y implies T(x) <= T(y), with the time buckets
+# rendered zero-padded so string order equals time order), so a file
+# whose bucket p satisfies p < T(X) can hold no row with c >= X, etc.
+# bucket() is not monotonic and prunes only on == / IN. Time
+# transforms render in UTC — the engine pins
+# ``spark.sql.session.timeZone`` to UTC (session.py), and the Python
+# side mirrors ``_coerce_pred``'s naive-datetime convention (OS-zone
+# localize, then convert) so the prune agrees with the row filter.
+
+_TIME_TRANSFORMS = {
+    "years": ("year", "yyyy", "%Y"),
+    "months": ("month", "yyyy-MM", "%Y-%m"),
+    "days": ("day", "yyyy-MM-dd", "%Y-%m-%d"),
+    "hours": ("hour", "yyyy-MM-dd-HH", "%Y-%m-%d-%H"),
+}
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _parse_partition_entry(entry: str, ftypes: dict):
+    """One ``partition_by`` entry -> ``(pname, src, expr)`` where
+    *pname* is the transform-tagged tuple key (``ts__day``,
+    ``user_id__bucket_16``, ``url__trunc_4``; identity entries return
+    ``(col, col, None)``) and *expr* derives the partition value."""
+    e = entry.strip()
+    if "(" not in e:
+        if e not in ftypes:
+            raise ValueError(f"partition_by column not in schema: {e}")
+        return e, e, None
+    if not e.endswith(")"):
+        raise ValueError(f"malformed partition transform: {entry!r}")
+    name, inner = e[:-1].split("(", 1)
+    name = name.strip().lower()
+    args = [a.strip() for a in inner.split(",")]
+    if name in _TIME_TRANSFORMS:
+        if len(args) != 1:
+            raise ValueError(f"{name}() takes one column: {entry!r}")
+        src = args[0]
+        t = ftypes.get(src)
+        if t not in ("timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"{name}() needs a timestamp/date column, {src!r} "
+                f"is {t!r}")
+        tag, spark_fmt, _py = _TIME_TRANSFORMS[name]
+        if t != "timestamp":
+            # WALL-rendered sources (timestamp_ntz, date): a naive
+            # predicate literal compares as a wall value on these
+            # columns, so the prune-side rendering must be direct —
+            # the 'w' tag records that at write time
+            tag += "w"
+        return (f"{src}__{tag}", src,
+                F.date_format(F.col(src), spark_fmt))
+    if name == "bucket":
+        if len(args) != 2:
+            raise ValueError(f"bucket(N, col) expected: {entry!r}")
+        n, src = int(args[0]), args[1]
+        if n <= 0:
+            raise ValueError(f"bucket count must be positive: {entry!r}")
+        t = ftypes.get(src)
+        if t not in (*_INT_TYPES, "string"):
+            raise ValueError(
+                f"bucket() needs an int/string column, {src!r} is "
+                f"{t!r} (other types have no canonical cross-engine "
+                f"string form)")
+        return (f"{src}__bucket_{n}", src,
+                F.pmod(F.crc32(F.col(src).cast("string")
+                               .cast("binary")), F.lit(n)))
+    if name == "truncate":
+        if len(args) != 2:
+            raise ValueError(f"truncate(W, col) expected: {entry!r}")
+        w, src = int(args[0]), args[1]
+        if w <= 0:
+            raise ValueError(f"truncate width must be positive: {entry!r}")
+        t = ftypes.get(src)
+        if t == "string":
+            expr = F.substring(F.col(src), 1, w)
+        elif t in _INT_TYPES:
+            expr = F.col(src) - F.pmod(F.col(src), F.lit(w))
+        else:
+            raise ValueError(
+                f"truncate() needs an int/string column, {src!r} "
+                f"is {t!r}")
+        return f"{src}__trunc_{w}", src, expr
+    raise ValueError(
+        f"unknown partition transform {name!r} in {entry!r} "
+        f"(supported: years/months/days/hours, bucket, truncate)")
+
+
+def _transform_pred_value(tag: str, value):
+    """The Python-side twin of the write expressions: T(value) for a
+    predicate constant, or None when the value can't be mapped (the
+    caller keeps the file — sound)."""
+    wall = tag.endswith("w")
+    base = tag[:-1] if wall else tag
+    if base in ("year", "month", "day", "hour"):
+        fmt = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d",
+               "hour": "%Y-%m-%d-%H"}[base]
+        v = value
+        if isinstance(v, str):
+            try:
+                v = datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            v = datetime.datetime.fromtimestamp(
+                v, tz=datetime.timezone.utc)
+        if isinstance(v, datetime.date) \
+                and not isinstance(v, datetime.datetime):
+            # a plain date is a CALENDAR value on both sides: the
+            # write side's date_format renders a DateType as-is, and
+            # a date literal against a timestamp column casts to
+            # midnight in the pinned-UTC session
+            return v.strftime(fmt)
+        if not isinstance(v, datetime.datetime):
+            return None
+        if wall:
+            # timestamp_ntz/date source: a naive literal compares as
+            # a WALL value on the column, matching date_format's
+            # direct rendering of no-zone values; an aware literal
+            # best-efforts through UTC (the pinned session zone)
+            if v.tzinfo is not None:
+                v = v.astimezone(
+                    datetime.timezone.utc).replace(tzinfo=None)
+            return v.strftime(fmt)
+        # timestamp (instant) column: naive predicates follow
+        # _coerce_pred's convention (OS-zone instant), then render in
+        # the session's pinned UTC like the write side's date_format
+        if v.tzinfo is None:
+            v = v.astimezone()
+        return v.astimezone(datetime.timezone.utc).strftime(fmt)
+    if tag.startswith("bucket_"):
+        n = int(tag[len("bucket_"):])
+        if isinstance(v := value, bool) or not isinstance(
+                v, (int, str)):
+            return None
+        return zlib.crc32(str(v).encode("utf-8")) % n
+    if tag.startswith("trunc_"):
+        w = int(tag[len("trunc_"):])
+        if isinstance(value, str):
+            return value[:w]
+        if isinstance(value, int) and not isinstance(value, bool):
+            return value - (value % w)
+        return None
+    return None
+
+
+_TAG_RE = None  # compiled lazily in _is_transform_tag
+
+
+def _is_transform_tag(tag: str) -> bool:
+    global _TAG_RE
+    if _TAG_RE is None:
+        import re
+        _TAG_RE = re.compile(
+            r"^(year|month|day|hour)w?$|^(bucket_|trunc_)\d+$")
+    return bool(_TAG_RE.match(tag))
+
+
+def _at_bucket_start(tag: str, value) -> bool:
+    """True when *value* sits EXACTLY at the start of its transform
+    bucket — then ``c < value`` implies ``T(c) < T(value)`` and the
+    strict-< prune can drop the boundary bucket itself."""
+    base = tag[:-1] if tag.endswith("w") else tag
+    if tag.startswith("trunc_"):
+        w = int(tag[len("trunc_"):])
+        return isinstance(value, int) and not isinstance(value, bool) \
+            and value % w == 0
+    if base not in ("year", "month", "day", "hour"):
+        return False
+    v = value
+    if isinstance(v, str):
+        try:
+            v = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return False
+    if isinstance(v, datetime.date) \
+            and not isinstance(v, datetime.datetime):
+        v = datetime.datetime(v.year, v.month, v.day)
+    if not isinstance(v, datetime.datetime):
+        return False
+    if not tag.endswith("w"):
+        # instant rendering: the boundary must hold in the UTC frame
+        # the bucket was rendered in (a naive OS-zone midnight is not
+        # a UTC bucket start under a non-UTC OS zone)
+        if v.tzinfo is None:
+            v = v.astimezone()
+        v = v.astimezone(datetime.timezone.utc)
+    if (v.minute, v.second, v.microsecond) != (0, 0, 0):
+        return False
+    if base == "hour":
+        return True
+    if v.hour != 0:
+        return False
+    if base == "day":
+        return True
+    if v.day != 1:
+        return False
+    if base == "month":
+        return True
+    return v.month == 1
+
+
+def _transform_admits(tag: str, op: str, value, p) -> bool:
+    """False ONLY when partition value *p* provably excludes every row
+    matching ``(src, op, value)`` under transform *tag*."""
+    monotonic = not tag.startswith("bucket_")
+    if op == "in":
+        vals = [t for t in (_transform_pred_value(tag, x)
+                            for x in value) if t is not None]
+        if len(vals) != len(list(value)):
+            return True   # an unmappable value: keep (sound)
+        return p in vals if vals else False   # IN () matches no row
+    t = _transform_pred_value(tag, value)
+    if t is None:
+        return True
+    try:
+        if op in ("==", "="):
+            return p == t
+        if not monotonic:
+            return True          # bucket: only equality prunes
+        if op == "<":
+            # rows < X all have T(row) <= T(X); when X is exactly a
+            # bucket start they have T(row) < T(X), so the boundary
+            # bucket itself drops too
+            return p < t or (p == t and not _at_bucket_start(
+                tag, value))
+        if op == "<=":
+            return p <= t
+        if op in (">", ">="):
+            return p >= t
+    except TypeError:
+        return True
+    return True
+
+
 def _write_partitioned(sdf: DataFrame, table_dir: str, out_dir: str,
                        partition_by, num_files: int | None
                        ) -> tuple[list[str], dict]:
-    """Hive-layout write via ``__part_<col>=`` shadow columns (the
+    """Hive-layout write via ``__part_<pname>=`` shadow columns (the
     real columns stay IN the data files); returns (relative file
-    list, per-file partition tuples) for the manifest."""
-    missing = [c for c in partition_by if c not in sdf.columns]
-    if missing:
-        raise ValueError(
-            f"partition_by columns not in schema: {missing}")
+    list, per-file partition tuples) for the manifest. Entries are
+    identity column names or hidden-partitioning transform strings
+    (``days(ts)`` / ``bucket(16, user_id)`` / ``truncate(4, url)`` —
+    see ``_parse_partition_entry``)."""
+    ftypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
+    spec = [_parse_partition_entry(e, ftypes) for e in partition_by]
     w = sdf
-    pcols = []
-    for c in partition_by:
-        pc = f"__part_{c}"
-        w = w.withColumn(pc, F.col(c))
+    pcols, srcs = [], []
+    for pname, src, expr in spec:
+        pc = f"__part_{pname}"
+        w = w.withColumn(pc, F.col(src) if expr is None else expr)
         pcols.append(pc)
+        srcs.append(src)
     if num_files:
-        w = w.repartition(num_files, *list(partition_by))
+        w = w.repartition(num_files, *pcols)
     with _micros_timestamps(w.sparkSession):
         w.write.partitionBy(*pcols).mode("error").parquet(out_dir)
     new_files = sorted(
         os.path.relpath(os.path.join(root, name), table_dir)
         for root, _d, names in os.walk(out_dir)
         for name in names if name.endswith(".parquet"))
-    ftypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
     return new_files, {f: _parse_partition_values(f, ftypes)
                        for f in new_files}
 

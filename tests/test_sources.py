@@ -3144,3 +3144,181 @@ def test_corrupt_parquet_checkpoint_falls_back(spark, tmp_path):
     exact_rows = S.snapshot_read(spark, t,
                                  where=[("k", "==", 3)]).nrow
     assert exact_rows == 1 and len(got) >= 1
+
+
+class TestHiddenPartitioning:
+    """Round 11 late: Iceberg partition TRANSFORMS — ``days(ts)`` /
+    ``bucket(N, col)`` / ``truncate(W, col)`` entries in
+    ``partition_by``. The derived value lives only in the path and the
+    manifest tuple; queries predicate on the BASE column and the prune
+    maps each predicate through the transform (monotonic rules for
+    time/truncate, equality-only for bucket)."""
+
+    @staticmethod
+    def _events(spark, n=600):
+        from pyspark.sql import functions as F
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.lit("2026-03-01 00:00:00").cast("timestamp_ntz")
+             + F.make_dt_interval(F.lit(0), F.lit(0),
+                                  (F.col("id") * 17) % (4 * 1440))
+             ).alias("ts"),
+            (F.col("id") % 15).alias("user_id"),
+            F.concat(F.lit("type_"),
+                     (F.col("id") % 5).cast("string"))
+            .alias("event_type"))
+
+    def test_days_transform_prunes_and_reads_exact(self, spark,
+                                                   tmp_path):
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "days")
+        ev = self._events(spark)
+        S.snapshot_write(ev, t, partition_by=["days(ts)"])
+        m = S._read_manifest(t, 1)
+        assert all(set(pt) == {"ts__dayw"}
+                   for pt in m["partitions"].values())
+        n_all = len(S.snapshot_scan_files(t))
+        assert n_all >= 4                      # four day buckets
+        x = datetime.datetime(2026, 3, 3, 12, 0, 0)
+        pred = [("ts", ">=", x)]
+        hit = S.snapshot_scan_files(t, where=pred)
+        assert 0 < len(hit) < n_all            # days 3 and 4 only
+        got = S.snapshot_read(spark, t, where=pred).nrow
+        assert got == ev.filter(F.col("ts") >= x).count() > 0
+        # strict < at an exact midnight drops the boundary day too
+        mid = datetime.datetime(2026, 3, 2)
+        lt = S.snapshot_scan_files(t, where=[("ts", "<", mid)])
+        le_like = S.snapshot_scan_files(t, where=[("ts", "<=", mid)])
+        assert len(lt) < len(le_like)
+        assert S.snapshot_read(spark, t,
+                               where=[("ts", "<", mid)]).nrow \
+            == ev.filter(F.col("ts") < mid).count()
+        # base column is in the data; the derived value is not
+        assert "ts" in S.snapshot_read(spark, t).spark_df.columns
+        assert "ts__dayw" not in S.snapshot_read(
+            spark, t).spark_df.columns
+
+    def test_bucket_transform_equality_and_in(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "bucket")
+        ev = self._events(spark)
+        S.snapshot_write(ev, t, partition_by=["bucket(8, user_id)"],
+                         num_files=8)
+        n_all = len(S.snapshot_scan_files(t))
+        assert 2 <= n_all <= 8     # one file per materialized bucket
+        hit = S.snapshot_scan_files(t, where=[("user_id", "==", 7)])
+        assert len(hit) == 1
+        assert S.snapshot_read(
+            spark, t, where=[("user_id", "==", 7)]).nrow \
+            == ev.filter(F.col("user_id") == 7).count() > 0
+        # IN list unions the matching buckets only
+        inhit = S.snapshot_scan_files(
+            t, where=[("user_id", "in", [3, 7])])
+        assert 1 <= len(inhit) <= 2
+        assert S.snapshot_read(
+            spark, t, where=[("user_id", "in", [3, 7])]).nrow \
+            == ev.filter(F.col("user_id").isin([3, 7])).count()
+        # range predicates never prune on a bucket (not monotonic)
+        assert len(S.snapshot_scan_files(
+            t, where=[("user_id", ">=", 7)])) == n_all
+
+    def test_truncate_string_and_int(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "trunc")
+        ev = self._events(spark)
+        S.snapshot_write(
+            ev, t, partition_by=["truncate(6, event_type)"],
+            num_files=5)
+        # 'type_0'..'type_4' -> five 6-char prefixes
+        assert len(S.snapshot_scan_files(t)) == 5
+        hit = S.snapshot_scan_files(
+            t, where=[("event_type", "==", "type_3")])
+        assert len(hit) == 1
+        assert S.snapshot_read(
+            spark, t, where=[("event_type", "==", "type_3")]).nrow \
+            == ev.filter(F.col("event_type") == "type_3").count()
+        ge = S.snapshot_scan_files(
+            t, where=[("event_type", ">=", "type_3")])
+        assert len(ge) == 2                    # type_3, type_4
+        ti = str(tmp_path / "trunci")
+        S.snapshot_write(ev, ti, partition_by=["truncate(5, user_id)"],
+                         num_files=3)
+        assert len(S.snapshot_scan_files(ti)) == 3   # 0, 5, 10
+        lt = S.snapshot_scan_files(ti, where=[("user_id", "<", 5)])
+        assert len(lt) == 1                    # boundary bucket drops
+        assert S.snapshot_read(
+            spark, ti, where=[("user_id", "<", 5)]).nrow \
+            == ev.filter(F.col("user_id") < 5).count()
+
+    def test_transform_dml_and_carry(self, spark, tmp_path):
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dml")
+        ev = self._events(spark)
+        S.snapshot_write(ev, t, partition_by=["days(ts)"])
+        cutoff = datetime.datetime(2026, 3, 2)
+        m1 = S._read_manifest(t, 1)
+        v = S.snapshot_delete(spark, t, [("ts", "<", cutoff)])
+        m2 = S._read_manifest(t, v)
+        # untouched day partitions carried verbatim with their tuples
+        carried = set(m1["files"]) & set(m2["files"])
+        assert carried
+        assert all(m2["partitions"][f] == m1["partitions"][f]
+                   for f in carried)
+        assert S.snapshot_read(spark, t).nrow \
+            == ev.filter(F.col("ts") >= cutoff).count()
+        # appends keep recording transform tuples
+        S.snapshot_write(ev.filter(F.col("event_id") < 10), t,
+                         mode="append", partition_by=["days(ts)"])
+        m3 = S._read_manifest(t, v + 1)
+        assert any("ts__dayw" in pt for pt in m3["partitions"].values())
+
+    def test_mixed_identity_and_transform(self, spark, tmp_path):
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "mixed")
+        ev = self._events(spark)
+        S.snapshot_write(
+            ev, t, partition_by=["event_type", "days(ts)"])
+        pred = [("event_type", "==", "type_1"),
+                ("ts", ">=", datetime.datetime(2026, 3, 4))]
+        n_all = len(S.snapshot_scan_files(t))
+        hit = S.snapshot_scan_files(t, where=pred)
+        assert 0 < len(hit) < n_all
+        assert S.snapshot_read(spark, t, where=pred).nrow \
+            == ev.filter((F.col("event_type") == "type_1")
+                         & (F.col("ts") >= datetime.datetime(
+                             2026, 3, 4))).count()
+
+    def test_transform_source_rename_drop_blocked(self, spark,
+                                                  tmp_path):
+        import pytest
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "blk")
+        S.snapshot_write(self._events(spark), t,
+                         partition_by=["days(ts)"])
+        with pytest.raises(ValueError, match="partition"):
+            S.snapshot_rename_column(t, "ts", "ts2")
+        with pytest.raises(ValueError, match="partition"):
+            S.snapshot_drop_column(t, "ts")
+
+    def test_bad_transforms_raise(self, spark, tmp_path):
+        import pytest
+        from cl_data_frame_spark.sources import snapshots as S
+        ev = self._events(spark)
+        t = str(tmp_path / "bad")
+        for spec, msg in [
+                ("days(user_id)", "timestamp/date"),
+                ("bucket(0, user_id)", "positive"),
+                ("bucket(4, ts)", "int/string"),
+                ("truncate(3, ts)", "int/string"),
+                ("wibble(ts)", "unknown partition transform"),
+                ("nope", "not in schema")]:
+            with pytest.raises(ValueError, match=msg):
+                S.snapshot_write(ev, t, partition_by=[spec])
