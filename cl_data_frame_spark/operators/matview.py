@@ -351,7 +351,18 @@ def matview_refresh(spark: SparkSession, view_dir: str,
     repair_keys = j.where(repair).select(*keys)
     n_repair = repair_keys.count()
     if n_repair:
-        base = _plain(snapshot_read(spark, src_dir, version=target))
+        # single-key views with a bounded repair set read the base
+        # through an IN-list predicate: stats/bloom/partition-tuple
+        # file skipping makes the repair scan touch only the files
+        # that can hold those groups (the collect is n_repair keys —
+        # metadata-sized, already counted)
+        prune = None
+        if len(keys) == 1 and n_repair <= 10_000:
+            vals = [r[keys[0]] for r in
+                    j.where(repair).select(*keys).collect()]
+            prune = [(keys[0], "in", vals)]
+        base = _plain(snapshot_read(spark, src_dir, version=target,
+                                    where=prune))
         if where is not None:
             base = base.where(F.expr(where))
         base_rows = base.join(F.broadcast(repair_keys),

@@ -815,19 +815,32 @@ def _pred_column(col: str, op: str, val):
     raise ValueError(f"unsupported predicate op {op!r}")
 
 
+#: pseudo-column carrying each file's exact ROW COUNT in its stats
+#: entry (Delta's numRecords): rides every existing stats carry /
+#: delta / checkpoint path, never collides with a schema column, and
+#: lets ``snapshot_count`` answer COUNT(*) from metadata alone
+_ROWS_KEY = "__rows__"
+
+
 def _collect_file_stats(table_dir: str, rel_files: list[str],
-                        stats_cols: Sequence[str]) -> dict:
+                        stats_cols: Sequence[str],
+                        rows: bool = False) -> dict:
     """Per-file min/max/null_count for *stats_cols* from the parquet
     footers (pyarrow metadata) — no data pages are read. Row-group
     stats are folded to file-level bounds. On a cluster this loop is a
     flat map over file paths (footers are KBs); the driver-side loop
-    here is the local-mode expression of the same metadata pass."""
+    here is the local-mode expression of the same metadata pass.
+    ``rows=True`` additionally records each file's exact row count
+    under the ``__rows__`` pseudo-column."""
     import pyarrow.parquet as pq
-    wanted = set(stats_cols)
+    wanted = set(stats_cols) - {_ROWS_KEY}
     out = {}
     for rel in rel_files:
         md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
         per: dict[str, dict] = {}
+        if rows:
+            n = int(md.num_rows)
+            per[_ROWS_KEY] = {"min": n, "max": n, "nulls": 0}
         # one stats-less row group makes the column's FILE bounds
         # unknowable — flag it unusable (no pruning; sound) without
         # clobbering the accumulator, so the outcome is the same
@@ -2328,8 +2341,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
             os.path.join(rel_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
     files = list(new_files)
-    stats = (_collect_file_stats(table_dir, new_files, stats_cols)
-             if stats_cols else {})
+    stats = _collect_file_stats(table_dir, new_files,
+                                stats_cols or (), rows=True)
     bloom = (_collect_file_blooms(sdf.sparkSession, table_dir,
                                   new_files, bloom_cols)
              if bloom_cols else {})
@@ -2696,8 +2709,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         manifest["constraints"] = m["constraints"]
     if m.get("txn"):
         manifest["txn"] = m["txn"]
-    new_stats = (_collect_file_stats(table_dir, new_files, stats_cols)
-                 if stats_cols else {})
+    new_stats = _collect_file_stats(
+        table_dir, new_files, stats_cols or (), rows=True)
     stats_all = {**{f: old_stats[f] for f in carried
                     if f in old_stats}, **new_stats}
     if stats_all:
@@ -3120,6 +3133,41 @@ def _classify_changes(old_side: DataFrame | None,
         .unionByName(expand("__n_", ncnt - ocnt, post_t))
 
 
+def snapshot_count(table_dir: str, version: int | None = None) -> int:
+    """Exact COUNT(*) of a snapshot version from METADATA alone — no
+    data scan (Delta answers ``SELECT COUNT(*)`` from the log's
+    numRecords the same way). Every write/merge/DML/optimize records
+    each new file's exact row count in its stats entry (the
+    ``__rows__`` pseudo-column, from the parquet footer the stats
+    pass already opens); deletion vectors subtract their recorded
+    position counts. Raises with a remedy if some live file predates
+    row-count recording — correctness never degrades to a guess."""
+    if version is None:
+        version = _latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+    m = _read_manifest(table_dir, version)
+    stats = m.get("stats") or {}
+    dv = m.get("dv") or {}
+    total = 0
+    for f in m["files"]:
+        e = (stats.get(f) or {}).get(_ROWS_KEY) or {}
+        n = e.get("min")
+        if n is None:
+            raise ValueError(
+                f"file {f} carries no row count (written before "
+                f"row-count recording) — OPTIMIZE the table once, or "
+                f"count with snapshot_read(...).count()")
+        total += int(n)
+        if f in dv:
+            ndv = dv[f].get("n")
+            if ndv is None:
+                ndv = len(_dv_positions(table_dir, f, dv[f]))
+            total -= int(ndv)
+    return total
+
+
 def snapshot_history(table_dir: str) -> list[dict]:
     """Version log, oldest first: (version, parent, operation,
     n_files, timestamp) — metadata only, no data scan. The timestamp
@@ -3510,9 +3558,9 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         os.path.join(rel_dir, f) for f in os.listdir(out_dir)
         if f.endswith(".parquet"))
     stats_cols = sorted({c for f in m["files"]
-                         for c in (stats.get(f) or {})})
-    new_stats = _collect_file_stats(table_dir, new_files, stats_cols) \
-        if stats_cols else {}
+                         for c in (stats.get(f) or {})} - {_ROWS_KEY})
+    new_stats = _collect_file_stats(
+        table_dir, new_files, stats_cols, rows=True)
     try:
         manifest = {
             "version": version,
@@ -3835,10 +3883,10 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
             os.path.join(rel_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
         stats_cols = sorted({c for f in m["files"]
-                             for c in (stats.get(f) or {})})
+                             for c in (stats.get(f) or {})}
+                            - {_ROWS_KEY})
         new_stats = _collect_file_stats(table_dir, new_files,
-                                        stats_cols) if stats_cols \
-            else {}
+                                        stats_cols, rows=True)
     manifest = {
         "version": version,
         "parent": base_v,
@@ -3914,7 +3962,11 @@ def snapshot_detail(table_dir: str,
         "constraints": sorted((m.get("constraints") or {})),
         "renamed_files": len(m.get("renamed_files") or {}),
         "stats_files": len(stats),
-        "stats_columns": sorted({c for s in stats.values() for c in s}),
+        "stats_columns": sorted({c for s in stats.values()
+                                 for c in s} - {_ROWS_KEY}),
+        "num_rows": (snapshot_count(table_dir, version)
+                     if all(_ROWS_KEY in (stats.get(f) or {})
+                            for f in m["files"]) else None),
         "bloom_files": len(bloom),
         "bloom_columns": sorted({c for b in bloom.values() for c in b}),
         "dv_files": len(m.get("dv") or {}),

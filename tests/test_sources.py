@@ -3322,3 +3322,78 @@ class TestHiddenPartitioning:
                 ("nope", "not in schema")]:
             with pytest.raises(ValueError, match=msg):
                 S.snapshot_write(ev, t, partition_by=[spec])
+
+
+class TestSnapshotCount:
+    """Metadata-only COUNT(*): every write/DML/optimize records exact
+    per-file row counts (the __rows__ stats pseudo-column); deletion
+    vectors subtract their recorded position counts."""
+
+    def test_count_across_write_append_dml_optimize(self, spark,
+                                                    tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "cnt")
+        df = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+        S.snapshot_write(df.repartition(4), t,
+                         stats_cols=["k"])
+        assert S.snapshot_count(t) == 500
+        S.snapshot_write(df.filter(F.col("k") < 50).repartition(2),
+                         t, mode="append", stats_cols=["k"])
+        assert S.snapshot_count(t) == 550
+        # row-level delete (rewrite path)
+        S.snapshot_delete(spark, t, [("k", ">=", 400)])
+        assert S.snapshot_count(t) == 450
+        # version pinning still answers the old counts
+        assert S.snapshot_count(t, version=1) == 500
+        assert S.snapshot_count(t, version=2) == 550
+        S.snapshot_optimize(spark, t)
+        assert S.snapshot_count(t) == 450
+        # the number matches a real scan
+        assert S.snapshot_read(spark, t).nrow == 450
+
+    def test_count_subtracts_deletion_vectors(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "cntdv")
+        df = spark.range(2000).select(
+            F.col("id").alias("k"), F.col("id").alias("v"))
+        S.snapshot_write(df.repartition(1), t, stats_cols=["k"])
+        pre_files = set(S._read_manifest(t, 1)["files"])
+        v = S.snapshot_delete(spark, t, [("k", "==", 17)])
+        m = S._read_manifest(t, v)
+        assert set(m["files"]) == pre_files and m.get("dv"), \
+            "expected a DV point delete, not a rewrite"
+        assert S.snapshot_count(t) == 1999
+        # a second DV delete unions positions
+        S.snapshot_delete(spark, t, [("k", "in", [3, 5, 17])])
+        assert S.snapshot_count(t) == 1997
+        assert S.snapshot_read(spark, t).nrow == 1997
+
+    def test_count_unavailable_raises_with_remedy(self, spark,
+                                                  tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "cntold")
+        df = spark.range(10).select(F.col("id").alias("k"))
+        S.snapshot_write(df.repartition(1), t)
+        # simulate a pre-row-count manifest: strip the pseudo-column
+        m = S._read_manifest(t, 1)
+        stripped = {f: {c: st for c, st in sd.items()
+                        if c != "__rows__"}
+                    for f, sd in (m.get("stats") or {}).items()}
+        stripped = {f: sd for f, sd in stripped.items() if sd}
+        raw_path = S._manifest_path(t, 1)
+        import json as _json
+        with open(raw_path) as fh:
+            raw = _json.load(fh)
+        raw.pop("stats", None)
+        if stripped:
+            raw["stats"] = stripped
+        with open(raw_path, "w") as fh:
+            _json.dump(raw, fh)
+        S._STATE_CACHE.clear()
+        with pytest.raises(ValueError, match="OPTIMIZE"):
+            S.snapshot_count(t)
