@@ -1223,11 +1223,13 @@ def q_s_udtf_tokens(spark, sf_dir):
     return out.spark_df.select("doc_id", "pos", "word")
 
 
-def q_s_merge_upsert(spark, sf_dir):
+def _merge_upsert_base(spark, sf_dir):
     """MERGE/upsert as a relational rewrite (update matched orders'
     totalprice from a delta source, insert unmatched source keys) + SCD2
     type-2 dimension history built from the orders change log — one
-    tagged union."""
+    tagged union (the materialized-view parts join in
+    ``q_s_merge_upsert``; per-part attribution times the two families
+    separately so a non-mv part never pays the mv DML history)."""
     orders = _f(spark, sf_dir, "orders")
     delta = SparkFrame(
         _t(spark, sf_dir, "orders")
@@ -1361,12 +1363,18 @@ def q_s_merge_upsert(spark, sf_dir):
              F.col("o_orderstatus").alias("s1"),
              _BNULL().alias("vf"), _BNULL().alias("vt"),
              F.lit(None).cast("int").alias("cur"))
-    # incrementally-maintained materialized view (the delete/update-
-    # aware sibling of 'incr'): mvmid + mvread parts, oracled against
-    # full GROUP BY recomputes of the DML history's states
-    mv = _matview_parts(spark, sf_dir)
     return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(g).unionByName(mv))
+            .unionByName(e).unionByName(g))
+
+
+def q_s_merge_upsert(spark, sf_dir):
+    """The maintenance-family composite: the relational
+    merge/scd2/incr/diff/pit/apply parts plus the incrementally-
+    maintained materialized view (the delete/update-aware sibling of
+    'incr'): mvmid + mvread, oracled against full GROUP BY recomputes
+    of the DML history's states."""
+    return _merge_upsert_base(spark, sf_dir) \
+        .unionByName(_matview_parts(spark, sf_dir))
 
 
 def q_s_sessionize(spark, sf_dir):
@@ -4423,6 +4431,16 @@ def query_parts() -> dict[str, dict[str, Callable]]:
     qs = queries()
     out = {entry: {p: _part_filter(qs[entry], p) for p in parts}
            for entry, parts in _TAGGED_PARTS.items()}
+    # s_merge_upsert splits into its two independent builders: a
+    # relational part must not pay the matview DML history (and vice
+    # versa) just to be timed
+    out["s_merge_upsert"] = {
+        **{p: _part_filter(_merge_upsert_base, p)
+           for p in ("merge", "scd2", "incr", "diff", "pit",
+                     "apply")},
+        **{p: _part_filter(_matview_parts, p)
+           for p in ("mvmid", "mvread")},
+    }
     out["x_text_stats"] = {
         "quality": q_x_text_quality,
         "lang_id": q_x_lang_id,
