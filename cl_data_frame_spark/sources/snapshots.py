@@ -3668,7 +3668,8 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
                     dv: bool = True,
                     num_files: int | None = None,
                     max_retries: int = 5,
-                    change_data: bool = True) -> int:
+                    change_data: bool = True,
+                    txn: tuple[str, int] | None = None) -> int:
     """Row-level DELETE: remove every row matching *where* (a list of
     ``(col, op, value)`` triples ANDed together, ops ``== < <= > >= in``
     — the same predicate shape ``snapshot_read`` prunes with; a
@@ -3697,7 +3698,7 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
     for _ in range(max_retries + 1):
         try:
             return _delete_once(spark, table_dir, where, num_files,
-                                dv, change_data)
+                                dv, change_data, txn=txn)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -3707,7 +3708,8 @@ def snapshot_delete(spark: SparkSession, table_dir: str, where,
 
 def _delete_once(spark: SparkSession, table_dir: str, where,
                  num_files: int | None, use_dv: bool = True,
-                 change_data: bool = True) -> int:
+                 change_data: bool = True,
+                 txn: tuple[str, int] | None = None) -> int:
     def rewrite(t_df, match_cond, schema, _m):
         # keep rows NOT matching the conjunction (NULLs never match a
         # comparison predicate, so they are kept — SQL DELETE WHERE
@@ -3716,13 +3718,14 @@ def _delete_once(spark: SparkSession, table_dir: str, where,
             .select(*[f.name for f in schema.fields])
     return _dml_rewrite_once(spark, table_dir, where, num_files,
                              "delete", rewrite, use_dv=use_dv,
-                             change_data=change_data)
+                             change_data=change_data, txn=txn)
 
 
 def snapshot_update(spark: SparkSession, table_dir: str, where,
                     set_exprs: dict, num_files: int | None = None,
                     max_retries: int = 5, dv: bool = True,
-                    change_data: bool = True) -> int:
+                    change_data: bool = True,
+                    txn: tuple[str, int] | None = None) -> int:
     """Row-level UPDATE ... SET: rewrite matching rows' columns to the
     given expressions (strings or Columns; non-matching rows pass
     through verbatim) and publish a new version — the third leg of the
@@ -3760,7 +3763,8 @@ def snapshot_update(spark: SparkSession, table_dir: str, where,
             return _dml_rewrite_once(spark, table_dir, where,
                                      num_files, "update", rewrite,
                                      use_dv=dv,
-                                     change_data=change_data)
+                                     change_data=change_data,
+                                     txn=txn)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -3779,7 +3783,8 @@ _DV_MAX_ROWS = 100_000
 def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                       num_files: int | None, operation: str,
                       rewrite, use_dv: bool = True,
-                      change_data: bool = True) -> int:
+                      change_data: bool = True,
+                      txn: tuple[str, int] | None = None) -> int:
     from pyspark.sql.types import StructType
     preds = list(where or [])
     for col, op, _v in preds:
@@ -3912,8 +3917,11 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         manifest["partitions"] = parts_
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
-    if m.get("txn"):
-        manifest["txn"] = m["txn"]
+    txns = dict(m.get("txn") or {})
+    if txn is not None:
+        txns[txn[0]] = int(txn[1])
+    if txns:
+        manifest["txn"] = txns
     if change_data:
         _materialize_cdc(spark, table_dir, manifest, m)
     try:
@@ -3925,7 +3933,7 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
             table_dir, base_v, set(rewrite_files), new_files,
             new_stats, operation, m["schema"], keys=pred_cols,
             preds=preds, dv_add=new_dv_entries,
-            cdc=manifest.get("cdc"))
+            cdc=manifest.get("cdc"), txn_add=txn)
         if rebased is not None:
             return rebased
         raise
