@@ -2585,6 +2585,23 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     return SparkFrame(sdf)
 
 
+def snapshot_register(spark: SparkSession, table_dir: str,
+                      name: str, version: int | None = None,
+                      where=None, timestamp=None) -> str:
+    """Register a snapshot (optionally pinned to ``version=`` /
+    ``timestamp=``, optionally predicated) as a TEMP VIEW so plain
+    ``spark.sql`` queries run over it — the SQL surface of the
+    manifest format. The view is bound to the manifest's exact file
+    list at registration time (the same pinning contract as
+    ``snapshot_read``), so later commits or vacuums of newer versions
+    don't change what the SQL sees; re-register to follow the head.
+    Returns *name* for call chaining."""
+    snapshot_read(spark, table_dir, version=version, where=where,
+                  timestamp=timestamp).spark_df \
+        .createOrReplaceTempView(name)
+    return name
+
+
 def snapshot_optimize(spark: SparkSession, table_dir: str,
                       target_file_mb: int = 128,
                       zorder_by: Sequence[str] | None = None,

@@ -3308,6 +3308,63 @@ class TestHiddenPartitioning:
         with pytest.raises(ValueError, match="partition"):
             S.snapshot_drop_column(t, "ts")
 
+    def test_streamed_checkpoint_listing_maps_transforms(
+            self, spark, tmp_path, monkeypatch):
+        """The checkpoint-streaming predicated listing must apply the
+        SAME transform mapping as the exact prune: cross the every-20
+        checkpoint cadence on a days(ts)-partitioned table, then
+        compare streamed vs exact listings and reads per predicate."""
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "hpstream")
+        ev = self._events(spark, n=400)
+        S.snapshot_write(ev, t, partition_by=["days(ts)"],
+                         num_files=4)
+        for i in range(22):     # cross the checkpoint cadence
+            S.snapshot_write(
+                ev.filter(F.col("event_id") == i), t, mode="append",
+                partition_by=["days(ts)"])
+        preds = [
+            [("ts", ">=", datetime.datetime(2026, 3, 3))],
+            [("ts", "<", datetime.datetime(2026, 3, 2))],
+            [("ts", ">=", datetime.datetime(2026, 3, 2)),
+             ("ts", "<", datetime.datetime(2026, 3, 3))],
+        ]
+        for where in preds:
+            S._STATE_CACHE.clear()
+            streamed = S._streamed_scan_files(
+                t, S._latest_version(t), where)
+            assert streamed is not None, where
+            monkeypatch.setattr(S, "_streamed_scan_files",
+                                lambda *a, **k: None)
+            exact = S.snapshot_scan_files(t, where=where)
+            rows_exact = S.snapshot_read(spark, t, where=where).nrow
+            monkeypatch.undo()
+            S._STATE_CACHE.clear()
+            assert sorted(streamed[0]) == sorted(exact), where
+            assert S.snapshot_read(spark, t, where=where).nrow \
+                == rows_exact, where
+            lo = where[0][2]
+            expect = ev.filter(F.col("ts") >= lo).count() \
+                if where[0][1] == ">=" \
+                else ev.filter(F.col("ts") < lo).count()
+            if len(where) == 2:
+                expect = ev.filter(
+                    (F.col("ts") >= where[0][2])
+                    & (F.col("ts") < where[1][2])).count()
+            # +appended duplicate rows for event_id < 22 that pass
+            extra = ev.filter(F.col("event_id") < 22)
+            if where[0][1] == ">=":
+                extra = extra.filter(F.col("ts") >= lo)
+            else:
+                extra = extra.filter(F.col("ts") < lo)
+            if len(where) == 2:
+                extra = ev.filter(F.col("event_id") < 22).filter(
+                    (F.col("ts") >= where[0][2])
+                    & (F.col("ts") < where[1][2]))
+            assert rows_exact == expect + extra.count(), where
+
     def test_bad_transforms_raise(self, spark, tmp_path):
         import pytest
         from cl_data_frame_spark.sources import snapshots as S
@@ -3397,3 +3454,34 @@ class TestSnapshotCount:
         S._STATE_CACHE.clear()
         with pytest.raises(ValueError, match="OPTIMIZE"):
             S.snapshot_count(t)
+
+
+class TestSnapshotRegister:
+    def test_sql_over_pinned_snapshot(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "reg")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+        S.snapshot_write(df, t, stats_cols=["k"])
+        S.snapshot_register(spark, t, "reg_v1")
+        assert spark.sql(
+            "SELECT count(*) AS n FROM reg_v1").collect()[0]["n"] \
+            == 100
+        # later commits don't move the registered view (pinned files)
+        S.snapshot_write(df.filter(F.col("k") < 10), t, mode="append")
+        assert spark.sql(
+            "SELECT count(*) AS n FROM reg_v1").collect()[0]["n"] \
+            == 100
+        # explicit pinning + predicate pushdown into the listing
+        S.snapshot_register(spark, t, "reg_head")
+        assert spark.sql(
+            "SELECT count(*) AS n FROM reg_head").collect()[0]["n"] \
+            == 110
+        S.snapshot_register(spark, t, "reg_band",
+                            where=[("k", "<", 10)])
+        got = spark.sql(
+            "SELECT g, count(*) AS n FROM reg_band GROUP BY g "
+            "ORDER BY g").collect()
+        assert [(r["g"], r["n"]) for r in got] == [
+            (i, 4) for i in range(5)]
