@@ -403,6 +403,54 @@ def matview_refresh(spark: SparkSession, view_dir: str,
             "groups_repaired": n_repair}
 
 
+def matview_refresh_stream(spark: SparkSession, view_dir: str,
+                           checkpoint_dir: str | None = None,
+                           trigger_seconds: float | None = None,
+                           available_now: bool = False):
+    """CONTINUOUS maintenance: a Structured Streaming query over the
+    source's change feed whose micro-batches each call
+    ``matview_refresh`` — the standard Delta pattern
+    (``readChangeFeed`` -> ``foreachBatch`` MERGE), with the refresh
+    itself providing exactly-once through the commit-riding txn
+    watermark: an overlapping or replayed trigger is a no-op, so the
+    stream needs no delivery guarantees of its own. The feed rows are
+    used as the CHANGE SIGNAL (the refresh re-reads the batch CDC
+    range under its own watermark — versions, not rows, are the unit
+    of consistency here); the stream starts at the view's current
+    watermark so history is not re-shipped.
+
+    ``available_now=True`` processes everything committed so far and
+    stops (catch-up / test mode); otherwise pass ``trigger_seconds``
+    for a processing-time trigger or leave both unset for Spark's
+    default micro-batch loop. Returns the ``StreamingQuery`` — call
+    ``.stop()`` to end maintenance."""
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_txn_version)
+    from cl_data_frame_spark.streaming.snapshot_source import (
+        read_stream_snapshot)
+    meta = _read_meta(view_dir)
+    applied = snapshot_txn_version(view_dir, _APP_ID)
+    if applied is None:
+        applied = int(meta["source_version"])
+    feed = read_stream_snapshot(spark, meta["source_dir"],
+                                read_change_feed=True,
+                                starting_version=applied + 1)
+
+    def _on_batch(_batch_df, _batch_id):
+        matview_refresh(spark, view_dir)
+
+    ckpt = checkpoint_dir or os.path.join(view_dir, "_maintenance",
+                                          "stream_ckpt")
+    writer = (feed.writeStream.foreachBatch(_on_batch)
+              .option("checkpointLocation", ckpt))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def matview_read(spark: SparkSession, view_dir: str) -> SparkFrame:
     """The view as a user-facing aggregate: tombstones filtered,
     SQL NULL semantics restored (empty/all-NULL measures expose NULL

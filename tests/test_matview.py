@@ -339,3 +339,32 @@ class TestMatviewRandomizedParity:
                         "grp": F.lit(f"g{rng.randrange(5)}")})
             matview_refresh(spark, view)
             _assert_parity(spark, src, view, f"fuzz step {step}")
+
+
+class TestMatviewStreamingMaintenance:
+    def test_change_feed_driven_refresh(self, spark, tmp_path):
+        from cl_data_frame_spark.operators.matview import (
+            matview_refresh_stream)
+        src, view = _mkdirs(tmp_path, "stream")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i))
+                           for i in range(20)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        # DML lands after create; the maintenance stream catches up
+        snapshot_delete(spark, src, where=[("id", "==", 0)])
+        extra = spark.createDataFrame(
+            [(100, "g0", 50.0), (101, "g9", 9.0)],
+            "id int, grp string, val double")
+        snapshot_write(SparkFrame(extra), src, mode="append")
+        q = matview_refresh_stream(spark, view, available_now=True)
+        q.awaitTermination(120)
+        _assert_parity(spark, src, view, "stream catch-up")
+        from cl_data_frame_spark.sources.snapshots import (
+            _latest_version)
+        assert snapshot_txn_version(view, "matview") \
+            == _latest_version(src)
+        # second wave, same checkpoint: restart processes only the new
+        snapshot_delete(spark, src, where=[("grp", "==", "g9")])
+        q2 = matview_refresh_stream(spark, view, available_now=True)
+        q2.awaitTermination(120)
+        _assert_parity(spark, src, view, "stream second wave")
