@@ -1768,6 +1768,24 @@ def _parse_partition_entry(entry: str, ftypes: dict):
         f"(supported: years/months/days/hours, bucket, truncate)")
 
 
+def _spec_from_tuple_key(key: str) -> str:
+    """A manifest partition-tuple key back to its ``partition_by``
+    spec string — so a partition-preserving OPTIMIZE can re-lay files
+    out under the SAME transform (``ts__dayw`` -> ``days(ts)``; the
+    wall/instant tag re-derives from the source column's type)."""
+    if "__" not in key:
+        return key
+    src, tag = key.rsplit("__", 1)
+    if not _is_transform_tag(tag):
+        return key            # a column literally named like a tuple
+    base = tag[:-1] if tag.endswith("w") else tag
+    if base in ("year", "month", "day", "hour"):
+        return f"{base}s({src})"
+    if tag.startswith("bucket_"):
+        return f"bucket({tag[len('bucket_'):]}, {src})"
+    return f"truncate({tag[len('trunc_'):]}, {src})"
+
+
 def _transform_pred_value(tag: str, value):
     """The Python-side twin of the write expressions: T(value) for a
     predicate constant, or None when the value can't be mapped (the
@@ -2697,7 +2715,7 @@ def _optimize_once(spark: SparkSession, table_dir: str,
             and all(f in pts for f in selected):
         keysets = {tuple(sorted(pts[f])) for f in selected}
         if len(keysets) == 1:
-            pcols = list(keysets.pop())
+            pcols = [_spec_from_tuple_key(k) for k in keysets.pop()]
     if zorder_by:
         from cl_data_frame_spark.sources import write_parquet_zordered
         write_parquet_zordered(sdf, out_dir, list(zorder_by),

@@ -3365,6 +3365,33 @@ class TestHiddenPartitioning:
                     & (F.col("ts") < where[1][2]))
             assert rows_exact == expect + extra.count(), where
 
+    def test_optimize_preserves_transform_layout(self, spark,
+                                                 tmp_path):
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "opthp")
+        ev = self._events(spark)
+        S.snapshot_write(ev, t, partition_by=["days(ts)"],
+                         num_files=4)
+        for i in range(3):       # fragment with tiny appends
+            S.snapshot_write(ev.filter(F.col("event_id") == i), t,
+                             mode="append",
+                             partition_by=["days(ts)"])
+        v = S.snapshot_optimize(spark, t, target_file_mb=128)
+        m = S._read_manifest(t, v)
+        pt = m.get("partitions") or {}
+        # compaction kept the hidden-partition layout: every new file
+        # carries its transform tuple, and base-column pruning works
+        assert all("ts__dayw" in (pt.get(f) or {})
+                   for f in m["files"])
+        pred = [("ts", ">=", datetime.datetime(2026, 3, 3))]
+        assert 0 < len(S.snapshot_scan_files(t, where=pred)) \
+            < len(m["files"])
+        exp = S.snapshot_read(spark, t).spark_df.where(
+            F.col("ts") >= datetime.datetime(2026, 3, 3)).count()
+        assert S.snapshot_read(spark, t, where=pred).nrow == exp
+
     def test_bad_transforms_raise(self, spark, tmp_path):
         import pytest
         from cl_data_frame_spark.sources import snapshots as S
