@@ -451,6 +451,25 @@ def matview_refresh_stream(spark: SparkSession, view_dir: str,
     return writer.start()
 
 
+def matview_compact(spark: SparkSession, view_dir: str,
+                    target_file_mb: int = 128) -> int:
+    """Housekeeping: purge cnt=0 TOMBSTONES and bin-pack the view's
+    files. Safe at any time — a refresh treats an absent group and a
+    tombstoned group identically (both arithmetic-resume from zero
+    state and both repair on deletion anomalies), tombstones exist
+    only because the refresh's single MERGE commit cannot delete
+    rows. Returns the view's new version."""
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_delete, snapshot_optimize, snapshot_read)
+    _read_meta(view_dir)          # fail loudly on a non-view
+    tombs = _plain(snapshot_read(spark, view_dir)) \
+        .where(F.col("cnt") == 0).limit(1).count()
+    if tombs:
+        snapshot_delete(spark, view_dir, [("cnt", "==", 0)])
+    return snapshot_optimize(spark, view_dir,
+                             target_file_mb=target_file_mb)
+
+
 def matview_read(spark: SparkSession, view_dir: str) -> SparkFrame:
     """The view as a user-facing aggregate: tombstones filtered,
     SQL NULL semantics restored (empty/all-NULL measures expose NULL

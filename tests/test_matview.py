@@ -368,3 +368,30 @@ class TestMatviewStreamingMaintenance:
         q2 = matview_refresh_stream(spark, view, available_now=True)
         q2.awaitTermination(120)
         _assert_parity(spark, src, view, "stream second wave")
+
+
+class TestMatviewCompact:
+    def test_tombstone_purge_and_rebirth_stays_exact(self, spark,
+                                                     tmp_path):
+        from cl_data_frame_spark.operators.matview import (
+            matview_compact)
+        src, view = _mkdirs(tmp_path, "compact")
+        _seed(spark, src, [(0, "a", 1.0), (1, "a", 2.0),
+                           (2, "b", 5.0), (3, "c", 7.0)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("grp", "==", "a")])
+        snapshot_delete(spark, src, where=[("grp", "==", "c")])
+        matview_refresh(spark, view)
+        stored = snapshot_read(spark, view).spark_df
+        assert stored.where(F.col("cnt") == 0).count() == 2
+        matview_compact(spark, view)
+        stored = snapshot_read(spark, view).spark_df
+        assert stored.where(F.col("cnt") == 0).count() == 0
+        _assert_parity(spark, src, view, "post-compact")
+        # rebirth of a purged group: absent == tombstoned for refresh
+        back = spark.createDataFrame([(9, "a", 4.0)],
+                                     "id int, grp string, val double")
+        snapshot_write(SparkFrame(back), src, mode="append")
+        matview_refresh(spark, view)
+        _assert_parity(spark, src, view, "rebirth after purge")
