@@ -395,3 +395,72 @@ class TestMatviewCompact:
         snapshot_write(SparkFrame(back), src, mode="append")
         matview_refresh(spark, view)
         _assert_parity(spark, src, view, "rebirth after purge")
+
+
+class TestMatviewWiderShapes:
+    def test_two_measures_with_nulls(self, spark, tmp_path):
+        src = str(tmp_path / "wide_src")
+        view = str(tmp_path / "wide_mv")
+        rows = [(0, "a", 1.0, None), (1, "a", None, 5.0),
+                (2, "b", 3.0, 4.0), (3, "b", 8.0, None),
+                (4, "a", 2.0, 2.0)]
+        df = spark.createDataFrame(
+            rows, "id int, grp string, x double, y double")
+        snapshot_write(SparkFrame(df), src, mode="overwrite",
+                       stats_cols=["id"])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["x", "y"])
+
+        def exp():
+            out = {}
+            for r in snapshot_read(spark, src).spark_df \
+                    .groupBy("grp").agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.min("x").alias("min_x"),
+                        F.max("x").alias("max_x"),
+                        F.min("y").alias("min_y"),
+                        F.max("y").alias("max_y")).collect():
+                out[r["grp"]] = (r["cnt"], r["min_x"], r["max_x"],
+                                 r["min_y"], r["max_y"])
+            return out
+
+        def got():
+            return {r["grp"]: (r["cnt"], r["min_x"], r["max_x"],
+                               r["min_y"], r["max_y"])
+                    for r in matview_read(spark, view)
+                    .spark_df.collect()}
+
+        assert got() == exp()
+        # delete the row holding a's only y value AND a's min x:
+        # both measures repair independently
+        snapshot_delete(spark, src, where=[("id", "==", 4)])
+        snapshot_delete(spark, src, where=[("id", "==", 1)])
+        matview_refresh(spark, view)
+        assert got() == exp()
+        g = got()["a"]
+        assert g == (1, 1.0, 1.0, None, None), g
+
+    def test_composite_keys_repair(self, spark, tmp_path):
+        src = str(tmp_path / "ck_src")
+        view = str(tmp_path / "ck_mv")
+        rows = [(i, f"g{i % 2}", f"s{i % 3}", float(i))
+                for i in range(24)]
+        df = spark.createDataFrame(
+            rows, "id int, a string, b string, val double")
+        snapshot_write(SparkFrame(df), src, mode="overwrite",
+                       stats_cols=["id"])
+        matview_create(spark, src, view, keys=["a", "b"],
+                       measure_cols=["val"])
+        # delete each (a,b) group's min (id 0..5 are the minima)
+        snapshot_delete(spark, src, where=[("id", "<", 6)])
+        r = matview_refresh(spark, view)
+        assert r["groups_repaired"] == 6    # composite-key repair path
+        exp = {(r_["a"], r_["b"]): (r_["cnt"], r_["min_val"])
+               for r_ in snapshot_read(spark, src).spark_df
+               .groupBy("a", "b").agg(
+                   F.count(F.lit(1)).alias("cnt"),
+                   F.min("val").alias("min_val")).collect()}
+        got = {(r_["a"], r_["b"]): (r_["cnt"], r_["min_val"])
+               for r_ in matview_read(spark, view)
+               .spark_df.collect()}
+        assert got == exp

@@ -3365,6 +3365,40 @@ class TestHiddenPartitioning:
                     & (F.col("ts") < where[1][2]))
             assert rows_exact == expect + extra.count(), where
 
+    def test_months_and_hours_transforms(self, spark, tmp_path):
+        import datetime
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        ev = spark.range(200).select(
+            F.col("id").alias("k"),
+            (F.lit("2026-01-15 00:00:00").cast("timestamp_ntz")
+             + F.make_dt_interval(F.col("id"), F.lit(0), F.lit(0))
+             ).alias("ts"))    # one row per DAY across ~7 months
+        tm = str(tmp_path / "months")
+        S.snapshot_write(ev, tm, partition_by=["months(ts)"],
+                         num_files=2)
+        # spans Jan and Feb (accepted at exactly the month boundary)
+        feb = datetime.datetime(2026, 2, 1)
+        n_all = len(S.snapshot_scan_files(tm))
+        ge = S.snapshot_scan_files(tm, where=[("ts", ">=", feb)])
+        lt = S.snapshot_scan_files(tm, where=[("ts", "<", feb)])
+        # Jan..Aug buckets; strict-< at exactly Feb 1 drops the
+        # boundary month too
+        assert n_all == 8 and len(ge) == 7 and len(lt) == 1
+        assert S.snapshot_read(spark, tm,
+                               where=[("ts", ">=", feb)]).nrow \
+            == ev.filter(F.col("ts") >= feb).count()
+        th = str(tmp_path / "hours")
+        S.snapshot_write(ev.filter(F.col("k") < 30), th,
+                         partition_by=["hours(ts)"], num_files=30)
+        x = datetime.datetime(2026, 1, 15, 10, 30)
+        hit = S.snapshot_scan_files(th, where=[("ts", ">=", x)])
+        assert 0 < len(hit) < len(S.snapshot_scan_files(th))
+        assert S.snapshot_read(spark, th,
+                               where=[("ts", ">=", x)]).nrow \
+            == ev.filter((F.col("k") < 30)
+                         & (F.col("ts") >= x)).count()
+
     def test_optimize_preserves_transform_layout(self, spark,
                                                  tmp_path):
         import datetime
