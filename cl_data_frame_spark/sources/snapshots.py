@@ -3168,7 +3168,78 @@ def _classify_changes(old_side: DataFrame | None,
         .unionByName(expand("__n_", ncnt - ocnt, post_t))
 
 
-def snapshot_count(table_dir: str, version: int | None = None) -> int:
+def _nulls_of(entry: dict):
+    # footer stats store "nulls"; synthesized partition stats store
+    # "null_count" — both mean the same thing
+    n = entry.get("nulls")
+    return entry.get("null_count") if n is None else n
+
+
+def _file_count_verdict(stats: dict, predicates) -> str:
+    """Per-file decidability of a predicated COUNT from metadata:
+    ``all`` (every live row provably matches), ``none`` (no row can),
+    ``some`` (mixed/undecidable). The NONE side reuses the prune
+    gate; the ALL side needs the complement proofs — a constant
+    column (min==max, zero nulls), a whole [min,max] range inside the
+    predicate, or a transform bucket entirely on one side of the
+    mapped constant."""
+    if not _file_may_match(stats, predicates):
+        return "none"
+    for col, op, val in predicates:
+        ok = False       # proven ALL for this predicate?
+        prefix = col + "__"
+        for key, st2 in stats.items():
+            if not key.startswith(prefix) \
+                    or not _is_transform_tag(key[len(prefix):]):
+                continue
+            pv = st2.get("min")
+            if pv is None or st2.get("max") != pv \
+                    or _nulls_of(st2) != 0:
+                continue
+            tag = key[len(prefix):]
+            p = _dec_stat(pv)
+            t = _transform_pred_value(tag, val) \
+                if op != "in" else None
+            if t is None and op != "in":
+                continue
+            boundary = _at_bucket_start(tag, val) \
+                if op != "in" else False
+            try:
+                if op in (">", ">=") and (
+                        p > t or (p == t and boundary
+                                  and op == ">=")):
+                    ok = True       # bucket entirely at/after X
+                elif op in ("<", "<=") and p < t:
+                    ok = True       # bucket entirely before X
+            except TypeError:
+                pass
+            if ok:
+                break
+        if ok:
+            continue
+        st = stats.get(col)
+        if not st or st.get("min") is None or st.get("max") is None \
+                or _nulls_of(st) != 0:
+            return "some"
+        mn, mx = _dec_stat(st["min"]), _dec_stat(st["max"])
+        try:
+            if op == "in":
+                vals = [_coerce_pred(mn, x) for x in val]
+                ok = mn == mx and mn in vals
+            else:
+                v = _coerce_pred(mn, val)
+                ok = {"==": mn == mx == v, "=": mn == mx == v,
+                      "<": mx < v, "<=": mx <= v,
+                      ">": mn > v, ">=": mn >= v}[op]
+        except TypeError:
+            return "some"
+        if not ok:
+            return "some"
+    return "all"
+
+
+def snapshot_count(table_dir: str, version: int | None = None,
+                   where=None) -> int:
     """Exact COUNT(*) of a snapshot version from METADATA alone — no
     data scan (Delta answers ``SELECT COUNT(*)`` from the log's
     numRecords the same way). Every write/merge/DML/optimize records
@@ -3176,7 +3247,15 @@ def snapshot_count(table_dir: str, version: int | None = None) -> int:
     ``__rows__`` pseudo-column, from the parquet footer the stats
     pass already opens); deletion vectors subtract their recorded
     position counts. Raises with a remedy if some live file predates
-    row-count recording — correctness never degrades to a guess."""
+    row-count recording — correctness never degrades to a guess.
+
+    ``where`` (the usual ``(col, op, value)`` triples) stays
+    metadata-only when every live file is DECIDABLE: provably-none
+    files contribute 0, provably-all files contribute their full
+    live count (a file's DV'd rows share its partition values, so
+    they subtract cleanly), and any mixed file raises with a remedy —
+    the common shapes (a partition or hidden-partition slice, a
+    constant column) count for free at any table size."""
     if version is None:
         version = _latest_version(table_dir)
         if version is None:
@@ -3187,6 +3266,16 @@ def snapshot_count(table_dir: str, version: int | None = None) -> int:
     dv = m.get("dv") or {}
     total = 0
     for f in m["files"]:
+        if where:
+            verdict = _file_count_verdict(_stats_for_prune(m, f),
+                                          where)
+            if verdict == "none":
+                continue
+            if verdict == "some":
+                raise ValueError(
+                    f"file {f} is not metadata-decidable for "
+                    f"{where!r} (rows may match partially) — count "
+                    f"with snapshot_read(..., where=...).count()")
         e = (stats.get(f) or {}).get(_ROWS_KEY) or {}
         n = e.get("min")
         if n is None:

@@ -3546,3 +3546,61 @@ class TestSnapshotRegister:
             "ORDER BY g").collect()
         assert [(r["g"], r["n"]) for r in got] == [
             (i, 4) for i in range(5)]
+
+
+class TestSnapshotCountPredicated:
+    def test_partition_slice_counts_free(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "pcnt")
+        df = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["g"],
+                         stats_cols=["k"])
+        assert S.snapshot_count(t, where=[("g", "==", 1)]) == 100
+        assert S.snapshot_count(t, where=[("g", ">=", 1)]) == 200
+        assert S.snapshot_count(t, where=[("g", "in", [0, 2])]) == 200
+        assert S.snapshot_count(t, where=[("g", "==", 9)]) == 0
+        # a predicate on a non-partition column is not decidable
+        with pytest.raises(ValueError, match="metadata-decidable"):
+            S.snapshot_count(t, where=[("k", "<", 50)])
+        # ... unless the files' ranges decide it outright
+        assert S.snapshot_count(t, where=[("k", "<", 10_000)]) == 300
+        assert S.snapshot_count(t, where=[("k", "<", -1)]) == 0
+
+    def test_hidden_partition_slice_counts_free(self, spark,
+                                                tmp_path):
+        import datetime
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "hpcnt")
+        ev = TestHiddenPartitioning._events(spark)
+        S.snapshot_write(ev, t, partition_by=["days(ts)"],
+                         num_files=4)
+        mid = datetime.datetime(2026, 3, 3)      # exact day boundary
+        exp = ev.filter(F.col("ts") >= mid).count()
+        assert S.snapshot_count(t, where=[("ts", ">=", mid)]) == exp
+        exp_lt = ev.filter(F.col("ts") < mid).count()
+        assert S.snapshot_count(t, where=[("ts", "<", mid)]) == exp_lt
+        # a mid-day cutoff splits a bucket: loudly not decidable
+        with pytest.raises(ValueError, match="metadata-decidable"):
+            S.snapshot_count(
+                t, where=[("ts", ">=",
+                           datetime.datetime(2026, 3, 3, 12))])
+
+    def test_counts_subtract_dv_inside_slice(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dvcnt")
+        df = spark.range(3000).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("g"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["g"],
+                         stats_cols=["k"])
+        v = S.snapshot_delete(spark, t, [("k", "==", 100)])  # g=0 row
+        m = S._read_manifest(t, v)
+        assert m.get("dv"), "expected a DV point delete"
+        assert S.snapshot_count(t, where=[("g", "==", 0)]) == 1499
+        assert S.snapshot_count(t, where=[("g", "==", 1)]) == 1500
+        assert S.snapshot_count(t) == 2999
