@@ -3604,3 +3604,85 @@ class TestSnapshotCountPredicated:
         assert S.snapshot_count(t, where=[("g", "==", 0)]) == 1499
         assert S.snapshot_count(t, where=[("g", "==", 1)]) == 1500
         assert S.snapshot_count(t) == 2999
+
+
+class TestSnapshotConcurrencyStress:
+    def test_eight_racing_writers_serialize_exactly(self, spark,
+                                                    tmp_path):
+        """Eight concurrent writers — appends, band deletes, and
+        key-disjoint MERGEs, all through their retry/rebase loops —
+        must serialize into a linear history with the exact final
+        state (disjoint key ranges make it deterministic regardless
+        of commit order)."""
+        import threading
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "stress")
+        seed = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v"))
+        S.snapshot_write(seed.repartition(4), t, stats_cols=["k"])
+        errors: list = []
+        barrier = threading.Barrier(8, timeout=120)
+
+        def appender(lo):
+            def run():
+                barrier.wait()
+                try:
+                    S.snapshot_write_retrying(
+                        spark.range(lo, lo + 100).select(
+                            F.col("id").alias("k"),
+                            F.lit(2.0).alias("v")), t,
+                        stats_cols=["k"])
+                except Exception as exc:     # noqa: BLE001
+                    errors.append(exc)
+            return run
+
+        def deleter(lo, hi):
+            def run():
+                barrier.wait()
+                try:
+                    S.snapshot_delete(spark, t,
+                                      [("k", ">=", lo),
+                                       ("k", "<", hi)],
+                                      max_retries=20)
+                except Exception as exc:     # noqa: BLE001
+                    errors.append(exc)
+            return run
+
+        def merger(lo):
+            def run():
+                barrier.wait()
+                try:
+                    src = spark.range(lo, lo + 50).select(
+                        F.col("id").alias("k"),
+                        F.lit(9.0).alias("v"))
+                    S.snapshot_merge(spark, t, src, on="k",
+                                     max_retries=20)
+                except Exception as exc:     # noqa: BLE001
+                    errors.append(exc)
+            return run
+
+        jobs = [appender(2000), appender(3000), appender(4000),
+                appender(5000), deleter(0, 100), deleter(200, 300),
+                merger(400), merger(600)]
+        threads = [threading.Thread(target=j) for j in jobs]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(300)
+        assert not errors, errors
+        hist = S.snapshot_history(t)
+        versions = [h["version"] for h in hist]
+        assert versions == list(range(1, len(versions) + 1))
+        assert len(versions) == 9               # seed + 8 commits
+        # exact final state: 1000 - 200 deleted + 400 appended
+        assert S.snapshot_count(t) == 1200
+        got = S.snapshot_read(spark, t).spark_df
+        assert got.count() == 1200
+        assert got.where((F.col("k") >= 0)
+                         & (F.col("k") < 100)).count() == 0
+        assert got.where(F.col("k").between(400, 449)
+                         & (F.col("v") == 9.0)).count() == 50
+        assert got.where(F.col("k").between(600, 649)
+                         & (F.col("v") == 9.0)).count() == 50
+        assert got.where(F.col("v") == 2.0).count() == 400
