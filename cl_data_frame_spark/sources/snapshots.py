@@ -730,6 +730,40 @@ def _coerce_pred(bound, value):
 _PRUNE_OPS = {"==", "=", "<", "<=", ">", ">=", "in"}
 
 
+def _norm_dnf(where) -> list:
+    """Normalize a predicate to DISJUNCTIVE NORMAL FORM branches:
+    the classic conjunction shape ``[(col, op, val), ...]`` becomes
+    one branch; the OR shape ``[[...], [...]]`` (a list of
+    conjunctions) passes through. Returns a list of non-empty
+    branches; ``[]`` for no predicate."""
+    if not where:
+        return []
+    first = where[0]
+    is_triple = (isinstance(first, (list, tuple)) and len(first) == 3
+                 and isinstance(first[0], str))
+    if is_triple:
+        branches = [list(where)]
+    else:
+        branches = [list(b) for b in where]
+    for b in branches:
+        if not b:
+            raise ValueError(
+                "empty OR-branch in predicate (an empty conjunction "
+                "matches everything — drop the where= instead)")
+        for col, op, _v in b:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported prune op {op!r}")
+            if not isinstance(col, str):
+                raise ValueError(f"predicate column must be a string "
+                                 f"name, got {col!r}")
+    return branches
+
+
+def _dnf_may_match(stats: dict, branches) -> bool:
+    """A file survives a DNF predicate iff ANY branch admits it."""
+    return any(_file_may_match(stats, b) for b in branches)
+
+
 def _file_may_match(stats: dict, predicates) -> bool:
     """Conservative range check: False ONLY when the file's [min, max]
     for some predicate column provably excludes every matching row.
@@ -791,6 +825,19 @@ def _file_may_match(stats: dict, predicates) -> bool:
         except TypeError:
             continue  # incomparable types: keep the file (sound)
     return True
+
+
+def _dnf_column(branches):
+    """The Spark row-filter Column for a DNF predicate: OR of each
+    branch's AND — the row-level twin of ``_dnf_may_match``."""
+    disj = None
+    for b in branches:
+        conj = None
+        for col, op, val in b:
+            term = _pred_column(col, op, val)
+            conj = term if conj is None else (conj & term)
+        disj = conj if disj is None else (disj | conj)
+    return disj
 
 
 def _pred_column(col: str, op: str, val):
@@ -2219,24 +2266,35 @@ def _scan_with_state(table_dir: str, version: int,
     allocation bounded by batch + matches, and the returned state is
     SLIM — survivors only); otherwise the exact
     ``_read_manifest``-based prune runs, returning the full state."""
-    if where:
-        for col, op, _v in where:
-            if op not in _PRUNE_OPS:
-                raise ValueError(f"unsupported prune op {op!r}")
-        streamed = _streamed_scan_files(table_dir, version, where)
+    branches = _norm_dnf(where)
+    if len(branches) == 1:
+        # the vectorized checkpoint-streaming listing handles one
+        # conjunction; OR-shaped predicates take the exact path below
+        # (each branch's prune is the same per-file check, just ORed)
+        streamed = _streamed_scan_files(table_dir, version,
+                                        branches[0])
         if streamed is not None:
             return streamed
     m = _read_manifest(table_dir, version)
     files = m["files"]
-    if where:
-        files = [f for f in files
-                 if _file_may_match(_stats_for_prune(m, f), where)]
+    if branches:
         blooms = m.get("bloom") or {}
-        if blooms and any(op in ("==", "=", "in")
-                          for _c, op, _v in where):
-            files = [f for f in files
-                     if _bloom_preds_may_match(blooms.get(f) or {},
-                                               where, table_dir)]
+
+        def admits(f):
+            st = _stats_for_prune(m, f)
+            bl = blooms.get(f) or {}
+            for b in branches:
+                if not _file_may_match(st, b):
+                    continue
+                if bl and any(op in ("==", "=", "in")
+                              for _c, op, _v in b) \
+                        and not _bloom_preds_may_match(bl, b,
+                                                       table_dir):
+                    continue
+                return True
+            return False
+
+        files = [f for f in files if admits(f)]
     return files, m
 
 
@@ -2486,15 +2544,16 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             return None            # winner rewrote/removed base files
         added = [f for f in lfiles if f not in base_files]
         lstats = lm.get("stats") or {}
+        preds_b = _norm_dnf(preds)
         if keys is not None:
             for f in added:
                 st = lstats.get(f) or {}
                 if any((st.get(k) or {}).get("min") is None
                        for k in keys):
                     return None    # can't prove disjoint: conflict
-                if preds and _file_may_match(st, preds):
+                if preds_b and _dnf_may_match(st, preds_b):
                     return None    # may hold matching keys: conflict
-            if added and not preds:
+            if added and not preds_b:
                 return None        # no envelope to prove with
         files = [f for f in lfiles if f not in replaced] + new_files
         stats = {**{f: lstats[f] for f in lfiles
@@ -2572,7 +2631,12 @@ def snapshot_read(spark: SparkSession, table_dir: str,
 
     ``where`` is a list of ``(col, op, value)`` triples (ops ``==``,
     ``<``, ``<=``, ``>``, ``>=``, and ``in`` over a value list — the
-    OR-of-equalities disjunct) ANDed together: files whose
+    OR-of-equalities disjunct) ANDed together, or a LIST OF SUCH
+    LISTS for an OR of conjunctions (disjunctive normal form:
+    ``[[(date,==,d1),(t,==,'a')], [(date,==,d2)]]`` — a file is
+    listed iff ANY branch admits it, the row filter is the OR of the
+    branch ANDs; the same shape works for DELETE/UPDATE/OPTIMIZE
+    WHERE and metadata counts). Files whose
     manifest min/max stats provably exclude every matching row are
     SKIPPED before Spark lists them (data skipping — a point lookup on
     a 100 TB table touches only the files whose range covers the key),
@@ -2598,8 +2662,9 @@ def snapshot_read(spark: SparkSession, table_dir: str,
         schema = StructType.fromJson(json.loads(state["schema"]))
         return SparkFrame(spark.createDataFrame([], schema))
     sdf = _read_files_renamed(spark, table_dir, files, state)
-    for col, op, val in (where or []):
-        sdf = sdf.filter(_pred_column(col, op, val))
+    branches = _norm_dnf(where)
+    if branches:
+        sdf = sdf.filter(_dnf_column(branches))
     return SparkFrame(sdf)
 
 
@@ -2674,19 +2739,15 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     m = _read_manifest(table_dir, base_v)
     selected = list(m["files"])
     if where:
-        preds = list(where)
-        for col, op, _v in preds:
-            if op not in _PRUNE_OPS:
-                raise ValueError(
-                    f"unsupported optimize predicate op {op!r}")
+        preds = _norm_dnf(where)
         stats = m.get("stats") or {}
         blooms = m.get("bloom") or {}
         dvm = m.get("dv") or {}
         selected = [f for f in selected
-                    if (_file_may_match(_stats_for_prune(m, f), preds)
-                        and _bloom_preds_may_match(blooms.get(f)
-                                                   or {}, preds,
-                                                   table_dir))
+                    if any(_file_may_match(_stats_for_prune(m, f), b)
+                           and _bloom_preds_may_match(
+                               blooms.get(f) or {}, b, table_dir)
+                           for b in preds)
                     or f in dvm]   # DV'd files always compact: an
         # OPTIMIZE (even a predicated one) materializes merge-on-read
         # debt away — Delta's PURGE semantics
@@ -3267,11 +3328,13 @@ def snapshot_count(table_dir: str, version: int | None = None,
     total = 0
     for f in m["files"]:
         if where:
-            verdict = _file_count_verdict(_stats_for_prune(m, f),
-                                          where)
-            if verdict == "none":
+            sts = _stats_for_prune(m, f)
+            verdicts = [_file_count_verdict(sts, b)
+                        for b in _norm_dnf(where)]
+            if all(v == "none" for v in verdicts):
                 continue
-            if verdict == "some":
+            if "all" not in verdicts:
+                # a branch may partially match — not decidable
                 raise ValueError(
                     f"file {f} is not metadata-decidable for "
                     f"{where!r} (rows may match partially) — count "
@@ -3910,11 +3973,7 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                       change_data: bool = True,
                       txn: tuple[str, int] | None = None) -> int:
     from pyspark.sql.types import StructType
-    preds = list(where or [])
-    for col, op, _v in preds:
-        if op not in _PRUNE_OPS:
-            raise ValueError(
-                f"unsupported {operation} predicate op {op!r}")
+    preds = _norm_dnf(where)
     if not preds:
         raise ValueError(
             f"snapshot_{operation} requires a predicate — use "
@@ -3926,15 +3985,17 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     m = _read_manifest(table_dir, base_v)
     stats = m.get("stats") or {}
     blooms = m.get("bloom") or {}
-    touched = [f for f in m["files"]
-               if _file_may_match(_stats_for_prune(m, f), preds)
-               and _bloom_preds_may_match(blooms.get(f) or {}, preds,
-                                          table_dir)]
+
+    def _admits(f):
+        st = _stats_for_prune(m, f)
+        bl = blooms.get(f) or {}
+        return any(_file_may_match(st, b)
+                   and _bloom_preds_may_match(bl, b, table_dir)
+                   for b in preds)
+
+    touched = [f for f in m["files"] if _admits(f)]
     schema = StructType.fromJson(json.loads(m["schema"]))
-    match_cond = None
-    for col, op, val in preds:
-        term = _pred_column(col, op, val)
-        match_cond = term if match_cond is None else (match_cond & term)
+    match_cond = _dnf_column(preds)
     cond = F.coalesce(match_cond, F.lit(False))
     # --- decide per touched file: deletion vector vs rewrite --------
     # one count pass over the touched subset (post-existing-DV rows):
@@ -4052,7 +4113,7 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         _publish(table_dir, manifest)
         return version
     except FileExistsError:
-        pred_cols = sorted({c for c, _o, _v in preds})
+        pred_cols = sorted({c for b in preds for c, _o, _v in b})
         rebased = _try_rebase_publish(
             table_dir, base_v, set(rewrite_files), new_files,
             new_stats, operation, m["schema"], keys=pred_cols,

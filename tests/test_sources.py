@@ -3686,3 +3686,85 @@ class TestSnapshotConcurrencyStress:
         assert got.where(F.col("k").between(600, 649)
                          & (F.col("v") == 9.0)).count() == 50
         assert got.where(F.col("v") == 2.0).count() == 400
+
+
+class TestDNFPredicates:
+    """OR-of-conjunctions (``where=[[...], [...]]``) across the whole
+    predicate surface: listing, read, DELETE/UPDATE, OPTIMIZE WHERE,
+    metadata counts — a file survives iff ANY branch admits it, the
+    row filter is the OR of the branch ANDs."""
+
+    def test_read_prune_and_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dnf")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["g"],
+                         stats_cols=["k"])
+        dnf = [[("g", "==", 1), ("k", "<", 100)],
+               [("g", "==", 3), ("k", ">=", 900)]]
+        n_all = len(S.snapshot_scan_files(t))
+        hit = S.snapshot_scan_files(t, where=dnf)
+        assert 0 < len(hit) < n_all          # only g=1 and g=3 files
+        exp = df.where(((F.col("g") == 1) & (F.col("k") < 100))
+                       | ((F.col("g") == 3) & (F.col("k") >= 900)))
+        assert S.snapshot_read(spark, t, where=dnf).nrow \
+            == exp.count() > 0
+
+    def test_dml_and_optimize_with_or(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dnfdml")
+        df = spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+            F.lit(1.0).alias("v"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["g"],
+                         stats_cols=["k"])
+        dnf = [[("g", "==", 0)], [("g", "==", 2), ("k", "<", 30)]]
+        S.snapshot_delete(spark, t, dnf)
+        exp = df.where(~((F.col("g") == 0)
+                         | ((F.col("g") == 2) & (F.col("k") < 30))))
+        assert S.snapshot_read(spark, t).nrow == exp.count()
+        S.snapshot_update(spark, t,
+                          [[("g", "==", 1), ("k", "<", 10)],
+                           [("k", ">=", 590)]],
+                          {"v": F.lit(9.0)})
+        got = S.snapshot_read(spark, t).spark_df
+        n9 = got.where(F.col("v") == 9.0).count()
+        exp9 = exp.where(((F.col("g") == 1) & (F.col("k") < 10))
+                         | (F.col("k") >= 590)).count()
+        assert n9 == exp9 > 0
+        # OPTIMIZE WHERE with an OR shape compacts only admitted files
+        v = S.snapshot_optimize(spark, t,
+                                where=[[("g", "==", 1)],
+                                       [("g", "==", 2)]])
+        assert S.snapshot_read(spark, t, version=v).nrow \
+            == exp.count()
+
+    def test_metadata_count_with_or(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dnfcnt")
+        df = spark.range(900).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["g"],
+                         stats_cols=["k"])
+        assert S.snapshot_count(
+            t, where=[[("g", "==", 0)], [("g", "==", 2)]]) == 600
+        with pytest.raises(ValueError, match="metadata-decidable"):
+            S.snapshot_count(
+                t, where=[[("g", "==", 0)], [("k", "<", 5)]])
+
+    def test_malformed_predicates_raise(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dnfbad")
+        S.snapshot_write(
+            spark.range(5).select(F.col("id").alias("k")), t)
+        with pytest.raises(ValueError, match="empty OR-branch"):
+            S.snapshot_scan_files(t, where=[[("k", "==", 1)], []])
+        with pytest.raises(ValueError, match="unsupported prune op"):
+            S.snapshot_scan_files(t, where=[("k", "!=", 1)])
