@@ -3323,11 +3323,24 @@ def q_s_layout_prune(spark, sf_dir):
               F.col("n").cast("bigint").alias("i1"),
               F.col("sum_qty").cast("double").alias("d1"),
               F.col("sum_ok").cast("bigint").alias("i2"))
+    # snapcnt (round 11 late): METADATA-ONLY predicated COUNT(*) —
+    # zero data scan: every year bucket is provably-all (the cutoff
+    # sits exactly at a bucket start) or provably-none, so the count
+    # comes from the manifest's per-file row counts alone; the oracle
+    # recomputes it as a real SQL COUNT over the same predicate
+    from cl_data_frame_spark.sources.snapshots import snapshot_count
+    n_meta = snapshot_count(hppath, where=hp_pred)
+    cnt_df = spark.createDataFrame([(int(n_meta),)], "n bigint")
+    hc = _tag(cnt_df, "snapcnt",
+              F.col("n").cast("bigint").alias("i1"),
+              F.lit(None).cast("double").alias("d1"),
+              F.lit(None).cast("bigint").alias("i2"))
     return (a.unionByName(ah).unionByName(b)
             .unionByName(c).unionByName(d).unionByName(e)
             .unionByName(ein)
             .unionByName(g).unionByName(gdv).unionByName(gcdc)
-            .unionByName(gera).unionByName(hb).unionByName(hp))
+            .unionByName(gera).unionByName(hb).unionByName(hp)
+            .unionByName(hc))
 
 
 def _matview_parts(spark, sf_dir):
@@ -4416,7 +4429,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_layout_prune": ["zprune", "hprune", "compact", "partitioned",
                        "snapshot", "snapprune", "snapin",
                        "snapdelete", "snapdv", "snapcdc",
-                       "snapera", "snapbloom", "snaphp"],
+                       "snapera", "snapbloom", "snaphp", "snapcnt"],
 }
 
 
@@ -6435,7 +6448,16 @@ _ORACLES["s_layout_prune"] = _union(
         WHERE l_quantity <= 2
           AND l_shipdate >= TIMESTAMP '1996-01-01'""",
           "n::BIGINT AS i1, sum_qty::DOUBLE AS d1, "
-          "sum_ok::BIGINT AS i2"))
+          "sum_ok::BIGINT AS i2"),
+    # snapcnt: the metadata-only predicated COUNT(*) (engine side
+    # never scans data) must equal the real SQL count
+    _wrap("snapcnt", """
+        SELECT count(*) AS n
+        FROM lineitem
+        WHERE l_quantity <= 2
+          AND l_shipdate >= TIMESTAMP '1996-01-01'""",
+          "n::BIGINT AS i1, NULL::DOUBLE AS d1, "
+          "NULL::BIGINT AS i2"))
 
 _SPAN_NULLS = ("NULL::BIGINT AS i1, NULL::BIGINT AS i2, NULL::BIGINT AS i3, "
                "NULL::DOUBLE AS d1, NULL::VARCHAR AS s1")
