@@ -3310,7 +3310,13 @@ def q_s_layout_prune(spark, sf_dir):
     snapshot_write(hp_src.filter(F.col("l_quantity") <= 2),
                    hppath, mode="append",
                    partition_by=["years(l_shipdate)"], num_files=8)
-    hp_pred = [("l_shipdate", ">=", _dt.datetime(1996, 1, 1))]
+    # tz-aware UTC cutoff: the year-bucket boundary check must hold
+    # regardless of the driver's OS zone (a naive literal would be
+    # localized through the OS zone before the UTC rendering and the
+    # metadata-only count below would raise on a non-UTC driver)
+    hp_pred = [("l_shipdate", ">=",
+                _dt.datetime(1996, 1, 1,
+                             tzinfo=_dt.timezone.utc))]
     n_hpall = len(snapshot_scan_files(hppath))
     n_hphit = len(snapshot_scan_files(hppath, where=hp_pred))
     assert 0 < n_hphit < n_hpall, \

@@ -216,13 +216,33 @@ def _delta_agg(changes: DataFrame, keys: list[str],
 
 
 def matview_refresh(spark: SparkSession, view_dir: str,
-                    to_version: int | None = None) -> dict:
+                    to_version: int | None = None,
+                    max_retries: int = 5) -> dict:
     """Advance the view to the source's *to_version* (default: its
     latest) by consuming the change feed since the last refresh.
     Cost O(changed rows + touched groups); ONE snapshot_merge commit
     on the view, carrying the ``("matview", to_version)`` txn
     watermark (re-running a crashed refresh is a no-op once the
-    commit landed). Returns a summary dict."""
+    commit landed). CONCURRENT maintainers are safe too: the commit
+    compare-and-swaps the watermark (``txn_expect``) — a refresher
+    whose planned-from watermark moved under it aborts before
+    double-applying its delta and retries from the new watermark.
+    Returns a summary dict."""
+    from cl_data_frame_spark.sources.snapshots import (
+        SnapshotTxnConflict)
+    last: Exception | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _refresh_once(spark, view_dir, to_version)
+        except SnapshotTxnConflict as exc:
+            last = exc          # recompute from the moved watermark
+    raise SnapshotTxnConflict(
+        f"matview refresh lost the watermark race {max_retries + 1} "
+        f"times in {view_dir} (pathological contention): {last}")
+
+
+def _refresh_once(spark: SparkSession, view_dir: str,
+                  to_version: int | None) -> dict:
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_changes, snapshot_merge,
         snapshot_read, snapshot_txn_version)
@@ -240,6 +260,9 @@ def matview_refresh(spark: SparkSession, view_dir: str,
     # a cache of it (a crash between merge-commit and meta write must
     # NOT double-apply the delta)
     applied = snapshot_txn_version(view_dir, _APP_ID)
+    # CAS only against a RECORDED watermark (matview_create always
+    # records one; the meta-file fallback has nothing to swap on)
+    cas_expect = applied
     if applied is None:
         applied = int(meta["source_version"])
     if target <= applied:
@@ -396,7 +419,7 @@ def matview_refresh(spark: SparkSession, view_dir: str,
         *[F.col(c).cast(stored_types[c]).alias(c)
           for c in stored_cols]).localCheckpoint(eager=True)
     snapshot_merge(spark, view_dir, SparkFrame(upserts), on=keys,
-                   txn=(_APP_ID, target))
+                   txn=(_APP_ID, target), txn_expect=cas_expect)
     _write_meta(view_dir, {**meta, "source_version": target})
     return {"mode": "incremental", "from_version": applied,
             "to_version": target, "groups_touched": n_touched,

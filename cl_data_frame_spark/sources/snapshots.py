@@ -1318,6 +1318,7 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
         if new in names:
             raise ValueError(
                 f"column {new!r} already exists in {names}")
+        _reject_reserved_column_names([new])
         ref = _constraints_referencing(m, old)
         if ref:
             raise ValueError(
@@ -1894,6 +1895,25 @@ def _transform_pred_value(tag: str, value):
 _TAG_RE = None  # compiled lazily in _is_transform_tag
 
 
+def _reject_reserved_column_names(names) -> None:
+    """``<src>__<transform tag>`` is the RESERVED namespace for
+    hidden-partition tuple keys in per-file stats: a real data column
+    named e.g. ``x__day`` with constant footer stats would be
+    indistinguishable from a days() partition value for predicates on
+    ``x`` and could prune files wrongly. Writers reject such names
+    loudly (Iceberg reserves its metadata namespace the same way)."""
+    for n in names:
+        if "__" not in n:
+            continue
+        src, _, tag = n.rpartition("__")
+        if src and _is_transform_tag(tag):
+            raise ValueError(
+                f"column name {n!r} is reserved: '<col>__<transform>'"
+                " is the hidden-partition stats namespace (transform "
+                f"tag {tag!r} on base column {src!r}) — rename the "
+                "column")
+
+
 def _is_transform_tag(tag: str) -> bool:
     global _TAG_RE
     if _TAG_RE is None:
@@ -2298,13 +2318,48 @@ def _scan_with_state(table_dir: str, version: int,
     return files, m
 
 
+class SnapshotTxnConflict(RuntimeError):
+    """A commit carrying a ``txn=(app_id, v)`` watermark found the
+    parent manifest's watermark for *app_id* already at or past *v*
+    (another instance of the writer landed first), or — when the
+    caller passed ``txn_expect`` — not exactly the value the caller
+    computed its work against. Never retried by the publish loops:
+    the caller must re-read the watermark and recompute (or conclude
+    its work is already applied)."""
+
+
+def _txn_guard(parent_txns: dict | None, txn, txn_expect) -> None:
+    """Commit-time enforcement of the idempotent-writer protocol.
+    Monotonicity always holds (a commit may only ADVANCE its app's
+    watermark); ``txn_expect`` adds compare-and-swap semantics — the
+    parent watermark must be exactly the value the writer planned
+    from, which closes the concurrent-maintainer double-apply race
+    (two refreshers that both computed deltas from watermark W: the
+    loser's commit sees W already advanced and aborts instead of
+    re-applying its now-overlapping delta on top)."""
+    if txn is None:
+        return
+    cur = (parent_txns or {}).get(txn[0])
+    if txn_expect is not None and cur != int(txn_expect):
+        raise SnapshotTxnConflict(
+            f"txn watermark for {txn[0]!r} is {cur}, writer expected "
+            f"{txn_expect} (a concurrent instance committed) — "
+            f"re-read the watermark and recompute")
+    if cur is not None and int(txn[1]) <= int(cur):
+        raise SnapshotTxnConflict(
+            f"txn ({txn[0]!r}, {txn[1]}) does not advance the "
+            f"recorded watermark {cur} — this transaction already "
+            f"committed (replay) or a newer one superseded it")
+
+
 def snapshot_write(frame, table_dir: str, mode: str = "append",
                    num_files: int | None = None,
                    stats_cols: Sequence[str] | None = None,
                    bloom_cols: Sequence[str] | None = None,
                    txn: tuple[str, int] | None = None,
                    merge_schema: bool = False,
-                   partition_by: Sequence[str] | None = None) -> int:
+                   partition_by: Sequence[str] | None = None,
+                   txn_expect: int | None = None) -> int:
     """Publish a new table version; returns the version number.
 
     ``partition_by`` lays the new files out Hive-style by the given
@@ -2357,6 +2412,7 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     sdf = _plain(frame)
+    _reject_reserved_column_names(sdf.columns)
     parent = _latest_version(table_dir)
     pm = _read_manifest(table_dir, parent) if parent is not None \
         else None
@@ -2450,6 +2506,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         manifest["partitions"] = partitions
     if constraints:
         manifest["constraints"] = constraints
+    _txn_guard(pm.get("txn") if pm is not None else None,
+               txn, txn_expect)
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
     if txn is not None:
         txns[txn[0]] = int(txn[1])
@@ -2500,7 +2558,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
                         parts_add: dict | None = None,
                         cdc: dict | None = None,
                         op_info: dict | None = None,
-                        txn_add: tuple[str, int] | None = None
+                        txn_add: tuple[str, int] | None = None,
+                        txn_expect: int | None = None
                         ) -> int | None:
     """After losing the publish race: if every interleaved winner was
     a pure APPEND on top of our base version (all base files still
@@ -2584,6 +2643,7 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["partitions"] = parts_
         if lm.get("constraints"):
             manifest["constraints"] = lm["constraints"]
+        _txn_guard(lm.get("txn"), txn_add, txn_expect)
         txns_ = dict(lm.get("txn") or {})
         if txn_add is not None:
             txns_[txn_add[0]] = int(txn_add[1])
@@ -3258,6 +3318,11 @@ def _file_count_verdict(stats: dict, predicates) -> str:
                     or _nulls_of(st2) != 0:
                 continue
             tag = key[len(prefix):]
+            if tag.startswith("bucket_"):
+                # hash buckets are not monotonic in the base value —
+                # a range proof on the bucket id says nothing about
+                # the rows' order (mirrors _transform_admits' guard)
+                continue
             p = _dec_stat(pv)
             t = _transform_pred_value(tag, val) \
                 if op != "in" else None
@@ -3326,11 +3391,12 @@ def snapshot_count(table_dir: str, version: int | None = None,
     stats = m.get("stats") or {}
     dv = m.get("dv") or {}
     total = 0
+    branches = _norm_dnf(where) if where else None
     for f in m["files"]:
         if where:
             sts = _stats_for_prune(m, f)
             verdicts = [_file_count_verdict(sts, b)
-                        for b in _norm_dnf(where)]
+                        for b in branches]
             if all(v == "none" for v in verdicts):
                 continue
             if "all" not in verdicts:
@@ -3568,7 +3634,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
                    num_files: int | None = None,
                    max_retries: int = 5, dv: bool = True,
                    change_data: bool = True,
-                   txn: tuple[str, int] | None = None) -> int:
+                   txn: tuple[str, int] | None = None,
+                   txn_expect: int | None = None) -> int:
     """MERGE INTO a snapshot table: apply the relational MERGE rewrite
     (``relational.merge_into`` — WHEN MATCHED update / WHEN NOT MATCHED
     insert) and publish the result as a new version. Returns the new
@@ -3609,7 +3676,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str, source,
             return _merge_once(spark, table_dir, src, keys, on,
                                update_cols, insert_unmatched,
                                num_files, use_dv=dv,
-                               change_data=change_data, txn=txn)
+                               change_data=change_data, txn=txn,
+                               txn_expect=txn_expect)
         except FileExistsError as exc:
             last = exc
     raise FileExistsError(
@@ -3621,7 +3689,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
                 update_cols, insert_unmatched,
                 num_files: int | None, use_dv: bool = True,
                 change_data: bool = True,
-                txn: tuple[str, int] | None = None) -> int:
+                txn: tuple[str, int] | None = None,
+                txn_expect: int | None = None) -> int:
     """One optimistic MERGE attempt against the current latest version
     (see ``snapshot_merge``). Raises FileExistsError only on a TRUE
     commit conflict (commutable appends are absorbed by rebasing)."""
@@ -3643,7 +3712,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         merged = merge_into(target, src, on, update_cols=update_cols,
                             insert_unmatched=insert_unmatched)
         return snapshot_write(merged, table_dir, mode="overwrite",
-                              num_files=num_files, txn=txn)
+                              num_files=num_files, txn=txn,
+                              txn_expect=txn_expect)
     # source key envelope: one k-sized aggregate row. Collected
     # TimestampType values come back as NAIVE datetimes in the
     # driver's OS zone — _coerce_pred localizes them (.astimezone())
@@ -3771,6 +3841,7 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             manifest["partitions"] = parts_
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        _txn_guard(m.get("txn"), txn, txn_expect)
         txns = dict(m.get("txn") or {})
         if txn is not None:
             txns[txn[0]] = int(txn[1])
@@ -3792,7 +3863,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             table_dir, base_v, set(rewrite_files), new_files,
             new_stats, "merge", m["schema"], keys=usable, preds=preds,
             dv_add=new_dv_entries, cdc=manifest.get("cdc"),
-            op_info=manifest.get("op_info"), txn_add=txn)
+            op_info=manifest.get("op_info"), txn_add=txn,
+            txn_expect=txn_expect)
         if rebased is not None:
             return rebased
         raise
@@ -4102,6 +4174,7 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         manifest["partitions"] = parts_
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    _txn_guard(m.get("txn"), txn, None)
     txns = dict(m.get("txn") or {})
     if txn is not None:
         txns[txn[0]] = int(txn[1])

@@ -225,6 +225,82 @@ class TestMatviewExactlyOnce:
         _assert_parity(spark, src, view, "caught-up")
 
 
+class TestMatviewConcurrentMaintainers:
+    def test_stale_watermark_commit_aborts_not_double_applies(
+            self, spark, tmp_path):
+        """The concurrent-maintainer race, deterministically: a
+        refresher that computed its delta from watermark W must NOT
+        land its merge after another maintainer advanced the
+        watermark — the commit CAS-checks ``txn_expect`` and aborts,
+        instead of re-applying the overlapping range on top."""
+        from cl_data_frame_spark.sources.snapshots import (
+            SnapshotTxnConflict, snapshot_merge)
+        from cl_data_frame_spark.operators.matview import _refresh_once
+        src, view = _mkdirs(tmp_path, "race")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i))
+                           for i in range(10)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        extra = spark.createDataFrame([(90, "g0", 90.0)],
+                                      "id int, grp string, val double")
+        snapshot_write(SparkFrame(extra), src, mode="append")  # v2
+        # maintainer A lands v1->v2
+        assert _refresh_once(spark, view, None)["mode"] \
+            == "incremental"
+        # maintainer B (planned from stale watermark 1) tries to
+        # commit the same range directly: the CAS must reject it
+        stale = matview_read(spark, view).spark_df.limit(0)
+        with pytest.raises(SnapshotTxnConflict, match="expected"):
+            snapshot_merge(spark, view, SparkFrame(
+                snapshot_read(spark, view).spark_df.limit(0)),
+                on="grp", txn=("matview", 2), txn_expect=1)
+        del stale
+        # replaying an identical watermark without CAS also aborts
+        with pytest.raises(SnapshotTxnConflict, match="advance"):
+            snapshot_merge(spark, view, SparkFrame(
+                snapshot_read(spark, view).spark_df.limit(0)),
+                on="grp", txn=("matview", 2))
+        _assert_parity(spark, src, view, "post-race")
+
+    def test_four_threaded_refreshers_converge_exactly(self, spark,
+                                                       tmp_path):
+        """Four concurrent maintainers racing over the same DML
+        backlog: whatever interleaving the scheduler picks, the CAS
+        serializes the refreshes and the view lands on the exact
+        full-recompute values (a lost race retries from the moved
+        watermark, never double-applies)."""
+        import threading
+        src, view = _mkdirs(tmp_path, "mtrace")
+        _seed(spark, src, [(i, f"g{i % 3}", float(i))
+                           for i in range(60)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("id", "<", 5)])
+        extra = spark.createDataFrame(
+            [(100 + i, f"g{i % 3}", 7.5 * i) for i in range(9)],
+            "id int, grp string, val double")
+        snapshot_write(SparkFrame(extra), src, mode="append")
+        snapshot_update(spark, src, where=[("id", "==", 101)],
+                        set_exprs={"val": "val + 1000.0"})
+        errors: list = []
+        barrier = threading.Barrier(4, timeout=120)
+
+        def run():
+            barrier.wait()
+            try:
+                matview_refresh(spark, view, max_retries=20)
+            except Exception as exc:        # noqa: BLE001
+                errors.append(exc)
+        threads = [threading.Thread(target=run) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        assert not errors, errors
+        assert snapshot_txn_version(view, "matview") == 4
+        _assert_parity(spark, src, view, "threaded")
+
+
 class TestMatviewSchemaGuards:
     def test_renamed_measure_column_raises_with_remedy(self, spark,
                                                        tmp_path):

@@ -3168,6 +3168,34 @@ class TestHiddenPartitioning:
                      (F.col("id") % 5).cast("string"))
             .alias("event_type"))
 
+    def test_reserved_transform_column_names_rejected(self, spark,
+                                                      tmp_path):
+        """A data column literally named like ``x__day`` would be
+        indistinguishable from a hidden-partition tuple entry at
+        prune time (stats key ambiguity) — the writer rejects the
+        name loudly instead of risking a wrong prune later."""
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "resv")
+        for bad in ("x__day", "x__yearw", "x__bucket_8",
+                    "x__trunc_4", "x__hour"):
+            df = spark.range(5).select(
+                F.col("id").alias("x"),
+                F.col("id").alias(bad))
+            with pytest.raises(ValueError, match="reserved"):
+                S.snapshot_write(df, t)
+        # names that merely CONTAIN __ but don't end in a transform
+        # tag stay legal (double-underscore is common in generated
+        # schemas)
+        ok = spark.range(5).select(F.col("id").alias("a__b"),
+                                   F.col("id").alias("x__daylight"))
+        S.snapshot_write(ok, t)
+        assert S.snapshot_count(t) == 5
+        # rename into the reserved namespace is rejected too
+        with pytest.raises(ValueError, match="reserved"):
+            S.snapshot_rename_column(t, "a__b", "x__day")
+
     def test_days_transform_prunes_and_reads_exact(self, spark,
                                                    tmp_path):
         import datetime
@@ -3589,6 +3617,32 @@ class TestSnapshotCountPredicated:
             S.snapshot_count(
                 t, where=[("ts", ">=",
                            datetime.datetime(2026, 3, 3, 12))])
+
+    def test_bucket_partition_range_not_decidable(self, spark,
+                                                  tmp_path):
+        """Range proofs must NOT apply to bucket() partition values:
+        hash buckets are not monotonic in the base column, so a file
+        whose bucket id exceeds the mapped constant says nothing
+        about its rows. The count must raise loudly, never return a
+        silently-wrong number."""
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "bcnt")
+        df = spark.range(1000).select(F.col("id").alias("k"),
+                                      (F.col("id") % 7).alias("v"))
+        S.snapshot_write(df, t, partition_by=["bucket(4, k)"])
+        # no per-file k stats requested -> only the bucket tuple can
+        # decide, and it can't for an inequality
+        with pytest.raises(ValueError, match="metadata-decidable"):
+            S.snapshot_count(t, where=[("k", ">", 0)])
+        with pytest.raises(ValueError, match="metadata-decidable"):
+            S.snapshot_count(t, where=[("k", "<=", 500)])
+        # the unpredicated count and the scan-side count still agree
+        assert S.snapshot_count(t) == 1000
+        got = S.snapshot_read(spark, t, where=[("k", ">", 0)]) \
+            .spark_df.count()
+        assert got == 999
 
     def test_counts_subtract_dv_inside_slice(self, spark, tmp_path):
         from pyspark.sql import functions as F
