@@ -493,15 +493,19 @@ def matview_compact(spark: SparkSession, view_dir: str,
                              target_file_mb=target_file_mb)
 
 
-def matview_read(spark: SparkSession, view_dir: str) -> SparkFrame:
+def matview_read(spark: SparkSession, view_dir: str,
+                 version: int | None = None) -> SparkFrame:
     """The view as a user-facing aggregate: tombstones filtered,
     SQL NULL semantics restored (empty/all-NULL measures expose NULL
     sum/avg/min/max), ``avg_c`` derived as double(sum)/nn from the
-    exact decimal sum."""
+    exact decimal sum. ``version`` time-travels the view's own
+    snapshot history (every refresh is one commit, so version N is
+    the view exactly as the Nth maintenance step left it)."""
     from cl_data_frame_spark.sources.snapshots import snapshot_read
     meta = _read_meta(view_dir)
     keys = list(meta["keys"])
-    stored = _plain(snapshot_read(spark, view_dir)) \
+    stored = _plain(snapshot_read(spark, view_dir,
+                                  version=version)) \
         .where(F.col("cnt") > 0)
     cols = [*[F.col(k) for k in keys], F.col("cnt")]
     for c in meta["measure_cols"]:
