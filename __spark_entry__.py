@@ -3349,9 +3349,9 @@ def q_s_layout_prune(spark, sf_dir):
             .unionByName(hc))
 
 
-def _mv_long_form(mv, part):
+def _mv_long_form(mv, part, key_col="l_returnflag"):
     m = mv.select(
-        F.col("l_returnflag").alias("flag"), "cnt",
+        F.col(key_col).alias("flag"), "cnt",
         F.explode(F.create_map(
             F.lit("sum"), F.col("sum_l_quantity").cast("double"),
             F.lit("avg"), F.col("avg_l_quantity").cast("double"),
@@ -3406,17 +3406,34 @@ def _matview_build(spark, sf_dir, base_dir):
     from cl_data_frame_spark.sources.snapshots import (
         snapshot_delete, snapshot_read, snapshot_txn_version,
         snapshot_write)
+    from cl_data_frame_spark.operators.matview import (
+        matview_create_join, matview_read)
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_update)
     li = (_t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_returnflag",
                   "l_quantity"))
     src = os.path.join(base_dir, "src")
     view = os.path.join(base_dir, "mv")
+    dim = os.path.join(base_dir, "dim")
+    viewj = os.path.join(base_dir, "mvj")
     snapshot_write(li.filter(F.col("l_quantity") <= 2)
                    .repartitionByRange(2, "l_orderkey"), src,
                    mode="append", stats_cols=["l_orderkey"],
                    num_files=2)
     matview_create(spark, src, view, keys="l_returnflag",
                    measure_cols=["l_quantity"], num_files=1)
+    # delta-join IVM sibling: fact = the same DML'd slice, dim = the
+    # orders status dimension; the view rolls l_quantity up by the
+    # DIM attribute and is maintained from BOTH change feeds
+    snapshot_write(_t(spark, sf_dir, "orders")
+                   .select("o_orderkey", "o_orderstatus"), dim,
+                   mode="append", stats_cols=["o_orderkey"],
+                   num_files=2)
+    matview_create_join(spark, src, dim, viewj,
+                        on=("l_orderkey", "o_orderkey"),
+                        keys="o_orderstatus",
+                        measure_cols=["l_quantity"], num_files=1)
     snapshot_write(li.filter(F.col("l_quantity") == 3)
                    .repartitionByRange(2, "l_orderkey"), src,
                    mode="append", stats_cols=["l_orderkey"],
@@ -3425,6 +3442,8 @@ def _matview_build(spark, sf_dir, base_dir):
     assert r1["mode"] == "incremental" and \
         r1["groups_repaired"] == 0, \
         f"append-only refresh must be pure arithmetic: {r1}"
+    rj1 = matview_refresh(spark, viewj)
+    assert rj1["mode"] == "incremental", rj1
     from cl_data_frame_spark.sources.snapshots import _latest_version
     v_mid = _latest_version(view)
     # DML history in ONE commit: an OR-of-conjunctions (DNF) delete —
@@ -3446,6 +3465,21 @@ def _matview_build(spark, sf_dir, base_dir):
     assert stored.where((F.col("l_returnflag") == "R")
                         & (F.col("cnt") == 0)).count() == 1, \
         "erased group must leave a cnt=0 tombstone in storage"
+    # dim-side DML: a band status flip (update pre/post-images move
+    # every joining fact row between groups), then ONE join refresh
+    # consuming the fact delete AND the dim update together
+    cut2 = int(_t(spark, sf_dir, "orders")
+               .agg(F.floor(F.max("o_orderkey") * 3 / 4))
+               .collect()[0][0])
+    snapshot_update(spark, dim, where=[("o_orderkey", ">", cut2)],
+                    set_exprs={"o_orderstatus": "'Z'"})
+    rj2 = matview_refresh(spark, viewj)
+    assert rj2["mode"] == "incremental", rj2
+    flags = {r["o_orderstatus"] for r in
+             matview_read(spark, viewj).spark_df
+             .select("o_orderstatus").collect()}
+    assert "Z" in flags, \
+        f"dim update must surface the flipped group: {flags}"
     return v_mid
 
 
@@ -3493,7 +3527,10 @@ def _matview_parts(spark, sf_dir):
     a = _mv_long_form(
         matview_read(spark, view, version=v_mid).spark_df, "mvmid")
     b = _mv_long_form(matview_read(spark, view).spark_df, "mvread")
-    return a.unionByName(b)
+    c = _mv_long_form(
+        matview_read(spark, os.path.join(base, "mvj")).spark_df,
+        "mvjoin", key_col="o_orderstatus")
+    return a.unionByName(b).unionByName(c)
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -4454,7 +4491,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_functions": ["scalar", "collection", "scaling"],
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply",
-                       "mvmid", "mvread"],
+                       "mvmid", "mvread", "mvjoin"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist", "hist2d", "fk",
@@ -4517,7 +4554,7 @@ def query_parts() -> dict[str, dict[str, Callable]]:
            for p in ("merge", "scd2", "incr", "diff", "pit",
                      "apply")},
         **{p: _part_filter(_matview_parts, p)
-           for p in ("mvmid", "mvread")},
+           for p in ("mvmid", "mvread", "mvjoin")},
     }
     out["x_text_stats"] = {
         "quality": q_x_text_quality,
@@ -5395,7 +5432,45 @@ _ORACLES: dict[str, str] = {
             SELECT cnt, flag || '|sum' AS s1, sum_q AS v FROM g2
             UNION ALL SELECT cnt, flag || '|avg', avg_q FROM g2
             UNION ALL SELECT cnt, flag || '|min', min_q FROM g2
-            UNION ALL SELECT cnt, flag || '|max', max_q FROM g2)""",
+            UNION ALL SELECT cnt, flag || '|max', max_q FROM g2)
+        UNION ALL
+        -- mvjoin: the DELTA-JOIN materialized view (fact slice JOIN
+        -- the orders status dim, grouped by the DIM attribute) after
+        -- DML on BOTH tables: the fact band delete + R erase above,
+        -- and a dim band status flip to 'Z'
+        SELECT 'mvjoin', NULL::BIGINT AS k1, cnt::BIGINT AS k2, v, s1,
+               NULL::BIGINT AS vf, NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM (
+            WITH cutj AS (
+                SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+                FROM lineitem),
+            cut2 AS (
+                SELECT floor(max(o_orderkey) * 3 / 4)::BIGINT AS c
+                FROM orders),
+            dimf AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey > (SELECT c FROM cut2)
+                            THEN 'Z' ELSE o_orderstatus END AS flag
+                FROM orders),
+            finj AS (
+                SELECT d.flag, l.l_quantity AS q
+                FROM lineitem l JOIN dimf d
+                  ON l.l_orderkey = d.o_orderkey
+                WHERE l.l_quantity <= 3
+                  AND l.l_orderkey > (SELECT c FROM cutj)
+                  AND l.l_returnflag <> 'R'),
+            gj AS (
+                SELECT flag, count(*) AS cnt,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS sum_q,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE
+                           / count(q) AS avg_q,
+                       min(q)::DOUBLE AS min_q,
+                       max(q)::DOUBLE AS max_q
+                FROM finj GROUP BY flag)
+            SELECT cnt, flag || '|sum' AS s1, sum_q AS v FROM gj
+            UNION ALL SELECT cnt, flag || '|avg', avg_q FROM gj
+            UNION ALL SELECT cnt, flag || '|min', min_q FROM gj
+            UNION ALL SELECT cnt, flag || '|max', max_q FROM gj)""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,

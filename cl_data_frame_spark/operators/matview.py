@@ -189,6 +189,95 @@ def matview_create(spark: SparkSession, source_dir: str,
     return version
 
 
+def matview_create_join(spark: SparkSession, fact_dir: str,
+                        dim_dir: str, view_dir: str, on,
+                        keys: Sequence[str] | str,
+                        measure_cols: Sequence[str] = (),
+                        scale: int = 6,
+                        fact_version: int | None = None,
+                        dim_version: int | None = None,
+                        num_files: int | None = None,
+                        where: str | None = None) -> tuple[int, int]:
+    """Materialize ``SELECT keys, aggregates(measures) FROM fact
+    INNER JOIN dim ON fact.fk = dim.pk GROUP BY keys`` into the
+    snapshot table *view_dir*, maintained INCREMENTALLY from BOTH
+    tables' change feeds (delta-join IVM — see ``_refresh_join``).
+    ``on`` is a column name shared by both tables or a
+    ``(fact_col, dim_col)`` pair; keys and measures may come from
+    either side (a name present in both raises — the maintenance
+    join could not attribute it). Returns the consumed
+    ``(fact_version, dim_version)`` pair; both ride the view's
+    commits as independent txn watermarks (``matview.fact`` /
+    ``matview.dim``), so refresh is exactly-once per source and
+    CAS-protected against concurrent maintainers."""
+    from cl_data_frame_spark.sources.snapshots import (
+        _latest_version, snapshot_read, snapshot_write)
+    fk, dk = (on, on) if isinstance(on, str) else (on[0], on[1])
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    measure_cols = list(measure_cols)
+    if fact_version is None:
+        fact_version = _latest_version(fact_dir)
+    if dim_version is None:
+        dim_version = _latest_version(dim_dir)
+    if fact_version is None or dim_version is None:
+        raise FileNotFoundError(
+            f"no snapshot versions in {fact_dir} / {dim_dir}")
+    fact = _plain(snapshot_read(spark, fact_dir,
+                                version=fact_version))
+    dim = _plain(snapshot_read(spark, dim_dir, version=dim_version))
+    for c, side, cols in ((fk, "fact", fact.columns),
+                          (dk, "dim", dim.columns)):
+        if c not in cols:
+            raise ValueError(
+                f"join column {c!r} not in {side} table ({cols})")
+    need, fcols, dcols = [*keys, *measure_cols], [], []
+    for c in need:
+        inf, ind = c in fact.columns, c in dim.columns
+        if inf and ind and not (c == fk == dk):
+            raise ValueError(
+                f"column {c!r} exists in BOTH tables — the "
+                f"maintenance join cannot attribute it; rename one "
+                f"side (the join key itself is fine when named the "
+                f"same on both sides)")
+        if inf:
+            fcols.append(c)
+        elif ind:
+            dcols.append(c)
+        else:
+            raise ValueError(
+                f"column {c!r} in neither table "
+                f"(fact: {fact.columns}, dim: {dim.columns})")
+    joined = (fact.select(F.col(fk).alias("__jk__"),
+                          *[c for c in fcols])
+              .join(dim.select(F.col(dk).alias("__jk__"),
+                               *[c for c in dcols]),
+                    on="__jk__", how="inner")
+              .select(*need))
+    if where is not None:
+        joined = joined.where(F.expr(where))
+    agg = _full_agg(joined, keys, measure_cols, scale) \
+        .localCheckpoint(eager=False)
+    _check_keys_nonnull(agg, keys, "matview_create_join")
+    snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
+                   num_files=num_files, stats_cols=keys,
+                   txn=[(_F_APP, fact_version),
+                        (_D_APP, dim_version)])
+    meta = {
+        "kind": "join",
+        "fact_dir": os.path.abspath(fact_dir),
+        "dim_dir": os.path.abspath(dim_dir),
+        "fact_on": fk, "dim_on": dk,
+        "keys": keys, "measure_cols": measure_cols,
+        "fact_cols": fcols, "dim_cols": dcols,
+        "scale": scale,
+        "fact_version": fact_version, "dim_version": dim_version,
+    }
+    if where is not None:
+        meta["where"] = where
+    _write_meta(view_dir, meta)
+    return fact_version, dim_version
+
+
 def _delta_agg(changes: DataFrame, keys: list[str],
                measure_cols: list[str], scale: int) -> DataFrame:
     """Per-group deltas from the change feed: signed count/sum/nn,
@@ -242,16 +331,34 @@ def matview_refresh(spark: SparkSession, view_dir: str,
 
 
 def _refresh_once(spark: SparkSession, view_dir: str,
-                  to_version: int | None) -> dict:
-    from cl_data_frame_spark.sources.snapshots import (
-        _latest_version, snapshot_changes, snapshot_merge,
-        snapshot_read, snapshot_txn_version)
+                  to_version) -> dict:
     meta = _read_meta(view_dir)
+    if meta.get("kind") == "join":
+        return _refresh_join(spark, view_dir, meta, to_version)
+    return _refresh_single(spark, view_dir, meta, to_version)
+
+
+def _eq_dnf_prune(keys: list[str], key_rows) -> list | None:
+    """Map a bounded repair-key set onto the snapshot layer's
+    predicate surface so the repair scan's file listing prunes by
+    stats / blooms / partition tuples: one key -> an IN list, two or
+    more keys -> a DNF of equality conjunctions (one branch per
+    group)."""
+    if key_rows is None or not keys:
+        return None
+    if len(keys) == 1:
+        return [(keys[0], "in", [r[keys[0]] for r in key_rows])]
+    return [[(k, "==", r[k]) for k in keys] for r in key_rows]
+
+
+def _refresh_single(spark: SparkSession, view_dir: str, meta: dict,
+                    to_version) -> dict:
+    from cl_data_frame_spark.sources.snapshots import (
+        _latest_version, snapshot_changes, snapshot_read,
+        snapshot_txn_version)
     src_dir = meta["source_dir"]
     keys = list(meta["keys"])
     measure_cols = list(meta["measure_cols"])
-    scale = int(meta["scale"])
-    sum_t = _SUM_T.format(s=scale)
     target = to_version if to_version is not None \
         else _latest_version(src_dir)
     if target is None:
@@ -290,6 +397,215 @@ def _refresh_once(spark: SparkSession, view_dir: str,
                 f"the view's where-predicate {where!r} no longer "
                 f"evaluates against the change feed (schema "
                 f"evolution?) — recreate the view: {exc}") from exc
+
+    def repair_reader(key_rows):
+        # a bounded repair set reads the base through an IN / DNF
+        # predicate: stats/bloom/partition-tuple file skipping makes
+        # the repair scan touch only files that can hold those groups
+        base = _plain(snapshot_read(
+            spark, src_dir, version=target,
+            where=_eq_dnf_prune(keys, key_rows)))
+        if where is not None:
+            base = base.where(F.expr(where))
+        return base
+
+    return _apply_feed(
+        spark, view_dir, meta, changes, repair_reader,
+        txn=(_APP_ID, target), txn_expect=cas_expect,
+        meta_done={"source_version": target},
+        meta_noop={"source_version": applied},
+        summary={"from_version": applied, "to_version": target})
+
+
+_F_APP = "matview.fact"
+_D_APP = "matview.dim"
+
+
+def _join_targets(meta, to_version, f_latest, d_latest):
+    if to_version is None:
+        return f_latest, d_latest
+    if isinstance(to_version, (tuple, list)):
+        ft, dt = to_version
+        return (f_latest if ft is None else int(ft),
+                d_latest if dt is None else int(dt))
+    return int(to_version), d_latest
+
+
+def _refresh_join(spark: SparkSession, view_dir: str, meta: dict,
+                  to_version) -> dict:
+    """Delta-join IVM (the Gupta-Mumick construction for SPJ views
+    with aggregation): with the fact table F and dimension D both
+    under DML, the view's change set for one refresh interval is
+
+        Δ(F ⋈ D)  =  ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
+
+    (expanding (F+ΔF)⋈(D+ΔD) − F⋈D = ΔF⋈D + F⋈ΔD + ΔF⋈ΔD; folding
+    the cross term into the ΔF side by joining it against D at its
+    NEW version). Both parts keep each change row's sign, so the
+    signed per-group delta aggregation — and everything downstream:
+    arithmetic merge, min/max repair, tombstones — is exactly the
+    single-source path. F_old is the fact table TIME-TRAVELED to the
+    version the view last consumed; when the dim delta's key set is
+    bounded it is collected and the fact read IN-prunes on the join
+    key (stats/bloom/partition skipping), so a dim-side trickle never
+    rescans the fact table."""
+    from cl_data_frame_spark.sources.snapshots import (
+        _latest_version, snapshot_changes, snapshot_read,
+        snapshot_txn_version)
+    fact_dir, dim_dir = meta["fact_dir"], meta["dim_dir"]
+    fk, dk = meta["fact_on"], meta["dim_on"]
+    keys = list(meta["keys"])
+    measure_cols = list(meta["measure_cols"])
+    f_latest = _latest_version(fact_dir)
+    d_latest = _latest_version(dim_dir)
+    if f_latest is None or d_latest is None:
+        raise FileNotFoundError(
+            f"no snapshot versions in {fact_dir} / {dim_dir}")
+    ft, dt = _join_targets(meta, to_version, f_latest, d_latest)
+    f_applied = snapshot_txn_version(view_dir, _F_APP)
+    d_applied = snapshot_txn_version(view_dir, _D_APP)
+    cas = {}
+    if f_applied is not None:
+        cas[_F_APP] = f_applied
+    if d_applied is not None:
+        cas[_D_APP] = d_applied
+    if f_applied is None:
+        f_applied = int(meta["fact_version"])
+    if d_applied is None:
+        d_applied = int(meta["dim_version"])
+    ft, dt = max(ft, f_applied), max(dt, d_applied)
+    if ft <= f_applied and dt <= d_applied:
+        return {"mode": "noop", "from_version": (f_applied, d_applied),
+                "to_version": (f_applied, d_applied)}
+    where = meta.get("where")
+    fcols = list(meta["fact_cols"])
+    dcols = list(meta["dim_cols"])
+    dim_new = _plain(snapshot_read(spark, dim_dir, version=dt))
+    gone = [c for c in [dk, *dcols] if c not in dim_new.columns]
+    if gone:
+        raise ValueError(
+            f"view columns {gone} no longer exist in the dim table "
+            f"(schema evolution) — recreate with matview_create_join")
+    parts = []
+    if ft > f_applied:
+        ff = _plain(snapshot_changes(spark, fact_dir,
+                                     from_version=f_applied,
+                                     to_version=ft))
+        gone = [c for c in [fk, *fcols] if c not in ff.columns]
+        if gone:
+            raise ValueError(
+                f"view columns {gone} no longer exist in the fact "
+                f"change feed (schema evolution) — recreate with "
+                f"matview_create_join")
+        # ΔF ⋈ D_new: the fact delta keeps its sign; AQE broadcasts
+        # whichever side is small at runtime
+        parts.append(
+            ff.select(F.col(fk).alias("__jk__"), *fcols,
+                      "_change_type")
+            .join(dim_new.select(F.col(dk).alias("__jk__"), *dcols),
+                  on="__jk__", how="inner"))
+    if dt > d_applied:
+        dd = _plain(snapshot_changes(spark, dim_dir,
+                                     from_version=d_applied,
+                                     to_version=dt))
+        gone = [c for c in [dk, *dcols] if c not in dd.columns]
+        if gone:
+            raise ValueError(
+                f"view columns {gone} no longer exist in the dim "
+                f"change feed (schema evolution) — recreate with "
+                f"matview_create_join")
+        dd = dd.select(F.col(dk).alias("__jk__"), *dcols,
+                       "_change_type").localCheckpoint(eager=True)
+        # F_old ⋈ ΔD: the dim delta's sign rides onto every matching
+        # fact row. A bounded dim-delta key set IN-prunes the fact
+        # time-travel read so the scan touches only files that can
+        # hold those keys.
+        jk = [r["__jk__"] for r in
+              dd.select("__jk__").distinct().limit(10_001).collect()]
+        fprune = [(fk, "in", jk)] if 0 < len(jk) <= 10_000 else None
+        f_old = _plain(snapshot_read(spark, fact_dir,
+                                     version=f_applied, where=fprune))
+        parts.append(
+            f_old.select(F.col(fk).alias("__jk__"), *fcols)
+            .join(F.broadcast(dd), on="__jk__", how="inner"))
+    changes = parts[0]
+    for p in parts[1:]:
+        changes = changes.unionByName(p)
+    changes = changes.select(*keys, *measure_cols, "_change_type")
+    if where is not None:
+        try:
+            changes = changes.where(F.expr(where))
+        except Exception as exc:
+            raise ValueError(
+                f"the view's where-predicate {where!r} no longer "
+                f"evaluates against the joined change rows (schema "
+                f"evolution?) — recreate the view: {exc}") from exc
+
+    def repair_reader(key_rows):
+        prune = _eq_dnf_prune(keys, key_rows) \
+            if key_rows is not None and set(keys) <= set(fcols) \
+            else None
+        fact = _plain(snapshot_read(spark, fact_dir, version=ft,
+                                    where=prune))
+        dim = _plain(snapshot_read(spark, dim_dir, version=dt))
+        if key_rows is not None and prune is None \
+                and set(keys) <= {dk, *dcols}:
+            # keys live on the dim side: resolve the repair groups to
+            # their (bounded) join-key set and IN-prune the fact scan
+            cond = None
+            for r in key_rows:
+                t = None
+                for k in keys:
+                    e = F.col(k).eqNullSafe(F.lit(r[k]))
+                    t = e if t is None else (t & e)
+                cond = t if cond is None else (cond | t)
+            pks = [r[dk] for r in
+                   dim.where(cond).select(dk).distinct()
+                   .limit(10_001).collect()]
+            if 0 < len(pks) <= 10_000:
+                fact = _plain(snapshot_read(
+                    spark, fact_dir, version=ft,
+                    where=[(fk, "in", pks)]))
+        base = (fact.select(F.col(fk).alias("__jk__"), *fcols)
+                .join(dim.select(F.col(dk).alias("__jk__"), *dcols),
+                      on="__jk__", how="inner")
+                .select(*keys, *measure_cols))
+        if where is not None:
+            base = base.where(F.expr(where))
+        return base
+
+    txn = []
+    if ft > f_applied:
+        txn.append((_F_APP, ft))
+    if dt > d_applied:
+        txn.append((_D_APP, dt))
+    return _apply_feed(
+        spark, view_dir, meta, changes, repair_reader,
+        txn=txn, txn_expect=cas or None,
+        meta_done={"fact_version": ft, "dim_version": dt},
+        meta_noop={"fact_version": f_applied,
+                   "dim_version": d_applied},
+        summary={"from_version": (f_applied, d_applied),
+                 "to_version": (ft, dt)})
+
+
+def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
+                changes: DataFrame, repair_reader,
+                txn, txn_expect, meta_done: dict, meta_noop: dict,
+                summary: dict) -> dict:
+    """Apply one refresh interval's signed change rows (columns:
+    view keys + measures + ``_change_type``) to the stored view —
+    the shared back half of single-source and delta-join refresh:
+    per-group signed delta aggregation, arithmetic merge of counts /
+    exact-decimal sums, min/max repair via ``repair_reader`` (called
+    with the bounded repair-key rows, or None when unbounded), cnt=0
+    tombstones, ONE watermark-carrying snapshot_merge commit."""
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_merge, snapshot_read)
+    keys = list(meta["keys"])
+    measure_cols = list(meta["measure_cols"])
+    scale = int(meta["scale"])
+    sum_t = _SUM_T.format(s=scale)
     # per-group deltas: small (#touched groups), computed once
     delta = _delta_agg(changes, keys, measure_cols, scale) \
         .localCheckpoint(eager=True)
@@ -303,12 +619,10 @@ def _refresh_once(spark: SparkSession, view_dir: str,
     n_touched = int(probe["n"])
     if n_touched == 0:
         # metadata-only / no-op commits in the range: just advance
-        # the watermark via an empty merge? No — skip the commit and
-        # advance the meta cache; the NEXT real refresh re-reads the
-        # same (cheap, empty) range again from the commit watermark.
-        _write_meta(view_dir, {**meta, "source_version": applied})
-        return {"mode": "empty", "from_version": applied,
-                "to_version": target, "groups_touched": 0}
+        # the meta cache; the NEXT real refresh re-reads the same
+        # (cheap, empty) range again from the commit watermark.
+        _write_meta(view_dir, {**meta, **meta_noop})
+        return {"mode": "empty", **summary, "groups_touched": 0}
     if probe["bad"]:
         raise ValueError(
             f"NULL group key in the change feed: materialized views "
@@ -368,26 +682,17 @@ def _refresh_once(spark: SparkSession, view_dir: str,
             .alias(f"max_{c}"),
         ]
     arith = j.where(~repair).select(*arith_cols)
-    # repaired groups: exact re-aggregation from the base snapshot
-    # PINNED at the target version, over only those groups (their key
-    # rows come off the checkpointed join — no extra view scan)
+    # repaired groups: exact re-aggregation from the base PINNED at
+    # the target version(s), over only those groups (their key rows
+    # come off the checkpointed join — no extra view scan)
     repair_keys = j.where(repair).select(*keys)
     n_repair = repair_keys.count()
     if n_repair:
-        # single-key views with a bounded repair set read the base
-        # through an IN-list predicate: stats/bloom/partition-tuple
-        # file skipping makes the repair scan touch only the files
-        # that can hold those groups (the collect is n_repair keys —
-        # metadata-sized, already counted)
-        prune = None
-        if len(keys) == 1 and n_repair <= 10_000:
-            vals = [r[keys[0]] for r in
-                    j.where(repair).select(*keys).collect()]
-            prune = [(keys[0], "in", vals)]
-        base = _plain(snapshot_read(spark, src_dir, version=target,
-                                    where=prune))
-        if where is not None:
-            base = base.where(F.expr(where))
+        # a bounded repair set is collected (metadata-sized: n_repair
+        # key tuples) so the reader can prune its base scan
+        key_rows = j.where(repair).select(*keys).collect() \
+            if n_repair <= 10_000 else None
+        base = repair_reader(key_rows)
         base_rows = base.join(F.broadcast(repair_keys),
                               on=keys, how="inner")
         recomputed = _full_agg(base_rows, keys, measure_cols, scale)
@@ -419,11 +724,10 @@ def _refresh_once(spark: SparkSession, view_dir: str,
         *[F.col(c).cast(stored_types[c]).alias(c)
           for c in stored_cols]).localCheckpoint(eager=True)
     snapshot_merge(spark, view_dir, SparkFrame(upserts), on=keys,
-                   txn=(_APP_ID, target), txn_expect=cas_expect)
-    _write_meta(view_dir, {**meta, "source_version": target})
-    return {"mode": "incremental", "from_version": applied,
-            "to_version": target, "groups_touched": n_touched,
-            "groups_repaired": n_repair}
+                   txn=txn, txn_expect=txn_expect)
+    _write_meta(view_dir, {**meta, **meta_done})
+    return {"mode": "incremental", **summary,
+            "groups_touched": n_touched, "groups_repaired": n_repair}
 
 
 def matview_refresh_stream(spark: SparkSession, view_dir: str,
@@ -452,12 +756,29 @@ def matview_refresh_stream(spark: SparkSession, view_dir: str,
     from cl_data_frame_spark.streaming.snapshot_source import (
         read_stream_snapshot)
     meta = _read_meta(view_dir)
-    applied = snapshot_txn_version(view_dir, _APP_ID)
-    if applied is None:
-        applied = int(meta["source_version"])
-    feed = read_stream_snapshot(spark, meta["source_dir"],
-                                read_change_feed=True,
-                                starting_version=applied + 1)
+    if meta.get("kind") == "join":
+        # a join view has TWO change signals; either table's commits
+        # trigger a refresh (which consumes both feeds under its own
+        # per-source watermarks). The signal rows are discarded, so
+        # a shared schema is not required — only their arrival.
+        fa = snapshot_txn_version(view_dir, _F_APP)
+        da = snapshot_txn_version(view_dir, _D_APP)
+        fa = int(meta["fact_version"]) if fa is None else fa
+        da = int(meta["dim_version"]) if da is None else da
+        feed = read_stream_snapshot(
+            spark, meta["fact_dir"], read_change_feed=True,
+            starting_version=fa + 1).select(F.lit(1).alias("sig")) \
+            .unionByName(read_stream_snapshot(
+                spark, meta["dim_dir"], read_change_feed=True,
+                starting_version=da + 1)
+                .select(F.lit(1).alias("sig")))
+    else:
+        applied = snapshot_txn_version(view_dir, _APP_ID)
+        if applied is None:
+            applied = int(meta["source_version"])
+        feed = read_stream_snapshot(spark, meta["source_dir"],
+                                    read_change_feed=True,
+                                    starting_version=applied + 1)
 
     def _on_batch(_batch_df, _batch_id):
         matview_refresh(spark, view_dir)

@@ -2328,6 +2328,19 @@ class SnapshotTxnConflict(RuntimeError):
     its work is already applied)."""
 
 
+def _txn_entries(txn) -> list[tuple[str, int]]:
+    """Normalize the ``txn`` argument: a single ``(app_id, v)`` tuple
+    or a LIST of such tuples (a commit may advance several writers'
+    watermarks at once — e.g. a join-view refresh consuming two
+    sources' change feeds records both consumed versions)."""
+    if txn is None:
+        return []
+    if isinstance(txn, (list, tuple)) and txn \
+            and isinstance(txn[0], (list, tuple)):
+        return [(str(a), int(v)) for a, v in txn]
+    return [(str(txn[0]), int(txn[1]))]
+
+
 def _txn_guard(parent_txns: dict | None, txn, txn_expect) -> None:
     """Commit-time enforcement of the idempotent-writer protocol.
     Monotonicity always holds (a commit may only ADVANCE its app's
@@ -2336,20 +2349,36 @@ def _txn_guard(parent_txns: dict | None, txn, txn_expect) -> None:
     from, which closes the concurrent-maintainer double-apply race
     (two refreshers that both computed deltas from watermark W: the
     loser's commit sees W already advanced and aborts instead of
-    re-applying its now-overlapping delta on top)."""
-    if txn is None:
-        return
-    cur = (parent_txns or {}).get(txn[0])
-    if txn_expect is not None and cur != int(txn_expect):
-        raise SnapshotTxnConflict(
-            f"txn watermark for {txn[0]!r} is {cur}, writer expected "
-            f"{txn_expect} (a concurrent instance committed) — "
-            f"re-read the watermark and recompute")
-    if cur is not None and int(txn[1]) <= int(cur):
-        raise SnapshotTxnConflict(
-            f"txn ({txn[0]!r}, {txn[1]}) does not advance the "
-            f"recorded watermark {cur} — this transaction already "
-            f"committed (replay) or a newer one superseded it")
+    re-applying its now-overlapping delta on top).
+
+    ``txn_expect`` is an int (CAS for a single-tuple ``txn``) or a
+    dict ``{app_id: expected}`` — dict keys need not appear in
+    ``txn``: a writer can assert "this watermark did NOT move" for a
+    source it consumed but is not advancing this commit."""
+    entries = _txn_entries(txn)
+    parent = parent_txns or {}
+    if isinstance(txn_expect, dict):
+        for app, exp in txn_expect.items():
+            cur = parent.get(app)
+            if cur != (int(exp) if exp is not None else None):
+                raise SnapshotTxnConflict(
+                    f"txn watermark for {app!r} is {cur}, writer "
+                    f"expected {exp} (a concurrent instance "
+                    f"committed) — re-read and recompute")
+    elif txn_expect is not None and entries:
+        cur = parent.get(entries[0][0])
+        if cur != int(txn_expect):
+            raise SnapshotTxnConflict(
+                f"txn watermark for {entries[0][0]!r} is {cur}, "
+                f"writer expected {txn_expect} (a concurrent "
+                f"instance committed) — re-read and recompute")
+    for app, v in entries:
+        cur = parent.get(app)
+        if cur is not None and v <= int(cur):
+            raise SnapshotTxnConflict(
+                f"txn ({app!r}, {v}) does not advance the recorded "
+                f"watermark {cur} — this transaction already "
+                f"committed (replay) or a newer one superseded it")
 
 
 def snapshot_write(frame, table_dir: str, mode: str = "append",
@@ -2509,8 +2538,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     _txn_guard(pm.get("txn") if pm is not None else None,
                txn, txn_expect)
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
-    if txn is not None:
-        txns[txn[0]] = int(txn[1])
+    for _a, _v in _txn_entries(txn):
+        txns[_a] = _v
     if txns:
         manifest["txn"] = txns
     _publish(table_dir, manifest)
@@ -2645,8 +2674,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["constraints"] = lm["constraints"]
         _txn_guard(lm.get("txn"), txn_add, txn_expect)
         txns_ = dict(lm.get("txn") or {})
-        if txn_add is not None:
-            txns_[txn_add[0]] = int(txn_add[1])
+        for _a, _v in _txn_entries(txn_add):
+            txns_[_a] = _v
         if txns_:
             manifest["txn"] = txns_
         if op_info is not None:
@@ -3843,8 +3872,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             manifest["constraints"] = m["constraints"]
         _txn_guard(m.get("txn"), txn, txn_expect)
         txns = dict(m.get("txn") or {})
-        if txn is not None:
-            txns[txn[0]] = int(txn[1])
+        for _a, _v in _txn_entries(txn):
+            txns[_a] = _v
         if txns:
             manifest["txn"] = txns
         # commit-scoped (never carried): lets the CDC change feed
@@ -4176,8 +4205,8 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         manifest["constraints"] = m["constraints"]
     _txn_guard(m.get("txn"), txn, None)
     txns = dict(m.get("txn") or {})
-    if txn is not None:
-        txns[txn[0]] = int(txn[1])
+    for _a, _v in _txn_entries(txn):
+        txns[_a] = _v
     if txns:
         manifest["txn"] = txns
     if change_data:

@@ -325,6 +325,55 @@ class TestMatviewSchemaGuards:
                            measure_cols=["nope"])
 
 
+class TestMatviewMultiKeyRepairPrune:
+    def test_two_key_repair_read_skips_files(self, spark, tmp_path):
+        """Composite-key views map their bounded repair set through a
+        DNF of equality conjunctions, so the repair re-aggregation
+        reads strictly fewer base files than the table holds (stats
+        skipping by the first key's per-file ranges)."""
+        from cl_data_frame_spark.operators import matview as MV
+        from cl_data_frame_spark.sources import snapshots as S
+        src, view = _mkdirs(tmp_path, "mk")
+        # 4 range-partitioned files on grp1 so a single-group DNF
+        # branch can prove most files irrelevant
+        df = spark.createDataFrame(
+            [(i, i % 4, f"h{i % 2}", float(i)) for i in range(400)],
+            "id int, grp1 int, grp2 string, val double")
+        S.snapshot_write(
+            SparkFrame(df.repartitionByRange(4, "grp1")), src,
+            mode="overwrite", stats_cols=["id", "grp1", "grp2"],
+            num_files=4)
+        MV.matview_create(spark, src, view, keys=["grp1", "grp2"],
+                          measure_cols=["val"])
+        # prune surface check: the DNF the repair path would build
+        # admits strictly fewer files than the table holds
+        pred = MV._eq_dnf_prune(
+            ["grp1", "grp2"],
+            [{"grp1": 1, "grp2": "h1"}])
+        n_all = len(S.snapshot_scan_files(src))
+        n_hit = len(S.snapshot_scan_files(src, where=pred))
+        assert 0 < n_hit < n_all, (n_hit, n_all)
+        # end-to-end: delete the stored min of ONE (grp1, grp2) group
+        # -> repair recomputes exactly (and only) that group
+        # id 1 -> (grp1=1, grp2=h1), val 1.0 = that group's stored min
+        S.snapshot_delete(spark, src, [("id", "==", 1)])
+        r = matview_refresh(spark, view)
+        assert r["groups_repaired"] == 1, r
+        dec = F.col("val").cast("decimal(28,6)")
+        exp = {(x["grp1"], x["grp2"]):
+               (x["cnt"], x["mn"], x["mx"])
+               for x in snapshot_read(spark, src).spark_df
+               .groupBy("grp1", "grp2").agg(
+                   F.count(F.lit(1)).alias("cnt"),
+                   F.min("val").alias("mn"),
+                   F.max("val").alias("mx")).collect()}
+        got = {(x["grp1"], x["grp2"]):
+               (x["cnt"], x["min_val"], x["max_val"])
+               for x in MV.matview_read(spark, view)
+               .spark_df.collect()}
+        assert got == exp
+
+
 class TestMatviewFiltered:
     def test_filtered_view_parity_and_boundary_updates(self, spark,
                                                        tmp_path):
