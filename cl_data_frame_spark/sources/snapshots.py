@@ -2031,12 +2031,17 @@ def _write_partitioned(sdf: DataFrame, table_dir: str, out_dir: str,
 
 
 def _streamed_scan_files(table_dir: str, version: int,
-                         where) -> tuple[list, dict] | None:
+                         branches) -> tuple[list, dict] | None:
     """Predicated file listing that never materializes the O(#files)
     state dict: stream the nearest PARQUET checkpoint's record
     batches (bounded by one 64k-row batch at a time), prune each row
     against stats + partition tuple + bloom, and overlay the O(delta)
-    commits since. Returns ``(files, slim_manifest)`` where the slim
+    commits since. *branches* is the normalized DNF
+    (OR-of-conjunctions): the vectorized envelope prefilter evaluates
+    each branch's AND-mask and ORs them, and the exact decoded check
+    admits a row when ANY branch does — OR-shaped predicates keep the
+    streamed path instead of falling back to the O(#files) dict
+    reconstruction. Returns ``(files, slim_manifest)`` where the slim
     manifest carries the schema and ONLY the survivors' chains / DVs
     / partition tuples — exactly what ``_read_files_renamed`` needs —
     so a point lookup on a million-file table allocates proportional
@@ -2103,19 +2108,23 @@ def _streamed_scan_files(table_dir: str, version: int,
         return None   # unreadable/corrupt checkpoint (ArrowInvalid
         # is a ValueError): decline — the exact path replays the
         # delta chain past it and stays correct
-    eq_or_in = any(op in ("==", "=", "in") for _c, op, _v in where)
+    eq_or_in = any(op in ("==", "=", "in")
+                   for b in branches for _c, op, _v in b)
 
     def keep(f, stats_entry, bloom_entry, pt_entry):
         st = over["stats"].get(f, stats_entry)
         pt = over["partitions"].get(f, pt_entry)
-        if not _file_may_match(_prune_stats(st, pt), where):
-            return False
-        if eq_or_in:
-            bl = over["bloom"].get(f, bloom_entry)
-            if bl and not _bloom_preds_may_match(bl, where,
-                                                 table_dir):
-                return False
-        return True
+        eff = _prune_stats(st, pt)
+        bl = over["bloom"].get(f, bloom_entry) if eq_or_in else None
+        for b in branches:
+            if not _file_may_match(eff, b):
+                continue
+            if bl and any(op in ("==", "=", "in")
+                          for _c, op, _v in b) \
+                    and not _bloom_preds_may_match(bl, b, table_dir):
+                continue
+            return True
+        return False
 
     survivors: list[str] = []
     chains: dict = {}
@@ -2140,67 +2149,82 @@ def _streamed_scan_files(table_dir: str, version: int,
     names = set(pf.schema_arrow.names)
     md = pf.schema_arrow.metadata or {}
     kinds = json.loads(md.get(b"cdf.statkinds", b"{}") or b"{}")
-    # vectorized prefilter setup: predicates whose column carries a
-    # float envelope in this checkpoint, with the predicate value
-    # widened the OPPOSITE way (soundness: a true match can never be
-    # excluded; candidates still pass the exact decoded check below)
-    vec_preds = []
-    for colp, op, val in where:
-        k = kinds.get(colp)
-        if k is None or f"smin:{colp}" not in names:
-            continue
-        if op == "in":
-            pairs = []
-            ok = True
-            for x in val:
-                vlo = _pred_float(x, k, up=False)
-                vhi = _pred_float(x, k, up=True)
-                if vlo is None or vhi is None:
-                    ok = False
-                    break
-                pairs.append((vlo, vhi))
-            if ok and pairs:
-                vec_preds.append((colp, "in", pairs))
-            continue
-        vlo = _pred_float(val, k, up=False)
-        vhi = _pred_float(val, k, up=True)
-        if vlo is None or vhi is None:
-            continue
-        vec_preds.append((colp, op, (vlo, vhi)))
+    # vectorized prefilter setup, PER DNF BRANCH: predicates whose
+    # column carries a float envelope in this checkpoint, with the
+    # predicate value widened the OPPOSITE way (soundness: a true
+    # match can never be excluded; candidates still pass the exact
+    # decoded check below). The batch mask is OR over branches of
+    # each branch's AND.
+    branch_vecs = []
+    for b in branches:
+        vec_preds = []
+        for colp, op, val in b:
+            k = kinds.get(colp)
+            if k is None or f"smin:{colp}" not in names:
+                continue
+            if op == "in":
+                pairs = []
+                ok = True
+                for x in val:
+                    vlo = _pred_float(x, k, up=False)
+                    vhi = _pred_float(x, k, up=True)
+                    if vlo is None or vhi is None:
+                        ok = False
+                        break
+                    pairs.append((vlo, vhi))
+                if ok and pairs:
+                    vec_preds.append((colp, "in", pairs))
+                continue
+            vlo = _pred_float(val, k, up=False)
+            vhi = _pred_float(val, k, up=True)
+            if vlo is None or vhi is None:
+                continue
+            vec_preds.append((colp, op, (vlo, vhi)))
+        branch_vecs.append(vec_preds)
     # files whose stats/partition entries were overridden by a delta
     # have a stale envelope row: always treat them as candidates
     over_files = set(over["stats"]) | set(over["partitions"])
     want = ["file"] + [c for _k, c in _CKPT_FILE_COLS]
     have = [c for c in want if c in names] \
-        + [f"s{e}:{c}" for c, _o, _v in vec_preds for e in
-           ("min", "max")]
+        + [f"s{e}:{c}" for vp in branch_vecs for c, _o, _v in vp
+           for e in ("min", "max")]
     added_set = set(added_order)
     in_ckpt_added: set = set()
     import numpy as np
     for batch in pf.iter_batches(columns=sorted(set(have))):
-        cand = np.ones(batch.num_rows, dtype=bool)
-        for colp, op, vv in vec_preds:
-            lo = batch.column(f"smin:{colp}") \
-                .to_numpy(zero_copy_only=False)
-            hi = batch.column(f"smax:{colp}") \
-                .to_numpy(zero_copy_only=False)
-            has = ~(np.isnan(lo) | np.isnan(hi))
-            if op in ("==", "="):
-                vlo, vhi = vv
-                excl = (lo > vhi) | (hi < vlo)
-            elif op == "<":
-                excl = lo >= vv[1]
-            elif op == "<=":
-                excl = lo > vv[1]
-            elif op == ">":
-                excl = hi <= vv[0]
-            elif op == ">=":
-                excl = hi < vv[0]
-            else:          # "in": outside EVERY listed value's band
-                excl = np.ones(batch.num_rows, dtype=bool)
-                for vlo, vhi in vv:
-                    excl &= (lo > vhi) | (hi < vlo)
-            cand &= ~(has & excl)
+        cand = np.zeros(batch.num_rows, dtype=bool)
+        col_np: dict = {}
+
+        def _np(name):
+            if name not in col_np:
+                col_np[name] = batch.column(name) \
+                    .to_numpy(zero_copy_only=False)
+            return col_np[name]
+        for vec_preds in branch_vecs:
+            bm = np.ones(batch.num_rows, dtype=bool)
+            for colp, op, vv in vec_preds:
+                lo = _np(f"smin:{colp}")
+                hi = _np(f"smax:{colp}")
+                has = ~(np.isnan(lo) | np.isnan(hi))
+                if op in ("==", "="):
+                    vlo, vhi = vv
+                    excl = (lo > vhi) | (hi < vlo)
+                elif op == "<":
+                    excl = lo >= vv[1]
+                elif op == "<=":
+                    excl = lo > vv[1]
+                elif op == ">":
+                    excl = hi <= vv[0]
+                elif op == ">=":
+                    excl = hi < vv[0]
+                else:      # "in": outside EVERY listed value's band
+                    excl = np.ones(batch.num_rows, dtype=bool)
+                    for vlo, vhi in vv:
+                        excl &= (lo > vhi) | (hi < vlo)
+                bm &= ~(has & excl)
+            cand |= bm
+            if cand.all():
+                break
         files_b = batch.column("file").to_pylist()
         if added_set:
             # re-added ckpt files: these rows are their authority,
@@ -2287,12 +2311,11 @@ def _scan_with_state(table_dir: str, version: int,
     SLIM — survivors only); otherwise the exact
     ``_read_manifest``-based prune runs, returning the full state."""
     branches = _norm_dnf(where)
-    if len(branches) == 1:
-        # the vectorized checkpoint-streaming listing handles one
-        # conjunction; OR-shaped predicates take the exact path below
-        # (each branch's prune is the same per-file check, just ORed)
-        streamed = _streamed_scan_files(table_dir, version,
-                                        branches[0])
+    if branches:
+        # the vectorized checkpoint-streaming listing evaluates the
+        # whole DNF (per-branch AND masks, ORed) — OR shapes keep the
+        # bounded-memory path too
+        streamed = _streamed_scan_files(table_dir, version, branches)
         if streamed is not None:
             return streamed
     m = _read_manifest(table_dir, version)
@@ -2847,39 +2870,60 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     total_bytes = sum(os.path.getsize(p) for p in paths)
     n_files = num_files or max(
         1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    sdf = _read_files_renamed(spark, table_dir, selected, m)
     version = base_v + 1
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version:08d}-{token}")
     out_dir = os.path.join(table_dir, rel_dir)
-    # partition-PRESERVING compaction: when every selected file
-    # carries a partition tuple over one key set, the rewrite keeps
-    # the Hive layout and records fresh tuples — otherwise a nightly
-    # OPTIMIZE would silently destroy the table's metadata-exact
-    # pruning (zorder_by takes precedence: clustering replaces the
+    # partition-PRESERVING compaction under SPEC EVOLUTION (Iceberg's
+    # per-file partition spec): selected files group by their tuple
+    # KEY SET — one era per spec the table has been partitioned under
+    # (files with no tuple form the unpartitioned era) — and each era
+    # rewrites under ITS OWN layout, so a nightly OPTIMIZE never
+    # destroys metadata-exact pruning for either side of a spec
+    # change (zorder_by takes precedence: clustering replaces the
     # partition layout by explicit request)
     new_parts: dict = {}
+    new_files: list[str] = []
     pts = m.get("partitions") or {}
-    pcols: list | None = None
-    if selected and not zorder_by \
-            and all(f in pts for f in selected):
-        keysets = {tuple(sorted(pts[f])) for f in selected}
-        if len(keysets) == 1:
-            pcols = [_spec_from_tuple_key(k) for k in keysets.pop()]
     if zorder_by:
         from cl_data_frame_spark.sources import write_parquet_zordered
+        sdf = _read_files_renamed(spark, table_dir, selected, m)
         write_parquet_zordered(sdf, out_dir, list(zorder_by),
                                num_files=n_files, mode="error")
-    elif pcols:
-        new_files, new_parts = _write_partitioned(
-            sdf, table_dir, out_dir, pcols, n_files)
-    else:
-        with _micros_timestamps(spark):
-            sdf.coalesce(n_files).write.mode("error").parquet(out_dir)
-    if not pcols:
         new_files = sorted(
             os.path.join(rel_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
+    else:
+        by_spec: dict[tuple, list[str]] = {}
+        for f in selected:
+            ks = tuple(sorted(pts[f])) if pts.get(f) else ()
+            by_spec.setdefault(ks, []).append(f)
+        multi = len(by_spec) > 1
+        for gi, ks in enumerate(sorted(by_spec)):
+            gfiles = by_spec[ks]
+            gbytes = sum(os.path.getsize(
+                os.path.join(table_dir, f)) for f in gfiles)
+            if multi:
+                gn = max(1, round(n_files * gbytes
+                                  / max(1, total_bytes)))
+                grel = os.path.join(rel_dir, f"spec-{gi}")
+            else:
+                gn, grel = n_files, rel_dir
+            gdir = os.path.join(table_dir, grel)
+            gsdf = _read_files_renamed(spark, table_dir, gfiles, m)
+            if ks:
+                pcols = [_spec_from_tuple_key(k) for k in ks]
+                gf, gparts = _write_partitioned(
+                    gsdf, table_dir, gdir, pcols, gn)
+                new_files += gf
+                new_parts.update(gparts)
+            else:
+                with _micros_timestamps(spark):
+                    gsdf.coalesce(gn).write.mode("error") \
+                        .parquet(gdir)
+                new_files += sorted(
+                    os.path.join(grel, f) for f in os.listdir(gdir)
+                    if f.endswith(".parquet"))
     stats_cols = sorted({c for f in m["files"]
                          for c in (m.get("stats") or {}).get(f, {})})
     old_stats = m.get("stats") or {}

@@ -2156,7 +2156,7 @@ class TestCheckpointedManifestLog:
         for where in preds:
             S._STATE_CACHE.clear()
             streamed = S._streamed_scan_files(
-                t, S._latest_version(t), where)
+                t, S._latest_version(t), S._norm_dnf(where))
             assert streamed is not None, where  # fast path engaged
             monkeypatch.setattr(S, "_streamed_scan_files",
                                 lambda *a, **k: None)
@@ -2801,7 +2801,8 @@ def test_streamed_scan_randomized_lifecycle(spark, tmp_path):
                 where = [("k", "in",
                           [rng.randrange(nxt) for _ in range(3)])]
             S._STATE_CACHE.clear()
-            streamed = S._streamed_scan_files(t, v, where)
+            streamed = S._streamed_scan_files(t, v,
+                                              S._norm_dnf(where))
             m = S._read_manifest(t, v)
             exact = [f for f in m["files"]
                      if S._file_may_match(S._stats_for_prune(m, f),
@@ -3362,7 +3363,7 @@ class TestHiddenPartitioning:
         for where in preds:
             S._STATE_CACHE.clear()
             streamed = S._streamed_scan_files(
-                t, S._latest_version(t), where)
+                t, S._latest_version(t), S._norm_dnf(where))
             assert streamed is not None, where
             monkeypatch.setattr(S, "_streamed_scan_files",
                                 lambda *a, **k: None)
@@ -3468,6 +3469,95 @@ class TestHiddenPartitioning:
                 ("nope", "not in schema")]:
             with pytest.raises(ValueError, match=msg):
                 S.snapshot_write(ev, t, partition_by=[spec])
+
+
+class TestPartitionSpecEvolution:
+    """Round 12: Iceberg's per-file partition spec — ``partition_by``
+    may change between commits; every file prunes under the spec it
+    was written with, and OPTIMIZE rewrites each spec ERA under its
+    own layout instead of flattening the table."""
+
+    @staticmethod
+    def _mixed(spark, S, t):
+        from pyspark.sql import functions as F
+        a = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+            (F.col("id") % 7).alias("u"))
+        b = spark.range(300, 600).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+            (F.col("id") % 7).alias("u"))
+        S.snapshot_write(a, t, partition_by=["g"], stats_cols=["k"])
+        S.snapshot_write(b, t, partition_by=["truncate(2, u)"],
+                         stats_cols=["k"])
+        return a.unionByName(b)
+
+    def test_each_era_prunes_under_its_own_spec(self, spark,
+                                                tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "specv")
+        df = self._mixed(spark, S, t)
+        n_all = len(S.snapshot_scan_files(t))
+        # era-1 predicate: g-partitioned files prune; era-2 files
+        # (no g tuple, but k stats) also prune by range
+        hit_g = S.snapshot_scan_files(t, where=[("g", "==", 1)])
+        assert 0 < len(hit_g) < n_all
+        exp_g = df.where(F.col("g") == 1).count()
+        assert S.snapshot_read(spark, t,
+                               where=[("g", "==", 1)]).nrow == exp_g
+        # era-2 predicate: truncate(2, u) tuples prune era-2 files
+        hit_u = S.snapshot_scan_files(t, where=[("u", "==", 5)])
+        assert 0 < len(hit_u) < n_all
+        exp_u = df.where(F.col("u") == 5).count()
+        assert S.snapshot_read(spark, t,
+                               where=[("u", "==", 5)]).nrow == exp_u
+
+    def test_optimize_preserves_per_era_layouts(self, spark,
+                                                tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "specopt")
+        df = self._mixed(spark, S, t)
+        v = S.snapshot_optimize(spark, t, num_files=6)
+        m = S._read_manifest(t, v)
+        pts = m.get("partitions") or {}
+        keysets = {tuple(sorted(pt)) for pt in pts.values() if pt}
+        assert ("g",) in keysets, keysets
+        assert ("u__trunc_2",) in keysets, keysets
+        # both eras still prune after the rewrite
+        n_all = len(S.snapshot_scan_files(t))
+        assert 0 < len(S.snapshot_scan_files(
+            t, where=[("g", "==", 1)])) < n_all
+        assert 0 < len(S.snapshot_scan_files(
+            t, where=[("u", "==", 5)])) < n_all
+        # and the rows are exactly preserved
+        assert S.snapshot_read(spark, t).nrow == 600
+        exp_u = df.where(F.col("u") == 5).count()
+        assert S.snapshot_read(spark, t,
+                               where=[("u", "==", 5)]).nrow == exp_u
+
+    def test_mixed_with_unpartitioned_era(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "specmix")
+        S.snapshot_write(
+            spark.range(100).select(F.col("id").alias("k"),
+                                    (F.col("id") % 2).alias("g")),
+            t, partition_by=["g"], stats_cols=["k"])
+        S.snapshot_write(
+            spark.range(100, 200).select(
+                F.col("id").alias("k"), (F.col("id") % 2).alias("g")),
+            t, stats_cols=["k"])       # spec dropped: plain files
+        v = S.snapshot_optimize(spark, t, num_files=4)
+        m = S._read_manifest(t, v)
+        pts = m.get("partitions") or {}
+        part_files = [f for f in m["files"] if pts.get(f)]
+        plain_files = [f for f in m["files"] if not pts.get(f)]
+        assert part_files and plain_files
+        assert S.snapshot_read(spark, t).nrow == 200
+        n_all = len(m["files"])
+        assert 0 < len(S.snapshot_scan_files(
+            t, where=[("g", "==", 0)])) < n_all
 
 
 class TestSnapshotCount:
@@ -3810,6 +3900,42 @@ class TestDNFPredicates:
         with pytest.raises(ValueError, match="metadata-decidable"):
             S.snapshot_count(
                 t, where=[[("g", "==", 0)], [("k", "<", 5)]])
+
+    def test_or_shape_keeps_streamed_listing(self, spark, tmp_path,
+                                             monkeypatch):
+        """A DNF predicate must ride the bounded-memory streamed
+        checkpoint listing (per-branch envelope masks ORed), not fall
+        back to the O(#files) dict reconstruction."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dnfstream")
+        monkeypatch.setattr(S, "_CHECKPOINT_EVERY", 2)
+        df = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+        # enough commits to cross the (patched) checkpoint cadence
+        for lo in range(0, 500, 100):
+            S.snapshot_write(
+                df.where((F.col("k") >= lo) & (F.col("k") < lo + 100))
+                .repartition(1), t, stats_cols=["k", "g"])
+        v = S._latest_version(t)
+        assert os.path.exists(S._ckpt_pq_path(t, v)) or any(
+            os.path.exists(S._ckpt_pq_path(t, u))
+            for u in range(1, v + 1)), "no parquet checkpoint written"
+        dnf = [[("k", "<", 100)], [("k", ">=", 450), ("g", "==", 4)]]
+        S._STATE_CACHE.clear()
+        streamed = S._streamed_scan_files(t, v, S._norm_dnf(dnf))
+        assert streamed is not None, \
+            "DNF listing fell back to the dict path"
+        files, slim = streamed
+        exact = S.snapshot_scan_files(t, where=dnf)
+        assert sorted(files) == sorted(exact)
+        n_all = len(S.snapshot_scan_files(t))
+        assert 0 < len(files) < n_all
+        # row-exactness through the read too
+        exp = df.where((F.col("k") < 100)
+                       | ((F.col("k") >= 450) & (F.col("g") == 4)))
+        assert S.snapshot_read(spark, t, where=dnf).nrow \
+            == exp.count() > 0
 
     def test_malformed_predicates_raise(self, spark, tmp_path):
         import pytest

@@ -72,6 +72,23 @@ def main() -> None:
     stream_peak = tracemalloc.get_traced_memory()[1]
     tracemalloc.stop()
 
+    # DNF (OR-of-conjunctions) listing: must stay on the streamed
+    # path, within the same order as the single-conjunction listing
+    dnf = [[("k", "==", n // 2)], [("k", ">=", n - 3)]]
+    S._STATE_CACHE.clear()
+    t0 = time.time()
+    got2 = S.snapshot_scan_files(t, 21, where=dnf)
+    dnf_s = time.time() - t0
+    assert set(got2) == {files[n // 2], files[n - 3], files[n - 2],
+                         files[n - 1],
+                         "data/v00000021-x/part-00000000.parquet"}, \
+        got2
+    S._STATE_CACHE.clear()
+    tracemalloc.start()
+    S.snapshot_scan_files(t, 21, where=dnf)
+    dnf_peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+
     S._STATE_CACHE.clear()
     t0 = time.time()
     m = S._read_manifest(t, 21)
@@ -89,6 +106,8 @@ def main() -> None:
         "ckpt_write_sec": round(write_s, 3),
         "streamed_scan_sec": round(stream_s, 3),
         "streamed_peak_mb": round(stream_peak / 1e6, 1),
+        "dnf_scan_sec": round(dnf_s, 3),
+        "dnf_peak_mb": round(dnf_peak / 1e6, 1),
         "dict_reconstruct_sec": round(dict_s, 3),
         "dict_peak_mb": round(dict_peak / 1e6, 1),
     }))
