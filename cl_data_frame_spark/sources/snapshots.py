@@ -1158,9 +1158,80 @@ def _dv_meta_cols():
 
 def _dv_positions(table_dir: str, rel_file: str, entry: dict) -> list:
     """The deleted row indexes for *rel_file* from its DV sidecar
-    (same immutable-sidecar mechanics and cache as bloom filters)."""
+    (same immutable-sidecar mechanics and cache as bloom filters for
+    legacy JSON entries; parquet v2 entries — executor-written —
+    read columnar and filter to the file's identity)."""
+    if "scp" in entry:
+        import pyarrow.dataset as ds
+        fid = entry.get("f", _dv_fid(rel_file))
+        t = ds.dataset(os.path.join(table_dir, entry["scp"]),
+                       format="parquet") \
+            .to_table(filter=ds.field("__fid__") == fid,
+                      columns=["__pos__"])
+        return t.column("__pos__").to_pylist()
     sc = _load_sidecar(os.path.join(table_dir, entry["sc"]))
     return sc[entry.get("f", rel_file)]
+
+
+def _dv_pos_df(spark: SparkSession, table_dir: str, dv: dict):
+    """All deleted (``__fid__``, ``__pos__``) pairs for a manifest
+    ``dv`` map as a DataFrame — parquet v2 sidecars SCAN distributed
+    (the driver never materializes the positions), legacy JSON
+    entries parallelize their (bounded) lists."""
+    parts = []
+    v2: dict[str, set] = {}
+    legacy = []
+    for f, e in dv.items():
+        if "scp" in e:
+            # v2 entries record the matching identity in "f"
+            v2.setdefault(e["scp"], set()).add(
+                e.get("f", _dv_fid(f)))
+        else:
+            # legacy JSON entries' "f" is the sidecar CONTENT key
+            # (a rel path), not the read-side identity
+            legacy += [(_dv_fid(f), int(p))
+                       for p in _dv_positions(table_dir, f, e)]
+    for scp, fids in v2.items():
+        parts.append(
+            spark.read.parquet(os.path.join(table_dir, scp))
+            .where(F.col("__fid__").isin(sorted(fids)))
+            .select("__fid__", F.col("__pos__").cast("long")))
+    if legacy or not parts:
+        parts.append(spark.createDataFrame(
+            legacy, "__fid__ string, __pos__ long"))
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
+def _write_dv_sidecar_distributed(spark: SparkSession,
+                                  table_dir: str, pos_df,
+                                  rel_by_fid: dict,
+                                  old_dv: dict) -> dict:
+    """Publish one commit's deletion vectors from the EXECUTORS:
+    *pos_df* holds the NEW (__fid__, __pos__) pairs (computed over
+    already-DV-filtered rows, so disjoint from the existing vectors),
+    the affected files' existing vectors fold in as DataFrames, and
+    the union lands in one parquet sidecar directory written by
+    Spark. The driver collects ONLY the per-file counts (#files
+    rows) — the 100k-positions-per-file × #files driver bound of the
+    JSON path is gone; reads scan the same parquet distributed
+    (``_dv_pos_df``)."""
+    olds = {rel: old_dv[rel] for fid, rel in rel_by_fid.items()
+            if rel in old_dv}
+    if olds:
+        pos_df = pos_df.unionByName(
+            _dv_pos_df(spark, table_dir, olds))
+    name = f"dv-{uuid.uuid4().hex}"
+    rel_dir = os.path.join(_MANIFEST_DIR, _SIDECAR_DIR, name)
+    out = os.path.join(table_dir, rel_dir)
+    pos_df.repartition("__fid__").write.mode("error").parquet(out)
+    counts = {r["__fid__"]: int(r["n"]) for r in
+              spark.read.parquet(out).groupBy("__fid__")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    return {rel_by_fid[fid]: {"scp": rel_dir, "f": fid, "n": n}
+            for fid, n in counts.items() if fid in rel_by_fid}
 
 
 def _write_dv_sidecar(table_dir: str, positions: dict) -> dict:
@@ -1283,10 +1354,7 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=merge_schema)
     if dv:
-        deleted = [(_dv_fid(f), int(p)) for f, e in dv.items()
-                   for p in _dv_positions(table_dir, f, e)]
-        pos_df = spark.createDataFrame(
-            deleted, "__fid__ string, __pos__ long")
+        pos_df = _dv_pos_df(spark, table_dir, dv)
         out = out.join(F.broadcast(pos_df),
                        on=["__fid__", "__pos__"], how="left_anti")
     if need_meta and not with_pos:
@@ -1516,8 +1584,10 @@ def snapshot_clone(src_table_dir: str, dst_table_dir: str,
                        for c, e in b.items()}
             for f, b in m["bloom"].items()}
     if m.get("dv"):
-        manifest["dv"] = {remap(f): {**e, "sc": remap(e["sc"])}
-                          for f, e in m["dv"].items()}
+        manifest["dv"] = {
+            remap(f): ({**e, "scp": remap(e["scp"])} if e.get("scp")
+                       else {**e, "sc": remap(e["sc"])})
+            for f, e in m["dv"].items()}
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
     _publish(dst_table_dir, manifest)
@@ -3438,7 +3508,8 @@ def _file_count_verdict(stats: dict, predicates) -> str:
 
 
 def snapshot_count(table_dir: str, version: int | None = None,
-                   where=None) -> int:
+                   where=None, spark: SparkSession | None = None
+                   ) -> int:
     """Exact COUNT(*) of a snapshot version from METADATA alone — no
     data scan (Delta answers ``SELECT COUNT(*)`` from the log's
     numRecords the same way). Every write/merge/DML/optimize records
@@ -3452,9 +3523,12 @@ def snapshot_count(table_dir: str, version: int | None = None,
     metadata-only when every live file is DECIDABLE: provably-none
     files contribute 0, provably-all files contribute their full
     live count (a file's DV'd rows share its partition values, so
-    they subtract cleanly), and any mixed file raises with a remedy —
-    the common shapes (a partition or hidden-partition slice, a
-    constant column) count for free at any table size."""
+    they subtract cleanly). Mixed (SOME-verdict) files raise with a
+    remedy by default; pass ``spark=`` for the HYBRID count — the
+    decidable files still sum from metadata and ONE pruned scan
+    counts only the mixed files' matching rows (a boundary-cutting
+    predicate on a 100 TB table scans the boundary files, not the
+    table)."""
     if version is None:
         version = _latest_version(table_dir)
         if version is None:
@@ -3465,6 +3539,7 @@ def snapshot_count(table_dir: str, version: int | None = None,
     dv = m.get("dv") or {}
     total = 0
     branches = _norm_dnf(where) if where else None
+    some: list[str] = []
     for f in m["files"]:
         if where:
             sts = _stats_for_prune(m, f)
@@ -3473,11 +3548,17 @@ def snapshot_count(table_dir: str, version: int | None = None,
             if all(v == "none" for v in verdicts):
                 continue
             if "all" not in verdicts:
-                # a branch may partially match — not decidable
-                raise ValueError(
-                    f"file {f} is not metadata-decidable for "
-                    f"{where!r} (rows may match partially) — count "
-                    f"with snapshot_read(..., where=...).count()")
+                # a branch may partially match — not decidable from
+                # metadata alone
+                if spark is None:
+                    raise ValueError(
+                        f"file {f} is not metadata-decidable for "
+                        f"{where!r} (rows may match partially) — "
+                        f"pass spark= for the hybrid count, or "
+                        f"count with snapshot_read(..., "
+                        f"where=...).count()")
+                some.append(f)
+                continue
         e = (stats.get(f) or {}).get(_ROWS_KEY) or {}
         n = e.get("min")
         if n is None:
@@ -3491,6 +3572,11 @@ def snapshot_count(table_dir: str, version: int | None = None,
             if ndv is None:
                 ndv = len(_dv_positions(table_dir, f, dv[f]))
             total -= int(ndv)
+    if some:
+        # hybrid tail: one pruned scan over ONLY the mixed files
+        # (DV-filtered by _read_files_renamed), exact row predicate
+        total += _read_files_renamed(spark, table_dir, some, m) \
+            .filter(_dnf_column(branches)).count()
     return total
 
 
@@ -3627,6 +3713,8 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
         for e in (m.get("dv") or {}).values():
             if e.get("sc"):
                 sidecars.add(os.path.normpath(e["sc"]))
+            if e.get("scp"):
+                sidecars.add(os.path.normpath(e["scp"]))
     # a surviving DELTA commit whose replay base is being dropped must
     # be materialized as a checkpoint first, or it becomes unreadable
     if not dry_run:
@@ -3665,7 +3753,11 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
             rel = os.path.normpath(os.path.relpath(full, table_dir))
             if rel not in sidecars and _old_enough(full):
                 if not dry_run:
-                    os.remove(full)
+                    if os.path.isdir(full):  # parquet v2 DV sidecar
+                        import shutil
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        os.remove(full)
                 deleted += 1
     if dry_run:
         return deleted
@@ -3844,19 +3936,13 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             rewrite_files = [f for f in touched if f not in carried]
             untouched = [f for f in m["files"] if f in carried]
             if dv_files:
-                rows = (matched.filter(F.col("__fid__").isin(dv_fids))
-                        .select("__fid__", "__pos__").collect())
-                pos: dict[str, set] = {}
-                for r in rows:
-                    pos.setdefault(fid_to_rel[r["__fid__"]],
-                                   set()).add(int(r["__pos__"]))
-                old_dv = m.get("dv") or {}
-                for rel in pos:
-                    if rel in old_dv:
-                        pos[rel] |= set(_dv_positions(
-                            table_dir, rel, old_dv[rel]))
-                new_dv_entries = _write_dv_sidecar(
-                    table_dir, {k: sorted(v) for k, v in pos.items()})
+                new_dv_entries = _write_dv_sidecar_distributed(
+                    spark, table_dir,
+                    matched.filter(F.col("__fid__").isin(dv_fids))
+                    .select("__fid__",
+                            F.col("__pos__").cast("long")),
+                    {fid: fid_to_rel[fid] for fid in dv_fids},
+                    m.get("dv") or {})
                 t_extra = (matched
                            .filter(F.col("__fid__").isin(dv_fids))
                            .drop("__fid__", "__pos__"))
@@ -4176,20 +4262,12 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                 rewrite_files.append(rel)
         if dv_files:
             dv_fids = {_dv_fid(f) for f in dv_files}
-            rows = (t_meta.filter(cond
-                                  & F.col("__fid__").isin(dv_fids))
-                    .select("__fid__", "__pos__").collect())
-            merged: dict[str, set] = {}
-            for r in rows:
-                merged.setdefault(fid_to_rel[r["__fid__"]],
-                                  set()).add(int(r["__pos__"]))
-            old_dv = m.get("dv") or {}
-            for rel in merged:
-                if rel in old_dv:
-                    merged[rel] |= set(_dv_positions(
-                        table_dir, rel, old_dv[rel]))
-            new_dv_entries = _write_dv_sidecar(
-                table_dir, {k: sorted(v) for k, v in merged.items()})
+            new_dv_entries = _write_dv_sidecar_distributed(
+                spark, table_dir,
+                t_meta.filter(cond & F.col("__fid__").isin(dv_fids))
+                .select("__fid__", F.col("__pos__").cast("long")),
+                {fid: fid_to_rel[fid] for fid in dv_fids},
+                m.get("dv") or {})
             if operation != "delete":
                 matching = (t_meta
                             .filter(cond

@@ -2623,6 +2623,90 @@ def test_dv_merge_point_upsert_rewrites_nothing(spark, tmp_path):
     assert len(got) == 1001 and got[0] == "b0" and got[500] == "NEW"
 
 
+class TestDeletionVectorsDistributed:
+    """Round 12: DV sidecars are parquet, written from the EXECUTORS
+    (the driver sees only per-file counts); reads scan the sidecar
+    distributed; vacuum sweeps unreferenced sidecar directories."""
+
+    def test_wide_delete_stress_many_files_one_commit(self, spark,
+                                                      tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "wide")
+        S.snapshot_write(
+            spark.range(40_000).select(
+                F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+            .repartitionByRange(16, "k"), t, stats_cols=["k"],
+            num_files=16)
+        # one sparse predicate that touches EVERY file a little
+        v = S.snapshot_delete(spark, t, [("v", "==", 13)])
+        m = S._read_manifest(t, v)
+        dv = m.get("dv") or {}
+        assert len(dv) == 16, f"expected a DV on every file: {len(dv)}"
+        assert all("scp" in e for e in dv.values()), \
+            "wide delete must publish parquet (executor-side) DVs"
+        exp = 40_000 - sum(1 for i in range(40_000) if i % 97 == 13)
+        assert sum(e["n"] for e in dv.values()) == 40_000 - exp
+        assert S.snapshot_read(spark, t).nrow == exp
+        assert S.snapshot_count(t) == exp
+        # a second wide delete folds the existing vectors in
+        # executor-side too
+        v2 = S.snapshot_delete(spark, t, [("v", "==", 14)])
+        m2 = S._read_manifest(t, v2)
+        exp2 = exp - sum(1 for i in range(40_000) if i % 97 == 14)
+        assert S.snapshot_read(spark, t).nrow == exp2
+        assert sum(e["n"] for e in (m2.get("dv") or {}).values()) \
+            == 40_000 - exp2
+
+    def test_vacuum_sweeps_parquet_dv_dirs(self, spark, tmp_path):
+        import os
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dvvac")
+        S.snapshot_write(
+            spark.range(1000).select(F.col("id").alias("k"))
+            .repartition(2), t, stats_cols=["k"], num_files=2)
+        S.snapshot_delete(spark, t, [("k", "==", 7)])
+        m = S._read_manifest(t, 2)
+        scp = next(iter(m["dv"].values()))["scp"]
+        assert os.path.isdir(os.path.join(t, scp))
+        # OPTIMIZE purges the vectors; vacuum then drops the sidecar
+        S.snapshot_optimize(spark, t, num_files=1)
+        S.snapshot_vacuum(t, keep_last=1, retain_hours=0, force=True)
+        assert not os.path.exists(os.path.join(t, scp))
+        assert S.snapshot_read(spark, t).nrow == 999
+
+    def test_legacy_json_dv_entries_still_read(self, spark,
+                                               tmp_path):
+        """Tables written before the parquet sidecars (manifest
+        entries with ``sc``) keep reading; a new DML folds their
+        positions into the new parquet vector."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "dvleg")
+        S.snapshot_write(
+            spark.range(500).select(F.col("id").alias("k"))
+            .repartition(1), t, stats_cols=["k"], num_files=1)
+        m = S._read_manifest(t, 1)
+        f = m["files"][0]
+        # hand-write a legacy JSON sidecar hiding row 3
+        entries = S._write_dv_sidecar(t, {f: [3]})
+        m2 = dict(m, version=2, parent=1, operation="delete",
+                  dv=entries)
+        S._publish(t, m2)
+        assert S.snapshot_read(spark, t).nrow == 499
+        assert 3 not in {r.k for r in
+                         S.snapshot_read(spark, t).spark_df
+                         .collect()}
+        v3 = S.snapshot_delete(spark, t, [("k", "==", 10)])
+        m3 = S._read_manifest(t, v3)
+        e = m3["dv"][f]
+        assert "scp" in e and e["n"] == 2
+        got = {r.k for r in
+               S.snapshot_read(spark, t).spark_df.collect()}
+        assert len(got) == 498 and not {3, 10} & got
+
+
 class TestDeletionVectorRaces:
     """Round 10: optimistic-concurrency behavior of DV commits — a DV
     delete racing a disjoint append REBASES (vectors carried via
@@ -3707,6 +3791,37 @@ class TestSnapshotCountPredicated:
             S.snapshot_count(
                 t, where=[("ts", ">=",
                            datetime.datetime(2026, 3, 3, 12))])
+
+    def test_hybrid_count_scans_only_mixed_files(self, spark,
+                                                 tmp_path):
+        """``spark=`` turns a SOME-verdict raise into the hybrid
+        count: decidable files sum from metadata, ONE pruned scan
+        counts the boundary files' matching rows."""
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "hybcnt")
+        df = spark.range(400).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("g"))
+        S.snapshot_write(df.repartition(1), t, partition_by=["g"],
+                         stats_cols=["k"])
+        # k < 150 cuts INSIDE every g-file's k range -> all four
+        # files are mixed; without spark it raises
+        with pytest.raises(ValueError, match="hybrid"):
+            S.snapshot_count(t, where=[("k", "<", 150)])
+        assert S.snapshot_count(t, where=[("k", "<", 150)],
+                                spark=spark) == 150
+        # a DNF mixing an all-decidable branch and a boundary branch:
+        # g==1 files count from metadata, only the k-boundary files
+        # scan
+        dnf = [[("g", "==", 1)], [("k", "<", 10)]]
+        exp = df.where((F.col("g") == 1)
+                       | (F.col("k") < 10)).count()
+        assert S.snapshot_count(t, where=dnf, spark=spark) == exp
+        # hybrid subtracts DV'd rows inside the scanned files too
+        S.snapshot_delete(spark, t, [("k", "==", 5)])
+        assert S.snapshot_count(t, where=[("k", "<", 150)],
+                                spark=spark) == 149
 
     def test_bucket_partition_range_not_decidable(self, spark,
                                                   tmp_path):
