@@ -100,7 +100,10 @@ def _ckpt_pq_path(table_dir: str, version: int) -> str:
                         f"v{version:08d}.ckpt.parquet")
 
 
-def _versions(table_dir: str) -> list[int]:
+def _versions_listed(table_dir: str) -> list[int]:
+    """O(#versions) directory listing — the fallback when no latest
+    hint exists (pre-hint tables) and the bootstrap under a stale
+    hint."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
@@ -109,6 +112,33 @@ def _versions(table_dir: str) -> list[int]:
         if name.startswith("v") and name.endswith(".json"):
             out.append(int(name[1:-5]))
     return sorted(out)
+
+
+def _version_range(table_dir: str) -> tuple[int, int] | None:
+    """The live ``[earliest, latest]`` version range in O(log N)
+    ``stat`` calls: versions are CONTIGUOUS by construction (every
+    publish is parent+1; vacuum only ever drops a prefix — the keep
+    window and the age floor both select a suffix), so the latest
+    comes from the O(1) hint and the earliest from a binary search
+    for the existence boundary. Returns None for an empty table."""
+    latest = _latest_version(table_dir)
+    if latest is None:
+        return None
+    if os.path.exists(_manifest_path(table_dir, 1)):
+        return 1, latest
+    lo, hi = 1, latest           # exists(hi); not exists(lo)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if os.path.exists(_manifest_path(table_dir, mid)):
+            hi = mid
+        else:
+            lo = mid
+    return hi, latest
+
+
+def _versions(table_dir: str) -> list[int]:
+    rng = _version_range(table_dir)
+    return [] if rng is None else list(range(rng[0], rng[1] + 1))
 
 
 # ---------------------------------------------------------------------------
@@ -512,10 +542,10 @@ def _latest_version(table_dir: str) -> int | None:
         with open(os.path.join(mdir, _LATEST_HINT)) as f:
             v = int(f.read().strip())
     except (FileNotFoundError, ValueError):
-        vs = _versions(table_dir)
+        vs = _versions_listed(table_dir)
         return vs[-1] if vs else None
     if not os.path.exists(_manifest_path(table_dir, v)):
-        vs = _versions(table_dir)    # stale hint (vacuumed version)
+        vs = _versions_listed(table_dir)   # stale hint (vacuumed)
         return vs[-1] if vs else None
     while os.path.exists(_manifest_path(table_dir, v + 1)):
         v += 1                       # hint is a verified lower bound
@@ -3586,16 +3616,15 @@ def snapshot_history(table_dir: str) -> list[dict]:
     is the commit file's mtime (the atomic link instant), the same
     clock ``timestamp=`` time travel resolves against.
 
-    Bound: this (like ``snapshot_version_at``/``snapshot_vacuum``)
-    walks EVERY live version file — O(#versions) listing + one stat
-    per version, i.e. milliseconds at the hundreds-of-versions
-    histories vacuum retention produces, and the full-state
-    reconstruction behind each entry is amortized by the checkpoint
-    cadence. Point lookups that don't need the whole log
-    (``_latest_version``, ``snapshot_txn_version``) use the O(1)
-    hint-file path instead; a year-long no-vacuum history (~500k
-    commits at one/minute) should prune with ``vacuum`` before
-    history-walking APIs are on any hot path."""
+    Bound: the log itself resolves in O(log #versions) stats
+    (``_version_range``: O(1) latest hint + existence binary search —
+    versions are contiguous), so only producing the ENTRIES is
+    O(#versions) — output-sized, irreducible for a full-log API.
+    Point lookups stay sub-linear: ``_latest_version`` /
+    ``snapshot_txn_version`` are O(1), ``snapshot_version_at`` /
+    ``snapshot_version_since`` binary-search the commit mtimes
+    (tools/version_bench.py records the measured curve at 100k
+    versions)."""
     return [{"version": v,
              "parent": (m := _read_manifest(table_dir, v))["parent"],
              "operation": m["operation"],
@@ -3622,11 +3651,25 @@ def snapshot_version_at(table_dir: str, timestamp) -> int:
     if isinstance(timestamp, datetime.datetime):
         timestamp = timestamp.timestamp()
     ts = round(float(timestamp), 6)
+    rng = _version_range(table_dir)
     best = None
-    for v in _versions(table_dir):
-        if round(os.path.getmtime(
-                _manifest_path(table_dir, v)), 6) <= ts:
-            best = v
+    if rng is not None:
+        lo, hi = rng
+
+        def _mt(v):
+            return round(os.path.getmtime(
+                _manifest_path(table_dir, v)), 6)
+        # commit mtimes are monotone in version (sequential atomic
+        # links): binary-search the at-or-before boundary in
+        # O(log #versions) stats instead of walking the whole log
+        if _mt(lo) <= ts:
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if _mt(mid) <= ts:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            best = lo
     if best is None:
         raise ValueError(
             f"no version in {table_dir} committed at or before "
@@ -3648,11 +3691,24 @@ def snapshot_version_since(table_dir: str, timestamp) -> int | None:
     if isinstance(timestamp, datetime.datetime):
         timestamp = timestamp.timestamp()
     ts = round(float(timestamp), 6)
-    for v in _versions(table_dir):
-        if round(os.path.getmtime(
-                _manifest_path(table_dir, v)), 6) >= ts:
-            return v
-    return None
+    rng = _version_range(table_dir)
+    if rng is None:
+        return None
+    lo, hi = rng
+
+    def _mt(v):
+        return round(os.path.getmtime(
+            _manifest_path(table_dir, v)), 6)
+    if _mt(hi) < ts:
+        return None
+    # earliest at-or-after boundary, O(log #versions) stats
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _mt(mid) >= ts:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
 
 
 def snapshot_vacuum(table_dir: str, keep_last: int = 1,
