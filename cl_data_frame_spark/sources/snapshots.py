@@ -3537,6 +3537,49 @@ def _file_count_verdict(stats: dict, predicates) -> str:
     return "all"
 
 
+def _rowgroup_count(table_dir: str, rel: str, branches,
+                    pt: dict | None) -> int | None:
+    """COUNT of *rel*'s rows matching the DNF from ROW-GROUP footer
+    statistics alone — the refinement between file-level metadata and
+    a scan: each row group gets the same ALL/NONE verdict the file
+    got, over its own (sound, possibly truncated-widened) min/max
+    bounds merged with the file's partition tuple. Returns None when
+    any row group is itself mixed (the caller scans the file). One
+    footer read per call; no data pages."""
+    import pyarrow.parquet as pq
+    cols = {c for b in branches for c, _o, _v in b}
+    md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+    synth = {c: {"min": v, "max": v, "null_count": 0}
+             for c, v in (pt or {}).items() if v is not None}
+    total = 0
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        per: dict = {}
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            name = c.path_in_schema
+            if name not in cols:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue     # absent stats -> that branch reads SOME
+            per[name] = {
+                "min": _enc_stat(st.min), "max": _enc_stat(st.max),
+                # unknown null count can't prove ALL (sound), and
+                # NONE proofs never look at nulls
+                "nulls": (st.null_count
+                          if st.null_count is not None else -1)}
+        stats = {**per, **synth}
+        verdicts = [_file_count_verdict(stats, b) for b in branches]
+        if all(v == "none" for v in verdicts):
+            continue
+        if "all" in verdicts:
+            total += rg.num_rows
+            continue
+        return None
+    return total
+
+
 def snapshot_count(table_dir: str, version: int | None = None,
                    where=None, spark: SparkSession | None = None
                    ) -> int:
@@ -3578,8 +3621,20 @@ def snapshot_count(table_dir: str, version: int | None = None,
             if all(v == "none" for v in verdicts):
                 continue
             if "all" not in verdicts:
-                # a branch may partially match — not decidable from
-                # metadata alone
+                # not decidable at FILE level — try the row-group
+                # refinement (DV'd files skip it: deleted positions
+                # don't localize to row groups in the manifest)
+                rgc = None
+                if f not in dv:
+                    try:
+                        rgc = _rowgroup_count(
+                            table_dir, f, branches,
+                            (m.get("partitions") or {}).get(f))
+                    except OSError:
+                        rgc = None
+                if rgc is not None:
+                    total += rgc
+                    continue
                 if spark is None:
                     raise ValueError(
                         f"file {f} is not metadata-decidable for "

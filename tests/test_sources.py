@@ -3792,6 +3792,46 @@ class TestSnapshotCountPredicated:
                 t, where=[("ts", ">=",
                            datetime.datetime(2026, 3, 3, 12))])
 
+    def test_rowgroup_refinement_decides_boundary_file(self, spark,
+                                                       tmp_path):
+        """A file mixed at FILE level but whose row groups each fall
+        wholly inside or outside the predicate counts from the footer
+        alone — no scan, no spark session needed."""
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "rgcnt")
+        ddir = os.path.join(t, S._DATA_DIR, "v00000001-rg")
+        os.makedirs(ddir)
+        # sorted k in 10 row groups of 100
+        pq.write_table(
+            pa.table({"k": pa.array(range(1000), pa.int64())}),
+            os.path.join(ddir, "part-0.parquet"), row_group_size=100)
+        f = os.path.join(S._DATA_DIR, "v00000001-rg",
+                         "part-0.parquet")
+        S._publish(t, {
+            "version": 1, "parent": None, "operation": "append",
+            "schema": '{"type":"struct","fields":[{"name":"k",'
+                      '"type":"long","nullable":true,'
+                      '"metadata":{}}]}',
+            "files": [f],
+            "stats": {f: {"k": {"min": 0, "max": 999, "nulls": 0},
+                          S._ROWS_KEY: {"min": 1000, "max": 1000,
+                                        "nulls": 0}}}})
+        # 300 is a row-group boundary: every group decides
+        assert S.snapshot_count(t, where=[("k", "<", 300)]) == 300
+        assert S.snapshot_count(t, where=[("k", ">=", 700)]) == 300
+        assert S.snapshot_count(
+            t, where=[[("k", "<", 100)], [("k", ">=", 900)]]) == 200
+        # 250 cuts inside a group: loud raise without spark, hybrid
+        # scan with it
+        with pytest.raises(ValueError, match="hybrid"):
+            S.snapshot_count(t, where=[("k", "<", 250)])
+        assert S.snapshot_count(t, where=[("k", "<", 250)],
+                                spark=spark) == 250
+
     def test_hybrid_count_scans_only_mixed_files(self, spark,
                                                  tmp_path):
         """``spark=`` turns a SOME-verdict raise into the hybrid
