@@ -201,7 +201,7 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
     """Materialize ``SELECT keys, aggregates(measures) FROM fact
     INNER JOIN dim ON fact.fk = dim.pk GROUP BY keys`` into the
     snapshot table *view_dir*, maintained INCREMENTALLY from BOTH
-    tables' change feeds (delta-join IVM — see ``_refresh_join``).
+    tables' change feeds (delta-join IVM — see ``_refresh_star``).
     ``on`` is a column name shared by both tables or a
     ``(fact_col, dim_col)`` pair; keys and measures may come from
     either side (a name present in both raises — the maintenance
@@ -209,73 +209,141 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
     ``(fact_version, dim_version)`` pair; both ride the view's
     commits as independent txn watermarks (``matview.fact`` /
     ``matview.dim``), so refresh is exactly-once per source and
-    CAS-protected against concurrent maintainers."""
+    CAS-protected against concurrent maintainers. The one-dim
+    special case of ``matview_create_star``."""
+    fv, dvs = matview_create_star(
+        spark, fact_dir, [(dim_dir, on)], view_dir, keys,
+        measure_cols, scale=scale, fact_version=fact_version,
+        dim_versions=None if dim_version is None else [dim_version],
+        num_files=num_files, where=where)
+    return fv, dvs[0]
+
+
+def matview_create_star(spark: SparkSession, fact_dir: str,
+                        dims: Sequence, view_dir: str,
+                        keys: Sequence[str] | str,
+                        measure_cols: Sequence[str] = (),
+                        scale: int = 6,
+                        fact_version: int | None = None,
+                        dim_versions: Sequence[int] | None = None,
+                        num_files: int | None = None,
+                        where: str | None = None
+                        ) -> tuple[int, list[int]]:
+    """STAR-SCHEMA materialized view: ``fact INNER JOIN dim_1 ... 
+    INNER JOIN dim_k`` (each dim joins the FACT on its own key),
+    grouped and aggregated, maintained incrementally from ALL k+1
+    change feeds. *dims* is a list of ``(dim_dir, on)`` with ``on``
+    a shared column name or ``(fact_col, dim_col)``. Every consumed
+    version rides the view's commits as its own txn watermark
+    (``matview.fact``, ``matview.dim``, ``matview.dim2``, ...), all
+    CAS'd in one commit. Returns ``(fact_version, [dim_versions])``.
+    """
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_read, snapshot_write)
-    fk, dk = (on, on) if isinstance(on, str) else (on[0], on[1])
     keys = [keys] if isinstance(keys, str) else list(keys)
     measure_cols = list(measure_cols)
+    if not dims:
+        raise ValueError("a star view needs at least one dim — use "
+                         "matview_create for a single-table view")
     if fact_version is None:
         fact_version = _latest_version(fact_dir)
-    if dim_version is None:
-        dim_version = _latest_version(dim_dir)
-    if fact_version is None or dim_version is None:
-        raise FileNotFoundError(
-            f"no snapshot versions in {fact_dir} / {dim_dir}")
+    if fact_version is None:
+        raise FileNotFoundError(f"no snapshot versions in {fact_dir}")
+    specs = []
+    for di, d in enumerate(dims):
+        dim_dir, on = d
+        fk, dk = (on, on) if isinstance(on, str) else (on[0], on[1])
+        dv = dim_versions[di] if dim_versions is not None \
+            else _latest_version(dim_dir)
+        if dv is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {dim_dir}")
+        specs.append({"dir": os.path.abspath(dim_dir),
+                      "fact_on": fk, "dim_on": dk, "version": dv})
     fact = _plain(snapshot_read(spark, fact_dir,
                                 version=fact_version))
-    dim = _plain(snapshot_read(spark, dim_dir, version=dim_version))
-    for c, side, cols in ((fk, "fact", fact.columns),
-                          (dk, "dim", dim.columns)):
-        if c not in cols:
+    dim_dfs = []
+    for sp in specs:
+        ddf = _plain(snapshot_read(spark, sp["dir"],
+                                   version=sp["version"]))
+        if sp["dim_on"] not in ddf.columns:
             raise ValueError(
-                f"join column {c!r} not in {side} table ({cols})")
-    need, fcols, dcols = [*keys, *measure_cols], [], []
+                f"join column {sp['dim_on']!r} not in dim table "
+                f"({ddf.columns})")
+        if sp["fact_on"] not in fact.columns:
+            raise ValueError(
+                f"join column {sp['fact_on']!r} not in fact table "
+                f"({fact.columns})")
+        dim_dfs.append(ddf)
+    # column ownership: every key/measure must live in exactly ONE
+    # table (the shared join-key name is attributed to the fact)
+    need = [*keys, *measure_cols]
+    fcols, dcols = [], [[] for _ in specs]
     for c in need:
-        inf, ind = c in fact.columns, c in dim.columns
-        if inf and ind and not (c == fk == dk):
+        owners = []
+        if c in fact.columns:
+            owners.append(-1)
+        for di, ddf in enumerate(dim_dfs):
+            if c in ddf.columns:
+                sp = specs[di]
+                if c == sp["fact_on"] == sp["dim_on"] \
+                        and -1 in owners:
+                    continue       # the shared join key: fact owns
+                owners.append(di)
+        if not owners:
+            raise ValueError(
+                f"column {c!r} in neither the fact nor any dim")
+        if len(owners) > 1:
             raise ValueError(
                 f"column {c!r} exists in BOTH tables — the "
                 f"maintenance join cannot attribute it; rename one "
                 f"side (the join key itself is fine when named the "
                 f"same on both sides)")
-        if inf:
+        if owners[0] == -1:
             fcols.append(c)
-        elif ind:
-            dcols.append(c)
         else:
-            raise ValueError(
-                f"column {c!r} in neither table "
-                f"(fact: {fact.columns}, dim: {dim.columns})")
-    joined = (fact.select(F.col(fk).alias("__jk__"),
-                          *[c for c in fcols])
-              .join(dim.select(F.col(dk).alias("__jk__"),
-                               *[c for c in dcols]),
-                    on="__jk__", how="inner")
-              .select(*need))
+            dcols[owners[0]].append(c)
+    joined = _star_join(fact, specs, dim_dfs, fcols, dcols, need)
     if where is not None:
         joined = joined.where(F.expr(where))
     agg = _full_agg(joined, keys, measure_cols, scale) \
         .localCheckpoint(eager=False)
-    _check_keys_nonnull(agg, keys, "matview_create_join")
+    _check_keys_nonnull(agg, keys, "matview_create_star")
+    txn = [(_F_APP, fact_version)]
+    for di, sp in enumerate(specs):
+        txn.append((_dim_app(di), sp["version"]))
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
-                   num_files=num_files, stats_cols=keys,
-                   txn=[(_F_APP, fact_version),
-                        (_D_APP, dim_version)])
+                   num_files=num_files, stats_cols=keys, txn=txn)
     meta = {
-        "kind": "join",
+        "kind": "star",
         "fact_dir": os.path.abspath(fact_dir),
-        "dim_dir": os.path.abspath(dim_dir),
-        "fact_on": fk, "dim_on": dk,
+        "dims": [{**sp, "cols": dcols[di]}
+                 for di, sp in enumerate(specs)],
         "keys": keys, "measure_cols": measure_cols,
-        "fact_cols": fcols, "dim_cols": dcols,
-        "scale": scale,
-        "fact_version": fact_version, "dim_version": dim_version,
+        "fact_cols": fcols, "scale": scale,
+        "fact_version": fact_version,
     }
     if where is not None:
         meta["where"] = where
     _write_meta(view_dir, meta)
-    return fact_version, dim_version
+    return fact_version, [sp["version"] for sp in specs]
+
+
+def _star_join(fact, specs, dim_dfs, fcols, dcols, out_cols):
+    """fact ⋈ dim_1 ⋈ ... ⋈ dim_k on per-dim aliased keys; AQE picks
+    broadcast sides at runtime. *fact* must already carry its fcols
+    and the join-key source columns."""
+    out = fact.select(
+        *[F.col(sp["fact_on"]).alias(f"__jk{di}__")
+          for di, sp in enumerate(specs)],
+        *fcols)
+    for di, sp in enumerate(specs):
+        out = out.join(
+            dim_dfs[di].select(
+                F.col(sp["dim_on"]).alias(f"__jk{di}__"),
+                *dcols[di]),
+            on=f"__jk{di}__", how="inner")
+    return out.select(*out_cols)
 
 
 def _delta_agg(changes: DataFrame, keys: list[str],
@@ -333,8 +401,8 @@ def matview_refresh(spark: SparkSession, view_dir: str,
 def _refresh_once(spark: SparkSession, view_dir: str,
                   to_version) -> dict:
     meta = _read_meta(view_dir)
-    if meta.get("kind") == "join":
-        return _refresh_join(spark, view_dir, meta, to_version)
+    if meta.get("kind") in ("join", "star"):
+        return _refresh_star(spark, view_dir, meta, to_version)
     return _refresh_single(spark, view_dir, meta, to_version)
 
 
@@ -421,117 +489,188 @@ _F_APP = "matview.fact"
 _D_APP = "matview.dim"
 
 
-def _join_targets(meta, to_version, f_latest, d_latest):
+def _dim_app(di: int) -> str:
+    return _D_APP if di == 0 else f"{_D_APP}{di + 1}"
+
+
+def _star_meta(meta: dict) -> dict:
+    """Normalize a legacy one-dim ``kind=join`` meta to the star
+    shape (kind=star, dims list)."""
+    if meta.get("kind") != "join":
+        return meta
+    return {**{k: v for k, v in meta.items()
+               if k not in ("dim_dir", "fact_on", "dim_on",
+                            "dim_cols", "dim_version")},
+            "kind": "star",
+            "dims": [{"dir": meta["dim_dir"],
+                      "fact_on": meta["fact_on"],
+                      "dim_on": meta["dim_on"],
+                      "cols": meta["dim_cols"],
+                      "version": meta["dim_version"]}]}
+
+
+def _star_targets(to_version, f_latest, d_latests):
+    """``to_version``: None (all latest), an int (fact target, dims
+    latest), or a (fact, dim_1, ..., dim_k) tuple with None entries
+    meaning latest."""
     if to_version is None:
-        return f_latest, d_latest
+        return f_latest, list(d_latests)
     if isinstance(to_version, (tuple, list)):
-        ft, dt = to_version
-        return (f_latest if ft is None else int(ft),
-                d_latest if dt is None else int(dt))
-    return int(to_version), d_latest
+        ft = f_latest if to_version[0] is None else int(to_version[0])
+        dts = [d_latests[i] if i + 1 >= len(to_version)
+               or to_version[i + 1] is None else int(to_version[i + 1])
+               for i in range(len(d_latests))]
+        return ft, dts
+    return int(to_version), list(d_latests)
 
 
-def _refresh_join(spark: SparkSession, view_dir: str, meta: dict,
+def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
                   to_version) -> dict:
-    """Delta-join IVM (the Gupta-Mumick construction for SPJ views
-    with aggregation): with the fact table F and dimension D both
-    under DML, the view's change set for one refresh interval is
+    """Delta-join IVM for star views (the Gupta-Mumick construction
+    for SPJ views with aggregation, fact F and dims D_1..D_k all
+    under DML). Writing the multiset update (F+ΔF)⋈Π(D_i+ΔD_i) −
+    F⋈ΠD_i as a telescoping sum, the view's change set for one
+    refresh interval is
 
-        Δ(F ⋈ D)  =  ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
+        ΔF ⋈ D_1^new ⋈ ... ⋈ D_k^new
+      ∪ F^old ⋈ D_1^old..D_{i-1}^old ⋈ ΔD_i ⋈ D_{i+1}^new..D_k^new
+        (one term per dim i)
 
-    (expanding (F+ΔF)⋈(D+ΔD) − F⋈D = ΔF⋈D + F⋈ΔD + ΔF⋈ΔD; folding
-    the cross term into the ΔF side by joining it against D at its
-    NEW version). Both parts keep each change row's sign, so the
-    signed per-group delta aggregation — and everything downstream:
-    arithmetic merge, min/max repair, tombstones — is exactly the
-    single-source path. F_old is the fact table TIME-TRAVELED to the
-    version the view last consumed; when the dim delta's key set is
-    bounded it is collected and the fact read IN-prunes on the join
-    key (stats/bloom/partition skipping), so a dim-side trickle never
-    rescans the fact table."""
+    — each term joins the CHANGED table's signed delta against the
+    others at old versions to its left and new versions to its
+    right, so every cross term is counted exactly once. Signs ride
+    the change rows, and everything downstream (signed per-group
+    delta aggregation, arithmetic merge, min/max repair, tombstones)
+    is exactly the single-source path. F^old / D_i^old are
+    TIME-TRAVEL reads pinned at the versions the view last consumed;
+    a bounded dim delta's key set IN-prunes the fact read, so a
+    dim-side trickle never rescans the fact table. The one commit
+    carries every advanced source's watermark and CAS-checks all of
+    them (a concurrent maintainer aborts instead of double-applying).
+    """
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_changes, snapshot_read,
         snapshot_txn_version)
-    fact_dir, dim_dir = meta["fact_dir"], meta["dim_dir"]
-    fk, dk = meta["fact_on"], meta["dim_on"]
+    meta = _star_meta(meta)
+    fact_dir = meta["fact_dir"]
+    dims = meta["dims"]
     keys = list(meta["keys"])
     measure_cols = list(meta["measure_cols"])
+    fcols = list(meta["fact_cols"])
+    dcols = [list(sp["cols"]) for sp in dims]
+    need = [*keys, *measure_cols]
     f_latest = _latest_version(fact_dir)
-    d_latest = _latest_version(dim_dir)
-    if f_latest is None or d_latest is None:
+    d_latests = [_latest_version(sp["dir"]) for sp in dims]
+    if f_latest is None or any(v is None for v in d_latests):
         raise FileNotFoundError(
-            f"no snapshot versions in {fact_dir} / {dim_dir}")
-    ft, dt = _join_targets(meta, to_version, f_latest, d_latest)
+            f"no snapshot versions in {fact_dir} / dims")
+    ft, dts = _star_targets(to_version, f_latest, d_latests)
     f_applied = snapshot_txn_version(view_dir, _F_APP)
-    d_applied = snapshot_txn_version(view_dir, _D_APP)
+    d_applieds = [snapshot_txn_version(view_dir, _dim_app(i))
+                  for i in range(len(dims))]
     cas = {}
     if f_applied is not None:
         cas[_F_APP] = f_applied
-    if d_applied is not None:
-        cas[_D_APP] = d_applied
+    for i, da in enumerate(d_applieds):
+        if da is not None:
+            cas[_dim_app(i)] = da
     if f_applied is None:
         f_applied = int(meta["fact_version"])
-    if d_applied is None:
-        d_applied = int(meta["dim_version"])
-    ft, dt = max(ft, f_applied), max(dt, d_applied)
-    if ft <= f_applied and dt <= d_applied:
-        return {"mode": "noop", "from_version": (f_applied, d_applied),
-                "to_version": (f_applied, d_applied)}
+    d_applieds = [int(dims[i]["version"]) if da is None else da
+                  for i, da in enumerate(d_applieds)]
+    ft = max(ft, f_applied)
+    dts = [max(t, a) for t, a in zip(dts, d_applieds)]
+    if ft <= f_applied and all(t <= a for t, a
+                               in zip(dts, d_applieds)):
+        return {"mode": "noop",
+                "from_version": (f_applied, *d_applieds),
+                "to_version": (f_applied, *d_applieds)}
     where = meta.get("where")
-    fcols = list(meta["fact_cols"])
-    dcols = list(meta["dim_cols"])
-    dim_new = _plain(snapshot_read(spark, dim_dir, version=dt))
-    gone = [c for c in [dk, *dcols] if c not in dim_new.columns]
-    if gone:
-        raise ValueError(
-            f"view columns {gone} no longer exist in the dim table "
-            f"(schema evolution) — recreate with matview_create_join")
+
+    def dim_at(i, v):
+        ddf = _plain(snapshot_read(spark, dims[i]["dir"], version=v))
+        gone = [c for c in [dims[i]["dim_on"], *dcols[i]]
+                if c not in ddf.columns]
+        if gone:
+            raise ValueError(
+                f"view columns {gone} no longer exist in dim "
+                f"{dims[i]['dir']} (schema evolution) — recreate "
+                f"with matview_create_star")
+        return ddf.select(
+            F.col(dims[i]["dim_on"]).alias(f"__jk{i}__"), *dcols[i])
+
+    def fact_sel(fdf, extra=()):
+        return fdf.select(
+            *[F.col(dims[i]["fact_on"]).alias(f"__jk{i}__")
+              for i in range(len(dims))],
+            *fcols, *extra)
+
     parts = []
     if ft > f_applied:
         ff = _plain(snapshot_changes(spark, fact_dir,
                                      from_version=f_applied,
                                      to_version=ft))
-        gone = [c for c in [fk, *fcols] if c not in ff.columns]
+        gone = [c for c in [*(sp["fact_on"] for sp in dims), *fcols]
+                if c not in ff.columns]
         if gone:
             raise ValueError(
                 f"view columns {gone} no longer exist in the fact "
                 f"change feed (schema evolution) — recreate with "
-                f"matview_create_join")
-        # ΔF ⋈ D_new: the fact delta keeps its sign; AQE broadcasts
-        # whichever side is small at runtime
-        parts.append(
-            ff.select(F.col(fk).alias("__jk__"), *fcols,
-                      "_change_type")
-            .join(dim_new.select(F.col(dk).alias("__jk__"), *dcols),
-                  on="__jk__", how="inner"))
-    if dt > d_applied:
-        dd = _plain(snapshot_changes(spark, dim_dir,
-                                     from_version=d_applied,
-                                     to_version=dt))
-        gone = [c for c in [dk, *dcols] if c not in dd.columns]
+                f"matview_create_star")
+        # ΔF ⋈ every dim at its NEW version; the delta keeps its
+        # sign; AQE broadcasts small sides at runtime
+        t = fact_sel(ff, extra=("_change_type",))
+        for i in range(len(dims)):
+            t = t.join(dim_at(i, dts[i]), on=f"__jk{i}__",
+                       how="inner")
+        parts.append(t)
+    f_old = None
+    for i in range(len(dims)):
+        if dts[i] <= d_applieds[i]:
+            continue
+        dd = _plain(snapshot_changes(spark, dims[i]["dir"],
+                                     from_version=d_applieds[i],
+                                     to_version=dts[i]))
+        gone = [c for c in [dims[i]["dim_on"], *dcols[i]]
+                if c not in dd.columns]
         if gone:
             raise ValueError(
-                f"view columns {gone} no longer exist in the dim "
-                f"change feed (schema evolution) — recreate with "
-                f"matview_create_join")
-        dd = dd.select(F.col(dk).alias("__jk__"), *dcols,
-                       "_change_type").localCheckpoint(eager=True)
-        # F_old ⋈ ΔD: the dim delta's sign rides onto every matching
-        # fact row. A bounded dim-delta key set IN-prunes the fact
-        # time-travel read so the scan touches only files that can
-        # hold those keys.
-        jk = [r["__jk__"] for r in
-              dd.select("__jk__").distinct().limit(10_001).collect()]
-        fprune = [(fk, "in", jk)] if 0 < len(jk) <= 10_000 else None
-        f_old = _plain(snapshot_read(spark, fact_dir,
-                                     version=f_applied, where=fprune))
-        parts.append(
-            f_old.select(F.col(fk).alias("__jk__"), *fcols)
-            .join(F.broadcast(dd), on="__jk__", how="inner"))
+                f"view columns {gone} no longer exist in dim "
+                f"{dims[i]['dir']}'s change feed (schema evolution) "
+                f"— recreate with matview_create_star")
+        dd = dd.select(F.col(dims[i]["dim_on"]).alias(f"__jk{i}__"),
+                       *dcols[i], "_change_type") \
+            .localCheckpoint(eager=True)
+        # F^old ⋈ ΔD_i: the dim delta's sign rides onto every
+        # matching fact row; a bounded delta key set IN-prunes the
+        # fact time-travel read
+        jk = [r[f"__jk{i}__"] for r in
+              dd.select(f"__jk{i}__").distinct().limit(10_001)
+              .collect()]
+        if 0 < len(jk) <= 10_000:
+            fread = _plain(snapshot_read(
+                spark, fact_dir, version=f_applied,
+                where=[(dims[i]["fact_on"], "in", jk)]))
+        else:
+            if f_old is None:
+                f_old = _plain(snapshot_read(spark, fact_dir,
+                                             version=f_applied))
+            fread = f_old
+        t = fact_sel(fread).join(F.broadcast(dd), on=f"__jk{i}__",
+                                 how="inner")
+        # dims to the LEFT of i at their OLD versions, to the RIGHT
+        # at NEW — the telescoping that counts each cross term once
+        for j in range(len(dims)):
+            if j == i:
+                continue
+            t = t.join(dim_at(j, d_applieds[j] if j < i
+                              else dts[j]),
+                       on=f"__jk{j}__", how="inner")
+        parts.append(t)
     changes = parts[0]
-    for p in parts[1:]:
-        changes = changes.unionByName(p)
-    changes = changes.select(*keys, *measure_cols, "_change_type")
+    for pdf in parts[1:]:
+        changes = changes.unionByName(pdf)
+    changes = changes.select(*need, "_change_type")
     if where is not None:
         try:
             changes = changes.where(F.expr(where))
@@ -547,29 +686,32 @@ def _refresh_join(spark: SparkSession, view_dir: str, meta: dict,
             else None
         fact = _plain(snapshot_read(spark, fact_dir, version=ft,
                                     where=prune))
-        dim = _plain(snapshot_read(spark, dim_dir, version=dt))
+        dim_news = [dim_at(i, dts[i]) for i in range(len(dims))]
         if key_rows is not None and prune is None \
-                and set(keys) <= {dk, *dcols}:
-            # keys live on the dim side: resolve the repair groups to
-            # their (bounded) join-key set and IN-prune the fact scan
+                and len(dims) == 1 \
+                and set(keys) <= {dims[0]["dim_on"], *dcols[0]}:
+            # keys live on the single dim: resolve the repair groups
+            # to their (bounded) join-key set and IN-prune the fact
             cond = None
             for r in key_rows:
                 t = None
                 for k in keys:
-                    e = F.col(k).eqNullSafe(F.lit(r[k]))
+                    kc = f"__jk0__" if k == dims[0]["dim_on"] else k
+                    e = F.col(kc).eqNullSafe(F.lit(r[k]))
                     t = e if t is None else (t & e)
                 cond = t if cond is None else (cond | t)
-            pks = [r[dk] for r in
-                   dim.where(cond).select(dk).distinct()
-                   .limit(10_001).collect()]
+            pks = [r["__jk0__"] for r in
+                   dim_news[0].where(cond).select("__jk0__")
+                   .distinct().limit(10_001).collect()]
             if 0 < len(pks) <= 10_000:
                 fact = _plain(snapshot_read(
                     spark, fact_dir, version=ft,
-                    where=[(fk, "in", pks)]))
-        base = (fact.select(F.col(fk).alias("__jk__"), *fcols)
-                .join(dim.select(F.col(dk).alias("__jk__"), *dcols),
-                      on="__jk__", how="inner")
-                .select(*keys, *measure_cols))
+                    where=[(dims[0]["fact_on"], "in", pks)]))
+        base = fact_sel(fact)
+        for i in range(len(dims)):
+            base = base.join(dim_news[i], on=f"__jk{i}__",
+                             how="inner")
+        base = base.select(*need)
         if where is not None:
             base = base.where(F.expr(where))
         return base
@@ -577,16 +719,21 @@ def _refresh_join(spark: SparkSession, view_dir: str, meta: dict,
     txn = []
     if ft > f_applied:
         txn.append((_F_APP, ft))
-    if dt > d_applied:
-        txn.append((_D_APP, dt))
+    for i in range(len(dims)):
+        if dts[i] > d_applieds[i]:
+            txn.append((_dim_app(i), dts[i]))
+    meta_done = {"fact_version": ft,
+                 "dims": [{**sp, "version": dts[i]}
+                          for i, sp in enumerate(dims)]}
+    meta_noop = {"fact_version": f_applied,
+                 "dims": [{**sp, "version": d_applieds[i]}
+                          for i, sp in enumerate(dims)]}
     return _apply_feed(
         spark, view_dir, meta, changes, repair_reader,
         txn=txn, txn_expect=cas or None,
-        meta_done={"fact_version": ft, "dim_version": dt},
-        meta_noop={"fact_version": f_applied,
-                   "dim_version": d_applied},
-        summary={"from_version": (f_applied, d_applied),
-                 "to_version": (ft, dt)})
+        meta_done=meta_done, meta_noop=meta_noop,
+        summary={"from_version": (f_applied, *d_applieds),
+                 "to_version": (ft, *dts)})
 
 
 def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
@@ -756,20 +903,23 @@ def matview_refresh_stream(spark: SparkSession, view_dir: str,
     from cl_data_frame_spark.streaming.snapshot_source import (
         read_stream_snapshot)
     meta = _read_meta(view_dir)
-    if meta.get("kind") == "join":
-        # a join view has TWO change signals; either table's commits
-        # trigger a refresh (which consumes both feeds under its own
-        # per-source watermarks). The signal rows are discarded, so
-        # a shared schema is not required — only their arrival.
+    if meta.get("kind") in ("join", "star"):
+        # a join/star view has k+1 change signals; ANY table's
+        # commits trigger a refresh (which consumes every feed under
+        # its own per-source watermarks). The signal rows are
+        # discarded, so a shared schema is not required — only their
+        # arrival.
+        sm = _star_meta(meta)
         fa = snapshot_txn_version(view_dir, _F_APP)
-        da = snapshot_txn_version(view_dir, _D_APP)
-        fa = int(meta["fact_version"]) if fa is None else fa
-        da = int(meta["dim_version"]) if da is None else da
+        fa = int(sm["fact_version"]) if fa is None else fa
         feed = read_stream_snapshot(
-            spark, meta["fact_dir"], read_change_feed=True,
-            starting_version=fa + 1).select(F.lit(1).alias("sig")) \
-            .unionByName(read_stream_snapshot(
-                spark, meta["dim_dir"], read_change_feed=True,
+            spark, sm["fact_dir"], read_change_feed=True,
+            starting_version=fa + 1).select(F.lit(1).alias("sig"))
+        for i, sp in enumerate(sm["dims"]):
+            da = snapshot_txn_version(view_dir, _dim_app(i))
+            da = int(sp["version"]) if da is None else da
+            feed = feed.unionByName(read_stream_snapshot(
+                spark, sp["dir"], read_change_feed=True,
                 starting_version=da + 1)
                 .select(F.lit(1).alias("sig")))
     else:

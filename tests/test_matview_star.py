@@ -1,0 +1,197 @@
+"""Star-schema materialized views (matview_create_star): fact INNER
+JOIN dim_1 ... dim_k maintained from ALL k+1 change feeds — the
+telescoping Gupta-Mumick sum (old versions left of the changed
+table, new to its right) must count every cross term exactly once.
+Parity against full recomputes across DML on every table, including
+a same-interval change on all three."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cl_data_frame_spark.frame import SparkFrame
+from cl_data_frame_spark.operators.matview import (
+    matview_create_star, matview_read, matview_refresh)
+from cl_data_frame_spark.sources.snapshots import (
+    snapshot_delete, snapshot_read, snapshot_txn_version,
+    snapshot_update, snapshot_write)
+
+
+def _mk(tmp_path, name):
+    return (str(tmp_path / f"{name}_f"), str(tmp_path / f"{name}_d1"),
+            str(tmp_path / f"{name}_d2"), str(tmp_path / f"{name}_mv"))
+
+
+def _seed(spark, fact, d1, d2, n=60):
+    f = spark.createDataFrame(
+        [(i, i % 5, i % 3, float(i)) for i in range(n)],
+        "id int, uk int, pk int, val double")
+    u = spark.createDataFrame(
+        [(k, f"u{k % 2}") for k in range(5)], "uk int, useg string")
+    p = spark.createDataFrame(
+        [(k, f"p{k}") for k in range(3)], "pk int, pcat string")
+    snapshot_write(SparkFrame(f), fact, mode="overwrite",
+                   stats_cols=["id", "uk", "pk"])
+    snapshot_write(SparkFrame(u), d1, mode="overwrite",
+                   stats_cols=["uk"])
+    snapshot_write(SparkFrame(p), d2, mode="overwrite",
+                   stats_cols=["pk"])
+
+
+def _expected(spark, fact, d1, d2):
+    f = snapshot_read(spark, fact).spark_df
+    u = snapshot_read(spark, d1).spark_df
+    p = snapshot_read(spark, d2).spark_df
+    j = f.join(u, on="uk", how="inner").join(p, on="pk", how="inner")
+    dec = F.col("val").cast("decimal(28,6)")
+    return {(r["useg"], r["pcat"]):
+            (r["cnt"], r["s"], r["mn"], r["mx"])
+            for r in j.groupBy("useg", "pcat").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(dec).cast("decimal(38,6)").alias("s"),
+                F.min("val").alias("mn"),
+                F.max("val").alias("mx")).collect()}
+
+
+def _got(spark, view):
+    return {(r["useg"], r["pcat"]):
+            (r["cnt"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in matview_read(spark, view).spark_df.collect()}
+
+
+def _parity(spark, fact, d1, d2, view, tag=""):
+    got, exp = _got(spark, view), _expected(spark, fact, d1, d2)
+    assert got == exp, (tag, got, exp)
+
+
+class TestStarViewBasics:
+    def test_create_and_two_dim_keys(self, spark, tmp_path):
+        fact, d1, d2, view = _mk(tmp_path, "sb")
+        _seed(spark, fact, d1, d2)
+        fv, dvs = matview_create_star(
+            spark, fact, [(d1, "uk"), (d2, "pk")], view,
+            keys=["useg", "pcat"], measure_cols=["val"])
+        assert fv == 1 and dvs == [1, 1]
+        assert snapshot_txn_version(view, "matview.fact") == 1
+        assert snapshot_txn_version(view, "matview.dim") == 1
+        assert snapshot_txn_version(view, "matview.dim2") == 1
+        _parity(spark, fact, d1, d2, view, "create")
+
+    def test_all_three_tables_change_one_refresh(self, spark,
+                                                 tmp_path):
+        """Fact append+delete, dim1 segment flip, dim2 row delete —
+        one refresh interval, every telescoping term live at once."""
+        fact, d1, d2, view = _mk(tmp_path, "s3")
+        _seed(spark, fact, d1, d2)
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"])
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(900, 2, 1, 900.0), (901, 4, 2, -9.0)],
+            "id int, uk int, pk int, val double")),
+            fact, mode="append")
+        snapshot_delete(spark, fact, [("id", "<", 7)])
+        snapshot_update(spark, d1, where=[("uk", "==", 2)],
+                        set_exprs={"useg": "'flipped'"})
+        snapshot_delete(spark, d2, [("pk", "==", 0)])
+        r = matview_refresh(spark, view)
+        assert r["mode"] == "incremental"
+        assert snapshot_txn_version(view, "matview.fact") == 3
+        assert snapshot_txn_version(view, "matview.dim") == 2
+        assert snapshot_txn_version(view, "matview.dim2") == 2
+        _parity(spark, fact, d1, d2, view, "all-three")
+
+    def test_cross_term_fact_and_dim_same_interval(self, spark,
+                                                   tmp_path):
+        """New fact rows keyed to a dim row whose attribute changed
+        in the SAME interval: the ΔF term joins the dim at its NEW
+        version, so the cross term lands exactly once."""
+        fact, d1, d2, view = _mk(tmp_path, "sx")
+        _seed(spark, fact, d1, d2)
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"])
+        snapshot_update(spark, d1, where=[("uk", "==", 1)],
+                        set_exprs={"useg": "'moved'"})
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(800, 1, 0, 77.0)], "id int, uk int, pk int, val double")),
+            fact, mode="append")
+        matview_refresh(spark, view)
+        _parity(spark, fact, d1, d2, view, "cross-term")
+        got = _got(spark, view)
+        assert any(k[0] == "moved" for k in got)
+
+    def test_dims_only_change(self, spark, tmp_path):
+        fact, d1, d2, view = _mk(tmp_path, "sd")
+        _seed(spark, fact, d1, d2)
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"])
+        snapshot_update(spark, d1, where=[("uk", "==", 0)],
+                        set_exprs={"useg": "'z'"})
+        snapshot_update(spark, d2, where=[("pk", "==", 2)],
+                        set_exprs={"pcat": "'q'"})
+        r = matview_refresh(spark, view)
+        assert r["mode"] == "incremental"
+        assert snapshot_txn_version(view, "matview.fact") == 1
+        _parity(spark, fact, d1, d2, view, "dims-only")
+        assert matview_refresh(spark, view)["mode"] == "noop"
+
+    def test_ambiguity_and_missing_rejected(self, spark, tmp_path):
+        fact, d1, d2, view = _mk(tmp_path, "se")
+        _seed(spark, fact, d1, d2)
+        dup = spark.createDataFrame([(0, "x", 1.0)],
+                                    "pk int, pcat string, val double")
+        snapshot_write(SparkFrame(dup), d2, mode="overwrite")
+        with pytest.raises(ValueError, match="BOTH tables"):
+            matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                                view, keys=["useg", "pcat"],
+                                measure_cols=["val"])
+        with pytest.raises(ValueError, match="neither"):
+            matview_create_star(spark, fact, [(d1, "uk")], view,
+                                keys=["nope"], measure_cols=["val"])
+
+
+class TestStarViewRandomizedParity:
+    def test_seeded_dml_history_parity(self, spark, tmp_path):
+        rng = random.Random(1212)
+        fact, d1, d2, view = _mk(tmp_path, "sr")
+        _seed(spark, fact, d1, d2, n=100)
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"])
+        next_id = [1000]
+
+        def op():
+            c = rng.choice(["fa", "fa", "fd", "d1u", "d2u"])
+            if c == "fa":
+                rows = [(next_id[0] + j, rng.randrange(5),
+                         rng.randrange(3),
+                         round(rng.uniform(-40, 40), 3))
+                        for j in range(rng.randrange(1, 10))]
+                next_id[0] += len(rows)
+                snapshot_write(SparkFrame(spark.createDataFrame(
+                    rows, "id int, uk int, pk int, val double")),
+                    fact, mode="append")
+            elif c == "fd":
+                lo = rng.randrange(0, next_id[0])
+                snapshot_delete(spark, fact,
+                                [("id", ">=", lo),
+                                 ("id", "<", lo + 30)])
+            elif c == "d1u":
+                snapshot_update(
+                    spark, d1,
+                    where=[("uk", "==", rng.randrange(5))],
+                    set_exprs={"useg": f"'u{rng.randrange(4)}'"})
+            else:
+                snapshot_update(
+                    spark, d2,
+                    where=[("pk", "==", rng.randrange(3))],
+                    set_exprs={"pcat": f"'p{rng.randrange(5)}'"})
+
+        for step in range(6):
+            for _ in range(rng.randrange(1, 3)):
+                op()
+            matview_refresh(spark, view)
+            _parity(spark, fact, d1, d2, view, f"step-{step}")
