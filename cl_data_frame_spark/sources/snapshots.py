@@ -1235,10 +1235,14 @@ def _dv_pos_df(spark: SparkSession, table_dir: str, dv: dict):
     return out
 
 
+_DV_SMALL_TOTAL = 50_000
+
+
 def _write_dv_sidecar_distributed(spark: SparkSession,
                                   table_dir: str, pos_df,
                                   rel_by_fid: dict,
-                                  old_dv: dict) -> dict:
+                                  old_dv: dict,
+                                  n_new: int | None = None) -> dict:
     """Publish one commit's deletion vectors from the EXECUTORS:
     *pos_df* holds the NEW (__fid__, __pos__) pairs (computed over
     already-DV-filtered rows, so disjoint from the existing vectors),
@@ -1247,9 +1251,33 @@ def _write_dv_sidecar_distributed(spark: SparkSession,
     Spark. The driver collects ONLY the per-file counts (#files
     rows) — the 100k-positions-per-file × #files driver bound of the
     JSON path is gone; reads scan the same parquet distributed
-    (``_dv_pos_df``)."""
+    (``_dv_pos_df``).
+
+    Point-DML fast path: when the caller knows the new-position
+    total (*n_new*, from the per-file match counts it already
+    collected) and new+old fits ``_DV_SMALL_TOTAL``, the positions
+    are BOUNDED by definition — a driver-side JSON sidecar is one
+    small write instead of a Spark write+read-back round trip."""
     olds = {rel: old_dv[rel] for fid, rel in rel_by_fid.items()
             if rel in old_dv}
+    if n_new is not None:
+        n_old = 0
+        for rel, e in olds.items():
+            n = e.get("n")
+            if n is None:       # legacy entry: the JSON is tiny
+                n = len(_dv_positions(table_dir, rel, e))
+            n_old += int(n)
+        if n_new + n_old <= _DV_SMALL_TOTAL:
+            merged: dict[str, set] = {}
+            for r in pos_df.collect():
+                merged.setdefault(rel_by_fid[r["__fid__"]],
+                                  set()).add(int(r["__pos__"]))
+            for rel, e in olds.items():
+                merged[rel] = merged.get(rel, set()) \
+                    | set(_dv_positions(table_dir, rel, e))
+            return _write_dv_sidecar(
+                table_dir,
+                {k: sorted(v) for k, v in merged.items()})
     if olds:
         pos_df = pos_df.unionByName(
             _dv_pos_df(spark, table_dir, olds))
@@ -4053,7 +4081,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
                     .select("__fid__",
                             F.col("__pos__").cast("long")),
                     {fid: fid_to_rel[fid] for fid in dv_fids},
-                    m.get("dv") or {})
+                    m.get("dv") or {},
+                    n_new=sum(int(mat[fid]) for fid in dv_fids))
                 t_extra = (matched
                            .filter(F.col("__fid__").isin(dv_fids))
                            .drop("__fid__", "__pos__"))
@@ -4373,12 +4402,14 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
                 rewrite_files.append(rel)
         if dv_files:
             dv_fids = {_dv_fid(f) for f in dv_files}
+            n_new = sum(int(r["__match__"]) for r in per_file
+                        if r["__fid__"] in dv_fids)
             new_dv_entries = _write_dv_sidecar_distributed(
                 spark, table_dir,
                 t_meta.filter(cond & F.col("__fid__").isin(dv_fids))
                 .select("__fid__", F.col("__pos__").cast("long")),
                 {fid: fid_to_rel[fid] for fid in dv_fids},
-                m.get("dv") or {})
+                m.get("dv") or {}, n_new=n_new)
             if operation != "delete":
                 matching = (t_meta
                             .filter(cond

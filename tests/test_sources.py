@@ -2633,30 +2633,56 @@ class TestDeletionVectorsDistributed:
         from pyspark.sql import functions as F
         from cl_data_frame_spark.sources import snapshots as S
         t = str(tmp_path / "wide")
+        n = 400_000
         S.snapshot_write(
-            spark.range(40_000).select(
+            spark.range(n).select(
                 F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
             .repartitionByRange(16, "k"), t, stats_cols=["k"],
             num_files=16)
-        # one sparse predicate that touches EVERY file a little
-        v = S.snapshot_delete(spark, t, [("v", "==", 13)])
+        # a predicate that touches EVERY file, ~19.6% of rows —
+        # above the small-total fast path, below the rewrite
+        # fraction, so the EXECUTOR-side parquet path fires
+        v = S.snapshot_delete(spark, t, [("v", "<", 19)])
         m = S._read_manifest(t, v)
         dv = m.get("dv") or {}
         assert len(dv) == 16, f"expected a DV on every file: {len(dv)}"
         assert all("scp" in e for e in dv.values()), \
             "wide delete must publish parquet (executor-side) DVs"
-        exp = 40_000 - sum(1 for i in range(40_000) if i % 97 == 13)
-        assert sum(e["n"] for e in dv.values()) == 40_000 - exp
+        n_del = sum(1 for i in range(n) if i % 97 < 19)
+        assert sum(e["n"] for e in dv.values()) == n_del
+        exp = n - n_del
         assert S.snapshot_read(spark, t).nrow == exp
         assert S.snapshot_count(t) == exp
-        # a second wide delete folds the existing vectors in
-        # executor-side too
-        v2 = S.snapshot_delete(spark, t, [("v", "==", 14)])
+        # a second (small) delete folds the big existing vectors in
+        # executor-side too (new+old above the small-total bar)
+        v2 = S.snapshot_delete(spark, t, [("v", "==", 50)])
         m2 = S._read_manifest(t, v2)
-        exp2 = exp - sum(1 for i in range(40_000) if i % 97 == 14)
+        dv2 = m2.get("dv") or {}
+        assert all("scp" in e for e in dv2.values())
+        exp2 = exp - sum(1 for i in range(n) if i % 97 == 50)
         assert S.snapshot_read(spark, t).nrow == exp2
-        assert sum(e["n"] for e in (m2.get("dv") or {}).values()) \
-            == 40_000 - exp2
+        assert sum(e["n"] for e in dv2.values()) == n - exp2
+
+    def test_point_delete_keeps_driver_json_path(self, spark,
+                                                 tmp_path):
+        """A bounded point DML (new+old positions under the small
+        total) publishes the one-small-JSON sidecar — no Spark write
+        round trip on the GDPR-delete hot path."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "pointdv")
+        S.snapshot_write(
+            spark.range(5000).select(F.col("id").alias("k"))
+            .repartition(2), t, stats_cols=["k"], num_files=2)
+        v = S.snapshot_delete(spark, t, [("k", "==", 77)])
+        m = S._read_manifest(t, v)
+        (e,) = m["dv"].values()
+        assert "sc" in e and "scp" not in e and e["n"] == 1
+        # the next point delete folds into JSON too
+        v2 = S.snapshot_delete(spark, t, [("k", "==", 99)])
+        m2 = S._read_manifest(t, v2)
+        assert sum(x["n"] for x in m2["dv"].values()) == 2
+        assert S.snapshot_read(spark, t).nrow == 4998
 
     def test_vacuum_sweeps_parquet_dv_dirs(self, spark, tmp_path):
         import os
@@ -2664,9 +2690,10 @@ class TestDeletionVectorsDistributed:
         from cl_data_frame_spark.sources import snapshots as S
         t = str(tmp_path / "dvvac")
         S.snapshot_write(
-            spark.range(1000).select(F.col("id").alias("k"))
+            spark.range(400_000).select(F.col("id").alias("k"))
             .repartition(2), t, stats_cols=["k"], num_files=2)
-        S.snapshot_delete(spark, t, [("k", "==", 7)])
+        # wide enough to cross the small-total bar -> parquet dir
+        S.snapshot_delete(spark, t, [("k", "<", 60_000)])
         m = S._read_manifest(t, 2)
         scp = next(iter(m["dv"].values()))["scp"]
         assert os.path.isdir(os.path.join(t, scp))
@@ -2674,7 +2701,7 @@ class TestDeletionVectorsDistributed:
         S.snapshot_optimize(spark, t, num_files=1)
         S.snapshot_vacuum(t, keep_last=1, retain_hours=0, force=True)
         assert not os.path.exists(os.path.join(t, scp))
-        assert S.snapshot_read(spark, t).nrow == 999
+        assert S.snapshot_read(spark, t).nrow == 340_000
 
     def test_legacy_json_dv_entries_still_read(self, spark,
                                                tmp_path):
@@ -2701,7 +2728,8 @@ class TestDeletionVectorsDistributed:
         v3 = S.snapshot_delete(spark, t, [("k", "==", 10)])
         m3 = S._read_manifest(t, v3)
         e = m3["dv"][f]
-        assert "scp" in e and e["n"] == 2
+        # a small fold-in stays on the one-JSON fast path
+        assert "sc" in e and e["n"] == 2
         got = {r.k for r in
                S.snapshot_read(spark, t).spark_df.collect()}
         assert len(got) == 498 and not {3, 10} & got
