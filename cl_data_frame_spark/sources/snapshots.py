@@ -248,6 +248,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["op_info"] = d["op_info"]   # commit-scoped, not carried
     if d.get("cdc"):
         out["cdc"] = d["cdc"]           # commit-scoped, not carried
+    if d.get("cluster_by"):
+        out["cluster_by"] = d["cluster_by"]
     return out
 
 
@@ -262,7 +264,7 @@ def _norm_state(m: dict) -> dict:
            "operation": m.get("operation"), "schema": m["schema"],
            "files": list(m["files"])}
     for k in ("stats", "bloom", "renamed_files", "dv", "partitions",
-              "constraints", "txn", "op_info", "cdc"):
+              "constraints", "txn", "op_info", "cdc", "cluster_by"):
         if m.get(k):
             out[k] = m[k]
     if out.get("renamed_files"):
@@ -312,6 +314,8 @@ def _make_delta(parent: dict, full: dict,
         d["op_info"] = full["op_info"]
     if full.get("cdc"):
         d["cdc"] = full["cdc"]
+    if full.get("cluster_by"):
+        d["cluster_by"] = full["cluster_by"]
     # project the carried-state candidate, then record residual
     # per-file differences explicitly
     cand = _apply_delta(parent, d)
@@ -338,7 +342,8 @@ def _make_delta(parent: dict, full: dict,
 #: table-level state keys carried in the parquet checkpoint's
 #: key-value footer metadata (per-file maps become columns)
 _CKPT_META_KEYS = ("version", "parent", "operation", "schema",
-                   "constraints", "txn", "op_info", "cdc")
+                   "constraints", "txn", "op_info", "cdc",
+                   "cluster_by")
 #: per-file state maps and their checkpoint column names
 _CKPT_FILE_COLS = (("stats", "stats"), ("bloom", "bloom"),
                    ("renamed_files", "chain"), ("dv", "dv"),
@@ -1503,7 +1508,8 @@ def _metadata_commit(table_dir: str, operation: str, mutate,
             "files": m["files"],
         }
         for key in ("stats", "bloom", "renamed_files", "dv",
-                    "partitions", "txn", "constraints"):
+                    "partitions", "txn", "constraints",
+                    "cluster_by"):
             if m.get(key):
                 manifest[key] = m[key]
         manifest.update(mutate(m))
@@ -1648,6 +1654,8 @@ def snapshot_clone(src_table_dir: str, dst_table_dir: str,
             for f, e in m["dv"].items()}
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("cluster_by"):
+        manifest["cluster_by"] = m["cluster_by"]
     _publish(dst_table_dir, manifest)
     return 1
 
@@ -2405,7 +2413,7 @@ def _streamed_scan_files(table_dir: str, version: int,
         slim["dv"] = dvs
     if parts_:
         slim["partitions"] = parts_
-    for k in ("constraints", "txn"):
+    for k in ("constraints", "txn", "cluster_by"):
         if meta_src.get(k):
             slim[k] = meta_src[k]
     return survivors, slim
@@ -2686,6 +2694,11 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         manifest["partitions"] = partitions
     if constraints:
         manifest["constraints"] = constraints
+    if pm is not None and pm.get("cluster_by"):
+        # sticky clustering survives appends/overwrites (an OPTIMIZE
+        # re-clusters on it; clear with snapshot_optimize(
+        # zorder_by=[]))
+        manifest["cluster_by"] = pm["cluster_by"]
     _txn_guard(pm.get("txn") if pm is not None else None,
                txn, txn_expect)
     txns = dict(pm.get("txn") or {}) if pm is not None else {}
@@ -2823,6 +2836,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["partitions"] = parts_
         if lm.get("constraints"):
             manifest["constraints"] = lm["constraints"]
+        if lm.get("cluster_by"):
+            manifest["cluster_by"] = lm["cluster_by"]
         _txn_guard(lm.get("txn"), txn_add, txn_expect)
         txns_ = dict(lm.get("txn") or {})
         for _a, _v in _txn_entries(txn_add):
@@ -2936,7 +2951,10 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
     as a new version with identical rows — the public Delta OPTIMIZE
     maintenance op on the manifest format. ``zorder_by`` additionally
     range-clusters the rewrite on a Morton key over the given columns
-    (locality for later predicate pruning). File statistics are
+    (locality for later predicate pruning) and RECORDS the clustering
+    in the manifest (Delta liquid-clustering shape): appends/DML
+    carry it forward, and a later plain OPTIMIZE re-clusters on the
+    recorded columns; pass ``zorder_by=[]`` to clear it. File statistics are
     recollected for whatever columns the old manifest tracked, so
     data skipping keeps working across compactions. Readers pinned to
     older versions are untouched; ``vacuum`` reclaims the small files
@@ -3013,10 +3031,23 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     new_parts: dict = {}
     new_files: list[str] = []
     pts = m.get("partitions") or {}
-    if zorder_by:
+    # STICKY clustering (Delta liquid-clustering shape): an explicit
+    # zorder_by records itself in the manifest and later plain
+    # OPTIMIZEs keep re-clustering on it (appends/DML carry the
+    # field forward); zorder_by=[] explicitly CLEARS it
+    if zorder_by is not None and len(list(zorder_by)) == 0:
+        eff_zorder = None
+        sticky = None
+    elif zorder_by:
+        eff_zorder = list(zorder_by)
+        sticky = eff_zorder
+    else:
+        sticky = m.get("cluster_by") or None
+        eff_zorder = list(sticky) if sticky else None
+    if eff_zorder:
         from cl_data_frame_spark.sources import write_parquet_zordered
         sdf = _read_files_renamed(spark, table_dir, selected, m)
-        write_parquet_zordered(sdf, out_dir, list(zorder_by),
+        write_parquet_zordered(sdf, out_dir, list(eff_zorder),
                                num_files=n_files, mode="error")
         new_files = sorted(
             os.path.join(rel_dir, f) for f in os.listdir(out_dir)
@@ -3064,6 +3095,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if sticky:
+        manifest["cluster_by"] = list(sticky)
     if m.get("txn"):
         manifest["txn"] = m["txn"]
     new_stats = _collect_file_stats(
@@ -3693,11 +3726,15 @@ def snapshot_count(table_dir: str, version: int | None = None,
     return total
 
 
-def snapshot_history(table_dir: str) -> list[dict]:
+def snapshot_history(table_dir: str,
+                     limit: int | None = None) -> list[dict]:
     """Version log, oldest first: (version, parent, operation,
     n_files, timestamp) — metadata only, no data scan. The timestamp
     is the commit file's mtime (the atomic link instant), the same
-    clock ``timestamp=`` time travel resolves against.
+    clock ``timestamp=`` time travel resolves against. ``limit``
+    returns only the NEWEST n entries (still oldest-first) in
+    O(limit) manifest reads — the shape a UI or a retention job wants
+    against a 100k-commit log.
 
     Bound: the log itself resolves in O(log #versions) stats
     (``_version_range``: O(1) latest hint + existence binary search —
@@ -3714,7 +3751,8 @@ def snapshot_history(table_dir: str) -> list[dict]:
              "n_files": len(m["files"]),
              "timestamp": os.path.getmtime(
                  _manifest_path(table_dir, v))}
-            for v in _versions(table_dir)]
+            for v in (_versions(table_dir) if limit is None
+                      else _versions(table_dir)[-int(limit):])]
 
 
 def snapshot_version_at(table_dir: str, timestamp) -> int:
@@ -4140,6 +4178,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             manifest["partitions"] = parts_
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("cluster_by"):
+            manifest["cluster_by"] = m["cluster_by"]
         _txn_guard(m.get("txn"), txn, txn_expect)
         txns = dict(m.get("txn") or {})
         for _a, _v in _txn_entries(txn):
@@ -4207,6 +4247,8 @@ def snapshot_restore(table_dir: str, version: int) -> int:
             manifest["partitions"] = m["partitions"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("cluster_by"):
+            manifest["cluster_by"] = m["cluster_by"]
         if lm.get("txn"):
             manifest["txn"] = lm["txn"]  # idempotence watermarks are
             # writer-progress, not data state: they survive a restore
@@ -4467,6 +4509,8 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         manifest["partitions"] = parts_
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("cluster_by"):
+        manifest["cluster_by"] = m["cluster_by"]
     _txn_guard(m.get("txn"), txn, None)
     txns = dict(m.get("txn") or {})
     for _a, _v in _txn_entries(txn):

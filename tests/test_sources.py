@@ -3583,6 +3583,48 @@ class TestHiddenPartitioning:
                 S.snapshot_write(ev, t, partition_by=[spec])
 
 
+class TestStickyClustering:
+    """Round 12: OPTIMIZE ... ZORDER BY records the clustering in the
+    manifest (Delta liquid-clustering shape); appends/DML carry it
+    forward and a later PLAIN OPTIMIZE re-clusters on it;
+    ``zorder_by=[]`` clears it explicitly."""
+
+    def test_recorded_reapplied_and_cleared(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "sticky")
+        df = spark.range(4000).select(
+            (F.col("id") * 7919 % 4000).alias("k"),
+            F.col("id").alias("v"))
+        S.snapshot_write(df.repartition(4), t, stats_cols=["k"],
+                         num_files=4)
+        v = S.snapshot_optimize(spark, t, zorder_by=["k"],
+                                num_files=4)
+        assert S._read_manifest(t, v)["cluster_by"] == ["k"]
+        # appends carry the clustering intent forward
+        S.snapshot_write(
+            spark.range(4000, 6000).select(
+                (F.col("id") * 7919 % 4000).alias("k"),
+                F.col("id").alias("v")).repartition(2),
+            t, stats_cols=["k"], num_files=2)
+        m = S._read_manifest(t, v + 1)
+        assert m["cluster_by"] == ["k"]
+        # a PLAIN optimize re-clusters on the recorded columns:
+        # post-compaction files have near-disjoint k ranges, so a
+        # point predicate prunes to ~1 file
+        v2 = S.snapshot_optimize(spark, t, num_files=4)
+        m2 = S._read_manifest(t, v2)
+        assert m2["cluster_by"] == ["k"]
+        hit = S.snapshot_scan_files(t, where=[("k", "==", 1234)])
+        assert len(hit) <= 2, f"re-cluster didn't localize: {hit}"
+        assert S.snapshot_read(spark, t).nrow == 6000
+        # explicit clear: zorder_by=[] drops the recorded clustering
+        v3 = S.snapshot_optimize(spark, t, zorder_by=[],
+                                 num_files=2)
+        assert "cluster_by" not in S._read_manifest(t, v3)
+        assert S.snapshot_read(spark, t).nrow == 6000
+
+
 class TestPartitionSpecEvolution:
     """Round 12: Iceberg's per-file partition spec — ``partition_by``
     may change between commits; every file prunes under the spec it
