@@ -4579,5 +4579,11 @@ def snapshot_detail(table_dir: str,
         "partition_columns": sorted({c for pt in
                                      (m.get("partitions") or {})
                                      .values() for c in pt}),
+        # the live partition SPECS (spec evolution: one entry per
+        # era), rendered back to partition_by strings
+        "partition_specs": sorted({
+            tuple(_spec_from_tuple_key(k) for k in sorted(pt))
+            for pt in (m.get("partitions") or {}).values() if pt}),
+        "cluster_by": list(m.get("cluster_by") or []),
         "txn": dict(m.get("txn") or {}),
     }

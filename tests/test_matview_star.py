@@ -153,6 +153,45 @@ class TestStarViewBasics:
                                 keys=["nope"], measure_cols=["val"])
 
 
+class TestStarViewFiltered:
+    def test_where_over_fact_and_dim_columns(self, spark, tmp_path):
+        """A filtered star view: the predicate references fact AND
+        dim columns; every telescoping term filters its joined change
+        rows row-locally, so the filtered view stays exact under DML
+        on all tables."""
+        fact, d1, d2, view = _mk(tmp_path, "sw")
+        _seed(spark, fact, d1, d2)
+        w = "val > 3.0 AND useg <> 'u9'"
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"], where=w)
+
+        def exp():
+            f = snapshot_read(spark, fact).spark_df
+            u = snapshot_read(spark, d1).spark_df
+            p = snapshot_read(spark, d2).spark_df
+            j = (f.join(u, on="uk").join(p, on="pk")
+                 .where(F.expr(w)))
+            return {(r["useg"], r["pcat"]): r["cnt"]
+                    for r in j.groupBy("useg", "pcat")
+                    .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+        got0 = {(r["useg"], r["pcat"]): r["cnt"] for r in
+                matview_read(spark, view).spark_df.collect()}
+        assert got0 == exp()
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(700, 1, 2, 2.0), (701, 1, 2, 700.0)],
+            "id int, uk int, pk int, val double")),
+            fact, mode="append")
+        snapshot_update(spark, d1, where=[("uk", "==", 3)],
+                        set_exprs={"useg": "'boundary'"})
+        snapshot_delete(spark, fact, [("id", "<", 6)])
+        matview_refresh(spark, view)
+        got = {(r["useg"], r["pcat"]): r["cnt"] for r in
+               matview_read(spark, view).spark_df.collect()}
+        assert got == exp()
+
+
 class TestStarViewRandomizedParity:
     def test_seeded_dml_history_parity(self, spark, tmp_path):
         rng = random.Random(1212)

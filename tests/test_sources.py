@@ -3690,6 +3690,19 @@ class TestPartitionSpecEvolution:
         assert S.snapshot_read(spark, t,
                                where=[("u", "==", 5)]).nrow == exp_u
 
+    def test_detail_reports_specs_and_clustering(self, spark,
+                                                 tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "specdet")
+        self._mixed(spark, S, t)
+        d = S.snapshot_detail(t)
+        assert d["partition_specs"] == [("g",), ("truncate(2, u)",)]
+        assert d["cluster_by"] == []
+        S.snapshot_optimize(spark, t, zorder_by=["k"])
+        d2 = S.snapshot_detail(t)
+        assert d2["cluster_by"] == ["k"]
+        assert d2["partition_specs"] == []   # zorder replaced layout
+
     def test_mixed_with_unpartitioned_era(self, spark, tmp_path):
         from pyspark.sql import functions as F
         from cl_data_frame_spark.sources import snapshots as S
