@@ -177,7 +177,7 @@ def matview_create(spark: SparkSession, source_dir: str,
     _check_keys_nonnull(agg, keys, "matview_create")
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
                    num_files=num_files, stats_cols=keys,
-                   txn=(_APP_ID, version))
+                   txn=(_APP_ID, version), txn_reset=True)
     meta = {
         "source_dir": os.path.abspath(source_dir),
         "keys": keys, "measure_cols": measure_cols,
@@ -313,7 +313,8 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
     for di, sp in enumerate(specs):
         txn.append((_dim_app(di), sp["version"]))
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
-                   num_files=num_files, stats_cols=keys, txn=txn)
+                   num_files=num_files, stats_cols=keys, txn=txn,
+                   txn_reset=True)
     meta = {
         "kind": "star",
         "fact_dir": os.path.abspath(fact_dir),

@@ -505,8 +505,17 @@ def _read_manifest(table_dir: str, version: int) -> dict:
             break
         except (FileNotFoundError, json.JSONDecodeError):
             pass
-        with open(_manifest_path(table_dir, v)) as f:
-            d = json.load(f)
+        try:
+            with open(_manifest_path(table_dir, v)) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"version {v} of {table_dir} is gone (vacuumed, or "
+                f"never existed) — needed to resolve version "
+                f"{version}. Pinned readers and incremental "
+                f"consumers (change feeds, materialized views) must "
+                f"stay within the vacuum retention window; recreate "
+                f"the consumer from the current head.") from None
         if not d.get("delta"):
             state = d
             break
@@ -2547,7 +2556,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
                    txn: tuple[str, int] | None = None,
                    merge_schema: bool = False,
                    partition_by: Sequence[str] | None = None,
-                   txn_expect: int | None = None) -> int:
+                   txn_expect: int | None = None,
+                   txn_reset: bool = False) -> int:
     """Publish a new table version; returns the version number.
 
     ``partition_by`` lays the new files out Hive-style by the given
@@ -2699,11 +2709,18 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         # re-clusters on it; clear with snapshot_optimize(
         # zorder_by=[]))
         manifest["cluster_by"] = pm["cluster_by"]
-    _txn_guard(pm.get("txn") if pm is not None else None,
-               txn, txn_expect)
-    txns = dict(pm.get("txn") or {}) if pm is not None else {}
-    for _a, _v in _txn_entries(txn):
-        txns[_a] = _v
+    if txn_reset:
+        # a RECREATE (overwrite that starts a new consumer lineage):
+        # the commit's own watermarks replace the parent map outright
+        # — no monotonic guard, no carry (the old lineage's versions
+        # are meaningless against the new state)
+        txns = dict(_txn_entries(txn))
+    else:
+        _txn_guard(pm.get("txn") if pm is not None else None,
+                   txn, txn_expect)
+        txns = dict(pm.get("txn") or {}) if pm is not None else {}
+        for _a, _v in _txn_entries(txn):
+            txns[_a] = _v
     if txns:
         manifest["txn"] = txns
     _publish(table_dir, manifest)

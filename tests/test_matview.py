@@ -301,6 +301,30 @@ class TestMatviewConcurrentMaintainers:
         _assert_parity(spark, src, view, "threaded")
 
 
+class TestMatviewRecreate:
+    def test_recreate_over_same_dir_resets_watermarks(self, spark,
+                                                      tmp_path):
+        """matview_create over an existing view dir is a RESET: the
+        overwrite starts a new consumer lineage, so the commit's own
+        watermark replaces the old map (no monotonic conflict even at
+        the same source version), and refresh works from there."""
+        src, view = _mkdirs(tmp_path, "recreate")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i))
+                           for i in range(10)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        snapshot_delete(spark, src, where=[("id", "==", 0)])
+        matview_refresh(spark, view)        # watermark -> 2
+        # recreate at the SAME head version: must not conflict
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"])
+        assert snapshot_txn_version(view, "matview") == 2
+        _assert_parity(spark, src, view, "recreated")
+        snapshot_delete(spark, src, where=[("id", "==", 1)])
+        assert matview_refresh(spark, view)["mode"] == "incremental"
+        _assert_parity(spark, src, view, "post-recreate-refresh")
+
+
 class TestMatviewSchemaGuards:
     def test_renamed_measure_column_raises_with_remedy(self, spark,
                                                        tmp_path):

@@ -153,6 +153,74 @@ class TestStarViewBasics:
                                 keys=["nope"], measure_cols=["val"])
 
 
+class TestStarViewPinnedTargets:
+    def test_refresh_to_pinned_pair_then_catch_up(self, spark,
+                                                  tmp_path):
+        """to_version=(fact, dim1, dim2) pins each source; None
+        entries mean latest. The pinned state must equal the full
+        recompute AT THOSE VERSIONS, then catch-up lands on head."""
+        fact, d1, d2, view = _mk(tmp_path, "sp")
+        _seed(spark, fact, d1, d2, n=30)
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"])
+        snapshot_delete(spark, fact, [("id", "<", 5)])      # f v2
+        snapshot_update(spark, d1, where=[("uk", "==", 0)],
+                        set_exprs={"useg": "'late'"})       # d1 v2
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(500, 0, 0, 5.5)], "id int, uk int, pk int, val double")),
+            fact, mode="append")                            # f v3
+        r = matview_refresh(spark, view, to_version=(2, 1, None))
+        assert r["to_version"] == (2, 1, 1)
+        # expected at fact@2, d1@1, d2@1
+        f = snapshot_read(spark, fact, version=2).spark_df
+        u = snapshot_read(spark, d1, version=1).spark_df
+        p = snapshot_read(spark, d2, version=1).spark_df
+        exp = {(r2["useg"], r2["pcat"]): r2["cnt"] for r2 in
+               f.join(u, on="uk").join(p, on="pk")
+               .groupBy("useg", "pcat")
+               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        got = {(r2["useg"], r2["pcat"]): r2["cnt"] for r2 in
+               matview_read(spark, view).spark_df.collect()}
+        assert got == exp, (got, exp)
+        matview_refresh(spark, view)            # catch up to head
+        _parity(spark, fact, d1, d2, view, "caught-up")
+
+
+class TestStarViewVacuumInterplay:
+    def test_refresh_after_source_vacuum_raises_loudly(self, spark,
+                                                       tmp_path):
+        """Vacuuming a source past the view's consumed version makes
+        the F_old time-travel read impossible — the refresh must
+        fail LOUDLY (never guess), and recreating the view recovers."""
+        from cl_data_frame_spark.sources.snapshots import (
+            snapshot_vacuum)
+        fact, d1, d2, view = _mk(tmp_path, "sv")
+        _seed(spark, fact, d1, d2, n=20)
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"])
+        # several fact commits, then vacuum everything but the head
+        for i in range(3):
+            snapshot_write(SparkFrame(spark.createDataFrame(
+                [(600 + i, i % 5, i % 3, 1.0)],
+                "id int, uk int, pk int, val double")),
+                fact, mode="append")
+        snapshot_vacuum(fact, keep_last=1, retain_hours=0,
+                        force=True)
+        # d1 change forces the F_old term against a vacuumed version
+        snapshot_update(spark, d1, where=[("uk", "==", 1)],
+                        set_exprs={"useg": "'moved'"})
+        with pytest.raises(FileNotFoundError,
+                           match="vacuum"):
+            matview_refresh(spark, view)
+        # recovery: recreate from the head
+        matview_create_star(spark, fact, [(d1, "uk"), (d2, "pk")],
+                            view, keys=["useg", "pcat"],
+                            measure_cols=["val"])
+        _parity(spark, fact, d1, d2, view, "recreated")
+
+
 class TestStarViewFiltered:
     def test_where_over_fact_and_dim_columns(self, spark, tmp_path):
         """A filtered star view: the predicate references fact AND
