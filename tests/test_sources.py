@@ -3988,6 +3988,48 @@ class TestSnapshotCountPredicated:
         assert S.snapshot_count(t) == 2999
 
 
+class TestTxnGuardAndReset:
+    def test_monotonic_guard_and_cas(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "txng")
+        df = spark.range(10).select(F.col("id").alias("k"))
+        S.snapshot_write(df, t, txn=("app", 5))
+        # replay / regression: commit-time abort, not a silent write
+        with pytest.raises(S.SnapshotTxnConflict, match="advance"):
+            S.snapshot_write(df, t, txn=("app", 5))
+        with pytest.raises(S.SnapshotTxnConflict, match="advance"):
+            S.snapshot_write(df, t, txn=("app", 4))
+        # CAS: wrong expectation aborts even with an advancing value
+        with pytest.raises(S.SnapshotTxnConflict, match="expected"):
+            S.snapshot_write(df, t, txn=("app", 6), txn_expect=3)
+        S.snapshot_write(df, t, txn=("app", 6), txn_expect=5)
+        assert S.snapshot_txn_version(t, "app") == 6
+        # dict-shaped expect can assert an UNRELATED app didn't move
+        with pytest.raises(S.SnapshotTxnConflict, match="expected"):
+            S.snapshot_write(df, t, txn=[("other", 1)],
+                             txn_expect={"app": 99})
+        S.snapshot_write(df, t, txn=[("other", 1)],
+                         txn_expect={"app": 6})
+        assert S.snapshot_txn_version(t, "other") == 1
+
+    def test_overwrite_carries_unless_reset(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "txnr")
+        df = spark.range(5).select(F.col("id").alias("k"))
+        S.snapshot_write(df, t, txn=("sink", 9))
+        # plain overwrite: watermarks carry (Delta's contract)
+        S.snapshot_write(df, t, mode="overwrite")
+        assert S.snapshot_txn_version(t, "sink") == 9
+        # reset overwrite: a NEW consumer lineage replaces the map
+        S.snapshot_write(df, t, mode="overwrite",
+                         txn=("sink", 2), txn_reset=True)
+        assert S.snapshot_txn_version(t, "sink") == 2
+        assert S.snapshot_txn_version(t, "nothere") is None
+
+
 class TestSnapshotConcurrencyStress:
     def test_eight_racing_writers_serialize_exactly(self, spark,
                                                     tmp_path):
