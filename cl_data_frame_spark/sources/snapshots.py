@@ -157,14 +157,31 @@ def _versions(table_dir: str) -> list[int]:
 
 _STATE_CACHE: "dict[tuple[str, int], dict]" = {}
 _STATE_CACHE_MAX = 16
+#: memory bound: a state's driver footprint is ~linear in #files
+#: (file list + stats + blooms + partition tuples), ~1.3 KB/file at
+#: the 1M-file checkpoint measurement — so cap the LRU by TOTAL
+#: cached files, not entry count, and never cache giant states at
+#: all (the streamed checkpoint listing serves predicated reads on
+#: those without reconstructing a dict).
+_STATE_CACHE_ENTRY_MAX_FILES = 100_000
+_STATE_CACHE_MAX_FILES = 200_000
+
+
+def _state_nfiles(state: dict) -> int:
+    return len(state.get("files") or ())
 
 
 def _cache_put(tdir: str, version: int, state: dict) -> None:
     import copy
+    if _state_nfiles(state) > _STATE_CACHE_ENTRY_MAX_FILES:
+        return
     key = (tdir, version)
     _STATE_CACHE.pop(key, None)
     _STATE_CACHE[key] = copy.deepcopy(state)
-    while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+    while len(_STATE_CACHE) > _STATE_CACHE_MAX or (
+            len(_STATE_CACHE) > 1
+            and sum(map(_state_nfiles, _STATE_CACHE.values()))
+            > _STATE_CACHE_MAX_FILES):
         _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
 
 
@@ -1251,6 +1268,27 @@ def _dv_pos_df(spark: SparkSession, table_dir: str, dv: dict):
 
 _DV_SMALL_TOTAL = 50_000
 
+#: merge-on-read anti-join broadcast ceiling: below this many TOTAL
+#: recorded deletion-vector positions the position set broadcasts
+#: (tiny, one-sided hash join on every executor); above it the hint
+#: is withheld so AQE picks a shuffle strategy. ~10M (fid, pos) pairs
+#: ≈ 400-800 MB expanded on each executor — the cliff the gate avoids.
+_DV_BROADCAST_MAX = 10_000_000
+
+
+def _dv_total_positions(table_dir: str, dv: dict) -> int:
+    """Total recorded deleted positions across a manifest ``dv`` map —
+    O(#files) metadata (every writer records ``n``); a (legacy) entry
+    missing the count loads its JSON sidecar list, which the JSON
+    write path bounds."""
+    total = 0
+    for f, e in dv.items():
+        n = e.get("n")
+        if n is None:
+            n = len(_dv_positions(table_dir, f, e))
+        total += int(n)
+    return total
+
 
 def _write_dv_sidecar_distributed(spark: SparkSession,
                                   table_dir: str, pos_df,
@@ -1427,7 +1465,13 @@ def _read_files_renamed(spark: SparkSession, table_dir: str,
         out = out.unionByName(p, allowMissingColumns=merge_schema)
     if dv:
         pos_df = _dv_pos_df(spark, table_dir, dv)
-        out = out.join(F.broadcast(pos_df),
+        if _dv_total_positions(table_dir, dv) <= _DV_BROADCAST_MAX:
+            pos_df = F.broadcast(pos_df)
+        # above the gate: no hint — AQE picks the join strategy (a
+        # table carrying 100M+ accumulated DV positions between
+        # OPTIMIZE runs must not force-broadcast them; the manifest's
+        # recorded per-file counts make the gate O(#files) metadata)
+        out = out.join(pos_df,
                        on=["__fid__", "__pos__"], how="left_anti")
     if need_meta and not with_pos:
         out = out.drop("__fid__", "__pos__")
@@ -3701,9 +3745,16 @@ def snapshot_count(table_dir: str, version: int | None = None,
             if "all" not in verdicts:
                 # not decidable at FILE level — try the row-group
                 # refinement (DV'd files skip it: deleted positions
-                # don't localize to row groups in the manifest)
+                # don't localize to row groups in the manifest;
+                # rename-chained files skip it too — footer
+                # path_in_schema names are PHYSICAL, and attributing
+                # a stale physical column's stats to a re-added
+                # logical namesake would count the wrong bytes, the
+                # exact case the row read path voids via __absent_
+                # placeholders)
                 rgc = None
-                if f not in dv:
+                if f not in dv and \
+                        f not in (m.get("renamed_files") or {}):
                     try:
                         rgc = _rowgroup_count(
                             table_dir, f, branches,
@@ -3769,7 +3820,8 @@ def snapshot_history(table_dir: str,
              "timestamp": os.path.getmtime(
                  _manifest_path(table_dir, v))}
             for v in (_versions(table_dir) if limit is None
-                      else _versions(table_dir)[-int(limit):])]
+                      else _versions(table_dir)[-int(limit):]
+                      if int(limit) > 0 else [])]
 
 
 def snapshot_version_at(table_dir: str, timestamp) -> int:
@@ -3800,7 +3852,19 @@ def snapshot_version_at(table_dir: str, timestamp) -> int:
         # commit mtimes are monotone in version (sequential atomic
         # links): binary-search the at-or-before boundary in
         # O(log #versions) stats instead of walking the whole log
-        if _mt(lo) <= ts:
+        # INVARIANT the O(log N) search rests on: commit mtimes are
+        # monotone in version (sequential atomic publish links). A
+        # table copied without mtime preservation or a clock
+        # regression breaks it SILENTLY — two cheap detections guard
+        # it: (a) endpoints out of order (the realistic newest-first
+        # copy) and (b) the resolved boundary failing its one-stat
+        # bracket. Either falls back to the exact O(N) scan.
+        # Detection is best-effort: a scramble monotone around every
+        # probed point can still mislead — preserve mtimes on copies.
+        if lo < hi and _mt(lo) > _mt(hi):
+            best = max((v for v in _versions(table_dir)
+                        if _mt(v) <= ts), default=None)
+        elif _mt(lo) <= ts:
             while lo < hi:
                 mid = (lo + hi + 1) // 2
                 if _mt(mid) <= ts:
@@ -3808,6 +3872,9 @@ def snapshot_version_at(table_dir: str, timestamp) -> int:
                 else:
                     hi = mid - 1
             best = lo
+            if best < rng[1] and _mt(best + 1) <= ts:
+                best = max((v for v in _versions(table_dir)
+                            if _mt(v) <= ts), default=None)
     if best is None:
         raise ValueError(
             f"no version in {table_dir} committed at or before "
@@ -3837,6 +3904,12 @@ def snapshot_version_since(table_dir: str, timestamp) -> int | None:
     def _mt(v):
         return round(os.path.getmtime(
             _manifest_path(table_dir, v)), 6)
+    # same monotone-mtime invariant checks as snapshot_version_at:
+    # endpoint orientation up front, boundary bracket after — O(N)
+    # exact fallback on violation (best-effort detection; see there)
+    if lo < hi and _mt(lo) > _mt(hi):
+        return min((v for v in _versions(table_dir)
+                    if _mt(v) >= ts), default=None)
     if _mt(hi) < ts:
         return None
     # earliest at-or-after boundary, O(log #versions) stats
@@ -3846,6 +3919,9 @@ def snapshot_version_since(table_dir: str, timestamp) -> int | None:
             hi = mid
         else:
             lo = mid + 1
+    if _mt(lo) < ts or (lo > rng[0] and _mt(lo - 1) >= ts):
+        return min((v for v in _versions(table_dir)
+                    if _mt(v) >= ts), default=None)
     return lo
 
 

@@ -4228,3 +4228,130 @@ class TestDNFPredicates:
             S.snapshot_scan_files(t, where=[[("k", "==", 1)], []])
         with pytest.raises(ValueError, match="unsupported prune op"):
             S.snapshot_scan_files(t, where=[("k", "!=", 1)])
+
+
+class TestDVBroadcastGate:
+    """Round 13: merge-on-read DV anti-join broadcasts ONLY below the
+    recorded-position ceiling (``_DV_BROADCAST_MAX``); above it the
+    hint is withheld so AQE picks the strategy — a table carrying
+    hundreds of millions of accumulated DV positions between OPTIMIZE
+    runs must never force-broadcast them."""
+
+    @staticmethod
+    def _dv_table(spark, tmp_path, name):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / name)
+        S.snapshot_write(
+            spark.range(2000).select(F.col("id").alias("k")),
+            t, stats_cols=["k"], num_files=2)
+        S.snapshot_delete(spark, t, [("k", "<", 100)])
+        return t
+
+    def test_small_dv_set_broadcasts(self, spark, tmp_path,
+                                     monkeypatch):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._dv_table(spark, tmp_path, "dvsmall")
+        calls = []
+        orig = S.F.broadcast
+        monkeypatch.setattr(
+            S.F, "broadcast",
+            lambda df: (calls.append(1), orig(df))[1])
+        assert S.snapshot_read(spark, t).nrow == 1900
+        assert calls, "small DV set should keep the broadcast hint"
+
+    def test_large_dv_set_withholds_broadcast(self, spark, tmp_path,
+                                              monkeypatch):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._dv_table(spark, tmp_path, "dvbig")
+        monkeypatch.setattr(S, "_DV_BROADCAST_MAX", 10)
+        calls = []
+        orig = S.F.broadcast
+        monkeypatch.setattr(
+            S.F, "broadcast",
+            lambda df: (calls.append(1), orig(df))[1])
+        assert S.snapshot_read(spark, t).nrow == 1900
+        assert not calls, \
+            "above the gate the anti-join must carry no broadcast hint"
+
+    def test_gate_total_is_metadata_only(self, tmp_path, spark):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._dv_table(spark, tmp_path, "dvtot")
+        m = S._read_manifest(t, 2)
+        assert S._dv_total_positions(t, m["dv"]) == 100
+
+
+class TestRowGroupCountRenameGuard:
+    """Round 13 (advisor, high): footer ``path_in_schema`` names are
+    PHYSICAL — after rename x->y and a merge-schema re-add of x, the
+    old files' stale physical-x footer stats must NOT be attributed
+    to the new logical x. The refinement now skips rename-chained
+    files (hybrid scan stays sound)."""
+
+    def test_stale_physical_column_not_counted(self, spark,
+                                               tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "rgren")
+        S.snapshot_write(
+            spark.range(10).select(F.lit(5).alias("x"),
+                                   F.col("id").alias("k")),
+            t, stats_cols=["k"], num_files=1)
+        S.snapshot_rename_column(t, "x", "y")
+        S.snapshot_write(
+            spark.range(4).select(F.lit(6).alias("y"),
+                                  (F.col("id") + 100).alias("k"),
+                                  F.lit(7).alias("x")),
+            t, mode="append", merge_schema=True, num_files=1)
+        # truth: old rows read x as NULL, new rows have x=7 -> 0
+        assert S.snapshot_count(
+            t, where=[("x", "==", 5)], spark=spark) == 0
+        assert S.snapshot_read(
+            spark, t, where=[("x", "==", 5)]).nrow == 0
+        # without spark= the rename-chained mixed file raises the
+        # documented remedy instead of silently refining wrong
+        with pytest.raises(ValueError, match="metadata-decidable"):
+            S.snapshot_count(t, where=[("x", "==", 5)])
+        # sanity: the new logical column still counts correctly
+        assert S.snapshot_count(
+            t, where=[("x", "==", 7)], spark=spark) == 4
+
+
+class TestStateCacheBound:
+    """Round 13: the reconstructed-manifest LRU is bounded by
+    estimated SIZE (total cached files), and giant states are never
+    cached at all (the streamed listing serves those)."""
+
+    def test_oversized_state_not_cached(self):
+        from cl_data_frame_spark.sources import snapshots as S
+        S._STATE_CACHE.clear()
+        big = {"version": 1, "parent": 0, "operation": "write",
+               "schema": "{}",
+               "files": [f"f{i}" for i in
+                         range(S._STATE_CACHE_ENTRY_MAX_FILES + 1)]}
+        S._cache_put("/tmp/nosuch-tbl", 1, big)
+        assert ("/tmp/nosuch-tbl", 1) not in S._STATE_CACHE
+
+    def test_total_files_bound_evicts_oldest(self, monkeypatch):
+        from cl_data_frame_spark.sources import snapshots as S
+        S._STATE_CACHE.clear()
+        monkeypatch.setattr(S, "_STATE_CACHE_MAX_FILES", 100)
+        monkeypatch.setattr(S, "_STATE_CACHE_ENTRY_MAX_FILES", 80)
+
+        def st(n):
+            return {"version": 1, "parent": 0, "operation": "w",
+                    "schema": "{}", "files": [f"f{i}" for i in
+                                              range(n)]}
+        S._cache_put("/t/a", 1, st(60))
+        S._cache_put("/t/b", 1, st(60))      # 120 > 100 -> evict a
+        assert ("/t/a", 1) not in S._STATE_CACHE
+        assert ("/t/b", 1) in S._STATE_CACHE
+        # a single entry over the total bound still caches (len>1
+        # guard: the fresh entry itself is never evicted)
+        S._STATE_CACHE.clear()
+        S._cache_put("/t/c", 1, st(75))
+        S._cache_put("/t/c", 2, st(75))
+        assert ("/t/c", 2) in S._STATE_CACHE
+        assert len(S._STATE_CACHE) == 1
+        S._STATE_CACHE.clear()

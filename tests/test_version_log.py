@@ -104,3 +104,63 @@ class TestHistoryLimit:
         assert len(S.snapshot_history(t)) == 14
         assert [x["version"] for x in S.snapshot_history(t, limit=99)] \
             == list(range(1, 15))
+
+
+class TestHistoryLimitEdge:
+    def test_limit_zero_returns_no_entries(self, tmp_path):
+        t = _log(tmp_path, 5)
+        assert S.snapshot_history(t, limit=0) == []
+        assert [e["version"] for e in S.snapshot_history(t, limit=2)] \
+            == [4, 5]
+
+
+class TestNonMonotoneMtimeFallback:
+    """Round 13 (advisor): the binary-searched timestamp resolvers
+    assume commit mtimes are monotone in version. A table copied
+    without mtime preservation breaks that silently — the resolvers
+    now verify the boundary with one extra stat and fall back to the
+    exact O(N) scan on violation."""
+
+    def _scrambled(self, tmp_path, times):
+        t = _log(tmp_path, len(times))
+        for v, mt in times.items():
+            os.utime(S._manifest_path(t, v), (mt, mt))
+        return t
+
+    def test_version_at_exact_under_reversed_mtimes(self, tmp_path):
+        # the realistic breakage: a copy restored newest-first, so
+        # mtimes DECREASE with version
+        times = {v: 900.0 - v * 100.0 for v in range(1, 9)}
+        t = self._scrambled(tmp_path, times)
+        for ts in (95.0, 100.0, 350.0, 620.0, 900.0):
+            exact = max((v for v, mt in times.items() if mt <= ts),
+                        default=None)
+            if exact is None:
+                with pytest.raises(ValueError):
+                    S.snapshot_version_at(t, ts)
+            else:
+                assert S.snapshot_version_at(t, ts) == exact, ts
+
+    def test_version_since_exact_under_reversed_mtimes(self,
+                                                       tmp_path):
+        times = {v: 900.0 - v * 100.0 for v in range(1, 9)}
+        t = self._scrambled(tmp_path, times)
+        for ts in (95.0, 100.5, 350.0, 620.0, 801.0):
+            exact = min((v for v, mt in times.items() if mt >= ts),
+                        default=None)
+            assert S.snapshot_version_since(t, ts) == exact, ts
+
+    def test_version_at_clock_regression_bracket(self, tmp_path):
+        # one commit's clock jumped back: the boundary-bracket stat
+        # sees the violation and the exact scan answers
+        times = {1: 100.0, 2: 200.0, 3: 150.0, 4: 400.0}
+        t = self._scrambled(tmp_path, times)
+        assert S.snapshot_version_at(t, 170.0) == 3
+        assert S.snapshot_version_since(t, 160.0) == 2
+
+    def test_monotone_log_untouched(self, tmp_path):
+        t = _log(tmp_path, 6)
+        for v in range(1, 7):
+            os.utime(S._manifest_path(t, v), (100.0 + v, 100.0 + v))
+        assert S.snapshot_version_at(t, 103.5) == 3
+        assert S.snapshot_version_since(t, 103.5) == 4
