@@ -113,10 +113,13 @@ def _check_keys_nonnull(sdf: DataFrame, keys: list[str],
 
 
 def _full_agg(sdf: DataFrame, keys: list[str],
-              measure_cols: list[str], scale: int) -> DataFrame:
+              measure_cols: list[str], scale: int,
+              distinct_cols: Sequence[str] = ()) -> DataFrame:
     """The view's stored shape, computed exactly from base rows:
     per group ``cnt`` plus, per measure c, exact-decimal ``sum_c``,
-    non-null count ``nn_c``, and ``min_c``/``max_c``."""
+    non-null count ``nn_c``, and ``min_c``/``max_c``; per distinct
+    column d, exact ``cntd_d`` (COUNT(DISTINCT d), NULLs ignored —
+    SQL semantics; an empty/all-NULL group counts 0)."""
     sum_t = _SUM_T.format(s=scale)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for c in measure_cols:
@@ -128,7 +131,98 @@ def _full_agg(sdf: DataFrame, keys: list[str],
             F.min(F.col(c)).alias(f"min_{c}"),
             F.max(F.col(c)).alias(f"max_{c}"),
         ]
+    for c in distinct_cols:
+        aggs.append(F.countDistinct(F.col(c)).cast("long")
+                    .alias(f"cntd_{c}"))
     return sdf.groupBy(*keys).agg(*aggs)
+
+
+def _dstate_dir(view_dir: str, c: str) -> str:
+    return os.path.join(view_dir, "_distinct", c)
+
+
+def _dstate_build(sdf: DataFrame, keys: list[str],
+                  c: str) -> DataFrame:
+    """The distinct-state table's stored shape for column *c*: per
+    (group, value) the EXACT multiplicity ``dcnt`` (NULL values
+    excluded, matching COUNT(DISTINCT)). Distinct cardinality is not
+    self-maintainable from the view row alone (a delete can't tell
+    whether the value's last occurrence left the group), but it IS
+    self-maintainable given this multiplicity state — the standard
+    Gupta-Mumick auxiliary-relation construction."""
+    return sdf.where(F.col(c).isNotNull()) \
+        .groupBy(*keys, c) \
+        .agg(F.count(F.lit(1)).cast("long").alias("dcnt"))
+
+
+def _dstate_delta(changes: DataFrame, keys: list[str],
+                  c: str) -> DataFrame:
+    """Signed per-(group, value) multiplicity deltas from a change
+    feed interval."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1)).otherwise(F.lit(-1))
+    return changes.where(F.col(c).isNotNull()) \
+        .groupBy(*keys, c).agg(F.sum(sign).alias("__d__"))
+
+
+def _advance_dstate(spark: SparkSession, view_dir: str, c: str,
+                    keys: list[str], feed_ctx: dict,
+                    view_changes: DataFrame) -> None:
+    """Advance column *c*'s distinct state to the refresh targets,
+    exactly once: the delta interval is ranged by the STATE table's
+    OWN commit-riding watermarks (not the view's — after a crash
+    between state and view commits, or a lost race, the two diverge
+    and re-using the view's interval would double-apply), and the
+    merge CAS-checks those watermarks. A conflict whose winner
+    already covers our targets is a clean skip (it consumed a
+    superset interval from the same watermark)."""
+    from cl_data_frame_spark.sources.snapshots import (
+        SnapshotTxnConflict, snapshot_merge, snapshot_read,
+        snapshot_txn_version)
+    sd = _dstate_dir(view_dir, c)
+    targets = feed_ctx["targets"]
+    applied = {app: snapshot_txn_version(sd, app)
+               for app, _ in targets}
+    if any(a is None for a in applied.values()):
+        missing = [app for app, a in applied.items() if a is None]
+        raise ValueError(
+            f"distinct state for {c!r} in {view_dir} carries no "
+            f"watermark for {missing} (partial create?) — recreate "
+            f"the view")
+    if all(applied[app] >= tv for app, tv in targets):
+        return                      # already at/past the targets
+    if applied == feed_ctx["view_applied"]:
+        feed = view_changes         # the common case: same interval
+    else:
+        feed = feed_ctx["feed_fn"](applied)
+    if feed is None:
+        return
+    dd = _dstate_delta(feed, keys, c).localCheckpoint(eager=True)
+    if not dd.limit(1).count():
+        return      # nothing for c in the interval; watermark stays
+                    # behind and the next refresh re-walks the same
+                    # (empty-for-c) interval — cheap and exact
+    cur = _plain(snapshot_read(spark, sd))
+    on = [*keys, c]
+    touched = cur.join(F.broadcast(dd.select(*on)),
+                       on=on, how="left_semi")
+    ups = dd.join(touched, on=on, how="left").select(
+        *on,
+        (F.coalesce(F.col("dcnt"), F.lit(0)) + F.col("__d__"))
+        .cast("long").alias("dcnt")).localCheckpoint(eager=True)
+    txn = [(app, tv) for app, tv in targets if applied[app] < tv]
+    try:
+        snapshot_merge(spark, sd, SparkFrame(ups), on=on, txn=txn,
+                       txn_expect={app: applied[app]
+                                   for app, _ in txn})
+    except SnapshotTxnConflict:
+        now = {app: snapshot_txn_version(sd, app)
+               for app, _ in targets}
+        if all(now[app] is not None and now[app] >= tv
+               for app, tv in targets):
+            return
+        raise
 
 
 def matview_create(spark: SparkSession, source_dir: str,
@@ -137,7 +231,8 @@ def matview_create(spark: SparkSession, source_dir: str,
                    scale: int = 6,
                    version: int | None = None,
                    num_files: int | None = None,
-                   where: str | None = None) -> int:
+                   where: str | None = None,
+                   distinct_cols: Sequence[str] = ()) -> int:
     """Materialize the per-group aggregate of snapshot table
     *source_dir* at *version* (default: its latest) into the snapshot
     table *view_dir*, and record the consumed source version so
@@ -152,27 +247,53 @@ def matview_create(spark: SparkSession, source_dir: str,
     UPDATE that moves a row across the predicate boundary surfaces as
     a bare pre- or post-image on the filtered feed, which the signed
     delta handles naturally (one side contributes, the other
-    vanishes)."""
+    vanishes).
+
+    ``distinct_cols`` adds EXACT per-group ``cntd_c`` measures
+    (COUNT(DISTINCT c), SQL NULL semantics). Distinct cardinality is
+    not self-maintainable from the view row alone, so each such
+    column gets a companion per-(group, value) multiplicity STATE
+    table under ``view_dir/_distinct/<c>`` (the Gupta-Mumick
+    auxiliary relation), maintained from the same change feed under
+    its own commit-riding watermarks; the view row's ``cntd_c`` is
+    then the group's live-value count, re-read (group-pruned) from
+    the state at each refresh. Exact, never approximate — the HLL
+    sketch path (operators/sketch.py) remains the approximate
+    alternative for unbounded-cardinality columns."""
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_read, snapshot_write)
     keys = [keys] if isinstance(keys, str) else list(keys)
     measure_cols = list(measure_cols)
+    distinct_cols = list(distinct_cols)
     if version is None:
         version = _latest_version(source_dir)
         if version is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {source_dir}")
     base = _plain(snapshot_read(spark, source_dir, version=version))
-    missing = [c for c in [*keys, *measure_cols]
+    missing = [c for c in [*keys, *measure_cols, *distinct_cols]
                if c not in base.columns]
     if missing:
         raise ValueError(
             f"columns {missing} not in source table "
             f"(has {base.columns})")
+    bad = [c for c in distinct_cols if c in keys]
+    if bad:
+        raise ValueError(
+            f"distinct_cols {bad} are group keys — COUNT(DISTINCT) "
+            f"of a key within its own group is constant 1")
     if where is not None:
         base = base.where(F.expr(where))
+    # distinct states land BEFORE the view commit: a crash in
+    # between leaves a retriable create (overwrite + txn_reset
+    # replaces everything), never a view without its state
+    for c in distinct_cols:
+        snapshot_write(SparkFrame(_dstate_build(base, keys, c)),
+                       _dstate_dir(view_dir, c), mode="overwrite",
+                       stats_cols=[*keys, c],
+                       txn=(_APP_ID, version), txn_reset=True)
     # one materialization feeds both the null-key check and the write
-    agg = _full_agg(base, keys, measure_cols, scale) \
+    agg = _full_agg(base, keys, measure_cols, scale, distinct_cols) \
         .localCheckpoint(eager=False)
     _check_keys_nonnull(agg, keys, "matview_create")
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
@@ -183,6 +304,8 @@ def matview_create(spark: SparkSession, source_dir: str,
         "keys": keys, "measure_cols": measure_cols,
         "scale": scale, "source_version": version,
     }
+    if distinct_cols:
+        meta["distinct_cols"] = distinct_cols
     if where is not None:
         meta["where"] = where
     _write_meta(view_dir, meta)
@@ -197,7 +320,9 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
                         fact_version: int | None = None,
                         dim_version: int | None = None,
                         num_files: int | None = None,
-                        where: str | None = None) -> tuple[int, int]:
+                        where: str | None = None,
+                        distinct_cols: Sequence[str] = ()
+                        ) -> tuple[int, int]:
     """Materialize ``SELECT keys, aggregates(measures) FROM fact
     INNER JOIN dim ON fact.fk = dim.pk GROUP BY keys`` into the
     snapshot table *view_dir*, maintained INCREMENTALLY from BOTH
@@ -215,7 +340,8 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
         spark, fact_dir, [(dim_dir, on)], view_dir, keys,
         measure_cols, scale=scale, fact_version=fact_version,
         dim_versions=None if dim_version is None else [dim_version],
-        num_files=num_files, where=where)
+        num_files=num_files, where=where,
+        distinct_cols=distinct_cols)
     return fv, dvs[0]
 
 
@@ -227,7 +353,8 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
                         fact_version: int | None = None,
                         dim_versions: Sequence[int] | None = None,
                         num_files: int | None = None,
-                        where: str | None = None
+                        where: str | None = None,
+                        distinct_cols: Sequence[str] = ()
                         ) -> tuple[int, list[int]]:
     """STAR-SCHEMA materialized view: ``fact INNER JOIN dim_1 ... 
     INNER JOIN dim_k`` (each dim joins the FACT on its own key),
@@ -242,6 +369,12 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
         _latest_version, snapshot_read, snapshot_write)
     keys = [keys] if isinstance(keys, str) else list(keys)
     measure_cols = list(measure_cols)
+    distinct_cols = list(distinct_cols)
+    bad = [c for c in distinct_cols if c in keys]
+    if bad:
+        raise ValueError(
+            f"distinct_cols {bad} are group keys — COUNT(DISTINCT) "
+            f"of a key within its own group is constant 1")
     if not dims:
         raise ValueError("a star view needs at least one dim — use "
                          "matview_create for a single-table view")
@@ -277,7 +410,9 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
         dim_dfs.append(ddf)
     # column ownership: every key/measure must live in exactly ONE
     # table (the shared join-key name is attributed to the fact)
-    need = [*keys, *measure_cols]
+    need = [*keys, *measure_cols,
+            *[c for c in distinct_cols
+              if c not in keys and c not in measure_cols]]
     fcols, dcols = [], [[] for _ in specs]
     for c in need:
         owners = []
@@ -306,12 +441,18 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
     joined = _star_join(fact, specs, dim_dfs, fcols, dcols, need)
     if where is not None:
         joined = joined.where(F.expr(where))
-    agg = _full_agg(joined, keys, measure_cols, scale) \
-        .localCheckpoint(eager=False)
-    _check_keys_nonnull(agg, keys, "matview_create_star")
     txn = [(_F_APP, fact_version)]
     for di, sp in enumerate(specs):
         txn.append((_dim_app(di), sp["version"]))
+    # distinct states land BEFORE the view commit (see matview_create)
+    for c in distinct_cols:
+        snapshot_write(SparkFrame(_dstate_build(joined, keys, c)),
+                       _dstate_dir(view_dir, c), mode="overwrite",
+                       stats_cols=[*keys, c], txn=txn,
+                       txn_reset=True)
+    agg = _full_agg(joined, keys, measure_cols, scale,
+                    distinct_cols).localCheckpoint(eager=False)
+    _check_keys_nonnull(agg, keys, "matview_create_star")
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
                    num_files=num_files, stats_cols=keys, txn=txn,
                    txn_reset=True)
@@ -324,6 +465,8 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
         "fact_cols": fcols, "scale": scale,
         "fact_version": fact_version,
     }
+    if distinct_cols:
+        meta["distinct_cols"] = distinct_cols
     if where is not None:
         meta["where"] = where
     _write_meta(view_dir, meta)
@@ -446,26 +589,36 @@ def _refresh_single(spark: SparkSession, view_dir: str, meta: dict,
             _write_meta(view_dir, {**meta, "source_version": applied})
         return {"mode": "noop", "from_version": applied,
                 "to_version": applied}
-    changes = _plain(snapshot_changes(
-        spark, src_dir, from_version=applied, to_version=target))
-    gone = [c for c in [*keys, *measure_cols]
-            if c not in changes.columns]
-    if gone:
-        raise ValueError(
-            f"view columns {gone} no longer exist in the source's "
-            f"change feed (schema evolution renamed or dropped them) "
-            f"— recreate the view with matview_create")
     where = meta.get("where")
-    if where is not None:
-        # row-local predicate: each change row filters independently,
-        # so the filtered feed maintains the filtered view exactly
-        try:
-            changes = changes.where(F.expr(where))
-        except Exception as exc:
+    distinct_cols = list(meta.get("distinct_cols") or ())
+
+    def feed_fn(from_map):
+        ch = _plain(snapshot_changes(
+            spark, src_dir, from_version=from_map[_APP_ID],
+            to_version=target))
+        gone = [c for c in [*keys, *measure_cols, *distinct_cols]
+                if c not in ch.columns]
+        if gone:
             raise ValueError(
-                f"the view's where-predicate {where!r} no longer "
-                f"evaluates against the change feed (schema "
-                f"evolution?) — recreate the view: {exc}") from exc
+                f"view columns {gone} no longer exist in the "
+                f"source's change feed (schema evolution renamed or "
+                f"dropped them) — recreate the view with "
+                f"matview_create")
+        if where is not None:
+            # row-local predicate: each change row filters
+            # independently, so the filtered feed maintains the
+            # filtered view exactly
+            try:
+                ch = ch.where(F.expr(where))
+            except Exception as exc:
+                raise ValueError(
+                    f"the view's where-predicate {where!r} no "
+                    f"longer evaluates against the change feed "
+                    f"(schema evolution?) — recreate the view: "
+                    f"{exc}") from exc
+        return ch
+
+    changes = feed_fn({_APP_ID: applied})
 
     def repair_reader(key_rows):
         # a bounded repair set reads the base through an IN / DNF
@@ -483,7 +636,10 @@ def _refresh_single(spark: SparkSession, view_dir: str, meta: dict,
         txn=(_APP_ID, target), txn_expect=cas_expect,
         meta_done={"source_version": target},
         meta_noop={"source_version": applied},
-        summary={"from_version": applied, "to_version": target})
+        summary={"from_version": applied, "to_version": target},
+        feed_ctx={"feed_fn": feed_fn,
+                  "targets": [(_APP_ID, target)],
+                  "view_applied": {_APP_ID: applied}})
 
 
 _F_APP = "matview.fact"
@@ -557,9 +713,12 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
     dims = meta["dims"]
     keys = list(meta["keys"])
     measure_cols = list(meta["measure_cols"])
+    distinct_cols = list(meta.get("distinct_cols") or ())
     fcols = list(meta["fact_cols"])
     dcols = [list(sp["cols"]) for sp in dims]
-    need = [*keys, *measure_cols]
+    need = [*keys, *measure_cols,
+            *[c for c in distinct_cols
+              if c not in keys and c not in measure_cols]]
     f_latest = _latest_version(fact_dir)
     d_latests = [_latest_version(sp["dir"]) for sp in dims]
     if f_latest is None or any(v is None for v in d_latests):
@@ -606,80 +765,102 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
               for i in range(len(dims))],
             *fcols, *extra)
 
-    parts = []
-    if ft > f_applied:
-        ff = _plain(snapshot_changes(spark, fact_dir,
-                                     from_version=f_applied,
-                                     to_version=ft))
-        gone = [c for c in [*(sp["fact_on"] for sp in dims), *fcols]
-                if c not in ff.columns]
-        if gone:
-            raise ValueError(
-                f"view columns {gone} no longer exist in the fact "
-                f"change feed (schema evolution) — recreate with "
-                f"matview_create_star")
-        # ΔF ⋈ every dim at its NEW version; the delta keeps its
-        # sign; AQE broadcasts small sides at runtime
-        t = fact_sel(ff, extra=("_change_type",))
+    feed_stats = {"fact_full_scan": False, "pruned_keys": 0}
+
+    def build_feed(f_from, d_froms):
+        """The telescoped change set for one interval, parametrized
+        by per-source from-versions (the view's watermarks normally;
+        a distinct state's own watermarks when they diverge after a
+        crash or lost race). Returns None when every source is
+        already at its target."""
+        parts = []
+        if ft > f_from:
+            ff = _plain(snapshot_changes(spark, fact_dir,
+                                         from_version=f_from,
+                                         to_version=ft))
+            gone = [c for c in
+                    [*(sp["fact_on"] for sp in dims), *fcols]
+                    if c not in ff.columns]
+            if gone:
+                raise ValueError(
+                    f"view columns {gone} no longer exist in the "
+                    f"fact change feed (schema evolution) — recreate "
+                    f"with matview_create_star")
+            # ΔF ⋈ every dim at its NEW version; the delta keeps its
+            # sign; AQE broadcasts small sides at runtime
+            t = fact_sel(ff, extra=("_change_type",))
+            for i in range(len(dims)):
+                t = t.join(dim_at(i, dts[i]), on=f"__jk{i}__",
+                           how="inner")
+            parts.append(t)
+        f_old = None
         for i in range(len(dims)):
-            t = t.join(dim_at(i, dts[i]), on=f"__jk{i}__",
-                       how="inner")
-        parts.append(t)
-    f_old = None
-    for i in range(len(dims)):
-        if dts[i] <= d_applieds[i]:
-            continue
-        dd = _plain(snapshot_changes(spark, dims[i]["dir"],
-                                     from_version=d_applieds[i],
-                                     to_version=dts[i]))
-        gone = [c for c in [dims[i]["dim_on"], *dcols[i]]
-                if c not in dd.columns]
-        if gone:
-            raise ValueError(
-                f"view columns {gone} no longer exist in dim "
-                f"{dims[i]['dir']}'s change feed (schema evolution) "
-                f"— recreate with matview_create_star")
-        dd = dd.select(F.col(dims[i]["dim_on"]).alias(f"__jk{i}__"),
-                       *dcols[i], "_change_type") \
-            .localCheckpoint(eager=True)
-        # F^old ⋈ ΔD_i: the dim delta's sign rides onto every
-        # matching fact row; a bounded delta key set IN-prunes the
-        # fact time-travel read
-        jk = [r[f"__jk{i}__"] for r in
-              dd.select(f"__jk{i}__").distinct().limit(10_001)
-              .collect()]
-        if 0 < len(jk) <= 10_000:
-            fread = _plain(snapshot_read(
-                spark, fact_dir, version=f_applied,
-                where=[(dims[i]["fact_on"], "in", jk)]))
-        else:
-            if f_old is None:
-                f_old = _plain(snapshot_read(spark, fact_dir,
-                                             version=f_applied))
-            fread = f_old
-        t = fact_sel(fread).join(F.broadcast(dd), on=f"__jk{i}__",
-                                 how="inner")
-        # dims to the LEFT of i at their OLD versions, to the RIGHT
-        # at NEW — the telescoping that counts each cross term once
-        for j in range(len(dims)):
-            if j == i:
+            if dts[i] <= d_froms[i]:
                 continue
-            t = t.join(dim_at(j, d_applieds[j] if j < i
-                              else dts[j]),
-                       on=f"__jk{j}__", how="inner")
-        parts.append(t)
-    changes = parts[0]
-    for pdf in parts[1:]:
-        changes = changes.unionByName(pdf)
-    changes = changes.select(*need, "_change_type")
-    if where is not None:
-        try:
-            changes = changes.where(F.expr(where))
-        except Exception as exc:
-            raise ValueError(
-                f"the view's where-predicate {where!r} no longer "
-                f"evaluates against the joined change rows (schema "
-                f"evolution?) — recreate the view: {exc}") from exc
+            dd = _plain(snapshot_changes(spark, dims[i]["dir"],
+                                         from_version=d_froms[i],
+                                         to_version=dts[i]))
+            gone = [c for c in [dims[i]["dim_on"], *dcols[i]]
+                    if c not in dd.columns]
+            if gone:
+                raise ValueError(
+                    f"view columns {gone} no longer exist in dim "
+                    f"{dims[i]['dir']}'s change feed (schema "
+                    f"evolution) — recreate with matview_create_star")
+            dd = dd.select(
+                F.col(dims[i]["dim_on"]).alias(f"__jk{i}__"),
+                *dcols[i], "_change_type") \
+                .localCheckpoint(eager=True)
+            # F^old ⋈ ΔD_i: the dim delta's sign rides onto every
+            # matching fact row; a bounded delta key set IN-prunes
+            # the fact time-travel read
+            jk = [r[f"__jk{i}__"] for r in
+                  dd.select(f"__jk{i}__").distinct().limit(10_001)
+                  .collect()]
+            if 0 < len(jk) <= 10_000:
+                feed_stats["pruned_keys"] += len(jk)
+                fread = _plain(snapshot_read(
+                    spark, fact_dir, version=f_from,
+                    where=[(dims[i]["fact_on"], "in", jk)]))
+            else:
+                # the IN-prune cap: surfaced in the refresh summary
+                # so an operator can see WHY this refresh scanned
+                # the whole fact time-travel read
+                feed_stats["fact_full_scan"] = True
+                if f_old is None:
+                    f_old = _plain(snapshot_read(spark, fact_dir,
+                                                 version=f_from))
+                fread = f_old
+            t = fact_sel(fread).join(F.broadcast(dd),
+                                     on=f"__jk{i}__", how="inner")
+            # dims to the LEFT of i at their OLD versions, to the
+            # RIGHT at NEW — the telescoping that counts each cross
+            # term once
+            for j in range(len(dims)):
+                if j == i:
+                    continue
+                t = t.join(dim_at(j, d_froms[j] if j < i
+                                  else dts[j]),
+                           on=f"__jk{j}__", how="inner")
+            parts.append(t)
+        if not parts:
+            return None
+        ch = parts[0]
+        for pdf in parts[1:]:
+            ch = ch.unionByName(pdf)
+        ch = ch.select(*need, "_change_type")
+        if where is not None:
+            try:
+                ch = ch.where(F.expr(where))
+            except Exception as exc:
+                raise ValueError(
+                    f"the view's where-predicate {where!r} no "
+                    f"longer evaluates against the joined change "
+                    f"rows (schema evolution?) — recreate the view: "
+                    f"{exc}") from exc
+        return ch
+
+    changes = build_feed(f_applied, d_applieds)
 
     def repair_reader(key_rows):
         prune = _eq_dnf_prune(keys, key_rows) \
@@ -729,31 +910,56 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
     meta_noop = {"fact_version": f_applied,
                  "dims": [{**sp, "version": d_applieds[i]}
                           for i, sp in enumerate(dims)]}
+    all_targets = [(_F_APP, ft)] + [(_dim_app(i), dts[i])
+                                    for i in range(len(dims))]
     return _apply_feed(
         spark, view_dir, meta, changes, repair_reader,
         txn=txn, txn_expect=cas or None,
         meta_done=meta_done, meta_noop=meta_noop,
         summary={"from_version": (f_applied, *d_applieds),
-                 "to_version": (ft, *dts)})
+                 "to_version": (ft, *dts), **feed_stats},
+        feed_ctx={"feed_fn": lambda ap: build_feed(
+                      ap[_F_APP],
+                      [ap[_dim_app(i)] for i in range(len(dims))]),
+                  "targets": all_targets,
+                  "view_applied": {_F_APP: f_applied,
+                                   **{_dim_app(i): d_applieds[i]
+                                      for i in range(len(dims))}}})
 
 
 def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
                 changes: DataFrame, repair_reader,
                 txn, txn_expect, meta_done: dict, meta_noop: dict,
-                summary: dict) -> dict:
+                summary: dict, feed_ctx: dict | None = None) -> dict:
     """Apply one refresh interval's signed change rows (columns:
     view keys + measures + ``_change_type``) to the stored view —
     the shared back half of single-source and delta-join refresh:
     per-group signed delta aggregation, arithmetic merge of counts /
     exact-decimal sums, min/max repair via ``repair_reader`` (called
     with the bounded repair-key rows, or None when unbounded), cnt=0
-    tombstones, ONE watermark-carrying snapshot_merge commit."""
+    tombstones, ONE watermark-carrying snapshot_merge commit.
+
+    Views with ``distinct_cols`` first advance each column's
+    per-value multiplicity state (its own exactly-once commit, see
+    ``_advance_dstate``), then write each touched group's ``cntd_c``
+    as the ABSOLUTE live-value count read back (group-pruned) from
+    the state — absolute values are idempotent under the view's CAS,
+    so a crash between the state and view commits replays cleanly.
+    Under CONCURRENT maintainers a group's cntd can transiently
+    reflect a slightly newer state than its cnt/sum (the racing
+    refresh's view commit loses the CAS and re-lands them together),
+    converging at the next committed refresh."""
     from cl_data_frame_spark.sources.snapshots import (
         snapshot_merge, snapshot_read)
     keys = list(meta["keys"])
     measure_cols = list(meta["measure_cols"])
+    distinct_cols = list(meta.get("distinct_cols") or ())
     scale = int(meta["scale"])
     sum_t = _SUM_T.format(s=scale)
+    if distinct_cols:
+        # the feed now has several consumers (per-group delta +
+        # per-value state deltas): pin ONE materialization
+        changes = changes.localCheckpoint(eager=True)
     # per-group deltas: small (#touched groups), computed once
     delta = _delta_agg(changes, keys, measure_cols, scale) \
         .localCheckpoint(eager=True)
@@ -776,6 +982,23 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
             f"NULL group key in the change feed: materialized views "
             f"require non-NULL group keys {keys} (filter or coalesce "
             f"them in the base table first)")
+    # distinct states advance FIRST (their own watermarks make this
+    # exactly-once; the view commit below is the refresh's atomic
+    # completion point), then each touched group's absolute cntd is
+    # read back from the live state, group-pruned
+    cntd_abs: dict[str, DataFrame] = {}
+    if distinct_cols:
+        all_key_rows = delta.select(*keys).collect() \
+            if n_touched <= 10_000 else None
+        prune = _eq_dnf_prune(keys, all_key_rows)
+        for c in distinct_cols:
+            _advance_dstate(spark, view_dir, c, keys, feed_ctx,
+                            changes)
+            st = _plain(snapshot_read(
+                spark, _dstate_dir(view_dir, c), where=prune)) \
+                .where(F.col("dcnt") > 0)
+            cntd_abs[c] = st.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias(f"cntd_{c}"))
     view = _plain(snapshot_read(spark, view_dir))
     stored_types = dict(view.dtypes)
     # current view rows for ONLY the touched groups (broadcast
@@ -805,7 +1028,8 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
             F.col("cnt").isNull() | vmin.isNull()
             | (dmin <= vmin) | (dmax >= vmax)))
     stored_cols = ["cnt"] + [f"{p}_{c}" for c in measure_cols
-                             for p in ("sum", "nn", "min", "max")]
+                             for p in ("sum", "nn", "min", "max")] \
+        + [f"cntd_{c}" for c in distinct_cols]
     # arithmetic path (no deleted extreme): counts and exact-decimal
     # sums add; inserted values can only improve min/max (F.least /
     # F.greatest skip NULLs, so a fresh group takes the added extreme)
@@ -830,6 +1054,13 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
             .alias(f"max_{c}"),
         ]
     arith = j.where(~repair).select(*arith_cols)
+    for c in distinct_cols:
+        # absolute live-value counts for the touched groups; a
+        # touched group with no live state rows counts 0 (SQL:
+        # COUNT(DISTINCT) over empty/all-NULL is 0, not NULL)
+        arith = arith.join(cntd_abs[c], on=keys, how="left") \
+            .withColumn(f"cntd_{c}",
+                        F.coalesce(F.col(f"cntd_{c}"), F.lit(0)))
     # repaired groups: exact re-aggregation from the base PINNED at
     # the target version(s), over only those groups (their key rows
     # come off the checkpointed join — no extra view scan)
@@ -843,7 +1074,8 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         base = repair_reader(key_rows)
         base_rows = base.join(F.broadcast(repair_keys),
                               on=keys, how="inner")
-        recomputed = _full_agg(base_rows, keys, measure_cols, scale)
+        recomputed = _full_agg(base_rows, keys, measure_cols, scale,
+                               distinct_cols)
         # groups repaired AWAY (no base rows left) need tombstones
         # too, or the merge would leave their stale view rows live
         erased = repair_keys.join(recomputed.select(*keys),
@@ -858,6 +1090,9 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
                 F.lit(None).cast(t).alias(f"min_{c}"),
                 F.lit(None).cast(t).alias(f"max_{c}"),
             ]
+        for c in distinct_cols:
+            tomb_cols.append(F.lit(0).cast("long")
+                             .alias(f"cntd_{c}"))
         upserts = arith.unionByName(recomputed) \
             .unionByName(erased.select(*tomb_cols))
     else:
@@ -956,7 +1191,13 @@ def matview_compact(spark: SparkSession, view_dir: str,
     rows. Returns the view's new version."""
     from cl_data_frame_spark.sources.snapshots import (
         snapshot_delete, snapshot_optimize, snapshot_read)
-    _read_meta(view_dir)          # fail loudly on a non-view
+    meta = _read_meta(view_dir)   # fail loudly on a non-view
+    for c in meta.get("distinct_cols") or ():
+        sd = _dstate_dir(view_dir, c)
+        if _plain(snapshot_read(spark, sd)) \
+                .where(F.col("dcnt") <= 0).limit(1).count():
+            snapshot_delete(spark, sd, [("dcnt", "<=", 0)])
+        snapshot_optimize(spark, sd, target_file_mb=target_file_mb)
     tombs = _plain(snapshot_read(spark, view_dir)) \
         .where(F.col("cnt") == 0).limit(1).count()
     if tombs:
@@ -989,4 +1230,6 @@ def matview_read(spark: SparkSession, view_dir: str,
             .alias(f"avg_{c}"),
             F.col(f"min_{c}"), F.col(f"max_{c}"),
         ]
+    for c in meta.get("distinct_cols") or ():
+        cols.append(F.col(f"cntd_{c}"))
     return SparkFrame(stored.select(*cols))
