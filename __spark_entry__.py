@@ -3411,18 +3411,28 @@ def _matview_build(spark, sf_dir, base_dir):
     from cl_data_frame_spark.sources.snapshots import (
         snapshot_update)
     li = (_t(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_returnflag",
-                  "l_quantity"))
+          .select("l_orderkey", "l_linenumber", "l_partkey",
+                  "l_returnflag", "l_quantity"))
     src = os.path.join(base_dir, "src")
     view = os.path.join(base_dir, "mv")
     dim = os.path.join(base_dir, "dim")
     viewj = os.path.join(base_dir, "mvj")
+    dim2 = os.path.join(base_dir, "dim2")
+    views = os.path.join(base_dir, "mvs")
+    viewd = os.path.join(base_dir, "mvd")
     snapshot_write(li.filter(F.col("l_quantity") <= 2)
                    .repartitionByRange(2, "l_orderkey"), src,
                    mode="append", stats_cols=["l_orderkey"],
                    num_files=2)
     matview_create(spark, src, view, keys="l_returnflag",
                    measure_cols=["l_quantity"], num_files=1)
+    # COUNT(DISTINCT) sibling (round 13): per-flag distinct orderkey
+    # count, exact via the per-value multiplicity state — the band
+    # delete below removes every row of the deleted orderkeys, the
+    # mass last-occurrence case
+    matview_create(spark, src, viewd, keys="l_returnflag",
+                   measure_cols=["l_quantity"],
+                   distinct_cols=["l_orderkey"], num_files=1)
     # delta-join IVM sibling: fact = the same DML'd slice, dim = the
     # orders status dimension; the view rolls l_quantity up by the
     # DIM attribute and is maintained from BOTH change feeds
@@ -3434,6 +3444,22 @@ def _matview_build(spark, sf_dir, base_dir):
                         on=("l_orderkey", "o_orderkey"),
                         keys="o_orderstatus",
                         measure_cols=["l_quantity"], num_files=1)
+    # 2-dim STAR sibling (round 13): fact ⋈ orders-status ⋈
+    # part-brand, grouped by BOTH dim attributes, created BEFORE any
+    # DML so the single final refresh consumes fact + dim1 + dim2
+    # changes in ONE interval — every telescoping cross term
+    # (ΔF⋈D1'⋈D2', F⋈ΔD1⋈D2', F⋈D1⋈ΔD2) under the oracle
+    from cl_data_frame_spark.operators.matview import (
+        matview_create_star)
+    snapshot_write(_t(spark, sf_dir, "part")
+                   .select("p_partkey", "p_brand"), dim2,
+                   mode="append", stats_cols=["p_partkey"],
+                   num_files=2)
+    matview_create_star(
+        spark, src, [(dim, ("l_orderkey", "o_orderkey")),
+                     (dim2, ("l_partkey", "p_partkey"))],
+        views, keys=["o_orderstatus", "p_brand"],
+        measure_cols=["l_quantity"], num_files=1)
     snapshot_write(li.filter(F.col("l_quantity") == 3)
                    .repartitionByRange(2, "l_orderkey"), src,
                    mode="append", stats_cols=["l_orderkey"],
@@ -3480,6 +3506,25 @@ def _matview_build(spark, sf_dir, base_dir):
              .select("o_orderstatus").collect()}
     assert "Z" in flags, \
         f"dim update must surface the flipped group: {flags}"
+    # dim2 DML: a brand flip over the low partkey half, then ONE
+    # star refresh consuming the fact appends + band delete + R
+    # erase, the dim1 status flip AND the dim2 brand flip together
+    cutp = int(_t(spark, sf_dir, "part")
+               .agg(F.floor(F.max("p_partkey") / 2))
+               .collect()[0][0])
+    snapshot_update(spark, dim2, where=[("p_partkey", "<=", cutp)],
+                    set_exprs={"p_brand": "'ZZZ'"})
+    rs = matview_refresh(spark, views)
+    assert rs["mode"] == "incremental", rs
+    sflags = {(r["o_orderstatus"], r["p_brand"]) for r in
+              matview_read(spark, views).spark_df
+              .select("o_orderstatus", "p_brand").collect()}
+    assert any(st == "Z" for st, _ in sflags) \
+        and any(br == "ZZZ" for _, br in sflags), \
+        f"star refresh must surface both flipped dims: {sflags}"
+    # the distinct view consumes the whole fact history in one go
+    rd = matview_refresh(spark, viewd)
+    assert rd["mode"] == "incremental", rd
     return v_mid
 
 
@@ -3530,7 +3575,34 @@ def _matview_parts(spark, sf_dir):
     c = _mv_long_form(
         matview_read(spark, os.path.join(base, "mvj")).spark_df,
         "mvjoin", key_col="o_orderstatus")
-    return a.unionByName(b).unionByName(c)
+    # mvstar (round 13): the 2-dim star view after DML on fact AND
+    # both dims in one refresh interval — the telescoping cross
+    # terms, hash-checked against DuckDB's full 3-way join recompute;
+    # the composite group key folds to 'status#brand'
+    d = _mv_long_form(
+        matview_read(spark, os.path.join(base, "mvs")).spark_df
+        .withColumn("skey", F.concat_ws(
+            "#", "o_orderstatus", "p_brand")), "mvstar",
+        key_col="skey")
+    # mvdistinct (round 13): exact COUNT(DISTINCT l_orderkey) per
+    # flag maintained via the per-value multiplicity state — the
+    # band delete removes every surviving row of each deleted
+    # orderkey (the mass last-occurrence case)
+    mvd = matview_read(
+        spark, os.path.join(base, "mvd")).spark_df
+    e = _tag(mvd.select(
+        F.col("l_returnflag").alias("flag"), "cnt",
+        F.lit("cntd").alias("metric"),
+        F.col("cntd_l_orderkey").cast("double").alias("val")),
+        "mvdistinct",
+        _BNULL().alias("k1"),
+        F.col("cnt").cast("bigint").alias("k2"),
+        F.col("val").alias("v"),
+        F.concat_ws("|", "flag", "metric").alias("s1"),
+        _BNULL().alias("vf"), _BNULL().alias("vt"),
+        F.lit(None).cast("int").alias("cur"))
+    return a.unionByName(b).unionByName(c).unionByName(d) \
+        .unionByName(e)
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -4491,7 +4563,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_functions": ["scalar", "collection", "scaling"],
     "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply",
-                       "mvmid", "mvread", "mvjoin"],
+                       "mvmid", "mvread", "mvjoin", "mvstar",
+                       "mvdistinct"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist", "hist2d", "fk",
@@ -4554,7 +4627,8 @@ def query_parts() -> dict[str, dict[str, Callable]]:
            for p in ("merge", "scd2", "incr", "diff", "pit",
                      "apply")},
         **{p: _part_filter(_matview_parts, p)
-           for p in ("mvmid", "mvread", "mvjoin")},
+           for p in ("mvmid", "mvread", "mvjoin", "mvstar",
+                     "mvdistinct")},
     }
     out["x_text_stats"] = {
         "quality": q_x_text_quality,
@@ -5470,7 +5544,78 @@ _ORACLES: dict[str, str] = {
             SELECT cnt, flag || '|sum' AS s1, sum_q AS v FROM gj
             UNION ALL SELECT cnt, flag || '|avg', avg_q FROM gj
             UNION ALL SELECT cnt, flag || '|min', min_q FROM gj
-            UNION ALL SELECT cnt, flag || '|max', max_q FROM gj)""",
+            UNION ALL SELECT cnt, flag || '|max', max_q FROM gj)
+        UNION ALL
+        -- mvstar: the 2-dim STAR view (fact slice JOIN orders-status
+        -- JOIN part-brand, grouped by BOTH dim attributes) after DML
+        -- on the fact AND both dims consumed in ONE refresh interval
+        -- (telescoping delta-join cross terms); key folds to
+        -- status#brand
+        SELECT 'mvstar', NULL::BIGINT AS k1, cnt::BIGINT AS k2, v, s1,
+               NULL::BIGINT AS vf, NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM (
+            WITH cuts AS (
+                SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+                FROM lineitem),
+            cuts2 AS (
+                SELECT floor(max(o_orderkey) * 3 / 4)::BIGINT AS c
+                FROM orders),
+            cutsp AS (
+                SELECT floor(max(p_partkey) / 2)::BIGINT AS c
+                FROM part),
+            dimsf AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey > (SELECT c FROM cuts2)
+                            THEN 'Z' ELSE o_orderstatus END AS st
+                FROM orders),
+            dimsp AS (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey <= (SELECT c FROM cutsp)
+                            THEN 'ZZZ' ELSE p_brand END AS br
+                FROM part),
+            fins AS (
+                SELECT d.st || '#' || p.br AS flag,
+                       l.l_quantity AS q
+                FROM lineitem l
+                JOIN dimsf d ON l.l_orderkey = d.o_orderkey
+                JOIN dimsp p ON l.l_partkey = p.p_partkey
+                WHERE l.l_quantity <= 3
+                  AND l.l_orderkey > (SELECT c FROM cuts)
+                  AND l.l_returnflag <> 'R'),
+            gs AS (
+                SELECT flag, count(*) AS cnt,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS sum_q,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE
+                           / count(q) AS avg_q,
+                       min(q)::DOUBLE AS min_q,
+                       max(q)::DOUBLE AS max_q
+                FROM fins GROUP BY flag)
+            SELECT cnt, flag || '|sum' AS s1, sum_q AS v FROM gs
+            UNION ALL SELECT cnt, flag || '|avg', avg_q FROM gs
+            UNION ALL SELECT cnt, flag || '|min', min_q FROM gs
+            UNION ALL SELECT cnt, flag || '|max', max_q FROM gs)
+        UNION ALL
+        -- mvdistinct: exact per-flag COUNT(DISTINCT l_orderkey)
+        -- maintained incrementally via the per-value multiplicity
+        -- state (the band delete is the mass last-occurrence case)
+        SELECT 'mvdistinct', NULL::BIGINT AS k1, cnt::BIGINT AS k2,
+               v, s1, NULL::BIGINT AS vf, NULL::BIGINT AS vt,
+               NULL::INT AS cur
+        FROM (
+            WITH cutd AS (
+                SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+                FROM lineitem),
+            find AS (
+                SELECT l_returnflag AS flag, l_orderkey AS ok
+                FROM lineitem
+                WHERE l_quantity <= 3
+                  AND l_orderkey > (SELECT c FROM cutd)
+                  AND l_returnflag <> 'R'),
+            gd AS (
+                SELECT flag, count(*) AS cnt,
+                       count(DISTINCT ok)::DOUBLE AS cd
+                FROM find GROUP BY flag)
+            SELECT cnt, flag || '|cntd' AS s1, cd AS v FROM gd)""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,
