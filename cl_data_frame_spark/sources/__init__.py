@@ -134,6 +134,53 @@ def read_binary(spark: SparkSession, path: str,
     return SparkFrame(reader.load(path))
 
 
+def curve_column(frame, zorder_by, bits: int = 16,
+                 curve: str = "zorder"):
+    """The space-filling-curve index over *zorder_by* as a Column:
+    each column min-max quantized to *bits* bits (one tiny agg
+    collects the bounds), then Morton-interleaved (or Hilbert for
+    exactly 2 columns). The building block ``write_parquet_zordered``
+    sorts on — exposed so other writers (e.g. the partition-
+    preserving OPTIMIZE) can cluster WITHIN their own layout."""
+    from pyspark.sql import functions as F
+
+    from ..partitioning import hilbert_value, zorder_value
+
+    sdf = _plain(frame)
+    cols = [zorder_by] if isinstance(zorder_by, str) \
+        else list(zorder_by)
+    bounds = sdf.agg(*[f(c).alias(f"{n}_{c}") for c in cols
+                       for n, f in (("mn", F.min),
+                                    ("mx", F.max))]).collect()[0]
+
+    def _num(v):
+        return v.timestamp() if hasattr(v, "timestamp") else float(v)
+
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        mn_d, mx_d = _num(mn), _num(mx)
+        span = (mx_d - mn_d) or 1.0
+        q = F.floor((F.col(c).cast("double") - F.lit(mn_d))
+                    * F.lit(top / span)).cast("bigint")
+        scaled.append(F.least(F.lit(top).cast("bigint"),
+                              F.greatest(F.lit(0).cast("bigint"),
+                                         q)))
+    if curve == "hilbert":
+        if len(scaled) != 2:
+            raise ValueError(
+                "curve='hilbert' requires exactly 2 columns")
+        return hilbert_value(scaled[0], scaled[1], bits=bits)
+    if curve == "zorder":
+        return zorder_value(scaled, bits=bits)
+    raise ValueError(f"curve must be 'zorder' or 'hilbert', "
+                     f"got {curve!r}")
+
+
 def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
                            num_files: int | None = None,
                            mode: str = "overwrite",
@@ -154,51 +201,13 @@ def write_parquet_zordered(frame, path: str, zorder_by, bits: int = 16,
     expression nodes for measurably tighter per-file boxes (no Morton
     diagonal jumps) — prefer it for hot 2-D layouts.
     """
-    from pyspark.sql import functions as F
-
-    from ..partitioning import (default_parallelism, hilbert_value,
-                                zorder_value)
+    from ..partitioning import default_parallelism
 
     sdf = _plain(frame)
-    cols = [zorder_by] if isinstance(zorder_by, str) else list(zorder_by)
-    bounds = sdf.agg(*[f(c).alias(f"{n}_{c}") for c in cols
-                       for n, f in (("mn", F.min), ("mx", F.max))]).collect()[0]
-
-    def _num(v):
-        # timestamps quantize on their epoch-seconds value (matching the
-        # column-side cast("double") below)
-        return v.timestamp() if hasattr(v, "timestamp") else float(v)
-
-    scaled = []
-    top = (1 << bits) - 1
-    for c in cols:
-        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-        if mn is None or mx is None:
-            # all-NULL z-column: no spread to order by — constant 0
-            scaled.append(F.lit(0).cast("bigint"))
-            continue
-        mn_d, mx_d = _num(mn), _num(mx)
-        span = (mx_d - mn_d) or 1.0
-        # scale in DOUBLE before flooring: (col - mn) * top in integer
-        # space silently wraps for wide ranges (e.g. a micros timestamp
-        # span > ~4.5 years already overflows int64 at bits=16); the
-        # double path loses only sub-cell precision, which quantization
-        # discards anyway. Clamp to [0, top] against rounding at the max
-        # edge; NULL values land in cell 0 (greatest skips NULLs).
-        q = F.floor((F.col(c).cast("double") - F.lit(mn_d))
-                    * F.lit(top / span)).cast("bigint")
-        scaled.append(F.least(F.lit(top).cast("bigint"),
-                              F.greatest(F.lit(0).cast("bigint"), q)))
+    # the scale-in-DOUBLE-before-flooring quantization (and its
+    # overflow/NULL notes) lives in curve_column
+    idx = curve_column(sdf, zorder_by, bits=bits, curve=curve)
     n = num_files or default_parallelism(sdf)
-    if curve == "hilbert":
-        if len(scaled) != 2:
-            raise ValueError("curve='hilbert' requires exactly 2 columns")
-        idx = hilbert_value(scaled[0], scaled[1], bits=bits)
-    elif curve == "zorder":
-        idx = zorder_value(scaled, bits=bits)
-    else:
-        raise ValueError(f"curve must be 'zorder' or 'hilbert', "
-                         f"got {curve!r}")
     (sdf.withColumn("__z__", idx)
      .repartitionByRange(n, "__z__")
      .sortWithinPartitions("__z__")

@@ -2190,14 +2190,21 @@ def _transform_admits(tag: str, op: str, value, p) -> bool:
 
 
 def _write_partitioned(sdf: DataFrame, table_dir: str, out_dir: str,
-                       partition_by, num_files: int | None
-                       ) -> tuple[list[str], dict]:
+                       partition_by, num_files: int | None,
+                       order_expr=None) -> tuple[list[str], dict]:
     """Hive-layout write via ``__part_<pname>=`` shadow columns (the
     real columns stay IN the data files); returns (relative file
     list, per-file partition tuples) for the manifest. Entries are
     identity column names or hidden-partitioning transform strings
     (``days(ts)`` / ``bucket(16, user_id)`` / ``truncate(4, url)`` —
-    see ``_parse_partition_entry``)."""
+    see ``_parse_partition_entry``).
+
+    ``order_expr`` clusters WITHIN the partition layout (the
+    spec-aware sticky-clustering path): rows range-partition on
+    (partition tuple, curve index) and sort within tasks, so a hive
+    directory's files carry tight, disjoint curve-column footer
+    ranges — tuple pruning AND z-order stats pruning both survive
+    the rewrite."""
     ftypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
     spec = [_parse_partition_entry(e, ftypes) for e in partition_by]
     w = sdf
@@ -2207,7 +2214,13 @@ def _write_partitioned(sdf: DataFrame, table_dir: str, out_dir: str,
         w = w.withColumn(pc, F.col(src) if expr is None else expr)
         pcols.append(pc)
         srcs.append(src)
-    if num_files:
+    if order_expr is not None:
+        w = w.withColumn("__zk__", order_expr) \
+            .repartitionByRange(max(num_files or 1, 1),
+                                *pcols, F.col("__zk__")) \
+            .sortWithinPartitions(*pcols, "__zk__") \
+            .drop("__zk__")
+    elif num_files:
         w = w.repartition(num_files, *pcols)
     with _micros_timestamps(w.sparkSession):
         w.write.partitionBy(*pcols).mode("error").parquet(out_dir)
@@ -3015,7 +3028,12 @@ def snapshot_optimize(spark: SparkSession, table_dir: str,
     (locality for later predicate pruning) and RECORDS the clustering
     in the manifest (Delta liquid-clustering shape): appends/DML
     carry it forward, and a later plain OPTIMIZE re-clusters on the
-    recorded columns; pass ``zorder_by=[]`` to clear it. File statistics are
+    recorded columns; pass ``zorder_by=[]`` to clear it. Clustering
+    is SPEC-AWARE (round 13): each partition-spec era clusters
+    within its own layout — partitioned eras keep their tuples and
+    range-split on (tuple, curve), so the tuple prune AND the
+    z-order stats prune both survive, on every side of a spec
+    change. File statistics are
     recollected for whatever columns the old manifest tracked, so
     data skipping keeps working across compactions. Readers pinned to
     older versions are untouched; ``vacuum`` reclaims the small files
@@ -3087,8 +3105,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     # (files with no tuple form the unpartitioned era) — and each era
     # rewrites under ITS OWN layout, so a nightly OPTIMIZE never
     # destroys metadata-exact pruning for either side of a spec
-    # change (zorder_by takes precedence: clustering replaces the
-    # partition layout by explicit request)
+    # change (clustering COMPOSES with the layout — see the
+    # spec-aware note below)
     new_parts: dict = {}
     new_files: list[str] = []
     pts = m.get("partitions") or {}
@@ -3105,45 +3123,57 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     else:
         sticky = m.get("cluster_by") or None
         eff_zorder = list(sticky) if sticky else None
-    if eff_zorder:
-        from cl_data_frame_spark.sources import write_parquet_zordered
-        sdf = _read_files_renamed(spark, table_dir, selected, m)
-        write_parquet_zordered(sdf, out_dir, list(eff_zorder),
-                               num_files=n_files, mode="error")
-        new_files = sorted(
-            os.path.join(rel_dir, f) for f in os.listdir(out_dir)
-            if f.endswith(".parquet"))
-    else:
-        by_spec: dict[tuple, list[str]] = {}
-        for f in selected:
-            ks = tuple(sorted(pts[f])) if pts.get(f) else ()
-            by_spec.setdefault(ks, []).append(f)
-        multi = len(by_spec) > 1
-        for gi, ks in enumerate(sorted(by_spec)):
-            gfiles = by_spec[ks]
-            gbytes = sum(os.path.getsize(
-                os.path.join(table_dir, f)) for f in gfiles)
-            if multi:
-                gn = max(1, round(n_files * gbytes
-                                  / max(1, total_bytes)))
-                grel = os.path.join(rel_dir, f"spec-{gi}")
-            else:
-                gn, grel = n_files, rel_dir
-            gdir = os.path.join(table_dir, grel)
-            gsdf = _read_files_renamed(spark, table_dir, gfiles, m)
-            if ks:
-                pcols = [_spec_from_tuple_key(k) for k in ks]
-                gf, gparts = _write_partitioned(
-                    gsdf, table_dir, gdir, pcols, gn)
-                new_files += gf
-                new_parts.update(gparts)
-            else:
-                with _micros_timestamps(spark):
-                    gsdf.coalesce(gn).write.mode("error") \
-                        .parquet(gdir)
-                new_files += sorted(
-                    os.path.join(grel, f) for f in os.listdir(gdir)
-                    if f.endswith(".parquet"))
+    # SPEC-AWARE clustering (round 13): z-order no longer flattens a
+    # partitioned table — every era (one per partition-spec the table
+    # has lived under) rewrites under ITS OWN layout, and when
+    # clustering is in effect the era's files additionally carry
+    # tight curve-column footer ranges (partitioned eras range-split
+    # on (tuple, curve) inside _write_partitioned; the unpartitioned
+    # era is the plain z-ordered write). A spec change therefore
+    # never degrades z-order pruning, and OPTIMIZE after it keeps
+    # BOTH the tuple prune and the stats prune per era.
+    by_spec: dict[tuple, list[str]] = {}
+    for f in selected:
+        ks = tuple(sorted(pts[f])) if pts.get(f) else ()
+        by_spec.setdefault(ks, []).append(f)
+    multi = len(by_spec) > 1
+    for gi, ks in enumerate(sorted(by_spec)):
+        gfiles = by_spec[ks]
+        gbytes = sum(os.path.getsize(
+            os.path.join(table_dir, f)) for f in gfiles)
+        if multi:
+            gn = max(1, round(n_files * gbytes
+                              / max(1, total_bytes)))
+            grel = os.path.join(rel_dir, f"spec-{gi}")
+        else:
+            gn, grel = n_files, rel_dir
+        gdir = os.path.join(table_dir, grel)
+        gsdf = _read_files_renamed(spark, table_dir, gfiles, m)
+        if eff_zorder and not ks:
+            from cl_data_frame_spark.sources import (
+                write_parquet_zordered)
+            write_parquet_zordered(gsdf, gdir, list(eff_zorder),
+                                   num_files=gn, mode="error")
+            new_files += sorted(
+                os.path.join(grel, f) for f in os.listdir(gdir)
+                if f.endswith(".parquet"))
+        elif ks:
+            pcols = [_spec_from_tuple_key(k) for k in ks]
+            zk = None
+            if eff_zorder:
+                from cl_data_frame_spark.sources import curve_column
+                zk = curve_column(gsdf, list(eff_zorder))
+            gf, gparts = _write_partitioned(
+                gsdf, table_dir, gdir, pcols, gn, order_expr=zk)
+            new_files += gf
+            new_parts.update(gparts)
+        else:
+            with _micros_timestamps(spark):
+                gsdf.coalesce(gn).write.mode("error") \
+                    .parquet(gdir)
+            new_files += sorted(
+                os.path.join(grel, f) for f in os.listdir(gdir)
+                if f.endswith(".parquet"))
     stats_cols = sorted({c for f in m["files"]
                          for c in (m.get("stats") or {}).get(f, {})})
     old_stats = m.get("stats") or {}
@@ -3417,7 +3447,11 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
     (``snapshot_version_since``), ``to_timestamp`` ends at the last
     commit at or before it (``snapshot_version_at``) — each mutually
     exclusive with its version twin. A ``from_timestamp`` newer than
-    all history yields an empty feed."""
+    all history yields an empty feed.
+
+    The whole range plans as ONE DataFrame; for a long interval on a
+    big table use ``snapshot_changes_paged`` — the same feed as
+    version-aligned, file-count-bounded chunks."""
     if from_timestamp is not None:
         if from_version is not None:
             raise ValueError(
@@ -3478,6 +3512,73 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
         + [c for c in extra_names if c in out.columns] \
         + ["_change_type", "_commit_version"]
     return SparkFrame(out.select(*ordered))
+
+
+def snapshot_changes_paged(spark: SparkSession, table_dir: str,
+                           from_version: int | None = None,
+                           to_version: int | None = None,
+                           max_files: int = 1000,
+                           from_timestamp=None,
+                           to_timestamp=None):
+    """The (*from*, *to*] change feed as a GENERATOR of
+    VERSION-ALIGNED chunks, each planning at most ~*max_files*
+    change/data files — the batch twin of the streaming source's
+    ``maxFilesPerBatch`` admission rule: walk the versions in order,
+    admit each version's files (added data files + materialized
+    change files, O(#versions) manifest metadata) while the running
+    total stays under the cap, and never split a version (a single
+    giant commit still arrives whole — the VERSION is the
+    consistency unit, exactly as in the streaming source). Each
+    chunk is the exact ``snapshot_changes`` frame for its sub-range,
+    so concatenating every chunk reproduces the unchunked feed
+    row-for-row — but a year of commits on a 100 TB table plans as
+    bounded jobs instead of one giant union.
+
+    Same bound resolution as ``snapshot_changes`` (version ints or
+    timestamp twins, mutually exclusive)."""
+    if max_files < 1:
+        raise ValueError("max_files must be >= 1")
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass from_version or from_timestamp, not both")
+        since = snapshot_version_since(table_dir, from_timestamp)
+        from_version = since - 1 if since is not None \
+            else _latest_version(table_dir)
+    if from_version is None:
+        raise ValueError(
+            "snapshot_changes_paged requires from_version or "
+            "from_timestamp")
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "pass to_version or to_timestamp, not both")
+        to_version = snapshot_version_at(table_dir, to_timestamp)
+    if to_version is None:
+        to_version = _latest_version(table_dir)
+        if to_version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+    v = int(from_version)
+    while v < to_version:
+        total, end = 0, v
+        for w in range(v + 1, to_version + 1):
+            m = _read_manifest(table_dir, w)
+            parent = m.get("parent")
+            pfiles = set(
+                _read_manifest(table_dir, parent)["files"]) \
+                if parent is not None else set()
+            n_new = sum(1 for f in m["files"] if f not in pfiles) \
+                + len((m.get("cdc") or {}).get("files") or ())
+            if total and total + n_new > max_files:
+                break
+            total += n_new
+            end = w
+            if total >= max_files:
+                break
+        yield snapshot_changes(spark, table_dir, from_version=v,
+                               to_version=end)
+        v = end
 
 
 def _classify_changes(old_side: DataFrame | None,

@@ -3701,7 +3701,9 @@ class TestPartitionSpecEvolution:
         S.snapshot_optimize(spark, t, zorder_by=["k"])
         d2 = S.snapshot_detail(t)
         assert d2["cluster_by"] == ["k"]
-        assert d2["partition_specs"] == []   # zorder replaced layout
+        # round 13: clustering is spec-aware — it composes with the
+        # partition layout instead of replacing it
+        assert d2["partition_specs"] == [("g",), ("truncate(2, u)",)]
 
     def test_mixed_with_unpartitioned_era(self, spark, tmp_path):
         from pyspark.sql import functions as F
@@ -4355,3 +4357,161 @@ class TestStateCacheBound:
         assert ("/t/c", 2) in S._STATE_CACHE
         assert len(S._STATE_CACHE) == 1
         S._STATE_CACHE.clear()
+
+
+class TestSnapshotChangesPaged:
+    """Round 13: the batch feed's bounded twin — version-aligned
+    chunks under a max_files admission, matching the streaming
+    source's maxFilesPerBatch rule; chunked concat == unchunked feed
+    row-for-row."""
+
+    def _history(self, spark, t):
+        from cl_data_frame_spark.sources import snapshots as S
+        S.snapshot_write(
+            spark.range(60).selectExpr("id AS k", "id * 2 AS v")
+            .repartitionByRange(3, "k"), t, stats_cols=["k"],
+            num_files=3)
+        S.snapshot_write(
+            spark.range(60, 90).selectExpr("id AS k", "id AS v")
+            .repartition(2), t, mode="append", num_files=2)
+        S.snapshot_merge(
+            spark, t, spark.createDataFrame(
+                [(5, 555), (500, 1)], "k bigint, v bigint"), on="k")
+        S.snapshot_delete(spark, t, [("k", "<", 10)])
+        S.snapshot_update(spark, t, [("k", "==", 40)], {"v": "7"})
+        S.snapshot_optimize(spark, t)
+        S.snapshot_write(
+            spark.range(200, 210).selectExpr("id AS k", "id AS v"),
+            t, mode="append", num_files=1)
+
+    @staticmethod
+    def _rows(df):
+        return sorted((r["_commit_version"], r["_change_type"],
+                       r["k"], r["v"]) for r in df.collect())
+
+    def test_chunked_concat_equals_unchunked(self, spark, tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "paged")
+        self._history(spark, t)
+        full = self._rows(S.snapshot_changes(spark, t, 0).spark_df)
+        for mf in (1, 2, 4, 100):
+            chunks = list(S.snapshot_changes_paged(
+                spark, t, 0, max_files=mf))
+            got = sorted(x for ch in chunks
+                         for x in self._rows(ch.spark_df))
+            assert got == full, mf
+            if mf == 1:
+                # one version per chunk at the tightest cap (every
+                # version here adds at least one file)
+                assert len(chunks) >= 5
+            if mf == 100:
+                assert len(chunks) == 1
+
+    def test_version_alignment_never_splits_a_commit(self, spark,
+                                                     tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "paged2")
+        self._history(spark, t)
+        for ch in S.snapshot_changes_paged(spark, t, 0, max_files=2):
+            vs = [r["_commit_version"] for r in
+                  ch.spark_df.select("_commit_version").distinct()
+                  .collect()]
+            # each commit's rows land in exactly one chunk: ranges
+            # are contiguous version intervals
+            assert vs == sorted(vs)
+        # bounded sub-range honors to_version
+        sub = list(S.snapshot_changes_paged(spark, t, 2,
+                                            to_version=4,
+                                            max_files=1))
+        vs = sorted(r["_commit_version"] for ch in sub
+                    for r in ch.spark_df.collect())
+        assert set(vs) <= {3, 4} and vs
+
+    def test_bad_args(self, spark, tmp_path):
+        import pytest
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "paged3")
+        self._history(spark, t)
+        with pytest.raises(ValueError, match="max_files"):
+            list(S.snapshot_changes_paged(spark, t, 0, max_files=0))
+        with pytest.raises(ValueError, match="from_version"):
+            list(S.snapshot_changes_paged(spark, t))
+
+
+class TestSpecAwareClustering:
+    """Round 13: sticky clustering composes with partition-spec eras
+    — a z-ordered OPTIMIZE on a mixed-spec table keeps every era's
+    partition tuples AND gives its files tight curve-column footer
+    ranges, so both prunes fire post-rewrite."""
+
+    def test_mixed_spec_zorder_keeps_both_prunes(self, spark,
+                                                 tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "specz")
+        df = TestPartitionSpecEvolution._mixed(spark, S, t)
+        v = S.snapshot_optimize(spark, t, zorder_by=["k"],
+                                num_files=12)
+        m = S._read_manifest(t, v)
+        pts = m.get("partitions") or {}
+        keysets = {tuple(sorted(pt)) for pt in pts.values()}
+        # both partitioned eras survive the clustered rewrite
+        assert ("g",) in keysets and ("u__trunc_2",) in keysets
+        n_all = len(m["files"])
+        # tuple prune still fires per era
+        assert 0 < len(S.snapshot_scan_files(
+            t, where=[("g", "==", 1)])) < n_all
+        assert 0 < len(S.snapshot_scan_files(
+            t, where=[("u", "==", 5)])) < n_all
+        # ... AND the z-order stats prune fires on the curve column
+        hit_k = S.snapshot_scan_files(t, where=[("k", "<", 40)])
+        assert 0 < len(hit_k) < n_all
+        # rows exactly preserved through the clustered rewrite
+        assert S.snapshot_read(spark, t).nrow == 600
+        exp = df.where(F.col("k") < 40).count()
+        assert S.snapshot_read(spark, t,
+                               where=[("k", "<", 40)]).nrow == exp
+        # sticky: a later PLAIN optimize re-clusters per era too
+        S.snapshot_write(spark.range(600, 700).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+            (F.col("id") % 7).alias("u")), t, stats_cols=["k"])
+        v2 = S.snapshot_optimize(spark, t, num_files=12)
+        m2 = S._read_manifest(t, v2)
+        assert m2.get("cluster_by") == ["k"]
+        keysets2 = {tuple(sorted(pt)) for pt in
+                    (m2.get("partitions") or {}).values()}
+        assert ("g",) in keysets2 and ("u__trunc_2",) in keysets2
+        assert S.snapshot_read(spark, t).nrow == 700
+        assert 0 < len(S.snapshot_scan_files(
+            t, where=[("k", "<", 40)])) < len(m2["files"])
+
+    def test_partitioned_era_files_are_curve_tight(self, spark,
+                                                   tmp_path):
+        """Within one hive partition dir, multiple files carry
+        DISJOINT curve-column ranges (the range-split on
+        (tuple, curve)) — the file-level stats prune this buys."""
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "speczt")
+        S.snapshot_write(
+            spark.range(4000).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).alias("g")),
+            t, partition_by=["g"], stats_cols=["k"])
+        v = S.snapshot_optimize(spark, t, zorder_by=["k"],
+                                num_files=8)
+        m = S._read_manifest(t, v)
+        stats = m.get("stats") or {}
+        pts = m.get("partitions") or {}
+        by_part: dict = {}
+        for f in m["files"]:
+            g = (pts.get(f) or {}).get("g")
+            ks = stats.get(f, {}).get("k") or {}
+            if ks.get("min") is not None:
+                by_part.setdefault(g, []).append(
+                    (int(ks["min"]), int(ks["max"])))
+        for g, rngs in by_part.items():
+            rngs.sort()
+            assert len(rngs) >= 2, (g, rngs)
+            for (a_lo, a_hi), (b_lo, b_hi) in zip(rngs, rngs[1:]):
+                assert a_hi < b_lo, (g, rngs)  # disjoint k ranges
