@@ -302,3 +302,54 @@ class TestStarViewRandomizedParity:
                 op()
             matview_refresh(spark, view)
             _parity(spark, fact, d1, d2, view, f"step-{step}")
+
+
+class TestFullScanFlagSurfaced:
+    """Round 13: the 10k-key IN-prune cap on dim-delta fact reads is
+    no longer silent — the refresh summary carries
+    ``fact_full_scan`` / ``pruned_keys`` so an operator can see WHY
+    a refresh got slow."""
+
+    def test_small_delta_reports_pruned_keys(self, spark, tmp_path):
+        fact, d1, d2, view = _mk(tmp_path, "flag1")
+        _seed(spark, fact, d1, d2)
+        matview_create_star(
+            spark, fact, [(d1, "uk"), (d2, "pk")], view,
+            keys=["useg", "pcat"], measure_cols=["val"])
+        snapshot_update(spark, d1, [("uk", "==", 2)],
+                        {"useg": "'uZ'"})
+        s = matview_refresh(spark, view)
+        assert s["mode"] == "incremental"
+        assert s["fact_full_scan"] is False
+        assert s["pruned_keys"] == 1
+
+    def test_over_cap_delta_reports_full_scan(self, spark,
+                                              tmp_path):
+        fact = str(tmp_path / "bigf")
+        dim = str(tmp_path / "bigd")
+        view = str(tmp_path / "bigmv")
+        n = 10_500                  # > the 10k IN-prune cap
+        f = spark.range(n).selectExpr(
+            "CAST(id AS INT) AS id", "CAST(id AS INT) AS uk",
+            "CAST(id % 7 AS DOUBLE) AS val")
+        u = spark.range(n).selectExpr(
+            "CAST(id AS INT) AS uk",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS useg")
+        snapshot_write(SparkFrame(f), fact, mode="overwrite",
+                       stats_cols=["uk"])
+        snapshot_write(SparkFrame(u), dim, mode="overwrite",
+                       stats_cols=["uk"])
+        from cl_data_frame_spark.operators.matview import (
+            matview_create_join)
+        matview_create_join(spark, fact, dim, view, on="uk",
+                            keys="useg", measure_cols=["val"])
+        # touch EVERY dim row in one commit -> 10.5k delta keys
+        snapshot_update(spark, dim, [("uk", ">=", 0)],
+                        {"useg": "concat(useg, 'x')"})
+        s = matview_refresh(spark, view)
+        assert s["mode"] == "incremental"
+        assert s["fact_full_scan"] is True
+        # parity still exact through the full-scan fallback
+        got = {r["useg"]: r["cnt"] for r in
+               matview_read(spark, view).spark_df.collect()}
+        assert got == {"ax": (n + 1) // 2, "bx": n // 2}
