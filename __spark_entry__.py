@@ -3592,8 +3592,13 @@ def _matview_parts(spark, sf_dir):
         spark, os.path.join(base, "mvd")).spark_df
     e = _tag(mvd.select(
         F.col("l_returnflag").alias("flag"), "cnt",
-        F.lit("cntd").alias("metric"),
-        F.col("cntd_l_orderkey").cast("double").alias("val")),
+        F.explode(F.create_map(
+            F.lit("cntd"),
+            F.col("cntd_l_orderkey").cast("double"),
+            F.lit("sumd"),
+            F.col("sumd_l_orderkey").cast("double"),
+            F.lit("avgd"), F.col("avgd_l_orderkey"),
+        )).alias("metric", "val")),
         "mvdistinct",
         _BNULL().alias("k1"),
         F.col("cnt").cast("bigint").alias("k2"),
@@ -5595,9 +5600,12 @@ _ORACLES: dict[str, str] = {
             UNION ALL SELECT cnt, flag || '|min', min_q FROM gs
             UNION ALL SELECT cnt, flag || '|max', max_q FROM gs)
         UNION ALL
-        -- mvdistinct: exact per-flag COUNT(DISTINCT l_orderkey)
-        -- maintained incrementally via the per-value multiplicity
-        -- state (the band delete is the mass last-occurrence case)
+        -- mvdistinct: exact per-flag COUNT(DISTINCT l_orderkey) /
+        -- SUM(DISTINCT) / AVG(DISTINCT) maintained incrementally via
+        -- the per-value multiplicity state (the band delete is the
+        -- mass last-occurrence case); sumd accumulates each distinct
+        -- value as DECIMAL(28,6) exactly, avgd = double(sumd)/cntd —
+        -- both sides derive from the same exact decimal
         SELECT 'mvdistinct', NULL::BIGINT AS k1, cnt::BIGINT AS k2,
                v, s1, NULL::BIGINT AS vf, NULL::BIGINT AS vt,
                NULL::INT AS cur
@@ -5613,9 +5621,16 @@ _ORACLES: dict[str, str] = {
                   AND l_returnflag <> 'R'),
             gd AS (
                 SELECT flag, count(*) AS cnt,
-                       count(DISTINCT ok)::DOUBLE AS cd
+                       count(DISTINCT ok)::DOUBLE AS cd,
+                       sum(DISTINCT ok::DECIMAL(28,6))
+                           ::DECIMAL(38,6)::DOUBLE AS sd,
+                       sum(DISTINCT ok::DECIMAL(28,6))
+                           ::DECIMAL(38,6)::DOUBLE
+                           / count(DISTINCT ok) AS ad
                 FROM find GROUP BY flag)
-            SELECT cnt, flag || '|cntd' AS s1, cd AS v FROM gd)""",
+            SELECT cnt, flag || '|cntd' AS s1, cd AS v FROM gd
+            UNION ALL SELECT cnt, flag || '|sumd', sd FROM gd
+            UNION ALL SELECT cnt, flag || '|avgd', ad FROM gd)""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,

@@ -119,7 +119,14 @@ def _full_agg(sdf: DataFrame, keys: list[str],
     per group ``cnt`` plus, per measure c, exact-decimal ``sum_c``,
     non-null count ``nn_c``, and ``min_c``/``max_c``; per distinct
     column d, exact ``cntd_d`` (COUNT(DISTINCT d), NULLs ignored —
-    SQL semantics; an empty/all-NULL group counts 0)."""
+    SQL semantics; an empty/all-NULL group counts 0) and ``sumd_d``
+    (SUM over the group's DISTINCT stored values — distinctness on
+    the stored value, each cast to the exact decimal before the sum;
+    NULL when no non-NULL value exists, matching SUM(DISTINCT)).
+    The distinct family computes through the same per-(group, value)
+    rollup the state tables store (``_dstate_build``), so the
+    create/repair path and the incremental absolute-read path agree
+    bit-for-bit."""
     sum_t = _SUM_T.format(s=scale)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for c in measure_cols:
@@ -131,10 +138,26 @@ def _full_agg(sdf: DataFrame, keys: list[str],
             F.min(F.col(c)).alias(f"min_{c}"),
             F.max(F.col(c)).alias(f"max_{c}"),
         ]
+    out = sdf.groupBy(*keys).agg(*aggs)
     for c in distinct_cols:
-        aggs.append(F.countDistinct(F.col(c)).cast("long")
-                    .alias(f"cntd_{c}"))
-    return sdf.groupBy(*keys).agg(*aggs)
+        d = _dstate_rollup(_dstate_build(sdf, keys, c), keys, c,
+                           scale)
+        out = out.join(d, on=keys, how="left").withColumn(
+            f"cntd_{c}",
+            F.coalesce(F.col(f"cntd_{c}"), F.lit(0)))
+    return out
+
+
+def _dstate_rollup(state: DataFrame, keys: list[str], c: str,
+                   scale: int) -> DataFrame:
+    """Per-group distinct aggregates from live per-value state rows:
+    ``cntd_c`` (live-value count) and exact-decimal ``sumd_c`` (sum
+    of the distinct values)."""
+    sum_t = _SUM_T.format(s=scale)
+    return state.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias(f"cntd_{c}"),
+        F.sum(F.col(c).cast(f"decimal(28,{scale})")).cast(sum_t)
+        .alias(f"sumd_{c}"))
 
 
 def _dstate_dir(view_dir: str, c: str) -> str:
@@ -249,8 +272,11 @@ def matview_create(spark: SparkSession, source_dir: str,
     delta handles naturally (one side contributes, the other
     vanishes).
 
-    ``distinct_cols`` adds EXACT per-group ``cntd_c`` measures
-    (COUNT(DISTINCT c), SQL NULL semantics). Distinct cardinality is
+    ``distinct_cols`` adds EXACT per-group distinct measures:
+    ``cntd_c`` (COUNT(DISTINCT c), SQL NULL semantics), ``sumd_c``
+    (exact-decimal SUM over the group's distinct values), and — at
+    read — ``avgd_c`` (AVG(DISTINCT), derived as double(sumd)/cntd
+    so both oracle sides are bit-identical). Distinct cardinality is
     not self-maintainable from the view row alone, so each such
     column gets a companion per-(group, value) multiplicity STATE
     table under ``view_dir/_distinct/<c>`` (the Gupta-Mumick
@@ -997,8 +1023,7 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
             st = _plain(snapshot_read(
                 spark, _dstate_dir(view_dir, c), where=prune)) \
                 .where(F.col("dcnt") > 0)
-            cntd_abs[c] = st.groupBy(*keys).agg(
-                F.count(F.lit(1)).cast("long").alias(f"cntd_{c}"))
+            cntd_abs[c] = _dstate_rollup(st, keys, c, scale)
     view = _plain(snapshot_read(spark, view_dir))
     stored_types = dict(view.dtypes)
     # current view rows for ONLY the touched groups (broadcast
@@ -1029,7 +1054,8 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
             | (dmin <= vmin) | (dmax >= vmax)))
     stored_cols = ["cnt"] + [f"{p}_{c}" for c in measure_cols
                              for p in ("sum", "nn", "min", "max")] \
-        + [f"cntd_{c}" for c in distinct_cols]
+        + [f"{p}_{c}" for c in distinct_cols
+           for p in ("cntd", "sumd")]
     # arithmetic path (no deleted extreme): counts and exact-decimal
     # sums add; inserted values can only improve min/max (F.least /
     # F.greatest skip NULLs, so a fresh group takes the added extreme)
@@ -1055,9 +1081,10 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         ]
     arith = j.where(~repair).select(*arith_cols)
     for c in distinct_cols:
-        # absolute live-value counts for the touched groups; a
+        # absolute live-value aggregates for the touched groups; a
         # touched group with no live state rows counts 0 (SQL:
-        # COUNT(DISTINCT) over empty/all-NULL is 0, not NULL)
+        # COUNT(DISTINCT) over empty/all-NULL is 0, not NULL) with a
+        # NULL distinct-sum (SUM(DISTINCT) over empty is NULL)
         arith = arith.join(cntd_abs[c], on=keys, how="left") \
             .withColumn(f"cntd_{c}",
                         F.coalesce(F.col(f"cntd_{c}"), F.lit(0)))
@@ -1091,8 +1118,10 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
                 F.lit(None).cast(t).alias(f"max_{c}"),
             ]
         for c in distinct_cols:
-            tomb_cols.append(F.lit(0).cast("long")
-                             .alias(f"cntd_{c}"))
+            tomb_cols += [
+                F.lit(0).cast("long").alias(f"cntd_{c}"),
+                F.lit(None).cast(sum_t).alias(f"sumd_{c}"),
+            ]
         upserts = arith.unionByName(recomputed) \
             .unionByName(erased.select(*tomb_cols))
     else:
@@ -1231,5 +1260,11 @@ def matview_read(spark: SparkSession, view_dir: str,
             F.col(f"min_{c}"), F.col(f"max_{c}"),
         ]
     for c in meta.get("distinct_cols") or ():
-        cols.append(F.col(f"cntd_{c}"))
+        cd = F.col(f"cntd_{c}")
+        cols += [
+            cd,
+            F.col(f"sumd_{c}"),
+            F.when(cd > 0, F.col(f"sumd_{c}").cast("double") / cd)
+            .alias(f"avgd_{c}"),
+        ]
     return SparkFrame(stored.select(*cols))

@@ -31,16 +31,30 @@ def _expected(spark, src, where=None):
     base = snapshot_read(spark, src).spark_df
     if where:
         base = base.where(where)
-    return {r["grp"]: (r["cnt"], r["cntd"]) for r in
-            base.groupBy("grp").agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.countDistinct("val").alias("cntd")).collect()}
+    cnts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt"))
+    # the distinct family recomputed from first principles: distinct
+    # (grp, val) pairs, exact-decimal sum, avg = double(sum)/count
+    d = (base.where(F.col("val").isNotNull())
+         .select("grp", "val").distinct().groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("cntd"),
+              F.sum(F.col("val").cast("decimal(28,6)"))
+              .cast("decimal(38,6)").alias("sumd")))
+    j = cnts.join(d, on="grp", how="left")
+    out = {}
+    for r in j.collect():
+        cntd = r["cntd"] or 0
+        sumd = r["sumd"]
+        avgd = (float(sumd) / cntd) if cntd else None
+        out[r["grp"]] = (r["cnt"], cntd, sumd, avgd)
+    return out
 
 
 def _got(spark, view):
-    return {r["grp"]: (r["cnt"], r["cntd_val"]) for r in
+    return {r["grp"]: (r["cnt"], r["cntd_val"], r["sumd_val"],
+                       r["avgd_val"]) for r in
             matview_read(spark, view).spark_df
-            .select("grp", "cnt", "cntd_val").collect()}
+            .select("grp", "cnt", "cntd_val", "sumd_val",
+                    "avgd_val").collect()}
 
 
 def _parity(spark, src, view, tag="", where=None):
@@ -65,8 +79,8 @@ class TestDistinctSingleSource:
                        measure_cols=["val"],
                        distinct_cols=["val"])
         _parity(spark, src, view, "create")
-        assert _got(spark, view)["g0"] == (3, 2)
-        assert _got(spark, view)["g2"] == (2, 0)
+        assert _got(spark, view)["g0"][:2] == (3, 2)
+        assert _got(spark, view)["g2"][:2] == (2, 0)
         # delete id=2: removes g0's LAST occurrence of 2.0 -> cntd 1
         snapshot_delete(spark, src, [("id", "==", 2)])
         # delete id=0: one of two 1.0 rows stays -> cntd still 1
@@ -74,7 +88,7 @@ class TestDistinctSingleSource:
         s = matview_refresh(spark, view)
         assert s["mode"] == "incremental"
         _parity(spark, src, view, "deletes")
-        assert _got(spark, view)["g0"] == (1, 1)
+        assert _got(spark, view)["g0"][:2] == (1, 1)
 
     def test_update_moves_value_and_group_erased(self, spark,
                                                  tmp_path):
@@ -90,7 +104,7 @@ class TestDistinctSingleSource:
                         {"val": "7.0"})
         matview_refresh(spark, view)
         _parity(spark, src, view, "update")
-        assert _got(spark, view)["g0"] == (6, 1)
+        assert _got(spark, view)["g0"][:2] == (6, 1)
         # erase g1 entirely -> tombstone; its state rows go to 0
         snapshot_delete(spark, src, [("grp", "==", "g1")])
         matview_refresh(spark, view)
@@ -102,7 +116,7 @@ class TestDistinctSingleSource:
             "id int, grp string, val double")), src, mode="append")
         matview_refresh(spark, view)
         _parity(spark, src, view, "resurrect")
-        assert _got(spark, view)["g1"] == (2, 1)
+        assert _got(spark, view)["g1"][:2] == (2, 1)
 
     def test_mixed_history_parity_and_idempotence(self, spark,
                                                   tmp_path):
@@ -176,7 +190,7 @@ class TestDistinctSingleSource:
         assert snapshot_txn_version(view, "matview") == 1
         matview_refresh(spark, view)
         _parity(spark, src, view, "replay")
-        assert _got(spark, view)["g0"] == (6, 2)
+        assert _got(spark, view)["g0"][:2] == (6, 2)
 
     def test_compact_preserves_parity(self, spark, tmp_path):
         src = str(tmp_path / "src5")
