@@ -100,6 +100,22 @@ def main() -> None:
     dict_peak = tracemalloc.get_traced_memory()[1]
     tracemalloc.stop()
 
+    # STATE-CACHE BOUND (round-13 directive): the reconstructed-state
+    # LRU is capped by TOTAL cached files, and a state above
+    # _STATE_CACHE_ENTRY_MAX_FILES never caches at all — so repeated
+    # reads of giant tables keep driver RSS flat instead of pinning
+    # a deep-copied ~GB dict per table. Measured as the high-water
+    # RSS after the first full reconstruction vs after 4 more: with
+    # the bound they are equal (the dict is garbage after each call).
+    import resource
+    S._STATE_CACHE.clear()
+    S._read_manifest(t, 21)
+    rss_first = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    for _ in range(4):
+        S._read_manifest(t, 21)
+    rss_repeat = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    cached_entries = len(S._STATE_CACHE)
+
     print(json.dumps({
         "n_files": n,
         "ckpt_bytes": ckpt_bytes,
@@ -110,6 +126,11 @@ def main() -> None:
         "dnf_peak_mb": round(dnf_peak / 1e6, 1),
         "dict_reconstruct_sec": round(dict_s, 3),
         "dict_peak_mb": round(dict_peak / 1e6, 1),
+        "cache_entry_max_files": S._STATE_CACHE_ENTRY_MAX_FILES,
+        "cache_total_max_files": S._STATE_CACHE_MAX_FILES,
+        "cache_entries_after_5_reads": cached_entries,
+        "rss_after_first_read_mb": round(rss_first / 1024, 1),
+        "rss_after_5_reads_mb": round(rss_repeat / 1024, 1),
     }))
 
 
