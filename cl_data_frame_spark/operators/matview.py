@@ -568,6 +568,66 @@ def matview_refresh(spark: SparkSession, view_dir: str,
         f"times in {view_dir} (pathological contention): {last}")
 
 
+def matview_refresh_chunked(spark: SparkSession, view_dir: str,
+                            to_version=None,
+                            max_feed_files: int = 1000
+                            ) -> list[dict]:
+    """CATCH-UP refresh with bounded per-commit work: the source
+    change interval is walked in version-aligned chunks under the
+    same *max_feed_files* admission rule as
+    ``snapshot_changes_paged`` / the streaming source's
+    ``maxFilesPerBatch``, and each chunk is one ordinary
+    (exactly-once, CAS-protected) ``matview_refresh`` commit — a
+    view a year behind catches up as a sequence of bounded jobs
+    instead of planning the whole year at once, and a crash mid
+    catch-up resumes from the last committed chunk's watermark for
+    free. Star views chunk the FACT feed (dims pinned at their
+    applied versions — every intermediate state is the consistent
+    view at (fact_chunk, dims_old)) and advance the dims in one
+    final refresh. Returns the list of per-chunk summaries."""
+    from cl_data_frame_spark.sources.snapshots import (
+        _latest_version, snapshot_change_chunks,
+        snapshot_txn_version)
+    meta = _read_meta(view_dir)
+    out: list[dict] = []
+    if meta.get("kind") in ("join", "star"):
+        sm = _star_meta(meta)
+        fact_dir = sm["fact_dir"]
+        fa = snapshot_txn_version(view_dir, _F_APP)
+        fa = int(sm["fact_version"]) if fa is None else fa
+        das = []
+        for i, sp in enumerate(sm["dims"]):
+            da = snapshot_txn_version(view_dir, _dim_app(i))
+            das.append(int(sp["version"]) if da is None else da)
+        ft, _dts = _star_targets(
+            to_version, _latest_version(fact_dir),
+            [_latest_version(sp["dir"]) for sp in sm["dims"]])
+        for end in snapshot_change_chunks(fact_dir, fa,
+                                          max(ft, fa),
+                                          max_feed_files):
+            out.append(matview_refresh(
+                spark, view_dir, to_version=(end, *das)))
+        out.append(matview_refresh(spark, view_dir,
+                                   to_version=to_version))
+        return out
+    src_dir = meta["source_dir"]
+    applied = snapshot_txn_version(view_dir, _APP_ID)
+    if applied is None:
+        applied = int(meta["source_version"])
+    target = to_version if to_version is not None \
+        else _latest_version(src_dir)
+    if target is None:
+        raise FileNotFoundError(f"no snapshot versions in {src_dir}")
+    for end in snapshot_change_chunks(src_dir, applied,
+                                      max(target, applied),
+                                      max_feed_files):
+        out.append(matview_refresh(spark, view_dir, to_version=end))
+    if not out:
+        out.append(matview_refresh(spark, view_dir,
+                                   to_version=target))
+    return out
+
+
 def _refresh_once(spark: SparkSession, view_dir: str,
                   to_version) -> dict:
     meta = _read_meta(view_dir)

@@ -3559,6 +3559,27 @@ def snapshot_changes_paged(spark: SparkSession, table_dir: str,
         if to_version is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {table_dir}")
+    bounds = snapshot_change_chunks(table_dir, from_version,
+                                    to_version, max_files)
+    v = int(from_version)
+    for end in bounds:
+        yield snapshot_changes(spark, table_dir, from_version=v,
+                               to_version=end)
+        v = end
+
+
+def snapshot_change_chunks(table_dir: str, from_version: int,
+                           to_version: int,
+                           max_files: int) -> list[int]:
+    """Version-aligned chunk END boundaries for the (*from*, *to*]
+    change interval under the *max_files* admission rule (added data
+    files + materialized change files per version, O(#versions)
+    manifest metadata; a version is never split). The shared walk
+    behind ``snapshot_changes_paged`` and the chunked matview
+    catch-up."""
+    if max_files < 1:
+        raise ValueError("max_files must be >= 1")
+    bounds: list[int] = []
     v = int(from_version)
     while v < to_version:
         total, end = 0, v
@@ -3576,9 +3597,9 @@ def snapshot_changes_paged(spark: SparkSession, table_dir: str,
             end = w
             if total >= max_files:
                 break
-        yield snapshot_changes(spark, table_dir, from_version=v,
-                               to_version=end)
+        bounds.append(end)
         v = end
+    return bounds
 
 
 def _classify_changes(old_side: DataFrame | None,

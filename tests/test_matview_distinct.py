@@ -299,3 +299,78 @@ class TestDistinctJoinView:
         assert os.path.isdir(sd)
         st = snapshot_read(spark, sd).spark_df
         assert set(st.columns) == {"grp", "val", "dcnt"}
+
+
+class TestChunkedCatchUp:
+    """Round 13: matview_refresh_chunked — bounded catch-up, one
+    exactly-once commit per version-aligned feed chunk."""
+
+    def test_single_source_chunked_equals_direct(self, spark,
+                                                 tmp_path):
+        from cl_data_frame_spark.operators.matview import (
+            matview_refresh_chunked)
+        src = str(tmp_path / "csrc")
+        view = str(tmp_path / "cmv")
+        _seed(spark, src, [(i, f"g{i % 3}", float(i % 4))
+                           for i in range(24)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"],
+                       distinct_cols=["val"])
+        # a 5-commit history to catch up over
+        for step in range(3):
+            snapshot_write(SparkFrame(spark.createDataFrame(
+                [(100 + 10 * step + j, f"g{j % 3}",
+                  float(j % 5)) for j in range(5)],
+                "id int, grp string, val double")), src,
+                mode="append")
+        snapshot_delete(spark, src, [("val", "==", 1.0)])
+        snapshot_update(spark, src, [("val", "==", 3.0)],
+                        {"val": "2.0"})
+        summaries = matview_refresh_chunked(spark, view,
+                                            max_feed_files=1)
+        assert len(summaries) >= 3          # several bounded commits
+        assert all(s["mode"] in ("incremental", "empty", "noop")
+                   for s in summaries)
+        _parity(spark, src, view, "chunked")
+        # a second catch-up is all no-ops (watermarks already there)
+        again = matview_refresh_chunked(spark, view,
+                                        max_feed_files=1)
+        assert all(s["mode"] == "noop" for s in again)
+        _parity(spark, src, view, "chunked-noop")
+
+    def test_star_chunked_fact_then_dims(self, spark, tmp_path):
+        from cl_data_frame_spark.operators.matview import (
+            matview_create_join, matview_refresh_chunked)
+        fact = str(tmp_path / "cf")
+        dim = str(tmp_path / "cd")
+        view = str(tmp_path / "cjv")
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(i, i % 4, float(i % 3)) for i in range(20)],
+            "fid int, k int, val double")), fact, mode="overwrite",
+            stats_cols=["k"])
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(j, f"c{j % 2}") for j in range(4)],
+            "k int, cat string")), dim, mode="overwrite",
+            stats_cols=["k"])
+        matview_create_join(spark, fact, dim, view, on="k",
+                            keys="cat", measure_cols=["val"])
+        for step in range(3):
+            snapshot_write(SparkFrame(spark.createDataFrame(
+                [(100 + 10 * step + j, j % 4, 9.0)
+                 for j in range(4)],
+                "fid int, k int, val double")), fact,
+                mode="append")
+        snapshot_update(spark, dim, [("k", "==", 1)],
+                        {"cat": "'cZ'"})
+        summaries = matview_refresh_chunked(spark, view,
+                                            max_feed_files=1)
+        assert len(summaries) >= 3
+        f = snapshot_read(spark, fact).spark_df
+        d = snapshot_read(spark, dim).spark_df
+        exp = {r["cat"]: r["cnt"] for r in
+               f.join(d, on="k").groupBy("cat")
+               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        got = {r["cat"]: r["cnt"] for r in
+               matview_read(spark, view).spark_df
+               .select("cat", "cnt").collect()}
+        assert got == exp
