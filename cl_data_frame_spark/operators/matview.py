@@ -43,7 +43,11 @@ Exposed measures per column c: ``cnt``, ``sum_c`` (exact decimal),
 derive it from the same exact decimal, so the doubles are
 bit-identical), ``min_c``, ``max_c``; SQL NULL semantics (an all-NULL
 or empty measure exposes NULL sum/avg/min/max) via a stored non-null
-counter per measure.
+counter per measure. ``distinct_cols`` adds the exact distinct
+family per column d — ``cntd_d`` / ``sumd_d`` / ``avgd_d`` — backed
+by a per-(group, value) multiplicity state table under
+``view_dir/_distinct/<d>`` maintained from the same feed under its
+own watermarks (see ``matview_create`` and ``_advance_dstate``).
 
 Group keys must be non-NULL (enforced loudly at create and refresh):
 the underlying MERGE matches keys with standard SQL equality, so a
