@@ -116,9 +116,23 @@ def _check_keys_nonnull(sdf: DataFrame, keys: list[str],
             f"in the base table first)")
 
 
+_HLL_NATIVE = {"int", "bigint", "string", "binary"}
+
+
+def _hll_input(sdf: DataFrame, c: str):
+    """The column as ``hll_sketch_agg`` accepts it: native for
+    int/bigint/string/binary, canonicalized through a string cast
+    otherwise (value-faithful in Spark; the SAME canonicalization on
+    every path — create, delta, repair — so sketches always merge
+    over identical item encodings)."""
+    t = dict(sdf.dtypes).get(c)
+    return F.col(c) if t in _HLL_NATIVE else F.col(c).cast("string")
+
+
 def _full_agg(sdf: DataFrame, keys: list[str],
               measure_cols: list[str], scale: int,
-              distinct_cols: Sequence[str] = ()) -> DataFrame:
+              distinct_cols: Sequence[str] = (),
+              approx_cols: Sequence[str] = ()) -> DataFrame:
     """The view's stored shape, computed exactly from base rows:
     per group ``cnt`` plus, per measure c, exact-decimal ``sum_c``,
     non-null count ``nn_c``, and ``min_c``/``max_c``; per distinct
@@ -130,7 +144,10 @@ def _full_agg(sdf: DataFrame, keys: list[str],
     The distinct family computes through the same per-(group, value)
     rollup the state tables store (``_dstate_build``), so the
     create/repair path and the incremental absolute-read path agree
-    bit-for-bit."""
+    bit-for-bit. ``approx_cols`` stores a per-group DataSketches HLL
+    sketch (``hll_{c}``, Spark's native ``hll_sketch_agg``) instead —
+    O(1) per-group state, no companion table; see ``matview_create``
+    for the maintenance trade-off."""
     sum_t = _SUM_T.format(s=scale)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     for c in measure_cols:
@@ -142,6 +159,9 @@ def _full_agg(sdf: DataFrame, keys: list[str],
             F.min(F.col(c)).alias(f"min_{c}"),
             F.max(F.col(c)).alias(f"max_{c}"),
         ]
+    for c in approx_cols:
+        aggs.append(F.hll_sketch_agg(_hll_input(sdf, c))
+                    .alias(f"hll_{c}"))
     out = sdf.groupBy(*keys).agg(*aggs)
     for c in distinct_cols:
         d = _dstate_rollup(_dstate_build(sdf, keys, c), keys, c,
@@ -259,7 +279,8 @@ def matview_create(spark: SparkSession, source_dir: str,
                    version: int | None = None,
                    num_files: int | None = None,
                    where: str | None = None,
-                   distinct_cols: Sequence[str] = ()) -> int:
+                   distinct_cols: Sequence[str] = (),
+                   distinct_approx_cols: Sequence[str] = ()) -> int:
     """Materialize the per-group aggregate of snapshot table
     *source_dir* at *version* (default: its latest) into the snapshot
     table *view_dir*, and record the consumed source version so
@@ -287,31 +308,48 @@ def matview_create(spark: SparkSession, source_dir: str,
     auxiliary relation), maintained from the same change feed under
     its own commit-riding watermarks; the view row's ``cntd_c`` is
     then the group's live-value count, re-read (group-pruned) from
-    the state at each refresh. Exact, never approximate — the HLL
-    sketch path (operators/sketch.py) remains the approximate
-    alternative for unbounded-cardinality columns."""
+    the state at each refresh. Exact, never approximate.
+
+    ``distinct_approx_cols`` is the APPROXIMATE alternative for
+    unbounded-cardinality columns: a per-group DataSketches HLL
+    sketch stored IN the view row (``hll_{c}``, exposed as
+    ``cntd_approx_{c}`` at read) — O(1) per-group state, no
+    companion table, insert-only refreshes are one sketch union. The
+    trade-off is deletions: sketches cannot subtract, so any delete
+    of a non-NULL value repairs that group exactly from the base (a
+    pruned re-aggregation — the same machinery min/max repair uses).
+    Pick exact for delete-heavy tables with bounded per-group
+    cardinality, approx for insert-mostly feeds with huge ones."""
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_read, snapshot_write)
     keys = [keys] if isinstance(keys, str) else list(keys)
     measure_cols = list(measure_cols)
     distinct_cols = list(distinct_cols)
+    distinct_approx_cols = list(distinct_approx_cols)
     if version is None:
         version = _latest_version(source_dir)
         if version is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {source_dir}")
     base = _plain(snapshot_read(spark, source_dir, version=version))
-    missing = [c for c in [*keys, *measure_cols, *distinct_cols]
+    missing = [c for c in [*keys, *measure_cols, *distinct_cols,
+                           *distinct_approx_cols]
                if c not in base.columns]
     if missing:
         raise ValueError(
             f"columns {missing} not in source table "
             f"(has {base.columns})")
-    bad = [c for c in distinct_cols if c in keys]
+    bad = [c for c in [*distinct_cols, *distinct_approx_cols]
+           if c in keys]
     if bad:
         raise ValueError(
             f"distinct_cols {bad} are group keys — COUNT(DISTINCT) "
             f"of a key within its own group is constant 1")
+    both = sorted(set(distinct_cols) & set(distinct_approx_cols))
+    if both:
+        raise ValueError(
+            f"columns {both} in BOTH distinct_cols and "
+            f"distinct_approx_cols — pick one per column")
     if where is not None:
         base = base.where(F.expr(where))
     # distinct states land BEFORE the view commit: a crash in
@@ -323,7 +361,8 @@ def matview_create(spark: SparkSession, source_dir: str,
                        stats_cols=[*keys, c],
                        txn=(_APP_ID, version), txn_reset=True)
     # one materialization feeds both the null-key check and the write
-    agg = _full_agg(base, keys, measure_cols, scale, distinct_cols) \
+    agg = _full_agg(base, keys, measure_cols, scale, distinct_cols,
+                    distinct_approx_cols) \
         .localCheckpoint(eager=False)
     _check_keys_nonnull(agg, keys, "matview_create")
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
@@ -336,6 +375,8 @@ def matview_create(spark: SparkSession, source_dir: str,
     }
     if distinct_cols:
         meta["distinct_cols"] = distinct_cols
+    if distinct_approx_cols:
+        meta["distinct_approx_cols"] = distinct_approx_cols
     if where is not None:
         meta["where"] = where
     _write_meta(view_dir, meta)
@@ -351,7 +392,8 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
                         dim_version: int | None = None,
                         num_files: int | None = None,
                         where: str | None = None,
-                        distinct_cols: Sequence[str] = ()
+                        distinct_cols: Sequence[str] = (),
+                        distinct_approx_cols: Sequence[str] = ()
                         ) -> tuple[int, int]:
     """Materialize ``SELECT keys, aggregates(measures) FROM fact
     INNER JOIN dim ON fact.fk = dim.pk GROUP BY keys`` into the
@@ -371,7 +413,8 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
         measure_cols, scale=scale, fact_version=fact_version,
         dim_versions=None if dim_version is None else [dim_version],
         num_files=num_files, where=where,
-        distinct_cols=distinct_cols)
+        distinct_cols=distinct_cols,
+        distinct_approx_cols=distinct_approx_cols)
     return fv, dvs[0]
 
 
@@ -384,7 +427,8 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
                         dim_versions: Sequence[int] | None = None,
                         num_files: int | None = None,
                         where: str | None = None,
-                        distinct_cols: Sequence[str] = ()
+                        distinct_cols: Sequence[str] = (),
+                        distinct_approx_cols: Sequence[str] = ()
                         ) -> tuple[int, list[int]]:
     """STAR-SCHEMA materialized view: ``fact INNER JOIN dim_1 ... 
     INNER JOIN dim_k`` (each dim joins the FACT on its own key),
@@ -400,11 +444,18 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
     keys = [keys] if isinstance(keys, str) else list(keys)
     measure_cols = list(measure_cols)
     distinct_cols = list(distinct_cols)
-    bad = [c for c in distinct_cols if c in keys]
+    distinct_approx_cols = list(distinct_approx_cols)
+    bad = [c for c in [*distinct_cols, *distinct_approx_cols]
+           if c in keys]
     if bad:
         raise ValueError(
             f"distinct_cols {bad} are group keys — COUNT(DISTINCT) "
             f"of a key within its own group is constant 1")
+    both = sorted(set(distinct_cols) & set(distinct_approx_cols))
+    if both:
+        raise ValueError(
+            f"columns {both} in BOTH distinct_cols and "
+            f"distinct_approx_cols — pick one per column")
     if not dims:
         raise ValueError("a star view needs at least one dim — use "
                          "matview_create for a single-table view")
@@ -441,7 +492,7 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
     # column ownership: every key/measure must live in exactly ONE
     # table (the shared join-key name is attributed to the fact)
     need = [*keys, *measure_cols,
-            *[c for c in distinct_cols
+            *[c for c in [*distinct_cols, *distinct_approx_cols]
               if c not in keys and c not in measure_cols]]
     fcols, dcols = [], [[] for _ in specs]
     for c in need:
@@ -481,7 +532,8 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
                        stats_cols=[*keys, c], txn=txn,
                        txn_reset=True)
     agg = _full_agg(joined, keys, measure_cols, scale,
-                    distinct_cols).localCheckpoint(eager=False)
+                    distinct_cols,
+                    distinct_approx_cols).localCheckpoint(eager=False)
     _check_keys_nonnull(agg, keys, "matview_create_star")
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
                    num_files=num_files, stats_cols=keys, txn=txn,
@@ -497,6 +549,8 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
     }
     if distinct_cols:
         meta["distinct_cols"] = distinct_cols
+    if distinct_approx_cols:
+        meta["distinct_approx_cols"] = distinct_approx_cols
     if where is not None:
         meta["where"] = where
     _write_meta(view_dir, meta)
@@ -521,10 +575,14 @@ def _star_join(fact, specs, dim_dfs, fcols, dcols, out_cols):
 
 
 def _delta_agg(changes: DataFrame, keys: list[str],
-               measure_cols: list[str], scale: int) -> DataFrame:
+               measure_cols: list[str], scale: int,
+               approx_cols: Sequence[str] = ()) -> DataFrame:
     """Per-group deltas from the change feed: signed count/sum/nn,
     inserted-side min/max (candidates to improve the stored extremes),
-    deleted-side min/max (to DETECT stored extremes being removed)."""
+    deleted-side min/max (to DETECT stored extremes being removed);
+    per approx-distinct column, the inserted values' HLL sketch
+    (union-mergeable) and a deleted-non-null flag (sketches cannot
+    subtract — any such delete repairs the group exactly)."""
     sum_t = _SUM_T.format(s=scale)
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"),
@@ -542,6 +600,15 @@ def _delta_agg(changes: DataFrame, keys: list[str],
             F.max(F.when(sign > 0, F.col(c))).alias(f"add_max_{c}"),
             F.min(F.when(sign < 0, F.col(c))).alias(f"del_min_{c}"),
             F.max(F.when(sign < 0, F.col(c))).alias(f"del_max_{c}"),
+        ]
+    for c in approx_cols:
+        inp = _hll_input(changes, c)
+        aggs += [
+            F.hll_sketch_agg(F.when(sign > 0, inp))
+            .alias(f"add_hll_{c}"),
+            F.max(F.when((sign < 0) & F.col(c).isNotNull(),
+                         F.lit(1)).otherwise(F.lit(0)))
+            .alias(f"deld_{c}"),
         ]
     return changes.groupBy(*keys).agg(*aggs)
 
@@ -681,12 +748,14 @@ def _refresh_single(spark: SparkSession, view_dir: str, meta: dict,
                 "to_version": applied}
     where = meta.get("where")
     distinct_cols = list(meta.get("distinct_cols") or ())
+    approx_cols = list(meta.get("distinct_approx_cols") or ())
 
     def feed_fn(from_map):
         ch = _plain(snapshot_changes(
             spark, src_dir, from_version=from_map[_APP_ID],
             to_version=target))
-        gone = [c for c in [*keys, *measure_cols, *distinct_cols]
+        gone = [c for c in [*keys, *measure_cols, *distinct_cols,
+                            *approx_cols]
                 if c not in ch.columns]
         if gone:
             raise ValueError(
@@ -804,10 +873,11 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
     keys = list(meta["keys"])
     measure_cols = list(meta["measure_cols"])
     distinct_cols = list(meta.get("distinct_cols") or ())
+    approx_cols = list(meta.get("distinct_approx_cols") or ())
     fcols = list(meta["fact_cols"])
     dcols = [list(sp["cols"]) for sp in dims]
     need = [*keys, *measure_cols,
-            *[c for c in distinct_cols
+            *[c for c in [*distinct_cols, *approx_cols]
               if c not in keys and c not in measure_cols]]
     f_latest = _latest_version(fact_dir)
     d_latests = [_latest_version(sp["dir"]) for sp in dims]
@@ -1044,6 +1114,7 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
     keys = list(meta["keys"])
     measure_cols = list(meta["measure_cols"])
     distinct_cols = list(meta.get("distinct_cols") or ())
+    approx_cols = list(meta.get("distinct_approx_cols") or ())
     scale = int(meta["scale"])
     sum_t = _SUM_T.format(s=scale)
     if distinct_cols:
@@ -1051,7 +1122,8 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         # per-value state deltas): pin ONE materialization
         changes = changes.localCheckpoint(eager=True)
     # per-group deltas: small (#touched groups), computed once
-    delta = _delta_agg(changes, keys, measure_cols, scale) \
+    delta = _delta_agg(changes, keys, measure_cols, scale,
+                       approx_cols) \
         .localCheckpoint(eager=True)
     nullkey = F.col(keys[0]).isNull()
     for k in keys[1:]:
@@ -1116,10 +1188,15 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         repair = repair | (has_del & (
             F.col("cnt").isNull() | vmin.isNull()
             | (dmin <= vmin) | (dmax >= vmax)))
+    for c in approx_cols:
+        # HLL sketches cannot subtract: a group that lost any
+        # non-NULL value recomputes exactly from the pinned base
+        repair = repair | (F.col(f"deld_{c}") == 1)
     stored_cols = ["cnt"] + [f"{p}_{c}" for c in measure_cols
                              for p in ("sum", "nn", "min", "max")] \
         + [f"{p}_{c}" for c in distinct_cols
-           for p in ("cntd", "sumd")]
+           for p in ("cntd", "sumd")] \
+        + [f"hll_{c}" for c in approx_cols]
     # arithmetic path (no deleted extreme): counts and exact-decimal
     # sums add; inserted values can only improve min/max (F.least /
     # F.greatest skip NULLs, so a fresh group takes the added extreme)
@@ -1143,6 +1220,16 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
                               F.col(f"add_max_{c}")))
             .alias(f"max_{c}"),
         ]
+    for c in approx_cols:
+        # insert-only groups: one lossless sketch union (an empty
+        # inserted-side sketch — all-NULL adds — unions as identity);
+        # fresh groups take the inserted sketch outright
+        arith_cols.append(
+            F.when(F.col(f"hll_{c}").isNull(),
+                   F.col(f"add_hll_{c}"))
+            .otherwise(F.hll_union(F.col(f"hll_{c}"),
+                                   F.col(f"add_hll_{c}")))
+            .alias(f"hll_{c}"))
     arith = j.where(~repair).select(*arith_cols)
     for c in distinct_cols:
         # absolute live-value aggregates for the touched groups; a
@@ -1166,7 +1253,7 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         base_rows = base.join(F.broadcast(repair_keys),
                               on=keys, how="inner")
         recomputed = _full_agg(base_rows, keys, measure_cols, scale,
-                               distinct_cols)
+                               distinct_cols, approx_cols)
         # groups repaired AWAY (no base rows left) need tombstones
         # too, or the merge would leave their stale view rows live
         erased = repair_keys.join(recomputed.select(*keys),
@@ -1186,6 +1273,9 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
                 F.lit(0).cast("long").alias(f"cntd_{c}"),
                 F.lit(None).cast(sum_t).alias(f"sumd_{c}"),
             ]
+        for c in approx_cols:
+            tomb_cols.append(
+                F.lit(None).cast("binary").alias(f"hll_{c}"))
         upserts = arith.unionByName(recomputed) \
             .unionByName(erased.select(*tomb_cols))
     else:
@@ -1331,4 +1421,11 @@ def matview_read(spark: SparkSession, view_dir: str,
             F.when(cd > 0, F.col(f"sumd_{c}").cast("double") / cd)
             .alias(f"avgd_{c}"),
         ]
+    for c in meta.get("distinct_approx_cols") or ():
+        # estimate of an empty sketch is 0; a tombstone-adjacent NULL
+        # coalesces to 0 too (COUNT semantics, never NULL)
+        cols.append(
+            F.coalesce(
+                F.hll_sketch_estimate(F.col(f"hll_{c}")),
+                F.lit(0).cast("long")).alias(f"cntd_approx_{c}"))
     return SparkFrame(stored.select(*cols))

@@ -374,3 +374,97 @@ class TestChunkedCatchUp:
                matview_read(spark, view).spark_df
                .select("cat", "cnt").collect()}
         assert got == exp
+
+
+class TestDistinctApprox:
+    """Round 13: the APPROXIMATE distinct alternative — a per-group
+    HLL sketch in the view row (O(1) state, no companion table);
+    insert-only refreshes union sketches losslessly, any non-NULL
+    delete repairs the group exactly. At test cardinalities the
+    DataSketches HLL is still in exact (list/set) mode, so estimates
+    equal true counts."""
+
+    @staticmethod
+    def _approx(spark, view):
+        return {r["grp"]: (r["cnt"], r["cntd_approx_val"]) for r in
+                matview_read(spark, view).spark_df
+                .select("grp", "cnt", "cntd_approx_val").collect()}
+
+    @staticmethod
+    def _truth(spark, src):
+        base = snapshot_read(spark, src).spark_df
+        return {r["grp"]: (r["cnt"], r["cntd"]) for r in
+                base.groupBy("grp").agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.countDistinct("val").alias("cntd")).collect()}
+
+    def test_insert_only_is_sketch_union(self, spark, tmp_path):
+        src = str(tmp_path / "asrc")
+        view = str(tmp_path / "amv")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i % 5))
+                           for i in range(10)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"],
+                       distinct_approx_cols=["val"])
+        assert self._approx(spark, view) == self._truth(spark, src)
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(100 + j, f"g{j % 2}", float(5 + j)) for j in range(6)],
+            "id int, grp string, val double")), src, mode="append")
+        s = matview_refresh(spark, view)
+        assert s["mode"] == "incremental"
+        assert s["groups_repaired"] == 0, \
+            "insert-only must stay on the sketch-union path"
+        assert self._approx(spark, view) == self._truth(spark, src)
+
+    def test_delete_repairs_group_exactly(self, spark, tmp_path):
+        src = str(tmp_path / "asrc2")
+        view = str(tmp_path / "amv2")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i % 4))
+                           for i in range(16)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"],
+                       distinct_approx_cols=["val"])
+        # last-occurrence delete: every val==3.0 row goes
+        snapshot_delete(spark, src, [("val", "==", 3.0)])
+        s = matview_refresh(spark, view)
+        assert s["groups_repaired"] >= 1, \
+            "a non-NULL delete must repair (sketches can't subtract)"
+        assert self._approx(spark, view) == self._truth(spark, src)
+        # erase + resurrect
+        snapshot_delete(spark, src, [("grp", "==", "g1")])
+        matview_refresh(spark, view)
+        assert "g1" not in self._approx(spark, view)
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(200, "g1", 9.0)], "id int, grp string, val double")),
+            src, mode="append")
+        matview_refresh(spark, view)
+        assert self._approx(spark, view) == self._truth(spark, src)
+
+    def test_exact_and_approx_side_by_side(self, spark, tmp_path):
+        src = str(tmp_path / "asrc3")
+        view = str(tmp_path / "amv3")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i % 6))
+                           for i in range(18)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"],
+                       distinct_cols=["val"],
+                       distinct_approx_cols=["id"])
+        snapshot_delete(spark, src, [("val", "==", 2.0)])
+        matview_refresh(spark, view)
+        df = matview_read(spark, view).spark_df
+        base = snapshot_read(spark, src).spark_df
+        exp = {r["grp"]: (r["cv"], r["ci"]) for r in
+               base.groupBy("grp").agg(
+                   F.countDistinct("val").alias("cv"),
+                   F.countDistinct("id").alias("ci")).collect()}
+        got = {r["grp"]: (r["cntd_val"], r["cntd_approx_id"])
+               for r in df.collect()}
+        assert got == exp
+
+    def test_same_column_in_both_rejected(self, spark, tmp_path):
+        src = str(tmp_path / "asrc4")
+        _seed(spark, src, [(1, "g0", 1.0)])
+        with pytest.raises(ValueError, match="BOTH"):
+            matview_create(spark, src, str(tmp_path / "amv4"),
+                           keys="grp", distinct_cols=["val"],
+                           distinct_approx_cols=["val"])
