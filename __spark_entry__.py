@@ -2346,7 +2346,33 @@ def q_s_source_roundtrip(spark, sf_dir):
              F.col("n_rows").cast("bigint").alias("i1"),
              F.col("sum_h").cast("double").alias("d1"),
              F.col("xor_h").cast("bigint").alias("i2"))
-    return a.unionByName(b).unionByName(c)
+    # widen (round 13): METADATA-ONLY type widening — write a narrow
+    # slice (int key, decimal(10,2) qty), widen to bigint /
+    # decimal(20,4) without touching a data file, and aggregate
+    # through the widened read; the oracle recomputes with explicit
+    # casts, so the upcast path must be value-exact
+    from cl_data_frame_spark.sources import snapshots as SN
+    wdir = os.path.join(tempfile.mkdtemp(prefix="cdf_widen_"), "t")
+    wbase = (_t(spark, sf_dir, "lineitem")
+             .filter(F.col("l_quantity") >= 48)
+             .select(F.col("l_orderkey").cast("int").alias("k"),
+                     F.col("l_quantity").cast("decimal(10,2)")
+                     .alias("qty"),
+                     "l_returnflag"))
+    SN.snapshot_write(SparkFrame(wbase), wdir, stats_cols=["k"],
+                      num_files=2)
+    SN.snapshot_widen_column(wdir, "k", "bigint")
+    SN.snapshot_widen_column(wdir, "qty", "decimal(20,4)")
+    wagg = (SN.snapshot_read(spark, wdir).spark_df
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("qty").alias("s"),
+                 F.min("k").alias("mk")))
+    d = _tag(wagg, "widen", F.col("l_returnflag").alias("s1"),
+             F.col("n").cast("bigint").alias("i1"),
+             F.col("s").cast("double").alias("d1"),
+             F.col("mk").cast("bigint").alias("i2"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_x_dedup(spark, sf_dir):
@@ -4566,7 +4592,8 @@ _TAGGED_PARTS: dict[str, list[str]] = {
     "s_range_joins": ["broadcast", "bucketed", "overlap"],
     "s_skew_udaf": ["salted", "udaf", "grouped_map", "skewreport"],
     "s_functions": ["scalar", "collection", "scaling"],
-    "s_source_roundtrip": ["roundtrip", "zorder", "checksum"],
+    "s_source_roundtrip": ["roundtrip", "zorder", "checksum",
+                           "widen"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply",
                        "mvmid", "mvread", "mvjoin", "mvstar",
                        "mvdistinct"],
@@ -6463,7 +6490,19 @@ _ORACLES["s_source_roundtrip"] = _union(
                bit_xor(hh)::BIGINT AS xor_h
         FROM h""",
           "NULL::VARCHAR AS s1, n_rows::BIGINT AS i1, "
-          "sum_h::DOUBLE AS d1, xor_h::BIGINT AS i2"))
+          "sum_h::DOUBLE AS d1, xor_h::BIGINT AS i2"),
+    # widen: metadata-only type widening (int->bigint,
+    # decimal(10,2)->decimal(20,4)) — the upcast read must be
+    # value-exact vs an explicitly-cast recompute
+    _wrap("widen", """
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                        AS DECIMAL(20,4)))::DOUBLE AS s,
+               min(l_orderkey)::BIGINT AS mk
+        FROM lineitem WHERE l_quantity >= 48
+        GROUP BY l_returnflag""",
+          "l_returnflag AS s1, n::BIGINT AS i1, s::DOUBLE AS d1, "
+          "mk::BIGINT AS i2"))
 
 _ORACLES["s_layout_prune"] = _union(
     # zprune: the z-ordered rewrite + pruned 2-D range scan must

@@ -1539,6 +1539,88 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
     return _metadata_commit(table_dir, "rename", mutate, max_retries)
 
 
+#: legal metadata-only type widenings (Delta 3.x type widening /
+#: Iceberg type promotion): strictly the set Spark 4's parquet reader
+#: upcasts natively under an explicit schema — verified by
+#: TestSnapshotWidenColumn against real files.
+_WIDEN_OK = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _is_widening(old_t: str, new_t: str) -> bool:
+    if new_t in _WIDEN_OK.get(old_t, ()):
+        return True
+    if old_t.startswith("decimal(") and new_t.startswith("decimal("):
+        po, so = map(int, old_t[8:-1].split(","))
+        pn, sn = map(int, new_t[8:-1].split(","))
+        # scale may grow only with enough new precision to keep every
+        # old value representable: integer digits (p-s) never shrink
+        return pn >= po and sn >= so and pn - sn >= po - so
+    return False
+
+
+def snapshot_widen_column(table_dir: str, col: str, new_type: str,
+                          max_retries: int = 5) -> int:
+    """WIDEN a column's type as a METADATA-ONLY commit (Delta's type
+    widening / Iceberg's type promotion): no data file is read or
+    rewritten — the manifest's schema records the wider type and
+    every read resolves old files through Spark's native parquet
+    upcast (the era read already applies the FINAL schema's types
+    per file). Legal widenings: tinyint->smallint/int/bigint,
+    smallint->int/bigint, int->bigint, float->double, and
+    decimal(p,s)->decimal(p',s') with p'>=p, s'>=s and non-shrinking
+    integer digits (p'-s' >= p-s). Anything else raises — narrowing
+    or cross-family changes need a rewrite (overwrite), never a
+    silent cast.
+
+    Stored file statistics stay valid verbatim (the VALUES don't
+    change; predicate coercion compares through exact decimals), and
+    integer-family bloom filters keep firing (the canonical hash
+    string of an integer is width-independent). Widening a partition
+    column of live files is blocked like rename — transform hashes
+    (``bucket``) are width-sensitive."""
+    def mutate(m):
+        schema = json.loads(m["schema"])
+        fld = next((f for f in schema["fields"]
+                    if f["name"] == col), None)
+        if fld is None:
+            names = [f["name"] for f in schema["fields"]]
+            raise KeyError(
+                f"column {col!r} not in table schema {names}")
+
+        from pyspark.sql.types import (StructField,
+                                       _parse_datatype_string)
+        old_s = StructField.fromJson(
+            {"name": col, "type": fld["type"], "nullable": True,
+             "metadata": {}}).dataType.simpleString()
+        new_dt = _parse_datatype_string(str(new_type))
+        new_s = new_dt.simpleString()
+        if old_s == new_s:
+            raise ValueError(
+                f"column {col!r} already has type {old_s}")
+        if not _is_widening(old_s, new_s):
+            raise ValueError(
+                f"cannot widen {col!r} from {old_s} to {new_s}: not "
+                f"a lossless widening (supported: int family upward, "
+                f"float->double, decimal growth with non-shrinking "
+                f"integer digits) — rewrite via mode='overwrite' for "
+                f"anything else")
+        if any(col == k or k.startswith(col + "__")
+               for pt in (m.get("partitions") or {}).values()
+               for k in pt):
+            raise ValueError(
+                f"cannot widen column {col!r}: it is a partition "
+                f"column of live files (transform hashes are "
+                f"width-sensitive — rewrite via overwrite first)")
+        fld["type"] = json.loads(new_dt.json())
+        return {"schema": json.dumps(schema)}
+    return _metadata_commit(table_dir, "widen", mutate, max_retries)
+
+
 def _metadata_commit(table_dir: str, operation: str, mutate,
                      max_retries: int = 5) -> int:
     """Shared retry loop for metadata-only commits: *mutate* receives

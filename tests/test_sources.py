@@ -4515,3 +4515,103 @@ class TestSpecAwareClustering:
             assert len(rngs) >= 2, (g, rngs)
             for (a_lo, a_hi), (b_lo, b_hi) in zip(rngs, rngs[1:]):
                 assert a_hi < b_lo, (g, rngs)  # disjoint k ranges
+
+
+class TestSnapshotWidenColumn:
+    """Round 13: metadata-only TYPE WIDENING (Delta type widening /
+    Iceberg type promotion) — the schema commit changes, no data
+    file is touched; old files read through Spark's native parquet
+    upcast under the final era schema."""
+
+    def test_widen_int_to_bigint_reads_both_eras(self, spark,
+                                                 tmp_path):
+        import os
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "widen")
+        S.snapshot_write(
+            spark.range(100).select(
+                F.col("id").cast("int").alias("k"),
+                F.col("id").cast("float").alias("x")),
+            t, stats_cols=["k"], bloom_cols=["k"], num_files=2)
+        files_before = set(S._read_manifest(t, 1)["files"])
+        mtimes = {f: os.path.getmtime(os.path.join(t, f))
+                  for f in files_before}
+        S.snapshot_widen_column(t, "k", "bigint")
+        S.snapshot_widen_column(t, "x", "double")
+        m = S._read_manifest(t, 3)
+        assert set(m["files"]) == files_before   # metadata-only
+        for f in files_before:
+            assert os.path.getmtime(os.path.join(t, f)) \
+                == mtimes[f], "widen must not rewrite data files"
+        out = S.snapshot_read(spark, t)
+        assert dict(out.spark_df.dtypes) == {"k": "bigint",
+                                             "x": "double"}
+        assert out.nrow == 100
+        assert out.spark_df.agg(F.sum("k")).collect()[0][0] == 4950
+        # post-widen appends write the wide type; both eras union
+        S.snapshot_write(
+            spark.range(100, 110).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("double").alias("x")),
+            t, mode="append", stats_cols=["k"])
+        assert S.snapshot_read(spark, t).nrow == 110
+        # stats pruning still fires across eras (values unchanged)
+        n_all = len(S.snapshot_scan_files(t))
+        hit = S.snapshot_scan_files(t, where=[("k", ">=", 100)])
+        assert 0 < len(hit) < n_all
+        assert S.snapshot_read(
+            spark, t, where=[("k", ">=", 100)]).nrow == 10
+        # bloom built pre-widen keeps firing on the bigint column
+        assert S.snapshot_read(spark, t,
+                               where=[("k", "==", 55)]).nrow == 1
+        # metadata COUNT stays exact across the widen
+        assert S.snapshot_count(t, where=[("k", ">=", 100)]) == 10
+
+    def test_widen_decimal_and_dml_across_eras(self, spark,
+                                               tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "widend")
+        S.snapshot_write(
+            spark.range(50).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("decimal(10,2)").alias("d")),
+            t, stats_cols=["k"], num_files=1)
+        S.snapshot_widen_column(t, "d", "decimal(20,4)")
+        got = S.snapshot_read(spark, t).spark_df
+        assert dict(got.dtypes)["d"] == "decimal(20,4)"
+        # row-level DML reads old-era files at the wide type and
+        # writes wide rewrites
+        S.snapshot_update(spark, t, [("k", "==", 7)],
+                          {"d": "123.4567"})
+        rows = {r["k"]: str(r["d"]) for r in
+                S.snapshot_read(spark, t).spark_df.collect()}
+        assert rows[7] == "123.4567" and rows[8] == "8.0000"
+        # time travel to the pre-widen version keeps the OLD type
+        old = S.snapshot_read(spark, t, version=1).spark_df
+        assert dict(old.dtypes)["d"] == "decimal(10,2)"
+
+    def test_illegal_widenings_raise(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "widenbad")
+        S.snapshot_write(
+            spark.range(10).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") % 2).cast("int").alias("g"),
+                F.col("id").cast("decimal(10,2)").alias("d")),
+            t, partition_by=["g"], stats_cols=["k"])
+        for col, bad in [("k", "int"), ("k", "smallint"),
+                         ("k", "double"), ("k", "string"),
+                         ("d", "decimal(10,1)"),
+                         ("d", "decimal(11,4)")]:
+            with pytest.raises(ValueError):
+                S.snapshot_widen_column(t, col, bad)
+        with pytest.raises(KeyError):
+            S.snapshot_widen_column(t, "zz", "bigint")
+        # live partition column: blocked (transform hashes are
+        # width-sensitive)
+        with pytest.raises(ValueError, match="partition"):
+            S.snapshot_widen_column(t, "g", "bigint")
