@@ -4615,3 +4615,78 @@ class TestSnapshotWidenColumn:
         # width-sensitive)
         with pytest.raises(ValueError, match="partition"):
             S.snapshot_widen_column(t, "g", "bigint")
+
+
+class TestWidenInteractions:
+    """Type widening mid-history composes with the feeds that split
+    ranges at schema-change commits."""
+
+    def test_batch_cdc_across_widen_commit(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "wcdc")
+        S.snapshot_write(
+            spark.range(10).select(
+                F.col("id").cast("int").alias("k"),
+                F.col("id").cast("float").alias("v")),
+            t, stats_cols=["k"])
+        S.snapshot_widen_column(t, "k", "bigint")
+        S.snapshot_widen_column(t, "v", "double")
+        S.snapshot_write(
+            spark.range(10, 14).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("double").alias("v")),
+            t, mode="append")
+        S.snapshot_delete(spark, t, [("k", "==", 3)])
+        feed = S.snapshot_changes(spark, t, 0).spark_df
+        # the unified feed carries the FINAL (wide) era types
+        tps = dict(feed.dtypes)
+        assert tps["k"] == "bigint" and tps["v"] == "double"
+        by = {}
+        for r in feed.collect():
+            by.setdefault(r["_commit_version"], set()).add(
+                (r["_change_type"], r["k"]))
+        assert len(by[1]) == 10
+        assert 2 not in by and 3 not in by      # widens: net zero
+        assert by[4] == {("insert", k) for k in range(10, 14)}
+        assert by[5] == {("delete", 3)}
+        # paged twin agrees chunk-for-chunk
+        got = sorted((r["_commit_version"], r["_change_type"],
+                      r["k"]) for ch in
+                     S.snapshot_changes_paged(spark, t, 0,
+                                              max_files=1)
+                     for r in ch.spark_df.collect())
+        exp = sorted((r["_commit_version"], r["_change_type"],
+                      r["k"]) for r in feed.collect())
+        assert got == exp
+
+    def test_matview_over_widened_source(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.operators.matview import (
+            matview_create, matview_read, matview_refresh)
+        from cl_data_frame_spark.sources import snapshots as S
+        src = str(tmp_path / "wsrc")
+        view = str(tmp_path / "wmv")
+        S.snapshot_write(
+            spark.range(12).select(
+                (F.col("id") % 3).alias("g"),
+                F.col("id").cast("int").alias("m")),
+            src, stats_cols=["g"])
+        matview_create(spark, src, view, keys="g",
+                       measure_cols=["m"])
+        S.snapshot_widen_column(src, "m", "bigint")
+        S.snapshot_write(
+            spark.range(100, 106).select(
+                (F.col("id") % 3).alias("g"),
+                F.col("id").alias("m")),
+            src, mode="append")
+        matview_refresh(spark, view)
+        base = S.snapshot_read(spark, src).spark_df
+        exp = {r["g"]: (r["c"], float(r["s"])) for r in
+               base.groupBy("g").agg(
+                   F.count(F.lit(1)).alias("c"),
+                   F.sum(F.col("m").cast("decimal(28,6)"))
+                   .alias("s")).collect()}
+        got = {r["g"]: (r["cnt"], float(r["sum_m"])) for r in
+               matview_read(spark, view).spark_df.collect()}
+        assert got == exp
