@@ -1144,3 +1144,39 @@ def test_change_feed_rename_mid_range_streams_both_eras(spark,
     batch = {(r._commit_version, r._change_type, r.w) for r in
              S.snapshot_changes(spark, t, 0).spark_df.collect()}
     assert batch == got
+
+
+def test_stream_cdc_across_widen_commit(spark, tmp_path):
+    """Round 13: a metadata-only TYPE WIDENING mid-stream is a
+    net-zero commit; old-era files stream at the FINAL (wide) era
+    types through the native parquet upcast."""
+    from pyspark.sql import functions as F
+
+    from cl_data_frame_spark.sources import snapshots as S
+    from cl_data_frame_spark.streaming.snapshot_source import (
+        read_stream_snapshot)
+    t = str(tmp_path / "wtbl")
+    S.snapshot_write(
+        spark.range(6).select(F.col("id").cast("int").alias("k")),
+        t, stats_cols=["k"])
+    S.snapshot_widen_column(t, "k", "bigint")
+    S.snapshot_write(
+        spark.range(10, 13).select(F.col("id").alias("k")),
+        t, mode="append")
+    S.snapshot_delete(spark, t, [("k", "==", 2)])
+    q = (read_stream_snapshot(spark, t, read_change_feed=True)
+         .writeStream.format("memory").queryName("cdf_widen")
+         .start())
+    try:
+        q.processAllAvailable()
+        out = spark.table("cdf_widen")
+        assert dict(out.drop("_change_type",
+                             "_commit_version").dtypes) \
+            == {"k": "bigint"}
+        got = {(r._commit_version, r._change_type, r.k)
+               for r in out.collect()}
+    finally:
+        q.stop()
+    assert got == ({(1, "insert", k) for k in range(6)}
+                   | {(3, "insert", k) for k in (10, 11, 12)}
+                   | {(4, "delete", 2)})
