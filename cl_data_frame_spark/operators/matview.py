@@ -1365,15 +1365,27 @@ def matview_refresh_stream(spark: SparkSession, view_dir: str,
 
 
 def matview_compact(spark: SparkSession, view_dir: str,
-                    target_file_mb: int = 128) -> int:
+                    target_file_mb: int = 128,
+                    vacuum_retain_hours: float | None = None
+                    ) -> int:
     """Housekeeping: purge cnt=0 TOMBSTONES and bin-pack the view's
-    files. Safe at any time — a refresh treats an absent group and a
-    tombstoned group identically (both arithmetic-resume from zero
-    state and both repair on deletion anomalies), tombstones exist
-    only because the refresh's single MERGE commit cannot delete
-    rows. Returns the view's new version."""
+    files (and each distinct-state table's, dcnt<=0). Safe at any
+    time — a refresh treats an absent group and a tombstoned group
+    identically (both arithmetic-resume from zero state and both
+    repair on deletion anomalies), tombstones exist only because the
+    refresh's single MERGE commit cannot delete rows. Returns the
+    view's new version.
+
+    ``vacuum_retain_hours`` additionally VACUUMS the view and its
+    state tables (keep_last=1, the given age floor) — every refresh
+    is one snapshot commit on each, so a long-maintained view
+    accumulates history the same way any table does; passing e.g.
+    ``168`` reclaims week-old maintenance versions while honoring
+    pinned readers. Time travel to vacuumed view versions stops
+    working — the usual retention trade."""
     from cl_data_frame_spark.sources.snapshots import (
-        snapshot_delete, snapshot_optimize, snapshot_read)
+        snapshot_delete, snapshot_optimize, snapshot_read,
+        snapshot_vacuum)
     meta = _read_meta(view_dir)   # fail loudly on a non-view
     for c in meta.get("distinct_cols") or ():
         sd = _dstate_dir(view_dir, c)
@@ -1381,12 +1393,19 @@ def matview_compact(spark: SparkSession, view_dir: str,
                 .where(F.col("dcnt") <= 0).limit(1).count():
             snapshot_delete(spark, sd, [("dcnt", "<=", 0)])
         snapshot_optimize(spark, sd, target_file_mb=target_file_mb)
+        if vacuum_retain_hours is not None:
+            snapshot_vacuum(sd, keep_last=1,
+                            retain_hours=vacuum_retain_hours)
     tombs = _plain(snapshot_read(spark, view_dir)) \
         .where(F.col("cnt") == 0).limit(1).count()
     if tombs:
         snapshot_delete(spark, view_dir, [("cnt", "==", 0)])
-    return snapshot_optimize(spark, view_dir,
-                             target_file_mb=target_file_mb)
+    out = snapshot_optimize(spark, view_dir,
+                            target_file_mb=target_file_mb)
+    if vacuum_retain_hours is not None:
+        snapshot_vacuum(view_dir, keep_last=1,
+                        retain_hours=vacuum_retain_hours)
+    return out
 
 
 def matview_read(spark: SparkSession, view_dir: str,

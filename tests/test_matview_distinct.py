@@ -468,3 +468,35 @@ class TestDistinctApprox:
             matview_create(spark, src, str(tmp_path / "amv4"),
                            keys="grp", distinct_cols=["val"],
                            distinct_approx_cols=["val"])
+
+
+class TestCompactVacuum:
+    def test_compact_with_vacuum_reclaims_history(self, spark,
+                                                  tmp_path):
+        import glob
+        src = str(tmp_path / "vsrc")
+        view = str(tmp_path / "vmv")
+        _seed(spark, src, [(i, f"g{i % 2}", float(i % 3))
+                           for i in range(12)])
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["val"],
+                       distinct_cols=["val"])
+        for step in range(3):
+            snapshot_delete(spark, src,
+                            [("id", "==", step)])
+            matview_refresh(spark, view)
+        sd = _dstate_dir(view, "val")
+        n_view = len(glob.glob(os.path.join(
+            view, "_manifests", "v*.json")))
+        n_state = len(glob.glob(os.path.join(
+            sd, "_manifests", "v*.json")))
+        assert n_view >= 4 and n_state >= 4   # history accumulated
+        matview_compact(spark, view, vacuum_retain_hours=0)
+        import cl_data_frame_spark.sources.snapshots as S
+        assert len(S._versions(view)) == 1
+        assert len(S._versions(sd)) == 1
+        _parity(spark, src, view, "post-vacuum")
+        # maintenance continues after the reclaim
+        snapshot_delete(spark, src, [("id", "==", 5)])
+        matview_refresh(spark, view)
+        _parity(spark, src, view, "post-vacuum-refresh")
