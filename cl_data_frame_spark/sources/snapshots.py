@@ -1544,9 +1544,9 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
 #: upcasts natively under an explicit schema — verified by
 #: TestSnapshotWidenColumn against real files.
 _WIDEN_OK = {
-    "tinyint": {"smallint", "int", "bigint"},
-    "smallint": {"int", "bigint"},
-    "int": {"bigint"},
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
     "float": {"double"},
 }
 
@@ -1560,6 +1560,17 @@ def _is_widening(old_t: str, new_t: str) -> bool:
         # scale may grow only with enough new precision to keep every
         # old value representable: integer digits (p-s) never shrink
         return pn >= po and sn >= so and pn - sn >= po - so
+    if new_t.startswith("decimal("):
+        pn, sn = map(int, new_t[8:-1].split(","))
+        # int -> decimal, exactly as far as the parquet reader's
+        # native upcast goes (verified against real files): an
+        # int32-physical column (tinyint/smallint/int) reads only as
+        # decimal(p, 0) with p >= 10; int64 (bigint) reads as
+        # decimal(p, s) with p - s >= 20
+        if old_t in ("tinyint", "smallint", "int"):
+            return sn == 0 and pn >= 10
+        if old_t == "bigint":
+            return pn - sn >= 20
     return False
 
 

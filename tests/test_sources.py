@@ -4604,7 +4604,7 @@ class TestSnapshotWidenColumn:
                 F.col("id").cast("decimal(10,2)").alias("d")),
             t, partition_by=["g"], stats_cols=["k"])
         for col, bad in [("k", "int"), ("k", "smallint"),
-                         ("k", "double"), ("k", "string"),
+                         ("k", "float"), ("k", "string"),
                          ("d", "decimal(10,1)"),
                          ("d", "decimal(11,4)")]:
             with pytest.raises(ValueError):
@@ -4690,3 +4690,45 @@ class TestWidenInteractions:
         got = {r["g"]: (r["cnt"], float(r["sum_m"])) for r in
                matview_read(spark, view).spark_df.collect()}
         assert got == exp
+
+
+class TestWidenIntToDoubleDecimal:
+    """Round 13 addendum: the int-family -> double / -> decimal arms
+    of the widening lattice, each verified against real files."""
+
+    def test_int_family_to_double_and_decimal(self, spark,
+                                              tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "wdd")
+        S.snapshot_write(
+            spark.range(20).select(
+                F.col("id").cast("int").alias("a"),
+                F.col("id").cast("smallint").alias("b"),
+                (F.col("id") * 1_000_000_000_000).alias("c")),
+            t, stats_cols=["a"], num_files=1)
+        S.snapshot_widen_column(t, "a", "double")
+        S.snapshot_widen_column(t, "b", "decimal(12,0)")
+        S.snapshot_widen_column(t, "c", "decimal(22,2)")
+        out = S.snapshot_read(spark, t).spark_df
+        assert dict(out.dtypes) == {"a": "double",
+                                    "b": "decimal(12,0)",
+                                    "c": "decimal(22,2)"}
+        r = {int(x["a"]): (str(x["b"]), str(x["c"]))
+             for x in out.collect()}
+        assert r[3] == ("3", "3000000000000.00")
+        assert S.snapshot_read(
+            spark, t, where=[("a", "<", 5.0)]).nrow == 5
+        # the reader-unsupported decimal shapes are rejected loudly
+        t2 = str(tmp_path / "wdd2")
+        S.snapshot_write(
+            spark.range(5).select(
+                F.col("id").cast("int").alias("a"),
+                F.col("id").alias("c")), t2)
+        for col, bad in [("a", "decimal(12,2)"),   # int32 + scale
+                         ("a", "decimal(9,0)"),    # too narrow
+                         ("c", "decimal(19,0)"),   # int64: p-s < 20
+                         ("c", "double")]:         # lossy
+            with pytest.raises(ValueError):
+                S.snapshot_widen_column(t2, col, bad)
