@@ -74,6 +74,23 @@ _META_FILE = "_matview.json"
 _APP_ID = "matview"
 _SUM_T = "decimal(38,{s})"
 
+#: refresh-side key-set broadcast ceiling, mirroring the deletion-
+#: vector merge-on-read gate (snapshots._DV_BROADCAST_MAX): touched-
+#: group / repair-group / per-value-state key sets are normally tiny
+#: and broadcast, but a catch-up chunk over a high-cardinality group
+#: key can legally touch tens of millions of groups — above this many
+#: rows the hint is withheld and AQE picks the join strategy instead
+#: of force-shipping a multi-GB key set to every executor.
+_KEY_BROADCAST_MAX = 1_000_000
+
+
+def _maybe_broadcast(sdf: DataFrame, n: int) -> DataFrame:
+    """*sdf* with the broadcast hint iff its known row count *n* is at
+    or below ``_KEY_BROADCAST_MAX`` (the count is always already in
+    hand — computed for the refresh summary / NULL-key probe — so the
+    gate costs nothing)."""
+    return F.broadcast(sdf) if n <= _KEY_BROADCAST_MAX else sdf
+
 
 def _plain(frame) -> DataFrame:
     return frame.spark_df if isinstance(frame, SparkFrame) else frame
@@ -246,19 +263,31 @@ def _advance_dstate(spark: SparkSession, view_dir: str, c: str,
     if feed is None:
         return
     dd = _dstate_delta(feed, keys, c).localCheckpoint(eager=True)
-    if not dd.limit(1).count():
-        return      # nothing for c in the interval; watermark stays
-                    # behind and the next refresh re-walks the same
-                    # (empty-for-c) interval — cheap and exact
+    n_dd = dd.count()
+    txn = [(app, tv) for app, tv in targets if applied[app] < tv]
+    if not n_dd:
+        # nothing for c in the interval — advance the watermark anyway
+        # with a METADATA-ONLY commit: a column that goes quiet must
+        # not pin its state watermark while the view advances, or
+        # every later refresh re-walks a monotonically GROWING
+        # (still-empty-for-c) interval
+        from cl_data_frame_spark.sources.snapshots import \
+            snapshot_set_txn
+        try:
+            snapshot_set_txn(sd, txn,
+                             txn_expect={app: applied[app]
+                                         for app, _ in txn})
+        except SnapshotTxnConflict:
+            pass        # a racing maintainer advanced it — fine
+        return
     cur = _plain(snapshot_read(spark, sd))
     on = [*keys, c]
-    touched = cur.join(F.broadcast(dd.select(*on)),
+    touched = cur.join(_maybe_broadcast(dd.select(*on), n_dd),
                        on=on, how="left_semi")
     ups = dd.join(touched, on=on, how="left").select(
         *on,
         (F.coalesce(F.col("dcnt"), F.lit(0)) + F.col("__d__"))
         .cast("long").alias("dcnt")).localCheckpoint(eager=True)
-    txn = [(app, tv) for app, tv in targets if applied[app] < tv]
     try:
         snapshot_merge(spark, sd, SparkFrame(ups), on=on, txn=txn,
                        txn_expect={app: applied[app]
@@ -991,7 +1020,9 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
                     f_old = _plain(snapshot_read(spark, fact_dir,
                                                  version=f_from))
                 fread = f_old
-            t = fact_sel(fread).join(F.broadcast(dd),
+            # the dim delta is checkpointed, so the gate count is one
+            # cheap job; a mass dim rewrite must not force-broadcast
+            t = fact_sel(fread).join(_maybe_broadcast(dd, dd.count()),
                                      on=f"__jk{i}__", how="inner")
             # dims to the LEFT of i at their OLD versions, to the
             # RIGHT at NEW — the telescoping that counts each cross
@@ -1168,7 +1199,8 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
     # the view scan runs ONCE, however many downstream actions the
     # merge machinery takes (key-envelope collect, DV matching, CDC
     # classification are each an action over the upserts)
-    touched = view.join(F.broadcast(delta.select(*keys)),
+    touched = view.join(_maybe_broadcast(delta.select(*keys),
+                                         n_touched),
                         on=keys, how="left_semi")
     # delta columns (d_*/add_*/del_*) and view columns (cnt/sum_*/...)
     # never collide, so the join needs no alias qualifiers — which the
@@ -1250,7 +1282,7 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         key_rows = j.where(repair).select(*keys).collect() \
             if n_repair <= 10_000 else None
         base = repair_reader(key_rows)
-        base_rows = base.join(F.broadcast(repair_keys),
+        base_rows = base.join(_maybe_broadcast(repair_keys, n_repair),
                               on=keys, how="inner")
         recomputed = _full_agg(base_rows, keys, measure_cols, scale,
                                distinct_cols, approx_cols)
@@ -1293,7 +1325,11 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
                    txn=txn, txn_expect=txn_expect)
     _write_meta(view_dir, {**meta, **meta_done})
     return {"mode": "incremental", **summary,
-            "groups_touched": n_touched, "groups_repaired": n_repair}
+            "groups_touched": n_touched, "groups_repaired": n_repair,
+            # observability: True when any key-set broadcast hint was
+            # withheld this refresh (AQE chose the join strategy)
+            "broadcast_gated": (n_touched > _KEY_BROADCAST_MAX
+                                or n_repair > _KEY_BROADCAST_MAX)}
 
 
 def matview_refresh_stream(spark: SparkSession, view_dir: str,

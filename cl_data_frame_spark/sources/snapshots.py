@@ -1673,6 +1673,30 @@ def _metadata_commit(table_dir: str, operation: str, mutate,
         f"in {table_dir}: {last}")
 
 
+def snapshot_set_txn(table_dir: str, txn,
+                     txn_expect=None, max_retries: int = 5) -> int:
+    """Advance one or more idempotent-writer watermarks with a
+    METADATA-ONLY commit — no data file is read or written (Delta's
+    ``txnAppId``/``txnVersion`` carried by an otherwise-empty commit).
+    The primitive an incremental maintainer needs when an interval is
+    EMPTY for it: committing "I consumed up to v, nothing to apply"
+    costs one manifest write instead of an empty merge's table scan,
+    and keeps the watermark from pinning while the source grows.
+
+    *txn* is ``(app_id, v)`` or a list of such tuples; *txn_expect*
+    adds the same CAS semantics as ``snapshot_write``/``snapshot_merge``
+    (int for a single tuple, or ``{app_id: expected}``). Raises
+    ``SnapshotTxnConflict`` on a lost CAS or a non-advancing
+    watermark — never silently replays."""
+    def mutate(m):
+        _txn_guard(m.get("txn"), txn, txn_expect)
+        txns = dict(m.get("txn") or {})
+        for app, v in _txn_entries(txn):
+            txns[app] = v
+        return {"txn": txns}
+    return _metadata_commit(table_dir, "set_txn", mutate, max_retries)
+
+
 def snapshot_add_constraint(table_dir: str, name: str,
                             sql_predicate: str,
                             max_retries: int = 5) -> int:
@@ -3661,37 +3685,59 @@ def snapshot_changes_paged(spark: SparkSession, table_dir: str,
         v = end
 
 
+def _version_new_file_count(table_dir: str, v: int) -> int:
+    """A version's ADDED data files + materialized change files,
+    counted from its COMMIT RECORD: a delta commit's ``add``/``cdc``
+    lists answer this in O(changed files) — no full state is
+    reconstructed (a view a year behind on a million-file table must
+    not pay O(#versions) uncached state rebuilds just to plan its
+    chunks). Only the rare full-state commit (v0, or a commit whose
+    delta verification failed) falls back to diffing against its
+    parent's reconstructed file set."""
+    try:
+        with open(_manifest_path(table_dir, v)) as f:
+            d = json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"version {v} of {table_dir} is gone (vacuumed, or never "
+            f"existed) — change intervals must stay within the vacuum "
+            f"retention window") from None
+    n_cdc = len((d.get("cdc") or {}).get("files") or ())
+    if d.get("delta"):
+        return len(d.get("add") or ()) + n_cdc
+    parent = d.get("parent")
+    pfiles = set(_read_manifest(table_dir, parent)["files"]) \
+        if parent is not None else set()
+    return sum(1 for f in d["files"] if f not in pfiles) + n_cdc
+
+
 def snapshot_change_chunks(table_dir: str, from_version: int,
                            to_version: int,
                            max_files: int) -> list[int]:
     """Version-aligned chunk END boundaries for the (*from*, *to*]
     change interval under the *max_files* admission rule (added data
-    files + materialized change files per version, O(#versions)
-    manifest metadata; a version is never split). The shared walk
-    behind ``snapshot_changes_paged`` and the chunked matview
-    catch-up."""
+    files + materialized change files per version; a version is never
+    split). One forward walk over the interval's COMMIT RECORDS —
+    O(changed files) per version via ``_version_new_file_count``,
+    never a full state reconstruction. The shared walk behind
+    ``snapshot_changes_paged`` and the chunked matview catch-up."""
     if max_files < 1:
         raise ValueError("max_files must be >= 1")
     bounds: list[int] = []
-    v = int(from_version)
-    while v < to_version:
-        total, end = 0, v
-        for w in range(v + 1, to_version + 1):
-            m = _read_manifest(table_dir, w)
-            parent = m.get("parent")
-            pfiles = set(
-                _read_manifest(table_dir, parent)["files"]) \
-                if parent is not None else set()
-            n_new = sum(1 for f in m["files"] if f not in pfiles) \
-                + len((m.get("cdc") or {}).get("files") or ())
-            if total and total + n_new > max_files:
-                break
-            total += n_new
-            end = w
-            if total >= max_files:
-                break
+    total = 0
+    end: int | None = None
+    for w in range(int(from_version) + 1, int(to_version) + 1):
+        n_new = _version_new_file_count(table_dir, w)
+        if total and total + n_new > max_files:
+            bounds.append(end)       # close the running chunk
+            total = 0
+        total += n_new
+        end = w
+        if total >= max_files:
+            bounds.append(end)
+            total, end = 0, None
+    if end is not None:
         bounds.append(end)
-        v = end
     return bounds
 
 

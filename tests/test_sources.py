@@ -4283,6 +4283,55 @@ class TestDVBroadcastGate:
         assert S._dv_total_positions(t, m["dv"]) == 100
 
 
+class TestSnapshotSetTxn:
+    """Round 14: ``snapshot_set_txn`` — a metadata-only commit that
+    advances idempotent-writer watermarks without reading or writing
+    any data file (the primitive a maintainer uses when an interval is
+    empty for it)."""
+
+    @staticmethod
+    def _table(spark, tmp_path, name):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / name)
+        S.snapshot_write(
+            spark.range(10).select(F.col("id").alias("k")), t)
+        return t
+
+    def test_advances_watermark_metadata_only(self, spark, tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._table(spark, tmp_path, "stxn")
+        v0 = S._latest_version(t)
+        files0 = S._read_manifest(t, v0)["files"]
+        v1 = S.snapshot_set_txn(t, ("app", 7))
+        assert v1 == v0 + 1
+        assert S.snapshot_txn_version(t, "app") == 7
+        m = S._read_manifest(t, v1)
+        assert m["files"] == files0          # no data file touched
+        assert m["operation"] == "set_txn"
+        assert S.snapshot_read(spark, t).nrow == 10
+
+    def test_cas_and_monotonicity(self, spark, tmp_path):
+        import pytest
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._table(spark, tmp_path, "stxncas")
+        S.snapshot_set_txn(t, ("app", 5))
+        with pytest.raises(S.SnapshotTxnConflict):
+            S.snapshot_set_txn(t, ("app", 9), txn_expect=4)  # lost CAS
+        with pytest.raises(S.SnapshotTxnConflict):
+            S.snapshot_set_txn(t, ("app", 5))   # does not advance
+        S.snapshot_set_txn(t, ("app", 9), txn_expect=5)
+        assert S.snapshot_txn_version(t, "app") == 9
+
+    def test_multi_app_list(self, spark, tmp_path):
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._table(spark, tmp_path, "stxnmulti")
+        S.snapshot_set_txn(t, [("a", 1), ("b", 2)],
+                           txn_expect={"a": None, "b": None})
+        assert S.snapshot_txn_version(t, "a") == 1
+        assert S.snapshot_txn_version(t, "b") == 2
+
+
 class TestRowGroupCountRenameGuard:
     """Round 13 (advisor, high): footer ``path_in_schema`` names are
     PHYSICAL — after rename x->y and a merge-schema re-add of x, the
