@@ -3438,9 +3438,10 @@ def _matview_build(spark, sf_dir, base_dir):
         snapshot_update)
     li = (_t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_partkey",
-                  "l_returnflag", "l_quantity"))
+                  "l_returnflag", "l_quantity", "l_shipdate"))
     src = os.path.join(base_dir, "src")
     view = os.path.join(base_dir, "mv")
+    viewe = os.path.join(base_dir, "mve")
     dim = os.path.join(base_dir, "dim")
     viewj = os.path.join(base_dir, "mvj")
     dim2 = os.path.join(base_dir, "dim2")
@@ -3451,6 +3452,16 @@ def _matview_build(spark, sf_dir, base_dir):
                    mode="append", stats_cols=["l_orderkey"],
                    num_files=2)
     matview_create(spark, src, view, keys="l_returnflag",
+                   measure_cols=["l_quantity"], num_files=1)
+    # EXPRESSION-keyed sibling (round 14): GROUP BY
+    # date_trunc('month', l_shipdate) declared as a DERIVED key —
+    # the time-bucketed rollup no base-table bucket column exists
+    # for; maintained across the same appends + DNF delete (the band
+    # delete removes months' stored minima -> repair over derived
+    # groups)
+    matview_create(spark, src, viewe,
+                   keys={"smonth":
+                         "date_trunc('month', l_shipdate)"},
                    measure_cols=["l_quantity"], num_files=1)
     # COUNT(DISTINCT) sibling (round 13): per-flag distinct orderkey
     # count, exact via the per-value multiplicity state — the band
@@ -3551,6 +3562,10 @@ def _matview_build(spark, sf_dir, base_dir):
     # the distinct view consumes the whole fact history in one go
     rd = matview_refresh(spark, viewd)
     assert rd["mode"] == "incremental", rd
+    # the expression-keyed view likewise: one refresh over appends +
+    # the DNF delete, with per-derived-group repair
+    re_ = matview_refresh(spark, viewe)
+    assert re_["mode"] == "incremental", re_
     return v_mid
 
 
@@ -3632,8 +3647,16 @@ def _matview_parts(spark, sf_dir):
         F.concat_ws("|", "flag", "metric").alias("s1"),
         _BNULL().alias("vf"), _BNULL().alias("vt"),
         F.lit(None).cast("int").alias("cur"))
+    # mvexpr (round 14): the EXPRESSION-keyed view — a derived
+    # date_trunc('month', l_shipdate) group key maintained across the
+    # same DML history; the month folds to a yyyy-MM string on both
+    # sides
+    mve = matview_read(
+        spark, os.path.join(base, "mve")).spark_df \
+        .withColumn("skey", F.date_format("smonth", "yyyy-MM"))
+    f = _mv_long_form(mve, "mvexpr", key_col="skey")
     return a.unionByName(b).unionByName(c).unionByName(d) \
-        .unionByName(e)
+        .unionByName(e).unionByName(f)
 
 
 def q_st_ss_join(spark, sf_dir):
@@ -4596,7 +4619,7 @@ _TAGGED_PARTS: dict[str, list[str]] = {
                            "widen"],
     "s_merge_upsert": ["merge", "scd2", "incr", "diff", "pit", "apply",
                        "mvmid", "mvread", "mvjoin", "mvstar",
-                       "mvdistinct"],
+                       "mvdistinct", "mvexpr"],
     "s_funnel": ["funnel", "retention", "attribution"],
     "s_sessionize": ["sessions", "transitions", "islands", "paths"],
     "r_summary_all": ["quantiles", "freq", "bits", "hist", "hist2d", "fk",
@@ -4660,7 +4683,7 @@ def query_parts() -> dict[str, dict[str, Callable]]:
                      "apply")},
         **{p: _part_filter(_matview_parts, p)
            for p in ("mvmid", "mvread", "mvjoin", "mvstar",
-                     "mvdistinct")},
+                     "mvdistinct", "mvexpr")},
     }
     out["x_text_stats"] = {
         "quality": q_x_text_quality,
@@ -5657,7 +5680,38 @@ _ORACLES: dict[str, str] = {
                 FROM find GROUP BY flag)
             SELECT cnt, flag || '|cntd' AS s1, cd AS v FROM gd
             UNION ALL SELECT cnt, flag || '|sumd', sd FROM gd
-            UNION ALL SELECT cnt, flag || '|avgd', ad FROM gd)""",
+            UNION ALL SELECT cnt, flag || '|avgd', ad FROM gd)
+        UNION ALL
+        -- mvexpr: the EXPRESSION-keyed view (round 14) — GROUP BY
+        -- date_trunc('month', l_shipdate) declared as a derived key
+        -- (keys={"smonth": ...}), maintained across the same fact
+        -- DML history; the month folds to yyyy-MM on both sides
+        SELECT 'mvexpr', NULL::BIGINT AS k1, cnt::BIGINT AS k2, v, s1,
+               NULL::BIGINT AS vf, NULL::BIGINT AS vt, NULL::INT AS cur
+        FROM (
+            WITH cute AS (
+                SELECT floor(max(l_orderkey) / 4)::BIGINT AS c
+                FROM lineitem),
+            fine AS (
+                SELECT strftime(date_trunc('month', l_shipdate),
+                                '%Y-%m') AS flag,
+                       l_quantity AS q
+                FROM lineitem
+                WHERE l_quantity <= 3
+                  AND l_orderkey > (SELECT c FROM cute)
+                  AND l_returnflag <> 'R'),
+            ge AS (
+                SELECT flag, count(*) AS cnt,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE AS sum_q,
+                       sum(CAST(q AS DECIMAL(28,6)))::DOUBLE
+                           / count(q) AS avg_q,
+                       min(q)::DOUBLE AS min_q,
+                       max(q)::DOUBLE AS max_q
+                FROM fine GROUP BY flag)
+            SELECT cnt, flag || '|sum' AS s1, sum_q AS v FROM ge
+            UNION ALL SELECT cnt, flag || '|avg', avg_q FROM ge
+            UNION ALL SELECT cnt, flag || '|min', min_q FROM ge
+            UNION ALL SELECT cnt, flag || '|max', max_q FROM ge)""",
     "s_sessionize": """
         WITH o AS (
             SELECT user_id, event_id, ts,

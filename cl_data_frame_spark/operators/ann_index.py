@@ -31,6 +31,7 @@ scheme.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
@@ -42,6 +43,35 @@ from .similarity import _lit_vec, _route, kmeans_fit
 
 _CENTROIDS = "centroids"
 _VECTORS = "vectors"
+_IDX_META = "_ann_index.json"
+
+
+def _idx_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _IDX_META)
+
+
+def _read_idx_meta(index_dir: str) -> dict:
+    try:
+        with open(_idx_meta_path(index_dir), "r",
+                  encoding="utf-8") as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _write_idx_meta(index_dir: str, meta: dict) -> None:
+    tmp = _idx_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _idx_meta_path(index_dir))
+
+
+def _routing_stats(assign: DataFrame) -> tuple[float, int]:
+    """(sum, count) of routed cosine similarities — one tiny
+    aggregate over an already-batch-sized assignment frame."""
+    r = assign.agg(F.sum("centroid_sim").alias("s"),
+                   F.count(F.lit(1)).alias("n")).collect()[0]
+    return float(r["s"] or 0.0), int(r["n"])
 
 
 def _plain(frame) -> DataFrame:
@@ -105,14 +135,34 @@ def ann_index_update(spark: SparkSession, index_dir: str, batch,
             return -1
     cents = load_centroids(spark, index_dir)
     sdf = _plain(batch)
-    assign = _route(sdf, cents, id_col, vec_col).spark_df
+    # pin ONE routing pass: the write and the drift statistic both
+    # consume the assignment
+    assign = _route(sdf, cents, id_col, vec_col).spark_df \
+        .localCheckpoint(eager=True)
     rows = (sdf.select(id_col, vec_col)
             .join(assign.select(id_col, "centroid_id"), on=id_col))
     # id stats let ann_index_delete prune to the files actually
     # holding a vector (the GDPR point-delete path)
-    return snapshot_write(rows, vdir, mode=_mode,
-                          partition_by=["centroid_id"],
-                          stats_cols=[id_col], txn=txn)
+    v = snapshot_write(rows, vdir, mode=_mode,
+                       partition_by=["centroid_id"],
+                       stats_cols=[id_col], txn=txn)
+    # DRIFT TRACKING (advisory, written after the data commit — a
+    # crash in between costs staleness of the health statistic,
+    # never correctness): the seed/overwrite batch RESETS the
+    # model's routing-quality baseline; every append accumulates
+    # into the running mean ann_index_health compares against.
+    s, n = _routing_stats(assign)
+    if _mode == "overwrite":
+        _write_idx_meta(index_dir, {
+            "baseline_mean_sim": (s / n) if n else None,
+            "baseline_n": n, "cur_sum": 0.0, "cur_n": 0})
+    else:
+        meta = _read_idx_meta(index_dir)
+        if meta.get("baseline_mean_sim") is not None:
+            meta["cur_sum"] = float(meta.get("cur_sum") or 0.0) + s
+            meta["cur_n"] = int(meta.get("cur_n") or 0) + n
+            _write_idx_meta(index_dir, meta)
+    return v
 
 
 def ann_index_delete(spark: SparkSession, index_dir: str, ids,
@@ -163,7 +213,8 @@ def ann_index_recluster(spark: SparkSession, index_dir: str,
     cdf = spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "centroid_id bigint, vector array<double>")
-    assign = _route(cur, cents, id_col, vec_col).spark_df
+    assign = _route(cur, cents, id_col, vec_col).spark_df \
+        .localCheckpoint(eager=True)
     rows = cur.join(assign.select(id_col, "centroid_id"), on=id_col)
     # two commits, one per table — snapshot isolation is PER TABLE,
     # so a query racing the recluster can pair one table's new
@@ -175,7 +226,44 @@ def ann_index_recluster(spark: SparkSession, index_dir: str,
                        partition_by=["centroid_id"],
                        stats_cols=[id_col])
     snapshot_write(cdf, cdir, mode="overwrite", num_files=1)
+    # the retrained model starts a fresh drift baseline
+    s, n = _routing_stats(assign)
+    _write_idx_meta(index_dir, {
+        "baseline_mean_sim": (s / n) if n else None,
+        "baseline_n": n, "cur_sum": 0.0, "cur_n": 0})
     return v
+
+
+def ann_index_health(spark: SparkSession, index_dir: str,
+                     drift_threshold: float = 0.95) -> dict:
+    """The index's RECALL-DRIFT statistic, answerable from metadata
+    alone: ``baseline_mean_sim`` is the mean routed cosine (each
+    vector to its assigned centroid) recorded when the current model
+    was trained (build / recluster); ``current_mean_sim`` is the
+    running mean over every batch ingested SINCE. As the corpus
+    drifts away from the training distribution, new vectors land
+    farther from their nearest stale centroid, the ratio decays, and
+    probed cells hold an ever-thinner slice of each query's true
+    neighbors — the statistic crosses *drift_threshold* BEFORE the
+    measured recall drop, so a pipeline can schedule
+    ``ann_index_recluster`` without running a recall evaluation.
+    Returns ``{baseline_mean_sim, current_mean_sim, ingested_n,
+    drift_ratio, recluster_recommended}``; a legacy index without
+    recorded stats (or one with no post-build ingest) reports
+    ``drift_ratio=None`` and never recommends."""
+    meta = _read_idx_meta(index_dir)
+    base = meta.get("baseline_mean_sim")
+    cur_n = int(meta.get("cur_n") or 0)
+    cur = (float(meta["cur_sum"]) / cur_n) if cur_n else None
+    ratio = (cur / base) if (base and cur is not None) else None
+    return {
+        "baseline_mean_sim": base,
+        "current_mean_sim": cur,
+        "ingested_n": cur_n,
+        "drift_ratio": ratio,
+        "recluster_recommended": (ratio is not None
+                                  and ratio < float(drift_threshold)),
+    }
 
 
 def ann_index_query(spark: SparkSession, index_dir: str, query_vec,

@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,51 @@ def _maybe_broadcast(sdf: DataFrame, n: int) -> DataFrame:
     hand — computed for the refresh summary / NULL-key probe — so the
     gate costs nothing)."""
     return F.broadcast(sdf) if n <= _KEY_BROADCAST_MAX else sdf
+
+
+def _parse_keys(keys) -> tuple[list[str], dict[str, str]]:
+    """Normalize the ``keys`` argument: a name, a sequence of names,
+    or a dict ``{out_name: sql_expr}`` declaring DERIVED group keys
+    (``{"day": "date_trunc('day', ts)"}``). Returns ``(names,
+    exprs)`` where *exprs* holds only the genuinely derived entries
+    (a dict value equal to its name is a plain column)."""
+    if isinstance(keys, str):
+        return [keys], {}
+    if isinstance(keys, dict):
+        names = [str(k) for k in keys]
+        exprs = {str(k): str(v) for k, v in keys.items()
+                 if str(v) != str(k)}
+        return names, exprs
+    return [str(k) for k in keys], {}
+
+
+def _project_keys(sdf: DataFrame, key_exprs: dict | None,
+                  what: str) -> DataFrame:
+    """Apply the view's derived-key expressions to *sdf* (base rows at
+    create, every change-feed row at refresh, the pinned base at
+    repair). Row-local expressions stay IVM-exact for the same reason
+    the ``where=`` filter does: each change row maps independently of
+    any other, so the projected feed maintains the projected view."""
+    for name, sql in (key_exprs or {}).items():
+        try:
+            sdf = sdf.withColumn(name, F.expr(sql))
+        except Exception as exc:
+            raise ValueError(
+                f"derived view key {name} = {sql!r} no longer "
+                f"evaluates against {what} (schema evolution?) — "
+                f"recreate the view: {exc}") from exc
+    return sdf
+
+
+def _expr_deps(sql: str, available) -> list[str]:
+    """The columns a derived-key SQL expression references, by
+    word-boundary match against the available names — conservative
+    for the star attribution (a false positive only carries an extra
+    column through the maintenance joins; a miss fails loudly when
+    the projection evaluates)."""
+    return [c for c in available
+            if re.search(rf"(?<![A-Za-z0-9_`]){re.escape(c)}"
+                         rf"(?![A-Za-z0-9_`])", sql)]
 
 
 def _plain(frame) -> DataFrame:
@@ -149,7 +195,9 @@ def _hll_input(sdf: DataFrame, c: str):
 def _full_agg(sdf: DataFrame, keys: list[str],
               measure_cols: list[str], scale: int,
               distinct_cols: Sequence[str] = (),
-              approx_cols: Sequence[str] = ()) -> DataFrame:
+              approx_cols: Sequence[str] = (),
+              quantile_cols: Sequence[str] = (),
+              kll_k: int = 800) -> DataFrame:
     """The view's stored shape, computed exactly from base rows:
     per group ``cnt`` plus, per measure c, exact-decimal ``sum_c``,
     non-null count ``nn_c``, and ``min_c``/``max_c``; per distinct
@@ -179,6 +227,13 @@ def _full_agg(sdf: DataFrame, keys: list[str],
     for c in approx_cols:
         aggs.append(F.hll_sketch_agg(_hll_input(sdf, c))
                     .alias(f"hll_{c}"))
+    for c in quantile_cols:
+        # per-group DataSketches KLL quantile sketch stored IN the
+        # view row: exact while the group holds <= kll_k values
+        # (every retained), KLL rank error past capacity
+        aggs.append(F.kll_sketch_agg_double(
+            F.col(c).cast("double"), F.lit(int(kll_k)))
+            .alias(f"kll_{c}"))
     out = sdf.groupBy(*keys).agg(*aggs)
     for c in distinct_cols:
         d = _dstate_rollup(_dstate_build(sdf, keys, c), keys, c,
@@ -309,12 +364,28 @@ def matview_create(spark: SparkSession, source_dir: str,
                    num_files: int | None = None,
                    where: str | None = None,
                    distinct_cols: Sequence[str] = (),
-                   distinct_approx_cols: Sequence[str] = ()) -> int:
+                   distinct_approx_cols: Sequence[str] = (),
+                   quantile_cols: Sequence[str] = (),
+                   quantile_probs: Sequence[float] = (0.5, 0.95,
+                                                      0.99),
+                   kll_k: int = 800) -> int:
     """Materialize the per-group aggregate of snapshot table
     *source_dir* at *version* (default: its latest) into the snapshot
     table *view_dir*, and record the consumed source version so
     ``matview_refresh`` can continue from the change feed. Returns
     the source version the view reflects.
+
+    ``keys`` may be plain column names OR a dict declaring DERIVED
+    group keys — ``keys={"day": "date_trunc('day', ts)"}`` gives the
+    time-bucketed rollup (``GROUP BY date_trunc('day', ts)``) without
+    first materializing the bucket into the base table. Row-local SQL
+    expressions are IVM-safe for the same reason the ``where=``
+    filter is: each change-feed row maps to its group independently
+    of any other row, so the projected feed maintains the projected
+    view exactly. The expression is applied identically at create, to
+    every change-feed row at refresh, and to the pinned base at
+    min/max repair (whose file pruning then uses only the PLAIN key
+    subset — sound, a superset of files is read).
 
     ``where`` makes it a FILTERED view: a SQL boolean expression over
     the source's columns (e.g. ``"l_quantity > 5 AND l_returnflag <>
@@ -348,26 +419,48 @@ def matview_create(spark: SparkSession, source_dir: str,
     of a non-NULL value repairs that group exactly from the base (a
     pruned re-aggregation — the same machinery min/max repair uses).
     Pick exact for delete-heavy tables with bounded per-group
-    cardinality, approx for insert-mostly feeds with huge ones."""
+    cardinality, approx for insert-mostly feeds with huge ones.
+
+    ``quantile_cols`` adds APPROXIMATE per-group QUANTILE measures —
+    "p95 latency per group, kept fresh per ingest": a per-group
+    DataSketches KLL sketch stored IN the view row (``kll_{c}``),
+    exposed at read as ``q{P}_{c}`` for each of *quantile_probs*
+    (defaults p50/p95/p99). Maintenance is the HLL construction
+    verbatim: insert-only refreshes are one lossless sketch merge;
+    any delete of a non-NULL value repairs the group exactly from
+    the pinned base. While a group holds <= *kll_k* values the
+    sketch retains ALL of them and every quantile is EXACT (a real
+    retained value); past capacity estimates carry KLL's rank error
+    (~1.65/sqrt(k) — <6% at the default k=800; FLAGGED approximate,
+    never silently exact)."""
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_read, snapshot_write)
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys, key_exprs = _parse_keys(keys)
     measure_cols = list(measure_cols)
     distinct_cols = list(distinct_cols)
     distinct_approx_cols = list(distinct_approx_cols)
+    quantile_cols = list(quantile_cols)
+    quantile_probs = [float(p) for p in quantile_probs]
     if version is None:
         version = _latest_version(source_dir)
         if version is None:
             raise FileNotFoundError(
                 f"no snapshot versions in {source_dir}")
     base = _plain(snapshot_read(spark, source_dir, version=version))
-    missing = [c for c in [*keys, *measure_cols, *distinct_cols,
-                           *distinct_approx_cols]
+    plain_keys = [k for k in keys if k not in key_exprs]
+    missing = [c for c in [*plain_keys, *measure_cols,
+                           *distinct_cols, *distinct_approx_cols,
+                           *quantile_cols]
                if c not in base.columns]
     if missing:
         raise ValueError(
             f"columns {missing} not in source table "
             f"(has {base.columns})")
+    shadow = [k for k in key_exprs if k in base.columns]
+    if shadow:
+        raise ValueError(
+            f"derived key name(s) {shadow} collide with source "
+            f"columns — pick fresh output names")
     bad = [c for c in [*distinct_cols, *distinct_approx_cols]
            if c in keys]
     if bad:
@@ -379,6 +472,12 @@ def matview_create(spark: SparkSession, source_dir: str,
         raise ValueError(
             f"columns {both} in BOTH distinct_cols and "
             f"distinct_approx_cols — pick one per column")
+    badq = [c for c in quantile_cols if c in keys]
+    if badq:
+        raise ValueError(
+            f"quantile_cols {badq} are group keys — every quantile "
+            f"of a key within its own group is the key itself")
+    base = _project_keys(base, key_exprs, "the source table")
     if where is not None:
         base = base.where(F.expr(where))
     # distinct states land BEFORE the view commit: a crash in
@@ -391,7 +490,7 @@ def matview_create(spark: SparkSession, source_dir: str,
                        txn=(_APP_ID, version), txn_reset=True)
     # one materialization feeds both the null-key check and the write
     agg = _full_agg(base, keys, measure_cols, scale, distinct_cols,
-                    distinct_approx_cols) \
+                    distinct_approx_cols, quantile_cols, kll_k) \
         .localCheckpoint(eager=False)
     _check_keys_nonnull(agg, keys, "matview_create")
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
@@ -402,10 +501,16 @@ def matview_create(spark: SparkSession, source_dir: str,
         "keys": keys, "measure_cols": measure_cols,
         "scale": scale, "source_version": version,
     }
+    if key_exprs:
+        meta["key_exprs"] = key_exprs
     if distinct_cols:
         meta["distinct_cols"] = distinct_cols
     if distinct_approx_cols:
         meta["distinct_approx_cols"] = distinct_approx_cols
+    if quantile_cols:
+        meta["quantile_cols"] = quantile_cols
+        meta["quantile_probs"] = quantile_probs
+        meta["kll_k"] = int(kll_k)
     if where is not None:
         meta["where"] = where
     _write_meta(view_dir, meta)
@@ -422,7 +527,11 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
                         num_files: int | None = None,
                         where: str | None = None,
                         distinct_cols: Sequence[str] = (),
-                        distinct_approx_cols: Sequence[str] = ()
+                        distinct_approx_cols: Sequence[str] = (),
+                        quantile_cols: Sequence[str] = (),
+                        quantile_probs: Sequence[float] = (0.5, 0.95,
+                                                           0.99),
+                        kll_k: int = 800
                         ) -> tuple[int, int]:
     """Materialize ``SELECT keys, aggregates(measures) FROM fact
     INNER JOIN dim ON fact.fk = dim.pk GROUP BY keys`` into the
@@ -443,7 +552,9 @@ def matview_create_join(spark: SparkSession, fact_dir: str,
         dim_versions=None if dim_version is None else [dim_version],
         num_files=num_files, where=where,
         distinct_cols=distinct_cols,
-        distinct_approx_cols=distinct_approx_cols)
+        distinct_approx_cols=distinct_approx_cols,
+        quantile_cols=quantile_cols,
+        quantile_probs=quantile_probs, kll_k=kll_k)
     return fv, dvs[0]
 
 
@@ -457,9 +568,13 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
                         num_files: int | None = None,
                         where: str | None = None,
                         distinct_cols: Sequence[str] = (),
-                        distinct_approx_cols: Sequence[str] = ()
+                        distinct_approx_cols: Sequence[str] = (),
+                        quantile_cols: Sequence[str] = (),
+                        quantile_probs: Sequence[float] = (0.5, 0.95,
+                                                           0.99),
+                        kll_k: int = 800
                         ) -> tuple[int, list[int]]:
-    """STAR-SCHEMA materialized view: ``fact INNER JOIN dim_1 ... 
+    """STAR-SCHEMA materialized view: ``fact INNER JOIN dim_1 ...
     INNER JOIN dim_k`` (each dim joins the FACT on its own key),
     grouped and aggregated, maintained incrementally from ALL k+1
     change feeds. *dims* is a list of ``(dim_dir, on)`` with ``on``
@@ -467,19 +582,33 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
     version rides the view's commits as its own txn watermark
     (``matview.fact``, ``matview.dim``, ``matview.dim2``, ...), all
     CAS'd in one commit. Returns ``(fact_version, [dim_versions])``.
+
+    ``keys`` accepts the same derived-key dict as ``matview_create``
+    (``{"day": "date_trunc('day', o_orderdate)"}``); the expression
+    evaluates on the JOINED row, so it may reference fact and dim
+    columns alike — the referenced columns are attributed through the
+    maintenance joins and the projection runs on every telescoped
+    change term.
     """
     from cl_data_frame_spark.sources.snapshots import (
         _latest_version, snapshot_read, snapshot_write)
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys, key_exprs = _parse_keys(keys)
     measure_cols = list(measure_cols)
     distinct_cols = list(distinct_cols)
     distinct_approx_cols = list(distinct_approx_cols)
+    quantile_cols = list(quantile_cols)
+    quantile_probs = [float(p) for p in quantile_probs]
     bad = [c for c in [*distinct_cols, *distinct_approx_cols]
            if c in keys]
     if bad:
         raise ValueError(
             f"distinct_cols {bad} are group keys — COUNT(DISTINCT) "
             f"of a key within its own group is constant 1")
+    badq = [c for c in quantile_cols if c in keys]
+    if badq:
+        raise ValueError(
+            f"quantile_cols {badq} are group keys — every quantile "
+            f"of a key within its own group is the key itself")
     both = sorted(set(distinct_cols) & set(distinct_approx_cols))
     if both:
         raise ValueError(
@@ -519,10 +648,24 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
                 f"({fact.columns})")
         dim_dfs.append(ddf)
     # column ownership: every key/measure must live in exactly ONE
-    # table (the shared join-key name is attributed to the fact)
-    need = [*keys, *measure_cols,
-            *[c for c in [*distinct_cols, *distinct_approx_cols]
-              if c not in keys and c not in measure_cols]]
+    # table (the shared join-key name is attributed to the fact).
+    # DERIVED keys attribute their REFERENCED columns instead — the
+    # expression itself evaluates on the joined row, so its deps may
+    # even span fact and dims
+    plain_keys = [k for k in keys if k not in key_exprs]
+    avail = set(fact.columns).union(
+        *[set(d.columns) for d in dim_dfs])
+    shadow = [k for k in key_exprs if k in avail]
+    if shadow:
+        raise ValueError(
+            f"derived key name(s) {shadow} collide with fact/dim "
+            f"columns — pick fresh output names")
+    deps = sorted({d for sql in key_exprs.values()
+                   for d in _expr_deps(sql, avail)})
+    need = [*plain_keys, *measure_cols,
+            *[c for c in [*distinct_cols, *distinct_approx_cols,
+                          *quantile_cols, *deps]
+              if c not in plain_keys and c not in measure_cols]]
     fcols, dcols = [], [[] for _ in specs]
     for c in need:
         owners = []
@@ -548,7 +691,9 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
             fcols.append(c)
         else:
             dcols[owners[0]].append(c)
-    joined = _star_join(fact, specs, dim_dfs, fcols, dcols, need)
+    joined = _project_keys(
+        _star_join(fact, specs, dim_dfs, fcols, dcols, need),
+        key_exprs, "the joined tables")
     if where is not None:
         joined = joined.where(F.expr(where))
     txn = [(_F_APP, fact_version)]
@@ -561,8 +706,8 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
                        stats_cols=[*keys, c], txn=txn,
                        txn_reset=True)
     agg = _full_agg(joined, keys, measure_cols, scale,
-                    distinct_cols,
-                    distinct_approx_cols).localCheckpoint(eager=False)
+                    distinct_cols, distinct_approx_cols,
+                    quantile_cols, kll_k).localCheckpoint(eager=False)
     _check_keys_nonnull(agg, keys, "matview_create_star")
     snapshot_write(SparkFrame(agg), view_dir, mode="overwrite",
                    num_files=num_files, stats_cols=keys, txn=txn,
@@ -576,10 +721,16 @@ def matview_create_star(spark: SparkSession, fact_dir: str,
         "fact_cols": fcols, "scale": scale,
         "fact_version": fact_version,
     }
+    if key_exprs:
+        meta["key_exprs"] = key_exprs
     if distinct_cols:
         meta["distinct_cols"] = distinct_cols
     if distinct_approx_cols:
         meta["distinct_approx_cols"] = distinct_approx_cols
+    if quantile_cols:
+        meta["quantile_cols"] = quantile_cols
+        meta["quantile_probs"] = quantile_probs
+        meta["kll_k"] = int(kll_k)
     if where is not None:
         meta["where"] = where
     _write_meta(view_dir, meta)
@@ -605,7 +756,9 @@ def _star_join(fact, specs, dim_dfs, fcols, dcols, out_cols):
 
 def _delta_agg(changes: DataFrame, keys: list[str],
                measure_cols: list[str], scale: int,
-               approx_cols: Sequence[str] = ()) -> DataFrame:
+               approx_cols: Sequence[str] = (),
+               quantile_cols: Sequence[str] = (),
+               kll_k: int = 800) -> DataFrame:
     """Per-group deltas from the change feed: signed count/sum/nn,
     inserted-side min/max (candidates to improve the stored extremes),
     deleted-side min/max (to DETECT stored extremes being removed);
@@ -638,6 +791,18 @@ def _delta_agg(changes: DataFrame, keys: list[str],
             F.max(F.when((sign < 0) & F.col(c).isNotNull(),
                          F.lit(1)).otherwise(F.lit(0)))
             .alias(f"deld_{c}"),
+        ]
+    for c in quantile_cols:
+        # inserted-side sketch (mergeable); KLL sketches cannot
+        # subtract either, so any delete of a non-NULL value flags
+        # the group for exact repair — the HLL construction verbatim
+        aggs += [
+            F.kll_sketch_agg_double(
+                F.when(sign > 0, F.col(c).cast("double")),
+                F.lit(int(kll_k))).alias(f"add_kll_{c}"),
+            F.max(F.when((sign < 0) & F.col(c).isNotNull(),
+                         F.lit(1)).otherwise(F.lit(0)))
+            .alias(f"delq_{c}"),
         ]
     return changes.groupBy(*keys).agg(*aggs)
 
@@ -776,15 +941,19 @@ def _refresh_single(spark: SparkSession, view_dir: str, meta: dict,
         return {"mode": "noop", "from_version": applied,
                 "to_version": applied}
     where = meta.get("where")
+    key_exprs = meta.get("key_exprs") or {}
+    plain_keys = [k for k in keys if k not in key_exprs]
     distinct_cols = list(meta.get("distinct_cols") or ())
     approx_cols = list(meta.get("distinct_approx_cols") or ())
+    quantile_cols = list(meta.get("quantile_cols") or ())
 
     def feed_fn(from_map):
         ch = _plain(snapshot_changes(
             spark, src_dir, from_version=from_map[_APP_ID],
             to_version=target))
-        gone = [c for c in [*keys, *measure_cols, *distinct_cols,
-                            *approx_cols]
+        gone = [c for c in [*plain_keys, *measure_cols,
+                            *distinct_cols, *approx_cols,
+                            *quantile_cols]
                 if c not in ch.columns]
         if gone:
             raise ValueError(
@@ -792,6 +961,7 @@ def _refresh_single(spark: SparkSession, view_dir: str, meta: dict,
                 f"source's change feed (schema evolution renamed or "
                 f"dropped them) — recreate the view with "
                 f"matview_create")
+        ch = _project_keys(ch, key_exprs, "the change feed")
         if where is not None:
             # row-local predicate: each change row filters
             # independently, so the filtered feed maintains the
@@ -811,10 +981,14 @@ def _refresh_single(spark: SparkSession, view_dir: str, meta: dict,
     def repair_reader(key_rows):
         # a bounded repair set reads the base through an IN / DNF
         # predicate: stats/bloom/partition-tuple file skipping makes
-        # the repair scan touch only files that can hold those groups
+        # the repair scan touch only files that can hold those groups.
+        # DERIVED keys are not stored source columns — the prune uses
+        # the plain subset (sound: a superset of the files is read;
+        # the recompute still joins on the full key tuple)
         base = _plain(snapshot_read(
             spark, src_dir, version=target,
-            where=_eq_dnf_prune(keys, key_rows)))
+            where=_eq_dnf_prune(plain_keys, key_rows)))
+        base = _project_keys(base, key_exprs, "the source table")
         if where is not None:
             base = base.where(F.expr(where))
         return base
@@ -905,8 +1079,14 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
     approx_cols = list(meta.get("distinct_approx_cols") or ())
     fcols = list(meta["fact_cols"])
     dcols = [list(sp["cols"]) for sp in dims]
+    key_exprs = meta.get("key_exprs") or {}
+    quantile_cols = list(meta.get("quantile_cols") or ())
+    # the OUTPUT columns of each feed term: derived keys exist after
+    # the projection (their dependency columns ride fcols/dcols, as
+    # attributed at create)
     need = [*keys, *measure_cols,
-            *[c for c in [*distinct_cols, *approx_cols]
+            *[c for c in [*distinct_cols, *approx_cols,
+                          *quantile_cols]
               if c not in keys and c not in measure_cols]]
     f_latest = _latest_version(fact_dir)
     d_latests = [_latest_version(sp["dir"]) for sp in dims]
@@ -956,12 +1136,17 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
 
     feed_stats = {"fact_full_scan": False, "pruned_keys": 0}
 
-    def build_feed(f_from, d_froms):
+    def build_feed(f_from, d_froms, stats=None):
         """The telescoped change set for one interval, parametrized
         by per-source from-versions (the view's watermarks normally;
         a distinct state's own watermarks when they diverge after a
         crash or lost race). Returns None when every source is
-        already at its target."""
+        already at its target. *stats* receives this invocation's
+        prune observability; the extra rebuilds ``_advance_dstate``
+        triggers pass none, so the refresh summary reports exactly
+        the VIEW feed's scan shape."""
+        if stats is None:
+            stats = {"fact_full_scan": False, "pruned_keys": 0}
         parts = []
         if ft > f_from:
             ff = _plain(snapshot_changes(spark, fact_dir,
@@ -1007,7 +1192,7 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
                   dd.select(f"__jk{i}__").distinct().limit(10_001)
                   .collect()]
             if 0 < len(jk) <= 10_000:
-                feed_stats["pruned_keys"] += len(jk)
+                stats["pruned_keys"] += len(jk)
                 fread = _plain(snapshot_read(
                     spark, fact_dir, version=f_from,
                     where=[(dims[i]["fact_on"], "in", jk)]))
@@ -1015,7 +1200,7 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
                 # the IN-prune cap: surfaced in the refresh summary
                 # so an operator can see WHY this refresh scanned
                 # the whole fact time-travel read
-                feed_stats["fact_full_scan"] = True
+                stats["fact_full_scan"] = True
                 if f_old is None:
                     f_old = _plain(snapshot_read(spark, fact_dir,
                                                  version=f_from))
@@ -1039,6 +1224,7 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
         ch = parts[0]
         for pdf in parts[1:]:
             ch = ch.unionByName(pdf)
+        ch = _project_keys(ch, key_exprs, "the joined change rows")
         ch = ch.select(*need, "_change_type")
         if where is not None:
             try:
@@ -1051,7 +1237,7 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
                     f"{exc}") from exc
         return ch
 
-    changes = build_feed(f_applied, d_applieds)
+    changes = build_feed(f_applied, d_applieds, stats=feed_stats)
 
     def repair_reader(key_rows):
         prune = _eq_dnf_prune(keys, key_rows) \
@@ -1084,6 +1270,7 @@ def _refresh_star(spark: SparkSession, view_dir: str, meta: dict,
         for i in range(len(dims)):
             base = base.join(dim_news[i], on=f"__jk{i}__",
                              how="inner")
+        base = _project_keys(base, key_exprs, "the joined tables")
         base = base.select(*need)
         if where is not None:
             base = base.where(F.expr(where))
@@ -1146,6 +1333,8 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
     measure_cols = list(meta["measure_cols"])
     distinct_cols = list(meta.get("distinct_cols") or ())
     approx_cols = list(meta.get("distinct_approx_cols") or ())
+    quantile_cols = list(meta.get("quantile_cols") or ())
+    kll_k = int(meta.get("kll_k") or 800)
     scale = int(meta["scale"])
     sum_t = _SUM_T.format(s=scale)
     if distinct_cols:
@@ -1154,7 +1343,7 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         changes = changes.localCheckpoint(eager=True)
     # per-group deltas: small (#touched groups), computed once
     delta = _delta_agg(changes, keys, measure_cols, scale,
-                       approx_cols) \
+                       approx_cols, quantile_cols, kll_k) \
         .localCheckpoint(eager=True)
     nullkey = F.col(keys[0]).isNull()
     for k in keys[1:]:
@@ -1224,11 +1413,15 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         # HLL sketches cannot subtract: a group that lost any
         # non-NULL value recomputes exactly from the pinned base
         repair = repair | (F.col(f"deld_{c}") == 1)
+    for c in quantile_cols:
+        # neither can KLL: same exact-repair rule
+        repair = repair | (F.col(f"delq_{c}") == 1)
     stored_cols = ["cnt"] + [f"{p}_{c}" for c in measure_cols
                              for p in ("sum", "nn", "min", "max")] \
         + [f"{p}_{c}" for c in distinct_cols
            for p in ("cntd", "sumd")] \
-        + [f"hll_{c}" for c in approx_cols]
+        + [f"hll_{c}" for c in approx_cols] \
+        + [f"kll_{c}" for c in quantile_cols]
     # arithmetic path (no deleted extreme): counts and exact-decimal
     # sums add; inserted values can only improve min/max (F.least /
     # F.greatest skip NULLs, so a fresh group takes the added extreme)
@@ -1262,6 +1455,17 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
             .otherwise(F.hll_union(F.col(f"hll_{c}"),
                                    F.col(f"add_hll_{c}")))
             .alias(f"hll_{c}"))
+    for c in quantile_cols:
+        # insert-only groups: one lossless sketch merge; an all-NULL
+        # inserted side is a NULL sketch — keep the stored one
+        arith_cols.append(
+            F.when(F.col(f"kll_{c}").isNull(),
+                   F.col(f"add_kll_{c}"))
+            .when(F.col(f"add_kll_{c}").isNull(),
+                  F.col(f"kll_{c}"))
+            .otherwise(F.kll_sketch_merge_double(
+                F.col(f"kll_{c}"), F.col(f"add_kll_{c}")))
+            .alias(f"kll_{c}"))
     arith = j.where(~repair).select(*arith_cols)
     for c in distinct_cols:
         # absolute live-value aggregates for the touched groups; a
@@ -1285,7 +1489,8 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         base_rows = base.join(_maybe_broadcast(repair_keys, n_repair),
                               on=keys, how="inner")
         recomputed = _full_agg(base_rows, keys, measure_cols, scale,
-                               distinct_cols, approx_cols)
+                               distinct_cols, approx_cols,
+                               quantile_cols, kll_k)
         # groups repaired AWAY (no base rows left) need tombstones
         # too, or the merge would leave their stale view rows live
         erased = repair_keys.join(recomputed.select(*keys),
@@ -1308,6 +1513,9 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
         for c in approx_cols:
             tomb_cols.append(
                 F.lit(None).cast("binary").alias(f"hll_{c}"))
+        for c in quantile_cols:
+            tomb_cols.append(
+                F.lit(None).cast("binary").alias(f"kll_{c}"))
         upserts = arith.unionByName(recomputed) \
             .unionByName(erased.select(*tomb_cols))
     else:
@@ -1483,4 +1691,18 @@ def matview_read(spark: SparkSession, view_dir: str,
             F.coalesce(
                 F.hll_sketch_estimate(F.col(f"hll_{c}")),
                 F.lit(0).cast("long")).alias(f"cntd_approx_{c}"))
+    probs = [float(p) for p in meta.get("quantile_probs") or ()]
+    for c in meta.get("quantile_cols") or ():
+        # an all-NULL group aggregates to an EMPTY (non-NULL) sketch
+        # whose get_quantile throws — gate on the retained count, so
+        # empty and tombstone-NULL sketches both expose NULL
+        # quantiles (percentile over no values is NULL, SQL
+        # semantics)
+        sk = F.col(f"kll_{c}")
+        ok = sk.isNotNull() & (F.kll_sketch_get_n_double(sk) > 0)
+        for p in probs:
+            tag = ("%g" % (p * 100)).replace(".", "_")
+            cols.append(
+                F.when(ok, F.kll_sketch_get_quantile_double(
+                    sk, F.lit(p))).alias(f"q{tag}_{c}"))
     return SparkFrame(stored.select(*cols))

@@ -263,6 +263,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["txn"] = d["txn"]
     if d.get("op_info"):
         out["op_info"] = d["op_info"]   # commit-scoped, not carried
+    if d.get("op_metrics"):
+        out["op_metrics"] = d["op_metrics"]   # commit-scoped
     if d.get("cdc"):
         out["cdc"] = d["cdc"]           # commit-scoped, not carried
     if d.get("cluster_by"):
@@ -281,7 +283,8 @@ def _norm_state(m: dict) -> dict:
            "operation": m.get("operation"), "schema": m["schema"],
            "files": list(m["files"])}
     for k in ("stats", "bloom", "renamed_files", "dv", "partitions",
-              "constraints", "txn", "op_info", "cdc", "cluster_by"):
+              "constraints", "txn", "op_info", "op_metrics", "cdc",
+              "cluster_by"):
         if m.get(k):
             out[k] = m[k]
     if out.get("renamed_files"):
@@ -329,6 +332,8 @@ def _make_delta(parent: dict, full: dict,
         d["txn"] = full["txn"]
     if full.get("op_info"):
         d["op_info"] = full["op_info"]
+    if full.get("op_metrics"):
+        d["op_metrics"] = full["op_metrics"]
     if full.get("cdc"):
         d["cdc"] = full["cdc"]
     if full.get("cluster_by"):
@@ -359,8 +364,8 @@ def _make_delta(parent: dict, full: dict,
 #: table-level state keys carried in the parquet checkpoint's
 #: key-value footer metadata (per-file maps become columns)
 _CKPT_META_KEYS = ("version", "parent", "operation", "schema",
-                   "constraints", "txn", "op_info", "cdc",
-                   "cluster_by")
+                   "constraints", "txn", "op_info", "op_metrics",
+                   "cdc", "cluster_by")
 #: per-file state maps and their checkpoint column names
 _CKPT_FILE_COLS = (("stats", "stats"), ("bloom", "bloom"),
                    ("renamed_files", "chain"), ("dv", "dv"),
@@ -604,9 +609,17 @@ def _publish(table_dir: str, manifest: dict) -> None:
         # arbitrary file-order jumps, unreadable parents, ...)
         try:
             base = _read_manifest(table_dir, manifest["parent"])
+            if "op_metrics" not in manifest:
+                mx = _compute_op_metrics(base, manifest)
+                if mx:
+                    manifest["op_metrics"] = mx
             record = _make_delta(base, manifest, ops) or manifest
         except (OSError, KeyError, json.JSONDecodeError):
             record = manifest
+    elif "op_metrics" not in manifest:
+        mx = _compute_op_metrics(None, manifest)
+        if mx:
+            manifest["op_metrics"] = mx
     final = _manifest_path(table_dir, manifest["version"])
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -631,6 +644,64 @@ def _publish(table_dir: str, manifest: dict) -> None:
         # a hint/checkpoint-write failure (ENOSPC, read-only FS) must
         # not make a durable version look failed — a retry would
         # duplicate data. Readers fall back to listing / delta replay.
+
+
+def _compute_op_metrics(parent: dict | None, manifest: dict) -> dict:
+    """Delta-style ``operationMetrics``, derived at COMMIT time from
+    metadata already in hand (the parent diff ``_make_delta`` performs
+    anyway; per-file ``__rows__`` footer counts; manifest DV ``n``
+    counts) — no file is read:
+
+    - ``numAddedFiles`` / ``numRemovedFiles``: the commit's file diff;
+    - ``numOutputRows``: total rows in the ADDED files (every writer
+      records ``__rows__``; omitted when any added file lacks it);
+    - ``numRemovedRows``: rows in the removed files, from the PARENT's
+      stats (omitted on partial coverage);
+    - ``numDeletedRows``: deletion-vector positions newly recorded by
+      this commit (merge-on-read DML; omitted when a legacy DV entry
+      lacks its count — never loads a sidecar).
+
+    Commit-scoped like ``op_info``/``cdc``: carried on the version
+    that committed it, never inherited, so every audit question
+    ("which commit deleted rows? how many?") reads the version log
+    alone instead of replaying CDC."""
+    pfiles = set(parent["files"]) if parent else set()
+    files = manifest["files"]
+    fset = set(files)
+    added = [f for f in files if f not in pfiles]
+    removed = [f for f in pfiles if f not in fset]
+    out = {"numAddedFiles": len(added),
+           "numRemovedFiles": len(removed)}
+
+    def _rows(fs, stats):
+        total = 0
+        for f in fs:
+            n = ((stats.get(f) or {}).get(_ROWS_KEY) or {}).get("min")
+            if n is None:
+                return None
+            total += int(n)
+        return total
+    ar = _rows(added, manifest.get("stats") or {})
+    if ar is not None:
+        out["numOutputRows"] = ar
+    rr = _rows(removed, (parent.get("stats") or {}) if parent else {})
+    if rr is not None:
+        out["numRemovedRows"] = rr
+    pdv = (parent.get("dv") or {}) if parent else {}
+    cdv = manifest.get("dv") or {}
+    if cdv or pdv:
+        deleted = 0
+        for f, e in cdv.items():
+            n = e.get("n")
+            pe = pdv.get(f)
+            pn = 0 if pe is None else pe.get("n")
+            if n is None or pn is None:
+                deleted = None          # legacy entry without a count
+                break
+            deleted += max(0, int(n) - int(pn))
+        if deleted is not None:
+            out["numDeletedRows"] = deleted
+    return out
 
 
 def _write_checkpoint(table_dir: str, state: dict) -> None:
@@ -1359,10 +1430,24 @@ def _write_dv_sidecar(table_dir: str, positions: dict) -> dict:
             for k, v in positions.items()}
 
 
-def _carry_dv(parent_manifest: dict | None, surviving_files) -> dict:
+def _carry_dv(parent_manifest: dict | None, surviving_files,
+              table_dir: str | None = None) -> dict:
+    """Parent DV entries restricted to the surviving files. With
+    *table_dir* (the DML/OPTIMIZE call sites), a legacy entry missing
+    its recorded position count gets ``n`` BACKFILLED into the carried
+    manifest — one bounded JSON sidecar load now, so the merge-on-read
+    broadcast gate (``_dv_total_positions``) stays O(#files) metadata
+    on legacy tables from the next commit onward."""
     keep = set(surviving_files)
     pd_ = (parent_manifest or {}).get("dv") or {}
-    return {f: e for f, e in pd_.items() if f in keep}
+    out = {}
+    for f, e in pd_.items():
+        if f not in keep:
+            continue
+        if table_dir is not None and e.get("n") is None:
+            e = {**e, "n": len(_dv_positions(table_dir, f, e))}
+        out[f] = e
+    return out
 
 
 def _read_files_renamed(spark: SparkSession, table_dir: str,
@@ -1509,9 +1594,7 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
                 f"cannot rename column {old!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first "
                 f"and re-add against the new name")
-        if any(old == k or k.startswith(old + "__")
-               for pt in (m.get("partitions") or {}).values()
-               for k in pt):
+        if _is_partition_source(m, old):
             raise ValueError(
                 f"cannot rename column {old!r}: it is a partition "
                 f"column of live files (identity or transform — "
@@ -1548,6 +1631,15 @@ _WIDEN_OK = {
     "smallint": {"int", "bigint", "double"},
     "int": {"bigint", "double"},
     "float": {"double"},
+    # Delta's type-widening set includes date -> timestampNTZ; Spark's
+    # vectorized parquet reader upcasts INT32/DATE to timestamp_ntz
+    # natively (midnight, no zone shift — verified against real
+    # files). date -> timestamp (WITH zone) is NOT lossless (it takes
+    # a session-zone interpretation) and stays blocked. Stored date
+    # stats keep pruning through the exact comparator's sound
+    # incomparable-types fallback; files rewritten after the widen
+    # carry ntz stats and prune tightly again.
+    "date": {"timestamp_ntz"},
 }
 
 
@@ -1574,22 +1666,55 @@ def _is_widening(old_t: str, new_t: str) -> bool:
     return False
 
 
+def _is_partition_source(m: dict, col: str) -> bool:
+    """True iff *col* is the SOURCE column of any live file's
+    partition-tuple key — exact parse via the transform-tag grammar
+    (the spec round-trip's), so an unrelated identity column literally
+    named ``<col>__<x>`` never matches ``<col>``."""
+    for pt in (m.get("partitions") or {}).values():
+        for k in pt:
+            src = k
+            if "__" in k:
+                head, tag = k.rsplit("__", 1)
+                if _is_transform_tag(tag):
+                    src = head
+            if src == col:
+                return True
+    return False
+
+
 def snapshot_widen_column(table_dir: str, col: str, new_type: str,
-                          max_retries: int = 5) -> int:
+                          max_retries: int = 5,
+                          rewrite: bool = False,
+                          spark: SparkSession | None = None) -> int:
     """WIDEN a column's type as a METADATA-ONLY commit (Delta's type
     widening / Iceberg's type promotion): no data file is read or
     rewritten — the manifest's schema records the wider type and
     every read resolves old files through Spark's native parquet
     upcast (the era read already applies the FINAL schema's types
     per file). Legal widenings: tinyint->smallint/int/bigint,
-    smallint->int/bigint, int->bigint, float->double, and
-    decimal(p,s)->decimal(p',s') with p'>=p, s'>=s and non-shrinking
-    integer digits (p'-s' >= p-s). Anything else raises — narrowing
-    or cross-family changes need a rewrite (overwrite), never a
-    silent cast.
+    smallint->int/bigint, int->bigint, float->double,
+    date->timestamp_ntz, and decimal(p,s)->decimal(p',s') with
+    p'>=p, s'>=s and non-shrinking integer digits (p'-s' >= p-s).
+    Anything else raises — narrowing or cross-family changes need a
+    rewrite (overwrite), never a silent cast.
 
-    Stored file statistics stay valid verbatim (the VALUES don't
-    change; predicate coercion compares through exact decimals), and
+    ``rewrite=True`` (requires *spark*) is the explicit ESCAPE for
+    type changes outside the metadata-safe lattice: the table is
+    read at its latest version, the column CAST to *new_type* (Spark
+    CAST semantics — the caller opts into any lossiness, e.g. bigint
+    -> int overflow becoming NULL under ANSI-off), and published as
+    ONE retrying overwrite commit; a
+    lost publish race re-reads the new latest and recomputes, so no
+    interleaved commit's rows are dropped. Per-file stats and bloom
+    columns recorded in the old manifest are re-established on the
+    new files. Metadata-safe changes take the metadata path even
+    when ``rewrite=True`` — the escape never rewrites for free wins.
+
+    Stored file statistics stay valid verbatim on the metadata path
+    (the VALUES don't change; predicate coercion compares through
+    exact decimals — a widened date column's date-typed stats stop
+    pruning until files rewrite, conservatively, never wrongly), and
     integer-family bloom filters keep firing (the canonical hash
     string of an integer is width-independent). Widening a partition
     column of live files is blocked like rename — transform hashes
@@ -1620,16 +1745,77 @@ def snapshot_widen_column(table_dir: str, col: str, new_type: str,
                 f"float->double, decimal growth with non-shrinking "
                 f"integer digits) — rewrite via mode='overwrite' for "
                 f"anything else")
-        if any(col == k or k.startswith(col + "__")
-               for pt in (m.get("partitions") or {}).values()
-               for k in pt):
+        if _is_partition_source(m, col):
             raise ValueError(
                 f"cannot widen column {col!r}: it is a partition "
                 f"column of live files (transform hashes are "
                 f"width-sensitive — rewrite via overwrite first)")
         fld["type"] = json.loads(new_dt.json())
         return {"schema": json.dumps(schema)}
+    if rewrite:
+        from pyspark.sql.types import (StructField,
+                                       _parse_datatype_string)
+        v = _latest_version(table_dir)
+        if v is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+        m = _read_manifest(table_dir, v)
+        fld = next((f for f in json.loads(m["schema"])["fields"]
+                    if f["name"] == col), None)
+        if fld is not None:
+            old_s = StructField.fromJson(
+                {"name": col, "type": fld["type"], "nullable": True,
+                 "metadata": {}}).dataType.simpleString()
+            if _is_widening(
+                    old_s,
+                    _parse_datatype_string(str(new_type))
+                    .simpleString()):
+                # metadata-safe after all: never rewrite for free wins
+                return _metadata_commit(table_dir, "widen", mutate,
+                                        max_retries)
+        if spark is None:
+            raise ValueError(
+                "snapshot_widen_column(rewrite=True) needs the "
+                "SparkSession to read and rewrite the table — pass "
+                "spark=")
+        return _widen_rewrite(spark, table_dir, col, str(new_type),
+                              max_retries)
     return _metadata_commit(table_dir, "widen", mutate, max_retries)
+
+
+def _widen_rewrite(spark: SparkSession, table_dir: str, col: str,
+                   new_type: str, max_retries: int = 5) -> int:
+    """The ``rewrite=True`` escape: read-latest -> CAST -> ONE
+    overwrite commit, retried against the NEW latest on a lost
+    publish race (each attempt re-reads, so an interleaved commit's
+    rows are never dropped). Stats/bloom coverage recorded in the old
+    manifest is re-established on the new files."""
+    last: FileExistsError | None = None
+    for _ in range(max_retries + 1):
+        v = _latest_version(table_dir)
+        if v is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+        m = _read_manifest(table_dir, v)
+        names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        if col not in names:
+            raise KeyError(
+                f"column {col!r} not in table schema {names}")
+        stats_cols = sorted({c for sd in (m.get("stats") or {})
+                             .values() for c in sd if c in names})
+        bloom_cols = sorted({c for b in (m.get("bloom") or {})
+                             .values() for c in b if c in names})
+        sdf = _plain(snapshot_read(spark, table_dir, version=v)) \
+            .withColumn(col, F.col(col).cast(new_type))
+        try:
+            return snapshot_write(sdf, table_dir, mode="overwrite",
+                                  stats_cols=stats_cols or None,
+                                  bloom_cols=bloom_cols or None)
+        except FileExistsError as exc:
+            last = exc
+    raise FileExistsError(
+        f"widen rewrite lost the publish race {max_retries + 1} "
+        f"times in {table_dir} (pathological contention): {last}")
 
 
 def _metadata_commit(table_dir: str, operation: str, mutate,
@@ -1853,9 +2039,7 @@ def snapshot_drop_column(table_dir: str, col: str,
             raise ValueError(
                 f"cannot drop column {col!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first")
-        if any(col == k or k.startswith(col + "__")
-               for pt in (m.get("partitions") or {}).values()
-               for k in pt):
+        if _is_partition_source(m, col):
             raise ValueError(
                 f"cannot drop column {col!r}: it is a partition "
                 f"column of live files (identity or transform — "
@@ -2332,8 +2516,15 @@ def _write_partitioned(sdf: DataFrame, table_dir: str, out_dir: str,
         pcols.append(pc)
         srcs.append(src)
     if order_expr is not None:
+        # num_files=None means natural parallelism, same as the
+        # unordered branch — never collapse the write to ONE range
+        # partition just because clustering is on
+        if num_files is None:
+            from cl_data_frame_spark.partitioning import \
+                default_parallelism
+            num_files = default_parallelism(sdf)
         w = w.withColumn("__zk__", order_expr) \
-            .repartitionByRange(max(num_files or 1, 1),
+            .repartitionByRange(max(num_files, 1),
                                 *pcols, F.col("__zk__")) \
             .sortWithinPartitions(*pcols, "__zk__") \
             .drop("__zk__")
@@ -3321,7 +3512,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
         manifest["renamed_files"] = renames
     # compacted files had their DVs APPLIED during the read above, so
     # their vectors are materialized away; carried files keep theirs
-    dv = _carry_dv(m, carried)
+    # (legacy entries get their position count backfilled)
+    dv = _carry_dv(m, carried, table_dir)
     if dv:
         manifest["dv"] = dv
     parts_ = {**_carry_partitions(m, carried), **new_parts}
@@ -4079,7 +4271,10 @@ def snapshot_history(table_dir: str,
              "operation": m["operation"],
              "n_files": len(m["files"]),
              "timestamp": os.path.getmtime(
-                 _manifest_path(table_dir, v))}
+                 _manifest_path(table_dir, v)),
+             # Delta's operationMetrics (commits published before the
+             # metrics era report {})
+             "operation_metrics": dict(m.get("op_metrics") or {})}
             for v in (_versions(table_dir) if limit is None
                       else _versions(table_dir)[-int(limit):]
                       if int(limit) > 0 else [])]
@@ -4524,7 +4719,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
         renames = _carry_renames(m, untouched)
         if renames:
             manifest["renamed_files"] = renames
-        dv = {**_carry_dv(m, untouched), **new_dv_entries}
+        dv = {**_carry_dv(m, untouched, table_dir),
+              **new_dv_entries}
         if dv:
             manifest["dv"] = dv
         parts_ = _carry_partitions(m, untouched)
@@ -4855,7 +5051,7 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
     renames = _carry_renames(m, untouched)
     if renames:
         manifest["renamed_files"] = renames
-    dv = {**_carry_dv(m, untouched), **new_dv_entries}
+    dv = {**_carry_dv(m, untouched, table_dir), **new_dv_entries}
     if dv:
         manifest["dv"] = dv
     parts_ = _carry_partitions(m, untouched)
@@ -4940,4 +5136,5 @@ def snapshot_detail(table_dir: str,
             for pt in (m.get("partitions") or {}).values() if pt}),
         "cluster_by": list(m.get("cluster_by") or []),
         "txn": dict(m.get("txn") or {}),
+        "operation_metrics": dict(m.get("op_metrics") or {}),
     }

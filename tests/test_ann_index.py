@@ -269,3 +269,69 @@ def test_recluster_recovers_recall_after_drift(spark, tmp_path):
     assert A.ann_index_update(
         spark, idx, spark.createDataFrame(extra, sch)) == v + 1
     assert snapshot_read(spark, A.vectors_table_dir(idx)).nrow == 404
+
+
+def test_drift_statistic_triggers_before_recall_drop(spark,
+                                                     tmp_path):
+    """Round 14: ann_index_update records a routing-quality drift
+    statistic (mean routed cosine vs the model's build-time
+    baseline) in the index metadata, and ann_index_health turns it
+    into a recluster recommendation — crossing the threshold on the
+    SAME drifted corpus whose measured recall drop the recluster
+    regression pins, without running any recall evaluation."""
+    from cl_data_frame_spark.operators import ann_index as A
+
+    DIM = 8
+
+    def vec(i, cluster, base):
+        v = [0.0] * DIM
+        v[base + cluster] = 1.0
+        for d in range(DIM):
+            v[d] += ((i * 2654435761 + d * 40503) % 97) / 970.0
+        return v
+
+    sch = "vec_id bigint, embedding array<double>"
+    idx = str(tmp_path / "idx")
+    a_rows = [(i, vec(i, i % 4, 0)) for i in range(200)]
+    A.ann_index_build(spark, idx, spark.createDataFrame(a_rows, sch),
+                      k=4, max_iter=3)
+    h0 = A.ann_index_health(spark, idx)
+    assert h0["baseline_mean_sim"] is not None
+    assert h0["ingested_n"] == 0
+    assert h0["drift_ratio"] is None
+    assert h0["recluster_recommended"] is False
+    # ON-distribution ingest: ratio stays ~1, no recommendation
+    on_rows = [(500 + i, vec(777 + i, i % 4, 0)) for i in range(50)]
+    A.ann_index_update(spark, idx,
+                       spark.createDataFrame(on_rows, sch))
+    h1 = A.ann_index_health(spark, idx)
+    assert h1["ingested_n"] == 50
+    assert h1["drift_ratio"] is not None
+    assert h1["drift_ratio"] > 0.97
+    assert h1["recluster_recommended"] is False
+    # DRIFTED ingest (the recall-regression corpus): new clusters on
+    # dims 4-7 land far from every stale centroid — the statistic
+    # crosses the threshold, recommending recluster BEFORE anyone
+    # measures the recall drop
+    d_rows = [(200 + i, vec(i, i % 4, 4)) for i in range(200)]
+    A.ann_index_update(spark, idx,
+                       spark.createDataFrame(d_rows, sch))
+    h2 = A.ann_index_health(spark, idx)
+    assert h2["ingested_n"] == 250
+    assert h2["drift_ratio"] < h1["drift_ratio"]
+    assert h2["recluster_recommended"] is True
+    # recluster resets the baseline against the retrained model
+    A.ann_index_recluster(spark, idx, k=8, max_iter=4)
+    h3 = A.ann_index_health(spark, idx)
+    assert h3["ingested_n"] == 0
+    assert h3["drift_ratio"] is None
+    assert h3["recluster_recommended"] is False
+    # replayed txn batches are swallowed WITHOUT polluting the stats
+    A.ann_index_update(spark, idx,
+                       spark.createDataFrame(on_rows, sch),
+                       txn=("ing", 1))
+    n_after = A.ann_index_health(spark, idx)["ingested_n"]
+    A.ann_index_update(spark, idx,
+                       spark.createDataFrame(on_rows, sch),
+                       txn=("ing", 1))      # replay: swallowed
+    assert A.ann_index_health(spark, idx)["ingested_n"] == n_after

@@ -4282,6 +4282,48 @@ class TestDVBroadcastGate:
         m = S._read_manifest(t, 2)
         assert S._dv_total_positions(t, m["dv"]) == 100
 
+    def test_legacy_entries_backfill_n_on_next_dml(self, spark,
+                                                   tmp_path,
+                                                   monkeypatch):
+        # round 14: a legacy DV entry without its recorded count makes
+        # the gate load the JSON sidecar; the next DML touch backfills
+        # ``n`` into the manifest so later gated reads are O(#files)
+        # metadata again
+        import json as _json
+        from cl_data_frame_spark.sources import snapshots as S
+        t = self._dv_table(spark, tmp_path, "dvlegacy")
+        # forge the legacy shape: strip "n" from the live manifest's
+        # dv entries (pre-r13 tables never recorded it)
+        m = S._read_manifest(t, 2)
+        assert all("n" in e for e in m["dv"].values())
+        p = S._manifest_path(t, 2)
+        raw = _json.load(open(p))
+        container = raw.get("dv_add") or raw.get("dv") or {}
+        for e in container.values():
+            e.pop("n", None)
+        with open(p + ".tmp2", "w") as f:
+            _json.dump(raw, f)
+        import os
+        os.replace(p + ".tmp2", p)
+        S._STATE_CACHE.clear()
+        assert any("n" not in e for e in
+                   S._read_manifest(t, 2)["dv"].values())
+        # gate still works (loads the bounded JSON once)
+        assert S.snapshot_read(spark, t).nrow == 1900
+        # a DML touch of OTHER rows carries the legacy entries with n
+        S.snapshot_delete(spark, t, [("k", ">=", 1990)])
+        m3 = S._read_manifest(t, 3)
+        assert all(e.get("n") is not None for e in m3["dv"].values())
+        # and the gated read no longer touches any JSON position list
+        calls = []
+        orig = S._dv_positions
+        monkeypatch.setattr(
+            S, "_dv_positions",
+            lambda *a: (calls.append(1), orig(*a))[1])
+        assert S._dv_total_positions(t, m3["dv"]) == 110
+        assert not calls, \
+            "after backfill the gate must be manifest-metadata only"
+
 
 class TestSnapshotSetTxn:
     """Round 14: ``snapshot_set_txn`` — a metadata-only commit that
@@ -4330,6 +4372,99 @@ class TestSnapshotSetTxn:
                            txn_expect={"a": None, "b": None})
         assert S.snapshot_txn_version(t, "a") == 1
         assert S.snapshot_txn_version(t, "b") == 2
+
+
+class TestOperationMetrics:
+    """Round 14: Delta-style operationMetrics recorded per commit in
+    the manifest (metadata-only — derived from the parent diff,
+    ``__rows__`` footer counts, and DV ``n`` counts already in hand)
+    and surfaced via snapshot_history / snapshot_detail."""
+
+    def test_metrics_across_write_merge_delete_optimize(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.frame import SparkFrame
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "opm")
+        S.snapshot_write(
+            spark.range(100).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v")),
+            t, stats_cols=["k"], num_files=4)
+        S.snapshot_write(
+            spark.range(100, 120).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+            t, mode="append", num_files=1)
+        S.snapshot_merge(
+            spark, t,
+            SparkFrame(spark.range(118, 125).select(
+                F.col("id").alias("k"), F.lit(0).alias("v"))),
+            on="k")
+        S.snapshot_delete(spark, t, [("k", "<", 3)])
+        S.snapshot_optimize(spark, t, target_file_mb=512)
+        h = {e["version"]: e["operation_metrics"]
+             for e in S.snapshot_history(t)}
+        assert h[1]["numAddedFiles"] == 4
+        assert h[1]["numOutputRows"] == 100
+        assert h[1]["numRemovedFiles"] == 0
+        assert h[2]["numAddedFiles"] == 1
+        assert h[2]["numOutputRows"] == 20
+        assert h[2]["numRemovedFiles"] == 0    # append carries parent
+        # merge: 2 matched updates + 5 inserts; whatever the rewrite
+        # shape, rows added - rows removed must equal the 5 inserts
+        # net of DV-deleted rows
+        m3 = h[3]
+        net = m3.get("numOutputRows", 0) \
+            - m3.get("numRemovedRows", 0) + m3.get("numDeletedRows", 0)
+        assert net == 5, m3
+        # delete k<3: three rows go — via DV (numDeletedRows) or
+        # rewrite (removed-added)
+        m4 = h[4]
+        gone = m4.get("numDeletedRows", 0) + (
+            m4.get("numRemovedRows", 0) - m4.get("numOutputRows", 0))
+        assert gone == 3, m4
+        # optimize: net zero rows, files consolidated
+        m5 = h[5]
+        assert m5["numRemovedFiles"] > 0
+        detail = S.snapshot_detail(t)
+        assert detail["operation_metrics"] == m5
+        # final row count sanity: 100+20+5-3
+        assert S.snapshot_read(spark, t).nrow == 122
+
+    def test_metadata_commits_report_zero(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "opmmeta")
+        S.snapshot_write(
+            spark.range(10).select(F.col("id").cast("int")
+                                   .alias("k")), t)
+        S.snapshot_rename_column(t, "k", "kk")
+        S.snapshot_set_txn(t, ("app", 1))
+        h = {e["version"]: e for e in S.snapshot_history(t)}
+        for v in (2, 3):
+            mx = h[v]["operation_metrics"]
+            assert mx["numAddedFiles"] == 0
+            assert mx["numRemovedFiles"] == 0
+            assert mx.get("numOutputRows", 0) == 0
+
+    def test_metrics_survive_delta_replay_and_checkpoint(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "opmreplay")
+        S.snapshot_write(
+            spark.range(8).select(F.col("id").alias("k")), t,
+            num_files=2)
+        S.snapshot_write(
+            spark.range(8, 11).select(F.col("id").alias("k")), t,
+            mode="append", num_files=1)
+        S._STATE_CACHE.clear()          # force delta-chain replay
+        m = S._read_manifest(t, 2)
+        assert m["op_metrics"]["numAddedFiles"] == 1
+        assert m["op_metrics"]["numOutputRows"] == 3
+        # commit-scoped: a later commit does NOT inherit version 2's
+        S.snapshot_set_txn(t, ("a", 1))
+        m3 = S._read_manifest(t, 3)
+        assert m3["op_metrics"]["numAddedFiles"] == 0
 
 
 class TestRowGroupCountRenameGuard:
@@ -4572,6 +4707,29 @@ class TestSnapshotWidenColumn:
     file is touched; old files read through Spark's native parquet
     upcast under the final era schema."""
 
+    def test_lookalike_partition_column_does_not_block(self, spark,
+                                                       tmp_path):
+        # round 14 (advisor): an unrelated IDENTITY partition column
+        # literally named "<col>__<x>" must not block widening <col> —
+        # the guard parses the tuple key with the transform-tag
+        # grammar and compares the extracted source exactly
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "widenlook")
+        S.snapshot_write(
+            spark.range(20).select(
+                F.col("id").cast("int").alias("k"),
+                (F.col("id") % 2).cast("int").alias("k__shard")),
+            t, partition_by=["k__shard"])
+        S.snapshot_widen_column(t, "k", "bigint")   # must not raise
+        assert dict(S.snapshot_read(spark, t).spark_df.dtypes)["k"] \
+            == "bigint"
+        # the REAL partition source still blocks (identity and
+        # transform alike)
+        import pytest
+        with pytest.raises(ValueError, match="partition column"):
+            S.snapshot_widen_column(t, "k__shard", "bigint")
+
     def test_widen_int_to_bigint_reads_both_eras(self, spark,
                                                  tmp_path):
         import os
@@ -4640,6 +4798,86 @@ class TestSnapshotWidenColumn:
         # time travel to the pre-widen version keeps the OLD type
         old = S.snapshot_read(spark, t, version=1).spark_df
         assert dict(old.dtypes)["d"] == "decimal(10,2)"
+
+    def test_widen_date_to_timestamp_ntz(self, spark, tmp_path):
+        # round 14: Delta's date -> timestampNTZ promotion — metadata
+        # only, both eras read through the native parquet upcast
+        # (midnight, no zone shift); timestamp WITH zone stays blocked
+        import datetime
+        import os
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "widendt")
+        S.snapshot_write(
+            spark.sql("select date'2024-03-05' as d, 1 as k "
+                      "union all select date'2020-12-31', 2"),
+            t, stats_cols=["d"], num_files=1)
+        with pytest.raises(ValueError, match="lossless"):
+            S.snapshot_widen_column(t, "d", "timestamp")
+        files_before = set(S._read_manifest(t, 1)["files"])
+        S.snapshot_widen_column(t, "d", "timestamp_ntz")
+        m = S._read_manifest(t, 2)
+        assert set(m["files"]) == files_before     # metadata-only
+        out = S.snapshot_read(spark, t)
+        assert dict(out.spark_df.dtypes)["d"] == "timestamp_ntz"
+        got = {r["k"]: r["d"] for r in out.spark_df.collect()}
+        assert got[1] == datetime.datetime(2024, 3, 5, 0, 0)
+        assert got[2] == datetime.datetime(2020, 12, 31, 0, 0)
+        # post-widen append in the new era unions with the old
+        S.snapshot_write(
+            spark.sql("select timestamp_ntz'2024-06-01 10:30:00' "
+                      "as d, 3 as k"), t, mode="append")
+        assert S.snapshot_read(spark, t).nrow == 3
+        # predicated read over old-era date stats stays SOUND
+        # (conservative keep — no wrong prune)
+        assert S.snapshot_read(
+            spark, t,
+            where=[("d", ">=",
+                    datetime.datetime(2024, 1, 1))]).nrow == 2
+        # time travel to the pre-widen era keeps DateType
+        assert dict(S.snapshot_read(spark, t, version=1)
+                    .spark_df.dtypes)["d"] == "date"
+
+    def test_rewrite_escape_for_non_metadata_safe(self, spark,
+                                                  tmp_path):
+        # round 14: rewrite=True performs overwrite+cast for legal-
+        # but-lossy changes; metadata-safe changes still take the
+        # metadata path even with rewrite=True
+        import os
+        import pytest
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "widenrw")
+        S.snapshot_write(
+            spark.range(30).select(
+                F.col("id").alias("k"),           # bigint
+                F.col("id").cast("int").alias("x")),
+            t, stats_cols=["k"], bloom_cols=["k"], num_files=2)
+        # without the escape: narrowing raises with the rewrite hint
+        with pytest.raises(ValueError, match="lossless"):
+            S.snapshot_widen_column(t, "k", "int")
+        # rewrite=True without spark: loud error
+        with pytest.raises(ValueError, match="spark"):
+            S.snapshot_widen_column(t, "k", "int", rewrite=True)
+        v = S.snapshot_widen_column(t, "k", "int", rewrite=True,
+                                    spark=spark)
+        m = S._read_manifest(t, v)
+        assert m["operation"] == "overwrite"       # real rewrite
+        out = S.snapshot_read(spark, t)
+        assert dict(out.spark_df.dtypes)["k"] == "int"
+        assert sorted(r["k"] for r in out.spark_df.collect()) \
+            == list(range(30))
+        # stats coverage re-established: pruning still fires
+        assert S.snapshot_read(spark, t,
+                               where=[("k", "==", 7)]).nrow == 1
+        # metadata-safe change with rewrite=True: NO files rewritten
+        files = set(S._read_manifest(t, v)["files"])
+        v2 = S.snapshot_widen_column(t, "x", "bigint", rewrite=True,
+                                     spark=spark)
+        m2 = S._read_manifest(t, v2)
+        assert m2["operation"] == "widen"
+        assert set(m2["files"]) == files
 
     def test_illegal_widenings_raise(self, spark, tmp_path):
         import pytest
