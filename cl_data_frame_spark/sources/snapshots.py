@@ -259,6 +259,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["partitions"] = parts_
     if d.get("constraints"):
         out["constraints"] = d["constraints"]
+    if d.get("generated"):
+        out["generated"] = d["generated"]
     if d.get("txn"):
         out["txn"] = d["txn"]
     if d.get("op_info"):
@@ -283,8 +285,8 @@ def _norm_state(m: dict) -> dict:
            "operation": m.get("operation"), "schema": m["schema"],
            "files": list(m["files"])}
     for k in ("stats", "bloom", "renamed_files", "dv", "partitions",
-              "constraints", "txn", "op_info", "op_metrics", "cdc",
-              "cluster_by"):
+              "constraints", "generated", "txn", "op_info",
+              "op_metrics", "cdc", "cluster_by"):
         if m.get(k):
             out[k] = m[k]
     if out.get("renamed_files"):
@@ -328,6 +330,8 @@ def _make_delta(parent: dict, full: dict,
             d[k] = ops[k]
     if full.get("constraints"):
         d["constraints"] = full["constraints"]
+    if full.get("generated"):
+        d["generated"] = full["generated"]
     if full.get("txn"):
         d["txn"] = full["txn"]
     if full.get("op_info"):
@@ -364,8 +368,8 @@ def _make_delta(parent: dict, full: dict,
 #: table-level state keys carried in the parquet checkpoint's
 #: key-value footer metadata (per-file maps become columns)
 _CKPT_META_KEYS = ("version", "parent", "operation", "schema",
-                   "constraints", "txn", "op_info", "op_metrics",
-                   "cdc", "cluster_by")
+                   "constraints", "generated", "txn", "op_info",
+                   "op_metrics", "cdc", "cluster_by")
 #: per-file state maps and their checkpoint column names
 _CKPT_FILE_COLS = (("stats", "stats"), ("bloom", "bloom"),
                    ("renamed_files", "chain"), ("dv", "dv"),
@@ -1594,6 +1598,13 @@ def snapshot_rename_column(table_dir: str, old: str, new: str,
                 f"cannot rename column {old!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first "
                 f"and re-add against the new name")
+        gref = _generated_referencing(m, old)
+        if gref:
+            raise ValueError(
+                f"cannot rename column {old!r}: it participates in "
+                f"generated declaration(s) {gref} — drop the "
+                f"declaration(s) first (snapshot_drop_generated_"
+                f"column) and re-declare against the new name")
         if _is_partition_source(m, old):
             raise ValueError(
                 f"cannot rename column {old!r}: it is a partition "
@@ -1840,13 +1851,13 @@ def _metadata_commit(table_dir: str, operation: str, mutate,
             "files": m["files"],
         }
         for key in ("stats", "bloom", "renamed_files", "dv",
-                    "partitions", "txn", "constraints",
+                    "partitions", "txn", "constraints", "generated",
                     "cluster_by"):
             if m.get(key):
                 manifest[key] = m[key]
         manifest.update(mutate(m))
         for key in ("stats", "bloom", "renamed_files", "dv",
-                    "partitions", "constraints"):
+                    "partitions", "constraints", "generated"):
             if key in manifest and not manifest[key]:
                 del manifest[key]
         try:
@@ -1955,6 +1966,210 @@ def _constraints_referencing(manifest: dict, col: str) -> list[str]:
                   if pat.search(pred))
 
 
+# ---------------------------------------------------------------------------
+# GENERATED / IDENTITY columns (Delta's GENERATED ALWAYS AS (expr) /
+# GENERATED ALWAYS|BY DEFAULT AS IDENTITY): table-level declarations in
+# the manifest; snapshot_write computes absent declared columns,
+# enforces provided expression columns, and assigns identity values
+# from a commit-carried high-water mark.
+# ---------------------------------------------------------------------------
+
+def _norm_generated_decls(generated: dict) -> dict:
+    """User declarations to the stored manifest shape: a string value
+    is an expression column; ``{"identity": {...}}`` an identity
+    column (``start``/``step`` default 1, ``always`` default True; the
+    stored ``high`` water mark starts one step before ``start``)."""
+    out: dict = {}
+    for name, g in generated.items():
+        if isinstance(g, str):
+            out[str(name)] = {"expr": g}
+            continue
+        if isinstance(g, dict) and "expr" in g:
+            out[str(name)] = {"expr": str(g["expr"])}
+            continue
+        if isinstance(g, dict) and "identity" in g:
+            ident = dict(g["identity"] or {})
+            start = int(ident.get("start", 1))
+            step = int(ident.get("step", 1))
+            if step == 0:
+                raise ValueError(
+                    f"identity column {name!r}: step must be nonzero")
+            out[str(name)] = {"identity": {
+                "start": start, "step": step,
+                "always": bool(ident.get("always", True)),
+                "high": start - step}}
+            continue
+        raise ValueError(
+            f"generated column {name!r}: declare a SQL expression "
+            f"string or {{'identity': {{'start', 'step', 'always'}}}}")
+    return out
+
+
+def _generated_referencing(manifest: dict, col: str) -> list[str]:
+    """Generated-column declarations that *col* participates in —
+    as the generated column itself or as an identifier its expression
+    references. Rename/drop of either is blocked, like constraints:
+    the stored expression would go unresolved and brick every later
+    write."""
+    import re
+    pat = re.compile(r"(?<![A-Za-z0-9_`])" + re.escape(col)
+                     + r"(?![A-Za-z0-9_`])", re.IGNORECASE)
+    out = []
+    for name, g in (manifest.get("generated") or {}).items():
+        if name == col or ("expr" in g and pat.search(g["expr"])):
+            out.append(name)
+    return sorted(out)
+
+
+def _apply_generated(sdf: DataFrame, gen: dict
+                     ) -> tuple[DataFrame, dict]:
+    """Apply a table's generated-column declarations to one write
+    batch: absent expression columns are COMPUTED (row-local
+    ``F.expr``), present ones are ENFORCED (any row whose stored value
+    differs from the expression aborts the write — Delta's rule);
+    absent identity columns are ASSIGNED dense values continuing the
+    commit-carried high-water mark (per-partition offsets + the
+    row-in-partition index ``monotonically_increasing_id`` encodes —
+    one tiny counts job, no window, no shuffle), present ones raise
+    under GENERATED ALWAYS and advance the mark under BY DEFAULT.
+    Returns ``(batch, updated declarations)`` — the caller records the
+    updated map in the SAME commit, so a lost publish race re-runs the
+    whole write against the winner's mark (no duplicate ids)."""
+    if not gen:
+        return sdf, gen
+    new_gen = {k: {**v, "identity": dict(v["identity"])}
+               if "identity" in v else dict(v) for k, v in gen.items()}
+    checks: dict[str, str] = {}
+    assign: list[str] = []
+    for name, g in gen.items():
+        if "expr" in g:
+            if name in sdf.columns:
+                checks[name] = g["expr"]
+            else:
+                try:
+                    sdf = sdf.withColumn(name, F.expr(g["expr"]))
+                except Exception as exc:
+                    raise ValueError(
+                        f"generated column {name} = {g['expr']!r} "
+                        f"does not evaluate against the batch "
+                        f"(schema drift?) — drop the declaration or "
+                        f"fix the batch: {exc}") from exc
+        else:
+            ident = g["identity"]
+            if name in sdf.columns:
+                if ident.get("always", True):
+                    raise ValueError(
+                        f"identity column {name!r} is GENERATED "
+                        f"ALWAYS — writes must not provide it "
+                        f"(declare always=False for BY DEFAULT)")
+                # BY DEFAULT: explicit values are accepted at the
+                # identity column's declared type; pin one
+                # materialization so the mark-advance agg and the
+                # parquet write see identical rows
+                sdf = sdf.withColumn(name,
+                                     F.col(name).cast("bigint")) \
+                    .localCheckpoint(eager=True)
+                mx = sdf.agg(
+                    F.max(F.col(name)) if ident["step"] > 0
+                    else F.min(F.col(name))).collect()[0][0]
+                if mx is not None:
+                    h = new_gen[name]["identity"]["high"]
+                    new_gen[name]["identity"]["high"] = (
+                        max(h, int(mx)) if ident["step"] > 0
+                        else min(h, int(mx)))
+            else:
+                assign.append(name)
+    if assign or checks:
+        # one materialization: the counts/enforcement jobs and the
+        # parquet write must see identical rows and partitioning
+        sdf = sdf.localCheckpoint(eager=True)
+    for name in assign:
+        ident = gen[name]["identity"]
+        step, high = int(ident["step"]), int(ident["high"])
+        sizes = sorted(
+            (int(r["p"]), int(r["c"])) for r in
+            sdf.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c")).collect())
+        offs, acc = [], 0
+        for p, c in sizes:
+            offs.append((p, acc))
+            acc += c
+        if not acc:
+            # empty batch: the column still joins the schema (no rows,
+            # no mark advance)
+            sdf = sdf.withColumn(name, F.lit(None).cast("bigint"))
+            continue
+        off_map = F.create_map(*[F.lit(x) for p, o in offs
+                                 for x in (p, o)])
+        mid = F.monotonically_increasing_id()
+        pid = F.shiftright(mid, 33).cast("int")
+        row = mid.bitwiseAND(F.lit((1 << 33) - 1))
+        sdf = sdf.withColumn(
+            name,
+            (F.lit(high) + (off_map[pid] + row + F.lit(1))
+             * F.lit(step)).cast("bigint"))
+        new_gen[name]["identity"]["high"] = high + step * acc
+    if checks:
+        bad = None
+        for name, expr in checks.items():
+            term = ~F.col(name).eqNullSafe(F.expr(expr))
+            bad = term if bad is None else (bad | term)
+        hit = sdf.filter(bad).limit(1).collect()
+        if hit:
+            raise ValueError(
+                f"generated-column violation: batch row "
+                f"{hit[0].asDict()} disagrees with the declared "
+                f"expression for one of {sorted(checks)} — omit the "
+                f"column (it is computed) or write matching values")
+    return sdf, new_gen
+
+
+def snapshot_add_generated_column(table_dir: str, name: str,
+                                  expr: str,
+                                  max_retries: int = 5) -> int:
+    """Declare an EXPRESSION-generated column on an existing table as
+    a metadata-only commit (Delta's ``GENERATED ALWAYS AS (expr)``):
+    from the next write on, a batch that omits *name* gets it computed
+    row-locally from *expr*, and a batch that provides it is checked
+    against the expression (mismatches abort the write). The column
+    must already exist in the table schema; existing rows are NOT
+    retro-checked (same contract as ``snapshot_add_constraint`` —
+    run the one-scan audit yourself if wanted)."""
+    def mutate(m):
+        names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        if name not in names:
+            raise KeyError(
+                f"column {name!r} not in table schema {names} — "
+                f"generated declarations cover existing columns "
+                f"(declare at creation via snapshot_write(generated=) "
+                f"for new tables)")
+        gen = dict(m.get("generated") or {})
+        if name in gen:
+            raise ValueError(
+                f"column {name!r} already has a generated "
+                f"declaration")
+        gen[name] = {"expr": str(expr)}
+        return {"generated": gen}
+    return _metadata_commit(table_dir, "add_generated", mutate,
+                            max_retries)
+
+
+def snapshot_drop_generated_column(table_dir: str, name: str,
+                                   max_retries: int = 5) -> int:
+    """Remove a generated/identity declaration (metadata-only; the
+    column and its data stay — only the write-time rule goes)."""
+    def mutate(m):
+        gen = dict(m.get("generated") or {})
+        if name not in gen:
+            raise KeyError(
+                f"no generated declaration for {name!r} "
+                f"(has {sorted(gen)})")
+        del gen[name]
+        return {"generated": gen}
+    return _metadata_commit(table_dir, "drop_generated", mutate,
+                            max_retries)
+
+
 def snapshot_clone(src_table_dir: str, dst_table_dir: str,
                    version: int | None = None) -> int:
     """Shallow CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): a
@@ -2010,6 +2225,8 @@ def snapshot_clone(src_table_dir: str, dst_table_dir: str,
             for f, e in m["dv"].items()}
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("generated"):
+        manifest["generated"] = m["generated"]
     if m.get("cluster_by"):
         manifest["cluster_by"] = m["cluster_by"]
     _publish(dst_table_dir, manifest)
@@ -2039,6 +2256,13 @@ def snapshot_drop_column(table_dir: str, col: str,
             raise ValueError(
                 f"cannot drop column {col!r}: referenced by CHECK "
                 f"constraint(s) {ref} — drop the constraint(s) first")
+        gref = _generated_referencing(m, col)
+        if gref:
+            raise ValueError(
+                f"cannot drop column {col!r}: it participates in "
+                f"generated declaration(s) {gref} — drop the "
+                f"declaration(s) first (snapshot_drop_generated_"
+                f"column)")
         if _is_partition_source(m, col):
             raise ValueError(
                 f"cannot drop column {col!r}: it is a partition "
@@ -2922,8 +3146,27 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
                    merge_schema: bool = False,
                    partition_by: Sequence[str] | None = None,
                    txn_expect: int | None = None,
-                   txn_reset: bool = False) -> int:
+                   txn_reset: bool = False,
+                   generated: dict | None = None) -> int:
     """Publish a new table version; returns the version number.
+
+    ``generated`` (creation-time only: the first write, or an
+    overwrite) declares GENERATED columns — Delta's ``GENERATED
+    ALWAYS AS (expr)`` / ``AS IDENTITY``: ``{"day":
+    "date_trunc('day', ts)"}`` or ``{"id": {"identity": {"start": 1,
+    "step": 1, "always": True}}}``. From then on EVERY
+    ``snapshot_write`` computes absent declared columns (expression
+    columns row-locally; identity columns as DENSE values continuing
+    a commit-carried high-water mark — per-partition offsets, no
+    window, no shuffle), enforces provided expression columns
+    (mismatch aborts), and rejects provided GENERATED ALWAYS identity
+    values (``always=False`` = BY DEFAULT: explicit values accepted
+    and the mark advances past them). Declarations carry across
+    commits like constraints; a lost publish race re-runs the write
+    against the winner's mark, so concurrent appenders never mint
+    duplicate ids. Row-level DML (merge/update) carries declarations
+    but does not recompute them — the writer path is the enforcement
+    point, as with CHECK constraints at Delta.
 
     ``partition_by`` lays the new files out Hive-style by the given
     columns and records each file's PARTITION TUPLE in the manifest
@@ -2979,6 +3222,25 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
     parent = _latest_version(table_dir)
     pm = _read_manifest(table_dir, parent) if parent is not None \
         else None
+    gen = dict((pm.get("generated") or {})) if pm is not None else {}
+    if generated is not None:
+        if mode == "append" and pm is not None:
+            raise ValueError(
+                "generated= declares at table creation (first write "
+                "or overwrite) — use snapshot_add_generated_column "
+                "on an existing table")
+        gen = _norm_generated_decls(generated)   # overwrite: replaces
+    if gen:
+        sdf, gen = _apply_generated(sdf, gen)
+        if mode == "append" and pm is not None:
+            # computed columns append at the END of the frame; align
+            # to the table's column order so the shape check compares
+            # content, not the computation order
+            from pyspark.sql.types import StructType
+            cur_names = [f.name for f in StructType.fromJson(
+                json.loads(pm["schema"]))]
+            if set(cur_names) == set(sdf.columns):
+                sdf = sdf.select(*cur_names)
     if mode == "append" and pm is not None and not merge_schema:
         from pyspark.sql.types import StructType
         cur = StructType.fromJson(json.loads(pm["schema"]))
@@ -3069,6 +3331,8 @@ def snapshot_write(frame, table_dir: str, mode: str = "append",
         manifest["partitions"] = partitions
     if constraints:
         manifest["constraints"] = constraints
+    if gen:
+        manifest["generated"] = gen
     if pm is not None and pm.get("cluster_by"):
         # sticky clustering survives appends/overwrites (an OPTIMIZE
         # re-clusters on it; clear with snapshot_optimize(
@@ -3161,6 +3425,13 @@ def _try_rebase_publish(table_dir: str, base_version: int,
         lm = _read_manifest(table_dir, latest)
         if lm["schema"] != schema_json:
             return None            # interleaved schema evolution
+        if (lm.get("generated") or {}) != \
+                (base.get("generated") or {}):
+            # an interleaved generated/identity commit (declaration
+            # change OR an identity mark advance) does not commute:
+            # a rebased publish would clobber the winner's high-water
+            # mark — recompute against the new latest instead
+            return None
         if (lm.get("constraints") or {}) != \
                 (base.get("constraints") or {}):
             # an interleaved ADD/DROP CONSTRAINT does NOT commute: our
@@ -3218,6 +3489,8 @@ def _try_rebase_publish(table_dir: str, base_version: int,
             manifest["partitions"] = parts_
         if lm.get("constraints"):
             manifest["constraints"] = lm["constraints"]
+        if lm.get("generated"):
+            manifest["generated"] = lm["generated"]
         if lm.get("cluster_by"):
             manifest["cluster_by"] = lm["cluster_by"]
         _txn_guard(lm.get("txn"), txn_add, txn_expect)
@@ -3494,6 +3767,8 @@ def _optimize_once(spark: SparkSession, table_dir: str,
     }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("generated"):
+        manifest["generated"] = m["generated"]
     if sticky:
         manifest["cluster_by"] = list(sticky)
     if m.get("txn"):
@@ -4728,6 +5003,8 @@ def _merge_once(spark: SparkSession, table_dir: str, src, keys, on,
             manifest["partitions"] = parts_
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("generated"):
+            manifest["generated"] = m["generated"]
         if m.get("cluster_by"):
             manifest["cluster_by"] = m["cluster_by"]
         _txn_guard(m.get("txn"), txn, txn_expect)
@@ -4797,6 +5074,8 @@ def snapshot_restore(table_dir: str, version: int) -> int:
             manifest["partitions"] = m["partitions"]
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("generated"):
+            manifest["generated"] = m["generated"]
         if m.get("cluster_by"):
             manifest["cluster_by"] = m["cluster_by"]
         if lm.get("txn"):
@@ -5059,6 +5338,8 @@ def _dml_rewrite_once(spark: SparkSession, table_dir: str, where,
         manifest["partitions"] = parts_
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("generated"):
+        manifest["generated"] = m["generated"]
     if m.get("cluster_by"):
         manifest["cluster_by"] = m["cluster_by"]
     _txn_guard(m.get("txn"), txn, None)
@@ -5137,4 +5418,5 @@ def snapshot_detail(table_dir: str,
         "cluster_by": list(m.get("cluster_by") or []),
         "txn": dict(m.get("txn") or {}),
         "operation_metrics": dict(m.get("op_metrics") or {}),
+        "generated_columns": sorted(m.get("generated") or {}),
     }
