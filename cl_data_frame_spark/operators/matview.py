@@ -1540,6 +1540,198 @@ def _apply_feed(spark: SparkSession, view_dir: str, meta: dict,
                                 or n_repair > _KEY_BROADCAST_MAX)}
 
 
+def matview_evolve(spark: SparkSession, view_dir: str,
+                   add_measure_cols: Sequence[str] = (),
+                   add_distinct_cols: Sequence[str] = (),
+                   add_distinct_approx_cols: Sequence[str] = (),
+                   add_quantile_cols: Sequence[str] = (),
+                   quantile_probs: Sequence[float] | None = None,
+                   kll_k: int | None = None) -> dict:
+    """EVOLVE a live materialized view: add measure / distinct /
+    approx-distinct / quantile columns WITHOUT rebuilding the
+    aggregates the view already maintains — "add p95 latency to the
+    dashboard" as one backfill, not a recreate.
+
+    Mechanics: the new columns' per-group state is computed from the
+    base pinned at the view's CURRENT applied watermark(s) (so the
+    backfill and the existing columns describe the same versions),
+    LEFT-joined onto every stored view row (tombstones take the
+    tombstone shape), and published as ONE overwrite that CARRIES the
+    view's txn watermarks — the next ``matview_refresh`` maintains old
+    and new columns together from the same feed interval. New exact
+    distinct columns get their companion state table built at the
+    pinned version under the same watermarks. Works on single-source,
+    join, and star views; on star views the new columns' OWNERSHIP is
+    attributed (fact vs dim) and recorded so the telescoped change
+    terms carry them.
+
+    Run it quiesced, like ``ann_index_recluster`` or OPTIMIZE — a
+    refresh racing the overwrite can fail its merge (it retries
+    cleanly afterwards). Idempotent: a crash between the view commit
+    and the meta write is healed by re-running the evolve (the
+    backfill recomputes from the same pinned versions). Returns a
+    summary dict."""
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_txn_version, snapshot_write)
+    meta = _read_meta(view_dir)
+    add_measure_cols = list(add_measure_cols)
+    add_distinct_cols = list(add_distinct_cols)
+    add_approx_cols = list(add_distinct_approx_cols)
+    add_quantile_cols = list(add_quantile_cols)
+    new_cols = [*add_measure_cols, *add_distinct_cols,
+                *add_approx_cols, *add_quantile_cols]
+    if not new_cols:
+        raise ValueError("matview_evolve: nothing to add")
+    keys = list(meta["keys"])
+    key_exprs = meta.get("key_exprs") or {}
+    where = meta.get("where")
+    scale = int(meta["scale"])
+    # per-FAMILY duplicate check: a quantile over an existing measure
+    # column (and vice versa) is legal — only re-adding a column to
+    # the family it already belongs to, or aggregating a key, is not
+    dup = [c for c in add_measure_cols if c in meta["measure_cols"]] \
+        + [c for c in add_distinct_cols
+           if c in (meta.get("distinct_cols") or ())] \
+        + [c for c in add_approx_cols
+           if c in (meta.get("distinct_approx_cols") or ())
+           or c in add_distinct_cols
+           or c in (meta.get("distinct_cols") or ())] \
+        + [c for c in add_quantile_cols
+           if c in (meta.get("quantile_cols") or ())] \
+        + [c for c in new_cols if c in keys]
+    if dup:
+        raise ValueError(
+            f"columns {sorted(set(dup))} are already declared in "
+            f"that family (or are view keys)")
+    if add_quantile_cols:
+        if kll_k is None:
+            kll_k = int(meta.get("kll_k") or 800)
+        if quantile_probs is None:
+            quantile_probs = [float(p) for p in
+                              meta.get("quantile_probs")
+                              or (0.5, 0.95, 0.99)]
+        if meta.get("quantile_cols") and (
+                int(meta["kll_k"]) != int(kll_k)
+                or [float(p) for p in meta["quantile_probs"]]
+                != [float(p) for p in quantile_probs]):
+            raise ValueError(
+                "a view keeps ONE kll_k / quantile_probs setting — "
+                "added quantile columns must match the existing one")
+    # --- the base, pinned at the view's applied watermark(s) --------
+    if meta.get("kind") in ("join", "star"):
+        sm = _star_meta(meta)
+        dims = sm["dims"]
+        fa = snapshot_txn_version(view_dir, _F_APP)
+        fa = int(sm["fact_version"]) if fa is None else fa
+        das = []
+        for i, sp in enumerate(dims):
+            da = snapshot_txn_version(view_dir, _dim_app(i))
+            das.append(int(sp["version"]) if da is None else da)
+        fact = _plain(snapshot_read(spark, sm["fact_dir"],
+                                    version=fa))
+        dim_dfs = [_plain(snapshot_read(spark, sp["dir"],
+                                        version=das[i]))
+                   for i, sp in enumerate(dims)]
+        # attribute the NEW columns (fact vs exactly one dim), same
+        # rule as create: the shared join-key name belongs to the fact
+        new_f, new_d = [], [[] for _ in dims]
+        for c in new_cols:
+            owners = []
+            if c in fact.columns:
+                owners.append(-1)
+            for di, ddf in enumerate(dim_dfs):
+                if c in ddf.columns:
+                    sp = dims[di]
+                    if c == sp["fact_on"] == sp["dim_on"] \
+                            and -1 in owners:
+                        continue
+                    owners.append(di)
+            if not owners:
+                raise ValueError(
+                    f"column {c!r} in neither the fact nor any dim")
+            if len(owners) > 1:
+                raise ValueError(
+                    f"column {c!r} exists in BOTH tables — rename "
+                    f"one side")
+            (new_f if owners[0] == -1
+             else new_d[owners[0]]).append(c)
+        fcols = list(sm["fact_cols"]) + new_f
+        dcols = [list(sp["cols"]) + new_d[i]
+                 for i, sp in enumerate(dims)]
+        need = sorted(set([*[k for k in keys if k not in key_exprs],
+                           *fcols, *[c for dc in dcols for c in dc]]))
+        specs = [{**sp} for sp in dims]
+        base = _star_join(fact, specs, dim_dfs, fcols,
+                          dcols, need)
+        base = _project_keys(base, key_exprs, "the joined tables")
+        targets = [(_F_APP, fa)] + [(_dim_app(i), das[i])
+                                    for i in range(len(dims))]
+        meta_update = {"fact_cols": fcols,
+                       "dims": [{**sp, "cols": dcols[i]}
+                                for i, sp in enumerate(dims)]}
+    else:
+        applied = snapshot_txn_version(view_dir, _APP_ID)
+        if applied is None:
+            applied = int(meta["source_version"])
+        base = _plain(snapshot_read(spark, meta["source_dir"],
+                                    version=applied))
+        missing = [c for c in new_cols if c not in base.columns]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in the source table at the "
+                f"view's applied version {applied}")
+        base = _project_keys(base, key_exprs, "the source table")
+        targets = [(_APP_ID, applied)]
+        meta_update = {}
+    if where is not None:
+        base = base.where(F.expr(where))
+    # --- new distinct STATE tables at the pinned version ------------
+    for c in add_distinct_cols:
+        snapshot_write(SparkFrame(_dstate_build(base, keys, c)),
+                       _dstate_dir(view_dir, c), mode="overwrite",
+                       stats_cols=[*keys, c], txn=targets,
+                       txn_reset=True)
+    # --- per-group backfill of exactly the NEW columns --------------
+    addagg = _full_agg(base, keys, add_measure_cols, scale,
+                       add_distinct_cols, add_approx_cols,
+                       add_quantile_cols, kll_k or 800).drop("cnt")
+    view = _plain(snapshot_read(spark, view_dir))
+    sum_t = _SUM_T.format(s=scale)
+    out = view.join(addagg, on=keys, how="left")
+    # tombstoned / unmatched groups take the tombstone shape
+    for c in add_measure_cols:
+        out = out.withColumn(
+            f"sum_{c}", F.coalesce(F.col(f"sum_{c}"),
+                                   F.lit(0).cast(sum_t))) \
+            .withColumn(f"nn_{c}",
+                        F.coalesce(F.col(f"nn_{c}"),
+                                   F.lit(0).cast("long")))
+    for c in add_distinct_cols:
+        out = out.withColumn(
+            f"cntd_{c}", F.coalesce(F.col(f"cntd_{c}"),
+                                    F.lit(0).cast("long")))
+    out = out.localCheckpoint(eager=True)
+    snapshot_write(SparkFrame(out), view_dir, mode="overwrite",
+                   stats_cols=keys)
+    meta2 = {**meta, **meta_update,
+             "measure_cols": meta["measure_cols"]
+             + add_measure_cols}
+    if add_distinct_cols:
+        meta2["distinct_cols"] = list(
+            meta.get("distinct_cols") or ()) + add_distinct_cols
+    if add_approx_cols:
+        meta2["distinct_approx_cols"] = list(
+            meta.get("distinct_approx_cols") or ()) + add_approx_cols
+    if add_quantile_cols:
+        meta2["quantile_cols"] = list(
+            meta.get("quantile_cols") or ()) + add_quantile_cols
+        meta2["quantile_probs"] = [float(p) for p in quantile_probs]
+        meta2["kll_k"] = int(kll_k)
+    _write_meta(view_dir, meta2)
+    return {"mode": "evolve", "pinned": [v for _, v in targets],
+            "added": new_cols}
+
+
 def matview_refresh_stream(spark: SparkSession, view_dir: str,
                            checkpoint_dir: str | None = None,
                            trigger_seconds: float | None = None,
