@@ -3531,7 +3531,8 @@ def snapshot_txn_version(table_dir: str, app_id: str) -> int | None:
 
 def snapshot_read(spark: SparkSession, table_dir: str,
                   version: int | None = None,
-                  where=None, timestamp=None) -> SparkFrame:
+                  where=None, timestamp=None,
+                  tag: str | None = None) -> SparkFrame:
     """Read a table snapshot — the latest version, time-travel to a
     pinned ``version=``, or to ``timestamp=`` (Delta's
     ``timestampAsOf``: the latest version committed at or before that
@@ -3552,6 +3553,11 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     a 100 TB table touches only the files whose range covers the key),
     and the same predicates are applied as a row filter so the result
     is exactly the predicated snapshot regardless of stats coverage."""
+    if tag is not None:
+        if version is not None or timestamp is not None:
+            raise ValueError(
+                "pass exactly one of version= / timestamp= / tag=")
+        version = snapshot_tag_version(table_dir, tag)
     if timestamp is not None:
         if version is not None:
             raise ValueError(
@@ -4656,6 +4662,111 @@ def snapshot_version_since(table_dir: str, timestamp) -> int | None:
     return lo
 
 
+# ---------------------------------------------------------------------------
+# SNAPSHOT TAGS (Iceberg's named refs, the tag flavor): a tag is a
+# named, immutable pointer to one committed version, stored as one
+# file per tag under _manifests/refs/ — created with the same atomic
+# create-exclusive os.link the commit protocol uses (two racers for
+# one name: exactly one wins), deleted by untag. Tagged versions are
+# PINNED: vacuum keeps them (and every file they reference) alive
+# regardless of age or keep_last, so "the audited training-data
+# snapshot" stays time-travelable forever at the cost of exactly its
+# own files.
+# ---------------------------------------------------------------------------
+
+_REFS_DIR = "refs"
+
+
+def _refs_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, _REFS_DIR)
+
+
+def _ref_path(table_dir: str, name: str) -> str:
+    if not name or "/" in name or "\\" in name or name.startswith("."):
+        raise ValueError(
+            f"invalid tag name {name!r} (no path separators, no "
+            f"leading dot, nonempty)")
+    return os.path.join(_refs_dir(table_dir), f"{name}.json")
+
+
+def snapshot_tag(table_dir: str, name: str,
+                 version: int | None = None) -> int:
+    """TAG a committed version (default: the latest) under *name*.
+    Atomic create-exclusive — re-tagging an existing name raises
+    (delete it first with ``snapshot_untag``; tags are immutable
+    pointers, never silently moved). Returns the tagged version."""
+    if version is None:
+        version = _latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no snapshot versions in {table_dir}")
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise FileNotFoundError(
+            f"version {version} not in {table_dir} "
+            f"(available: {_versions(table_dir)})")
+    path = _ref_path(table_dir, name)
+    os.makedirs(_refs_dir(table_dir), exist_ok=True)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": int(version)}, f)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise FileExistsError(
+            f"tag {name!r} already exists in {table_dir} (at version "
+            f"{snapshot_tag_version(table_dir, name)}) — tags are "
+            f"immutable; snapshot_untag first") from None
+    finally:
+        os.unlink(tmp)
+    return int(version)
+
+
+def snapshot_untag(table_dir: str, name: str) -> int:
+    """Delete a tag (the version becomes vacuumable again once it
+    falls outside the ordinary retention rules). Returns the version
+    the tag pointed at."""
+    path = _ref_path(table_dir, name)
+    try:
+        with open(path) as f:
+            v = int(json.load(f)["version"])
+    except FileNotFoundError:
+        raise KeyError(
+            f"no tag {name!r} in {table_dir} "
+            f"(has {sorted(snapshot_tags(table_dir))})") from None
+    os.unlink(path)
+    return v
+
+
+def snapshot_tags(table_dir: str) -> dict:
+    """All tags as ``{name: version}``."""
+    try:
+        names = os.listdir(_refs_dir(table_dir))
+    except FileNotFoundError:
+        return {}
+    out = {}
+    for n in names:
+        if not n.endswith(".json") or n.startswith("."):
+            continue
+        try:
+            with open(os.path.join(_refs_dir(table_dir), n)) as f:
+                out[n[:-5]] = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError,
+                json.JSONDecodeError):
+            continue        # a racing tagger's tmp or a torn file
+    return out
+
+
+def snapshot_tag_version(table_dir: str, name: str) -> int:
+    """Resolve a tag to its version (KeyError when absent)."""
+    try:
+        with open(_ref_path(table_dir, name)) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        raise KeyError(
+            f"no tag {name!r} in {table_dir} "
+            f"(has {sorted(snapshot_tags(table_dir))})") from None
+
+
 def snapshot_vacuum(table_dir: str, keep_last: int = 1,
                     retain_hours: float = 168.0,
                     force: bool = False,
@@ -4682,7 +4793,15 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
     ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): count what a
     real run would delete — data files, unreferenced sidecars — and
     change NOTHING (no deletions, no checkpoint materialization, no
-    cache purge)."""
+    cache purge).
+
+    TAGS (``snapshot_tag``) bound the vacuum horizon: the OLDEST
+    tagged version and everything after it survive — neither age,
+    ``keep_last``, nor ``force`` crosses a tag. The suffix (not just
+    the tagged version) is kept deliberately: the version log stays
+    CONTIGUOUS, the invariant every O(log N) lookup rests on — so an
+    old tag's storage cost is the history since it; untag (or
+    re-tag a newer audited version) when the window closes."""
     import time
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -4695,6 +4814,16 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 1,
 
     versions = _versions(table_dir)
     keep = set(versions[-keep_last:])
+    # TAGS bound the vacuum horizon: the oldest tagged version and
+    # everything AFTER it survive — age, keep_last, and even force
+    # never cross a tag (delete the tag to release the pin). Keeping
+    # the suffix — not just the tagged version — preserves the
+    # CONTIGUOUS-log invariant every O(log N) version lookup rests on
+    # (vacuum only ever drops a prefix).
+    tags = snapshot_tags(table_dir)
+    if tags:
+        pin = min(tags.values())
+        keep |= {v for v in versions if v >= pin}
     # versions outside the keep window survive while young (age floor)
     surviving = [v for v in versions
                  if v in keep or not _old_enough(_manifest_path(
