@@ -5548,4 +5548,5 @@ def snapshot_detail(table_dir: str,
         "txn": dict(m.get("txn") or {}),
         "operation_metrics": dict(m.get("op_metrics") or {}),
         "generated_columns": sorted(m.get("generated") or {}),
+        "tags": snapshot_tags(table_dir),
     }

@@ -4799,6 +4799,24 @@ class TestSnapshotWidenColumn:
         old = S.snapshot_read(spark, t, version=1).spark_df
         assert dict(old.dtypes)["d"] == "decimal(10,2)"
 
+    def test_widen_int_to_double_reads_both_eras(self, spark,
+                                                 tmp_path):
+        # int -> double is in the lattice; pin the native reader
+        # upcast across eras (round-11 note: previously untested)
+        from pyspark.sql import functions as F
+        from cl_data_frame_spark.sources import snapshots as S
+        t = str(tmp_path / "widenintdbl")
+        S.snapshot_write(
+            spark.range(5).select(F.col("id").cast("int")
+                                  .alias("x")), t, num_files=1)
+        S.snapshot_widen_column(t, "x", "double")
+        S.snapshot_write(
+            spark.sql("select 2.5::double as x"), t, mode="append")
+        out = S.snapshot_read(spark, t)
+        assert dict(out.spark_df.dtypes)["x"] == "double"
+        assert sorted(r["x"] for r in out.spark_df.collect()) \
+            == [0.0, 1.0, 2.0, 2.5, 3.0, 4.0]
+
     def test_widen_date_to_timestamp_ntz(self, spark, tmp_path):
         # round 14: Delta's date -> timestampNTZ promotion — metadata
         # only, both eras read through the native parquet upcast
