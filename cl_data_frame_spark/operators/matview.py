@@ -1732,6 +1732,75 @@ def matview_evolve(spark: SparkSession, view_dir: str,
             "added": new_cols}
 
 
+def matview_drop_measures(spark: SparkSession, view_dir: str,
+                          measure_cols: Sequence[str] = (),
+                          distinct_cols: Sequence[str] = (),
+                          distinct_approx_cols: Sequence[str] = (),
+                          quantile_cols: Sequence[str] = ()) -> dict:
+    """The DROP counterpart of ``matview_evolve``: remove measure /
+    distinct / approx-distinct / quantile columns from a live view —
+    one overwrite without the dropped columns (txn watermarks
+    carried, so refresh continues seamlessly on what remains), the
+    meta updated, and a dropped exact-distinct column's companion
+    state table deleted. Run quiesced, like evolve. Returns a
+    summary dict."""
+    import shutil
+
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_read, snapshot_write)
+    meta = _read_meta(view_dir)
+    measure_cols = list(measure_cols)
+    distinct_cols = list(distinct_cols)
+    approx_cols = list(distinct_approx_cols)
+    quantile_cols = list(quantile_cols)
+    if not (measure_cols or distinct_cols or approx_cols
+            or quantile_cols):
+        raise ValueError("matview_drop_measures: nothing to drop")
+    missing = [c for c in measure_cols
+               if c not in meta["measure_cols"]] \
+        + [c for c in distinct_cols
+           if c not in (meta.get("distinct_cols") or ())] \
+        + [c for c in approx_cols
+           if c not in (meta.get("distinct_approx_cols") or ())] \
+        + [c for c in quantile_cols
+           if c not in (meta.get("quantile_cols") or ())]
+    if missing:
+        raise KeyError(
+            f"columns {sorted(set(missing))} are not declared in "
+            f"the families given")
+    drop = [f"{p}_{c}" for c in measure_cols
+            for p in ("sum", "nn", "min", "max")] \
+        + [f"{p}_{c}" for c in distinct_cols
+           for p in ("cntd", "sumd")] \
+        + [f"hll_{c}" for c in approx_cols] \
+        + [f"kll_{c}" for c in quantile_cols]
+    view = _plain(snapshot_read(spark, view_dir)).drop(*drop)
+    snapshot_write(SparkFrame(view.localCheckpoint(eager=True)),
+                   view_dir, mode="overwrite",
+                   stats_cols=list(meta["keys"]))
+    meta2 = {**meta,
+             "measure_cols": [c for c in meta["measure_cols"]
+                              if c not in measure_cols]}
+    for key, gone in (("distinct_cols", distinct_cols),
+                      ("distinct_approx_cols", approx_cols),
+                      ("quantile_cols", quantile_cols)):
+        left = [c for c in (meta.get(key) or ()) if c not in gone]
+        if left:
+            meta2[key] = left
+        else:
+            meta2.pop(key, None)
+    if not meta2.get("quantile_cols"):
+        meta2.pop("quantile_probs", None)
+        meta2.pop("kll_k", None)
+    _write_meta(view_dir, meta2)
+    # dropped exact-distinct state tables go last: the view commit is
+    # the completion point, and a crash before this cleanup leaves
+    # only an orphaned (ignored) directory
+    for c in distinct_cols:
+        shutil.rmtree(_dstate_dir(view_dir, c), ignore_errors=True)
+    return {"mode": "drop", "dropped_columns": drop}
+
+
 def matview_refresh_stream(spark: SparkSession, view_dir: str,
                            checkpoint_dir: str | None = None,
                            trigger_seconds: float | None = None,

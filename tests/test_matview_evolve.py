@@ -132,6 +132,56 @@ class TestEvolveSingleSource:
         assert row["cnt"] == 1 and row["min_b"] == 2.0
 
 
+class TestDropMeasures:
+    def test_drop_then_refresh_maintains_rest(self, spark, tmp_path):
+        import os
+        from cl_data_frame_spark.operators.matview import (
+            _dstate_dir, matview_drop_measures)
+        src, view = str(tmp_path / "srcdr"), str(tmp_path / "mvdr")
+        _seed(spark, src)
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["a", "b"],
+                       distinct_cols=["b"])
+        out = matview_drop_measures(spark, view, measure_cols=["b"],
+                                    distinct_cols=["b"])
+        assert set(out["dropped_columns"]) == {
+            "sum_b", "nn_b", "min_b", "max_b", "cntd_b", "sumd_b"}
+        assert not os.path.exists(_dstate_dir(view, "b"))
+        cols = set(matview_read(spark, view).spark_df.columns)
+        assert "sum_b" not in cols and "cntd_b" not in cols
+        assert "sum_a" in cols
+        # refresh keeps maintaining what remains
+        snapshot_write(SparkFrame(spark.createDataFrame(
+            [(500, "g0", 8.0, 1.0)],
+            "id int, grp string, a double, b double")),
+            src, mode="append")
+        snapshot_delete(spark, src, [("id", "==", 1)])
+        matview_refresh(spark, view)
+        base = snapshot_read(spark, src).spark_df
+        exp = {r["grp"]: (r["cnt"], r["mn"]) for r in
+               base.groupBy("grp").agg(
+                   F.count(F.lit(1)).alias("cnt"),
+                   F.min("a").alias("mn")).collect()}
+        got = {r["grp"]: (r["cnt"], r["min_a"]) for r in
+               matview_read(spark, view).spark_df.collect()}
+        assert got == exp
+
+    def test_unknown_and_empty_rejected(self, spark, tmp_path):
+        from cl_data_frame_spark.operators.matview import (
+            matview_drop_measures)
+        src, view = str(tmp_path / "srcdx"), str(tmp_path / "mvdx")
+        _seed(spark, src)
+        matview_create(spark, src, view, keys="grp",
+                       measure_cols=["a"])
+        with pytest.raises(ValueError, match="nothing"):
+            matview_drop_measures(spark, view)
+        with pytest.raises(KeyError):
+            matview_drop_measures(spark, view, measure_cols=["zz"])
+        with pytest.raises(KeyError):
+            # right column, wrong family
+            matview_drop_measures(spark, view, distinct_cols=["a"])
+
+
 class TestEvolveJoinView:
     def test_add_dim_side_measure(self, spark, tmp_path):
         fact = str(tmp_path / "fact")
