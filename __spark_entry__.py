@@ -1476,20 +1476,31 @@ def q_x_dedup_clusters(spark, sf_dir):
     docs = _f(spark, sf_dir, "documents")
     pairs = X.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
                                   block_col="lang") \
-        .spark_df.localCheckpoint(eager=False)
-    cc = X.duplicate_clusters(pairs).spark_df
+        .spark_df.localCheckpoint(eager=True)
+    # the four graph parts are independent once the pair substrate is
+    # materialized; cc and bfs iterate with driver-side convergence
+    # checks (a job per round), so running the four builders on a small
+    # thread pool overlaps those sequential rounds (guide §2.6 — the
+    # scheduler back-fills idle cores with the other parts' jobs)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_cc = pool.submit(lambda: X.duplicate_clusters(pairs).spark_df)
+        f_pr = pool.submit(lambda: G.pagerank(pairs, n_iter=3).spark_df)
+        f_tg = pool.submit(lambda: G.triangle_counts(pairs).spark_df)
+        f_bf = pool.submit(
+            lambda: G.bfs_distances(pairs, max_hops=3).spark_df)
+        cc, pr, tg, bf = (f_cc.result(), f_pr.result(),
+                          f_tg.result(), f_bf.result())
     a = _tag(cc, "cc",
              F.col("node").cast("bigint").alias("node"),
              F.col("component").cast("bigint").alias("i1"),
              F.col("is_canonical").alias("flag"),
              _DNULL().alias("d1"))
-    pr = G.pagerank(pairs, n_iter=3).spark_df
     b = _tag(pr, "pagerank",
              F.col("node").cast("bigint").alias("node"),
              F.col("rank").cast("bigint").alias("i1"),
              F.lit(None).cast("boolean").alias("flag"),
              F.col("rank_scaled").cast("double").alias("d1"))
-    tg = G.triangle_counts(pairs).spark_df
     c = _tag(tg, "triangles",
              F.col("node").cast("bigint").alias("node"),
              F.col("triangles").cast("bigint").alias("i1"),
@@ -1497,7 +1508,6 @@ def q_x_dedup_clusters(spark, sf_dir):
              F.col("degree").cast("double").alias("d1"))
     # BFS hop distances from the smallest node (graph.bfs_distances;
     # recursive-CTE oracle) — k-hop neighbourhood over the same graph
-    bf = G.bfs_distances(pairs, max_hops=3).spark_df
     d = _tag(bf, "bfs",
              F.col("node").cast("bigint").alias("node"),
              F.col("dist").cast("bigint").alias("i1"),

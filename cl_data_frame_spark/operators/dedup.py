@@ -915,23 +915,30 @@ def duplicate_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
         nbr = (edges.join(labels.withColumnRenamed("node", "b"), on="b")
                .groupBy("a").agg(F.min("label").alias("nbr_label"))
                .withColumnRenamed("a", "node"))
+        # the round's OLD label rides along as __old__ so convergence is
+        # read off the round's own output with a column compare instead
+        # of a whole extra join back against the previous labels
         merged = (labels.join(nbr, on="node", how="left")
-                  .select("node",
+                  .select("node", F.col("label").alias("__old__"),
                           F.least("label", F.coalesce("nbr_label", "label"))
-                          .alias("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=False))
         # pointer jumping (path compression): label <- label[label].
         # label[x] <= x and is monotone under min, so following the
         # pointer one hop is always valid and doubles convergence speed
         # on long chains (O(log diameter) rounds instead of O(diameter)).
-        merged = (merged.join(merged.select(F.col("node").alias("label"),
+        # merged is checkpointed first: the self-join reads the SAME
+        # materialization on both sides rather than computing the
+        # neighbor-min join twice per round.
+        jumped = (merged.join(merged.select(F.col("node").alias("label"),
                                             F.col("label").alias("jump")),
                               on="label", how="left")
-                  .select("node", F.coalesce("jump", "label").alias("label")))
-        new_labels = merged.localCheckpoint(eager=False)
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"),
-                                   on="node")
-                   .filter(F.col("label") != F.col("old")).limit(1).count())
-        labels = new_labels
+                  .select("node", "__old__",
+                          F.coalesce("jump", "label").alias("label"))
+                  .localCheckpoint(eager=False))
+        changed = (jumped.filter(F.col("label") != F.col("__old__"))
+                   .limit(1).count())
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     out = labels.select(F.col("node"), F.col("label").alias("component"),

@@ -171,7 +171,12 @@ def bfs_distances(pairs, sources=None, id_a: str = "id_a",
                .select(F.col("b").alias("node")).distinct()
                .join(dist.select("node"), on="node", how="left_anti")
                .localCheckpoint(eager=False))
-        if nxt.rdd.isEmpty():
+        # SQL-native emptiness probe (limit-1 take): ``.rdd.isEmpty()``
+        # forces a full InternalRow -> Java -> pickled-Python conversion
+        # pipeline and plans the query a second time outside the SQL
+        # engine; ``DataFrame.isEmpty`` probes the same checkpointed
+        # plan without leaving it.
+        if nxt.isEmpty():
             break
         dist = dist.unionByName(
             nxt.select("node", F.lit(hop).cast("int").alias("dist"))) \
