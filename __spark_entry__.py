@@ -3041,6 +3041,7 @@ def q_s_layout_prune(spark, sf_dir):
       (test_compact_parquet_reduces_file_count)."""
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from cl_data_frame_spark.sources import (compact_parquet, read_parquet,
                                              write_parquet_zordered)
@@ -3052,85 +3053,209 @@ def q_s_layout_prune(spark, sf_dir):
     # pays FOUR eager table writes per timed run — slicing keeps the
     # bench honest about layout cost rather than raw write volume
     zli = li.filter(F.col("l_orderkey") % 4 == 1)
-    zpath = os.path.join(tempfile.mkdtemp(prefix="cdf_zorder_"), "li")
-    write_parquet_zordered(SparkFrame(zli), zpath,
-                           ["l_partkey", "l_suppkey"], bits=8,
-                           num_files=16)
-    zread = read_parquet(spark, zpath).spark_df
-    zagg = (zread
-            .filter(F.col("l_partkey").between(100, 400)
-                    & F.col("l_suppkey").between(1, 40))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 _dec_sum("l_quantity").alias("sum_qty"),
-                 F.sum("l_orderkey").alias("sum_ok")))
-    a = _tag(zagg, "zprune",
-             F.col("n").cast("bigint").alias("i1"),
-             F.col("sum_qty").cast("double").alias("d1"),
-             F.col("sum_ok").cast("bigint").alias("i2"))
-    # Hilbert-curve layout twin: same rewrite + pruned scan contract,
-    # tighter per-file boxes (no Morton diagonal jumps)
-    hpath = os.path.join(tempfile.mkdtemp(prefix="cdf_hilbert_"), "li")
-    write_parquet_zordered(SparkFrame(zli), hpath,
-                           ["l_partkey", "l_suppkey"], bits=8,
-                           num_files=16, curve="hilbert")
-    hagg = (read_parquet(spark, hpath).spark_df
-            .filter(F.col("l_partkey").between(100, 400)
-                    & F.col("l_suppkey").between(1, 40))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 _dec_sum("l_quantity").alias("sum_qty"),
-                 F.sum("l_orderkey").alias("sum_ok")))
-    ah = _tag(hagg, "hprune",
-              F.col("n").cast("bigint").alias("i1"),
-              F.col("sum_qty").cast("double").alias("d1"),
-              F.col("sum_ok").cast("bigint").alias("i2"))
 
-    tmp = tempfile.mkdtemp(prefix="cdf_compact_")
-    src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
-    (li.filter(F.col("l_quantity") <= 5).repartition(64)
-     .write.mode("overwrite").parquet(src))
-    compact_parquet(spark, src, dst, target_file_mb=128,
-                    sort_within_by="l_orderkey")
-    back = spark.read.parquet(dst).select(
-        "l_orderkey", "l_linenumber",
-        F.col("l_quantity").cast("decimal(18,2)").cast("string")
-        .alias("qty"), "l_returnflag")
-    cs = R.table_checksum(back).spark_df
-    b = _tag(cs, "compact",
-             F.col("n_rows").cast("bigint").alias("i1"),
-             F.col("sum_h").cast("double").alias("d1"),
-             F.col("xor_h").cast("bigint").alias("i2"))
+    # ONE batched metadata aggregate up front replaces three separate
+    # scalar-collect jobs (`cut` over li, `lo/hi` over the qty<=3
+    # slice, `bkey` over the qty<=2 slice): same 1-row driver state,
+    # one driver round-trip and one scan instead of three (guide §5 —
+    # the driver should sit idle between jobs, not serialize them)
+    meta = li.agg(
+        F.floor(F.max("l_orderkey") / 4).alias("cut"),
+        F.min(F.when(F.col("l_quantity") <= 3,
+                     F.col("l_orderkey"))).alias("lo"),
+        F.max(F.when(F.col("l_quantity") <= 3,
+                     F.col("l_orderkey"))).alias("hi"),
+        F.min(F.when(F.col("l_quantity") <= 2,
+                     F.col("l_partkey"))).alias("bkey"),
+    ).collect()[0]
 
-    # dynamic partition overwrite: base table partitioned by
-    # returnflag, then ONE partition replaced by a smaller slice —
-    # the read-back must equal (base minus flag A) UNION (replacement),
-    # proving untouched partitions survive (static overwrite would
-    # truncate them)
-    from cl_data_frame_spark.sources import write_parquet_partitioned
-    ppath = os.path.join(tempfile.mkdtemp(prefix="cdf_dynpart_"), "pt")
-    pbase = li.filter(F.col("l_quantity") <= 3)
-    write_parquet_partitioned(pbase, ppath, "l_returnflag")
-    repl = pbase.filter((F.col("l_returnflag") == "A")
-                        & (F.col("l_quantity") <= 2))
-    write_parquet_partitioned(repl, ppath, "l_returnflag",
-                              dynamic=True)
-    pagg = (spark.read.parquet(ppath)
-            .groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 _dec_sum("l_quantity").alias("sum_qty"),
-                 F.sum("l_orderkey").alias("sum_ok")))
-    c = _tag(pagg.select(F.col("n"), F.col("sum_qty"),
-                         F.col("sum_ok")),
-             "partitioned",
-             F.col("n").cast("bigint").alias("i1"),
-             F.col("sum_qty").cast("double").alias("d1"),
-             F.col("sum_ok").cast("bigint").alias("i2"))
+    def g_zprune():
+        zpath = os.path.join(tempfile.mkdtemp(prefix="cdf_zorder_"),
+                             "li")
+        write_parquet_zordered(SparkFrame(zli), zpath,
+                               ["l_partkey", "l_suppkey"], bits=8,
+                               num_files=16)
+        zread = read_parquet(spark, zpath).spark_df
+        zagg = (zread
+                .filter(F.col("l_partkey").between(100, 400)
+                        & F.col("l_suppkey").between(1, 40))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     _dec_sum("l_quantity").alias("sum_qty"),
+                     F.sum("l_orderkey").alias("sum_ok")))
+        return _tag(zagg, "zprune",
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("sum_qty").cast("double").alias("d1"),
+                    F.col("sum_ok").cast("bigint").alias("i2"))
+
+    def g_hprune():
+        # Hilbert-curve layout twin: same rewrite + pruned scan
+        # contract, tighter per-file boxes (no Morton diagonal jumps)
+        hpath = os.path.join(tempfile.mkdtemp(prefix="cdf_hilbert_"),
+                             "li")
+        write_parquet_zordered(SparkFrame(zli), hpath,
+                               ["l_partkey", "l_suppkey"], bits=8,
+                               num_files=16, curve="hilbert")
+        hagg = (read_parquet(spark, hpath).spark_df
+                .filter(F.col("l_partkey").between(100, 400)
+                        & F.col("l_suppkey").between(1, 40))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     _dec_sum("l_quantity").alias("sum_qty"),
+                     F.sum("l_orderkey").alias("sum_ok")))
+        return _tag(hagg, "hprune",
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("sum_qty").cast("double").alias("d1"),
+                    F.col("sum_ok").cast("bigint").alias("i2"))
+
+    def g_compact():
+        tmp = tempfile.mkdtemp(prefix="cdf_compact_")
+        src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
+        (li.filter(F.col("l_quantity") <= 5).repartition(64)
+         .write.mode("overwrite").parquet(src))
+        compact_parquet(spark, src, dst, target_file_mb=128,
+                        sort_within_by="l_orderkey")
+        back = spark.read.parquet(dst).select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("decimal(18,2)").cast("string")
+            .alias("qty"), "l_returnflag")
+        cs = R.table_checksum(back).spark_df
+        return _tag(cs, "compact",
+                    F.col("n_rows").cast("bigint").alias("i1"),
+                    F.col("sum_h").cast("double").alias("d1"),
+                    F.col("xor_h").cast("bigint").alias("i2"))
+
+    def g_partitioned():
+        # dynamic partition overwrite: base table partitioned by
+        # returnflag, then ONE partition replaced by a smaller slice —
+        # the read-back must equal (base minus flag A) UNION
+        # (replacement), proving untouched partitions survive (static
+        # overwrite would truncate them)
+        from cl_data_frame_spark.sources import write_parquet_partitioned
+        ppath = os.path.join(tempfile.mkdtemp(prefix="cdf_dynpart_"),
+                             "pt")
+        pbase = li.filter(F.col("l_quantity") <= 3)
+        write_parquet_partitioned(pbase, ppath, "l_returnflag")
+        repl = pbase.filter((F.col("l_returnflag") == "A")
+                            & (F.col("l_quantity") <= 2))
+        write_parquet_partitioned(repl, ppath, "l_returnflag",
+                                  dynamic=True)
+        pagg = (spark.read.parquet(ppath)
+                .groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     _dec_sum("l_quantity").alias("sum_qty"),
+                     F.sum("l_orderkey").alias("sum_ok")))
+        return _tag(pagg.select(F.col("n"), F.col("sum_qty"),
+                                F.col("sum_ok")),
+                    "partitioned",
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("sum_qty").cast("double").alias("d1"),
+                    F.col("sum_ok").cast("bigint").alias("i2"))
+
+    from cl_data_frame_spark.sources.snapshots import (
+        snapshot_count, snapshot_read, snapshot_scan_files,
+        snapshot_write)
+
+    def g_bloom():
+        # BLOOM point-lookup skipping (round 9): hash-partitioned on
+        # l_partkey, so every file's [min, max] spans the whole key
+        # domain and range stats prune NOTHING — the per-file Bloom
+        # filters must (i) admit the file(s) holding a present key
+        # while skipping others, (ii) skip (essentially) every file
+        # for an absent key — both asserted inline on the manifest
+        # every run — and (iii) the predicated read hash-matches the
+        # oracle's equality filter. The key rides the shared 1-row
+        # metadata aggregate above.
+        bpath = os.path.join(tempfile.mkdtemp(prefix="cdf_bloom_"),
+                             "tbl")
+        bslice = li.filter(F.col("l_quantity") <= 2)
+        snapshot_write(bslice.repartition(4, "l_partkey"), bpath,
+                       mode="append", bloom_cols=["l_partkey"])
+        bkey = int(meta["bkey"])
+        n_ball = len(snapshot_scan_files(bpath))
+        n_bhit = len(snapshot_scan_files(
+            bpath, where=[("l_partkey", "==", bkey)]))
+        n_babs = len(snapshot_scan_files(
+            bpath, where=[("l_partkey", "==", bkey + 10_000_019)]))
+        assert 0 < n_bhit < n_ball and n_babs <= 1, \
+            f"bloom skipping ineffective: present {n_bhit}/{n_ball}, " \
+            f"absent {n_babs}"
+        bagg = (snapshot_read(spark, bpath,
+                              where=[("l_partkey", "==", bkey)])
+                .spark_df
+                .agg(F.count(F.lit(1)).alias("n"),
+                     _dec_sum("l_quantity").alias("sum_qty"),
+                     F.sum("l_orderkey").alias("sum_ok")))
+        return _tag(bagg, "snapbloom",
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("sum_qty").cast("double").alias("d1"),
+                    F.col("sum_ok").cast("bigint").alias("i2"))
+
+    def g_hp():
+        # snaphp (round 11 late): HIDDEN PARTITIONING (Iceberg
+        # partition transforms) — the table is laid out by
+        # years(l_shipdate), the DERIVED year lives only in the path +
+        # manifest tuple, and the query predicates on the BASE
+        # timestamp column: the prune maps the predicate through the
+        # monotonic transform (strictly fewer files, asserted inline —
+        # and the midnight cutoff exercises the bucket-boundary
+        # tightening for strict ops) while the row filter keeps the
+        # result exact whatever the layout.
+        import datetime as _dt
+        hppath = os.path.join(tempfile.mkdtemp(prefix="cdf_hp_"),
+                              "tbl")
+        hp_src = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        snapshot_write(hp_src.filter(F.col("l_quantity") <= 2),
+                       hppath, mode="append",
+                       partition_by=["years(l_shipdate)"], num_files=8)
+        # tz-aware UTC cutoff: the year-bucket boundary check must
+        # hold regardless of the driver's OS zone (a naive literal
+        # would be localized through the OS zone before the UTC
+        # rendering and the metadata-only count below would raise on a
+        # non-UTC driver)
+        hp_pred = [("l_shipdate", ">=",
+                    _dt.datetime(1996, 1, 1,
+                                 tzinfo=_dt.timezone.utc))]
+        n_hpall = len(snapshot_scan_files(hppath))
+        n_hphit = len(snapshot_scan_files(hppath, where=hp_pred))
+        assert 0 < n_hphit < n_hpall, \
+            f"hidden-partition pruning ineffective: {n_hphit}/{n_hpall}"
+        hpagg = (snapshot_read(spark, hppath, where=hp_pred).spark_df
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      _dec_sum("l_quantity").alias("sum_qty"),
+                      F.sum("l_orderkey").alias("sum_ok")))
+        hp = _tag(hpagg, "snaphp",
+                  F.col("n").cast("bigint").alias("i1"),
+                  F.col("sum_qty").cast("double").alias("d1"),
+                  F.col("sum_ok").cast("bigint").alias("i2"))
+        # snapcnt (round 11 late): METADATA-ONLY predicated COUNT(*) —
+        # zero data scan: every year bucket is provably-all (the
+        # cutoff sits exactly at a bucket start) or provably-none, so
+        # the count comes from the manifest's per-file row counts
+        # alone; the oracle recomputes it as a real SQL COUNT over the
+        # same predicate
+        n_meta = snapshot_count(hppath, where=hp_pred)
+        cnt_df = spark.createDataFrame([(int(n_meta),)], "n bigint")
+        hc = _tag(cnt_df, "snapcnt",
+                  F.col("n").cast("bigint").alias("i1"),
+                  F.lit(None).cast("double").alias("d1"),
+                  F.lit(None).cast("bigint").alias("i2"))
+        return hp, hc
+
+    # the six groups above are independent of the snapshot DML chain
+    # below (separate table dirs, separate tempdirs): submit them to a
+    # pool so their eager writes/commits back-fill executor cores while
+    # the main thread walks the (inherently sequential) chain — guide
+    # §2.6, overlap independent jobs
+    pool = ThreadPoolExecutor(max_workers=6)
+    futs = {k: pool.submit(fn) for k, fn in [
+        ("a", g_zprune), ("ah", g_hprune), ("b", g_compact),
+        ("c", g_partitioned), ("hb", g_bloom), ("hp_hc", g_hp)]}
+
     # snapshot table with time travel (sources.snapshots): publish
     # v1 (qty<=2), append v2 (qty=3), overwrite v3 (qty=4); the
     # TIME-TRAVEL read of v2 must equal the qty<=3 slice even though
     # v3 has since replaced the table — manifest pinning proves the
     # reproducible-read contract end to end
-    from cl_data_frame_spark.sources.snapshots import (
-        snapshot_read, snapshot_scan_files, snapshot_write)
     spath = os.path.join(tempfile.mkdtemp(prefix="cdf_snap_"), "tbl")
     # range-partitioned on l_orderkey with footer min/max stats in the
     # manifest -> disjoint per-file key ranges the predicated read
@@ -3157,9 +3282,9 @@ def q_s_layout_prune(spark, sf_dir):
     # on the manifest listing right here, every run, at every SF —
     # and (ii) hash-match the oracle's filter of the original rows.
     # The cut is SF-relative (max key / 4 — lands inside file 1 of the
-    # 4 range-partitioned files at every scale); the 1-row agg collect
-    # is metadata-sized driver state, same class as a centroid fetch.
-    cut = li.agg(F.floor(F.max("l_orderkey") / 4)).collect()[0][0]
+    # 4 range-partitioned files at every scale); it rides the shared
+    # 1-row metadata aggregate computed up front.
+    cut = meta["cut"]
     pred = [("l_orderkey", "<=", int(cut))]
     n_all = len(snapshot_scan_files(spath, 2))
     n_hit = len(snapshot_scan_files(spath, 2, where=pred))
@@ -3183,10 +3308,11 @@ def q_s_layout_prune(spark, sf_dir):
     # asserted inline every run) and the read hash-matches the
     # oracle's SQL IN over the original rows. The 3 keys (slice min,
     # slice max, first key past the midpoint) are a 1-row
-    # metadata-sized fetch, same class as `cut`.
+    # metadata-sized fetch, same class as `cut` — min/max ride the
+    # shared up-front aggregate; only the hi-dependent midpoint probe
+    # needs its own (1-row) job.
     li23 = li.filter(F.col("l_quantity") <= 3)
-    lo, hi = li23.agg(F.min("l_orderkey"),
-                      F.max("l_orderkey")).collect()[0]
+    lo, hi = meta["lo"], meta["hi"]
     mid = li23.filter(F.col("l_orderkey") >= int(hi) // 2) \
         .agg(F.min("l_orderkey")).collect()[0][0]
     inkeys = sorted({int(lo), int(mid), int(hi)})
@@ -3301,82 +3427,15 @@ def q_s_layout_prune(spark, sf_dir):
                 F.col("n").cast("bigint").alias("i1"),
                 F.col("sum_qty").cast("double").alias("d1"),
                 F.col("sum_ok").cast("bigint").alias("i2"))
-    # BLOOM point-lookup skipping (round 9): hash-partitioned on
-    # l_partkey, so every file's [min, max] spans the whole key domain
-    # and range stats prune NOTHING — the per-file Bloom filters must
-    # (i) admit the file(s) holding a present key while skipping
-    # others, (ii) skip (essentially) every file for an absent key —
-    # both asserted inline on the manifest every run — and (iii) the
-    # predicated read hash-matches the oracle's equality filter. The
-    # 1-value key fetch is metadata-sized driver state like `cut`.
-    bpath = os.path.join(tempfile.mkdtemp(prefix="cdf_bloom_"), "tbl")
-    bslice = li.filter(F.col("l_quantity") <= 2)
-    snapshot_write(bslice.repartition(4, "l_partkey"), bpath,
-                   mode="append", bloom_cols=["l_partkey"])
-    bkey = int(bslice.agg(F.min("l_partkey")).collect()[0][0])
-    n_ball = len(snapshot_scan_files(bpath))
-    n_bhit = len(snapshot_scan_files(
-        bpath, where=[("l_partkey", "==", bkey)]))
-    n_babs = len(snapshot_scan_files(
-        bpath, where=[("l_partkey", "==", bkey + 10_000_019)]))
-    assert 0 < n_bhit < n_ball and n_babs <= 1, \
-        f"bloom skipping ineffective: present {n_bhit}/{n_ball}, " \
-        f"absent {n_babs}"
-    bagg = (snapshot_read(spark, bpath,
-                          where=[("l_partkey", "==", bkey)]).spark_df
-            .agg(F.count(F.lit(1)).alias("n"),
-                 _dec_sum("l_quantity").alias("sum_qty"),
-                 F.sum("l_orderkey").alias("sum_ok")))
-    hb = _tag(bagg, "snapbloom",
-              F.col("n").cast("bigint").alias("i1"),
-              F.col("sum_qty").cast("double").alias("d1"),
-              F.col("sum_ok").cast("bigint").alias("i2"))
-    # snaphp (round 11 late): HIDDEN PARTITIONING (Iceberg partition
-    # transforms) — the table is laid out by years(l_shipdate), the
-    # DERIVED year lives only in the path + manifest tuple, and the
-    # query predicates on the BASE timestamp column: the prune maps
-    # the predicate through the monotonic transform (strictly fewer
-    # files, asserted inline — and the midnight cutoff exercises the
-    # bucket-boundary tightening for strict ops) while the row filter
-    # keeps the result exact whatever the layout.
-    import datetime as _dt
-    hppath = os.path.join(tempfile.mkdtemp(prefix="cdf_hp_"), "tbl")
-    hp_src = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-    snapshot_write(hp_src.filter(F.col("l_quantity") <= 2),
-                   hppath, mode="append",
-                   partition_by=["years(l_shipdate)"], num_files=8)
-    # tz-aware UTC cutoff: the year-bucket boundary check must hold
-    # regardless of the driver's OS zone (a naive literal would be
-    # localized through the OS zone before the UTC rendering and the
-    # metadata-only count below would raise on a non-UTC driver)
-    hp_pred = [("l_shipdate", ">=",
-                _dt.datetime(1996, 1, 1,
-                             tzinfo=_dt.timezone.utc))]
-    n_hpall = len(snapshot_scan_files(hppath))
-    n_hphit = len(snapshot_scan_files(hppath, where=hp_pred))
-    assert 0 < n_hphit < n_hpall, \
-        f"hidden-partition pruning ineffective: {n_hphit}/{n_hpall}"
-    hpagg = (snapshot_read(spark, hppath, where=hp_pred).spark_df
-             .agg(F.count(F.lit(1)).alias("n"),
-                  _dec_sum("l_quantity").alias("sum_qty"),
-                  F.sum("l_orderkey").alias("sum_ok")))
-    hp = _tag(hpagg, "snaphp",
-              F.col("n").cast("bigint").alias("i1"),
-              F.col("sum_qty").cast("double").alias("d1"),
-              F.col("sum_ok").cast("bigint").alias("i2"))
-    # snapcnt (round 11 late): METADATA-ONLY predicated COUNT(*) —
-    # zero data scan: every year bucket is provably-all (the cutoff
-    # sits exactly at a bucket start) or provably-none, so the count
-    # comes from the manifest's per-file row counts alone; the oracle
-    # recomputes it as a real SQL COUNT over the same predicate
-    from cl_data_frame_spark.sources.snapshots import snapshot_count
-    n_meta = snapshot_count(hppath, where=hp_pred)
-    cnt_df = spark.createDataFrame([(int(n_meta),)], "n bigint")
-    hc = _tag(cnt_df, "snapcnt",
-              F.col("n").cast("bigint").alias("i1"),
-              F.lit(None).cast("double").alias("d1"),
-              F.lit(None).cast("bigint").alias("i2"))
+    # gather the overlapped groups (exceptions — including the inline
+    # pruning asserts — propagate through .result())
+    a = futs["a"].result()
+    ah = futs["ah"].result()
+    b = futs["b"].result()
+    c = futs["c"].result()
+    hb = futs["hb"].result()
+    hp, hc = futs["hp_hc"].result()
+    pool.shutdown()
     return (a.unionByName(ah).unionByName(b)
             .unionByName(c).unionByName(d).unionByName(e)
             .unionByName(ein)

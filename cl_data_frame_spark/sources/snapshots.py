@@ -157,6 +157,13 @@ def _versions(table_dir: str) -> list[int]:
 
 _STATE_CACHE: "dict[tuple[str, int], dict]" = {}
 _STATE_CACHE_MAX = 16
+#: guards the two driver-side LRU dicts below: concurrent jobs over
+#: DIFFERENT snapshot tables (a normal shape — independent table
+#: maintenance overlapped per the scheduler-backfill recipe) would
+#: otherwise race the eviction loops' iter+pop.
+import threading as _threading
+
+_CACHE_LOCK = _threading.Lock()
 #: memory bound: a state's driver footprint is ~linear in #files
 #: (file list + stats + blooms + partition tuples), ~1.3 KB/file at
 #: the 1M-file checkpoint measurement — so cap the LRU by TOTAL
@@ -176,18 +183,21 @@ def _cache_put(tdir: str, version: int, state: dict) -> None:
     if _state_nfiles(state) > _STATE_CACHE_ENTRY_MAX_FILES:
         return
     key = (tdir, version)
-    _STATE_CACHE.pop(key, None)
-    _STATE_CACHE[key] = copy.deepcopy(state)
-    while len(_STATE_CACHE) > _STATE_CACHE_MAX or (
-            len(_STATE_CACHE) > 1
-            and sum(map(_state_nfiles, _STATE_CACHE.values()))
-            > _STATE_CACHE_MAX_FILES):
-        _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+    snap = copy.deepcopy(state)
+    with _CACHE_LOCK:
+        _STATE_CACHE.pop(key, None)
+        _STATE_CACHE[key] = snap
+        while len(_STATE_CACHE) > _STATE_CACHE_MAX or (
+                len(_STATE_CACHE) > 1
+                and sum(map(_state_nfiles, _STATE_CACHE.values()))
+                > _STATE_CACHE_MAX_FILES):
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
 
 
 def _cache_drop_table(tdir: str) -> None:
-    for key in [k for k in _STATE_CACHE if k[0] == tdir]:
-        del _STATE_CACHE[key]
+    with _CACHE_LOCK:
+        for key in [k for k in _STATE_CACHE if k[0] == tdir]:
+            del _STATE_CACHE[key]
 
 
 def _apply_delta(state: dict, d: dict) -> dict:
@@ -1094,9 +1104,10 @@ def _load_sidecar(path: str) -> dict:
         return hit
     with open(path) as f:
         content = json.load(f)
-    _SIDECAR_CACHE[path] = content
-    while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
-        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+    with _CACHE_LOCK:
+        _SIDECAR_CACHE[path] = content
+        while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
     return content
 
 
