@@ -1604,7 +1604,15 @@ def q_st_session(spark, sf_dir):
         "n_events")
 
 
-_STREAM_SEQ = [0]
+import itertools as _itertools
+
+#: memory-sink name source; ``next()`` on a count() is atomic under
+#: the GIL, so concurrently-started streams get distinct names
+_STREAM_SEQ = _itertools.count(1)
+
+
+def _stream_name(prefix: str) -> str:
+    return f"{prefix}_{next(_STREAM_SEQ)}"
 
 
 def q_st_totals_only(spark, sf_dir):
@@ -1618,8 +1626,7 @@ def q_st_totals_only(spark, sf_dir):
     stream = ST.read_stream_parquet(spark, sf_dir, schema,
                                     glob="events.parquet")
     totals = ST.running_user_totals(stream)
-    _STREAM_SEQ[0] += 1
-    name = f"user_totals_{_STREAM_SEQ[0]}"
+    name = _stream_name("user_totals")
     ST.run_stream_to_memory(totals, name, output_mode="update")
     return (spark.table(name)
             .select("user_id", "count",
@@ -1637,8 +1644,7 @@ def q_st_holt_only(spark, sf_dir):
     holt = ST.streaming_holt(stream, key_col="user_id",
                              value_col="value",
                              order_cols=["ts", "event_id"])
-    _STREAM_SEQ[0] += 1
-    name = f"st_holt_{_STREAM_SEQ[0]}"
+    name = _stream_name("st_holt")
     ST.run_stream_to_memory(holt, name, output_mode="update")
     return (spark.table(name)
             .select("user_id", "n",
@@ -1655,12 +1661,19 @@ def q_st_stateful(spark, sf_dir):
     batch operator is checked against — stream and batch agree on the
     single-micro-batch prefix by construction (pytest pins the
     bit-equality on multi-batch prefixes too)."""
-    a = _tag(q_st_totals_only(spark, sf_dir), "totals",
+    # the two real streams are independent — overlap their startups
+    # and micro-batches on a 2-thread pool (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tot = pool.submit(q_st_totals_only, spark, sf_dir)
+        f_holt = pool.submit(q_st_holt_only, spark, sf_dir)
+        tot, holt = f_tot.result(), f_holt.result()
+    a = _tag(tot, "totals",
              F.col("user_id").cast("bigint").alias("i1"),
              F.col("count").cast("bigint").alias("i2"),
              F.col("total").cast("double").alias("d1"),
              _DNULL().alias("d2"), _DNULL().alias("d3"))
-    b = _tag(q_st_holt_only(spark, sf_dir), "holt",
+    b = _tag(holt, "holt",
              F.col("user_id").cast("bigint").alias("i1"),
              F.col("n").cast("bigint").alias("i2"),
              F.col("level").cast("double").alias("d1"),
@@ -1682,8 +1695,7 @@ def q_st_dedup_only(spark, sf_dir):
 
     doubled = one_copy().union(one_copy())
     deduped = ST.streaming_dedup(doubled, ["event_id"], ts_col="ets")
-    _STREAM_SEQ[0] += 1
-    name = f"st_dedup_{_STREAM_SEQ[0]}"
+    name = _stream_name("st_dedup")
     ST.run_stream_to_memory(deduped, name, output_mode="append")
     return (spark.table(name)
             .groupBy("event_type")
@@ -1747,8 +1759,7 @@ def q_st_snapsrc_only(spark, sf_dir):
           .select("event_id", "event_type", "value"))
     t = os.path.join(tempfile.mkdtemp(prefix="cdf_snapsrc_"), "tbl")
     snapshot_write(ev.filter(F.col("event_id") % 2 == 0), t)
-    _STREAM_SEQ[0] += 1
-    name = f"st_snapsrc_{_STREAM_SEQ[0]}"
+    name = _stream_name("st_snapsrc")
     q = (read_stream_snapshot(spark, t)
          .writeStream.format("memory").queryName(name).start())
     q.processAllAvailable()
@@ -1768,28 +1779,41 @@ def q_st_dedup(spark, sf_dir):
     as TWO unioned file-source streams (every record delivered twice),
     watermarked dropDuplicates collapsing them back; the oracle is the
     plain batch aggregate over the single copy."""
-    agg = q_st_dedup_only(spark, sf_dir)
-    # the other REAL-stream queries live in this (correctness-only)
-    # composite too: bench's st_windows entry measures the windowed
-    # analytical plans, while stream startup latency is verified here
+    # the five REAL-stream parts are fully independent (distinct
+    # sources, sinks, checkpoint/table dirs): start and drain them
+    # from a thread pool so their micro-batches and driver-side
+    # start/stop latencies overlap (guide §2.6) instead of paying five
+    # stream startups back to back. bench's st_windows entry measures
+    # the windowed analytical plans; stream startup latency is
+    # verified here.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_a = pool.submit(q_st_dedup_only, spark, sf_dir)
+        f_b = pool.submit(q_st_ss_join, spark, sf_dir)
+        f_c = pool.submit(q_st_static_join, spark, sf_dir)
+        f_d = pool.submit(q_st_snapsink_only, spark, sf_dir)
+        f_e = pool.submit(q_st_snapsrc_only, spark, sf_dir)
+        agg, rb, rc, rd, re_ = (f_a.result(), f_b.result(),
+                                f_c.result(), f_d.result(),
+                                f_e.result())
     a = _tag(agg, "dedup", F.col("event_type").alias("s1"),
              _BNULL().alias("i1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_value").cast("double").alias("sum_value"))
-    b = _tag(q_st_ss_join(spark, sf_dir), "ss_join",
+    b = _tag(rb, "ss_join",
              _SNULL().alias("s1"),
              F.col("user_id").cast("bigint").alias("i1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_delta").cast("double").alias("sum_value"))
-    c = _tag(q_st_static_join(spark, sf_dir), "static_join",
+    c = _tag(rc, "static_join",
              F.col("n_name").alias("s1"), _BNULL().alias("i1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_value").cast("double").alias("sum_value"))
-    d = _tag(q_st_snapsink_only(spark, sf_dir), "snapsink",
+    d = _tag(rd, "snapsink",
              F.col("event_type").alias("s1"), _BNULL().alias("i1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_value").cast("double").alias("sum_value"))
-    e = _tag(q_st_snapsrc_only(spark, sf_dir), "snapsrc",
+    e = _tag(re_, "snapsrc",
              F.col("event_type").alias("s1"), _BNULL().alias("i1"),
              F.col("n").cast("bigint").alias("n"),
              F.col("sum_value").cast("double").alias("sum_value"))
@@ -3748,8 +3772,7 @@ def q_st_ss_join(spark, sf_dir):
         one("view", "view_id", "vts"), one("click", "click_id", "cts"),
         key="user_id", left_ts="vts", right_ts="cts",
         max_delay="10 minutes")
-    _STREAM_SEQ[0] += 1
-    name = f"st_ss_join_{_STREAM_SEQ[0]}"
+    name = _stream_name("st_ss_join")
     ST.run_stream_to_memory(joined, name, output_mode="append")
     return (spark.table(name)
             .groupBy("user_id")
@@ -3771,8 +3794,7 @@ def q_st_static_join(spark, sf_dir):
         F.col("n_nationkey").alias("nk"), "n_name")
     joined = ST.stream_static_join(stream, nation, on="nk") \
         .select("event_id", "n_name", "value")
-    _STREAM_SEQ[0] += 1
-    name = f"st_static_join_{_STREAM_SEQ[0]}"
+    name = _stream_name("st_static_join")
     ST.run_stream_to_memory(joined, name, output_mode="append")
     return (spark.table(name)
             .groupBy("n_name")

@@ -11,6 +11,7 @@ scale path for unbounded inputs.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -265,6 +266,10 @@ def streaming_cusum(sdf: DataFrame, mu: float, sigma: float,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+#: serializes the shuffle-partition pin window in run_stream_to_memory
+_START_LOCK = threading.Lock()
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "update",
                          min_rows: int | None = None,
@@ -289,15 +294,21 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     calling (the pin is per-query, so batch queries are unaffected).
     """
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    stream_parts = min(int(prev), 8) if str(prev).isdigit() else 8
-    spark.conf.set("spark.sql.shuffle.partitions", str(stream_parts))
-    try:
-        q = (stream_df.writeStream.format("memory")
-             .queryName(query_name)
-             .outputMode(output_mode).start())
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the set -> start -> restore window is serialized: independent
+    # streams are routinely STARTED from a small thread pool so their
+    # micro-batches overlap (guide §2.6), and an unguarded restore
+    # could capture another starter's temporary value as "previous"
+    # and leave the session conf pinned low for later batch queries
+    with _START_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        stream_parts = min(int(prev), 8) if str(prev).isdigit() else 8
+        spark.conf.set("spark.sql.shuffle.partitions", str(stream_parts))
+        try:
+            q = (stream_df.writeStream.format("memory")
+                 .queryName(query_name)
+                 .outputMode(output_mode).start())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     if min_rows is not None:
         import time as _time
