@@ -1940,7 +1940,17 @@ def q_r_summary_all(spark, sf_dir):
     over orders, exploded to (column|stat) rows + the Benford
     first-digit audit over o_totalprice (stats.benford_digit_test)."""
     fr = _f(spark, sf_dir, "lineitem")
-    s = fr.column_summary("l_extendedprice")
+    flagged = fr.add_columns("high_disc", F.col("l_discount") > 0.05)
+    # the three eager summary computations (exact-percentile aggregate,
+    # frequency pass, bit summary) are independent scans — overlap
+    # their jobs on a small pool (guide §2.6) instead of paying three
+    # driver-serialized round trips
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_s = pool.submit(fr.column_summary, "l_extendedprice")
+        f_fq = pool.submit(fr.column_summary, "l_returnflag")
+        f_sb = pool.submit(flagged.column_summary, "high_disc")
+        s, fsum, sb = f_s.result(), f_fq.result(), f_sb.result()
     q = s.quantiles
     rows = [("quantiles", "n", q.count, None),
             ("quantiles", "min", None, q.min),
@@ -1948,10 +1958,7 @@ def q_r_summary_all(spark, sf_dir):
             ("quantiles", "q50", None, q.q50),
             ("quantiles", "q75", None, q.q75),
             ("quantiles", "max", None, q.max)]
-    rows += [("freq", v, c, None)
-             for v, c in fr.column_summary("l_returnflag").frequencies]
-    flagged = fr.add_columns("high_disc", F.col("l_discount") > 0.05)
-    sb = flagged.column_summary("high_disc")
+    rows += [("freq", v, c, None) for v, c in fsum.frequencies]
     rows += [("bits", "length", sb.length, None),
              ("bits", "ones", sb.count, None)]
     lit_rows = spark.createDataFrame(
