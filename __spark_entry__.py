@@ -2504,6 +2504,39 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
     round's environment is uniformly slower — the unchanged-code
     control in the same session confirms it)."""
     docs0 = _f(spark, sf_dir, "documents")
+    # the independent pair families (edit distance, simhash,
+    # containment, record linkage) build on a pool while the main
+    # thread assembles the profile -> prefix-pair substrate chain
+    # (guide §2.6): their plan construction and eager pre-scans overlap
+    # the chain's checkpoint materialization
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=4)
+    f_ed = pool.submit(q_x_edit_distance, spark, sf_dir)
+
+    def _build_simhash():
+        docs = _f(spark, sf_dir, "documents")
+        return X.simhash_near_duplicates(docs, max_hamming=3,
+                                         hash_fn="md5").spark_df
+
+    def _build_containment():
+        docs = _f(spark, sf_dir, "documents")
+        return X.containment_pairs(docs, n=3, threshold=0.6,
+                                   block_col="lang").spark_df
+
+    def _build_linkage():
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("cid"),
+            F.col("c_nationkey").alias("blk"),
+            "c_mktsegment",
+            (F.col("c_acctbal") > 0).alias("bal_pos"),
+            F.substring(F.col("c_name"), -4, 4).alias("name4"))
+        return X.fellegi_sunter_pairs(
+            cust, "cid", "blk", _FS_FIELDS, threshold=2.9).spark_df
+
+    f_sh = pool.submit(_build_simhash)
+    f_cp = pool.submit(_build_containment)
+    f_fs = pool.submit(_build_linkage)
+
     prof = X.ngram_order_profile(
         docs0, n=3, carry_cols=["lang"]).localCheckpoint(eager=False)
     glob = (X.ngram_jaccard_pairs_prefix(
@@ -2527,7 +2560,7 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("jaccard").cast("double").alias("jaccard"))
-    c = _tag(q_x_edit_distance(spark, sf_dir), "editdist",
+    c = _tag(f_ed.result(), "editdist",
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("dist").cast("double").alias("jaccard"))
@@ -2535,16 +2568,11 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
     # near-dup probe that IS SQL-expressible, so it gets a full oracle
     # (the xxhash64 production variant is pytest-covered,
     # tests/test_dedup.py::test_simhash_identical_docs_pair)
-    docs = _f(spark, sf_dir, "documents")
-    sh = X.simhash_near_duplicates(docs, max_hamming=3,
-                                   hash_fn="md5").spark_df
-    d = _tag(sh, "simhash",
+    d = _tag(f_sh.result(), "simhash",
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("hamming").cast("double").alias("jaccard"))
-    cp = X.containment_pairs(docs, n=3, threshold=0.6,
-                             block_col="lang").spark_df
-    e = _tag(cp, "containment",
+    e = _tag(f_cp.result(), "containment",
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
              F.col("containment").cast("double").alias("jaccard"))
@@ -2552,14 +2580,8 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
     # self-linkage blocked by nation, three agreement fields (market
     # segment, balance sign, name last-4); only pairs whose summed
     # log2 weight clears the threshold are link candidates
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("cid"),
-        F.col("c_nationkey").alias("blk"),
-        "c_mktsegment",
-        (F.col("c_acctbal") > 0).alias("bal_pos"),
-        F.substring(F.col("c_name"), -4, 4).alias("name4"))
-    fs = X.fellegi_sunter_pairs(
-        cust, "cid", "blk", _FS_FIELDS, threshold=2.9).spark_df
+    fs = f_fs.result()
+    pool.shutdown()
     g = _tag(fs, "linkage",
              F.col("id_a").cast("bigint").alias("id_a"),
              F.col("id_b").cast("bigint").alias("id_b"),
