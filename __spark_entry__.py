@@ -4157,53 +4157,10 @@ def q_s_stats(spark, sf_dir):
             .withColumn("__pw__", F.slice("__pall__", len(probs) + 1, 2))
             .localCheckpoint(eager=False))
     sums = mega
-    a = _tag(STAT.moment_stats_from_sums(
-                 sums, _STATS_COLS, "l_quantity", "l_extendedprice",
-                 by=["l_returnflag"]).spark_df, "moments",
-             F.col("l_returnflag").alias("s1"),
-             F.col("n").cast("bigint").alias("i1"), _BNULL().alias("i2"),
-             F.col("corr").cast("double").alias("d1"),
-             F.col("cov_samp").cast("double").alias("d2"),
-             F.col("std_x").cast("double").alias("d3"),
-             F.col("std_y").cast("double").alias("d4"))
     scols = [c for c in sums.columns if c.startswith("s_")]
     gsums = sums.groupBy().agg(
         F.sum("n").alias("n"), *[F.sum(c).alias(c) for c in scols])
-    f = _tag(STAT.corr_matrix(None, _STATS_COLS, sums=gsums).spark_df,
-             "corrmatrix",
-             F.concat_ws(">", "col_x", "col_y").alias("s1"),
-             F.col("n").cast("bigint").alias("i1"), _BNULL().alias("i2"),
-             F.col("corr").cast("double").alias("d1"),
-             F.col("cov_samp").cast("double").alias("d2"),
-             _DNULL().alias("d3"), _DNULL().alias("d4"))
-    g = _tag(STAT.grouped_regression(
-                 None, "l_quantity", "l_extendedprice",
-                 by=["l_returnflag"], sums=sums,
-                 cols=_STATS_COLS).spark_df, "regression",
-             F.col("l_returnflag").alias("s1"),
-             F.col("n").cast("bigint").alias("i1"), _BNULL().alias("i2"),
-             F.col("slope").cast("double").alias("d1"),
-             F.col("intercept").cast("double").alias("d2"),
-             F.col("r2").cast("double").alias("d3"),
-             _DNULL().alias("d4"))
-    g2 = _tag(STAT.grouped_regression2(
-                  None, "l_quantity", "l_discount", "l_extendedprice",
-                  by=["l_returnflag"], sums=sums,
-                  cols=_STATS_COLS).spark_df, "regression2",
-              F.col("l_returnflag").alias("s1"),
-              F.col("n").cast("bigint").alias("i1"),
-              _BNULL().alias("i2"),
-              F.col("b0").cast("double").alias("d1"),
-              F.col("b1").cast("double").alias("d2"),
-              F.col("b2").cast("double").alias("d3"),
-              F.col("r2").cast("double").alias("d4"))
     ct = mega.select("l_returnflag", "n_F", "n_O")
-    b = _tag(ct, "crosstab",
-             F.col("l_returnflag").alias("s1"),
-             F.col("n_F").cast("bigint").alias("i1"),
-             F.col("n_O").cast("bigint").alias("i2"),
-             _DNULL().alias("d1"), _DNULL().alias("d2"),
-             _DNULL().alias("d3"), _DNULL().alias("d4"))
     cells = (ct.select(
                  "l_returnflag",
                  F.explode(F.array(
@@ -4213,230 +4170,352 @@ def q_s_stats(spark, sf_dir):
                               F.col("n_O").alias("n_obs")))).alias("c"))
              .select("l_returnflag", F.col("c.l_linestatus"),
                      F.col("c.n_obs")))
-    h = _tag(STAT.chisq_cells(cells=cells, row_col="l_returnflag",
-                              col_col="l_linestatus").spark_df, "chisq",
-             F.concat_ws(":", "l_returnflag", "l_linestatus").alias("s1"),
-             F.col("n_obs").cast("bigint").alias("i1"),
-             _BNULL().alias("i2"),
-             F.col("expected").cast("double").alias("d1"),
-             F.col("chi2_term").cast("double").alias("d2"),
-             _DNULL().alias("d3"), _DNULL().alias("d4"))
-    c = _tag(q_s_top_frequent(spark, sf_dir), "freq",
-             F.col("p_brand").alias("s1"),
-             F.col("n").cast("bigint").alias("i1"),
-             F.col("rank").cast("bigint").alias("i2"),
-             _DNULL().alias("d1"), _DNULL().alias("d2"),
-             _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # equal-frequency binning + Tukey fences from ONE shared percentile
-    # aggregation (quantile_bins_outliers), then ONE histogram pass per
-    # (flag, bin) that also carries the outlier counts; the tiny result
-    # is localCheckpoint'd so the 'bins' and 'outliers' branches of the
-    # union read it instead of re-running the scan (round-4 verdict: the
-    # two independent exact-percentile passes were the entry's cost)
-    both = STAT.quantile_bins_outliers(
-        li, "l_extendedprice", n_bins=4, by=["l_returnflag"],
-        stats=mega.select("l_returnflag", "__p__")).spark_df
-    per_bin = (both.groupBy("l_returnflag", "bin")
+
+    # every statistical branch below derives lazily from the shared
+    # mega sums / slim projection; their plan construction is pure
+    # driver-side work (py4j round trips) plus two tiny checkpoint
+    # materializations, so building them on a pool overlaps that
+    # latency (guide §2.6) — the union order (and therefore the
+    # result) is unchanged
+    def _b_moments():
+        return _tag(STAT.moment_stats_from_sums(
+                        sums, _STATS_COLS, "l_quantity",
+                        "l_extendedprice",
+                        by=["l_returnflag"]).spark_df, "moments",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("corr").cast("double").alias("d1"),
+                    F.col("cov_samp").cast("double").alias("d2"),
+                    F.col("std_x").cast("double").alias("d3"),
+                    F.col("std_y").cast("double").alias("d4"))
+
+    def _b_corrmatrix():
+        return _tag(STAT.corr_matrix(None, _STATS_COLS,
+                                     sums=gsums).spark_df,
+                    "corrmatrix",
+                    F.concat_ws(">", "col_x", "col_y").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("corr").cast("double").alias("d1"),
+                    F.col("cov_samp").cast("double").alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_regression():
+        return _tag(STAT.grouped_regression(
+                        None, "l_quantity", "l_extendedprice",
+                        by=["l_returnflag"], sums=sums,
+                        cols=_STATS_COLS).spark_df, "regression",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("slope").cast("double").alias("d1"),
+                    F.col("intercept").cast("double").alias("d2"),
+                    F.col("r2").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_regression2():
+        return _tag(STAT.grouped_regression2(
+                        None, "l_quantity", "l_discount",
+                        "l_extendedprice",
+                        by=["l_returnflag"], sums=sums,
+                        cols=_STATS_COLS).spark_df, "regression2",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("b0").cast("double").alias("d1"),
+                    F.col("b1").cast("double").alias("d2"),
+                    F.col("b2").cast("double").alias("d3"),
+                    F.col("r2").cast("double").alias("d4"))
+
+    def _b_crosstab():
+        return _tag(ct, "crosstab",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n_F").cast("bigint").alias("i1"),
+                    F.col("n_O").cast("bigint").alias("i2"),
+                    _DNULL().alias("d1"), _DNULL().alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_chisq():
+        return _tag(STAT.chisq_cells(cells=cells,
+                                     row_col="l_returnflag",
+                                     col_col="l_linestatus").spark_df,
+                    "chisq",
+                    F.concat_ws(":", "l_returnflag",
+                                "l_linestatus").alias("s1"),
+                    F.col("n_obs").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("expected").cast("double").alias("d1"),
+                    F.col("chi2_term").cast("double").alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_freq():
+        return _tag(q_s_top_frequent(spark, sf_dir), "freq",
+                    F.col("p_brand").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("rank").cast("bigint").alias("i2"),
+                    _DNULL().alias("d1"), _DNULL().alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_bins_outliers():
+        # equal-frequency binning + Tukey fences from ONE shared
+        # percentile aggregation (quantile_bins_outliers), then ONE
+        # histogram pass per (flag, bin) that also carries the outlier
+        # counts
+        both = STAT.quantile_bins_outliers(
+            li, "l_extendedprice", n_bins=4, by=["l_returnflag"],
+            stats=mega.select("l_returnflag", "__p__")).spark_df
+        per_bin = (both.groupBy("l_returnflag", "bin")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        _dec_sum("l_extendedprice").alias("sum_price"),
+                        F.sum(F.col("is_outlier").cast("bigint"))
+                        .alias("n_outliers"),
+                        F.min("fence_lo").alias("fence_lo"),
+                        F.max("fence_hi").alias("fence_hi")))
+        d = _tag(per_bin, "bins",
+                 F.col("l_returnflag").alias("s1"),
+                 F.col("bin").cast("bigint").alias("i1"),
+                 F.col("n").cast("bigint").alias("i2"),
+                 F.col("sum_price").cast("double").alias("d1"),
+                 _DNULL().alias("d2"), _DNULL().alias("d3"),
+                 _DNULL().alias("d4"))
+        fence_agg = (per_bin.groupBy("l_returnflag")
+                     .agg(F.sum("n_outliers").alias("n_outliers"),
+                          F.sum("n").alias("n"),
+                          F.min("fence_lo").alias("fence_lo"),
+                          F.max("fence_hi").alias("fence_hi")))
+        e = _tag(fence_agg, "outliers",
+                 F.col("l_returnflag").alias("s1"),
+                 F.col("n_outliers").cast("bigint").alias("i1"),
+                 F.col("n").cast("bigint").alias("i2"),
+                 F.col("fence_lo").cast("double").alias("d1"),
+                 F.col("fence_hi").cast("double").alias("d2"),
+                 _DNULL().alias("d3"), _DNULL().alias("d4"))
+        return d, e
+
+    def _b_mad():
+        # MAD robust outliers: the group median comes FREE from the
+        # shared percentile layout (probs[1] = 0.5), so only the
+        # deviation-median pass and the flag/count pass scan lineitem
+        meds = mega.select("l_returnflag",
+                           F.col("__p__")[1].alias("__med__"))
+        mo = STAT.mad_outliers(
+            li.select("l_returnflag", "l_extendedprice"),
+            "l_extendedprice", by=["l_returnflag"],
+            medians=meds).spark_df
+        mad_agg = (mo.groupBy("l_returnflag")
+                   .agg(F.sum(F.col("is_mad_outlier").cast("bigint"))
+                        .alias("n_out"),
+                        F.count(F.lit(1)).alias("n"),
+                        F.min("median").alias("median"),
+                        F.min("mad").alias("mad")))
+        return _tag(mad_agg, "mad",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n_out").cast("bigint").alias("i1"),
+                    F.col("n").cast("bigint").alias("i2"),
+                    F.col("median").cast("double").alias("d1"),
+                    F.col("mad").cast("double").alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_welch():
+        wt = STAT.welch_t_test(None, "l_extendedprice",
+                               "l_returnflag",
+                               sums=sums, cols=_STATS_COLS).spark_df
+        return _tag(wt, "welch",
+                    F.concat_ws(">", "g1", "g2").alias("s1"),
+                    F.col("n1").cast("bigint").alias("i1"),
+                    F.col("n2").cast("bigint").alias("i2"),
+                    F.col("t_stat").cast("double").alias("d1"),
+                    F.col("welch_df").cast("double").alias("d2"),
+                    F.col("cohens_d").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_anova():
+        # one-way ANOVA across all flags: ANOTHER zero-extra-scan
+        # derivation of the shared mega-aggregation
+        av = STAT.anova_oneway(None, "l_extendedprice",
+                               "l_returnflag",
+                               sums=sums, cols=_STATS_COLS).spark_df
+        return _tag(av, "anova",
+                    F.lit("l_extendedprice~l_returnflag").alias("s1"),
+                    F.col("k").cast("bigint").alias("i1"),
+                    F.col("n").cast("bigint").alias("i2"),
+                    F.col("f_stat").cast("double").alias("d1"),
+                    F.col("eta_sq").cast("double").alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_kappa():
+        # Cohen's kappa between two deterministic pseudo-raters; the 9
+        # contingency cells come FREE from the shared mega sums
+        kcells = (mega.select(F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ra"), F.lit(j).alias("rb"),
+                     F.col(f"kp_{i}_{j}").alias("__v__"))
+            for i in range(3) for j in range(3)])).alias("c"))
+            .groupBy(F.col("c.ra").alias("ra"),
+                     F.col("c.rb").alias("rb"))
+            .agg(F.sum("c.__v__").alias("n_obs"))
+            .localCheckpoint(eager=False))
+        kp = STAT.cohens_kappa(rater_a="ra", rater_b="rb",
+                               cells=kcells).spark_df
+        return _tag(kp, "kappa",
+                    F.lit("qty%3~partkey%3").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("kappa").cast("double").alias("d1"),
+                    F.col("p_obs").cast("double").alias("d2"),
+                    F.col("p_exp").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_cramer():
+        # Cramér's V association strength — its contingency table IS
+        # the chisq `cells` already derived from the mega sums
+        ccells = cells.select("l_returnflag", "l_linestatus",
+                              F.col("n_obs"))             .localCheckpoint(eager=False)
+        cv = STAT.cramers_v(row_col="l_returnflag",
+                            col_col="l_linestatus",
+                            cells=ccells).spark_df
+        return _tag(cv, "cramer",
+                    F.lit("l_returnflag~l_linestatus").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("r").cast("bigint").alias("i2"),
+                    F.col("chi2").cast("double").alias("d1"),
+                    F.col("cramers_v").cast("double").alias("d2"),
+                    F.col("c").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_winsor():
+        # winsorization: per-flag [p05, p95] clip — bounds from the
+        # shared percentile agg (reused via bounds=)
+        wli = li.select("l_returnflag", "l_extendedprice")
+        wbounds = mega.select("l_returnflag",
+                              F.col("__pw__")[0].alias("__lo__"),
+                              F.col("__pw__")[1].alias("__hi__"))
+        wz = STAT.winsorize(SparkFrame(wli), "l_extendedprice",
+                            by=["l_returnflag"],
+                            bounds=wbounds).spark_df
+        x = F.col("l_extendedprice").cast("double")
+        wagg = (wz.groupBy("l_returnflag")
+                .agg(F.sum((F.col("l_extendedprice_wins") > x)
+                           .cast("bigint")).alias("n_lo"),
+                     F.sum((F.col("l_extendedprice_wins") < x)
+                           .cast("bigint")).alias("n_hi"))
+                .join(wbounds, on="l_returnflag"))
+        return _tag(wagg, "winsor",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n_lo").cast("bigint").alias("i1"),
+                    F.col("n_hi").cast("bigint").alias("i2"),
+                    F.round(F.col("__lo__").cast("double"), 6)
+                    .alias("d1"),
+                    F.round(F.col("__hi__").cast("double"), 6)
+                    .alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_partialcorr():
+        # partial correlation of (quantity, price) controlling
+        # discount, per flag — three pairwise correlations from the
+        # SHARED mega sums
+        pc = STAT.partial_correlation(
+            None, "l_quantity", "l_extendedprice", "l_discount",
+            cols=_STATS_COLS, by=["l_returnflag"], sums=mega).spark_df
+        return _tag(pc, "partialcorr",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("r_xy").cast("double").alias("d1"),
+                    F.col("r_xz").cast("double").alias("d2"),
+                    F.col("r_yz").cast("double").alias("d3"),
+                    F.col("partial_r").cast("double").alias("d4"))
+
+    def _b_mahala():
+        # multivariate Mahalanobis outliers over (quantity, price,
+        # discount) per flag — matrix entries derive from the SHARED
+        # mega sums
+        mh = STAT.mahalanobis_distance(
+            li.select("l_returnflag", *_STATS_COLS[:3]),
+            _STATS_COLS[:3], by=["l_returnflag"], threshold=9.0,
+            sums=mega).spark_df
+        mha = (mh.groupBy("l_returnflag")
                .agg(F.count(F.lit(1)).alias("n"),
-                    _dec_sum("l_extendedprice").alias("sum_price"),
                     F.sum(F.col("is_outlier").cast("bigint"))
-                    .alias("n_outliers"),
-                    F.min("fence_lo").alias("fence_lo"),
-                    F.max("fence_hi").alias("fence_hi")))
-    d = _tag(per_bin, "bins",
-             F.col("l_returnflag").alias("s1"),
-             F.col("bin").cast("bigint").alias("i1"),
-             F.col("n").cast("bigint").alias("i2"),
-             F.col("sum_price").cast("double").alias("d1"),
-             _DNULL().alias("d2"), _DNULL().alias("d3"),
-             _DNULL().alias("d4"))
-    fence_agg = (per_bin.groupBy("l_returnflag")
-                 .agg(F.sum("n_outliers").alias("n_outliers"),
-                      F.sum("n").alias("n"),
-                      F.min("fence_lo").alias("fence_lo"),
-                      F.max("fence_hi").alias("fence_hi")))
-    e = _tag(fence_agg, "outliers",
-             F.col("l_returnflag").alias("s1"),
-             F.col("n_outliers").cast("bigint").alias("i1"),
-             F.col("n").cast("bigint").alias("i2"),
-             F.col("fence_lo").cast("double").alias("d1"),
-             F.col("fence_hi").cast("double").alias("d2"),
-             _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # MAD robust outliers: the group median comes FREE from the shared
-    # percentile layout (probs[1] = 0.5), so only the deviation-median
-    # pass and the flag/count pass scan lineitem
-    meds = mega.select("l_returnflag",
-                       F.col("__p__")[1].alias("__med__"))
-    mo = STAT.mad_outliers(
-        li.select("l_returnflag", "l_extendedprice"),
-        "l_extendedprice", by=["l_returnflag"], medians=meds).spark_df
-    mad_agg = (mo.groupBy("l_returnflag")
-               .agg(F.sum(F.col("is_mad_outlier").cast("bigint"))
                     .alias("n_out"),
-                    F.count(F.lit(1)).alias("n"),
-                    F.min("median").alias("median"),
-                    F.min("mad").alias("mad")))
-    m = _tag(mad_agg, "mad",
-             F.col("l_returnflag").alias("s1"),
-             F.col("n_out").cast("bigint").alias("i1"),
-             F.col("n").cast("bigint").alias("i2"),
-             F.col("median").cast("double").alias("d1"),
-             F.col("mad").cast("double").alias("d2"),
-             _DNULL().alias("d3"), _DNULL().alias("d4"))
-    wt = STAT.welch_t_test(None, "l_extendedprice", "l_returnflag",
-                           sums=sums, cols=_STATS_COLS).spark_df
-    w = _tag(wt, "welch",
-             F.concat_ws(">", "g1", "g2").alias("s1"),
-             F.col("n1").cast("bigint").alias("i1"),
-             F.col("n2").cast("bigint").alias("i2"),
-             F.col("t_stat").cast("double").alias("d1"),
-             F.col("welch_df").cast("double").alias("d2"),
-             F.col("cohens_d").cast("double").alias("d3"),
-             _DNULL().alias("d4"))
-    # one-way ANOVA across all flags: ANOTHER zero-extra-scan derivation
-    # of the shared mega-aggregation (k-group companion to welch)
-    av = STAT.anova_oneway(None, "l_extendedprice", "l_returnflag",
-                           sums=sums, cols=_STATS_COLS).spark_df
-    an = _tag(av, "anova",
-              F.lit("l_extendedprice~l_returnflag").alias("s1"),
-              F.col("k").cast("bigint").alias("i1"),
-              F.col("n").cast("bigint").alias("i2"),
-              F.col("f_stat").cast("double").alias("d1"),
-              F.col("eta_sq").cast("double").alias("d2"),
-              _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # Cohen's kappa between two deterministic pseudo-raters (mod-3
-    # labels of two uncorrelated columns -> chance-level agreement);
-    # the 9 contingency cells come FREE from the shared mega sums
-    kcells = (mega.select(F.explode(F.array(*[
-        F.struct(F.lit(i).alias("ra"), F.lit(j).alias("rb"),
-                 F.col(f"kp_{i}_{j}").alias("__v__"))
-        for i in range(3) for j in range(3)])).alias("c"))
-        .groupBy(F.col("c.ra").alias("ra"), F.col("c.rb").alias("rb"))
-        .agg(F.sum("c.__v__").alias("n_obs"))
-        .localCheckpoint(eager=False))
-    kp = STAT.cohens_kappa(rater_a="ra", rater_b="rb",
-                           cells=kcells).spark_df
-    kpt = _tag(kp, "kappa",
-               F.lit("qty%3~partkey%3").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("kappa").cast("double").alias("d1"),
-               F.col("p_obs").cast("double").alias("d2"),
-               F.col("p_exp").cast("double").alias("d3"),
-               _DNULL().alias("d4"))
-    # Cramér's V association strength for returnflag x linestatus —
-    # its contingency table IS the chisq `cells` already derived from
-    # the mega sums (l_linestatus is two-valued F/O): zero extra scans
-    ccells = cells.select("l_returnflag", "l_linestatus",
-                          F.col("n_obs")).localCheckpoint(eager=False)
-    cv = STAT.cramers_v(row_col="l_returnflag", col_col="l_linestatus",
-                        cells=ccells).spark_df
-    cvt = _tag(cv, "cramer",
-               F.lit("l_returnflag~l_linestatus").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               F.col("r").cast("bigint").alias("i2"),
-               F.col("chi2").cast("double").alias("d1"),
-               F.col("cramers_v").cast("double").alias("d2"),
-               F.col("c").cast("double").alias("d3"),
-               _DNULL().alias("d4"))
-    # winsorization: per-flag [p05, p95] clip — bounds from one tiny
-    # percentile agg (reused via bounds=), clip-side counts + bounds
-    # (no sums of interpolated values: rounding-mode-proof oracle)
-    wli = li.select("l_returnflag", "l_extendedprice")
-    wbounds = mega.select("l_returnflag",
-                          F.col("__pw__")[0].alias("__lo__"),
-                          F.col("__pw__")[1].alias("__hi__"))
-    wz = STAT.winsorize(SparkFrame(wli), "l_extendedprice",
-                        by=["l_returnflag"], bounds=wbounds).spark_df
-    x = F.col("l_extendedprice").cast("double")
-    wagg = (wz.groupBy("l_returnflag")
-            .agg(F.sum((F.col("l_extendedprice_wins") > x)
-                       .cast("bigint")).alias("n_lo"),
-                 F.sum((F.col("l_extendedprice_wins") < x)
-                       .cast("bigint")).alias("n_hi"))
-            .join(wbounds, on="l_returnflag"))
-    wn = _tag(wagg, "winsor",
-              F.col("l_returnflag").alias("s1"),
-              F.col("n_lo").cast("bigint").alias("i1"),
-              F.col("n_hi").cast("bigint").alias("i2"),
-              F.round(F.col("__lo__").cast("double"), 6).alias("d1"),
-              F.round(F.col("__hi__").cast("double"), 6).alias("d2"),
-              _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # partial correlation of (quantity, price) controlling discount,
-    # per flag — three pairwise correlations from the SHARED mega sums
-    pc = STAT.partial_correlation(
-        None, "l_quantity", "l_extendedprice", "l_discount",
-        cols=_STATS_COLS, by=["l_returnflag"], sums=mega).spark_df
-    pct = _tag(pc, "partialcorr",
-               F.col("l_returnflag").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("r_xy").cast("double").alias("d1"),
-               F.col("r_xz").cast("double").alias("d2"),
-               F.col("r_yz").cast("double").alias("d3"),
-               F.col("partial_r").cast("double").alias("d4"))
-    # multivariate Mahalanobis outliers over (quantity, price,
-    # discount) per flag — matrix entries derive from the SHARED mega
-    # sums (cols 0..2 of _STATS_COLS use the same s_i/s_i_j names)
-    mh = STAT.mahalanobis_distance(
-        li.select("l_returnflag", *_STATS_COLS[:3]),
-        _STATS_COLS[:3], by=["l_returnflag"], threshold=9.0,
-        sums=mega).spark_df
-    mha = (mh.groupBy("l_returnflag")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("is_outlier").cast("bigint"))
-                .alias("n_out"),
-                F.sum(F.col("d2").cast("decimal(18,6)"))
-                .cast("double").alias("sum_d2")))
-    mht = _tag(mha, "mahala",
-               F.col("l_returnflag").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               F.col("n_out").cast("bigint").alias("i2"),
-               F.col("sum_d2").cast("double").alias("d1"),
-               _DNULL().alias("d2"), _DNULL().alias("d3"),
-               _DNULL().alias("d4"))
-    # PSI drift report: reference = l_quantity, current = a +5-shifted
-    # copy (drift by construction, so per-bin attribution is non-trivial)
-    psi = STAT.population_stability_index(
-        li.select("l_quantity"),
-        li.select((F.col("l_quantity") + 5).alias("l_quantity")),
-        "l_quantity", n_bins=10).spark_df
-    pst = _tag(psi, "psi",
-               F.col("bin").cast("string").alias("s1"),
-               F.col("n_ref").cast("bigint").alias("i1"),
-               F.col("n_cur").cast("bigint").alias("i2"),
-               F.col("p_ref").cast("double").alias("d1"),
-               F.col("p_cur").cast("double").alias("d2"),
-               F.col("psi_term").cast("double").alias("d3"),
-               _DNULL().alias("d4"))
-    # smoothed target encoding: the per-category encoding table
-    te = STAT.target_encode(li.select("l_returnflag", "l_quantity"),
-                            "l_returnflag", "l_quantity",
-                            smoothing=20.0).spark_df
-    tet = _tag(te.groupBy("l_returnflag")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.min("l_returnflag_enc").alias("enc")),
-               "targetenc",
-               F.col("l_returnflag").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("enc").cast("double").alias("d1"),
-               _DNULL().alias("d2"), _DNULL().alias("d3"),
-               _DNULL().alias("d4"))
-    # Poisson bootstrap CI for mean(n_chars) per language over documents
-    # (md5 inverse-CDF weights -> deterministic, oracle-able)
-    docs = _t(spark, sf_dir, "documents")
-    bs = STAT.poisson_bootstrap_ci(
-        docs.select("lang", "doc_id", "n_chars"), "n_chars", "doc_id",
-        n_replicates=40, by=["lang"]).spark_df
-    bst = _tag(bs, "bootstrap",
-               F.col("lang").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               F.col("n_replicates").cast("bigint").alias("i2"),
-               F.col("mean").cast("double").alias("d1"),
-               F.col("lo").cast("double").alias("d2"),
-               F.col("hi").cast("double").alias("d3"),
-               _DNULL().alias("d4"))
+                    F.sum(F.col("d2").cast("decimal(18,6)"))
+                    .cast("double").alias("sum_d2")))
+        return _tag(mha, "mahala",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("n_out").cast("bigint").alias("i2"),
+                    F.col("sum_d2").cast("double").alias("d1"),
+                    _DNULL().alias("d2"), _DNULL().alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_psi():
+        # PSI drift report: reference = l_quantity, current = a
+        # +5-shifted copy (drift by construction)
+        psi = STAT.population_stability_index(
+            li.select("l_quantity"),
+            li.select((F.col("l_quantity") + 5).alias("l_quantity")),
+            "l_quantity", n_bins=10).spark_df
+        return _tag(psi, "psi",
+                    F.col("bin").cast("string").alias("s1"),
+                    F.col("n_ref").cast("bigint").alias("i1"),
+                    F.col("n_cur").cast("bigint").alias("i2"),
+                    F.col("p_ref").cast("double").alias("d1"),
+                    F.col("p_cur").cast("double").alias("d2"),
+                    F.col("psi_term").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_targetenc():
+        # smoothed target encoding: the per-category encoding table
+        te = STAT.target_encode(li.select("l_returnflag",
+                                          "l_quantity"),
+                                "l_returnflag", "l_quantity",
+                                smoothing=20.0).spark_df
+        return _tag(te.groupBy("l_returnflag")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.min("l_returnflag_enc").alias("enc")),
+                    "targetenc",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("enc").cast("double").alias("d1"),
+                    _DNULL().alias("d2"), _DNULL().alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_bootstrap():
+        # Poisson bootstrap CI for mean(n_chars) per language over
+        # documents (md5 inverse-CDF weights -> deterministic)
+        docs = _t(spark, sf_dir, "documents")
+        bs = STAT.poisson_bootstrap_ci(
+            docs.select("lang", "doc_id", "n_chars"), "n_chars",
+            "doc_id", n_replicates=40, by=["lang"]).spark_df
+        return _tag(bs, "bootstrap",
+                    F.col("lang").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    F.col("n_replicates").cast("bigint").alias("i2"),
+                    F.col("mean").cast("double").alias("d1"),
+                    F.col("lo").cast("double").alias("d2"),
+                    F.col("hi").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    from concurrent.futures import ThreadPoolExecutor
+    builders = [
+        ("a", _b_moments), ("f", _b_corrmatrix), ("g", _b_regression),
+        ("g2", _b_regression2), ("b", _b_crosstab), ("h", _b_chisq),
+        ("c", _b_freq), ("de", _b_bins_outliers), ("m", _b_mad),
+        ("w", _b_welch), ("an", _b_anova), ("kpt", _b_kappa),
+        ("cvt", _b_cramer), ("wn", _b_winsor), ("pct", _b_partialcorr),
+        ("mht", _b_mahala), ("pst", _b_psi), ("tet", _b_targetenc),
+        ("bst", _b_bootstrap)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {k: pool.submit(fn) for k, fn in builders}
+        out = {k: f.result() for k, f in futs.items()}
+    a, f, g, g2 = out["a"], out["f"], out["g"], out["g2"]
+    b, h, c = out["b"], out["h"], out["c"]
+    d, e = out["de"]
+    m, w, an = out["m"], out["w"], out["an"]
+    kpt, cvt, wn = out["kpt"], out["cvt"], out["wn"]
+    pct, mht, pst = out["pct"], out["mht"], out["pst"]
+    tet, bst = out["tet"], out["bst"]
     return (a.unionByName(f).unionByName(g).unionByName(g2)
             .unionByName(b).unionByName(h).unionByName(c)
             .unionByName(d).unionByName(e).unionByName(m)
