@@ -4539,97 +4539,130 @@ def q_s_stats_rank(spark, sf_dir):
           .select("l_returnflag", "l_linestatus", "l_quantity",
                   "l_extendedprice", "l_tax", "l_linenumber")
           .localCheckpoint(eager=False))
-    sp = STAT.spearman_corr(li, "l_quantity", "l_extendedprice").spark_df
-    s = _tag(sp, "spearman",
-             F.lit("l_quantity>l_extendedprice").alias("s1"),
-             F.col("n").cast("bigint").alias("i1"),
-             _BNULL().alias("i2"),
-             F.col("rho").cast("double").alias("d1"),
-             _DNULL().alias("d2"), _DNULL().alias("d3"),
-             _DNULL().alias("d4"))
-    # Mann-Whitney U over l_quantity (~50 distinct values — the
-    # value-count regime the operator targets)
-    mw = STAT.mann_whitney_u(li, "l_quantity", "l_returnflag",
-                             exact=True).spark_df
-    mwt = _tag(mw, "mannwhitney",
-               F.concat_ws(">", "g1", "g2").alias("s1"),
-               F.col("n1").cast("bigint").alias("i1"),
-               F.col("n2").cast("bigint").alias("i2"),
-               F.col("u1").cast("double").alias("d1"),
-               F.col("z").cast("double").alias("d2"),
-               _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # ROC AUC via the Mann-Whitney identity: quantity as the score,
-    # returnflag 'A' as the positive label
-    auc_in = li.select(F.col("l_quantity").alias("score"),
-                       (F.col("l_returnflag") == "A").cast("int")
-                       .alias("is_a"))
-    au = STAT.auc_score(auc_in, "score", "is_a", exact=True).spark_df
-    aut = _tag(au, "auc",
-               F.lit("l_quantity~is_A").alias("s1"),
-               F.col("n_pos").cast("bigint").alias("i1"),
-               F.col("n_neg").cast("bigint").alias("i2"),
-               F.col("auc").cast("double").alias("d1"),
-               _DNULL().alias("d2"), _DNULL().alias("d3"),
-               _DNULL().alias("d4"))
-    # Kendall tau-b from the (quantity x linenumber) contingency —
-    # <=350 cells, quadratic in value pairs, never rows
-    kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber",
-                            exact=True).spark_df
-    kt = _tag(kd, "kendall",
-              F.lit("l_quantity~l_linenumber").alias("s1"),
-              F.col("n").cast("bigint").alias("i1"),
-              _BNULL().alias("i2"),
-              F.col("tau_b").cast("double").alias("d1"),
-              F.col("concordant").cast("double").alias("d2"),
-              F.col("discordant").cast("double").alias("d3"),
-              _DNULL().alias("d4"))
-    # Theil-Sen robust regression of l_tax on l_quantity (contingency
-    # cells, <=450, exact=True: known low-cardinality oracle fixture)
-    th = STAT.theil_sen(li.select("l_quantity", "l_tax"),
-                        "l_quantity", "l_tax", exact=True).spark_df
-    tht = _tag(th, "theilsen",
-               F.lit("l_tax~l_quantity").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("slope").cast("double").alias("d1"),
-               F.col("intercept").cast("double").alias("d2"),
-               _DNULL().alias("d3"), _DNULL().alias("d4"))
-    # mutual information + entropies for returnflag x linestatus
-    mi = STAT.mutual_information(li, "l_returnflag", "l_linestatus",
+    def _b_spearman():
+        sp = STAT.spearman_corr(li, "l_quantity",
+                                "l_extendedprice").spark_df
+        return _tag(sp, "spearman",
+                    F.lit("l_quantity>l_extendedprice").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("rho").cast("double").alias("d1"),
+                    _DNULL().alias("d2"), _DNULL().alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_mannwhitney():
+        # Mann-Whitney U over l_quantity (~50 distinct values — the
+        # value-count regime the operator targets)
+        mw = STAT.mann_whitney_u(li, "l_quantity", "l_returnflag",
                                  exact=True).spark_df
-    mit = _tag(mi, "mutualinfo",
-               F.lit("l_returnflag~l_linestatus").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("mi").cast("double").alias("d1"),
-               F.col("nmi").cast("double").alias("d2"),
-               F.col("h_x").cast("double").alias("d3"),
-               F.col("h_y").cast("double").alias("d4"))
-    # unkeyed weighted percentile (round 8: promoted from pytest-only;
-    # the quantity-weighted price distribution — the token-weighted
-    # doc-length shape of a curation pipeline)
-    wp = STAT.weighted_percentile(li, "l_extendedprice", "l_quantity",
-                                  [0.25, 0.5, 0.9]).spark_df
-    wpt = _tag(wp, "wpct",
-               F.lit("l_extendedprice~l_quantity").alias("s1"),
-               F.col("n").cast("bigint").alias("i1"),
-               _BNULL().alias("i2"),
-               F.col("p25").cast("double").alias("d1"),
-               F.col("p50").cast("double").alias("d2"),
-               F.col("p90").cast("double").alias("d3"),
-               _DNULL().alias("d4"))
-    # grouped twin: per-flag keyed cumulative-weight windows (the
-    # partitioned path the unkeyed plan above carefully avoids needing)
-    wpg = STAT.weighted_percentile(li, "l_extendedprice", "l_quantity",
-                                   [0.5, 0.9],
-                                   by=["l_returnflag"]).spark_df
-    wpgt = _tag(wpg, "wpctg",
-                F.col("l_returnflag").alias("s1"),
-                F.col("n").cast("bigint").alias("i1"),
-                _BNULL().alias("i2"),
-                F.col("p50").cast("double").alias("d1"),
-                F.col("p90").cast("double").alias("d2"),
-                _DNULL().alias("d3"), _DNULL().alias("d4"))
+        return _tag(mw, "mannwhitney",
+                    F.concat_ws(">", "g1", "g2").alias("s1"),
+                    F.col("n1").cast("bigint").alias("i1"),
+                    F.col("n2").cast("bigint").alias("i2"),
+                    F.col("u1").cast("double").alias("d1"),
+                    F.col("z").cast("double").alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_auc():
+        # ROC AUC via the Mann-Whitney identity: quantity as the
+        # score, returnflag 'A' as the positive label
+        auc_in = li.select(F.col("l_quantity").alias("score"),
+                           (F.col("l_returnflag") == "A").cast("int")
+                           .alias("is_a"))
+        au = STAT.auc_score(auc_in, "score", "is_a",
+                            exact=True).spark_df
+        return _tag(au, "auc",
+                    F.lit("l_quantity~is_A").alias("s1"),
+                    F.col("n_pos").cast("bigint").alias("i1"),
+                    F.col("n_neg").cast("bigint").alias("i2"),
+                    F.col("auc").cast("double").alias("d1"),
+                    _DNULL().alias("d2"), _DNULL().alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_kendall():
+        # Kendall tau-b from the (quantity x linenumber) contingency —
+        # <=350 cells, quadratic in value pairs, never rows
+        kd = STAT.kendall_tau_b(li, "l_quantity", "l_linenumber",
+                                exact=True).spark_df
+        return _tag(kd, "kendall",
+                    F.lit("l_quantity~l_linenumber").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("tau_b").cast("double").alias("d1"),
+                    F.col("concordant").cast("double").alias("d2"),
+                    F.col("discordant").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_theilsen():
+        # Theil-Sen robust regression of l_tax on l_quantity
+        # (contingency cells, <=450, exact=True)
+        th = STAT.theil_sen(li.select("l_quantity", "l_tax"),
+                            "l_quantity", "l_tax",
+                            exact=True).spark_df
+        return _tag(th, "theilsen",
+                    F.lit("l_tax~l_quantity").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("slope").cast("double").alias("d1"),
+                    F.col("intercept").cast("double").alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    def _b_mutualinfo():
+        # mutual information + entropies for returnflag x linestatus
+        mi = STAT.mutual_information(li, "l_returnflag",
+                                     "l_linestatus",
+                                     exact=True).spark_df
+        return _tag(mi, "mutualinfo",
+                    F.lit("l_returnflag~l_linestatus").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("mi").cast("double").alias("d1"),
+                    F.col("nmi").cast("double").alias("d2"),
+                    F.col("h_x").cast("double").alias("d3"),
+                    F.col("h_y").cast("double").alias("d4"))
+
+    def _b_wpct():
+        # unkeyed weighted percentile: the two-pass bucketed global
+        # cumulative-weight path (no single-partition window)
+        wp = STAT.weighted_percentile(li, "l_extendedprice",
+                                      "l_quantity",
+                                      [0.25, 0.5, 0.9]).spark_df
+        return _tag(wp, "wpct",
+                    F.lit("l_extendedprice~l_quantity").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("p25").cast("double").alias("d1"),
+                    F.col("p50").cast("double").alias("d2"),
+                    F.col("p90").cast("double").alias("d3"),
+                    _DNULL().alias("d4"))
+
+    def _b_wpctg():
+        # grouped twin: per-flag keyed cumulative-weight windows
+        wpg = STAT.weighted_percentile(li, "l_extendedprice",
+                                       "l_quantity", [0.5, 0.9],
+                                       by=["l_returnflag"]).spark_df
+        return _tag(wpg, "wpctg",
+                    F.col("l_returnflag").alias("s1"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"),
+                    F.col("p50").cast("double").alias("d1"),
+                    F.col("p90").cast("double").alias("d2"),
+                    _DNULL().alias("d3"), _DNULL().alias("d4"))
+
+    # all eight branches derive from the one shared checkpointed
+    # projection — build them on a pool (guide §2.6; plan construction
+    # is py4j latency, not compute)
+    from concurrent.futures import ThreadPoolExecutor
+    builders = [("s", _b_spearman), ("mwt", _b_mannwhitney),
+                ("aut", _b_auc), ("kt", _b_kendall),
+                ("tht", _b_theilsen), ("mit", _b_mutualinfo),
+                ("wpt", _b_wpct), ("wpgt", _b_wpctg)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {k: pool.submit(fn) for k, fn in builders}
+        out = {k: f.result() for k, f in futs.items()}
+    s, mwt, aut, kt = out["s"], out["mwt"], out["aut"], out["kt"]
+    tht, mit, wpt, wpgt = (out["tht"], out["mit"], out["wpt"],
+                           out["wpgt"])
     return (s.unionByName(mwt).unionByName(aut).unionByName(kt)
             .unionByName(tht).unionByName(mit).unionByName(wpt)
             .unionByName(wpgt))
