@@ -2615,36 +2615,52 @@ def q_x_cosine_search(spark, sf_dir):
     hyperplane-LSH multi-probe ANN (the LCG planes are materialized as
     literal vectors in the DuckDB oracle, so this part is fully
     hash-checked, not rows-only)."""
-    a = _tag(q_x_cosine_topk(spark, sf_dir), "topk",
+    # the five search parts are independent; ivf_topk's centroid
+    # collects and recall's double join machinery dominate the build,
+    # so construct them on a pool (§2.6)
+    def _build_recall():
+        # recall@5 of the multi-probe LSH JOIN against exact ground
+        # truth (similarity.ann_join_topk_lsh + ann_recall_at_k): 20
+        # queries, 6 planes, hamming<=2 multi-probe — the evaluation
+        # an approximate index must pass before it replaces the
+        # brute-force path
+        emb = _f(spark, sf_dir, "embeddings")
+        qf = SparkFrame(emb.spark_df.filter(F.col("vec_id") < 20))
+        truth = SIM.similarity_join_topk(qf, emb, k=5)
+        approx = SIM.ann_join_topk_lsh(qf, emb, k=5, n_planes=6,
+                                       max_hamming=2)
+        return SIM.ann_recall_at_k(truth, approx, k=5).spark_df
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_a = pool.submit(q_x_cosine_topk, spark, sf_dir)
+        f_b = pool.submit(q_x_similarity_join_topk, spark, sf_dir)
+        f_c = pool.submit(q_x_ivf_topk, spark, sf_dir)
+        f_d = pool.submit(q_x_ann_lsh, spark, sf_dir)
+        f_e = pool.submit(_build_recall)
+        ra, rb, rc, rd, rec = (f_a.result(), f_b.result(),
+                               f_c.result(), f_d.result(),
+                               f_e.result())
+    a = _tag(ra, "topk",
              _BNULL().alias("id_l"),
              F.col("vec_id").cast("bigint").alias("id_r"),
              F.col("cosine").cast("double").alias("cosine"),
              _BNULL().alias("rank"))
-    b = _tag(q_x_similarity_join_topk(spark, sf_dir), "join_topk",
+    b = _tag(rb, "join_topk",
              F.col("id_l").cast("bigint").alias("id_l"),
              F.col("id_r").cast("bigint").alias("id_r"),
              F.col("cosine").cast("double").alias("cosine"),
              F.col("rank").cast("bigint").alias("rank"))
-    c = _tag(q_x_ivf_topk(spark, sf_dir), "ivf_topk",
+    c = _tag(rc, "ivf_topk",
              F.col("centroid_id").cast("bigint").alias("id_l"),
              F.col("vec_id").cast("bigint").alias("id_r"),
              F.col("cosine").cast("double").alias("cosine"),
              _BNULL().alias("rank"))
-    d = _tag(q_x_ann_lsh(spark, sf_dir), "ann_lsh",
+    d = _tag(rd, "ann_lsh",
              _BNULL().alias("id_l"),
              F.col("vec_id").cast("bigint").alias("id_r"),
              F.col("cosine").cast("double").alias("cosine"),
              _BNULL().alias("rank"))
-    # recall@5 of the multi-probe LSH JOIN against exact ground truth
-    # (similarity.ann_join_topk_lsh + ann_recall_at_k): 20 queries,
-    # 6 planes, hamming<=2 multi-probe — the evaluation an approximate
-    # index must pass before it replaces the brute-force path
-    emb = _f(spark, sf_dir, "embeddings")
-    qf = SparkFrame(emb.spark_df.filter(F.col("vec_id") < 20))
-    truth = SIM.similarity_join_topk(qf, emb, k=5)
-    approx = SIM.ann_join_topk_lsh(qf, emb, k=5, n_planes=6,
-                                   max_hamming=2)
-    rec = SIM.ann_recall_at_k(truth, approx, k=5).spark_df
     e = _tag(rec, "recall",
              F.col("id_l").cast("bigint").alias("id_l"),
              F.col("n_hit").cast("bigint").alias("id_r"),
@@ -2656,12 +2672,19 @@ def q_x_cosine_search(spark, sf_dir):
 
 def q_x_cluster_assign(spark, sf_dir):
     """IVF centroid routing + iterative k-means assignment (3 Lloyd
-    rounds; the oracle unrolls the same rounds in SQL)."""
-    a = _tag(q_x_ivf_assign(spark, sf_dir), "ivf",
+    rounds; the oracle unrolls the same rounds in SQL). Both parts are
+    driver-coordinated (centroid collects; per-round Lloyd jobs), so
+    they run on a 2-thread pool and their small jobs overlap (§2.6)."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ivf = pool.submit(q_x_ivf_assign, spark, sf_dir)
+        f_km = pool.submit(q_x_kmeans_assign, spark, sf_dir)
+        ivf_df, km_df = f_ivf.result(), f_km.result()
+    a = _tag(ivf_df, "ivf",
              F.col("vec_id").cast("bigint").alias("vec_id"),
              F.col("centroid_id").cast("bigint").alias("centroid_id"),
              F.col("centroid_sim").cast("double").alias("centroid_sim"))
-    b = _tag(q_x_kmeans_assign(spark, sf_dir), "kmeans",
+    b = _tag(km_df, "kmeans",
              F.col("vec_id").cast("bigint").alias("vec_id"),
              F.col("centroid_id").cast("bigint").alias("centroid_id"),
              F.col("centroid_sim").cast("double").alias("centroid_sim"))

@@ -22,7 +22,23 @@ def _plain(frame) -> DataFrame:
 
 
 def _lit_vec(vec) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """Literal array<double> in ONE sql-expression round trip.
+
+    ``F.array(*[F.lit(x) ...])`` costs 2+ py4j calls per element — for
+    a 64-dim centroid list that is hundreds of driver round trips per
+    routing expression. The string form parses to the identical
+    Literal array; CAST('<repr>' AS DOUBLE) is correctly rounded, so
+    the values are bit-identical to F.lit(float(x))."""
+    def _d(x) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{x!r}' AS DOUBLE)"
+    if not vec:
+        return F.array().cast("array<double>")
+    return F.expr("array(" + ",".join(_d(x) for x in vec) + ")")
 
 
 def cosine_topk(frame, query_vec, k: int = 10, id_col: str = "vec_id",
