@@ -705,9 +705,20 @@ def phrase_positions(col, words: list[str]) -> Column:
 
     Guarded for docs shorter than the phrase (Spark's ``sequence(1, 0)``
     would count DOWN; the guard returns an empty array instead)."""
+    return _phrase_positions_over(tokens(col), words)
+
+
+def _phrase_positions_over(tk: Column, words: list[str]) -> Column:
+    """``phrase_positions`` over an already-tokenized array column.
+
+    Callers that can should bind ``tk`` to a *projected attribute*
+    (``.select(tokens(col).alias("__tk__"))`` first): expressions under
+    a higher-order-function lambda are re-evaluated per array element
+    and are invisible to codegen subexpression elimination, so passing
+    the raw ``split(...)`` tree here makes the scan quadratic in
+    document length (re-tokenize at every candidate position)."""
     if not words:
         raise ValueError("phrase must contain at least one word")
-    tk = tokens(col)
     n = len(words)
 
     def match(i):
@@ -735,13 +746,26 @@ def phrase_search(frame, phrase: str, id_col: str = "doc_id",
     prunes the read to (id, text). Use the postings form only when the
     index is reused across many queries."""
     sdf = _plain(frame)
-    pos = phrase_positions(F.col(text_col), phrase.split())
-    out = (sdf.select(F.col(id_col), pos.alias("__pos__"))
-           .filter(F.size("__pos__") > 0)
-           .select(id_col,
-                   F.size("__pos__").cast("long").alias("n_hits"),
-                   F.element_at("__pos__", 1).cast("long")
-                   .alias("first_pos")))
+    # token array materialized as its OWN projection so the adjacency
+    # lambda references an attribute (CollapseProject keeps expensive
+    # multi-referenced aliases un-inlined since SPARK-36718) — else the
+    # split() re-runs per candidate position: quadratic per document
+    tok = sdf.select(F.col(id_col),
+                     tokens(F.col(text_col)).alias("__tk__"))
+    pos = _phrase_positions_over(F.col("__tk__"), phrase.split())
+    # hit gate via explode of a conditional 1-element array, NOT a
+    # Filter node: predicate pushdown would re-substitute the alias
+    # below the projection and re-introduce the quadratic scan
+    hit = F.explode(F.when(
+        F.size("__pos__") > 0,
+        F.array(F.struct(
+            F.size("__pos__").cast("long").alias("n_hits"),
+            F.element_at("__pos__", 1).cast("long")
+            .alias("first_pos")))))
+    out = (tok.select(F.col(id_col), pos.alias("__pos__"))
+           .select(F.col(id_col), hit.alias("__s__"))
+           .select(id_col, F.col("__s__.n_hits").alias("n_hits"),
+                   F.col("__s__.first_pos").alias("first_pos")))
     return SparkFrame(out)
 
 
@@ -992,9 +1016,13 @@ def phrase_snippets(frame, phrase: str, window: int = 3,
     """
     sdf = _plain(frame)
     n = len(phrase.split())
-    tk = tokens(F.col(text_col))
-    hit = phrase_positions(F.col(text_col), phrase.split())
-    exploded = (sdf.select(F.col(id_col), tk.alias("__tk__"),
+    # same two-step shape as phrase_search: tokenize ONCE into an
+    # attribute, then run the position lambda over it — the generator
+    # input must not carry the raw split() tree (quadratic per doc)
+    tok = sdf.select(F.col(id_col),
+                     tokens(F.col(text_col)).alias("__tk__"))
+    hit = _phrase_positions_over(F.col("__tk__"), phrase.split())
+    exploded = (tok.select(F.col(id_col), F.col("__tk__"),
                            F.explode(hit).alias("pos")))
     start = F.greatest(F.col("pos") - F.lit(window), F.lit(1))
     end = F.least(F.col("pos") + F.lit(n - 1 + window),
