@@ -104,15 +104,37 @@ def char_shingles(col, k: int = 5) -> Column:
     )
 
 
+def bind_once(col: Column, f) -> Column:
+    """Evaluate *col* once and apply the expression function *f* to it,
+    as a pure Column: ``element_at(transform(array(col), f), 1)``.
+
+    Why: an outer expression referenced inside a higher-order-function
+    lambda is re-evaluated per array element (codegen subexpression
+    elimination does not reach into lambdas), so e.g. a ``split(...)``
+    consulted at every n-gram position makes the row quadratic in text
+    length. Binding it to a lambda VARIABLE first makes every inner
+    reference a cheap variable read. Value-identical by construction
+    (pure substitution)."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def word_ngrams(col, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of a string column."""
+    """Distinct word n-grams (space-joined) of a string column.
+
+    The tokenization is bound once via :func:`bind_once` — the n-gram
+    lambda reads the token array as a variable instead of re-running
+    ``split`` per position."""
     col = F.col(col) if isinstance(col, str) else col
     words = F.split(F.trim(col), r"\s+")
-    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(0), cnt - 1),
-                    lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    )
+
+    def grams(ws):
+        cnt = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(0), cnt - 1),
+                        lambda i: F.array_join(F.slice(ws, i + 1, n),
+                                               " ")))
+
+    return bind_once(words, grams)
 
 
 _MASK64 = (1 << 64) - 1
