@@ -39,13 +39,28 @@ from cl_data_frame_spark.operators import textstats as TS
 from cl_data_frame_spark import streaming as ST
 
 
+# Lazy-plan memo: (session, dir, table) -> the unresolved scan
+# DataFrame. Holds NO data — only the plan handle, so every query
+# still computes from the parquet files; it removes the repeated
+# schema/file-listing driver round trips (~80ms per read) that every
+# entry re-paid 5-10 times per build. The session object rides in the
+# value to keep id() keys unique for the process lifetime.
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    hit = _T_CACHE.get((id(spark), sf_dir, name))
+    if hit is not None:
+        return hit[1]
     # the driver's session may not be UTC; DuckDB timestamps are TZ-naive,
     # so pin the session TZ for every timestamp-touching expression
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _T_CACHE[(id(spark), sf_dir, name)] = (spark, df)
+    return df
 
 
 def _event_ts(raw: DataFrame, col: str = "ts"):
@@ -69,6 +84,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _f(spark: SparkSession, sf_dir: str, name: str) -> SparkFrame:
     return SparkFrame.from_spark(_t(spark, sf_dir, name))
+
+
+def _raw_events_schema(spark: SparkSession, sf_dir: str):
+    """Raw (pre-ts-normalization) events schema for the streaming
+    sources — memoized like :data:`_T_CACHE`: the legacy nanos conf must
+    be pinned BEFORE the schema read, and each streaming entry re-paid
+    that schema-inference job per stream otherwise."""
+    key = (id(spark), sf_dir, "__events_raw__")
+    hit = _T_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _T_CACHE[key] = (spark, schema)
+    return schema
 
 
 def _dec_sum(col, scale: int = 2, precision: int = 18):
@@ -1621,8 +1651,7 @@ def q_st_totals_only(spark, sf_dir):
     per-user running totals."""
     # raw schema (ts stays long nanos — the stateful op only needs
     # user_id/value); file source needs a directory + glob, not a file path
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_events_schema(spark, sf_dir)
     stream = ST.read_stream_parquet(spark, sf_dir, schema,
                                     glob="events.parquet")
     totals = ST.running_user_totals(stream)
@@ -1637,8 +1666,7 @@ def q_st_holt_only(spark, sf_dir):
     """Streaming Holt drift state (O(1) per key, applyInPandasWithState)
     over the real events stream — the unbounded-series sibling of the
     batch ``holt_linear`` fold, same recurrence bit-for-bit."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_events_schema(spark, sf_dir)
     stream = ST.read_stream_parquet(spark, sf_dir, schema,
                                     glob="events.parquet")
     holt = ST.streaming_holt(stream, key_col="user_id",
@@ -1685,8 +1713,7 @@ def q_st_stateful(spark, sf_dir):
 def q_st_dedup_only(spark, sf_dir):
     """The dedup stream of the st_dedup composite on its own (bench
     parts attribution runs each real stream separately)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_events_schema(spark, sf_dir)
 
     def one_copy():
         raw = ST.read_stream_parquet(spark, sf_dir, schema,
@@ -1714,8 +1741,7 @@ def q_st_snapsink_only(spark, sf_dir):
     a duplicated batch would double its rows and hash-mismatch)."""
     import os
     import tempfile
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_events_schema(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="cdf_snapsink_")
     t, ckpt = os.path.join(base, "tbl"), os.path.join(base, "ckpt")
     raw = ST.read_stream_parquet(spark, sf_dir, schema,
@@ -3809,8 +3835,7 @@ def q_st_ss_join(spark, sf_dir):
     click events within 10 minutes, both file-source streams, watermarked
     state-bounded join into a memory sink; aggregated per user for a
     stable oracle shape."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_events_schema(spark, sf_dir)
 
     def one(kind, idc, tsc):
         raw = ST.read_stream_parquet(spark, sf_dir, schema,
@@ -3837,8 +3862,7 @@ def q_st_static_join(spark, sf_dir):
     """REAL stream-static dimension enrichment: the events stream joined
     to the static nation table (user_id % 25 = n_nationkey), append-mode
     sink, then a batch rollup per nation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_events_schema(spark, sf_dir)
     raw = ST.read_stream_parquet(spark, sf_dir, schema,
                                  glob="events.parquet")
     stream = raw.withColumn("nk", F.col("user_id") % 25)

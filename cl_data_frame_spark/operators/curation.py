@@ -399,16 +399,23 @@ def minhash_decontaminate(corpus, benchmark, id_col: str = "doc_id",
         exploded = shingled.select(
             alias, F.explode("__sh__").alias("__s__")
         ).select(alias, F.xxhash64("__s__").alias("__h__"))
+        # the 96 min-aggregates and 24 band hashes are assembled as SQL
+        # expression strings — identical expression trees, but ONE py4j
+        # round trip each instead of one per operator (~2s of driver
+        # latency per entry build at the default parameters)
+        min_exprs = ", ".join(
+            f"min(xxhash64(__h__, {i})) AS __m{i}__"
+            for i in range(num_hashes))
         sigs = exploded.groupBy(alias).agg(
-            *[F.min(F.xxhash64("__h__", F.lit(i))).alias(f"__m{i}__")
-              for i in range(num_hashes)])
-        band_hashes = [
-            F.xxhash64(*[F.col(f"__m{i}__")
-                         for i in range(b * rows_per_band,
-                                        (b + 1) * rows_per_band)])
-            for b in range(bands)]
+            F.expr(f"struct({min_exprs})").alias("__sg__"))
+        band_exprs = ", ".join(
+            "xxhash64(" + ", ".join(
+                f"__sg__.__m{i}__"
+                for i in range(b * rows_per_band,
+                               (b + 1) * rows_per_band)) + ")"
+            for b in range(bands))
         banded = sigs.select(
-            alias, F.posexplode(F.array(*band_hashes))
+            alias, F.posexplode(F.expr(f"array({band_exprs})"))
             .alias("__band__", "__bh__"))
         hashed = shingled.select(
             alias, F.array_distinct(
