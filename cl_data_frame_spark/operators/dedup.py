@@ -1275,6 +1275,30 @@ def dedup_keep_best(frame, score_col: str, text_col: str = "text",
     return SparkFrame(out)
 
 
+def _min_agree_subsets(wa: dict[str, float],
+                       threshold: float) -> list[tuple[str, ...]] | None:
+    """Minimal field subsets whose agreement weights alone reach
+    *threshold* — the Fellegi-Sunter candidate-generation keys.
+
+    Returns None when the enumeration is not worth it (too many
+    fields) or vacuous (the empty subset reaches the threshold, i.e.
+    every pair is a candidate)."""
+    from itertools import combinations
+    names = sorted(wa)
+    if len(names) > 12:
+        return None
+    if threshold <= 0:
+        return None  # empty subset qualifies: no pruning possible
+    out: list[tuple[str, ...]] = []
+    for r in range(1, len(names) + 1):
+        for sub in combinations(names, r):
+            if any(set(m) <= set(sub) for m in out):
+                continue  # superset of an already-minimal subset
+            if sum(wa[f] for f in sub) >= threshold:
+                out.append(sub)
+    return out or None
+
+
 def fellegi_sunter_pairs(frame, id_col: str, block_col: str,
                          fields: dict[str, tuple[float, float]],
                          threshold: float | None = None) -> SparkFrame:
@@ -1309,9 +1333,31 @@ def fellegi_sunter_pairs(frame, id_col: str, block_col: str,
     cols = [id_col, block_col, *fields.keys()]
     a = sdf.select(*[F.col(c).alias(f"a_{c}") for c in cols])
     b = sdf.select(*[F.col(c).alias(f"b_{c}") for c in cols])
-    pairs = a.join(
-        b, on=(F.col(f"a_{block_col}") == F.col(f"b_{block_col}"))
-        & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")))
+    base_on = ((F.col(f"a_{block_col}") == F.col(f"b_{block_col}"))
+               & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")))
+    # Candidate pruning when a threshold is given: agreement weights
+    # are positive, disagreement weights negative, NULLs contribute 0,
+    # so any pair at weight >= t must FULLY AGREE on some field subset
+    # whose agree-weights alone sum to >= t. Enumerate the minimal such
+    # subsets and generate candidates as a union of equi-joins on
+    # (block + subset) — near-linear instead of block-quadratic; the
+    # final exact threshold filter unchanged, so the output is
+    # identical (candidates are a provable superset).
+    minimal = (_min_agree_subsets(
+        {f: math.log2(m / u) for f, (m, u) in fields.items()},
+        threshold - 1e-6) if threshold is not None else None)
+    if minimal and all(minimal) and len(minimal) <= 8:
+        cand = None
+        for sub in minimal:
+            on = base_on
+            for f in sub:
+                on = on & (F.col(f"a_{f}") == F.col(f"b_{f}"))
+            br = a.join(b, on=on)
+            cand = br if cand is None else cand.unionByName(br)
+        pairs = (cand.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
+                 if len(minimal) > 1 else cand)
+    else:
+        pairs = a.join(b, on=base_on)
     weight = F.lit(0.0)
     n_agree = F.lit(0)
     for f, (m, u) in fields.items():

@@ -405,6 +405,59 @@ def test_fellegi_sunter_pairs_weights_and_blocking(spark):
         fellegi_sunter_pairs(df, "id", "blk", {"name": (0.05, 0.95)})
 
 
+def test_fellegi_sunter_pruned_candidates_match_quadratic(spark):
+    """The minimal-agreement-subset candidate pruning must reproduce
+    the block-quadratic output exactly — including pairs that clear
+    the threshold through a WEAK field pair while the strong field is
+    NULL (the subset {weak1, weak2} branch), and pairs that agree on
+    the strong field but are dragged under the threshold by non-null
+    disagreements elsewhere (superset candidates the final filter must
+    drop)."""
+    from cl_data_frame_spark.operators.dedup import (
+        fellegi_sunter_pairs, _min_agree_subsets)
+    fields = {"seg": (0.9, 0.2), "pos": (0.85, 0.5),
+              "nm": (0.95, 0.001)}
+    # agree-weights: seg 2.17, pos 0.77, nm 9.89; threshold 2.9 ->
+    # minimal subsets {nm} and {seg, pos}
+    subs = _min_agree_subsets(
+        {"seg": 2.1699, "pos": 0.7655, "nm": 9.8918}, 2.9 - 1e-6)
+    assert sorted(subs) == [("nm",), ("pos", "seg")]
+    rows = [
+        (1, "b", "A", True, "wxyz"),
+        (2, "b", "A", True, None),      # pairs with 3 via {seg,pos}
+        (3, "b", "A", True, None),      # nm NULL on both sides
+        (4, "b", "B", False, "wxyz"),   # pairs with 1 via {nm} only
+        (5, "b", "A", True, "qqqq"),    # nm DISAGREES with 1: weight
+                                        # 2.17+0.77-9.97 < 2.9 even
+                                        # though {seg,pos} agree+nm
+                                        # non-null -> candidate via
+                                        # {seg,pos}, kept out by the
+                                        # exact filter? no: weight =
+                                        # 2.17+0.77+wd_nm < 2.9 ->
+                                        # dropped; vs (2,5): nm NULL ->
+                                        # 2.935 >= 2.9 kept
+        (6, "c", "A", True, "wxyz"),    # other block: never paired
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, blk string, seg string, pos boolean, "
+              "nm string")
+    got = fellegi_sunter_pairs(df, "id", "blk", fields,
+                               threshold=2.9).spark_df
+    got_rows = {(r.id_a, r.id_b): (r.weight, r.n_agree)
+                for r in got.collect()}
+    # quadratic reference: same operator with the pruning disabled by
+    # scoring without a threshold, filtered in Python
+    ref = fellegi_sunter_pairs(df, "id", "blk", fields).spark_df
+    ref_rows = {(r.id_a, r.id_b): (r.weight, r.n_agree)
+                for r in ref.collect() if r.weight >= 2.9}
+    assert got_rows == ref_rows
+    assert (2, 3) in got_rows          # weak-pair pass, strong NULL
+    assert (1, 4) in got_rows          # strong-field-only pass
+    assert (1, 5) not in got_rows      # candidate, filtered exactly
+    # no pair duplicated by the union of candidate branches
+    assert got.count() == got.dropDuplicates(["id_a", "id_b"]).count()
+
+
 def test_ngram_profile_reuse_matches_fresh_build(spark):
     """A shared ngram_order_profile must produce byte-identical pairs
     through ngram_jaccard_pairs_prefix for both the blocked and the
