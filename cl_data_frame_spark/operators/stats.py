@@ -182,17 +182,54 @@ def _pair_exprs(i: int, j: int):
     """corr / sample-cov / sample-std expressions for the (i, j) column
     pair of a ``moment_sums`` table — the same fixed double-arithmetic
     order as ``moment_stats`` so derived results are bit-identical."""
-    n = F.col("n").cast("double")
-    sx, sy = F.col(f"s_{i}").cast("double"), F.col(f"s_{j}").cast("double")
-    sxx = F.col(f"s_{i}_{i}").cast("double")
-    syy = F.col(f"s_{j}_{j}").cast("double")
-    sxy = F.col(f"s_{min(i, j)}_{max(i, j)}").cast("double")
-    var_x = n * sxx - sx * sx
-    var_y = n * syy - sy * sy
-    corr = (n * sxy - sx * sy) / F.sqrt(var_x * var_y)
-    cov = (sxy - sx * sy / n) / (n - F.lit(1.0))
-    std_x = F.sqrt(var_x / (n * (n - F.lit(1.0))))
-    std_y = F.sqrt(var_y / (n * (n - F.lit(1.0))))
+    corr, cov, std_x, std_y = _pair_sql(i, j)
+    return F.expr(corr), F.expr(cov), F.expr(std_x), F.expr(std_y)
+
+
+# SQL-string expression builders: every binary operation is explicitly
+# parenthesized, so the parsed tree is the Column tree the formulas
+# were originally written as — identical double-arithmetic order,
+# bit-identical results — while the whole formula costs ONE py4j round
+# trip instead of one per operator (the statistical branch builders
+# run on a thread pool and were saturating the gateway).
+def _dbl(c: str) -> str:
+    return f"CAST({c} AS DOUBLE)"
+
+
+def _mul(a: str, b: str) -> str:
+    return f"({a} * {b})"
+
+
+def _sub(a: str, b: str) -> str:
+    return f"({a} - {b})"
+
+
+def _add(a: str, b: str) -> str:
+    return f"({a} + {b})"
+
+
+def _divs(a: str, b: str) -> str:
+    return f"({a} / {b})"
+
+
+def _sqrt(a: str) -> str:
+    return f"SQRT({a})"
+
+
+def _pair_sql(i: int, j: int) -> tuple[str, str, str, str]:
+    """String twins of ``_pair_exprs`` — same written operation
+    order."""
+    n = _dbl("n")
+    sx, sy = _dbl(f"s_{i}"), _dbl(f"s_{j}")
+    sxx, syy = _dbl(f"s_{i}_{i}"), _dbl(f"s_{j}_{j}")
+    sxy = _dbl(f"s_{min(i, j)}_{max(i, j)}")
+    var_x = _sub(_mul(n, sxx), _mul(sx, sx))
+    var_y = _sub(_mul(n, syy), _mul(sy, sy))
+    corr = _divs(_sub(_mul(n, sxy), _mul(sx, sy)),
+                 _sqrt(_mul(var_x, var_y)))
+    cov = _divs(_sub(sxy, _divs(_mul(sx, sy), n)), _sub(n, "1.0D"))
+    std_x = _sqrt(_divs(var_x, _mul(n, _sub(n, "1.0D"))))
+    std_y = _sqrt(_divs(var_y, _mul(n, _sub(n, "1.0D"))))
     return corr, cov, std_x, std_y
 
 
@@ -233,14 +270,14 @@ def corr_matrix(frame, cols: list[str], by: list[str] | None = None,
     pairs = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            corr, cov, _, _ = _pair_exprs(i, j)
-            pairs.append(F.struct(
-                F.lit(cols[i]).alias("col_x"),
-                F.lit(cols[j]).alias("col_y"),
-                F.round(corr, 6).alias("corr"),
-                F.round(cov, 6).alias("cov_samp")))
+            corr, cov, _, _ = _pair_sql(i, j)
+            pairs.append(
+                f"struct('{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"ROUND({corr}, 6) AS corr, "
+                f"ROUND({cov}, 6) AS cov_samp)")
     out = (s.select(*(by or []), F.col("n"),
-                    F.explode(F.array(*pairs)).alias("__p__"))
+                    F.explode(F.expr(f"array({', '.join(pairs)})"))
+                    .alias("__p__"))
            .select(*(by or []),
                    F.col("__p__.col_x").alias("col_x"),
                    F.col("__p__.col_y").alias("col_y"),
@@ -1703,56 +1740,66 @@ def mahalanobis_distance(frame, cols: list[str],
     if sums is None:
         sums = moment_sums(sdf, cols, by=by or None)
     st = _plain(sums)
-    n = F.col("n").cast("double")
+    n = _dbl("n")
 
     def mu(i):
-        return F.col(f"s_{i}").cast("double") / n
+        return _divs(_dbl(f"s_{i}"), n)
 
     def cov(i, j):
         lo, hi = (i, j) if i <= j else (j, i)
-        sij = F.col(f"s_{lo}_{hi}").cast("double")
-        si = F.col(f"s_{lo}").cast("double")
-        sj = F.col(f"s_{hi}").cast("double")
-        return (sij - si * sj / n) / (n - F.lit(1.0))
+        sij = _dbl(f"s_{lo}_{hi}")
+        si, sj = _dbl(f"s_{lo}"), _dbl(f"s_{hi}")
+        return _divs(_sub(sij, _divs(_mul(si, sj), n)),
+                     _sub(n, "1.0D"))
+
+    def neg(a):
+        return f"(- {a})"
 
     c = {(i, j): cov(i, j) for i in range(k) for j in range(k)}
     if k == 2:
-        det = c[0, 0] * c[1, 1] - c[0, 1] * c[0, 1]
-        inv = {(0, 0): c[1, 1] / det, (1, 1): c[0, 0] / det,
-               (0, 1): -c[0, 1] / det, (1, 0): -c[0, 1] / det}
+        det = _sub(_mul(c[0, 0], c[1, 1]), _mul(c[0, 1], c[0, 1]))
+        inv = {(0, 0): _divs(c[1, 1], det), (1, 1): _divs(c[0, 0], det),
+               (0, 1): _divs(neg(c[0, 1]), det)}
     else:
-        det = (c[0, 0] * (c[1, 1] * c[2, 2] - c[1, 2] * c[1, 2])
-               - c[0, 1] * (c[0, 1] * c[2, 2] - c[1, 2] * c[0, 2])
-               + c[0, 2] * (c[0, 1] * c[1, 2] - c[1, 1] * c[0, 2]))
+        det = _add(
+            _sub(_mul(c[0, 0], _sub(_mul(c[1, 1], c[2, 2]),
+                                    _mul(c[1, 2], c[1, 2]))),
+                 _mul(c[0, 1], _sub(_mul(c[0, 1], c[2, 2]),
+                                    _mul(c[1, 2], c[0, 2])))),
+            _mul(c[0, 2], _sub(_mul(c[0, 1], c[1, 2]),
+                               _mul(c[1, 1], c[0, 2]))))
         inv = {
-            (0, 0): (c[1, 1] * c[2, 2] - c[1, 2] * c[1, 2]) / det,
-            (1, 1): (c[0, 0] * c[2, 2] - c[0, 2] * c[0, 2]) / det,
-            (2, 2): (c[0, 0] * c[1, 1] - c[0, 1] * c[0, 1]) / det,
-            (0, 1): -(c[0, 1] * c[2, 2] - c[1, 2] * c[0, 2]) / det,
-            (0, 2): (c[0, 1] * c[1, 2] - c[1, 1] * c[0, 2]) / det,
-            (1, 2): -(c[0, 0] * c[1, 2] - c[0, 1] * c[0, 2]) / det,
+            (0, 0): _divs(_sub(_mul(c[1, 1], c[2, 2]),
+                               _mul(c[1, 2], c[1, 2])), det),
+            (1, 1): _divs(_sub(_mul(c[0, 0], c[2, 2]),
+                               _mul(c[0, 2], c[0, 2])), det),
+            (2, 2): _divs(_sub(_mul(c[0, 0], c[1, 1]),
+                               _mul(c[0, 1], c[0, 1])), det),
+            (0, 1): _divs(neg(_sub(_mul(c[0, 1], c[2, 2]),
+                                   _mul(c[1, 2], c[0, 2]))), det),
+            (0, 2): _divs(_sub(_mul(c[0, 1], c[1, 2]),
+                               _mul(c[1, 1], c[0, 2])), det),
+            (1, 2): _divs(neg(_sub(_mul(c[0, 0], c[1, 2]),
+                                   _mul(c[0, 1], c[0, 2]))), det),
         }
-        inv[1, 0] = inv[0, 1]
-        inv[2, 0] = inv[0, 2]
-        inv[2, 1] = inv[1, 2]
     model = st.select(
         *by,
-        *[mu(i).alias(f"__mu{i}__") for i in range(k)],
-        *[inv[i, j].alias(f"__iv{i}{j}__")
+        *[F.expr(f"{mu(i)} AS __mu{i}__") for i in range(k)],
+        *[F.expr(f"{inv[i, j]} AS __iv{i}{j}__")
           for i in range(k) for j in range(i, k)])
     joined = (sdf.join(F.broadcast(model), on=by) if by
               else sdf.crossJoin(F.broadcast(model)))
-    d = [F.col(cols[i]).cast("double") - F.col(f"__mu{i}__")
-         for i in range(k)]
+    d = [_sub(_dbl(f"`{cols[i]}`"), f"__mu{i}__") for i in range(k)]
     # fixed summation order: diagonal terms ascending, then each
     # off-diagonal pair once with factor 2
-    d2 = F.lit(0.0)
+    d2 = "0.0D"
     for i in range(k):
-        d2 = d2 + d[i] * d[i] * F.col(f"__iv{i}{i}__")
+        d2 = _add(d2, _mul(_mul(d[i], d[i]), f"__iv{i}{i}__"))
     for i in range(k):
         for j in range(i + 1, k):
-            d2 = d2 + F.lit(2.0) * d[i] * d[j] * F.col(f"__iv{i}{j}__")
-    out = (joined.withColumn("d2", F.round(d2, 6))
+            d2 = _add(d2, _mul(_mul(_mul("2.0D", d[i]), d[j]),
+                               f"__iv{i}{j}__"))
+    out = (joined.withColumn("d2", F.expr(f"ROUND({d2}, 6)"))
            .withColumn("is_outlier", F.col("d2") > F.lit(threshold))
            .drop(*[f"__mu{i}__" for i in range(k)],
                  *[f"__iv{i}{j}__" for i in range(k)
@@ -1786,19 +1833,20 @@ def partial_correlation(frame, x_col: str, y_col: str, z_col: str,
         assert cols is not None, "cols= names the sums layout"
     s = _plain(sums)
     ix, iy, iz = cols.index(x_col), cols.index(y_col), cols.index(z_col)
-    r_xy, _, _, _ = _pair_exprs(ix, iy)
-    r_xz, _, _, _ = _pair_exprs(ix, iz)
-    r_yz, _, _, _ = _pair_exprs(iy, iz)
-    partial = ((r_xy - r_xz * r_yz)
-               / F.sqrt((F.lit(1.0) - r_xz * r_xz)
-                        * (F.lit(1.0) - r_yz * r_yz)))
+    r_xy = _pair_sql(ix, iy)[0]
+    r_xz = _pair_sql(ix, iz)[0]
+    r_yz = _pair_sql(iy, iz)[0]
+    partial = _divs(
+        _sub(r_xy, _mul(r_xz, r_yz)),
+        _sqrt(_mul(_sub("1.0D", _mul(r_xz, r_xz)),
+                   _sub("1.0D", _mul(r_yz, r_yz)))))
     out = s.select(
         *(by or []),
         F.col("n").cast("bigint").alias("n"),
-        F.round(r_xy, 6).alias("r_xy"),
-        F.round(r_xz, 6).alias("r_xz"),
-        F.round(r_yz, 6).alias("r_yz"),
-        F.round(partial, 6).alias("partial_r"))
+        F.expr(f"ROUND({r_xy}, 6) AS r_xy"),
+        F.expr(f"ROUND({r_xz}, 6) AS r_xz"),
+        F.expr(f"ROUND({r_yz}, 6) AS r_yz"),
+        F.expr(f"ROUND({partial}, 6) AS partial_r"))
     return SparkFrame(out)
 
 
