@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..frame import SparkFrame
-from .dedup import cosine_similarity, dot_product, vector_norm
+from .dedup import bind_once, cosine_similarity, dot_product, vector_norm
 
 
 def _plain(frame) -> DataFrame:
@@ -38,7 +38,20 @@ def _lit_vec(vec) -> Column:
         return f"CAST('{x!r}' AS DOUBLE)"
     if not vec:
         return F.array().cast("array<double>")
-    return F.expr("array(" + ",".join(_d(x) for x in vec) + ")")
+    return F.expr(_lit_vec_sql(vec))
+
+
+def _lit_vec_sql(vec) -> str:
+    """The ``_lit_vec`` literal as a SQL fragment, for callers that
+    assemble whole formulas as expression strings."""
+    def _d(x) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x in (float("inf"), float("-inf")):
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{x!r}' AS DOUBLE)"
+    return "array(" + ",".join(_d(x) for x in vec) + ")"
 
 
 def cosine_topk(frame, query_vec, k: int = 10, id_col: str = "vec_id",
@@ -100,21 +113,26 @@ def random_projection(frame, dim: int, out_dim: int,
     Output: (id_col, ``proj`` array<double>).
     """
     sdf = _plain(frame)
-    v = F.col(vec_col).cast("array<double>")
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     planes = _hyperplanes(dim, out_dim, seed)
     scale = math.sqrt(dim / float(out_dim))
-    coords = [
-        F.round(
-            F.aggregate(F.zip_with(v, _lit_vec(p), lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, x: acc + x)
-            * F.lit(scale), 9)
-        for p in planes]
-    proj = F.array(*coords)
+    scale_s = f"CAST('{scale!r}' AS DOUBLE)"
+    # all out_dim fold dot products in ONE expression round trip
+    coords = ", ".join(
+        f"ROUND((aggregate(zip_with({vsql}, {_lit_vec_sql(p)}, "
+        f"(x, y) -> (x * y)), 0.0D, (acc, x) -> (acc + x)) "
+        f"* {scale_s}), 9)"
+        for p in planes)
+    proj = F.expr(f"array({coords})")
     if renorm:
-        nrm = F.sqrt(F.aggregate(proj, F.lit(0.0),
-                                 lambda acc, x: acc + x * x))
-        proj = F.when(nrm > 0, F.transform(
-            proj, lambda x: F.round(x / nrm, 9))).otherwise(proj)
+        # bind the projection (and the norm) ONCE: referencing the
+        # raw array expression inside the per-element lambda would
+        # re-run all out_dim folds per coordinate (quadratic)
+        proj = bind_once(proj, lambda pr: bind_once(
+            F.sqrt(F.aggregate(pr, F.lit(0.0),
+                               lambda acc, x: acc + x * x)),
+            lambda nrm: F.when(nrm > 0, F.transform(
+                pr, lambda x: F.round(x / nrm, 9))).otherwise(pr)))
     out = sdf.select(id_col, proj.alias("proj"))
     return SparkFrame(out)
 
@@ -447,14 +465,16 @@ def pq_encode(frame, dim: int, m: int = 4, k: int = 4,
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cur = sdf.select(F.col(id_col), v.alias("__v__"))
     for j in range(m):
-        sub = F.slice(F.col("__v__"), j * d_sub + 1, d_sub)
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(sub, _lit_vec(books[j][c]),
-                           lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, x: a + x)
-            for c in range(k)])
-        cur = cur.withColumn(f"__d{j}__", dists)
+        # one expression string per subspace: k zip_with/aggregate
+        # folds assembled in a single py4j round trip (identical tree
+        # to the F.aggregate/F.zip_with form)
+        sub = f"slice(__v__, {j * d_sub + 1}, {d_sub})"
+        folds = ", ".join(
+            f"aggregate(zip_with({sub}, {_lit_vec_sql(books[j][c])}, "
+            f"(x, y) -> ((x - y) * (x - y))), 0.0D, "
+            f"(a, x) -> (a + x))"
+            for c in range(k))
+        cur = cur.withColumn(f"__d{j}__", F.expr(f"array({folds})"))
     codes = F.array(*[
         (F.array_position(F.col(f"__d{j}__"),
                           F.array_min(F.col(f"__d{j}__"))) - 1).cast("int")

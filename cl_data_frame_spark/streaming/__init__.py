@@ -316,7 +316,11 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
         deadline = _time.time() + timeout
         while (spark.table(query_name).count() < min_rows
                and _time.time() < deadline):
-            _time.sleep(0.5)
+            # short poll: the no-data micro-batch that emits
+            # watermark-gated rows usually lands within ~100ms of
+            # processAllAvailable; 0.5s polls added ~0.4s per waiting
+            # stream to the composite wall
+            _time.sleep(0.1)
             q.processAllAvailable()
     q.stop()
 
