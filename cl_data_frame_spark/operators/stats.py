@@ -1599,13 +1599,14 @@ def welch_t_test(frame, val_col: str, group_col: str,
         raise ValueError("cols is required when sums is provided")
     s = _plain(sums)
     i = cols.index(val_col)
-    n = F.col("n").cast("double")
-    sx = F.col(f"s_{i}").cast("double")
-    sxx = F.col(f"s_{i}_{i}").cast("double")
-    mean = sx / n
-    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    # expr-string twins (same written operation order — see _pair_sql)
+    n = _dbl("n")
+    sx, sxx = _dbl(f"s_{i}"), _dbl(f"s_{i}_{i}")
+    mean = _divs(sx, n)
+    var = _divs(_sub(_mul(n, sxx), _mul(sx, sx)),
+                _mul(n, _sub(n, "1.0D")))
     g = s.select(F.col(group_col), F.col("n").alias("__n__"),
-                 mean.alias("__m__"), var.alias("__v__"))
+                 F.expr(f"{mean} AS __m__"), F.expr(f"{var} AS __v__"))
     a = g.select(F.col(group_col).alias("g1"),
                  F.col("__n__").alias("n1"),
                  F.col("__m__").alias("m1"), F.col("__v__").alias("v1"))
@@ -1613,21 +1614,22 @@ def welch_t_test(frame, val_col: str, group_col: str,
                  F.col("__n__").alias("n2"),
                  F.col("__m__").alias("m2"), F.col("__v__").alias("v2"))
     pairs = a.join(b, on=F.col("g1") < F.col("g2"))
-    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
-    m1, m2 = F.col("m1"), F.col("m2")
-    v1, v2 = F.col("v1"), F.col("v2")
-    se2 = v1 / n1 + v2 / n2
-    t = (m1 - m2) / F.sqrt(se2)
-    df = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
-                        + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0)))
-    d = (m1 - m2) / F.sqrt((v1 + v2) / F.lit(2.0))
+    n1, n2 = _dbl("n1"), _dbl("n2")
+    se2 = _add(_divs("v1", n1), _divs("v2", n2))
+    t = _divs(_sub("m1", "m2"), _sqrt(se2))
+    df = _divs(_mul(se2, se2),
+               _add(_divs(_mul(_divs("v1", n1), _divs("v1", n1)),
+                          _sub(n1, "1.0D")),
+                    _divs(_mul(_divs("v2", n2), _divs("v2", n2)),
+                          _sub(n2, "1.0D"))))
+    d = _divs(_sub("m1", "m2"), _sqrt(_divs(_add("v1", "v2"), "2.0D")))
     out = pairs.select(
         "g1", "g2",
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
-        F.round(t, 6).alias("t_stat"),
-        F.round(df, 6).alias("welch_df"),
-        F.round(d, 6).alias("cohens_d"))
+        F.expr(f"ROUND({t}, 6) AS t_stat"),
+        F.expr(f"ROUND({df}, 6) AS welch_df"),
+        F.expr(f"ROUND({d}, 6) AS cohens_d"))
     return SparkFrame(out)
 
 
