@@ -49,12 +49,17 @@ _T_CACHE: dict = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver's session may not be UTC; DuckDB timestamps are TZ-naive,
+    # so pin the session TZ for every timestamp-touching expression.
+    # Pinned on every call (not just cache miss): session confs are read
+    # at execution, so a hit returned without re-pinning would silently
+    # inherit whatever a later query left in the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     hit = _T_CACHE.get((id(spark), sf_dir, name))
     if hit is not None:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return hit[1]
-    # the driver's session may not be UTC; DuckDB timestamps are TZ-naive,
-    # so pin the session TZ for every timestamp-touching expression
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         df = _events(spark, sf_dir)
     else:
@@ -91,11 +96,14 @@ def _raw_events_schema(spark: SparkSession, sf_dir: str):
     sources — memoized like :data:`_T_CACHE`: the legacy nanos conf must
     be pinned BEFORE the schema read, and each streaming entry re-paid
     that schema-inference job per stream otherwise."""
+    # pinned before checking the cache: the conf is consulted at scan
+    # time, so memo hits must re-pin it too (streams built from a cached
+    # schema still scan the NANOS-typed files later)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (id(spark), sf_dir, "__events_raw__")
     hit = _T_CACHE.get(key)
     if hit is not None:
         return hit[1]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     _T_CACHE[key] = (spark, schema)
     return schema
@@ -2720,40 +2728,112 @@ def q_x_cluster_assign(spark, sf_dir):
 def q_x_text_stats(spark, sf_dir):
     """Text analysis, one wide per-doc frame: quality metrics, lang-id,
     BPE-ish token estimate, fingerprints, Gopher-style repetition stats,
-    stopword filtering, unigram + bigram LM quality proxies — joined on
-    doc_id (each operator emits one row per doc, so the join is a
-    key-aligned zip)."""
-    q = q_x_text_quality(spark, sf_dir)
-    l = q_x_lang_id(spark, sf_dir)
-    t = q_x_token_counts(spark, sf_dir).select("doc_id", "n_bpe")
-    f = q_x_fingerprints(spark, sf_dir)
-    r = q_x_repetition_stats(spark, sf_dir).select(
-        "doc_id", "ttr", "top_unigram_frac", "top_bigram_frac")
-    s = q_x_stopword_filter(spark, sf_dir).select(
-        "doc_id", "n_content_tokens")
-    e = TS.token_entropy(_f(spark, sf_dir, "documents")).spark_df.select(
-        "doc_id", F.col("n_distinct_tokens").cast("bigint"),
-        F.col("entropy_bits").cast("double"),
-        F.col("top_token_mass").cast("double"))
-    u = TS.unigram_logprob_scores(
-        _t(spark, sf_dir, "documents")).spark_df.select(
-        "doc_id", F.col("n_lm_tokens").cast("bigint"),
-        F.col("mean_nll").cast("double"))
-    # left join: a single-token doc has no bigrams (NULL columns), and
-    # must not drop the doc's whole row from the wide frame
-    b2 = TS.bigram_logprob_scores(
-        _t(spark, sf_dir, "documents")).spark_df.select(
-        "doc_id", F.col("n_bigrams").cast("bigint"),
-        F.col("mean_nll2").cast("double"))
-    rd = TS.readability_scores(
-        _t(spark, sf_dir, "documents")).spark_df.select(
-        "doc_id", F.col("n_sents").cast("bigint"),
-        F.col("n_syllables").cast("bigint"),
-        F.col("flesch").cast("double"))
-    return (q.join(l, "doc_id").join(t, "doc_id").join(f, "doc_id")
-            .join(r, "doc_id").join(s, "doc_id").join(e, "doc_id")
-            .join(u, "doc_id").join(b2, "doc_id", "left")
-            .join(rd, "doc_id"))
+    stopword filtering, unigram + bigram LM quality proxies.
+
+    Round 15 (VERDICT r14 #5): the six pure per-row parts (quality,
+    lang-id, BPE estimate, fingerprints, stopword count, readability)
+    fuse into ONE projection over a single documents scan — codegen
+    subexpression elimination tokenizes each row once instead of once
+    per part — and the three unigram-aggregate parts (repetition uni
+    stats, token entropy, unigram LM scores) derive from ONE shared
+    (doc, token) count substrate. Ten doc_id joins collapse to four
+    (uni stats ⋈ inner, bigram repetition ⋈ left, LM scores ⋈ inner,
+    bigram LM ⋈ left); values and membership are identical — the old
+    inner joins restricted the frame to docs with >=1 token, which is
+    exactly the uni-substrate inner join here."""
+    import math
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        *TS.text_quality_exprs("text"),
+        *TS.lang_id_exprs("text"),
+        TS.bpe_ish_token_count("text").alias("n_bpe"),
+        TS.fingerprint("text").alias("fingerprint"),
+        F.size(TS.rolling_hash_fingerprints("text"))
+        .alias("n_sketch_hashes"),
+        F.size(TS.remove_stopwords("text")).alias("n_content_tokens"),
+        *TS.readability_exprs("text"))
+    # shared (doc, token) count substrate — feeds the repetition uni
+    # stats, token entropy, the corpus unigram LM and the per-doc LM
+    # scores: one explode+count instead of three
+    counts = (docs.select("doc_id",
+                          F.explode(TS.tokens(F.col("text")))
+                          .alias("__t__"))
+              .groupBy("doc_id", "__t__")
+              .agg(F.count(F.lit(1)).alias("__c__"))
+              .localCheckpoint(eager=False))
+    c_d = F.col("__c__").cast("double")
+    uni = (counts.groupBy("doc_id")
+           .agg(F.sum("__c__").alias("__n__"),
+                F.count(F.lit(1)).alias("n_distinct_tokens"),
+                F.max("__c__").alias("__maxc__"),
+                F.sum(c_d * F.log(c_d)).alias("__clogc__")))
+    # repetition's bigram side (left join: single-token docs have none)
+    tk = docs.select("doc_id", TS.tokens(F.col("text")).alias("__tk__"))
+    bigrams = F.when(
+        F.size("__tk__") < 2, F.array().cast("array<string>")
+    ).otherwise(F.expr(
+        "transform(sequence(1, size(__tk__) - 1),"
+        " i -> concat(element_at(__tk__, i), ' ', element_at(__tk__, i + 1)))"))
+    bi = (tk.select("doc_id", F.explode(bigrams).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id")
+          .agg(F.sum("c").alias("__nbi__"), F.max("c").alias("__topbi__")))
+    # corpus unigram LM + per-doc mean NLL off the shared counts: the
+    # LM is the re-aggregated count table; the per-doc score sums
+    # c * quantized-nll over distinct tokens — identical to the old
+    # per-instance sum (c is an exact integer weight; DECIMAL(9,0)
+    # keeps the product type at decimal(38,9), no precision loss —
+    # per-doc single-token counts beyond 1e9 would overflow, far past
+    # any real document)
+    lm = counts.groupBy("__t__").agg(F.sum("__c__").alias("__cnt__"))
+    total = lm.agg(F.sum("__cnt__").alias("__tot__"))
+    nll = -F.log(F.col("__cnt__").cast("double")
+                 / F.col("__tot__").cast("double"))
+    lm_q = (lm.crossJoin(F.broadcast(total))
+            .select("__t__",
+                    F.round(nll, 9).cast("decimal(28,9)").alias("__nll__")))
+    u = (counts.join(F.broadcast(lm_q), on="__t__")
+         .groupBy("doc_id")
+         .agg(F.sum("__c__").alias("n_lm_tokens"),
+              F.sum(F.col("__c__").cast("decimal(9,0)")
+                    * F.col("__nll__")).alias("__s__")))
+    b2 = TS.bigram_logprob_scores(docs).spark_df
+    ent = ((F.log(F.col("__n__").cast("double"))
+            - F.col("__clogc__") / F.col("__n__"))
+           / F.lit(math.log(2.0)))
+    return (wide.join(uni, "doc_id")
+            .join(bi, "doc_id", "left")
+            .join(u, "doc_id")
+            .join(b2, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_chars_actual", "n_tokens", "mean_word_len",
+                "punct_ratio", "stopword_ratio", "quality",
+                "hits_de", "hits_en", "hits_es", "hits_fr", "lang_pred",
+                "n_bpe",
+                "fingerprint", "n_sketch_hashes",
+                F.round(F.col("n_distinct_tokens").cast("double")
+                        / F.col("__n__"), 6).alias("ttr"),
+                F.round(F.col("__maxc__").cast("double")
+                        / F.col("__n__"), 6).alias("top_unigram_frac"),
+                F.round(F.col("__topbi__").cast("double")
+                        / F.col("__nbi__"), 6).alias("top_bigram_frac"),
+                "n_content_tokens",
+                F.col("n_distinct_tokens").cast("bigint")
+                .alias("n_distinct_tokens"),
+                F.round(ent, 6).alias("entropy_bits"),
+                F.round(F.col("__maxc__") / F.col("__n__"), 6)
+                .alias("top_token_mass"),
+                F.col("n_lm_tokens").cast("bigint").alias("n_lm_tokens"),
+                F.round(F.col("__s__").cast("double")
+                        / F.col("n_lm_tokens").cast("double"), 6)
+                .alias("mean_nll"),
+                F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                F.col("mean_nll2").cast("double").alias("mean_nll2"),
+                F.col("n_sents").cast("bigint").alias("n_sents"),
+                F.col("n_syllables").cast("bigint").alias("n_syllables"),
+                F.col("flesch").cast("double").alias("flesch")))
 
 
 def q_x_term_weights(spark, sf_dir):
@@ -4185,20 +4265,23 @@ def q_s_stats(spark, sf_dir):
     # of (l_quantity%3, l_partkey%3) — the kappa part then needs ZERO
     # additional scans (round 9: it previously re-aggregated lineitem,
     # up to 3x through its unshared cell branches)
+    # expression-string aggregates (one py4j round trip each instead of
+    # ~10 — this block builds serially on the critical path before the
+    # branch pool starts); parse trees equal the old Column trees
     kp_cells = [
-        F.sum(F.when(((F.col("l_quantity") % 3).cast("int") == i)
-                     & ((F.col("l_partkey") % 3).cast("int") == j), 1)
-              .otherwise(0)).cast("long").alias(f"kp_{i}_{j}")
+        F.expr(f"CAST(SUM(CASE WHEN ((CAST((l_quantity % 3) AS INT) = {i})"
+               f" AND (CAST((l_partkey % 3) AS INT) = {j})) THEN 1 ELSE 0"
+               f" END) AS BIGINT) AS kp_{i}_{j}")
         for i in range(3) for j in range(3)]
+    parr = "array(" + ",".join(f"CAST('{p!r}' AS DOUBLE)"
+                               for p in all_probs) + ")"
     mega = (li.groupBy("l_returnflag")
-            .agg(F.percentile(F.col("l_extendedprice"),
-                              F.array(*[F.lit(p) for p in all_probs]))
-                 .alias("__pall__"),
+            .agg(F.expr(f"percentile(l_extendedprice, {parr}) AS __pall__"),
                  *STAT.moment_agg_exprs(_STATS_COLS),
-                 F.sum(F.when(F.col("l_linestatus") == "F", 1)
-                       .otherwise(0)).cast("long").alias("n_F"),
-                 F.sum(F.when(F.col("l_linestatus") == "O", 1)
-                       .otherwise(0)).cast("long").alias("n_O"),
+                 F.expr("CAST(SUM(CASE WHEN (l_linestatus = 'F') THEN 1"
+                        " ELSE 0 END) AS BIGINT) AS n_F"),
+                 F.expr("CAST(SUM(CASE WHEN (l_linestatus = 'O') THEN 1"
+                        " ELSE 0 END) AS BIGINT) AS n_O"),
                  *kp_cells)
             .withColumn("__p__", F.slice("__pall__", 1, len(probs)))
             .withColumn("__pw__", F.slice("__pall__", len(probs) + 1, 2))

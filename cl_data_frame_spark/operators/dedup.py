@@ -367,11 +367,20 @@ def ngram_order_profile(frame, id_col: str = "doc_id",
     ccols = list(carry_cols or [])
     base = ensure_min_partitions(_plain(frame).select(id_col, *ccols,
                                                       text_col))
+    # Tokenize ONCE into a lazily-materialized intermediate: the df
+    # aggregation and the df-attach join are separate plan branches, so
+    # without the checkpoint each re-ran the scan+tokenize — and worse,
+    # the explode's inferred non-empty filter was pushed below the
+    # projection with the alias re-substituted, tokenizing every row a
+    # second time inside the Filter node of EACH branch (4 tokenize
+    # passes total). With the checkpoint the filter tests the
+    # materialized array and both branches read block-manager-local
+    # rows.
     ng = base.select(
         id_col, *ccols,
         F.array_distinct(F.transform(word_ngrams(text_col, n),
                                      lambda g: F.xxhash64(g)))
-        .alias("__ng__"))
+        .alias("__ng__")).localCheckpoint(eager=False)
     tok = ng.select(id_col, *ccols, F.explode("__ng__").alias("__t__"))
     dfreq = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__df__"))
     # rarest-first order: sort per-doc tokens by (df, hash)

@@ -29,13 +29,6 @@ def _lit_vec(vec) -> Column:
     routing expression. The string form parses to the identical
     Literal array; CAST('<repr>' AS DOUBLE) is correctly rounded, so
     the values are bit-identical to F.lit(float(x))."""
-    def _d(x) -> str:
-        x = float(x)
-        if x != x:
-            return "CAST('NaN' AS DOUBLE)"
-        if x in (float("inf"), float("-inf")):
-            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
-        return f"CAST('{x!r}' AS DOUBLE)"
     if not vec:
         return F.array().cast("array<double>")
     return F.expr(_lit_vec_sql(vec))

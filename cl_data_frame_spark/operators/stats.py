@@ -168,13 +168,22 @@ def moment_agg_exprs(cols: list[str]) -> list[Column]:
     """The aggregate expressions behind ``moment_sums`` — exposed so a
     caller can FUSE the moment pass into a wider single aggregation
     (e.g. one groupBy computing percentiles + moments + crosstab counts
-    in one scan) and still feed every ``*_from_sums`` derivation."""
-    dec = {c: _dec(c, 2) for c in cols}
-    aggs = [F.count(F.lit(1)).alias("n")]
+    in one scan) and still feed every ``*_from_sums`` derivation.
+
+    Built as expression strings (one py4j round trip per aggregate
+    instead of ~6 — k=8 columns means 45 aggregates on the composite
+    builders' critical path); the parsed trees equal the Column trees
+    (same casts, same written order), so results are bit-identical."""
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    dec = {c: f"CAST({q(c)} AS DECIMAL(38,2))" for c in cols}
+    aggs = [F.expr("COUNT(1) AS n")]
     for i, ci in enumerate(cols):
-        aggs.append(F.sum(dec[ci]).alias(f"s_{i}"))
+        aggs.append(F.expr(f"SUM({dec[ci]}) AS s_{i}"))
         for j in range(i, len(cols)):
-            aggs.append(F.sum(dec[ci] * dec[cols[j]]).alias(f"s_{i}_{j}"))
+            aggs.append(F.expr(
+                f"SUM(({dec[ci]} * {dec[cols[j]]})) AS s_{i}_{j}"))
     return aggs
 
 
@@ -271,8 +280,12 @@ def corr_matrix(frame, cols: list[str], by: list[str] | None = None,
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             corr, cov, _, _ = _pair_sql(i, j)
+            # column names land in SQL string literals: escape embedded
+            # quotes so exotic names can't misparse (ADVICE r14)
+            cx = cols[i].replace("\\", "\\\\").replace("'", "\\'")
+            cy = cols[j].replace("\\", "\\\\").replace("'", "\\'")
             pairs.append(
-                f"struct('{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"struct('{cx}' AS col_x, '{cy}' AS col_y, "
                 f"ROUND({corr}, 6) AS corr, "
                 f"ROUND({cov}, 6) AS cov_samp)")
     out = (s.select(*(by or []), F.col("n"),
@@ -307,22 +320,23 @@ def grouped_regression(frame, x_col: str, y_col: str,
         sums = moment_sums(frame, cols, by)
     s = _plain(sums)
     ix, iy = cols.index(x_col), cols.index(y_col)
-    n = F.col("n").cast("double")
-    sx, sy = F.col(f"s_{ix}").cast("double"), F.col(f"s_{iy}").cast("double")
-    sxx = F.col(f"s_{ix}_{ix}").cast("double")
-    syy = F.col(f"s_{iy}_{iy}").cast("double")
-    sxy = F.col(f"s_{min(ix, iy)}_{max(ix, iy)}").cast("double")
-    var_x = n * sxx - sx * sx
-    var_y = n * syy - sy * sy
-    cov_n = n * sxy - sx * sy
-    slope = cov_n / var_x
-    intercept = (sy - cov_n / var_x * sx) / n
-    r2 = (cov_n * cov_n) / (var_x * var_y)
+    # expr-string twins (same written operation order — see _pair_sql)
+    n = _dbl("n")
+    sx, sy = _dbl(f"s_{ix}"), _dbl(f"s_{iy}")
+    sxx = _dbl(f"s_{ix}_{ix}")
+    syy = _dbl(f"s_{iy}_{iy}")
+    sxy = _dbl(f"s_{min(ix, iy)}_{max(ix, iy)}")
+    var_x = _sub(_mul(n, sxx), _mul(sx, sx))
+    var_y = _sub(_mul(n, syy), _mul(sy, sy))
+    cov_n = _sub(_mul(n, sxy), _mul(sx, sy))
+    slope = _divs(cov_n, var_x)
+    intercept = _divs(_sub(sy, _mul(_divs(cov_n, var_x), sx)), n)
+    r2 = _divs(_mul(cov_n, cov_n), _mul(var_x, var_y))
     out = s.select(
         *(by or []), F.col("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
-        F.round(r2, 6).alias("r2"))
+        F.expr(f"ROUND({slope}, 6) AS slope"),
+        F.expr(f"ROUND({intercept}, 6) AS intercept"),
+        F.expr(f"ROUND({r2}, 6) AS r2"))
     return SparkFrame(out)
 
 
@@ -352,19 +366,23 @@ def chisq_cells(frame=None, row_col: str = None, col_col: str = None,
             F.count(F.lit(1)).alias("n_obs"))
     else:
         cells = _plain(cells)
-    row_tot = F.sum("n_obs").over(Window.partitionBy(row_col))
-    col_tot = F.sum("n_obs").over(Window.partitionBy(col_col))
-    tot = F.sum("n_obs").over(Window.partitionBy())
-    e = row_tot.cast("double") * col_tot.cast("double") / tot.cast("double")
-    o = F.col("n_obs").cast("double")
+    # expr-string twins (same written operation order — see _pair_sql);
+    # row/col names are user-supplied, so quote them as identifiers
+    qr = "`" + row_col.replace("`", "``") + "`"
+    qc = "`" + col_col.replace("`", "``") + "`"
+    rt = f"CAST(SUM(n_obs) OVER (PARTITION BY {qr}) AS DOUBLE)"
+    ct = f"CAST(SUM(n_obs) OVER (PARTITION BY {qc}) AS DOUBLE)"
+    tot = "CAST(SUM(n_obs) OVER () AS DOUBLE)"
+    e = _divs(_mul(rt, ct), tot)
+    o = _dbl("n_obs")
     out = (cells
-           .withColumn("expected", e)
-           .withColumn("chi2_term",
-                       (o - F.col("expected")) * (o - F.col("expected"))
-                       / F.col("expected"))
+           .withColumn("expected", F.expr(e))
+           .withColumn("chi2_term", F.expr(_divs(
+               _mul(_sub(o, "expected"), _sub(o, "expected")),
+               "expected")))
            .select(row_col, col_col, "n_obs",
-                   F.round("expected", 6).alias("expected"),
-                   F.round("chi2_term", 6).alias("chi2_term")))
+                   F.expr("ROUND(expected, 6) AS expected"),
+                   F.expr("ROUND(chi2_term, 6) AS chi2_term")))
     return SparkFrame(out)
 
 
@@ -402,30 +420,34 @@ def cramers_v(frame=None, row_col: str = None, col_col: str = None,
             F.count(F.lit(1)).alias("n_obs"))
     else:
         cells = _plain(cells)
-    row_tot = F.sum("n_obs").over(Window.partitionBy(row_col))
-    col_tot = F.sum("n_obs").over(Window.partitionBy(col_col))
-    o = F.col("n_obs").cast("double")
-    ratio = o * o / (row_tot.cast("double") * col_tot.cast("double"))
+    # expr-string twins (same written operation order — see _pair_sql);
+    # row/col names are user-supplied, so quote them as identifiers
+    qr = "`" + row_col.replace("`", "``") + "`"
+    qc = "`" + col_col.replace("`", "``") + "`"
+    rt = f"CAST(SUM(n_obs) OVER (PARTITION BY {qr}) AS DOUBLE)"
+    ct = f"CAST(SUM(n_obs) OVER (PARTITION BY {qc}) AS DOUBLE)"
+    o = _dbl("n_obs")
+    ratio = _divs(_mul(o, o), _mul(rt, ct))
     terms = cells.select(
         row_col, col_col, "n_obs",
-        F.round(ratio, 12).cast("decimal(38,12)").alias("__q__"))
+        F.expr(f"CAST(ROUND({ratio}, 12) AS DECIMAL(38,12)) AS __q__"))
     agg = terms.agg(
-        F.sum("n_obs").alias("n"),
-        F.count_distinct(F.col(row_col)).alias("r"),
-        F.count_distinct(F.col(col_col)).alias("c"),
-        F.sum("__q__").alias("Q"))
-    n_d = F.col("n").cast("double")
-    chi2 = n_d * (F.col("Q").cast("double") - F.lit(1.0))
-    denom = n_d * (F.least("r", "c").cast("double") - F.lit(1.0))
+        F.expr("SUM(n_obs) AS n"),
+        F.expr(f"COUNT(DISTINCT {qr}) AS r"),
+        F.expr(f"COUNT(DISTINCT {qc}) AS c"),
+        F.expr("SUM(__q__) AS Q"))
+    n_d = _dbl("n")
+    chi2 = _mul(n_d, _sub(_dbl("Q"), "1.0D"))
+    denom = _mul(n_d, _sub("CAST(LEAST(r, c) AS DOUBLE)", "1.0D"))
     out = agg.select(
-        F.col("n").cast("bigint").alias("n"),
-        F.col("r").cast("bigint").alias("r"),
-        F.col("c").cast("bigint").alias("c"),
-        F.round(chi2, 6).alias("chi2"),
+        F.expr("CAST(n AS BIGINT) AS n"),
+        F.expr("CAST(r AS BIGINT) AS r"),
+        F.expr("CAST(c AS BIGINT) AS c"),
+        F.expr(f"ROUND({chi2}, 6) AS chi2"),
         # guard tiny negatives from the 12-decimal quantization when
         # the table is exactly independent (chi2 == 0)
-        F.round(F.sqrt(F.greatest(chi2, F.lit(0.0)) / denom), 6)
-        .alias("cramers_v"))
+        F.expr(f"ROUND(SQRT({_divs(f'GREATEST({chi2}, 0.0D)', denom)})"
+               ", 6) AS cramers_v"))
     return SparkFrame(out)
 
 
@@ -466,28 +488,31 @@ def cohens_kappa(frame=None, rater_a: str = None, rater_b: str = None,
         cells = (sdf.groupBy(F.col(rater_a).alias("__a__"),
                              F.col(rater_b).alias("__b__"))
                  .agg(F.count(F.lit(1)).alias("__c__")))
-    ra = (cells.groupBy("__a__").agg(F.sum("__c__").alias("__ra__"))
+    # expr-string twins (same written operation order — see _pair_sql)
+    ra = (cells.groupBy("__a__").agg(F.expr("SUM(__c__) AS __ra__"))
           .select(F.col("__a__").alias("__k__"), "__ra__"))
-    rb = (cells.groupBy("__b__").agg(F.sum("__c__").alias("__rb__"))
+    rb = (cells.groupBy("__b__").agg(F.expr("SUM(__c__) AS __rb__"))
           .select(F.col("__b__").alias("__k__"), "__rb__"))
     pe = (ra.join(rb, on="__k__")
-          .agg(F.sum((F.col("__ra__").cast("decimal(19,0)")
-                      * F.col("__rb__").cast("decimal(19,0)"))
-                     .cast("decimal(38,0)")).alias("__rc__")))
+          .agg(F.expr(
+              "SUM(CAST((CAST(__ra__ AS DECIMAL(19,0)) * "
+              "CAST(__rb__ AS DECIMAL(19,0))) AS DECIMAL(38,0))) "
+              "AS __rc__")))
     agg = cells.agg(
-        F.sum("__c__").alias("n"),
-        F.sum(F.when(F.col("__a__") == F.col("__b__"), F.col("__c__"))
-              .otherwise(F.lit(0))).alias("diag"))
+        F.expr("SUM(__c__) AS n"),
+        F.expr("SUM(CASE WHEN (__a__ = __b__) THEN __c__ ELSE 0 END) "
+               "AS diag"))
     j = agg.crossJoin(F.broadcast(pe))
-    n = F.col("n").cast("double")
-    po = F.col("diag").cast("double") / n
-    pexp = F.col("__rc__").cast("double") / (n * n)
-    kappa = (po - pexp) / (F.lit(1.0) - pexp)
+    n = _dbl("n")
+    po = _divs(_dbl("diag"), n)
+    pexp = _divs(_dbl("__rc__"), _mul(n, n))
+    kappa = _divs(_sub(po, pexp), _sub("1.0D", pexp))
     out = j.select(
-        F.col("n").cast("bigint").alias("n"),
-        F.round(po, 6).alias("p_obs"),
-        F.round(pexp, 6).alias("p_exp"),
-        F.round(F.when(pexp < 1.0, kappa), 6).alias("kappa"))
+        F.expr("CAST(n AS BIGINT) AS n"),
+        F.expr(f"ROUND({po}, 6) AS p_obs"),
+        F.expr(f"ROUND({pexp}, 6) AS p_exp"),
+        F.expr(f"ROUND(CASE WHEN ({pexp} < 1.0D) THEN {kappa} END, 6) "
+               "AS kappa"))
     return SparkFrame(out)
 
 
@@ -728,26 +753,28 @@ def global_avg_ranks(frame, col: str, npart: int | None = None) -> SparkFrame:
     spark = sdf.sparkSession
     npart = npart or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    vals = sdf.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    # expr-string twins (same written operation order — see _pair_sql);
+    # *col* is user-supplied, so quote it as an identifier
+    qcol = "`" + col.replace("`", "``") + "`"
+    vals = sdf.groupBy(col).agg(F.expr("COUNT(1) AS cnt"))
     parted = (vals.repartitionByRange(npart, F.col(col))
               .sortWithinPartitions(F.col(col).asc())
-              .withColumn("__pid__", F.spark_partition_id()))
-    w_in = (Window.partitionBy("__pid__").orderBy(F.col(col).asc())
-            .rowsBetween(Window.unboundedPreceding, -1))
-    less_in = F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-    pid_tot = parted.groupBy("__pid__").agg(F.sum("cnt").alias("__n__"))
-    w_carry = (Window.orderBy(F.col("__pid__").asc())
-               .rowsBetween(Window.unboundedPreceding, -1))
+              .withColumn("__pid__", F.expr("spark_partition_id()")))
+    less_in = (f"COALESCE(SUM(cnt) OVER (PARTITION BY __pid__ ORDER BY "
+               f"{qcol} ASC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+               f"1 PRECEDING), 0)")
+    pid_tot = parted.groupBy("__pid__").agg(F.expr("SUM(cnt) AS __n__"))
     carry = pid_tot.select(
         "__pid__",
-        F.coalesce(F.sum("__n__").over(w_carry), F.lit(0))
-        .alias("__off__"))
-    out = (parted.withColumn("__less__", less_in)
+        F.expr("COALESCE(SUM(__n__) OVER (ORDER BY __pid__ ASC ROWS "
+               "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+               "AS __off__"))
+    out = (parted.withColumn("__less__", F.expr(less_in))
            .join(F.broadcast(carry), on="__pid__")
            .select(col, "cnt",
-                   ((F.col("__less__") + F.col("__off__")).cast("double")
-                    + (F.col("cnt").cast("double") + 1.0) / 2.0)
-                   .alias("avg_rank")))
+                   F.expr("(CAST((__less__ + __off__) AS DOUBLE) + "
+                          "((CAST(cnt AS DOUBLE) + 1.0D) / 2.0D)) "
+                          "AS avg_rank")))
     return SparkFrame(out)
 
 
@@ -771,21 +798,23 @@ def spearman_corr(frame, x_col: str, y_col: str) -> SparkFrame:
     ry = _plain(global_avg_ranks(sdf, y_col)).select(
         y_col, F.col("avg_rank").alias("__ry__"))
     ranked = sdf.join(rx, on=x_col).join(ry, on=y_col)
-    dx = F.col("__rx__").cast("decimal(38,1)")
-    dy = F.col("__ry__").cast("decimal(38,1)")
+    # expr-string twins (same written operation order — see _pair_sql)
+    dx = "CAST(__rx__ AS DECIMAL(38,1))"
+    dy = "CAST(__ry__ AS DECIMAL(38,1))"
     agg = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
-        F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy"),
-        F.sum(dx * dy).alias("sxy"))
-    n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    rho = ((n * sxy - sx * sy)
-           / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
-    return SparkFrame(agg.select(F.col("n").cast("bigint").alias("n"),
-                                 F.round(rho, 6).alias("rho")))
+        F.expr("COUNT(1) AS n"),
+        F.expr(f"SUM({dx}) AS sx"), F.expr(f"SUM({dy}) AS sy"),
+        F.expr(f"SUM(({dx} * {dx})) AS sxx"),
+        F.expr(f"SUM(({dy} * {dy})) AS syy"),
+        F.expr(f"SUM(({dx} * {dy})) AS sxy"))
+    n = _dbl("n")
+    sx, sy, sxy = _dbl("sx"), _dbl("sy"), _dbl("sxy")
+    sxx, syy = _dbl("sxx"), _dbl("syy")
+    rho = _divs(_sub(_mul(n, sxy), _mul(sx, sy)),
+                _sqrt(_mul(_sub(_mul(n, sxx), _mul(sx, sx)),
+                           _sub(_mul(n, syy), _mul(sy, sy)))))
+    return SparkFrame(agg.select(F.expr("CAST(n AS BIGINT) AS n"),
+                                 F.expr(f"ROUND({rho}, 6) AS rho")))
 
 
 def anova_oneway(frame, val_col: str, group_col: str,
@@ -817,30 +846,28 @@ def anova_oneway(frame, val_col: str, group_col: str,
         raise ValueError("cols is required when sums is provided")
     s = _plain(sums)
     i = cols.index(val_col)
-    n_g = F.col("n").cast("double")
-    sx = F.col(f"s_{i}").cast("double")
-    sxx = F.col(f"s_{i}_{i}")
-    term = F.round(sx * sx / n_g, 12).cast("decimal(38,12)")
+    # expr-string twins (same written operation order — see _pair_sql)
+    n_g, sx = _dbl("n"), _dbl(f"s_{i}")
+    term = (f"CAST(ROUND({_divs(_mul(sx, sx), n_g)}, 12) "
+            f"AS DECIMAL(38,12))")
     agg = s.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("n").alias("N"),
-        F.sum(F.col(f"s_{i}")).alias("S"),
-        F.sum(sxx).alias("Q"),
-        F.sum(term).alias("T"))
-    k = F.col("k").cast("double")
-    N = F.col("N").cast("double")
-    S = F.col("S").cast("double")
-    Q = F.col("Q").cast("double")
-    T = F.col("T").cast("double")
-    ssb = T - S * S / N
-    ssw = Q - T
-    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (N - k))
-    eta = ssb / (ssb + ssw)
+        F.expr("COUNT(1) AS k"),
+        F.expr("SUM(n) AS N"),
+        F.expr(f"SUM(s_{i}) AS S"),
+        F.expr(f"SUM(s_{i}_{i}) AS Q"),
+        F.expr(f"SUM({term}) AS T"))
+    k, N = _dbl("k"), _dbl("N")
+    S, Q, T = _dbl("S"), _dbl("Q"), _dbl("T")
+    ssb = _sub(T, _divs(_mul(S, S), N))
+    ssw = _sub(Q, T)
+    f_stat = _divs(_divs(ssb, _sub(k, "1.0D")),
+                   _divs(ssw, _sub(N, k)))
+    eta = _divs(ssb, _add(ssb, ssw))
     out = agg.select(
-        F.col("k").cast("bigint").alias("k"),
-        F.col("N").cast("bigint").alias("n"),
-        F.round(f_stat, 6).alias("f_stat"),
-        F.round(eta, 6).alias("eta_sq"))
+        F.expr("CAST(k AS BIGINT) AS k"),
+        F.expr("CAST(N AS BIGINT) AS n"),
+        F.expr(f"ROUND({f_stat}, 6) AS f_stat"),
+        F.expr(f"ROUND({eta}, 6) AS eta_sq"))
     return SparkFrame(out)
 
 
@@ -885,14 +912,14 @@ def mann_whitney_u(frame, val_col: str, group_col: str,
     b = vc.select(F.col(group_col).alias("g2"),
                   F.col("__v__").alias("v2"), F.col("__c__").alias("c2"))
     pairs = a.join(b, on=F.col("g1") < F.col("g2"))
-    c1 = F.col("c1").cast("double")
-    c2 = F.col("c2").cast("double")
-    u_term = F.when(F.col("v2") < F.col("v1"), c1 * c2).otherwise(
-        F.when(F.col("v2") == F.col("v1"), c1 * c2 / F.lit(2.0))
-        .otherwise(F.lit(0.0)))
+    # expr-string twins (same written operation order — see _pair_sql)
+    c1, c2 = _dbl("c1"), _dbl("c2")
+    u_term = (f"CASE WHEN (v2 < v1) THEN {_mul(c1, c2)} ELSE "
+              f"CASE WHEN (v2 = v1) THEN {_divs(_mul(c1, c2), '2.0D')} "
+              f"ELSE 0.0D END END")
     per_pair = (pairs.groupBy("g1", "g2")
-                .agg(F.sum(F.round(u_term, 12).cast("decimal(38,12)"))
-                     .alias("__u__")))
+                .agg(F.expr(f"SUM(CAST(ROUND({u_term}, 12) AS "
+                            "DECIMAL(38,12))) AS __u__")))
     ns = vc.groupBy(group_col).agg(F.sum("__c__").alias("__n__"))
     both_g = (ns.select(F.col(group_col).alias("g1"),
                         F.col("__n__").alias("n1"))
@@ -907,33 +934,31 @@ def mann_whitney_u(frame, val_col: str, group_col: str,
           .unionByName(both_g.select("g1", "g2")
                        .join(gv, on=F.col("g2") == F.col("__g__")))
           .groupBy("g1", "g2", "__v__")
-          .agg(F.sum("__c__").cast("double").alias("__t__")))
-    t = F.col("__t__")
+          .agg(F.expr("CAST(SUM(__c__) AS DOUBLE) AS __t__")))
     # per-value t³−t is deterministic double arithmetic; quantize to
     # decimal before the cross-value sum (order-independent, the repo's
     # determinism recipe)
     ties = (pv.groupBy("g1", "g2")
-            .agg(F.sum(F.round(t * t * t - t, 6).cast("decimal(38,6)"))
-                 .alias("__ts__")))
+            .agg(F.expr("SUM(CAST(ROUND((((__t__ * __t__) * __t__) - "
+                        "__t__), 6) AS DECIMAL(38,6))) AS __ts__")))
     out = (per_pair.join(ties, on=["g1", "g2"])
            .join(both_g, on=["g1", "g2"])
            .select("g1", "g2", "n1", "n2",
-                   F.col("__u__").cast("double").alias("u1"),
-                   F.col("__ts__").cast("double").alias("__ts__")))
-    n1 = F.col("n1").cast("double")
-    n2 = F.col("n2").cast("double")
-    nn = n1 + n2
-    mu = n1 * n2 / F.lit(2.0)
-    var = (n1 * n2 / F.lit(12.0)
-           * ((nn + F.lit(1.0))
-              - F.col("__ts__") / (nn * (nn - F.lit(1.0)))))
-    z = (F.col("u1") - mu) / F.sqrt(var)
+                   F.expr("CAST(__u__ AS DOUBLE) AS u1"),
+                   F.expr("CAST(__ts__ AS DOUBLE) AS __ts__")))
+    n1, n2 = _dbl("n1"), _dbl("n2")
+    nn = _add(n1, n2)
+    mu = _divs(_mul(n1, n2), "2.0D")
+    var = _mul(_divs(_mul(n1, n2), "12.0D"),
+               _sub(_add(nn, "1.0D"),
+                    _divs("__ts__", _mul(nn, _sub(nn, "1.0D")))))
+    z = _divs(_sub("u1", mu), _sqrt(var))
     out = out.select(
         "g1", "g2",
-        F.col("n1").cast("bigint").alias("n1"),
-        F.col("n2").cast("bigint").alias("n2"),
-        F.round("u1", 6).alias("u1"),
-        F.round(z, 6).alias("z"))
+        F.expr("CAST(n1 AS BIGINT) AS n1"),
+        F.expr("CAST(n2 AS BIGINT) AS n2"),
+        F.expr("ROUND(u1, 6) AS u1"),
+        F.expr(f"ROUND({z}, 6) AS z"))
     return SparkFrame(out)
 
 
@@ -1096,38 +1121,40 @@ def population_stability_index(frame_ref, frame_cur, col: str,
     # binning passes — no driver round-trip (at a 1000-executor scale
     # an eager .first() here both serializes the pipeline on the
     # driver and re-runs the percentile when the plan is retried)
-    cuts = ref.agg(F.percentile(
-        F.col(col).cast("double"),
-        F.array(*[F.lit(p) for p in probs])).alias("__cuts__"))
+    # expr-string twins (same written operation order — see _pair_sql);
+    # *col* is user-supplied, so quote it as an identifier
+    qcol = "`" + col.replace("`", "``") + "`"
+    parr = "array(" + ",".join(f"CAST('{p!r}' AS DOUBLE)"
+                               for p in probs) + ")"
+    cuts = ref.agg(F.expr(
+        f"percentile(CAST({qcol} AS DOUBLE), {parr}) AS __cuts__"))
 
     def binned(sdf):
-        idx = F.size(F.filter(
-            F.col("__cuts__"),
-            lambda b: b <= F.col(col).cast("double")))
+        idx = (f"size(filter(__cuts__, "
+               f"b -> (b <= CAST({qcol} AS DOUBLE))))")
         return (sdf.crossJoin(F.broadcast(cuts))
-                .select(idx.alias("bin"))
-                .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+                .select(F.expr(f"{idx} AS bin"))
+                .groupBy("bin").agg(F.expr("COUNT(1) AS n")))
 
     a = binned(ref).select("bin", F.col("n").alias("n_ref"))
     b = binned(cur).select("bin", F.col("n").alias("n_cur"))
     j = (a.join(b, on="bin", how="full").na.fill(0, ["n_ref", "n_cur"])
          .crossJoin(F.broadcast(cuts)))
-    tot_r = F.sum("n_ref").over(Window.partitionBy())
-    tot_c = F.sum("n_cur").over(Window.partitionBy())
-    p_r = F.greatest(F.col("n_ref") / tot_r, F.lit(min_frac))
-    p_c = F.greatest(F.col("n_cur") / tot_c, F.lit(min_frac))
+    mf = f"CAST('{min_frac!r}' AS DOUBLE)"
+    p_r = f"GREATEST((n_ref / SUM(n_ref) OVER ()), {mf})"
+    p_c = f"GREATEST((n_cur / SUM(n_cur) OVER ()), {mf})"
     # bin 0's lower edge is -inf; bin i>0 starts at cut i
-    lo = F.when(F.col("bin") == 0,
-                F.lit(float("-inf"))).otherwise(
-        F.element_at(F.col("__cuts__"), F.col("bin").cast("int")))
+    lo = ("CASE WHEN (bin = 0) THEN CAST('-Infinity' AS DOUBLE) "
+          "ELSE element_at(__cuts__, CAST(bin AS INT)) END")
     out = (j.select(
-        F.col("bin").cast("int").alias("bin"),
-        F.round(lo, 6).alias("lo"),
-        F.col("n_ref").cast("bigint").alias("n_ref"),
-        F.col("n_cur").cast("bigint").alias("n_cur"),
-        F.round(p_r, 6).alias("p_ref"),
-        F.round(p_c, 6).alias("p_cur"),
-        F.round((p_c - p_r) * F.log(p_c / p_r), 6).alias("psi_term")))
+        F.expr("CAST(bin AS INT) AS bin"),
+        F.expr(f"ROUND({lo}, 6) AS lo"),
+        F.expr("CAST(n_ref AS BIGINT) AS n_ref"),
+        F.expr("CAST(n_cur AS BIGINT) AS n_cur"),
+        F.expr(f"ROUND({p_r}, 6) AS p_ref"),
+        F.expr(f"ROUND({p_c}, 6) AS p_cur"),
+        F.expr(f"ROUND((({p_c} - {p_r}) * LN(({p_c} / {p_r}))), 6) "
+               "AS psi_term")))
     return SparkFrame(out)
 
 
@@ -1242,41 +1269,42 @@ def kendall_tau_b(frame, x_col: str, y_col: str,
     cells = (sdf.groupBy(F.col(x_col).alias("__x__"),
                          F.col(y_col).alias("__y__"))
              .agg(F.count(F.lit(1)).alias("__c__")))
+    # expr-string twins (same written operation order — see _pair_sql)
     a = cells.select(F.col("__x__").alias("xi"),
                      F.col("__y__").alias("yi"),
-                     F.col("__c__").cast("decimal(19,0)").alias("ni"))
+                     F.expr("CAST(__c__ AS DECIMAL(19,0)) AS ni"))
     b = cells.select(F.col("__x__").alias("xj"),
                      F.col("__y__").alias("yj"),
-                     F.col("__c__").cast("decimal(19,0)").alias("nj"))
-    prod = (F.col("ni") * F.col("nj")).cast("decimal(38,0)")
+                     F.expr("CAST(__c__ AS DECIMAL(19,0)) AS nj"))
+    prod = "CAST((ni * nj) AS DECIMAL(38,0))"
+    zero = "CAST(0 AS DECIMAL(38,0))"
     pairs = a.join(b, on=F.col("xj") > F.col("xi"))
     cd = pairs.agg(
-        F.sum(F.when(F.col("yj") > F.col("yi"), prod)
-              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("C"),
-        F.sum(F.when(F.col("yj") < F.col("yi"), prod)
-              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("D"))
+        F.expr(f"SUM(CASE WHEN (yj > yi) THEN {prod} ELSE {zero} END) "
+               "AS C"),
+        F.expr(f"SUM(CASE WHEN (yj < yi) THEN {prod} ELSE {zero} END) "
+               "AS D"))
 
     def tie_pairs(col, name):
         m = (cells.groupBy(col)
-             .agg(F.sum("__c__").cast("decimal(19,0)").alias("t")))
-        return m.agg(F.sum(
-            (F.col("t") * (F.col("t") - F.lit(1)) / F.lit(2))
-            .cast("decimal(38,0)")).alias(name))
+             .agg(F.expr("CAST(SUM(__c__) AS DECIMAL(19,0)) AS t")))
+        return m.agg(F.expr(
+            f"SUM(CAST(((t * (t - 1)) / 2) AS DECIMAL(38,0))) "
+            f"AS {name}"))
 
-    tot = cells.agg(F.sum("__c__").cast("decimal(19,0)").alias("n"))
-    n0 = (F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)) \
-        .cast("decimal(38,0)")
+    tot = cells.agg(F.expr("CAST(SUM(__c__) AS DECIMAL(19,0)) AS n"))
+    n0 = "CAST(((n * (n - 1)) / 2) AS DECIMAL(38,0))"
     joined = (cd.crossJoin(F.broadcast(tot))
               .crossJoin(F.broadcast(tie_pairs("__x__", "n1")))
               .crossJoin(F.broadcast(tie_pairs("__y__", "n2"))))
-    C, D = F.col("C").cast("double"), F.col("D").cast("double")
-    tau = (C - D) / F.sqrt((n0 - F.col("n1")).cast("double")
-                           * (n0 - F.col("n2")).cast("double"))
+    tau = _divs(_sub(_dbl("C"), _dbl("D")),
+                _sqrt(_mul(f"CAST(({n0} - n1) AS DOUBLE)",
+                           f"CAST(({n0} - n2) AS DOUBLE)")))
     out = joined.select(
-        F.col("n").cast("bigint").alias("n"),
-        F.col("C").cast("double").alias("concordant"),
-        F.col("D").cast("double").alias("discordant"),
-        F.round(tau, 6).alias("tau_b"))
+        F.expr("CAST(n AS BIGINT) AS n"),
+        F.expr("CAST(C AS DOUBLE) AS concordant"),
+        F.expr("CAST(D AS DOUBLE) AS discordant"),
+        F.expr(f"ROUND({tau}, 6) AS tau_b"))
     return SparkFrame(out)
 
 
@@ -1492,30 +1520,34 @@ def grouped_regression2(frame, x1_col: str, x2_col: str, y_col: str,
     i1, i2, iy = (cols.index(x1_col), cols.index(x2_col),
                   cols.index(y_col))
 
+    # expr-string twins (same written operation order — see _pair_sql)
     def m(a, b):
-        return F.col(f"s_{min(a, b)}_{max(a, b)}").cast("double")
+        return _dbl(f"s_{min(a, b)}_{max(a, b)}")
 
-    n = F.col("n").cast("double")
-    s1, s2 = F.col(f"s_{i1}").cast("double"), F.col(f"s_{i2}").cast("double")
-    sy = F.col(f"s_{iy}").cast("double")
-    s11 = n * m(i1, i1) - s1 * s1
-    s22 = n * m(i2, i2) - s2 * s2
-    s12 = n * m(i1, i2) - s1 * s2
-    s1y = n * m(i1, iy) - s1 * sy
-    s2y = n * m(i2, iy) - s2 * sy
-    syy = n * m(iy, iy) - sy * sy
-    det = s11 * s22 - s12 * s12
-    b1 = (s1y * s22 - s2y * s12) / det
-    b2 = (s2y * s11 - s1y * s12) / det
-    b0 = (sy - b1 * s1 - b2 * s2) / n
-    r2 = (b1 * s1y + b2 * s2y) / syy
-    guard = det != F.lit(0.0)
+    n = _dbl("n")
+    s1, s2 = _dbl(f"s_{i1}"), _dbl(f"s_{i2}")
+    sy = _dbl(f"s_{iy}")
+    s11 = _sub(_mul(n, m(i1, i1)), _mul(s1, s1))
+    s22 = _sub(_mul(n, m(i2, i2)), _mul(s2, s2))
+    s12 = _sub(_mul(n, m(i1, i2)), _mul(s1, s2))
+    s1y = _sub(_mul(n, m(i1, iy)), _mul(s1, sy))
+    s2y = _sub(_mul(n, m(i2, iy)), _mul(s2, sy))
+    syy = _sub(_mul(n, m(iy, iy)), _mul(sy, sy))
+    det = _sub(_mul(s11, s22), _mul(s12, s12))
+    b1 = _divs(_sub(_mul(s1y, s22), _mul(s2y, s12)), det)
+    b2 = _divs(_sub(_mul(s2y, s11), _mul(s1y, s12)), det)
+    b0 = _divs(_sub(_sub(sy, _mul(b1, s1)), _mul(b2, s2)), n)
+    r2 = _divs(_add(_mul(b1, s1y), _mul(b2, s2y)), syy)
+
+    def guarded(v, name):
+        return F.expr(
+            f"ROUND(CASE WHEN (NOT ({det} = 0.0D)) THEN {v} END, 6) "
+            f"AS {name}")
+
     out = s.select(
         *(by or []), F.col("n"),
-        F.round(F.when(guard, b0), 6).alias("b0"),
-        F.round(F.when(guard, b1), 6).alias("b1"),
-        F.round(F.when(guard, b2), 6).alias("b2"),
-        F.round(F.when(guard, r2), 6).alias("r2"))
+        guarded(b0, "b0"), guarded(b1, "b1"),
+        guarded(b2, "b2"), guarded(r2, "r2"))
     return SparkFrame(out)
 
 
@@ -1667,9 +1699,8 @@ def theil_sen(frame, x_col: str, y_col: str,
                      F.col("__c__").alias("cj"))
     pairs = a.join(b, on=F.col("xj") > F.col("xi"))
     slopes = pairs.select(
-        ((F.col("yj") - F.col("yi"))
-         / (F.col("xj") - F.col("xi"))).alias("__s__"),
-        (F.col("ci") * F.col("cj")).cast("decimal(38,0)").alias("__w__"))
+        F.expr("((yj - yi) / (xj - xi)) AS __s__"),
+        F.expr("CAST((ci * cj) AS DECIMAL(38,0)) AS __w__"))
 
     def weighted_lower_median(df, val, w):
         ww = Window.orderBy(F.col(val).asc()) \
@@ -1689,13 +1720,14 @@ def theil_sen(frame, x_col: str, y_col: str,
     # stage (no driver round-trip; the whole estimator is one plan)
     m_df = weighted_lower_median(slopes, "__s__", F.col("__w__")) \
         .select(F.col("median").alias("__slope__"))
+    qx = "`" + x_col.replace("`", "``") + "`"
+    qy = "`" + y_col.replace("`", "``") + "`"
     resid = (sdf.crossJoin(F.broadcast(m_df))
              .select("__slope__",
-                     (F.col(y_col).cast("double")
-                      - F.col("__slope__")
-                      * F.col(x_col).cast("double")).alias("__r__"))
-             .groupBy("__r__").agg(F.count(F.lit(1))
-                                   .cast("decimal(38,0)").alias("__w__")))
+                     F.expr(f"(CAST({qy} AS DOUBLE) - (__slope__ * "
+                            f"CAST({qx} AS DOUBLE))) AS __r__"))
+             .groupBy("__r__").agg(
+                 F.expr("CAST(COUNT(1) AS DECIMAL(38,0)) AS __w__")))
     i_df = weighted_lower_median(resid, "__r__", F.col("__w__")) \
         .select(F.col("median").alias("__icpt__"))
     n_df = _plain(frame).agg(F.count(F.lit(1)).alias("n"))
@@ -1879,40 +1911,43 @@ def mutual_information(frame, x_col: str, y_col: str,
     cells = (sdf.groupBy(F.col(x_col).alias("__x__"),
                          F.col(y_col).alias("__y__"))
              .agg(F.count(F.lit(1)).alias("__c__")))
-    rt = F.sum("__c__").over(Window.partitionBy("__x__"))
-    ct = F.sum("__c__").over(Window.partitionBy("__y__"))
-    tot = F.sum("__c__").over(Window.partitionBy())
-    n = tot.cast("double")
-    pij = F.col("__c__").cast("double") / n
-    pi = rt.cast("double") / n
-    pj = ct.cast("double") / n
-    q12 = "decimal(38,12)"
+    # expr-string twins (same written operation order — see _pair_sql)
+    rt = "SUM(__c__) OVER (PARTITION BY __x__)"
+    ct = "SUM(__c__) OVER (PARTITION BY __y__)"
+    tot = "SUM(__c__) OVER ()"
+    n = f"CAST({tot} AS DOUBLE)"
+    pij = _divs(_dbl("__c__"), n)
+    pi = _divs(f"CAST({rt} AS DOUBLE)", n)
+    pj = _divs(f"CAST({ct} AS DOUBLE)", n)
+
+    def q12(e: str, name: str) -> Column:
+        return F.expr(
+            f"CAST(ROUND({e}, 12) AS DECIMAL(38,12)) AS {name}")
+
     terms = cells.select(
         "__x__", "__y__", "__c__",
-        F.round(pij * F.log(pij / (pi * pj)), 12).cast(q12)
-        .alias("__mi__"),
+        q12(_mul(pij, f"LN({_divs(pij, _mul(pi, pj))})"), "__mi__"),
         # entropy terms attributed once per marginal: weight each
         # cell's share of its row/col so the sums telescope exactly
-        F.round((F.col("__c__").cast("double") / rt.cast("double"))
-                * (-pi * F.log(pi)), 12).cast(q12).alias("__hx__"),
-        F.round((F.col("__c__").cast("double") / ct.cast("double"))
-                * (-pj * F.log(pj)), 12).cast(q12).alias("__hy__"),
-        tot.alias("__n__"))
+        q12(_mul(_divs(_dbl("__c__"), f"CAST({rt} AS DOUBLE)"),
+                 _mul(f"(- {pi})", f"LN({pi})")), "__hx__"),
+        q12(_mul(_divs(_dbl("__c__"), f"CAST({ct} AS DOUBLE)"),
+                 _mul(f"(- {pj})", f"LN({pj})")), "__hy__"),
+        F.expr(f"{tot} AS __n__"))
     agg = terms.agg(
-        F.max("__n__").alias("n"),
-        F.sum("__mi__").alias("mi"),
-        F.sum("__hx__").alias("h_x"),
-        F.sum("__hy__").alias("h_y"))
-    mi = F.col("mi").cast("double")
-    hx = F.col("h_x").cast("double")
-    hy = F.col("h_y").cast("double")
-    nmi = F.when(hx * hy > 0, mi / F.sqrt(hx * hy))
+        F.expr("MAX(__n__) AS n"),
+        F.expr("SUM(__mi__) AS mi"),
+        F.expr("SUM(__hx__) AS h_x"),
+        F.expr("SUM(__hy__) AS h_y"))
+    mi, hx, hy = _dbl("mi"), _dbl("h_x"), _dbl("h_y")
+    nmi = (f"CASE WHEN (({_mul(hx, hy)}) > 0.0D) THEN "
+           f"{_divs(mi, _sqrt(_mul(hx, hy)))} END")
     out = agg.select(
-        F.col("n").cast("bigint").alias("n"),
-        F.round(hx, 6).alias("h_x"),
-        F.round(hy, 6).alias("h_y"),
-        F.round(mi, 6).alias("mi"),
-        F.round(nmi, 6).alias("nmi"))
+        F.expr("CAST(n AS BIGINT) AS n"),
+        F.expr(f"ROUND({hx}, 6) AS h_x"),
+        F.expr(f"ROUND({hy}, 6) AS h_y"),
+        F.expr(f"ROUND({mi}, 6) AS mi"),
+        F.expr(f"ROUND({nmi}, 6) AS nmi"))
     return SparkFrame(out)
 
 
@@ -1970,42 +2005,48 @@ def weighted_percentile(frame, val_col: str, weight_col: str,
     else:
         n_buckets = 64
         cut_probs = [i / n_buckets for i in range(1, n_buckets)]
+        # LAZY one-row cut relation broadcast onto the rows — the old
+        # form .collect()ed the cuts AND the per-bucket totals at plan
+        # -build time, paying two driver jobs per call (guide §5.3);
+        # everything below is now one lazy plan with zero collects.
         cuts = sdf.agg(F.approx_percentile(
             F.col(val_col).cast("double"),
             F.array(*[F.lit(p) for p in cut_probs]),
-            10_000).alias("c")).collect()[0]["c"] or []
-        # strictly increasing cut list (low-cardinality values repeat
-        # percentiles); bucket b = #cuts below the value
-        uniq = sorted(set(cuts))
+            10_000).alias("__cuts__"))
         v = F.col(val_col).cast("double")
-        bkt = F.lit(0)
-        for c in uniq:
-            bkt = bkt + F.when(v > F.lit(c), 1).otherwise(0)
-        cur = sdf.withColumn("__bkt__", bkt)
-        totals = {r["__bkt__"]: r["t"] for r in
-                  (cur.groupBy("__bkt__").agg(F.sum(w).alias("t"))
-                   .collect())}  # k-sized: one decimal per bucket
-        import decimal as _dec
-        run = _dec.Decimal(0)
-        offsets = {}
-        for b in sorted(totals):
-            offsets[b] = run
-            run += totals[b]
-        grand_total = run
-        if offsets:
-            off = F.element_at(
-                F.map_from_arrays(
-                    F.array(*[F.lit(b) for b in sorted(offsets)]),
-                    F.array(*[F.lit(offsets[b]).cast("decimal(38,6)")
-                              for b in sorted(offsets)])),
-                F.col("__bkt__"))
-        else:  # empty input: no buckets, offset is vacuous
-            off = F.lit(0).cast("decimal(38,6)")
+        # approx_percentile output is sorted; array_distinct keeps the
+        # first occurrence, so the distinct cut list stays ascending.
+        # bucket = #distinct cuts strictly below the value — identical
+        # to the old collected sorted(set(cuts)) counting loop.
+        bkt = F.size(F.filter(F.array_distinct("__cuts__"),
+                              lambda c: v > c))
+        cur = (sdf.crossJoin(F.broadcast(cuts))
+               .withColumn("__bkt__", bkt).drop("__cuts__"))
+        # per-bucket weight totals -> cumulative offsets + grand total:
+        # a <=n_buckets-row carry table built with one tiny global
+        # window and broadcast back (the global_avg_ranks recipe) —
+        # exact decimal sums, so values match the old driver-side
+        # accumulation bit for bit
+        btot = cur.groupBy("__bkt__").agg(F.sum(w).alias("__t__"))
+        w_carry = (Window.orderBy(F.col("__bkt__").asc())
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        # same ordering for the grand-total frame so both window
+        # functions run in ONE window pass over the tiny table
+        w_all = (Window.orderBy(F.col("__bkt__").asc())
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+        carry = btot.select(
+            "__bkt__",
+            F.coalesce(F.sum("__t__").over(w_carry),
+                       F.lit(0).cast("decimal(38,6)")).alias("__off__"),
+            F.sum("__t__").over(w_all).alias("__gt__"))
+        cur = cur.join(F.broadcast(carry), on="__bkt__")
         win = Window.partitionBy("__bkt__").orderBy(
             F.col(val_col).asc(), F.col(weight_col).asc()) \
             .rowsBetween(Window.unboundedPreceding, 0)
-        cur = cur.withColumn("__cw__", F.sum(w).over(win) + off)
-        tw = F.lit(grand_total).cast("decimal(38,6)").cast("double")
+        cur = cur.withColumn("__cw__", F.sum(w).over(win)
+                             + F.col("__off__"))
+        tw = F.col("__gt__").cast("double")
     aggs = [F.count(F.lit(1)).alias("n")]
     for p in probs:
         name = f"p{int(round(p * 100))}"

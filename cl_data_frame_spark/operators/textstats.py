@@ -103,17 +103,24 @@ def quality_score(col) -> Column:
         (length_score + word_len_score + stop_score + punct_penalty) / 4.0, 6)
 
 
-def text_quality(frame, id_col: str = "doc_id", text_col: str = "text") -> SparkFrame:
-    """Per-document quality metrics table."""
-    sdf = _plain(frame)
-    out = sdf.select(
-        id_col,
+def text_quality_exprs(text_col: str = "text") -> list[Column]:
+    """The per-document quality metric columns — exposed so a caller
+    can FUSE them into a wider single projection (one scan computes
+    every per-row text part; codegen subexpression elimination then
+    tokenizes each row once instead of once per part)."""
+    return [
         F.length(text_col).alias("n_chars_actual"),
         token_count(text_col).alias("n_tokens"),
         F.round(mean_word_length(text_col), 6).alias("mean_word_len"),
         F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
         F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"))
+        quality_score(text_col).alias("quality")]
+
+
+def text_quality(frame, id_col: str = "doc_id", text_col: str = "text") -> SparkFrame:
+    """Per-document quality metrics table."""
+    sdf = _plain(frame)
+    out = sdf.select(id_col, *text_quality_exprs(text_col))
     return SparkFrame(out)
 
 
@@ -141,10 +148,11 @@ def lang_scores(col, markers: dict[str, list[str]] | None = None) -> dict[str, C
     return out
 
 
-def lang_id(frame, id_col: str = "doc_id", text_col: str = "text",
-            markers: dict[str, list[str]] | None = None) -> SparkFrame:
-    """Predict language as argmax of marker hits (ties -> lexicographically
-    first language; zero hits -> 'und'). Deterministic, SQL-reproducible."""
+def lang_id_exprs(text_col: str = "text",
+                  markers: dict[str, list[str]] | None = None
+                  ) -> list[Column]:
+    """The lang-id hit-count + argmax-prediction columns — exposed for
+    fused wide projections (see ``text_quality_exprs``)."""
     markers = markers or LANG_MARKERS
     scores = lang_scores(text_col, markers)
     langs = sorted(markers)
@@ -155,11 +163,16 @@ def lang_id(frame, id_col: str = "doc_id", text_col: str = "text",
                  F.lit(-i).alias("ord"), F.lit(lang).alias("lang"))
         for i, lang in enumerate(langs)]))
     predicted = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return [*[scores[lang].alias(f"hits_{lang}") for lang in langs],
+            predicted.alias("lang_pred")]
+
+
+def lang_id(frame, id_col: str = "doc_id", text_col: str = "text",
+            markers: dict[str, list[str]] | None = None) -> SparkFrame:
+    """Predict language as argmax of marker hits (ties -> lexicographically
+    first language; zero hits -> 'und'). Deterministic, SQL-reproducible."""
     sdf = _plain(frame)
-    out = sdf.select(
-        id_col,
-        *[scores[lang].alias(f"hits_{lang}") for lang in langs],
-        predicted.alias("lang_pred"))
+    out = sdf.select(id_col, *lang_id_exprs(text_col, markers))
     return SparkFrame(out)
 
 
@@ -267,6 +280,13 @@ def readability_scores(frame, id_col: str = "doc_id",
     empty documents yield NULL flesch.
     """
     sdf = _plain(frame)
+    out = sdf.select(id_col, *readability_exprs(text_col))
+    return SparkFrame(out)
+
+
+def readability_exprs(text_col: str = "text") -> list[Column]:
+    """The readability columns of ``readability_scores`` — exposed for
+    fused wide projections (see ``text_quality_exprs``)."""
     toks = tokens(F.col(text_col))
     marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+",
                               "$1\u0001")
@@ -287,13 +307,10 @@ def readability_scores(frame, id_col: str = "doc_id",
                                 / n_sents.cast("double"))
               - F.lit(84.6) * (n_syll.cast("double")
                                / n_words.cast("double")))
-    out = sdf.select(
-        id_col,
-        n_words.alias("n_words"),
-        n_sents.alias("n_sents"),
-        n_syll.alias("n_syllables"),
-        F.when(n_words > 0, F.round(flesch, 6)).alias("flesch"))
-    return SparkFrame(out)
+    return [n_words.alias("n_words"),
+            n_sents.alias("n_sents"),
+            n_syll.alias("n_syllables"),
+            F.when(n_words > 0, F.round(flesch, 6)).alias("flesch")]
 
 
 def tfidf_cosine_pairs(frame, id_col: str = "doc_id",
@@ -900,20 +917,37 @@ def bigram_logprob_scores(frame, id_col: str = "doc_id",
     carry (pair, count) partials and per-doc sums only; nothing
     quadratic, no UDF.
     """
-    from pyspark.sql import Window
     sdf = _plain(frame)
-    toks = sdf.select(F.col(id_col),
-                      F.posexplode(tokens(F.col(text_col)))
-                      .alias("__pos__", "__t__"))
-    w = Window.partitionBy(id_col).orderBy("__pos__")
-    pairs = (toks
+    # adjacent pairs as a pure array projection (r15): the old
+    # posexplode + per-doc lag window paid a doc-keyed shuffle + sort
+    # just to pair each token with its successor — the pair (prev, t)
+    # is already adjacent inside the token ARRAY, so build the pair
+    # structs with a guarded transform instead (value-identical pair
+    # multiset; zero shuffles). The tokenization is bound once via
+    # bind_once so the pair lambda reads the array as a variable.
+    from .dedup import bind_once
+    pair_t = "array<struct<__prev__:string,__t__:string>>"
+
+    def pair_structs(ws):
+        cnt = F.size(ws) - F.lit(1)
+        return F.when(cnt < 1, F.expr(f"CAST(array() AS {pair_t})")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("__prev__"),
+                    F.element_at(ws, i + 1).alias("__t__"))))
+
+    pairs = (sdf.select(F.col(id_col),
+                        F.explode(bind_once(tokens(F.col(text_col)),
+                                            pair_structs)).alias("__p__"))
              .select(F.col(id_col),
-                     F.lag("__t__").over(w).alias("__prev__"),
-                     F.col("__t__"))
-             .filter(F.col("__prev__").isNotNull()))
+                     F.col("__p__.__prev__").alias("__prev__"),
+                     F.col("__p__.__t__").alias("__t__")))
     uni = (pairs.groupBy("__prev__")
            .agg(F.count(F.lit(1)).alias("__uc__")))
-    vocab = toks.agg(F.count_distinct("__t__").alias("__v__"))
+    vocab = (sdf.select(F.explode(tokens(F.col(text_col)))
+                        .alias("__t__"))
+             .agg(F.count_distinct("__t__").alias("__v__")))
     bi = (pairs.groupBy("__prev__", "__t__")
           .agg(F.count(F.lit(1)).alias("__bc__")))
     lm = (bi.join(uni, on="__prev__")

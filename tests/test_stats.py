@@ -1100,7 +1100,14 @@ def test_weighted_percentile_unkeyed_no_global_window(spark):
     out = weighted_percentile(df, "v", "w", [0.5, 0.9]).spark_df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__bkt__" in plan
-    assert plan.count("Exchange SinglePartition") <= 1
+    # <=4 SinglePartition exchanges, none data-sized: the approx-
+    # percentile cut aggregate's merge of per-partition partial
+    # sketches (appears once per plan branch — main rows + bucket
+    # totals), the <=64-row bucket carry table's window (r15: the
+    # carry offsets are computed lazily in-plan instead of collected
+    # to the driver — the global_avg_ranks recipe), and the final
+    # global aggregate's merge of per-partition partial rows
+    assert plan.count("Exchange SinglePartition") <= 4
 
 
 def test_feature_scalers(spark):
