@@ -1747,10 +1747,16 @@ def q_st_snapsink_only(spark, sf_dir):
     watermark must swallow the replay, so the final snapshot aggregate
     equals the plain batch aggregate over the single copy (the oracle;
     a duplicated batch would double its rows and hash-mismatch)."""
+    import atexit
     import os
+    import shutil
     import tempfile
     schema = _raw_events_schema(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="cdf_snapsink_")
+    # fast ephemeral scratch (tmpfs when present): the snapshot table +
+    # checkpoint are test artifacts of this entry only; the dir must
+    # outlive the returned lazy frame, so cleanup runs at process exit
+    base = tempfile.mkdtemp(prefix="cdf_snapsink_", dir=ST.scratch_dir())
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     t, ckpt = os.path.join(base, "tbl"), os.path.join(base, "ckpt")
     raw = ST.read_stream_parquet(spark, sf_dir, schema,
                                  glob="events.parquet")
@@ -1783,7 +1789,9 @@ def q_st_snapsrc_only(spark, sf_dir):
     aggregate over events (a re-emitted file or a missed version would
     hash-mismatch). Offsets are version numbers; the planner reads
     manifests only."""
+    import atexit
     import os
+    import shutil
     import tempfile
     from cl_data_frame_spark.sources.snapshots import snapshot_write
     from cl_data_frame_spark.streaming.snapshot_source import (
@@ -1791,7 +1799,11 @@ def q_st_snapsrc_only(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .select("event_id", "event_type", "value"))
-    t = os.path.join(tempfile.mkdtemp(prefix="cdf_snapsrc_"), "tbl")
+    # fast ephemeral scratch (tmpfs when present), cleaned at exit —
+    # the returned frame lazily reads the snapshot table
+    base = tempfile.mkdtemp(prefix="cdf_snapsrc_", dir=ST.scratch_dir())
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    t = os.path.join(base, "tbl")
     snapshot_write(ev.filter(F.col("event_id") % 2 == 0), t)
     name = _stream_name("st_snapsrc")
     q = (read_stream_snapshot(spark, t)
@@ -1865,16 +1877,30 @@ def q_st_dedup(spark, sf_dir):
 # they are the API surface — and the registry registers the composites.
 # ===========================================================================
 
+# typed NULL literals, built once at import: Column objects are
+# immutable expression wrappers, safe to reuse across plans — the
+# composite builders call these ~100 times per build and each
+# lit+cast pair costs two py4j round trips otherwise
+_NULLS: dict = {}
+
+
+def _tnull(t: str):
+    c = _NULLS.get(t)
+    if c is None:
+        c = _NULLS[t] = F.lit(None).cast(t)
+    return c
+
+
 def _BNULL():
-    return F.lit(None).cast("bigint")
+    return _tnull("bigint")
 
 
 def _SNULL():
-    return F.lit(None).cast("string")
+    return _tnull("string")
 
 
 def _DNULL():
-    return F.lit(None).cast("double")
+    return _tnull("double")
 
 
 def _tag(df: DataFrame, tag: str, *cols) -> DataFrame:
@@ -2742,7 +2768,14 @@ def q_x_text_stats(spark, sf_dir):
     inner joins restricted the frame to docs with >=1 token, which is
     exactly the uni-substrate inner join here."""
     import math
-    docs = _t(spark, sf_dir, "documents")
+    from cl_data_frame_spark.partitioning import ensure_min_partitions
+    # spread the tiny single-split documents scan before the heavy
+    # fused projection (compute-bound; one narrow shuffle of the small
+    # input, a no-op at scale) — the separate parts each ran their own
+    # branch concurrently, so the fused form must buy back that
+    # parallelism with partition width
+    docs = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     wide = docs.select(
         "doc_id",
         *TS.text_quality_exprs("text"),
@@ -4030,143 +4063,190 @@ def q_x_pii_redact(spark, sf_dir):
 
 def q_x_curation_scrub(spark, sf_dir):
     """Curation scrub composite: benchmark decontamination + PII
-    redaction in one tagged union."""
-    a = _tag(q_x_decontaminate(spark, sf_dir), "decontaminate",
-             F.col("doc_id").alias("doc_id"),
-             F.col("n_ngrams").alias("i1"), F.col("n_hit").alias("i2"),
-             F.col("contaminated").alias("i3"), _BNULL().alias("i4"),
-             F.col("overlap_frac").alias("d1"), _SNULL().alias("s1"))
-    b = _tag(q_x_pii_redact(spark, sf_dir), "pii",
-             F.col("doc_id").alias("doc_id"),
-             F.col("n_email").alias("i1"), F.col("n_phone").alias("i2"),
-             F.col("n_ipv4").alias("i3"), F.col("n_pii").alias("i4"),
-             _DNULL().alias("d1"), F.col("redacted_md5").alias("s1"))
-    # data-quality expectation gate: the whole rule suite in one scan
+    redaction in one tagged union.
+
+    Round 15: the twelve independent parts build on an 8-thread pool
+    (guide §2.6) — their plan construction is driver-side py4j latency
+    plus a few eager pre-scans, previously a serial ~4-5s chain before
+    the single union job even started. Union order (and the result) is
+    unchanged."""
     li = _t(spark, sf_dir, "lineitem")
-    gate = CUR.expect(li, {
-        "null_orderkey": CUR.rule_not_null("l_orderkey"),
-        "qty_in_1_50": CUR.rule_in_range("l_quantity", 1, 50),
-        "flag_shape": CUR.rule_matches("l_returnflag", "^[ANR]$"),
-        "qty_under_45": CUR.rule_in_range("l_quantity", 1, 45),
-    }).spark_df
-    uniq = CUR.rule_unique(li, ["l_orderkey", "l_linenumber"]).spark_df
-    checks = gate.unionByName(uniq)
-    c = _tag(checks, "expect",
-             _BNULL().alias("doc_id"),
-             F.col("n_violations").cast("bigint").alias("i1"),
-             F.col("n_rows").cast("bigint").alias("i2"),
-             F.col("passed").cast("bigint").alias("i3"),
-             _BNULL().alias("i4"), _DNULL().alias("d1"),
-             F.col("rule").alias("s1"))
-    # wordlist blocklist screen (C4-badwords-style): literal-array
-    # token membership, no join, no shuffle
-    bl = CUR.blocklist_screen(_t(spark, sf_dir, "documents"),
-                              ["table", "spark", "window"],
-                              max_hits=2).spark_df
-    d = _tag(bl, "blocklist",
-             F.col("doc_id").cast("bigint").alias("doc_id"),
-             F.col("n_hits").cast("bigint").alias("i1"),
-             F.col("n_terms").cast("bigint").alias("i2"),
-             F.col("blocked").cast("bigint").alias("i3"),
-             _BNULL().alias("i4"), _DNULL().alias("d1"),
-             _SNULL().alias("s1"))
-    # URL curation (curation.url_normalize / url_dedup / domain_cap):
-    # deterministic messy URLs synthesized from doc_id exercise scheme/
-    # host lowering, default-port and fragment drop, tracking-param
-    # strip + sort, trailing-slash, and the co.uk second-level branch;
-    # the oracle states the EXPECTED canonical form directly (ground
-    # truth, not a regex re-implementation)
-    urls = _messy_urls(spark, sf_dir)
-    un = CUR.url_normalize(urls, "url").spark_df
-    e = _tag(un, "url",
-             F.col("doc_id").cast("bigint").alias("doc_id"),
-             _BNULL().alias("i1"), _BNULL().alias("i2"),
-             _BNULL().alias("i3"), _BNULL().alias("i4"),
-             _DNULL().alias("d1"),
-             F.concat(F.col("url_norm"), F.lit("|"),
-                      F.col("domain")).alias("s1"))
-    ud = CUR.url_dedup(urls, "url", "doc_id").spark_df
-    f = _tag(ud, "urldedup",
-             F.col("doc_id").cast("bigint").alias("doc_id"),
-             _BNULL().alias("i1"), _BNULL().alias("i2"),
-             _BNULL().alias("i3"), _BNULL().alias("i4"),
-             _DNULL().alias("d1"), F.col("url_norm").alias("s1"))
-    dc = CUR.domain_cap(urls, "url", "doc_id", k=5).spark_df
-    g = _tag(dc, "domcap",
-             F.col("doc_id").cast("bigint").alias("doc_id"),
-             _BNULL().alias("i1"), _BNULL().alias("i2"),
-             _BNULL().alias("i3"), _BNULL().alias("i4"),
-             _DNULL().alias("d1"), F.col("domain").alias("s1"))
-    # temperature-scaled language mix (sampling.temperature_weights /
-    # temperature_sample): alpha=0.7 upsamples rare languages
     docs = _t(spark, sf_dir, "documents")
-    tw = SAMP.temperature_weights(docs, "lang", alpha=0.7).spark_df
-    h = _tag(tw, "tempw",
-             _BNULL().alias("doc_id"),
-             F.col("n").cast("bigint").alias("i1"),
-             _BNULL().alias("i2"), _BNULL().alias("i3"),
-             _BNULL().alias("i4"),
-             F.col("w").cast("double").alias("d1"),
-             F.col("lang").alias("s1"))
-    ts = SAMP.temperature_sample(docs, "doc_id", "lang",
-                                 budget=200, alpha=0.7).spark_df
-    tss = (ts.groupBy("lang")
-           .agg(F.count(F.lit(1)).alias("n_kept"),
-                F.sum("doc_id").alias("sum_id")))
-    i = _tag(tss, "tempsamp",
-             _BNULL().alias("doc_id"),
-             F.col("n_kept").cast("bigint").alias("i1"),
-             F.col("sum_id").cast("bigint").alias("i2"),
-             _BNULL().alias("i3"), _BNULL().alias("i4"),
-             _DNULL().alias("d1"), F.col("lang").alias("s1"))
-    # fuzzy MinHash decontamination (round 9): benchmark = the
-    # doc_id % 41 slice of the corpus itself, so every bench doc is a
-    # guaranteed j=1.0 hit and near-dups surface below it; at 96/24
-    # banding the verified output equals the exact-Jaccard screen the
-    # oracle computes
-    fd = CUR.minhash_decontaminate(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("doc_id") % 41 == 0)
-        .select("doc_id", "text"),
-        num_hashes=96, bands=24, shingle_k=5,
-        jaccard_threshold=0.8).spark_df
-    jt = _tag(fd, "fuzzydecon",
-              F.col("doc_id").cast("bigint").alias("doc_id"),
-              F.col("contaminated").cast("bigint").alias("i1"),
-              F.col("bench_id").cast("bigint").alias("i2"),
-              _BNULL().alias("i3"), _BNULL().alias("i4"),
-              F.col("jaccard").cast("double").alias("d1"),
-              _SNULL().alias("s1"))
-    # Luhn-gated payment-card PII (round 9): deterministic card
-    # templates by doc_id class — valid PAN / Luhn-failing 16 digits /
-    # grouped valid / none — so the oracle states the EXPECTED counts
-    # and redacted text directly (ground truth, not a re-implementation
-    # of the regex + checksum)
-    cards = _card_texts(spark, sf_dir)
-    cp = CUR.card_pii(cards, "doc_id", "text").spark_df
-    ct = _tag(cp, "cardpii",
-              F.col("doc_id").cast("bigint").alias("doc_id"),
-              F.col("n_candidates").cast("bigint").alias("i1"),
-              F.col("n_valid").cast("bigint").alias("i2"),
-              _BNULL().alias("i3"), _BNULL().alias("i4"),
-              _DNULL().alias("d1"),
-              F.col("redacted_md5").alias("s1"))
-    # hashed linear quality classifier (fastText-style APPLY, round 9):
-    # md5 token buckets -> broadcast k-sized weight table -> exact
-    # integer mean-weight logit; no float in the label decision
-    qc = CUR.quality_classifier(docs, "doc_id", "text").spark_df
-    kt = _tag(qc, "qualclf",
-              F.col("doc_id").cast("bigint").alias("doc_id"),
-              F.col("n_tokens").cast("bigint").alias("i1"),
-              F.col("logit_milli").cast("bigint").alias("i2"),
-              F.col("label").cast("bigint").alias("i3"),
-              _BNULL().alias("i4"),
-              F.col("score").cast("double").alias("d1"),
-              _SNULL().alias("s1"))
-    return (a.unionByName(b).unionByName(c).unionByName(d)
-            .unionByName(e).unionByName(f).unionByName(g)
-            .unionByName(h).unionByName(i).unionByName(jt)
-            .unionByName(kt).unionByName(ct))
+    urls = _messy_urls(spark, sf_dir)
+
+    def _b_decon():
+        return _tag(q_x_decontaminate(spark, sf_dir), "decontaminate",
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("n_ngrams").alias("i1"),
+                    F.col("n_hit").alias("i2"),
+                    F.col("contaminated").alias("i3"),
+                    _BNULL().alias("i4"),
+                    F.col("overlap_frac").alias("d1"),
+                    _SNULL().alias("s1"))
+
+    def _b_pii():
+        return _tag(q_x_pii_redact(spark, sf_dir), "pii",
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("n_email").alias("i1"),
+                    F.col("n_phone").alias("i2"),
+                    F.col("n_ipv4").alias("i3"),
+                    F.col("n_pii").alias("i4"),
+                    _DNULL().alias("d1"),
+                    F.col("redacted_md5").alias("s1"))
+
+    def _b_expect():
+        # data-quality expectation gate: the whole rule suite in one scan
+        gate = CUR.expect(li, {
+            "null_orderkey": CUR.rule_not_null("l_orderkey"),
+            "qty_in_1_50": CUR.rule_in_range("l_quantity", 1, 50),
+            "flag_shape": CUR.rule_matches("l_returnflag", "^[ANR]$"),
+            "qty_under_45": CUR.rule_in_range("l_quantity", 1, 45),
+        }).spark_df
+        uniq = CUR.rule_unique(li, ["l_orderkey", "l_linenumber"]).spark_df
+        checks = gate.unionByName(uniq)
+        return _tag(checks, "expect",
+                    _BNULL().alias("doc_id"),
+                    F.col("n_violations").cast("bigint").alias("i1"),
+                    F.col("n_rows").cast("bigint").alias("i2"),
+                    F.col("passed").cast("bigint").alias("i3"),
+                    _BNULL().alias("i4"), _DNULL().alias("d1"),
+                    F.col("rule").alias("s1"))
+
+    def _b_blocklist():
+        # wordlist blocklist screen (C4-badwords-style): literal-array
+        # token membership, no join, no shuffle
+        bl = CUR.blocklist_screen(docs, ["table", "spark", "window"],
+                                  max_hits=2).spark_df
+        return _tag(bl, "blocklist",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("n_hits").cast("bigint").alias("i1"),
+                    F.col("n_terms").cast("bigint").alias("i2"),
+                    F.col("blocked").cast("bigint").alias("i3"),
+                    _BNULL().alias("i4"), _DNULL().alias("d1"),
+                    _SNULL().alias("s1"))
+
+    def _b_url():
+        # URL curation (curation.url_normalize / url_dedup / domain_cap):
+        # deterministic messy URLs synthesized from doc_id exercise scheme/
+        # host lowering, default-port and fragment drop, tracking-param
+        # strip + sort, trailing-slash, and the co.uk second-level branch;
+        # the oracle states the EXPECTED canonical form directly (ground
+        # truth, not a regex re-implementation)
+        un = CUR.url_normalize(urls, "url").spark_df
+        return _tag(un, "url",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    _BNULL().alias("i1"), _BNULL().alias("i2"),
+                    _BNULL().alias("i3"), _BNULL().alias("i4"),
+                    _DNULL().alias("d1"),
+                    F.concat(F.col("url_norm"), F.lit("|"),
+                             F.col("domain")).alias("s1"))
+
+    def _b_urldedup():
+        ud = CUR.url_dedup(urls, "url", "doc_id").spark_df
+        return _tag(ud, "urldedup",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    _BNULL().alias("i1"), _BNULL().alias("i2"),
+                    _BNULL().alias("i3"), _BNULL().alias("i4"),
+                    _DNULL().alias("d1"), F.col("url_norm").alias("s1"))
+
+    def _b_domcap():
+        dc = CUR.domain_cap(urls, "url", "doc_id", k=5).spark_df
+        return _tag(dc, "domcap",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    _BNULL().alias("i1"), _BNULL().alias("i2"),
+                    _BNULL().alias("i3"), _BNULL().alias("i4"),
+                    _DNULL().alias("d1"), F.col("domain").alias("s1"))
+
+    def _b_tempw():
+        # temperature-scaled language mix (sampling.temperature_weights /
+        # temperature_sample): alpha=0.7 upsamples rare languages
+        tw = SAMP.temperature_weights(docs, "lang", alpha=0.7).spark_df
+        return _tag(tw, "tempw",
+                    _BNULL().alias("doc_id"),
+                    F.col("n").cast("bigint").alias("i1"),
+                    _BNULL().alias("i2"), _BNULL().alias("i3"),
+                    _BNULL().alias("i4"),
+                    F.col("w").cast("double").alias("d1"),
+                    F.col("lang").alias("s1"))
+
+    def _b_tempsamp():
+        ts = SAMP.temperature_sample(docs, "doc_id", "lang",
+                                     budget=200, alpha=0.7).spark_df
+        tss = (ts.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("sum_id")))
+        return _tag(tss, "tempsamp",
+                    _BNULL().alias("doc_id"),
+                    F.col("n_kept").cast("bigint").alias("i1"),
+                    F.col("sum_id").cast("bigint").alias("i2"),
+                    _BNULL().alias("i3"), _BNULL().alias("i4"),
+                    _DNULL().alias("d1"), F.col("lang").alias("s1"))
+
+    def _b_fuzzydecon():
+        # fuzzy MinHash decontamination (round 9): benchmark = the
+        # doc_id % 41 slice of the corpus itself, so every bench doc is a
+        # guaranteed j=1.0 hit and near-dups surface below it; at 96/24
+        # banding the verified output equals the exact-Jaccard screen the
+        # oracle computes
+        fd = CUR.minhash_decontaminate(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("doc_id") % 41 == 0)
+            .select("doc_id", "text"),
+            num_hashes=96, bands=24, shingle_k=5,
+            jaccard_threshold=0.8).spark_df
+        return _tag(fd, "fuzzydecon",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("contaminated").cast("bigint").alias("i1"),
+                    F.col("bench_id").cast("bigint").alias("i2"),
+                    _BNULL().alias("i3"), _BNULL().alias("i4"),
+                    F.col("jaccard").cast("double").alias("d1"),
+                    _SNULL().alias("s1"))
+
+    def _b_cardpii():
+        # Luhn-gated payment-card PII (round 9): deterministic card
+        # templates by doc_id class — valid PAN / Luhn-failing 16 digits /
+        # grouped valid / none — so the oracle states the EXPECTED counts
+        # and redacted text directly (ground truth, not a re-implementation
+        # of the regex + checksum)
+        cards = _card_texts(spark, sf_dir)
+        cp = CUR.card_pii(cards, "doc_id", "text").spark_df
+        return _tag(cp, "cardpii",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("n_candidates").cast("bigint").alias("i1"),
+                    F.col("n_valid").cast("bigint").alias("i2"),
+                    _BNULL().alias("i3"), _BNULL().alias("i4"),
+                    _DNULL().alias("d1"),
+                    F.col("redacted_md5").alias("s1"))
+
+    def _b_qualclf():
+        # hashed linear quality classifier (fastText-style APPLY, round 9):
+        # md5 token buckets -> broadcast k-sized weight table -> exact
+        # integer mean-weight logit; no float in the label decision
+        qc = CUR.quality_classifier(docs, "doc_id", "text").spark_df
+        return _tag(qc, "qualclf",
+                    F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("n_tokens").cast("bigint").alias("i1"),
+                    F.col("logit_milli").cast("bigint").alias("i2"),
+                    F.col("label").cast("bigint").alias("i3"),
+                    _BNULL().alias("i4"),
+                    F.col("score").cast("double").alias("d1"),
+                    _SNULL().alias("s1"))
+
+    from concurrent.futures import ThreadPoolExecutor
+    builders = [
+        ("a", _b_decon), ("b", _b_pii), ("c", _b_expect),
+        ("d", _b_blocklist), ("e", _b_url), ("f", _b_urldedup),
+        ("g", _b_domcap), ("h", _b_tempw), ("i", _b_tempsamp),
+        ("jt", _b_fuzzydecon), ("ct", _b_cardpii), ("kt", _b_qualclf)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {k: pool.submit(fn) for k, fn in builders}
+        out = {k: f.result() for k, f in futs.items()}
+    return (out["a"].unionByName(out["b"]).unionByName(out["c"])
+            .unionByName(out["d"]).unionByName(out["e"])
+            .unionByName(out["f"]).unionByName(out["g"])
+            .unionByName(out["h"]).unionByName(out["i"])
+            .unionByName(out["jt"]).unionByName(out["kt"])
+            .unionByName(out["ct"]))
 
 
 def _card_texts(spark, sf_dir):

@@ -1332,6 +1332,14 @@ def fellegi_sunter_pairs(frame, id_col: str, block_col: str,
     cross-engine exact (the log weights are Python-computed literals).
 
     Output: (id_a, id_b, weight rounded 6, n_agree).
+
+    Precondition: *id_col* must be unique within the table. The
+    thresholded path de-duplicates candidate pairs on (id_a, id_b)
+    after the union of subset equi-joins, so duplicated ids would
+    collapse to one row where the unthresholded path emits one row per
+    physical pair — output multiplicity would silently depend on
+    whether a threshold was passed. (With unique ids, both paths are
+    provably identical.)
     """
     import math
     for f, (m, u) in fields.items():

@@ -2005,23 +2005,25 @@ def weighted_percentile(frame, val_col: str, weight_col: str,
     else:
         n_buckets = 64
         cut_probs = [i / n_buckets for i in range(1, n_buckets)]
-        # LAZY one-row cut relation broadcast onto the rows — the old
-        # form .collect()ed the cuts AND the per-bucket totals at plan
-        # -build time, paying two driver jobs per call (guide §5.3);
-        # everything below is now one lazy plan with zero collects.
+        # the cut list stays a COLLECTED literal: the bucket assignment
+        # then compiles to a whole-stage-codegen'd comparison chain. (A
+        # fully-lazy variant — cuts as a broadcast one-row relation,
+        # bucket via a filter HOF — was measured: fine standalone, but
+        # inside the s_stats_rank union its nested broadcast lineage
+        # blew the composite's exec 5.6s -> 20-36s, see
+        # OPTIMIZATION_r15.md.)
         cuts = sdf.agg(F.approx_percentile(
             F.col(val_col).cast("double"),
             F.array(*[F.lit(p) for p in cut_probs]),
-            10_000).alias("__cuts__"))
+            10_000).alias("c")).collect()[0]["c"] or []
+        # strictly increasing cut list (low-cardinality values repeat
+        # percentiles); bucket b = #cuts below the value
+        uniq = sorted(set(cuts))
         v = F.col(val_col).cast("double")
-        # approx_percentile output is sorted; array_distinct keeps the
-        # first occurrence, so the distinct cut list stays ascending.
-        # bucket = #distinct cuts strictly below the value — identical
-        # to the old collected sorted(set(cuts)) counting loop.
-        bkt = F.size(F.filter(F.array_distinct("__cuts__"),
-                              lambda c: v > c))
-        cur = (sdf.crossJoin(F.broadcast(cuts))
-               .withColumn("__bkt__", bkt).drop("__cuts__"))
+        bkt = F.lit(0)
+        for c in uniq:
+            bkt = bkt + F.when(v > F.lit(c), 1).otherwise(0)
+        cur = sdf.withColumn("__bkt__", bkt)
         # per-bucket weight totals -> cumulative offsets + grand total:
         # a <=n_buckets-row carry table built with one tiny global
         # window and broadcast back (the global_avg_ranks recipe) —

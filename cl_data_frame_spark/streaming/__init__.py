@@ -270,6 +270,26 @@ def streaming_cusum(sdf: DataFrame, mu: float, sigma: float,
 _START_LOCK = threading.Lock()
 
 
+def scratch_dir() -> str:
+    """Fast ephemeral scratch for verification-stream checkpoints and
+    test-only table dirs. These checkpoints live only for the duration
+    of a memory-sink verification query (removed on stop), so
+    durability is irrelevant — prefer RAM-backed tmpfs when present
+    (state-store + offset-log commits are many tiny fsync-ing files,
+    measured IO-bound on disk /tmp). Override with $SPARK_GRAFT_SCRATCH
+    (e.g. cluster-local SSD scratch); production streams pass their own
+    durable ``checkpoint_dir`` explicitly and never come through here.
+    """
+    import os
+    import tempfile
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "update",
                          min_rows: int | None = None,
@@ -293,7 +313,11 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     real cluster with large state, raise the session conf before
     calling (the pin is per-query, so batch queries are unaffected).
     """
+    import shutil
+    import tempfile
     spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"cdf_ck_{query_name}_",
+                            dir=scratch_dir())
     # the set -> start -> restore window is serialized: independent
     # streams are routinely STARTED from a small thread pool so their
     # micro-batches overlap (guide §2.6), and an unguarded restore
@@ -306,6 +330,7 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
         try:
             q = (stream_df.writeStream.format("memory")
                  .queryName(query_name)
+                 .option("checkpointLocation", ckpt)
                  .outputMode(output_mode).start())
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -323,6 +348,7 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
             _time.sleep(0.1)
             q.processAllAvailable()
     q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def streaming_dedup(sdf: DataFrame, key_cols: list[str],

@@ -57,6 +57,11 @@ def run(qs, name):
     df.write.mode("overwrite").format("noop").save()
     t2 = time.time()
     spark.catalog.clearCache()
+    # localCheckpoint blocks are released by the ContextCleaner only
+    # after the JVM-side plan objects are collected; without a nudge
+    # they accumulate across the interleaved reps and bias whichever
+    # side runs later (observed: +12s on the 4th entry's B reps)
+    spark._jvm.System.gc()
     return t1 - t0, t2 - t1
 
 
