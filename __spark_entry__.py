@@ -109,6 +109,21 @@ def _raw_events_schema(spark: SparkSession, sf_dir: str):
     return schema
 
 
+def _scratch_tmp(prefix: str) -> str:
+    """Fresh per-run dir for an entry's test-artifact tables (sink
+    round-trips, layout-rewrite targets) on fast ephemeral scratch —
+    tmpfs when present, `$SPARK_GRAFT_SCRATCH` override, system tmp
+    fallback (see ``streaming.scratch_dir``). Removed at process exit:
+    the returned frames read these files lazily, so cleanup must
+    outlive the query."""
+    import atexit
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix=prefix, dir=ST.scratch_dir())
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _dec_sum(col, scale: int = 2, precision: int = 18):
     """Exact, order-independent SUM of a double column: round to a decimal
     first so both engines sum identical exact values."""
@@ -2412,7 +2427,7 @@ def q_s_source_roundtrip(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 45)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
-    path = os.path.join(tempfile.mkdtemp(prefix="cdf_roundtrip_"), "li")
+    path = os.path.join(_scratch_tmp("cdf_roundtrip_"), "li")
     write_parquet(li, path)
     back = read_parquet(spark, path)
     agg = (back.spark_df.groupBy("l_returnflag")
@@ -2453,7 +2468,7 @@ def q_s_source_roundtrip(spark, sf_dir):
     # through the widened read; the oracle recomputes with explicit
     # casts, so the upcast path must be value-exact
     from cl_data_frame_spark.sources import snapshots as SN
-    wdir = os.path.join(tempfile.mkdtemp(prefix="cdf_widen_"), "t")
+    wdir = os.path.join(_scratch_tmp("cdf_widen_"), "t")
     wbase = (_t(spark, sf_dir, "lineitem")
              .filter(F.col("l_quantity") >= 48)
              .select(F.col("l_orderkey").cast("int").alias("k"),
@@ -2570,6 +2585,13 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
     # (guide §2.6): their plan construction and eager pre-scans overlap
     # the chain's checkpoint materialization
     from concurrent.futures import ThreadPoolExecutor
+    # the shared profile is constructed BEFORE the pool so the
+    # containment part can ride the same checkpointed substrate (its
+    # __toks__ arrays are exactly the distinct hashed 3-grams the
+    # inverted-index join explodes — r15: saves containment's three
+    # tokenize scans)
+    prof = X.ngram_order_profile(
+        docs0, n=3, carry_cols=["lang"]).localCheckpoint(eager=False)
     pool = ThreadPoolExecutor(max_workers=4)
     f_ed = pool.submit(q_x_edit_distance, spark, sf_dir)
 
@@ -2579,9 +2601,9 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
                                          hash_fn="md5").spark_df
 
     def _build_containment():
-        docs = _f(spark, sf_dir, "documents")
-        return X.containment_pairs(docs, n=3, threshold=0.6,
-                                   block_col="lang").spark_df
+        return X.containment_pairs(None, n=3, threshold=0.6,
+                                   block_col="lang",
+                                   profile=prof).spark_df
 
     def _build_linkage():
         cust = _t(spark, sf_dir, "customer").select(
@@ -2597,8 +2619,6 @@ def q_x_ngram_jaccard_all(spark, sf_dir):
     f_cp = pool.submit(_build_containment)
     f_fs = pool.submit(_build_linkage)
 
-    prof = X.ngram_order_profile(
-        docs0, n=3, carry_cols=["lang"]).localCheckpoint(eager=False)
     glob = (X.ngram_jaccard_pairs_prefix(
         docs0, n=3, threshold=0.5, profile=prof).spark_df
         .localCheckpoint(eager=False))       # tiny verified pair set
@@ -3285,7 +3305,7 @@ def q_s_layout_prune(spark, sf_dir):
     ).collect()[0]
 
     def g_zprune():
-        zpath = os.path.join(tempfile.mkdtemp(prefix="cdf_zorder_"),
+        zpath = os.path.join(_scratch_tmp("cdf_zorder_"),
                              "li")
         write_parquet_zordered(SparkFrame(zli), zpath,
                                ["l_partkey", "l_suppkey"], bits=8,
@@ -3305,7 +3325,7 @@ def q_s_layout_prune(spark, sf_dir):
     def g_hprune():
         # Hilbert-curve layout twin: same rewrite + pruned scan
         # contract, tighter per-file boxes (no Morton diagonal jumps)
-        hpath = os.path.join(tempfile.mkdtemp(prefix="cdf_hilbert_"),
+        hpath = os.path.join(_scratch_tmp("cdf_hilbert_"),
                              "li")
         write_parquet_zordered(SparkFrame(zli), hpath,
                                ["l_partkey", "l_suppkey"], bits=8,
@@ -3322,7 +3342,7 @@ def q_s_layout_prune(spark, sf_dir):
                     F.col("sum_ok").cast("bigint").alias("i2"))
 
     def g_compact():
-        tmp = tempfile.mkdtemp(prefix="cdf_compact_")
+        tmp = _scratch_tmp("cdf_compact_")
         src, dst = os.path.join(tmp, "src"), os.path.join(tmp, "dst")
         (li.filter(F.col("l_quantity") <= 5).repartition(64)
          .write.mode("overwrite").parquet(src))
@@ -3345,7 +3365,7 @@ def q_s_layout_prune(spark, sf_dir):
         # (replacement), proving untouched partitions survive (static
         # overwrite would truncate them)
         from cl_data_frame_spark.sources import write_parquet_partitioned
-        ppath = os.path.join(tempfile.mkdtemp(prefix="cdf_dynpart_"),
+        ppath = os.path.join(_scratch_tmp("cdf_dynpart_"),
                              "pt")
         pbase = li.filter(F.col("l_quantity") <= 3)
         write_parquet_partitioned(pbase, ppath, "l_returnflag")
@@ -3379,7 +3399,7 @@ def q_s_layout_prune(spark, sf_dir):
         # every run — and (iii) the predicated read hash-matches the
         # oracle's equality filter. The key rides the shared 1-row
         # metadata aggregate above.
-        bpath = os.path.join(tempfile.mkdtemp(prefix="cdf_bloom_"),
+        bpath = os.path.join(_scratch_tmp("cdf_bloom_"),
                              "tbl")
         bslice = li.filter(F.col("l_quantity") <= 2)
         snapshot_write(bslice.repartition(4, "l_partkey"), bpath,
@@ -3415,7 +3435,7 @@ def q_s_layout_prune(spark, sf_dir):
         # tightening for strict ops) while the row filter keeps the
         # result exact whatever the layout.
         import datetime as _dt
-        hppath = os.path.join(tempfile.mkdtemp(prefix="cdf_hp_"),
+        hppath = os.path.join(_scratch_tmp("cdf_hp_"),
                               "tbl")
         hp_src = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
@@ -3471,7 +3491,7 @@ def q_s_layout_prune(spark, sf_dir):
     # TIME-TRAVEL read of v2 must equal the qty<=3 slice even though
     # v3 has since replaced the table — manifest pinning proves the
     # reproducible-read contract end to end
-    spath = os.path.join(tempfile.mkdtemp(prefix="cdf_snap_"), "tbl")
+    spath = os.path.join(_scratch_tmp("cdf_snap_"), "tbl")
     # range-partitioned on l_orderkey with footer min/max stats in the
     # manifest -> disjoint per-file key ranges the predicated read
     # below can skip (the Delta/Iceberg data-skipping model)

@@ -1207,7 +1207,8 @@ def self_repetition_removal(frame, text_col: str = "text",
 def containment_pairs(frame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       threshold: float = 0.8,
-                      block_col: str | None = None) -> SparkFrame:
+                      block_col: str | None = None,
+                      profile=None) -> SparkFrame:
     """Asymmetric near-SUBSET detection: directed pairs where document
     ``a``'s n-gram set is mostly contained in ``b``'s,
 
@@ -1230,13 +1231,24 @@ def containment_pairs(frame, id_col: str = "doc_id",
     anyway); the cap is a recall-neutral optimization for
     threshold-high queries only when |G(a)| ≫ capped-out grams,
     documented rather than defaulted here.
+
+    ``profile``: a precomputed (persisted) ``ngram_order_profile`` of
+    the same corpus/*n*/*block_col* — its ``__toks__`` arrays hold the
+    SAME distinct hashed n-grams (order is irrelevant to the inverted-
+    index join), so a query suite sharing one profile skips this
+    operator's tokenize scans entirely.
     """
-    base = ensure_min_partitions(_plain(frame).select(
-        id_col, *([block_col] if block_col else []), text_col))
-    grams = base.select(
-        id_col, *([block_col] if block_col else []),
-        F.explode(F.transform(word_ngrams(text_col, n),
-                              lambda g: F.xxhash64(g))).alias("__g__"))
+    bcols = [block_col] if block_col else []
+    if profile is not None:
+        grams = _plain(profile).select(
+            id_col, *bcols, F.explode("__toks__").alias("__g__"))
+    else:
+        base = ensure_min_partitions(_plain(frame).select(
+            id_col, *bcols, text_col))
+        grams = base.select(
+            id_col, *bcols,
+            F.explode(F.transform(word_ngrams(text_col, n),
+                                  lambda g: F.xxhash64(g))).alias("__g__"))
     sizes = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__sz__"))
     on = ["__g__"] + ([block_col] if block_col else [])
